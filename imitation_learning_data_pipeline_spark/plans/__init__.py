@@ -1,0 +1,34 @@
+"""Named end-to-end query plans — the driver-contract surface.
+
+Importing this package populates the registry: each submodule registers
+its queries (Spark plan builder + DuckDB oracle SQL) via
+``registry.register``.
+"""
+
+from .registry import ORACLES, QUERIES, register  # noqa: F401
+
+# Import for side effect: each module registers its plans.
+from . import flagship  # noqa: E402,F401
+
+_ALL_MODULES = [flagship]
+
+
+def _late_imports() -> None:
+    """Import remaining plan modules; kept separate so a syntax error in a
+    new module is easy to localize during development."""
+    global _ALL_MODULES
+    from . import relational, windows, numeric, dedup, text, similarity, pipeline_queries  # noqa: F401
+
+    _ALL_MODULES = [
+        flagship,
+        relational,
+        windows,
+        numeric,
+        dedup,
+        text,
+        similarity,
+        pipeline_queries,
+    ]
+
+
+_late_imports()

@@ -1,0 +1,167 @@
+"""Schema-typed readers for the driver testdata and reference-shaped tables.
+
+Explicit StructType schemas per table (reference analogue: the fixed
+expected schema in robot_data/meta/info.json:16-150 and the re-declared
+required columns in validate_one.py:9-12 — "fixed-expected, defensively
+enforced"). Passing the schema to the parquet reader skips footer-based
+inference on huge file listings and guarantees stable dtypes; Catalyst
+still prunes columns/row groups from the declared schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# Driver-provided synthetic tables (TESTDATA.md / FIXTURES.md §A).
+TABLE_SCHEMAS: dict[str, T.StructType] = {
+    "region": T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    ),
+    "nation": T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    ),
+    "customer": T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    ),
+    "supplier": T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    ),
+    "part": T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_type", T.StringType()),
+            T.StructField("p_size", T.IntegerType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    ),
+    "orders": T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    ),
+    "lineitem": T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+            T.StructField("l_tax", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampType()),
+        ]
+    ),
+    # NB: on disk `ts` is parquet TIMESTAMP(NANOS), which Spark's reader
+    # rejects ([PARQUET_TYPE_ILLEGAL]); we read it as raw nanos (LongType,
+    # via spark.sql.legacy.parquet.nanosAsLong) and convert to a
+    # microsecond TimestampType in load_table. DuckDB likewise truncates
+    # ns → µs on read, so the two engines agree.
+    "events": T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    ),
+    "documents": T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    ),
+    "embeddings": T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    ),
+}
+
+# Reference-shaped frames table (FIXTURES.md §B1; robot_data/meta/info.json:16-150).
+# The dotted column name `observation.state` is kept verbatim — Spark handles
+# it with backticks, so the reference's rename dance (SURVEY §2.3 P2) is gone.
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("action", T.ArrayType(T.FloatType())),
+        T.StructField("observation.state", T.ArrayType(T.FloatType())),
+        T.StructField("timestamp", T.DoubleType()),
+        T.StructField("frame_index", T.LongType()),
+        T.StructField("episode_index", T.LongType()),
+        T.StructField("index", T.LongType()),
+        T.StructField("task_index", T.LongType()),
+    ]
+)
+
+# Discover-stage manifest schema (reference: discover_refactored.py:106-113,
+# core/models.py:5-19; statuses core/statuses.py:3-11). `discovered_at` is a
+# real timestamp here, not an ISO string (documented divergence, SURVEY §1.2).
+MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("episode_index", T.LongType()),
+        T.StructField("chunk", T.StringType()),
+        T.StructField("parquet_uri", T.StringType()),
+        T.StructField("video_front_uri", T.StringType()),
+        T.StructField("video_wrist_uri", T.StringType()),
+        T.StructField("exists_front", T.BooleanType()),
+        T.StructField("exists_wrist", T.BooleanType()),
+        T.StructField("bytes_total", T.LongType()),
+        T.StructField("fingerprint", T.StringType()),
+        T.StructField("fingerprint_algo", T.StringType()),
+        T.StructField("discovered_at", T.TimestampType()),
+        T.StructField("status", T.StringType()),
+    ]
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver testdata table with its declared schema."""
+    from pyspark.sql import functions as F
+
+    schema = TABLE_SCHEMAS[name]
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.schema(schema).parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.schema(schema).parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql plans."""
+    for name in TABLE_SCHEMAS:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

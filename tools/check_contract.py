@@ -1,0 +1,138 @@
+"""Local approximation of the driver's correctness gate.
+
+Runs every ``queries()`` entry from __spark_entry__ at a given sf_dir and
+compares against ``oracle_sql()`` via DuckDB: row count, sorted column
+names, and an order-insensitive value hash (floats rounded, rows sorted).
+
+Usage: python tools/check_contract.py [sf_dir] [name_filter ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+import time
+import traceback
+
+REPO = "/root/repo"
+sys.path.insert(0, REPO)
+
+import duckdb  # noqa: E402
+import pandas as pd  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _norm_cell(v) -> str:
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "∅"
+    if isinstance(v, bool):
+        return "T" if v else "F"
+    if isinstance(v, float):
+        if math.isinf(v):
+            return "inf" if v > 0 else "-inf"
+        r = round(v, 4)
+        if r == int(r):
+            return str(int(r))
+        return f"{r:.4f}".rstrip("0")
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def frame_digest(pdf: pd.DataFrame) -> tuple[int, list[str], str]:
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    rows = sorted(
+        "|".join(_norm_cell(v) for v in rec) for rec in pdf.itertuples(index=False)
+    )
+    h = hashlib.md5("\n".join(rows).encode()).hexdigest()
+    return len(pdf), cols, h
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    name_filter = sys.argv[2:]
+
+    import __spark_entry__ as mod
+    from imitation_learning_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("contract-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    queries = mod.queries()
+    oracles = mod.oracle_sql()
+    n_pass = n_fail = n_rows_only = 0
+    failures: list[str] = []
+    for name, fn in queries.items():
+        if name_filter and not any(f in name for f in name_filter):
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            spdf = sdf.toPandas()
+        except Exception:
+            print(f"FAIL  {name}: spark raised")
+            traceback.print_exc()
+            n_fail += 1
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"rows-only  {name}: {len(spdf)} rows  ({time.time()-t0:.1f}s)")
+            n_rows_only += 1
+            continue
+        try:
+            opdf = con.sql(oracles[name]).df()
+        except Exception:
+            print(f"FAIL  {name}: duckdb oracle raised")
+            traceback.print_exc()
+            n_fail += 1
+            failures.append(name)
+            continue
+        sn, sc, sh = frame_digest(spdf)
+        on, oc, oh = frame_digest(opdf)
+        ok = (sn, sc, sh) == (on, oc, oh)
+        dt = time.time() - t0
+        if ok:
+            print(f"PASS  {name}: {sn} rows  ({dt:.1f}s)")
+            n_pass += 1
+        else:
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL  {name}: spark=({sn} rows, {sc}, {sh[:8]}) "
+                  f"oracle=({on} rows, {oc}, {oh[:8]})  ({dt:.1f}s)")
+            if sc == oc and sn and on:
+                # show a few differing rows to debug
+                sset = {
+                    "|".join(_norm_cell(v) for v in rec)
+                    for rec in spdf[sorted(spdf.columns)].itertuples(index=False)
+                }
+                oset = {
+                    "|".join(_norm_cell(v) for v in rec)
+                    for rec in opdf[sorted(opdf.columns)].itertuples(index=False)
+                }
+                for label, diff in (
+                    ("spark-only", sorted(sset - oset)[:3]),
+                    ("oracle-only", sorted(oset - sset)[:3]),
+                ):
+                    for row in diff:
+                        print(f"        {label}: {row[:200]}")
+    print(
+        f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only "
+        f"of {len(queries)} queries"
+    )
+    if failures:
+        print("failures:", " ".join(failures))
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
