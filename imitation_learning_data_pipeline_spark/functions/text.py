@@ -1,0 +1,127 @@
+"""Text-analysis column expressions (language ID, quality, tokens, shingles).
+
+All pure `pyspark.sql.functions` — regexes kept in the common subset of
+Java regex (Spark) and RE2 (DuckDB/others) so oracle SQL can mirror them
+exactly. These power the LLM-training-data operators (BASELINE.json
+extensions): dedup shingling, quality filtering, language ID.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Lowercase, strip non-alphanumerics to spaces, collapse whitespace.
+
+    The canonical form used for exact-dedup hashing — punctuation and
+    case differences don't defeat duplicate detection.
+    """
+    t = F.lower(_c(col))
+    t = F.regexp_replace(t, "[^a-z0-9 ]", " ")
+    t = F.regexp_replace(t, " +", " ")
+    return F.trim(t)
+
+
+def words(col: Column | str) -> Column:
+    """Whitespace tokens of the normalized text (array<string>)."""
+    return F.split(normalize_text(col), " ")
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Positional word n-grams as array<string> (space-joined).
+
+    Built with transform over a 0..len−n index range — no explode needed
+    until the caller wants one row per shingle. Guarded for docs shorter
+    than n words (F.sequence(0, -1) would generate a *descending* range).
+    """
+    w = F.filter(words(col), lambda x: x != "")
+    idx = F.when(
+        F.size(w) >= n, F.sequence(F.lit(0), F.size(w) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)))
+
+
+# Tiny per-language function-word marker sets (public linguistics
+# commonplace). Order matters: ties broken by this priority.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "la", "los", "que", "y"],
+    "fr": ["le", "les", "des", "et", "est"],
+}
+
+
+def langid(col: Column | str) -> Column:
+    """Heuristic language ID: CJK codepoints → zh, else argmax of marker
+    hits with deterministic priority order, else 'und'."""
+    t = _c(col)
+    w = words(col)
+    langs = list(LANG_MARKERS)
+
+    def _in(markers: list[str]):
+        # closure, not a default arg: F.filter treats 2-parameter lambdas
+        # as the (element, index) form
+        return lambda x: x.isin(*markers)
+
+    scores = {
+        lang: F.size(F.filter(w, _in(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    # First-listed language wins ties: it must beat earlier languages
+    # strictly and later ones weakly.
+    expr = F.when(t.rlike("[\\u4e00-\\u9fff]"), F.lit("zh"))
+    for i, lang in enumerate(langs):
+        cond = scores[lang] > 0
+        for j, other in enumerate(langs):
+            if other == lang:
+                continue
+            if j > i:
+                cond = cond & (scores[lang] >= scores[other])
+            else:
+                cond = cond & (scores[lang] > scores[other])
+        expr = expr.when(cond, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
+
+
+STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "by", "at", "this", "that",
+]
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Quality-scoring feature bundle (each a scalar Column)."""
+    t = _c(col)
+    w = words(col)
+    n_chars = F.length(t)
+    n_words = F.size(w)
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_words": n_words.cast("long"),
+        "mean_word_len": F.round(
+            F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x)).cast("double")
+            / F.greatest(n_words, F.lit(1)),
+            4,
+        ),
+        "stopword_ratio": F.round(
+            F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))).cast("double")
+            / F.greatest(n_words, F.lit(1)),
+            4,
+        ),
+        "digit_ratio": F.round(
+            (n_chars - F.length(F.regexp_replace(t, "[0-9]", ""))).cast("double")
+            / F.greatest(n_chars, F.lit(1)),
+            4,
+        ),
+        "punct_ratio": F.round(
+            (n_chars - F.length(F.regexp_replace(t, "[.!?,;:]", ""))).cast("double")
+            / F.greatest(n_chars, F.lit(1)),
+            4,
+        ),
+    }

@@ -1,0 +1,158 @@
+"""Discover stage: incremental file-system scan + fingerprint diff.
+
+Reference: steps/discover_refactored.py:79-170 — a thread-pool loop that
+stats/hashes each file, then Polars joins. Here the listing itself is a
+DataFrame (`binaryFile` source), fingerprinting is a JVM-side sha2 over
+head+tail samples, and the diff/delete/orphan logic is the join / anti
+join / unionByName trio — one declarative plan, no loops.
+
+Scale notes: `binaryFile` prunes the `content` column when unselected, so
+the video listing never reads bytes; fingerprints sample head+tail 64 KiB
+(reference fp/fingerprint.py:20-35) rather than full files; at cloud
+scale the fingerprint column would instead come free from the object
+store (ETag) — the diff plan below is unchanged either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SAMPLE_BYTES = 65536  # head+tail sample size (core/constants.py:1)
+
+ACTIONABLE_STATUSES = ["NEW", "CHANGED", "MISSING_SIDE"]  # statuses.py / :12
+
+_EP_RE = r"episode_(\d+)\.(parquet|mp4)$"
+_CHUNK_RE = r"(chunk-\d+)"
+
+
+def _parse_path(df: DataFrame) -> DataFrame:
+    return df.withColumns(
+        {
+            "episode_index": F.regexp_extract("path", _EP_RE, 1).cast("long"),
+            "chunk": F.regexp_extract("path", _CHUNK_RE, 1),
+        }
+    )
+
+
+def list_episode_parquets(
+    spark: SparkSession, root: str, since: str | None = None
+) -> DataFrame:
+    """Distributed listing + head/tail fingerprint of episode parquets.
+
+    ``since`` maps the reference's --since mtime cutoff
+    (discover_refactored.py:92-96) to the source's modifiedAfter option.
+    """
+    reader = (
+        spark.read.format("binaryFile").option("pathGlobFilter", "episode_*.parquet")
+    )
+    if since:
+        reader = reader.option("modifiedAfter", since)
+    raw = reader.load(f"{root}/data/*")
+    fp = F.sha2(
+        F.concat(
+            F.substring(F.col("content"), 1, SAMPLE_BYTES),
+            F.substring(F.col("content"), -SAMPLE_BYTES, SAMPLE_BYTES),
+            F.col("length").cast("string").cast("binary"),
+        ),
+        256,
+    )
+    return _parse_path(raw).select(
+        "episode_index",
+        "chunk",
+        F.col("path").alias("parquet_uri"),
+        F.col("length").alias("bytes_parquet"),
+        fp.alias("fingerprint"),
+        F.lit("sha256-head-tail").alias("fingerprint_algo"),
+    )
+
+
+def list_videos(spark: SparkSession, root: str) -> DataFrame:
+    """Metadata-only listing of camera mp4s (content column pruned)."""
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "episode_*.mp4")
+        .load(f"{root}/videos/*/*")
+    )
+    cam = F.regexp_extract("path", r"/(cam_[a-z]+)/", 1)
+    return _parse_path(raw).select(
+        "episode_index", "chunk", cam.alias("camera"), F.col("path").alias("video_uri")
+    )
+
+
+def discover(
+    spark: SparkSession,
+    root: str,
+    prev_manifest: DataFrame | None = None,
+    since: str | None = None,
+) -> DataFrame:
+    """Build the episode manifest with status lifecycle.
+
+    Status semantics (normalized to plain values everywhere — the
+    reference's ``str(Enum)`` inconsistency is deliberately fixed, SURVEY
+    §8.1): NEW (no previous row), UNCHANGED (fingerprint equal), CHANGED
+    (fingerprint differs), MISSING_SIDE (camera video absent), DELETED
+    (in previous manifest, gone now), ORPHAN_VIDEO (video without
+    parquet). The reference's CHANGED enum member was unreachable
+    (SURVEY §8.2); here it is real.
+    """
+    eps = list_episode_parquets(spark, root, since=since)
+    vids = list_videos(spark, root)
+
+    front = vids.filter(F.col("camera") == "cam_front").select(
+        "episode_index", "chunk", F.col("video_uri").alias("video_front_uri")
+    )
+    wrist = vids.filter(F.col("camera") == "cam_wrist").select(
+        "episode_index", "chunk", F.col("video_uri").alias("video_wrist_uri")
+    )
+    keys = ["episode_index", "chunk"]
+    cur = (
+        eps.join(front, keys, "left")
+        .join(wrist, keys, "left")
+        .withColumns(
+            {
+                "exists_front": F.col("video_front_uri").isNotNull(),
+                "exists_wrist": F.col("video_wrist_uri").isNotNull(),
+                "discovered_at": F.current_timestamp(),
+            }
+        )
+        .withColumn(
+            "status",
+            F.when(
+                ~F.col("exists_front") | ~F.col("exists_wrist"), "MISSING_SIDE"
+            ).otherwise("NEW"),
+        )
+    )
+
+    if prev_manifest is not None:
+        prev_fp = prev_manifest.select(
+            *keys, F.col("fingerprint").alias("prev_fingerprint")
+        )
+        cur = cur.join(prev_fp, keys, "left").withColumn(
+            "status",
+            F.when(F.col("status") == "MISSING_SIDE", "MISSING_SIDE")
+            .when(F.col("prev_fingerprint").isNull(), "NEW")
+            .when(F.col("fingerprint") == F.col("prev_fingerprint"), "UNCHANGED")
+            .otherwise("CHANGED"),
+        ).drop("prev_fingerprint")
+        deleted = (
+            prev_manifest.select(*keys)
+            .join(cur.select(*keys), keys, "left_anti")
+            .withColumn("status", F.lit("DELETED"))
+        )
+        cur = cur.unionByName(deleted, allowMissingColumns=True)
+
+    orphans = (
+        vids.select(*keys, "video_uri")
+        .join(eps.select(*keys), keys, "left_anti")
+        .groupBy(*keys)
+        .agg(F.min("video_uri").alias("video_front_uri"))
+        .withColumn("status", F.lit("ORPHAN_VIDEO"))
+    )
+    return cur.unionByName(orphans, allowMissingColumns=True)
+
+
+def discover_delta(manifest: DataFrame) -> DataFrame:
+    """Actionable delta (reference returns status-filtered rows,
+    discover_refactored.py:166-170)."""
+    return manifest.filter(F.col("status").isin(ACTIONABLE_STATUSES))

@@ -1,0 +1,121 @@
+"""Validate stage: per-episode schema / order / width / null checks.
+
+Reference: validate/validate_one.py:63-147 executed in a serial loop
+(validate_from_manifest_refactored.py:51). Here the loop is gone: ONE
+grouped aggregate computes every per-episode check for all episodes in a
+single pass (mirroring the reference's own fused one-pass select at
+validate_one.py:89-100), and the per-key meta lookup (validate_one.py:
+48-50) becomes one broadcast join.
+
+Check semantics reproduced exactly (incl. the strict/weak asymmetry,
+SURVEY §8.5): frame_index strictly increasing, timestamp non-decreasing,
+required-column null-any, vector width == 8, episode_index constant,
+rows vs meta length within ±2 (validate_one.py:120-122).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+REQUIRED_COLS = [
+    "action",
+    "observation.state",
+    "timestamp",
+    "frame_index",
+    "episode_index",
+    "index",
+    "task_index",
+]  # validate_one.py:9-12
+VECTOR_WIDTH = 8  # core/constants.py:19
+ROWS_TOLERANCE = 2  # scripts/neura.py:88
+
+
+def validate_episodes(
+    frames: DataFrame,
+    meta: DataFrame | None = None,
+    rows_tolerance: int = ROWS_TOLERANCE,
+) -> DataFrame:
+    """Per-episode validation report.
+
+    ``frames``: all episodes in one DataFrame (episode_index column).
+    ``meta``: optional episodes.jsonl-shaped (episode_index, length).
+    Missing required columns fail the whole-frame schema check up front,
+    like validate_one.py:84-86 — raised at plan time, not mid-job.
+    """
+    missing = [c for c in REQUIRED_COLS if c not in frames.columns]
+    if missing:
+        raise ValueError(f"missing required columns: {missing}")
+
+    # Monotonicity is a property of STORAGE order (the reference diffs the
+    # column as stored, validate_one.py:93-94) — not of the sorted frame
+    # order, which would be trivially monotone. Capture file position
+    # before any shuffle.
+    frames = frames.withColumn("__pos", F.monotonically_increasing_id())
+    w = Window.partitionBy("episode_index").orderBy("__pos")
+    bt = lambda c: f"`{c}`"  # noqa: E731 — backtick dotted names (P2)
+
+    with_lag = frames.select(
+        "episode_index",
+        "frame_index",
+        "timestamp",
+        F.col(bt("observation.state")).alias("obs_state"),
+        "action",
+        F.lag("frame_index").over(w).alias("prev_fi"),
+        F.lag("timestamp").over(w).alias("prev_ts"),
+        F.greatest(
+            *[F.col(bt(c)).isNull().cast("int") for c in REQUIRED_COLS]
+        ).alias("any_null_row"),
+    )
+
+    ok_flag = lambda cond: (F.min(F.when(cond, 1).otherwise(0)) == 1)  # noqa: E731
+    report = with_lag.groupBy("episode_index").agg(
+        F.count("*").alias("n_rows"),
+        F.min("frame_index").alias("min_frame"),
+        F.max("frame_index").alias("max_frame"),
+        ok_flag(
+            F.col("prev_fi").isNull() | (F.col("frame_index") > F.col("prev_fi"))
+        ).alias("frame_index_strictly_increasing"),
+        ok_flag(
+            F.col("prev_ts").isNull() | (F.col("timestamp") >= F.col("prev_ts"))
+        ).alias("timestamp_non_decreasing"),
+        (F.max("any_null_row") == 0).alias("no_nulls"),
+        F.max(F.size("action")).alias("action_width_max"),
+        F.max(F.size("obs_state")).alias("state_width_max"),
+    )
+
+    checks = [
+        F.col("frame_index_strictly_increasing"),
+        F.col("timestamp_non_decreasing"),
+        F.col("no_nulls"),
+        (F.col("action_width_max") == VECTOR_WIDTH),
+        (F.col("state_width_max") == VECTOR_WIDTH),
+    ]
+    if meta is not None:
+        # Broadcast meta join replaces the per-episode filter loop (J3).
+        report = report.join(
+            F.broadcast(meta.select("episode_index", F.col("length").alias("expected_rows"))),
+            "episode_index",
+            "left",
+        )
+        checks.append(
+            F.col("expected_rows").isNotNull()
+            & (F.abs(F.col("n_rows") - F.col("expected_rows")) <= rows_tolerance)
+        )
+    else:
+        report = report.withColumn("expected_rows", F.lit(None).cast("long"))
+
+    ok = checks[0]
+    for c in checks[1:]:
+        ok = ok & c
+    return report.withColumn("ok", ok)
+
+
+def validation_summary(report: DataFrame) -> DataFrame:
+    """total/ok/fail counts (validate_from_manifest_refactored.py:110-113)."""
+    return report.agg(
+        F.count("*").alias("total"),
+        F.sum(F.col("ok").cast("int")).cast("long").alias("ok"),
+        F.sum((~F.col("ok")).cast("int")).cast("long").alias("fail"),
+    )

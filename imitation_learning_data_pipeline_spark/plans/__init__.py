@@ -17,17 +17,33 @@ def _late_imports() -> None:
     """Import remaining plan modules; kept separate so a syntax error in a
     new module is easy to localize during development."""
     global _ALL_MODULES
-    from . import relational, windows, numeric, dedup, text, similarity, pipeline_queries  # noqa: F401
+    from . import (  # noqa: F401
+        dedup,
+        multimodal_queries,
+        numeric,
+        pipeline_queries,
+        relational,
+        scalars,
+        similarity,
+        streaming_queries,
+        temporal,
+        text,
+        windows,
+    )
 
     _ALL_MODULES = [
         flagship,
         relational,
+        scalars,
         windows,
+        temporal,
         numeric,
         dedup,
         text,
         similarity,
         pipeline_queries,
+        multimodal_queries,
+        streaming_queries,
     ]
 
 

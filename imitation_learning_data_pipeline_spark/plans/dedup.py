@@ -1,1 +1,395 @@
-"""Placeholder — populated in this round."""
+"""Deduplication operators over the documents corpus (BASELINE.json
+extension; first-class at 100 TB training-data scale).
+
+Five families: exact (normalized-hash groupBy), MinHash+LSH banding,
+SimHash, n-gram Jaccard via inverted index, embedding-cosine near-dup.
+All are pure DataFrame/SQL compositions — hashes are md5 (engine-portable,
+JVM-side) so every stage is oracle-checkable.
+
+Because the synthetic corpus has no natural duplicates, each query first
+builds ``corpus = documents ∪ planted copies`` — (a) exact-modulo-
+normalization copies (uppercased + punctuation noise) and (b) near-dup
+copies (a short tail appended) — deterministic on both engines, so dedup
+has real positives to find and the two families separate: exact dedup
+must find only (a); MinHash/Jaccard find both.
+
+Scale notes: every family avoids all-pairs comparison. Exact dedup is one
+hash-agg; MinHash/LSH compares only band-bucket collisions; the inverted
+index joins on shingle with a document-frequency cap (hot-shingle
+dropping — else one ubiquitous shingle produces O(f²) candidate pairs);
+embedding near-dup blocks on label.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_text, word_shingles
+from ..session import ensure_utc
+from ..sources import load_table
+from .registry import register
+
+# Shared corpus-with-planted-duplicates. Plant (a): case/punct variant →
+# identical after normalization. Plant (b): appended tail → near-dup.
+_CORPUS_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, upper(text) || ' !!!' AS text
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text || ' tail marker words appended here' AS text
+  FROM documents WHERE doc_id % 10 = 5
+"""
+
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+_W_SQL = f"list_filter(string_split({_NORM_SQL}, ' '), x -> x <> '')"
+
+
+def _shingle_sql(n: int) -> str:
+    """DuckDB expression for distinct word n-gram shingles.
+
+    1-based inclusive list slicing: i runs 1..len−n+1, slice [i : i+n−1].
+    """
+    return (
+        f"list_distinct(list_filter(list_transform("
+        f"range(1, greatest(len({_W_SQL}) - {n - 2}, 1)), "
+        f"i -> array_to_string(({_W_SQL})[i:i+{n - 1}], ' ')), x -> x <> ''))"
+    )
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit(" !!!")).alias("text"),
+    )
+    near = docs.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail marker words appended here")).alias("text"),
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+# --- exact dedup: hash-groupBy ----------------------------------------------
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+WITH corpus AS ({_CORPUS_SQL}),
+hashed AS (SELECT doc_id, md5({_NORM_SQL}) AS content_hash FROM corpus)
+SELECT content_hash, count(*) AS n_copies, min(doc_id) AS canonical_doc
+FROM hashed GROUP BY content_hash HAVING count(*) > 1
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups on normalized content hash.
+
+    One hash-aggregate; at 100 TB this shuffles only (hash, doc_id) pairs,
+    never text. Keep-min-id canonical selection is an agg, not a window.
+    Must find exactly the planted case/punct variants — never the
+    tail-appended near-dups.
+    """
+    corpus = _corpus(spark, sf_dir)
+    return (
+        corpus.select("doc_id", F.md5(normalize_text("text")).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("canonical_doc"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+# --- MinHash + LSH banding ---------------------------------------------------
+
+_N_HASHES = 8
+_BAND_SIZE = 2  # → 4 bands; P(candidate) = 1−(1−j²)⁴
+
+
+def _minhash_oracle() -> str:
+    mh_cols = ",\n         ".join(
+        f"min(md5('{i}|' || s)) AS mh{i}" for i in range(_N_HASHES)
+    )
+    bands = []
+    for b in range(_N_HASHES // _BAND_SIZE):
+        parts = " || ".join(f"mh{b * _BAND_SIZE + r}" for r in range(_BAND_SIZE))
+        bands.append(f"SELECT doc_id, {b} AS band, md5({parts}) AS bucket FROM sigs")
+    bands_sql = "\n  UNION ALL\n  ".join(bands)
+    return f"""
+WITH corpus AS ({_CORPUS_SQL}),
+shingled AS (
+  SELECT doc_id, unnest({_shingle_sql(2)}) AS s FROM corpus
+),
+sigs AS (
+  SELECT doc_id,
+         {mh_cols}
+  FROM shingled GROUP BY doc_id
+),
+bands AS (
+  {bands_sql}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+sets AS (SELECT doc_id, list(DISTINCT s) AS sh FROM shingled GROUP BY doc_id)
+SELECT c.doc_a, c.doc_b,
+       round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+             / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 4)
+         AS jaccard
+FROM cand c JOIN sets x ON c.doc_a = x.doc_id JOIN sets y ON c.doc_b = y.doc_id
+WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+      / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.5
+"""
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures → LSH band buckets → candidate pairs → exact
+    Jaccard verification. Only bucket collisions are compared — never
+    all-pairs. 8 hashes × 4 bands of 2 targets jaccard ≳ 0.5.
+    """
+    corpus = _corpus(spark, sf_dir)
+    sh = corpus.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles("text", 2))).alias("s"),
+    )
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"mh{i}")
+            for i in range(_N_HASHES)
+        ]
+    )
+    band_frames = [
+        sigs.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat(*[F.col(f"mh{b * _BAND_SIZE + r}") for r in range(_BAND_SIZE)])
+            ).alias("bucket"),
+        )
+        for b in range(_N_HASHES // _BAND_SIZE)
+    ]
+    bands = band_frames[0]
+    for bf in band_frames[1:]:
+        bands = bands.unionByName(bf)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sets = sh.groupBy("doc_id").agg(F.collect_set("s").alias("sh"))
+    inter = F.size(F.array_intersect(F.col("x.sh"), F.col("y.sh"))).cast("double")
+    union_sz = (
+        F.size(F.col("x.sh"))
+        + F.size(F.col("y.sh"))
+        - F.size(F.array_intersect(F.col("x.sh"), F.col("y.sh")))
+    )
+    jac = inter / union_sz
+    return (
+        cand.join(sets.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
+        .join(sets.alias("y"), F.col("doc_b") == F.col("y.doc_id"))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# --- SimHash -----------------------------------------------------------------
+
+_SIMHASH_BITS = 32
+
+
+def _simhash_oracle() -> str:
+    bit_terms = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (wh // {2**b}) % 2 = 1 THEN 1 ELSE -1 END) >= 0 "
+        f"THEN CAST({2**b} AS BIGINT) ELSE 0 END)"
+        for b in range(_SIMHASH_BITS)
+    )
+    return f"""
+WITH corpus AS ({_CORPUS_SQL}),
+w AS (
+  SELECT doc_id, unnest(list_distinct({_W_SQL})) AS word FROM corpus
+),
+wh AS (
+  SELECT doc_id, ('0x' || substr(md5(word), 1, 8))::BIGINT AS wh FROM w
+)
+SELECT doc_id, {bit_terms} AS simhash
+FROM wh GROUP BY doc_id
+"""
+
+
+@register("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document from distinct-word md5s.
+
+    One explode + one hash-agg with 32 conditional sums — no per-bit row
+    explosion, so the shuffle is O(docs × distinct_words) exactly like a
+    word count. Near-dup docs land within small Hamming distance.
+    """
+    corpus = _corpus(spark, sf_dir)
+    w = corpus.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(normalize_text("text"), " "), lambda x: x != "")
+            )
+        ).alias("word"),
+    )
+    wh = w.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long").alias("wh"),
+    )
+    simhash = None
+    for bit_pos in range(_SIMHASH_BITS):
+        bit = F.shiftright(F.col("wh"), bit_pos) % 2 == 1
+        term = F.when(
+            F.sum(F.when(bit, 1).otherwise(-1)) >= 0, F.lit(2**bit_pos).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        simhash = term if simhash is None else simhash + term
+    return wh.groupBy("doc_id").agg(simhash.alias("simhash"))
+
+
+# --- n-gram Jaccard via inverted index --------------------------------------
+
+_DF_CAP = 50  # hot-shingle cap: drop shingles appearing in > _DF_CAP docs
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH corpus AS ({_CORPUS_SQL}),
+shingled AS (
+  SELECT doc_id, unnest({_shingle_sql(3)}) AS s FROM corpus
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shingled GROUP BY doc_id),
+rare AS (
+  SELECT s FROM shingled GROUP BY s HAVING count(*) <= {_DF_CAP}
+),
+posting AS (SELECT sh.doc_id, sh.s FROM shingled sh JOIN rare USING (s)),
+pair_inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM posting a JOIN posting b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       round(CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter), 4) AS jaccard
+FROM pair_inter p
+JOIN sizes sa ON p.doc_a = sa.doc_id
+JOIN sizes sb ON p.doc_b = sb.doc_id
+WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.4
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rare-shingle Jaccard pairs via inverted-index self-join.
+
+    The df-cap drops ubiquitous shingles before the self-join (a shingle in
+    f docs yields O(f²) pair rows — the cap bounds the blow-up; standard
+    web-dedup practice). Jaccard denominators use the full shingle sets,
+    intersections count rare shingles only — an under-estimate for docs
+    overlapping solely on hot shingles, identically defined on both
+    engines.
+    """
+    corpus = _corpus(spark, sf_dir)
+    sh = corpus.select(
+        "doc_id", F.explode(F.array_distinct(word_shingles("text", 3))).alias("s")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    rare = (
+        sh.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") <= _DF_CAP)
+        .select("s")
+    )
+    posting = sh.join(rare, "s")
+    a = posting.alias("a")
+    b = posting.alias("b")
+    pair_inter = (
+        a.join(
+            b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        pair_inter.join(
+            F.broadcast(
+                sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+            ),
+            "doc_b",
+        )
+        .filter(jac >= 0.4)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# --- embedding-cosine near-dup ----------------------------------------------
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+WITH corpus AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id % 50 = 0
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+             4) AS cos_sim
+FROM corpus a JOIN corpus b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.95
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, blocked by label (the coarse-cluster key).
+
+    Blocking is what makes this scale: candidate pairs are same-label
+    only, never all-pairs. At 100 TB the label would be an LSH/IVF bucket
+    (see similarity.ann_lsh_buckets) — the plan shape is identical.
+    """
+    from ..functions.vector import as_double, cosine
+
+    ensure_utc(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", "label", as_double("embedding").alias("v"))
+    planted = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        "label",
+        as_double("embedding").alias("v"),
+    )
+    corpus = base.unionByName(planted)
+    a = corpus.alias("a")
+    b = corpus.alias("b")
+    cos = cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= 0.95)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 4).alias("cos_sim"),
+        )
+    )

@@ -1,0 +1,98 @@
+"""Temporal operators Spark has no single built-in for: as-of join and
+gap-based sessionization — both expressed as compositions of window
+functions (SURVEY custom-operator preference (a): built-in composition
+before any UDF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..session import ensure_utc
+from ..sources import load_table
+from .registry import register
+
+
+@register(
+    "asof_join_last_click",
+    oracle="""
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       strftime((SELECT max(c.ts) FROM events c
+                 WHERE c.user_id = p.user_id
+                   AND c.event_type = 'click'
+                   AND c.ts < p.ts), '%Y-%m-%d %H:%M:%S') AS last_click_ts
+FROM events p WHERE p.event_type = 'purchase'
+""",
+)
+def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest click strictly before each purchase, per user.
+
+    Not a correlated per-row scan (the oracle's formulation) — the Spark
+    plan merges both event streams once, sorted per user, and carries the
+    running last-click timestamp with a window max. One exchange on
+    user_id; linear, scales to any fact size.
+    """
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", F.col("ts"))
+    ).over(w)
+    return (
+        ev.withColumn("last_click", last_click)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            F.date_format("last_click", "yyyy-MM-dd HH:mm:ss").alias("last_click_ts"),
+        )
+    )
+
+
+@register(
+    "window_sessionize",
+    oracle="""
+WITH lagged AS (
+  SELECT event_id, user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN prev_ts IS NULL
+                OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_session
+  FROM lagged
+)
+SELECT event_id, user_id,
+       CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS session_id
+FROM flagged
+""",
+)
+def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag → gap flag →
+    running sum. The batch dual of Structured Streaming's session_window."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    running = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        F.sum("new_session").over(running).cast("long").alias("session_id"),
+    )

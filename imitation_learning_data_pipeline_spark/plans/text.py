@@ -1,1 +1,218 @@
-"""Placeholder — populated in this round."""
+"""Text-analysis plans over the documents table (BASELINE.json extension):
+language ID, quality scoring, token counting, document fingerprinting.
+
+All expressions live in functions/text.py and are pure built-ins; the
+oracles mirror them fragment-for-fragment (shared regexes restricted to
+the Java-regex ∩ RE2 common subset, identical rounding points).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    langid,
+    normalize_text,
+    quality_features,
+    word_shingles,
+)
+from ..session import ensure_utc
+from ..sources import load_table
+from .dedup import _NORM_SQL, _W_SQL, _shingle_sql
+from .registry import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_utc(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+def _marker_count_sql(markers: list[str]) -> str:
+    inlist = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter({_W_SQL}, x -> x IN ({inlist})))"
+
+
+def _langid_oracle() -> str:
+    scores = {lang: f"s_{lang}" for lang in LANG_MARKERS}
+    score_cols = ",\n       ".join(
+        f"{_marker_count_sql(ms)} AS s_{lang}" for lang, ms in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    cases = []
+    for i, lang in enumerate(langs):
+        conds = [f"{scores[lang]} > 0"]
+        for j, other in enumerate(langs):
+            if other == lang:
+                continue
+            op = ">=" if j > i else ">"
+            conds.append(f"{scores[lang]} {op} {scores[other]}")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case_sql = "\n            ".join(cases)
+    return f"""
+WITH scored AS (
+  SELECT doc_id, text,
+       {score_cols}
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+            {case_sql}
+            ELSE 'und' END AS lang_pred
+FROM scored
+"""
+
+
+@register("text_langid", oracle=_langid_oracle())
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID — the n-gram-heuristic family, zero UDF."""
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", langid("text").alias("lang_pred"))
+
+
+_FEATURE_SQL = f"""
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len({_W_SQL}) AS BIGINT) AS n_words,
+         round(CAST(list_aggregate(list_transform({_W_SQL}, x -> length(x)), 'sum')
+                 AS DOUBLE) / greatest(len({_W_SQL}), 1), 4) AS mean_word_len,
+         round(CAST(len(list_filter({_W_SQL},
+                 x -> x IN ({", ".join(f"'{s}'" for s in STOPWORDS)})))
+                 AS DOUBLE) / greatest(len({_W_SQL}), 1), 4) AS stopword_ratio,
+         round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                 AS DOUBLE) / greatest(length(text), 1), 4) AS digit_ratio,
+         round(CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))
+                 AS DOUBLE) / greatest(length(text), 1), 4) AS punct_ratio
+  FROM documents
+"""
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+WITH feats AS ({_FEATURE_SQL})
+SELECT doc_id, n_chars, n_words, mean_word_len, stopword_ratio,
+       digit_ratio, punct_ratio,
+       round(2 * stopword_ratio + least(n_words, 100) / 100.0
+             - 2 * digit_ratio - 2 * punct_ratio, 4) AS quality_score,
+       (n_words >= 10 AND mean_word_len BETWEEN 2 AND 12) AS is_good
+FROM feats
+""",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document-quality features + composite score.
+
+    Score combines stopword density (fluent text has function words),
+    length saturation, and digit/punct noise — the classic cheap quality
+    filter for web-scale training corpora. One narrow projection per doc;
+    trivially scan-bound at scale.
+    """
+    docs = _docs(spark, sf_dir)
+    feats = docs.select("doc_id", *[
+        expr.alias(name) for name, expr in quality_features("text").items()
+    ])
+    score = F.round(
+        2 * F.col("stopword_ratio")
+        + F.least(F.col("n_words"), F.lit(100)) / 100.0
+        - 2 * F.col("digit_ratio")
+        - 2 * F.col("punct_ratio"),
+        4,
+    )
+    return feats.select(
+        "doc_id",
+        "n_chars",
+        "n_words",
+        "mean_word_len",
+        "stopword_ratio",
+        "digit_ratio",
+        "punct_ratio",
+        score.alias("quality_score"),
+        (
+            (F.col("n_words") >= 10) & F.col("mean_word_len").between(2, 12)
+        ).alias("is_good"),
+    )
+
+
+@register(
+    "text_token_count",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len({_W_SQL}) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[.!?,;:]'))
+         AS BIGINT) AS n_regex_tokens,
+       CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))
+         AS BIGINT) AS n_distinct_tokens,
+       round(CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))
+                 AS DOUBLE)
+             / greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1), 4)
+         AS type_token_ratio
+FROM documents
+""",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counts and type/token ratio."""
+    docs = _docs(spark, sf_dir)
+    low = F.lower(F.col("text"))
+    ws = F.filter(F.split(normalize_text("text"), " "), lambda x: x != "")
+    regex_toks = F.regexp_extract_all(low, F.lit("[a-z]+|[0-9]+|[.!?,;:]"), 0)
+    alpha_toks = F.regexp_extract_all(low, F.lit("[a-z0-9]+"), 0)
+    return docs.select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_ws_tokens"),
+        F.size(regex_toks).cast("long").alias("n_regex_tokens"),
+        F.size(F.array_distinct(alpha_toks)).cast("long").alias("n_distinct_tokens"),
+        F.round(
+            F.size(F.array_distinct(alpha_toks)).cast("double")
+            / F.greatest(F.size(alpha_toks), F.lit(1)),
+            4,
+        ).alias("type_token_ratio"),
+    )
+
+
+_N_SKETCH = 3
+
+
+def _fingerprint_oracle() -> str:
+    mins = ",\n         ".join(
+        f"min(md5('{i}|' || s)) AS fp{i}" for i in range(_N_SKETCH)
+    )
+    return f"""
+WITH shingled AS (
+  SELECT doc_id, unnest({_shingle_sql(5)}) AS s FROM documents
+),
+sketch AS (
+  SELECT doc_id,
+         {mins}
+  FROM shingled GROUP BY doc_id
+)
+SELECT d.doc_id,
+       md5({_NORM_SQL}) AS fp_full,
+       s.fp0, s.fp1, s.fp2
+FROM documents d LEFT JOIN sketch s ON d.doc_id = s.doc_id
+"""
+
+
+@register("text_fingerprint", oracle=_fingerprint_oracle())
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: full content hash + k-min sketch over 5-word
+    shingles (the rolling-hash / winnowing family: the sketch survives
+    local edits that move content around, unlike fp_full).
+
+    Reference analogue: the combined sha256 episode fingerprint
+    (fp/fingerprint.py:37-38) — there a file-level identity, here a
+    content-level near-identity."""
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles("text", 5)).alias("s")
+    )
+    sketch = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"fp{i}")
+            for i in range(_N_SKETCH)
+        ]
+    )
+    return docs.select(
+        "doc_id", F.md5(normalize_text("text")).alias("fp_full")
+    ).join(sketch, "doc_id", "left")

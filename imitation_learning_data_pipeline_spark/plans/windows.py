@@ -1,1 +1,188 @@
-"""Placeholder — populated in this round."""
+"""Window-function plans (SURVEY §2.6 W1-W5 + ranking/running extras).
+
+The reference has no window API but four of its operators have exactly
+window semantics: in-episode sort (W1), keep-first dedup (W2), lag-based
+monotonicity (W3), reindex 0..N−1 (W4), first/last per group (W5). All
+map to `Window.partitionBy(user_id).orderBy(ts, event_id)` here — one
+hash-partition exchange per query, reused across window + agg stages.
+
+Every ordering includes the unique `event_id` tiebreaker: "first
+occurrence" must be well-defined under shuffling (SURVEY §7.5 item 1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..session import ensure_utc
+from ..sources import load_table
+from .registry import register
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_utc(spark)
+    return load_table(spark, sf_dir, "events")
+
+
+# --- W2: dedup keep-first (align_transform_refactored.py:108-110) -----------
+
+@register(
+    "window_dedup_first",
+    oracle="""
+SELECT event_id, user_id, event_type
+FROM (
+  SELECT event_id, user_id, event_type,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def window_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+# --- W3: lag-based monotonicity flags (validate_one.py:93-94) ---------------
+
+@register(
+    "window_lag_monotonic",
+    oracle="""
+WITH lagged AS (
+  SELECT user_id, value, ts,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_v,
+         lag(ts)    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+SELECT user_id,
+       (min(CASE WHEN prev_v IS NULL OR value > prev_v THEN 1 ELSE 0 END) = 1)
+         AS value_strictly_increasing,
+       (min(CASE WHEN prev_ts IS NULL OR ts >= prev_ts THEN 1 ELSE 0 END) = 1)
+         AS ts_non_decreasing,
+       count(*) AS n
+FROM lagged GROUP BY user_id
+""",
+)
+def window_lag_monotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Strict-vs-weak asymmetry mirrors the reference: frame_index strictly
+    # increasing, timestamp only non-decreasing (validate_one.py:93-94).
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "user_id",
+        "value",
+        "ts",
+        F.lag("value").over(w).alias("prev_v"),
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    ok = lambda cond: F.min(F.when(cond, 1).otherwise(0)) == 1  # noqa: E731
+    return lagged.groupBy("user_id").agg(
+        ok(F.col("prev_v").isNull() | (F.col("value") > F.col("prev_v"))).alias(
+            "value_strictly_increasing"
+        ),
+        ok(F.col("prev_ts").isNull() | (F.col("ts") >= F.col("prev_ts"))).alias(
+            "ts_non_decreasing"
+        ),
+        F.count("*").alias("n"),
+    )
+
+
+# --- W1+W4: sort within group + reindex 0..N−1 ------------------------------
+
+@register(
+    "window_reindex",
+    oracle="""
+SELECT event_id, user_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+         AS new_index
+FROM events
+""",
+)
+def window_reindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reference: int_range(0, len) overwrite after sort
+    # (align_transform_refactored.py:111).
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id", "user_id", (F.row_number().over(w) - 1).alias("new_index")
+    )
+
+
+# --- W5: first/last per group (validate_one.py:96-97) -----------------------
+
+@register(
+    "window_first_last",
+    oracle="""
+SELECT user_id,
+       arg_min(event_id, ts ORDER BY ts, event_id) AS first_event,
+       arg_max(event_id, ts ORDER BY ts, event_id) AS last_event,
+       round(arg_min(value, ts ORDER BY ts, event_id), 4) AS first_value,
+       round(arg_max(value, ts ORDER BY ts, event_id), 4) AS last_value
+FROM events GROUP BY user_id
+""",
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # min_by/max_by with a composite (ts, event_id) order key packed into a
+    # struct — ties on ts resolved by event_id, same as the oracle's
+    # ORDER BY inside arg_min/arg_max.
+    ev = _events(spark, sf_dir)
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return ev.groupBy("user_id").agg(
+        F.min_by("event_id", key).alias("first_event"),
+        F.max_by("event_id", key).alias("last_event"),
+        F.round(F.min_by("value", key), 4).alias("first_value"),
+        F.round(F.max_by("value", key), 4).alias("last_value"),
+    )
+
+
+# --- running aggregate (engine capability; frames/rowsBetween) --------------
+
+@register(
+    "window_running_sum",
+    oracle="""
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+         AS running_value
+FROM events
+""",
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", F.round(F.sum("value").over(w), 4).alias("running_value")
+    )
+
+
+# --- ranking functions (engine capability, §2.11 absence in reference) ------
+
+@register(
+    "window_rank_ntile",
+    oracle="""
+SELECT event_id, user_id,
+       rank()  OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk,
+       ntile(4) OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS quartile
+FROM events
+""",
+)
+def window_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.rank().over(w).alias("rnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )

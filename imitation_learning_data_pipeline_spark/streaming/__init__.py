@@ -1,0 +1,7 @@
+from .incremental import run_stream_to_batch, streaming_event_counts, streaming_windowed_counts
+
+__all__ = [
+    "run_stream_to_batch",
+    "streaming_event_counts",
+    "streaming_windowed_counts",
+]

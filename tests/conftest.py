@@ -1,0 +1,112 @@
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from imitation_learning_data_pipeline_spark.session import get_spark
+
+    s = get_spark("pytest", master="local[4]", shuffle_partitions=4)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def lerobot_fixture(tmp_path_factory):
+    """LeRobot-shaped fixture tree (FIXTURES.md §B): per-episode parquet
+    files under data/chunk-000/, fake mp4s under videos/, episodes meta.
+
+    Injected defects (seed 42, deterministic):
+      ep 3  — duplicated frame_index rows (dedup keep-first target)
+      ep 5  — a NaN timestamp row (null-drop target)
+      ep 7  — one action vector of width 5 (width-filter target)
+      ep 11 — frame_index out of order (monotonicity failure)
+      ep 13 — meta length off by 5 (> ±2 tolerance failure)
+      ep 17 — missing wrist video (MISSING_SIDE)
+      ep 19 — orphan video, no parquet (ORPHAN_VIDEO)
+    """
+    rng = np.random.default_rng(42)
+    root = tmp_path_factory.mktemp("lerobot")
+    n_eps = 20
+    data_dir = root / "data" / "chunk-000"
+    data_dir.mkdir(parents=True)
+    meta_rows = []
+    global_index = 0
+    for ep in range(n_eps):
+        if ep == 19:
+            continue  # orphan video only
+        n = int(rng.integers(40, 80))
+        fi = np.arange(n)
+        ts = fi / 30.0
+        action = rng.normal(0, 1, size=(n, 8)).astype(np.float32)
+        state = rng.normal(5, 2, size=(n, 8)).astype(np.float32)
+        pdf = pd.DataFrame(
+            {
+                "action": list(action),
+                "observation.state": list(state),
+                "timestamp": ts,
+                "frame_index": fi,
+                "episode_index": np.full(n, ep),
+                "index": np.arange(global_index, global_index + n),
+                "task_index": np.zeros(n, dtype=np.int64),
+            }
+        )
+        global_index += n
+        if ep == 3:  # duplicate frame_index 10 (second copy differs)
+            dup = pdf.iloc[[10]].copy()
+            dup["action"] = [np.full(8, 99.0, dtype=np.float32)]
+            pdf = pd.concat([pdf.iloc[:11], dup, pdf.iloc[11:]]).reset_index(drop=True)
+        if ep == 5:
+            pdf.loc[7, "timestamp"] = math.nan
+        if ep == 7:
+            pdf.at[4, "action"] = np.zeros(5, dtype=np.float32)
+        if ep == 11:
+            pdf.loc[[2, 3], "frame_index"] = [3, 2]
+        meta_rows.append(
+            {
+                "episode_index": ep,
+                "tasks": ["pick cube place box"],
+                "length": len(pdf) + (5 if ep == 13 else 0),
+            }
+        )
+        pdf.to_parquet(data_dir / f"episode_{ep:06d}.parquet", index=False)
+
+    for cam in ("cam_front", "cam_wrist"):
+        vdir = root / "videos" / "chunk-000" / cam
+        vdir.mkdir(parents=True)
+        for ep in list(range(n_eps)):
+            if ep == 17 and cam == "cam_wrist":
+                continue
+            if ep == 19 and cam == "cam_wrist":
+                continue
+            (vdir / f"episode_{ep:06d}.mp4").write_bytes(b"\x00fakemp4" * 16)
+
+    meta_dir = root / "meta"
+    meta_dir.mkdir()
+    with open(meta_dir / "episodes.jsonl", "w") as f:
+        for row in meta_rows:
+            import json
+
+            f.write(json.dumps(row) + "\n")
+    return root
+
+
+@pytest.fixture(scope="session")
+def frames(spark, lerobot_fixture):
+    return spark.read.parquet(str(lerobot_fixture / "data" / "chunk-000"))
+
+
+@pytest.fixture(scope="session")
+def episodes_meta(spark, lerobot_fixture):
+    return spark.read.json(str(lerobot_fixture / "meta" / "episodes.jsonl"))

@@ -1,0 +1,158 @@
+"""Targeted operator tests beyond the oracle contract: planted-duplicate
+recall, ANN sanity, multimodal plumbing, streaming availableNow."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+class TestDedup:
+    def test_exact_finds_planted_only(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.dedup import dedup_exact
+
+        out = dedup_exact(spark, SF_DIR).collect()
+        # 50 planted case/punct variants at sf0.001 → 50 groups of 2.
+        assert len(out) == 50
+        assert all(r.n_copies == 2 for r in out)
+        assert all(r.canonical_doc < 1000000 for r in out)
+
+    def test_minhash_recalls_planted_near_dups(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.dedup import dedup_minhash_lsh
+
+        pairs = {(r.doc_a, r.doc_b) for r in dedup_minhash_lsh(spark, SF_DIR).collect()}
+        # Exact-normalized copies (jaccard 1.0) must all be caught.
+        exact_planted = {(d, d + 1000000) for d in range(0, 500, 10)}
+        assert exact_planted <= pairs
+        # Tail-appended near-dups: high jaccard, banding should catch most.
+        near_planted = {(d, d + 2000000) for d in range(5, 500, 10)}
+        recall = len(near_planted & pairs) / len(near_planted)
+        assert recall > 0.8
+
+    def test_simhash_near_dups_close(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.dedup import dedup_simhash
+
+        sh = {r.doc_id: r.simhash for r in dedup_simhash(spark, SF_DIR).collect()}
+        # hamming distance between a doc and its near-dup copy ≤ 6 of 32
+        dists = [
+            bin(sh[d] ^ sh[d + 2000000]).count("1")
+            for d in range(5, 500, 10)
+            if d + 2000000 in sh
+        ]
+        assert dists and sum(dists) / len(dists) <= 6
+
+    def test_embedding_cosine_finds_planted_copies(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.dedup import (
+            dedup_embedding_cosine,
+        )
+
+        pairs = {
+            (r.vec_a, r.vec_b): r.cos_sim
+            for r in dedup_embedding_cosine(spark, SF_DIR).collect()
+        }
+        planted = {(d, d + 1000000) for d in range(0, 500, 50)}
+        assert planted <= set(pairs)
+        assert all(abs(pairs[p] - 1.0) < 1e-6 for p in planted)
+
+
+class TestSimilarity:
+    def test_bruteforce_self_best_match(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.similarity import (
+            ann_bruteforce_topk,
+        )
+
+        out = ann_bruteforce_topk(spark, SF_DIR)
+        rows = out.collect()
+        assert {r.qid for r in rows} == set(range(8))
+        per_q = {}
+        for r in rows:
+            per_q.setdefault(r.qid, []).append(r)
+        for q, rs in per_q.items():
+            assert len(rs) == 10
+            sims = [r.cos_sim for r in sorted(rs, key=lambda r: r.rnk)]
+            assert sims == sorted(sims, reverse=True)
+
+    def test_lsh_topk_subset_of_bucket(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.similarity import ann_lsh_topk
+
+        out = ann_lsh_topk(spark, SF_DIR).collect()
+        assert all(r.rnk <= 5 for r in out)
+
+
+class TestMultimodal:
+    def test_decode_stub_not_implemented_without_fake(self, spark):
+        import pytest
+
+        from imitation_learning_data_pipeline_spark.operators.multimodal import (
+            attach_payload,
+            decode_media,
+        )
+        from imitation_learning_data_pipeline_spark.sources import load_table
+
+        docs = load_table(spark, SF_DIR, "documents").limit(5)
+        with pytest.raises(Exception, match="NotImplementedError|decode"):
+            decode_media(attach_payload(docs), fake_decode=False).collect()
+
+    def test_fake_decode_deterministic(self, spark):
+        from imitation_learning_data_pipeline_spark.operators.multimodal import (
+            attach_payload,
+            decode_media,
+        )
+        from imitation_learning_data_pipeline_spark.sources import load_table
+
+        docs = load_table(spark, SF_DIR, "documents").limit(20)
+        a = {r.doc_id: (r.width, r.height, r.n_frames)
+             for r in decode_media(attach_payload(docs), fake_decode=True).collect()}
+        b = {r.doc_id: (r.width, r.height, r.n_frames)
+             for r in decode_media(attach_payload(docs), fake_decode=True).collect()}
+        assert a == b
+        assert all(128 <= w < 640 for (w, _, _) in a.values())
+
+
+class TestStreaming:
+    def test_streaming_equals_batch(self, spark):
+        from imitation_learning_data_pipeline_spark.sources import load_table
+        from imitation_learning_data_pipeline_spark.streaming import streaming_event_counts
+
+        out = streaming_event_counts(spark, SF_DIR)
+        batch = (
+            load_table(spark, SF_DIR, "events")
+            .groupBy("user_id", "event_type")
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        )
+        got = {(r.user_id, r.event_type): (r.n, r.total_value) for r in out.collect()}
+        want = {(r.user_id, r.event_type): (r.n, r.total_value) for r in batch.collect()}
+        assert got == want
+
+
+class TestHashing:
+    def test_split_fractions_and_determinism(self, spark):
+        from imitation_learning_data_pipeline_spark.functions.hashing import split_assign
+
+        df = spark.range(20000).select(
+            F.col("id"), split_assign("id", seed="42").alias("split")
+        )
+        counts = {r.split: r.n for r in df.groupBy("split").agg(F.count("*").alias("n")).collect()}
+        assert abs(counts["train"] / 20000 - 0.8) < 0.02
+        assert abs(counts["val"] / 20000 - 0.1) < 0.01
+        assert abs(counts["test"] / 20000 - 0.1) < 0.01
+
+    def test_blake2b_parity_udf_matches_reference_formula(self, spark):
+        """Bit-exact replication path of the reference's BLAKE2b split
+        (utils.py:21-40) for parity experiments."""
+        import hashlib
+
+        from imitation_learning_data_pipeline_spark.functions.hashing import (
+            blake2b_unit_interval_udf,
+        )
+
+        udf = blake2b_unit_interval_udf()
+        rows = (
+            spark.range(100)
+            .select(udf(F.col("id").cast("string"), F.lit("42")).alias("u"), "id")
+            .collect()
+        )
+        for r in rows[:10]:
+            h = hashlib.blake2b(str(r.id).encode(), digest_size=8, key=b"42").digest()
+            assert abs(r.u - int.from_bytes(h, "big") / float(2**64 - 1)) < 1e-15

@@ -1,0 +1,241 @@
+"""Golden/parity tests for the five pipeline stages on LeRobot-shaped
+fixtures (FIXTURES.md §B; defect injection documented in conftest)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestDiscover:
+    def test_statuses(self, spark, lerobot_fixture):
+        from imitation_learning_data_pipeline_spark.pipeline import discover
+
+        m = discover(spark, str(lerobot_fixture)).cache()
+        rows = {r.episode_index: r.status for r in m.collect()}
+        assert rows[17] == "MISSING_SIDE"
+        assert rows[19] == "ORPHAN_VIDEO"
+        assert rows[0] == "NEW"
+        assert sum(1 for s in rows.values() if s == "NEW") == 18
+
+    def test_incremental_diff(self, spark, lerobot_fixture):
+        from imitation_learning_data_pipeline_spark.pipeline import discover
+
+        prev = discover(spark, str(lerobot_fixture))
+        # Second run against its own manifest: everything (except the
+        # MISSING_SIDE/orphan rows) must be UNCHANGED; nothing DELETED.
+        cur = discover(spark, str(lerobot_fixture), prev_manifest=prev)
+        statuses = {r.episode_index: r.status for r in cur.collect()}
+        assert statuses[0] == "UNCHANGED"
+        assert "DELETED" not in statuses.values()
+        # Drop an episode from current by simulating prev with an extra key.
+        fake_prev = prev.unionByName(
+            prev.limit(1).withColumn("episode_index", F.lit(999)).withColumn(
+                "chunk", F.lit("chunk-000")
+            ),
+            allowMissingColumns=True,
+        )
+        cur2 = discover(spark, str(lerobot_fixture), prev_manifest=fake_prev)
+        assert {r.status for r in cur2.filter(F.col("episode_index") == 999).collect()} == {
+            "DELETED"
+        }
+
+
+class TestValidate:
+    @pytest.fixture(scope="class")
+    def report(self, spark, frames, episodes_meta):
+        from imitation_learning_data_pipeline_spark.pipeline import validate_episodes
+
+        return {
+            r.episode_index: r
+            for r in validate_episodes(frames, episodes_meta).collect()
+        }
+
+    def test_clean_episode_ok(self, report):
+        assert report[0].ok
+        assert report[0].frame_index_strictly_increasing
+        assert report[0].no_nulls
+
+    def test_duplicate_frames_fail_strict_monotonicity(self, report):
+        assert not report[3].frame_index_strictly_increasing
+        assert not report[3].ok
+
+    def test_nan_timestamp_detected(self, report):
+        # NaN timestamp: ordering check treats NaN >= prev as False.
+        assert not report[5].ok
+
+    def test_width_violation(self, report):
+        assert report[7].action_width_max == 8  # max is still 8...
+        # ...but the short vector makes strictness fail only via width min:
+        # the validate report flags widths via max; the row-level width
+        # filter lives in align. Episode 7 passes width-max but the report
+        # still records it; assert the dedicated width check in align tests.
+
+    def test_out_of_order(self, report):
+        assert not report[11].frame_index_strictly_increasing
+
+    def test_meta_tolerance(self, report):
+        assert not report[13].ok  # length off by 5 > ±2
+        assert report[1].ok
+
+    def test_summary_counts(self, spark, frames, episodes_meta):
+        from imitation_learning_data_pipeline_spark.pipeline import validate_episodes
+        from imitation_learning_data_pipeline_spark.pipeline.validate import validation_summary
+
+        s = validation_summary(validate_episodes(frames, episodes_meta)).collect()[0]
+        assert s.total == 19
+        assert s.ok + s.fail == s.total
+
+
+class TestStats:
+    def test_weighted_combine_equals_direct(self, spark, frames):
+        """The A3 identity: combining per-episode partials == direct global."""
+        from imitation_learning_data_pipeline_spark.pipeline import (
+            combine_global_stats,
+            episode_feature_stats,
+        )
+
+        # Episode 7 has a ragged (width-5) action row; restrict the
+        # identity check to uniform episodes so numpy can stack.
+        uniform = frames.filter(F.col("episode_index") != 7)
+        es = episode_feature_stats(uniform)
+        g = {
+            r.feature: r
+            for r in combine_global_stats(es).collect()
+        }
+        # Direct computation with numpy over the same frames.
+        pdf = uniform.select("action").toPandas()
+        mat = np.stack(pdf["action"].to_numpy())
+        assert np.allclose(g["action"].mean, mat.mean(axis=0), atol=1e-9)
+        assert np.allclose(g["action"].std, mat.std(axis=0), atol=1e-9)
+        assert np.allclose(g["action"].min, mat.min(axis=0), atol=1e-9)
+        assert g["action"]["count"] == len(mat)  # ["count"]: Row.count is a method
+
+    def test_validated_semi_join(self, spark, frames):
+        from imitation_learning_data_pipeline_spark.pipeline import (
+            combine_global_stats,
+            episode_feature_stats,
+        )
+
+        es = episode_feature_stats(frames)
+        only = spark.createDataFrame([(0,), (1,)], ["episode_index"])
+        g = combine_global_stats(es, validated_ids=only).collect()
+        n = {r.feature: r["count"] for r in g}
+        expected = frames.filter(F.col("episode_index").isin(0, 1)).count()
+        assert n["action"] == expected
+
+
+class TestAlign:
+    @pytest.fixture(scope="class")
+    def stats_doc(self):
+        return {
+            "action": {"mean": [0.0] * 8, "std": [2.0] * 7 + [0.0]},
+            "observation.state": {"mean": [5.0] * 8, "std": [1.0] * 8},
+        }
+
+    def test_dedup_keep_first(self, spark, frames, stats_doc):
+        from imitation_learning_data_pipeline_spark.pipeline import align_transform
+
+        out = align_transform(frames, global_stats=None)
+        ep3 = out.filter(F.col("episode_index") == 3)
+        # duplicate frame_index 10 collapsed to one row, keeping the FIRST
+        # occurrence (original action, not the 99.0 marker copy)
+        row = ep3.filter(F.col("frame_index") == 10).collect()
+        assert len(row) == 1
+        assert abs(row[0].action[0] - 99.0) > 1e-3
+
+    def test_width_filter(self, spark, frames):
+        from imitation_learning_data_pipeline_spark.pipeline import align_transform
+
+        out = align_transform(frames)
+        n_before = frames.filter(F.col("episode_index") == 7).count()
+        n_after = out.filter(F.col("episode_index") == 7).count()
+        assert n_after == n_before - 1  # the width-5 row dropped
+
+    def test_reindex_before_nullfilter_parity(self, spark, frames):
+        """SURVEY §8.3: reference reindexes then drops NaN → gaps allowed."""
+        from imitation_learning_data_pipeline_spark.pipeline import align_transform
+
+        out = align_transform(frames)  # parity mode
+        fi = sorted(
+            r.frame_index
+            for r in out.filter(F.col("episode_index") == 5).collect()
+        )
+        assert 7 not in fi  # NaN row (orig position 7) dropped post-reindex
+        assert fi == [i for i in range(len(fi) + 1) if i != 7]
+
+        fixed = align_transform(frames, reindex_after_clean=True)
+        fi2 = sorted(
+            r.frame_index
+            for r in fixed.filter(F.col("episode_index") == 5).collect()
+        )
+        assert fi2 == list(range(len(fi2)))  # contiguous in fixed mode
+
+    def test_zscore_and_sigma_zero_guard(self, spark, frames, stats_doc):
+        from imitation_learning_data_pipeline_spark.pipeline import align_transform
+
+        out = align_transform(frames, global_stats=stats_doc)
+        raw = {
+            r.frame_index: r
+            for r in frames.filter(F.col("episode_index") == 0).collect()
+        }
+        norm = {
+            r.frame_index: r
+            for r in out.filter(F.col("episode_index") == 0).collect()
+        }
+        r0, n0 = raw[0], norm[0]
+        for d in range(7):
+            assert abs(n0.action[d] - r0.action[d] / 2.0) < 1e-5
+        # σ=0 dimension: centered only (÷1)
+        assert abs(n0.action[7] - r0.action[7]) < 1e-5
+        for d in range(8):
+            assert abs(n0["observation.state"][d] - (r0["observation.state"][d] - 5.0)) < 1e-5
+
+    def test_malformed_stats_skipped(self, spark, frames):
+        from imitation_learning_data_pipeline_spark.pipeline import align_transform
+
+        bad = {"action": {"mean": [0.0] * 3, "std": [1.0] * 3}}  # wrong width
+        out = align_transform(frames, global_stats=bad)
+        r_raw = frames.filter(
+            (F.col("episode_index") == 0) & (F.col("frame_index") == 0)
+        ).collect()[0]
+        r_out = out.filter(
+            (F.col("episode_index") == 0) & (F.col("frame_index") == 0)
+        ).collect()[0]
+        assert np.allclose(list(r_out.action), list(r_raw.action))
+
+
+class TestMaterialize:
+    def test_split_layout_and_index(self, spark, frames, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline import materialize
+        from imitation_learning_data_pipeline_spark.pipeline.materialize import assign_split
+
+        out_dir = str(tmp_path / "out")
+        index = materialize(frames, out_dir)
+        idx = index.collect()
+        assert {r.split for r in idx} <= {"train", "val", "test"}
+        # Hive layout exists and is readable with partition columns back.
+        back = spark.read.parquet(f"{out_dir}/data")
+        assert back.count() == frames.count()
+        assert set(back.select("split").distinct().toPandas()["split"]) == {
+            r.split for r in idx
+        }
+        # Determinism: re-assigning yields identical splits per episode.
+        a1 = {
+            r.episode_index: r.split
+            for r in assign_split(frames).select("episode_index", "split").distinct().collect()
+        }
+        a2 = {
+            r.episode_index: r.split
+            for r in assign_split(frames).select("episode_index", "split").distinct().collect()
+        }
+        assert a1 == a2
+        # One split per episode (per-key determinism).
+        per_ep = (
+            assign_split(frames)
+            .groupBy("episode_index")
+            .agg(F.countDistinct("split").alias("n"))
+            .collect()
+        )
+        assert all(r.n == 1 for r in per_ep)
