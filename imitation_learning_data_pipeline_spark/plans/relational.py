@@ -194,14 +194,19 @@ def join_semi_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT p_partkey, p_name
 FROM part p
-WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45)
 """,
 )
 def join_anti_orphan_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Parts never shipped in bulk — the filter makes the anti join
+    # non-trivially selective (plain "no lineitem at all" is empty at
+    # every SF, which would be a vacuous correctness check).
     part, li = _t(spark, sf_dir, "part", "lineitem")
-    return part.join(
-        li.select(F.col("l_partkey").alias("p_partkey")), "p_partkey", "left_anti"
-    ).select("p_partkey", "p_name")
+    bulk = li.filter(F.col("l_quantity") > 45).select(
+        F.col("l_partkey").alias("p_partkey")
+    )
+    return part.join(bulk, "p_partkey", "left_anti").select("p_partkey", "p_name")
 
 
 # --- J3: broadcast lookup join (validate_one.py:48-50 loop → one join) ------

