@@ -25,6 +25,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
     "join_star_region_revenue",
     "flagship_user_activity",
     "window_reindex",
@@ -73,6 +75,10 @@ def main() -> int:
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+        # Drop relations persisted inside query plans (minhash/ngram keep
+        # their shingle tables cached); without this, memory/GC pressure
+        # accumulates across queries and skews later timings.
+        spark.catalog.clearCache()
 
     m = re.search(r"sf([0-9.]+)", args.sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None

@@ -19,10 +19,12 @@ def _late_imports() -> None:
     global _ALL_MODULES
     from . import (  # noqa: F401
         dedup,
+        mllib_ops,
         multimodal_queries,
         numeric,
         pipeline_queries,
         relational,
+        relational2,
         scalars,
         similarity,
         streaming_queries,
@@ -34,6 +36,7 @@ def _late_imports() -> None:
     _ALL_MODULES = [
         flagship,
         relational,
+        relational2,
         scalars,
         windows,
         temporal,
@@ -44,6 +47,7 @@ def _late_imports() -> None:
         pipeline_queries,
         multimodal_queries,
         streaming_queries,
+        mllib_ops,
     ]
 
 

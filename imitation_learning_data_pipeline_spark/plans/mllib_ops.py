@@ -1,0 +1,110 @@
+"""MLlib-backed operators (BASELINE.json approach: "DataFrame
+transformations + MLlib").
+
+Two scale-path operators built on pyspark.ml:
+- mllib_minhash_dups  — feature-hashed token vectors → MinHashLSH →
+  approxSimilarityJoin: MLlib's banded implementation of the same
+  near-dup search as plans/dedup.dedup_minhash_lsh.
+- mllib_kmeans_ivf    — KMeans coarse quantizer → per-centroid
+  candidate lists: the IVF index shape (cluster once, search only the
+  query's cell) for ANN at corpus scale.
+
+Both are iterative / model-fitting pipelines a SQL oracle cannot
+replicate, so they register WITHOUT oracle_sql — the driver records the
+weaker rows-only check (the deterministic-seed fit keeps them stable
+run-to-run).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import ensure_utc
+from ..sources import load_table
+from ..sources.readers import spread
+from .registry import register
+
+
+@register("mllib_minhash_dups", oracle=None)
+def mllib_minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via MLlib MinHashLSH over hashed token-set vectors."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    from ..functions.text import word_shingles
+
+    ensure_utc(spark)
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    planted = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra tail")).alias("text"),
+    )
+    # Shingle tokens, not single words: with a small shared vocabulary
+    # every doc's word SET is nearly identical, and a word-set LSH join
+    # degenerates to all-pairs. 3-gram shingles restore discrimination.
+    corpus = (
+        docs.unionByName(planted)
+        .withColumn("tokens", F.array_distinct(word_shingles("text", 3)))
+        .filter(F.size("tokens") > 0)
+    )
+
+    tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 18, binary=True)
+    feat = tf.transform(corpus).select("doc_id", "features")
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=5, seed=42)
+    model = mh.fit(feat)
+    pairs = model.approxSimilarityJoin(feat, feat, 0.5, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(1 - F.col("jaccard_dist"), 4).alias("jaccard"),
+        )
+    )
+
+
+@register("mllib_kmeans_ivf", oracle=None)
+def mllib_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse index: KMeans(k=16, seed=42) over embeddings, then
+    per-cell occupancy + per-cell nearest-to-centroid representative.
+
+    The search path at 100 TB: write the corpus partitioned by cell_id,
+    assign a query to its nearest centroid(s), scan only those cells —
+    the same partition-pruning shape as ann_lsh_topk with learned cells.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    ensure_utc(spark)
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    vecs = emb.select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    km = KMeans(k=16, seed=42, maxIter=10, featuresCol="features", predictionCol="cell_id")
+    model = km.fit(vecs)
+    assigned = model.transform(vecs)
+
+    # distance to own centroid via the model's centers (broadcast array)
+    centers = model.clusterCenters()
+    centers_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        ["cell_id", "center"],
+    )
+    j = assigned.select(
+        "vec_id", "cell_id", vector_to_array("features").alias("v")
+    ).join(F.broadcast(centers_df), "cell_id")
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("center"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = j.select("vec_id", "cell_id", dist.alias("dist_to_centroid"))
+    return scored.groupBy("cell_id").agg(
+        F.count("*").alias("n_vecs"),
+        F.min_by("vec_id", F.struct("dist_to_centroid", "vec_id")).alias(
+            "medoid_vec"
+        ),
+        F.round(F.avg("dist_to_centroid"), 4).alias("avg_dist"),
+    )

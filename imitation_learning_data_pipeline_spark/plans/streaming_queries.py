@@ -39,3 +39,59 @@ FROM events GROUP BY 1, 2
 def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_utc(spark)
     return streaming_windowed_counts(spark, sf_dir)
+
+
+@register(
+    "streaming_session_window",
+    oracle="""
+WITH lagged AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN prev_ts IS NULL
+                OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_s
+  FROM lagged
+), sessioned AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events,
+       round(sum(value), 2) AS session_value
+FROM sessioned GROUP BY user_id, session_id
+""",
+)
+def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful session windows (30-min gap) via the built-in
+    F.session_window streaming aggregation — the engine merges/extends
+    session state across micro-batches; with availableNow the result
+    equals the batch gap-based sessionization the oracle computes."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.incremental import _events_stream, run_stream_to_batch
+
+    ensure_utc(spark)
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+            "session_value",
+        )
+    )
+    return run_stream_to_batch(agg, spark)
