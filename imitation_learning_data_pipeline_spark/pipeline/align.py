@@ -62,6 +62,11 @@ def align_transform(
         (F.size("action") == VECTOR_WIDTH) & (F.size(f"`{STATE}`") == VECTOR_WIDTH)
     )
 
+    # One exchange for the whole window chain: episode_index partitioning
+    # satisfies the finer (episode_index, frame_index) clustering of the
+    # dedup window as well as the reindex window (subset rule).
+    df = df.repartition("episode_index")
+
     # Sort + dedup keep-first on frame_index (:108-110): first occurrence
     # in original file order wins.
     w_dedup = Window.partitionBy("episode_index", "frame_index").orderBy("__orig_pos")

