@@ -60,13 +60,24 @@ def main() -> int:
     from imitation_learning_data_pipeline_spark.plans import QUERIES
     from imitation_learning_data_pipeline_spark.session import get_spark
 
-    spark = get_spark("bench")
-    # Warm the JVM/session so per-query timings measure the queries.
-    spark.range(1000).selectExpr("sum(id)").collect()
+    def fresh_session():
+        s = get_spark("bench")
+        # Warm the JVM/session so per-query timings measure the queries.
+        s.range(1000).selectExpr("sum(id)").collect()
+        return s
 
+    spark = fresh_session()
     names = args.queries.split(",") if args.queries else HEADLINE
     timings: dict[str, float] = {}
-    for name in names:
+    for i, name in enumerate(names):
+        # Session recycling (JMH-fork style): long local[32] sessions
+        # accumulate state (python workers, broadcast/GC debt) that was
+        # measured to inflate late queries 3-10× vs the same query in a
+        # fresh session. A restart every few queries keeps timings honest
+        # at ~8 s amortized overhead (not counted against any query).
+        if i > 0 and i % 6 == 0:
+            spark.stop()
+            spark = fresh_session()
         fn = QUERIES[name]
         best = None
         for _ in range(args.repeat):
@@ -76,8 +87,7 @@ def main() -> int:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
         # Drop relations persisted inside query plans (minhash/ngram keep
-        # their shingle tables cached); without this, memory/GC pressure
-        # accumulates across queries and skews later timings.
+        # their shingle tables cached).
         spark.catalog.clearCache()
 
     m = re.search(r"sf([0-9.]+)", args.sf_dir)
