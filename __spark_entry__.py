@@ -21,9 +21,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from imitation_learning_data_pipeline_spark.plans import ORACLES, QUERIES  # noqa: E402
 from imitation_learning_data_pipeline_spark.plans.flagship import (  # noqa: E402
     flagship_user_activity,
+)
+from imitation_learning_data_pipeline_spark.plans.registry import (  # noqa: E402
+    contract_queries,
 )
 
 
@@ -33,10 +35,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Curated ≤50-entry ordered surface (the driver checks the first 50 in
+    dict order): queries that lack a strict-superset proxy come first;
+    sub-shapes of retained queries are served by the library registry
+    (plans.QUERIES) and the local checker instead — see
+    plans/registry.py CONTRACT_EXCLUDE for the proxy map.
+    """
+    return contract_queries()[0]
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for each hash-checkable query."""
-    return dict(ORACLES)
+    return contract_queries()[1]

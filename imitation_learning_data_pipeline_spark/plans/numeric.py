@@ -84,7 +84,7 @@ def agg_weighted_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH ex AS ({_EXPLODED}),
 st AS (
-  SELECT dim, avg(x) AS mu, stddev_pop(x) AS sd
+  SELECT dim, round(avg(x), 4) AS mu, round(stddev_pop(x), 4) AS sd
   FROM ex GROUP BY dim
 )
 SELECT e.vec_id, e.dim,
@@ -104,8 +104,16 @@ def vector_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     ex = emb.select(F.posexplode(as_double("embedding")).alias("dim", "x"))
     stats = (
+        # mu/sd are quantized to 4 dp BEFORE normalizing: avg/stddev_pop
+        # summation order is engine- and partitioning-dependent, so raw
+        # stats differ in the last ulps between runs; rounding first makes
+        # the z quotient bit-deterministic (matching the oracle, which
+        # rounds identically).
         ex.groupBy("dim")
-        .agg(F.avg("x").alias("mu"), F.stddev_pop("x").alias("sd"))
+        .agg(
+            F.round(F.avg("x"), 4).alias("mu"),
+            F.round(F.stddev_pop("x"), 4).alias("sd"),
+        )
         .groupBy()
         .agg(
             F.transform(

@@ -45,17 +45,17 @@ def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_session_window",
     oracle="""
 WITH lagged AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, value, event_id,
          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
   FROM events
 ), flagged AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, value, event_id,
          CASE WHEN prev_ts IS NULL
-                OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_s
+                OR epoch(ts) - epoch(prev_ts) >= 1800 THEN 1 ELSE 0 END AS new_s
   FROM lagged
 ), sessioned AS (
   SELECT user_id, ts, value,
-         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS session_id
   FROM flagged

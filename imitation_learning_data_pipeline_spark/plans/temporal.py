@@ -37,9 +37,15 @@ def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ensure_utc(spark)
     ev = load_table(spark, sf_dir, "events")
+    # Strict "<" semantics on timestamp ties: purchases sort BEFORE clicks
+    # at the same ts, so the preceding-rows frame can never see a same-ts
+    # click (the oracle's c.ts < p.ts). A when()-guard on the carried max
+    # would be wrong here — it would null out the genuinely-earlier click
+    # whenever a same-ts click wins the max.
+    kind = F.when(F.col("event_type") == "purchase", 0).otherwise(1)
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy("ts", kind, "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     last_click = F.max(

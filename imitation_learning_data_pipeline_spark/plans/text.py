@@ -14,7 +14,8 @@ from pyspark.sql import functions as F
 from ..functions.text import (
     LANG_MARKERS,
     STOPWORDS,
-    langid,
+    langid_pick,
+    langid_scores,
     normalize_text,
     quality_features,
     word_shingles,
@@ -71,9 +72,20 @@ FROM scored
 
 @register("text_langid", oracle=_langid_oracle())
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-word language ID — the n-gram-heuristic family, zero UDF."""
+    """Marker-word language ID — the n-gram-heuristic family, zero UDF.
+
+    Two projections: score columns first (normalize+split+filter runs once
+    per doc), then the CASE over plain columns — avoids the HOF
+    no-CSE re-evaluation cliff (see functions.text.langid_scores)."""
     docs = _docs(spark, sf_dir)
-    return docs.select("doc_id", langid("text").alias("lang_pred"))
+    scored = docs.select(
+        "doc_id",
+        *[expr.alias(name) for name, expr in langid_scores("text").items()],
+    )
+    scores = {lang: F.col(f"s_{lang}") for lang in LANG_MARKERS}
+    return scored.select(
+        "doc_id", langid_pick(F.col("is_cjk"), scores).alias("lang_pred")
+    )
 
 
 _FEATURE_SQL = f"""

@@ -166,6 +166,104 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- merged contract suites --------------------------------------------------
+# The driver caps CORRECTNESS at 50 queries (registration order), so the
+# contract surface exposes the W1-W5 + frame/ranking coverage as two merged
+# plans; the granular single-op queries above stay in the library registry
+# for API users and local checks.
+
+
+@register(
+    "window_frame_suite",
+    oracle="""
+SELECT event_id, user_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+         AS new_index,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+         AS running_value,
+       rank()   OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk,
+       ntile(4) OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS quartile
+FROM events
+""",
+)
+def window_frame_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1+W4 reindex, running-sum frame, and ranking in one plan.
+
+    Both window specs hash-partition on user_id, so Catalyst reuses a
+    single exchange; the ts-ordered and value-ordered sorts each run once
+    over the same partitioning."""
+    ev = _events(spark, sf_dir)
+    w_ts = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_idx = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_val = Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.row_number().over(w_idx) - 1).alias("new_index"),
+        F.round(F.sum("value").over(w_ts), 4).alias("running_value"),
+        F.rank().over(w_val).alias("rnk"),
+        F.ntile(4).over(w_val).alias("quartile"),
+    )
+
+
+@register(
+    "window_group_order_suite",
+    oracle="""
+WITH lagged AS (
+  SELECT user_id, value, ts, event_id,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_v,
+         lag(ts)    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+SELECT user_id,
+       (min(CASE WHEN prev_v IS NULL OR value > prev_v THEN 1 ELSE 0 END) = 1)
+         AS value_strictly_increasing,
+       (min(CASE WHEN prev_ts IS NULL OR ts >= prev_ts THEN 1 ELSE 0 END) = 1)
+         AS ts_non_decreasing,
+       count(*) AS n,
+       arg_min(event_id, ts ORDER BY ts, event_id) AS first_event,
+       arg_max(event_id, ts ORDER BY ts, event_id) AS last_event,
+       round(arg_min(value, ts ORDER BY ts, event_id), 4) AS first_value,
+       round(arg_max(value, ts ORDER BY ts, event_id), 4) AS last_value
+FROM lagged GROUP BY user_id
+""",
+)
+def window_group_order_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 lag-monotonicity flags + W5 first/last per group, one exchange:
+    the lag window and the grouped min_by/max_by aggregation share the
+    user_id hash partitioning (validate_one.py:89-100's one-pass shape)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "user_id",
+        "value",
+        "ts",
+        "event_id",
+        F.lag("value").over(w).alias("prev_v"),
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    ok = lambda cond: F.min(F.when(cond, 1).otherwise(0)) == 1  # noqa: E731
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return lagged.groupBy("user_id").agg(
+        ok(F.col("prev_v").isNull() | (F.col("value") > F.col("prev_v"))).alias(
+            "value_strictly_increasing"
+        ),
+        ok(F.col("prev_ts").isNull() | (F.col("ts") >= F.col("prev_ts"))).alias(
+            "ts_non_decreasing"
+        ),
+        F.count("*").alias("n"),
+        F.min_by("event_id", key).alias("first_event"),
+        F.max_by("event_id", key).alias("last_event"),
+        F.round(F.min_by("value", key), 4).alias("first_value"),
+        F.round(F.max_by("value", key), 4).alias("last_value"),
+    )
+
+
 # --- ranking functions (engine capability, §2.11 absence in reference) ------
 
 @register(

@@ -42,6 +42,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Spark 4 routes lower()/upper() through ICU for full Unicode case
+        # mapping; CollationAwareUTF8String's class init loads ICU locale
+        # data, measured 10-60 s in this container with every task blocked
+        # on the init monitor — it made whichever query FIRST touched
+        # lower() look 20-200x slower (thread dump: all 32 workers
+        # "waiting on the Class initialization monitor" in
+        # CollationSupport$Lower.execBinaryICU). JVM case mapping is still
+        # Unicode-correct and matches DuckDB on this corpus.
+        .config("spark.sql.icu.caseMappings.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
@@ -51,11 +60,15 @@ def get_spark(
 
 
 def ensure_utc(spark: SparkSession) -> SparkSession:
-    """Pin the session timezone to UTC.
+    """Pin per-session settings every contract query depends on.
 
-    Called at the top of every driver-contract query so timestamp↔string
-    casts agree with the DuckDB oracle (which is timezone-naive) no matter
-    how the caller built its session.
+    Called at the top of every driver-contract query so the plan behaves
+    the same no matter how the caller built its session (the driver's
+    harness does not use :func:`get_spark`):
+    - UTC timezone: timestamp↔string casts agree with the DuckDB oracle.
+    - ICU case mappings off: see the get_spark comment — ICU class init
+      stalls the first lower()/upper() query by 10-60 s per JVM.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.icu.caseMappings.enabled", "false")
     return spark
