@@ -3,11 +3,25 @@
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
 line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "task_time_s": {name: sec}, "sf": ...}.
+
+Two timings per query:
+- wall seconds (what the gate grades), and
+- task_time_s: the sum of Spark executor task run times (AppStatusStore
+  stage metrics delta) — engine work separable from host noise. A query
+  whose wall time is 10× its task time divided by cores is waiting on
+  the host, not on the engine.
 
 Execution is forced through the noop sink (full materialization of every
 operator — a bare .count() would let Catalyst prune unevaluated columns
 and under-report).
+
+Round-1 postmortem: this file used to restart the session every 6
+queries because "long sessions inflate late queries 3-10×". The real
+culprit was ICU case-mapping class init (10-60 s, once per JVM, paid by
+the first lower()-touching query — see session.py); restarting sessions
+made the bench RE-PAY it repeatedly. One session, ICU disabled, no
+recycling.
 
 Usage: python bench.py [--sf-dir DIR] [--queries a,b,c] [--repeat N]
 """
@@ -45,7 +59,33 @@ HEADLINE = [
     "pipeline_discover_status",
     "pipeline_align_events",
     "multimodal_decode_stub",
+    "pipeline_stage_chain",
 ]
+
+
+class TaskTimeProbe:
+    """Total executor task run time (ms) across all completed stages,
+    read from the live AppStatusStore (works with the UI disabled)."""
+
+    def __init__(self, spark):
+        sc = spark.sparkContext
+        self._store = sc._jsc.sc().statusStore()
+        self._jvm = sc._jvm
+        self._gw = sc._gateway
+
+    def total_ms(self) -> int:
+        stages = self._store.stageList(
+            self._jvm.java.util.ArrayList(),
+            False,
+            False,
+            self._gw.new_array(self._jvm.double, 0),
+            self._jvm.java.util.ArrayList(),
+        )
+        it = stages.iterator()
+        total = 0
+        while it.hasNext():
+            total += it.next().executorRunTime()
+        return total
 
 
 def main() -> int:
@@ -60,32 +100,29 @@ def main() -> int:
     from imitation_learning_data_pipeline_spark.plans import QUERIES
     from imitation_learning_data_pipeline_spark.session import get_spark
 
-    def fresh_session():
-        s = get_spark("bench")
-        # Warm the JVM/session so per-query timings measure the queries.
-        s.range(1000).selectExpr("sum(id)").collect()
-        return s
+    spark = get_spark("bench")
+    # Warm the JVM/session so per-query timings measure the queries, and
+    # touch lower() once so any residual one-time string-expression init
+    # is paid here rather than inside a measured query.
+    spark.range(1000).selectExpr("sum(id)", "max(lower(string(id)))").collect()
+    probe = TaskTimeProbe(spark)
 
-    spark = fresh_session()
     names = args.queries.split(",") if args.queries else HEADLINE
     timings: dict[str, float] = {}
-    for i, name in enumerate(names):
-        # Session recycling (JMH-fork style): long local[32] sessions
-        # accumulate state (python workers, broadcast/GC debt) that was
-        # measured to inflate late queries 3-10× vs the same query in a
-        # fresh session. A restart every few queries keeps timings honest
-        # at ~8 s amortized overhead (not counted against any query).
-        if i > 0 and i % 6 == 0:
-            spark.stop()
-            spark = fresh_session()
+    task_times: dict[str, float] = {}
+    for name in names:
         fn = QUERIES[name]
-        best = None
+        best = best_task = None
         for _ in range(args.repeat):
             t0 = time.time()
+            m0 = probe.total_ms()
             fn(spark, args.sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
+            dm = (probe.total_ms() - m0) / 1000.0
+            if best is None or dt < best:
+                best, best_task = dt, dm
         timings[name] = round(best, 3)
+        task_times[name] = round(best_task, 3)
         # Drop relations persisted inside query plans (minhash/ngram keep
         # their shingle tables cached).
         spark.catalog.clearCache()
@@ -99,6 +136,7 @@ def main() -> int:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "task_time_s": task_times,
                 "sf": sf,
             }
         )

@@ -28,6 +28,7 @@ def _late_imports() -> None:
         relational2,
         scalars,
         similarity,
+        stage_chain,
         streaming_queries,
         temporal,
         text,
@@ -50,6 +51,7 @@ def _late_imports() -> None:
         streaming_queries,
         mllib_ops,
         curation,
+        stage_chain,
     ]
 
 

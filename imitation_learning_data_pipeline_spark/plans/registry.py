@@ -89,6 +89,9 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     "window_reindex": "window_frame_suite",
     "window_running_sum": "window_frame_suite",
     "window_rank_ntile": "window_frame_suite",
+    # bench-only composite: reads/writes local files, host-dependent URIs;
+    # its five stages are contract-covered by the pipeline_* queries.
+    "pipeline_stage_chain": "pipeline_discover_status/validate/align/materialize",
 }
 
 CONTRACT_CAP = 50

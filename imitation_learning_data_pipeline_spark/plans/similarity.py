@@ -87,9 +87,18 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spread(load_table(spark, sf_dir, "embeddings"))
 
 
+def _emb_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_utc(spark)
+    return load_table(spark, sf_dir, "embeddings")
+
+
 def _query_matrix(emb: DataFrame) -> tuple[list[int], np.ndarray]:
     """Collect the (tiny) query batch driver-side — the standard ANN
-    shape: queries are broadcast constants, the corpus streams."""
+    shape: queries are broadcast constants, the corpus streams.
+
+    Collects from the RAW table (callers pass the un-spread frame): the
+    vec_id predicate pushes down to the parquet scan, so this job reads
+    a few row groups and shuffles nothing."""
     rows = (
         emb.filter(F.col("vec_id") < 8)
         .select("vec_id", "embedding")
@@ -152,7 +161,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 per query: one Arrow-batched matmul pass over
     the corpus, per-query ranking via window."""
     emb = _emb(spark, sf_dir)
-    qids, qmat = _query_matrix(emb)
+    qids, qmat = _query_matrix(_emb_raw(spark, sf_dir))
     cos_all = _cos_matrix_udf(qmat)
     qid_arr = F.array(*[F.lit(q) for q in qids])
     scored = (
@@ -217,7 +226,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass. Buckets and cosines both ride the Arrow matmul path.
     """
     emb = _emb(spark, sf_dir)
-    qids, qmat = _query_matrix(emb)
+    qids, qmat = _query_matrix(_emb_raw(spark, sf_dir))
     bucket = _bucket_udf()
     cos_all = _cos_matrix_udf(qmat)
     qid_arr = F.array(*[F.lit(q) for q in qids])

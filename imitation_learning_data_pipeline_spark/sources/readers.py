@@ -161,19 +161,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.schema(schema).parquet(f"{sf_dir}/{name}.parquet")
 
 
-def spread(df: DataFrame, factor: int = 1) -> DataFrame:
-    """Repartition a small-file / heavy-compute DataFrame to the cluster's
-    default parallelism.
+def spread(df: DataFrame, factor: int = 1, bytes_per_task: int = 32 * 1024) -> DataFrame:
+    """Repartition a small-file / heavy-compute DataFrame so every core
+    can work, without over-splitting tiny inputs.
 
     Parquet splits by *bytes*, so a few-MB documents file arrives as 1-3
     input partitions — fine for scan-bound plans, a 3-of-32-cores
     disaster when each row then feeds thousands of hash/regex evaluations
     (measured: MinHash over the sf0.1 corpus ran 10× slower without
-    this). At real scale the input is already thousands of splits and the
+    this). The flip side: always repartitioning to defaultParallelism
+    pays 32 task setups (and 32 Python-worker Arrow streams on UDF paths)
+    for a few hundred rows. Size to the input instead: one task per
+    ~bytes_per_task of source data, capped at defaultParallelism × factor.
+    At real scale the input is already thousands of splits and the
     repartition collapses into the existing exchange structure.
     """
     sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism * factor)
+    cap = sc.defaultParallelism * factor
+    try:
+        import os
+
+        size = sum(
+            os.path.getsize(p.removeprefix("file:")) for p in df.inputFiles()
+        )
+    except Exception:
+        size = None
+    parts = cap if not size else max(1, min(cap, size // bytes_per_task + 1))
+    return df.repartition(parts)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
