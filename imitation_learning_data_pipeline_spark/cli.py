@@ -1,0 +1,263 @@
+"""Command-line entry point: the reference's five-stage CLI, Spark-backed.
+
+Reference: scripts/neura.py:16-211 — a click CLI with `discover`,
+`validate`, `stats`, `align-transform`, `materialize` subcommands, each a
+DockerOperator task in the Airflow DAG. Same subcommands and options
+here (argparse: zero extra dependencies), each mapping to the
+``pipeline`` stage functions; the per-episode Python loops of the
+reference are Spark jobs.
+
+Usage:
+  python -m imitation_learning_data_pipeline_spark.cli discover --data-root DIR --manifest OUT \
+      [--since ISO] [--only-chunks chunk-000,chunk-001] [--stdout] [--all]
+  python -m imitation_learning_data_pipeline_spark.cli validate --manifest FILE --data-root DIR \
+      [--meta-dir DIR] [--out DIR] [--tolerance N]
+  python -m imitation_learning_data_pipeline_spark.cli stats --data-root DIR [--episodes-stats F]
+      [--validated-ids F] [--features a,b] [--out F]
+  python -m imitation_learning_data_pipeline_spark.cli align-transform --data-root DIR --out DIR
+      [--stats F] [--no-normalize]
+  python -m imitation_learning_data_pipeline_spark.cli materialize --norm-dir DIR --out DIR
+      [--seed N] [--train F] [--val F] [--test F] [--videos-root DIR]
+      [--link-videos MODE]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def _spark(app: str) -> SparkSession:
+    from .session import get_spark
+
+    return get_spark(f"neura-{app}")
+
+
+# --- discover ----------------------------------------------------------------
+
+
+def cmd_discover(args: argparse.Namespace) -> int:
+    from .pipeline.discover import discover, discover_delta
+
+    spark = _spark("discover")
+    prev = None
+    if os.path.exists(args.manifest):
+        prev = spark.read.parquet(args.manifest)
+
+    manifest = discover(spark, args.data_root, prev_manifest=prev, since=args.since)
+    if args.only_chunks:
+        # P8 chunk-subset filter → partition-pruning predicate
+        # (discover_refactored.py:86-89, scripts/neura.py:51-53).
+        chunks = [c.strip() for c in args.only_chunks.split(",") if c.strip()]
+        manifest = manifest.filter(F.col("chunk").isin(chunks))
+    manifest = manifest.orderBy("chunk", "episode_index")
+
+    # Atomic manifest write: tmp dir + rename (discover_refactored.py:23-27).
+    tmp = args.manifest + ".tmp"
+    manifest.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(args.manifest):
+        import shutil
+
+        shutil.rmtree(args.manifest)
+    os.replace(tmp, args.manifest)
+
+    done = spark.read.parquet(args.manifest)
+    delta = done if args.print_all else discover_delta(done)
+    if args.stdout_jsonl:
+        for line in delta.toJSON().collect():  # K9 (scripts/neura.py:66-74)
+            print(line)
+    else:
+        counts = {
+            r.status: r.n
+            for r in delta.groupBy("status").agg(F.count("*").alias("n")).collect()
+        }
+        print(json.dumps({"manifest": args.manifest, "delta_counts": counts}))
+    return 0
+
+
+# --- validate ----------------------------------------------------------------
+
+
+def cmd_validate(args: argparse.Namespace) -> int:
+    from .pipeline.outputs import write_validation_outputs
+    from .pipeline.validate import validate_episodes
+
+    spark = _spark("validate")
+    frames = spark.read.parquet(f"{args.data_root}/data/*")
+    meta = None
+    meta_path = os.path.join(args.meta_dir, "episodes.jsonl")
+    if os.path.exists(meta_path):
+        meta = spark.read.json(meta_path)
+    report = validate_episodes(frames, meta, rows_tolerance=args.tolerance)
+    summary = write_validation_outputs(report, args.out_dir)
+    print(json.dumps(summary))
+    return 0 if summary["fail"] == 0 else 1
+
+
+# --- stats -------------------------------------------------------------------
+
+
+def cmd_stats(args: argparse.Namespace) -> int:
+    from .pipeline.stats_ingest import read_episode_stats_jsonl
+    from .pipeline.stats_stage import combine_global_stats, episode_feature_stats
+
+    spark = _spark("stats")
+    features = [f.strip() for f in args.features.split(",") if f.strip()]
+
+    if args.episodes_stats and os.path.exists(args.episodes_stats):
+        # Sidecar re-ingest with heterogeneous-shape coercions (A7/F7).
+        episode_stats = read_episode_stats_jsonl(spark, args.episodes_stats, features)
+    else:
+        frames = spark.read.parquet(f"{args.data_root}/data/*")
+        episode_stats = episode_feature_stats(frames, features)
+
+    validated_ids = None
+    if args.validated_ids and os.path.exists(args.validated_ids):
+        validated_ids = spark.read.json(args.validated_ids).select("episode_index")
+
+    rows = combine_global_stats(episode_stats, validated_ids=validated_ids).collect()
+    doc = {
+        "meta": {"features": features, "source": args.episodes_stats or args.data_root}
+    }
+    for r in rows:
+        doc[r.feature] = {
+            "count": r["count"],
+            "mean": list(r.mean),
+            "std": list(r.std),
+            "min": list(r.min),
+            "max": list(r.max),
+        }
+    os.makedirs(os.path.dirname(args.out_path) or ".", exist_ok=True)
+    with open(args.out_path, "w") as f:  # K7 JSON document sink
+        json.dump(doc, f, indent=2)
+    print(json.dumps({"out": args.out_path, "features": len(rows)}))
+    return 0
+
+
+# --- align-transform ---------------------------------------------------------
+
+
+def cmd_align_transform(args: argparse.Namespace) -> int:
+    from .pipeline.align import align_transform
+
+    spark = _spark("align")
+    frames = spark.read.parquet(f"{args.data_root}/data/*")
+    stats_doc = None
+    if not args.no_normalize and os.path.exists(args.stats_path):
+        with open(args.stats_path) as f:  # S6 JSON doc → broadcast literals
+            raw = json.load(f)
+        stats_doc = {
+            k: v for k, v in raw.items() if isinstance(v, dict) and "mean" in v
+        }
+    aligned = align_transform(frames, stats_doc)
+    aligned.write.mode("overwrite").option("compression", "zstd").parquet(
+        f"{args.out_dir}/data"
+    )
+    n = spark.read.parquet(f"{args.out_dir}/data").count()
+    print(json.dumps({"out": args.out_dir, "rows": n}))
+    return 0
+
+
+# --- materialize -------------------------------------------------------------
+
+
+def cmd_materialize(args: argparse.Namespace) -> int:
+    from .pipeline.materialize import link_videos, materialize
+
+    spark = _spark("materialize")
+    frames = spark.read.parquet(f"{args.norm_dir}/data")
+    index = materialize(
+        frames, args.out_dir, fracs=(args.train, args.val, args.test), seed=str(args.seed)
+    )
+    index_rows = index.collect()
+    placed = []
+    if args.videos_root:
+        mode = {"manifest-only": "manifest"}.get(args.link_videos, args.link_videos)
+        placed = link_videos(index_rows, args.videos_root, f"{args.out_dir}/data", mode)
+    counts: dict[str, int] = {}
+    for r in index_rows:
+        counts[r.split] = counts.get(r.split, 0) + 1
+    print(
+        json.dumps(
+            {"out": args.out_dir, "split_counts": counts, "videos_placed": len(placed)}
+        )
+    )
+    return 0
+
+
+# --- parser ------------------------------------------------------------------
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="neura-spark", description="Spark-native five-stage pipeline CLI"
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    d = sub.add_parser("discover", help="scan + fingerprint + manifest diff")
+    d.add_argument("--data-root", required=True)
+    d.add_argument("--manifest", default="./output/manifest/episodes.parquet")
+    d.add_argument("--workers", type=int, default=16,
+                   help="accepted for reference parity; Spark sizes its own tasks")
+    d.add_argument("--since", default=None, help="ISO mtime cutoff (S8)")
+    d.add_argument("--stdout", dest="stdout_jsonl", action="store_true")
+    d.add_argument("--full-hash", action="store_true",
+                   help="accepted for parity; head+tail sampling is the default")
+    d.add_argument("--only-chunks", default=None)
+    d.add_argument("--all", dest="print_all", action="store_true")
+    d.set_defaults(fn=cmd_discover)
+
+    v = sub.add_parser("validate", help="per-episode checks from a manifest")
+    v.add_argument("--manifest", required=False, default=None)
+    v.add_argument("--data-root", required=True)
+    v.add_argument("--meta-dir", default="./robot_data/meta")
+    v.add_argument("--out", dest="out_dir", required=True)
+    v.add_argument("--fps", dest="fps_expected", type=float, default=30.0)
+    v.add_argument("--tolerance", type=int, default=2)
+    v.add_argument("--skip-video", action="store_true")
+    v.set_defaults(fn=cmd_validate)
+
+    s = sub.add_parser("stats", help="global stats reduction")
+    s.add_argument("--data-root", required=True)
+    s.add_argument("--episodes-stats", default=None)
+    s.add_argument("--validated-ids", default=None)
+    s.add_argument("--features", default="action,observation.state")
+    s.add_argument("--out", dest="out_path", default="./output/stats/global_stats.json")
+    s.set_defaults(fn=cmd_stats)
+
+    a = sub.add_parser("align-transform", help="clean/dedup/reindex/normalize")
+    a.add_argument("--data-root", required=True)
+    a.add_argument("--out", dest="out_dir", required=True)
+    a.add_argument("--stats", dest="stats_path", default="./output/stats/global_stats.json")
+    a.add_argument("--no-normalize", action="store_true")
+    a.set_defaults(fn=cmd_align_transform)
+
+    m = sub.add_parser("materialize", help="split + partitioned layout + index")
+    m.add_argument("--norm-dir", required=True)
+    m.add_argument("--out", dest="out_dir", required=True)
+    m.add_argument("--seed", type=int, default=42)
+    m.add_argument("--train", type=float, default=0.8)
+    m.add_argument("--val", type=float, default=0.1)
+    m.add_argument("--test", type=float, default=0.1)
+    m.add_argument("--videos-root", default=None)
+    m.add_argument(
+        "--link-videos",
+        choices=["symlink", "hardlink", "copy", "manifest-only"],
+        default="manifest-only",
+    )
+    m.set_defaults(fn=cmd_materialize)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -71,17 +71,32 @@ def cents(amount: Column | str) -> Column:
 
 
 def blake2b_unit_interval_udf():
-    """Row-level BLAKE2b parity UDF (reference utils.py:21-40). Slow path —
-    only for bit-exact split replication; default everywhere is md5."""
+    """Row-level BLAKE2b parity UDF — bit-exact with the reference's
+    ``hash_to_unit_interval(stable_hash_int(ep_idx, seed))``
+    (utils.py:10-40 + materialize_refactored.py:16-26). Slow path — only
+    for bit-exact split replication; default everywhere is md5.
+
+    Exact reference recipe, reproduced:
+    - key   = (seed & 2^64−1).to_bytes(8, 'little')       (utils.py:32)
+    - input = json.dumps(obj, separators=(',',':'), sort_keys=True)
+      for ints/floats/bools/None; plain utf-8 for strings  (utils.py:10-19)
+    - u     = int.from_bytes(digest8, 'big') / (2^64 − 1)  (utils.py:38-40)
+    """
     import hashlib
+    import json
 
     from pyspark.sql import types as T
 
     @F.udf(T.DoubleType())
-    def _b2(key: str, seed: str) -> float:
-        h = hashlib.blake2b(
-            str(key).encode(), digest_size=8, key=str(seed).encode()
-        ).digest()
+    def _b2(key, seed: int) -> float:
+        if isinstance(key, str):
+            payload = key.encode("utf-8")
+        else:
+            payload = json.dumps(
+                key, separators=(",", ":"), sort_keys=True
+            ).encode("utf-8")
+        seed_key = (int(seed) & ((1 << 64) - 1)).to_bytes(8, "little")
+        h = hashlib.blake2b(payload, digest_size=8, key=seed_key).digest()
         return int.from_bytes(h, "big") / float(2**64 - 1)
 
     return _b2

@@ -17,6 +17,7 @@ parallelism, which is the single biggest win of the rebuild.
 from .align import align_transform
 from .discover import discover
 from .materialize import materialize
+from .stats_ingest import read_episode_stats_jsonl
 from .stats_stage import combine_global_stats, episode_feature_stats
 from .validate import validate_episodes
 
@@ -26,5 +27,6 @@ __all__ = [
     "discover",
     "episode_feature_stats",
     "materialize",
+    "read_episode_stats_jsonl",
     "validate_episodes",
 ]

@@ -42,13 +42,42 @@ def list_episode_parquets(
 
     ``since`` maps the reference's --since mtime cutoff
     (discover_refactored.py:92-96) to the source's modifiedAfter option.
+
+    ERROR semantics (reference discover_refactored.py:62-76: fingerprint
+    failure → ERROR row, never a crashed run): the metadata LISTING and
+    the content fingerprint are two separate reads. The fingerprint read
+    tolerates files that vanish or turn unreadable between listing and
+    read (ignoreMissingFiles/ignoreCorruptFiles), and a listed file with
+    no surviving fingerprint row comes back with fingerprint NULL — the
+    discover() status CASE maps that to ERROR.
     """
-    reader = (
-        spark.read.format("binaryFile").option("pathGlobFilter", "episode_*.parquet")
+    spark.conf.set("spark.sql.files.ignoreMissingFiles", "true")
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+
+    def reader():
+        r = spark.read.format("binaryFile").option(
+            "pathGlobFilter", "episode_*.parquet"
+        )
+        return r.option("modifiedAfter", since) if since else r
+
+    # Metadata-only listing: binaryFile prunes `content` when unselected.
+    # Snapshotted EAGERLY (persist + count), mirroring the reference's
+    # materialized glob before fingerprinting (discover_refactored.py:
+    # 88-97): without the pin, a file vanishing mid-job silently drops
+    # from this subtree too and the ERROR classification below can never
+    # fire — lazy re-evaluation would re-list.
+    listing = (
+        _parse_path(reader().load(f"{root}/data/*"))
+        .select(
+            "episode_index",
+            "chunk",
+            F.col("path").alias("parquet_uri"),
+            F.col("length").alias("bytes_parquet"),
+        )
+        .persist()
     )
-    if since:
-        reader = reader.option("modifiedAfter", since)
-    raw = reader.load(f"{root}/data/*")
+    listing.count()
+
     fp = F.sha2(
         F.concat(
             F.substring(F.col("content"), 1, SAMPLE_BYTES),
@@ -57,13 +86,19 @@ def list_episode_parquets(
         ),
         256,
     )
-    return _parse_path(raw).select(
+    fingerprints = reader().load(f"{root}/data/*").select(
+        F.col("path").alias("parquet_uri"), fp.alias("fingerprint")
+    )
+
+    return listing.join(fingerprints, "parquet_uri", "left").select(
         "episode_index",
         "chunk",
-        F.col("path").alias("parquet_uri"),
-        F.col("length").alias("bytes_parquet"),
-        fp.alias("fingerprint"),
-        F.lit("sha256-head-tail").alias("fingerprint_algo"),
+        "parquet_uri",
+        "bytes_parquet",
+        "fingerprint",
+        F.when(F.col("fingerprint").isNotNull(), "sha256-head-tail").alias(
+            "fingerprint_algo"
+        ),
     )
 
 
@@ -118,9 +153,12 @@ def discover(
         )
         .withColumn(
             "status",
-            F.when(
-                ~F.col("exists_front") | ~F.col("exists_wrist"), "MISSING_SIDE"
-            ).otherwise("NEW"),
+            # ERROR first: a listed file whose fingerprint read failed
+            # (discover_refactored.py:62-76 → kept by the diff CASE
+            # :117-122) outranks every other classification.
+            F.when(F.col("fingerprint").isNull(), "ERROR")
+            .when(~F.col("exists_front") | ~F.col("exists_wrist"), "MISSING_SIDE")
+            .otherwise("NEW"),
         )
     )
 
@@ -130,7 +168,7 @@ def discover(
         )
         cur = cur.join(prev_fp, keys, "left").withColumn(
             "status",
-            F.when(F.col("status") == "MISSING_SIDE", "MISSING_SIDE")
+            F.when(F.col("status").isin("ERROR", "MISSING_SIDE"), F.col("status"))
             .when(F.col("prev_fingerprint").isNull(), "NEW")
             .when(F.col("fingerprint") == F.col("prev_fingerprint"), "UNCHANGED")
             .otherwise("CHANGED"),

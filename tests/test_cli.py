@@ -1,0 +1,200 @@
+"""End-to-end CLI test: the five subcommands chained on the LeRobot
+fixture, exactly the reference DAG order (discover >> validate >> stats >>
+align-transform >> materialize, neura_pipeline_dag.py:135).
+
+Exercises the previously-untested S8 (--since) and P8 (--only-chunks)
+paths, plus the manifest atomic write, sidecar stats ingest path, and
+split materialization."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+
+def _run(capsys, argv):
+    from imitation_learning_data_pipeline_spark.cli import main
+
+    rc = main(argv)
+    out = capsys.readouterr().out.strip().splitlines()
+    return rc, out
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    return tmp_path_factory.mktemp("cli")
+
+
+def test_full_cli_chain(spark, lerobot_fixture, workdir, capsys):
+    root = str(lerobot_fixture)
+    manifest = str(workdir / "manifest" / "episodes.parquet")
+
+    # discover — first run: everything NEW / MISSING_SIDE / ORPHAN.
+    rc, out = _run(capsys, ["discover", "--data-root", root, "--manifest", manifest])
+    assert rc == 0
+    delta = json.loads(out[-1])["delta_counts"]
+    assert delta.get("NEW", 0) == 18
+    assert delta.get("MISSING_SIDE", 0) == 1
+
+    # discover again — incremental diff vs its own manifest: no NEW rows.
+    rc, out = _run(capsys, ["discover", "--data-root", root, "--manifest", manifest])
+    assert rc == 0
+    delta = json.loads(out[-1])["delta_counts"]
+    assert delta.get("NEW", 0) == 0
+
+    # --only-chunks (P8) restricts the manifest; --stdout (K9) emits JSONL.
+    rc, out = _run(
+        capsys,
+        [
+            "discover",
+            "--data-root",
+            root,
+            "--manifest",
+            str(workdir / "m2" / "episodes.parquet"),
+            "--only-chunks",
+            "chunk-000",
+            "--stdout",
+            "--all",
+        ],
+    )
+    assert rc == 0
+    rows = [json.loads(line) for line in out if line.startswith("{")]
+    assert rows and all(r["chunk"] == "chunk-000" for r in rows if "chunk" in r)
+
+    # --since in the future (S8): empty scan, only DELETED tombstones
+    # survive the diff against the previous manifest.
+    rc, out = _run(
+        capsys,
+        [
+            "discover",
+            "--data-root",
+            root,
+            "--manifest",
+            manifest,
+            "--since",
+            "2100-01-01T00:00:00",
+            "--all",
+            "--stdout",
+        ],
+    )
+    assert rc == 0
+    statuses = {json.loads(line).get("status") for line in out if line.startswith("{")}
+    # Every previously-known episode is a DELETED tombstone; videos with
+    # no parquet in the (empty) scan read as orphans, like the
+    # reference's current-scan-only orphan check (:138-157).
+    assert "DELETED" in statuses
+    assert statuses <= {"DELETED", "ORPHAN_VIDEO"}
+
+    # validate — fixture has 4 failing episodes (3, 5, 11, 13).
+    val_out = str(workdir / "validate")
+    rc, out = _run(
+        capsys,
+        [
+            "validate",
+            "--data-root",
+            root,
+            "--meta-dir",
+            f"{root}/meta",
+            "--out",
+            val_out,
+        ],
+    )
+    assert rc == 1  # failures present → nonzero exit
+    summary = json.loads(out[-1])
+    assert summary["total"] == 19 and summary["fail"] == 4
+    assert os.path.exists(f"{val_out}/summary.yaml")
+
+    # stats — from frames.
+    stats_path = str(workdir / "global_stats.json")
+    rc, out = _run(
+        capsys, ["stats", "--data-root", root, "--out", stats_path]
+    )
+    assert rc == 0
+    doc = json.load(open(stats_path))
+    assert set(doc) >= {"meta", "action", "observation.state"}
+    assert len(doc["action"]["mean"]) == 8
+
+    # align-transform — normalize with the stats doc.
+    aligned = str(workdir / "aligned")
+    rc, out = _run(
+        capsys,
+        [
+            "align-transform",
+            "--data-root",
+            root,
+            "--out",
+            aligned,
+            "--stats",
+            stats_path,
+        ],
+    )
+    assert rc == 0
+    assert json.loads(out[-1])["rows"] > 0
+
+    # materialize — split layout + index + symlinked videos.
+    final = str(workdir / "final")
+    rc, out = _run(
+        capsys,
+        [
+            "materialize",
+            "--norm-dir",
+            aligned,
+            "--out",
+            final,
+            "--videos-root",
+            f"{root}/videos",
+            "--link-videos",
+            "symlink",
+        ],
+    )
+    assert rc == 0
+    res = json.loads(out[-1])
+    assert sum(res["split_counts"].values()) > 0
+    assert res["videos_placed"] > 0
+    # Hive-style layout on disk (K4).
+    splits = {d for d in os.listdir(f"{final}/data") if d.startswith("split=")}
+    assert "split=train" in splits
+
+
+def test_stats_sidecar_ingest_path(spark, workdir, capsys):
+    """--episodes-stats flows through the heterogeneous ingest (A7)."""
+    sidecar = workdir / "episodes_stats.jsonl"
+    with open(sidecar, "w") as f:
+        f.write(
+            json.dumps(
+                {
+                    "episode_index": 0,
+                    "stats": {
+                        "action": {
+                            "count": [10],
+                            "mean": [1, 2],
+                            "std": [1, 1],
+                            "min": [0, 0],
+                            "max": [2, 4],
+                        }
+                    },
+                }
+            )
+            + "\n"
+        )
+    out_path = str(workdir / "sidecar_stats.json")
+    rc, out = _run(
+        capsys,
+        [
+            "stats",
+            "--data-root",
+            "/nonexistent",
+            "--episodes-stats",
+            str(sidecar),
+            "--features",
+            "action",
+            "--out",
+            out_path,
+        ],
+    )
+    assert rc == 0
+    doc = json.load(open(out_path))
+    assert doc["action"]["count"] == 10
+    assert doc["action"]["mean"] == [1.0, 2.0]

@@ -138,21 +138,37 @@ class TestHashing:
         assert abs(counts["val"] / 20000 - 0.1) < 0.01
         assert abs(counts["test"] / 20000 - 0.1) < 0.01
 
-    def test_blake2b_parity_udf_matches_reference_formula(self, spark):
-        """Bit-exact replication path of the reference's BLAKE2b split
-        (utils.py:21-40) for parity experiments."""
+    def test_blake2b_parity_udf_matches_reference_implementation(self, spark):
+        """Bit-exact against a verbatim transcription of the REFERENCE's
+        stable_hash_int/hash_to_unit_interval (utils.py:10-40), not the
+        UDF's own formula — int keys serialize via compact JSON and the
+        seed keys BLAKE2b as 8 little-endian bytes."""
         import hashlib
+        import json
 
         from imitation_learning_data_pipeline_spark.functions.hashing import (
             blake2b_unit_interval_udf,
         )
 
+        def reference_u(obj, seed=42):  # utils.py:10-40, transcribed
+            payload = (
+                obj.encode("utf-8")
+                if isinstance(obj, str)
+                else json.dumps(obj, separators=(",", ":"), sort_keys=True).encode()
+            )
+            key = (seed & ((1 << 64) - 1)).to_bytes(8, "little", signed=False)
+            h = hashlib.blake2b(payload, digest_size=8, key=key)
+            return int.from_bytes(h.digest(), "big") / float((1 << 64) - 1)
+
         udf = blake2b_unit_interval_udf()
+        # int keys: the materialize split path (ep_idx ints, seed=42)
         rows = (
-            spark.range(100)
-            .select(udf(F.col("id").cast("string"), F.lit("42")).alias("u"), "id")
-            .collect()
+            spark.range(100).select("id", udf("id", F.lit(42)).alias("u")).collect()
         )
-        for r in rows[:10]:
-            h = hashlib.blake2b(str(r.id).encode(), digest_size=8, key=b"42").digest()
-            assert abs(r.u - int.from_bytes(h, "big") / float(2**64 - 1)) < 1e-15
+        for r in rows:
+            assert abs(r.u - reference_u(int(r.id))) < 1e-15
+        # string keys: utf-8 path
+        sdf = spark.createDataFrame([("chunk-000",), ("ep_7",)], "k string")
+        rows = sdf.select("k", udf("k", F.lit(7)).alias("u")).collect()
+        for r in rows:
+            assert abs(r.u - reference_u(r.k, seed=7)) < 1e-15

@@ -19,6 +19,26 @@ class TestDiscover:
         assert rows[0] == "NEW"
         assert sum(1 for s in rows.values() if s == "NEW") == 18
 
+    def test_error_status_for_unfingerprintable_file(
+        self, spark, lerobot_fixture, tmp_path
+    ):
+        """Reference discover_refactored.py:62-76: a listed file whose
+        fingerprint read fails becomes an ERROR row, not a crashed run.
+        Reproduced via the real TOCTOU: the file vanishes between the
+        listing snapshot (plan time) and the content read (action time)."""
+        import shutil
+
+        from imitation_learning_data_pipeline_spark.pipeline import discover
+
+        root = tmp_path / "tree"
+        shutil.copytree(lerobot_fixture, root)
+        m = discover(spark, str(root))  # plan built: listing snapshotted
+        victim = root / "data" / "chunk-000" / "episode_000002.parquet"
+        victim.unlink()
+        rows = {r.episode_index: r.status for r in m.collect()}
+        assert rows[2] == "ERROR"
+        assert rows[0] == "NEW"
+
     def test_incremental_diff(self, spark, lerobot_fixture):
         from imitation_learning_data_pipeline_spark.pipeline import discover
 
