@@ -13,9 +13,10 @@ Reproduced quirks (parity mode, SURVEY §8):
 
 Keep-first dedup discipline (SURVEY §7.5 item 1): "first occurrence in
 file order" is undefined after a shuffle, so the original position is
-captured at scan time via monotonically_increasing_id() BEFORE any wide
-transformation. Within one input file the id is monotone in row order,
-which is exactly the reference's per-episode file order.
+captured at scan time BEFORE any wide transformation — the parquet
+reader's (_metadata.file_path, _metadata.row_index) storage coordinate
+for file-backed frames (exact under any partitioning), else
+monotonically_increasing_id (see order.py).
 """
 
 from __future__ import annotations
@@ -41,8 +42,12 @@ def align_transform(
     normalization silently skipped for that feature
     (align_transform_refactored.py:62-68,128-130 — reproduced).
     """
-    # Capture file order BEFORE any shuffle (W2 discipline).
-    df = frames.withColumn("__orig_pos", F.monotonically_increasing_id())
+    # Capture storage order BEFORE any shuffle (W2 discipline): the
+    # (file_path, row_index) coordinate when file-backed, else
+    # monotonically_increasing_id (see order.py).
+    from .order import with_storage_order
+
+    df = with_storage_order(frames, "__orig_pos")
 
     # Casts to stable dtypes (:28-40).
     df = df.withColumns(

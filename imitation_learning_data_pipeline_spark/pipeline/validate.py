@@ -50,9 +50,12 @@ def validate_episodes(
 
     # Monotonicity is a property of STORAGE order (the reference diffs the
     # column as stored, validate_one.py:93-94) — not of the sorted frame
-    # order, which would be trivially monotone. Capture file position
-    # before any shuffle.
-    frames = frames.withColumn("__pos", F.monotonically_increasing_id())
+    # order, which would be trivially monotone. Capture the (file_path,
+    # row_index) storage coordinate before any shuffle (see order.py for
+    # why monotonically_increasing_id alone is not safe at scale).
+    from .order import with_storage_order
+
+    frames = with_storage_order(frames, "__pos")
     w = Window.partitionBy("episode_index").orderBy("__pos")
     bt = lambda c: f"`{c}`"  # noqa: E731 — backtick dotted names (P2)
 

@@ -421,6 +421,87 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- embedding-cosine near-dup ----------------------------------------------
 
+def embedding_cosine_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    block_cap: int = 8192,
+    gemm_chunk: int = 1024,
+) -> DataFrame:
+    """Super-threshold cosine pairs within label blocks, with every block
+    capped at ``block_cap`` vectors per Python worker.
+
+    Scale shape: a label with n vectors is salted into S = ⌈n/cap⌉
+    sub-blocks (pmod on vec_id); each vector replicates to its S
+    (sub-block, other-sub-block) tasks, so an applyInPandas group holds at
+    most TWO sub-blocks (≤ 2·cap rows) — a hot label can no longer
+    materialize an unbounded pandas frame or an n×n similarity matrix.
+    Replication factor S is the standard block-nested-loop cost of
+    all-pairs within a block; the gemm itself is additionally row-chunked
+    so peak sims memory is gemm_chunk × cap, independent of block size.
+    Inputs: ``corpus`` with (vec_id long, label, v array<double>).
+    """
+    import numpy as np
+    import pandas as pd
+
+    counts = corpus.groupBy("label").agg(
+        F.ceil(F.count("*") / block_cap).cast("int").alias("n_sub")
+    )
+    salted = (
+        corpus.join(F.broadcast(counts), "label")
+        .withColumn("g", F.pmod("vec_id", F.col("n_sub")).cast("int"))
+        .withColumn("o", F.explode(F.sequence(F.lit(0), F.col("n_sub") - 1)))
+        .select(
+            "label",
+            F.least("g", "o").alias("s1"),
+            F.greatest("g", "o").alias("s2"),
+            "g",
+            "vec_id",
+            "v",
+        )
+    )
+
+    def _emit(sims: np.ndarray, ids_a, ids_b, mask: np.ndarray):
+        ii, jj = np.where(mask)
+        a, b = ids_a[ii], ids_b[jj]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame(
+            {"vec_a": lo, "vec_b": hi, "cos_sim": np.round(sims[ii, jj], 4)}
+        )
+
+    def block_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        s1, s2 = int(key[1]), int(key[2])
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        out = []
+        if s1 == s2:  # intra-sub-block: upper triangle, row-chunked
+            for lo_i in range(0, len(ids), gemm_chunk):
+                hi_i = min(lo_i + gemm_chunk, len(ids))
+                sims = mat[lo_i:hi_i] @ mat.T
+                mask = sims >= threshold
+                # keep strictly-upper pairs only (global col > global row)
+                cols = np.arange(len(ids))[None, :]
+                rows = np.arange(lo_i, hi_i)[:, None]
+                out.append(_emit(sims, ids[lo_i:hi_i], ids, mask & (cols > rows)))
+        else:  # cross sub-block: full rectangle, row-chunked
+            a_sel = pdf["g"].to_numpy() == s1
+            ids_a, mat_a = ids[a_sel], mat[a_sel]
+            ids_b, mat_b = ids[~a_sel], mat[~a_sel]
+            for lo_i in range(0, len(ids_a), gemm_chunk):
+                hi_i = min(lo_i + gemm_chunk, len(ids_a))
+                sims = mat_a[lo_i:hi_i] @ mat_b.T
+                out.append(
+                    _emit(sims, ids_a[lo_i:hi_i], ids_b, sims >= threshold)
+                )
+        if not out:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []})
+        return pd.concat(out, ignore_index=True)
+
+    return salted.groupBy("label", "s1", "s2").applyInPandas(
+        block_pairs, "vec_a long, vec_b long, cos_sim double"
+    )
+
+
 @register(
     "dedup_embedding_cosine",
     oracle="""
@@ -445,16 +526,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Blocking is what makes this scale: candidate pairs are same-label
     only, never all-pairs. At 100 TB the label would be an LSH/IVF bucket
-    (see similarity.ann_lsh_buckets) — the plan shape is identical.
+    (see similarity.ann_lsh_buckets) — the plan shape is identical, and
+    embedding_cosine_pairs caps any single block at block_cap vectors per
+    worker (hot-label OOM guard), cross-comparing sub-blocks pairwise.
 
-    The within-block pairwise cosine runs as `applyInPandas`: one
-    normalized gemm (Mn @ Mn.T) per block, only super-threshold pairs
-    leave Python. The equivalent join + higher-order-function cosine was
-    ~25× slower (interpreted per-element lambdas on 2.5M pairs).
+    The pairwise cosine runs as `applyInPandas`: normalized chunked gemm
+    per (sub-)block, only super-threshold pairs leave Python. The
+    equivalent join + higher-order-function cosine was ~25× slower
+    (interpreted per-element lambdas on 2.5M pairs).
     """
-    import numpy as np
-    import pandas as pd
-
     from ..functions.vector import as_double
 
     ensure_utc(spark)
@@ -466,23 +546,4 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_double("embedding").alias("v"),
     )
     corpus = base.unionByName(planted)
-
-    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["vec_id"].to_numpy()
-        mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        sims = mat @ mat.T
-        ii, jj = np.where(np.triu(sims >= 0.95, k=1))
-        a, b = ids[ii], ids[jj]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pd.DataFrame(
-            {
-                "vec_a": lo,
-                "vec_b": hi,
-                "cos_sim": np.round(sims[ii, jj], 4),
-            }
-        )
-
-    return corpus.groupBy("label").applyInPandas(
-        block_pairs, "vec_a long, vec_b long, cos_sim double"
-    )
+    return embedding_cosine_pairs(corpus)

@@ -67,6 +67,8 @@ CONTRACT_FIRST: list[str] = [
     "text_token_count",
     "text_fingerprint",
     "streaming_session_window",
+    "mllib_minhash_verify",
+    "mllib_kmeans_coverage",
 ]
 
 # Excluded from the contract (still in the library + local checker): each
@@ -92,6 +94,11 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     # bench-only composite: reads/writes local files, host-dependent URIs;
     # its five stages are contract-covered by the pipeline_* queries.
     "pipeline_stage_chain": "pipeline_discover_status/validate/align/materialize",
+    # rows-only MLlib bases: their *_verify/*_coverage companions run the
+    # same model pipelines AND add oracle-checkable invariants, upgrading
+    # these components from rows-only to hash-checked.
+    "mllib_minhash_dups": "mllib_minhash_verify (superset with oracle)",
+    "mllib_kmeans_ivf": "mllib_kmeans_coverage (superset with oracle)",
 }
 
 CONTRACT_CAP = 50

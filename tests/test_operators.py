@@ -55,6 +55,48 @@ class TestDedup:
         assert planted <= set(pairs)
         assert all(abs(pairs[p] - 1.0) < 1e-6 for p in planted)
 
+    def test_embedding_cosine_block_cap_equals_bruteforce(self, spark):
+        """A label larger than block_cap is salted into sub-blocks and
+        cross-compared; the result must equal single-gemm brute force —
+        same pairs whether a block fits in one worker or not (the hot-
+        label OOM guard, plans/dedup.py embedding_cosine_pairs)."""
+        import numpy as np
+
+        from imitation_learning_data_pipeline_spark.plans.dedup import (
+            embedding_cosine_pairs,
+        )
+
+        rng = np.random.default_rng(7)
+        n, dim = 500, 16
+        base = rng.normal(size=(n, dim))
+        # plant near-dups: every 25th vector gets a barely-perturbed twin
+        rows = []
+        for i in range(n):
+            rows.append((i, 0, [float(x) for x in base[i]]))
+        for i in range(0, n, 25):
+            rows.append((10_000 + i, 0, [float(x) for x in base[i] * 1.0001]))
+        df = spark.createDataFrame(
+            rows, "vec_id long, label int, v array<double>"
+        )
+        # cap 64 forces ⌈520/64⌉ = 9 sub-blocks; chunk 17 exercises the
+        # row-chunked gemm path on uneven boundaries
+        got = {
+            (r.vec_a, r.vec_b)
+            for r in embedding_cosine_pairs(
+                df, threshold=0.95, block_cap=64, gemm_chunk=17
+            ).collect()
+        }
+        ids = np.array([r[0] for r in rows])
+        mat = np.stack([np.asarray(r[2]) for r in rows])
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ mat.T
+        ii, jj = np.where(np.triu(sims >= 0.95, k=1))
+        want = {
+            (min(ids[i], ids[j]), max(ids[i], ids[j])) for i, j in zip(ii, jj)
+        }
+        assert got == want
+        assert len(want) >= n // 25  # the planted twins are in there
+
 
 class TestSimilarity:
     def test_bruteforce_self_best_match(self, spark):

@@ -62,6 +62,36 @@ class TestDiscover:
         }
 
 
+class TestStorageOrder:
+    def test_metadata_coordinate_on_file_backed_frames(self, spark, lerobot_fixture):
+        from imitation_learning_data_pipeline_spark.pipeline.order import (
+            with_storage_order,
+        )
+
+        frames = spark.read.parquet(str(lerobot_fixture / "data" / "chunk-000"))
+        tagged = with_storage_order(frames, "__pos")
+        field = dict(zip(tagged.schema.names, tagged.schema.fields))["__pos"]
+        assert field.dataType.typeName() == "struct"  # (file_path, row_index)
+        # Within one episode file the coordinate is monotone in row order.
+        one = (
+            tagged.filter(F.col("episode_index") == 0)
+            .select("frame_index", "__pos")
+            .orderBy("__pos")
+            .collect()
+        )
+        assert [r.frame_index for r in one] == sorted(r.frame_index for r in one)
+
+    def test_fallback_for_memory_frames(self, spark):
+        from imitation_learning_data_pipeline_spark.pipeline.order import (
+            with_storage_order,
+        )
+
+        df = spark.createDataFrame([(1,), (2,)], "x int")
+        tagged = with_storage_order(df, "__pos")
+        field = dict(zip(tagged.schema.names, tagged.schema.fields))["__pos"]
+        assert field.dataType.typeName() == "long"  # monotonically_increasing_id
+
+
 class TestValidate:
     @pytest.fixture(scope="class")
     def report(self, spark, frames, episodes_meta):
