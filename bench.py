@@ -105,6 +105,20 @@ def main() -> int:
     # touch lower() once so any residual one-time string-expression init
     # is paid here rather than inside a measured query.
     spark.range(1000).selectExpr("sum(id)", "max(lower(string(id)))").collect()
+    # Fork the Python UDF worker pool (numpy/pandas import included) so
+    # the first Arrow-UDF query isn't charged the per-worker startup a
+    # long-lived cluster amortizes away.
+    from pyspark.sql.functions import pandas_udf
+
+    def _warm_fn(s):
+        import numpy as np
+
+        return s * np.float64(1.0)
+
+    _warm = pandas_udf(_warm_fn, "double")
+    spark.range(2048).repartition(64).select(_warm("id")).write.format(
+        "noop"
+    ).mode("overwrite").save()
     probe = TaskTimeProbe(spark)
 
     names = args.queries.split(",") if args.queries else HEADLINE

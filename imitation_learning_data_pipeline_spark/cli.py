@@ -49,7 +49,13 @@ def cmd_discover(args: argparse.Namespace) -> int:
     if os.path.exists(args.manifest):
         prev = spark.read.parquet(args.manifest)
 
-    manifest = discover(spark, args.data_root, prev_manifest=prev, since=args.since)
+    manifest = discover(
+        spark,
+        args.data_root,
+        prev_manifest=prev,
+        since=args.since,
+        full_hash=args.full_hash,
+    )
     if args.only_chunks:
         # P8 chunk-subset filter → partition-pruning predicate
         # (discover_refactored.py:86-89, scripts/neura.py:51-53).
@@ -207,7 +213,7 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--since", default=None, help="ISO mtime cutoff (S8)")
     d.add_argument("--stdout", dest="stdout_jsonl", action="store_true")
     d.add_argument("--full-hash", action="store_true",
-                   help="accepted for parity; head+tail sampling is the default")
+                   help="sha256 over every byte instead of head+tail sampling")
     d.add_argument("--only-chunks", default=None)
     d.add_argument("--all", dest="print_all", action="store_true")
     d.set_defaults(fn=cmd_discover)

@@ -36,7 +36,10 @@ def _parse_path(df: DataFrame) -> DataFrame:
 
 
 def list_episode_parquets(
-    spark: SparkSession, root: str, since: str | None = None
+    spark: SparkSession,
+    root: str,
+    since: str | None = None,
+    full_hash: bool = False,
 ) -> DataFrame:
     """Distributed listing + head/tail fingerprint of episode parquets.
 
@@ -78,14 +81,21 @@ def list_episode_parquets(
     )
     listing.count()
 
-    fp = F.sha2(
-        F.concat(
-            F.substring(F.col("content"), 1, SAMPLE_BYTES),
-            F.substring(F.col("content"), -SAMPLE_BYTES, SAMPLE_BYTES),
-            F.col("length").cast("string").cast("binary"),
-        ),
-        256,
-    )
+    if full_hash:
+        # --full-hash opt-in (scripts/neura.py:33-34, fingerprint.py:34):
+        # hash every byte instead of the head+tail sample.
+        fp = F.sha2(F.col("content"), 256)
+        algo = "sha256-full"
+    else:
+        fp = F.sha2(
+            F.concat(
+                F.substring(F.col("content"), 1, SAMPLE_BYTES),
+                F.substring(F.col("content"), -SAMPLE_BYTES, SAMPLE_BYTES),
+                F.col("length").cast("string").cast("binary"),
+            ),
+            256,
+        )
+        algo = "sha256-head-tail"
     fingerprints = reader().load(f"{root}/data/*").select(
         F.col("path").alias("parquet_uri"), fp.alias("fingerprint")
     )
@@ -96,9 +106,7 @@ def list_episode_parquets(
         "parquet_uri",
         "bytes_parquet",
         "fingerprint",
-        F.when(F.col("fingerprint").isNotNull(), "sha256-head-tail").alias(
-            "fingerprint_algo"
-        ),
+        F.when(F.col("fingerprint").isNotNull(), algo).alias("fingerprint_algo"),
     )
 
 
@@ -120,6 +128,7 @@ def discover(
     root: str,
     prev_manifest: DataFrame | None = None,
     since: str | None = None,
+    full_hash: bool = False,
 ) -> DataFrame:
     """Build the episode manifest with status lifecycle.
 
@@ -131,7 +140,7 @@ def discover(
     parquet). The reference's CHANGED enum member was unreachable
     (SURVEY §8.2); here it is real.
     """
-    eps = list_episode_parquets(spark, root, since=since)
+    eps = list_episode_parquets(spark, root, since=since, full_hash=full_hash)
     vids = list_videos(spark, root)
 
     front = vids.filter(F.col("camera") == "cam_front").select(

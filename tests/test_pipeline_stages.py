@@ -39,6 +39,28 @@ class TestDiscover:
         assert rows[2] == "ERROR"
         assert rows[0] == "NEW"
 
+    def test_full_hash_opt_in(self, spark, lerobot_fixture):
+        """--full-hash parity (scripts/neura.py:33-34): whole-file sha256
+        instead of head+tail sampling; algo column records the mode."""
+        from imitation_learning_data_pipeline_spark.pipeline.discover import (
+            list_episode_parquets,
+        )
+
+        sampled = {
+            r.episode_index: (r.fingerprint, r.fingerprint_algo)
+            for r in list_episode_parquets(spark, str(lerobot_fixture)).collect()
+        }
+        full = {
+            r.episode_index: (r.fingerprint, r.fingerprint_algo)
+            for r in list_episode_parquets(
+                spark, str(lerobot_fixture), full_hash=True
+            ).collect()
+        }
+        assert set(sampled) == set(full)
+        assert all(a == "sha256-head-tail" for _, a in sampled.values())
+        assert all(a == "sha256-full" for _, a in full.values())
+        assert all(sampled[k][0] != full[k][0] for k in sampled)
+
     def test_incremental_diff(self, spark, lerobot_fixture):
         from imitation_learning_data_pipeline_spark.pipeline import discover
 

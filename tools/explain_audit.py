@@ -32,7 +32,10 @@ AUDIT = {
     "pipeline_align_events": {"max_exchanges": 3},
     "window_reindex": {"max_exchanges": 1},
     "vector_zscore": {"want": ["BroadcastNestedLoopJoin", "BroadcastHashJoin"], "want_any": True},
-    "ann_bruteforce_topk": {"want": ["Broadcast"]},
+    # query matrix is a UDF closure constant (no broadcast-join node);
+    # the top-k should compile to WindowGroupLimit (rank pushdown) and the
+    # corpus pass must be a single Arrow-batched python stage.
+    "ann_bruteforce_topk": {"want": ["ArrowEvalPython", "WindowGroupLimit"]},
     # spread() repartition appears once per planted-corpus union branch in
     # the plan tree (reused at runtime) + the final hash-agg exchange.
     "dedup_exact": {"max_exchanges": 4},
