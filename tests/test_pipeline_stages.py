@@ -278,6 +278,42 @@ class TestAlign:
         assert np.allclose(list(r_out.action), list(r_raw.action))
 
 
+class TestReferenceStatsDoc:
+    def test_align_consumes_reference_global_stats_json(self, spark, frames):
+        """The reference repo publishes its real global stats document
+        (robot_data/meta/stats.json). Our align stage must consume that
+        exact shape (8-dim mean/std per feature incl. σ=0 dims) without
+        modification — S6 JSON doc → broadcast literals."""
+        import json
+        import os
+
+        import pytest as _pytest
+
+        path = "/root/reference/robot_data/meta/stats.json"
+        if not os.path.exists(path):
+            _pytest.skip("reference stats.json not present")
+        from imitation_learning_data_pipeline_spark.pipeline import align_transform
+
+        with open(path) as f:
+            doc = json.load(f)
+        stats = {k: v for k, v in doc.items() if isinstance(v, dict) and "mean" in v}
+        assert set(stats) >= {"action", "observation.state"}
+        assert len(stats["action"]["mean"]) == 8
+        # σ=0 dims exist in the real document (constant joints) — the
+        # center-only guard must handle them.
+        assert any(s == 0.0 for s in stats["action"]["std"])
+
+        out = align_transform(frames, stats)
+        rows = out.filter(F.col("episode_index") == 0).orderBy("frame_index").collect()
+        assert rows
+        # normalized action: finite everywhere (σ=0 guard divides by 1)
+        import math
+
+        assert all(
+            all(math.isfinite(x) for x in r.action) for r in rows
+        )
+
+
 class TestMaterialize:
     def test_split_layout_and_index(self, spark, frames, tmp_path):
         from imitation_learning_data_pipeline_spark.pipeline import materialize
