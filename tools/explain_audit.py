@@ -39,6 +39,15 @@ AUDIT = {
     # spread() repartition appears once per planted-corpus union branch in
     # the plan tree (reused at runtime) + the final hash-agg exchange.
     "dedup_exact": {"max_exchanges": 4},
+    # both window specs hash-partition on user_id → ONE exchange total
+    "window_frame_suite": {"max_exchanges": 1},
+    "window_group_order_suite": {"max_exchanges": 1},
+    # two projections (scores, then CASE), no exchange; the HOF score
+    # exprs are CodegenFallback so no WholeStageCodegen span is expected
+    "text_langid": {"max_exchanges": 1},
+    # salted sub-block pairing: counts agg + broadcast + applyInPandas
+    "dedup_embedding_cosine": {"want": ["FlatMapGroupsInPandas", "BroadcastHashJoin"]},
+    "asof_join_last_click": {"max_exchanges": 1},
 }
 
 
