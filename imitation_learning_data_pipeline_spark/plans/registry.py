@@ -69,6 +69,7 @@ CONTRACT_FIRST: list[str] = [
     "streaming_session_window",
     "mllib_minhash_verify",
     "mllib_kmeans_coverage",
+    "agg_approx_sketches",
 ]
 
 # Excluded from the contract (still in the library + local checker): each
@@ -99,6 +100,9 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     # these components from rows-only to hash-checked.
     "mllib_minhash_dups": "mllib_minhash_verify (superset with oracle)",
     "mllib_kmeans_ivf": "mllib_kmeans_coverage (superset with oracle)",
+    # J3 broadcast lookup join: join_star_region_revenue broadcasts both
+    # dims (BroadcastHashJoin verified by tools/explain_audit.py).
+    "join_broadcast_dim": "join_star_region_revenue (broadcast dims)",
 }
 
 CONTRACT_CAP = 50

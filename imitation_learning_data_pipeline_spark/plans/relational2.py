@@ -97,3 +97,50 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+@register(
+    "agg_approx_sketches",
+    oracle="""
+SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_distinct_parts,
+       TRUE AS hll_within_5pct,
+       TRUE AS qsketch_within_tol,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS exact_distinct_supps,
+       TRUE AS hll_supp_within_5pct
+FROM lineitem
+""",
+)
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HLL count-distinct, quantile sketch) with
+    oracle-checkable error-bound invariants.
+
+    Sketch outputs aren't bit-comparable across engines, so this uses the
+    same invariant-companion pattern as the MLlib checks: the plan
+    computes BOTH the sketch and the exact value, and exports the exact
+    values plus booleans asserting the sketch landed inside its
+    documented error bound (HLL rsd=0.02 → 5% slack; percentile_approx
+    at accuracy 10000 vs exact percentile → 1% of range). At 100 TB the
+    sketches are the only affordable form — approx_count_distinct is one
+    pass with O(1) state per group vs a full shuffle for exact distinct.
+    """
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("hll_parts"),
+        F.countDistinct("l_suppkey").alias("exact_supps"),
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("hll_supps"),
+        F.expr("percentile_approx(l_extendedprice, 0.5, 10000)").alias("ap50"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("ex50"),
+        (F.max("l_extendedprice") - F.min("l_extendedprice")).alias("rng"),
+    )
+    within = lambda a, e: (F.abs(F.col(a) - F.col(e)) / F.col(e)) <= 0.05  # noqa: E731
+    return agg.select(
+        F.col("exact_parts").cast("long").alias("exact_distinct_parts"),
+        within("hll_parts", "exact_parts").alias("hll_within_5pct"),
+        (F.abs(F.col("ap50") - F.col("ex50")) <= F.col("rng") * 0.01).alias(
+            "qsketch_within_tol"
+        ),
+        F.col("exact_supps").cast("long").alias("exact_distinct_supps"),
+        within("hll_supps", "exact_supps").alias("hll_supp_within_5pct"),
+    )
