@@ -57,7 +57,11 @@ def pipeline_stage_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest.persist()
     n_manifest = manifest.count()
 
-    frames = spark.read.parquet(f"{root}/data/*")
+    # One in-memory copy serves validate and stats (the tree would
+    # otherwise be re-scanned per stage). align instead gets a fresh
+    # file-backed read: an InMemoryRelation hides the `_metadata` column,
+    # and align's keep-first ordering wants the exact storage coordinate.
+    frames = spark.read.parquet(f"{root}/data/*").persist()
     meta = spark.read.json(f"{root}/meta/episodes.jsonl")
     report = validate_episodes(frames, meta)
     report.persist()
@@ -73,7 +77,7 @@ def pipeline_stage_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in stats_rows
     }
 
-    aligned = align_transform(frames, global_stats)
+    aligned = align_transform(spark.read.parquet(f"{root}/data/*"), global_stats)
     out_dir = os.path.join(root, "out")
     index = materialize(aligned, out_dir)
     n_index = index.count()
@@ -83,6 +87,7 @@ def pipeline_stage_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     manifest.unpersist()
     report.unpersist()
+    frames.unpersist()
     return spark.createDataFrame(
         [
             ("manifest_rows", int(n_manifest)),
