@@ -33,8 +33,13 @@ def words(col: Column | str) -> Column:
     return F.split(normalize_text(col), " ")
 
 
-def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Positional word n-grams as array<string> (space-joined).
+def clean_words(col: Column | str) -> Column:
+    """Normalized non-empty word tokens (array<string>)."""
+    return F.filter(words(col), lambda x: x != "")
+
+
+def shingles_of_words(wcol: Column | str, n: int = 3) -> Column:
+    """Positional word n-grams over a PRECOMPUTED clean-words column.
 
     Built as a zip_with chain over shifted copies of the word array —
     deliberately NOT ``transform(indices, i -> slice(w, i, n))``: higher-
@@ -42,19 +47,30 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     elimination, so an array expression referenced *inside* a lambda body
     is re-evaluated per element — that formulation re-ran the whole
     normalize+split per shingle (measured ~160 ms/row; this one is ~100×
-    cheaper). Here lambdas only touch their element arguments; ``w`` is
-    evaluated O(n) times per row.
+    cheaper). Here lambdas only touch their element arguments; ``wcol``
+    is referenced O(n) times per row — which is why hot paths project
+    :func:`clean_words` into a column FIRST (profiled ~45 CPU-s of a
+    sf0.1 minhash run was normalize+split re-evaluation when shingling
+    straight off the text column).
 
     zip_with pads the shorter (shifted) side with nulls; F.concat
     propagates them, and the final filter drops the null tail — leaving
     exactly size−n+1 shingles (empty for docs shorter than n words).
     """
-    w = F.filter(words(col), lambda x: x != "")
+    w = _c(wcol)
     z = w
     for k in range(1, n):
         shifted = F.slice(w, k + 1, F.greatest(F.size(w) - k, F.lit(0)))
         z = F.zip_with(z, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
     return F.filter(z, lambda s: s.isNotNull())
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Single-expression shingles of a text column (convenience form).
+
+    Hot paths should project clean_words first and use shingles_of_words
+    — this inline form re-runs normalize+split O(n) times per row."""
+    return shingles_of_words(clean_words(col), n)
 
 
 # Tiny per-language function-word marker sets (public linguistics

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import normalize_text, word_shingles
+from ..functions.text import clean_words, normalize_text, shingles_of_words
 from ..session import ensure_utc
 from ..sources import load_table
 from .registry import register
@@ -214,8 +214,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # slower). One hash-aggregate then computes ALL 12 minhash minima
     # AND the shingle set in a single shuffle with map-side partials —
     # the textbook minhash shape for a 100 TB corpus.
+    # Two projections: clean_words once per row, shingles over the
+    # column — shingling straight off `text` re-ran normalize+split O(n)
+    # times per row (HOFs have no CSE; profiled ~45 CPU-s at sf0.1).
     sh_rows = corpus.select(
-        "doc_id", F.explode(F.array_distinct(word_shingles("text", 3))).alias("s")
+        "doc_id", clean_words("text").alias("__w")
+    ).select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_of_words(F.col("__w"), 3))).alias("s"),
     )
     hashed_rows = sh_rows.select(
         "doc_id",
@@ -252,10 +258,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     bucket_sizes = bands.groupBy("band", "bucket").agg(F.count("*").alias("n"))
+    # persist(): the candidate self-join consumes ok_bands on BOTH sides;
+    # without the pin each side re-runs the bucket-histogram join.
     ok_bands = bands.join(
         bucket_sizes.filter(F.col("n") <= _BUCKET_CAP).select("band", "bucket"),
         ["band", "bucket"],
-    )
+    ).persist()
 
     a = ok_bands.alias("a")
     b = ok_bands.alias("b")
@@ -383,7 +391,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist(): sizes / df-histogram / posting-list branches all consume
     # the exploded shingles — materialize once (see dedup_minhash_lsh).
     sh = corpus.select(
-        "doc_id", F.explode(F.array_distinct(word_shingles("text", 3))).alias("s")
+        "doc_id", clean_words("text").alias("__w")
+    ).select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_of_words(F.col("__w"), 3))).alias("s"),
     ).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     rare = (

@@ -37,7 +37,7 @@ def mllib_minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs via MLlib MinHashLSH over hashed token-set vectors."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    from ..functions.text import word_shingles
+    from ..functions.text import clean_words, shingles_of_words
 
     ensure_utc(spark)
     docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
@@ -50,8 +50,10 @@ def mllib_minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # degenerates to all-pairs. 3-gram shingles restore discrimination.
     corpus = (
         docs.unionByName(planted)
-        .withColumn("tokens", F.array_distinct(word_shingles("text", 3)))
+        .select("doc_id", "text", clean_words("text").alias("__w"))
+        .withColumn("tokens", F.array_distinct(shingles_of_words(F.col("__w"), 3)))
         .filter(F.size("tokens") > 0)
+        .drop("__w")
     )
 
     tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 18, binary=True)
@@ -109,7 +111,7 @@ def mllib_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
       contradicts the reported vector Jaccard by more than HashingTF-
       collision slack. Expected zero.
     """
-    from ..functions.text import word_shingles
+    from ..functions.text import clean_words, shingles_of_words
 
     ensure_utc(spark)
     pairs = mllib_minhash_dups(spark, sf_dir)
@@ -121,7 +123,8 @@ def mllib_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tokens = (
         docs.unionByName(planted)
-        .withColumn("tokens", F.array_distinct(word_shingles("text", 3)))
+        .select("doc_id", clean_words("text").alias("__w"))
+        .withColumn("tokens", F.array_distinct(shingles_of_words(F.col("__w"), 3)))
         .filter(F.size("tokens") > 0)
         .select("doc_id", "tokens")
     )

@@ -18,7 +18,8 @@ from ..functions.text import (
     langid_scores,
     normalize_text,
     quality_features,
-    word_shingles,
+    clean_words,
+    shingles_of_words,
 )
 from ..session import ensure_utc
 from ..sources import load_table
@@ -220,8 +221,8 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fp/fingerprint.py:37-38) — there a file-level identity, here a
     content-level near-identity."""
     docs = _docs(spark, sf_dir)
-    sh = docs.select(
-        "doc_id", F.explode(word_shingles("text", 5)).alias("s")
+    sh = docs.select("doc_id", clean_words("text").alias("__w")).select(
+        "doc_id", F.explode(shingles_of_words(F.col("__w"), 5)).alias("s")
     )
     sketch = sh.groupBy("doc_id").agg(
         *[
