@@ -79,6 +79,24 @@ class TestLinkVideos:
                 assert os.path.getsize(dst) == os.path.getsize(src)
 
 
+class TestSplitStability:
+    def test_splits_never_move_when_data_grows(self, spark):
+        """The F5 contract: split is a pure function of (key, seed), so
+        re-running materialize on a grown dataset never moves an existing
+        episode between splits (unlike randomSplit)."""
+        from imitation_learning_data_pipeline_spark.functions.hashing import split_assign
+
+        small = spark.range(1000).select("id", split_assign("id").alias("s"))
+        grown = spark.range(5000).select("id", split_assign("id").alias("s"))
+        moved = (
+            small.alias("a")
+            .join(grown.alias("b"), "id")
+            .filter(F.col("a.s") != F.col("b.s"))
+            .count()
+        )
+        assert moved == 0
+
+
 class TestReindexModes:
     def test_reindex_after_clean_has_no_gaps(self, spark, frames):
         """reindex_after_clean=True is the FIXED behaviour (null-drop
