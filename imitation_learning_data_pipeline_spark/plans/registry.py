@@ -103,6 +103,10 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     # J3 broadcast lookup join: join_star_region_revenue broadcasts both
     # dims (BroadcastHashJoin verified by tools/explain_audit.py).
     "join_broadcast_dim": "join_star_region_revenue (broadcast dims)",
+    # library-surface curation extras beyond the 50-slot contract; same
+    # scan-bound projection shape as the contract-checked text_* family.
+    "text_redact_pii": "text_quality_score (scan-bound text projection)",
+    "text_sentence_stats": "text_quality_score (scan-bound text projection)",
 }
 
 CONTRACT_CAP = 50

@@ -233,3 +233,96 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.md5(normalize_text("text")).alias("fp_full")
     ).join(sketch, "doc_id", "left")
+
+
+# --- curation scrubbing / segmentation (library surface; local-gate
+# checked — the driver contract is capped at 50 queries) ---------------------
+
+# Regexes restricted to the Java-regex ∩ RE2 common subset so the DuckDB
+# oracle applies them verbatim. Deliberately simple pattern families —
+# at corpus scale PII scrubbing is a regex cascade exactly like this,
+# tuned per deployment.
+_PII_PATTERNS = [
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"),
+    ("phone", r"\+?[0-9][0-9()\-\s]{7,}[0-9]"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"),
+]
+
+
+def _redact_sql() -> str:
+    expr = "text"
+    for name, pat in _PII_PATTERNS:
+        # DuckDB regexp_replace with 'g' flag; escape single quotes
+        p = pat.replace("\\", "\\\\") if False else pat
+        expr = f"regexp_replace({expr}, '{p}', '<{name.upper()}>', 'g')"
+    return f"""
+SELECT doc_id,
+       {expr} AS clean_text,
+       CAST(len(regexp_extract_all(text, '{_PII_PATTERNS[0][1]}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PII_PATTERNS[2][1]}')) AS BIGINT)
+         AS n_ipv4
+FROM documents
+"""
+
+
+@register("text_redact_pii", oracle=_redact_sql())
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: regex-cascade redaction of emails / phone numbers /
+    IPv4 literals plus per-doc hit counts — the standard pre-training
+    scrub pass. Pure JVM regexp_replace chain; scan-bound at scale."""
+    docs = _docs(spark, sf_dir)
+    clean = F.col("text")
+    for name, pat in _PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, f"<{name.upper()}>")
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_PATTERNS[0][1]), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_PATTERNS[2][1]), 0))
+        .cast("long")
+        .alias("n_ipv4"),
+    )
+
+
+@register(
+    "text_sentence_stats",
+    oracle="""
+WITH sents AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split_regex(text, '[.!?]+'),
+                                    s -> trim(s)), s -> s <> '') AS ss
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(ss) AS BIGINT) AS n_sentences,
+       round(CAST(list_aggregate(list_transform(ss, s -> length(s)), 'sum')
+               AS DOUBLE) / greatest(len(ss), 1), 4) AS mean_sentence_chars,
+       CAST(list_aggregate(list_transform(ss, s -> length(s)), 'max')
+         AS BIGINT) AS max_sentence_chars
+FROM sents
+""",
+)
+def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation stats (terminal-punctuation split): sentence
+    count, mean/max sentence length — the document-structure features
+    quality filters key on (wall-of-text and one-liner detection)."""
+    docs = _docs(spark, sf_dir)
+    ss = F.filter(
+        F.transform(F.split(F.col("text"), "[.!?]+"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    docs2 = docs.select("doc_id", ss.alias("__ss"))
+    lens = F.transform(F.col("__ss"), lambda s: F.length(s))
+    return docs2.select(
+        "doc_id",
+        F.size("__ss").cast("long").alias("n_sentences"),
+        F.round(
+            F.aggregate(lens, F.lit(0), lambda a, x: a + x).cast("double")
+            / F.greatest(F.size("__ss"), F.lit(1)),
+            4,
+        ).alias("mean_sentence_chars"),
+        F.array_max(lens).cast("long").alias("max_sentence_chars"),
+    )

@@ -55,8 +55,10 @@ def frame_digest(pdf: pd.DataFrame) -> tuple[int, list[str], str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    name_filter = sys.argv[2:]
+    args = [a for a in sys.argv[1:] if a != "--all"]
+    check_all = "--all" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    name_filter = args[1:]
 
     import __spark_entry__ as mod
     from imitation_learning_data_pipeline_spark.session import get_spark
@@ -68,8 +70,16 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    queries = mod.queries()
-    oracles = mod.oracle_sql()
+    if check_all:
+        # full library registry, incl. queries excluded from the 50-slot
+        # contract surface (their oracles are still authoritative)
+        from imitation_learning_data_pipeline_spark.plans import ORACLES, QUERIES
+
+        queries = dict(QUERIES)
+        oracles = dict(ORACLES)
+    else:
+        queries = mod.queries()
+        oracles = mod.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
     failures: list[str] = []
     for name, fn in queries.items():
