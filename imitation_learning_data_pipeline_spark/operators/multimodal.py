@@ -96,3 +96,80 @@ def sample_frames(decoded: DataFrame, every_n: int = 4) -> DataFrame:
             )
         ).alias("frame_idx"),
     )
+
+
+AUDIO_SCHEMA = "doc_id long, window_idx int, n_samples int, rms double, zcr double"
+
+
+def extract_audio_features(
+    media: DataFrame,
+    window: int = 256,
+    fake_decode: bool = False,
+) -> DataFrame:
+    """Windowed audio features (RMS energy, zero-crossing rate) over a
+    PCM waveform — the audio-modality analogue of decode_media.
+
+    The DSP itself is REAL (vectorized numpy over sample windows — the
+    shape librosa-style feature extraction plugs into); only the
+    container decode (mp3/flac → PCM) is stubbed: ``fake_decode=True``
+    interprets the payload bytes directly as centered int8 PCM, which is
+    deterministic everywhere and exercises identical batching/windowing.
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake_decode:
+                raise NotImplementedError(
+                    "real audio decode requires soundfile/librosa on executors; "
+                    "run with fake_decode=True for the raw-PCM interpretation"
+                )
+            out: dict[str, list] = {
+                "doc_id": [], "window_idx": [], "n_samples": [], "rms": [], "zcr": []
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                pcm = np.frombuffer(bytes(payload), dtype=np.int8).astype(np.float64)
+                pcm -= pcm.mean() if len(pcm) else 0.0
+                for w_idx in range(0, max(len(pcm) + window - 1, 1) // window):
+                    seg = pcm[w_idx * window : (w_idx + 1) * window]
+                    if not len(seg):
+                        continue
+                    rms = float(np.sqrt(np.mean(seg**2)))
+                    zcr = (
+                        float(np.mean(np.abs(np.diff(np.signbit(seg)))))
+                        if len(seg) > 1
+                        else 0.0
+                    )
+                    out["doc_id"].append(doc_id)
+                    out["window_idx"].append(w_idx)
+                    out["n_samples"].append(len(seg))
+                    out["rms"].append(round(rms, 4))
+                    out["zcr"].append(round(zcr, 4))
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "payload").mapInPandas(run, AUDIO_SCHEMA)
+
+
+def plan_resize(
+    decoded: DataFrame, target_w: int = 224, target_h: int = 224
+) -> DataFrame:
+    """Resize planning over decoded metadata: aspect-preserving scale +
+    letterbox padding per image, computed as pure column arithmetic — the
+    engine schedules resizes from metadata; only the pixel resample (the
+    stubbed codec step) would touch bytes."""
+    scale = F.least(
+        F.lit(float(target_w)) / F.col("width"),
+        F.lit(float(target_h)) / F.col("height"),
+    )
+    out_w = F.floor(F.col("width") * scale).cast("int")
+    out_h = F.floor(F.col("height") * scale).cast("int")
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round(scale, 6).alias("scale"),
+        out_w.alias("out_w"),
+        out_h.alias("out_h"),
+        ((F.lit(target_w) - out_w) / 2).cast("int").alias("pad_x"),
+        ((F.lit(target_h) - out_h) / 2).cast("int").alias("pad_y"),
+    )

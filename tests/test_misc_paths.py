@@ -97,6 +97,66 @@ class TestSplitStability:
         assert moved == 0
 
 
+class TestAudioAndResize:
+    def test_audio_features_match_numpy(self, spark):
+        """The windowed RMS/ZCR math is real DSP — verify one document's
+        features against a direct numpy computation."""
+        import numpy as np
+
+        from imitation_learning_data_pipeline_spark.operators.multimodal import (
+            attach_payload,
+            extract_audio_features,
+        )
+        from imitation_learning_data_pipeline_spark.sources.readers import load_table
+
+        docs = load_table(spark, SF_DIR, "documents").limit(20)
+        media = attach_payload(docs)
+        feats = extract_audio_features(media, window=64, fake_decode=True)
+        got = {
+            (r.doc_id, r.window_idx): (r.rms, r.zcr, r.n_samples)
+            for r in feats.collect()
+        }
+        assert got
+
+        row = media.select("doc_id", "payload").first()
+        pcm = np.frombuffer(bytes(row.payload), dtype=np.int8).astype(np.float64)
+        pcm -= pcm.mean()
+        seg = pcm[:64]
+        want_rms = round(float(np.sqrt(np.mean(seg**2))), 4)
+        assert got[(row.doc_id, 0)][0] == pytest.approx(want_rms, abs=1e-9)
+
+    def test_audio_requires_fake_decode_flag(self, spark):
+        from imitation_learning_data_pipeline_spark.operators.multimodal import (
+            attach_payload,
+            extract_audio_features,
+        )
+        from imitation_learning_data_pipeline_spark.sources.readers import load_table
+
+        media = attach_payload(load_table(spark, SF_DIR, "documents").limit(2))
+        with pytest.raises(Exception, match="NotImplementedError|decode"):
+            extract_audio_features(media).collect()
+
+    def test_resize_plan_preserves_aspect_and_fits(self, spark):
+        from imitation_learning_data_pipeline_spark.operators.multimodal import (
+            attach_payload,
+            decode_media,
+            plan_resize,
+        )
+        from imitation_learning_data_pipeline_spark.sources.readers import load_table
+
+        docs = load_table(spark, SF_DIR, "documents").limit(50)
+        decoded = decode_media(attach_payload(docs), fake_decode=True)
+        plan = plan_resize(decoded, 224, 224).collect()
+        assert plan
+        for r in plan:
+            assert r.out_w <= 224 and r.out_h <= 224
+            assert max(r.out_w, r.out_h) in (224, 223)  # fits the long side
+            # aspect preserved within floor-rounding error (small dims
+            # can shift the ratio by ~1/out_h)
+            assert abs(r.out_w / r.out_h - r.width / r.height) < 0.05
+            assert r.pad_x >= 0 and r.pad_y >= 0
+
+
 class TestReindexModes:
     def test_reindex_after_clean_has_no_gaps(self, spark, frames):
         """reindex_after_clean=True is the FIXED behaviour (null-drop
