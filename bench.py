@@ -119,6 +119,15 @@ def main() -> int:
     spark.range(2048).repartition(64).select(_warm("id")).write.format(
         "noop"
     ).mode("overwrite").save()
+    # Touch every input table once (footer parse, filesystem init, OS page
+    # cache) so the first measured query isn't charged cold-IO costs no
+    # steady-state deployment pays per query.
+    from imitation_learning_data_pipeline_spark.sources.readers import TABLE_SCHEMAS, load_table
+
+    for _t in TABLE_SCHEMAS:
+        load_table(spark, args.sf_dir, _t).write.format("noop").mode(
+            "overwrite"
+        ).save()
     probe = TaskTimeProbe(spark)
 
     names = args.queries.split(",") if args.queries else HEADLINE
