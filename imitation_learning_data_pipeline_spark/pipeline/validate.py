@@ -88,12 +88,15 @@ def validate_episodes(
         F.max(F.size("obs_state")).alias("state_width_max"),
     )
 
+    # Named checks → ok flag + nested issues array, mirroring the
+    # reference's ValidationResult.issues (core/models.py:23-36; issue
+    # names follow validate_one.py:106-122).
     checks = [
-        F.col("frame_index_strictly_increasing"),
-        F.col("timestamp_non_decreasing"),
-        F.col("no_nulls"),
-        (F.col("action_width_max") == VECTOR_WIDTH),
-        (F.col("state_width_max") == VECTOR_WIDTH),
+        ("frame_index_not_sorted", F.col("frame_index_strictly_increasing")),
+        ("timestamp_not_sorted", F.col("timestamp_non_decreasing")),
+        ("nulls_in_required_columns", F.col("no_nulls")),
+        ("action_width", F.col("action_width_max") == VECTOR_WIDTH),
+        ("state_width", F.col("state_width_max") == VECTOR_WIDTH),
     ]
     if meta is not None:
         # Broadcast meta join replaces the per-episode filter loop (J3).
@@ -103,16 +106,22 @@ def validate_episodes(
             "left",
         )
         checks.append(
-            F.col("expected_rows").isNotNull()
-            & (F.abs(F.col("n_rows") - F.col("expected_rows")) <= rows_tolerance)
+            (
+                "rows_vs_meta",
+                F.col("expected_rows").isNotNull()
+                & (F.abs(F.col("n_rows") - F.col("expected_rows")) <= rows_tolerance),
+            )
         )
     else:
         report = report.withColumn("expected_rows", F.lit(None).cast("long"))
 
-    ok = checks[0]
-    for c in checks[1:]:
+    ok = checks[0][1]
+    for _, c in checks[1:]:
         ok = ok & c
-    return report.withColumn("ok", ok)
+    issues = F.array_compact(
+        F.array(*[F.when(~c, F.lit(name)) for name, c in checks])
+    )
+    return report.withColumn("ok", ok).withColumn("issues", issues)
 
 
 def validation_summary(report: DataFrame) -> DataFrame:

@@ -151,6 +151,16 @@ class TestValidate:
         assert not report[13].ok  # length off by 5 > ±2
         assert report[1].ok
 
+    def test_issues_array_names_failed_checks(self, report):
+        """Reference parity: failed episodes carry a nested issues list
+        naming each failed check (models.py:23-36, validate_one.py:
+        106-122)."""
+        assert list(report[0].issues) == []  # clean episode
+        assert "frame_index_not_sorted" in report[3].issues  # duplicated frame
+        assert "nulls_in_required_columns" in report[5].issues  # NaN timestamp
+        assert "frame_index_not_sorted" in report[11].issues  # out of order
+        assert "rows_vs_meta" in report[13].issues  # meta length off by 5
+
     def test_summary_counts(self, spark, frames, episodes_meta):
         from imitation_learning_data_pipeline_spark.pipeline import validate_episodes
         from imitation_learning_data_pipeline_spark.pipeline.validate import validation_summary
