@@ -88,6 +88,33 @@ class TestBucketedJoin:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+class TestPartitionPruning:
+    def test_split_filter_prunes_partitions(self, spark, lerobot_fixture, tmp_path):
+        """K4's read-side payoff: filtering the materialized
+        split=/chunk= layout on a partition column reaches the scan as a
+        partition filter — only matching directories are read."""
+        from imitation_learning_data_pipeline_spark.pipeline import (
+            align_transform,
+            materialize,
+        )
+
+        frames = spark.read.parquet(str(lerobot_fixture / "data" / "chunk-000"))
+        out = str(tmp_path / "out")
+        materialize(align_transform(frames), out)
+
+        back = spark.read.parquet(f"{out}/data")
+        pruned = back.filter(F.col("split") == "train")
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "split" in plan.split(
+            "PartitionFilters"
+        )[1].split("]")[0]
+        # (inputFiles() lists the relation pre-pruning, so the plan's
+        # PartitionFilters entry above is the authoritative evidence)
+        assert {r.split for r in pruned.select("split").distinct().collect()} == {
+            "train"
+        }
+
+
 class TestSaltedJoin:
     def test_salted_join_matches_plain_join(self, spark):
         from imitation_learning_data_pipeline_spark.functions.skew import salted_join
