@@ -39,8 +39,11 @@ def ensure_lerobot_tree(
     seed: int = 42,
 ) -> str:
     """Create (or reuse) a synthetic LeRobot tree at ``root``."""
+    # v2: adds the episodes_stats.jsonl sidecar — older cached trees
+    # regenerate.
     marker = os.path.join(
-        root, f".complete-{n_episodes}-{frames_per_episode}-{episodes_per_chunk}-{seed}"
+        root,
+        f".complete-v2-{n_episodes}-{frames_per_episode}-{episodes_per_chunk}-{seed}",
     )
     if os.path.exists(marker):
         return root
@@ -105,6 +108,56 @@ def ensure_lerobot_tree(
         for row in meta_rows:
             f.write(json.dumps(row) + "\n")
 
+    _write_stats_sidecar(root, meta_dir)
+
     with open(marker, "w") as f:
         f.write("ok")
     return root
+
+
+def _episode_stats(pdf: pd.DataFrame, feature: str) -> dict:
+    """TRUE per-dim stats of one episode's (possibly ragged) vectors,
+    mirroring posexplode semantics: a width-5 row contributes to dims
+    0-4 only; count is the row count (what the max-over-dims count in
+    stats_stage.episode_feature_stats resolves to)."""
+    dims: dict[int, list[float]] = {}
+    for arr in pdf[feature]:
+        for d, x in enumerate(arr):
+            dims.setdefault(d, []).append(float(x))
+    width = max(dims) + 1
+    mean = [float(np.mean(dims[d])) for d in range(width)]
+    std = [float(np.std(dims[d])) for d in range(width)]  # population
+    mn = [float(np.min(dims[d])) for d in range(width)]
+    mx = [float(np.max(dims[d])) for d in range(width)]
+    return {
+        "count": len(pdf),
+        "mean": mean,
+        "std": std,
+        "min": mn,
+        "max": mx,
+    }
+
+
+def _write_stats_sidecar(root: str, meta_dir: str) -> None:
+    """episodes_stats.jsonl with the heterogeneous shapes real toolchains
+    emit (stats_refactored.py:95-135): count as scalar / per-dim list /
+    alias keys, rotating per episode — but every VALUE is the exact stat
+    of the episode's frames, so sidecar-ingested global stats must equal
+    frames-derived ones (tested in tests/test_cli.py)."""
+    import glob as _glob
+
+    lines = []
+    for fp in sorted(_glob.glob(os.path.join(root, "data", "*", "episode_*.parquet"))):
+        pdf = pd.read_parquet(fp)
+        ep = int(pdf["episode_index"].iloc[0])
+        stats = {}
+        for feature in ("action", "observation.state"):
+            st = _episode_stats(pdf, feature)
+            if ep % 3 == 1:  # count as per-dim list
+                st["count"] = [st["count"]] * len(st["mean"])
+            elif ep % 3 == 2:  # alias key instead of count
+                st["frame_count"] = st.pop("count")
+            stats[feature] = st
+        lines.append(json.dumps({"episode_index": ep, "stats": stats}))
+    with open(os.path.join(meta_dir, "episodes_stats.jsonl"), "w") as f:
+        f.write("\n".join(lines) + "\n")

@@ -158,6 +158,45 @@ def test_full_cli_chain(spark, lerobot_fixture, workdir, capsys):
     assert "split=train" in splits
 
 
+def test_sidecar_stats_equal_frames_stats_on_synthetic_tree(spark, tmp_path):
+    """End-to-end A7 identity at tree scale: global stats reduced from a
+    heterogeneous-shape episodes_stats.jsonl sidecar (count scalar /
+    per-dim list / alias keys rotating per episode) must equal the same
+    reduction computed from the frames themselves."""
+    import numpy as np
+
+    from imitation_learning_data_pipeline_spark.pipeline import (
+        combine_global_stats,
+        episode_feature_stats,
+        read_episode_stats_jsonl,
+    )
+    from imitation_learning_data_pipeline_spark.pipeline.synthetic import (
+        ensure_lerobot_tree,
+    )
+
+    root = ensure_lerobot_tree(str(tmp_path / "tree"), n_episodes=24)
+    frames = spark.read.parquet(f"{root}/data/*")
+
+    from_frames = {
+        r.feature: r
+        for r in combine_global_stats(episode_feature_stats(frames)).collect()
+    }
+    from_sidecar = {
+        r.feature: r
+        for r in combine_global_stats(
+            read_episode_stats_jsonl(spark, f"{root}/meta/episodes_stats.jsonl")
+        ).collect()
+    }
+    assert set(from_frames) == set(from_sidecar) == {"action", "observation.state"}
+    for feat in from_frames:
+        a, b = from_frames[feat], from_sidecar[feat]
+        assert a["count"] == b["count"]
+        assert np.allclose(a.mean, b.mean, rtol=1e-9)
+        assert np.allclose(a.std, b.std, rtol=1e-7)
+        assert np.allclose(a.min, b.min)
+        assert np.allclose(a.max, b.max)
+
+
 def test_stats_sidecar_ingest_path(spark, workdir, capsys):
     """--episodes-stats flows through the heterogeneous ingest (A7)."""
     sidecar = workdir / "episodes_stats.jsonl"
