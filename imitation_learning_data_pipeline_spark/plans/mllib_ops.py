@@ -186,6 +186,55 @@ def mllib_kmeans_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_ivf_topk", oracle=None)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search path: top-5 cosine neighbors restricted to the query's
+    KMeans cell — the learned-quantizer dual of ann_lsh_topk.
+
+    At 100 TB: corpus written partitioned by cell_id, a query probes only
+    its nearest centroid's partition (nprobe=1 here); the join below IS
+    that partition-pruned scan shape. Registered rows-only: the cell
+    assignment comes from a model fit (deterministic under seed 42) that
+    no SQL oracle can replay; the cell-membership and occupancy
+    invariants are contract-checked via mllib_kmeans_coverage.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.sql.window import Window
+
+    from ..functions.vector import dot, l2_norm
+
+    ensure_utc(spark)
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    vecs = emb.select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+    km = KMeans(k=16, seed=42, maxIter=10, featuresCol="features", predictionCol="cell_id")
+    model = km.fit(vecs)
+    assigned = model.transform(vecs).select(
+        "vec_id", "cell_id", vector_to_array("features").alias("v")
+    )
+
+    queries = assigned.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"),
+        F.col("cell_id").alias("qcell"),
+        F.col("v").alias("qv"),
+    )
+    # Broadcast the 8 queries; candidates = same-cell corpus rows only.
+    cand = assigned.join(
+        F.broadcast(queries), assigned.cell_id == F.col("qcell")
+    ).filter(F.col("vec_id") != F.col("qid"))
+    cos = dot(F.col("qv"), F.col("v")) / (l2_norm(F.col("qv")) * l2_norm(F.col("v")))
+    scored = cand.select("qid", "vec_id", F.round(cos, 6).alias("cos"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "rnk", "vec_id", F.round("cos", 4).alias("cos_sim"))
+    )
+
+
 @register("mllib_kmeans_ivf", oracle=None)
 def mllib_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse index: KMeans(k=16, seed=42) over embeddings, then

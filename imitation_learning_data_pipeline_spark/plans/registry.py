@@ -107,6 +107,10 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     # scan-bound projection shape as the contract-checked text_* family.
     "text_redact_pii": "text_quality_score (scan-bound text projection)",
     "text_sentence_stats": "text_quality_score (scan-bound text projection)",
+    # IVF search: same bucket-restricted top-k shape as ann_lsh_topk;
+    # its model-fit invariants are contract-checked by
+    # mllib_kmeans_coverage.
+    "ann_ivf_topk": "ann_lsh_topk (bucket-restricted top-k shape)",
 }
 
 CONTRACT_CAP = 50

