@@ -84,11 +84,15 @@ def agg_weighted_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH ex AS ({_EXPLODED}),
 st AS (
-  SELECT dim, round(avg(x), 4) AS mu, round(stddev_pop(x), 4) AS sd
+  SELECT dim,
+         CAST(round(avg(x) * 1024) AS BIGINT) AS mu_i,
+         CAST(round(stddev_pop(x) * 1024) AS BIGINT) AS sd_i
   FROM ex GROUP BY dim
 )
 SELECT e.vec_id, e.dim,
-       round((e.x - st.mu) / (CASE WHEN st.sd = 0 THEN 1 ELSE st.sd END), 3) AS z
+       CAST(round(((e.x - st.mu_i / 1024.0)
+                   / (CASE WHEN st.sd_i = 0 THEN 1.0 ELSE st.sd_i / 1024.0 END))
+                  * 1000) AS BIGINT) AS z_milli
 FROM ex e JOIN st USING (dim)
 """,
 )
@@ -100,19 +104,29 @@ def vector_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python lambda; here it's JVM codegen). Global per-dim stats are
     reduced to two literal-sized arrays and broadcast-joined onto every
     row — at 100 TB the stats side is still just one row.
+
+    Cross-engine determinism (rounds 1-2 failed the driver hash on this
+    query while passing locally): decimal ``round(x, k)`` of a float is
+    NOT bit-portable — Spark rounds via BigDecimal shortest-decimal
+    re-interpretation while DuckDB computes ``round(x*10^k)/10^k`` in
+    floating point, so quotients near a 0.0005 boundary flip between
+    engines. Robustness by construction instead:
+
+    * stats are quantized to BINARY fractions — ``round(stat*1024)`` as a
+      BIGINT divided by 1024.0 is exact in IEEE double on every engine, so
+      both sides normalize with bit-identical mu/sd;
+    * the output is an INTEGER, ``CAST(round(z*1000) AS BIGINT)`` — IEEE
+      ops on bit-identical inputs are bit-identical, and round-to-integer
+      agrees between Spark HALF_UP and DuckDB half-away-from-zero at
+      every value including exact .5 (both round away from zero).
     """
     emb = _emb(spark, sf_dir)
     ex = emb.select(F.posexplode(as_double("embedding")).alias("dim", "x"))
     stats = (
-        # mu/sd are quantized to 4 dp BEFORE normalizing: avg/stddev_pop
-        # summation order is engine- and partitioning-dependent, so raw
-        # stats differ in the last ulps between runs; rounding first makes
-        # the z quotient bit-deterministic (matching the oracle, which
-        # rounds identically).
         ex.groupBy("dim")
         .agg(
-            F.round(F.avg("x"), 4).alias("mu"),
-            F.round(F.stddev_pop("x"), 4).alias("sd"),
+            (F.round(F.avg("x") * 1024).cast("long").cast("double") / 1024.0).alias("mu"),
+            (F.round(F.stddev_pop("x") * 1024).cast("long").cast("double") / 1024.0).alias("sd"),
         )
         .groupBy()
         .agg(
@@ -129,8 +143,11 @@ def vector_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         zscore("embedding", F.col("mean_arr"), F.col("std_arr")).alias("zvec"),
     )
     return normalized.select(
-        "vec_id", F.posexplode(F.transform("zvec", lambda z: F.round(z, 3))).alias("dim", "z")
-    ).select("vec_id", F.col("dim").cast("long").alias("dim"), "z")
+        "vec_id",
+        F.posexplode(
+            F.transform("zvec", lambda z: F.round(z * 1000).cast("long"))
+        ).alias("dim", "z_milli"),
+    ).select("vec_id", F.col("dim").cast("long").alias("dim"), "z_milli")
 
 
 @register(
