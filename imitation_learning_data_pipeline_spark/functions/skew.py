@@ -52,7 +52,16 @@ def salted_join(
     skew factor, keep the build side broadcast-small); probe side gains
     one narrow column. Wrong tool for two LARGE skewed sides — there,
     AQE skew-join or a two-pass hot/cold split wins.
+
+    Only inner/left are supported: with right/full, build rows that
+    match NO probe row were replicated n_salts times by explode_build
+    and would each survive as a distinct unmatched output row.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: outer "
+            "joins would emit unmatched build rows once per salt replica"
+        )
     p = salt_probe(probe, n_salts)
     b = explode_build(build, n_salts)
     return p.join(b, [*on, SALT_COL], how).drop(SALT_COL)

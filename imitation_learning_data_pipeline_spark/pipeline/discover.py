@@ -20,10 +20,36 @@ from pyspark.sql import functions as F
 
 SAMPLE_BYTES = 65536  # head+tail sample size (core/constants.py:1)
 
-ACTIONABLE_STATUSES = ["NEW", "CHANGED", "MISSING_SIDE"]  # statuses.py / :12
+# Statuses the reference's discover returns as its actionable delta
+# (discover_refactored.py:166-172): everything except UNCHANGED. PENDING
+# never occurs in batch discover here (subsumed by the file-stream's
+# later-micro-batch pickup, SURVEY §2.9-3) but is kept for parity.
+ACTIONABLE_STATUSES = [
+    "NEW", "CHANGED", "MISSING_SIDE", "DELETED", "ORPHAN_VIDEO", "PENDING", "ERROR",
+]
 
 _EP_RE = r"episode_(\d+)\.(parquet|mp4)$"
 _CHUNK_RE = r"(chunk-\d+)"
+
+# The eager listing snapshot below must stay cached until the caller
+# materializes the manifest, so it cannot be unpersisted inside this
+# module synchronously. To keep long-lived sessions (streaming
+# reconciliation loops, contract runs) from accumulating cached
+# relations, each new listing evicts the previous one — at most ONE
+# snapshot is ever pinned.
+_PINNED_LISTINGS: list[DataFrame] = []
+
+
+def _pin_listing(df: DataFrame) -> DataFrame:
+    clear_listing_cache()
+    _PINNED_LISTINGS.append(df.persist())
+    return df
+
+
+def clear_listing_cache() -> None:
+    """Unpersist any listing snapshot still pinned by a prior discover."""
+    while _PINNED_LISTINGS:
+        _PINNED_LISTINGS.pop().unpersist()
 
 
 def _parse_path(df: DataFrame) -> DataFrame:
@@ -54,12 +80,16 @@ def list_episode_parquets(
     no surviving fingerprint row comes back with fingerprint NULL — the
     discover() status CASE maps that to ERROR.
     """
-    spark.conf.set("spark.sql.files.ignoreMissingFiles", "true")
-    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
-
     def reader():
-        r = spark.read.format("binaryFile").option(
-            "pathGlobFilter", "episode_*.parquet"
+        # Missing/corrupt tolerance is scoped to THESE reads via the
+        # generic file-source options — never set session-wide, which
+        # would silently mask data loss in every later read of the
+        # session (validate/stats/align, other contract queries).
+        r = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "episode_*.parquet")
+            .option("ignoreMissingFiles", "true")
+            .option("ignoreCorruptFiles", "true")
         )
         return r.option("modifiedAfter", since) if since else r
 
@@ -69,15 +99,13 @@ def list_episode_parquets(
     # 88-97): without the pin, a file vanishing mid-job silently drops
     # from this subtree too and the ERROR classification below can never
     # fire — lazy re-evaluation would re-list.
-    listing = (
-        _parse_path(reader().load(f"{root}/data/*"))
-        .select(
+    listing = _pin_listing(
+        _parse_path(reader().load(f"{root}/data/*")).select(
             "episode_index",
             "chunk",
             F.col("path").alias("parquet_uri"),
             F.col("length").alias("bytes_parquet"),
         )
-        .persist()
     )
     listing.count()
 

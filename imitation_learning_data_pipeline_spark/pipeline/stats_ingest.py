@@ -83,10 +83,18 @@ def read_episode_stats_jsonl(
     # usable (> 0) wins (:178-190). coalesce skips nulls; nullify non-
     # positive candidates so they fall through like the reference's loop.
     pos = lambda c: F.when(c > 0, c)  # noqa: E731
-    n_candidates = []
-    for lead in ("action", "observation.state"):
-        if lead in features:
-            n_candidates.append(pos(_extract_count(feat_jsons[lead])))
+    # The reference ALWAYS consults stats['action'] then
+    # stats['observation.state'] for n, regardless of which features were
+    # requested (stats_refactored.py ref = st.get('action') or
+    # st.get('observation.state')) — so the leads are probed even when
+    # absent from `features`, then the requested features fall back in
+    # order. Otherwise `--features other.feat` would weight (or skip)
+    # episodes differently from the reference.
+    lead_jsons = {
+        lead: feat_jsons.get(lead, F.get_json_object("value", _feature_path(lead)))
+        for lead in ("action", "observation.state")
+    }
+    n_candidates = [pos(_extract_count(j)) for j in lead_jsons.values()]
     n_candidates += [
         pos(_extract_count(feat_jsons[f]))
         for f in features

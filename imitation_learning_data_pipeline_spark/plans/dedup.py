@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import cache
 from ..functions.text import clean_words, normalize_text, shingles_of_words
 from ..session import ensure_utc
 from ..sources import load_table
@@ -205,6 +206,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     band keys derive map-side from the set array (array_min ∘ transform),
     so there is no per-hash re-aggregation and no branch recomputation.
     """
+    cache.begin_plan()
     corpus = _corpus(spark, sf_dir)
 
     # Row-oriented hashing: shingles are exploded to rows and the seed
@@ -235,12 +237,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(_N_HASHES):
         j, off = _mh_ref(i)
         mh_aggs.append(F.min(F.substring(F.col(f"h{j}"), off, 8)).alias(f"mh{i}"))
-    # persist(): band histogram, both sides of the candidate self-join,
-    # and verify-x/verify-y all branch from here.
-    sigs = (
-        hashed_rows.groupBy("doc_id")
-        .agg(*mh_aggs, F.collect_set("s").alias("sh"))
-        .persist()
+    # pin(): band histogram, both sides of the candidate self-join, and
+    # verify-x/verify-y all branch from here. Registered with the plan
+    # cache so the next builder invocation evicts it (no session leak).
+    sigs = cache.pin(
+        hashed_rows.groupBy("doc_id").agg(*mh_aggs, F.collect_set("s").alias("sh"))
     )
     sets = sigs.select("doc_id", "sh")
 
@@ -258,12 +259,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     bucket_sizes = bands.groupBy("band", "bucket").agg(F.count("*").alias("n"))
-    # persist(): the candidate self-join consumes ok_bands on BOTH sides;
+    # pin(): the candidate self-join consumes ok_bands on BOTH sides;
     # without the pin each side re-runs the bucket-histogram join.
-    ok_bands = bands.join(
-        bucket_sizes.filter(F.col("n") <= _BUCKET_CAP).select("band", "bucket"),
-        ["band", "bucket"],
-    ).persist()
+    ok_bands = cache.pin(
+        bands.join(
+            bucket_sizes.filter(F.col("n") <= _BUCKET_CAP).select("band", "bucket"),
+            ["band", "bucket"],
+        )
+    )
 
     a = ok_bands.alias("a")
     b = ok_bands.alias("b")
@@ -387,15 +390,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlapping solely on hot shingles, identically defined on both
     engines.
     """
+    cache.begin_plan()
     corpus = _corpus(spark, sf_dir)
-    # persist(): sizes / df-histogram / posting-list branches all consume
+    # pin(): sizes / df-histogram / posting-list branches all consume
     # the exploded shingles — materialize once (see dedup_minhash_lsh).
-    sh = corpus.select(
-        "doc_id", clean_words("text").alias("__w")
-    ).select(
-        "doc_id",
-        F.explode(F.array_distinct(shingles_of_words(F.col("__w"), 3))).alias("s"),
-    ).persist()
+    sh = cache.pin(
+        corpus.select("doc_id", clean_words("text").alias("__w")).select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles_of_words(F.col("__w"), 3))).alias("s"),
+        )
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     rare = (
         sh.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") <= _DF_CAP)

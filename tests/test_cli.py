@@ -37,6 +37,9 @@ def test_full_cli_chain(spark, lerobot_fixture, workdir, capsys):
     delta = json.loads(out[-1])["delta_counts"]
     assert delta.get("NEW", 0) == 18
     assert delta.get("MISSING_SIDE", 0) == 1
+    # Parity with the reference's returned delta (discover_refactored.py
+    # :166-172): ORPHAN_VIDEO is actionable and surfaces by default.
+    assert delta.get("ORPHAN_VIDEO", 0) == 1
 
     # discover again — incremental diff vs its own manifest: no NEW rows.
     rc, out = _run(capsys, ["discover", "--data-root", root, "--manifest", manifest])

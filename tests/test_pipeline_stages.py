@@ -38,6 +38,18 @@ class TestDiscover:
         rows = {r.episode_index: r.status for r in m.collect()}
         assert rows[2] == "ERROR"
         assert rows[0] == "NEW"
+        # The actionable delta returns ERROR rows (reference
+        # discover_refactored.py:166-172 includes ERROR / DELETED /
+        # ORPHAN_VIDEO) — a fingerprint failure must not vanish from the
+        # default CLI output.
+        from imitation_learning_data_pipeline_spark.pipeline.discover import (
+            discover_delta,
+        )
+
+        delta_statuses = {r.status for r in discover_delta(m).collect()}
+        assert "ERROR" in delta_statuses
+        assert "ORPHAN_VIDEO" in delta_statuses
+        assert "UNCHANGED" not in delta_statuses
 
     def test_full_hash_opt_in(self, spark, lerobot_fixture):
         """--full-hash parity (scripts/neura.py:33-34): whole-file sha256

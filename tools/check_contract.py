@@ -54,9 +54,75 @@ def frame_digest(pdf: pd.DataFrame) -> tuple[int, list[str], str]:
     return len(pdf), cols, h
 
 
+def audit_float_cells(
+    spdf: pd.DataFrame, opdf: pd.DataFrame
+) -> dict[str, dict[str, float | int]]:
+    """Cross-engine float-determinism audit for a hash-PASSING query.
+
+    The digest normalizes floats via round(v, 4), so a PASS proves only
+    that both engines landed on the same side of every 0.00005 boundary —
+    it can be luck. Two stronger signals per float column:
+
+    * ``n_bitdiff`` / ``max_absdiff``: raw cells compared after aligning
+      rows by their normalized digest key. 0 bit-different cells ⇒ the
+      engines produced IEEE-identical doubles ⇒ deterministic by
+      construction. >0 ⇒ the PASS depended on rounding luck.
+    * ``min_bdist``: min distance of |v·10⁴|'s fractional part from .5
+      across both engines. < 1e-5 (i.e. v within 1e-9 of a digest
+      boundary) ⇒ a last-ulp engine difference could flip the hash.
+
+    Flag = (n_bitdiff > 0) AND (min_bdist < 1e-5): engines disagree at
+    full precision AND some cell sits close enough to a boundary to flip.
+    """
+    out: dict[str, dict[str, float | int]] = {}
+    cols = sorted(spdf.columns)
+    float_cols = [
+        c for c in cols
+        if str(spdf[c].dtype).startswith("float") or str(opdf[c].dtype).startswith("float")
+    ]
+    if not float_cols:
+        return out
+
+    def keyed(pdf: pd.DataFrame) -> list[tuple[str, tuple]]:
+        recs = list(pdf[cols].itertuples(index=False))
+        return sorted(
+            (("|".join(_norm_cell(v) for v in rec)), tuple(rec)) for rec in recs
+        )
+
+    srows, orows = keyed(spdf), keyed(opdf)
+    idx = {c: cols.index(c) for c in float_cols}
+    for c in float_cols:
+        i = idx[c]
+        n_bitdiff = 0
+        max_absdiff = 0.0
+        min_bdist = math.inf
+        for (_, srec), (_, orec) in zip(srows, orows):
+            sv, ov = srec[i], orec[i]
+            for v in (sv, ov):
+                if isinstance(v, float) and math.isfinite(v):
+                    frac = abs(v) * 1e4
+                    d = abs(frac - math.floor(frac) - 0.5)
+                    if d < min_bdist:
+                        min_bdist = d
+            if isinstance(sv, float) and isinstance(ov, float):
+                if math.isnan(sv) and math.isnan(ov):
+                    continue
+                if sv != ov:
+                    n_bitdiff += 1
+                    max_absdiff = max(max_absdiff, abs(sv - ov))
+        out[c] = {
+            "n": len(srows),
+            "n_bitdiff": n_bitdiff,
+            "max_absdiff": max_absdiff,
+            "min_bdist": min_bdist,
+        }
+    return out
+
+
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--all"]
+    args = [a for a in sys.argv[1:] if a not in ("--all", "--audit")]
     check_all = "--all" in sys.argv[1:]
+    do_audit = "--audit" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     name_filter = args[1:]
 
@@ -82,6 +148,8 @@ def main() -> int:
         oracles = mod.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
     failures: list[str] = []
+    boundary_flags: list[tuple[str, str, dict]] = []
+    n_audited_cols = 0
     for name, fn in queries.items():
         if name_filter and not any(f in name for f in name_filter):
             continue
@@ -114,6 +182,21 @@ def main() -> int:
         if ok:
             print(f"PASS  {name}: {sn} rows  ({dt:.1f}s)")
             n_pass += 1
+            if do_audit:
+                audit = audit_float_cells(spdf, opdf)
+                n_audited_cols += len(audit)
+                for col, a in audit.items():
+                    flagged = a["n_bitdiff"] > 0 and a["min_bdist"] < 1e-5
+                    tag = "BOUNDARY-FLAG" if flagged else "audit"
+                    if flagged or a["n_bitdiff"] > 0:
+                        print(
+                            f"        {tag}  {name}.{col}: "
+                            f"bitdiff={a['n_bitdiff']}/{a['n']} "
+                            f"maxdiff={a['max_absdiff']:.3e} "
+                            f"min_bdist={a['min_bdist']:.3e}"
+                        )
+                    if flagged:
+                        boundary_flags.append((name, col, a))
         else:
             n_fail += 1
             failures.append(name)
@@ -141,6 +224,13 @@ def main() -> int:
     )
     if failures:
         print("failures:", " ".join(failures))
+    if do_audit:
+        if boundary_flags:
+            print(f"\n{len(boundary_flags)} BOUNDARY-FLAGGED column(s):")
+            for name, col, a in boundary_flags:
+                print(f"  {name}.{col}: {a}")
+        else:
+            print(f"\nboundary audit: 0 flagged of {n_audited_cols} float columns")
     return 1 if n_fail else 0
 
 
