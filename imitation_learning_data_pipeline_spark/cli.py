@@ -99,7 +99,22 @@ def cmd_validate(args: argparse.Namespace) -> int:
     meta_path = os.path.join(args.meta_dir, "episodes.jsonl")
     if os.path.exists(meta_path):
         meta = spark.read.json(meta_path)
-    report = validate_episodes(frames, meta, rows_tolerance=args.tolerance)
+    # Video checks (validate_one.py:124-137) run whenever a manifest with
+    # camera URIs is available and --skip-video was not passed; --fps
+    # feeds the ±1.0 fps gate.
+    manifest = None
+    check_videos = False
+    if not args.skip_video and args.manifest and os.path.exists(args.manifest):
+        manifest = spark.read.parquet(args.manifest)
+        check_videos = True
+    report = validate_episodes(
+        frames,
+        meta,
+        rows_tolerance=args.tolerance,
+        manifest=manifest,
+        check_videos=check_videos,
+        fps_expected=args.fps_expected,
+    )
     summary = write_validation_outputs(report, args.out_dir)
     print(json.dumps(summary))
     return 0 if summary["fail"] == 0 else 1

@@ -32,10 +32,21 @@ VECTOR_WIDTH = 8  # core/constants.py:19
 ROWS_TOLERANCE = 2  # scripts/neura.py:88
 
 
+FPS_EXPECTED = 30.0  # scripts/neura.py --fps default
+FPS_TOLERANCE = 1.0  # validate_one.py:134
+
+CAMERAS = ("front", "wrist")
+
+
 def validate_episodes(
     frames: DataFrame,
     meta: DataFrame | None = None,
     rows_tolerance: int = ROWS_TOLERANCE,
+    manifest: DataFrame | None = None,
+    check_videos: bool = False,
+    fps_expected: float = FPS_EXPECTED,
+    fps_tolerance: float = FPS_TOLERANCE,
+    probe_fn=None,
 ) -> DataFrame:
     """Per-episode validation report.
 
@@ -43,6 +54,18 @@ def validate_episodes(
     ``meta``: optional episodes.jsonl-shaped (episode_index, length).
     Missing required columns fail the whole-frame schema check up front,
     like validate_one.py:84-86 — raised at plan time, not mid-job.
+
+    ``check_videos=True`` (reference validate_one.py:124-137, the
+    ``not skip_video`` branch) additionally probes each camera video from
+    ``manifest`` (episode_index, video_front_uri, video_wrist_uri) and
+    enforces, per camera: the video exists and is probeable
+    (``{cam}_video_missing``), |fps − fps_expected| ≤ fps_tolerance
+    (``{cam}_fps``), and |nb_frames − n_rows| ≤ rows_tolerance
+    (``{cam}_frames_vs_rows``). A missing/unprobeable video records only
+    the missing issue and suppresses the other two, mirroring the
+    reference's ``continue``. ``probe_fn`` injects a fake prober in
+    tests/containers without ffprobe; default is the distinct-URI
+    Arrow-batched ``operators.media_probe.probe_videos``.
     """
     missing = [c for c in REQUIRED_COLS if c not in frames.columns]
     if missing:
@@ -115,13 +138,66 @@ def validate_episodes(
     else:
         report = report.withColumn("expected_rows", F.lit(None).cast("long"))
 
+    if check_videos:
+        if manifest is None:
+            raise ValueError("check_videos=True requires a manifest")
+        from ..operators.media_probe import probe_videos
+
+        # One URI row per episode: a manifest may carry several rows for
+        # an episode index (tombstones, orphans, per-chunk rows) — max()
+        # dedupes and prefers the non-null URI.
+        cam_uris = manifest.groupBy("episode_index").agg(
+            *[F.max(f"video_{cam}_uri").alias(f"video_{cam}_uri") for cam in CAMERAS]
+        )
+        all_uris = cam_uris.select(
+            F.explode(
+                F.array(*[F.col(f"video_{cam}_uri") for cam in CAMERAS])
+            ).alias("uri")
+        )
+        prober = probe_fn or (lambda d: probe_videos(d, uri_col="uri"))
+        probe = prober(all_uris)
+        # Probe output is O(episodes × cameras) — broadcast both the URI
+        # map and the probe results onto the per-episode report.
+        report = report.join(F.broadcast(cam_uris), "episode_index", "left")
+        for cam in CAMERAS:
+            pcam = probe.select(
+                F.col("uri").alias(f"video_{cam}_uri"),
+                F.col("ok").alias(f"__{cam}_ok"),
+                F.col("nb_frames").alias(f"__{cam}_nb"),
+                F.col("avg_fps").alias(f"__{cam}_fps"),
+            )
+            report = report.join(F.broadcast(pcam), f"video_{cam}_uri", "left")
+            has_video = F.col(f"video_{cam}_uri").isNotNull() & F.coalesce(
+                F.col(f"__{cam}_ok"), F.lit(False)
+            )
+            fps_bad = (
+                has_video
+                & F.col(f"__{cam}_fps").isNotNull()
+                & (F.abs(F.col(f"__{cam}_fps") - fps_expected) > fps_tolerance)
+            )
+            frames_bad = (
+                has_video
+                & F.col(f"__{cam}_nb").isNotNull()
+                & (F.abs(F.col(f"__{cam}_nb") - F.col("n_rows")) > rows_tolerance)
+            )
+            checks.extend(
+                [
+                    (f"{cam}_video_missing", has_video),
+                    (f"{cam}_fps", ~fps_bad),
+                    (f"{cam}_frames_vs_rows", ~frames_bad),
+                ]
+            )
     ok = checks[0][1]
     for _, c in checks[1:]:
         ok = ok & c
     issues = F.array_compact(
         F.array(*[F.when(~c, F.lit(name)) for name, c in checks])
     )
-    return report.withColumn("ok", ok).withColumn("issues", issues)
+    return (
+        report.withColumn("ok", ok)
+        .withColumn("issues", issues)
+        .drop(*[f"__{cam}_{k}" for cam in CAMERAS for k in ("ok", "nb", "fps")])
+    )
 
 
 def validation_summary(report: DataFrame) -> DataFrame:

@@ -109,6 +109,30 @@ def test_full_cli_chain(spark, lerobot_fixture, workdir, capsys):
     assert summary["total"] == 19 and summary["fail"] == 4
     assert os.path.exists(f"{val_out}/summary.yaml")
 
+    # validate with a manifest and NO --skip-video: video checks run
+    # (reference validate_one.py:124-137). Without ffprobe in the
+    # container (or with the fixture's fake mp4 bytes) every probe
+    # degrades to a {cam}_video_missing failure — the flag must change
+    # the report, not be silently ignored.
+    rc, out = _run(
+        capsys,
+        ["validate", "--data-root", root, "--meta-dir", f"{root}/meta",
+         "--out", str(workdir / "validate_vid"), "--manifest", manifest],
+    )
+    assert rc == 1
+    vid_summary = json.loads(out[-1])
+    assert vid_summary["fail"] == vid_summary["total"] == 19
+
+    # --skip-video restores the frame-only report even with a manifest.
+    rc, out = _run(
+        capsys,
+        ["validate", "--data-root", root, "--meta-dir", f"{root}/meta",
+         "--out", str(workdir / "validate_novid"), "--manifest", manifest,
+         "--skip-video"],
+    )
+    assert rc == 1
+    assert json.loads(out[-1])["fail"] == 4
+
     # stats — from frames.
     stats_path = str(workdir / "global_stats.json")
     rc, out = _run(

@@ -182,6 +182,95 @@ class TestValidate:
         assert s.ok + s.fail == s.total
 
 
+class TestVideoValidation:
+    """check_videos wiring (validate_one.py:124-137): fps ±tol,
+    frames-vs-rows ±tol, missing-video issues — via an injected fake
+    prober (this container has no ffprobe; the real prober's degraded
+    mode is covered in test_full_pipeline.py)."""
+
+    @pytest.fixture(scope="class")
+    def manifest(self, spark):
+        rows = [
+            (
+                i,
+                f"/vids/cam_front/episode_{i:06d}.mp4",
+                f"/vids/cam_wrist/episode_{i:06d}.mp4",
+            )
+            for i in range(19)
+            if i != 4  # episode 4: videos absent from the manifest
+        ]
+        return spark.createDataFrame(
+            rows, "episode_index long, video_front_uri string, video_wrist_uri string"
+        )
+
+    @staticmethod
+    def _fake_probe(uris):
+        bad_fps = F.col("uri").contains("episode_000001") & F.col("uri").contains(
+            "front"
+        )
+        bad_frames = F.col("uri").contains("episode_000002") & F.col("uri").contains(
+            "wrist"
+        )
+        return uris.distinct().select(
+            "uri",
+            F.lit(True).alias("ok"),
+            F.when(bad_frames, F.lit(0)).cast("long").alias("nb_frames"),
+            F.when(bad_fps, 24.0).otherwise(30.0).alias("avg_fps"),
+            F.lit(None).cast("double").alias("duration"),
+            F.lit(None).cast("string").alias("error"),
+        )
+
+    @pytest.fixture(scope="class")
+    def video_report(self, spark, frames, episodes_meta, manifest):
+        from imitation_learning_data_pipeline_spark.pipeline import validate_episodes
+
+        return {
+            r.episode_index: r
+            for r in validate_episodes(
+                frames,
+                episodes_meta,
+                manifest=manifest,
+                check_videos=True,
+                probe_fn=self._fake_probe,
+            ).collect()
+        }
+
+    def test_clean_episode_stays_ok(self, video_report):
+        assert video_report[0].ok
+        assert list(video_report[0].issues) == []
+
+    def test_bad_fps_flips_ok(self, video_report):
+        r = video_report[1]
+        assert not r.ok
+        assert "front_fps" in r.issues
+        assert "wrist_fps" not in r.issues
+
+    def test_frames_vs_rows_mismatch(self, video_report):
+        r = video_report[2]
+        assert not r.ok
+        assert "wrist_frames_vs_rows" in r.issues
+        assert "front_frames_vs_rows" not in r.issues
+
+    def test_missing_video_issue_and_suppression(self, video_report):
+        """A missing video records the missing issue and suppresses the
+        fps/frames checks for that camera (reference ``continue``)."""
+        r = video_report[4]
+        assert not r.ok
+        assert "front_video_missing" in r.issues
+        assert "wrist_video_missing" in r.issues
+        assert "front_fps" not in r.issues
+        assert "front_frames_vs_rows" not in r.issues
+
+    def test_skip_video_unchanged(self, spark, frames, episodes_meta, manifest):
+        from imitation_learning_data_pipeline_spark.pipeline import validate_episodes
+
+        base = {
+            r.episode_index: r.ok
+            for r in validate_episodes(frames, episodes_meta).collect()
+        }
+        assert base[1] and base[2] and base[4]  # video issues don't leak
+
+
 class TestStats:
     def test_weighted_combine_equals_direct(self, spark, frames):
         """The A3 identity: combining per-episode partials == direct global."""
