@@ -188,24 +188,28 @@ def cmd_align_transform(args: argparse.Namespace) -> int:
 
 
 def cmd_materialize(args: argparse.Namespace) -> int:
-    from .pipeline.materialize import link_videos, materialize
+    # No full-index collect anywhere: split counts are an aggregation
+    # (3 rows to the driver) and video placement runs per-partition on
+    # executors (pipeline.materialize.place_videos) — at 100× episode
+    # counts the driver traffic is unchanged.
+    from .pipeline.materialize import materialize, place_videos
 
     spark = _spark("materialize")
     frames = spark.read.parquet(f"{args.norm_dir}/data")
     index = materialize(
         frames, args.out_dir, fracs=(args.train, args.val, args.test), seed=str(args.seed)
     )
-    index_rows = index.collect()
-    placed = []
+    counts = {
+        r.split: r.n
+        for r in index.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    placed_n = 0
     if args.videos_root:
         mode = {"manifest-only": "manifest"}.get(args.link_videos, args.link_videos)
-        placed = link_videos(index_rows, args.videos_root, f"{args.out_dir}/data", mode)
-    counts: dict[str, int] = {}
-    for r in index_rows:
-        counts[r.split] = counts.get(r.split, 0) + 1
+        placed_n = place_videos(index, args.videos_root, f"{args.out_dir}/data", mode)
     print(
         json.dumps(
-            {"out": args.out_dir, "split_counts": counts, "videos_placed": len(placed)}
+            {"out": args.out_dir, "split_counts": counts, "videos_placed": placed_n}
         )
     )
     return 0

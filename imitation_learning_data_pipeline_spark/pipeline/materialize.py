@@ -77,6 +77,73 @@ def materialize(
     return index
 
 
+def link_pairs(index: DataFrame, video_root: str, out_dir: str) -> DataFrame:
+    """Distributed (split, chunk, episode, camera) → (src, dst) pairs.
+
+    The per-episode loop of the reference (:113-128) as a projection —
+    the index never leaves the executors.
+    """
+    ep_mp4 = F.format_string("episode_%06d.mp4", F.col("episode_index").cast("int"))
+    return index.select(
+        "split",
+        "chunk",
+        "episode_index",
+        F.explode(F.array(F.lit("cam_front"), F.lit("cam_wrist"))).alias("camera"),
+    ).select(
+        F.concat_ws("/", F.lit(video_root), "chunk", "camera", ep_mp4).alias("src"),
+        F.concat_ws(
+            "/",
+            F.lit(out_dir),
+            F.concat(F.lit("split="), "split"),
+            F.concat(F.lit("chunk="), "chunk"),
+            "camera",
+            ep_mp4,
+        ).alias("dst"),
+    )
+
+
+def _place_one(src: str, dst: str, mode: str) -> bool:
+    if not os.path.exists(src):
+        return False
+    if mode != "manifest":
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+    if mode == "symlink":
+        if not os.path.lexists(dst):
+            os.symlink(src, dst)
+    elif mode == "hardlink":
+        if not os.path.exists(dst):
+            os.link(src, dst)
+    elif mode == "copy":
+        shutil.copy2(src, dst)
+    return True
+
+
+def place_videos(
+    index: DataFrame, video_root: str, out_dir: str, mode: str = "manifest"
+) -> int:
+    """Distributed video placement; returns the number of placed (or, in
+    manifest mode, placeable) videos.
+
+    Replaces the CLI's driver-side ``index.collect()`` loop: pairs are
+    computed and placed per-partition on executors (idempotent link ops,
+    so task retries are safe), and only the COUNT comes back to the
+    driver. Requires the destination filesystem to be visible from
+    executors (true for local mode and any shared/cloud FS).
+    """
+    import pandas as pd
+
+    pairs = link_pairs(index, video_root, out_dir)
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"placed": [_place_one(s, d, mode) for s, d in zip(pdf.src, pdf.dst)]}
+            )
+
+    placed = pairs.mapInPandas(run, "placed boolean")
+    return placed.filter(F.col("placed")).count()
+
+
 def link_videos(
     index_rows: list,
     video_root: str,
