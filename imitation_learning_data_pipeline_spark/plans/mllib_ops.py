@@ -186,23 +186,11 @@ def mllib_kmeans_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_ivf_topk", oracle=None)
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF search path: top-5 cosine neighbors restricted to the query's
-    KMeans cell — the learned-quantizer dual of ann_lsh_topk.
-
-    At 100 TB: corpus written partitioned by cell_id, a query probes only
-    its nearest centroid's partition (nprobe=1 here); the join below IS
-    that partition-pruned scan shape. Registered rows-only: the cell
-    assignment comes from a model fit (deterministic under seed 42) that
-    no SQL oracle can replay; the cell-membership and occupancy
-    invariants are contract-checked via mllib_kmeans_coverage.
-    """
+def _ivf_fit(spark: SparkSession, sf_dir: str, k: int = 16):
+    """Shared IVF quantizer: KMeans(k, seed=42) cell assignments + the
+    centroid table (broadcastable: k rows)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
-    from pyspark.sql.window import Window
-
-    from ..functions.vector import dot, l2_norm
 
     ensure_utc(spark)
     emb = spread(load_table(spark, sf_dir, "embeddings"))
@@ -210,28 +198,133 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
     )
-    km = KMeans(k=16, seed=42, maxIter=10, featuresCol="features", predictionCol="cell_id")
+    km = KMeans(k=k, seed=42, maxIter=10, featuresCol="features", predictionCol="cell_id")
     model = km.fit(vecs)
     assigned = model.transform(vecs).select(
         "vec_id", "cell_id", vector_to_array("features").alias("v")
     )
-
-    queries = assigned.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("qid"),
-        F.col("cell_id").alias("qcell"),
-        F.col("v").alias("qv"),
+    centers_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        ["cell_id", "center"],
     )
-    # Broadcast the 8 queries; candidates = same-cell corpus rows only.
+    return assigned, centers_df
+
+
+def ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int = 1,
+    k_neighbors: int = 5,
+    n_queries: int = 8,
+) -> DataFrame:
+    """Multi-probe IVF search: each query scans its ``nprobe`` nearest
+    cells, not just its own.
+
+    At 100 TB: corpus written partitioned by cell_id; the (query →
+    probe-cell) fan-out below is the partition-pruned scan list — nprobe
+    trades recall for scanned fraction ≈ nprobe/k. The query→cell
+    ranking runs over a broadcast k-row centroid table, and the probe
+    list (n_queries × nprobe rows) broadcasts onto the corpus join.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.vector import dot, l2_norm
+
+    assigned, centers_df = _ivf_fit(spark, sf_dir)
+
+    queries = assigned.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("center"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("d2").asc(), F.col("cell_id").asc())
+    probe = (
+        queries.crossJoin(F.broadcast(centers_df))
+        .select("qid", "qv", "cell_id", d2.alias("d2"))
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= nprobe)
+        .select("qid", "qv", F.col("cell_id").alias("probe_cell"))
+    )
     cand = assigned.join(
-        F.broadcast(queries), assigned.cell_id == F.col("qcell")
+        F.broadcast(probe), assigned.cell_id == F.col("probe_cell")
     ).filter(F.col("vec_id") != F.col("qid"))
     cos = dot(F.col("qv"), F.col("v")) / (l2_norm(F.col("qv")) * l2_norm(F.col("v")))
     scored = cand.select("qid", "vec_id", F.round(cos, 6).alias("cos"))
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "vec_id")
     return (
         scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 5)
+        .filter(F.col("rnk") <= k_neighbors)
         .select("qid", "rnk", "vec_id", F.round("cos", 4).alias("cos_sim"))
+    )
+
+
+@register("ann_ivf_topk", oracle=None)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search path: top-5 cosine neighbors over the nprobe=2 nearest
+    KMeans cells — the learned-quantizer dual of ann_lsh_topk.
+
+    Registered rows-only: the cell assignment comes from a model fit
+    (deterministic under seed 42) that no SQL oracle can replay; the
+    occupancy/membership invariants are contract-checked via
+    mllib_kmeans_coverage, and the search quality via ann_ivf_recall.
+    """
+    return ivf_topk(spark, sf_dir, nprobe=2)
+
+
+@register(
+    "ann_ivf_recall",
+    oracle="""
+SELECT TRUE AS recall_monotone,
+       TRUE AS full_probe_exact,
+       CAST(8 AS BIGINT) AS n_queries
+FROM (SELECT 1)
+""",
+)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable IVF quality invariants (round-2 verdict item 6).
+
+    recall@5 vs exact brute force must be monotone non-decreasing in
+    nprobe (1 → 4), and probing ALL k cells must reproduce brute force
+    exactly — both facts are guaranteed by IVF's construction (more
+    probed cells ⇒ candidate superset ⇒ recall can only grow; all cells
+    ⇒ the full corpus), so the oracle is the constant TRUE row. A failure
+    here means the probe-cell ranking or candidate join is broken.
+    """
+    from ..functions.vector import dot, l2_norm
+    from pyspark.sql.window import Window
+
+    ensure_utc(spark)
+    # Exact brute-force top-5 for the same 8 queries.
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    cos = dot(F.col("qv"), F.col("v")) / (l2_norm(F.col("qv")) * l2_norm(F.col("v")))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "vec_id")
+    exact = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", F.round(cos, 6).alias("cos"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "vec_id")
+    )
+
+    def recall(nprobe: int):
+        hits = ivf_topk(spark, sf_dir, nprobe=nprobe).join(
+            exact, ["qid", "vec_id"], "left_semi"
+        )
+        return hits.count() / exact.count()
+
+    r1, r4, rall = recall(1), recall(4), recall(16)
+    return spark.createDataFrame(
+        [(bool(r4 >= r1), bool(rall == 1.0), 8)],
+        "recall_monotone boolean, full_probe_exact boolean, n_queries long",
     )
 
 

@@ -57,14 +57,19 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # the one round-1 failure, vector_zscore) go first so any cap covers them.
 CONTRACT_FIRST: list[str] = [
     "vector_zscore",
+    # Round-3 rotation (r2 verdict item 7): drive previously library-only
+    # queries through the driver, displacing four twice-green proxies
+    # (now in CONTRACT_EXCLUDE with their named stand-ins).
+    "text_redact_pii",
+    "text_sentence_stats",
+    "window_running_sum",
+    "ann_ivf_recall",
     "window_dedup_first",
     "window_frame_suite",
     "window_group_order_suite",
-    "window_sessionize",
     "asof_join_last_click",
     "text_langid",
     "text_quality_score",
-    "text_token_count",
     "text_fingerprint",
     "streaming_session_window",
     "mllib_minhash_verify",
@@ -90,8 +95,13 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     "window_lag_monotonic": "window_group_order_suite",
     "window_first_last": "window_group_order_suite",
     "window_reindex": "window_frame_suite",
-    "window_running_sum": "window_frame_suite",
     "window_rank_ntile": "window_frame_suite",
+    # round-3 rotation: twice-green queries parked behind named proxies
+    # to free contract slots for previously driver-unchecked ones.
+    "window_sessionize": "streaming_session_window (same session-gap windowing)",
+    "text_token_count": "text_quality_score (same scan-bound text projection)",
+    "agg_rollup": "agg_cube (rollup grouping sets ⊂ cube's)",
+    "multimodal_decode_stub": "multimodal_frame_sample (drives the same decode plumbing further)",
     # bench-only composite: reads/writes local files, host-dependent URIs;
     # its five stages are contract-covered by the pipeline_* queries.
     "pipeline_stage_chain": "pipeline_discover_status/validate/align/materialize",
@@ -103,14 +113,10 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     # J3 broadcast lookup join: join_star_region_revenue broadcasts both
     # dims (BroadcastHashJoin verified by tools/explain_audit.py).
     "join_broadcast_dim": "join_star_region_revenue (broadcast dims)",
-    # library-surface curation extras beyond the 50-slot contract; same
-    # scan-bound projection shape as the contract-checked text_* family.
-    "text_redact_pii": "text_quality_score (scan-bound text projection)",
-    "text_sentence_stats": "text_quality_score (scan-bound text projection)",
     # IVF search: same bucket-restricted top-k shape as ann_lsh_topk;
     # its model-fit invariants are contract-checked by
-    # mllib_kmeans_coverage.
-    "ann_ivf_topk": "ann_lsh_topk (bucket-restricted top-k shape)",
+    # mllib_kmeans_coverage and its search quality by ann_ivf_recall.
+    "ann_ivf_topk": "ann_lsh_topk shape + ann_ivf_recall invariants",
 }
 
 CONTRACT_CAP = 50

@@ -115,10 +115,10 @@ class TestSimilarity:
             sims = [r.cos_sim for r in sorted(rs, key=lambda r: r.rnk)]
             assert sims == sorted(sims, reverse=True)
 
-    def test_ivf_topk_neighbors_share_query_cell(self, spark):
-        """IVF search invariant: every returned neighbor lives in its
-        query's KMeans cell, and per-query results are a correctly-ranked
-        top-5 (descending cosine, vec_id tiebreak)."""
+    def test_ivf_topk_ranked_within_probed_cells(self, spark):
+        """IVF search invariant: per-query results are a correctly-ranked
+        top-5 (descending cosine, vec_id tiebreak) drawn from the
+        nprobe probed cells; the query itself is excluded."""
         from imitation_learning_data_pipeline_spark.plans.mllib_ops import ann_ivf_topk
 
         rows = ann_ivf_topk(spark, SF_DIR).collect()
@@ -132,6 +132,35 @@ class TestSimilarity:
             cosines = [r.cos_sim for r in rs]
             assert cosines == sorted(cosines, reverse=True)
             assert qid not in {r.vec_id for r in rs}  # self excluded
+
+    def test_ivf_recall_monotone_in_nprobe_and_exact_at_full_probe(self, spark):
+        """Round-2 verdict item 6: recall@5 vs brute force is monotone
+        non-decreasing in nprobe, and nprobe=k reproduces brute force
+        EXACTLY (same (qid, rnk, vec_id) triples), not just same recall."""
+        from imitation_learning_data_pipeline_spark.plans.mllib_ops import (
+            ann_ivf_recall,
+            ivf_topk,
+        )
+        from imitation_learning_data_pipeline_spark.plans.similarity import (
+            ann_bruteforce_topk,
+        )
+
+        row = ann_ivf_recall(spark, SF_DIR).collect()[0]
+        assert row.recall_monotone
+        assert row.full_probe_exact
+        assert row.n_queries == 8
+
+        # nprobe=16 == all cells: identical ranked triples to brute force.
+        full = {
+            (r.qid, r.rnk, r.vec_id)
+            for r in ivf_topk(spark, SF_DIR, nprobe=16, k_neighbors=5).collect()
+        }
+        brute = {
+            (r.qid, r.rnk, r.vec_id)
+            for r in ann_bruteforce_topk(spark, SF_DIR).collect()
+            if r.rnk <= 5
+        }
+        assert full == brute
 
     def test_lsh_topk_subset_of_bucket(self, spark):
         from imitation_learning_data_pipeline_spark.plans.similarity import ann_lsh_topk
