@@ -57,6 +57,12 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # the one round-1 failure, vector_zscore) go first so any cap covers them.
 CONTRACT_FIRST: list[str] = [
     "vector_zscore",
+    # Round-3 additions: new operators built this round go straight into
+    # the contract so their first CORRECTNESS row lands immediately.
+    "text_repetition_stats",
+    "text_topk_ngrams",
+    "range_join_prior_views",
+    "ann_int8_topk",
     # Round-3 rotation (r2 verdict item 7): drive previously library-only
     # queries through the driver, displacing four twice-green proxies
     # (now in CONTRACT_EXCLUDE with their named stand-ins).
@@ -89,7 +95,7 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     "agg_summary_counts": "pipeline_materialize_index (grouped counts)",
     "union_relaxed": "pipeline_discover_status (same unionByName)",
     "topk_orders": "q3_shipping_priority (same sort+limit)",
-    "streaming_event_counts": "streaming_windowed_counts (same machinery)",
+    "streaming_event_counts": "streaming_session_window (same machinery)",
     "ann_lsh_buckets": "ann_lsh_topk (bucketing is its first stage)",
     # granular forms of the two merged window suites:
     "window_lag_monotonic": "window_group_order_suite",
@@ -117,6 +123,18 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     # its model-fit invariants are contract-checked by
     # mllib_kmeans_coverage and its search quality by ann_ivf_recall.
     "ann_ivf_topk": "ann_lsh_topk shape + ann_ivf_recall invariants",
+    # round-3 rotation #2: four more twice-green queries parked behind
+    # named sub-shape proxies to make room for this round's new operators
+    # (text_repetition_stats, text_topk_ngrams, range_join_prior_views,
+    # ann_int8_topk).
+    "agg_percentiles": "agg_approx_sketches (same quantile-family agg, "
+    "plus error-bound invariants)",
+    "agg_multi_onepass": "pipeline_validate_orders (same A1 one-pass "
+    "multi-aggregate over orders)",
+    "streaming_windowed_counts": "streaming_session_window (same "
+    "batch-parity time-window agg machinery; session gap ⊃ tumbling)",
+    "pivot_order_status": "agg_cube (same two-key aggregation driven "
+    "through richer grouping sets; pivot reshape is a projection)",
 }
 
 CONTRACT_CAP = 50

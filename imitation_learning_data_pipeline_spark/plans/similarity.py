@@ -175,6 +175,113 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_topk(scored, 10)
 
 
+def _quantize_i8(mat: np.ndarray) -> np.ndarray:
+    """Per-vector symmetric int8 quantization, half-away-from-zero.
+
+    q_i = round(x_i / scale), scale = max|x| / 127 — the storage format
+    that cuts ANN memory/bandwidth 4× vs float32. Rounding is
+    sign·floor(|x|/scale + 0.5) — half away from zero, matching both
+    Spark's HALF_UP round() and DuckDB's round(), NOT numpy's
+    half-to-even — so the quantized grid is engine-portable.
+    """
+    scale = np.maximum(np.abs(mat).max(axis=1, keepdims=True), 1e-12) / 127.0
+    r = mat / scale
+    return (np.sign(r) * np.floor(np.abs(r) + 0.5)).astype(np.int64)
+
+
+def _int8_dot_udf(qmat: np.ndarray):
+    """pandas UDF: embedding → int64 dot products of the int8-quantized
+    vector against the int8-quantized query matrix, plus the vector's
+    quantized squared norm. Integer arithmetic end-to-end
+    (|dot| ≤ 127·127·64 ≪ 2⁵³): bit-exact on every engine."""
+    qq_t = _quantize_i8(qmat).T  # (64, Q) int64
+
+    @F.pandas_udf("struct<ds:array<long>, n2:long>")
+    def dots(v: pd.Series) -> pd.DataFrame:
+        mat = np.stack(v.to_numpy()).astype(np.float64)  # (B, 64)
+        q = _quantize_i8(mat)
+        out = q @ qq_t  # (B, Q) int64 exact
+        n2 = (q * q).sum(axis=1)  # (B,) int64 exact
+        return pd.DataFrame({"ds": list(out), "n2": n2})
+
+    return dots
+
+
+_Q8_SQL = (
+    "list_transform(CAST({col} AS DOUBLE[]), x -> CAST(round(x / "
+    "(greatest(list_max(list_transform(CAST({col} AS DOUBLE[]), "
+    "y -> abs(y))), 1e-12) / 127.0)) AS BIGINT))"
+)
+
+
+@register(
+    "ann_int8_topk",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS qid, {_Q8_SQL.format(col="embedding")} AS qv
+  FROM embeddings WHERE vec_id < 8
+), c AS (
+  SELECT vec_id, {_Q8_SQL.format(col="embedding")} AS v FROM embeddings
+), scored AS (
+  SELECT q.qid, c.vec_id,
+         CAST(list_dot_product(q.qv, c.v) AS BIGINT) AS dot_q,
+         CAST(list_dot_product(c.v, c.v) AS BIGINT) AS n2
+  FROM q CROSS JOIN c
+  WHERE c.vec_id <> q.qid
+), ranked AS (
+  SELECT qid, vec_id, dot_q, n2,
+         row_number() OVER (
+           PARTITION BY qid
+           ORDER BY CAST(dot_q AS DOUBLE)
+                    / sqrt(CAST(greatest(n2, 1) AS DOUBLE)) DESC,
+                    vec_id) AS rnk
+  FROM scored
+)
+SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, dot_q, n2
+FROM ranked WHERE rnk <= 10
+""",
+)
+def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized similarity search: int8 per-vector symmetric
+    quantization, exact int64 dot products, top-10 per query ranked by
+    the normalized score dot/√‖v‖² (cosine up to a per-query constant).
+
+    The 100 TB rationale: int8 storage is 4× denser than float32 and the
+    integer GEMM is SIMD-friendly. Every emitted column is an exact
+    integer; the ranking key is ONE float division of two exact integers
+    (sqrt and divide are correctly-rounded IEEE ops on bit-identical
+    inputs → bit-identical on every engine — by construction, not by
+    luck; contrast the decimal-round pitfalls in plans/numeric.py).
+    Recall vs float cosine is regression-tested (test_round3_ops).
+    """
+    emb = _emb(spark, sf_dir)
+    qids, qmat = _query_matrix(_emb_raw(spark, sf_dir))
+    dots = _int8_dot_udf(qmat)
+    qid_arr = F.array(*[F.lit(q) for q in qids])
+    scored = (
+        emb.select("vec_id", dots(F.col("embedding")).alias("r"))
+        .select("vec_id", F.col("r.n2").alias("n2"), F.posexplode("r.ds").alias("qi", "dot_q"))
+        .select(
+            F.element_at(qid_arr, F.col("qi") + 1).alias("qid"),
+            "vec_id",
+            "dot_q",
+            "n2",
+        )
+        .filter(F.col("vec_id") != F.col("qid"))
+    )
+    score = F.col("dot_q").cast("double") / F.sqrt(
+        F.greatest(F.col("n2"), F.lit(1)).cast("double")
+    )
+    w = Window.partitionBy("qid").orderBy(score.desc(), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "qid", F.col("rnk").cast("long").alias("rnk"), "vec_id", "dot_q", "n2"
+        )
+    )
+
+
 @register(
     "ann_lsh_buckets",
     oracle=f"""

@@ -63,6 +63,74 @@ def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RANGE_US = 600 * 1_000_000  # 10-minute lookback, in microseconds
+
+
+@register(
+    "range_join_prior_views",
+    oracle=f"""
+SELECT c.event_id,
+       CAST(count(v.ts) AS BIGINT) AS n_prior_views
+FROM events c
+LEFT JOIN events v
+  ON v.user_id = c.user_id
+ AND v.event_type = 'view'
+ AND epoch_us(v.ts) <= epoch_us(c.ts)
+ AND epoch_us(v.ts) > epoch_us(c.ts) - {_RANGE_US}
+WHERE c.event_type = 'click'
+GROUP BY c.event_id
+""",
+)
+def range_join_prior_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: for every click, count same-user views in
+    the preceding 10 minutes — the classic feature-engineering interval
+    join Spark has no native operator for.
+
+    NOT the oracle's inequality join (which Catalyst can only execute as
+    a per-user cross product — O(clicks×views) per user, a scale-killer
+    for hot users): the window predicate is banded into an equi-join.
+    Each view is exploded to its two candidate 10-minute buckets
+    [b, b+1]; clicks join on (user_id, bucket) — any view inside a
+    click's lookback window lands in one of those buckets — and the
+    exact interval predicate filters the ≤2× candidate surplus. Work is
+    O(matches), shuffles are hash-partitioned on (user_id, bucket), and
+    a hot bucket is splittable by AQE. Counts are exact integers; the
+    left join keeps zero-view clicks.
+    """
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("cts"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.unix_micros("ts").alias("vts")
+    )
+    # A view at vts matches clicks with cts ∈ [vts, vts + RANGE), i.e.
+    # click buckets floor(vts/R) or floor(vts/R)+1.
+    b0 = F.floor(F.col("vts") / _RANGE_US)
+    views_banded = views.select(
+        "user_id", "vts", F.explode(F.array(b0, b0 + 1)).alias("bucket")
+    )
+    cand = clicks.withColumn(
+        "bucket", F.floor(F.col("cts") / _RANGE_US)
+    ).join(views_banded, ["user_id", "bucket"]).filter(
+        (F.col("vts") <= F.col("cts")) & (F.col("vts") > F.col("cts") - _RANGE_US)
+    )
+    counts = cand.groupBy("event_id").agg(F.count("*").alias("n_prior_views"))
+    return (
+        clicks.select("event_id")
+        .join(counts, "event_id", "left")
+        .select(
+            "event_id",
+            F.coalesce(F.col("n_prior_views"), F.lit(0)).cast("long").alias(
+                "n_prior_views"
+            ),
+        )
+    )
+
+
 @register(
     "window_sessionize",
     oracle="""

@@ -287,6 +287,164 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gram_sql(n: int) -> str:
+    """DuckDB expression for positional word n-grams WITH duplicates
+    (repetition measurement needs multiplicity; contrast
+    dedup._shingle_sql, which is distinct by design)."""
+    if n == 1:
+        return _W_SQL
+    return (
+        f"list_filter(list_transform("
+        f"range(1, greatest(len({_W_SQL}) - {n - 2}, 1)), "
+        f"i -> array_to_string(({_W_SQL})[i:i+{n - 1}], ' ')), x -> x <> '')"
+    )
+
+
+def _repetition_oracle() -> str:
+    gram_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {n} AS n, unnest({_gram_sql(n)}) AS g FROM documents"
+        for n in (1, 2, 3)
+    )
+    return f"""
+WITH grams AS (
+  {gram_rows}
+),
+counted AS (
+  SELECT doc_id, n, g, count(*) AS cnt FROM grams GROUP BY doc_id, n, g
+),
+agg AS (
+  SELECT doc_id,
+         coalesce(sum(cnt)   FILTER (WHERE n = 1), 0) AS total1,
+         coalesce(count(*)   FILTER (WHERE n = 1), 0) AS distinct1,
+         coalesce(sum(cnt)   FILTER (WHERE n = 2), 0) AS total2,
+         coalesce(max(cnt)   FILTER (WHERE n = 2), 0) AS max2,
+         coalesce(sum(cnt)   FILTER (WHERE n = 3), 0) AS total3,
+         coalesce(sum(cnt)   FILTER (WHERE n = 3 AND cnt > 1), 0) AS dup3
+  FROM counted GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(total1 AS BIGINT) AS n_words,
+       round(CAST(total1 - distinct1 AS DOUBLE) / greatest(total1, 1), 4)
+         AS word_rep_frac,
+       round(CAST(max2 AS DOUBLE) / greatest(total2, 1), 4) AS top_2gram_frac,
+       round(CAST(dup3 AS DOUBLE) / greatest(total3, 1), 4) AS dup_3gram_frac
+FROM agg
+"""
+
+
+@register("text_repetition_stats", oracle=_repetition_oracle())
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: repeated-word
+    fraction, most-frequent-2-gram mass, duplicated-3-gram mass — the
+    filters that catch boilerplate and template spam in web-scale corpora
+    (Rae et al. 2021, "Scaling Language Models", table A1 family).
+
+    Plan shape: ONE explode emits (doc_id, n, gram) rows for n=1,2,3
+    together (arrays concatenated before the generator), then two
+    hash-aggregates — gram multiplicity, then per-doc conditional sums —
+    both map-side-combinable and keyed on doc_id, so the whole query is
+    a single logical shuffle chain. Every output ratio is a quotient of
+    small exact integers rounded identically on both engines.
+    """
+    docs = _docs(spark, sf_dir)
+    base = docs.select("doc_id", clean_words("text").alias("__w"))
+
+    def tag(n: int, arr):
+        return F.transform(
+            arr, lambda x: F.struct(F.lit(n).alias("n"), x.alias("g"))
+        )
+
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                tag(1, F.col("__w")),
+                tag(2, shingles_of_words(F.col("__w"), 2)),
+                tag(3, shingles_of_words(F.col("__w"), 3)),
+            )
+        ).alias("gr"),
+    ).select("doc_id", F.col("gr.n").alias("n"), F.col("gr.g").alias("g"))
+    counted = grams.groupBy("doc_id", "n", "g").agg(F.count("*").alias("cnt"))
+
+    def csum(cond, col):
+        return F.coalesce(F.sum(F.when(cond, col)), F.lit(0))
+
+    n1 = F.col("n") == 1
+    n2 = F.col("n") == 2
+    n3 = F.col("n") == 3
+    agg = counted.groupBy("doc_id").agg(
+        csum(n1, F.col("cnt")).alias("total1"),
+        F.coalesce(F.count(F.when(n1, F.lit(1))), F.lit(0)).alias("distinct1"),
+        csum(n2, F.col("cnt")).alias("total2"),
+        F.coalesce(F.max(F.when(n2, F.col("cnt"))), F.lit(0)).alias("max2"),
+        csum(n3, F.col("cnt")).alias("total3"),
+        csum(n3 & (F.col("cnt") > 1), F.col("cnt")).alias("dup3"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("total1").cast("long").alias("n_words"),
+        F.round(
+            (F.col("total1") - F.col("distinct1")).cast("double")
+            / F.greatest(F.col("total1"), F.lit(1)),
+            4,
+        ).alias("word_rep_frac"),
+        F.round(
+            F.col("max2").cast("double") / F.greatest(F.col("total2"), F.lit(1)), 4
+        ).alias("top_2gram_frac"),
+        F.round(
+            F.col("dup3").cast("double") / F.greatest(F.col("total3"), F.lit(1)), 4
+        ).alias("dup_3gram_frac"),
+    )
+
+
+@register(
+    "text_topk_ngrams",
+    oracle=f"""
+WITH grams AS (
+  SELECT unnest({_gram_sql(2)}) AS gram FROM documents
+),
+counted AS (
+  SELECT gram, CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM grams GROUP BY gram
+),
+ranked AS (
+  SELECT gram, n_occurrences,
+         row_number() OVER (ORDER BY n_occurrences DESC, gram) AS rank
+  FROM counted
+)
+SELECT gram, n_occurrences, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 20
+""",
+)
+def text_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level most-frequent 2-grams — the vocabulary/boilerplate
+    census a curation pass runs before choosing filters.
+
+    Scale shape: explode → hash-agg with map-side combine → global top-k
+    via orderBy+limit (TakeOrderedAndProject: each partition keeps its
+    local top-20, the driver merges 20·P rows — never a full sort). The
+    rank column is attached AFTER the limit, so the window sorts 20 rows,
+    not the vocabulary.
+    """
+    docs = _docs(spark, sf_dir)
+    top = (
+        docs.select("doc_id", clean_words("text").alias("__w"))
+        .select(F.explode(shingles_of_words(F.col("__w"), 2)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "gram")
+        .limit(20)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("n_occurrences").desc(), "gram")
+    return top.select(
+        "gram",
+        "n_occurrences",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
 @register(
     "text_sentence_stats",
     oracle="""
