@@ -62,13 +62,17 @@ def _shingle_sql(n: int) -> str:
     )
 
 
-def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _corpus(spark: SparkSession, sf_dir: str, bytes_per_task: int | None = None) -> DataFrame:
     from ..sources.readers import spread
 
     ensure_utc(spark)
     # spread(): the corpus arrives as 1-3 parquet splits but every row
     # feeds shingling + seeded hashing — repartition to all cores first.
-    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    # Callers with heavy per-row compute (minhash: 3 md5 digests per
+    # shingle) pass a finer bytes_per_task to engage every core; the
+    # default sizing favors fewer, JIT-warm tasks (see spread()).
+    kw = {"bytes_per_task": bytes_per_task} if bytes_per_task else {}
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"), **kw)
     exact = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.upper("text"), F.lit(" !!!")).alias("text"),
@@ -207,7 +211,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     so there is no per-hash re-aggregation and no branch recomputation.
     """
     cache.begin_plan()
-    corpus = _corpus(spark, sf_dir)
+    # Finer spread: ~50 map tasks at sf0.1 — the md5-per-shingle cost
+    # dominates per-task overhead here, so use every core.
+    corpus = _corpus(spark, sf_dir, bytes_per_task=32 * 1024)
 
     # Row-oriented hashing: shingles are exploded to rows and the seed
     # digests are ordinary projections — whole-stage-codegen'd, unlike

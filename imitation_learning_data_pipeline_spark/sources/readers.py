@@ -80,15 +80,16 @@ TABLE_SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_shipdate", T.TimestampType()),
         ]
     ),
-    # NB: on disk `ts` is parquet TIMESTAMP(NANOS), which Spark's reader
-    # rejects ([PARQUET_TYPE_ILLEGAL]); we read it as raw nanos (LongType,
-    # via spark.sql.legacy.parquet.nanosAsLong) and convert to a
-    # microsecond TimestampType in load_table. DuckDB likewise truncates
-    # ns → µs on read, so the two engines agree.
+    # NB: `ts` on disk has varied across testdata generations —
+    # TIMESTAMP(NANOS) (which Spark's reader rejects, [PARQUET_TYPE_ILLEGAL])
+    # in earlier drops, TIMESTAMP(MICROS) in the current one. load_table
+    # sniffs the parquet footer and normalizes to microsecond
+    # TimestampType either way; DuckDB truncates ns → µs on read, so the
+    # two engines agree in both generations.
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -149,19 +150,57 @@ MANIFEST_SCHEMA = T.StructType(
 )
 
 
+# events.ts physical unit per sf_dir, sniffed once from the parquet
+# footer (a driver-side metadata read, not a data scan).
+_EVENTS_TS_UNIT: dict[str, str] = {}
+
+
+def _events_ts_unit(sf_dir: str) -> str:
+    unit = _EVENTS_TS_UNIT.get(sf_dir)
+    if unit is None:
+        import pyarrow.parquet as pq
+
+        t = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+        unit = getattr(t, "unit", "int")  # timestamp[{s,ms,us,ns}] or plain int64
+        _EVENTS_TS_UNIT[sf_dir] = unit
+    return unit
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table with its declared schema."""
     from pyspark.sql import functions as F
 
     schema = TABLE_SCHEMAS[name]
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.schema(schema).parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        unit = _events_ts_unit(sf_dir)
+        if unit == "ns":
+            # Spark rejects TIMESTAMP(NANOS) ([PARQUET_TYPE_ILLEGAL]);
+            # read raw nanos as long and truncate to µs like DuckDB does.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            ns_schema = T.StructType(
+                [
+                    T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
+                    for f in schema.fields
+                ]
+            )
+            df = spark.read.schema(ns_schema).parquet(f"{sf_dir}/{name}.parquet")
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if unit == "int":
+            # bare int64 epoch seconds
+            int_schema = T.StructType(
+                [
+                    T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
+                    for f in schema.fields
+                ]
+            )
+            df = spark.read.schema(int_schema).parquet(f"{sf_dir}/{name}.parquet")
+            return df.withColumn("ts", F.timestamp_seconds(F.col("ts")))
+        # s/ms/us: Spark's parquet reader converts to TimestampType natively
+        return spark.read.schema(schema).parquet(f"{sf_dir}/{name}.parquet")
     return spark.read.schema(schema).parquet(f"{sf_dir}/{name}.parquet")
 
 
-def spread(df: DataFrame, factor: int = 1, bytes_per_task: int = 32 * 1024) -> DataFrame:
+def spread(df: DataFrame, factor: int = 1, bytes_per_task: int = 128 * 1024) -> DataFrame:
     """Repartition a small-file / heavy-compute DataFrame so every core
     can work, without over-splitting tiny inputs.
 
@@ -175,6 +214,15 @@ def spread(df: DataFrame, factor: int = 1, bytes_per_task: int = 32 * 1024) -> D
     ~bytes_per_task of source data, capped at defaultParallelism × factor.
     At real scale the input is already thousands of splits and the
     repartition collapses into the existing exchange structure.
+
+    bytes_per_task calibration (round-4 partition-count sweep on the
+    sf0.1 simhash plan): total task CPU grew near-LINEARLY with partition
+    count while wall stayed flat — tiny concurrent tasks all execute the
+    freshly generated code before the JIT promotes it, so per-task cost
+    is dominated by interpreted execution (None→0.7 CPU-s, 8→3.6,
+    32→14.7, 50→14.4; wall 0.60-0.85 s throughout). 128 KiB/task lands
+    mid-sweet-spot (~13 tasks for the sf0.1 corpus) and changes nothing
+    at cluster scale where inputs arrive pre-split.
     """
     sc = df.sparkSession.sparkContext
     cap = sc.defaultParallelism * factor

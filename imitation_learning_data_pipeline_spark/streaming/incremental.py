@@ -18,17 +18,36 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.readers import TABLE_SCHEMAS
+from ..sources.readers import TABLE_SCHEMAS, _events_ts_unit
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """Streaming read of the events table, normalizing `ts` to a
+    microsecond timestamp across testdata generations (same footer
+    sniffing as the batch reader — see load_table)."""
+    from pyspark.sql import types as T
+
+    unit = _events_ts_unit(sf_dir)
+    schema = TABLE_SCHEMAS["events"]
+    if unit in ("ns", "int"):
+        schema = T.StructType(
+            [
+                T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
+                for f in schema.fields
+            ]
+        )
+    if unit == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
-        spark.readStream.schema(TABLE_SCHEMAS["events"])
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if unit == "ns":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if unit == "int":
+        return raw.withColumn("ts", F.timestamp_seconds(F.col("ts")))
+    return raw
 
 
 def run_stream_to_batch(streaming_df: DataFrame, spark: SparkSession) -> DataFrame:
