@@ -26,6 +26,7 @@ def _late_imports() -> None:
         pipeline_queries,
         relational,
         relational2,
+        sampling,
         scalars,
         similarity,
         stage_chain,
@@ -44,6 +45,7 @@ def _late_imports() -> None:
         temporal,
         numeric,
         dedup,
+        sampling,
         text,
         similarity,
         pipeline_queries,

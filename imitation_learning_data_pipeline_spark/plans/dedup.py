@@ -568,3 +568,71 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = base.unionByName(planted)
     return embedding_cosine_pairs(corpus)
+
+
+# --- benchmark decontamination: cross-set probe-shingle overlap --------------
+#
+# The training-data-pipeline operation the within-corpus dedups above do
+# NOT cover: given a (small) benchmark/eval "probe" set, find corpus
+# documents that leaked any probe n-gram — the standard n-gram-overlap
+# decontamination check run before LLM training. Reference scope: the
+# reference pipeline has no text dedup at all; this extends the
+# BASELINE.json dedup family (cf. /root/reference/README.md:164-187
+# future-work scope).
+
+_PROBE_MOD = 17  # doc_id % 17 == 3 → ~6% of originals act as the probe set
+_PROBE_REM = 3
+_DECONTAM_N = 5  # 5-gram overlap, the usual decontamination shingle width
+
+
+@register(
+    "decontam_probe_overlap",
+    oracle=f"""
+WITH corpus AS ({_CORPUS_SQL}),
+probe_sh AS (
+  SELECT DISTINCT unnest({_shingle_sql(_DECONTAM_N)}) AS s
+  FROM corpus
+  WHERE doc_id < 1000000 AND doc_id % {_PROBE_MOD} = {_PROBE_REM}
+),
+cand AS (
+  SELECT doc_id, unnest({_shingle_sql(_DECONTAM_N)}) AS s
+  FROM corpus
+  WHERE NOT (doc_id < 1000000 AND doc_id % {_PROBE_MOD} = {_PROBE_REM})
+)
+SELECT c.doc_id, count(*) AS n_overlap
+FROM cand c JOIN probe_sh p ON c.s = p.s
+GROUP BY c.doc_id
+""",
+)
+def decontam_probe_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing any 5-gram
+    with a probe (benchmark) set; n_overlap counts distinct shared
+    shingles per document.
+
+    Scale shape: the probe side is a benchmark suite — thousands of
+    documents even at 100 TB corpus scale — so its distinct shingle set
+    is BROADCAST and the corpus side is a map-side hash join on the
+    exploded shingles: no corpus shuffle at all until the final per-doc
+    count (which shuffles only (doc_id, hit) pairs). The planted
+    corpus copies of probe docs guarantee non-trivial hits on both
+    engines.
+    """
+    corpus = _corpus(spark, sf_dir)
+    is_probe = (F.col("doc_id") < 1000000) & (
+        F.col("doc_id") % _PROBE_MOD == _PROBE_REM
+    )
+    sh = corpus.select(
+        "doc_id", clean_words("text").alias("__w")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(shingles_of_words(F.col("__w"), _DECONTAM_N))
+        ).alias("s"),
+    )
+    probe_sh = sh.filter(is_probe).select("s").distinct()
+    cand = sh.filter(~is_probe)
+    return (
+        cand.join(F.broadcast(probe_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )

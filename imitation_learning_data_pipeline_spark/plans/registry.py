@@ -57,6 +57,11 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # the one round-1 failure, vector_zscore) go first so any cap covers them.
 CONTRACT_FIRST: list[str] = [
     "vector_zscore",
+    # Round-4 additions: benchmark decontamination + deterministic
+    # sampling operators, contract-checked from their first round.
+    "decontam_probe_overlap",
+    "sample_stratified_docs",
+    "sample_mixture_sources",
     # Round-3 additions: new operators built this round go straight into
     # the contract so their first CORRECTNESS row lands immediately.
     "text_repetition_stats",
@@ -135,6 +140,14 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     "batch-parity time-window agg machinery; session gap ⊃ tumbling)",
     "pivot_order_status": "agg_cube (same two-key aggregation driven "
     "through richer grouping sets; pivot reshape is a projection)",
+    # round-4 rotation: three twice-green queries parked behind named
+    # sub-shape proxies to free slots for the round-4 operators.
+    "multimodal_metadata": "multimodal_frame_sample (drives the same "
+    "URI+metadata-struct parse further into frame planning)",
+    "scalar_tolerance_check": "pipeline_validate_orders (abs-tolerance "
+    "comparisons are its fps/rows checks, F14)",
+    "vector_stats": "agg_weighted_variance (same posexplode per-dim "
+    "aggregate family, plus the weighted combine)",
 }
 
 CONTRACT_CAP = 50

@@ -1,0 +1,130 @@
+"""Deterministic sampling operators for training-data curation
+(BASELINE.json extension; first-class at 100 TB).
+
+Two shapes every large-scale corpus pipeline needs and the reference's
+split-assignment hash (utils.py:10-40, materialize_refactored.py:16-26)
+generalizes into:
+
+- stratified downsampling: cap over-represented strata (language here)
+  at a per-stratum budget, keeping under-represented strata whole;
+- mixture sampling: rebalance heterogeneous sources toward equal target
+  proportions via per-source acceptance ratios.
+
+Both use the same seeded md5 → unit-interval recipe as the reference's
+deterministic split (functions/hashing.py): membership is a pure
+function of (doc_id, seed), so re-running on grown data never flips a
+previously-sampled document — the property that makes incremental corpus
+rebuilds reproducible. NOT ``df.sample``/``randomSplit`` (partition-
+dependent, not per-key stable).
+
+Scale shape: per-stratum counts are a tiny aggregate broadcast back onto
+the corpus scan; the sample predicate is map-side (one md5 per row, no
+shuffle of text). The only full shuffle in either operator is the final
+per-stratum count — (stratum, 1) pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_unit_interval
+from ..session import ensure_utc
+from ..sources import load_table
+from .registry import register
+
+_STRAT_CAP = 100  # per-language document budget
+_U_SQL = (
+    "('0x' || substr(md5('{seed}' || '|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+    " / 4294967296.0"
+)
+
+
+@register(
+    "sample_stratified_docs",
+    oracle=f"""
+WITH n AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN n USING (lang)
+WHERE {_U_SQL.format(seed="strat")} < least(1.0, {_STRAT_CAP}.0 / n.n_l)
+""",
+)
+def sample_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling: keep ~cap documents per
+    language, strata under the cap kept whole (acceptance 1.0).
+
+    The acceptance fraction cap/n_l and the per-doc u are each a single
+    IEEE operation on exact integers, so the u < frac comparison is
+    bit-identical across engines — no rounding in the pipeline at all.
+    """
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_l"))
+    frac = F.least(F.lit(1.0), F.lit(float(_STRAT_CAP)) / F.col("n_l"))
+    return (
+        docs.join(F.broadcast(counts), "lang")
+        .filter(md5_unit_interval("doc_id", seed="strat") < frac)
+        .select("doc_id", "lang")
+    )
+
+
+@register(
+    "sample_mixture_sources",
+    oracle=f"""
+WITH c AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+t AS (SELECT CAST(sum(n_s) AS DOUBLE) AS total, CAST(count(*) AS BIGINT) AS k FROM c),
+a AS (
+  SELECT c.source, c.n_s, least(1.0, (t.total / t.k) / c.n_s) AS acc
+  FROM c CROSS JOIN t
+),
+s AS (
+  SELECT d.source, count(*) AS n_sampled
+  FROM documents d JOIN a ON d.source = a.source
+  WHERE {_U_SQL.format(seed="mix")} < a.acc
+  GROUP BY d.source
+)
+SELECT a.source, a.n_s AS n_total,
+       coalesce(s.n_sampled, 0) AS n_sampled,
+       CAST(round(a.acc * 1000) AS BIGINT) AS accept_milli
+FROM a LEFT JOIN s ON a.source = s.source
+""",
+)
+def sample_mixture_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture rebalancing: acceptance ratio min(1, (N/k)/n_s)
+    per source targets an equal share of the corpus for each of the k
+    sources; over-represented sources are hash-downsampled, small ones
+    kept whole.
+
+    accept_milli is emitted as an integer (CAST(round(x*1000) AS BIGINT))
+    — the cross-engine-determinism convention from plans/numeric.py: the
+    acceptance is a quotient of exact integers, bit-identical on both
+    engines, and integer rounding agrees everywhere (both round
+    half away from zero for positive values).
+    """
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_s"))
+    totals = counts.agg(
+        F.sum("n_s").cast("double").alias("total"),
+        F.count("*").cast("long").alias("k"),
+    )
+    acc = counts.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_s",
+        F.least(F.lit(1.0), (F.col("total") / F.col("k")) / F.col("n_s")).alias("acc"),
+    )
+    sampled = (
+        docs.join(F.broadcast(acc.select("source", "acc")), "source")
+        .filter(md5_unit_interval("doc_id", seed="mix") < F.col("acc"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+    return (
+        acc.join(sampled, "source", "left")
+        .select(
+            "source",
+            F.col("n_s").alias("n_total"),
+            F.coalesce(F.col("n_sampled"), F.lit(0)).alias("n_sampled"),
+            F.round(F.col("acc") * 1000).cast("long").alias("accept_milli"),
+        )
+    )
