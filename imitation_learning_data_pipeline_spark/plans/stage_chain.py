@@ -80,10 +80,12 @@ def pipeline_stage_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     aligned = align_transform(spark.read.parquet(f"{root}/data/*"), global_stats)
     out_dir = os.path.join(root, "out")
     index = materialize(aligned, out_dir)
-    n_index = index.count()
-    n_frames_out = (
-        index.agg(F.sum("rows").alias("s")).collect()[0]["s"] or 0
-    )
+    # One action for both index stats — a second action would re-run the
+    # index plan (it is not persisted; at 100 TB that is a re-listing).
+    idx_row = index.agg(
+        F.count("*").alias("n"), F.sum("rows").alias("s")
+    ).collect()[0]
+    n_index, n_frames_out = idx_row["n"], idx_row["s"] or 0
 
     manifest.unpersist()
     report.unpersist()
