@@ -62,6 +62,7 @@ CONTRACT_FIRST: list[str] = [
     "decontam_probe_overlap",
     "sample_stratified_docs",
     "sample_mixture_sources",
+    "dedup_cluster_components",
     # Round-3 additions: new operators built this round go straight into
     # the contract so their first CORRECTNESS row lands immediately.
     "text_repetition_stats",
@@ -148,6 +149,9 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     "comparisons are its fps/rows checks, F14)",
     "vector_stats": "agg_weighted_variance (same posexplode per-dim "
     "aggregate family, plus the weighted combine)",
+    "q6_forecast_revenue": "q1_pricing_summary (same lineitem "
+    "scan+filter+agg shape; q6's pushdown assertions remain in "
+    "tools/explain_audit.py)",
 }
 
 CONTRACT_CAP = 50

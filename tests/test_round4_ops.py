@@ -101,3 +101,33 @@ class TestDeterministicSampling:
                 # small sources are kept whole
                 assert r.accept_milli == 1000
                 assert r.n_sampled == r.n_total
+
+
+class TestDedupClusterComponents:
+    def test_cluster_invariants(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.dedup import (
+            dedup_cluster_components,
+            dedup_minhash_lsh,
+        )
+
+        pairs = [
+            (r.doc_a, r.doc_b)
+            for r in dedup_minhash_lsh(spark, SF_DIR).collect()
+        ]
+        out = dedup_cluster_components(spark, SF_DIR).collect()
+        cluster = {r.doc_id: r.cluster_id for r in out}
+        size = {r.doc_id: r.cluster_size for r in out}
+        # 1. every similar pair landed in the same component
+        for a, b in pairs:
+            assert cluster[a] == cluster[b]
+        # 2. the cluster id is the smallest member (canonical doc)
+        members: dict[int, list[int]] = {}
+        for doc, cid in cluster.items():
+            members.setdefault(cid, []).append(doc)
+        for cid, docs in members.items():
+            assert cid == min(docs)
+            # 3. every member reports the true component size
+            assert all(size[d] == len(docs) for d in docs)
+        # 4. only docs with at least one pair appear (no singletons)
+        paired = {d for ab in pairs for d in ab}
+        assert set(cluster) == paired
