@@ -50,14 +50,20 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw
 
 
-def run_stream_to_batch(streaming_df: DataFrame, spark: SparkSession) -> DataFrame:
+def run_stream_to_batch(
+    streaming_df: DataFrame, spark: SparkSession, output_mode: str = "complete"
+) -> DataFrame:
     """Execute a streaming plan over all currently-available data and
-    return the result as a batch DataFrame (memory sink, availableNow)."""
+    return the result as a batch DataFrame (memory sink, availableNow).
+
+    ``output_mode``: aggregations use "complete"; arbitrary-stateful
+    operators (applyInPandasWithState) only support "update"/"append".
+    """
     name = f"mem_{uuid.uuid4().hex[:8]}"
     q = (
         streaming_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
