@@ -200,20 +200,27 @@ WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
 """
 
 
-@register("dedup_minhash_lsh", oracle=_minhash_oracle())
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    bucket_cap: int = _BUCKET_CAP,
+) -> DataFrame:
     """MinHash signatures → LSH band buckets → candidate pairs → exact
-    Jaccard verification. Only intra-bucket pairs are compared — never
-    all-pairs — and degenerate mega-buckets are excluded (_BUCKET_CAP).
+    Jaccard verification, over ANY ``(doc_id long, text string)`` frame.
+    Returns ``(doc_a, doc_b, jaccard)`` for pairs with Jaccard ≥
+    ``threshold``. Only intra-bucket pairs are compared — never
+    all-pairs — and degenerate mega-buckets are excluded (``bucket_cap``).
 
     Plan shape: ONE shuffle builds per-doc shingle sets; signatures and
-    band keys derive map-side from the set array (array_min ∘ transform),
-    so there is no per-hash re-aggregation and no branch recomputation.
+    band keys derive map-side from the set array, so there is no per-hash
+    re-aggregation and no branch recomputation.
+
+    NB: registers persist() pins under the shared plan cache — callers
+    composing multiple dedup plans in one action should not interleave
+    builder invocations (see cache.begin_plan).
     """
     cache.begin_plan()
-    # Finer spread: ~50 map tasks at sf0.1 — the md5-per-shingle cost
-    # dominates per-task overhead here, so use every core.
-    corpus = _corpus(spark, sf_dir, bytes_per_task=32 * 1024)
+    corpus = docs
 
     # Row-oriented hashing: shingles are exploded to rows and the seed
     # digests are ordinary projections — whole-stage-codegen'd, unlike
@@ -269,7 +276,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without the pin each side re-runs the bucket-histogram join.
     ok_bands = cache.pin(
         bands.join(
-            bucket_sizes.filter(F.col("n") <= _BUCKET_CAP).select("band", "bucket"),
+            bucket_sizes.filter(F.col("n") <= bucket_cap).select("band", "bucket"),
             ["band", "bucket"],
         )
     )
@@ -296,55 +303,83 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(sets.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
         .join(sets.alias("y"), F.col("doc_b") == F.col("y.doc_id"))
-        .filter(jac >= 0.5)
+        .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
 
 
+@register("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract wrapper: :func:`minhash_pairs` over the planted-dup corpus.
+
+    The finer spread (~50 map tasks at sf0.1) engages every core — the
+    md5-per-shingle cost dominates per-task overhead here.
+    """
+    return minhash_pairs(_corpus(spark, sf_dir, bytes_per_task=32 * 1024))
+
+
 # --- SimHash -----------------------------------------------------------------
+#
+# Feature choice (round 5): 3-word SHINGLES, not single words. Word
+# features degenerate on low-diversity corpora — documents share most of
+# a tiny vocabulary, so every per-bit ±1 sum is dominated by the same
+# common words and signatures collapse toward each other (measured on
+# this corpus: >90% of RANDOM doc pairs landed within Hamming ≤ 8 of
+# each other, and band buckets skewed to 2755-of-6000 docs). Phrase
+# features are the published fix (Manku, Jain & Das Sarma, WWW'07 §3 use
+# phrase-level features for exactly this reason): shingles are near-
+# unique per document, so unrelated signatures decorrelate (bucket skew
+# measured ≤ 50-of-6600 with shingles) while near-dups still share most
+# features. Also keeps the whole dedup family on one feature extractor.
 
 _SIMHASH_BITS = 32
+_SH_BANDS = 4  # 4 × 8-bit bands over the 32-bit signature
+_SH_K = 3  # verify threshold: Hamming ≤ 3 (Manku et al.'s k)
+_SH_BUCKET_CAP = 1000  # degenerate-bucket guard, same policy as _BUCKET_CAP
 
 
-def _simhash_oracle() -> str:
+def _simhash_sig_sql() -> str:
+    """DuckDB CTE body computing (doc_id, simhash) from a `corpus` CTE."""
     bit_terms = " + ".join(
         f"(CASE WHEN sum(CASE WHEN (wh // {2**b}) % 2 = 1 THEN 1 ELSE -1 END) >= 0 "
         f"THEN CAST({2**b} AS BIGINT) ELSE 0 END)"
         for b in range(_SIMHASH_BITS)
     )
     return f"""
-WITH corpus AS ({_CORPUS_SQL}),
 w AS (
-  SELECT doc_id, unnest(list_distinct({_W_SQL})) AS word FROM corpus
+  SELECT doc_id, unnest({_shingle_sql(3)}) AS s FROM corpus
 ),
 wh AS (
-  SELECT doc_id, ('0x' || substr(md5(word), 1, 8))::BIGINT AS wh FROM w
-)
-SELECT doc_id, {bit_terms} AS simhash
-FROM wh GROUP BY doc_id
+  SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS wh FROM w
+),
+sig AS (
+  SELECT doc_id, {bit_terms} AS simhash FROM wh GROUP BY doc_id
+)"""
+
+
+def _simhash_oracle() -> str:
+    return f"""
+WITH corpus AS ({_CORPUS_SQL}),
+{_simhash_sig_sql()}
+SELECT doc_id, simhash FROM sig
 """
 
 
-@register("dedup_simhash", oracle=_simhash_oracle())
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per document from distinct-word md5s.
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """32-bit SimHash per document over distinct 3-word shingle md5s, for
+    ANY ``(doc_id long, text string)`` frame → ``(doc_id, simhash)``.
 
     One explode + one hash-agg with 32 conditional sums — no per-bit row
-    explosion, so the shuffle is O(docs × distinct_words) exactly like a
-    word count. Near-dup docs land within small Hamming distance.
+    explosion, so the shuffle is O(docs × shingles) exactly like a word
+    count. Near-dup docs land within small Hamming distance.
     """
-    corpus = _corpus(spark, sf_dir)
-    w = corpus.select(
+    w = docs.select("doc_id", clean_words("text").alias("__w")).select(
         "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.filter(F.split(normalize_text("text"), " "), lambda x: x != "")
-            )
-        ).alias("word"),
+        F.explode(F.array_distinct(shingles_of_words(F.col("__w"), 3))).alias("s"),
     )
     wh = w.select(
         "doc_id",
-        F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long").alias("wh"),
+        F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long").alias("wh"),
     )
     simhash = None
     for bit_pos in range(_SIMHASH_BITS):
@@ -354,6 +389,120 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit(0).cast("long"))
         simhash = term if simhash is None else simhash + term
     return wh.groupBy("doc_id").agg(simhash.alias("simhash"))
+
+
+@register("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract wrapper: :func:`simhash_signatures` over the planted-dup
+    corpus (the signature stage of dedup_simhash_pairs)."""
+    return simhash_signatures(_corpus(spark, sf_dir))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    k: int = _SH_K,
+    bucket_cap: int = _SH_BUCKET_CAP,
+) -> DataFrame:
+    """Near-dup pairs within Hamming distance ``k`` of the 32-bit SimHash,
+    for ANY ``(doc_id long, text string)`` frame →
+    ``(doc_a, doc_b, hamming)``.
+
+    Candidate generation is Hamming-band bucketing (Manku et al., WWW'07):
+    the signature splits into 4 exact bytes; any pair within Hamming ≤ 3
+    differs in ≤ 3 bits, which can touch at most 3 of the 4 bytes, so the
+    pair shares ≥ 1 exact byte (pigeonhole) and collides in that band's
+    bucket. Verification is one integer ``bit_count(xor)`` per candidate.
+
+    Scale shape: the self-join is per (band, byte) bucket — never
+    all-pairs — and each band's expected bucket is N/256 (shingle
+    features keep the byte distribution near-uniform; see the section
+    comment). A 100 TB run would widen to a 64-bit signature with 4 ×
+    16-bit bands (2¹⁶ buckets/band, same plan verbatim); 32-bit is kept
+    here because every stage must also be expressible in 64-bit-signed
+    oracle SQL. ``bucket_cap`` guards degenerate buckets exactly like
+    minhash's _BUCKET_CAP: a capped bucket would contribute O(cap²) junk
+    candidates from signature collapse, not real near-dups.
+    """
+    cache.begin_plan()
+    # pin(): bands + both verify sides consume the signatures.
+    sig = cache.pin(simhash_signatures(docs))
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(255)).alias("byte"),
+        )
+        for b in range(_SH_BANDS)
+    ]
+    bands = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.byte").alias("byte")
+    )
+    bucket_sizes = bands.groupBy("band", "byte").agg(F.count("*").alias("n"))
+    ok_bands = cache.pin(
+        bands.join(
+            bucket_sizes.filter(F.col("n") <= bucket_cap).select("band", "byte"),
+            ["band", "byte"],
+        )
+    )
+    a = ok_bands.alias("a")
+    b = ok_bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    hd = F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash")))
+    return (
+        cand.join(sig.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
+        .join(sig.alias("y"), F.col("doc_b") == F.col("y.doc_id"))
+        .filter(hd <= k)
+        .select("doc_a", "doc_b", hd.cast("long").alias("hamming"))
+    )
+
+
+def _simhash_pairs_oracle() -> str:
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, (simhash >> {8 * b}) & 255 AS byte FROM sig"
+        for b in range(_SH_BANDS)
+    )
+    return f"""
+WITH corpus AS ({_CORPUS_SQL}),
+{_simhash_sig_sql()},
+bands AS ({bands}),
+bucket_sizes AS (
+  SELECT band, byte, count(*) AS n FROM bands GROUP BY band, byte
+),
+ok_bands AS (
+  SELECT b.doc_id, b.band, b.byte FROM bands b
+  JOIN bucket_sizes s ON b.band = s.band AND b.byte = s.byte
+  WHERE s.n <= {_SH_BUCKET_CAP}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ok_bands a JOIN ok_bands b
+    ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       bit_count(xor(x.simhash, y.simhash)::BIGINT)::BIGINT AS hamming
+FROM cand c JOIN sig x ON c.doc_a = x.doc_id JOIN sig y ON c.doc_b = y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)::BIGINT) <= {_SH_K}
+"""
+
+
+@register("dedup_simhash_pairs", oracle=_simhash_pairs_oracle())
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract wrapper: :func:`simhash_pairs` over the planted-dup corpus.
+
+    Completes the SimHash dedup family (signature → Hamming-band buckets →
+    verified pairs). Finds every planted exact-modulo-normalization copy
+    (identical signature, Hamming 0) plus the tail-appended near-dups
+    whose signatures stay within Hamming ≤ 3.
+    """
+    return simhash_pairs(_corpus(spark, sf_dir))
 
 
 # --- n-gram Jaccard via inverted index --------------------------------------
@@ -387,7 +536,19 @@ WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.4
 """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact rare-shingle Jaccard pairs via inverted-index self-join.
+    """Contract wrapper: :func:`ngram_jaccard_pairs` over the planted-dup
+    corpus."""
+    return ngram_jaccard_pairs(_corpus(spark, sf_dir))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.4,
+    df_cap: int = _DF_CAP,
+) -> DataFrame:
+    """Exact rare-shingle Jaccard pairs via inverted-index self-join, for
+    ANY ``(doc_id long, text string)`` frame → ``(doc_a, doc_b, jaccard)``.
 
     The df-cap drops ubiquitous shingles before the self-join (a shingle in
     f docs yields O(f²) pair rows — the cap bounds the blow-up; standard
@@ -397,18 +558,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines.
     """
     cache.begin_plan()
-    corpus = _corpus(spark, sf_dir)
     # pin(): sizes / df-histogram / posting-list branches all consume
-    # the exploded shingles — materialize once (see dedup_minhash_lsh).
+    # the exploded shingles — materialize once (see minhash_pairs).
     sh = cache.pin(
-        corpus.select("doc_id", clean_words("text").alias("__w")).select(
+        docs.select("doc_id", clean_words("text").alias("__w")).select(
             "doc_id",
-            F.explode(F.array_distinct(shingles_of_words(F.col("__w"), 3))).alias("s"),
+            F.explode(F.array_distinct(shingles_of_words(F.col("__w"), n))).alias("s"),
         )
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     rare = (
-        sh.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") <= _DF_CAP)
+        sh.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") <= df_cap)
         .select("s")
     )
     posting = sh.join(rare, "s")
@@ -435,7 +595,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "doc_b",
         )
-        .filter(jac >= 0.4)
+        .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
 
@@ -605,34 +765,42 @@ GROUP BY c.doc_id
 """,
 )
 def decontam_probe_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination: corpus documents sharing any 5-gram
-    with a probe (benchmark) set; n_overlap counts distinct shared
-    shingles per document.
+    """Contract wrapper: :func:`decontam_overlap` with the probe set cut
+    from the planted-dup corpus by doc_id residue (the planted copies of
+    probe docs guarantee non-trivial hits on both engines)."""
+    corpus = _corpus(spark, sf_dir)
+    is_probe = (F.col("doc_id") < 1000000) & (
+        F.col("doc_id") % _PROBE_MOD == _PROBE_REM
+    )
+    return decontam_overlap(corpus.filter(~is_probe), corpus.filter(is_probe))
+
+
+def decontam_overlap(
+    docs: DataFrame, probe: DataFrame, n: int = _DECONTAM_N
+) -> DataFrame:
+    """Benchmark decontamination for ANY pair of ``(doc_id, text)``
+    frames: corpus documents sharing any word ``n``-gram with the probe
+    (benchmark) set → ``(doc_id, n_overlap)`` where n_overlap counts
+    distinct shared shingles per document.
 
     Scale shape: the probe side is a benchmark suite — thousands of
     documents even at 100 TB corpus scale — so its distinct shingle set
     is BROADCAST and the corpus side is a map-side hash join on the
     exploded shingles: no corpus shuffle at all until the final per-doc
-    count (which shuffles only (doc_id, hit) pairs). The planted
-    corpus copies of probe docs guarantee non-trivial hits on both
-    engines.
+    count (which shuffles only (doc_id, hit) pairs).
     """
-    corpus = _corpus(spark, sf_dir)
-    is_probe = (F.col("doc_id") < 1000000) & (
-        F.col("doc_id") % _PROBE_MOD == _PROBE_REM
-    )
-    sh = corpus.select(
-        "doc_id", clean_words("text").alias("__w")
-    ).select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(shingles_of_words(F.col("__w"), _DECONTAM_N))
-        ).alias("s"),
-    )
-    probe_sh = sh.filter(is_probe).select("s").distinct()
-    cand = sh.filter(~is_probe)
+
+    def _sh(df: DataFrame) -> DataFrame:
+        return df.select("doc_id", clean_words("text").alias("__w")).select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(shingles_of_words(F.col("__w"), n))
+            ).alias("s"),
+        )
+
+    probe_sh = _sh(probe).select("s").distinct()
     return (
-        cand.join(F.broadcast(probe_sh), "s")
+        _sh(docs).join(F.broadcast(probe_sh), "s")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_overlap"))
     )
@@ -678,18 +846,34 @@ FROM comp JOIN sizes ON comp.cluster_id = sizes.cluster_id
 """,
 )
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over the minhash near-dup pair graph:
-    (doc_id, cluster_id = min doc_id in its component, cluster_size).
-    Docs with no near-dup pair are singletons and are omitted.
+    """Contract wrapper: :func:`connected_components` over the minhash
+    near-dup pair graph."""
+    return connected_components(
+        dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    )
+
+
+def connected_components(
+    pairs: DataFrame, max_iters: int = _CC_MAX_ITERS
+) -> DataFrame:
+    """Connected components over ANY undirected ``(doc_a, doc_b)`` pair
+    frame → (doc_id, cluster_id = min doc_id in its component,
+    cluster_size). Isolated docs never appear in ``pairs`` and are
+    omitted (singletons).
 
     Distributed shape: labels and edges are (id, id) pairs — the
     similarity graph is ~#duplicate-pairs rows, orders of magnitude
-    smaller than the corpus, and each round is one join + one min-agg.
-    Convergence is detected with a 1-row sum aggregate (labels only ever
-    decrease, so the label-sum strictly decreases iff any label moved —
-    no full-frame comparison join needed).
+    smaller than the corpus, and each round is one edge join + one
+    min-agg plus one label self-join. The self-join is pointer jumping
+    (label ← label-of-label, i.e. path halving): neighbor propagation
+    alone moves a label ONE hop per round (O(diameter) rounds — a
+    pathological 1000-link chain would blow max_iters), the combined
+    step converges in O(log diameter) rounds — 2^max_iters diameter
+    headroom. Convergence is detected with a 1-row sum aggregate (labels
+    only ever decrease, so the label-sum strictly decreases iff any
+    label moved — no full-frame comparison join needed); running out of
+    rounds RAISES rather than returning silently-unconverged labels.
     """
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     # localCheckpoint: iterative DataFrame algorithms must TRUNCATE
     # lineage each round, not just cache — persist() keeps the logical
     # plan growing, and analyzer/AQE re-planning cost compounds per
@@ -699,7 +883,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cluster would point spark.checkpoint.dir at durable storage and
     # use checkpoint() for the same effect.
     edges = (
-        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        pairs.union(pairs.select(pairs.columns[1], pairs.columns[0]))
         .toDF("a", "b")
         .localCheckpoint()
     )
@@ -710,18 +894,33 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(_CC_MAX_ITERS):
+    converged = False
+    for _ in range(max_iters):
         nbr_min = (
             edges.join(labels, edges["b"] == labels["doc"])
             .groupBy(F.col("a").alias("doc2"))
             .agg(F.min("label").alias("nbr_min"))
         )
+        stepped = labels.join(nbr_min, labels["doc"] == F.col("doc2"), "left").select(
+            "doc",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+            ).alias("label"),
+        )
+        # Pointer jumping: chase one level of indirection through the
+        # label table itself. label is always a node id in the same
+        # component, so label-of-label is too — the fixpoint (min id of
+        # the component) is unchanged, but long propagation chains halve
+        # every round.
+        lbl2 = stepped.select(
+            F.col("doc").alias("ref"), F.col("label").alias("ref_label")
+        )
         new_labels = (
-            labels.join(nbr_min, labels["doc"] == F.col("doc2"), "left")
+            stepped.join(lbl2, stepped["label"] == lbl2["ref"], "left")
             .select(
                 "doc",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                    F.col("label"), F.coalesce(F.col("ref_label"), F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint()
@@ -729,8 +928,15 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(component diameter > 2^rounds?) — raise max_iters; silently "
+            "returning partial labels would mislabel clusters"
+        )
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     return (
         labels.join(sizes, "label")

@@ -57,6 +57,17 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # the one round-1 failure, vector_zscore) go first so any cap covers them.
 CONTRACT_FIRST: list[str] = [
     "vector_zscore",
+    # Round-5 additions/rotations: the SimHash pair stage (new) goes
+    # straight into the contract; the four granular window queries get
+    # their first-ever direct CORRECTNESS rows (r4 verdict item 3); and
+    # one round-4-parked query rotates BACK in to bound proxy drift
+    # (ADVICE r4: re-verify one parked query per round).
+    "dedup_simhash_pairs",
+    "window_reindex",
+    "window_lag_monotonic",
+    "window_first_last",
+    "window_rank_ntile",
+    "q6_forecast_revenue",
     # Round-4 additions: benchmark decontamination + deterministic
     # sampling operators, contract-checked from their first round.
     "decontam_probe_overlap",
@@ -73,14 +84,12 @@ CONTRACT_FIRST: list[str] = [
     # queries through the driver, displacing four twice-green proxies
     # (now in CONTRACT_EXCLUDE with their named stand-ins).
     "text_redact_pii",
-    "text_sentence_stats",
     "window_running_sum",
     "ann_ivf_recall",
     "window_dedup_first",
-    "window_frame_suite",
-    "window_group_order_suite",
-    "asof_join_last_click",
-    "text_langid",
+    # (round-5: text_sentence_stats / text_langid / asof_join_last_click /
+    # window_frame_suite / window_group_order_suite moved to
+    # CONTRACT_EXCLUDE after 2+ green rounds.)
     "text_quality_score",
     "text_fingerprint",
     "streaming_session_window",
@@ -103,11 +112,14 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     "topk_orders": "q3_shipping_priority (same sort+limit)",
     "streaming_event_counts": "streaming_session_window (same machinery)",
     "ann_lsh_buckets": "ann_lsh_topk (bucketing is its first stage)",
-    # granular forms of the two merged window suites:
-    "window_lag_monotonic": "window_group_order_suite",
-    "window_first_last": "window_group_order_suite",
-    "window_reindex": "window_frame_suite",
-    "window_rank_ntile": "window_frame_suite",
+    # round-5 rotation: the two merged window suites park behind their
+    # granular components, which now hold direct CORRECTNESS rows (the
+    # suites' only extra surface is the union glue; their frame-running
+    # aggregates are window_running_sum's retained shape).
+    "window_frame_suite": "window_reindex + window_rank_ntile + "
+    "window_running_sum (the suite unions exactly these shapes)",
+    "window_group_order_suite": "window_lag_monotonic + window_first_last "
+    "(the suite unions exactly these shapes)",
     # round-3 rotation: twice-green queries parked behind named proxies
     # to free contract slots for previously driver-unchecked ones.
     "window_sessionize": "streaming_session_window (same session-gap windowing)",
@@ -149,9 +161,17 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     "comparisons are its fps/rows checks, F14)",
     "vector_stats": "agg_weighted_variance (same posexplode per-dim "
     "aggregate family, plus the weighted combine)",
-    "q6_forecast_revenue": "q1_pricing_summary (same lineitem "
-    "scan+filter+agg shape; q6's pushdown assertions remain in "
-    "tools/explain_audit.py)",
+    # round-5 rotation: q6_forecast_revenue rotated back INTO the
+    # contract (proxy-drift check, ADVICE r4); these multi-green queries
+    # park to fund the five round-5 contract entries.
+    "dedup_simhash": "dedup_simhash_pairs (the signature stage is its "
+    "first stage, identical agg)",
+    "text_sentence_stats": "text_repetition_stats (same scan-bound "
+    "per-doc text-statistics aggregate family)",
+    "text_langid": "text_quality_score (same scan-bound normalized-token "
+    "ratio projections; langid = argmax over marker ratios)",
+    "asof_join_last_click": "range_join_prior_views (same event-time "
+    "inequality-join family; as-of = range join + keep-last window)",
 }
 
 CONTRACT_CAP = 50

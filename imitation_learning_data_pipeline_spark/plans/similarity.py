@@ -326,11 +326,18 @@ FROM ranked WHERE rnk <= 5
 """,
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5: search only the query's own LSH bucket.
+    """Approximate top-5: search only the query's own LSH bucket,
+    restrict-then-score (the ivf_topk probe-join shape).
 
-    Candidates shrink by ~2^planes before any cosine is computed — the
-    100 TB plan: bucket-partitioned corpus, per-bucket top-k, no global
-    pass. Buckets and cosines both ride the Arrow matmul path.
+    Stage order is the 100 TB plan: (1) bucket every corpus vector —
+    one cheap sign-of-projection pass; (2) broadcast-join the 8 query
+    buckets, keeping only same-bucket candidates (~N/2^planes rows);
+    (3) compute cosines for the SURVIVORS ONLY via the Arrow matmul
+    UDF. No cosine is ever computed for a vector outside the query's
+    bucket — at scale, a bucket-partitioned corpus layout turns stage 2
+    into partition pruning and stages 1-2 vanish from the read path.
+    The broadcast join is map-side (corpus never shuffles; embeddings
+    ride the scan into the post-join projection).
     """
     emb = _emb(spark, sf_dir)
     qids, qmat = _query_matrix(_emb_raw(spark, sf_dir))
@@ -338,24 +345,23 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos_all = _cos_matrix_udf(qmat)
     qid_arr = F.array(*[F.lit(q) for q in qids])
 
-    b = emb.select(
-        "vec_id",
-        bucket(F.col("embedding")).alias("bucket"),
-        cos_all(F.col("embedding")).alias("cs"),
-    )
+    b = emb.select("vec_id", "embedding", bucket(F.col("embedding")).alias("bucket"))
     qbuckets = b.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("qid"), F.col("bucket").alias("qbucket")
     )
-    scored = (
-        b.select("vec_id", "bucket", F.posexplode("cs").alias("qi", "cos"))
-        .select(
-            F.element_at(qid_arr, F.col("qi") + 1).alias("qid"),
-            "vec_id",
-            "bucket",
-            "cos",
-        )
-        .join(F.broadcast(qbuckets), "qid")
-        .filter((F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("qid")))
-        .select("qid", "vec_id", "cos")
+    cand = b.join(
+        F.broadcast(qbuckets),
+        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("qid")),
+    )
+    # Score survivors only: the matmul UDF still produces all 8 cosines
+    # per row (one fused gemm — cheaper than 8 narrow UDFs), and the
+    # candidate's own query's entry is selected by position.
+    scored = cand.select(
+        "qid",
+        "vec_id",
+        F.element_at(
+            cos_all(F.col("embedding")),
+            F.array_position(qid_arr, F.col("qid")).cast("int"),
+        ).alias("cos"),
     )
     return _rank_topk(scored, 5)

@@ -11,7 +11,11 @@ class TestDecontamProbeOverlap:
     def test_planted_probe_copies_are_flagged(self, spark):
         """Every planted corpus copy of a probe document shares (nearly)
         all its shingles with the probe set, so it MUST be flagged."""
+        from pyspark.sql import functions as F
+
+        from imitation_learning_data_pipeline_spark.functions.text import clean_words
         from imitation_learning_data_pipeline_spark.plans.dedup import (
+            _DECONTAM_N,
             _PROBE_MOD,
             _PROBE_REM,
             decontam_probe_overlap,
@@ -19,10 +23,16 @@ class TestDecontamProbeOverlap:
         from imitation_learning_data_pipeline_spark.sources import load_table
 
         docs = load_table(spark, SF_DIR, "documents")
+        # a probe doc shorter than the shingle width has no shingles at
+        # all — its planted copy can't be flagged by construction, so it
+        # is excluded from the expectation (mirrors the operator's
+        # n-gram width requirement).
         probe_ids = {
             r.doc_id
-            for r in docs.select("doc_id").collect()
-            if r.doc_id % _PROBE_MOD == _PROBE_REM
+            for r in docs.select(
+                "doc_id", F.size(clean_words("text")).alias("nw")
+            ).collect()
+            if r.doc_id % _PROBE_MOD == _PROBE_REM and r.nw >= _DECONTAM_N
         }
         # planted copies exist for doc_id % 10 in {0, 5} (plans/dedup._corpus)
         expected_hits = {pid + 1000000 for pid in probe_ids if pid % 10 == 0} | {

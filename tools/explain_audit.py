@@ -48,6 +48,13 @@ AUDIT = {
     # salted sub-block pairing: counts agg + broadcast + applyInPandas
     "dedup_embedding_cosine": {"want": ["FlatMapGroupsInPandas", "BroadcastHashJoin"]},
     "asof_join_last_click": {"max_exchanges": 1},
+    # restrict-then-score: the cosine UDF must sit ABOVE the bucket
+    # broadcast-join in the physical plan (scores only survivors — the
+    # round-4 verdict's one scale-killer was the inverted order).
+    "ann_lsh_topk": {
+        "want": ["BroadcastHashJoin"],
+        "before": [("cos_all(", "BroadcastHashJoin")],
+    },
 }
 
 
@@ -82,6 +89,12 @@ def main() -> int:
                 missing = [w for w in wants if w not in plan]
                 if missing:
                     problems.append(f"missing {missing}")
+        for first, second in spec.get("before", []):
+            # parent-above-child ordering in the executed-plan tree text
+            tree_str = df._jdf.queryExecution().executedPlan().toString()
+            i, j = tree_str.find(first), tree_str.find(second)
+            if i < 0 or j < 0 or i > j:
+                problems.append(f"'{first}' not above '{second}' in executed plan")
         if "read_cols" in spec:
             m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
             if m:
