@@ -51,6 +51,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_simhash_pairs",
     "dedup_ngram_jaccard",
     "text_quality_score",
     "text_langid",
@@ -141,19 +142,23 @@ def main() -> int:
     names = args.queries.split(",") if args.queries else HEADLINE
     timings: dict[str, float] = {}
     task_times: dict[str, float] = {}
+    cold_timings: dict[str, float] = {}
     for name in names:
         fn = QUERIES[name]
-        best = best_task = None
+        best = best_task = cold = None
         for _ in range(args.repeat):
             t0 = time.time()
             m0 = probe.total_ms()
             fn(spark, args.sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
             dm = (probe.total_ms() - m0) / 1000.0
+            if cold is None:
+                cold = dt
             if best is None or dt < best:
                 best, best_task = dt, dm
         timings[name] = round(best, 3)
         task_times[name] = round(best_task, 3)
+        cold_timings[name] = round(cold, 3)
         # Drop relations persisted inside query plans (minhash/ngram keep
         # their shingle tables cached).
         spark.catalog.clearCache()
@@ -168,6 +173,13 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "task_time_s": task_times,
+                # Methodology disclosure (ADVICE r4): `value`/`queries`
+                # are best-of-`repeat` (warm steady state); first-run
+                # walls ship alongside so cross-round comparisons can
+                # tell which methodology produced a number.
+                "repeat": args.repeat,
+                "queries_cold_s": cold_timings,
+                "cold_total_s": round(sum(cold_timings.values()), 3),
                 "sf": sf,
             }
         )

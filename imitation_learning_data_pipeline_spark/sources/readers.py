@@ -150,19 +150,58 @@ MANIFEST_SCHEMA = T.StructType(
 )
 
 
-# events.ts physical unit per sf_dir, sniffed once from the parquet
-# footer (a driver-side metadata read, not a data scan).
-_EVENTS_TS_UNIT: dict[str, str] = {}
+# events.ts physical unit per (path, mtime), sniffed once from the
+# parquet footer (a driver-side metadata read, not a data scan). Keying
+# on mtime means a regenerated file re-sniffs instead of serving a stale
+# unit (ADVICE r4).
+_EVENTS_TS_UNIT: dict[tuple[str, float], str] = {}
+
+# Plausible epoch-second window for the synthetic events data: decoded
+# timestamps must land in [2000-01-01, 2100-01-01). A bare-int64 column
+# that actually stores millis/micros/nanos lands 3-9 orders of magnitude
+# outside this window — fail loudly instead of silently misreading
+# (ADVICE r4: a future testdata drop must not be misinterpreted 1000x).
+_EPOCH_LO, _EPOCH_HI = 946_684_800, 4_102_444_800
 
 
 def _events_ts_unit(sf_dir: str) -> str:
-    unit = _EVENTS_TS_UNIT.get(sf_dir)
+    import os
+
+    path = f"{sf_dir}/events.parquet"
+    try:
+        key = (path, os.path.getmtime(path))
+    except OSError:
+        key = (path, -1.0)
+    unit = _EVENTS_TS_UNIT.get(key)
     if unit is None:
         import pyarrow.parquet as pq
 
-        t = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+        f = pq.ParquetFile(path)
+        t = f.schema_arrow.field("ts").type
         unit = getattr(t, "unit", "int")  # timestamp[{s,ms,us,ns}] or plain int64
-        _EVENTS_TS_UNIT[sf_dir] = unit
+        if unit == "int":
+            # Sanity-gate the epoch-seconds interpretation against the
+            # column's footer min/max statistics (no data scan).
+            lo = hi = None
+            for rg in range(f.metadata.num_row_groups):
+                col = f.metadata.row_group(rg).column(
+                    f.schema_arrow.get_field_index("ts")
+                )
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if lo is not None and not (
+                _EPOCH_LO <= lo <= _EPOCH_HI and _EPOCH_LO <= hi <= _EPOCH_HI
+            ):
+                raise ValueError(
+                    f"events.ts int64 range [{lo}, {hi}] is not plausible "
+                    "epoch SECONDS (2000-2100); the file likely stores "
+                    "millis/micros/nanos — teach _events_ts_unit the new "
+                    "generation instead of silently misreading by 1000x+"
+                )
+        _EVENTS_TS_UNIT[key] = unit
     return unit
 
 

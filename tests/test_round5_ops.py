@@ -157,6 +157,60 @@ class TestDedupApisOnCallerFrames:
         assert 3 not in got
 
 
+class TestEventsTsUnitSniffing:
+    """ADVICE r4: the bare-int64 branch of the events reader must not
+    silently misinterpret a millis/nanos column as epoch seconds."""
+
+    def _write_events(self, tmp_path, ts_values):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        n = len(ts_values)
+        tbl = pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array(ts_values, pa.int64()),
+                "user_id": pa.array([1] * n, pa.int64()),
+                "event_type": pa.array(["view"] * n),
+                "value": pa.array([1.0] * n),
+                "props": pa.array(["{}"] * n),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "events.parquet"))
+        return str(tmp_path)
+
+    def test_plausible_epoch_seconds_load(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.sources.readers import load_table
+
+        d = self._write_events(tmp_path, [1_700_000_000, 1_700_000_060])
+        rows = load_table(spark, d, "events").select("ts").collect()
+        assert rows[0].ts.year == 2023
+
+    def test_millis_masquerading_as_int64_raises(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.sources.readers import load_table
+
+        d = self._write_events(tmp_path, [1_700_000_000_000, 1_700_000_060_000])
+        with pytest.raises(ValueError, match="not plausible epoch SECONDS"):
+            load_table(spark, d, "events")
+
+    def test_regenerated_file_resniffs(self, spark, tmp_path):
+        """The unit cache keys on mtime: rewriting the file with a
+        different physical type must not serve the stale unit."""
+        import os
+
+        from imitation_learning_data_pipeline_spark.sources.readers import load_table
+
+        d = self._write_events(tmp_path, [1_700_000_000])
+        load_table(spark, d, "events")
+        self._write_events(tmp_path, [1_700_000_000_000])
+        os.utime(
+            tmp_path / "events.parquet",
+            (os.path.getmtime(tmp_path / "events.parquet") + 5,) * 2,
+        )
+        with pytest.raises(ValueError, match="not plausible epoch SECONDS"):
+            load_table(spark, d, "events")
+
+
 class TestConnectedComponents:
     def test_long_chain_converges_by_pointer_jumping(self, spark):
         """A 1000-edge chain has graph diameter 1000 ≫ max_iters=20;
