@@ -14,6 +14,48 @@ sys.path.insert(0, str(REPO))
 SF_DIR = "/root/testdata/sf0.001"
 
 
+def make_minimal_mp4(nb_frames: int, fps: float = 30.0, mdhd_v1: bool = False) -> bytes:
+    """A syntactically valid ISO-BMFF file with one video track carrying
+    real stts/stsz/mdhd metadata (nb_frames at the given fps) and no
+    sample data — what the pure-Python S9 probe fallback reads. Spec:
+    ISO/IEC 14496-12 (public)."""
+    import struct
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return struct.pack(">I4s", 8 + len(body), typ) + body
+
+    timescale = 30000
+    delta = int(round(timescale / fps))
+    dur = nb_frames * delta
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">BxxxIIII", 0, 0, 0, 1000, int(nb_frames / fps * 1000))
+        + struct.pack(">IHH8x", 0x00010000, 0x0100, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    if mdhd_v1:
+        mdhd = box(
+            b"mdhd",
+            struct.pack(">BxxxQQIQHH", 1, 0, 0, timescale, dur, 0x55C4, 0),
+        )
+    else:
+        mdhd = box(
+            b"mdhd", struct.pack(">BxxxIIIIHH", 0, 0, 0, timescale, dur, 0x55C4, 0)
+        )
+    hdlr = box(b"hdlr", struct.pack(">Bxxx4x4s12x", 0, b"vide") + b"\x00")
+    stts = box(b"stts", struct.pack(">BxxxIII", 0, 1, nb_frames, delta))
+    stsz = box(b"stsz", struct.pack(">BxxxIII", 0, 0, nb_frames, 0))
+    stbl = box(b"stbl", stts + stsz)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + moov + box(b"mdat", b"")
+
+
 @pytest.fixture(scope="session")
 def spark():
     from imitation_learning_data_pipeline_spark.session import get_spark
@@ -42,6 +84,7 @@ def lerobot_fixture(tmp_path_factory):
     data_dir = root / "data" / "chunk-000"
     data_dir.mkdir(parents=True)
     meta_rows = []
+    ep_rows: dict[int, int] = {}
     global_index = 0
     for ep in range(n_eps):
         if ep == 19:
@@ -81,6 +124,7 @@ def lerobot_fixture(tmp_path_factory):
             }
         )
         pdf.to_parquet(data_dir / f"episode_{ep:06d}.parquet", index=False)
+        ep_rows[ep] = len(pdf)
 
     for cam in ("cam_front", "cam_wrist"):
         vdir = root / "videos" / "chunk-000" / cam
@@ -90,7 +134,12 @@ def lerobot_fixture(tmp_path_factory):
                 continue
             if ep == 19 and cam == "cam_wrist":
                 continue
-            (vdir / f"episode_{ep:06d}.mp4").write_bytes(b"\x00fakemp4" * 16)
+            # Real minimal MP4 metadata (frame count matching the episode
+            # parquet at 30 fps) so the ffprobe-less pure-Python probe
+            # path is exercised end-to-end.
+            (vdir / f"episode_{ep:06d}.mp4").write_bytes(
+                make_minimal_mp4(ep_rows.get(ep, 50), 30.0)
+            )
 
     meta_dir = root / "meta"
     meta_dir.mkdir()

@@ -66,7 +66,11 @@ def test_five_stage_chain(spark, lerobot_fixture, frames, episodes_meta, tmp_pat
     assert any(p.startswith("split=") for p in os.listdir(f"{out2}/data"))
 
 
-def test_media_probe_degrades_without_ffprobe(spark, lerobot_fixture):
+def test_media_probe_works_without_ffprobe(spark, lerobot_fixture):
+    """Without ffprobe the probe falls back to the pure-Python MP4 box
+    parser (round 5, un-degrading S9): the fixture's minimal-but-real
+    MP4s probe ok with real frame counts; with ffprobe present the
+    headerless fixtures may fail per-file but the plan survives."""
     from imitation_learning_data_pipeline_spark.operators.media_probe import (
         ffprobe_available,
         probe_videos,
@@ -77,8 +81,8 @@ def test_media_probe_degrades_without_ffprobe(spark, lerobot_fixture):
     out = probe_videos(vids).collect()
     assert len(out) == vids.select("video_uri").distinct().count()
     if not ffprobe_available():
-        assert all(not r.ok for r in out)
-        assert all(r.error == "ffprobe not installed" for r in out)
+        assert all(r.ok for r in out)
+        assert all(r.nb_frames and abs(r.avg_fps - 30.0) < 0.01 for r in out)
     else:
-        # fake mp4 bytes -> ffprobe fails per-file but the plan survives
+        # sample-data-free mp4s -> ffprobe may fail per-file, plan survives
         assert all(r.error is not None or r.ok for r in out)

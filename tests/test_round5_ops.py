@@ -157,6 +157,86 @@ class TestDedupApisOnCallerFrames:
         assert 3 not in got
 
 
+class TestMp4PythonProbe:
+    """r4 verdict item 4: S9 no longer degrades without ffprobe — the
+    pure-Python ISO-BMFF parser reads nb_frames/duration/fps from real
+    MP4 box structure."""
+
+    def test_parses_generated_mp4(self, tmp_path):
+        from conftest import make_minimal_mp4
+
+        from imitation_learning_data_pipeline_spark.operators.media_probe import (
+            probe_mp4_python,
+        )
+
+        p = tmp_path / "a.mp4"
+        p.write_bytes(make_minimal_mp4(90, 30.0))
+        r = probe_mp4_python(str(p))
+        assert r["ok"]
+        assert r["nb_frames"] == 90
+        assert abs(r["avg_fps"] - 30.0) < 1e-9
+        assert abs(r["duration"] - 3.0) < 1e-9
+
+    def test_parses_version1_mdhd(self, tmp_path):
+        from conftest import make_minimal_mp4
+
+        from imitation_learning_data_pipeline_spark.operators.media_probe import (
+            probe_mp4_python,
+        )
+
+        p = tmp_path / "v1.mp4"
+        p.write_bytes(make_minimal_mp4(61, 29.97, mdhd_v1=True))
+        r = probe_mp4_python(str(p))
+        assert r["ok"] and r["nb_frames"] == 61
+        assert abs(r["avg_fps"] - 29.97) < 0.05
+
+    def test_garbage_is_data_not_crash(self, tmp_path):
+        from imitation_learning_data_pipeline_spark.operators.media_probe import (
+            probe_mp4_python,
+        )
+
+        p = tmp_path / "junk.mp4"
+        p.write_bytes(b"\x00fakemp4" * 16)
+        r = probe_mp4_python(str(p))
+        assert not r["ok"]
+        assert "moov" in r["error"]
+
+    def test_validate_check_videos_end_to_end_without_injection(
+        self, spark, lerobot_fixture
+    ):
+        """The full validate(check_videos=True) path runs on the real
+        (ffprobe-less) probe: clean episodes pass fps and frames-vs-rows
+        checks against the fixture MP4s' actual box metadata."""
+        from imitation_learning_data_pipeline_spark.pipeline import validate_episodes
+        from imitation_learning_data_pipeline_spark.pipeline.discover import discover
+
+        frames = spark.read.parquet(
+            str(lerobot_fixture / "data" / "chunk-000")
+        )
+        episodes_meta = spark.read.json(
+            str(lerobot_fixture / "meta" / "episodes.jsonl")
+        )
+        manifest = discover(spark, str(lerobot_fixture))
+        report = {
+            r.episode_index: r
+            for r in validate_episodes(
+                frames, episodes_meta, manifest=manifest, check_videos=True
+            ).collect()
+        }
+        clean = report[0]
+        assert clean.ok and list(clean.issues) == []
+        # defect episodes still fail for their *non-video* reasons, and
+        # no clean episode picks up a spurious video issue
+        assert not report[5].ok
+        video_issues = {
+            i
+            for r in report.values()
+            for i in r.issues
+            if i.endswith(("_fps", "_frames_vs_rows"))
+        }
+        assert video_issues == set()
+
+
 class TestEventsTsUnitSniffing:
     """ADVICE r4: the bare-int64 branch of the events reader must not
     silently misinterpret a millis/nanos column as epoch seconds."""
