@@ -231,3 +231,42 @@ def discover_delta(manifest: DataFrame) -> DataFrame:
     """Actionable delta (reference returns status-filtered rows,
     discover_refactored.py:166-170)."""
     return manifest.filter(F.col("status").isin(ACTIONABLE_STATUSES))
+
+
+def upsert_manifest(manifest: DataFrame, path: str) -> list[str]:
+    """Chunk-partitioned manifest writer that rewrites ONLY touched
+    chunks (r4 verdict item 8: the batch manifest writer was
+    recompute-style — every run rewrote every row, matching the
+    reference's full recompute, discover_refactored.py:159-164; at
+    100 TB of episodes that rewrite dominates the stage).
+
+    A chunk is touched iff it contains any actionable row (NEW / CHANGED
+    / MISSING_SIDE / DELETED / ORPHAN_VIDEO / PENDING / ERROR). Touched
+    chunks are written whole (all their rows, UNCHANGED included) via
+    DYNAMIC partition overwrite, which replaces exactly the partitions
+    present in the written frame and leaves every other chunk's files
+    untouched on disk. Documented trade: rows of untouched chunks keep
+    their previously-written status/discovered_at (e.g. a chunk that was
+    all-NEW last run and is all-UNCHANGED now is NOT rewritten to say
+    so) — the standard incremental-manifest contract; a reader wanting
+    fresh statuses consults discover()'s return, not the store.
+
+    Returns the sorted list of chunk values rewritten (empty → no IO
+    beyond the read of the touched-chunk set).
+    """
+    touched = (
+        manifest.filter(F.col("status").isin(ACTIONABLE_STATUSES))
+        .select("chunk")
+        .distinct()
+    )
+    chunks = sorted(r.chunk for r in touched.collect() if r.chunk is not None)
+    if not chunks:
+        return []
+    (
+        manifest.filter(F.col("chunk").isin(chunks))
+        .write.partitionBy("chunk")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(path)
+    )
+    return chunks
