@@ -332,9 +332,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # measured ≤ 50-of-6600 with shingles) while near-dups still share most
 # features. Also keeps the whole dedup family on one feature extractor.
 
-_SIMHASH_BITS = 32
-_SH_BANDS = 4  # 4 × 8-bit bands over the 32-bit signature
-_SH_K = 3  # verify threshold: Hamming ≤ 3 (Manku et al.'s k)
+# Signature width 60 bits (15 md5 hex chars), banded as 4 × 15-bit
+# buckets. Width trade-offs, measured: 32-bit/8-bit-band candidates grow
+# O(N²/256) — at a 10× corpus the per-band bucket occupancy reaches
+# hundreds and candidate volume goes quadratic. 15-bit bands give 2¹⁵
+# buckets/band (candidates O(N²/2¹⁵): ~100× fewer), while 60 bits stays
+# strictly inside a SIGNED 64-bit integer so every stage (signature sum,
+# xor, bit_count, band shifts) is expressible in oracle SQL without
+# unsigned overflow. Pigeonhole guarantee is band-count-dependent, not
+# width-dependent: 4 bands → any pair within Hamming ≤ 3 shares a band.
+_SIMHASH_BITS = 60
+_SH_BANDS = 4
+_SH_BAND_BITS = _SIMHASH_BITS // _SH_BANDS  # 15
+_SH_BAND_MASK = (1 << _SH_BAND_BITS) - 1
+_SH_K = 3  # verify threshold: Hamming ≤ 3 (Manku et al., WWW'07)
 _SH_BUCKET_CAP = 1000  # degenerate-bucket guard, same policy as _BUCKET_CAP
 
 
@@ -350,7 +361,9 @@ w AS (
   SELECT doc_id, unnest({_shingle_sql(3)}) AS s FROM corpus
 ),
 wh AS (
-  SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS wh FROM w
+  SELECT doc_id,
+         ('0x' || substr(md5(s), 1, {_SIMHASH_BITS // 4}))::BIGINT AS wh
+  FROM w
 ),
 sig AS (
   SELECT doc_id, {bit_terms} AS simhash FROM wh GROUP BY doc_id
@@ -366,10 +379,10 @@ SELECT doc_id, simhash FROM sig
 
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
-    """32-bit SimHash per document over distinct 3-word shingle md5s, for
+    """60-bit SimHash per document over distinct 3-word shingle md5s, for
     ANY ``(doc_id long, text string)`` frame → ``(doc_id, simhash)``.
 
-    One explode + one hash-agg with 32 conditional sums — no per-bit row
+    One explode + one hash-agg with 60 conditional sums — no per-bit row
     explosion, so the shuffle is O(docs × shingles) exactly like a word
     count. Near-dup docs land within small Hamming distance.
     """
@@ -379,7 +392,9 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     )
     wh = w.select(
         "doc_id",
-        F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long").alias("wh"),
+        F.conv(F.substring(F.md5("s"), 1, _SIMHASH_BITS // 4), 16, 10)
+        .cast("long")
+        .alias("wh"),
     )
     simhash = None
     for bit_pos in range(_SIMHASH_BITS):
@@ -403,23 +418,21 @@ def simhash_pairs(
     k: int = _SH_K,
     bucket_cap: int = _SH_BUCKET_CAP,
 ) -> DataFrame:
-    """Near-dup pairs within Hamming distance ``k`` of the 32-bit SimHash,
+    """Near-dup pairs within Hamming distance ``k`` of the 60-bit SimHash,
     for ANY ``(doc_id long, text string)`` frame →
     ``(doc_a, doc_b, hamming)``.
 
     Candidate generation is Hamming-band bucketing (Manku et al., WWW'07):
-    the signature splits into 4 exact bytes; any pair within Hamming ≤ 3
-    differs in ≤ 3 bits, which can touch at most 3 of the 4 bytes, so the
-    pair shares ≥ 1 exact byte (pigeonhole) and collides in that band's
-    bucket. Verification is one integer ``bit_count(xor)`` per candidate.
+    the signature splits into 4 exact 15-bit bands; any pair within
+    Hamming ≤ 3 differs in ≤ 3 bits, which can touch at most 3 of the 4
+    bands, so the pair shares ≥ 1 exact band value (pigeonhole) and
+    collides in that band's bucket. Verification is one integer
+    ``bit_count(xor)`` per candidate.
 
-    Scale shape: the self-join is per (band, byte) bucket — never
-    all-pairs — and each band's expected bucket is N/256 (shingle
-    features keep the byte distribution near-uniform; see the section
-    comment). A 100 TB run would widen to a 64-bit signature with 4 ×
-    16-bit bands (2¹⁶ buckets/band, same plan verbatim); 32-bit is kept
-    here because every stage must also be expressible in 64-bit-signed
-    oracle SQL. ``bucket_cap`` guards degenerate buckets exactly like
+    Scale shape: the self-join is per (band, value) bucket — never
+    all-pairs — and each band's expected bucket is N/2¹⁵ (shingle
+    features keep band values near-uniform; see the section comment on
+    width choice). ``bucket_cap`` guards degenerate buckets exactly like
     minhash's _BUCKET_CAP: a capped bucket would contribute O(cap²) junk
     candidates from signature collapse, not real near-dups.
     """
@@ -429,7 +442,9 @@ def simhash_pairs(
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
-            F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(255)).alias("byte"),
+            F.shiftright(F.col("simhash"), _SH_BAND_BITS * b)
+            .bitwiseAND(F.lit(_SH_BAND_MASK))
+            .alias("byte"),
         )
         for b in range(_SH_BANDS)
     ]
@@ -466,7 +481,8 @@ def simhash_pairs(
 
 def _simhash_pairs_oracle() -> str:
     bands = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, (simhash >> {8 * b}) & 255 AS byte FROM sig"
+        f"SELECT doc_id, {b} AS band, "
+        f"(simhash >> {_SH_BAND_BITS * b}) & {_SH_BAND_MASK} AS byte FROM sig"
         for b in range(_SH_BANDS)
     )
     return f"""

@@ -31,16 +31,21 @@ class TestDedup:
         assert recall > 0.8
 
     def test_simhash_near_dups_close(self, spark):
-        from imitation_learning_data_pipeline_spark.plans.dedup import dedup_simhash
+        from imitation_learning_data_pipeline_spark.plans.dedup import (
+            _SIMHASH_BITS,
+            dedup_simhash,
+        )
 
         sh = {r.doc_id: r.simhash for r in dedup_simhash(spark, SF_DIR).collect()}
-        # hamming distance between a doc and its near-dup copy ≤ 6 of 32
+        # avg hamming distance between a doc and its near-dup copy stays a
+        # small fraction of the signature width (flipped bits scale with
+        # width, so the bound is width-relative: ≤ 6/32 ≈ 0.19)
         dists = [
             bin(sh[d] ^ sh[d + 2000000]).count("1")
             for d in range(5, 500, 10)
             if d + 2000000 in sh
         ]
-        assert dists and sum(dists) / len(dists) <= 6
+        assert dists and sum(dists) / len(dists) <= 0.19 * _SIMHASH_BITS
 
     def test_embedding_cosine_finds_planted_copies(self, spark):
         from imitation_learning_data_pipeline_spark.plans.dedup import (
