@@ -822,6 +822,118 @@ def decontam_overlap(
     )
 
 
+def _pos_shingle_sql(n: int) -> str:
+    """DuckDB expression: list of {pos, s} structs of POSITIONAL word
+    n-gram shingles (NOT distinct — span detection needs every position)."""
+    return (
+        f"list_filter(list_transform("
+        f"range(1, greatest(len({_W_SQL}) - {n - 2}, 1)), "
+        f"i -> struct_pack(pos := i, s := array_to_string(({_W_SQL})[i:i+{n - 1}], ' '))), "
+        f"x -> x.s <> '')"
+    )
+
+
+@register(
+    "decontam_overlap_spans",
+    oracle=f"""
+WITH corpus AS ({_CORPUS_SQL}),
+probe_sh AS (
+  SELECT DISTINCT unnest({_shingle_sql(_DECONTAM_N)}) AS s
+  FROM corpus
+  WHERE doc_id < 1000000 AND doc_id % {_PROBE_MOD} = {_PROBE_REM}
+),
+cand AS (
+  SELECT doc_id, u.pos AS pos, u.s AS s
+  FROM (
+    SELECT doc_id, unnest({_pos_shingle_sql(_DECONTAM_N)}) AS u
+    FROM corpus
+    WHERE NOT (doc_id < 1000000 AND doc_id % {_PROBE_MOD} = {_PROBE_REM})
+  )
+),
+hits AS (
+  SELECT c.doc_id, c.pos, c.s FROM cand c JOIN probe_sh p ON c.s = p.s
+),
+islands AS (
+  SELECT doc_id, pos, s,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM hits
+),
+runs AS (
+  SELECT doc_id, grp, count(*) AS run_len FROM islands GROUP BY doc_id, grp
+)
+SELECT r.doc_id,
+       o.n_overlap,
+       max(r.run_len) + {_DECONTAM_N - 1} AS max_span_words
+FROM runs r
+JOIN (
+  SELECT doc_id, count(DISTINCT s) AS n_overlap FROM hits GROUP BY doc_id
+) o ON r.doc_id = o.doc_id
+GROUP BY r.doc_id, o.n_overlap
+""",
+)
+def decontam_overlap_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract wrapper: :func:`decontam_spans` with the same probe cut
+    as decontam_probe_overlap."""
+    corpus = _corpus(spark, sf_dir)
+    is_probe = (F.col("doc_id") < 1000000) & (
+        F.col("doc_id") % _PROBE_MOD == _PROBE_REM
+    )
+    return decontam_spans(corpus.filter(~is_probe), corpus.filter(is_probe))
+
+
+def decontam_spans(
+    docs: DataFrame, probe: DataFrame, n: int = _DECONTAM_N
+) -> DataFrame:
+    """Sequence-level decontamination: per contaminated document, the
+    count of distinct leaked ``n``-grams AND the longest CONTIGUOUS
+    overlap span in words → ``(doc_id, n_overlap, max_span_words)``.
+
+    The hit-count gate (:func:`decontam_overlap`) can't distinguish a
+    document quoting one benchmark sentence from a wholesale copy;
+    production decontamination reports the longest contiguous span for
+    exactly that reason. A run of k consecutive leaked shingle positions
+    covers k + n − 1 words.
+
+    Scale shape: identical to decontam_overlap — broadcast probe shingle
+    set, map-side join on positional shingles — plus one windowed
+    gaps-and-islands pass (pos − row_number per doc) that shuffles only
+    HIT rows (doc_id, pos, shingle): contamination is sparse, so the
+    window input is orders of magnitude smaller than the corpus.
+    """
+    cache.begin_plan()
+
+    def _pos_sh(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id", clean_words("text").alias("__w")
+        ).select(
+            "doc_id",
+            F.posexplode(shingles_of_words(F.col("__w"), n)).alias("pos0", "s"),
+        ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "s")
+
+    probe_sh = (
+        probe.select("doc_id", clean_words("text").alias("__w"))
+        .select(
+            F.explode(F.array_distinct(shingles_of_words(F.col("__w"), n))).alias("s")
+        )
+        .distinct()
+    )
+    hits = cache.pin(_pos_sh(docs).join(F.broadcast(probe_sh), "s"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = hits.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    runs = islands.groupBy("doc_id", "grp").agg(F.count("*").alias("run_len"))
+    overlap = hits.groupBy("doc_id").agg(
+        F.countDistinct("s").alias("n_overlap")
+    )
+    return (
+        runs.groupBy("doc_id")
+        .agg((F.max("run_len") + (n - 1)).alias("max_span_words"))
+        .join(overlap, "doc_id")
+        .select("doc_id", "n_overlap", "max_span_words")
+    )
+
+
 # --- near-dup clustering: pairs → connected components -----------------------
 #
 # The missing last step of every dedup pipeline: pairwise hits (minhash,

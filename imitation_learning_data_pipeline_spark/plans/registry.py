@@ -63,6 +63,7 @@ CONTRACT_FIRST: list[str] = [
     # one round-4-parked query rotates BACK in to bound proxy drift
     # (ADVICE r4: re-verify one parked query per round).
     "dedup_simhash_pairs",
+    "decontam_overlap_spans",
     "window_reindex",
     "window_lag_monotonic",
     "window_first_last",
@@ -85,7 +86,6 @@ CONTRACT_FIRST: list[str] = [
     # (now in CONTRACT_EXCLUDE with their named stand-ins).
     "text_redact_pii",
     "window_running_sum",
-    "ann_ivf_recall",
     "window_dedup_first",
     # (round-5: text_sentence_stats / text_langid / asof_join_last_click /
     # window_frame_suite / window_group_order_suite moved to
@@ -172,6 +172,13 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     "ratio projections; langid = argmax over marker ratios)",
     "asof_join_last_click": "range_join_prior_views (same event-time "
     "inequality-join family; as-of = range join + keep-last window)",
+    # round-5 rotation #2: funds the decontam_overlap_spans slot. Twice
+    # green (r3, r4); its KMeans-IVF model pipeline stays contract-checked
+    # via mllib_kmeans_coverage and its recall invariants in pytest
+    # (test_round3_ops), and it was the single most expensive contract
+    # query (~26 s of the sf0.01 gate).
+    "ann_ivf_recall": "mllib_kmeans_coverage (same KMeans-IVF fit) + "
+    "pytest recall invariants",
 }
 
 CONTRACT_CAP = 50

@@ -139,6 +139,30 @@ class TestDedupApisOnCallerFrames:
         # exact Jaccard of the 3-shingle sets: |∩|=18, |∪|=20
         assert pairs == {(10, 11): 0.9}
 
+    def test_decontam_spans(self, spark):
+        """Longest contiguous overlap: a verbatim copy spans the whole
+        probe doc; an interleaved quote spans only its quoted run."""
+        from imitation_learning_data_pipeline_spark.plans.dedup import decontam_spans
+
+        probe = _docs_df(spark, [(900, _doc(0, 10))])
+        docs = _docs_df(
+            spark,
+            [
+                (1, _doc(0, 10)),  # verbatim: run of 6 shingles → span 10
+                # 6 probe words quoted mid-document (positions 6..11 of
+                # 0-based words): only 2 consecutive 5-shingles hit → span 6
+                (2, _doc(20, 26) + " " + _doc(0, 6) + " " + _doc(30, 36)),
+                (3, _doc(15, 30)),  # clean — absent from output
+            ],
+        )
+        got = {
+            r.doc_id: (r.n_overlap, r.max_span_words)
+            for r in decontam_spans(docs, probe).collect()
+        }
+        assert got[1] == (6, 10)
+        assert got[2] == (2, 6)
+        assert 3 not in got
+
     def test_decontam_overlap(self, spark):
         from imitation_learning_data_pipeline_spark.plans.dedup import decontam_overlap
 
@@ -155,6 +179,58 @@ class TestDedupApisOnCallerFrames:
         assert got[1] == 6
         assert 1 <= got[2] <= 3
         assert 3 not in got
+
+
+class TestContractSurfaceInvariants:
+    """Machine-checks for the registry curation (ADVICE r4: proxy claims
+    were comment-only)."""
+
+    def test_surface_is_exactly_capped_and_oracled(self):
+        import __spark_entry__ as e
+
+        qs, os_ = e.queries(), e.oracle_sql()
+        assert len(qs) == 50
+        assert set(os_) <= set(qs)
+
+    def test_every_referenced_name_is_registered(self):
+        from imitation_learning_data_pipeline_spark.plans.registry import (
+            CONTRACT_EXCLUDE,
+            CONTRACT_FIRST,
+            QUERIES,
+        )
+
+        missing = [n for n in CONTRACT_FIRST if n not in QUERIES]
+        assert not missing, f"CONTRACT_FIRST references unknown: {missing}"
+        missing = [n for n in CONTRACT_EXCLUDE if n not in QUERIES]
+        assert not missing, f"CONTRACT_EXCLUDE references unknown: {missing}"
+        dupes = [n for n in CONTRACT_FIRST if n in CONTRACT_EXCLUDE]
+        assert not dupes, f"in both FIRST and EXCLUDE: {dupes}"
+
+    def test_every_named_proxy_is_in_the_contract(self):
+        """A parked query's stand-in must itself hold a contract slot —
+        otherwise the park silently loses driver coverage."""
+        import re
+
+        import __spark_entry__ as e
+
+        from imitation_learning_data_pipeline_spark.plans.registry import (
+            CONTRACT_EXCLUDE,
+            QUERIES,
+        )
+
+        contract = set(e.queries())
+        for parked, rationale in CONTRACT_EXCLUDE.items():
+            named = [
+                t
+                for t in re.findall(r"[a-z0-9_]+", rationale)
+                if t in QUERIES
+            ]
+            assert named, f"{parked}: rationale names no registered query"
+            in_contract = [t for t in named if t in contract]
+            assert in_contract, (
+                f"{parked}: none of its named proxies {named} hold a "
+                "contract slot"
+            )
 
 
 class TestMp4PythonProbe:
