@@ -55,6 +55,12 @@ AUDIT = {
         "want": ["BroadcastHashJoin"],
         "before": [("cos_all(", "BroadcastHashJoin")],
     },
+    # banded candidate generation must be a hash join on (band, value) —
+    # never a nested-loop/cartesian all-pairs plan.
+    "dedup_simhash_pairs": {"forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    # probe shingle set broadcasts; the corpus side stays map-side until
+    # the final hit aggregation.
+    "decontam_overlap_spans": {"want": ["BroadcastHashJoin"]},
 }
 
 
@@ -89,6 +95,9 @@ def main() -> int:
                 missing = [w for w in wants if w not in plan]
                 if missing:
                     problems.append(f"missing {missing}")
+        for bad in spec.get("forbid", []):
+            if bad in plan:
+                problems.append(f"forbidden node {bad} in plan")
         for first, second in spec.get("before", []):
             # parent-above-child ordering in the executed-plan tree text
             tree_str = df._jdf.queryExecution().executedPlan().toString()
