@@ -306,6 +306,64 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def write_lsh_index(emb: DataFrame, path: str) -> None:
+    """Materialize the ANN scale path: the corpus written as parquet
+    PARTITIONED BY LSH bucket.
+
+    This is the layout the ann_lsh_* docstrings promise: once bucket is
+    a partition column, a query's candidate restriction is DIRECTORY
+    PRUNING — the scan never opens files outside the query's bucket, so
+    search cost is O(bucket), not O(corpus), before any execution begins.
+    One shuffle by bucket keeps one file per bucket per write.
+    """
+    bucket = _bucket_udf()
+    (
+        emb.select("vec_id", "embedding", bucket(F.col("embedding")).alias("bucket"))
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def search_lsh_index(
+    spark: SparkSession, path: str, qids: list[int], qmat: np.ndarray, k: int = 5
+) -> DataFrame:
+    """Top-k per query over a :func:`write_lsh_index` layout.
+
+    Query buckets are computed driver-side (8 sign bits of an 8×64
+    matmul — microseconds), then pushed as a partition filter: the scan
+    reads ONLY the matching bucket directories (PartitionFilters in the
+    plan; asserted by pytest). Scoring reuses the Arrow matmul UDF on
+    the pruned candidates and the same deterministic ranking as
+    ann_lsh_topk — given identical inputs the results are identical,
+    the plan just prunes at the source instead of joining.
+    """
+    qbits = (qmat @ _PLANES_MAT.T) >= 0  # (Q, 8)
+    qbucket = {
+        int(q): "".join("1" if b else "0" for b in row)
+        for q, row in zip(qids, qbits)
+    }
+    cos_all = _cos_matrix_udf(qmat)
+    qid_arr = F.array(*[F.lit(q) for q in qids])
+    bucket_arr = F.array(*[F.lit(qbucket[q]) for q in qids])
+    emb = spark.read.parquet(path).filter(
+        F.col("bucket").isin(list(set(qbucket.values())))
+    )
+    scored = (
+        emb.select("vec_id", "bucket", cos_all(F.col("embedding")).alias("cs"))
+        .select("vec_id", "bucket", F.posexplode("cs").alias("qi", "cos"))
+        .filter(
+            (F.col("bucket") == F.element_at(bucket_arr, F.col("qi") + 1))
+            & (F.col("vec_id") != F.element_at(qid_arr, F.col("qi") + 1))
+        )
+        .select(
+            F.element_at(qid_arr, F.col("qi") + 1).alias("qid"), "vec_id", "cos"
+        )
+    )
+    return _rank_topk(scored, k)
+
+
 @register(
     "ann_lsh_topk",
     oracle=f"""
