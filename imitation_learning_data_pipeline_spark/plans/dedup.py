@@ -746,6 +746,61 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_pairs(corpus)
 
 
+def _lsh_cosine_oracle() -> str:
+    from .similarity import _bucket_sql
+
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+b AS (SELECT vec_id, v, {_bucket_sql("v")} AS bucket FROM corpus)
+SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+       round(list_dot_product(a.v, c.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))),
+             4) AS cos_sim
+FROM b a JOIN b c
+  ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE list_dot_product(a.v, c.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) >= 0.95
+"""
+
+
+@register("dedup_embedding_cosine_lsh", oracle=_lsh_cosine_oracle())
+def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-FREE embedding near-dup: blocking key = random-hyperplane
+    LSH bucket instead of a given label column.
+
+    dedup_embedding_cosine assumes a coarse label exists; a raw 100 TB
+    embedding corpus has none, so the practical pipeline derives the
+    block from the vectors themselves — the same 8-plane bucket the ANN
+    path uses (similarity.PLANES; identical duplicate vectors land in
+    identical buckets, so exact-copy recall is 100%; near-misses across
+    a hyperplane are the standard LSH recall trade, recovered by
+    multi-probe or signature rotation). Downstream is unchanged:
+    embedding_cosine_pairs with block_cap salting bounds any hot bucket
+    per worker.
+    """
+    from ..functions.vector import as_double
+    from .similarity import _bucket_udf
+
+    ensure_utc(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", as_double("embedding").alias("v"))
+    planted = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        as_double("embedding").alias("v"),
+    )
+    corpus = base.unionByName(planted)
+    bucket = _bucket_udf()
+    blocked = corpus.select(
+        "vec_id", bucket(F.col("v")).alias("label"), "v"
+    )
+    return embedding_cosine_pairs(blocked)
+
+
 # --- benchmark decontamination: cross-set probe-shingle overlap --------------
 #
 # The training-data-pipeline operation the within-corpus dedups above do

@@ -64,6 +64,7 @@ CONTRACT_FIRST: list[str] = [
     # (ADVICE r4: re-verify one parked query per round).
     "dedup_simhash_pairs",
     "decontam_overlap_spans",
+    "dedup_embedding_cosine_lsh",
     "window_reindex",
     "window_lag_monotonic",
     "window_first_last",
@@ -84,7 +85,6 @@ CONTRACT_FIRST: list[str] = [
     # Round-3 rotation (r2 verdict item 7): drive previously library-only
     # queries through the driver, displacing four twice-green proxies
     # (now in CONTRACT_EXCLUDE with their named stand-ins).
-    "text_redact_pii",
     "window_running_sum",
     "window_dedup_first",
     # (round-5: text_sentence_stats / text_langid / asof_join_last_click /
@@ -179,6 +179,9 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     # query (~26 s of the sf0.01 gate).
     "ann_ivf_recall": "mllib_kmeans_coverage (same KMeans-IVF fit) + "
     "pytest recall invariants",
+    # round-5 rotation #3: funds the dedup_embedding_cosine_lsh slot.
+    "text_redact_pii": "text_fingerprint (same scan-bound "
+    "Java-regex∩RE2 text projection family)",
 }
 
 CONTRACT_CAP = 50

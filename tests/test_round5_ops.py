@@ -518,6 +518,25 @@ class TestManifestUpsert:
         assert self._mtimes(out) == before
 
 
+class TestEmbeddingCosineLsh:
+    def test_label_free_blocking_finds_planted_copies(self, spark):
+        """Identical vectors share a bucket by construction → every
+        planted exact copy is found without any label column."""
+        from imitation_learning_data_pipeline_spark.plans.dedup import (
+            dedup_embedding_cosine_lsh,
+        )
+        from imitation_learning_data_pipeline_spark.sources import load_table
+
+        n = load_table(spark, SF_DIR, "embeddings").count()
+        planted = {(v, v + 1000000) for v in range(0, n, 50)}
+        pairs = {
+            (r.vec_a, r.vec_b): r.cos_sim
+            for r in dedup_embedding_cosine_lsh(spark, SF_DIR).collect()
+        }
+        assert planted <= set(pairs)
+        assert all(abs(pairs[p] - 1.0) < 1e-6 for p in planted)
+
+
 class TestConnectedComponents:
     def test_long_chain_converges_by_pointer_jumping(self, spark):
         """A 1000-edge chain has graph diameter 1000 ≫ max_iters=20;
