@@ -65,6 +65,7 @@ CONTRACT_FIRST: list[str] = [
     "dedup_simhash_pairs",
     "decontam_overlap_spans",
     "dedup_embedding_cosine_lsh",
+    "pack_sequences",
     "window_reindex",
     "window_lag_monotonic",
     "window_first_last",
@@ -79,7 +80,6 @@ CONTRACT_FIRST: list[str] = [
     # Round-3 additions: new operators built this round go straight into
     # the contract so their first CORRECTNESS row lands immediately.
     "text_repetition_stats",
-    "text_topk_ngrams",
     "range_join_prior_views",
     "ann_int8_topk",
     # Round-3 rotation (r2 verdict item 7): drive previously library-only
@@ -182,6 +182,11 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     # round-5 rotation #3: funds the dedup_embedding_cosine_lsh slot.
     "text_redact_pii": "text_fingerprint (same scan-bound "
     "Java-regex∩RE2 text projection family)",
+    # round-5 rotation #4: funds the pack_sequences slot. Twice green
+    # (r3, r4); corpus-level ngram counting is text_repetition_stats'
+    # aggregate family, and its top-k sort shape is q3_shipping_priority.
+    "text_topk_ngrams": "text_repetition_stats (ngram aggregate family) "
+    "+ q3_shipping_priority (top-k sort)",
 }
 
 CONTRACT_CAP = 50

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import md5_unit_interval
 from ..session import ensure_utc
 from ..sources import load_table
+from .dedup import _W_SQL
 from .registry import register
 
 _STRAT_CAP = 100  # per-language document budget
@@ -127,4 +128,88 @@ def sample_mixture_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_sampled"), F.lit(0)).alias("n_sampled"),
             F.round(F.col("acc") * 1000).cast("long").alias("accept_milli"),
         )
+    )
+
+
+# --- sequence packing: concat-then-chunk token layout ------------------------
+#
+# The standard LLM-pretraining packing: all documents are concatenated in
+# a deterministic global order and the token stream is chunked into
+# fixed-length training sequences; documents may span a chunk boundary.
+# The mapping each doc needs is its global token offset — ONE prefix-sum
+# window over (source, doc_id) order — from which its first/last
+# sequence ids and intra-sequence position are pure arithmetic. At
+# 100 TB this is a single exchange (the window sort); everything else is
+# map-side, and the output is the metadata a downstream packer/writer
+# consumes — the text itself never moves.
+
+_SEQ_LEN = 512  # tokens per packed training sequence
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, CAST(len({_W_SQL}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+offs AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY source, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_offset
+  FROM toks
+)
+SELECT doc_id, source, n_tokens, start_offset,
+       start_offset // {_SEQ_LEN} AS seq_first,
+       CASE WHEN n_tokens = 0 THEN start_offset // {_SEQ_LEN}
+            ELSE (start_offset + n_tokens - 1) // {_SEQ_LEN} END AS seq_last,
+       start_offset % {_SEQ_LEN} AS pos_in_seq
+FROM offs
+""",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing metadata: per document, its
+    global token offset, the packed-sequence ids it spans
+    ([seq_first, seq_last] at ``_SEQ_LEN`` tokens/sequence) and its
+    position inside its first sequence.
+
+    Token count = whitespace tokens of the normalized text (the
+    text_token_count definition); global order = (source, doc_id) —
+    deterministic and grouping same-source documents adjacently, the
+    usual curriculum-friendly layout. The prefix sum is an unbounded
+    rows-frame window: Spark computes it with one total-ordered
+    exchange; a 100 TB run would first aggregate per-shard subtotals
+    (two-level scan) but the per-doc arithmetic is unchanged.
+    """
+    from ..functions.text import clean_words
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    toks = docs.select(
+        "doc_id", "source", F.size(clean_words("text")).cast("long").alias("n_tokens")
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.orderBy("source", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = toks.withColumn(
+        "start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    )
+    end_tok = F.col("start_offset") + F.col("n_tokens") - 1
+    return offs.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "start_offset",
+        (F.col("start_offset") / _SEQ_LEN).cast("long").alias("seq_first"),
+        F.when(
+            F.col("n_tokens") == 0, (F.col("start_offset") / _SEQ_LEN).cast("long")
+        )
+        .otherwise((end_tok / _SEQ_LEN).cast("long"))
+        .alias("seq_last"),
+        (F.col("start_offset") % _SEQ_LEN).alias("pos_in_seq"),
     )

@@ -518,6 +518,31 @@ class TestManifestUpsert:
         assert self._mtimes(out) == before
 
 
+class TestPackSequences:
+    def test_offsets_are_contiguous_and_spans_consistent(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.sampling import (
+            _SEQ_LEN,
+            pack_sequences,
+        )
+
+        rows = sorted(
+            pack_sequences(spark, SF_DIR).collect(),
+            key=lambda r: (r.source, r.doc_id),
+        )
+        expect_off = 0
+        for r in rows:
+            assert r.start_offset == expect_off  # no gaps, no overlaps
+            assert 0 <= r.pos_in_seq < _SEQ_LEN
+            assert r.seq_first == r.start_offset // _SEQ_LEN
+            end = r.start_offset + max(r.n_tokens, 1) - 1
+            assert r.seq_last == end // _SEQ_LEN
+            assert r.seq_last >= r.seq_first
+            expect_off += r.n_tokens
+        # the packed stream covers ceil(total/L) sequences exactly
+        total = expect_off
+        assert max(r.seq_last for r in rows) == (total - 1) // _SEQ_LEN
+
+
 class TestEmbeddingCosineLsh:
     def test_label_free_blocking_finds_planted_copies(self, spark):
         """Identical vectors share a bucket by construction → every
