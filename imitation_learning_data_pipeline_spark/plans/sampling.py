@@ -178,10 +178,17 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     Token count = whitespace tokens of the normalized text (the
     text_token_count definition); global order = (source, doc_id) —
     deterministic and grouping same-source documents adjacently, the
-    usual curriculum-friendly layout. The prefix sum is an unbounded
-    rows-frame window: Spark computes it with one total-ordered
-    exchange; a 100 TB run would first aggregate per-shard subtotals
-    (two-level scan) but the per-doc arithmetic is unchanged.
+    usual curriculum-friendly layout.
+
+    The global prefix sum is TWO-LEVEL, never a global window: a naive
+    ``Window.orderBy(source, doc_id)`` with no partition key collapses
+    the whole corpus into ONE sort partition — the textbook scale
+    killer. Instead (1) per-source token totals (one small agg) turn
+    into cumulative source base offsets via a window over the tiny
+    per-source frame; (2) the per-document prefix sum runs partitioned
+    BY source (parallel across sources); global offset = broadcast
+    source base + intra-source prefix. Identical output, and the only
+    full-data exchange is the per-source window sort.
     """
     from ..functions.text import clean_words
 
@@ -192,12 +199,22 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
-    w = (
-        Window.orderBy("source", "doc_id")
+    per_source = toks.groupBy("source").agg(F.sum("n_tokens").alias("src_toks"))
+    w_src = Window.orderBy("source").rowsBetween(Window.unboundedPreceding, -1)
+    bases = per_source.select(
+        "source",
+        F.coalesce(F.sum("src_toks").over(w_src), F.lit(0)).alias("src_base"),
+    )
+    w_doc = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offs = toks.withColumn(
-        "start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    offs = toks.join(F.broadcast(bases), "source").withColumn(
+        "start_offset",
+        (
+            F.col("src_base") + F.coalesce(F.sum("n_tokens").over(w_doc), F.lit(0))
+        ).cast("long"),
     )
     end_tok = F.col("start_offset") + F.col("n_tokens") - 1
     return offs.select(
