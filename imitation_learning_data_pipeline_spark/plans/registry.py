@@ -86,7 +86,7 @@ CONTRACT_FIRST: list[str] = [
     # queries through the driver, displacing four twice-green proxies
     # (now in CONTRACT_EXCLUDE with their named stand-ins).
     "window_running_sum",
-    "window_dedup_first",
+    "streaming_dedup_exact",
     # (round-5: text_sentence_stats / text_langid / asof_join_last_click /
     # window_frame_suite / window_group_order_suite moved to
     # CONTRACT_EXCLUDE after 2+ green rounds.)
@@ -187,6 +187,13 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     # aggregate family, and its top-k sort shape is q3_shipping_priority.
     "text_topk_ngrams": "text_repetition_stats (ngram aggregate family) "
     "+ q3_shipping_priority (top-k sort)",
+    # round-5 rotation #5: funds the streaming_dedup_exact slot. Four
+    # rounds green; its row_number-over-group machinery is
+    # window_reindex's shape and its keep-canonical-per-group semantics
+    # are dedup_exact's agg (storage-order pytest coverage remains in
+    # TestStorageOrder).
+    "window_dedup_first": "window_reindex (row_number over group) + "
+    "dedup_exact (keep-canonical agg)",
 }
 
 CONTRACT_CAP = 50

@@ -12,8 +12,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..session import ensure_utc
-from ..streaming import streaming_event_counts, streaming_windowed_counts
+from ..streaming import (
+    streaming_dedup_exact,
+    streaming_event_counts,
+    streaming_windowed_counts,
+)
+from .dedup import _CORPUS_SQL, _NORM_SQL
 from .registry import register
+
+
+@register(
+    "streaming_dedup_exact",
+    oracle=f"""
+WITH corpus AS ({_CORPUS_SQL}),
+hashed AS (SELECT doc_id, md5({_NORM_SQL}) AS content_hash FROM corpus)
+SELECT content_hash, count(*) AS n_copies, min(doc_id) AS canonical_doc
+FROM hashed GROUP BY content_hash HAVING count(*) > 1
+""",
+)
+def q_streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup as a stateful streaming aggregate — batch-oracle
+    checked against the identical dedup_exact SQL."""
+    ensure_utc(spark)
+    return streaming_dedup_exact(spark, sf_dir)
 
 
 @register(

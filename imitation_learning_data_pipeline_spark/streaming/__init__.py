@@ -1,7 +1,13 @@
-from .incremental import run_stream_to_batch, streaming_event_counts, streaming_windowed_counts
+from .incremental import (
+    run_stream_to_batch,
+    streaming_dedup_exact,
+    streaming_event_counts,
+    streaming_windowed_counts,
+)
 
 __all__ = [
     "run_stream_to_batch",
+    "streaming_dedup_exact",
     "streaming_event_counts",
     "streaming_windowed_counts",
 ]

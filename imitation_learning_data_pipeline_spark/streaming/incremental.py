@@ -51,24 +51,84 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_stream_to_batch(
-    streaming_df: DataFrame, spark: SparkSession, output_mode: str = "complete"
+    streaming_df: DataFrame,
+    spark: SparkSession,
+    output_mode: str = "complete",
+    checkpoint: str | None = None,
 ) -> DataFrame:
     """Execute a streaming plan over all currently-available data and
     return the result as a batch DataFrame (memory sink, availableNow).
 
     ``output_mode``: aggregations use "complete"; arbitrary-stateful
     operators (applyInPandasWithState) only support "update"/"append".
+    ``checkpoint`` pins offsets + state store across invocations: a
+    re-run resumes exactly-once from where the last one stopped and the
+    complete-mode table re-emits accumulated state.
     """
     name = f"mem_{uuid.uuid4().hex[:8]}"
-    q = (
+    w = (
         streaming_df.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
         .trigger(availableNow=True)
-        .start()
     )
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    q = w.start()
     q.awaitTermination()
     return spark.table(name)
+
+
+def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read of the documents table (file source, path-keyed
+    exactly-once like the discover stream)."""
+    return (
+        spark.readStream.schema(TABLE_SCHEMAS["documents"])
+        .option("pathGlobFilter", "documents*.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def streaming_dedup_exact(
+    spark: SparkSession, sf_dir: str, checkpoint: str | None = None
+) -> DataFrame:
+    """Exact dedup as a STATEFUL STREAMING aggregate: the dedup_exact
+    plan (normalized-content md5 → groupBy hash → count + min doc_id)
+    over a document stream. State is one compact row per distinct hash —
+    the streaming-dedup shape for continuous corpus ingest, where each
+    micro-batch folds newly-landed documents into the running duplicate
+    groups instead of re-scanning the corpus.
+
+    Same planted-duplicate corpus as dedup_exact (built by unioning
+    stateless transforms of the stream), so the batch oracle checks the
+    streaming machinery end-to-end. ``checkpoint`` keys incremental
+    exactly-once runs (pytest drives two-batch arrival); the contract
+    path runs availableNow over everything like the other streaming
+    entries.
+    """
+    from ..functions.text import normalize_text
+
+    stream = _documents_stream(spark, sf_dir).select("doc_id", "text")
+    exact = stream.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit(" !!!")).alias("text"),
+    )
+    near = stream.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail marker words appended here")).alias(
+            "text"
+        ),
+    )
+    corpus = stream.unionByName(exact).unionByName(near)
+    agg = (
+        corpus.select(
+            "doc_id", F.md5(normalize_text("text")).alias("content_hash")
+        )
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("canonical_doc"))
+        .filter(F.col("n_copies") > 1)
+    )
+    return run_stream_to_batch(agg, spark, checkpoint=checkpoint)
 
 
 def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

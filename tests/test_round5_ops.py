@@ -518,6 +518,56 @@ class TestManifestUpsert:
         assert self._mtimes(out) == before
 
 
+class TestStreamingDedup:
+    def test_incremental_arrival_accumulates_duplicate_state(self, spark, tmp_path):
+        """Exactly-once incremental dedup: batch 1 plants an in-batch
+        duplicate; batch 2 lands a cross-batch duplicate of a batch-1
+        doc. The second availableNow run on the SAME checkpoint must
+        fold only the new file into state and surface the cross-batch
+        group — the property a batch rescan doesn't need and streaming
+        state exists for."""
+        import pandas as pd
+
+        from imitation_learning_data_pipeline_spark.streaming.incremental import (
+            streaming_dedup_exact,
+        )
+
+        d = tmp_path / "docs"
+        d.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+
+        def _write(name, rows):
+            pd.DataFrame(
+                rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+            ).to_parquet(d / name, index=False)
+
+        # doc_ids chosen % 10 not in {0, 5}: no planted-corpus copies —
+        # state comes only from the duplicates we land ourselves.
+        _write(
+            "documents_b1.parquet",
+            [
+                (1, "alpha beta gamma", "en", "s", 16),
+                (2, "Alpha, beta;; GAMMA", "en", "s", 19),  # in-batch dup of 1
+                (3, "delta epsilon zeta", "en", "s", 18),
+            ],
+        )
+        out1 = {
+            r.canonical_doc: r.n_copies
+            for r in streaming_dedup_exact(spark, str(d), checkpoint=ckpt).collect()
+        }
+        assert out1 == {1: 2}
+
+        _write(
+            "documents_b2.parquet",
+            [(11, "delta epsilon ZETA!", "en", "s", 19)],  # cross-batch dup of 3
+        )
+        out2 = {
+            r.canonical_doc: r.n_copies
+            for r in streaming_dedup_exact(spark, str(d), checkpoint=ckpt).collect()
+        }
+        assert out2 == {1: 2, 3: 2}
+
+
 class TestPackSequences:
     def test_offsets_are_contiguous_and_spans_consistent(self, spark):
         from imitation_learning_data_pipeline_spark.plans.sampling import (
