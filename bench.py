@@ -37,6 +37,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Round-over-round comparability: round 5 ADDED dedup_simhash_pairs to
+# this set (the one new headline-worthy operator), so r5 totals carry
+# ~3-4 s the r4 totals don't; compare per-query values, or subtract the
+# new entry, for like-for-like.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
