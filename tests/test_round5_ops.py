@@ -649,6 +649,52 @@ class TestConnectedComponents:
             200: (100, 2),
         }
 
+    @pytest.mark.parametrize("seed", [7, 42, 1337])
+    def test_random_graphs_match_union_find_reference(self, spark, seed):
+        """Distributed labels == a trivial sequential union-find on
+        random sparse graphs (structure-agnostic cross-check)."""
+        import numpy as np
+
+        from imitation_learning_data_pipeline_spark.plans.dedup import (
+            connected_components,
+        )
+
+        rng = np.random.default_rng(seed)
+        edges = [
+            (int(a), int(b))
+            for a, b in rng.integers(0, 60, size=(80, 2))
+            if a != b
+        ]
+        parent = list(range(60))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {v for e in edges for v in e}
+        expected = {}
+        comp_min = {}
+        for v in sorted(touched):
+            comp_min.setdefault(find(v), v)
+        for v in touched:
+            expected[v] = comp_min[find(v)]
+        sizes = {}
+        for v in touched:
+            sizes[expected[v]] = sizes.get(expected[v], 0) + 1
+
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {
+            r.doc_id: (r.cluster_id, r.cluster_size)
+            for r in connected_components(pairs).collect()
+        }
+        assert got == {v: (expected[v], sizes[expected[v]]) for v in touched}
+
     def test_nonconvergence_raises_instead_of_silent_partial_labels(self, spark):
         """ADVICE r4: running out of rounds must be loud."""
         from imitation_learning_data_pipeline_spark.plans.dedup import (
