@@ -1129,3 +1129,64 @@ def connected_components(
             "cluster_size",
         )
     )
+
+
+# --- end-to-end dedup: corpus → pairs → components → reduction stats ---------
+
+@register(
+    "pipeline_dedup_end_to_end",
+    oracle=f"""
+WITH RECURSIVE mh AS MATERIALIZED (
+  {{MINHASH}}
+),
+e AS (
+  SELECT doc_a AS a, doc_b AS b FROM mh
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM mh
+),
+nodes AS (SELECT DISTINCT a AS doc FROM e),
+r(doc, reach) AS (
+  SELECT doc, doc FROM nodes
+  UNION
+  SELECT r.doc, e.b FROM r JOIN e ON r.reach = e.a
+),
+comp AS (SELECT doc, min(reach) AS cluster_id FROM r GROUP BY doc),
+corpus AS ({_CORPUS_SQL})
+SELECT (SELECT count(*) FROM corpus) AS n_docs,
+       count(*) AS n_dup_members,
+       count(DISTINCT cluster_id) AS n_clusters,
+       count(*) - count(DISTINCT cluster_id) AS n_dropped,
+       (SELECT count(*) FROM corpus) - (count(*) - count(DISTINCT cluster_id))
+         AS n_kept
+FROM comp
+""".replace("{MINHASH}", _minhash_oracle().strip()),
+)
+def pipeline_dedup_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup family composed the way a user runs it: near-dup pairs
+    (minhash LSH) → connected components → keep the min-id canonical per
+    cluster → corpus reduction stats, one row:
+    (n_docs, n_dup_members, n_clusters, n_dropped, n_kept).
+
+    Every duplicate cluster keeps exactly its canonical member, so
+    n_dropped = members − clusters and n_kept = n_docs − n_dropped.
+    Scale shape is the sum of its parts (each documented on its own
+    operator): the only additional work is two 1-row aggregates.
+    """
+    corpus = _corpus(spark, sf_dir)
+    comp = connected_components(
+        minhash_pairs(corpus).select("doc_a", "doc_b")
+    )
+    stats = comp.agg(
+        F.count("*").alias("n_dup_members"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+    )
+    totals = corpus.agg(F.count("*").alias("n_docs"))
+    return totals.crossJoin(stats).select(
+        "n_docs",
+        "n_dup_members",
+        "n_clusters",
+        (F.col("n_dup_members") - F.col("n_clusters")).alias("n_dropped"),
+        (F.col("n_docs") - (F.col("n_dup_members") - F.col("n_clusters"))).alias(
+            "n_kept"
+        ),
+    )

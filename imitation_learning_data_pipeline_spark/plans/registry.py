@@ -66,6 +66,7 @@ CONTRACT_FIRST: list[str] = [
     "decontam_overlap_spans",
     "dedup_embedding_cosine_lsh",
     "pack_sequences",
+    "pipeline_dedup_end_to_end",
     "window_reindex",
     "window_lag_monotonic",
     "window_first_last",
@@ -194,6 +195,12 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     # TestStorageOrder).
     "window_dedup_first": "window_reindex (row_number over group) + "
     "dedup_exact (keep-canonical agg)",
+    # round-5 rotation #6: funds the pipeline_dedup_end_to_end slot.
+    # Four rounds green; the inverse of the r4 q6 park — same lineitem
+    # scan+filter+agg shape, pushdown assertions stay in
+    # tools/explain_audit.py.
+    "q1_pricing_summary": "q6_forecast_revenue (same lineitem "
+    "scan+filter+agg shape; pushdown audit retained)",
 }
 
 CONTRACT_CAP = 50

@@ -568,6 +568,21 @@ class TestStreamingDedup:
         assert out2 == {1: 2, 3: 2}
 
 
+class TestDedupEndToEnd:
+    def test_reduction_stats_are_consistent(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.dedup import (
+            pipeline_dedup_end_to_end,
+        )
+
+        r = pipeline_dedup_end_to_end(spark, SF_DIR).collect()[0]
+        assert r.n_kept + r.n_dropped == r.n_docs
+        assert r.n_dropped == r.n_dup_members - r.n_clusters
+        assert 0 < r.n_clusters <= r.n_dup_members
+        # every planted exact copy forms at least a 2-member cluster, so
+        # duplicates must actually have been dropped
+        assert r.n_dropped > 0
+
+
 class TestPackSequences:
     def test_offsets_are_contiguous_and_spans_consistent(self, spark):
         from imitation_learning_data_pipeline_spark.plans.sampling import (
