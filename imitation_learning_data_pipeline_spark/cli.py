@@ -215,6 +215,68 @@ def cmd_materialize(args: argparse.Namespace) -> int:
     return 0
 
 
+# --- dedup (extension: the LLM-corpus dedup family from the CLI) -------------
+
+
+def cmd_dedup(args: argparse.Namespace) -> int:
+    """Corpus dedup end-to-end from the shell: pairs (chosen method) →
+    connected components → canonical keep-list + reduction stats.
+
+    Extension beyond the reference CLI (its pipeline has no text dedup;
+    README.md:164-187 future-work scope) exposing plans/dedup.py's
+    caller-frame APIs. Writes ``pairs/``, ``clusters/`` and ``keep/``
+    parquet under --out and prints one JSON stats line.
+    """
+    from .plans.dedup import (
+        connected_components,
+        minhash_pairs,
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+
+    spark = _spark("dedup")
+    docs = spark.read.parquet(args.input).select(
+        F.col(args.id_col).cast("long").alias("doc_id"),
+        F.col(args.text_col).alias("text"),
+    )
+    if args.method == "minhash":
+        pairs = minhash_pairs(docs, threshold=args.threshold)
+    elif args.method == "simhash":
+        pairs = simhash_pairs(docs)
+    else:
+        pairs = ngram_jaccard_pairs(docs, threshold=args.threshold)
+    pairs.write.mode("overwrite").parquet(f"{args.out_dir}/pairs")
+    pairs = spark.read.parquet(f"{args.out_dir}/pairs")  # reuse, don't recompute
+
+    clusters = connected_components(pairs.select("doc_a", "doc_b"))
+    clusters.write.mode("overwrite").parquet(f"{args.out_dir}/clusters")
+    clusters = spark.read.parquet(f"{args.out_dir}/clusters")
+
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    keep = docs.select("doc_id").join(drop, "doc_id", "left_anti")
+    keep.write.mode("overwrite").parquet(f"{args.out_dir}/keep")
+
+    n_docs = docs.count()
+    n_pairs = pairs.count()
+    n_members = clusters.count()
+    n_clusters = clusters.select("cluster_id").distinct().count()
+    print(
+        json.dumps(
+            {
+                "out": args.out_dir,
+                "method": args.method,
+                "n_docs": n_docs,
+                "n_pairs": n_pairs,
+                "n_dup_members": n_members,
+                "n_clusters": n_clusters,
+                "n_dropped": n_members - n_clusters,
+                "n_kept": n_docs - (n_members - n_clusters),
+            }
+        )
+    )
+    return 0
+
+
 # --- parser ------------------------------------------------------------------
 
 
@@ -276,6 +338,19 @@ def build_parser() -> argparse.ArgumentParser:
         default="manifest-only",
     )
     m.set_defaults(fn=cmd_materialize)
+
+    dd = sub.add_parser(
+        "dedup", help="corpus near-dup pairs + clusters + canonical keep-list"
+    )
+    dd.add_argument("--input", required=True, help="parquet of documents")
+    dd.add_argument("--out", dest="out_dir", required=True)
+    dd.add_argument(
+        "--method", choices=["minhash", "simhash", "jaccard"], default="minhash"
+    )
+    dd.add_argument("--threshold", type=float, default=0.5)
+    dd.add_argument("--id-col", default="doc_id")
+    dd.add_argument("--text-col", default="text")
+    dd.set_defaults(fn=cmd_dedup)
     return p
 
 

@@ -313,3 +313,39 @@ def test_stats_sidecar_ingest_path(spark, workdir, capsys):
     doc = json.load(open(out_path))
     assert doc["action"]["count"] == 10
     assert doc["action"]["mean"] == [1.0, 2.0]
+
+
+def test_dedup_subcommand(spark, tmp_path, capsys):
+    """`dedup` writes pairs/clusters/keep and prints consistent stats;
+    the keep-list drops exactly the non-canonical cluster members."""
+    import pandas as pd
+
+    base = " ".join(f"w{i:02d}" for i in range(20))
+    docs = tmp_path / "docs.parquet"
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [base, base + " w20", " ".join(f"x{i}" for i in range(15)), base],
+        }
+    ).to_parquet(docs, index=False)
+    out_dir = str(tmp_path / "dd")
+
+    rc, out = _run(
+        capsys,
+        ["dedup", "--input", str(docs), "--out", out_dir, "--method", "minhash"],
+    )
+    assert rc == 0
+    stats = json.loads(out[-1])
+    # docs 1, 2, 4 form one near-dup cluster (canonical 1); doc 3 unrelated
+    assert stats["n_docs"] == 4
+    assert stats["n_clusters"] == 1
+    assert stats["n_dup_members"] == 3
+    assert stats["n_dropped"] == 2
+    assert stats["n_kept"] == 2
+
+    kept = {
+        r.doc_id
+        for r in spark.read.parquet(f"{out_dir}/keep").collect()
+    }
+    assert kept == {1, 3}
+    assert os.path.isdir(f"{out_dir}/pairs") and os.path.isdir(f"{out_dir}/clusters")
