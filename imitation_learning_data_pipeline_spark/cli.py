@@ -19,6 +19,8 @@ Usage:
   python -m imitation_learning_data_pipeline_spark.cli materialize --norm-dir DIR --out DIR
       [--seed N] [--train F] [--val F] [--test F] [--videos-root DIR]
       [--link-videos MODE]
+  python -m imitation_learning_data_pipeline_spark.cli dedup --input DOCS.parquet --out DIR
+      [--method minhash|simhash|jaccard] [--threshold F] [--id-col C] [--text-col C]
 """
 
 from __future__ import annotations
