@@ -201,6 +201,11 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     # tools/explain_audit.py.
     "q1_pricing_summary": "q6_forecast_revenue (same lineitem "
     "scan+filter+agg shape; pushdown audit retained)",
+    # library-only by design: the unbounded-state contract slot is held
+    # by streaming_dedup_exact; this is its bounded-state production
+    # variant, oracle-checked locally by the --all gate.
+    "streaming_dedup_events": "streaming_dedup_exact (same streaming "
+    "dedup machinery; bounded-state watermark variant)",
 }
 
 CONTRACT_CAP = 50

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..session import ensure_utc
 from ..streaming import (
+    streaming_dedup_events,
     streaming_dedup_exact,
     streaming_event_counts,
     streaming_windowed_counts,
@@ -35,6 +36,22 @@ def q_streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     checked against the identical dedup_exact SQL."""
     ensure_utc(spark)
     return streaming_dedup_exact(spark, sf_dir)
+
+
+@register(
+    "streaming_dedup_events",
+    oracle="""
+SELECT DISTINCT event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       user_id, event_type
+FROM events
+""",
+)
+def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded streaming dedup over a doubled event stream —
+    library query (CONTRACT_EXCLUDE), hash-checked by the --all gate."""
+    ensure_utc(spark)
+    return streaming_dedup_events(spark, sf_dir)
 
 
 @register(

@@ -1,5 +1,6 @@
 from .incremental import (
     run_stream_to_batch,
+    streaming_dedup_events,
     streaming_dedup_exact,
     streaming_event_counts,
     streaming_windowed_counts,
@@ -7,6 +8,7 @@ from .incremental import (
 
 __all__ = [
     "run_stream_to_batch",
+    "streaming_dedup_events",
     "streaming_dedup_exact",
     "streaming_event_counts",
     "streaming_windowed_counts",

@@ -131,6 +131,35 @@ def streaming_dedup_exact(
     return run_stream_to_batch(agg, spark, checkpoint=checkpoint)
 
 
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-BOUNDED streaming dedup: dropDuplicatesWithinWatermark
+    on a doubled event stream.
+
+    streaming_dedup_exact's groupBy state grows with distinct keys
+    forever — right for corpus dedup where the hash set IS the product,
+    wrong for an infinite event stream. Here duplicates are only ever
+    near each other in event time (at-least-once delivery retries), so
+    state for a key is dropped once the watermark passes it: bounded by
+    rate × watermark horizon, not by stream lifetime. The stream unions
+    itself (every event arrives exactly twice), so the deduped output
+    must equal DISTINCT of the input — which is what the oracle checks.
+    """
+    stream = _events_stream(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    doubled = stream.unionByName(stream)
+    deduped = doubled.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    out = deduped.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "user_id",
+        "event_type",
+    )
+    return run_stream_to_batch(out, spark, output_mode="append")
+
+
 def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(user, event_type) running counts as a stream — the streaming
     shape of discover's incremental diff: each micro-batch folds new
