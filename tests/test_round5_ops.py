@@ -721,3 +721,46 @@ class TestConnectedComponents:
         )
         with pytest.raises(RuntimeError, match="did not converge"):
             connected_components(pairs, max_iters=2)
+
+
+class TestCompaction:
+    def test_many_small_files_become_few(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.compact import compact
+
+        p = str(tmp_path / "t")
+        # 40 tiny files via 40-way repartition
+        spark.range(0, 4000).repartition(40).write.parquet(p)
+        import os
+
+        before = sum(
+            f.endswith(".parquet") for f in os.listdir(p)
+        )
+        assert before == 40
+        r = compact(spark, p, target_bytes=1 << 30)
+        assert r["files_before"] == 40
+        assert r["files_after"] == 1
+        back = spark.read.parquet(p)
+        assert back.count() == 4000
+        assert back.agg({"id": "sum"}).collect()[0][0] == 4000 * 3999 // 2
+
+    def test_partitioned_layout_survives(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from imitation_learning_data_pipeline_spark.pipeline.compact import compact
+
+        p = str(tmp_path / "pt")
+        (
+            spark.range(0, 1000)
+            .withColumn("part", (F.col("id") % 2).cast("string"))
+            .repartition(20)
+            .write.partitionBy("part")
+            .parquet(p)
+        )
+        r = compact(spark, p, target_bytes=1 << 30, partition_col="part")
+        assert r["files_after"] < r["files_before"]
+        import os
+
+        assert sorted(
+            d for d in os.listdir(p) if d.startswith("part=")
+        ) == ["part=0", "part=1"]
+        assert spark.read.parquet(p).count() == 1000
