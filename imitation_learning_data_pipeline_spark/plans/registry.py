@@ -206,6 +206,11 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     # variant, oracle-checked locally by the --all gate.
     "streaming_dedup_events": "streaming_dedup_exact (same streaming "
     "dedup machinery; bounded-state watermark variant)",
+    # library-only by design: the sketch-family contract slot is held by
+    # agg_approx_sketches (HLL + KLL with error-bound invariants); this
+    # adds the approximate counter, oracle-checked by the --all gate.
+    "sketch_count_min": "agg_approx_sketches (same sketch family; CMS "
+    "adds the approximate counter)",
 }
 
 CONTRACT_CAP = 50

@@ -144,3 +144,109 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("exact_supps").cast("long").alias("exact_distinct_supps"),
         within("hll_supps", "exact_supps").alias("hll_supp_within_5pct"),
     )
+
+
+# --- count-min sketch: approximate frequency with deterministic hashing ------
+#
+# Completes the sketch family (HLL distinct + KLL quantiles in
+# agg_approx_sketches) with the approximate COUNTER: d independent md5
+# hash rows × w buckets; an item's estimate is the MIN over its d
+# counters — never an underestimate, overestimate bounded by collisions
+# (ε ≈ e/w of total mass with probability 1−e^−d). The md5 bucketing is
+# bit-identical on every engine, so unlike library CMS implementations
+# this one is exactly oracle-checkable.
+
+_CMS_W = 1024  # buckets per hash row
+_CMS_D = 4  # independent hash rows
+
+
+def _cms_bucket_sql(d: int, col: str = "word") -> str:
+    return (
+        f"('0x' || substr(md5({d} || '|' || {col}), 1, 8))::BIGINT % {_CMS_W}"
+    )
+
+
+@register(
+    "sketch_count_min",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(trim(regexp_replace(regexp_replace(
+           lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '),
+         x -> x <> '')) AS word
+  FROM documents
+),
+counters AS (
+  SELECT d, bucket, count(*) AS c
+  FROM (
+    {" UNION ALL ".join(f"SELECT {d} AS d, {_cms_bucket_sql(d)} AS bucket, word FROM toks" for d in range(_CMS_D))}
+  )
+  GROUP BY d, bucket
+),
+truth AS (SELECT word, count(*) AS n_true FROM toks GROUP BY word),
+est AS (
+  SELECT t.word, t.n_true, min(c.c) AS n_cms
+  FROM truth t
+  JOIN counters c
+    ON (
+      {" OR ".join(f"(c.d = {d} AND c.bucket = {_cms_bucket_sql(d, 't.word')})" for d in range(_CMS_D))}
+    )
+  GROUP BY t.word, t.n_true
+)
+SELECT word, n_true, n_cms FROM est
+""",
+)
+def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over document word frequencies, checked against
+    truth: (word, n_true, n_cms) with n_cms ≥ n_true always.
+
+    Build: one token explode → d=4 (hash-row, bucket) keys per token →
+    ONE groupBy counts all d×w=4096 counters (map-side partials; counter
+    table size is fixed, independent of corpus size — that's the point
+    of a sketch: the 100 TB shuffle is 4096 rows). Estimates join each
+    distinct word to its d counters and take the min. Deterministic md5
+    bucketing keeps Spark and the oracle bit-identical.
+    """
+    from ..functions.text import clean_words
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    toks = docs.select(F.explode(clean_words("text")).alias("word"))
+
+    def bucket(d: int, col: str = "word"):
+        return (
+            F.conv(F.substring(F.md5(F.concat(F.lit(f"{d}|"), F.col(col))), 1, 8), 16, 10)
+            .cast("long") % _CMS_W
+        )
+
+    keyed = toks.select(
+        "word",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(d).alias("d"), bucket(d).alias("bucket"))
+                    for d in range(_CMS_D)
+                ]
+            )
+        ).alias("k"),
+    ).select("word", F.col("k.d").alias("d"), F.col("k.bucket").alias("bucket"))
+    counters = keyed.groupBy("d", "bucket").agg(F.count("*").alias("c"))
+
+    truth = toks.groupBy("word").agg(F.count("*").alias("n_true"))
+    probes = truth.select(
+        "word",
+        "n_true",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(d).alias("d"), bucket(d).alias("bucket"))
+                    for d in range(_CMS_D)
+                ]
+            )
+        ).alias("k"),
+    ).select("word", "n_true", F.col("k.d").alias("d"), F.col("k.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(counters), ["d", "bucket"])
+        .groupBy("word", "n_true")
+        .agg(F.min("c").alias("n_cms"))
+        .select("word", "n_true", "n_cms")
+    )

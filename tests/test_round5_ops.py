@@ -764,3 +764,20 @@ class TestCompaction:
             d for d in os.listdir(p) if d.startswith("part=")
         ) == ["part=0", "part=1"]
         assert spark.read.parquet(p).count() == 1000
+
+
+class TestCountMinSketch:
+    def test_never_underestimates_and_bounded_overestimate(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.relational2 import (
+            _CMS_W,
+            sketch_count_min,
+        )
+
+        rows = sketch_count_min(spark, SF_DIR).collect()
+        assert rows
+        total = sum(r.n_true for r in rows)
+        for r in rows:
+            assert r.n_cms >= r.n_true  # CMS can only overestimate
+            # classic bound: overestimate ≤ ε·N with ε ≈ e/w, here with
+            # generous slack (d=4 rows make the min tight)
+            assert r.n_cms - r.n_true <= max(1, 3 * total // _CMS_W)
