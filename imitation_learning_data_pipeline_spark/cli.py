@@ -279,6 +279,21 @@ def cmd_dedup(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_compact(args: argparse.Namespace) -> int:
+    """Small-file compaction from the shell (pipeline/compact.py)."""
+    from .pipeline.compact import compact
+
+    spark = _spark("compact")
+    stats = compact(
+        spark,
+        args.path,
+        target_bytes=args.target_mb * 1024 * 1024,
+        partition_col=args.partition_col,
+    )
+    print(json.dumps({"path": args.path, **stats}))
+    return 0
+
+
 # --- parser ------------------------------------------------------------------
 
 
@@ -353,6 +368,12 @@ def build_parser() -> argparse.ArgumentParser:
     dd.add_argument("--id-col", default="doc_id")
     dd.add_argument("--text-col", default="text")
     dd.set_defaults(fn=cmd_dedup)
+
+    c = sub.add_parser("compact", help="rewrite a parquet dataset into target-sized files")
+    c.add_argument("--path", required=True)
+    c.add_argument("--target-mb", type=int, default=128)
+    c.add_argument("--partition-col", default=None)
+    c.set_defaults(fn=cmd_compact)
     return p
 
 

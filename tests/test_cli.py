@@ -349,3 +349,14 @@ def test_dedup_subcommand(spark, tmp_path, capsys):
     }
     assert kept == {1, 3}
     assert os.path.isdir(f"{out_dir}/pairs") and os.path.isdir(f"{out_dir}/clusters")
+
+
+def test_compact_subcommand(spark, tmp_path, capsys):
+    p = str(tmp_path / "cc")
+    spark.range(0, 2000).repartition(10).write.parquet(p)
+    rc, out = _run(capsys, ["compact", "--path", p, "--target-mb", "1024"])
+    assert rc == 0
+    stats = json.loads(out[-1])
+    assert stats["files_before"] == 10
+    assert stats["files_after"] == 1
+    assert spark.read.parquet(p).count() == 2000
