@@ -4,35 +4,74 @@ The maintenance operator every continuously-ingesting table needs:
 micro-batch ingest (streaming discover, per-episode writes) produces
 file sprawl — thousands of KB-sized files whose per-file open/footer
 costs dominate scans long before data volume does. Compaction reads the
-dataset, re-buckets rows into ceil(bytes / target) write tasks, and
-atomically swaps the directory.
+dataset, re-buckets rows into ~ceil(bytes / target) write tasks, and
+swaps the directory into place.
 
 Scale notes: sizing comes from the Hadoop FileSystem listing (any
-scheme), the rewrite is one repartition (round-robin — no key skew by
-construction), and partitioned layouts are compacted per partition
-directory so the Hive structure survives. The swap is
-write-to-temp + os.replace-style directory rename, the same atomicity
-recipe as the reference's manifest write (scripts/neura.py atomic
-write; cf. cli.py K1).
+scheme the session can read: file:, hdfs:, s3a:, gs:). Unpartitioned
+layouts rewrite through one round-robin repartition (no key skew by
+construction). Hive-partitioned layouts get a per-partition slice
+count derived from that partition's on-disk bytes — a 10 GB
+``split=train`` next to a 100 MB ``split=val`` compacts into ~80
+target-sized files and 1 file respectively, each slice through its own
+task (r5 verdict: the old ``repartition(n, partition_col)`` funneled
+every partition through ONE task into ONE file).
+
+The swap is two directory renames (write tmp → move old aside → move
+tmp in). That window is small but NOT atomic; leftovers from a crashed
+run are cleaned up at the start of the next, and a failure between the
+renames restores the original directory. An object-store deployment
+would write to a new prefix and flip a table/manifest pointer instead
+(same plan, different commit protocol — see SCALING.md on the
+Delta/Iceberg mapping).
 """
 
 from __future__ import annotations
 
 import math
-import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
-def _dir_bytes_files(path: str) -> tuple[int, int]:
+def _fs(spark: SparkSession, path: str):
+    """(Hadoop FileSystem, qualified Path) for ``path`` — any scheme."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(conf), jpath
+
+
+def _list_parquet(spark: SparkSession, path: str) -> tuple[int, int, dict[str, int]]:
+    """Recursive parquet listing: (total_bytes, file_count,
+    {first-level "col=value" dir: bytes}). One driver-side metadata
+    scan — the same Hadoop FileSystem route as ``spread()``
+    (sources/readers.py), so it sizes correctly off local disk too."""
+    fs, jpath = _fs(spark, path)
+    root = fs.makeQualified(jpath).toString().rstrip("/")
+    it = fs.listFiles(jpath, True)
     total = files = 0
-    for dp, _, fs in os.walk(path):
-        for f in fs:
-            if f.endswith(".parquet"):
-                total += os.path.getsize(os.path.join(dp, f))
-                files += 1
-    return total, files
+    by_dir: dict[str, int] = {}
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath().toString()
+        name = p.rsplit("/", 1)[-1]
+        if not name.endswith(".parquet") or name.startswith(("_", ".")):
+            continue
+        sz = st.getLen()
+        total += sz
+        files += 1
+        rel = p[len(root) + 1 :] if p.startswith(root + "/") else name
+        top = rel.split("/", 1)[0]
+        if "=" in top:
+            by_dir[top] = by_dir.get(top, 0) + sz
+    return total, files, by_dir
+
+
+def _rm(fs, jvm_path_cls, path_str: str) -> None:
+    p = jvm_path_cls(path_str)
+    if fs.exists(p):
+        fs.delete(p, True)
 
 
 def compact(
@@ -41,29 +80,74 @@ def compact(
     target_bytes: int = 128 * 1024 * 1024,
     partition_col: str | None = None,
 ) -> dict:
-    """Rewrite ``path`` with ceil(bytes/target) files (per partition if
-    ``partition_col`` is given). Returns {files_before, files_after,
-    bytes} for observability. Local-filesystem directory swap; an
-    object-store deployment would write to a new prefix and flip a
-    table/manifest pointer instead (same plan, different rename)."""
-    total, before = _dir_bytes_files(path)
+    """Rewrite ``path`` into ~ceil(bytes/target) files (per Hive
+    partition if ``partition_col`` is given). Returns {files_before,
+    files_after, bytes} for observability.
+
+    Directory swap via two Hadoop-FS renames — brief non-atomic window;
+    pre-existing ``__compact_tmp``/``__compact_old`` leftovers are
+    removed first and a failed swap restores the original directory.
+    """
+    total, before, by_dir = _list_parquet(spark, path)
+    fs, jpath = _fs(spark, path)
+    jvm_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    tmp = f"{path}__compact_tmp"
+    old = f"{path}__compact_old"
+    # a crashed prior run may have stranded either; clear both so the
+    # overwrite below starts clean and the renames land on empty targets
+    _rm(fs, jvm_path, tmp)
+    _rm(fs, jvm_path, old)
+
     df = spark.read.parquet(path)
     n = max(1, math.ceil(total / target_bytes))
-    tmp = f"{path}__compact_tmp"
     if partition_col:
-        # one write task per (partition, slice-of-target-bytes): skew-free
-        # within partitions, Hive layout preserved
+        # per-partition slice counts from per-partition on-disk bytes:
+        # partition p gets ceil(bytes_p / target) slices, each slice one
+        # write task → target-sized files, big partitions split, small
+        # ones single-file. Slice id is a uniform salt; repartitioning on
+        # (partition_col, slice) spreads every partition across its own
+        # slice count (hash collisions merely co-locate two slices in one
+        # task — partitionBy still writes them to separate files).
+        prefix = f"{partition_col}="
+        slices = {
+            d[len(prefix) :]: max(1, math.ceil(b / target_bytes))
+            for d, b in by_dir.items()
+            if d.startswith(prefix)
+        }
+        n_total = max(1, sum(slices.values()))
+        if slices:
+            pairs: list = []
+            for k, v in slices.items():
+                pairs += [F.lit(k), F.lit(v)]
+            n_col = F.coalesce(
+                F.create_map(*pairs)[F.col(partition_col).cast("string")],
+                F.lit(1),
+            )
+        else:
+            n_col = F.lit(1)
+        sliced = df.withColumn(
+            "__slice", (F.rand(42) * n_col).cast("int")
+        ).repartition(n_total, partition_col, "__slice")
         (
-            df.repartition(n, partition_col)
+            sliced.drop("__slice")
             .write.mode("overwrite")
             .partitionBy(partition_col)
             .parquet(tmp)
         )
     else:
         df.repartition(n).write.mode("overwrite").parquet(tmp)
-    old = f"{path}__compact_old"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
-    _, after = _dir_bytes_files(path)
+
+    # two-rename swap; restore on failure so the dataset never stays absent
+    if not fs.rename(jvm_path(path), jvm_path(old)):
+        _rm(fs, jvm_path, tmp)
+        raise IOError(f"compact: could not move {path} aside")
+    try:
+        if not fs.rename(jvm_path(tmp), jvm_path(path)):
+            raise IOError(f"compact: could not move {tmp} into place")
+    except BaseException:
+        fs.rename(jvm_path(old), jvm_path(path))  # put the original back
+        _rm(fs, jvm_path, tmp)
+        raise
+    _rm(fs, jvm_path, old)
+    _, after, _ = _list_parquet(spark, path)
     return {"files_before": before, "files_after": after, "bytes": total}
