@@ -57,6 +57,12 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # the one round-1 failure, vector_zscore) go first so any cap covers them.
 CONTRACT_FIRST: list[str] = [
     "vector_zscore",
+    # Round-6 rotation (r5 verdict item 1): the last two
+    # never-driver-checked oracles rotate IN for their first CORRECTNESS
+    # rows, closing the oracle surface — everything with a DuckDB oracle
+    # has now been driver-checked at least once.
+    "sketch_count_min",
+    "streaming_dedup_events",
     # Round-5 additions/rotations: the SimHash pair stage (new) goes
     # straight into the contract; the four granular window queries get
     # their first-ever direct CORRECTNESS rows (r4 verdict item 3); and
@@ -201,16 +207,20 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     # tools/explain_audit.py.
     "q1_pricing_summary": "q6_forecast_revenue (same lineitem "
     "scan+filter+agg shape; pushdown audit retained)",
-    # library-only by design: the unbounded-state contract slot is held
-    # by streaming_dedup_exact; this is its bounded-state production
-    # variant, oracle-checked locally by the --all gate.
-    "streaming_dedup_events": "streaming_dedup_exact (same streaming "
-    "dedup machinery; bounded-state watermark variant)",
-    # library-only by design: the sketch-family contract slot is held by
-    # agg_approx_sketches (HLL + KLL with error-bound invariants); this
-    # adds the approximate counter, oracle-checked by the --all gate.
-    "sketch_count_min": "agg_approx_sketches (same sketch family; CMS "
-    "adds the approximate counter)",
+    # round-6 rotation: two multi-green queries park to fund the
+    # sketch_count_min + streaming_dedup_events slots (r5 verdict item 1).
+    # Label-blocked cosine dedup (green r4, r5): its chunked-gemm cosine
+    # pair scoring is exactly dedup_embedding_cosine_lsh's scoring stage;
+    # the only delta is where the blocking key comes from (label column
+    # vs hyperplane bucket), which the LSH variant checks directly.
+    "dedup_embedding_cosine": "dedup_embedding_cosine_lsh (same "
+    "chunked-gemm cosine pair scoring; label vs derived blocking key)",
+    # Brute-force ANN baseline (green r2-r5): ann_lsh_topk's scoring
+    # stage IS the brute-force Arrow-matmul cosine top-k restricted to
+    # candidate buckets, and ann_int8_topk keeps an exact-dot top-k in
+    # the contract; recall-vs-bruteforce invariants stay in pytest.
+    "ann_bruteforce_topk": "ann_lsh_topk (same Arrow-matmul cosine "
+    "top-k, bucket-restricted) + ann_int8_topk (exact dot top-k)",
 }
 
 CONTRACT_CAP = 50
