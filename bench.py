@@ -10,7 +10,9 @@ Two timings per query:
 - task_time_s: the sum of Spark executor task run times (AppStatusStore
   stage metrics delta) — engine work separable from host noise. A query
   whose wall time is 10× its task time divided by cores is waiting on
-  the host, not on the engine.
+  the host, not on the engine. task_time_s comes from the LAST repeat
+  (warm steady state); task_time_cold_s is the first run's (includes
+  one-time JIT/codegen compilation).
 
 Execution is forced through the noop sink (full materialization of every
 operator — a bare .count() would let Catalyst prune unevaluated columns
@@ -107,7 +109,11 @@ def main() -> int:
     # code benched 32.7 s one round and 173.7 s the next purely on
     # whether the JIT happened to be warm. Best-of-2 reports the
     # steady-state number deterministically instead of by luck.
-    ap.add_argument("--repeat", type=int, default=2)
+    # Default 3 (was 2 through r5): the r6 postmortem (SCALING.md) showed
+    # run 2 of multi-stage plans still pays whole-stage-codegen JIT, so
+    # best-of-2 sometimes reported a cold number as "warm" — the three
+    # r5 "regressions" vanished at repeat 3.
+    ap.add_argument("--repeat", type=int, default=3)
     args = ap.parse_args()
 
     from imitation_learning_data_pipeline_spark.plans import QUERIES
@@ -146,22 +152,30 @@ def main() -> int:
     names = args.queries.split(",") if args.queries else HEADLINE
     timings: dict[str, float] = {}
     task_times: dict[str, float] = {}
+    cold_task_times: dict[str, float] = {}
     cold_timings: dict[str, float] = {}
     for name in names:
         fn = QUERIES[name]
-        best = best_task = cold = None
+        best = cold = cold_task = last_task = None
         for _ in range(args.repeat):
             t0 = time.time()
             m0 = probe.total_ms()
             fn(spark, args.sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
-            dm = (probe.total_ms() - m0) / 1000.0
+            last_task = (probe.total_ms() - m0) / 1000.0
             if cold is None:
-                cold = dt
+                cold, cold_task = dt, last_task
             if best is None or dt < best:
-                best, best_task = dt, dm
+                best = dt
         timings[name] = round(best, 3)
-        task_times[name] = round(best_task, 3)
+        # task time from the LAST repeat (warm steady state): the r5
+        # verdict caught best-WALL-run task time silently reporting
+        # first-run JIT CPU whenever the cold run won on wall
+        # (dedup_minhash_lsh: 54 cold CPU-s vs r4's 26.5 warm),
+        # corrupting cross-round CPU comparisons. Cold CPU ships
+        # separately below.
+        task_times[name] = round(last_task, 3)
+        cold_task_times[name] = round(cold_task, 3)
         cold_timings[name] = round(cold, 3)
         # Drop relations persisted inside query plans (minhash/ngram keep
         # their shingle tables cached).
@@ -182,6 +196,7 @@ def main() -> int:
                 # walls ship alongside so cross-round comparisons can
                 # tell which methodology produced a number.
                 "repeat": args.repeat,
+                "task_time_cold_s": cold_task_times,
                 "queries_cold_s": cold_timings,
                 "cold_total_s": round(sum(cold_timings.values()), 3),
                 "sf": sf,
