@@ -66,6 +66,39 @@ def _bucket_udf():
     return bucket
 
 
+def _probe_buckets_udf():
+    """pandas UDF: embedding → array of probe buckets — the home 8-bit
+    hyperplane bucket plus one bucket per SET bit with that bit flipped
+    down ('1'→'0').
+
+    Down-flips-only makes multi-probe pair discovery exactly-once with
+    no dedup shuffle: a Hamming-1 pair (buckets X, Y differing at bit i)
+    meets in exactly one block — whichever of X/Y has the 1 at bit i
+    sends its vector down into the other's home. A Hamming-2 pair whose
+    two differing bits are split one-per-side meets only in the shared
+    AND-bucket (both flip their private 1). No pair can meet twice:
+    distinct down-flips of one bucket are distinct, and two buckets'
+    down-flip sets intersect in at most the single AND-bucket.
+    """
+    planes_t = _PLANES_MAT.T  # (64, 8)
+
+    @F.pandas_udf("array<string>")
+    def probes(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy()).astype(np.float64)  # (B, 64)
+        bits = (mat @ planes_t) >= 0  # (B, 8)
+        out = []
+        for row in bits:
+            home = "".join("1" if b else "0" for b in row)
+            bs = [home]
+            for i, b in enumerate(row):
+                if b:
+                    bs.append(home[:i] + "0" + home[i + 1 :])
+            out.append(bs)
+        return pd.Series(out)
+
+    return probes
+
+
 def _cos_matrix_udf(qmat: np.ndarray):
     """pandas UDF: embedding → array of cosines against the query matrix."""
     qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)  # (Q, 64)

@@ -77,3 +77,68 @@ class TestCompactionSkew:
         back = spark.read.parquet(p)
         assert back.count() == 4000
         assert back.agg({"id": "sum"}).collect()[0][0] == 4000 * 3999 // 2
+
+
+class TestCosineLshMultiprobe:
+    def _planted_corpus(self):
+        """Deterministic near-miss pair: cosine ≈ 0.995 but split across
+        exactly ONE hyperplane of similarity.PLANES — invisible to
+        exact-bucket blocking, recovered by multi-probe."""
+        import numpy as np
+
+        from imitation_learning_data_pipeline_spark.plans.similarity import (
+            _PLANES_MAT,
+        )
+
+        p0 = _PLANES_MAT[0] / np.linalg.norm(_PLANES_MAT[0])
+        for seed in range(100):
+            rng = np.random.default_rng(seed)
+            w = rng.normal(size=_PLANES_MAT.shape[1])
+            w -= (w @ p0) * p0  # ⊥ plane 0 → δ alone decides its sign
+            d = 0.05 * np.linalg.norm(w)
+            v1, v2 = w + d * p0, w - d * p0
+            b1 = (_PLANES_MAT @ v1) >= 0
+            b2 = (_PLANES_MAT @ v2) >= 0
+            if (b1 != b2).sum() == 1:
+                cos = float(v1 @ v2 / (np.linalg.norm(v1) * np.linalg.norm(v2)))
+                assert cos >= 0.95
+                filler = [rng.normal(size=len(w)) * 5 for _ in range(20)]
+                return v1, v2, filler, cos
+        raise AssertionError("no seed produced a one-plane split")
+
+    def _pairs(self, spark, multiprobe):
+        from imitation_learning_data_pipeline_spark.plans.dedup import (
+            embedding_cosine_lsh_pairs,
+        )
+
+        v1, v2, filler, cos = self._planted_corpus()
+        rows = [(1, [float(x) for x in v1]), (2, [float(x) for x in v2])]
+        # an exact-copy pair must be found in BOTH modes (home block)
+        rows += [(3, [float(x) for x in filler[0]]), (4, [float(x) for x in filler[0]])]
+        rows += [(10 + i, [float(x) for x in f]) for i, f in enumerate(filler[1:])]
+        df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+        out = embedding_cosine_lsh_pairs(df, multiprobe=multiprobe).collect()
+        return {(r.vec_a, r.vec_b): r.cos_sim for r in out}, cos
+
+    def test_near_miss_missed_without_multiprobe(self, spark):
+        pairs, _ = self._pairs(spark, multiprobe=False)
+        assert (1, 2) not in pairs
+        assert pairs.get((3, 4)) == pytest.approx(1.0)
+
+    def test_near_miss_recovered_with_multiprobe_exactly_once(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.dedup import (
+            embedding_cosine_lsh_pairs,
+        )
+
+        pairs, cos = self._pairs(spark, multiprobe=True)
+        assert pairs.get((1, 2)) == pytest.approx(cos, abs=1e-3)
+        assert pairs.get((3, 4)) == pytest.approx(1.0)
+        # exactly-once discovery: no pair row may be emitted twice
+        v1, v2, filler, _ = self._planted_corpus()
+        rows = [(1, [float(x) for x in v1]), (2, [float(x) for x in v2])] + [
+            (10 + i, [float(x) for x in f]) for i, f in enumerate(filler)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+        out = embedding_cosine_lsh_pairs(df, multiprobe=True, threshold=-1.0).collect()
+        keys = [(r.vec_a, r.vec_b) for r in out]
+        assert len(keys) == len(set(keys)), "duplicate pair emission"
