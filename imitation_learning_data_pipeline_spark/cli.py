@@ -20,7 +20,8 @@ Usage:
       [--seed N] [--train F] [--val F] [--test F] [--videos-root DIR]
       [--link-videos MODE]
   python -m imitation_learning_data_pipeline_spark.cli dedup --input DOCS.parquet --out DIR
-      [--method minhash|simhash|jaccard] [--threshold F] [--id-col C] [--text-col C]
+      [--method minhash|simhash|jaccard] [--threshold F | --hamming-k N]
+      [--id-col C] [--text-col C]
 """
 
 from __future__ import annotations
@@ -236,17 +237,36 @@ def cmd_dedup(args: argparse.Namespace) -> int:
         simhash_pairs,
     )
 
+    # each method takes exactly one tuning knob; a silently-ignored flag
+    # is worse than an error (ADVICE r5: --threshold was dropped on the
+    # floor for simhash)
+    if args.method == "simhash" and args.threshold is not None:
+        raise SystemExit(
+            "dedup: --threshold does not apply to --method simhash "
+            "(Hamming-distance cutoff); use --hamming-k N"
+        )
+    if args.method != "simhash" and args.hamming_k is not None:
+        raise SystemExit(
+            f"dedup: --hamming-k does not apply to --method {args.method}; "
+            "use --threshold F"
+        )
+    threshold = 0.5 if args.threshold is None else args.threshold
+
     spark = _spark("dedup")
     docs = spark.read.parquet(args.input).select(
         F.col(args.id_col).cast("long").alias("doc_id"),
         F.col(args.text_col).alias("text"),
     )
     if args.method == "minhash":
-        pairs = minhash_pairs(docs, threshold=args.threshold)
+        pairs = minhash_pairs(docs, threshold=threshold)
     elif args.method == "simhash":
-        pairs = simhash_pairs(docs)
+        pairs = (
+            simhash_pairs(docs)
+            if args.hamming_k is None
+            else simhash_pairs(docs, k=args.hamming_k)
+        )
     else:
-        pairs = ngram_jaccard_pairs(docs, threshold=args.threshold)
+        pairs = ngram_jaccard_pairs(docs, threshold=threshold)
     pairs.write.mode("overwrite").parquet(f"{args.out_dir}/pairs")
     pairs = spark.read.parquet(f"{args.out_dir}/pairs")  # reuse, don't recompute
 
@@ -364,7 +384,20 @@ def build_parser() -> argparse.ArgumentParser:
     dd.add_argument(
         "--method", choices=["minhash", "simhash", "jaccard"], default="minhash"
     )
-    dd.add_argument("--threshold", type=float, default=0.5)
+    dd.add_argument(
+        "--threshold",
+        type=float,
+        default=None,
+        help="similarity cutoff for minhash/jaccard (default 0.5); "
+        "rejected for simhash — use --hamming-k",
+    )
+    dd.add_argument(
+        "--hamming-k",
+        type=int,
+        default=None,
+        help="max Hamming distance for simhash (default 3); "
+        "rejected for minhash/jaccard — use --threshold",
+    )
     dd.add_argument("--id-col", default="doc_id")
     dd.add_argument("--text-col", default="text")
     dd.set_defaults(fn=cmd_dedup)

@@ -348,10 +348,21 @@ def write_lsh_index(emb: DataFrame, path: str) -> None:
     PRUNING — the scan never opens files outside the query's bucket, so
     search cost is O(bucket), not O(corpus), before any execution begins.
     One shuffle by bucket keeps one file per bucket per write.
+
+    The on-disk partition value is ``b`` + the 8 sign bits ("b01010110"):
+    the letter prefix keeps Spark's partition-column type inference from
+    coercing all-digit values to integers (dropping leading zeros), so
+    bucket stays a STRING on read and every comparison in
+    :func:`search_lsh_index` is string = string with no implicit casts
+    (ADVICE r5).
     """
     bucket = _bucket_udf()
     (
-        emb.select("vec_id", "embedding", bucket(F.col("embedding")).alias("bucket"))
+        emb.select(
+            "vec_id",
+            "embedding",
+            F.concat(F.lit("b"), bucket(F.col("embedding"))).alias("bucket"),
+        )
         .repartition("bucket")
         .write.mode("overwrite")
         .partitionBy("bucket")
@@ -374,7 +385,7 @@ def search_lsh_index(
     """
     qbits = (qmat @ _PLANES_MAT.T) >= 0  # (Q, 8)
     qbucket = {
-        int(q): "".join("1" if b else "0" for b in row)
+        int(q): "b" + "".join("1" if b else "0" for b in row)
         for q, row in zip(qids, qbits)
     }
     cos_all = _cos_matrix_udf(qmat)

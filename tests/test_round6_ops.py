@@ -142,3 +142,19 @@ class TestCosineLshMultiprobe:
         out = embedding_cosine_lsh_pairs(df, multiprobe=True, threshold=-1.0).collect()
         keys = [(r.vec_a, r.vec_b) for r in out]
         assert len(keys) == len(set(keys)), "duplicate pair emission"
+
+
+class TestLshIndexBucketEncoding:
+    def test_bucket_stays_string_with_letter_prefix(self, spark, tmp_path):
+        """ADVICE r5: all-digit partition values get type-inferred to int
+        (leading zeros dropped); the 'b' prefix pins bucket to string."""
+        from imitation_learning_data_pipeline_spark.plans.similarity import (
+            _emb_raw,
+            write_lsh_index,
+        )
+
+        write_lsh_index(_emb_raw(spark, SF_DIR), str(tmp_path / "idx"))
+        dirs = [d for d in os.listdir(tmp_path / "idx") if d.startswith("bucket=")]
+        assert dirs and all(d.startswith("bucket=b") for d in dirs)
+        back = spark.read.parquet(str(tmp_path / "idx"))
+        assert dict(back.dtypes)["bucket"] == "string"
