@@ -68,7 +68,7 @@ def _corpus(spark: SparkSession, sf_dir: str, bytes_per_task: int | None = None)
     ensure_utc(spark)
     # spread(): the corpus arrives as 1-3 parquet splits but every row
     # feeds shingling + seeded hashing — repartition to all cores first.
-    # Callers with heavy per-row compute (minhash: 3 md5 digests per
+    # Callers with heavy per-row compute (minhash: one md5 digest per
     # shingle) pass a finer bytes_per_task to engage every core; the
     # default sizing favors fewer, JIT-warm tasks (see spread()).
     kw = {"bytes_per_task": bytes_per_task} if bytes_per_task else {}
@@ -126,37 +126,32 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      are degenerate by construction and are skipped for candidate
 #      generation (they would contribute O(cap²) junk pairs each).
 
-_N_SEEDS = 3  # md5 calls per shingle; each digest yields 4 × 8-hex minhash fns
-_N_HASHES = _N_SEEDS * 4  # 12
+_N_HASHES = 12
 _BAND_SIZE = 4  # → 3 bands; P(candidate) = 1−(1−j⁴)³
 _BUCKET_CAP = 100
 
-
-def _mh_ref(i: int) -> tuple[int, int]:
-    """Minhash fn i → (seed digest index, 1-based hex offset).
-
-    One 128-bit md5 splits into four independent 32-bit hash functions
-    (standard LSH economy: 3 digest computations per shingle, 12 minhash
-    functions — md5 is the only per-shingle cost that matters).
-    """
-    return i // 4, 1 + 8 * (i % 4)
+# ONE md5 per shingle (was 3 through r5 — the digest was the dominant
+# task-CPU of the whole minhash plan, r5 verdict item 8): the 128-bit
+# digest's first two 32-bit lanes h1, h2 seed the Kirsch-Mitzenmacher
+# two-hash family gᵢ(x) = (h1 + i·h2) mod 2³², a published-standard way
+# to derive k hash functions from two (Kirsch & Mitzenmacher, ESA'06 —
+# "Less Hashing, Same Performance"); integer arithmetic is exactly
+# portable between Spark and DuckDB, so the oracle stays bit-identical.
+_MH_MOD = 1 << 32
 
 
 def _minhash_oracle() -> str:
-    h_cols = ",\n         ".join(
-        f"list_transform(sh, s -> md5('{j}|' || s)) AS h{j}" for j in range(_N_SEEDS)
+    mh_cols = ",\n         ".join(
+        f"list_aggregate(list_transform(hd, x -> "
+        f"(('0x' || substr(x, 1, 8))::BIGINT + {i} * ('0x' || substr(x, 9, 8))::BIGINT)"
+        f" % {_MH_MOD}), 'min') AS mh{i}"
+        for i in range(_N_HASHES)
     )
-    mh_cols = []
-    for i in range(_N_HASHES):
-        j, off = _mh_ref(i)
-        mh_cols.append(
-            f"list_aggregate(list_transform(h{j}, x -> substr(x, {off}, 8)), 'min')"
-            f" AS mh{i}"
-        )
-    mh_sql = ",\n         ".join(mh_cols)
     band_rows = []
     for b in range(_N_HASHES // _BAND_SIZE):
-        parts = " || ".join(f"mh{b * _BAND_SIZE + r}" for r in range(_BAND_SIZE))
+        parts = " || '|' || ".join(
+            f"mh{b * _BAND_SIZE + r}::VARCHAR" for r in range(_BAND_SIZE)
+        )
         band_rows.append(f"SELECT doc_id, {b} AS band, md5({parts}) AS bucket FROM sigs")
     bands_sql = "\n  UNION ALL\n  ".join(band_rows)
     return f"""
@@ -165,13 +160,12 @@ sets AS (
   SELECT doc_id, {_shingle_sql(3)} AS sh FROM corpus
 ),
 hashed AS (
-  SELECT doc_id, sh,
-         {h_cols}
+  SELECT doc_id, sh, list_transform(sh, s -> md5(s)) AS hd
   FROM sets WHERE len(sh) > 0
 ),
 sigs AS (
   SELECT doc_id, sh,
-         {mh_sql}
+         {mh_cols}
   FROM hashed
 ),
 bands AS (
@@ -222,13 +216,17 @@ def minhash_pairs(
     cache.begin_plan()
     corpus = docs
 
-    # Row-oriented hashing: shingles are exploded to rows and the seed
-    # digests are ordinary projections — whole-stage-codegen'd, unlike
-    # array higher-order functions (CodegenFallback, interpreted per
-    # element; the array formulation of this same pipeline measured 40×
-    # slower). One hash-aggregate then computes ALL 12 minhash minima
-    # AND the shingle set in a single shuffle with map-side partials —
-    # the textbook minhash shape for a 100 TB corpus.
+    # Row-oriented hashing: shingles are exploded to rows and the digest
+    # is an ordinary projection — whole-stage-codegen'd, unlike array
+    # higher-order functions (CodegenFallback, interpreted per element;
+    # the array formulation of this same pipeline measured 40× slower).
+    # ONE md5 per shingle; the 12 minhash functions derive from its two
+    # 32-bit lanes via Kirsch-Mitzenmacher (see _minhash_oracle's
+    # section comment) — integer adds the JIT folds into the aggregate,
+    # vs 3 full digest computations through r5. One hash-aggregate then
+    # computes ALL 12 minima AND the shingle set in a single shuffle
+    # with map-side partials — the textbook minhash shape for a 100 TB
+    # corpus.
     # Two projections: clean_words once per row, shingles over the
     # column — shingling straight off `text` re-ran normalize+split O(n)
     # times per row (HOFs have no CSE; profiled ~45 CPU-s at sf0.1).
@@ -239,17 +237,17 @@ def minhash_pairs(
         F.explode(F.array_distinct(shingles_of_words(F.col("__w"), 3))).alias("s"),
     )
     hashed_rows = sh_rows.select(
+        "doc_id", "s", F.md5(F.col("s")).alias("d")
+    ).select(
         "doc_id",
         "s",
-        *[
-            F.md5(F.concat(F.lit(f"{j}|"), F.col("s"))).alias(f"h{j}")
-            for j in range(_N_SEEDS)
-        ],
+        F.conv(F.substring("d", 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring("d", 9, 8), 16, 10).cast("long").alias("h2"),
     )
-    mh_aggs = []
-    for i in range(_N_HASHES):
-        j, off = _mh_ref(i)
-        mh_aggs.append(F.min(F.substring(F.col(f"h{j}"), off, 8)).alias(f"mh{i}"))
+    mh_aggs = [
+        F.min((F.col("h1") + i * F.col("h2")) % F.lit(_MH_MOD)).alias(f"mh{i}")
+        for i in range(_N_HASHES)
+    ]
     # pin(): band histogram, both sides of the candidate self-join, and
     # verify-x/verify-y all branch from here. Registered with the plan
     # cache so the next builder invocation evicts it (no session leak).
@@ -262,7 +260,13 @@ def minhash_pairs(
         F.struct(
             F.lit(b).alias("band"),
             F.md5(
-                F.concat(*[F.col(f"mh{b * _BAND_SIZE + r}") for r in range(_BAND_SIZE)])
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"mh{b * _BAND_SIZE + r}").cast("string")
+                        for r in range(_BAND_SIZE)
+                    ],
+                )
             ).alias("bucket"),
         )
         for b in range(_N_HASHES // _BAND_SIZE)
