@@ -1046,6 +1046,123 @@ def decontam_spans(
     )
 
 
+# --- corpus-wide exact-substring duplicate spans -----------------------------
+#
+# Self-corpus analogue of decontam_spans: instead of leaked benchmark
+# n-grams, find word n-grams that occur in MORE THAN ONE document of the
+# corpus itself, and report per document the count of such duplicated
+# grams and the longest contiguous duplicated span. This is the
+# Spark-first re-expression of suffix-array exact-substring dedup
+# (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+# Better"): the suffix array finds repeated byte substrings ≥ a length
+# threshold; a positional word-n-gram self-match finds repeated word
+# substrings ≥ n words, which is the same signal expressed as a
+# hash-aggregate instead of a global sort — the shape Spark executes
+# well at 100 TB.
+
+_SUBSTR_N = 8  # spans of ≥8 shared words count as duplicated substrings
+
+
+def substring_dup_spans(docs: DataFrame, n: int = _SUBSTR_N) -> DataFrame:
+    """Exact-substring self-dedup: per document, the number of distinct
+    word ``n``-grams shared with ANY OTHER document and the longest
+    contiguous such span → ``(doc_id, n_dup_grams, max_dup_span_words)``.
+
+    Scale shape (100 TB): positional shingles are reduced to 8-byte
+    ``xxhash64`` keys before any shuffle, so the duplicate-gram
+    aggregate moves (hash, doc_id, pos) — ~24 bytes/position — instead
+    of n-word strings (~8× the corpus bytes at n=8). "Appears in ≥2
+    docs" is decided by ``min(doc_id) <> max(doc_id)``, a fully
+    map-side-combinable pair of partial aggregates (no count-distinct
+    shuffle of doc lists). The join back to positions is a shuffle join
+    on the 8-byte hash (AQE may broadcast the dup-gram side when small),
+    and the gaps-and-islands window shuffles only HIT positions — for a
+    mostly-unique corpus, a small fraction of total positions. A 2^-64
+    hash collision merges two unrelated grams; at 100 TB (~10^13 grams)
+    the expected number of colliding pairs is ~10^-3 and a collision
+    only perturbs counts, never crashes — the standard trade every
+    hash-based dedup (minhash, simhash) already makes.
+    """
+    cache.begin_plan()
+    pos_sh = cache.pin(
+        docs.select("doc_id", clean_words("text").alias("__w"))
+        .select(
+            "doc_id",
+            F.posexplode(shingles_of_words(F.col("__w"), n)).alias("pos0", "s"),
+        )
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.xxhash64("s").alias("h"),
+        )
+    )
+    dup_grams = (
+        pos_sh.groupBy("h")
+        .agg(F.min("doc_id").alias("__mn"), F.max("doc_id").alias("__mx"))
+        .filter(F.col("__mn") != F.col("__mx"))
+        .select("h")
+    )
+    hits = cache.pin(pos_sh.join(dup_grams, "h"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = hits.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    runs = islands.groupBy("doc_id", "grp").agg(F.count("*").alias("run_len"))
+    per_doc = hits.groupBy("doc_id").agg(
+        F.countDistinct("h").alias("n_dup_grams")
+    )
+    return (
+        runs.groupBy("doc_id")
+        .agg((F.max("run_len") + (n - 1)).alias("max_dup_span_words"))
+        .join(per_doc, "doc_id")
+        .select("doc_id", "n_dup_grams", "max_dup_span_words")
+    )
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+WITH corpus AS ({_CORPUS_SQL}),
+pos_sh AS (
+  SELECT doc_id, u.pos AS pos, u.s AS s
+  FROM (
+    SELECT doc_id, unnest({_pos_shingle_sql(_SUBSTR_N)}) AS u
+    FROM corpus
+  )
+),
+dup AS (
+  SELECT s FROM pos_sh GROUP BY s HAVING min(doc_id) <> max(doc_id)
+),
+hits AS (
+  SELECT p.doc_id, p.pos, p.s FROM pos_sh p JOIN dup d USING (s)
+),
+islands AS (
+  SELECT doc_id, pos, s,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM hits
+),
+runs AS (
+  SELECT doc_id, grp, count(*) AS run_len FROM islands GROUP BY doc_id, grp
+)
+SELECT r.doc_id,
+       o.n_dup_grams,
+       max(r.run_len) + {_SUBSTR_N - 1} AS max_dup_span_words
+FROM runs r
+JOIN (
+  SELECT doc_id, count(DISTINCT s) AS n_dup_grams FROM hits GROUP BY doc_id
+) o ON r.doc_id = o.doc_id
+GROUP BY r.doc_id, o.n_dup_grams
+""",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract wrapper: :func:`substring_dup_spans` over the planted
+    corpus (exact copies share every gram; near-dup tails share all but
+    the appended marker; plus whatever the synthetic vocabulary repeats
+    across documents by chance — both engines see the same corpus, so
+    chance repeats are part of the checked answer, not noise)."""
+    return substring_dup_spans(_corpus(spark, sf_dir))
+
+
 # --- near-dup clustering: pairs → connected components -----------------------
 #
 # The missing last step of every dedup pipeline: pairwise hits (minhash,

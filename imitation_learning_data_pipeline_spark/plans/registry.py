@@ -63,6 +63,10 @@ CONTRACT_FIRST: list[str] = [
     # has now been driver-checked at least once.
     "sketch_count_min",
     "streaming_dedup_events",
+    # Round-6 addition: corpus-wide exact-substring duplicate spans (the
+    # suffix-array dedup signal re-expressed as a positional-shingle
+    # hash-aggregate) — new operators go straight into the contract.
+    "dedup_substring_spans",
     # Round-5 additions/rotations: the SimHash pair stage (new) goes
     # straight into the contract; the four granular window queries get
     # their first-ever direct CORRECTNESS rows (r4 verdict item 3); and
@@ -80,7 +84,6 @@ CONTRACT_FIRST: list[str] = [
     "q6_forecast_revenue",
     # Round-4 additions: benchmark decontamination + deterministic
     # sampling operators, contract-checked from their first round.
-    "decontam_probe_overlap",
     "sample_stratified_docs",
     "sample_mixture_sources",
     "dedup_cluster_components",
@@ -221,6 +224,12 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     # the contract; recall-vs-bruteforce invariants stay in pytest.
     "ann_bruteforce_topk": "ann_lsh_topk (same Arrow-matmul cosine "
     "top-k, bucket-restricted) + ann_int8_topk (exact dot top-k)",
+    # round-6 rotation #2: funds the dedup_substring_spans slot. Green
+    # r4+r5; decontam_overlap_spans is its strict superset — same probe
+    # cut, same broadcast-probe shingle join, and it RETURNS the same
+    # n_overlap column alongside the span length.
+    "decontam_probe_overlap": "decontam_overlap_spans (same probe cut; "
+    "returns the identical n_overlap plus max_span_words)",
 }
 
 CONTRACT_CAP = 50

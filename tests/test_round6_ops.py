@@ -158,3 +158,64 @@ class TestLshIndexBucketEncoding:
         assert dirs and all(d.startswith("bucket=b") for d in dirs)
         back = spark.read.parquet(str(tmp_path / "idx"))
         assert dict(back.dtypes)["bucket"] == "string"
+
+
+class TestSubstringDupSpans:
+    """Corpus-wide exact-substring duplicate spans (Lee et al. shape)."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_planted_shared_run_and_unique_docs(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.dedup import (
+            substring_dup_spans,
+        )
+
+        # 12 shared words (= 5 shared 8-gram positions) embedded in two
+        # docs with different unique prefixes/suffixes; a third doc is
+        # fully unique.
+        shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+        rows = [
+            (1, "one two three four five six seven " + shared + " aa bb cc dd ee ff gg"),
+            (2, "red orange yellow green blue indigo violet " + shared + " hh ii jj kk ll mm nn"),
+            (3, "completely unique words nothing here repeats anywhere at all ever once only"),
+        ]
+        out = {
+            r["doc_id"]: r.asDict()
+            for r in substring_dup_spans(self._docs(spark, rows), n=8).collect()
+        }
+        assert set(out) == {1, 2}
+        # 12-word run → 12-8+1 = 5 duplicated 8-grams, span 5+8-1 = 12.
+        for d in (1, 2):
+            assert out[d]["n_dup_grams"] == 5
+            assert out[d]["max_dup_span_words"] == 12
+
+    def test_within_doc_repeat_alone_does_not_count(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.dedup import (
+            substring_dup_spans,
+        )
+
+        # The 8-gram repeats twice INSIDE doc 1 but exists in no other
+        # doc: min(doc_id) == max(doc_id) → not a cross-doc duplicate.
+        rep = "p1 p2 p3 p4 p5 p6 p7 p8"
+        rows = [
+            (1, rep + " filler middle words go here " + rep),
+            (2, "different text with no overlap whatsoever in any gram at all"),
+        ]
+        assert substring_dup_spans(self._docs(spark, rows), n=8).count() == 0
+
+    def test_exact_copies_span_whole_doc(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.dedup import (
+            substring_dup_spans,
+        )
+
+        text = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15"
+        rows = [(1, text), (2, text)]
+        out = {
+            r["doc_id"]: r.asDict()
+            for r in substring_dup_spans(self._docs(spark, rows), n=8).collect()
+        }
+        assert set(out) == {1, 2}
+        for d in (1, 2):
+            assert out[d]["max_dup_span_words"] == 15
+            assert out[d]["n_dup_grams"] == 8  # 15-8+1 positions
