@@ -22,6 +22,7 @@ embedding near-dup blocks on label.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -194,6 +195,71 @@ WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
 """
 
 
+def _minhash_sig_plan(docs: DataFrame) -> DataFrame:
+    """MinHash signature + shingle-set build: ``(doc_id, mh0..mh11, sh)``.
+
+    Row-oriented hashing: shingles are exploded to rows and the digest
+    is an ordinary projection — whole-stage-codegen'd, unlike array
+    higher-order functions (CodegenFallback, interpreted per element;
+    the array formulation of this same pipeline measured 40× slower).
+    ONE md5 per shingle; the 12 minhash functions derive from its two
+    32-bit lanes via Kirsch-Mitzenmacher (see _minhash_oracle's
+    section comment) — integer adds the JIT folds into the aggregate,
+    vs 3 full digest computations through r5. One hash-aggregate then
+    computes ALL 12 minima AND the shingle set in a single shuffle
+    with map-side partials — the textbook minhash shape for a 100 TB
+    corpus.
+    Two projections: clean_words once per row, shingles over the
+    column — shingling straight off `text` re-ran normalize+split O(n)
+    times per row (HOFs have no CSE; profiled ~45 CPU-s at sf0.1).
+    """
+    sh_rows = docs.select(
+        "doc_id", clean_words("text").alias("__w")
+    ).select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_of_words(F.col("__w"), 3))).alias("s"),
+    )
+    hashed_rows = sh_rows.select(
+        "doc_id", "s", F.md5(F.col("s")).alias("d")
+    ).select(
+        "doc_id",
+        "s",
+        F.conv(F.substring("d", 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring("d", 9, 8), 16, 10).cast("long").alias("h2"),
+    )
+    mh_aggs = [
+        F.min((F.col("h1") + i * F.col("h2")) % F.lit(_MH_MOD)).alias(f"mh{i}")
+        for i in range(_N_HASHES)
+    ]
+    return hashed_rows.groupBy("doc_id").agg(
+        *mh_aggs, F.collect_set("s").alias("sh")
+    )
+
+
+def _minhash_band_rows(sigs: DataFrame) -> DataFrame:
+    """Signatures → LSH band rows ``(doc_id, band, bucket)`` (map-side)."""
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"mh{b * _BAND_SIZE + r}").cast("string")
+                        for r in range(_BAND_SIZE)
+                    ],
+                )
+            ).alias("bucket"),
+        )
+        for b in range(_N_HASHES // _BAND_SIZE)
+    ]
+    return sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
 def minhash_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -214,66 +280,12 @@ def minhash_pairs(
     builder invocations (see cache.begin_plan).
     """
     cache.begin_plan()
-    corpus = docs
-
-    # Row-oriented hashing: shingles are exploded to rows and the digest
-    # is an ordinary projection — whole-stage-codegen'd, unlike array
-    # higher-order functions (CodegenFallback, interpreted per element;
-    # the array formulation of this same pipeline measured 40× slower).
-    # ONE md5 per shingle; the 12 minhash functions derive from its two
-    # 32-bit lanes via Kirsch-Mitzenmacher (see _minhash_oracle's
-    # section comment) — integer adds the JIT folds into the aggregate,
-    # vs 3 full digest computations through r5. One hash-aggregate then
-    # computes ALL 12 minima AND the shingle set in a single shuffle
-    # with map-side partials — the textbook minhash shape for a 100 TB
-    # corpus.
-    # Two projections: clean_words once per row, shingles over the
-    # column — shingling straight off `text` re-ran normalize+split O(n)
-    # times per row (HOFs have no CSE; profiled ~45 CPU-s at sf0.1).
-    sh_rows = corpus.select(
-        "doc_id", clean_words("text").alias("__w")
-    ).select(
-        "doc_id",
-        F.explode(F.array_distinct(shingles_of_words(F.col("__w"), 3))).alias("s"),
-    )
-    hashed_rows = sh_rows.select(
-        "doc_id", "s", F.md5(F.col("s")).alias("d")
-    ).select(
-        "doc_id",
-        "s",
-        F.conv(F.substring("d", 1, 8), 16, 10).cast("long").alias("h1"),
-        F.conv(F.substring("d", 9, 8), 16, 10).cast("long").alias("h2"),
-    )
-    mh_aggs = [
-        F.min((F.col("h1") + i * F.col("h2")) % F.lit(_MH_MOD)).alias(f"mh{i}")
-        for i in range(_N_HASHES)
-    ]
     # pin(): band histogram, both sides of the candidate self-join, and
     # verify-x/verify-y all branch from here. Registered with the plan
     # cache so the next builder invocation evicts it (no session leak).
-    sigs = cache.pin(
-        hashed_rows.groupBy("doc_id").agg(*mh_aggs, F.collect_set("s").alias("sh"))
-    )
+    sigs = cache.pin(_minhash_sig_plan(docs))
     sets = sigs.select("doc_id", "sh")
-
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.col(f"mh{b * _BAND_SIZE + r}").cast("string")
-                        for r in range(_BAND_SIZE)
-                    ],
-                )
-            ).alias("bucket"),
-        )
-        for b in range(_N_HASHES // _BAND_SIZE)
-    ]
-    bands = sigs.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    bands = _minhash_band_rows(sigs)
 
     bucket_sizes = bands.groupBy("band", "bucket").agg(F.count("*").alias("n"))
     # pin(): the candidate self-join consumes ok_bands on BOTH sides;
@@ -307,6 +319,99 @@ def minhash_pairs(
     return (
         cand.join(sets.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
         .join(sets.alias("y"), F.col("doc_b") == F.col("y.doc_id"))
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# --- incremental dedup: persisted signature store ---------------------------
+#
+# Continuous-ingest pipelines don't re-shingle 100 TB per arriving batch:
+# they persist the minhash signatures + LSH band rows once, then dedup
+# each NEW batch against the store — O(batch) shingling, candidate
+# generation restricted to buckets the batch actually touches. The store
+# is plain parquet (bands/ partitioned by band, sets/ flat), so it maps
+# directly onto a Delta/Iceberg table in deployment (append = ACID
+# commit; see SCALING.md's table-format section).
+
+
+def write_minhash_store(docs: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Persist the dedup state for ``docs``: LSH band rows under
+    ``{path}/bands`` (partitioned by band) and shingle sets under
+    ``{path}/sets``. ``mode="append"`` admits new batches — used by
+    :func:`dedup_against_store` callers to fold each deduped batch in.
+    """
+    cache.begin_plan()
+    sigs = cache.pin(_minhash_sig_plan(docs))
+    _minhash_band_rows(sigs).write.partitionBy("band").mode(mode).parquet(
+        f"{path}/bands"
+    )
+    sigs.select("doc_id", "sh").write.mode(mode).parquet(f"{path}/sets")
+
+
+def dedup_against_store(
+    new_docs: DataFrame,
+    path: str,
+    threshold: float = 0.5,
+    bucket_cap: int = _BUCKET_CAP,
+) -> DataFrame:
+    """Near-dup pairs ``(doc_a, doc_b, jaccard)`` where AT LEAST ONE side
+    is from ``new_docs`` — both batch-vs-store and batch-vs-batch pairs;
+    store-vs-store pairs were already reported when those docs were the
+    batch, so they are structurally excluded (one candidate side is
+    always new, and ``least/greatest`` collapses duplicate orders).
+
+    Scale shape: shingling + signatures run over the BATCH only; the
+    store contributes a band-row scan (partition-pruned parquet) into
+    the bucket histogram and the candidate join. Exact-Jaccard
+    verification reads shingle sets for exactly the doc_ids that appear
+    in candidate pairs — a semi-join-shaped lookup, not a store scan.
+    Doc ids must be globally unique across batches (the store is
+    append-only state, so this is the caller's ingest invariant).
+    """
+    spark = new_docs.sparkSession
+    cache.begin_plan()
+    sigs_new = cache.pin(_minhash_sig_plan(new_docs))
+    bands_new = _minhash_band_rows(sigs_new)
+    bands_old = spark.read.parquet(f"{path}/bands").select(
+        "doc_id", "band", "bucket"
+    )
+    bands_all = cache.pin(bands_new.unionByName(bands_old))
+
+    ok = (
+        bands_all.groupBy("band", "bucket")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") <= bucket_cap)
+        .select("band", "bucket")
+    )
+    a = bands_new.join(ok, ["band", "bucket"]).alias("a")
+    b = bands_all.join(ok, ["band", "bucket"]).alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    sets_all = sigs_new.select("doc_id", "sh").unionByName(
+        spark.read.parquet(f"{path}/sets")
+    )
+    inter = F.size(F.array_intersect(F.col("x.sh"), F.col("y.sh"))).cast("double")
+    union_sz = (
+        F.size(F.col("x.sh"))
+        + F.size(F.col("y.sh"))
+        - F.size(F.array_intersect(F.col("x.sh"), F.col("y.sh")))
+    )
+    jac = inter / union_sz
+    return (
+        cand.join(sets_all.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
+        .join(sets_all.alias("y"), F.col("doc_b") == F.col("y.doc_id"))
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
@@ -929,6 +1034,77 @@ def decontam_overlap(
     probe_sh = _sh(probe).select("s").distinct()
     return (
         _sh(docs).join(F.broadcast(probe_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+
+
+def decontam_overlap_bloom(
+    docs: DataFrame,
+    probe: DataFrame,
+    n: int = _DECONTAM_N,
+    fpp: float = 0.01,
+    m_bits: int | None = None,
+) -> DataFrame:
+    """:func:`decontam_overlap` with a Bloom-filter prefilter — the
+    blocklist-scale variant. Output is IDENTICAL (``doc_id,
+    n_overlap``): the Bloom test has no false negatives and every
+    surviving candidate is exact-verified by the final join, so false
+    positives only cost work, never correctness (pytest drives this
+    with an absurdly small ``m_bits`` to force collisions and asserts
+    equality with the broadcast-join formulation).
+
+    Scale shape: the broadcast-set plan of decontam_overlap caps out
+    when the probe side stops being benchmark-suite-sized (~10^8
+    blocklist shingles ≈ tens of GB as a hash relation). Here the probe
+    shingles collapse to a ~10-bit-per-element numpy Bloom filter
+    (125 MB at 10^8, see functions/bloom.py), shipped by ordinary Spark
+    broadcast; the corpus stream is pruned map-side by an Arrow-batched
+    pandas UDF over ``xxhash64`` values BEFORE any shuffle, and the
+    exact verification join — now NOT broadcast — processes only
+    |hits| + fpp·|corpus shingles| rows.
+
+    The driver-side ``collect()`` of probe hashes is bounded by the
+    probe set itself (the thing being filtered against, not the
+    corpus); building the filter distributed-side via treeAggregate is
+    the same numpy OR-fold if the probe ever outgrows the driver.
+    """
+    from ..functions.bloom import Bloom64
+
+    cache.begin_plan()
+
+    def _sh(df: DataFrame) -> DataFrame:
+        return df.select("doc_id", clean_words("text").alias("__w")).select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(shingles_of_words(F.col("__w"), n))
+            ).alias("s"),
+        )
+
+    probe_sh = cache.pin(_sh(probe).select("s").distinct())
+    probe_hashes = [
+        r[0] for r in probe_sh.select(F.xxhash64("s")).collect()
+    ]
+    if m_bits is None:
+        bloom = Bloom64.build(probe_hashes, fpp=fpp)
+    else:
+        bloom = Bloom64(m_bits, k=2)
+        bloom.add_many(probe_hashes)
+    sc = docs.sparkSession.sparkContext
+    b_bloom = sc.broadcast(bloom)
+
+    @F.pandas_udf("boolean")
+    def _maybe_hit(h: pd.Series) -> pd.Series:
+        return pd.Series(b_bloom.value.contains_many(h.to_numpy()))
+
+    cand = (
+        _sh(docs)
+        .withColumn("__h", F.xxhash64("s"))
+        .filter(_maybe_hit(F.col("__h")))
+        .drop("__h")
+    )
+    return (
+        cand.join(probe_sh, "s")  # exact verify: no broadcast hint, tiny input
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_overlap"))
     )

@@ -219,3 +219,144 @@ class TestSubstringDupSpans:
         for d in (1, 2):
             assert out[d]["max_dup_span_words"] == 15
             assert out[d]["n_dup_grams"] == 8  # 15-8+1 positions
+
+
+class TestBloomDecontam:
+    """Bloom-prefiltered decontamination: exact output, bounded memory."""
+
+    def test_bloom64_no_false_negatives_and_bounded_fpp(self):
+        import numpy as np
+        from imitation_learning_data_pipeline_spark.functions.bloom import Bloom64
+
+        rng = np.random.default_rng(7)
+        members = rng.integers(-(2**62), 2**62, size=5000, dtype=np.int64)
+        others = rng.integers(-(2**62), 2**62, size=20000, dtype=np.int64)
+        others = np.setdiff1d(others, members)
+        b = Bloom64.build(members, fpp=0.01)
+        assert b.contains_many(members).all()  # zero false negatives
+        fp = b.contains_many(others).mean()
+        assert fp < 0.05  # ~0.01 nominal; loose bound against seed luck
+
+    def _frames(self, spark):
+        probe = spark.createDataFrame(
+            [
+                (100, "the quick brown fox jumps over the lazy dog today"),
+                (101, "benchmark questions about gradient descent convergence rates"),
+            ],
+            "doc_id long, text string",
+        )
+        docs = spark.createDataFrame(
+            [
+                (1, "intro text then the quick brown fox jumps over the lazy dog today and more"),
+                (2, "no overlap with any benchmark material in this document at all"),
+                (3, "we ask questions about gradient descent convergence rates in this paper"),
+            ],
+            "doc_id long, text string",
+        )
+        return docs, probe
+
+    def test_equals_broadcast_join_formulation(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.dedup import (
+            decontam_overlap,
+            decontam_overlap_bloom,
+        )
+
+        docs, probe = self._frames(spark)
+        want = sorted(map(tuple, decontam_overlap(docs, probe).collect()))
+        got = sorted(map(tuple, decontam_overlap_bloom(docs, probe).collect()))
+        assert got == want and len(got) == 2
+
+    def test_forced_false_positives_stay_exact(self, spark):
+        # 64-bit filter → almost every corpus shingle is a Bloom hit;
+        # the exact verification join must still reproduce the
+        # broadcast-join answer bit for bit.
+        from imitation_learning_data_pipeline_spark.plans.dedup import (
+            decontam_overlap,
+            decontam_overlap_bloom,
+        )
+
+        docs, probe = self._frames(spark)
+        want = sorted(map(tuple, decontam_overlap(docs, probe).collect()))
+        got = sorted(
+            map(tuple, decontam_overlap_bloom(docs, probe, m_bits=64).collect())
+        )
+        assert got == want
+
+
+class TestIncrementalDedupStore:
+    """Persisted minhash state: dedup each new batch in O(batch)."""
+
+    _OLD = [
+        (1, "the cat sat on the mat while the dog slept near the door all day"),
+        (2, "the cat sat on the mat while the dog slept near the door all day"),
+        (3, "completely different content about spark shuffles and partition pruning"),
+    ]
+    _NEW = [
+        # near-dup of stored doc 1/2 (small tail edit)
+        (10, "the cat sat on the mat while the dog slept near the door all night"),
+        # intra-batch exact pair
+        (11, "fresh batch text that duplicates its sibling word for word exactly"),
+        (12, "fresh batch text that duplicates its sibling word for word exactly"),
+        # unique
+        (13, "nothing in common with anything stored or batched here at all today"),
+    ]
+
+    def test_batch_vs_store_and_intra_batch_pairs(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.plans.dedup import (
+            dedup_against_store,
+            minhash_pairs,
+            write_minhash_store,
+        )
+
+        store = str(tmp_path / "mh_store")
+        old = spark.createDataFrame(self._OLD, "doc_id long, text string")
+        new = spark.createDataFrame(self._NEW, "doc_id long, text string")
+        write_minhash_store(old, store)
+
+        got = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in dedup_against_store(new, store, threshold=0.5).collect()
+        }
+        # store-vs-store pair (1,2) must NOT appear; batch-vs-store and
+        # intra-batch pairs must.
+        assert (1, 2) not in got
+        assert (11, 12) in got and got[(11, 12)] == 1.0
+        assert (1, 10) in got and (2, 10) in got
+
+        # Invariant: incremental pairs == full-corpus pairs minus the
+        # old-old pairs (same threshold, same cap policy).
+        full = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in minhash_pairs(old.unionByName(new), threshold=0.5).collect()
+        }
+        old_ids = {d for d, _ in self._OLD}
+        expect = {
+            p: j for p, j in full.items()
+            if not (p[0] in old_ids and p[1] in old_ids)
+        }
+        assert got == expect
+
+    def test_append_folds_batch_into_store(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.plans.dedup import (
+            dedup_against_store,
+            write_minhash_store,
+        )
+
+        store = str(tmp_path / "mh_store2")
+        old = spark.createDataFrame(self._OLD, "doc_id long, text string")
+        new = spark.createDataFrame(self._NEW, "doc_id long, text string")
+        write_minhash_store(old, store)
+        write_minhash_store(new, store, mode="append")
+
+        # A second batch duplicating doc 11 (which arrived via append)
+        # is caught against the grown store.
+        batch2 = spark.createDataFrame(
+            [(20, "fresh batch text that duplicates its sibling word for word exactly")],
+            "doc_id long, text string",
+        )
+        pairs = {
+            (r["doc_a"], r["doc_b"])
+            for r in dedup_against_store(batch2, store, threshold=0.5).collect()
+        }
+        assert (11, 20) in pairs and (12, 20) in pairs
+        assert all(20 in p for p in pairs)  # one side is always the batch
