@@ -212,6 +212,16 @@ def _minhash_sig_plan(docs: DataFrame) -> DataFrame:
     Two projections: clean_words once per row, shingles over the
     column — shingling straight off `text` re-ran normalize+split O(n)
     times per row (HOFs have no CSE; profiled ~45 CPU-s at sf0.1).
+
+    The verification set ``sh`` holds ``xxhash64`` values of the
+    shingles, NOT the strings: exact-Jaccard verification only needs
+    set intersections, and hashed elements make those 8-byte longs
+    instead of ~25-40-byte strings — the shuffled aggregate state and
+    the persisted store (write_minhash_store) shrink ~4×. A 2^-64
+    collision perturbs one Jaccard by one element; at any corpus size
+    the expected number of affected PAIRS is far below one (same trade
+    the minhash signature itself already makes, and the DuckDB oracle's
+    string-set Jaccard stays hash-identical in practice).
     """
     sh_rows = docs.select(
         "doc_id", clean_words("text").alias("__w")
@@ -220,10 +230,10 @@ def _minhash_sig_plan(docs: DataFrame) -> DataFrame:
         F.explode(F.array_distinct(shingles_of_words(F.col("__w"), 3))).alias("s"),
     )
     hashed_rows = sh_rows.select(
-        "doc_id", "s", F.md5(F.col("s")).alias("d")
+        "doc_id", F.md5(F.col("s")).alias("d"), F.xxhash64("s").alias("hs")
     ).select(
         "doc_id",
-        "s",
+        "hs",
         F.conv(F.substring("d", 1, 8), 16, 10).cast("long").alias("h1"),
         F.conv(F.substring("d", 9, 8), 16, 10).cast("long").alias("h2"),
     )
@@ -232,7 +242,7 @@ def _minhash_sig_plan(docs: DataFrame) -> DataFrame:
         for i in range(_N_HASHES)
     ]
     return hashed_rows.groupBy("doc_id").agg(
-        *mh_aggs, F.collect_set("s").alias("sh")
+        *mh_aggs, F.collect_set("hs").alias("sh")
     )
 
 
