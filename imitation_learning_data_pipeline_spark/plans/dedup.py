@@ -345,18 +345,47 @@ def minhash_pairs(
 # commit; see SCALING.md's table-format section).
 
 
-def write_minhash_store(docs: DataFrame, path: str, mode: str = "overwrite") -> None:
+def write_minhash_store(
+    docs: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    ingest_batch: int | None = None,
+) -> None:
     """Persist the dedup state for ``docs``: LSH band rows under
     ``{path}/bands`` (partitioned by band) and shingle sets under
     ``{path}/sets``. ``mode="append"`` admits new batches — used by
     :func:`dedup_against_store` callers to fold each deduped batch in.
+
+    ``ingest_batch`` switches to the REPLAY-IDEMPOTENT layout used by
+    the streaming driver (streaming/incremental.py): both datasets gain
+    an ``ingest_batch=N`` partition level written with dynamic partition
+    overwrite, so re-processing a micro-batch after a failure replaces
+    exactly its own partition instead of appending duplicate state. A
+    store uses ONE layout throughout — don't mix plain and batch writes.
     """
     cache.begin_plan()
     sigs = cache.pin(_minhash_sig_plan(docs))
-    _minhash_band_rows(sigs).write.partitionBy("band").mode(mode).parquet(
-        f"{path}/bands"
-    )
-    sigs.select("doc_id", "sh").write.mode(mode).parquet(f"{path}/sets")
+    bands = _minhash_band_rows(sigs)
+    sets = sigs.select("doc_id", "sh")
+    if ingest_batch is None:
+        bands.write.partitionBy("band").mode(mode).parquet(f"{path}/bands")
+        sets.write.mode(mode).parquet(f"{path}/sets")
+    else:
+        lit_b = F.lit(int(ingest_batch))
+        (
+            bands.withColumn("ingest_batch", lit_b)
+            .write.partitionBy("ingest_batch", "band")
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(f"{path}/bands")
+        )
+        (
+            sets.withColumn("ingest_batch", lit_b)
+            .write.partitionBy("ingest_batch")
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(f"{path}/sets")
+        )
 
 
 def dedup_against_store(
@@ -410,7 +439,9 @@ def dedup_against_store(
         .distinct()
     )
     sets_all = sigs_new.select("doc_id", "sh").unionByName(
-        spark.read.parquet(f"{path}/sets")
+        # explicit projection: the replay-idempotent store layout carries
+        # an extra ingest_batch partition column
+        spark.read.parquet(f"{path}/sets").select("doc_id", "sh")
     )
     inter = F.size(F.array_intersect(F.col("x.sh"), F.col("y.sh"))).cast("double")
     union_sz = (

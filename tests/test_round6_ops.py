@@ -360,3 +360,82 @@ class TestIncrementalDedupStore:
         }
         assert (11, 20) in pairs and (12, 20) in pairs
         assert all(20 in p for p in pairs)  # one side is always the batch
+
+
+class TestStreamingIncrementalDedup:
+    """foreachBatch incremental dedup: O(batch) per trigger, idempotent
+    per-batch store folds, checkpointed multi-arrival."""
+
+    def _write_batch(self, spark, d, rows, name):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(str(d))
+
+    def test_three_arrivals(self, spark, tmp_path):
+        from pyspark.sql import types as T
+
+        from imitation_learning_data_pipeline_spark.streaming.incremental import (
+            run_incremental_dedup_stream,
+        )
+
+        ingest = tmp_path / "ingest"
+        store = str(tmp_path / "store")
+        pairs = str(tmp_path / "pairs")
+        ckpt = str(tmp_path / "ckpt")
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        )
+
+        def _run():
+            stream = spark.readStream.schema(schema).parquet(str(ingest))
+            run_incremental_dedup_stream(stream, store, pairs, ckpt)
+
+        def _pairs():
+            return {
+                (r["doc_a"], r["doc_b"], r["ingest_batch"])
+                for r in spark.read.parquet(pairs).collect()
+            }
+
+        # Arrival 1: intra-batch exact pair (1,2); 3 unique.
+        self._write_batch(
+            spark,
+            ingest,
+            [
+                (1, "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo"),
+                (2, "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo"),
+                (3, "totally unrelated document text with its own private vocabulary set"),
+            ],
+            "b1",
+        )
+        _run()
+        got1 = _pairs()
+        assert {(a, b) for a, b, _ in got1} == {(1, 2)}
+
+        # Arrival 2: doc 10 duplicates STORED doc 3 → cross-batch pair;
+        # batch-1 pairs are not re-emitted.
+        self._write_batch(
+            spark,
+            ingest,
+            [(10, "totally unrelated document text with its own private vocabulary set"),
+             (11, "yet another singleton nothing matches this one at all anywhere")],
+            "b2",
+        )
+        _run()
+        got2 = _pairs()
+        assert {(a, b) for a, b, _ in got2} == {(1, 2), (3, 10)}
+        # Cross-batch pair landed in a LATER ingest_batch partition.
+        b_of = {(a, b): n for a, b, n in got2}
+        assert b_of[(3, 10)] > b_of[(1, 2)]
+
+        # Arrival 3 (no new data): checkpoint makes it a no-op.
+        _run()
+        assert _pairs() == got2
+
+        # Store state: every arrived doc is in the sets dataset exactly once.
+        ids = sorted(
+            r["doc_id"] for r in spark.read.parquet(f"{store}/sets").collect()
+        )
+        assert ids == [1, 2, 3, 10, 11]
