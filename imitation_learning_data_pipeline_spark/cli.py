@@ -251,13 +251,32 @@ def cmd_dedup(args: argparse.Namespace) -> int:
             "use --threshold F"
         )
     threshold = 0.5 if args.threshold is None else args.threshold
+    if args.store is not None and args.method != "minhash":
+        raise SystemExit(
+            "dedup: --store is minhash-only (the persisted signature "
+            "store holds minhash bands + shingle sets)"
+        )
+    if args.fold_into_store and args.store is None:
+        raise SystemExit("dedup: --fold-into-store requires --store PATH")
 
     spark = _spark("dedup")
     docs = spark.read.parquet(args.input).select(
         F.col(args.id_col).cast("long").alias("doc_id"),
         F.col(args.text_col).alias("text"),
     )
-    if args.method == "minhash":
+    if args.store is not None:
+        import os
+
+        from .plans.dedup import dedup_against_store, write_minhash_store
+
+        store_exists = os.path.isdir(f"{args.store}/bands")
+        # incremental: docs are the NEW batch; pairs have ≥1 batch side
+        pairs = (
+            dedup_against_store(docs, args.store, threshold=threshold)
+            if store_exists
+            else minhash_pairs(docs, threshold=threshold)
+        )
+    elif args.method == "minhash":
         pairs = minhash_pairs(docs, threshold=threshold)
     elif args.method == "simhash":
         pairs = (
@@ -269,6 +288,11 @@ def cmd_dedup(args: argparse.Namespace) -> int:
         pairs = ngram_jaccard_pairs(docs, threshold=threshold)
     pairs.write.mode("overwrite").parquet(f"{args.out_dir}/pairs")
     pairs = spark.read.parquet(f"{args.out_dir}/pairs")  # reuse, don't recompute
+
+    if args.fold_into_store:
+        write_minhash_store(
+            docs, args.store, mode="append" if store_exists else "overwrite"
+        )
 
     clusters = connected_components(pairs.select("doc_a", "doc_b"))
     clusters.write.mode("overwrite").parquet(f"{args.out_dir}/clusters")
@@ -400,6 +424,18 @@ def build_parser() -> argparse.ArgumentParser:
     )
     dd.add_argument("--id-col", default="doc_id")
     dd.add_argument("--text-col", default="text")
+    dd.add_argument(
+        "--store",
+        default=None,
+        help="minhash signature store: dedup --input as a NEW batch "
+        "against it (bootstraps intra-batch-only if absent)",
+    )
+    dd.add_argument(
+        "--fold-into-store",
+        action="store_true",
+        help="after emitting pairs, append the batch's signatures to "
+        "--store so the next invocation sees them",
+    )
     dd.set_defaults(fn=cmd_dedup)
 
     c = sub.add_parser("compact", help="rewrite a parquet dataset into target-sized files")

@@ -360,3 +360,55 @@ def test_compact_subcommand(spark, tmp_path, capsys):
     assert stats["files_before"] == 10
     assert stats["files_after"] == 1
     assert spark.read.parquet(p).count() == 2000
+
+
+def test_dedup_subcommand_incremental_store(spark, tmp_path, capsys):
+    """`dedup --store` treats --input as a new batch: bootstrap run
+    reports intra-batch pairs and folds signatures in; the second batch
+    is deduped against the store."""
+    import pandas as pd
+
+    base = " ".join(f"s{i:02d}" for i in range(20))
+    store = str(tmp_path / "store")
+
+    b1 = tmp_path / "b1.parquet"
+    pd.DataFrame(
+        {"doc_id": [1, 2], "text": [base, " ".join(f"y{i}" for i in range(15))]}
+    ).to_parquet(b1, index=False)
+    rc, out = _run(
+        capsys,
+        ["dedup", "--input", str(b1), "--out", str(tmp_path / "o1"),
+         "--store", store, "--fold-into-store"],
+    )
+    assert rc == 0
+    assert json.loads(out[-1])["n_pairs"] == 0
+
+    b2 = tmp_path / "b2.parquet"
+    pd.DataFrame({"doc_id": [10], "text": [base + " s20"]}).to_parquet(
+        b2, index=False
+    )
+    rc, out = _run(
+        capsys,
+        ["dedup", "--input", str(b2), "--out", str(tmp_path / "o2"),
+         "--store", store, "--fold-into-store"],
+    )
+    assert rc == 0
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in spark.read.parquet(str(tmp_path / "o2" / "pairs")).collect()
+    }
+    assert pairs == {(1, 10)}
+    # both batches' signatures are in the store now
+    ids = sorted(
+        r.doc_id for r in spark.read.parquet(f"{store}/sets").collect()
+    )
+    assert ids == [1, 2, 10]
+
+
+def test_dedup_store_flag_validation(capsys):
+    with pytest.raises(SystemExit):
+        _run(capsys, ["dedup", "--input", "x", "--out", "y",
+                      "--method", "simhash", "--store", "z"])
+    with pytest.raises(SystemExit):
+        _run(capsys, ["dedup", "--input", "x", "--out", "y",
+                      "--fold-into-store"])

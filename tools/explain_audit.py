@@ -61,6 +61,11 @@ AUDIT = {
     # probe shingle set broadcasts; the corpus side stays map-side until
     # the final hit aggregation.
     "decontam_overlap_spans": {"want": ["BroadcastHashJoin"]},
+    # self-match must be hash-keyed (gram-hash aggregate + join back),
+    # never an all-pairs plan.
+    "dedup_substring_spans": {
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]
+    },
 }
 
 
