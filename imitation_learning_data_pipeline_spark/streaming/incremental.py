@@ -235,7 +235,7 @@ def run_incremental_dedup_stream(
 
         batch_df = batch_df.persist()
         try:
-            if batch_df.rdd.isEmpty():
+            if batch_df.isEmpty():
                 return
             # Bootstrap: first-ever batch has no store to dedup against.
             # (Local-path existence check; on a cluster the store lives
