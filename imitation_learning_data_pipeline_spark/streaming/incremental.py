@@ -265,3 +265,94 @@ def run_incremental_dedup_stream(
         .start()
     )
     q.awaitTermination()
+
+
+# --- custom stateful operator: bounded-state approx distinct -----------------
+#
+# The one streaming shape the built-in operators can't express: a
+# per-key aggregate whose STATE is a fixed-size sketch rather than a
+# growing set. dropDuplicates keeps one state row per distinct value
+# (state = cardinality — unbounded); a HyperLogLog register file is
+# 2^p bytes per key FOREVER, which is the only viable per-key
+# distinct-tracking state at 100 TB stream volumes. Implemented with
+# applyInPandasWithState (Arrow-batched, update mode).
+
+
+def _hll_update(regs, values, p: int) -> None:
+    import hashlib
+
+    m = 1 << p
+    for v in values:
+        h = int.from_bytes(
+            hashlib.md5(str(v).encode("utf-8")).digest()[:8], "big"
+        )
+        idx = h & (m - 1)
+        w = h >> p
+        rho = (64 - p) - w.bit_length() + 1
+        if rho > regs[idx]:
+            regs[idx] = rho
+
+
+def _hll_estimate(regs) -> int:
+    import numpy as np
+
+    m = len(regs)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / float(np.sum(np.exp2(-regs.astype(np.float64))))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:  # small-range (linear counting) correction
+        est = m * float(np.log(m / zeros))
+    return int(round(est))
+
+
+def streaming_approx_distinct(
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+    p: int = 8,
+) -> DataFrame:
+    """Per-key running approximate-distinct over a stream with BOUNDED
+    state: 2^p one-byte HLL registers per key (p=8 → 256 B/key, ~2%
+    standard error), updated per micro-batch via applyInPandasWithState.
+
+    Returns the streaming DataFrame ``(key string, approx_distinct
+    long)`` in update mode — run through :func:`run_stream_to_batch`
+    with ``output_mode="update"`` (memory sink appends one row per key
+    per trigger; the LAST row per key is the current estimate) or any
+    real update-mode sink. State survives across triggers through the
+    checkpoint, so arrivals keep refining the same registers — pytest
+    drives two checkpointed arrivals and checks the estimate grows to
+    the full union, within HLL tolerance of the exact count.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    m = 1 << p
+
+    def _fold(key, pdfs, state: GroupState):
+        if state.exists:
+            regs = np.frombuffer(state.get[0], dtype=np.uint8).copy()
+        else:
+            regs = np.zeros(m, dtype=np.uint8)
+        for pdf in pdfs:
+            _hll_update(regs, pdf[value_col].tolist(), p)
+        state.update((regs.tobytes(),))
+        yield pd.DataFrame(
+            {"key": [key[0]], "approx_distinct": [_hll_estimate(regs)]}
+        )
+
+    return (
+        stream.select(
+            F.col(key_col).cast("string").alias("key"), F.col(value_col)
+        )
+        .groupBy("key")
+        .applyInPandasWithState(
+            _fold,
+            outputStructType="key string, approx_distinct long",
+            stateStructType="regs binary",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
