@@ -24,6 +24,7 @@ def _late_imports() -> None:
         multimodal_queries,
         numeric,
         pipeline_queries,
+        profile,
         relational,
         relational2,
         sampling,
@@ -33,6 +34,7 @@ def _late_imports() -> None:
         streaming_queries,
         temporal,
         text,
+        trajectory,
         windows,
     )
 
@@ -54,6 +56,8 @@ def _late_imports() -> None:
         mllib_ops,
         curation,
         stage_chain,
+        trajectory,
+        profile,
     ]
 
 

@@ -1,0 +1,80 @@
+"""One-pass column profiling: the data-quality report every ingest runs.
+
+The reference's validate stage checks a handful of hand-written
+invariants per table (``validate_refactored.py``); the generalization a
+100 TB ingest needs is a schema-driven profile — per column: null count,
+exact distinct count, min/max — produced by ONE aggregate pass and
+reshaped to a row per column.
+
+Scale shape: a single ``agg`` computes every metric in one scan. The
+multi-column exact ``count(DISTINCT ·)`` uses Spark's Expand (one
+duplicated stream per distinct-column) — exact counts are kept here for
+oracle parity and because a profile's distinct counts feed key-candidate
+detection; at 100 TB swap ``F.approx_count_distinct`` in via
+``exact_distinct=False`` and the plan loses the Expand entirely.
+min/max of string columns are truncated to 32 chars so the profile row
+stays metadata-sized regardless of document length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import ensure_utc
+from ..sources import load_table
+from .registry import register
+
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+_TRUNC = 32
+
+
+def profile_frame(df: DataFrame, cols: list[str], exact_distinct: bool = True) -> DataFrame:
+    """Generic one-pass profile of ``cols``: a row per column with
+    (n_rows, n_null, n_distinct, min_val, max_val)."""
+    aggs: list[Column] = [F.count("*").alias("n_rows")]
+    for c in cols:
+        col = F.col(c)
+        aggs.append(F.sum(col.isNull().cast("long")).alias(f"{c}__null"))
+        if exact_distinct:
+            aggs.append(F.count_distinct(col).alias(f"{c}__distinct"))
+        else:
+            aggs.append(F.approx_count_distinct(col).alias(f"{c}__distinct"))
+        aggs.append(F.substring(F.min(col).cast("string"), 1, _TRUNC).alias(f"{c}__min"))
+        aggs.append(F.substring(F.max(col).cast("string"), 1, _TRUNC).alias(f"{c}__max"))
+    one = df.agg(*aggs)
+    stack_args: list[str] = []
+    for c in cols:
+        stack_args.append(f"'{c}', {c}__null, {c}__distinct, {c}__min, {c}__max")
+    stacked = one.selectExpr(
+        "n_rows",
+        f"stack({len(cols)}, {', '.join(stack_args)}) AS "
+        "(column_name, n_null, n_distinct, min_val, max_val)",
+    )
+    return stacked.select(
+        "column_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val"
+    )
+
+
+def _oracle() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(
+            f"""SELECT '{c}' AS column_name,
+       (SELECT count(*) FROM documents) AS n_rows,
+       count(*) FILTER (WHERE {c} IS NULL) AS n_null,
+       count(DISTINCT {c}) AS n_distinct,
+       substr(CAST(min({c}) AS VARCHAR), 1, {_TRUNC}) AS min_val,
+       substr(CAST(max({c}) AS VARCHAR), 1, {_TRUNC}) AS max_val
+FROM documents"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@register("profile_documents", oracle=_oracle())
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile the documents table: per column null/distinct/min/max in
+    one aggregate pass (row order is hash-insensitive per the driver)."""
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents").select(*_PROFILE_COLS)
+    return profile_frame(docs, _PROFILE_COLS)

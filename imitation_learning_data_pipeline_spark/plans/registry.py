@@ -67,6 +67,13 @@ CONTRACT_FIRST: list[str] = [
     # suffix-array dedup signal re-expressed as a positional-shingle
     # hash-aggregate) — new operators go straight into the contract.
     "dedup_substring_spans",
+    # Round-6 additions #2 (this session): the imitation-learning sample
+    # extractor, two curation planners, and the schema profiler — new
+    # operators go straight into the contract.
+    "trajectory_windows",
+    "mixture_token_budget",
+    "sample_reservoir_pergroup",
+    "profile_documents",
     # Round-5 additions/rotations: the SimHash pair stage (new) goes
     # straight into the contract; the four granular window queries get
     # their first-ever direct CORRECTNESS rows (r4 verdict item 3); and
@@ -84,7 +91,6 @@ CONTRACT_FIRST: list[str] = [
     "q6_forecast_revenue",
     # Round-4 additions: benchmark decontamination + deterministic
     # sampling operators, contract-checked from their first round.
-    "sample_stratified_docs",
     "sample_mixture_sources",
     "dedup_cluster_components",
     # Round-3 additions: new operators built this round go straight into
@@ -101,7 +107,6 @@ CONTRACT_FIRST: list[str] = [
     # window_frame_suite / window_group_order_suite moved to
     # CONTRACT_EXCLUDE after 2+ green rounds.)
     "text_quality_score",
-    "text_fingerprint",
     "streaming_session_window",
     "mllib_minhash_verify",
     "mllib_kmeans_coverage",
@@ -190,7 +195,9 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     "ann_ivf_recall": "mllib_kmeans_coverage (same KMeans-IVF fit) + "
     "pytest recall invariants",
     # round-5 rotation #3: funds the dedup_embedding_cosine_lsh slot.
-    "text_redact_pii": "text_fingerprint (same scan-bound "
+    # (r6: proxy re-pointed from text_fingerprint, itself parked, to the
+    # retained member of the same Java-regex∩RE2 projection family.)
+    "text_redact_pii": "text_quality_score (same scan-bound "
     "Java-regex∩RE2 text projection family)",
     # round-5 rotation #4: funds the pack_sequences slot. Twice green
     # (r3, r4); corpus-level ngram counting is text_repetition_stats'
@@ -230,6 +237,32 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     # n_overlap column alongside the span length.
     "decontam_probe_overlap": "decontam_overlap_spans (same probe cut; "
     "returns the identical n_overlap plus max_span_words)",
+    # round-6 rotation #3 (this session): four multi-green queries park
+    # to fund the trajectory_windows / mixture_token_budget /
+    # sample_reservoir_pergroup / profile_documents slots.
+    # Green r4+r5; its seeded md5-acceptance predicate (u < cap/n_l via
+    # broadcast counts) is exactly sample_mixture_sources' shape
+    # (u < least(1, target/n_s)), and the new reservoir query drives the
+    # same family further (prefilter + exact rank).
+    "sample_stratified_docs": "sample_mixture_sources (same seeded "
+    "md5-acceptance vs broadcast-count predicate) + "
+    "sample_reservoir_pergroup (same family, exact-k rank stage)",
+    # Green r1-r5 (5 rounds); same regexp_extract two-capture scalar
+    # parse family as the retained episode-index/path query.
+    "scalar_rational_parse": "scalar_parse_format (same regexp_extract "
+    "capture-group scalar-parse family; adds only a division)",
+    # Green r2-r5 (4 rounds); min-of-hashed-shingles projection is the
+    # shingle aggregate family text_repetition_stats retains, and its
+    # Java-regex∩RE2 discipline is contract-covered by
+    # text_quality_score's regex projections.
+    "text_fingerprint": "text_repetition_stats (same per-doc shingle "
+    "aggregate family) + text_quality_score (same regex projections)",
+    # Green r2-r5 (4 rounds); df-capped inverted-index posting join on
+    # md5 shingles is dedup_minhash_lsh's candidate stage, and exact
+    # set-overlap counting per pair is decontam_overlap_spans' verify.
+    "dedup_ngram_jaccard": "dedup_minhash_lsh (same df-capped md5-"
+    "shingle posting join) + decontam_overlap_spans (same exact "
+    "shingle-overlap counting)",
 }
 
 CONTRACT_CAP = 50

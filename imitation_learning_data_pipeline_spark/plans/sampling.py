@@ -230,3 +230,129 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("seq_last"),
         (F.col("start_offset") % _SEQ_LEN).alias("pos_in_seq"),
     )
+
+
+# --- exact-size per-group reservoir sample -----------------------------------
+
+_RESV_K = 20  # sample size per group
+_RESV_SAFETY = 4.0  # prefilter over-selection factor
+
+
+@register(
+    "sample_reservoir_pergroup",
+    oracle=f"""
+WITH n AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
+s AS (
+  SELECT d.doc_id, d.lang, {_U_SQL.format(seed="resv")} AS u
+  FROM documents d JOIN n USING (lang)
+  WHERE {_U_SQL.format(seed="resv")} < least(1.0, {_RESV_SAFETY} * {_RESV_K} / n.n_l)
+),
+r AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS sample_rank
+  FROM s
+)
+SELECT lang, CAST(sample_rank AS BIGINT) AS sample_rank, doc_id
+FROM r WHERE sample_rank <= {_RESV_K}
+""",
+)
+def sample_reservoir_pergroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact-size sample: the k documents with the
+    smallest seeded hash per language — a distributed reservoir sample
+    whose membership is a pure function of (doc_id, seed).
+
+    Scale shape: the naive form (rank every row per group) sorts the
+    FULL corpus inside each group. Instead a broadcast per-group count
+    sets a map-side prefilter u < safety*k/n_l, so only ~safety*k rows
+    per group reach the rank window — the per-group sort is O(k log k)
+    independent of group size, and the full-corpus work is one md5 +
+    one comparison per row. The prefilter is part of the operator's
+    definition (applied identically by the oracle), so the result stays
+    deterministic even if a group under-fills the reservoir; with
+    safety=4 the under-fill probability is Chernoff-negligible
+    (P[Binomial(n, 4k/n) < k] < e^{{-k}}), and tests assert the
+    test-scale survivor counts.
+    """
+    ensure_utc(spark)
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_l"))
+    p = F.least(F.lit(1.0), F.lit(_RESV_SAFETY * _RESV_K) / F.col("n_l"))
+    u = md5_unit_interval("doc_id", seed="resv")
+    survivors = (
+        docs.join(F.broadcast(counts), "lang")
+        .withColumn("u", u)
+        .filter(F.col("u") < p)
+    )
+    w = Window.partitionBy("lang").orderBy("u", "doc_id")
+    return (
+        survivors.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= _RESV_K)
+        .select("lang", "sample_rank", "doc_id")
+    )
+
+
+# --- mixture token-budget planner --------------------------------------------
+
+_MAX_EPOCHS = 4.0  # repeat cap: never recycle a source more than this
+
+
+@register(
+    "mixture_token_budget",
+    oracle=f"""
+WITH t AS (
+  SELECT source, count(*) AS n_docs,
+         sum(CAST(len({_W_SQL}) AS BIGINT)) AS n_tokens
+  FROM documents GROUP BY source
+),
+g AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total, CAST(count(*) AS BIGINT) AS k FROM t)
+SELECT t.source, t.n_docs, t.n_tokens,
+       CAST(round(1000 * least({_MAX_EPOCHS}, (g.total / g.k) / t.n_tokens)) AS BIGINT)
+         AS epochs_milli,
+       CAST(round(least({_MAX_EPOCHS}, (g.total / g.k) / t.n_tokens) * t.n_tokens) AS BIGINT)
+         AS planned_tokens
+FROM t CROSS JOIN g
+""",
+)
+def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing plan: given an equal-share target mixture over the k
+    sources, compute each source's repeat factor (epochs, capped at
+    {_MAX_EPOCHS}) and the token count it will actually contribute.
+
+    This is the planning aggregate behind every curriculum/mixture
+    config: under-represented sources are up-sampled by repetition
+    (bounded — repeating data more than ~4 epochs measurably degrades
+    models), over-represented ones contribute at most their share.
+
+    Scale shape: one token-count aggregate over the corpus (map-side
+    partial sums of one ``size(split())`` per doc — no text shuffled),
+    then arithmetic on the k-row result joined back via broadcast. All
+    quotients are IEEE doubles of exact integers, so epochs_milli and
+    planned_tokens are bit-identical across engines.
+    """
+    from ..functions.text import clean_words
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(clean_words("text")).cast("long")).alias("n_tokens"),
+    )
+    totals = per_src.agg(
+        F.sum("n_tokens").cast("double").alias("total"),
+        F.count("*").cast("long").alias("k"),
+    )
+    epochs = F.least(
+        F.lit(_MAX_EPOCHS), (F.col("total") / F.col("k")) / F.col("n_tokens")
+    )
+    return (
+        per_src.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(epochs * 1000).cast("long").alias("epochs_milli"),
+            F.round(epochs * F.col("n_tokens")).cast("long").alias("planned_tokens"),
+        )
+    )

@@ -1,0 +1,199 @@
+"""Round-6 session-2 operators: trajectory windowing, reservoir
+sampling, mixture token budgeting, column profiling."""
+
+from __future__ import annotations
+
+from conftest import SF_DIR
+
+
+class TestTrajectoryWindows:
+    def test_constant_shape_and_window_count(self, spark):
+        """Every emitted window has exactly L rows at positions 0..L-1,
+        and each user yields floor((n-L)/S)+1 windows (0 if n < L)."""
+        from imitation_learning_data_pipeline_spark.plans.trajectory import (
+            _L,
+            _S,
+            trajectory_windows,
+        )
+        from imitation_learning_data_pipeline_spark.sources import load_table
+
+        out = trajectory_windows(spark, SF_DIR).cache()
+        shapes = (
+            out.groupBy("user_id", "window_id")
+            .count()
+            .select("count")
+            .distinct()
+            .collect()
+        )
+        assert [r["count"] for r in shapes] == [_L]
+
+        from pyspark.sql import functions as F
+
+        per_user_windows = {
+            r["user_id"]: r["n_w"]
+            for r in out.groupBy("user_id")
+            .agg(F.countDistinct("window_id").alias("n_w"))
+            .collect()
+        }
+        per_user_events = {
+            r["user_id"]: r["n"]
+            for r in load_table(spark, SF_DIR, "events")
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        for uid, n in per_user_events.items():
+            expect = (n - _L) // _S + 1 if n >= _L else 0
+            assert per_user_windows.get(uid, 0) == expect, uid
+        out.unpersist()
+
+    def test_positions_are_contiguous_slices(self, spark):
+        """Window w's events are exactly trajectory steps
+        [w*S, w*S+L): reconstructing idx = w*S + pos from two adjacent
+        windows gives the same event_id for overlapping steps."""
+        from pyspark.sql import functions as F
+
+        from imitation_learning_data_pipeline_spark.plans.trajectory import (
+            _S,
+            trajectory_windows,
+        )
+
+        out = trajectory_windows(spark, SF_DIR).withColumn(
+            "idx", F.col("window_id") * _S + F.col("pos")
+        )
+        # one event per (user, trajectory step): overlapping windows must
+        # agree on which event sits at each step
+        conflicting = (
+            out.groupBy("user_id", "idx")
+            .agg(F.countDistinct("event_id").alias("n_ids"))
+            .filter(F.col("n_ids") > 1)
+            .count()
+        )
+        assert conflicting == 0
+
+
+class TestReservoirSample:
+    def test_exact_k_per_group(self, spark):
+        from pyspark.sql import functions as F
+
+        from imitation_learning_data_pipeline_spark.plans.sampling import (
+            _RESV_K,
+            sample_reservoir_pergroup,
+        )
+        from imitation_learning_data_pipeline_spark.sources import load_table
+
+        out = sample_reservoir_pergroup(spark, SF_DIR).cache()
+        n_l = {
+            r["lang"]: r["n"]
+            for r in load_table(spark, SF_DIR, "documents")
+            .groupBy("lang")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        got = {
+            r["lang"]: r["n"]
+            for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+        }
+        for lang, n in n_l.items():
+            # prefilter keeps everything when n <= safety*k, so the
+            # sample is exactly min(k, n) at test scale
+            assert got.get(lang, 0) == min(_RESV_K, n), lang
+        ranks = out.groupBy("lang").agg(F.max("sample_rank").alias("mx")).collect()
+        for r in ranks:
+            assert r["mx"] <= _RESV_K
+        out.unpersist()
+
+    def test_membership_is_stable_under_growth(self, spark, tmp_path):
+        """Seeded-hash reservoirs re-rank but never re-hash: a doc's u
+        is a pure function of doc_id, so the sample drifts only where
+        new docs out-rank old ones (property, not partition luck)."""
+        a = {
+            (r["lang"], r["doc_id"])
+            for r in __import__(
+                "imitation_learning_data_pipeline_spark.plans.sampling",
+                fromlist=["sample_reservoir_pergroup"],
+            ).sample_reservoir_pergroup(spark, SF_DIR).collect()
+        }
+        b = {
+            (r["lang"], r["doc_id"])
+            for r in __import__(
+                "imitation_learning_data_pipeline_spark.plans.sampling",
+                fromlist=["sample_reservoir_pergroup"],
+            ).sample_reservoir_pergroup(spark, SF_DIR).collect()
+        }
+        assert a == b
+
+
+class TestMixtureTokenBudget:
+    def test_epoch_cap_and_budget_identity(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.sampling import (
+            _MAX_EPOCHS,
+            mixture_token_budget,
+        )
+
+        rows = mixture_token_budget(spark, SF_DIR).collect()
+        assert rows
+        total = sum(r["n_tokens"] for r in rows)
+        k = len(rows)
+        share = total / k
+        for r in rows:
+            assert 0 < r["epochs_milli"] <= int(_MAX_EPOCHS * 1000)
+            # planned = min(cap*n_tokens, equal share), up to rounding
+            expect = min(_MAX_EPOCHS * r["n_tokens"], share)
+            assert abs(r["planned_tokens"] - expect) <= 1, r
+            # a source never contributes more than its repeat cap allows
+            assert r["planned_tokens"] <= _MAX_EPOCHS * r["n_tokens"] + 1
+
+
+class TestProfileDocuments:
+    def test_documents_profile_invariants(self, spark):
+        rows = {
+            r["column_name"]: r
+            for r in __import__(
+                "imitation_learning_data_pipeline_spark.plans.profile",
+                fromlist=["profile_documents"],
+            ).profile_documents(spark, SF_DIR).collect()
+        }
+        n_rows = {r["n_rows"] for r in rows.values()}
+        assert len(n_rows) == 1
+        (n,) = n_rows
+        doc = rows["doc_id"]
+        assert doc["n_null"] == 0 and doc["n_distinct"] == n  # key candidate
+        for r in rows.values():
+            assert r["n_distinct"] + r["n_null"] <= n + (1 if r["n_null"] else 0)
+            assert len(r["min_val"]) <= 32 and len(r["max_val"]) <= 32
+
+    def test_profile_frame_exact_on_synthetic(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.profile import profile_frame
+
+        df = spark.createDataFrame(
+            [(1, "aa"), (2, None), (3, "zz"), (4, "aa")], ["k", "v"]
+        )
+        got = {r["column_name"]: r for r in profile_frame(df, ["k", "v"]).collect()}
+        assert got["k"]["n_null"] == 0
+        assert got["k"]["n_distinct"] == 4
+        assert got["k"]["min_val"] == "1" and got["k"]["max_val"] == "4"
+        assert got["v"]["n_null"] == 1
+        assert got["v"]["n_distinct"] == 2
+        assert got["v"]["min_val"] == "aa" and got["v"]["max_val"] == "zz"
+
+    def test_profile_frame_approx_mode_drops_expand(self, spark):
+        """exact_distinct=False must swap count_distinct for
+        approx_count_distinct — no Expand node in the plan."""
+        from imitation_learning_data_pipeline_spark.plans.profile import profile_frame
+
+        df = spark.range(100).selectExpr("id AS k", "CAST(id % 7 AS STRING) AS v")
+        plan = (
+            profile_frame(df, ["k", "v"], exact_distinct=False)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Expand" not in plan
+        exact_plan = (
+            profile_frame(df, ["k", "v"], exact_distinct=True)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Expand" in exact_plan
