@@ -338,6 +338,24 @@ def cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_merge(args: argparse.Namespace) -> int:
+    """File-level copy-on-write MERGE INTO (pipeline/merge.py): replace
+    matched keys, insert unmatched, rewriting only touched data files."""
+    from .pipeline.merge import merge_into
+
+    spark = _spark("merge")
+    updates = spark.read.parquet(args.updates)
+    stats = merge_into(
+        spark,
+        args.path,
+        updates,
+        key=args.key.split(","),
+        partition_by=args.partition_by.split(",") if args.partition_by else None,
+    )
+    print(json.dumps({"path": args.path, **stats}))
+    return 0
+
+
 # --- parser ------------------------------------------------------------------
 
 
@@ -443,6 +461,19 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--target-mb", type=int, default=128)
     c.add_argument("--partition-col", default=None)
     c.set_defaults(fn=cmd_compact)
+
+    mg = sub.add_parser(
+        "merge", help="copy-on-write MERGE INTO a parquet dataset (upsert by key)"
+    )
+    mg.add_argument("--path", required=True, help="target parquet dataset")
+    mg.add_argument("--updates", required=True, help="parquet dir of update rows")
+    mg.add_argument("--key", required=True, help="comma-separated merge key columns")
+    mg.add_argument(
+        "--partition-by",
+        default=None,
+        help="comma-separated Hive partition columns of the target layout",
+    )
+    mg.set_defaults(fn=cmd_merge)
     return p
 
 

@@ -197,3 +197,155 @@ class TestProfileDocuments:
             .toString()
         )
         assert "Expand" in exact_plan
+
+
+class TestMergeInto:
+    @staticmethod
+    def _files(d: str) -> dict[str, int]:
+        import os
+
+        out = {}
+        for root, _, names in os.walk(d):
+            for n in names:
+                if n.endswith(".parquet") and not n.startswith(("_", ".")):
+                    p = os.path.join(root, n)
+                    out[os.path.relpath(p, d)] = os.path.getsize(p)
+        return out
+
+    def test_unpartitioned_merge_rewrites_only_touched_files(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from imitation_learning_data_pipeline_spark.pipeline.merge import merge_into
+
+        p = str(tmp_path / "t")
+        (
+            spark.range(0, 1000)
+            .withColumn("val", F.sha2(F.col("id").cast("string"), 256))
+            .repartition(10)
+            .write.parquet(p)
+        )
+        before = self._files(p)
+        assert len(before) == 10
+
+        upd = spark.createDataFrame(
+            [(5, "five"), (17, "seventeen"), (2000, "new-a"), (2001, "new-b")],
+            ["id", "val"],
+        )
+        stats = merge_into(spark, p, upd, key="id")
+        assert stats["rows_matched"] == 2
+        assert stats["rows_inserted"] == 2
+        # the two matched ids live in <= 2 of the 10 files
+        assert 1 <= stats["files_touched"] <= 2
+
+        after = self._files(p)
+        untouched_before = {
+            k: v for k, v in before.items() if k in after
+        }
+        # every surviving original file is byte-identical in size
+        assert untouched_before == {k: after[k] for k in untouched_before}
+        assert len(before) - stats["files_touched"] == len(untouched_before)
+
+        got = {(r["id"], r["val"]) for r in spark.read.parquet(p).collect()}
+        import hashlib
+
+        expect = {
+            (i, hashlib.sha256(str(i).encode()).hexdigest())
+            for i in range(1000)
+            if i not in (5, 17)
+        } | {(5, "five"), (17, "seventeen"), (2000, "new-a"), (2001, "new-b")}
+        assert got == expect
+
+    def test_partitioned_merge_preserves_partition_routing(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from imitation_learning_data_pipeline_spark.pipeline.merge import merge_into
+
+        p = str(tmp_path / "pt")
+        (
+            spark.range(0, 200)
+            .withColumn("part", F.when(F.col("id") % 2 == 0, "even").otherwise("odd"))
+            .withColumn("val", F.col("id").cast("string"))
+            .repartition(4)
+            .write.partitionBy("part")
+            .parquet(p)
+        )
+        upd = spark.createDataFrame(
+            [(10, "even", "updated"), (9999, "odd", "inserted")],
+            ["id", "part", "val"],
+        )
+        stats = merge_into(spark, p, upd, key="id", partition_by=["part"])
+        assert stats["rows_matched"] == 1 and stats["rows_inserted"] == 1
+
+        df = spark.read.parquet(p)
+        got = {(r["id"], r["part"], r["val"]) for r in df.collect()}
+        assert (10, "even", "updated") in got
+        assert (9999, "odd", "inserted") in got
+        assert (10, "even", "10") not in got
+        assert len(got) == 201
+        # partition routing survived the file-level moves
+        evens = {r["part"] for r in df.filter(F.col("id") % 2 == 0).collect()}
+        assert evens == {"even"}
+
+    def test_all_new_keys_is_pure_append(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.merge import merge_into
+
+        p = str(tmp_path / "ap")
+        spark.range(0, 100).selectExpr("id", "id * 2 AS val").write.parquet(p)
+        before = self._files(p)
+        upd = spark.createDataFrame([(500, 1000), (501, 1002)], ["id", "val"])
+        stats = merge_into(spark, p, upd, key="id")
+        assert stats["files_touched"] == 0
+        assert stats["rows_matched"] == 0 and stats["rows_inserted"] == 2
+        after = self._files(p)
+        assert set(before) <= set(after)  # originals untouched
+        assert spark.read.parquet(p).count() == 102
+
+    def test_rerun_converges(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.merge import merge_into
+
+        p = str(tmp_path / "re")
+        spark.range(0, 100).selectExpr("id", "id * 2 AS val").write.parquet(p)
+        upd = spark.createDataFrame([(7, -1), (300, -3)], ["id", "val"])
+        merge_into(spark, p, upd, key="id")
+        first = {(r["id"], r["val"]) for r in spark.read.parquet(p).collect()}
+        stats = merge_into(spark, p, upd, key="id")
+        # retry replaces the same keys again, inserts nothing new
+        assert stats["rows_matched"] == 2 and stats["rows_inserted"] == 0
+        second = {(r["id"], r["val"]) for r in spark.read.parquet(p).collect()}
+        assert first == second == {
+            (i, i * 2) for i in range(100) if i != 7
+        } | {(7, -1), (300, -3)}
+
+
+class TestMergeCli:
+    def test_cli_merge_roundtrip(self, tmp_path, spark):
+        import json
+        import subprocess
+        import sys
+
+        p = str(tmp_path / "cli_t")
+        u = str(tmp_path / "cli_u")
+        spark.range(0, 50).selectExpr("id", "id AS val").write.parquet(p)
+        spark.createDataFrame([(3, -3), (99, -99)], ["id", "val"]).write.parquet(u)
+        r = subprocess.run(
+            [
+                sys.executable,
+                "-m",
+                "imitation_learning_data_pipeline_spark.cli",
+                "merge",
+                "--path",
+                p,
+                "--updates",
+                u,
+                "--key",
+                "id",
+            ],
+            capture_output=True,
+            text=True,
+            cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        stats = json.loads(r.stdout.strip().splitlines()[-1])
+        assert stats["rows_matched"] == 1 and stats["rows_inserted"] == 1
+        got = {(x["id"], x["val"]) for x in spark.read.parquet(p).collect()}
+        assert (3, -3) in got and (99, -99) in got and len(got) == 51
