@@ -356,3 +356,81 @@ def streaming_approx_distinct(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_trajectory_windows(
+    stream: DataFrame,
+    length: int = 8,
+    stride: int = 4,
+) -> DataFrame:
+    """Streaming counterpart of ``plans.trajectory.trajectory_windows``:
+    as each episode's events arrive, emit every newly-COMPLETED
+    length-``length`` stride-``stride`` window (append mode), identical
+    rows to the batch operator on the same prefix of events.
+
+    State per episode is BOUNDED at O(length): the running event count,
+    the next un-emitted window start, and the < ``length`` tail events
+    that future overlapping windows still need — everything older is
+    dropped the moment the last window covering it ships. A 30-minute
+    episode at 50 Hz carries ~``length`` rows of state, not 90k.
+
+    Ordering contract: events are sorted (ts, event_id) WITHIN each
+    micro-batch; across batches the operator assumes per-episode
+    in-order arrival (true for append-style file/offset sources — the
+    reference's per-episode recordings land whole). A late-data-robust
+    variant would front a watermarked sort buffer; that machinery lives
+    in the session/window aggregates (streaming_session_window).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    L, S = int(length), int(stride)
+
+    def _fold(key, pdfs, state: GroupState):
+        if state.exists:
+            n_seen, next_start, ids, types = state.get
+            ids, types = list(ids), list(types)
+        else:
+            n_seen, next_start, ids, types = 0, 0, [], []
+        batches = [p for p in pdfs if len(p)]
+        if batches:
+            new = pd.concat(batches).sort_values(["ts", "event_id"])
+            ids.extend(int(x) for x in new["event_id"])
+            types.extend(str(x) for x in new["event_type"])
+            n_seen += len(new)
+        rows: list[tuple] = []
+        while next_start + L <= n_seen:
+            buf0 = n_seen - len(ids)  # trajectory index of buffer head
+            off = next_start - buf0
+            wid = next_start // S
+            for pos in range(L):
+                rows.append((key[0], wid, pos, ids[off + pos], types[off + pos]))
+            next_start += S
+        drop = next_start - (n_seen - len(ids))
+        if drop > 0:  # events no future window can touch
+            ids, types = ids[drop:], types[drop:]
+        state.update((n_seen, next_start, ids, types))
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=["user_id", "window_id", "pos", "event_id", "event_type"],
+            )
+
+    return (
+        stream.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _fold,
+            outputStructType=(
+                "user_id long, window_id long, pos long, "
+                "event_id long, event_type string"
+            ),
+            stateStructType=(
+                "n_seen long, next_start long, "
+                "ids array<long>, types array<string>"
+            ),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

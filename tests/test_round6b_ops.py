@@ -349,3 +349,125 @@ class TestMergeCli:
         assert stats["rows_matched"] == 1 and stats["rows_inserted"] == 1
         got = {(x["id"], x["val"]) for x in spark.read.parquet(p).collect()}
         assert (3, -3) in got and (99, -99) in got and len(got) == 51
+
+
+class TestStreamingTrajectoryWindows:
+    """applyInPandasWithState trajectory slicer: emits each completed
+    window exactly once across checkpointed arrivals, matching the
+    batch operator on the full event prefix."""
+
+    def test_two_arrivals_match_batch_operator(self, spark, tmp_path):
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        from imitation_learning_data_pipeline_spark.streaming.incremental import (
+            streaming_trajectory_windows,
+        )
+
+        ingest = tmp_path / "in"
+        ingest.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+        sink = str(tmp_path / "sink")
+        schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("ts", T.TimestampType()),
+                T.StructField("event_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+            ]
+        )
+
+        def _mk(rows):
+            df = pd.DataFrame(
+                rows, columns=["user_id", "ts_s", "event_id", "event_type"]
+            )
+            df["ts"] = pd.to_datetime(df.pop("ts_s"), unit="s", utc=True)
+            return df[["user_id", "ts", "event_id", "event_type"]]
+
+        def _run():
+            stream = spark.readStream.schema(schema).parquet(str(ingest))
+            out = streaming_trajectory_windows(stream, length=4, stride=2)
+            q = (
+                out.writeStream.foreachBatch(
+                    lambda df, bid: df.write.mode("append").parquet(sink)
+                )
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        # arrival 1: user 1 has 5 events (windows 0 complete), user 2 has 3
+        rows1 = [(1, t, 100 + t, f"e{t}") for t in range(5)] + [
+            (2, t, 200 + t, f"f{t}") for t in range(3)
+        ]
+        _mk(rows1).to_parquet(
+            ingest / "b1.parquet", index=False, coerce_timestamps="us"
+        )
+        _run()
+        got1 = {
+            (r["user_id"], r["window_id"], r["pos"], r["event_id"])
+            for r in spark.read.parquet(sink).collect()
+        }
+        # user 1: window 0 covers idx 0..3 — complete. window 1 needs idx 2..5.
+        assert (1, 0, 0, 100) in got1 and (1, 0, 3, 103) in got1
+        assert not any(u == 2 for (u, _, _, _) in got1)
+
+        # arrival 2: user 1 +3 events (windows 1,2 complete), user 2 +2
+        # (window 0 completes from events spanning BOTH arrivals)
+        rows2 = [(1, t, 100 + t, f"e{t}") for t in range(5, 8)] + [
+            (2, t, 200 + t, f"f{t}") for t in range(3, 5)
+        ]
+        _mk(rows2).to_parquet(
+            ingest / "b2.parquet", index=False, coerce_timestamps="us"
+        )
+        _run()
+
+        got = spark.read.parquet(sink)
+        # cross-arrival window: user 2's window 0 mixes events from both files
+        u2 = {
+            (r["pos"], r["event_id"])
+            for r in got.filter("user_id = 2 AND window_id = 0").collect()
+        }
+        assert u2 == {(0, 200), (1, 201), (2, 202), (3, 203)}
+
+        # exactly-once: no duplicate (user, window, pos) rows
+        assert (
+            got.groupBy("user_id", "window_id", "pos").count().filter("count > 1").count()
+            == 0
+        )
+
+        # parity with the batch operator at L=4,S=2 on the full prefix
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        all_events = spark.createDataFrame(_mk(rows1 + rows2), schema)
+        per = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        whole = Window.partitionBy("user_id")
+        base = all_events.select(
+            "user_id",
+            "event_id",
+            (F.row_number().over(per) - 1).alias("idx"),
+            F.count("*").over(whole).alias("n"),
+        )
+        L_, S_ = 4, 2
+        lo = F.greatest(
+            F.lit(0).cast("long"),
+            F.floor((F.col("idx") - L_ + S_) / F.lit(float(S_))).cast("long"),
+        )
+        hi = F.floor(F.col("idx") / F.lit(float(S_))).cast("long")
+        expect = {
+            (r["user_id"], r["window_id"], r["idx"] - r["window_id"] * S_, r["event_id"])
+            for r in base.select(
+                "user_id", "event_id", "idx", "n",
+                F.explode(F.sequence(lo, hi)).alias("window_id"),
+            )
+            .filter(F.col("window_id") * S_ + L_ <= F.col("n"))
+            .collect()
+        }
+        got_set = {
+            (r["user_id"], r["window_id"], r["pos"], r["event_id"])
+            for r in got.collect()
+        }
+        assert got_set == expect

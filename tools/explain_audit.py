@@ -66,6 +66,25 @@ AUDIT = {
     "dedup_substring_spans": {
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]
     },
+    # ONE shuffle total: both per-episode window specs share the user_id
+    # exchange, and window membership is a map-side explode above it.
+    "trajectory_windows": {
+        "max_exchanges": 1,
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    # prefilter-then-rank: the broadcast count-join prefilter must sit
+    # BELOW the rank window in the plan, and rank pushdown
+    # (WindowGroupLimit, partial mode) must engage so each partition
+    # sorts only its ~k survivors before the lang exchange.
+    "sample_reservoir_pergroup": {
+        "want": ["WindowGroupLimit", "BroadcastHashJoin"],
+        "before": [("Window", "BroadcastHashJoin")],
+    },
+    # token-count agg + k-row planning arithmetic over a broadcast total
+    "mixture_token_budget": {"max_exchanges": 4},
+    # the one-pass multi-distinct profile compiles through Expand (exact
+    # mode); swap to approx_count_distinct at 100 TB drops it.
+    "profile_documents": {"want": ["Expand"], "max_exchanges": 2},
 }
 
 
