@@ -28,7 +28,7 @@ import pyarrow.parquet as pq
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events",
+    "orders", "lineitem",
 ]
 
 
@@ -81,6 +81,30 @@ def main() -> int:
         }
     )
     pq.write_table(out_emb, f"{args.dst}/embeddings.parquet")
+
+    # events: factor× MORE EPISODES with the source's per-episode length
+    # distribution intact — each replica shifts user_id/event_id into a
+    # fresh range, so trajectory work scales in episode count (the way a
+    # real fleet grows) rather than in per-episode length.
+    ev = pq.read_table(f"{args.src}/events.parquet")
+    uid = np.array(ev.column("user_id").to_pylist(), np.int64)
+    eid = np.array(ev.column("event_id").to_pylist(), np.int64)
+    u_span, e_span = uid.max() + 1, eid.max() + 1
+    reps = []
+    for r in range(args.factor):
+        reps.append(
+            pa.table(
+                {
+                    "event_id": pa.array(eid + r * e_span, pa.int64()),
+                    "ts": ev.column("ts"),
+                    "user_id": pa.array(uid + r * u_span, pa.int64()),
+                    "event_type": ev.column("event_type"),
+                    "value": ev.column("value"),
+                    "props": ev.column("props"),
+                }
+            )
+        )
+    pq.write_table(pa.concat_tables(reps), f"{args.dst}/events.parquet")
 
     for t in TABLES:
         link = f"{args.dst}/{t}.parquet"
