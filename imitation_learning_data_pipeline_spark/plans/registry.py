@@ -74,6 +74,7 @@ CONTRACT_FIRST: list[str] = [
     "mixture_token_budget",
     "sample_reservoir_pergroup",
     "profile_documents",
+    "split_leakage_safe",
     # Round-5 additions/rotations: the SimHash pair stage (new) goes
     # straight into the contract; the four granular window queries get
     # their first-ever direct CORRECTNESS rows (r4 verdict item 3); and
@@ -102,7 +103,6 @@ CONTRACT_FIRST: list[str] = [
     # queries through the driver, displacing four twice-green proxies
     # (now in CONTRACT_EXCLUDE with their named stand-ins).
     "window_running_sum",
-    "streaming_dedup_exact",
     # (round-5: text_sentence_stats / text_langid / asof_join_last_click /
     # window_frame_suite / window_group_order_suite moved to
     # CONTRACT_EXCLUDE after 2+ green rounds.)
@@ -263,6 +263,14 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     "dedup_ngram_jaccard": "dedup_minhash_lsh (same df-capped md5-"
     "shingle posting join) + decontam_overlap_spans (same exact "
     "shingle-overlap counting)",
+    # round-6 rotation #4: funds the split_leakage_safe slot. Green
+    # r3-r5 (3 rounds); its batch plan IS dedup_exact's hash-group
+    # aggregate, and the streaming stateful-agg machinery it wraps is
+    # streaming_session_window's retained shape; the checkpointed
+    # two-batch arrival behavior stays pytest-locked.
+    "streaming_dedup_exact": "dedup_exact (identical hash-group "
+    "aggregate) + streaming_session_window (same stateful streaming "
+    "agg machinery) + pytest checkpointed arrivals",
 }
 
 CONTRACT_CAP = 50

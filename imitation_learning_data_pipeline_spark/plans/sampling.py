@@ -356,3 +356,80 @@ def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(epochs * F.col("n_tokens")).cast("long").alias("planned_tokens"),
         )
     )
+
+
+# --- leakage-safe splits ------------------------------------------------------
+
+
+def _leakage_oracle() -> str:
+    from .dedup import _CORPUS_SQL, _minhash_oracle
+
+    u = (
+        "('0x' || substr(md5('split6' || '|' || CAST(split_key AS VARCHAR)), 1, 8))"
+        "::BIGINT / 4294967296.0"
+    )
+    return f"""
+WITH RECURSIVE mh AS MATERIALIZED (
+  {_minhash_oracle().strip()}
+),
+e AS (
+  SELECT doc_a AS a, doc_b AS b FROM mh
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM mh
+),
+nodes AS (SELECT DISTINCT a AS doc FROM e),
+r(doc, reach) AS (
+  SELECT doc, doc FROM nodes
+  UNION
+  SELECT r.doc, e.b FROM r JOIN e ON r.reach = e.a
+),
+comp AS (SELECT doc, min(reach) AS cluster_id FROM r GROUP BY doc),
+corpus AS ({_CORPUS_SQL}),
+keyed AS (
+  SELECT c.doc_id, coalesce(comp.cluster_id, c.doc_id) AS split_key
+  FROM corpus c LEFT JOIN comp ON c.doc_id = comp.doc
+)
+SELECT doc_id, split_key,
+       CASE WHEN {u} < 0.8 THEN 'train'
+            WHEN {u} < 0.9 THEN 'val'
+            ELSE 'test' END AS split
+FROM keyed
+"""
+
+
+@register("split_leakage_safe", oracle=_leakage_oracle())
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment that cannot leak near-duplicates across
+    splits: the split key is the near-dup CLUSTER canonical (min doc_id
+    of the minhash-LSH connected component), falling back to the doc's
+    own id for singletons — so a test document's paraphrase can never
+    sit in train.
+
+    This is the composition eval-integrity work actually requires
+    (dedup alone keeps ONE copy; leakage-safe splitting keeps ALL copies
+    but pins them to one split — e.g. when near-dups are legitimate
+    distinct samples, augmentations, or repeated episodes).
+
+    Scale shape: the components frame is duplicate-pairs-sized (tiny vs
+    corpus); it left-joins back to the corpus on doc_id (AQE broadcasts
+    it in practice) and the split itself is one map-side md5 per row —
+    the same seeded pure-function recipe as split_assign, so membership
+    never flips as the corpus grows (F5's growth-stability property
+    lifted to cluster granularity).
+    """
+    from ..functions.hashing import split_assign
+    from .dedup import _corpus, connected_components, minhash_pairs
+
+    corpus = _corpus(spark, sf_dir)
+    comp = connected_components(minhash_pairs(corpus).select("doc_a", "doc_b")).select(
+        "doc_id", "cluster_id"
+    )
+    keyed = corpus.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("split_key"),
+    )
+    return keyed.select(
+        "doc_id",
+        "split_key",
+        split_assign(F.col("split_key"), seed="split6").alias("split"),
+    )

@@ -471,3 +471,41 @@ class TestStreamingTrajectoryWindows:
             for r in got.collect()
         }
         assert got_set == expect
+
+
+class TestLeakageSafeSplit:
+    def test_near_dups_share_a_split(self, spark):
+        from pyspark.sql import functions as F
+
+        from imitation_learning_data_pipeline_spark.plans.sampling import (
+            split_leakage_safe,
+        )
+
+        out = split_leakage_safe(spark, SF_DIR).cache()
+        # every split_key (cluster canonical or singleton id) maps to ONE split
+        assert (
+            out.groupBy("split_key")
+            .agg(F.countDistinct("split").alias("n"))
+            .filter("n > 1")
+            .count()
+            == 0
+        )
+        # the corpus's planted near-dups (doc_id + 1_000_000 = upper-cased
+        # copy) must sit in the same split as their originals
+        planted = out.filter(F.col("doc_id") >= 1_000_000).filter(
+            F.col("doc_id") < 2_000_000
+        )
+        pairs = planted.select(
+            (F.col("doc_id") - 1_000_000).alias("doc_id"),
+            F.col("split").alias("planted_split"),
+        ).join(out.select("doc_id", "split"), "doc_id")
+        mismatched = pairs.filter(F.col("split") != F.col("planted_split")).count()
+        n_planted = planted.count()
+        assert n_planted > 0 and mismatched == 0
+        # all three splits are populated at this corpus size
+        assert {r["split"] for r in out.select("split").distinct().collect()} == {
+            "train",
+            "val",
+            "test",
+        }
+        out.unpersist()
