@@ -78,3 +78,63 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_utc(spark)
     docs = load_table(spark, sf_dir, "documents").select(*_PROFILE_COLS)
     return profile_frame(docs, _PROFILE_COLS)
+
+
+# --- mergeable (incremental) profiles ----------------------------------------
+#
+# The exact profile above needs the whole table per run. A continuously-
+# ingesting corpus wants per-BATCH profiles folded into a running one —
+# possible iff every statistic is mergeable: counts add, min/max of
+# strings combine, and distinct counts become Datasketches HLL sketches
+# (Spark's hll_sketch_agg / hll_union aggregates), which union exactly
+# like the streaming_approx_distinct register files but JVM-side.
+# Profiling 100 TB then costs one pass EVER per batch, never a rescan.
+
+
+def profile_frame_sketch(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column mergeable profile row: (column_name, n_rows, n_null,
+    distinct_sketch binary, min_val, max_val). Fold batches with
+    :func:`merge_profiles`; read estimates with :func:`profile_estimates`.
+    """
+    aggs: list[Column] = [F.count("*").alias("n_rows")]
+    for c in cols:
+        col = F.col(c)
+        aggs.append(F.sum(col.isNull().cast("long")).alias(f"{c}__null"))
+        aggs.append(F.hll_sketch_agg(col.cast("string")).alias(f"{c}__sk"))
+        aggs.append(F.substring(F.min(col).cast("string"), 1, _TRUNC).alias(f"{c}__min"))
+        aggs.append(F.substring(F.max(col).cast("string"), 1, _TRUNC).alias(f"{c}__max"))
+    one = df.agg(*aggs)
+    stack_args = [
+        f"'{c}', {c}__null, {c}__sk, {c}__min, {c}__max" for c in cols
+    ]
+    return one.selectExpr(
+        "n_rows",
+        f"stack({len(cols)}, {', '.join(stack_args)}) AS "
+        "(column_name, n_null, distinct_sketch, min_val, max_val)",
+    ).select("column_name", "n_rows", "n_null", "distinct_sketch", "min_val", "max_val")
+
+
+def merge_profiles(profiles: DataFrame) -> DataFrame:
+    """Fold any number of per-batch profile frames (unioned) into one:
+    counts add, sketches union, min/max combine. The merge input is
+    #batches × #columns rows — metadata-sized, never data-sized."""
+    return profiles.groupBy("column_name").agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("n_null").alias("n_null"),
+        F.hll_union_agg("distinct_sketch").alias("distinct_sketch"),
+        F.min("min_val").alias("min_val"),
+        F.max("max_val").alias("max_val"),
+    )
+
+
+def profile_estimates(profile: DataFrame) -> DataFrame:
+    """Render a (merged) sketch profile readable: sketch → estimated
+    distinct count."""
+    return profile.select(
+        "column_name",
+        "n_rows",
+        "n_null",
+        F.hll_sketch_estimate("distinct_sketch").alias("n_distinct_est"),
+        "min_val",
+        "max_val",
+    )

@@ -509,3 +509,63 @@ class TestLeakageSafeSplit:
             "test",
         }
         out.unpersist()
+
+
+class TestMergeableProfiles:
+    def test_two_batch_fold_matches_whole(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.profile import (
+            merge_profiles,
+            profile_estimates,
+            profile_frame,
+            profile_frame_sketch,
+        )
+
+        whole = spark.range(0, 5000).selectExpr(
+            "id", "CAST(id % 137 AS STRING) AS cat", "IF(id % 10 = 0, NULL, id) AS v"
+        )
+        b1 = whole.filter("id < 3000")
+        b2 = whole.filter("id >= 3000")
+        cols = ["id", "cat", "v"]
+        folded = merge_profiles(
+            profile_frame_sketch(b1, cols).unionByName(profile_frame_sketch(b2, cols))
+        )
+        got = {r["column_name"]: r for r in profile_estimates(folded).collect()}
+        exact = {r["column_name"]: r for r in profile_frame(whole, cols).collect()}
+        for c in cols:
+            assert got[c]["n_rows"] == 5000
+            assert got[c]["n_null"] == exact[c]["n_null"]
+            assert got[c]["min_val"] == exact[c]["min_val"]
+            assert got[c]["max_val"] == exact[c]["max_val"]
+            # HLL at default lgConfigK=12: ~2% relative error
+            err = abs(got[c]["n_distinct_est"] - exact[c]["n_distinct"]) / max(
+                1, exact[c]["n_distinct"]
+            )
+            assert err < 0.05, (c, got[c]["n_distinct_est"], exact[c]["n_distinct"])
+
+    def test_fold_is_order_insensitive(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.profile import (
+            merge_profiles,
+            profile_estimates,
+            profile_frame_sketch,
+        )
+
+        a = spark.range(0, 1000).selectExpr("id", "CAST(id AS STRING) AS s")
+        b = spark.range(500, 1500).selectExpr("id", "CAST(id AS STRING) AS s")
+        cols = ["id", "s"]
+        ab = profile_estimates(
+            merge_profiles(
+                profile_frame_sketch(a, cols).unionByName(profile_frame_sketch(b, cols))
+            )
+        ).collect()
+        ba = profile_estimates(
+            merge_profiles(
+                profile_frame_sketch(b, cols).unionByName(profile_frame_sketch(a, cols))
+            )
+        ).collect()
+        key = lambda rows: {
+            r["column_name"]: (r["n_rows"], r["n_null"], r["n_distinct_est"]) for r in rows
+        }
+        assert key(ab) == key(ba)
+        # overlap dedups through the union: estimate ~1500, not 2000
+        est = key(ab)["id"][2]
+        assert abs(est - 1500) / 1500 < 0.05
