@@ -71,6 +71,7 @@ CONTRACT_FIRST: list[str] = [
     # extractor, two curation planners, and the schema profiler — new
     # operators go straight into the contract.
     "trajectory_windows",
+    "trajectory_features",
     "mixture_token_budget",
     "sample_reservoir_pergroup",
     "profile_documents",
@@ -271,6 +272,13 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     "streaming_dedup_exact": "dedup_exact (identical hash-group "
     "aggregate) + streaming_session_window (same stateful streaming "
     "agg machinery) + pytest checkpointed arrivals",
+    # round-6 rotation #5: funds the trajectory_features slot. Green
+    # r1-r5 (5 rounds); the funnel composes exactly its contract-covered
+    # stages (precedent: pipeline_stage_chain's per-stage park), and its
+    # cheap→expensive cascade ordering stays pytest-locked.
+    "pipeline_corpus_curation": "text_quality_score (quality gate) + "
+    "dedup_exact (dedup stage) + sample_mixture_sources (rebalance "
+    "stage) + pytest cascade-order assertions",
 }
 
 CONTRACT_CAP = 50

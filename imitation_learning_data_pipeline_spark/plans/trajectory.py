@@ -107,3 +107,91 @@ def trajectory_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
         )
     )
+
+
+@register(
+    "trajectory_features",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, value,
+         epoch_ms(ts) AS ts_ms,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS idx,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+),
+w AS (
+  SELECT user_id, event_id, event_type, value, ts_ms, idx, n,
+         unnest(range(
+           CAST(greatest(0, floor((idx - {_L} + {_S}) / {_S}.0)) AS BIGINT),
+           CAST(floor(idx / {_S}.0) AS BIGINT) + 1)) AS window_id
+  FROM e
+)
+SELECT user_id, CAST(window_id AS BIGINT) AS window_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(round(CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE)
+                  / count(*)) AS BIGINT) AS mean_value_e4,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       CAST(max(ts_ms) - min(ts_ms) AS BIGINT) AS span_ms,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+FROM w
+WHERE window_id * {_S} + {_L} <= n
+GROUP BY user_id, window_id
+""",
+)
+def trajectory_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window feature vector over the trajectory slices: event
+    count, mean/min/max of the action value, wall-clock span, and
+    action-type diversity — the windowed summary a policy-training
+    dataloader attaches to every sample.
+
+    Same single-shuffle + map-side-explode derivation as
+    :func:`trajectory_windows`; the feature aggregate re-groups on
+    (user_id, window_id), whose first component is the existing
+    partition key, so the second shuffle moves one row per window.
+    Timestamps aggregate as epoch milliseconds, and the mean is the
+    exact-integer recipe (per-row round(value*1e4) → exact long sum →
+    one double division): a float SUM's addition order differs between
+    engines, so "round the avg" is boundary-fragile — every aggregate
+    here is arithmetic on exact integers instead.
+    """
+    ensure_utc(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    per_ep = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    whole_ep = Window.partitionBy("user_id")
+    base = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.unix_millis("ts").alias("ts_ms"),
+        (F.row_number().over(per_ep) - 1).alias("idx"),
+        F.count("*").over(whole_ep).alias("n"),
+    )
+    lo = F.greatest(
+        F.lit(0).cast("long"),
+        F.floor((F.col("idx") - _L + _S) / F.lit(float(_S))).cast("long"),
+    )
+    hi = F.floor(F.col("idx") / F.lit(float(_S))).cast("long")
+    return (
+        base.select(
+            "*", F.explode(F.sequence(lo, hi)).alias("window_id")
+        )
+        .filter(F.col("window_id") * _S + _L <= F.col("n"))
+        .groupBy("user_id", F.col("window_id").cast("long").alias("window_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(
+                F.sum(F.round(F.col("value") * 10000).cast("long")).cast("double")
+                / F.count("*")
+            )
+            .cast("long")
+            .alias("mean_value_e4"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            (F.max("ts_ms") - F.min("ts_ms")).cast("long").alias("span_ms"),
+            F.count_distinct("event_type").cast("long").alias("n_types"),
+        )
+    )

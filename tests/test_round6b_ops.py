@@ -569,3 +569,31 @@ class TestMergeableProfiles:
         # overlap dedups through the union: estimate ~1500, not 2000
         est = key(ab)["id"][2]
         assert abs(est - 1500) / 1500 < 0.05
+
+
+class TestTrajectoryFeatures:
+    def test_feature_invariants(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.trajectory import (
+            _L,
+            trajectory_features,
+            trajectory_windows,
+        )
+
+        feats = trajectory_features(spark, SF_DIR).collect()
+        assert feats
+        for r in feats:
+            assert r["n_events"] == _L  # full windows only
+            assert r["min_value"] <= r["max_value"]
+            assert (
+                round(r["min_value"] * 10000) <= r["mean_value_e4"] <= round(r["max_value"] * 10000)
+            )
+            assert r["span_ms"] >= 0
+            assert 1 <= r["n_types"] <= _L
+        # one feature row per emitted window
+        n_windows = (
+            trajectory_windows(spark, SF_DIR)
+            .select("user_id", "window_id")
+            .distinct()
+            .count()
+        )
+        assert len(feats) == n_windows
