@@ -156,25 +156,31 @@ def main() -> int:
     cold_timings: dict[str, float] = {}
     for name in names:
         fn = QUERIES[name]
-        best = cold = cold_task = last_task = None
-        for _ in range(args.repeat):
+        best = cold = cold_task = None
+        warm_tasks: list[float] = []
+        for i in range(args.repeat):
             t0 = time.time()
             m0 = probe.total_ms()
             fn(spark, args.sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
-            last_task = (probe.total_ms() - m0) / 1000.0
+            run_task = (probe.total_ms() - m0) / 1000.0
             if cold is None:
-                cold, cold_task = dt, last_task
+                cold, cold_task = dt, run_task
+            else:
+                warm_tasks.append(run_task)
             if best is None or dt < best:
                 best = dt
         timings[name] = round(best, 3)
-        # task time from the LAST repeat (warm steady state): the r5
-        # verdict caught best-WALL-run task time silently reporting
-        # first-run JIT CPU whenever the cold run won on wall
-        # (dedup_minhash_lsh: 54 cold CPU-s vs r4's 26.5 warm),
-        # corrupting cross-round CPU comparisons. Cold CPU ships
-        # separately below.
-        task_times[name] = round(last_task, 3)
+        # task time = MIN over the warm repeats (2..N): the r5 verdict
+        # caught best-WALL-run task time silently reporting first-run
+        # JIT CPU whenever the cold run won on wall; taking the LAST
+        # repeat instead (r6 first cut) proved fragile the other way —
+        # one full-bench run saw a transient stall inflate repeat 3 of
+        # dedup_minhash_lsh to 285 CPU-s (impossible: > 32 threads ×
+        # wall) while isolated repeats measure ~18-20. Min over warm
+        # repeats excludes the cold JIT AND transient flukes. Cold CPU
+        # ships separately below.
+        task_times[name] = round(min(warm_tasks) if warm_tasks else cold_task, 3)
         cold_task_times[name] = round(cold_task, 3)
         cold_timings[name] = round(cold, 3)
         # Drop relations persisted inside query plans (minhash/ngram keep

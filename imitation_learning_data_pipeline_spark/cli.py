@@ -338,6 +338,20 @@ def cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_profile(args: argparse.Namespace) -> int:
+    """One-pass column profile of a parquet dataset (plans/profile.py),
+    one JSON line per column to stdout."""
+    from .plans.profile import profile_frame
+
+    spark = _spark("profile")
+    df = spark.read.parquet(args.path)
+    cols = args.columns.split(",") if args.columns else df.columns
+    rows = profile_frame(df, cols, exact_distinct=not args.approx).collect()
+    for r in rows:
+        print(json.dumps(r.asDict()))
+    return 0
+
+
 def cmd_merge(args: argparse.Namespace) -> int:
     """File-level copy-on-write MERGE INTO (pipeline/merge.py): replace
     matched keys, insert unmatched, rewriting only touched data files."""
@@ -474,6 +488,21 @@ def build_parser() -> argparse.ArgumentParser:
         help="comma-separated Hive partition columns of the target layout",
     )
     mg.set_defaults(fn=cmd_merge)
+
+    pf = sub.add_parser(
+        "profile", help="per-column null/distinct/min/max profile of a parquet dataset"
+    )
+    pf.add_argument("--path", required=True)
+    pf.add_argument(
+        "--columns", default=None, help="comma-separated subset (default: all)"
+    )
+    pf.add_argument(
+        "--approx",
+        action="store_true",
+        help="approx_count_distinct instead of exact (drops the Expand; "
+        "the 100 TB default)",
+    )
+    pf.set_defaults(fn=cmd_profile)
     return p
 
 

@@ -597,3 +597,34 @@ class TestTrajectoryFeatures:
             .count()
         )
         assert len(feats) == n_windows
+
+
+class TestProfileCli:
+    def test_cli_profile_outputs_one_line_per_column(self, tmp_path, spark):
+        import json
+        import subprocess
+        import sys
+
+        p = str(tmp_path / "prof_t")
+        spark.range(0, 200).selectExpr(
+            "id", "IF(id % 4 = 0, NULL, CAST(id % 9 AS STRING)) AS c"
+        ).write.parquet(p)
+        r = subprocess.run(
+            [
+                sys.executable,
+                "-m",
+                "imitation_learning_data_pipeline_spark.cli",
+                "profile",
+                "--path",
+                p,
+            ],
+            capture_output=True,
+            text=True,
+            cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        lines = [json.loads(x) for x in r.stdout.strip().splitlines() if x.startswith("{")]
+        by_col = {x["column_name"]: x for x in lines}
+        assert set(by_col) == {"id", "c"}
+        assert by_col["id"]["n_distinct"] == 200 and by_col["id"]["n_null"] == 0
+        assert by_col["c"]["n_null"] == 50 and by_col["c"]["n_distinct"] == 9

@@ -80,6 +80,12 @@ AUDIT = {
         "want": ["WindowGroupLimit", "BroadcastHashJoin"],
         "before": [("Window", "BroadcastHashJoin")],
     },
+    # window derivation reuses the episode exchange; the feature re-group
+    # keys on (user_id, window_id) — one more exchange, nothing else
+    "trajectory_features": {
+        "max_exchanges": 2,
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
     # token-count agg + k-row planning arithmetic over a broadcast total
     "mixture_token_budget": {"max_exchanges": 4},
     # the one-pass multi-distinct profile compiles through Expand (exact
