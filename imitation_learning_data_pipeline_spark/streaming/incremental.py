@@ -434,3 +434,60 @@ def streaming_trajectory_windows(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def run_incremental_profile_stream(
+    stream: DataFrame,
+    cols: list[str],
+    store_path: str,
+    checkpoint: str,
+) -> None:
+    """Continuous data profiling: each micro-batch's mergeable sketch
+    profile (plans.profile.profile_frame_sketch — counts, min/max, HLL
+    distinct sketches) lands as one ``ingest_batch``-partitioned
+    parquet partition under ``store_path``. The running profile of the
+    WHOLE corpus is then ``merge_profiles(read store)`` — a fold over
+    #batches × #columns metadata rows, so profiling a growing corpus
+    costs one pass per batch and the historical data is never rescanned.
+
+    Same effectively-exactly-once recipe as run_incremental_dedup_stream:
+    checkpointed offsets + per-batch dynamic partition overwrite make a
+    replayed micro-batch REPLACE its own profile partition.
+
+    Runs with Trigger.availableNow and blocks; call again with the same
+    checkpoint as new files land. Read the current profile with
+    :func:`read_profile_store`.
+    """
+    from ..plans.profile import profile_frame_sketch
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            profile_frame_sketch(batch_df, cols)
+            .withColumn("ingest_batch", F.lit(int(batch_id)))
+            .write.partitionBy("ingest_batch")
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(store_path)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_profile_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """Fold the persisted per-batch profiles into the corpus-wide
+    profile with readable distinct estimates."""
+    from ..plans.profile import merge_profiles, profile_estimates
+
+    return profile_estimates(
+        merge_profiles(
+            spark.read.parquet(store_path).drop("ingest_batch")
+        )
+    )

@@ -628,3 +628,68 @@ class TestProfileCli:
         assert set(by_col) == {"id", "c"}
         assert by_col["id"]["n_distinct"] == 200 and by_col["id"]["n_null"] == 0
         assert by_col["c"]["n_null"] == 50 and by_col["c"]["n_distinct"] == 9
+
+
+class TestStreamingIncrementalProfile:
+    def test_profile_store_folds_across_arrivals(self, spark, tmp_path):
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        from imitation_learning_data_pipeline_spark.plans.profile import profile_frame
+        from imitation_learning_data_pipeline_spark.streaming.incremental import (
+            read_profile_store,
+            run_incremental_profile_stream,
+        )
+
+        ingest = tmp_path / "in"
+        ingest.mkdir()
+        store = str(tmp_path / "store")
+        ckpt = str(tmp_path / "ckpt")
+        schema = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("cat", T.StringType()),
+            ]
+        )
+
+        def _run():
+            stream = spark.readStream.schema(schema).parquet(str(ingest))
+            run_incremental_profile_stream(stream, ["id", "cat"], store, ckpt)
+
+        pd.DataFrame(
+            {"id": range(0, 2000), "cat": [str(i % 50) for i in range(2000)]}
+        ).to_parquet(ingest / "b1.parquet", index=False)
+        _run()
+        p1 = {r["column_name"]: r for r in read_profile_store(spark, store).collect()}
+        assert p1["id"]["n_rows"] == 2000
+        assert abs(p1["id"]["n_distinct_est"] - 2000) / 2000 < 0.05
+
+        # arrival 2 overlaps 1000 ids: distinct grows to 3000, rows to 4000
+        pd.DataFrame(
+            {"id": range(1000, 3000), "cat": [str(i % 80) for i in range(2000)]}
+        ).to_parquet(ingest / "b2.parquet", index=False)
+        _run()
+        p2 = {r["column_name"]: r for r in read_profile_store(spark, store).collect()}
+        assert p2["id"]["n_rows"] == 4000
+        assert abs(p2["id"]["n_distinct_est"] - 3000) / 3000 < 0.05
+        assert p2["cat"]["n_distinct_est"] == 80 or abs(p2["cat"]["n_distinct_est"] - 80) <= 3
+
+        # replay with no new data: store unchanged (exactly-once fold)
+        _run()
+        p3 = {r["column_name"]: r for r in read_profile_store(spark, store).collect()}
+        assert p3["id"]["n_rows"] == 4000
+
+        # the folded estimate tracks the exact whole-corpus profile
+        whole = spark.createDataFrame(
+            pd.concat(
+                [
+                    pd.DataFrame({"id": range(0, 2000), "cat": [str(i % 50) for i in range(2000)]}),
+                    pd.DataFrame({"id": range(1000, 3000), "cat": [str(i % 80) for i in range(2000)]}),
+                ]
+            ),
+            schema,
+        )
+        exact = {r["column_name"]: r for r in profile_frame(whole, ["id", "cat"]).collect()}
+        assert p3["id"]["min_val"] == exact["id"]["min_val"]
+        assert p3["id"]["max_val"] == exact["id"]["max_val"]
+        assert p3["cat"]["n_null"] == exact["cat"]["n_null"] == 0
