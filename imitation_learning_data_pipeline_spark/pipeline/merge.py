@@ -138,3 +138,33 @@ def merge_into(
         "rows_matched": rows_matched,
         "rows_inserted": n_upd - rows_matched,
     }
+
+
+def cluster_write(
+    df: DataFrame,
+    path: str,
+    by: str | list[str],
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` key-clustered: range-partitioned AND sorted by
+    ``by``, so each output file covers a disjoint key range and its
+    parquet min/max footer statistics actually prune.
+
+    This is the layout-maintenance half of the MERGE story (and of any
+    selective-read story): on a hash-scattered layout k random merge
+    keys touch ~k files, while on a range-clustered layout a contiguous
+    key range collapses into ~1 touched file — the plain-parquet
+    equivalent of Delta/Iceberg OPTIMIZE before MERGE. Also what makes
+    key-predicate scans skip row groups via min/max.
+
+    ``repartitionByRange`` samples the key distribution, so output
+    files are balanced by ROWS even under key skew (quantile cuts, not
+    modular hashing).
+    """
+    keys = _key_cols(by)
+    if n_files:
+        ranged = df.repartitionByRange(n_files, *keys)
+    else:
+        ranged = df.repartitionByRange(*keys)
+    ranged.sortWithinPartitions(*keys).write.mode(mode).parquet(path)

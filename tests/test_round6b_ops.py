@@ -693,3 +693,44 @@ class TestStreamingIncrementalProfile:
         assert p3["id"]["min_val"] == exact["id"]["min_val"]
         assert p3["id"]["max_val"] == exact["id"]["max_val"]
         assert p3["cat"]["n_null"] == exact["cat"]["n_null"] == 0
+
+
+class TestClusterWrite:
+    def test_files_cover_disjoint_ranges_and_merge_touches_one(self, spark, tmp_path):
+        import pyarrow.parquet as pq
+        import os
+
+        from imitation_learning_data_pipeline_spark.pipeline.merge import (
+            cluster_write,
+            merge_into,
+        )
+
+        p = str(tmp_path / "cl")
+        df = spark.range(0, 100_000).selectExpr("id", "sha2(string(id), 256) AS val")
+        cluster_write(df, p, by="id", n_files=20)
+
+        # per-file id ranges from parquet footer stats must be disjoint
+        ranges = []
+        for root, _, names in os.walk(p):
+            for n in names:
+                if not n.endswith(".parquet") or n.startswith(("_", ".")):
+                    continue
+                md = pq.ParquetFile(os.path.join(root, n)).metadata
+                mins, maxs = [], []
+                for rg in range(md.num_row_groups):
+                    col = md.row_group(rg).column(0)
+                    mins.append(col.statistics.min)
+                    maxs.append(col.statistics.max)
+                ranges.append((min(mins), max(maxs)))
+        ranges.sort()
+        assert len(ranges) == 20
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 < lo2  # disjoint, ordered key ranges
+
+        # a contiguous-key merge now touches ~1 file, not ~k
+        upd = spark.createDataFrame(
+            [(i, "upd") for i in range(5000, 5020)], ["id", "val"]
+        )
+        stats = merge_into(spark, p, upd, key="id")
+        assert stats["rows_matched"] == 20
+        assert stats["files_touched"] == 1
