@@ -338,6 +338,40 @@ def cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_trajectory(args: argparse.Namespace) -> int:
+    """Slice episode event streams into fixed-length training windows
+    (plans/trajectory.py) and write them as parquet, optionally with the
+    per-window feature summary."""
+    from .plans.trajectory import slice_windows, window_features
+
+    spark = _spark("trajectory")
+    events = spark.read.parquet(args.events)
+    wins = slice_windows(
+        events,
+        episode_col=args.episode_col,
+        order_cols=args.order_by.split(","),
+        length=args.length,
+        stride=args.stride,
+        carry_cols=[c for c in events.columns if c != args.episode_col],
+    )
+    wins.write.mode("overwrite").parquet(f"{args.out}/windows")
+    summary = {"windows": wins.select(args.episode_col, "window_id").distinct().count()}
+    if args.features:
+        window_features(
+            events,
+            episode_col=args.episode_col,
+            order_cols=args.order_by.split(","),
+            value_col=args.value_col,
+            ts_col=args.order_by.split(",")[0],
+            type_col=args.type_col,
+            length=args.length,
+            stride=args.stride,
+        ).write.mode("overwrite").parquet(f"{args.out}/features")
+        summary["features"] = True
+    print(json.dumps(summary))
+    return 0
+
+
 def cmd_profile(args: argparse.Namespace) -> int:
     """One-pass column profile of a parquet dataset (plans/profile.py),
     one JSON line per column to stdout."""
@@ -503,6 +537,27 @@ def build_parser() -> argparse.ArgumentParser:
         "the 100 TB default)",
     )
     pf.set_defaults(fn=cmd_profile)
+
+    tj = sub.add_parser(
+        "trajectory",
+        help="slice episode event streams into fixed-length training windows",
+    )
+    tj.add_argument("--events", required=True, help="parquet dir/file of events")
+    tj.add_argument("--out", required=True, help="output dir (windows/, features/)")
+    tj.add_argument("--episode-col", default="user_id")
+    tj.add_argument(
+        "--order-by", default="ts,event_id", help="comma-separated ordering columns"
+    )
+    tj.add_argument("--length", type=int, default=8)
+    tj.add_argument("--stride", type=int, default=4)
+    tj.add_argument(
+        "--features",
+        action="store_true",
+        help="also write per-window feature aggregates",
+    )
+    tj.add_argument("--value-col", default="value")
+    tj.add_argument("--type-col", default="event_type")
+    tj.set_defaults(fn=cmd_trajectory)
     return p
 
 

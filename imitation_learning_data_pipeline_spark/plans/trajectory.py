@@ -24,9 +24,16 @@ Spark-first shape:
 
 Full windows only (``w*S + L <= n``): trainers want constant-shape
 samples; ragged tails are the caller's opt-in.
+
+``slice_windows`` / ``window_features`` are generic over caller frames
+(any episode key / ordering / carried columns — the reusable-API
+pattern from plans/dedup.py); the two registered contract queries bind
+them to the driver's ``events`` table.
 """
 
 from __future__ import annotations
+
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -37,6 +44,94 @@ from .registry import register
 
 _L = 8  # window length (steps per training sample)
 _S = 4  # stride (new window every S steps → L/S× overlap)
+
+
+def _exploded(
+    events: DataFrame,
+    episode_col: str,
+    order_cols: Sequence[str],
+    length: int,
+    stride: int,
+    carry_cols: Sequence[str],
+) -> DataFrame:
+    """Rows (episode, carry..., idx, n, window_id) for every FULL
+    window containing each step — the shared derivation."""
+    per_ep = Window.partitionBy(episode_col).orderBy(*order_cols)
+    whole_ep = Window.partitionBy(episode_col)
+    base = events.select(
+        F.col(episode_col),
+        *[F.col(c) for c in carry_cols],
+        (F.row_number().over(per_ep) - 1).alias("idx"),
+        F.count("*").over(whole_ep).alias("n"),
+    )
+    lo = F.greatest(
+        F.lit(0).cast("long"),
+        F.floor((F.col("idx") - length + stride) / F.lit(float(stride))).cast("long"),
+    )
+    hi = F.floor(F.col("idx") / F.lit(float(stride))).cast("long")
+    return base.select(
+        "*", F.explode(F.sequence(lo, hi)).alias("window_id")
+    ).filter(F.col("window_id") * stride + length <= F.col("n"))
+
+
+def slice_windows(
+    events: DataFrame,
+    episode_col: str = "user_id",
+    order_cols: Sequence[str] = ("ts", "event_id"),
+    length: int = _L,
+    stride: int = _S,
+    carry_cols: Sequence[str] = ("event_id", "event_type"),
+) -> DataFrame:
+    """Generic trajectory slicer: one row per (episode, window,
+    position) carrying ``carry_cols``. ``ceil((idx-L+1)/S)`` is
+    computed as ``floor((idx-L+S)/S)`` (positive-divisor identity) so
+    engines agree on the double floor; the ``greatest(0, ·)`` clamp
+    covers the negative-numerator edge."""
+    w = _exploded(events, episode_col, order_cols, length, stride, carry_cols)
+    return w.select(
+        episode_col,
+        F.col("window_id").cast("long").alias("window_id"),
+        (F.col("idx") - F.col("window_id") * stride).cast("long").alias("pos"),
+        *carry_cols,
+    )
+
+
+def window_features(
+    events: DataFrame,
+    episode_col: str = "user_id",
+    order_cols: Sequence[str] = ("ts", "event_id"),
+    value_col: str = "value",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    length: int = _L,
+    stride: int = _S,
+) -> DataFrame:
+    """Generic per-window feature aggregate: count, exact-integer mean
+    (per-row round(value*1e4) → exact long sum → one division — a
+    rounded float avg is boundary-fragile across engines), min/max,
+    wall-clock span in epoch ms, and type diversity."""
+    carried = events.select(
+        "*", F.unix_millis(ts_col).alias("__ts_ms")
+    )
+    w = _exploded(
+        carried, episode_col, order_cols, length, stride,
+        [value_col, type_col, "__ts_ms"],
+    )
+    return w.groupBy(
+        episode_col, F.col("window_id").cast("long").alias("window_id")
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(
+            F.sum(F.round(F.col(value_col) * 10000).cast("long")).cast("double")
+            / F.count("*")
+        )
+        .cast("long")
+        .alias("mean_value_e4"),
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
+        (F.max("__ts_ms") - F.min("__ts_ms")).cast("long").alias("span_ms"),
+        F.count_distinct(type_col).cast("long").alias("n_types"),
+    )
 
 
 @register(
@@ -63,50 +158,12 @@ WHERE window_id * {_S} + {_L} <= n
 """,
 )
 def trajectory_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Slice each user's time-ordered event trajectory into length-{L},
-    stride-{S} overlapping windows; one row per (window, position).
-
-    ``ceil((idx-L+1)/S)`` is computed as ``floor((idx-L+S)/S)`` (the
-    positive-divisor identity) so both engines evaluate the same
-    double-precision floor; the ``greatest(0, ·)`` clamp makes the
-    negative-numerator edge (idx < L-1) irrelevant to parity.
-    """
+    """Driver-table binding of :func:`slice_windows` (L={_L}, S={_S})."""
     ensure_utc(spark)
     events = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type"
     )
-    per_ep = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    whole_ep = Window.partitionBy("user_id")
-    base = events.select(
-        "user_id",
-        "event_id",
-        "event_type",
-        (F.row_number().over(per_ep) - 1).alias("idx"),
-        F.count("*").over(whole_ep).alias("n"),
-    )
-    lo = F.greatest(
-        F.lit(0).cast("long"),
-        F.floor((F.col("idx") - _L + _S) / F.lit(float(_S))).cast("long"),
-    )
-    hi = F.floor(F.col("idx") / F.lit(float(_S))).cast("long")
-    return (
-        base.select(
-            "user_id",
-            "event_id",
-            "event_type",
-            "idx",
-            "n",
-            F.explode(F.sequence(lo, hi)).alias("window_id"),
-        )
-        .filter(F.col("window_id") * _S + _L <= F.col("n"))
-        .select(
-            "user_id",
-            F.col("window_id").cast("long").alias("window_id"),
-            (F.col("idx") - F.col("window_id") * _S).cast("long").alias("pos"),
-            "event_id",
-            "event_type",
-        )
-    )
+    return slice_windows(events)
 
 
 @register(
@@ -140,58 +197,10 @@ GROUP BY user_id, window_id
 """,
 )
 def trajectory_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-window feature vector over the trajectory slices: event
-    count, mean/min/max of the action value, wall-clock span, and
-    action-type diversity — the windowed summary a policy-training
-    dataloader attaches to every sample.
-
-    Same single-shuffle + map-side-explode derivation as
-    :func:`trajectory_windows`; the feature aggregate re-groups on
-    (user_id, window_id), whose first component is the existing
-    partition key, so the second shuffle moves one row per window.
-    Timestamps aggregate as epoch milliseconds, and the mean is the
-    exact-integer recipe (per-row round(value*1e4) → exact long sum →
-    one double division): a float SUM's addition order differs between
-    engines, so "round the avg" is boundary-fragile — every aggregate
-    here is arithmetic on exact integers instead.
-    """
+    """Driver-table binding of :func:`window_features` — the windowed
+    summary a policy-training dataloader attaches to every sample."""
     ensure_utc(spark)
     events = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type", "value"
     )
-    per_ep = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    whole_ep = Window.partitionBy("user_id")
-    base = events.select(
-        "user_id",
-        "event_id",
-        "event_type",
-        "value",
-        F.unix_millis("ts").alias("ts_ms"),
-        (F.row_number().over(per_ep) - 1).alias("idx"),
-        F.count("*").over(whole_ep).alias("n"),
-    )
-    lo = F.greatest(
-        F.lit(0).cast("long"),
-        F.floor((F.col("idx") - _L + _S) / F.lit(float(_S))).cast("long"),
-    )
-    hi = F.floor(F.col("idx") / F.lit(float(_S))).cast("long")
-    return (
-        base.select(
-            "*", F.explode(F.sequence(lo, hi)).alias("window_id")
-        )
-        .filter(F.col("window_id") * _S + _L <= F.col("n"))
-        .groupBy("user_id", F.col("window_id").cast("long").alias("window_id"))
-        .agg(
-            F.count("*").cast("long").alias("n_events"),
-            F.round(
-                F.sum(F.round(F.col("value") * 10000).cast("long")).cast("double")
-                / F.count("*")
-            )
-            .cast("long")
-            .alias("mean_value_e4"),
-            F.min("value").alias("min_value"),
-            F.max("value").alias("max_value"),
-            (F.max("ts_ms") - F.min("ts_ms")).cast("long").alias("span_ms"),
-            F.count_distinct("event_type").cast("long").alias("n_types"),
-        )
-    )
+    return window_features(events)

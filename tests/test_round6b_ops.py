@@ -734,3 +734,55 @@ class TestClusterWrite:
         stats = merge_into(spark, p, upd, key="id")
         assert stats["rows_matched"] == 20
         assert stats["files_touched"] == 1
+
+
+class TestTrajectoryCli:
+    def test_cli_trajectory_windows_and_features(self, tmp_path, spark):
+        import json
+        import subprocess
+        import sys
+
+        from pyspark.sql import functions as F
+
+        src = str(tmp_path / "ev")
+        out = str(tmp_path / "out")
+        (
+            spark.range(0, 40)
+            .select(
+                (F.col("id") % 4).alias("user_id"),
+                F.timestamp_seconds(F.col("id")).alias("ts"),
+                F.col("id").alias("event_id"),
+                F.lit("t").alias("event_type"),
+                (F.col("id") * 1.5).alias("value"),
+            )
+            .write.parquet(src)
+        )
+        r = subprocess.run(
+            [
+                sys.executable,
+                "-m",
+                "imitation_learning_data_pipeline_spark.cli",
+                "trajectory",
+                "--events",
+                src,
+                "--out",
+                out,
+                "--length",
+                "4",
+                "--stride",
+                "2",
+                "--features",
+            ],
+            capture_output=True,
+            text=True,
+            cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        summary = json.loads(r.stdout.strip().splitlines()[-1])
+        # 4 users x 10 events each -> (10-4)//2+1 = 4 windows per user
+        assert summary["windows"] == 16 and summary["features"] is True
+        wins = spark.read.parquet(out + "/windows")
+        assert wins.count() == 16 * 4
+        feats = spark.read.parquet(out + "/features")
+        assert feats.count() == 16
+        assert {r["n_events"] for r in feats.collect()} == {4}
