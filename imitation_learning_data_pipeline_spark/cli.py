@@ -338,6 +338,34 @@ def cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_split(args: argparse.Namespace) -> int:
+    """Leakage-safe train/val/test assignment over a document parquet
+    (plans/sampling.py::leakage_safe_splits): near-dup clusters pin to
+    one split."""
+    from pyspark.sql import functions as F
+
+    from .plans.sampling import leakage_safe_splits
+
+    spark = _spark("split")
+    docs = spark.read.parquet(args.path).select(
+        F.col(args.id_col).alias("doc_id"), F.col(args.text_col).alias("text")
+    )
+    fr = [float(x) for x in args.fractions.split(",")]
+    if len(fr) != 3:
+        raise SystemExit("--fractions must be train,val,test")
+    out = leakage_safe_splits(
+        docs, train=fr[0], val=fr[1], test=fr[2], seed=args.seed,
+        threshold=args.threshold,
+    )
+    out.write.mode("overwrite").parquet(args.out)
+    counts = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    print(json.dumps({"out": args.out, "counts": counts}))
+    return 0
+
+
 def cmd_trajectory(args: argparse.Namespace) -> int:
     """Slice episode event streams into fixed-length training windows
     (plans/trajectory.py) and write them as parquet, optionally with the
@@ -379,7 +407,20 @@ def cmd_profile(args: argparse.Namespace) -> int:
 
     spark = _spark("profile")
     df = spark.read.parquet(args.path)
-    cols = args.columns.split(",") if args.columns else df.columns
+    if args.columns:
+        cols = args.columns.split(",")
+    else:
+        # default to atomic columns: arrays/maps/structs have no
+        # meaningful min/max and belong to explicit --columns requests
+        from pyspark.sql import types as T
+
+        cols = [
+            f.name
+            for f in df.schema.fields
+            if not isinstance(
+                f.dataType, (T.ArrayType, T.MapType, T.StructType, T.BinaryType)
+            )
+        ]
     rows = profile_frame(df, cols, exact_distinct=not args.approx).collect()
     for r in rows:
         print(json.dumps(r.asDict()))
@@ -558,6 +599,19 @@ def build_parser() -> argparse.ArgumentParser:
     tj.add_argument("--value-col", default="value")
     tj.add_argument("--type-col", default="event_type")
     tj.set_defaults(fn=cmd_trajectory)
+
+    sp = sub.add_parser(
+        "split",
+        help="leakage-safe train/val/test assignment (near-dup clusters share a split)",
+    )
+    sp.add_argument("--path", required=True, help="document parquet")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--fractions", default="0.8,0.1,0.1")
+    sp.add_argument("--seed", default="split6")
+    sp.add_argument("--threshold", type=float, default=0.5)
+    sp.set_defaults(fn=cmd_split)
     return p
 
 

@@ -397,6 +397,37 @@ FROM keyed
 """
 
 
+def leakage_safe_splits(
+    docs: DataFrame,
+    train: float = 0.8,
+    val: float = 0.1,
+    test: float = 0.1,
+    seed: str = "split6",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Generic leakage-safe split assignment over ANY ``(doc_id long,
+    text string)`` frame: (doc_id, split_key, split) where split_key is
+    the near-dup cluster canonical (minhash-LSH connected component,
+    own id for singletons) — near-duplicates always share a split."""
+    from ..functions.hashing import split_assign
+    from .dedup import connected_components, minhash_pairs
+
+    comp = connected_components(
+        minhash_pairs(docs, threshold=threshold).select("doc_a", "doc_b")
+    ).select("doc_id", "cluster_id")
+    keyed = docs.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("split_key"),
+    )
+    return keyed.select(
+        "doc_id",
+        "split_key",
+        split_assign(
+            F.col("split_key"), train=train, val=val, test=test, seed=seed
+        ).alias("split"),
+    )
+
+
 @register("split_leakage_safe", oracle=_leakage_oracle())
 def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/val/test assignment that cannot leak near-duplicates across
@@ -417,19 +448,6 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     never flips as the corpus grows (F5's growth-stability property
     lifted to cluster granularity).
     """
-    from ..functions.hashing import split_assign
-    from .dedup import _corpus, connected_components, minhash_pairs
+    from .dedup import _corpus
 
-    corpus = _corpus(spark, sf_dir)
-    comp = connected_components(minhash_pairs(corpus).select("doc_a", "doc_b")).select(
-        "doc_id", "cluster_id"
-    )
-    keyed = corpus.select("doc_id").join(comp, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("split_key"),
-    )
-    return keyed.select(
-        "doc_id",
-        "split_key",
-        split_assign(F.col("split_key"), seed="split6").alias("split"),
-    )
+    return leakage_safe_splits(_corpus(spark, sf_dir))

@@ -786,3 +786,49 @@ class TestTrajectoryCli:
         feats = spark.read.parquet(out + "/features")
         assert feats.count() == 16
         assert {r["n_events"] for r in feats.collect()} == {4}
+
+
+class TestSplitCli:
+    def test_cli_split_pins_duplicates_together(self, tmp_path, spark):
+        import json
+        import subprocess
+        import sys
+
+        from pyspark.sql import functions as F
+
+        src = str(tmp_path / "docs")
+        out = str(tmp_path / "splits")
+        base = spark.range(0, 120).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("some words repeated here for shingling purposes number "),
+                F.col("id").cast("string"),
+                F.lit(" and then more filler text tokens to shingle against"),
+            ).alias("text"),
+        )
+        # plant exact copies of docs 0..19 under new ids
+        dups = base.filter("doc_id < 20").select(
+            (F.col("doc_id") + 1000).alias("doc_id"), "text"
+        )
+        base.unionByName(dups).write.parquet(src)
+        r = subprocess.run(
+            [
+                sys.executable,
+                "-m",
+                "imitation_learning_data_pipeline_spark.cli",
+                "split",
+                "--path",
+                src,
+                "--out",
+                out,
+            ],
+            capture_output=True,
+            text=True,
+            cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        counts = json.loads(r.stdout.strip().splitlines()[-1])["counts"]
+        assert sum(counts.values()) == 140
+        got = {r["doc_id"]: r["split"] for r in spark.read.parquet(out).collect()}
+        for i in range(20):
+            assert got[i] == got[i + 1000], i  # copy shares the original's split
