@@ -43,6 +43,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # this set (the one new headline-worthy operator), so r5 totals carry
 # ~3-4 s the r4 totals don't; compare per-query values, or subtract the
 # new entry, for like-for-like.
+# Round 6 adds NO headline entries (r5 verdict item 7: frozen at 23 for
+# like-for-like totals); the new trajectory/sampling/profile family is
+# measured separately in SCALING.md "Round-6 measurements #2".
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
