@@ -62,6 +62,7 @@ def merge_into(
     Update rows must be unique per key — MERGE's own precondition.
     Returns {files_touched, files_added, rows_matched, rows_inserted}.
     """
+    path = path.rstrip("/")
     keys = _key_cols(key)
     fs, jpath = _fs(spark, path)
     jvm_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path

@@ -29,23 +29,33 @@ _PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
 _TRUNC = 32
 
 
+def _bt(c: str):
+    """Column ref by exact name (backticked — dots are not paths; the
+    repo's P2 dotted-name convention)."""
+    return F.col("`" + c.replace("`", "``") + "`")
+
+
 def profile_frame(df: DataFrame, cols: list[str], exact_distinct: bool = True) -> DataFrame:
     """Generic one-pass profile of ``cols``: a row per column with
     (n_rows, n_null, n_distinct, min_val, max_val)."""
+    # positional internal aliases (c0__null, ...) so arbitrary column
+    # names (dots, spaces) never leak into expression text; the real
+    # name appears only as a string literal in the stack output
     aggs: list[Column] = [F.count("*").alias("n_rows")]
-    for c in cols:
-        col = F.col(c)
-        aggs.append(F.sum(col.isNull().cast("long")).alias(f"{c}__null"))
+    for i, c in enumerate(cols):
+        col = _bt(c)
+        aggs.append(F.sum(col.isNull().cast("long")).alias(f"c{i}__null"))
         if exact_distinct:
-            aggs.append(F.count_distinct(col).alias(f"{c}__distinct"))
+            aggs.append(F.count_distinct(col).alias(f"c{i}__distinct"))
         else:
-            aggs.append(F.approx_count_distinct(col).alias(f"{c}__distinct"))
-        aggs.append(F.substring(F.min(col).cast("string"), 1, _TRUNC).alias(f"{c}__min"))
-        aggs.append(F.substring(F.max(col).cast("string"), 1, _TRUNC).alias(f"{c}__max"))
+            aggs.append(F.approx_count_distinct(col).alias(f"c{i}__distinct"))
+        aggs.append(F.substring(F.min(col).cast("string"), 1, _TRUNC).alias(f"c{i}__min"))
+        aggs.append(F.substring(F.max(col).cast("string"), 1, _TRUNC).alias(f"c{i}__max"))
     one = df.agg(*aggs)
     stack_args: list[str] = []
-    for c in cols:
-        stack_args.append(f"'{c}', {c}__null, {c}__distinct, {c}__min, {c}__max")
+    for i, c in enumerate(cols):
+        lit = c.replace("'", "\\'")
+        stack_args.append(f"'{lit}', c{i}__null, c{i}__distinct, c{i}__min, c{i}__max")
     stacked = one.selectExpr(
         "n_rows",
         f"stack({len(cols)}, {', '.join(stack_args)}) AS "
@@ -97,15 +107,17 @@ def profile_frame_sketch(df: DataFrame, cols: list[str]) -> DataFrame:
     :func:`merge_profiles`; read estimates with :func:`profile_estimates`.
     """
     aggs: list[Column] = [F.count("*").alias("n_rows")]
-    for c in cols:
-        col = F.col(c)
-        aggs.append(F.sum(col.isNull().cast("long")).alias(f"{c}__null"))
-        aggs.append(F.hll_sketch_agg(col.cast("string")).alias(f"{c}__sk"))
-        aggs.append(F.substring(F.min(col).cast("string"), 1, _TRUNC).alias(f"{c}__min"))
-        aggs.append(F.substring(F.max(col).cast("string"), 1, _TRUNC).alias(f"{c}__max"))
+    for i, c in enumerate(cols):
+        col = _bt(c)
+        aggs.append(F.sum(col.isNull().cast("long")).alias(f"c{i}__null"))
+        aggs.append(F.hll_sketch_agg(col.cast("string")).alias(f"c{i}__sk"))
+        aggs.append(F.substring(F.min(col).cast("string"), 1, _TRUNC).alias(f"c{i}__min"))
+        aggs.append(F.substring(F.max(col).cast("string"), 1, _TRUNC).alias(f"c{i}__max"))
     one = df.agg(*aggs)
     stack_args = [
-        f"'{c}', {c}__null, {c}__sk, {c}__min, {c}__max" for c in cols
+        f"'{c.replace(chr(39), chr(92) + chr(39))}', "
+        f"c{i}__null, c{i}__sk, c{i}__min, c{i}__max"
+        for i, c in enumerate(cols)
     ]
     return one.selectExpr(
         "n_rows",

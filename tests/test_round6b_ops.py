@@ -832,3 +832,16 @@ class TestSplitCli:
         got = {r["doc_id"]: r["split"] for r in spark.read.parquet(out).collect()}
         for i in range(20):
             assert got[i] == got[i + 1000], i  # copy shares the original's split
+
+
+class TestProfileAwkwardNames:
+    def test_profile_handles_non_identifier_column_names(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.profile import profile_frame
+
+        df = (
+            spark.range(0, 10)
+            .selectExpr("id AS `my col`", "CAST(id AS STRING) AS `a.b`")
+        )
+        got = {r["column_name"]: r for r in profile_frame(df, ["my col", "a.b"]).collect()}
+        assert got["my col"]["n_distinct"] == 10
+        assert got["a.b"]["n_null"] == 0
