@@ -358,9 +358,12 @@ def cmd_split(args: argparse.Namespace) -> int:
         threshold=args.threshold,
     )
     out.write.mode("overwrite").parquet(args.out)
+    # summarize from the WRITTEN files — re-running the lazy plan would
+    # recompute the whole minhash+components pipeline a second time
+    written = spark.read.parquet(args.out)
     counts = {
         r["split"]: r["n"]
-        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+        for r in written.groupBy("split").agg(F.count("*").alias("n")).collect()
     }
     print(json.dumps({"out": args.out, "counts": counts}))
     return 0
@@ -383,7 +386,13 @@ def cmd_trajectory(args: argparse.Namespace) -> int:
         carry_cols=[c for c in events.columns if c != args.episode_col],
     )
     wins.write.mode("overwrite").parquet(f"{args.out}/windows")
-    summary = {"windows": wins.select(args.episode_col, "window_id").distinct().count()}
+    # count from the written files, not a second run of the lazy plan
+    summary = {
+        "windows": spark.read.parquet(f"{args.out}/windows")
+        .select(args.episode_col, "window_id")
+        .distinct()
+        .count()
+    }
     if args.features:
         window_features(
             events,
@@ -421,6 +430,11 @@ def cmd_profile(args: argparse.Namespace) -> int:
                 f.dataType, (T.ArrayType, T.MapType, T.StructType, T.BinaryType)
             )
         ]
+        if not cols:
+            raise SystemExit(
+                "profile: dataset has no atomic columns; name complex ones "
+                "explicitly with --columns"
+            )
     rows = profile_frame(df, cols, exact_distinct=not args.approx).collect()
     for r in rows:
         print(json.dumps(r.asDict()))

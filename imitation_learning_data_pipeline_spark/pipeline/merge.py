@@ -58,9 +58,11 @@ def merge_into(
     files containing a matched key are rewritten.
 
     ``partition_by`` names the Hive partition columns of the target
-    layout (staged files are routed into the same subdirectories).
-    Update rows must be unique per key — MERGE's own precondition.
-    Returns {files_touched, files_added, rows_matched, rows_inserted}.
+    layout (staged files are routed into the same subdirectories);
+    omitting it on a Hive-partitioned target raises rather than
+    corrupting the tree with flat files. Update rows must be unique per
+    key — MERGE's own precondition. Returns {files_touched, files_added,
+    rows_matched (update keys present in the target), rows_inserted}.
     """
     path = path.rstrip("/")
     keys = _key_cols(key)
@@ -69,45 +71,70 @@ def merge_into(
     tmp = f"{path}__merge_tmp"
     _rm(fs, jvm_path, tmp)  # stranded staging from a crashed run
 
+    if not partition_by:
+        # a partitioned tree merged without partition routing would get
+        # flat files at the root and conflicting directory depths —
+        # detect `col=` first-level dirs and refuse up front
+        for st in fs.listStatus(jvm_path(path)):
+            if st.isDirectory() and "=" in st.getPath().getName():
+                raise ValueError(
+                    f"merge_into: {path} is Hive-partitioned "
+                    f"({st.getPath().getName()}/...); pass partition_by="
+                    "[...] so staged files keep the layout"
+                )
+
     target = spark.read.parquet(path)
     out_cols = target.columns
-    upd = updates.select(*out_cols)
-    upd_keys = upd.select(*keys).distinct()
+    upd = updates.select(*out_cols).persist()
+    try:
+        upd_keys = upd.select(*keys).distinct()
+        n_keys = upd_keys.count()
 
-    with_file = target.select("*", F.col("_metadata.file_path").alias("__file"))
-    touched = sorted(
-        r["__file"]
-        for r in with_file.join(upd_keys, keys, "left_semi")
-        .select("__file")
-        .distinct()
-        .collect()
-    )
-
-    rows_matched = 0
-    if touched:
-        # rewrite = survivors of the touched files + every update row.
-        # Only the touched files are re-read; the anti join's left side
-        # is therefore sized by the merge, not the table.
-        # basePath keeps Hive partition columns resolvable when reading
-        # leaf files directly out of a partitioned tree
-        touched_rows = (
-            spark.read.option("basePath", path).parquet(*touched).select(*out_cols)
+        with_file = target.select("*", F.col("_metadata.file_path").alias("__file"))
+        touched = sorted(
+            r["__file"]
+            for r in with_file.join(upd_keys, keys, "left_semi")
+            .select("__file")
+            .distinct()
+            .collect()
         )
-        rows_matched = touched_rows.join(upd_keys, keys, "left_semi").count()
-        # coalesce (no shuffle) to the replaced-file count: a merge must
-        # not fragment the table — N touched files come back as ~N files
-        staged = (
-            touched_rows.join(upd_keys, keys, "left_anti")
-            .unionByName(upd)
-            .coalesce(len(touched))
-        )
-    else:
-        staged = upd
 
-    writer = staged.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(tmp)
+        keys_matched = 0
+        if touched:
+            # rewrite = survivors of the touched files + every update
+            # row. Only the touched files are re-read; the anti join's
+            # left side is therefore sized by the merge, not the table.
+            # basePath keeps Hive partition columns resolvable when
+            # reading leaf files directly out of a partitioned tree.
+            touched_rows = (
+                spark.read.option("basePath", path)
+                .parquet(*touched)
+                .select(*out_cols)
+                .persist()
+            )
+            # matched = update KEYS found in the target (key-based, so
+            # duplicate-key targets can't drive rows_inserted negative)
+            keys_matched = upd_keys.join(
+                touched_rows, keys, "left_semi"
+            ).count()
+            # coalesce (no shuffle) to the replaced-file count: a merge
+            # must not fragment the table — N touched files → ~N files
+            staged = (
+                touched_rows.join(upd_keys, keys, "left_anti")
+                .unionByName(upd)
+                .coalesce(len(touched))
+            )
+        else:
+            staged = upd
+
+        writer = staged.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(tmp)
+        if touched:
+            touched_rows.unpersist()
+    finally:
+        upd.unpersist()
 
     # commit: move staged part files into the live tree (part file names
     # carry a fresh UUID — no collision with live files), then drop the
@@ -132,12 +159,11 @@ def merge_into(
         fs.delete(jvm_path(f), False)
     _rm(fs, jvm_path, tmp)
 
-    n_upd = upd.count()
     return {
         "files_touched": len(touched),
         "files_added": moved,
-        "rows_matched": rows_matched,
-        "rows_inserted": n_upd - rows_matched,
+        "rows_matched": keys_matched,
+        "rows_inserted": n_keys - keys_matched,
     }
 
 

@@ -38,6 +38,8 @@ def _bt(c: str):
 def profile_frame(df: DataFrame, cols: list[str], exact_distinct: bool = True) -> DataFrame:
     """Generic one-pass profile of ``cols``: a row per column with
     (n_rows, n_null, n_distinct, min_val, max_val)."""
+    if not cols:
+        raise ValueError("profile_frame: no profilable columns")
     # positional internal aliases (c0__null, ...) so arbitrary column
     # names (dots, spaces) never leak into expression text; the real
     # name appears only as a string literal in the stack output
@@ -103,50 +105,94 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def profile_frame_sketch(df: DataFrame, cols: list[str]) -> DataFrame:
     """Per-column mergeable profile row: (column_name, n_rows, n_null,
-    distinct_sketch binary, min_val, max_val). Fold batches with
-    :func:`merge_profiles`; read estimates with :func:`profile_estimates`.
+    distinct_sketch binary, min_num, max_num, min_str, max_str). Fold
+    batches with :func:`merge_profiles`; read estimates with
+    :func:`profile_estimates`.
+
+    min/max carry TYPED fields: numeric columns fill (min_num, max_num)
+    doubles, everything else fills the string pair — per-batch
+    stringified extremes must never be re-min/maxed lexicographically
+    ('999' > '4999' as strings, so a string-only fold reports the wrong
+    numeric max the moment batch extremes differ in digit count).
     """
+    if not cols:
+        raise ValueError("profile_frame_sketch: no profilable columns")
+    from pyspark.sql import types as T
+
+    numeric = {
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.NumericType)
+    }
     aggs: list[Column] = [F.count("*").alias("n_rows")]
     for i, c in enumerate(cols):
         col = _bt(c)
         aggs.append(F.sum(col.isNull().cast("long")).alias(f"c{i}__null"))
         aggs.append(F.hll_sketch_agg(col.cast("string")).alias(f"c{i}__sk"))
-        aggs.append(F.substring(F.min(col).cast("string"), 1, _TRUNC).alias(f"c{i}__min"))
-        aggs.append(F.substring(F.max(col).cast("string"), 1, _TRUNC).alias(f"c{i}__max"))
+        if c in numeric:
+            aggs.append(F.min(col).cast("double").alias(f"c{i}__minn"))
+            aggs.append(F.max(col).cast("double").alias(f"c{i}__maxn"))
+            aggs.append(F.lit(None).cast("string").alias(f"c{i}__mins"))
+            aggs.append(F.lit(None).cast("string").alias(f"c{i}__maxs"))
+        else:
+            aggs.append(F.lit(None).cast("double").alias(f"c{i}__minn"))
+            aggs.append(F.lit(None).cast("double").alias(f"c{i}__maxn"))
+            aggs.append(
+                F.substring(F.min(col).cast("string"), 1, _TRUNC).alias(f"c{i}__mins")
+            )
+            aggs.append(
+                F.substring(F.max(col).cast("string"), 1, _TRUNC).alias(f"c{i}__maxs")
+            )
     one = df.agg(*aggs)
     stack_args = [
         f"'{c.replace(chr(39), chr(92) + chr(39))}', "
-        f"c{i}__null, c{i}__sk, c{i}__min, c{i}__max"
+        f"c{i}__null, c{i}__sk, c{i}__minn, c{i}__maxn, c{i}__mins, c{i}__maxs"
         for i, c in enumerate(cols)
     ]
     return one.selectExpr(
         "n_rows",
         f"stack({len(cols)}, {', '.join(stack_args)}) AS "
-        "(column_name, n_null, distinct_sketch, min_val, max_val)",
-    ).select("column_name", "n_rows", "n_null", "distinct_sketch", "min_val", "max_val")
+        "(column_name, n_null, distinct_sketch, min_num, max_num, min_str, max_str)",
+    ).select(
+        "column_name", "n_rows", "n_null", "distinct_sketch",
+        "min_num", "max_num", "min_str", "max_str",
+    )
 
 
 def merge_profiles(profiles: DataFrame) -> DataFrame:
     """Fold any number of per-batch profile frames (unioned) into one:
-    counts add, sketches union, min/max combine. The merge input is
-    #batches × #columns rows — metadata-sized, never data-sized."""
+    counts add, sketches union, min/max combine in their NATIVE order
+    (numeric fields numerically, string fields lexically). The merge
+    input is #batches × #columns rows — metadata-sized, never
+    data-sized."""
     return profiles.groupBy("column_name").agg(
         F.sum("n_rows").alias("n_rows"),
         F.sum("n_null").alias("n_null"),
         F.hll_union_agg("distinct_sketch").alias("distinct_sketch"),
-        F.min("min_val").alias("min_val"),
-        F.max("max_val").alias("max_val"),
+        F.min("min_num").alias("min_num"),
+        F.max("max_num").alias("max_num"),
+        F.min("min_str").alias("min_str"),
+        F.max("max_str").alias("max_str"),
     )
+
+
+def _render_num(col: Column) -> Column:
+    """Double → string without a spurious '.0' on integral values, so
+    folded numeric extremes render like profile_frame's typed strings."""
+    as_long = col.cast("long")
+    return F.when(
+        col.isNotNull() & (as_long.cast("double") == col), as_long.cast("string")
+    ).otherwise(col.cast("string"))
 
 
 def profile_estimates(profile: DataFrame) -> DataFrame:
     """Render a (merged) sketch profile readable: sketch → estimated
-    distinct count."""
+    distinct count, typed extremes → one string pair."""
     return profile.select(
         "column_name",
         "n_rows",
         "n_null",
         F.hll_sketch_estimate("distinct_sketch").alias("n_distinct_est"),
-        "min_val",
-        "max_val",
+        F.coalesce(_render_num(F.col("min_num")), F.col("min_str")).alias("min_val"),
+        F.coalesce(_render_num(F.col("max_num")), F.col("max_str")).alias("max_val"),
     )

@@ -318,7 +318,7 @@ FROM t CROSS JOIN g
 def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mixing plan: given an equal-share target mixture over the k
     sources, compute each source's repeat factor (epochs, capped at
-    {_MAX_EPOCHS}) and the token count it will actually contribute.
+    4.0) and the token count it will actually contribute.
 
     This is the planning aggregate behind every curriculum/mixture
     config: under-represented sources are up-sampled by repetition

@@ -69,9 +69,16 @@ def _exploded(
         F.floor((F.col("idx") - length + stride) / F.lit(float(stride))).cast("long"),
     )
     hi = F.floor(F.col("idx") / F.lit(float(stride))).cast("long")
-    return base.select(
-        "*", F.explode(F.sequence(lo, hi)).alias("window_id")
-    ).filter(F.col("window_id") * stride + length <= F.col("n"))
+    # stride > length leaves gaps: a step with idx mod S >= L belongs to
+    # NO window, i.e. lo > hi — and F.sequence(lo, hi) would generate a
+    # DESCENDING sequence there, not an empty one. Guard with an empty
+    # array so explode drops the row.
+    wins = F.when(lo <= hi, F.sequence(lo, hi)).otherwise(
+        F.array().cast("array<long>")
+    )
+    return base.select("*", F.explode(wins).alias("window_id")).filter(
+        F.col("window_id") * stride + length <= F.col("n")
+    )
 
 
 def slice_windows(
@@ -158,7 +165,7 @@ WHERE window_id * {_S} + {_L} <= n
 """,
 )
 def trajectory_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-table binding of :func:`slice_windows` (L={_L}, S={_S})."""
+    """Driver-table binding of :func:`slice_windows` (L=8, S=4)."""
     ensure_utc(spark)
     events = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type"

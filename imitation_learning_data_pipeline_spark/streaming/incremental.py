@@ -396,8 +396,15 @@ def streaming_trajectory_windows(
         batches = [p for p in pdfs if len(p)]
         if batches:
             new = pd.concat(batches).sort_values(["ts", "event_id"])
-            ids.extend(int(x) for x in new["event_id"])
-            types.extend(str(x) for x in new["event_type"])
+            # null-safe conversions: int(NaN) raises and str(None) would
+            # fabricate a 'None' type — pass nulls through like the
+            # batch operator does
+            ids.extend(
+                None if pd.isna(x) else int(x) for x in new["event_id"]
+            )
+            types.extend(
+                None if pd.isna(x) else str(x) for x in new["event_type"]
+            )
             n_seen += len(new)
         rows: list[tuple] = []
         while next_start + L <= n_seen:

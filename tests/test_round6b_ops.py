@@ -845,3 +845,129 @@ class TestProfileAwkwardNames:
         got = {r["column_name"]: r for r in profile_frame(df, ["my col", "a.b"]).collect()}
         assert got["my col"]["n_distinct"] == 10
         assert got["a.b"]["n_null"] == 0
+
+
+class TestReviewRegressions:
+    """Fixes from the round-6 self-review."""
+
+    def test_merged_minmax_is_numeric_not_lexicographic(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.profile import (
+            merge_profiles,
+            profile_estimates,
+            profile_frame_sketch,
+        )
+
+        a = spark.range(0, 1000).selectExpr("id")  # max 999
+        b = spark.range(1000, 5000).selectExpr("id")  # max 4999
+        folded = profile_estimates(
+            merge_profiles(
+                profile_frame_sketch(a, ["id"]).unionByName(
+                    profile_frame_sketch(b, ["id"])
+                )
+            )
+        ).collect()[0]
+        assert folded["max_val"] == "4999"  # '999' > '4999' as strings
+        assert folded["min_val"] == "0"  # per-batch mins 0 and 1000
+
+    def test_stride_gt_length_emits_no_garbage(self, spark):
+        from pyspark.sql import functions as F
+
+        from imitation_learning_data_pipeline_spark.plans.trajectory import (
+            slice_windows,
+        )
+
+        events = spark.range(0, 12).select(
+            F.lit(1).alias("user_id"),
+            F.timestamp_seconds(F.col("id")).alias("ts"),
+            F.col("id").alias("event_id"),
+            F.lit("t").alias("event_type"),
+        )
+        out = slice_windows(events, length=2, stride=4).collect()
+        # spaced windows: starts 0,4,8 → idx {0,1,4,5,8,9}; pos ∈ {0,1}
+        assert len(out) == 6
+        for r in out:
+            assert 0 <= r["pos"] < 2
+            assert r["event_id"] == r["window_id"] * 4 + r["pos"]
+
+    def test_merge_refuses_partitioned_target_without_partition_by(
+        self, spark, tmp_path
+    ):
+        import pytest as _pytest
+
+        from pyspark.sql import functions as F
+
+        from imitation_learning_data_pipeline_spark.pipeline.merge import merge_into
+
+        p = str(tmp_path / "pt2")
+        (
+            spark.range(0, 50)
+            .withColumn("part", F.when(F.col("id") % 2 == 0, "a").otherwise("b"))
+            .write.partitionBy("part")
+            .parquet(p)
+        )
+        upd = spark.createDataFrame([(2, "a")], ["id", "part"])
+        with _pytest.raises(ValueError, match="Hive-partitioned"):
+            merge_into(spark, p, upd, key="id")
+        # layout untouched by the refused merge
+        assert spark.read.parquet(p).count() == 50
+
+    def test_merge_stats_with_duplicate_target_keys(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.merge import merge_into
+
+        p = str(tmp_path / "dup")
+        spark.range(0, 10).selectExpr("id", "id AS val").write.parquet(p)
+        # duplicate key 5 in the target via append
+        spark.createDataFrame([(5, 500)], ["id", "val"]).write.mode(
+            "append"
+        ).parquet(p)
+        upd = spark.createDataFrame([(5, -5), (99, -99)], ["id", "val"])
+        stats = merge_into(spark, p, upd, key="id")
+        # key-based stats: 1 matched key, 1 inserted — never negative
+        assert stats["rows_matched"] == 1 and stats["rows_inserted"] == 1
+        rows = [
+            (r["id"], r["val"]) for r in spark.read.parquet(p).filter("id = 5").collect()
+        ]
+        assert rows == [(5, -5)]  # BOTH old versions replaced by the one update
+
+    def test_streaming_trajectory_null_event_type(self, spark, tmp_path):
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        from imitation_learning_data_pipeline_spark.streaming.incremental import (
+            streaming_trajectory_windows,
+        )
+
+        ingest = tmp_path / "in"
+        ingest.mkdir()
+        sink = str(tmp_path / "sink")
+        schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("ts", T.TimestampType()),
+                T.StructField("event_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+            ]
+        )
+        df = pd.DataFrame(
+            {
+                "user_id": [1] * 4,
+                "ts": pd.to_datetime(range(4), unit="s", utc=True),
+                "event_id": range(4),
+                "event_type": ["a", None, "c", "d"],
+            }
+        )
+        df.to_parquet(ingest / "b.parquet", index=False, coerce_timestamps="us")
+        stream = spark.readStream.schema(schema).parquet(str(ingest))
+        q = (
+            streaming_trajectory_windows(stream, length=4, stride=4)
+            .writeStream.foreachBatch(
+                lambda d, b: d.write.mode("append").parquet(sink)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {r["pos"]: r["event_type"] for r in spark.read.parquet(sink).collect()}
+        assert got == {0: "a", 1: None, 2: "c", 3: "d"}  # null stays null
