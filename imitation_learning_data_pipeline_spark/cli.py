@@ -265,14 +265,27 @@ def cmd_dedup(args: argparse.Namespace) -> int:
         F.col(args.text_col).alias("text"),
     )
     if args.store is not None:
-        import os
+        import hashlib
 
+        from .pipeline.compact import _fs
         from .plans.dedup import dedup_against_store, write_minhash_store
 
-        store_exists = os.path.isdir(f"{args.store}/bands")
+        # Hadoop FileSystem existence check — os.path would declare any
+        # non-local store (s3a:, hdfs:, gs:) absent, silently skipping
+        # cross-batch dedup and then OVERWRITING the remote store.
+        fs, bands_p = _fs(spark, f"{args.store}/bands")
+        store_exists = fs.exists(bands_p)
+        # Stable batch key from the input path: folding the same batch
+        # twice (crash recovery, re-invocation) REPLACES its own
+        # ingest_batch partitions instead of double-appending signatures
+        # — and excluding it from the store read makes the re-run's
+        # pairs identical to the first run's.
+        batch_key = int(hashlib.md5(args.input.encode()).hexdigest()[:12], 16)
         # incremental: docs are the NEW batch; pairs have ≥1 batch side
         pairs = (
-            dedup_against_store(docs, args.store, threshold=threshold)
+            dedup_against_store(
+                docs, args.store, threshold=threshold, exclude_batch=batch_key
+            )
             if store_exists
             else minhash_pairs(docs, threshold=threshold)
         )
@@ -290,22 +303,52 @@ def cmd_dedup(args: argparse.Namespace) -> int:
     pairs = spark.read.parquet(f"{args.out_dir}/pairs")  # reuse, don't recompute
 
     if args.fold_into_store:
-        write_minhash_store(
-            docs, args.store, mode="append" if store_exists else "overwrite"
-        )
+        # always the batch-keyed layout: idempotent under re-runs, and
+        # consistent whether this was the bootstrap batch or not
+        write_minhash_store(docs, args.store, ingest_batch=batch_key)
 
     clusters = connected_components(pairs.select("doc_a", "doc_b"))
     clusters.write.mode("overwrite").parquet(f"{args.out_dir}/clusters")
     clusters = spark.read.parquet(f"{args.out_dir}/clusters")
 
-    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
-    keep = docs.select("doc_id").join(drop, "doc_id", "left_anti")
+    batch_ids = docs.select("doc_id")
+    if args.store is not None:
+        # incremental accounting: only BATCH docs are keep/drop
+        # candidates. A batch doc whose cluster touches a STORE doc is a
+        # duplicate of already-kept content → drop it; among pure-batch
+        # clusters the min-id member survives (cluster_id is the global
+        # min, which in a pure-batch cluster is itself a batch doc).
+        memb_batch = clusters.join(batch_ids, "doc_id", "left_semi")
+        store_clusters = (
+            clusters.join(batch_ids, "doc_id", "left_anti")
+            .select("cluster_id")
+            .distinct()
+        )
+        drop = (
+            memb_batch.join(store_clusters, "cluster_id", "left_semi")
+            .select("doc_id")
+            .unionByName(
+                memb_batch.join(store_clusters, "cluster_id", "left_anti")
+                .filter(F.col("doc_id") != F.col("cluster_id"))
+                .select("doc_id")
+            )
+        )
+    else:
+        drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+            "doc_id"
+        )
+    keep = batch_ids.join(drop, "doc_id", "left_anti")
     keep.write.mode("overwrite").parquet(f"{args.out_dir}/keep")
+    keep = spark.read.parquet(f"{args.out_dir}/keep")
 
     n_docs = docs.count()
     n_pairs = pairs.count()
     n_members = clusters.count()
     n_clusters = clusters.select("cluster_id").distinct().count()
+    # counted from the materialized keep/ set, so the stats agree with
+    # the dataset even in incremental mode (store members are cluster
+    # rows but never keep/drop candidates)
+    n_kept = keep.count()
     print(
         json.dumps(
             {
@@ -315,8 +358,8 @@ def cmd_dedup(args: argparse.Namespace) -> int:
                 "n_pairs": n_pairs,
                 "n_dup_members": n_members,
                 "n_clusters": n_clusters,
-                "n_dropped": n_members - n_clusters,
-                "n_kept": n_docs - (n_members - n_clusters),
+                "n_dropped": n_docs - n_kept,
+                "n_kept": n_kept,
             }
         )
     )

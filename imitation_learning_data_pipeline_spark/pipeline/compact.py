@@ -29,6 +29,7 @@ Delta/Iceberg mapping).
 from __future__ import annotations
 
 import math
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -114,26 +115,39 @@ def compact(
             for d, b in by_dir.items()
             if d.startswith(prefix)
         }
-        n_total = max(1, sum(slices.values()))
         if slices:
+            # probe the slice map with the RAW directory token from
+            # _metadata.file_path, not the read-back partition column:
+            # type inference (month=01 → int 1) and hive escaping
+            # (a:b → a%3Ab) both make cast-to-string values miss keys
+            # built from directory names, silently funneling the
+            # partition through one task (the r5 bug, reintroduced)
+            n_total = max(1, sum(slices.values()))
             pairs: list = []
             for k, v in slices.items():
                 pairs += [F.lit(k), F.lit(v)]
-            n_col = F.coalesce(
-                F.create_map(*pairs)[F.col(partition_col).cast("string")],
-                F.lit(1),
+            dir_token = F.regexp_extract(
+                F.col("_metadata.file_path"),
+                "/" + re.escape(prefix) + "([^/]+)/",
+                1,
+            )
+            n_col = F.coalesce(F.create_map(*pairs)[dir_token], F.lit(1))
+            sliced = df.withColumn(
+                "__slice", (F.rand(42) * n_col).cast("int")
+            ).repartition(n_total, partition_col, "__slice")
+            (
+                sliced.drop("__slice")
+                .write.mode("overwrite")
+                .partitionBy(partition_col)
+                .parquet(tmp)
             )
         else:
-            n_col = F.lit(1)
-        sliced = df.withColumn(
-            "__slice", (F.rand(42) * n_col).cast("int")
-        ).repartition(n_total, partition_col, "__slice")
-        (
-            sliced.drop("__slice")
-            .write.mode("overwrite")
-            .partitionBy(partition_col)
-            .parquet(tmp)
-        )
+            # partition_col given but the layout isn't hive-partitioned
+            # yet (first compaction of a flat dir): size like the
+            # unpartitioned path instead of funneling through 1 task
+            df.repartition(n).write.mode("overwrite").partitionBy(
+                partition_col
+            ).parquet(tmp)
     else:
         df.repartition(n).write.mode("overwrite").parquet(tmp)
 

@@ -345,11 +345,22 @@ def minhash_pairs(
 # commit; see SCALING.md's table-format section).
 
 
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """Pinned signature frame for ``docs`` — compute ONCE per batch and
+    pass to both :func:`dedup_against_store` and
+    :func:`write_minhash_store` via ``sigs=`` (shingling + per-shingle
+    md5 is the dominant batch cost; recomputing it per call doubles
+    every incremental trigger). Caller owns the plan lifecycle
+    (``cache.begin_plan()`` first)."""
+    return cache.pin(_minhash_sig_plan(docs))
+
+
 def write_minhash_store(
     docs: DataFrame,
     path: str,
     mode: str = "overwrite",
     ingest_batch: int | None = None,
+    sigs: DataFrame | None = None,
 ) -> None:
     """Persist the dedup state for ``docs``: LSH band rows under
     ``{path}/bands`` (partitioned by band) and shingle sets under
@@ -362,9 +373,13 @@ def write_minhash_store(
     overwrite, so re-processing a micro-batch after a failure replaces
     exactly its own partition instead of appending duplicate state. A
     store uses ONE layout throughout — don't mix plain and batch writes.
+
+    ``sigs``: precomputed :func:`minhash_signatures` frame to reuse
+    (skips the second shingling pass an incremental trigger would pay).
     """
-    cache.begin_plan()
-    sigs = cache.pin(_minhash_sig_plan(docs))
+    if sigs is None:
+        cache.begin_plan()
+        sigs = cache.pin(_minhash_sig_plan(docs))
     bands = _minhash_band_rows(sigs)
     sets = sigs.select("doc_id", "sh")
     if ingest_batch is None:
@@ -393,6 +408,8 @@ def dedup_against_store(
     path: str,
     threshold: float = 0.5,
     bucket_cap: int = _BUCKET_CAP,
+    exclude_batch: int | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs ``(doc_a, doc_b, jaccard)`` where AT LEAST ONE side
     is from ``new_docs`` — both batch-vs-store and batch-vs-batch pairs;
@@ -407,14 +424,31 @@ def dedup_against_store(
     in candidate pairs — a semi-join-shaped lookup, not a store scan.
     Doc ids must be globally unique across batches (the store is
     append-only state, so this is the caller's ingest invariant).
+
+    ``exclude_batch``: for at-least-once drivers on the batch-keyed
+    store layout — a REPLAYED batch whose fold already committed would
+    otherwise see its own signatures in the store and emit every pair
+    twice (and double-count its docs against ``bucket_cap``); passing
+    the batch id filters its own ``ingest_batch=N`` partitions out of
+    both store reads, making the replay output identical to the
+    original run. ``sigs``: precomputed :func:`minhash_signatures`.
     """
     spark = new_docs.sparkSession
-    cache.begin_plan()
-    sigs_new = cache.pin(_minhash_sig_plan(new_docs))
+    if sigs is None:
+        cache.begin_plan()
+        sigs_new = cache.pin(_minhash_sig_plan(new_docs))
+    else:
+        sigs_new = sigs
     bands_new = _minhash_band_rows(sigs_new)
-    bands_old = spark.read.parquet(f"{path}/bands").select(
-        "doc_id", "band", "bucket"
-    )
+    bands_old = spark.read.parquet(f"{path}/bands")
+    # plain-layout stores (no ingest_batch level) have nothing to
+    # exclude — a replayed fold there APPENDED, which the batch-keyed
+    # layout exists to prevent; filter only when the level is present
+    if exclude_batch is not None and "ingest_batch" in bands_old.columns:
+        bands_old = bands_old.filter(
+            F.col("ingest_batch") != int(exclude_batch)
+        )
+    bands_old = bands_old.select("doc_id", "band", "bucket")
     bands_all = cache.pin(bands_new.unionByName(bands_old))
 
     ok = (
@@ -438,10 +472,13 @@ def dedup_against_store(
         )
         .distinct()
     )
+    sets_old = spark.read.parquet(f"{path}/sets")
+    if exclude_batch is not None and "ingest_batch" in sets_old.columns:
+        sets_old = sets_old.filter(F.col("ingest_batch") != int(exclude_batch))
     sets_all = sigs_new.select("doc_id", "sh").unionByName(
         # explicit projection: the replay-idempotent store layout carries
         # an extra ingest_batch partition column
-        spark.read.parquet(f"{path}/sets").select("doc_id", "sh")
+        sets_old.select("doc_id", "sh")
     )
     inter = F.size(F.array_intersect(F.col("x.sh"), F.col("y.sh"))).cast("double")
     union_sz = (

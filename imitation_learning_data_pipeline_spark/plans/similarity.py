@@ -74,11 +74,16 @@ def _probe_buckets_udf():
     Down-flips-only makes multi-probe pair discovery exactly-once with
     no dedup shuffle: a Hamming-1 pair (buckets X, Y differing at bit i)
     meets in exactly one block — whichever of X/Y has the 1 at bit i
-    sends its vector down into the other's home. A Hamming-2 pair whose
-    two differing bits are split one-per-side meets only in the shared
-    AND-bucket (both flip their private 1). No pair can meet twice:
-    distinct down-flips of one bucket are distinct, and two buckets'
-    down-flip sets intersect in at most the single AND-bucket.
+    sends its vector down into the other's HOME, so one side of the
+    meeting is always at home. No pair can meet twice: distinct
+    down-flips of one bucket are distinct, and two buckets' down-flip
+    sets intersect in at most one bucket. A Hamming-2 pair split
+    one-bit-per-side does reach a shared AND-bucket, but BOTH sides are
+    visitors there and the consumer's home-side mask (home_a | home_b)
+    drops visitor-visitor meetings — so recall is exactly Hamming ≤ 1,
+    as embedding_cosine_lsh_pairs documents. Relaxing the mask to chase
+    Hamming-2 would break the exactly-once property (visitor-visitor
+    pairs can meet in several shared buckets).
     """
     planes_t = _PLANES_MAT.T  # (64, 8)
 
@@ -384,16 +389,25 @@ def search_lsh_index(
     the plan just prunes at the source instead of joining.
     """
     qbits = (qmat @ _PLANES_MAT.T) >= 0  # (Q, 8)
+    raw = spark.read.parquet(path)
+    # back-compat: indexes written before the 'b' prefix carry all-digit
+    # partition values that type inference coerced to INT (leading zeros
+    # gone); probing those with 'b...' strings would match nothing and
+    # silently return an empty top-k. Detect the layout from the read
+    # schema and key accordingly.
+    prefixed = dict(raw.dtypes).get("bucket") == "string"
+    # (unprefixed path: '01010110' was inferred as DECIMAL int 1010110 —
+    # int(bits) reproduces exactly that value)
     qbucket = {
-        int(q): "b" + "".join("1" if b else "0" for b in row)
+        int(q): ("b" + "".join("1" if b else "0" for b in row))
+        if prefixed
+        else int("".join("1" if b else "0" for b in row))
         for q, row in zip(qids, qbits)
     }
     cos_all = _cos_matrix_udf(qmat)
     qid_arr = F.array(*[F.lit(q) for q in qids])
     bucket_arr = F.array(*[F.lit(qbucket[q]) for q in qids])
-    emb = spark.read.parquet(path).filter(
-        F.col("bucket").isin(list(set(qbucket.values())))
-    )
+    emb = raw.filter(F.col("bucket").isin(list(set(qbucket.values()))))
     scored = (
         emb.select("vec_id", "bucket", cos_all(F.col("embedding")).alias("cs"))
         .select("vec_id", "bucket", F.posexplode("cs").alias("qi", "cos"))

@@ -971,3 +971,197 @@ class TestReviewRegressions:
         q.awaitTermination()
         got = {r["pos"]: r["event_type"] for r in spark.read.parquet(sink).collect()}
         assert got == {0: "a", 1: None, 2: "c", 3: "d"}  # null stays null
+
+
+class TestIncrementalDedupReviewFixes:
+    """Second-review fixes: replay idempotence and store-aware accounting."""
+
+    @staticmethod
+    def _docs(spark, rows):
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    _TEXT = (
+        "the quick brown fox jumps over the lazy dog while seven wizards "
+        "brew strong potions under a pale winter moon tonight"
+    )
+
+    def test_replayed_batch_pairs_match_original(self, spark, tmp_path):
+        """Crash-after-fold replay: excluding the batch's own partitions
+        from the store read keeps the replay's pairs identical."""
+        from imitation_learning_data_pipeline_spark.plans.dedup import (
+            dedup_against_store,
+            write_minhash_store,
+        )
+
+        store = str(tmp_path / "store")
+        base = self._docs(spark, [(1, self._TEXT), (2, "completely different words here about gardens and rivers flowing calmly through green valleys today")])
+        write_minhash_store(base, store, ingest_batch=100)
+
+        batch = self._docs(spark, [(10, self._TEXT)])
+        first = {
+            (r["doc_a"], r["doc_b"])
+            for r in dedup_against_store(batch, store, exclude_batch=200).collect()
+        }
+        assert first == {(1, 10)}
+        # simulate crash-after-fold: batch 200's signatures are committed
+        write_minhash_store(batch, store, ingest_batch=200)
+        # replay: WITHOUT exclusion the batch would see itself in the store
+        replog = {
+            (r["doc_a"], r["doc_b"])
+            for r in dedup_against_store(batch, store, exclude_batch=200).collect()
+        }
+        assert replog == first
+        # re-fold replaces (not duplicates) its own partitions
+        write_minhash_store(batch, store, ingest_batch=200)
+        sets = spark.read.parquet(f"{store}/sets")
+        assert sets.filter("doc_id = 10").count() == 1
+
+    def test_cli_incremental_accounting_and_fold_idempotence(self, spark, tmp_path):
+        import json
+        import subprocess
+        import sys
+
+        store = str(tmp_path / "s")
+        out1 = str(tmp_path / "o1")
+        out2 = str(tmp_path / "o2")
+        b1 = str(tmp_path / "b1")
+        b2 = str(tmp_path / "b2")
+        self._docs(spark, [(5, self._TEXT)]).write.parquet(b1)
+        # batch 2: doc 20 duplicates STORE doc 5; doc 21 is novel
+        self._docs(
+            spark,
+            [(20, self._TEXT), (21, "unrelated fresh content about mountain trails and quiet snowfall covering ancient stone paths near the village")],
+        ).write.parquet(b2)
+
+        def run(inp, out):
+            r = subprocess.run(
+                [sys.executable, "-m", "imitation_learning_data_pipeline_spark.cli",
+                 "dedup", "--input", inp, "--out", out,
+                 "--store", store, "--fold-into-store"],
+                capture_output=True, text=True, cwd="/root/repo",
+            )
+            assert r.returncode == 0, r.stderr[-2000:]
+            return json.loads(r.stdout.strip().splitlines()[-1])
+
+        s1 = run(b1, out1)
+        assert s1["n_kept"] == 1
+        s2 = run(b2, out2)
+        # doc 20 dropped (duplicate of store content), doc 21 kept —
+        # and the stats agree with the keep/ dataset
+        kept = {r["doc_id"] for r in spark.read.parquet(out2 + "/keep").collect()}
+        assert kept == {21}
+        assert s2["n_kept"] == 1 and s2["n_dropped"] == 1
+
+        # re-running the same batch (crash recovery) converges: same
+        # stats, store holds each doc exactly once
+        s2b = run(b2, out2)
+        assert (s2b["n_pairs"], s2b["n_kept"]) == (s2["n_pairs"], s2["n_kept"])
+        sets = spark.read.parquet(f"{store}/sets")
+        assert sets.groupBy("doc_id").count().filter("count > 1").count() == 0
+
+
+class TestCompactReviewFixes:
+    def test_type_inferred_partition_values_still_split(self, spark, tmp_path):
+        """month='01' dirs read back as int 1; the slice map must match
+        on the RAW directory token or the partition funnels to 1 file."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from imitation_learning_data_pipeline_spark.pipeline.compact import compact
+
+        p = str(tmp_path / "mo")
+        (
+            spark.range(0, 20_000)
+            .withColumn("month", F.lit("01"))
+            .withColumn("pay", F.sha2(F.col("id").cast("string"), 512))
+            .repartition(10)
+            .write.partitionBy("month")
+            .parquet(p)
+        )
+        part_dir = os.path.join(p, "month=1") if os.path.isdir(
+            os.path.join(p, "month=1")
+        ) else os.path.join(p, "month=01")
+        bytes_before = sum(
+            os.path.getsize(os.path.join(part_dir, f))
+            for f in os.listdir(part_dir)
+            if f.endswith(".parquet")
+        )
+        target = max(1, bytes_before // 4)
+        compact(spark, p, target_bytes=target, partition_col="month")
+        part_dir = os.path.join(p, "month=1") if os.path.isdir(
+            os.path.join(p, "month=1")
+        ) else os.path.join(p, "month=01")
+        files_after = [
+            f for f in os.listdir(part_dir) if f.endswith(".parquet")
+        ]
+        assert len(files_after) >= 3  # split into ~4 slices, not 1 file
+        assert spark.read.parquet(p).count() == 20_000
+
+    def test_flat_dir_with_partition_col_does_not_funnel(self, spark, tmp_path):
+        """First compaction of a non-hive layout with partition_col set
+        must use byte-sized parallelism, not one task."""
+        from pyspark.sql import functions as F
+
+        from imitation_learning_data_pipeline_spark.pipeline.compact import compact
+
+        p = str(tmp_path / "flat")
+        (
+            spark.range(0, 20_000)
+            .withColumn("part", (F.col("id") % 3).cast("string"))
+            .withColumn("pay", F.sha2(F.col("id").cast("string"), 512))
+            .repartition(10)
+            .write.parquet(p)  # flat — no partitionBy
+        )
+        stats = compact(spark, p, target_bytes=64 * 1024, partition_col="part")
+        assert stats["files_after"] > 1  # not a single funneled file
+        df = spark.read.parquet(p)
+        assert df.count() == 20_000
+        assert {str(v) for v in df.select("part").distinct().toPandas()["part"]} == {"0", "1", "2"}
+
+
+class TestLshIndexBackCompat:
+    def test_search_unprefixed_legacy_index(self, spark, tmp_path):
+        """Indexes written before the 'b' prefix carry int-inferred
+        bucket partitions; search must key them as ints, not return an
+        empty top-k."""
+        import numpy as np
+
+        from imitation_learning_data_pipeline_spark.plans.similarity import (
+            _PLANES_MAT,
+            _bucket_udf,
+            search_lsh_index,
+            write_lsh_index,
+        )
+        from pyspark.sql import functions as F
+
+        from imitation_learning_data_pipeline_spark.sources import load_table
+
+        emb = load_table(spark, SF_DIR, "embeddings").limit(200)
+        legacy = str(tmp_path / "legacy_idx")
+        bucket = _bucket_udf()
+        # the OLD layout: raw 8-digit bucket strings, no prefix — read
+        # back with partition-type inference coercing them to ints
+        (
+            emb.select(
+                "vec_id", "embedding", bucket(F.col("embedding")).alias("bucket")
+            )
+            .repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(legacy)
+        )
+        assert dict(spark.read.parquet(legacy).dtypes)["bucket"] != "string"
+
+        rows = emb.limit(4).collect()
+        qids = [r["vec_id"] for r in rows]
+        qmat = np.stack([np.array(r["embedding"], dtype=np.float64) for r in rows])
+        legacy_hits = search_lsh_index(spark, legacy, qids, qmat, k=3).collect()
+        assert len(legacy_hits) > 0  # silently-empty was the bug
+
+        # parity: the new prefixed layout returns the same result set
+        fresh = str(tmp_path / "fresh_idx")
+        write_lsh_index(emb, fresh)
+        fresh_hits = search_lsh_index(spark, fresh, qids, qmat, k=3).collect()
+        key = lambda rs: {(r["qid"], r["rnk"], r["vec_id"]) for r in rs}
+        assert key(legacy_hits) == key(fresh_hits)
