@@ -51,6 +51,18 @@ _NORM_SQL = (
 _W_SQL = f"list_filter(string_split({_NORM_SQL}, ' '), x -> x <> '')"
 
 
+def exploded_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, s): one row per DISTINCT word n-gram shingle per doc —
+    the shared first stage of every shingle-based plan here (minhash,
+    simhash, ngram-jaccard, decontam, bloom, substring spans). One
+    definition so a tokenization/shingling change can't drift between
+    copies."""
+    return docs.select("doc_id", clean_words("text").alias("__w")).select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_of_words(F.col("__w"), n))).alias("s"),
+    )
+
+
 def _shingle_sql(n: int) -> str:
     """DuckDB expression for distinct word n-gram shingles.
 
@@ -223,12 +235,7 @@ def _minhash_sig_plan(docs: DataFrame) -> DataFrame:
     the minhash signature itself already makes, and the DuckDB oracle's
     string-set Jaccard stays hash-identical in practice).
     """
-    sh_rows = docs.select(
-        "doc_id", clean_words("text").alias("__w")
-    ).select(
-        "doc_id",
-        F.explode(F.array_distinct(shingles_of_words(F.col("__w"), 3))).alias("s"),
-    )
+    sh_rows = exploded_shingles(docs, 3)
     hashed_rows = sh_rows.select(
         "doc_id", F.md5(F.col("s")).alias("d"), F.xxhash64("s").alias("hs")
     ).select(
@@ -573,10 +580,7 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     explosion, so the shuffle is O(docs × shingles) exactly like a word
     count. Near-dup docs land within small Hamming distance.
     """
-    w = docs.select("doc_id", clean_words("text").alias("__w")).select(
-        "doc_id",
-        F.explode(F.array_distinct(shingles_of_words(F.col("__w"), 3))).alias("s"),
-    )
+    w = exploded_shingles(docs, 3)
     wh = w.select(
         "doc_id",
         F.conv(F.substring(F.md5("s"), 1, _SIMHASH_BITS // 4), 16, 10)
@@ -763,12 +767,7 @@ def ngram_jaccard_pairs(
     cache.begin_plan()
     # pin(): sizes / df-histogram / posting-list branches all consume
     # the exploded shingles — materialize once (see minhash_pairs).
-    sh = cache.pin(
-        docs.select("doc_id", clean_words("text").alias("__w")).select(
-            "doc_id",
-            F.explode(F.array_distinct(shingles_of_words(F.col("__w"), n))).alias("s"),
-        )
-    )
+    sh = cache.pin(exploded_shingles(docs, n))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     rare = (
         sh.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") <= df_cap)
@@ -1101,17 +1100,9 @@ def decontam_overlap(
     count (which shuffles only (doc_id, hit) pairs).
     """
 
-    def _sh(df: DataFrame) -> DataFrame:
-        return df.select("doc_id", clean_words("text").alias("__w")).select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(shingles_of_words(F.col("__w"), n))
-            ).alias("s"),
-        )
-
-    probe_sh = _sh(probe).select("s").distinct()
+    probe_sh = exploded_shingles(probe, n).select("s").distinct()
     return (
-        _sh(docs).join(F.broadcast(probe_sh), "s")
+        exploded_shingles(docs, n).join(F.broadcast(probe_sh), "s")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_overlap"))
     )
@@ -1151,15 +1142,9 @@ def decontam_overlap_bloom(
 
     cache.begin_plan()
 
-    def _sh(df: DataFrame) -> DataFrame:
-        return df.select("doc_id", clean_words("text").alias("__w")).select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(shingles_of_words(F.col("__w"), n))
-            ).alias("s"),
-        )
-
-    probe_sh = cache.pin(_sh(probe).select("s").distinct())
+    probe_sh = cache.pin(
+        exploded_shingles(probe, n).select("s").distinct()
+    )
     probe_hashes = [
         r[0] for r in probe_sh.select(F.xxhash64("s")).collect()
     ]
@@ -1176,7 +1161,7 @@ def decontam_overlap_bloom(
         return pd.Series(b_bloom.value.contains_many(h.to_numpy()))
 
     cand = (
-        _sh(docs)
+        exploded_shingles(docs, n)
         .withColumn("__h", F.xxhash64("s"))
         .filter(_maybe_hit(F.col("__h")))
         .drop("__h")
@@ -1276,13 +1261,7 @@ def decontam_spans(
             F.posexplode(shingles_of_words(F.col("__w"), n)).alias("pos0", "s"),
         ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "s")
 
-    probe_sh = (
-        probe.select("doc_id", clean_words("text").alias("__w"))
-        .select(
-            F.explode(F.array_distinct(shingles_of_words(F.col("__w"), n))).alias("s")
-        )
-        .distinct()
-    )
+    probe_sh = exploded_shingles(probe, n).select("s").distinct()
     hits = cache.pin(_pos_sh(docs).join(F.broadcast(probe_sh), "s"))
     from pyspark.sql.window import Window
 
