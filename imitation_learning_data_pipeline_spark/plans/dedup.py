@@ -1597,3 +1597,124 @@ def pipeline_dedup_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_kept"
         ),
     )
+
+
+# --- incremental connected components ----------------------------------------
+#
+# The cluster-store counterpart of the signature store: continuous
+# ingest emits new near-dup PAIRS per batch (dedup_against_store), and
+# re-running connected_components over ALL historical pairs per arrival
+# is O(corpus) — the anti-pattern the signature store exists to avoid.
+# The fold below is O(batch pairs + touched clusters): new pairs are
+# edges between EXISTING CLUSTER LABELS, components run on that
+# label-graph (duplicate-pairs-sized, not corpus-sized), and only rows
+# of merged clusters are rewritten — through pipeline.merge.merge_into,
+# so the store update is itself file-level copy-on-write.
+
+
+def fold_components_into_store(
+    spark: SparkSession,
+    pairs: DataFrame,
+    store_path: str,
+    max_iters: int = _CC_MAX_ITERS,
+) -> dict:
+    """Fold a batch of undirected ``(doc_a, doc_b)`` pairs into the
+    persisted assignment store at ``store_path`` (parquet rows
+    ``doc_id, cluster_id``; created on first call). After the fold the
+    store equals ``connected_components`` over the UNION of all pairs
+    ever folded (pytest asserts exactly this equivalence), but the work
+    done is proportional to the batch:
+
+    - one partition-pruned/semi-joined read of the store restricted to
+      the batch's doc_ids (their current labels);
+    - components over the LABEL graph — one node per touched cluster,
+      not per document;
+    - a copy-on-write ``merge_into`` writing only (a) members of
+      clusters whose root changed and (b) newly-seen docs.
+
+    Returns {n_pair_docs, n_touched_clusters, n_rewritten, plus
+    merge_into's file stats}.
+    """
+    from ..pipeline.compact import _fs
+    from ..pipeline.merge import merge_into
+
+    edges = pairs.select(
+        F.col(pairs.columns[0]).cast("long").alias("doc_a"),
+        F.col(pairs.columns[1]).cast("long").alias("doc_b"),
+    )
+    fs, root_p = _fs(spark, store_path)
+    if not fs.exists(root_p):
+        comp = connected_components(edges, max_iters=max_iters).select(
+            "doc_id", "cluster_id"
+        )
+        comp.write.parquet(store_path)
+        n = comp.count()
+        return {
+            "n_pair_docs": n,
+            "n_touched_clusters": 0,
+            "n_rewritten": n,
+            "bootstrap": True,
+        }
+
+    store = spark.read.parquet(store_path)
+    batch_docs = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(edges.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    # current label per batch doc: stored cluster_id, or own id if new.
+    # The join's right side is batch-sized; AQE broadcasts it, so the
+    # store pass is one semi-join-shaped scan.
+    labeled = batch_docs.join(store, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("label")
+    )
+    # label-graph edges: each batch pair connects two current labels
+    lab_edges = (
+        edges.join(labeled.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("label", "la")
+        .join(
+            labeled.select(
+                F.col("doc_id").alias("doc_b"), F.col("label").alias("lb")
+            ),
+            "doc_b",
+        )
+        .select("la", "lb")
+        .filter(F.col("la") != F.col("lb"))
+        .distinct()
+    )
+    lab_comp = (
+        connected_components(lab_edges, max_iters=max_iters)
+        .select(F.col("doc_id").alias("label"), F.col("cluster_id").alias("root"))
+        if not lab_edges.isEmpty()
+        else spark.createDataFrame([], "label long, root long")
+    )
+    remap = lab_comp.filter(F.col("label") != F.col("root")).persist()
+    try:
+        n_touched = remap.count()
+        # rows to rewrite: store members of remapped clusters...
+        moved = (
+            store.withColumnRenamed("cluster_id", "label")
+            .join(F.broadcast(remap), "label")
+            .select("doc_id", F.col("root").alias("cluster_id"))
+        )
+        # ...plus newly-seen docs at their (possibly remapped) root
+        new_docs = labeled.join(store, "doc_id", "left_anti").select(
+            "doc_id", F.col("label")
+        )
+        new_rows = (
+            new_docs.join(F.broadcast(remap), "label", "left")
+            .select(
+                "doc_id",
+                F.coalesce("root", "label").alias("cluster_id"),
+            )
+        )
+        updates = moved.unionByName(new_rows)
+        stats = merge_into(spark, store_path, updates, key="doc_id")
+        return {
+            "n_pair_docs": batch_docs.count(),
+            "n_touched_clusters": n_touched,
+            "n_rewritten": stats["rows_matched"] + stats["rows_inserted"],
+            **stats,
+        }
+    finally:
+        remap.unpersist()

@@ -199,6 +199,7 @@ def run_incremental_dedup_stream(
     pairs_path: str,
     checkpoint: str,
     threshold: float = 0.5,
+    components_store: str | None = None,
 ) -> None:
     """Continuous near-dup detection: each micro-batch of ``(doc_id,
     text)`` documents is deduped against the persisted minhash store
@@ -270,6 +271,32 @@ def run_incremental_dedup_stream(
             write_minhash_store(
                 batch_df, store_path, ingest_batch=batch_id, sigs=sigs
             )
+            if components_store is not None:
+                # maintain running cluster assignments: fold this
+                # trigger's pairs into the label store (O(batch pairs +
+                # touched clusters); replay-safe — refolding already-
+                # merged pairs finds no label edges and rewrites
+                # nothing). Read the pairs back from the just-committed
+                # partition rather than re-running the dedup plan.
+                from ..plans.dedup import fold_components_into_store
+
+                # a zero-pair batch's dynamic overwrite writes no
+                # partitions (possibly just a bare dir) — nothing to fold
+                from pyspark.errors import AnalysisException
+
+                try:
+                    committed = spark.read.parquet(pairs_path).filter(
+                        F.col("ingest_batch") == int(batch_id)
+                    )
+                    has_pairs = not committed.isEmpty()
+                except AnalysisException:  # no data files yet
+                    has_pairs = False
+                if has_pairs:
+                    fold_components_into_store(
+                        spark,
+                        committed.select("doc_a", "doc_b"),
+                        components_store,
+                    )
         finally:
             batch_df.unpersist()
 

@@ -1165,3 +1165,156 @@ class TestLshIndexBackCompat:
         fresh_hits = search_lsh_index(spark, fresh, qids, qmat, k=3).collect()
         key = lambda rs: {(r["qid"], r["rnk"], r["vec_id"]) for r in rs}
         assert key(legacy_hits) == key(fresh_hits)
+
+
+class TestIncrementalComponents:
+    def test_folds_equal_full_batch_cc(self, spark, tmp_path):
+        """Three arrivals, including a bridge that merges two existing
+        clusters: the store must equal connected_components over the
+        union of all pairs ever folded."""
+        from imitation_learning_data_pipeline_spark.plans.dedup import (
+            connected_components,
+            fold_components_into_store,
+        )
+
+        store = str(tmp_path / "cc")
+
+        def fold(rows):
+            return fold_components_into_store(
+                spark, spark.createDataFrame(rows, ["doc_a", "doc_b"]), store
+            )
+
+        def snapshot():
+            return {
+                (r["doc_id"], r["cluster_id"])
+                for r in spark.read.parquet(store).collect()
+            }
+
+        all_pairs = []
+
+        def expect():
+            return {
+                (r["doc_id"], r["cluster_id"])
+                for r in connected_components(
+                    spark.createDataFrame(all_pairs, ["doc_a", "doc_b"])
+                ).select("doc_id", "cluster_id").collect()
+            }
+
+        # arrival 1: two separate clusters {1,2} and {10,11}
+        b1 = [(1, 2), (10, 11)]
+        all_pairs += b1
+        s = fold(b1)
+        assert s.get("bootstrap") is True
+        assert snapshot() == expect()
+
+        # arrival 2: extend one cluster, add a new one {20,21}
+        b2 = [(2, 3), (20, 21)]
+        all_pairs += b2
+        s = fold(b2)
+        assert snapshot() == expect()
+
+        # arrival 3: BRIDGE {1,2,3} and {10,11} via (3,10) — the merged
+        # cluster must relabel to the global min (1), and untouched
+        # cluster {20,21} must not be rewritten
+        before = {
+            f: m
+            for f, m in (
+                (r["doc_id"], r["cluster_id"])
+                for r in spark.read.parquet(store).collect()
+            )
+        }
+        b3 = [(3, 10)]
+        all_pairs += b3
+        s = fold(b3)
+        got = snapshot()
+        assert got == expect()
+        assert (10, 1) in got and (11, 1) in got
+        assert (20, 20) in got and (21, 20) in got
+        assert s["n_touched_clusters"] == 1  # only the {10,11} root moved
+
+    def test_untouched_cluster_files_not_rewritten(self, spark, tmp_path):
+        """The copy-on-write property carries through: folding pairs
+        that touch no existing cluster leaves prior files intact."""
+        import os
+
+        from imitation_learning_data_pipeline_spark.plans.dedup import (
+            fold_components_into_store,
+        )
+
+        store = str(tmp_path / "cc2")
+        fold_components_into_store(
+            spark, spark.createDataFrame([(1, 2)], ["doc_a", "doc_b"]), store
+        )
+        files_before = {
+            f: os.path.getsize(os.path.join(store, f))
+            for f in os.listdir(store)
+            if f.endswith(".parquet")
+        }
+        fold_components_into_store(
+            spark, spark.createDataFrame([(50, 60)], ["doc_a", "doc_b"]), store
+        )
+        files_after = {
+            f: os.path.getsize(os.path.join(store, f))
+            for f in os.listdir(store)
+            if f.endswith(".parquet")
+        }
+        for f, sz in files_before.items():
+            assert files_after.get(f) == sz  # disjoint fold = pure append
+        got = {
+            (r["doc_id"], r["cluster_id"])
+            for r in spark.read.parquet(store).collect()
+        }
+        assert got == {(1, 1), (2, 1), (50, 50), (60, 50)}
+
+
+class TestStreamingComponentsStore:
+    def test_stream_maintains_cluster_assignments(self, spark, tmp_path):
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        from imitation_learning_data_pipeline_spark.streaming.incremental import (
+            run_incremental_dedup_stream,
+        )
+
+        ingest = tmp_path / "in"
+        ingest.mkdir()
+        mh_store = str(tmp_path / "mh")
+        pairs = str(tmp_path / "pairs")
+        cc_store = str(tmp_path / "cc")
+        ckpt = str(tmp_path / "ck")
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        )
+        text = (
+            "galaxies rotate slowly while distant quasars flicker through "
+            "cosmic dust lanes revealing ancient starlight patterns tonight"
+        )
+        other = (
+            "a completely different manuscript describing medieval trade "
+            "routes crossing mountain passes with salt and silk caravans"
+        )
+
+        def _run():
+            stream = spark.readStream.schema(schema).parquet(str(ingest))
+            run_incremental_dedup_stream(
+                stream, mh_store, pairs, ckpt, components_store=cc_store
+            )
+
+        pd.DataFrame({"doc_id": [1, 2], "text": [text, other]}).to_parquet(
+            ingest / "b1.parquet", index=False
+        )
+        _run()  # bootstrap batch: no store yet, no pairs between 1 and 2
+
+        pd.DataFrame({"doc_id": [30], "text": [text]}).to_parquet(
+            ingest / "b2.parquet", index=False
+        )
+        _run()  # 30 duplicates 1 → pair (1,30) → cluster store fold
+
+        got = {
+            (r["doc_id"], r["cluster_id"])
+            for r in spark.read.parquet(cc_store).collect()
+        }
+        assert got == {(1, 1), (30, 1)}
