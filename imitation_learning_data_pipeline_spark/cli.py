@@ -307,6 +307,16 @@ def cmd_dedup(args: argparse.Namespace) -> int:
         # consistent whether this was the bootstrap batch or not
         write_minhash_store(docs, args.store, ingest_batch=batch_key)
 
+    if args.components_store:
+        from .plans.dedup import fold_components_into_store
+
+        if pairs.isEmpty():
+            pass  # nothing to fold; store stays as-is
+        else:
+            fold_components_into_store(
+                spark, pairs.select("doc_a", "doc_b"), args.components_store
+            )
+
     clusters = connected_components(pairs.select("doc_a", "doc_b"))
     clusters.write.mode("overwrite").parquet(f"{args.out_dir}/clusters")
     clusters = spark.read.parquet(f"{args.out_dir}/clusters")
@@ -599,6 +609,13 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="after emitting pairs, append the batch's signatures to "
         "--store so the next invocation sees them",
+    )
+    dd.add_argument(
+        "--components-store",
+        default=None,
+        help="fold this run's pairs into a persisted (doc_id, cluster_id) "
+        "assignment store (incremental connected components: only merged "
+        "clusters rewrite)",
     )
     dd.set_defaults(fn=cmd_dedup)
 

@@ -1318,3 +1318,46 @@ class TestStreamingComponentsStore:
             for r in spark.read.parquet(cc_store).collect()
         }
         assert got == {(1, 1), (30, 1)}
+
+
+class TestDedupComponentsStoreCli:
+    def test_components_store_accumulates_across_runs(self, tmp_path, spark):
+        import json
+        import subprocess
+        import sys
+
+        text = (
+            "identical content for clustering across separate cli runs with "
+            "plenty of words to shingle over and match reliably every time"
+        )
+        b1 = str(tmp_path / "b1")
+        b2 = str(tmp_path / "b2")
+        cc = str(tmp_path / "cc")
+        spark.createDataFrame(
+            [(1, text), (2, text)], ["doc_id", "text"]
+        ).write.parquet(b1)
+        spark.createDataFrame([(30, text)], ["doc_id", "text"]).write.parquet(b2)
+
+        def run(inp, out, extra):
+            r = subprocess.run(
+                [sys.executable, "-m", "imitation_learning_data_pipeline_spark.cli",
+                 "dedup", "--input", inp, "--out", out,
+                 "--components-store", cc] + extra,
+                capture_output=True, text=True, cwd="/root/repo",
+            )
+            assert r.returncode == 0, r.stderr[-2000:]
+            return json.loads(r.stdout.strip().splitlines()[-1])
+
+        store = str(tmp_path / "mh")
+        run(b1, str(tmp_path / "o1"), ["--store", store, "--fold-into-store"])
+        got1 = {
+            (r["doc_id"], r["cluster_id"])
+            for r in spark.read.parquet(cc).collect()
+        }
+        assert got1 == {(1, 1), (2, 1)}
+        run(b2, str(tmp_path / "o2"), ["--store", store, "--fold-into-store"])
+        got2 = {
+            (r["doc_id"], r["cluster_id"])
+            for r in spark.read.parquet(cc).collect()
+        }
+        assert got2 == {(1, 1), (2, 1), (30, 1)}  # joined the existing cluster
