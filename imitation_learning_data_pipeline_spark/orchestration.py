@@ -54,6 +54,7 @@ def pipeline_tasks(
     work_root: str,
     skip_video: bool = True,
     link_videos: str = "symlink",
+    maintenance: bool = False,
 ) -> list[PipelineTask]:
     """The five-stage chain with the reference DAG's wiring
     (neura_pipeline_dag.py:52-135; path layout :20-25)."""
@@ -116,7 +117,25 @@ def pipeline_tasks(
             ),
             upstream=("align_transform",),
         ),
-    ]
+    ] + (
+        [
+            # layout maintenance a continuously-scheduled pipeline runs
+            # after each materialize: per-episode micro-writes sprawl
+            # into small files; compaction rewrites each split partition
+            # into target-sized files (pipeline/compact.py)
+            PipelineTask(
+                "compact",
+                (
+                    "compact",
+                    "--path", f"{dataset_out}/data",
+                    "--partition-col", "split",
+                ),
+                upstream=("materialize",),
+            )
+        ]
+        if maintenance
+        else []
+    )
 
 
 def toposort(tasks: list[PipelineTask]) -> list[PipelineTask]:

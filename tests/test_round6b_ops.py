@@ -1361,3 +1361,23 @@ class TestDedupComponentsStoreCli:
             for r in spark.read.parquet(cc).collect()
         }
         assert got2 == {(1, 1), (2, 1), (30, 1)}  # joined the existing cluster
+
+
+class TestMaintenanceTask:
+    def test_compact_task_appends_after_materialize(self):
+        from imitation_learning_data_pipeline_spark.orchestration import (
+            pipeline_tasks,
+            toposort,
+        )
+
+        base = pipeline_tasks("/d", "/w")
+        assert [t.task_id for t in base] == [
+            "discover", "validate", "stats", "align_transform", "materialize",
+        ]
+        with_maint = pipeline_tasks("/d", "/w", maintenance=True)
+        order = [t.task_id for t in toposort(with_maint)]
+        assert order[-1] == "compact"
+        compact = with_maint[-1]
+        assert compact.upstream == ("materialize",)
+        assert "--partition-col" in compact.argv and "split" in compact.argv
+        assert "/w/dataset/data" in compact.argv
