@@ -385,7 +385,7 @@ def cmd_compact(args: argparse.Namespace) -> int:
         spark,
         args.path,
         target_bytes=args.target_mb * 1024 * 1024,
-        partition_col=args.partition_col,
+        partition_col=args.partition_col.split(",") if args.partition_col else None,
     )
     print(json.dumps({"path": args.path, **stats}))
     return 0

@@ -128,7 +128,10 @@ def pipeline_tasks(
                 (
                     "compact",
                     "--path", f"{dataset_out}/data",
-                    "--partition-col", "split",
+                    # BOTH levels of materialize's split=/chunk= layout
+                    # — naming only the outer level would flatten chunk=
+                    # into a data column on rewrite
+                    "--partition-col", "split,chunk",
                 ),
                 upstream=("materialize",),
             )

@@ -79,11 +79,14 @@ def compact(
     spark: SparkSession,
     path: str,
     target_bytes: int = 128 * 1024 * 1024,
-    partition_col: str | None = None,
+    partition_col: str | list[str] | None = None,
 ) -> dict:
     """Rewrite ``path`` into ~ceil(bytes/target) files (per Hive
-    partition if ``partition_col`` is given). Returns {files_before,
-    files_after, bytes} for observability.
+    partition if ``partition_col`` names the layout's partition
+    column(s) — pass ALL levels of a multi-level layout, e.g.
+    ``["split", "chunk"]``, or the rewrite would silently flatten the
+    inner levels into data columns; sizing granularity is the first
+    level). Returns {files_before, files_after, bytes}.
 
     Directory swap via two Hadoop-FS renames — brief non-atomic window;
     pre-existing ``__compact_tmp``/``__compact_old`` leftovers are
@@ -109,45 +112,63 @@ def compact(
         # (partition_col, slice) spreads every partition across its own
         # slice count (hash collisions merely co-locate two slices in one
         # task — partitionBy still writes them to separate files).
-        prefix = f"{partition_col}="
+        part_cols = (
+            [partition_col] if isinstance(partition_col, str) else list(partition_col)
+        )
+        prefix = f"{part_cols[0]}="
         slices = {
             d[len(prefix) :]: max(1, math.ceil(b / target_bytes))
             for d, b in by_dir.items()
             if d.startswith(prefix)
         }
         if slices:
-            # probe the slice map with the RAW directory token from
+            # probe the slice map with the directory token from
             # _metadata.file_path, not the read-back partition column:
-            # type inference (month=01 → int 1) and hive escaping
-            # (a:b → a%3Ab) both make cast-to-string values miss keys
-            # built from directory names, silently funneling the
-            # partition through one task (the r5 bug, reintroduced)
+            # type inference (month=01 → int 1) would miss keys built
+            # from directory names. Two encoding traps: file_path is
+            # URI-encoded ON TOP of hive's on-disk escaping (a:b →
+            # a%3Ab on disk → a%253Ab in file_path), so url_decode once
+            # to match the listing key; and the greedy `.*/` prefix
+            # anchors to the LAST occurrence, so an ancestor directory
+            # that happens to match `col=` can't shadow the real level.
             n_total = max(1, sum(slices.values()))
             pairs: list = []
             for k, v in slices.items():
                 pairs += [F.lit(k), F.lit(v)]
-            dir_token = F.regexp_extract(
-                F.col("_metadata.file_path"),
-                "/" + re.escape(prefix) + "([^/]+)/",
-                1,
+            dir_token = F.url_decode(
+                F.regexp_extract(
+                    F.col("_metadata.file_path"),
+                    ".*/" + re.escape(prefix) + "([^/]+)/",
+                    1,
+                )
             )
             n_col = F.coalesce(F.create_map(*pairs)[dir_token], F.lit(1))
             sliced = df.withColumn(
                 "__slice", (F.rand(42) * n_col).cast("int")
-            ).repartition(n_total, partition_col, "__slice")
+            ).repartition(n_total, part_cols[0], "__slice")
             (
                 sliced.drop("__slice")
                 .write.mode("overwrite")
-                .partitionBy(partition_col)
+                .partitionBy(*part_cols)
                 .parquet(tmp)
             )
         else:
             # partition_col given but the layout isn't hive-partitioned
-            # yet (first compaction of a flat dir): size like the
-            # unpartitioned path instead of funneling through 1 task
-            df.repartition(n).write.mode("overwrite").partitionBy(
-                partition_col
-            ).parquet(tmp)
+            # yet (first compaction of a flat dir). Round-robin would
+            # shred every value across all n tasks (n × values tiny
+            # files — the opposite of compaction); repartition on
+            # (value, bounded slice) instead so each value lands in
+            # ~n/n_values tasks → ~n target-sized files total.
+            n_vals = max(1, df.select(part_cols[0]).distinct().count())
+            spv = max(1, n // n_vals)  # slices per value
+            (
+                df.withColumn("__slice", (F.rand(42) * spv).cast("int"))
+                .repartition(n, *part_cols, F.col("__slice"))
+                .drop("__slice")
+                .write.mode("overwrite")
+                .partitionBy(*part_cols)
+                .parquet(tmp)
+            )
     else:
         df.repartition(n).write.mode("overwrite").parquet(tmp)
 

@@ -23,17 +23,21 @@ key's whole partition.
 What this does NOT give is a serializable commit: plain parquet has no
 manifest to flip, so between "new files added" and "old files deleted"
 a concurrent reader can see matched keys twice. The window is
-file-count-sized (metadata ops), loss-free in both directions
-(add-then-delete: no state ever drops rows), and SELF-HEALING: if a
-merge crashes mid-commit, re-running the same merge converges — the
-duplicated old-version rows live in files that still contain matched
-keys, so the retry selects and rewrites them away. A real multi-writer
-deployment should flip a Delta/Iceberg manifest instead (SCALING.md
-documents the mapping); single-writer pipelines — the reference's
-deployment model — get exact MERGE semantics from this operator alone.
+file-count-sized (metadata ops) and loss-free (add-then-delete: no
+state ever drops rows), and the commit is JOURNALED: an atomically-
+renamed ``__merge_pending.json`` records the staged moves and pending
+deletes before any live file changes, so a crash anywhere mid-commit is
+COMPLETED (not re-derived) by the next merge_into on the same path —
+recovery finishes the journal, never re-plans, so no crash state can
+duplicate survivor rows. A real multi-writer deployment should flip a
+Delta/Iceberg manifest instead (SCALING.md documents the mapping);
+single-WRITER pipelines — the reference's deployment model — get exact
+MERGE semantics from this operator alone.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -45,43 +49,135 @@ def _key_cols(key: str | list[str]) -> list[str]:
     return [key] if isinstance(key, str) else list(key)
 
 
+_PENDING = "__merge_pending.json"
+
+
+def _norm_key(p: str) -> str:
+    """Normalized comparison key for a file path: scheme stripped and
+    URL-escapes fully decoded. ``_metadata.file_path`` reports paths
+    URI-encoded ON TOP of hive's on-disk escaping (a ``part=a%3Ab`` dir
+    surfaces as ``a%253Ab``), so raw string comparison — or worse,
+    constructing Hadoop Paths from those strings — misses the real
+    files. Both representations collapse to the same fully-decoded
+    form."""
+    import re as _re
+    from urllib.parse import unquote
+
+    p = _re.sub(r"^[A-Za-z][A-Za-z0-9+.-]*:/+", "/", p)
+    while True:
+        q = unquote(p)
+        if q == p:
+            return p
+        p = q
+
+
+def _list_data_files(fs, jvm_path, path: str) -> dict:
+    """{normalized key: (listing path string, hadoop Path)} for every
+    data file under ``path`` — the listing's own Path objects are the
+    only encoding-safe way to address the files afterwards."""
+    out = {}
+    it = fs.listFiles(jvm_path(path), True)
+    while it.hasNext():
+        st = it.next()
+        jp = st.getPath()
+        name = jp.getName()
+        if not name.endswith(".parquet") or name.startswith(("_", ".")):
+            continue
+        out[_norm_key(jp.toString())] = (jp.toString(), jp)
+    return out
+
+
+def _write_pending(spark, fs, jvm_path, path: str, add: list, delete: list) -> None:
+    """Atomically journal the commit (tmp file + rename): ``add`` =
+    staged rel paths to move in, ``delete`` = live file strings to drop.
+    Recovery completes this journal, making the commit crash-safe."""
+    import json as _json
+
+    payload = _json.dumps({"add": add, "delete": delete}).encode()
+    tmp_j = jvm_path(f"{path}/.{_PENDING}.tmp")
+    stream = fs.create(tmp_j, True)
+    stream.write(bytearray(payload))
+    stream.close()
+    if not fs.rename(tmp_j, jvm_path(f"{path}/{_PENDING}")):
+        raise IOError(f"merge_into: could not commit journal under {path}")
+
+
+def _recover_pending(spark, fs, jvm_path, path: str, tmp: str) -> None:
+    """Complete a crashed commit: finish the journaled moves and
+    deletes, then clear the journal. Idempotent; no-op without one."""
+    jp = jvm_path(f"{path}/{_PENDING}")
+    if not fs.exists(jp):
+        _rm(fs, jvm_path, tmp)  # pre-journal staging is safe to discard
+        return
+    import json as _json
+
+    jvm = spark.sparkContext._jvm
+    stream = fs.open(jp)
+    raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    stream.close()
+    journal = _json.loads(raw.decode())
+    for rel in journal["add"]:
+        src, dst = jvm_path(f"{tmp}/{rel}"), jvm_path(f"{path}/{rel}")
+        if fs.exists(src) and not fs.exists(dst):
+            fs.mkdirs(dst.getParent())
+            if not fs.rename(src, dst):
+                raise IOError(f"merge_into recovery: could not move {rel}")
+    live = _list_data_files(fs, jvm_path, path)
+    for f in journal["delete"]:
+        hit = live.get(_norm_key(f))
+        if hit is not None and not fs.delete(hit[1], False):
+            raise IOError(f"merge_into recovery: could not delete {f}")
+    fs.delete(jp, False)
+    _rm(fs, jvm_path, tmp)
+
+
 def merge_into(
     spark: SparkSession,
     path: str,
     updates: DataFrame,
     key: str | list[str],
     partition_by: list[str] | None = None,
+    max_file_rows: int = 5_000_000,
 ) -> dict:
     """MERGE ``updates`` into the parquet dataset at ``path`` on ``key``:
     matched rows are replaced (WHEN MATCHED UPDATE SET *), unmatched
     update rows are inserted (WHEN NOT MATCHED INSERT *). Only data
     files containing a matched key are rewritten.
 
-    ``partition_by`` names the Hive partition columns of the target
-    layout (staged files are routed into the same subdirectories);
-    omitting it on a Hive-partitioned target raises rather than
-    corrupting the tree with flat files. Update rows must be unique per
-    key — MERGE's own precondition. Returns {files_touched, files_added,
-    rows_matched (update keys present in the target), rows_inserted}.
+    ``partition_by`` must name the target's Hive partition columns when
+    it has them and be omitted when it doesn't — both mismatches raise
+    up front rather than committing a broken mixed layout. The commit is
+    journaled (`__merge_pending.json` written atomically before any
+    file moves): a crash mid-commit is COMPLETED by the next merge_into
+    on the same path, so no state duplicates rows or loses them. Update
+    rows must be unique per key — MERGE's own precondition. Returns
+    {files_touched, files_added, rows_matched (update keys present in
+    the target), rows_inserted}.
     """
     path = path.rstrip("/")
     keys = _key_cols(key)
     fs, jpath = _fs(spark, path)
     jvm_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
     tmp = f"{path}__merge_tmp"
-    _rm(fs, jvm_path, tmp)  # stranded staging from a crashed run
+    _recover_pending(spark, fs, jvm_path, path, tmp)
 
-    if not partition_by:
-        # a partitioned tree merged without partition routing would get
-        # flat files at the root and conflicting directory depths —
-        # detect `col=` first-level dirs and refuse up front
-        for st in fs.listStatus(jvm_path(path)):
-            if st.isDirectory() and "=" in st.getPath().getName():
-                raise ValueError(
-                    f"merge_into: {path} is Hive-partitioned "
-                    f"({st.getPath().getName()}/...); pass partition_by="
-                    "[...] so staged files keep the layout"
-                )
+    partitioned_dirs = [
+        st.getPath().getName()
+        for st in fs.listStatus(jpath)
+        if st.isDirectory() and "=" in st.getPath().getName()
+    ]
+    if partitioned_dirs and not partition_by:
+        raise ValueError(
+            f"merge_into: {path} is Hive-partitioned "
+            f"({partitioned_dirs[0]}/...); pass partition_by=[...] so "
+            "staged files keep the layout"
+        )
+    if partition_by and not partitioned_dirs:
+        raise ValueError(
+            f"merge_into: {path} has a flat layout but partition_by="
+            f"{partition_by} was given — committing would mix flat and "
+            "partitioned files into an unreadable tree"
+        )
 
     target = spark.read.parquet(path)
     out_cols = target.columns
@@ -91,13 +187,23 @@ def merge_into(
         n_keys = upd_keys.count()
 
         with_file = target.select("*", F.col("_metadata.file_path").alias("__file"))
-        touched = sorted(
+        touched_meta = sorted(
             r["__file"]
             for r in with_file.join(upd_keys, keys, "left_semi")
             .select("__file")
             .distinct()
             .collect()
         )
+        # resolve to the listing's own Path objects — _metadata strings
+        # are URI-encoded on top of hive escaping and neither readable
+        # nor deletable as-is on such layouts (see _norm_key)
+        live = _list_data_files(fs, jvm_path, path)
+        touched = []
+        for m in touched_meta:
+            hit = live.get(_norm_key(m))
+            if hit is None:
+                raise IOError(f"merge_into: listed file vanished: {m}")
+            touched.append(hit)
 
         keys_matched = 0
         if touched:
@@ -108,7 +214,7 @@ def merge_into(
             # reading leaf files directly out of a partitioned tree.
             touched_rows = (
                 spark.read.option("basePath", path)
-                .parquet(*touched)
+                .parquet(*[t[0] for t in touched])
                 .select(*out_cols)
                 .persist()
             )
@@ -117,12 +223,15 @@ def merge_into(
             keys_matched = upd_keys.join(
                 touched_rows, keys, "left_semi"
             ).count()
-            # coalesce (no shuffle) to the replaced-file count: a merge
-            # must not fragment the table — N touched files → ~N files
+            # no-shuffle narrowing toward the replaced-file count (a
+            # merge must not fragment the table) — but floored by the
+            # update volume so an insert-heavy merge into few files
+            # still writes in parallel at bounded file sizes
+            n_out = max(len(touched), math.ceil(n_keys / max_file_rows))
             staged = (
                 touched_rows.join(upd_keys, keys, "left_anti")
                 .unionByName(upd)
-                .coalesce(len(touched))
+                .coalesce(n_out)
             )
         else:
             staged = upd
@@ -136,27 +245,35 @@ def merge_into(
     finally:
         upd.unpersist()
 
-    # commit: move staged part files into the live tree (part file names
-    # carry a fresh UUID — no collision with live files), then drop the
-    # replaced files. Metadata-only ops; see module docstring for the
-    # visibility window and crash-retry convergence.
+    # journaled commit: record (staged rel paths, files to delete)
+    # atomically, then move staged files in (fresh-UUID names — no
+    # collisions), then drop the replaced files, then clear the journal.
+    # A crash anywhere after the journal lands is completed by the next
+    # merge_into; before it, staging is simply discarded.
     root = fs.makeQualified(jvm_path(tmp)).toString().rstrip("/")
     it = fs.listFiles(jvm_path(tmp), True)
-    moved = 0
+    staged_rel = []
     while it.hasNext():
         st = it.next()
         p = st.getPath().toString()
         name = p.rsplit("/", 1)[-1]
         if not name.endswith(".parquet") or name.startswith(("_", ".")):
             continue
-        rel = p[len(root) + 1 :]
+        staged_rel.append(p[len(root) + 1 :])
+    _write_pending(
+        spark, fs, jvm_path, path, staged_rel, [t[0] for t in touched]
+    )
+    moved = 0
+    for rel in staged_rel:
         dest = jvm_path(f"{path}/{rel}")
         fs.mkdirs(dest.getParent())
-        if not fs.rename(jvm_path(p), dest):
-            raise IOError(f"merge_into: could not move {p} into {path}")
+        if not fs.rename(jvm_path(f"{tmp}/{rel}"), dest):
+            raise IOError(f"merge_into: could not move {rel} into {path}")
         moved += 1
-    for f in touched:
-        fs.delete(jvm_path(f), False)
+    for _, jp_old in touched:
+        if fs.exists(jp_old) and not fs.delete(jp_old, False):
+            raise IOError(f"merge_into: could not delete replaced file {jp_old}")
+    fs.delete(jvm_path(f"{path}/{_PENDING}"), False)
     _rm(fs, jvm_path, tmp)
 
     return {

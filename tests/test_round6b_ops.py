@@ -1379,5 +1379,177 @@ class TestMaintenanceTask:
         assert order[-1] == "compact"
         compact = with_maint[-1]
         assert compact.upstream == ("materialize",)
-        assert "--partition-col" in compact.argv and "split" in compact.argv
+        assert "--partition-col" in compact.argv and "split,chunk" in compact.argv
         assert "/w/dataset/data" in compact.argv
+
+
+class TestMergeCommitSafety:
+    def test_hive_escaped_partition_values(self, spark, tmp_path):
+        """Partition values that hive-escapes on disk (':' -> %3A) must
+        merge cleanly — _metadata paths are double-encoded for them."""
+        from imitation_learning_data_pipeline_spark.pipeline.merge import merge_into
+
+        p = str(tmp_path / "esc")
+        spark.createDataFrame(
+            [(1, "a:b", "x"), (2, "a:b", "y"), (3, "plain", "z")],
+            ["id", "part", "val"],
+        ).write.partitionBy("part").parquet(p)
+        upd = spark.createDataFrame([(1, "a:b", "updated")], ["id", "part", "val"])
+        stats = merge_into(spark, p, upd, key="id", partition_by=["part"])
+        assert stats["rows_matched"] == 1
+        got = {(r["id"], r["part"], r["val"]) for r in spark.read.parquet(p).collect()}
+        assert (1, "a:b", "updated") in got and (1, "a:b", "x") not in got
+        assert len(got) == 3
+
+    def test_partition_by_on_flat_target_refused(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from imitation_learning_data_pipeline_spark.pipeline.merge import merge_into
+
+        p = str(tmp_path / "flat")
+        spark.range(0, 10).selectExpr("id", "'a' AS part").write.parquet(p)
+        upd = spark.createDataFrame([(1, "a")], ["id", "part"])
+        with _pytest.raises(ValueError, match="flat layout"):
+            merge_into(spark, p, upd, key="id", partition_by=["part"])
+        assert spark.read.parquet(p).count() == 10  # untouched
+
+    def test_crashed_commit_is_completed_not_replayed(self, spark, tmp_path):
+        """A journal left by a crash mid-commit is finished by the next
+        merge: the staged file moves in, the journaled delete happens,
+        and no survivor rows duplicate."""
+        import json
+        import os
+
+        from imitation_learning_data_pipeline_spark.pipeline.merge import merge_into
+
+        p = str(tmp_path / "cr")
+        spark.range(0, 100).selectExpr("id", "id AS val").repartition(4).write.parquet(p)
+        files = sorted(
+            f for f in os.listdir(p) if f.endswith(".parquet") and not f.startswith("_")
+        )
+        victim = os.path.join(p, files[0])
+        victim_rows = {
+            (r["id"], r["val"])
+            for r in spark.read.parquet(victim).collect()
+        }
+        # hand-build the crash state: a staged replacement for `victim`
+        # (same rows, id 7 updated if present — emulate an interrupted
+        # merge_into that had journaled but not finished)
+        tmp = p + "__merge_tmp"
+        staged_rows = [
+            (i, -7 if i == 7 else v) for (i, v) in victim_rows
+        ]
+        spark.createDataFrame(staged_rows, ["id", "val"]).coalesce(1).write.parquet(tmp)
+        staged_file = next(
+            f for f in os.listdir(tmp) if f.endswith(".parquet") and not f.startswith("_")
+        )
+        with open(os.path.join(p, "__merge_pending.json"), "w") as fh:
+            json.dump({"add": [staged_file], "delete": [victim]}, fh)
+
+        # next merge on the path completes the journal, then applies itself
+        upd = spark.createDataFrame([(9999, -1)], ["id", "val"])
+        merge_into(spark, p, upd, key="id")
+        got = {(r["id"], r["val"]) for r in spark.read.parquet(p).collect()}
+        expect = {(i, i) for i in range(100) if i != 7 or (7, 7) not in victim_rows}
+        expect = {(i, v) for (i, v) in expect}
+        # exact: all originals, with 7 updated iff it lived in the victim
+        base = {(i, i) for i in range(100)}
+        if (7, 7) in victim_rows:
+            base = (base - {(7, 7)}) | {(7, -7)}
+        base |= {(9999, -1)}
+        assert got == base
+        # no duplicates anywhere
+        assert spark.read.parquet(p).groupBy("id").count().filter("count > 1").count() == 0
+        assert not os.path.exists(os.path.join(p, "__merge_pending.json"))
+        assert not os.path.exists(tmp)
+
+
+class TestCompactEncodingAndLayout:
+    def test_escaped_partition_value_still_splits(self, spark, tmp_path):
+        """part='a:b' lives on disk as part=a%3Ab; the slice probe must
+        match it (url_decode of the doubly-encoded file_path token)."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from imitation_learning_data_pipeline_spark.pipeline.compact import compact
+
+        p = str(tmp_path / "esc")
+        (
+            spark.range(0, 20_000)
+            .withColumn("part", F.lit("a:b"))
+            .withColumn("pay", F.sha2(F.col("id").cast("string"), 512))
+            .repartition(10)
+            .write.partitionBy("part")
+            .parquet(p)
+        )
+        part_dir = next(
+            os.path.join(p, d) for d in os.listdir(p) if d.startswith("part=")
+        )
+        bytes_before = sum(
+            os.path.getsize(os.path.join(part_dir, f))
+            for f in os.listdir(part_dir)
+            if f.endswith(".parquet")
+        )
+        compact(spark, p, target_bytes=max(1, bytes_before // 4), partition_col="part")
+        part_dir = next(
+            os.path.join(p, d) for d in os.listdir(p) if d.startswith("part=")
+        )
+        files = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+        assert len(files) >= 3  # split, not funneled to 1
+        df = spark.read.parquet(p)
+        assert df.count() == 20_000
+        assert df.select("part").distinct().collect()[0]["part"] == "a:b"
+
+    def test_multilevel_layout_preserved(self, spark, tmp_path):
+        """Compacting a split=/chunk= tree with both levels named keeps
+        both directory levels on disk."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from imitation_learning_data_pipeline_spark.pipeline.compact import compact
+
+        p = str(tmp_path / "ml")
+        (
+            spark.range(0, 5000)
+            .withColumn("split", F.when(F.col("id") % 10 < 8, "train").otherwise("val"))
+            .withColumn("chunk", (F.col("id") % 3).cast("string"))
+            .repartition(8)
+            .write.partitionBy("split", "chunk")
+            .parquet(p)
+        )
+        compact(spark, p, target_bytes=1 << 30, partition_col=["split", "chunk"])
+        # both levels survive as directories
+        lvl1 = [d for d in os.listdir(p) if d.startswith("split=")]
+        assert sorted(lvl1) == ["split=train", "split=val"]
+        lvl2 = [
+            d
+            for d in os.listdir(os.path.join(p, "split=train"))
+            if d.startswith("chunk=")
+        ]
+        assert len(lvl2) == 3
+        assert spark.read.parquet(p).count() == 5000
+
+    def test_flat_first_compaction_bounded_file_count(self, spark, tmp_path):
+        """First hive-ification of a flat dir writes ~n files total, not
+        n x n_values shreds."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from imitation_learning_data_pipeline_spark.pipeline.compact import compact
+
+        p = str(tmp_path / "fl")
+        (
+            spark.range(0, 30_000)
+            .withColumn("part", (F.col("id") % 3).cast("string"))
+            .withColumn("pay", F.sha2(F.col("id").cast("string"), 512))
+            .repartition(10)
+            .write.parquet(p)
+        )
+        stats = compact(spark, p, target_bytes=256 * 1024, partition_col="part")
+        n_target = stats["bytes"] // (256 * 1024) + 1
+        # bounded by ~n + n_values slack, nowhere near n x n_values
+        assert stats["files_after"] <= n_target + 3 + 2
+        assert spark.read.parquet(p).count() == 30_000
