@@ -307,7 +307,7 @@ WITH t AS (
   FROM documents GROUP BY source
 ),
 g AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total, CAST(count(*) AS BIGINT) AS k FROM t)
-SELECT t.source, t.n_docs, t.n_tokens,
+SELECT t.source, t.n_docs, CAST(t.n_tokens AS BIGINT) AS n_tokens,
        CAST(round(1000 * least({_MAX_EPOCHS}, (g.total / g.k) / t.n_tokens)) AS BIGINT)
          AS epochs_milli,
        CAST(round(least({_MAX_EPOCHS}, (g.total / g.k) / t.n_tokens) * t.n_tokens) AS BIGINT)

@@ -44,6 +44,27 @@ def _norm_cell(v) -> str:
     return str(v)
 
 
+#: DuckDB types that pandas cannot materialize as the integer/float dtype the
+#: driver's comparator expects: HUGEINT → float64 (so `1435` hashes as
+#: `1435.0`), DECIMAL → object-of-Decimal (str() diverges from Spark floats).
+_UNSAFE_ORACLE_TYPES = ("HUGEINT", "DECIMAL", "UHUGEINT")
+
+
+def oracle_type_violations(rel) -> list[str]:
+    """Return ``col:TYPE`` for every oracle output column whose DuckDB type
+    would reach the driver's hash comparator as a lossy pandas dtype.
+
+    Uses the relation's bound types only — no execution — so it is cheap
+    enough to run over the full oracle registry in a pytest.
+    """
+    out = []
+    for col, typ in zip(rel.columns, rel.types):
+        t = str(typ).upper()
+        if any(u in t for u in _UNSAFE_ORACLE_TYPES):
+            out.append(f"{col}:{t}")
+    return out
+
+
 def frame_digest(pdf: pd.DataFrame) -> tuple[int, list[str], str]:
     cols = sorted(pdf.columns)
     pdf = pdf[cols]
@@ -168,7 +189,20 @@ def main() -> int:
             n_rows_only += 1
             continue
         try:
-            opdf = con.sql(oracles[name]).df()
+            rel = con.sql(oracles[name])
+            bad = oracle_type_violations(rel)
+            if bad:
+                # DuckDB HUGEINT/DECIMAL reach pandas as float64/object, so
+                # the driver hashes e.g. `1435.0` against Spark's `1435` and
+                # fails even when values are identical. The local gate used
+                # to mask this (round() collapses integral floats); now it
+                # fails the same way the driver does. Fix the oracle: wrap
+                # the projection in CAST(... AS BIGINT/DOUBLE).
+                print(f"FAIL  {name}: oracle emits driver-unsafe types: {bad}")
+                n_fail += 1
+                failures.append(name)
+                continue
+            opdf = rel.df()
         except Exception:
             print(f"FAIL  {name}: duckdb oracle raised")
             traceback.print_exc()
