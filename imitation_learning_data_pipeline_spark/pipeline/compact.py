@@ -75,11 +75,74 @@ def _rm(fs, jvm_path_cls, path_str: str) -> None:
         fs.delete(p, True)
 
 
+class ConcurrentMaintenanceError(RuntimeError):
+    """Another maintenance op (merge_into / compact) holds this table's
+    lock. Two concurrent merges would both list the same live files,
+    both journal, and double-delete/double-apply — the classic incident
+    is two Airflow retries running the same merge. Wait for the holder,
+    or if it crashed, pass ``stale_lock_s`` (takeover by lock age) or
+    call :func:`release_lock` after confirming the holder is dead."""
+
+
+def _lock_path(path: str) -> str:
+    # sibling, not child: compact() renames the whole dataset directory
+    # aside, so an in-directory lock would move with it mid-swap
+    return f"{path.rstrip('/')}__maintenance_lock"
+
+
+def _acquire_lock(
+    spark: SparkSession, fs, jvm_path, path: str, op: str,
+    stale_lock_s: float | None = None,
+) -> None:
+    """Take the table's single-writer lock via create-exclusive
+    (``FileSystem.create(overwrite=False)`` — atomic on HDFS and the
+    local FS; object stores without atomic create-exclusive should use
+    a transactional table format instead, see the merge module
+    docstring). If a lock exists and is older than ``stale_lock_s``
+    seconds it is treated as crashed and taken over; otherwise
+    :class:`ConcurrentMaintenanceError`."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    lp = jvm_path(_lock_path(path))
+    if stale_lock_s is not None and fs.exists(lp):
+        age_s = _time.time() - fs.getFileStatus(lp).getModificationTime() / 1000.0
+        if age_s > stale_lock_s:
+            fs.delete(lp, False)
+    payload = _json.dumps(
+        {"op": op, "pid": _os.getpid(), "created_unix": _time.time()}
+    ).encode()
+    try:
+        stream = fs.create(lp, False)  # overwrite=False → create-exclusive
+    except Exception as exc:
+        raise ConcurrentMaintenanceError(
+            f"{op}: {_lock_path(path)} exists — another maintenance op is "
+            "running on this table (or crashed holding the lock; pass "
+            "stale_lock_s to take over, or release_lock() after "
+            "confirming the holder is dead)"
+        ) from exc
+    stream.write(bytearray(payload))
+    stream.close()
+
+
+def release_lock(spark: SparkSession, path: str) -> bool:
+    """Force-release a table's maintenance lock (e.g. after a crashed
+    holder). Returns True if a lock was removed."""
+    fs, _ = _fs(spark, path)
+    jvm_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    lp = jvm_path(_lock_path(path))
+    if fs.exists(lp):
+        return bool(fs.delete(lp, False))
+    return False
+
+
 def compact(
     spark: SparkSession,
     path: str,
     target_bytes: int = 128 * 1024 * 1024,
     partition_col: str | list[str] | None = None,
+    stale_lock_s: float | None = None,
 ) -> dict:
     """Rewrite ``path`` into ~ceil(bytes/target) files (per Hive
     partition if ``partition_col`` names the layout's partition
@@ -91,7 +154,30 @@ def compact(
     Directory swap via two Hadoop-FS renames — brief non-atomic window;
     pre-existing ``__compact_tmp``/``__compact_old`` leftovers are
     removed first and a failed swap restores the original directory.
+
+    SINGLE WRITER: holds the same create-exclusive sibling lock as
+    ``merge_into`` (``<path>__maintenance_lock``) across
+    list→rewrite→swap; a concurrent merge/compact raises
+    :class:`ConcurrentMaintenanceError`. ``stale_lock_s`` enables
+    takeover of a crashed holder's lock by age. Multi-writer
+    deployments belong on a transactional table format.
     """
+    path = path.rstrip("/")
+    fs, jpath = _fs(spark, path)
+    jvm_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    _acquire_lock(spark, fs, jvm_path, path, "compact", stale_lock_s)
+    try:
+        return _compact_locked(spark, path, target_bytes, partition_col)
+    finally:
+        fs.delete(jvm_path(_lock_path(path)), False)
+
+
+def _compact_locked(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int,
+    partition_col: str | list[str] | None,
+) -> dict:
     total, before, by_dir = _list_parquet(spark, path)
     fs, jpath = _fs(spark, path)
     jvm_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path

@@ -42,7 +42,14 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .compact import _fs, _rm
+from .compact import (  # noqa: F401  (re-exported API)
+    ConcurrentMaintenanceError,
+    _acquire_lock,
+    _fs,
+    _lock_path,
+    _rm,
+    release_lock,
+)
 
 
 def _key_cols(key: str | list[str]) -> list[str]:
@@ -131,6 +138,25 @@ def _recover_pending(spark, fs, jvm_path, path: str, tmp: str) -> None:
     _rm(fs, jvm_path, tmp)
 
 
+def recover(spark: SparkSession, path: str) -> bool:
+    """Standalone journal recovery: complete a crashed ``merge_into``
+    commit on ``path`` without running another merge. A crash mid-commit
+    otherwise leaves duplicate-visible keys until the NEXT merge on the
+    same path happens to run — a one-shot or failed pipeline could leave
+    the table inconsistent indefinitely. Takes the maintenance lock.
+    Returns True if a pending journal was found and completed."""
+    path = path.rstrip("/")
+    fs, _ = _fs(spark, path)
+    jvm_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    _acquire_lock(spark, fs, jvm_path, path, "recover")
+    try:
+        had_journal = bool(fs.exists(jvm_path(f"{path}/{_PENDING}")))
+        _recover_pending(spark, fs, jvm_path, path, f"{path}__merge_tmp")
+        return had_journal
+    finally:
+        fs.delete(jvm_path(_lock_path(path)), False)
+
+
 def merge_into(
     spark: SparkSession,
     path: str,
@@ -138,6 +164,8 @@ def merge_into(
     key: str | list[str],
     partition_by: list[str] | None = None,
     max_file_rows: int = 5_000_000,
+    allow_new_columns: bool = False,
+    stale_lock_s: float | None = None,
 ) -> dict:
     """MERGE ``updates`` into the parquet dataset at ``path`` on ``key``:
     matched rows are replaced (WHEN MATCHED UPDATE SET *), unmatched
@@ -149,8 +177,26 @@ def merge_into(
     up front rather than committing a broken mixed layout. The commit is
     journaled (`__merge_pending.json` written atomically before any
     file moves): a crash mid-commit is COMPLETED by the next merge_into
-    on the same path, so no state duplicates rows or loses them. Update
-    rows must be unique per key — MERGE's own precondition. Returns
+    on the same path (or by :func:`recover`), so no state duplicates
+    rows or loses them. Update rows must be unique per key — MERGE's
+    own precondition.
+
+    Schema evolution: columns present in ``updates`` but absent from the
+    target RAISE by default (a MERGE that silently discards a new column
+    is a foot-gun); pass ``allow_new_columns=True`` to widen the schema
+    instead — rewritten files carry the new column (null for surviving
+    rows), untouched files keep the old schema, so subsequent reads of
+    an evolved table need ``.option("mergeSchema", "true")`` (or a
+    compact() pass to homogenize). Columns the target has but
+    ``updates`` lacks always raise.
+
+    SINGLE WRITER: a create-exclusive sibling lock file
+    (``<path>__maintenance_lock``) is held across plan→journal→commit;
+    a second merge/compact on the same path raises
+    :class:`ConcurrentMaintenanceError` instead of double-applying.
+    ``stale_lock_s`` enables takeover of a crashed holder's lock by age.
+    True multi-writer concurrency needs a transactional table format
+    (Delta/Iceberg — SCALING.md documents the mapping). Returns
     {files_touched, files_added, rows_matched (update keys present in
     the target), rows_inserted}.
     """
@@ -159,6 +205,20 @@ def merge_into(
     fs, jpath = _fs(spark, path)
     jvm_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
     tmp = f"{path}__merge_tmp"
+    _acquire_lock(spark, fs, jvm_path, path, "merge_into", stale_lock_s)
+    try:
+        return _merge_into_locked(
+            spark, path, updates, keys, partition_by, max_file_rows,
+            allow_new_columns, fs, jpath, jvm_path, tmp,
+        )
+    finally:
+        fs.delete(jvm_path(_lock_path(path)), False)
+
+
+def _merge_into_locked(
+    spark, path, updates, keys, partition_by, max_file_rows,
+    allow_new_columns, fs, jpath, jvm_path, tmp,
+) -> dict:
     _recover_pending(spark, fs, jvm_path, path, tmp)
 
     partitioned_dirs = [
@@ -180,7 +240,23 @@ def merge_into(
         )
 
     target = spark.read.parquet(path)
-    out_cols = target.columns
+    target_cols = target.columns
+    missing = [c for c in target_cols if c not in updates.columns]
+    if missing:
+        raise ValueError(
+            f"merge_into: updates are missing target columns {missing} — "
+            "MERGE replaces whole rows, so every target column must be "
+            "supplied"
+        )
+    extra = [c for c in updates.columns if c not in target_cols]
+    if extra and not allow_new_columns:
+        raise ValueError(
+            f"merge_into: updates carry columns the target lacks {extra}; "
+            "silently dropping them would lose data — pass "
+            "allow_new_columns=True to widen the schema (readers of the "
+            'evolved table then need .option("mergeSchema", "true"))'
+        )
+    out_cols = target_cols + extra
     upd = updates.select(*out_cols).persist()
     try:
         upd_keys = upd.select(*keys).distinct()
@@ -212,10 +288,12 @@ def merge_into(
             # left side is therefore sized by the merge, not the table.
             # basePath keeps Hive partition columns resolvable when
             # reading leaf files directly out of a partitioned tree.
+            # touched files carry only the pre-evolution columns; the
+            # unionByName below null-fills any new columns for survivors
             touched_rows = (
                 spark.read.option("basePath", path)
                 .parquet(*[t[0] for t in touched])
-                .select(*out_cols)
+                .select(*target_cols)
                 .persist()
             )
             # matched = update KEYS found in the target (key-based, so
@@ -230,7 +308,7 @@ def merge_into(
             n_out = max(len(touched), math.ceil(n_keys / max_file_rows))
             staged = (
                 touched_rows.join(upd_keys, keys, "left_anti")
-                .unionByName(upd)
+                .unionByName(upd, allowMissingColumns=True)
                 .coalesce(n_out)
             )
         else:

@@ -67,3 +67,193 @@ class TestOracleTypeSafety:
             "FROM (VALUES (CAST(1 AS BIGINT))) t(x)"
         )
         assert oracle_type_violations(rel_ok) == []
+
+
+class TestMaintenanceLock:
+    """Single-writer guard (round-6 verdict item 2): merge_into and
+    compact take a create-exclusive sibling lock; a second maintenance
+    op on the same path raises instead of double-applying, and a crashed
+    holder's lock can be taken over by age."""
+
+    def _write_table(self, spark, p):
+        spark.range(0, 100).selectExpr("id", "id AS val").repartition(
+            4
+        ).write.parquet(p)
+
+    def test_merge_on_locked_path_raises(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.merge import (
+            ConcurrentMaintenanceError,
+            merge_into,
+        )
+
+        p = str(tmp_path / "t")
+        self._write_table(spark, p)
+        with open(p + "__maintenance_lock", "w") as fh:
+            fh.write('{"op": "merge_into", "pid": 1}')
+        upd = spark.createDataFrame([(1, -1)], ["id", "val"])
+        with pytest.raises(ConcurrentMaintenanceError, match="maintenance"):
+            merge_into(spark, p, upd, key="id")
+        # table untouched, foreign lock not stolen
+        assert spark.read.parquet(p).count() == 100
+        import os
+
+        assert os.path.exists(p + "__maintenance_lock")
+
+    def test_compact_on_locked_path_raises(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.compact import (
+            ConcurrentMaintenanceError,
+            compact,
+        )
+
+        p = str(tmp_path / "c")
+        self._write_table(spark, p)
+        with open(p + "__maintenance_lock", "w") as fh:
+            fh.write('{"op": "compact", "pid": 1}')
+        with pytest.raises(ConcurrentMaintenanceError):
+            compact(spark, p)
+
+    def test_lock_released_after_success_and_failure(self, spark, tmp_path):
+        import os
+
+        from imitation_learning_data_pipeline_spark.pipeline.merge import merge_into
+
+        p = str(tmp_path / "rel")
+        self._write_table(spark, p)
+        upd = spark.createDataFrame([(1, -1)], ["id", "val"])
+        merge_into(spark, p, upd, key="id")
+        assert not os.path.exists(p + "__maintenance_lock")
+        # a failing merge (bad schema) must also release the lock
+        bad = spark.createDataFrame([(1,)], ["id"])
+        with pytest.raises(ValueError):
+            merge_into(spark, p, bad, key="id")
+        assert not os.path.exists(p + "__maintenance_lock")
+        # and the path is immediately lockable again
+        merge_into(spark, p, upd, key="id")
+
+    def test_stale_lock_takeover(self, spark, tmp_path):
+        import os
+
+        from imitation_learning_data_pipeline_spark.pipeline.merge import (
+            ConcurrentMaintenanceError,
+            merge_into,
+        )
+
+        p = str(tmp_path / "st")
+        self._write_table(spark, p)
+        lock = p + "__maintenance_lock"
+        with open(lock, "w") as fh:
+            fh.write('{"op": "merge_into", "pid": 1}')
+        os.utime(lock, (1_000_000, 1_000_000))  # ancient mtime
+        upd = spark.createDataFrame([(1, -1)], ["id", "val"])
+        # without stale_lock_s: still refuses
+        with pytest.raises(ConcurrentMaintenanceError):
+            merge_into(spark, p, upd, key="id")
+        # with takeover window: crashed lock is broken, merge proceeds
+        stats = merge_into(spark, p, upd, key="id", stale_lock_s=3600)
+        assert stats["rows_matched"] == 1
+        assert not os.path.exists(lock)
+
+    def test_release_lock_helper(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.merge import (
+            release_lock,
+        )
+
+        p = str(tmp_path / "rl")
+        self._write_table(spark, p)
+        assert release_lock(spark, p) is False
+        with open(p + "__maintenance_lock", "w") as fh:
+            fh.write("{}")
+        assert release_lock(spark, p) is True
+        assert release_lock(spark, p) is False
+
+
+class TestStandaloneRecover:
+    def test_recover_completes_crashed_commit(self, spark, tmp_path):
+        """recover(spark, path) finishes a journaled commit without
+        requiring another merge (ADVICE r6: a one-shot pipeline crash
+        otherwise leaves duplicate-visible keys indefinitely)."""
+        import json
+        import os
+
+        from imitation_learning_data_pipeline_spark.pipeline.merge import recover
+
+        p = str(tmp_path / "cr")
+        spark.range(0, 100).selectExpr("id", "id AS val").repartition(
+            4
+        ).write.parquet(p)
+        files = sorted(
+            f
+            for f in os.listdir(p)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+        victim = os.path.join(p, files[0])
+        victim_rows = {
+            (r["id"], r["val"]) for r in spark.read.parquet(victim).collect()
+        }
+        tmp = p + "__merge_tmp"
+        staged_rows = [(i, -7 if i == 7 else v) for (i, v) in victim_rows]
+        spark.createDataFrame(staged_rows, ["id", "val"]).coalesce(
+            1
+        ).write.parquet(tmp)
+        staged_file = next(
+            f
+            for f in os.listdir(tmp)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+        with open(os.path.join(p, "__merge_pending.json"), "w") as fh:
+            json.dump({"add": [staged_file], "delete": [victim]}, fh)
+
+        assert recover(spark, p) is True
+        base = {(i, i) for i in range(100)}
+        if (7, 7) in victim_rows:
+            base = (base - {(7, 7)}) | {(7, -7)}
+        got = {(r["id"], r["val"]) for r in spark.read.parquet(p).collect()}
+        assert got == base
+        assert not os.path.exists(os.path.join(p, "__merge_pending.json"))
+        assert not os.path.exists(tmp)
+        assert not os.path.exists(p + "__maintenance_lock")
+        # idempotent no-op when clean
+        assert recover(spark, p) is False
+
+
+class TestMergeSchemaEvolution:
+    def test_extra_columns_raise_by_default(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.merge import merge_into
+
+        p = str(tmp_path / "se")
+        spark.range(0, 50).selectExpr("id", "id AS val").write.parquet(p)
+        upd = spark.createDataFrame([(1, -1, "x")], ["id", "val", "note"])
+        with pytest.raises(ValueError, match="allow_new_columns"):
+            merge_into(spark, p, upd, key="id")
+        assert spark.read.parquet(p).columns == ["id", "val"]
+
+    def test_missing_columns_raise(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.merge import merge_into
+
+        p = str(tmp_path / "sm")
+        spark.range(0, 50).selectExpr("id", "id AS val").write.parquet(p)
+        upd = spark.createDataFrame([(1,)], ["id"])
+        with pytest.raises(ValueError, match="missing target columns"):
+            merge_into(spark, p, upd, key="id")
+
+    def test_allow_new_columns_widens_schema(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.merge import merge_into
+
+        p = str(tmp_path / "sw")
+        spark.range(0, 100).selectExpr("id", "id AS val").repartition(
+            4
+        ).write.parquet(p)
+        upd = spark.createDataFrame(
+            [(7, -7, "updated"), (500, -500, "inserted")], ["id", "val", "note"]
+        )
+        stats = merge_into(spark, p, upd, key="id", allow_new_columns=True)
+        assert stats["rows_matched"] == 1 and stats["rows_inserted"] == 1
+        # evolved table: untouched files keep the old schema → mergeSchema
+        df = spark.read.option("mergeSchema", "true").parquet(p)
+        assert set(df.columns) == {"id", "val", "note"}
+        rows = {(r["id"], r["val"], r["note"]) for r in df.collect()}
+        assert (7, -7, "updated") in rows
+        assert (500, -500, "inserted") in rows
+        # survivors in the rewritten file carry null for the new column
+        assert (8, 8, None) in rows
+        assert len(rows) == 101
