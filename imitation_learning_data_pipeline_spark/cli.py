@@ -264,31 +264,66 @@ def cmd_dedup(args: argparse.Namespace) -> int:
         F.col(args.id_col).cast("long").alias("doc_id"),
         F.col(args.text_col).alias("text"),
     )
+    sigs = None
     if args.store is not None:
         import hashlib
 
+        from . import cache
         from .pipeline.compact import _fs
-        from .plans.dedup import dedup_against_store, write_minhash_store
+        from .plans.dedup import dedup_against_store, minhash_signatures
 
         # Hadoop FileSystem existence check — os.path would declare any
         # non-local store (s3a:, hdfs:, gs:) absent, silently skipping
         # cross-batch dedup and then OVERWRITING the remote store.
         fs, bands_p = _fs(spark, f"{args.store}/bands")
         store_exists = fs.exists(bands_p)
-        # Stable batch key from the input path: folding the same batch
-        # twice (crash recovery, re-invocation) REPLACES its own
-        # ingest_batch partitions instead of double-appending signatures
-        # — and excluding it from the store read makes the re-run's
-        # pairs identical to the first run's.
-        batch_key = int(hashlib.md5(args.input.encode()).hexdigest()[:12], 16)
-        # incremental: docs are the NEW batch; pairs have ≥1 batch side
-        pairs = (
-            dedup_against_store(
-                docs, args.store, threshold=threshold, exclude_batch=batch_key
+        if store_exists and "ingest_batch" not in spark.read.parquet(
+            f"{args.store}/bands"
+        ).columns:
+            # this CLI writes the batch-keyed (ingest_batch=) layout;
+            # folding it into a legacy plain-append store mixes two
+            # directory structures under bands/ and sets/, which the
+            # next store read rejects — refuse before any write
+            raise SystemExit(
+                f"dedup: store at {args.store} uses the legacy "
+                "plain-append layout (no ingest_batch= partition level); "
+                "this CLI writes the batch-keyed layout and mixing them "
+                "corrupts the store. Migrate by rewriting the store with "
+                "write_minhash_store(..., ingest_batch=<id>), or point "
+                "--store at a fresh path"
             )
-            if store_exists
-            else minhash_pairs(docs, threshold=threshold)
+        # Stable batch key (default: md5 of the input path): folding the
+        # same batch twice (crash recovery, re-invocation) REPLACES its
+        # own ingest_batch partitions instead of double-appending
+        # signatures — and excluding it from the store read makes the
+        # re-run's pairs identical to the first run's. When a fixed
+        # landing directory receives NEW content per run, the path hash
+        # collides across batches and the store would silently lose the
+        # previous batch's state — pass an explicit --batch-id there.
+        batch_key = (
+            args.batch_id
+            if args.batch_id is not None
+            else int(hashlib.md5(args.input.encode()).hexdigest()[:12], 16)
         )
+        # compute signatures ONCE and share the frame between the pairs
+        # plan and the store fold — shingling is the dominant batch cost
+        # and each call would otherwise redo it (the streaming driver
+        # already passes sigs=; bootstrap's minhash_pairs path manages
+        # its own plan, so the fold there pays one extra pass)
+        if store_exists:
+            cache.begin_plan()
+            sigs = minhash_signatures(docs)
+            # incremental: docs are the NEW batch; pairs have ≥1 batch side
+            pairs = dedup_against_store(
+                docs,
+                args.store,
+                threshold=threshold,
+                exclude_batch=batch_key,
+                sigs=sigs,
+            )
+        else:
+            pairs = minhash_pairs(docs, threshold=threshold)
+            sigs = None  # minhash_pairs began its own plan; pins evicted
     elif args.method == "minhash":
         pairs = minhash_pairs(docs, threshold=threshold)
     elif args.method == "simhash":
@@ -303,9 +338,12 @@ def cmd_dedup(args: argparse.Namespace) -> int:
     pairs = spark.read.parquet(f"{args.out_dir}/pairs")  # reuse, don't recompute
 
     if args.fold_into_store:
+        from .plans.dedup import write_minhash_store
+
         # always the batch-keyed layout: idempotent under re-runs, and
-        # consistent whether this was the bootstrap batch or not
-        write_minhash_store(docs, args.store, ingest_batch=batch_key)
+        # consistent whether this was the bootstrap batch or not; sigs
+        # is the pinned signature frame when the incremental path ran
+        write_minhash_store(docs, args.store, ingest_batch=batch_key, sigs=sigs)
 
     if args.components_store:
         from .plans.dedup import fold_components_into_store
@@ -447,12 +485,28 @@ def cmd_trajectory(args: argparse.Namespace) -> int:
         .count()
     }
     if args.features:
+        from pyspark.sql import types as T
+
+        # span_ms needs a real timestamp column; the leading --order-by
+        # column is only a heuristic default (a non-timestamp leader
+        # would make unix_millis fail or emit garbage span_ms) — validate
+        # the type up front and point at --ts-col
+        ts_col = args.ts_col or args.order_by.split(",")[0]
+        if ts_col not in events.columns:
+            raise SystemExit(f"trajectory: --ts-col {ts_col!r} not in events")
+        ts_type = events.schema[ts_col].dataType
+        if not isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
+            raise SystemExit(
+                f"trajectory: --features needs a timestamp column for "
+                f"span_ms, but {ts_col!r} is {ts_type.simpleString()}; "
+                "pass --ts-col naming the event-time column"
+            )
         window_features(
             events,
             episode_col=args.episode_col,
             order_cols=args.order_by.split(","),
             value_col=args.value_col,
-            ts_col=args.order_by.split(",")[0],
+            ts_col=ts_col,
             type_col=args.type_col,
             length=args.length,
             stride=args.stride,
@@ -507,8 +561,23 @@ def cmd_merge(args: argparse.Namespace) -> int:
         updates,
         key=args.key.split(","),
         partition_by=args.partition_by.split(",") if args.partition_by else None,
+        allow_new_columns=args.allow_new_columns,
+        stale_lock_s=args.stale_lock_s,
     )
     print(json.dumps({"path": args.path, **stats}))
+    return 0
+
+
+def cmd_recover(args: argparse.Namespace) -> int:
+    """Complete a crashed merge commit's journal (pipeline/merge.py
+    recover()) without running another merge — for one-shot pipelines
+    whose failure would otherwise leave duplicate-visible keys until
+    the next merge happens to run."""
+    from .pipeline.merge import recover
+
+    spark = _spark("recover")
+    completed = recover(spark, args.path)
+    print(json.dumps({"path": args.path, "journal_completed": completed}))
     return 0
 
 
@@ -602,7 +671,20 @@ def build_parser() -> argparse.ArgumentParser:
         "--store",
         default=None,
         help="minhash signature store: dedup --input as a NEW batch "
-        "against it (bootstraps intra-batch-only if absent)",
+        "against it (bootstraps intra-batch-only if absent). Batch "
+        "identity defaults to a hash of --input, so each batch must "
+        "arrive under its OWN path; a fixed landing directory refilled "
+        "with new content needs an explicit --batch-id per run or the "
+        "store silently replaces the previous batch's state",
+    )
+    dd.add_argument(
+        "--batch-id",
+        type=int,
+        default=None,
+        help="explicit ingest-batch id for --store (default: md5 of "
+        "--input). Required for correctness when re-using one input "
+        "path for successive distinct batches; re-running the SAME "
+        "batch must reuse the same id (replay-idempotent fold)",
     )
     dd.add_argument(
         "--fold-into-store",
@@ -636,7 +718,27 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="comma-separated Hive partition columns of the target layout",
     )
+    mg.add_argument(
+        "--allow-new-columns",
+        action="store_true",
+        help="widen the target schema with columns only the updates "
+        "carry (default: raise; evolved tables need mergeSchema reads)",
+    )
+    mg.add_argument(
+        "--stale-lock-s",
+        type=float,
+        default=None,
+        help="take over a crashed holder's maintenance lock older than "
+        "this many seconds (default: never)",
+    )
     mg.set_defaults(fn=cmd_merge)
+
+    rc = sub.add_parser(
+        "recover",
+        help="complete a crashed merge commit's journal on a parquet dataset",
+    )
+    rc.add_argument("--path", required=True, help="merge target dataset")
+    rc.set_defaults(fn=cmd_recover)
 
     pf = sub.add_parser(
         "profile", help="per-column null/distinct/min/max profile of a parquet dataset"
@@ -672,6 +774,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     tj.add_argument("--value-col", default="value")
     tj.add_argument("--type-col", default="event_type")
+    tj.add_argument(
+        "--ts-col",
+        default=None,
+        help="timestamp column for --features span_ms (default: first "
+        "--order-by column; must be a timestamp type)",
+    )
     tj.set_defaults(fn=cmd_trajectory)
 
     sp = sub.add_parser(

@@ -257,3 +257,163 @@ class TestMergeSchemaEvolution:
         # survivors in the rewritten file carry null for the new column
         assert (8, 8, None) in rows
         assert len(rows) == 101
+
+
+def _cli(args, cwd="/root/repo"):
+    import subprocess
+    import sys
+
+    return subprocess.run(
+        [sys.executable, "-m", "imitation_learning_data_pipeline_spark.cli", *args],
+        capture_output=True,
+        text=True,
+        cwd=cwd,
+    )
+
+
+class TestDedupCliStoreHardening:
+    """ADVICE r6: explicit --batch-id (fixed-landing-path ingest), and
+    legacy plain-layout stores are refused instead of corrupted."""
+
+    def _docs(self, spark, path, ids_texts):
+        spark.createDataFrame(ids_texts, ["doc_id", "text"]).write.mode(
+            "overwrite"
+        ).parquet(path)
+
+    def test_legacy_layout_store_is_refused(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.plans.dedup import (
+            write_minhash_store,
+        )
+
+        store = str(tmp_path / "legacy_store")
+        batch = str(tmp_path / "b1")
+        text = "the quick brown fox jumps over the lazy dog " * 5
+        self._docs(spark, batch, [(1, text), (2, text + " tail")])
+        # legacy plain-append layout: no ingest_batch level
+        docs = spark.read.parquet(batch)
+        write_minhash_store(docs, store)
+        r = _cli(
+            [
+                "dedup", "--input", batch, "--out", str(tmp_path / "out"),
+                "--store", store, "--fold-into-store",
+            ]
+        )
+        assert r.returncode != 0
+        assert "legacy" in r.stderr and "ingest_batch" in r.stderr
+
+    def test_explicit_batch_id_keeps_both_batches(self, spark, tmp_path):
+        """Fixed landing path, two successive batches: without
+        --batch-id the second fold would replace the first's state;
+        with distinct ids both ingest_batch partitions survive."""
+        import os
+
+        landing = str(tmp_path / "landing")
+        store = str(tmp_path / "store")
+        t1 = "alpha beta gamma delta epsilon zeta eta theta " * 4
+        t2 = "one two three four five six seven eight nine ten " * 4
+        self._docs(spark, landing, [(1, t1), (2, t1 + " x")])
+        r1 = _cli(
+            [
+                "dedup", "--input", landing, "--out", str(tmp_path / "o1"),
+                "--store", store, "--fold-into-store", "--batch-id", "1",
+            ]
+        )
+        assert r1.returncode == 0, r1.stderr[-2000:]
+        # same path, NEW content — the documented foot-gun
+        self._docs(spark, landing, [(3, t2), (4, t2 + " y")])
+        r2 = _cli(
+            [
+                "dedup", "--input", landing, "--out", str(tmp_path / "o2"),
+                "--store", store, "--fold-into-store", "--batch-id", "2",
+            ]
+        )
+        assert r2.returncode == 0, r2.stderr[-2000:]
+        parts = {
+            d for d in os.listdir(f"{store}/sets") if d.startswith("ingest_batch=")
+        }
+        assert parts == {"ingest_batch=1", "ingest_batch=2"}
+        # both batches' signatures visible to a third run
+        sets = spark.read.parquet(f"{store}/sets")
+        assert {r["doc_id"] for r in sets.select("doc_id").collect()} == {1, 2, 3, 4}
+
+
+class TestTrajectoryTsColCli:
+    def test_non_timestamp_order_leader_is_rejected(self, spark, tmp_path):
+        ev = str(tmp_path / "ev")
+        spark.createDataFrame(
+            [(1, 10, 1.0, "a"), (1, 20, 2.0, "b")],
+            ["user_id", "seq", "value", "event_type"],
+        ).write.parquet(ev)
+        r = _cli(
+            [
+                "trajectory", "--events", ev, "--out", str(tmp_path / "o"),
+                "--order-by", "seq", "--features", "--length", "2",
+                "--stride", "1",
+            ]
+        )
+        assert r.returncode != 0
+        assert "--ts-col" in r.stderr and "timestamp" in r.stderr
+
+    def test_explicit_ts_col_over_non_ts_order(self, spark, tmp_path):
+        import os
+
+        from pyspark.sql import functions as F
+
+        ev = str(tmp_path / "ev2")
+        (
+            spark.range(0, 20)
+            .select(
+                F.lit(1).alias("user_id"),
+                F.col("id").alias("seq"),
+                (F.col("id") * 1.0).alias("value"),
+                F.lit("a").alias("event_type"),
+                F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias("ts"),
+            )
+            .write.parquet(ev)
+        )
+        r = _cli(
+            [
+                "trajectory", "--events", ev, "--out", str(tmp_path / "o2"),
+                "--order-by", "seq", "--ts-col", "ts", "--features",
+                "--length", "4", "--stride", "2",
+            ]
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert os.path.isdir(str(tmp_path / "o2" / "features"))
+
+
+class TestRecoverCli:
+    def test_recover_verb_completes_journal(self, spark, tmp_path):
+        import json
+        import os
+
+        p = str(tmp_path / "rc")
+        spark.range(0, 40).selectExpr("id", "id AS val").repartition(
+            2
+        ).write.parquet(p)
+        files = sorted(
+            f
+            for f in os.listdir(p)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+        victim = os.path.join(p, files[0])
+        victim_rows = {
+            (r["id"], r["val"]) for r in spark.read.parquet(victim).collect()
+        }
+        tmp = p + "__merge_tmp"
+        spark.createDataFrame(
+            sorted(victim_rows), ["id", "val"]
+        ).coalesce(1).write.parquet(tmp)
+        staged = next(
+            f
+            for f in os.listdir(tmp)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+        with open(os.path.join(p, "__merge_pending.json"), "w") as fh:
+            json.dump({"add": [staged], "delete": [victim]}, fh)
+        r = _cli(["recover", "--path", p])
+        assert r.returncode == 0, r.stderr[-2000:]
+        out = json.loads(r.stdout.strip().splitlines()[-1])
+        assert out["journal_completed"] is True
+        assert spark.read.parquet(p).count() == 40
+        assert not os.path.exists(os.path.join(p, "__merge_pending.json"))
