@@ -1173,6 +1173,43 @@ def decontam_overlap_bloom(
     )
 
 
+@register(
+    "decontam_overlap_bloom",
+    oracle=f"""
+WITH corpus AS ({_CORPUS_SQL}),
+probe_sh AS (
+  SELECT DISTINCT unnest({_shingle_sql(_DECONTAM_N)}) AS s
+  FROM corpus
+  WHERE doc_id < 1000000 AND doc_id % {_PROBE_MOD} = {_PROBE_REM}
+),
+cand AS (
+  SELECT doc_id, unnest({_shingle_sql(_DECONTAM_N)}) AS s
+  FROM corpus
+  WHERE NOT (doc_id < 1000000 AND doc_id % {_PROBE_MOD} = {_PROBE_REM})
+)
+SELECT c.doc_id, count(*) AS n_overlap
+FROM cand c JOIN probe_sh p ON c.s = p.s
+GROUP BY c.doc_id
+""",
+)
+def decontam_overlap_bloom_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Library/oracle wrapper for :func:`decontam_overlap_bloom` (r6
+    verdict: the Bloom path was pytest-only). The oracle is the EXACT
+    overlap SQL — shared verbatim with decontam_probe_overlap — because
+    the Bloom prefilter provably cannot change the output: no false
+    negatives, and every surviving candidate is exact-verified by the
+    final join, so false positives cost work, never rows. Running it
+    against the exact oracle at the default fpp therefore checks the
+    whole contract, not a planted fpp=0 special case."""
+    corpus = _corpus(spark, sf_dir)
+    is_probe = (F.col("doc_id") < 1000000) & (
+        F.col("doc_id") % _PROBE_MOD == _PROBE_REM
+    )
+    return decontam_overlap_bloom(
+        corpus.filter(~is_probe), corpus.filter(is_probe)
+    )
+
+
 def _pos_shingle_sql(n: int) -> str:
     """DuckDB expression: list of {pos, s} structs of POSITIONAL word
     n-gram shingles (NOT distinct — span detection needs every position)."""

@@ -85,7 +85,10 @@ CONTRACT_FIRST: list[str] = [
     "decontam_overlap_spans",
     "dedup_embedding_cosine_lsh",
     "pack_sequences",
-    "pipeline_dedup_end_to_end",
+    # Round-7 rotation (proxy-drift check, ADVICE r4 cadence): parked in
+    # r6 after four green rounds, rotated BACK for a fresh direct row;
+    # funded by parking pipeline_dedup_end_to_end (see CONTRACT_EXCLUDE).
+    "dedup_ngram_jaccard",
     "window_reindex",
     "window_lag_monotonic",
     "window_first_last",
@@ -258,12 +261,21 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     # text_quality_score's regex projections.
     "text_fingerprint": "text_repetition_stats (same per-doc shingle "
     "aggregate family) + text_quality_score (same regex projections)",
-    # Green r2-r5 (4 rounds); df-capped inverted-index posting join on
-    # md5 shingles is dedup_minhash_lsh's candidate stage, and exact
-    # set-overlap counting per pair is decontam_overlap_spans' verify.
-    "dedup_ngram_jaccard": "dedup_minhash_lsh (same df-capped md5-"
-    "shingle posting join) + decontam_overlap_spans (same exact "
-    "shingle-overlap counting)",
+    # round-7: the Bloom-prefilter decontam is oracle-registered (the
+    # r6 verdict's pytest-only gap) but library-only — its output is
+    # PROVABLY identical to the exact-overlap plan (no false negatives;
+    # candidates exact-verified), and that exact plan's shape holds a
+    # contract slot; the Bloom row runs in check_contract --all.
+    "decontam_overlap_bloom": "decontam_overlap_spans (same probe cut "
+    "and exact shingle-overlap verify; Bloom prefilter cannot change "
+    "rows) + check_contract --all row",
+    # round-7 rotation: funds dedup_ngram_jaccard's rotation back in.
+    # Green r5+r6; the end-to-end funnel composes exactly its
+    # contract-covered stages (precedent: pipeline_corpus_curation and
+    # pipeline_stage_chain parks) and stays pytest-locked end to end.
+    "pipeline_dedup_end_to_end": "dedup_minhash_lsh (pairs stage) + "
+    "dedup_cluster_components (components stage) + dedup_exact "
+    "(keep-canonical agg) + pytest end-to-end assertions",
     # round-6 rotation #4: funds the split_leakage_safe slot. Green
     # r3-r5 (3 rounds); its batch plan IS dedup_exact's hash-group
     # aggregate, and the streaming stateful-agg machinery it wraps is

@@ -259,6 +259,121 @@ class TestMergeSchemaEvolution:
         assert len(rows) == 101
 
 
+class TestClusteredMergeLocality:
+    """r6 verdict item 6: lock in SCALING.md's layout claim — a
+    contiguous-key-range MERGE touches ~all files of a hash-scattered
+    layout but ~1 file of a cluster_write (range-clustered) layout."""
+
+    N_ROWS = 10_000
+    N_FILES = 20
+
+    def _updates(self, spark):
+        # contiguous key range 100..149 — the shape of a late-arriving
+        # correction batch for one ingest window
+        return spark.range(100, 150).selectExpr("id", "-id AS val")
+
+    def test_touched_files_hash_vs_clustered(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.merge import (
+            cluster_write,
+            merge_into,
+        )
+
+        base = spark.range(0, self.N_ROWS).selectExpr("id", "id AS val")
+
+        hashed = str(tmp_path / "hashed")
+        base.repartition(self.N_FILES).write.parquet(hashed)
+        clustered = str(tmp_path / "clustered")
+        cluster_write(base, clustered, by="id", n_files=self.N_FILES)
+
+        s_hash = merge_into(spark, hashed, self._updates(spark), key="id")
+        s_clus = merge_into(spark, clustered, self._updates(spark), key="id")
+
+        # hash layout scatters 50 contiguous keys across ~every file
+        assert s_hash["files_touched"] >= self.N_FILES - 2
+        # range-clustered layout: 50 contiguous keys of 10k over 20
+        # files (~500 keys/file) live in 1 file (2 if straddling a cut)
+        assert s_clus["files_touched"] <= 2
+        assert s_hash["rows_matched"] == s_clus["rows_matched"] == 50
+
+        # identical final content on both layouts
+        expect = {(i, -i if 100 <= i < 150 else i) for i in range(self.N_ROWS)}
+        for p in (hashed, clustered):
+            got = {(r["id"], r["val"]) for r in spark.read.parquet(p).collect()}
+            assert got == expect
+
+
+class TestSketchProfileAccuracy:
+    """r6 verdict item 7: stated error invariants for the mergeable
+    profile — HLL relative error within 3·1.04/√(2^lgK) of exact, and
+    merged per-batch profiles estimate EXACTLY like one whole-corpus
+    profile (HLL register union is lossless for set union)."""
+
+    # Spark's hll_sketch_agg default lgConfigK = 12
+    _REL_ERR = 3 * 1.04 / (2 ** 12) ** 0.5
+
+    def _corpus(self, spark):
+        from pyspark.sql import functions as F
+
+        return spark.range(0, 30_000).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 997).alias("bucket"),
+            F.concat(F.lit("s"), (F.col("id") % 5000).cast("string")).alias("tag"),
+        )
+
+    def test_estimate_within_hll_error_bound(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.profile import (
+            profile_estimates,
+            profile_frame_sketch,
+        )
+
+        df = self._corpus(spark)
+        est = {
+            r["column_name"]: r
+            for r in profile_estimates(
+                profile_frame_sketch(df, ["doc_id", "bucket", "tag"])
+            ).collect()
+        }
+        exact = {"doc_id": 30_000, "bucket": 997, "tag": 5000}
+        for c, n in exact.items():
+            rel = abs(est[c]["n_distinct_est"] - n) / n
+            assert rel <= self._REL_ERR, f"{c}: rel err {rel:.4f} > bound"
+        # counts and numeric extremes are exact, not estimated
+        assert est["doc_id"]["n_rows"] == 30_000
+        assert est["doc_id"]["min_val"] == "0"
+        assert est["doc_id"]["max_val"] == "29999"
+
+    def test_merged_batches_equal_whole_corpus(self, spark):
+        from pyspark.sql import functions as F
+
+        from imitation_learning_data_pipeline_spark.plans.profile import (
+            merge_profiles,
+            profile_estimates,
+            profile_frame_sketch,
+        )
+
+        df = self._corpus(spark)
+        cols = ["doc_id", "bucket", "tag"]
+        whole = profile_estimates(
+            merge_profiles(profile_frame_sketch(df, cols))
+        ).collect()
+
+        batches = [
+            profile_frame_sketch(df.filter(F.col("doc_id") % 3 == i), cols)
+            for i in range(3)
+        ]
+        unioned = batches[0].unionByName(batches[1]).unionByName(batches[2])
+        merged = profile_estimates(merge_profiles(unioned)).collect()
+
+        key = lambda rows: {
+            r["column_name"]: (
+                r["n_rows"], r["n_null"], r["n_distinct_est"],
+                r["min_val"], r["max_val"],
+            )
+            for r in rows
+        }
+        assert key(merged) == key(whole)
+
+
 def _cli(args, cwd="/root/repo"):
     import subprocess
     import sys
