@@ -415,16 +415,29 @@ def cmd_dedup(args: argparse.Namespace) -> int:
 
 
 def cmd_compact(args: argparse.Namespace) -> int:
-    """Small-file compaction from the shell (pipeline/compact.py)."""
-    from .pipeline.compact import compact
+    """Small-file compaction from the shell (pipeline/compact.py):
+    whole-dataset rewrite by default, or maintenance mode
+    (--sprawling-only) that rewrites just the partitions whose file
+    count exceeds the sprawl threshold."""
+    from .pipeline.compact import compact, compact_sprawling
 
     spark = _spark("compact")
-    stats = compact(
-        spark,
-        args.path,
-        target_bytes=args.target_mb * 1024 * 1024,
-        partition_col=args.partition_col.split(",") if args.partition_col else None,
-    )
+    part_cols = args.partition_col.split(",") if args.partition_col else None
+    if args.sprawling_only:
+        stats = compact_sprawling(
+            spark,
+            args.path,
+            target_bytes=args.target_mb * 1024 * 1024,
+            partition_col=part_cols,
+            sprawl_factor=args.sprawl_factor,
+        )
+    else:
+        stats = compact(
+            spark,
+            args.path,
+            target_bytes=args.target_mb * 1024 * 1024,
+            partition_col=part_cols,
+        )
     print(json.dumps({"path": args.path, **stats}))
     return 0
 
@@ -705,6 +718,14 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--path", required=True)
     c.add_argument("--target-mb", type=int, default=128)
     c.add_argument("--partition-col", default=None)
+    c.add_argument(
+        "--sprawling-only",
+        action="store_true",
+        help="maintenance mode: rewrite only first-level partitions whose "
+        "file count exceeds --sprawl-factor x their ideal count "
+        "(cost scales with the sprawl, not the table)",
+    )
+    c.add_argument("--sprawl-factor", type=float, default=2.0)
     c.set_defaults(fn=cmd_compact)
 
     mg = sub.add_parser(

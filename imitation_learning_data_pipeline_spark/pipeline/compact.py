@@ -43,16 +43,18 @@ def _fs(spark: SparkSession, path: str):
     return jpath.getFileSystem(conf), jpath
 
 
-def _list_parquet(spark: SparkSession, path: str) -> tuple[int, int, dict[str, int]]:
+def _list_parquet(
+    spark: SparkSession, path: str
+) -> tuple[int, int, dict[str, tuple[int, int]]]:
     """Recursive parquet listing: (total_bytes, file_count,
-    {first-level "col=value" dir: bytes}). One driver-side metadata
-    scan — the same Hadoop FileSystem route as ``spread()``
+    {first-level "col=value" dir: (bytes, files)}). One driver-side
+    metadata scan — the same Hadoop FileSystem route as ``spread()``
     (sources/readers.py), so it sizes correctly off local disk too."""
     fs, jpath = _fs(spark, path)
     root = fs.makeQualified(jpath).toString().rstrip("/")
     it = fs.listFiles(jpath, True)
     total = files = 0
-    by_dir: dict[str, int] = {}
+    by_dir: dict[str, tuple[int, int]] = {}
     while it.hasNext():
         st = it.next()
         p = st.getPath().toString()
@@ -65,7 +67,8 @@ def _list_parquet(spark: SparkSession, path: str) -> tuple[int, int, dict[str, i
         rel = p[len(root) + 1 :] if p.startswith(root + "/") else name
         top = rel.split("/", 1)[0]
         if "=" in top:
-            by_dir[top] = by_dir.get(top, 0) + sz
+            b, n_f = by_dir.get(top, (0, 0))
+            by_dir[top] = (b + sz, n_f + 1)
     return total, files, by_dir
 
 
@@ -204,7 +207,7 @@ def _compact_locked(
         prefix = f"{part_cols[0]}="
         slices = {
             d[len(prefix) :]: max(1, math.ceil(b / target_bytes))
-            for d, b in by_dir.items()
+            for d, (b, _nf) in by_dir.items()
             if d.startswith(prefix)
         }
         if slices:
@@ -272,3 +275,87 @@ def _compact_locked(
     _rm(fs, jvm_path, old)
     _, after, _ = _list_parquet(spark, path)
     return {"files_before": before, "files_after": after, "bytes": total}
+
+
+def compact_sprawling(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    partition_col: str | list[str] | None = None,
+    sprawl_factor: float = 2.0,
+    partitions: list[str] | None = None,
+    stale_lock_s: float | None = None,
+) -> dict:
+    """Selective maintenance compaction for Hive-partitioned layouts:
+    rewrite ONLY the first-level partitions whose file count exceeds
+    ``sprawl_factor ×`` their ideal ``ceil(bytes/target)`` — the shape
+    continuous ingest actually needs. :func:`compact` rewrites the WHOLE
+    dataset; on a 100 TB table where one hot ingest partition sprawled
+    into thousands of micro-files, that is a full-table rewrite to fix a
+    0.1% problem. Here cost is ∝ the sprawl: untouched partitions keep
+    their bytes and mtimes, and each selected partition swaps
+    independently (its subtree is a standalone parquet dataset, so the
+    rewrite IS :func:`compact`'s slice plan recursed one level down,
+    inner layout levels preserved via ``partition_col[1:]``).
+
+    ``partitions`` overrides the sprawl heuristic with an explicit list
+    of first-level dir names (``["split=train"]``). ``partition_col``
+    names ALL layout levels, like :func:`compact`. Holds the table's
+    maintenance lock across every per-partition swap. Returns
+    {partitions_total, partitions_selected, selected, files_before,
+    files_after, bytes_rewritten}.
+    """
+    path = path.rstrip("/")
+    part_cols = (
+        [partition_col] if isinstance(partition_col, str) else list(partition_col or [])
+    )
+    fs, jpath = _fs(spark, path)
+    jvm_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    _acquire_lock(spark, fs, jvm_path, path, "compact_sprawling", stale_lock_s)
+    try:
+        _total, before_all, by_dir = _list_parquet(spark, path)
+        if not by_dir:
+            raise ValueError(
+                f"compact_sprawling: {path} has no first-level col=value "
+                "partitions; use compact() for flat layouts"
+            )
+        if part_cols:
+            prefix = f"{part_cols[0]}="
+            wrong = [d for d in by_dir if not d.startswith(prefix)]
+            if wrong:
+                raise ValueError(
+                    f"compact_sprawling: partition_col={part_cols} but the "
+                    f"layout's first level is {wrong[0].split('=')[0]}="
+                )
+        if partitions is not None:
+            missing = [d for d in partitions if d not in by_dir]
+            if missing:
+                raise ValueError(
+                    f"compact_sprawling: no such partitions: {missing}"
+                )
+            selected = list(partitions)
+        else:
+            selected = sorted(
+                d
+                for d, (b, n_f) in by_dir.items()
+                if n_f > sprawl_factor * max(1, math.ceil(b / target_bytes))
+            )
+        inner = part_cols[1:] if len(part_cols) > 1 else None
+        rewritten_bytes = 0
+        files_before = files_after = 0
+        for d in selected:
+            b, n_f = by_dir[d]
+            rewritten_bytes += b
+            files_before += n_f
+            sub = _compact_locked(spark, f"{path}/{d}", target_bytes, inner)
+            files_after += sub["files_after"]
+        return {
+            "partitions_total": len(by_dir),
+            "partitions_selected": len(selected),
+            "selected": selected,
+            "files_before": files_before,
+            "files_after": files_after,
+            "bytes_rewritten": rewritten_bytes,
+        }
+    finally:
+        fs.delete(jvm_path(_lock_path(path)), False)

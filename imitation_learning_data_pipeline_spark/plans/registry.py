@@ -269,6 +269,14 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     "decontam_overlap_bloom": "decontam_overlap_spans (same probe cut "
     "and exact shingle-overlap verify; Bloom prefilter cannot change "
     "rows) + check_contract --all row",
+    # round-7: deterministic shuffled shard export. Library-only (cap):
+    # its md5→unit-interval assignment is scalar_hash_split's retained
+    # family and its rank-within-partition is window_rank_ntile's; the
+    # full permutation is oracle-checked in check_contract --all, and
+    # the writer's file order is pytest-locked.
+    "export_shard_plan": "scalar_hash_split (same seeded md5 unit-"
+    "interval assignment family) + window_rank_ntile (same rank-within-"
+    "partition window) + check_contract --all row",
     # round-7 rotation: funds dedup_ngram_jaccard's rotation back in.
     # Green r5+r6; the end-to-end funnel composes exactly its
     # contract-covered stages (precedent: pipeline_corpus_curation and

@@ -428,6 +428,107 @@ def leakage_safe_splits(
     )
 
 
+# --- deterministic shuffled shard export -------------------------------------
+
+_N_SHARDS = 16
+_SHARD_SEED = "shard7"
+_ORDER_SEED = "order7"
+
+
+def shard_plan(
+    docs: DataFrame,
+    n_shards: int = _N_SHARDS,
+    id_col: str = "doc_id",
+    shard_seed: str = _SHARD_SEED,
+    order_seed: str = _ORDER_SEED,
+) -> DataFrame:
+    """Deterministic global-shuffle plan for training export:
+    ``(doc_id, shard, shard_rank)`` where shard = ⌊u₁·n⌋ and shard_rank
+    is the doc's position inside its shard under a SECOND seeded hash —
+    together a reproducible random permutation of the corpus, sharded.
+
+    Training ingest wants the corpus in random order but the pipeline
+    wants that order to be a pure function of (doc_id, seed): re-exports
+    after an upstream fix produce the identical byte layout, and two
+    sites exporting independently agree. ``df.orderBy(rand())`` gives
+    neither; a global ``orderBy`` over 100 TB is also the plan you never
+    want. This shape is ONE hash-shuffle on the shard key plus an
+    in-shard sort of corpus/n rows per task — no global sort, no driver
+    involvement, shard sizes balanced by the uniformity of md5.
+    """
+    from pyspark.sql.window import Window
+
+    u1 = md5_unit_interval(id_col, seed=shard_seed)
+    u2 = md5_unit_interval(id_col, seed=order_seed)
+    w = Window.partitionBy("shard").orderBy("u2", id_col)
+    return (
+        docs.select(id_col, u1.alias("u1"), u2.alias("u2"))
+        .withColumn("shard", F.floor(F.col("u1") * n_shards).cast("long"))
+        .withColumn("shard_rank", F.row_number().over(w).cast("long"))
+        .select(id_col, "shard", "shard_rank")
+    )
+
+
+def export_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = _N_SHARDS,
+    id_col: str = "doc_id",
+    shard_seed: str = _SHARD_SEED,
+    order_seed: str = _ORDER_SEED,
+) -> None:
+    """Write ``df`` as a deterministically shuffled, sharded training
+    export: ``shard=N`` Hive partitions, one file per shard, rows inside
+    each file in the :func:`shard_plan` order.
+
+    One ``repartition(n, shard)`` shuffle + ``sortWithinPartitions`` —
+    partitionBy then streams each task's (already sorted) rows into its
+    shard file, so file order == plan order without any window or rank
+    materialization. Deterministic end to end: same input + seeds →
+    byte-stable shard membership and row order.
+    """
+    u1 = md5_unit_interval(id_col, seed=shard_seed)
+    u2 = md5_unit_interval(id_col, seed=order_seed)
+    (
+        df.withColumn("shard", F.floor(u1 * n_shards).cast("long"))
+        .withColumn("__u2", u2)
+        .repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "__u2", id_col)
+        .drop("__u2")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+@register(
+    "export_shard_plan",
+    oracle=f"""
+WITH u AS (
+  SELECT doc_id,
+         {_U_SQL.format(seed=_SHARD_SEED)} AS u1,
+         {_U_SQL.format(seed=_ORDER_SEED)} AS u2
+  FROM documents
+)
+SELECT doc_id,
+       CAST(floor(u1 * {_N_SHARDS}) AS BIGINT) AS shard,
+       CAST(row_number() OVER (
+         PARTITION BY CAST(floor(u1 * {_N_SHARDS}) AS BIGINT)
+         ORDER BY u2, doc_id
+       ) AS BIGINT) AS shard_rank
+FROM u
+""",
+)
+def export_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Library/oracle wrapper: :func:`shard_plan` over the documents
+    table. Both hashes are the repo's md5→top-32-bits→unit-interval
+    recipe (functions/hashing.py), so shard and rank are bit-identical
+    across engines — the whole export permutation is oracle-checked."""
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return shard_plan(docs)
+
+
 @register("split_leakage_safe", oracle=_leakage_oracle())
 def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/val/test assignment that cannot leak near-duplicates across

@@ -259,6 +259,236 @@ class TestMergeSchemaEvolution:
         assert len(rows) == 101
 
 
+class TestCompactSprawling:
+    """Selective maintenance compaction: only sprawling partitions
+    rewrite — cost ∝ sprawl, untouched partitions keep bytes/mtimes."""
+
+    def _build(self, spark, p):
+        from pyspark.sql import functions as F
+
+        # split=a: 40 micro-files (sprawled); split=b: 1 file (healthy)
+        (
+            spark.range(0, 4000)
+            .select(F.col("id"), F.lit("a").alias("split"))
+            .repartition(40)
+            .write.partitionBy("split")
+            .parquet(p)
+        )
+        (
+            spark.range(4000, 5000)
+            .select(F.col("id"), F.lit("b").alias("split"))
+            .coalesce(1)
+            .write.mode("append")
+            .partitionBy("split")
+            .parquet(p)
+        )
+
+    @staticmethod
+    def _dir_state(d):
+        import os
+
+        out = {}
+        for root, _, names in os.walk(d):
+            for n in names:
+                if n.endswith(".parquet"):
+                    fp = os.path.join(root, n)
+                    out[fp] = (os.path.getsize(fp), os.path.getmtime(fp))
+        return out
+
+    def test_only_sprawled_partition_rewrites(self, spark, tmp_path):
+        import os
+
+        from imitation_learning_data_pipeline_spark.pipeline.compact import (
+            compact_sprawling,
+        )
+
+        p = str(tmp_path / "t")
+        self._build(spark, p)
+        healthy_before = self._dir_state(os.path.join(p, "split=b"))
+        stats = compact_sprawling(
+            spark, p, target_bytes=64 * 1024 * 1024, partition_col="split"
+        )
+        assert stats["selected"] == ["split=a"]
+        assert stats["partitions_total"] == 2
+        assert stats["files_before"] == 40 and stats["files_after"] == 1
+        # healthy partition byte-and-mtime identical
+        assert self._dir_state(os.path.join(p, "split=b")) == healthy_before
+        # data intact, layout intact
+        df = spark.read.parquet(p)
+        assert df.count() == 5000
+        assert {r["split"] for r in df.select("split").distinct().collect()} == {
+            "a", "b",
+        }
+        # idempotent: second maintenance pass selects nothing
+        stats2 = compact_sprawling(
+            spark, p, target_bytes=64 * 1024 * 1024, partition_col="split"
+        )
+        assert stats2["partitions_selected"] == 0
+
+    def test_explicit_partition_list_and_flat_raise(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from imitation_learning_data_pipeline_spark.pipeline.compact import (
+            compact_sprawling,
+        )
+
+        p = str(tmp_path / "t2")
+        self._build(spark, p)
+        stats = compact_sprawling(
+            spark, p, partition_col="split", partitions=["split=b"]
+        )
+        assert stats["selected"] == ["split=b"]
+        with _pytest.raises(ValueError, match="no such partitions"):
+            compact_sprawling(
+                spark, p, partition_col="split", partitions=["split=zzz"]
+            )
+        flat = str(tmp_path / "flat")
+        spark.range(0, 10).write.parquet(flat)
+        with _pytest.raises(ValueError, match="no first-level"):
+            compact_sprawling(spark, flat)
+
+    def test_multilevel_inner_layout_preserved(self, spark, tmp_path):
+        import os
+
+        from pyspark.sql import functions as F
+
+        from imitation_learning_data_pipeline_spark.pipeline.compact import (
+            compact_sprawling,
+        )
+
+        p = str(tmp_path / "ml")
+        (
+            spark.range(0, 2000)
+            .select(
+                "id",
+                F.lit("train").alias("split"),
+                (F.col("id") % 2).cast("string").alias("chunk"),
+            )
+            .repartition(20)
+            .write.partitionBy("split", "chunk")
+            .parquet(p)
+        )
+        stats = compact_sprawling(
+            spark, p, partition_col=["split", "chunk"]
+        )
+        assert stats["selected"] == ["split=train"]
+        # inner chunk= level survives the rewrite
+        inner = sorted(os.listdir(os.path.join(p, "split=train")))
+        assert [d for d in inner if d.startswith("chunk=")] == [
+            "chunk=0", "chunk=1",
+        ]
+        df = spark.read.parquet(p)
+        assert df.count() == 2000
+        assert set(df.columns) == {"id", "split", "chunk"}
+
+    def test_respects_maintenance_lock(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from imitation_learning_data_pipeline_spark.pipeline.compact import (
+            ConcurrentMaintenanceError,
+            compact_sprawling,
+        )
+
+        p = str(tmp_path / "lk")
+        self._build(spark, p)
+        with open(p + "__maintenance_lock", "w") as fh:
+            fh.write("{}")
+        with _pytest.raises(ConcurrentMaintenanceError):
+            compact_sprawling(spark, p, partition_col="split")
+
+
+class TestShardExport:
+    """Deterministic shuffled shard export: reproducible permutation,
+    one file per shard, file order == plan order."""
+
+    def test_plan_is_deterministic_and_balanced(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.sampling import (
+            shard_plan,
+        )
+
+        docs = spark.range(0, 5000).selectExpr("id AS doc_id")
+        p1 = shard_plan(docs, n_shards=8).collect()
+        p2 = shard_plan(docs, n_shards=8).collect()
+        assert sorted(map(tuple, p1)) == sorted(map(tuple, p2))
+        by_shard = {}
+        for r in p1:
+            by_shard.setdefault(r["shard"], []).append(r["shard_rank"])
+        assert set(by_shard) == set(range(8))
+        # ranks are a contiguous 1..k permutation per shard
+        for s, ranks in by_shard.items():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        # md5 uniformity: no shard more than 2x the mean
+        sizes = [len(v) for v in by_shard.values()]
+        assert max(sizes) < 2 * (5000 / 8)
+
+    def test_export_matches_plan_order(self, spark, tmp_path):
+        import os
+
+        from imitation_learning_data_pipeline_spark.plans.sampling import (
+            export_shards,
+            shard_plan,
+        )
+
+        docs = spark.range(0, 2000).selectExpr("id AS doc_id", "id * 2 AS val")
+        out = str(tmp_path / "shards")
+        export_shards(docs, out, n_shards=4)
+        shard_dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+        assert shard_dirs == [f"shard={i}" for i in range(4)]
+        plan = shard_plan(docs.select("doc_id"), n_shards=4).collect()
+        expect = {}
+        for r in plan:
+            expect.setdefault(r["shard"], []).append(
+                (r["shard_rank"], r["doc_id"])
+            )
+        for s, pairs in expect.items():
+            files = [
+                f
+                for f in os.listdir(os.path.join(out, f"shard={s}"))
+                if f.endswith(".parquet")
+            ]
+            assert len(files) == 1  # one file per shard
+            got = [
+                r["doc_id"]
+                for r in spark.read.parquet(
+                    os.path.join(out, f"shard={s}", files[0])
+                ).collect()
+            ]
+            want = [d for _, d in sorted(pairs)]
+            assert got == want  # file row order == plan order
+            # carried columns survive
+        total = spark.read.parquet(out)
+        assert total.count() == 2000
+        assert set(total.columns) == {"doc_id", "val", "shard"}
+
+    def test_reexport_is_byte_stable(self, spark, tmp_path):
+        import hashlib
+        import os
+
+        from imitation_learning_data_pipeline_spark.plans.sampling import (
+            export_shards,
+        )
+
+        docs = spark.range(0, 1000).selectExpr("id AS doc_id")
+
+        def digest(root):
+            out = {}
+            for d in sorted(os.listdir(root)):
+                if not d.startswith("shard="):
+                    continue
+                h = hashlib.md5()
+                for f in sorted(os.listdir(os.path.join(root, d))):
+                    if f.endswith(".parquet"):
+                        with open(os.path.join(root, d, f), "rb") as fh:
+                            h.update(fh.read())
+                out[d] = h.hexdigest()
+            return out
+
+        a, b = str(tmp_path / "a"), str(tmp_path / "b")
+        export_shards(docs, a, n_shards=4)
+        export_shards(docs, b, n_shards=4)
+        assert digest(a) == digest(b)
+
+
 class TestClusteredMergeLocality:
     """r6 verdict item 6: lock in SCALING.md's layout claim — a
     contiguous-key-range MERGE touches ~all files of a hash-scattered
