@@ -309,6 +309,83 @@ def run_incremental_dedup_stream(
     q.awaitTermination()
 
 
+def run_streaming_merge_stream(
+    stream_updates: DataFrame,
+    target_path: str,
+    key: str | list[str],
+    checkpoint: str,
+    partition_by: list[str] | None = None,
+    order_col: str | None = None,
+) -> None:
+    """Continuous CDC upsert: each micro-batch of keyed update rows
+    MERGEs into the parquet table at ``target_path`` via the file-level
+    copy-on-write :func:`~..pipeline.merge.merge_into` — the streaming
+    half of the change-data-capture story (the batch half is the CLI
+    ``merge`` verb). Per trigger, cost ∝ touched files, never the table:
+    a 100 TB table absorbing a 1 GB update batch rewrites ~the files
+    holding those keys.
+
+    ``order_col``: CDC feeds often carry several versions of one key in
+    a batch; when named, the LAST version per key (max order_col, doc_id
+    of the window is the key itself) wins before the merge — without it
+    the caller guarantees per-batch key uniqueness (merge_into's own
+    precondition).
+
+    Effectively-exactly-once: the checkpoint pins source offsets, and a
+    replayed batch re-merges the SAME updates — merge_into is
+    key-idempotent (replace-by-key), so replay converges to the state
+    the first run committed (pytest drives a no-op replay). A crash
+    mid-commit is completed by the journal on the next trigger's merge
+    (or by ``recover()``); the maintenance lock serializes the merge
+    against any concurrent compact on the same table.
+
+    First-ever batch bootstraps the table (plain write, ``partition_by``
+    layout). Runs with Trigger.availableNow and blocks until drained;
+    call again with the same checkpoint as new data lands.
+    """
+    spark = stream_updates.sparkSession
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        from ..pipeline.compact import _fs
+        from ..pipeline.merge import merge_into
+
+        src = batch_df.persist()
+        try:
+            if src.isEmpty():
+                return
+            upd = src
+            if order_col is not None:
+                from pyspark.sql.window import Window
+
+                w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+                upd = (
+                    upd.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1)
+                    .drop("__rn")
+                )
+            fs, jp = _fs(spark, target_path)
+            if not fs.exists(jp):
+                writer = upd.write.mode("overwrite")
+                if partition_by:
+                    writer = writer.partitionBy(*partition_by)
+                writer.parquet(target_path)
+            else:
+                merge_into(
+                    spark, target_path, upd, key=keys, partition_by=partition_by
+                )
+        finally:
+            src.unpersist()
+
+    q = (
+        stream_updates.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 # --- custom stateful operator: bounded-state approx distinct -----------------
 #
 # The one streaming shape the built-in operators can't express: a
