@@ -196,3 +196,158 @@ def profile_estimates(profile: DataFrame) -> DataFrame:
         F.coalesce(_render_num(F.col("min_num")), F.col("min_str")).alias("min_val"),
         F.coalesce(_render_num(F.col("max_num")), F.col("max_str")).alias("max_val"),
     )
+
+
+# --- declarative expectations ------------------------------------------------
+#
+# The generalization of the reference's hand-written validate checks
+# (validate_refactored.py: fps tolerance, row-count equality, null
+# scans): a rule set declared as named boolean expressions, ALL
+# evaluated in ONE corpus pass — the Great-Expectations-style contract
+# check every ingest gate runs. A rule's violation count is a map-side
+# conditional sum, so 50 rules cost one scan, not 50.
+
+
+def check_expectations(
+    df: DataFrame, rules: list[tuple[str, Column | str]]
+) -> DataFrame:
+    """Evaluate named row-level expectations in one aggregate pass →
+    one row per rule: ``(rule, n_rows, n_violations, pass)``.
+
+    ``rules``: (name, boolean Column or SQL expression string). NULL
+    predicate results count as violations (an expectation that cannot
+    be evaluated on a row is not met by it — the conservative gate
+    semantics); write ``coalesce(pred, true)`` in the rule to opt a
+    rule out of that.
+
+    Scale shape: every rule compiles to ``sum(NOT coalesce(pred,
+    false))`` inside ONE whole-stage-codegen aggregate over a single
+    scan; the result is #rules rows. Adding a rule adds a projection,
+    never a pass.
+    """
+    if not rules:
+        raise ValueError("check_expectations: no rules")
+    aggs: list[Column] = [F.count("*").alias("n_rows")]
+    for i, (_name, pred) in enumerate(rules):
+        p = F.expr(pred) if isinstance(pred, str) else pred
+        aggs.append(
+            F.sum((~F.coalesce(p, F.lit(False))).cast("long")).alias(f"r{i}__viol")
+        )
+    one = df.agg(*aggs)
+    stack_args = [
+        f"'{name.replace(chr(39), chr(92) + chr(39))}', r{i}__viol"
+        for i, (name, _p) in enumerate(rules)
+    ]
+    return (
+        one.selectExpr(
+            "n_rows",
+            f"stack({len(rules)}, {', '.join(stack_args)}) AS (rule, n_violations)",
+        )
+        .select(
+            "rule",
+            "n_rows",
+            "n_violations",
+            (F.col("n_violations") == 0).alias("pass"),
+        )
+    )
+
+
+_EXPECT_RULES: list[tuple[str, str]] = [
+    ("doc_id_not_null", "doc_id IS NOT NULL"),
+    ("doc_id_positive", "doc_id >= 0"),
+    ("text_not_empty", "length(text) > 0"),
+    ("lang_is_iso2", "lang RLIKE '^[a-z]{2}$'"),
+    ("n_chars_matches_text", "n_chars = length(text)"),
+    ("source_known", "source IN ('web', 'wiki', 'code', 'news', 'chat')"),
+]
+
+
+def _expect_oracle() -> str:
+    parts = []
+    sql_rules = {
+        "doc_id_not_null": "doc_id IS NOT NULL",
+        "doc_id_positive": "doc_id >= 0",
+        "text_not_empty": "len(text) > 0",
+        "lang_is_iso2": "regexp_matches(lang, '^[a-z]{2}$')",
+        "n_chars_matches_text": "n_chars = len(text)",
+        "source_known": "source IN ('web', 'wiki', 'code', 'news', 'chat')",
+    }
+    for name, pred in sql_rules.items():
+        parts.append(
+            f"""SELECT '{name}' AS rule,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (WHERE NOT coalesce({pred}, false)) AS BIGINT)
+         AS n_violations,
+       count(*) FILTER (WHERE NOT coalesce({pred}, false)) = 0 AS pass
+FROM documents"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@register("validate_expectations", oracle=_expect_oracle())
+def validate_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Library/oracle wrapper: the declarative rule set over the
+    documents table — six expectations, one scan."""
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    return check_expectations(docs, list(_EXPECT_RULES))
+
+
+# --- profile drift -----------------------------------------------------------
+
+
+def profile_drift(
+    base: DataFrame,
+    current: DataFrame,
+    null_rate_tol: float = 0.05,
+    distinct_ratio_tol: float = 0.5,
+) -> DataFrame:
+    """Schema/distribution drift report between two profile-estimate
+    frames (:func:`profile_estimates` output): per column —
+    null-rate delta, distinct-count ratio, range expansion, and an
+    overall ``drifted`` flag. Input is #columns rows per side, so the
+    comparison is metadata-sized regardless of corpus size; with the
+    streaming profile store this is a continuous ingest-quality alarm
+    (compare yesterday's merged profile to today's) that never rescans.
+
+    Flags: ``null_rate_delta`` beyond ``null_rate_tol`` (absolute),
+    ``distinct_ratio`` outside [1−tol, 1+tol]·(rows ratio) — i.e.
+    cardinality growing/shrinking disproportionately to volume — or a
+    column appearing/disappearing (full-outer join nulls).
+    """
+    b = base.select(
+        F.col("column_name"),
+        F.col("n_rows").alias("b_rows"),
+        F.col("n_null").alias("b_null"),
+        F.col("n_distinct_est").alias("b_distinct"),
+    )
+    c = current.select(
+        F.col("column_name"),
+        F.col("n_rows").alias("c_rows"),
+        F.col("n_null").alias("c_null"),
+        F.col("n_distinct_est").alias("c_distinct"),
+    )
+    j = b.join(c, "column_name", "full_outer")
+    b_rate = F.col("b_null") / F.col("b_rows")
+    c_rate = F.col("c_null") / F.col("c_rows")
+    null_delta = c_rate - b_rate
+    rows_ratio = F.col("c_rows") / F.col("b_rows")
+    distinct_ratio = F.col("c_distinct") / F.col("b_distinct")
+    # distinct growth normalized by volume growth: 1.0 = proportional
+    norm_ratio = distinct_ratio / rows_ratio
+    missing = F.col("b_rows").isNull() | F.col("c_rows").isNull()
+    drifted = (
+        missing
+        | (F.abs(null_delta) > null_rate_tol)
+        | (norm_ratio < 1 - distinct_ratio_tol)
+        | (norm_ratio > 1 + distinct_ratio_tol)
+    )
+    return j.select(
+        "column_name",
+        F.round(null_delta, 6).alias("null_rate_delta"),
+        F.round(norm_ratio, 4).alias("distinct_volume_ratio"),
+        missing.alias("column_added_or_dropped"),
+        drifted.alias("drifted"),
+    )

@@ -277,6 +277,13 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     "export_shard_plan": "scalar_hash_split (same seeded md5 unit-"
     "interval assignment family) + window_rank_ntile (same rank-within-"
     "partition window) + check_contract --all row",
+    # round-7: declarative expectations. Library-only (cap): its plan
+    # IS pipeline_validate_orders' retained A1 one-pass conditional-sum
+    # aggregate (with a stack reshape, profile_documents' retained
+    # pattern); the six-rule row set is oracle-checked in --all.
+    "validate_expectations": "pipeline_validate_orders (same one-pass "
+    "conditional-sum aggregate, A1/A2) + profile_documents (same stack "
+    "unpivot) + check_contract --all row",
     # round-7 rotation: funds dedup_ngram_jaccard's rotation back in.
     # Green r5+r6; the end-to-end funnel composes exactly its
     # contract-covered stages (precedent: pipeline_corpus_curation and

@@ -397,6 +397,137 @@ class TestCompactSprawling:
             compact_sprawling(spark, p, partition_col="split")
 
 
+class TestExpectations:
+    """Declarative one-pass expectations: null-as-violation semantics,
+    single-scan plan, and rule outcomes."""
+
+    def test_rule_outcomes_and_null_semantics(self, spark):
+        from pyspark.sql import functions as F
+
+        from imitation_learning_data_pipeline_spark.plans.profile import (
+            check_expectations,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a", 10), (2, None, 20), (3, "c", None), (4, "d", -5)],
+            "id long, name string, score long",
+        )
+        out = {
+            r["rule"]: (r["n_violations"], r["pass"])
+            for r in check_expectations(
+                df,
+                [
+                    ("id_positive", "id > 0"),
+                    ("name_not_null", "name IS NOT NULL"),
+                    # score NULL → predicate NULL → violation
+                    ("score_nonneg", "score >= 0"),
+                    # opt-out of null-as-violation
+                    ("score_nonneg_lenient", "coalesce(score >= 0, true)"),
+                    ("always", F.lit(True)),
+                ],
+            ).collect()
+        }
+        assert out["id_positive"] == (0, True)
+        assert out["name_not_null"] == (1, False)
+        assert out["score_nonneg"] == (2, False)  # NULL + (-5)
+        assert out["score_nonneg_lenient"] == (1, False)  # only -5
+        assert out["always"] == (0, True)
+
+    def test_single_scan_plan(self, spark):
+        """50 rules must still be ONE aggregate over one scan — no
+        per-rule passes."""
+        import io
+        from contextlib import redirect_stdout
+
+        from imitation_learning_data_pipeline_spark.plans.profile import (
+            check_expectations,
+        )
+
+        df = spark.range(0, 10).selectExpr("id", "id * 2 AS v")
+        rules = [(f"r{i}", f"v >= {i}") for i in range(50)]
+        plan_df = check_expectations(df, rules)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            plan_df.explain("formatted")
+        plan = buf.getvalue()
+        assert plan.count("Scan ") + plan.count("Range ") <= 2  # one source
+        assert len(plan_df.collect()) == 50
+
+    def test_empty_rules_raise(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.profile import (
+            check_expectations,
+        )
+
+        with pytest.raises(ValueError, match="no rules"):
+            check_expectations(spark.range(1), [])
+
+
+class TestProfileDrift:
+    def _profile(self, spark, df, cols):
+        from imitation_learning_data_pipeline_spark.plans.profile import (
+            merge_profiles,
+            profile_estimates,
+            profile_frame_sketch,
+        )
+
+        return profile_estimates(merge_profiles(profile_frame_sketch(df, cols)))
+
+    def test_drift_flags(self, spark):
+        from pyspark.sql import functions as F
+
+        from imitation_learning_data_pipeline_spark.plans.profile import (
+            profile_drift,
+        )
+
+        base_df = spark.range(0, 10_000).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 100).alias("cat"),
+            F.lit("x").alias("stable"),
+        )
+        # current: same volume, but cat collapses to 3 values (cardinality
+        # crash) and stable gains 20% nulls (null-rate jump)
+        cur_df = spark.range(0, 10_000).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).alias("cat"),
+            F.when(F.col("id") % 5 == 0, None).otherwise(F.lit("x")).alias(
+                "stable"
+            ),
+        )
+        base = self._profile(spark, base_df, ["k", "cat", "stable"])
+        cur = self._profile(spark, cur_df, ["k", "cat", "stable"])
+        out = {
+            r["column_name"]: r for r in profile_drift(base, cur).collect()
+        }
+        assert out["k"]["drifted"] is False  # proportional, no nulls
+        assert out["cat"]["drifted"] is True  # cardinality crash
+        assert out["stable"]["drifted"] is True  # null-rate jump
+        assert abs(out["stable"]["null_rate_delta"] - 0.2) < 0.001
+        assert not out["k"]["column_added_or_dropped"]
+
+    def test_added_and_dropped_columns_flag(self, spark):
+        from pyspark.sql import functions as F
+
+        from imitation_learning_data_pipeline_spark.plans.profile import (
+            profile_drift,
+        )
+
+        b_df = spark.range(0, 100).select(
+            F.col("id").alias("k"), F.lit("x").alias("old_col")
+        )
+        c_df = spark.range(0, 100).select(
+            F.col("id").alias("k"), F.lit("y").alias("new_col")
+        )
+        base = self._profile(spark, b_df, ["k", "old_col"])
+        cur = self._profile(spark, c_df, ["k", "new_col"])
+        out = {
+            r["column_name"]: r for r in profile_drift(base, cur).collect()
+        }
+        assert out["old_col"]["column_added_or_dropped"] is True
+        assert out["old_col"]["drifted"] is True
+        assert out["new_col"]["column_added_or_dropped"] is True
+        assert out["k"]["drifted"] is False
+
+
 class TestStreamingMergeUpsert:
     """foreachBatch CDC upsert into a parquet table via merge_into:
     checkpointed arrivals, within-batch last-version-wins, bootstrap,

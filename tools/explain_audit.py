@@ -91,6 +91,13 @@ AUDIT = {
     # the one-pass multi-distinct profile compiles through Expand (exact
     # mode); swap to approx_count_distinct at 100 TB drops it.
     "profile_documents": {"want": ["Expand"], "max_exchanges": 2},
+    # deterministic shard export plan: ONE hash exchange on the shard
+    # key feeding the rank window — never a global sort (rangepartitioning
+    # = the orderBy-the-corpus anti-plan this operator exists to avoid).
+    "export_shard_plan": {
+        "max_exchanges": 1,
+        "forbid": ["rangepartitioning", "CartesianProduct"],
+    },
 }
 
 
