@@ -581,6 +581,62 @@ def cmd_merge(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_shards(args: argparse.Namespace) -> int:
+    """Deterministic shuffled shard export (plans/sampling.py): seeded
+    md5 permutation, shard=N Hive dirs, one file per shard, byte-stable
+    re-exports."""
+    from .plans.sampling import export_shards
+
+    spark = _spark("shards")
+    df = spark.read.parquet(args.input)
+    if args.id_col not in df.columns:
+        raise SystemExit(f"shards: --id-col {args.id_col!r} not in input")
+    export_shards(
+        df,
+        args.out,
+        n_shards=args.n_shards,
+        id_col=args.id_col,
+        shard_seed=args.seed,
+        order_seed=args.seed + ":order",
+    )
+    n = spark.read.parquet(args.out).count()
+    print(json.dumps({"out": args.out, "n_shards": args.n_shards, "rows": n}))
+    return 0
+
+
+def cmd_expect(args: argparse.Namespace) -> int:
+    """Declarative data-quality gate (plans/profile.py): named boolean
+    rules from a JSON file ({"rule_name": "sql predicate", ...}),
+    evaluated in ONE scan; --fail-on-violation makes a failing rule set
+    exit non-zero — the Airflow ingest-gate shape."""
+    from .plans.profile import check_expectations
+
+    with open(args.rules) as fh:
+        rules_doc = json.load(fh)
+    if not isinstance(rules_doc, dict) or not all(
+        isinstance(v, str) for v in rules_doc.values()
+    ):
+        raise SystemExit(
+            'expect: --rules must be a JSON object {"rule_name": "sql predicate"}'
+        )
+    spark = _spark("expect")
+    df = spark.read.parquet(args.path)
+    rows = check_expectations(df, list(rules_doc.items())).collect()
+    n_failed = 0
+    for r in rows:
+        print(json.dumps(r.asDict()))
+        if not r["pass"]:
+            n_failed += 1
+    print(
+        json.dumps(
+            {"path": args.path, "rules": len(rows), "failed": n_failed}
+        )
+    )
+    if args.fail_on_violation and n_failed:
+        return 1
+    return 0
+
+
 def cmd_recover(args: argparse.Namespace) -> int:
     """Complete a crashed merge commit's journal (pipeline/merge.py
     recover()) without running another merge — for one-shot pipelines
@@ -760,6 +816,39 @@ def build_parser() -> argparse.ArgumentParser:
     )
     rc.add_argument("--path", required=True, help="merge target dataset")
     rc.set_defaults(fn=cmd_recover)
+
+    sh = sub.add_parser(
+        "shards",
+        help="deterministic shuffled shard export for training ingest",
+    )
+    sh.add_argument("--input", required=True, help="parquet dataset to export")
+    sh.add_argument("--out", required=True, help="output root (shard=N dirs)")
+    sh.add_argument("--n-shards", type=int, default=16)
+    sh.add_argument("--id-col", default="doc_id")
+    sh.add_argument(
+        "--seed",
+        default="shard7",
+        help="permutation seed; same input + seed = byte-identical export",
+    )
+    sh.set_defaults(fn=cmd_shards)
+
+    ex = sub.add_parser(
+        "expect",
+        help="declarative data-quality gate: JSON rules, one scan, "
+        "per-rule violation counts",
+    )
+    ex.add_argument("--path", required=True, help="parquet dataset to check")
+    ex.add_argument(
+        "--rules",
+        required=True,
+        help='JSON file: {"rule_name": "sql predicate", ...}',
+    )
+    ex.add_argument(
+        "--fail-on-violation",
+        action="store_true",
+        help="exit 1 if any rule has violations (ingest-gate mode)",
+    )
+    ex.set_defaults(fn=cmd_expect)
 
     pf = sub.add_parser(
         "profile", help="per-column null/distinct/min/max profile of a parquet dataset"

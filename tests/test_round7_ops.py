@@ -943,6 +943,74 @@ class TestTrajectoryTsColCli:
         assert os.path.isdir(str(tmp_path / "o2" / "features"))
 
 
+class TestShardsCli:
+    def test_shards_roundtrip(self, spark, tmp_path):
+        import json
+        import os
+
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "out")
+        spark.range(0, 500).selectExpr("id AS doc_id", "id AS v").write.parquet(src)
+        r = _cli(
+            ["shards", "--input", src, "--out", out, "--n-shards", "4"]
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        stats = json.loads(r.stdout.strip().splitlines()[-1])
+        assert stats["rows"] == 500
+        dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+        assert dirs == [f"shard={i}" for i in range(4)]
+
+    def test_bad_id_col_rejected(self, spark, tmp_path):
+        src = str(tmp_path / "s2")
+        spark.range(0, 10).write.parquet(src)
+        r = _cli(
+            ["shards", "--input", src, "--out", str(tmp_path / "o2")]
+        )
+        assert r.returncode != 0
+        assert "--id-col" in r.stderr
+
+
+class TestExpectCli:
+    def test_gate_pass_and_fail(self, spark, tmp_path):
+        import json
+
+        src = str(tmp_path / "d")
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, None)], "id long, name string"
+        ).write.parquet(src)
+        rules = tmp_path / "rules.json"
+        rules.write_text(
+            json.dumps(
+                {"id_positive": "id > 0", "name_not_null": "name IS NOT NULL"}
+            )
+        )
+        # report mode: exit 0 even with violations
+        r = _cli(["expect", "--path", src, "--rules", str(rules)])
+        assert r.returncode == 0, r.stderr[-2000:]
+        lines = [json.loads(ln) for ln in r.stdout.strip().splitlines()]
+        summary = lines[-1]
+        assert summary["failed"] == 1
+        by_rule = {d["rule"]: d for d in lines[:-1]}
+        assert by_rule["id_positive"]["pass"] is True
+        assert by_rule["name_not_null"]["n_violations"] == 1
+        # gate mode: violations exit non-zero
+        r2 = _cli(
+            ["expect", "--path", src, "--rules", str(rules), "--fail-on-violation"]
+        )
+        assert r2.returncode == 1
+
+    def test_malformed_rules_rejected(self, spark, tmp_path):
+        import json
+
+        src = str(tmp_path / "d2")
+        spark.range(0, 3).write.parquet(src)
+        rules = tmp_path / "bad.json"
+        rules.write_text(json.dumps(["not", "a", "dict"]))
+        r = _cli(["expect", "--path", src, "--rules", str(rules)])
+        assert r.returncode != 0
+        assert "JSON object" in r.stderr
+
+
 class TestRecoverCli:
     def test_recover_verb_completes_journal(self, spark, tmp_path):
         import json
