@@ -119,6 +119,8 @@ def _acquire_lock(
     try:
         stream = fs.create(lp, False)  # overwrite=False → create-exclusive
     except Exception as exc:
+        if not fs.exists(lp):
+            raise  # a real IO failure, not a lock conflict — don't mask it
         raise ConcurrentMaintenanceError(
             f"{op}: {_lock_path(path)} exists — another maintenance op is "
             "running on this table (or crashed holding the lock; pass "

@@ -390,3 +390,78 @@ def cluster_write(
     else:
         ranged = df.repartitionByRange(*keys)
     ranged.sortWithinPartitions(*keys).write.mode(mode).parquet(path)
+
+
+_Z_BITS = 8  # 256 quantile buckets per dimension
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    by: list[str],
+    n_files: int,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` Z-ORDER clustered on 2+ numeric columns: rows are
+    laid out along a Morton curve over per-column QUANTILE buckets, so
+    every output file covers a small hyper-rectangle of the key space —
+    parquet footer min/max prune on EVERY ``by`` column, not just the
+    leading one.
+
+    :func:`cluster_write` concentrates one column: a file covers a
+    narrow ``a`` range but the FULL ``b`` range, so ``WHERE b = ?``
+    scans every file. Interleaving the bucket bits (a₇b₇a₆b₆…) gives
+    each of ``n_files`` z-ranges a ~√(1/n)-of-global range in BOTH
+    dimensions — the plain-parquet form of Delta's ``ZORDER BY``.
+
+    Buckets come from ``approxQuantile`` cuts (driver-side, one pass,
+    ~n_buckets numbers per column), NOT equi-width — so skewed
+    distributions still fill all 2^{_Z_BITS} buckets and the curve
+    stays balanced. The z-value is a pure JVM expression (bucket =
+    count of cuts ≤ value via a 256-term HOF aggregate; interleave =
+    16 shift/mask terms); one ``repartitionByRange`` shuffle on it,
+    no UDF, no global sort.
+    """
+    if len(by) < 2:
+        raise ValueError("zorder_write: needs 2+ columns; use cluster_write for 1")
+    from pyspark.sql import types as T
+
+    numeric = {
+        f.name for f in df.schema.fields if isinstance(f.dataType, T.NumericType)
+    }
+    bad = [c for c in by if c not in numeric]
+    if bad:
+        raise ValueError(
+            f"zorder_write: non-numeric z-order columns {bad} — cast or "
+            "dictionary-encode them first"
+        )
+    n_buckets = 1 << _Z_BITS
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bucket_cols = []
+    for c in by:
+        cuts = df.stat.approxQuantile(c, probs, 0.001)
+        # bucket = #cuts <= value (0..n_buckets-1), monotone in the value
+        arr = F.array(*[F.lit(float(x)) for x in cuts])
+        b = F.aggregate(
+            arr,
+            F.lit(0),
+            lambda acc, cut: acc
+            + F.when(F.col(c).cast("double") >= cut, 1).otherwise(0),
+        )
+        bucket_cols.append(F.coalesce(b, F.lit(0)))
+    k = len(by)
+    z = F.lit(0).cast("long")
+    for bit in range(_Z_BITS):
+        for ci, b in enumerate(bucket_cols):
+            pos = bit * k + ci
+            z = z + F.shiftleft(
+                F.shiftright(b.cast("long"), bit).bitwiseAND(F.lit(1)), pos
+            )
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -705,6 +705,78 @@ class TestShardExport:
         assert digest(a) == digest(b)
 
 
+class TestZorderWrite:
+    """Z-order layout: every file covers a small rectangle of the key
+    space, so min/max footers prune on BOTH columns — vs cluster_write
+    where the second column's per-file range is the full domain."""
+
+    N = 40_000
+    FILES = 16
+
+    def _df(self, spark):
+        from pyspark.sql import functions as F
+
+        # two independent-ish uniform columns
+        return spark.range(0, self.N).select(
+            F.col("id"),
+            (F.xxhash64(F.col("id")) % 10_000).alias("a"),
+            (F.xxhash64(F.col("id"), F.lit(1)) % 10_000).alias("b"),
+        )
+
+    @staticmethod
+    def _file_ranges(spark, path, col):
+        import os
+
+        out = []
+        for f in sorted(os.listdir(path)):
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                row = (
+                    spark.read.parquet(os.path.join(path, f))
+                    .selectExpr(f"min({col}) AS lo", f"max({col}) AS hi")
+                    .collect()[0]
+                )
+                out.append(row["hi"] - row["lo"])
+        return out
+
+    def test_both_columns_prune(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.merge import (
+            cluster_write,
+            zorder_write,
+        )
+
+        df = self._df(spark)
+        zpath = str(tmp_path / "z")
+        cpath = str(tmp_path / "c")
+        zorder_write(df, zpath, by=["a", "b"], n_files=self.FILES)
+        cluster_write(df, cpath, by="a", n_files=self.FILES)
+
+        global_span = 20_000  # a, b ∈ (-10000, 10000)
+        z_a = self._file_ranges(spark, zpath, "a")
+        z_b = self._file_ranges(spark, zpath, "b")
+        c_b = self._file_ranges(spark, cpath, "b")
+        # z-order: 16 files ≈ 4×4 grid → per-file span ~1/4 of global
+        # in BOTH dims (allow slack for quantile/edge effects)
+        assert sum(z_a) / len(z_a) < 0.45 * global_span
+        assert sum(z_b) / len(z_b) < 0.45 * global_span
+        # single-column clustering: b spans ~the whole domain per file
+        assert sum(c_b) / len(c_b) > 0.8 * global_span
+        # nothing lost
+        assert spark.read.parquet(zpath).count() == self.N
+
+    def test_rejects_one_column_and_strings(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from imitation_learning_data_pipeline_spark.pipeline.merge import (
+            zorder_write,
+        )
+
+        df = self._df(spark).withColumn("s", F.lit("x"))
+        with pytest.raises(ValueError, match="2\\+ columns"):
+            zorder_write(df, str(tmp_path / "x"), by=["a"], n_files=4)
+        with pytest.raises(ValueError, match="non-numeric"):
+            zorder_write(df, str(tmp_path / "y"), by=["a", "s"], n_files=4)
+
+
 class TestClusteredMergeLocality:
     """r6 verdict item 6: lock in SCALING.md's layout claim — a
     contiguous-key-range MERGE touches ~all files of a hash-scattered
