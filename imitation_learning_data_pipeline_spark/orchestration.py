@@ -55,6 +55,7 @@ def pipeline_tasks(
     skip_video: bool = True,
     link_videos: str = "symlink",
     maintenance: bool = False,
+    expectations_rules: str | None = None,
 ) -> list[PipelineTask]:
     """The five-stage chain with the reference DAG's wiring
     (neura_pipeline_dag.py:52-135; path layout :20-25)."""
@@ -119,10 +120,31 @@ def pipeline_tasks(
         ),
     ] + (
         [
+            # declarative data-quality gate after materialize: a failing
+            # rule set exits 1 and (unlike validate's data-outcome exit)
+            # FAILS the task, blocking any downstream maintenance on a
+            # bad dataset — the ingest-gate shape (cli expect).
+            PipelineTask(
+                "expect_gate",
+                (
+                    "expect",
+                    "--path", f"{dataset_out}/data",
+                    "--rules", expectations_rules,
+                    "--fail-on-violation",
+                ),
+                upstream=("materialize",),
+            )
+        ]
+        if expectations_rules
+        else []
+    ) + (
+        [
             # layout maintenance a continuously-scheduled pipeline runs
             # after each materialize: per-episode micro-writes sprawl
             # into small files; compaction rewrites each split partition
-            # into target-sized files (pipeline/compact.py)
+            # into target-sized files (pipeline/compact.py). Downstream
+            # of the quality gate when one is configured — no point
+            # optimizing a dataset the gate just rejected.
             PipelineTask(
                 "compact",
                 (
@@ -133,7 +155,9 @@ def pipeline_tasks(
                     # into a data column on rewrite
                     "--partition-col", "split,chunk",
                 ),
-                upstream=("materialize",),
+                upstream=(
+                    ("expect_gate",) if expectations_rules else ("materialize",)
+                ),
             )
         ]
         if maintenance

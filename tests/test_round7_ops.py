@@ -1083,6 +1083,62 @@ class TestExpectCli:
         assert "JSON object" in r.stderr
 
 
+class TestExpectGateOrchestration:
+    def test_gate_task_wiring(self):
+        from imitation_learning_data_pipeline_spark.cli import build_parser
+        from imitation_learning_data_pipeline_spark.orchestration import (
+            pipeline_tasks,
+        )
+
+        tasks = {
+            t.task_id: t
+            for t in pipeline_tasks(
+                "/d", "/w", maintenance=True, expectations_rules="/w/rules.json"
+            )
+        }
+        gate = tasks["expect_gate"]
+        assert gate.upstream == ("materialize",)
+        assert "--fail-on-violation" in gate.argv
+        assert gate.ok_codes == (0,)  # a failing gate FAILS the task
+        # compact moves downstream of the gate when one is configured
+        assert tasks["compact"].upstream == ("expect_gate",)
+        # without a gate, compact hangs off materialize as before
+        no_gate = {
+            t.task_id: t for t in pipeline_tasks("/d", "/w", maintenance=True)
+        }
+        assert "expect_gate" not in no_gate
+        assert no_gate["compact"].upstream == ("materialize",)
+        # gate argv parses against the real CLI tree
+        parser = build_parser()
+        ns = parser.parse_args(list(gate.argv))
+        assert callable(ns.fn)
+
+    def test_failing_gate_blocks_compact(self):
+        from imitation_learning_data_pipeline_spark.orchestration import (
+            pipeline_tasks,
+            run_pipeline,
+        )
+
+        calls = []
+
+        def runner(argv):
+            calls.append(argv[0])
+            return 1 if argv[0] == "expect" else 0
+
+        result = run_pipeline(
+            "/d",
+            "/w",
+            runner=runner,
+            maintenance=True,
+            expectations_rules="/w/rules.json",
+            retry_delay_override_s=0,
+        )
+        assert result.ok is False
+        assert result.statuses["expect_gate"] == "failed"
+        assert result.statuses["compact"] == "upstream_failed"
+        assert "compact" not in calls
+
+
 class TestRecoverCli:
     def test_recover_verb_completes_journal(self, spark, tmp_path):
         import json
