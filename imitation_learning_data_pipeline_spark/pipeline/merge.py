@@ -262,7 +262,27 @@ def _merge_into_locked(
         upd_keys = upd.select(*keys).distinct()
         n_keys = upd_keys.count()
 
-        with_file = target.select("*", F.col("_metadata.file_path").alias("__file"))
+        # Find phase: which files hold a matched key. The semi-join
+        # itself can't push down, so on its own this scans the whole
+        # table's key column; bracketing the scan with the updates' key
+        # RANGE first (a 2-row driver-side agg) turns the find phase
+        # into a footer-stats pruned scan on clustered layouts —
+        # cluster_write/zorder_write tables skip every file outside
+        # [min, max]. Any row outside the range can't match any update
+        # key, so the filter is correctness-free; on hash-scattered
+        # layouts it covers everything and costs nothing.
+        find_src = target
+        if len(keys) == 1:
+            kmin, kmax = (
+                upd_keys.agg(
+                    F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
+                ).collect()[0]
+            )
+            if kmin is not None:
+                find_src = target.filter(F.col(keys[0]).between(kmin, kmax))
+        with_file = find_src.select(
+            *keys, F.col("_metadata.file_path").alias("__file")
+        )
         touched_meta = sorted(
             r["__file"]
             for r in with_file.join(upd_keys, keys, "left_semi")
