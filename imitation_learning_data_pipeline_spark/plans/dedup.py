@@ -763,11 +763,21 @@ def ngram_jaccard_pairs(
     intersections count rare shingles only — an under-estimate for docs
     overlapping solely on hot shingles, identically defined on both
     engines.
+
+    Shingles are reduced to ``xxhash64`` keys map-side BEFORE any
+    shuffle, so the df histogram, the posting self-join, and the
+    pair-intersection aggregate all move 8-byte longs instead of
+    ~25-40-byte strings — the same trade `_minhash_sig_plan` documents
+    for its verify sets: a 2⁻⁶⁴ collision perturbs one df/intersection
+    count by one, far below one affected pair at any corpus size, and
+    the string-set oracle stays count-identical in practice.
     """
     cache.begin_plan()
     # pin(): sizes / df-histogram / posting-list branches all consume
     # the exploded shingles — materialize once (see minhash_pairs).
-    sh = cache.pin(exploded_shingles(docs, n))
+    sh = cache.pin(
+        exploded_shingles(docs, n).select("doc_id", F.xxhash64("s").alias("s"))
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     rare = (
         sh.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") <= df_cap)
