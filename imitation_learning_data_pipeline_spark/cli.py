@@ -637,6 +637,63 @@ def cmd_expect(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_drift(args: argparse.Namespace) -> int:
+    """Distribution-drift gate between two parquet datasets (or a
+    dataset and yesterday's): sketch-profile both sides, compare with
+    plans/profile.py::profile_drift, one JSON line per column;
+    --fail-on-drift exits 1 if any column drifted."""
+    from .plans.profile import (
+        merge_profiles,
+        profile_drift,
+        profile_estimates,
+        profile_frame_sketch,
+    )
+
+    spark = _spark("drift")
+
+    def _estimates(path: str):
+        df = spark.read.parquet(path)
+        if args.columns:
+            cols = args.columns.split(",")
+            missing = [c for c in cols if c not in df.columns]
+            if missing:
+                raise SystemExit(f"drift: {path} lacks columns {missing}")
+        else:
+            from pyspark.sql import types as T
+
+            cols = [
+                f.name
+                for f in df.schema.fields
+                if not isinstance(
+                    f.dataType,
+                    (T.ArrayType, T.MapType, T.StructType, T.BinaryType),
+                )
+            ]
+        if not cols:
+            raise SystemExit(f"drift: no profilable columns in {path}")
+        return profile_estimates(merge_profiles(profile_frame_sketch(df, cols)))
+
+    report = profile_drift(
+        _estimates(args.base),
+        _estimates(args.current),
+        null_rate_tol=args.null_rate_tol,
+        distinct_ratio_tol=args.distinct_ratio_tol,
+    ).collect()
+    n_drifted = 0
+    for r in sorted(report, key=lambda x: x["column_name"]):
+        print(json.dumps(r.asDict()))
+        if r["drifted"]:
+            n_drifted += 1
+    print(
+        json.dumps(
+            {"base": args.base, "current": args.current, "drifted": n_drifted}
+        )
+    )
+    if args.fail_on_drift and n_drifted:
+        return 1
+    return 0
+
+
 def cmd_recover(args: argparse.Namespace) -> int:
     """Complete a crashed merge commit's journal (pipeline/merge.py
     recover()) without running another merge — for one-shot pipelines
@@ -849,6 +906,24 @@ def build_parser() -> argparse.ArgumentParser:
         help="exit 1 if any rule has violations (ingest-gate mode)",
     )
     ex.set_defaults(fn=cmd_expect)
+
+    dr = sub.add_parser(
+        "drift",
+        help="distribution-drift report between two parquet datasets",
+    )
+    dr.add_argument("--base", required=True, help="baseline parquet dataset")
+    dr.add_argument("--current", required=True, help="dataset to compare")
+    dr.add_argument(
+        "--columns", default=None, help="comma-separated subset (default: atomic)"
+    )
+    dr.add_argument("--null-rate-tol", type=float, default=0.05)
+    dr.add_argument("--distinct-ratio-tol", type=float, default=0.5)
+    dr.add_argument(
+        "--fail-on-drift",
+        action="store_true",
+        help="exit 1 if any column drifted (ingest-gate mode)",
+    )
+    dr.set_defaults(fn=cmd_drift)
 
     pf = sub.add_parser(
         "profile", help="per-column null/distinct/min/max profile of a parquet dataset"

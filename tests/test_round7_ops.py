@@ -1139,6 +1139,39 @@ class TestExpectGateOrchestration:
         assert "compact" not in calls
 
 
+class TestDriftCli:
+    def test_drift_gate(self, spark, tmp_path):
+        import json
+
+        from pyspark.sql import functions as F
+
+        base = str(tmp_path / "base")
+        cur = str(tmp_path / "cur")
+        spark.range(0, 5000).select(
+            F.col("id").alias("k"), (F.col("id") % 100).alias("cat")
+        ).write.parquet(base)
+        # cat collapses to 2 values → drift
+        spark.range(0, 5000).select(
+            F.col("id").alias("k"), (F.col("id") % 2).alias("cat")
+        ).write.parquet(cur)
+        r = _cli(["drift", "--base", base, "--current", cur])
+        assert r.returncode == 0, r.stderr[-2000:]
+        lines = [json.loads(ln) for ln in r.stdout.strip().splitlines()]
+        assert lines[-1]["drifted"] == 1
+        by_col = {d["column_name"]: d for d in lines[:-1]}
+        assert by_col["cat"]["drifted"] is True
+        assert by_col["k"]["drifted"] is False
+        r2 = _cli(
+            ["drift", "--base", base, "--current", cur, "--fail-on-drift"]
+        )
+        assert r2.returncode == 1
+        # identical datasets: clean report, exit 0 even with the gate
+        r3 = _cli(
+            ["drift", "--base", base, "--current", base, "--fail-on-drift"]
+        )
+        assert r3.returncode == 0, r3.stderr[-2000:]
+
+
 class TestRecoverCli:
     def test_recover_verb_completes_journal(self, spark, tmp_path):
         import json
