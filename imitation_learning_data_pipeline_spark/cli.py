@@ -561,6 +561,58 @@ def cmd_profile(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_rollup(args: argparse.Namespace) -> int:
+    """Continuous aggregates (plans/rollup.py): one-shot rollup to
+    stdout, or maintain an incremental store — bootstrap, O(batch)
+    fold, read, compact."""
+    from .plans.rollup import (
+        compact_rollup_store,
+        finalize_rollup,
+        fold_rollup_into_store,
+        merge_rollup,
+        read_rollup,
+        rollup_partials,
+        write_rollup_store,
+    )
+
+    spark = _spark("rollup")
+    if args.store and args.read:
+        rows = read_rollup(spark, args.store).collect()
+        for r in rows:
+            print(json.dumps(r.asDict(), default=str))
+        return 0
+    if args.store and args.compact:
+        stats = compact_rollup_store(spark, args.store)
+        print(json.dumps({"store": args.store, **stats}))
+        return 0
+    if not args.input or not args.group or not args.metrics:
+        raise SystemExit("rollup: --input/--group/--metrics required")
+    df = spark.read.parquet(args.input)
+    parts = rollup_partials(
+        df,
+        args.group.split(","),
+        args.metrics.split(","),
+        time_col=args.time_col,
+        grain=args.grain,
+    )
+    if not args.store:
+        for r in finalize_rollup(merge_rollup(parts)).collect():
+            print(json.dumps(r.asDict(), default=str))
+        return 0
+    if args.fold:
+        stats = fold_rollup_into_store(
+            spark, args.store, parts, batch_id=args.batch_id
+        )
+        print(json.dumps({"store": args.store, **stats}))
+    else:
+        write_rollup_store(
+            parts, args.store, n_buckets=args.n_buckets,
+            ingest_batch=args.ingest_batch,
+        )
+        print(json.dumps({"store": args.store, "bootstrapped": True}))
+    return 0
+
+
 def cmd_merge(args: argparse.Namespace) -> int:
     """File-level copy-on-write MERGE INTO (pipeline/merge.py): replace
     matched keys, insert unmatched, rewriting only touched data files."""
@@ -979,6 +1031,40 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--seed", default="split6")
     sp.add_argument("--threshold", type=float, default=0.5)
     sp.set_defaults(fn=cmd_split)
+
+    ru = sub.add_parser(
+        "rollup",
+        help="continuous aggregates: one-shot group rollup, or an "
+        "incremental store with O(batch) folds",
+    )
+    ru.add_argument("--input", default=None, help="parquet dir/file to aggregate")
+    ru.add_argument("--group", default=None, help="comma-separated group columns")
+    ru.add_argument("--metrics", default=None, help="comma-separated numeric metric columns")
+    ru.add_argument("--time-col", default=None, help="add a date_trunc time-bucket group key")
+    ru.add_argument("--grain", default="day", help="time bucket grain (default day)")
+    ru.add_argument("--store", default=None, help="rollup store path")
+    ru.add_argument(
+        "--fold",
+        action="store_true",
+        help="fold --input into an existing plain-layout store "
+        "(partition-pruned: cost ∝ batch groups, not store size)",
+    )
+    ru.add_argument(
+        "--batch-id",
+        type=int,
+        default=None,
+        help="monotonic batch id; a replayed id ≤ the store watermark is a no-op",
+    )
+    ru.add_argument(
+        "--ingest-batch",
+        type=int,
+        default=None,
+        help="bootstrap/append in the replay-idempotent batch layout instead",
+    )
+    ru.add_argument("--n-buckets", type=int, default=64)
+    ru.add_argument("--read", action="store_true", help="print the store's finalized aggregate")
+    ru.add_argument("--compact", action="store_true", help="fold a batch-layout store to plain")
+    ru.set_defaults(fn=cmd_rollup)
     return p
 
 

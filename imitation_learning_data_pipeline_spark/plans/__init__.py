@@ -27,6 +27,7 @@ def _late_imports() -> None:
         profile,
         relational,
         relational2,
+        rollup,
         sampling,
         scalars,
         similarity,
@@ -58,6 +59,7 @@ def _late_imports() -> None:
         stage_chain,
         trajectory,
         profile,
+        rollup,
     ]
 
 

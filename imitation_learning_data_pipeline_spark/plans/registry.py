@@ -306,6 +306,15 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     "pipeline_corpus_curation": "text_quality_score (quality gate) + "
     "dedup_exact (dedup stage) + sample_mixture_sources (rebalance "
     "stage) + pytest cascade-order assertions",
+    # round-7: continuous-aggregate rollup. Library-only (cap): its
+    # grouped multi-aggregate is agg_cube's retained family and its
+    # (n, sum, sumsq) mergeable variance decomposition is
+    # agg_weighted_variance's retained A3 identity; the full
+    # partials→merge→finalize fold is oracle-checked in
+    # check_contract --all and the store fold is pytest-locked.
+    "rollup_events_daily": "agg_cube (grouped multi-aggregate family) + "
+    "agg_weighted_variance (same (n,sum,sumsq) mergeable decomposition) "
+    "+ check_contract --all row",
 }
 
 CONTRACT_CAP = 50

@@ -1,0 +1,462 @@
+"""Continuous aggregates: mergeable group rollups + an incremental store.
+
+The reference recomputes its stats stage from scratch every run
+(``generate_statistics_refactored.py`` reads every aligned chunk); the
+generalization a continuously-ingesting 100 TB corpus needs is the
+TimescaleDB-style *continuous aggregate* (hypertable rollup): per-group
+partial aggregates that are
+
+- computed in ONE pass over a batch (map-side combinable sums/counts/
+  min/max — never raw rows past the first shuffle),
+- algebraically mergeable (counts add, sums add, min/min, max/max, and
+  variance folds via (n, sum, sumsq) — the same decomposition
+  ``plans/numeric.weighted_variance`` uses for A3),
+- persisted hash-bucketed so folding a new batch in rewrites only the
+  buckets the batch touches (partition-pruned read + dynamic partition
+  overwrite — O(touched groups), never O(store)).
+
+Reading the rollup finalizes partials into (n, sum, avg, min, max,
+var_pop) per metric without ever rescanning the corpus: profiling or
+dashboarding 100 TB costs one pass per ingested batch, EVER.
+
+Layouts (mirrors the minhash store convention, ``plans/dedup.py``):
+
+- **plain** (``fold_rollup_into_store``): one row per group, in-place
+  bucket rewrites. Single sequential driver; replays are fenced by a
+  monotonic ``last_batch`` watermark in the store meta (a replayed
+  ``batch_id`` ≤ watermark is a no-op). The fence is checked and
+  advanced under the same maintenance lock as merge/compact.
+- **batch** (``write_rollup_store(ingest_batch=N)``): per-batch partial
+  rows under ``ingest_batch=N`` partitions with dynamic overwrite —
+  replay REPLACES the batch's own partition, so at-least-once streaming
+  drivers are idempotent by construction (the streaming twin uses
+  this). Reads merge across batches; ``compact_rollup_store`` folds the
+  batches down to one row per group when the partial count grows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import register
+
+_STATS = ("n", "sum", "min", "max", "sumsq")
+_META = "_rollup_meta.json"
+
+
+def _bt(c: str) -> Column:
+    """Column ref by exact name (backticked — the repo's P2 dotted-name
+    convention)."""
+    return F.col("`" + c.replace("`", "``") + "`")
+
+
+def _check_names(group_cols: list[str], metrics: list[str]) -> None:
+    for c in list(group_cols) + list(metrics):
+        if "__" in c:
+            raise ValueError(
+                f"rollup: column name {c!r} contains '__' (reserved for "
+                "partial-stat suffixes)"
+            )
+    for c in group_cols:
+        if c in ("n_rows", "bucket", "ingest_batch"):
+            raise ValueError(f"rollup: group column name {c!r} is reserved")
+
+
+def rollup_partials(
+    df: DataFrame,
+    group_cols: list[str],
+    metrics: list[str],
+    time_col: str | None = None,
+    grain: str = "day",
+) -> DataFrame:
+    """One-pass mergeable partials: a row per group with ``n_rows`` plus
+    ``{m}__n/{m}__sum/{m}__min/{m}__max/{m}__sumsq`` per metric.
+
+    ``time_col`` adds a ``bucket_ts = date_trunc(grain, time_col)``
+    group key — the hypertable time-bucket axis. All five stats compile
+    into ONE hash aggregate with map-side partial combine; nothing but
+    (group, 5·metrics doubles) crosses the shuffle.
+    """
+    group_cols = list(group_cols)
+    _check_names(group_cols, metrics)
+    if time_col is not None:
+        df = df.withColumn("bucket_ts", F.date_trunc(grain, _bt(time_col)))
+        group_cols = group_cols + ["bucket_ts"]
+    if not group_cols:
+        raise ValueError("rollup_partials: no group columns")
+    if not metrics:
+        raise ValueError("rollup_partials: no metric columns")
+    aggs: list[Column] = [F.count("*").alias("n_rows")]
+    for m in metrics:
+        v = _bt(m).cast("double")
+        aggs.extend(
+            [
+                F.count(v).alias(f"{m}__n"),
+                F.sum(v).alias(f"{m}__sum"),
+                F.min(v).alias(f"{m}__min"),
+                F.max(v).alias(f"{m}__max"),
+                F.sum(v * v).alias(f"{m}__sumsq"),
+            ]
+        )
+    return df.groupBy(*[_bt(c) for c in group_cols]).agg(*aggs)
+
+
+def _split_schema(parts: DataFrame) -> tuple[list[str], list[str]]:
+    """(group_cols, metrics) recovered from a partials frame's column
+    suffix convention — layout columns (bucket, ingest_batch) excluded."""
+    metrics = [c[: -len("__sum")] for c in parts.columns if c.endswith("__sum")]
+    group_cols = [
+        c
+        for c in parts.columns
+        if "__" not in c and c not in ("n_rows", "bucket", "ingest_batch")
+    ]
+    if not metrics or not group_cols:
+        raise ValueError("rollup: frame is not a rollup-partials frame")
+    return group_cols, metrics
+
+
+def merge_rollup(parts: DataFrame) -> DataFrame:
+    """Fold any union of partial frames down to one row per group:
+    counts/sums add, min/min, max/max. Input is #groups × #batches rows
+    — aggregate-sized, never data-sized."""
+    group_cols, metrics = _split_schema(parts)
+    aggs: list[Column] = [F.sum("n_rows").alias("n_rows")]
+    for m in metrics:
+        aggs.extend(
+            [
+                F.sum(f"{m}__n").alias(f"{m}__n"),
+                F.sum(f"{m}__sum").alias(f"{m}__sum"),
+                F.min(f"{m}__min").alias(f"{m}__min"),
+                F.max(f"{m}__max").alias(f"{m}__max"),
+                F.sum(f"{m}__sumsq").alias(f"{m}__sumsq"),
+            ]
+        )
+    return parts.groupBy(*[_bt(c) for c in group_cols]).agg(*aggs)
+
+
+def finalize_rollup(parts: DataFrame) -> DataFrame:
+    """Render merged partials readable: per metric ``{m}_n, {m}_sum,
+    {m}_avg, {m}_min, {m}_max, {m}_var`` (population variance via the
+    (n, sum, sumsq) identity; null when n = 0)."""
+    group_cols, metrics = _split_schema(parts)
+    out: list[Column] = [_bt(c) for c in group_cols] + [F.col("n_rows")]
+    for m in metrics:
+        n = F.col(f"{m}__n")
+        s = F.col(f"{m}__sum")
+        sq = F.col(f"{m}__sumsq")
+        avg = F.when(n > 0, s / n)
+        out.extend(
+            [
+                n.alias(f"{m}_n"),
+                s.alias(f"{m}_sum"),
+                avg.alias(f"{m}_avg"),
+                F.col(f"{m}__min").alias(f"{m}_min"),
+                F.col(f"{m}__max").alias(f"{m}_max"),
+                F.when(n > 0, sq / n - (s / n) * (s / n)).alias(f"{m}_var"),
+            ]
+        )
+    return parts.select(*out)
+
+
+# --- contract query ----------------------------------------------------------
+
+
+@register(
+    "rollup_events_daily",
+    oracle="""
+WITH p AS (
+  SELECT event_type,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(value) AS BIGINT) AS value_n,
+         round(sum(value), 2) AS value_sum,
+         round(min(value), 4) AS value_min,
+         round(max(value), 4) AS value_max,
+         round(sum(value * value), 2) AS sumsq
+  FROM events
+  GROUP BY event_type, date_trunc('day', ts)
+)
+SELECT event_type, day, n_rows, value_n, value_sum,
+       round(value_sum / value_n, 4) AS value_avg,
+       value_min, value_max,
+       round(sumsq / value_n
+             - (value_sum / value_n) * (value_sum / value_n), 4) AS value_var
+FROM p
+""",
+)
+def rollup_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-event-type continuous aggregate over events — and the
+    oracle drives the MERGEABLE path, not a direct groupBy: partials are
+    computed on two disjoint halves of the table (event_id parity — a
+    stand-in for two ingest batches), merged with :func:`merge_rollup`,
+    then finalized. Matching DuckDB's single-pass aggregate proves the
+    algebraic fold is exact, which is the property the incremental
+    store rests on."""
+    from ..session import ensure_utc
+    from ..sources import load_table
+
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    halves = [
+        rollup_partials(
+            ev.filter(F.col("event_id") % 2 == i),
+            ["event_type"],
+            ["value"],
+            time_col="ts",
+            grain="day",
+        )
+        for i in (0, 1)
+    ]
+    merged = merge_rollup(halves[0].unionByName(halves[1]))
+    # determinism: avg/var derive from the ROUNDED sum/sumsq — engines
+    # may sum doubles in different orders, so only the rounded partials
+    # cross the hash comparator; everything after is identical IEEE
+    # arithmetic on identical inputs (registry determinism rule 1)
+    s2 = F.round("value__sum", 2)
+    q2 = F.round("value__sumsq", 2)
+    n = F.col("value__n").cast("long")
+    return merged.select(
+        "event_type",
+        F.date_format("bucket_ts", "yyyy-MM-dd").alias("day"),
+        F.col("n_rows"),
+        n.alias("value_n"),
+        s2.alias("value_sum"),
+        F.round(s2 / n, 4).alias("value_avg"),
+        F.round("value__min", 4).alias("value_min"),
+        F.round("value__max", 4).alias("value_max"),
+        F.round(q2 / n - (s2 / n) * (s2 / n), 4).alias("value_var"),
+    )
+
+
+# --- incremental store -------------------------------------------------------
+
+
+def _bucket_col(group_cols: list[str], n_buckets: int) -> Column:
+    """Deterministic store bucket for a group: xxhash64 of the stringified
+    keys. Null-vs-null-string collisions only coarsen pruning, never
+    correctness — bucket is a layout key, not an identity."""
+    return F.pmod(
+        F.xxhash64(*[_bt(c).cast("string") for c in group_cols], F.lit("rollup")),
+        F.lit(n_buckets),
+    ).cast("int")
+
+
+def _read_meta(spark: SparkSession, path: str) -> dict:
+    from ..pipeline.compact import _fs
+
+    import json as _json
+
+    fs, _ = _fs(spark, path)
+    jvm_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    jp = jvm_path(f"{path}/{_META}")
+    if not fs.exists(jp):
+        raise FileNotFoundError(f"rollup store meta missing under {path}")
+    jvm = spark.sparkContext._jvm
+    stream = fs.open(jp)
+    raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    stream.close()
+    return _json.loads(raw.decode())
+
+
+def _write_meta(spark: SparkSession, path: str, meta: dict) -> None:
+    from ..pipeline.compact import _fs
+
+    import json as _json
+
+    fs, _ = _fs(spark, path)
+    jvm_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    payload = _json.dumps(meta).encode()
+    tmp = jvm_path(f"{path}/.{_META}.tmp")
+    stream = fs.create(tmp, True)
+    stream.write(bytearray(payload))
+    stream.close()
+    dst = jvm_path(f"{path}/{_META}")
+    fs.delete(dst, False)
+    if not fs.rename(tmp, dst):
+        raise IOError(f"rollup store: could not commit meta under {path}")
+
+
+def write_rollup_store(
+    partials: DataFrame,
+    path: str,
+    n_buckets: int = 64,
+    ingest_batch: int | None = None,
+) -> None:
+    """Bootstrap (plain layout) or append a batch (batch layout) of a
+    persisted rollup store at ``path``.
+
+    Plain layout merges the partials first (invariant: one row per
+    group) and hash-buckets them so later folds prune; batch layout
+    writes the batch's partials under ``ingest_batch=N`` with dynamic
+    overwrite — the at-least-once-safe path (a replay replaces its own
+    partition byte-for-byte).
+    """
+    group_cols, metrics = _split_schema(partials)
+    spark = partials.sparkSession
+    if ingest_batch is None:
+        merged = merge_rollup(partials).withColumn(
+            "bucket", _bucket_col(group_cols, n_buckets)
+        )
+        merged.write.partitionBy("bucket").mode("overwrite").parquet(path)
+        _write_meta(
+            spark,
+            path,
+            {
+                "layout": "plain",
+                "n_buckets": n_buckets,
+                "group_cols": group_cols,
+                "metrics": metrics,
+                "last_batch": None,
+            },
+        )
+    else:
+        try:
+            meta = _read_meta(spark, path)
+            n_buckets = int(meta["n_buckets"])
+            first = False
+        except FileNotFoundError:
+            first = True
+        batch = partials.withColumn(
+            "bucket", _bucket_col(group_cols, n_buckets)
+        ).withColumn("ingest_batch", F.lit(int(ingest_batch)))
+        (
+            batch.write.partitionBy("ingest_batch", "bucket")
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(path)
+        )
+        if first:
+            _write_meta(
+                spark,
+                path,
+                {
+                    "layout": "batch",
+                    "n_buckets": n_buckets,
+                    "group_cols": group_cols,
+                    "metrics": metrics,
+                    "last_batch": None,
+                },
+            )
+
+
+def fold_rollup_into_store(
+    spark: SparkSession,
+    path: str,
+    partials: DataFrame,
+    batch_id: int | None = None,
+    stale_lock_s: float | None = None,
+) -> dict:
+    """Fold a batch's partials into a PLAIN-layout store in place.
+
+    Scale shape (the property a continuously-ingesting table needs from
+    its aggregate maintenance): the store read is partition-pruned to
+    the hash buckets the batch touches, and the dynamic-overwrite write
+    replaces exactly those buckets — cost ∝ batch's group count, flat
+    in store size (measured, SCALING.md round-7b). Runs under the
+    table maintenance lock; ``batch_id`` (monotonic) fences replays —
+    a batch ≤ the store's ``last_batch`` watermark is skipped, so a
+    sequential at-least-once driver (Airflow retry) cannot double-add.
+    Returns ``{"folded": bool, "touched_buckets": int}``.
+    """
+    from ..pipeline.compact import _acquire_lock, _fs, _lock_path
+
+    path = path.rstrip("/")
+    fs, _ = _fs(spark, path)
+    jvm_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    _acquire_lock(spark, fs, jvm_path, path, "rollup-fold", stale_lock_s)
+    try:
+        # meta (and the replay fence) read under the lock — a fence
+        # checked before acquisition could race a concurrent fold
+        meta = _read_meta(spark, path)
+        if meta["layout"] != "plain":
+            raise ValueError(
+                "fold_rollup_into_store: store is batch-layout; use "
+                "write_rollup_store(ingest_batch=...) or compact_rollup_store first"
+            )
+        if (
+            batch_id is not None
+            and meta.get("last_batch") is not None
+            and int(batch_id) <= int(meta["last_batch"])
+        ):
+            return {"folded": False, "touched_buckets": 0}
+        group_cols, n_buckets = meta["group_cols"], int(meta["n_buckets"])
+        batch = merge_rollup(partials).withColumn(
+            "bucket", _bucket_col(group_cols, n_buckets)
+        )
+        # touched-bucket list: bounded by n_buckets (≤ a few thousand),
+        # same driver-size class as merge_into's touched-file list
+        touched = sorted(
+            r[0] for r in batch.select("bucket").distinct().collect()
+        )
+        store = spark.read.parquet(path).filter(F.col("bucket").isin(touched))
+        merged = merge_rollup(store.unionByName(batch)).withColumn(
+            "bucket", _bucket_col(group_cols, n_buckets)
+        )
+        (
+            merged.write.partitionBy("bucket")
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(path)
+        )
+        if batch_id is not None:
+            meta["last_batch"] = int(batch_id)
+            _write_meta(spark, path, meta)
+        return {"folded": True, "touched_buckets": len(touched)}
+    finally:
+        fs.delete(jvm_path(_lock_path(path)), False)
+
+
+def read_rollup(
+    spark: SparkSession, path: str, finalize: bool = True
+) -> DataFrame:
+    """Current aggregate state of a store (either layout): batch-layout
+    partials merge on read; ``finalize`` renders the readable stats."""
+    df = spark.read.parquet(path.rstrip("/"))
+    drop = [c for c in ("bucket", "ingest_batch") if c in df.columns]
+    df = df.drop(*drop)
+    merged = merge_rollup(df)
+    return finalize_rollup(merged) if finalize else merged
+
+
+def compact_rollup_store(
+    spark: SparkSession, path: str, stale_lock_s: float | None = None
+) -> dict:
+    """Fold a batch-layout store down to plain layout (one row per
+    group). Cost is store-sized — #groups rows, metadata next to the
+    corpus — and amortizes the read-side merge once per-batch partials
+    accumulate. Takes the maintenance lock; swaps via staging dir +
+    rename so a crash leaves either the old store or the new one."""
+    from ..pipeline.compact import _acquire_lock, _fs, _lock_path, _rm
+
+    path = path.rstrip("/")
+    meta = _read_meta(spark, path)
+    group_cols, n_buckets = meta["group_cols"], int(meta["n_buckets"])
+    fs, _ = _fs(spark, path)
+    jvm_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    _acquire_lock(spark, fs, jvm_path, path, "rollup-compact", stale_lock_s)
+    tmp = f"{path}__rollup_tmp"
+    old = f"{path}__rollup_old"
+    try:
+        df = spark.read.parquet(path)
+        df = df.drop(*[c for c in ("bucket", "ingest_batch") if c in df.columns])
+        merged = merge_rollup(df).withColumn(
+            "bucket", _bucket_col(group_cols, n_buckets)
+        )
+        n_groups = merged.count()
+        _rm(fs, jvm_path, tmp)
+        merged.write.partitionBy("bucket").mode("overwrite").parquet(tmp)
+        # meta lands in the staging dir BEFORE the swap, so no crash
+        # point leaves a store without its meta sidecar
+        meta["layout"] = "plain"
+        _write_meta(spark, tmp, meta)
+        _rm(fs, jvm_path, old)
+        if not fs.rename(jvm_path(path), jvm_path(old)):
+            raise IOError(f"compact_rollup_store: could not stage {path} aside")
+        if not fs.rename(jvm_path(tmp), jvm_path(path)):
+            fs.rename(jvm_path(old), jvm_path(path))  # restore on failure
+            raise IOError(f"compact_rollup_store: could not swap in {tmp}")
+        _rm(fs, jvm_path, old)
+        return {"n_groups": int(n_groups)}
+    finally:
+        fs.delete(jvm_path(_lock_path(path)), False)

@@ -617,3 +617,48 @@ def read_profile_store(spark: SparkSession, store_path: str) -> DataFrame:
             spark.read.parquet(store_path).drop("ingest_batch")
         )
     )
+
+
+def run_incremental_rollup_stream(
+    stream: DataFrame,
+    group_cols: list[str],
+    metrics: list[str],
+    store_path: str,
+    checkpoint: str,
+    time_col: str | None = None,
+    grain: str = "day",
+) -> None:
+    """Continuous aggregates over a stream: each micro-batch's mergeable
+    rollup partials (plans.rollup.rollup_partials — per-group n/sum/min/
+    max/sumsq) land as one ``ingest_batch``-partitioned write under
+    ``store_path`` (the rollup store's batch layout). The running
+    aggregate of the whole corpus is ``read_rollup(store)`` — a fold
+    over #batches × #touched-groups partial rows, never a rescan.
+
+    Same effectively-exactly-once recipe as the dedup/profile streams:
+    checkpointed offsets + per-batch dynamic partition overwrite make a
+    replayed micro-batch REPLACE its own partial partition byte-for-
+    byte, so at-least-once delivery cannot double-count a batch. When
+    per-batch partials accumulate, ``compact_rollup_store`` folds them
+    to one row per group (and subsequent batch writes keep appending).
+
+    Runs with Trigger.availableNow and blocks; call again with the same
+    checkpoint as new data lands.
+    """
+    from ..plans.rollup import rollup_partials, write_rollup_store
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        parts = rollup_partials(
+            batch_df, group_cols, metrics, time_col=time_col, grain=grain
+        )
+        write_rollup_store(parts, store_path, ingest_batch=int(batch_id))
+
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

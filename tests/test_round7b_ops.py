@@ -1,0 +1,286 @@
+"""Round-7b: continuous-aggregate rollup store (plans/rollup.py).
+
+Coverage: algebraic exactness of the partials→merge→finalize fold,
+plain-store O(touched-bucket) folds (untouched bucket files byte-
+identical), the replay fence, the batch layout's replay idempotence,
+compaction, the streaming twin, and the CLI verb.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from imitation_learning_data_pipeline_spark.plans.rollup import (
+    compact_rollup_store,
+    finalize_rollup,
+    fold_rollup_into_store,
+    merge_rollup,
+    read_rollup,
+    rollup_partials,
+    write_rollup_store,
+)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "g string, ts timestamp, v double")
+
+
+def _rows(seed: int, n: int, groups=("a", "b", "c")):
+    import datetime as dt
+    import random
+
+    rnd = random.Random(seed)
+    out = []
+    for i in range(n):
+        out.append(
+            (
+                rnd.choice(groups),
+                dt.datetime(2024, 1, 1 + rnd.randrange(3), rnd.randrange(24)),
+                float(rnd.randrange(1000)),
+            )
+        )
+    return out
+
+
+def _final_map(df):
+    return {
+        (r["g"], str(r["bucket_ts"])): r.asDict() for r in df.collect()
+    }
+
+
+class TestRollupAlgebra:
+    def test_merge_equals_direct(self, spark):
+        """Partials computed per-batch and merged == one-pass aggregate
+        over the concatenation (integer-valued metrics: exact)."""
+        batches = [_rows(s, 400) for s in (1, 2, 3)]
+        parts = [
+            rollup_partials(_mk(spark, b), ["g"], ["v"], time_col="ts")
+            for b in batches
+        ]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        folded = _final_map(finalize_rollup(merge_rollup(u)))
+        direct = _final_map(
+            finalize_rollup(
+                rollup_partials(
+                    _mk(spark, batches[0] + batches[1] + batches[2]),
+                    ["g"],
+                    ["v"],
+                    time_col="ts",
+                )
+            )
+        )
+        assert set(folded) == set(direct)
+        for k in direct:
+            f, d = folded[k], direct[k]
+            assert f["n_rows"] == d["n_rows"]
+            assert f["v_n"] == d["v_n"]
+            assert f["v_sum"] == d["v_sum"]  # integral doubles: exact
+            assert f["v_min"] == d["v_min"] and f["v_max"] == d["v_max"]
+            assert abs(f["v_var"] - d["v_var"]) < 1e-6 * max(1.0, abs(d["v_var"]))
+
+    def test_single_aggregate_plan(self, spark):
+        """All five stats × metrics compile into ONE hash aggregate —
+        adding a metric must not add a pass."""
+        parts = rollup_partials(_mk(spark, _rows(9, 100)), ["g"], ["v"])
+        plan = parts._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1
+
+    def test_reserved_names_raise(self, spark):
+        df = _mk(spark, _rows(0, 10))
+        with pytest.raises(ValueError):
+            rollup_partials(df.withColumnRenamed("g", "a__b"), ["a__b"], ["v"])
+        with pytest.raises(ValueError):
+            rollup_partials(df.withColumnRenamed("g", "bucket"), ["bucket"], ["v"])
+
+
+def _bucket_files(store: str) -> dict[str, tuple]:
+    """{bucket dir: sorted ((file, size, mtime))} for change detection."""
+    out = {}
+    for d in sorted(os.listdir(store)):
+        if not d.startswith("bucket="):
+            continue
+        full = os.path.join(store, d)
+        out[d] = tuple(
+            sorted(
+                (f, os.path.getsize(os.path.join(full, f)),
+                 os.path.getmtime(os.path.join(full, f)))
+                for f in os.listdir(full)
+                if f.endswith(".parquet")
+            )
+        )
+    return out
+
+
+class TestRollupStore:
+    def test_fold_matches_direct_and_prunes(self, spark, tmp_path):
+        store = str(tmp_path / "store")
+        b0, b1 = _rows(10, 500), _rows(11, 200, groups=("c",))
+        write_rollup_store(
+            rollup_partials(_mk(spark, b0), ["g"], ["v"]), store, n_buckets=16
+        )
+        before = _bucket_files(store)
+        stats = fold_rollup_into_store(
+            spark, store, rollup_partials(_mk(spark, b1), ["g"], ["v"]), batch_id=1
+        )
+        assert stats["folded"] and stats["touched_buckets"] == 1
+        after = _bucket_files(store)
+        # untouched buckets keep byte-identical files; exactly one differs
+        changed = [d for d in before if after.get(d) != before[d]]
+        assert len(changed) == 1
+        got = {r["g"]: r.asDict() for r in read_rollup(spark, store).collect()}
+        want = {
+            r["g"]: r.asDict()
+            for r in finalize_rollup(
+                rollup_partials(_mk(spark, b0 + b1), ["g"], ["v"])
+            ).collect()
+        }
+        assert set(got) == set(want)
+        for g in want:
+            assert got[g]["n_rows"] == want[g]["n_rows"]
+            assert got[g]["v_sum"] == want[g]["v_sum"]
+            assert got[g]["v_min"] == want[g]["v_min"]
+            assert got[g]["v_max"] == want[g]["v_max"]
+
+    def test_replay_fence(self, spark, tmp_path):
+        store = str(tmp_path / "store")
+        write_rollup_store(
+            rollup_partials(_mk(spark, _rows(20, 300)), ["g"], ["v"]), store
+        )
+        batch = rollup_partials(_mk(spark, _rows(21, 100)), ["g"], ["v"])
+        assert fold_rollup_into_store(spark, store, batch, batch_id=5)["folded"]
+        snap = {r["g"]: r["v_sum"] for r in read_rollup(spark, store).collect()}
+        # replayed batch (same id) must be a no-op, not a double-count
+        again = fold_rollup_into_store(spark, store, batch, batch_id=5)
+        assert not again["folded"]
+        assert snap == {
+            r["g"]: r["v_sum"] for r in read_rollup(spark, store).collect()
+        }
+
+    def test_lock_respected(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.compact import (
+            ConcurrentMaintenanceError,
+        )
+
+        store = str(tmp_path / "store")
+        write_rollup_store(
+            rollup_partials(_mk(spark, _rows(30, 50)), ["g"], ["v"]), store
+        )
+        lock = store + "__maintenance_lock"
+        with open(lock, "w") as fh:
+            fh.write("{}")
+        batch = rollup_partials(_mk(spark, _rows(31, 10)), ["g"], ["v"])
+        with pytest.raises(ConcurrentMaintenanceError):
+            fold_rollup_into_store(spark, store, batch)
+        os.unlink(lock)
+        assert fold_rollup_into_store(spark, store, batch)["folded"]
+
+    def test_batch_layout_replay_idempotent_and_compact(self, spark, tmp_path):
+        store = str(tmp_path / "bstore")
+        b0, b1 = _rows(40, 300), _rows(41, 300)
+        p0 = rollup_partials(_mk(spark, b0), ["g"], ["v"])
+        p1 = rollup_partials(_mk(spark, b1), ["g"], ["v"])
+        write_rollup_store(p0, store, ingest_batch=0)
+        write_rollup_store(p1, store, ingest_batch=1)
+        want = {
+            r["g"]: r.asDict()
+            for r in finalize_rollup(
+                rollup_partials(_mk(spark, b0 + b1), ["g"], ["v"])
+            ).collect()
+        }
+        got = {r["g"]: r.asDict() for r in read_rollup(spark, store).collect()}
+        assert {g: got[g]["v_sum"] for g in got} == {
+            g: want[g]["v_sum"] for g in want
+        }
+        # at-least-once replay of batch 1 REPLACES its partition
+        write_rollup_store(p1, store, ingest_batch=1)
+        got2 = {r["g"]: r.asDict() for r in read_rollup(spark, store).collect()}
+        assert {g: got2[g]["v_sum"] for g in got2} == {
+            g: want[g]["v_sum"] for g in want
+        }
+        # compaction: one row per group, same aggregate, plain layout
+        stats = compact_rollup_store(spark, store)
+        assert stats["n_groups"] == len(want)
+        got3 = {r["g"]: r.asDict() for r in read_rollup(spark, store).collect()}
+        assert {g: got3[g]["v_sum"] for g in got3} == {
+            g: want[g]["v_sum"] for g in want
+        }
+        # compacted store now accepts plain folds
+        more = rollup_partials(_mk(spark, _rows(42, 50)), ["g"], ["v"])
+        assert fold_rollup_into_store(spark, store, more, batch_id=2)["folded"]
+
+    def test_fold_on_batch_layout_refused(self, spark, tmp_path):
+        store = str(tmp_path / "bstore")
+        p = rollup_partials(_mk(spark, _rows(50, 50)), ["g"], ["v"])
+        write_rollup_store(p, store, ingest_batch=0)
+        with pytest.raises(ValueError, match="batch-layout"):
+            fold_rollup_into_store(spark, store, p)
+
+
+class TestStreamingRollup:
+    def test_stream_matches_batch(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.streaming.incremental import (
+            run_incremental_rollup_stream,
+        )
+
+        src = str(tmp_path / "src")
+        rows = _rows(60, 400)
+        _mk(spark, rows).repartition(4).write.parquet(src)
+        store = str(tmp_path / "store")
+        ckpt = str(tmp_path / "ckpt")
+        stream = spark.readStream.schema("g string, ts timestamp, v double").option(
+            "maxFilesPerTrigger", 2
+        ).parquet(src)
+        run_incremental_rollup_stream(stream, ["g"], ["v"], store, ckpt)
+        got = {r["g"]: r.asDict() for r in read_rollup(spark, store).collect()}
+        want = {
+            r["g"]: r.asDict()
+            for r in finalize_rollup(
+                rollup_partials(_mk(spark, rows), ["g"], ["v"])
+            ).collect()
+        }
+        assert set(got) == set(want)
+        for g in want:
+            assert got[g]["n_rows"] == want[g]["n_rows"]
+            assert got[g]["v_sum"] == want[g]["v_sum"]
+
+
+class TestRollupCli:
+    def test_cli_roundtrip(self, spark, tmp_path, capsys):
+        from imitation_learning_data_pipeline_spark.cli import main
+
+        src0, src1 = str(tmp_path / "s0"), str(tmp_path / "s1")
+        b0, b1 = _rows(70, 300), _rows(71, 120)
+        _mk(spark, b0).write.parquet(src0)
+        _mk(spark, b1).write.parquet(src1)
+        store = str(tmp_path / "store")
+        assert (
+            main(
+                ["rollup", "--input", src0, "--group", "g", "--metrics", "v",
+                 "--store", store]
+            )
+            == 0
+        )
+        assert (
+            main(
+                ["rollup", "--input", src1, "--group", "g", "--metrics", "v",
+                 "--store", store, "--fold", "--batch-id", "1"]
+            )
+            == 0
+        )
+        capsys.readouterr()
+        assert main(["rollup", "--store", store, "--read"]) == 0
+        out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+        want = {
+            r["g"]: r.asDict()
+            for r in finalize_rollup(
+                rollup_partials(_mk(spark, b0 + b1), ["g"], ["v"])
+            ).collect()
+        }
+        assert {r["g"]: r["v_sum"] for r in out} == {
+            g: want[g]["v_sum"] for g in want
+        }
