@@ -561,6 +561,36 @@ def cmd_profile(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_snapshot(args: argparse.Namespace) -> int:
+    """Snapshot isolation for plain-parquet tables (pipeline/snapshot.py):
+    pin, list, time-travel-read (export), and vacuum."""
+    from .pipeline.snapshot import (
+        create_snapshot,
+        drop_snapshot,
+        list_snapshots,
+        read_snapshot,
+    )
+
+    spark = _spark("snapshot")
+    if args.create:
+        print(json.dumps(create_snapshot(spark, args.path, args.create)))
+        return 0
+    if args.drop:
+        print(json.dumps({"tag": args.drop, **drop_snapshot(spark, args.path, args.drop)}))
+        return 0
+    if args.read:
+        if not args.out:
+            raise SystemExit("snapshot: --read needs --out")
+        read_snapshot(spark, args.path, args.read).write.mode(
+            "overwrite"
+        ).parquet(args.out)
+        print(json.dumps({"tag": args.read, "exported": args.out}))
+        return 0
+    for s in list_snapshots(spark, args.path):
+        print(json.dumps(s))
+    return 0
+
+
 def cmd_rollup(args: argparse.Namespace) -> int:
     """Continuous aggregates (plans/rollup.py): one-shot rollup to
     stdout, or maintain an incremental store — bootstrap, O(batch)
@@ -1065,6 +1095,19 @@ def build_parser() -> argparse.ArgumentParser:
     ru.add_argument("--read", action="store_true", help="print the store's finalized aggregate")
     ru.add_argument("--compact", action="store_true", help="fold a batch-layout store to plain")
     ru.set_defaults(fn=cmd_rollup)
+
+    sn = sub.add_parser(
+        "snapshot",
+        help="pin / list / time-travel-read / vacuum table snapshots "
+        "(survive merge+compact via retained-file renames)",
+    )
+    sn.add_argument("--path", required=True, help="table root")
+    sn.add_argument("--create", default=None, metavar="TAG")
+    sn.add_argument("--drop", default=None, metavar="TAG", help="vacuum: drop tag + GC retained files")
+    sn.add_argument("--read", default=None, metavar="TAG", help="export the pinned view (needs --out)")
+    sn.add_argument("--out", default=None)
+    sn.add_argument("--list", action="store_true", help="(default action)")
+    sn.set_defaults(fn=cmd_snapshot)
     return p
 
 

@@ -61,10 +61,13 @@ def _list_parquet(
         name = p.rsplit("/", 1)[-1]
         if not name.endswith(".parquet") or name.startswith(("_", ".")):
             continue
+        rel = p[len(root) + 1 :] if p.startswith(root + "/") else name
+        # skip metadata subtrees (_snapshots/retained) like Spark does
+        if any(seg.startswith(("_", ".")) for seg in rel.split("/")[:-1]):
+            continue
         sz = st.getLen()
         total += sz
         files += 1
-        rel = p[len(root) + 1 :] if p.startswith(root + "/") else name
         top = rel.split("/", 1)[0]
         if "=" in top:
             b, n_f = by_dir.get(top, (0, 0))
@@ -182,6 +185,8 @@ def _compact_locked(
     path: str,
     target_bytes: int,
     partition_col: str | list[str] | None,
+    snap_root: str | None = None,
+    snap_prefix: str = "",
 ) -> dict:
     total, before, by_dir = _list_parquet(spark, path)
     fs, jpath = _fs(spark, path)
@@ -274,6 +279,14 @@ def _compact_locked(
         fs.rename(jvm_path(old), jvm_path(path))  # put the original back
         _rm(fs, jvm_path, tmp)
         raise
+    # snapshot retention: carry _snapshots back from the staged-aside
+    # dir and retain any files live snapshots still reference, before
+    # the old tree is dropped (pipeline/snapshot.py)
+    from .snapshot import preserve_from_dir
+
+    preserve_from_dir(
+        spark, fs, jvm_path, snap_root or path, old, rel_prefix=snap_prefix
+    )
     _rm(fs, jvm_path, old)
     _, after, _ = _list_parquet(spark, path)
     return {"files_before": before, "files_after": after, "bytes": total}
@@ -349,7 +362,14 @@ def compact_sprawling(
             b, n_f = by_dir[d]
             rewritten_bytes += b
             files_before += n_f
-            sub = _compact_locked(spark, f"{path}/{d}", target_bytes, inner)
+            sub = _compact_locked(
+                spark,
+                f"{path}/{d}",
+                target_bytes,
+                inner,
+                snap_root=path,
+                snap_prefix=f"{d}/",
+            )
             files_after += sub["files_after"]
         return {
             "partitions_total": len(by_dir),

@@ -83,14 +83,20 @@ def _list_data_files(fs, jvm_path, path: str) -> dict:
     data file under ``path`` — the listing's own Path objects are the
     only encoding-safe way to address the files afterwards."""
     out = {}
+    root = fs.makeQualified(jvm_path(path)).toString().rstrip("/")
     it = fs.listFiles(jvm_path(path), True)
     while it.hasNext():
         st = it.next()
         jp = st.getPath()
-        name = jp.getName()
-        if not name.endswith(".parquet") or name.startswith(("_", ".")):
+        p = jp.toString()
+        if not p.endswith(".parquet"):
             continue
-        out[_norm_key(jp.toString())] = (jp.toString(), jp)
+        # skip metadata subtrees (_snapshots/retained, journals) the same
+        # way Spark's own file discovery does: any _/. path segment
+        rel = p[len(root) + 1 :] if p.startswith(root + "/") else jp.getName()
+        if any(seg.startswith(("_", ".")) for seg in rel.split("/")):
+            continue
+        out[_norm_key(p)] = (p, jp)
     return out
 
 
@@ -130,10 +136,13 @@ def _recover_pending(spark, fs, jvm_path, path: str, tmp: str) -> None:
             if not fs.rename(src, dst):
                 raise IOError(f"merge_into recovery: could not move {rel}")
     live = _list_data_files(fs, jvm_path, path)
+    from .snapshot import referenced_rels, retire_or_delete
+
+    refs = referenced_rels(spark, fs, jvm_path, path)
     for f in journal["delete"]:
         hit = live.get(_norm_key(f))
-        if hit is not None and not fs.delete(hit[1], False):
-            raise IOError(f"merge_into recovery: could not delete {f}")
+        if hit is not None:
+            retire_or_delete(spark, fs, jvm_path, path, hit[0], hit[1], refs)
     fs.delete(jp, False)
     _rm(fs, jvm_path, tmp)
 
@@ -368,9 +377,13 @@ def _merge_into_locked(
         if not fs.rename(jvm_path(f"{tmp}/{rel}"), dest):
             raise IOError(f"merge_into: could not move {rel} into {path}")
         moved += 1
-    for _, jp_old in touched:
-        if fs.exists(jp_old) and not fs.delete(jp_old, False):
-            raise IOError(f"merge_into: could not delete replaced file {jp_old}")
+    # replaced files RETIRE into the snapshot retained tree when a live
+    # snapshot still references them (pipeline/snapshot.py), else delete
+    from .snapshot import referenced_rels, retire_or_delete
+
+    refs = referenced_rels(spark, fs, jvm_path, path)
+    for fstr, jp_old in touched:
+        retire_or_delete(spark, fs, jvm_path, path, fstr, jp_old, refs)
     fs.delete(jvm_path(f"{path}/{_PENDING}"), False)
     _rm(fs, jvm_path, tmp)
 

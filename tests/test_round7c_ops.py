@@ -1,0 +1,224 @@
+"""Round-7c: snapshot isolation / time travel (pipeline/snapshot.py).
+
+Coverage: pinned reads surviving copy-on-write merges and compaction
+(flat, partitioned, sprawl-selective), vacuum GC with multi-snapshot
+reference counting, unchanged no-snapshot maintenance behavior, error
+paths, and the CLI verb.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from imitation_learning_data_pipeline_spark.pipeline.compact import (
+    compact,
+    compact_sprawling,
+)
+from imitation_learning_data_pipeline_spark.pipeline.merge import merge_into
+from imitation_learning_data_pipeline_spark.pipeline.snapshot import (
+    create_snapshot,
+    drop_snapshot,
+    list_snapshots,
+    read_snapshot,
+)
+
+
+def _write(spark, path, n=1000, files=8):
+    df = spark.range(n).selectExpr(
+        "id AS k", "CAST(id * 10 AS DOUBLE) AS v", "concat('r', id) AS s"
+    )
+    df.repartition(files).write.parquet(path)
+
+
+def _rows(df):
+    return sorted((r["k"], r["v"], r["s"]) for r in df.collect())
+
+
+def _retained_files(table):
+    root = os.path.join(table, "_snapshots", "retained")
+    out = []
+    for dirpath, _dirs, files in os.walk(root):
+        out += [os.path.join(dirpath, f) for f in files if f.endswith(".parquet")]
+    return out
+
+
+class TestSnapshotMerge:
+    def test_snapshot_survives_merge(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        _write(spark, t)
+        before = _rows(spark.read.parquet(t))
+        info = create_snapshot(spark, t, "v1")
+        assert info["n_files"] == 8
+        upd = spark.range(50).selectExpr(
+            "id AS k", "CAST(-1 AS DOUBLE) AS v", "'upd' AS s"
+        )
+        merge_into(spark, t, upd, key="k")
+        now = _rows(spark.read.parquet(t))
+        assert now != before and len(now) == len(before)
+        # the pinned view is byte-stable history
+        assert _rows(read_snapshot(spark, t, "v1")) == before
+        assert len(_retained_files(t)) > 0
+
+    def test_no_snapshot_means_plain_delete(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        _write(spark, t)
+        upd = spark.range(5).selectExpr(
+            "id AS k", "CAST(-1 AS DOUBLE) AS v", "'u' AS s"
+        )
+        merge_into(spark, t, upd, key="k")
+        assert not os.path.exists(os.path.join(t, "_snapshots"))
+
+    def test_two_snapshots_two_histories(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        _write(spark, t)
+        s0 = _rows(spark.read.parquet(t))
+        create_snapshot(spark, t, "v1")
+        u1 = spark.range(20).selectExpr(
+            "id AS k", "CAST(-1 AS DOUBLE) AS v", "'a' AS s"
+        )
+        merge_into(spark, t, u1, key="k")
+        s1 = _rows(spark.read.parquet(t))
+        create_snapshot(spark, t, "v2")
+        u2 = spark.range(20, 40).selectExpr(
+            "id AS k", "CAST(-2 AS DOUBLE) AS v", "'b' AS s"
+        )
+        merge_into(spark, t, u2, key="k")
+        assert _rows(read_snapshot(spark, t, "v1")) == s0
+        assert _rows(read_snapshot(spark, t, "v2")) == s1
+        tags = [s["tag"] for s in list_snapshots(spark, t)]
+        assert tags == ["v1", "v2"]
+
+
+class TestSnapshotCompact:
+    def test_snapshot_survives_full_compact(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        _write(spark, t, files=20)
+        before = _rows(spark.read.parquet(t))
+        create_snapshot(spark, t, "pin")
+        stats = compact(spark, t, target_bytes=1 << 30)
+        assert stats["files_after"] < stats["files_before"]
+        assert _rows(spark.read.parquet(t)) == before
+        assert _rows(read_snapshot(spark, t, "pin")) == before
+        # the compacted live tree no longer holds the pinned files
+        assert len(_retained_files(t)) == 20
+
+    def test_snapshot_survives_partitioned_sprawl_compact(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        df = spark.range(2000).selectExpr(
+            "CASE WHEN id % 2 = 0 THEN 'train' ELSE 'val' END AS split",
+            "id AS k",
+            "CAST(id AS DOUBLE) AS v",
+            "concat('r', id) AS s",
+        )
+        df.where("split = 'train'").repartition(40).write.partitionBy(
+            "split"
+        ).parquet(t)
+        df.where("split = 'val'").coalesce(1).write.mode("append").partitionBy(
+            "split"
+        ).parquet(t)
+        before = sorted(
+            (r["split"], r["k"], r["v"], r["s"])
+            for r in spark.read.parquet(t).collect()
+        )
+        create_snapshot(spark, t, "pin")
+        stats = compact_sprawling(
+            spark, t, target_bytes=1 << 30, partition_col="split"
+        )
+        assert stats["partitions_selected"] == 1  # only the sprawled one
+        got = sorted(
+            (r["split"], r["k"], r["v"], r["s"])
+            for r in read_snapshot(spark, t, "pin").collect()
+        )
+        assert got == before
+        # retained rels keep their hive context
+        assert any("split=train" in f for f in _retained_files(t))
+
+    def test_snapshot_on_untouched_table_reads_live(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        _write(spark, t)
+        before = _rows(spark.read.parquet(t))
+        create_snapshot(spark, t, "pin")
+        assert _rows(read_snapshot(spark, t, "pin")) == before
+        assert _retained_files(t) == []
+
+
+class TestSnapshotVacuum:
+    def test_drop_gc_respects_other_snapshots(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        _write(spark, t)
+        s0 = _rows(spark.read.parquet(t))
+        create_snapshot(spark, t, "a")
+        create_snapshot(spark, t, "b")
+        upd = spark.range(1000).selectExpr(
+            "id AS k", "CAST(-1 AS DOUBLE) AS v", "'u' AS s"
+        )
+        merge_into(spark, t, upd, key="k")  # replaces every file
+        n_ret = len(_retained_files(t))
+        assert n_ret == 8
+        drop_snapshot(spark, t, "a")
+        # b still references the same files: nothing GC'd
+        assert len(_retained_files(t)) == n_ret
+        assert _rows(read_snapshot(spark, t, "b")) == s0
+        out = drop_snapshot(spark, t, "b")
+        assert out["retained_deleted"] == n_ret
+        assert _retained_files(t) == []
+
+    def test_errors(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        _write(spark, t)
+        with pytest.raises(FileNotFoundError):
+            read_snapshot(spark, t, "nope")
+        with pytest.raises(FileNotFoundError):
+            drop_snapshot(spark, t, "nope")
+        create_snapshot(spark, t, "v1")
+        with pytest.raises(ValueError, match="already exists"):
+            create_snapshot(spark, t, "v1")
+        with pytest.raises(ValueError, match="invalid tag"):
+            create_snapshot(spark, t, "../escape")
+
+    def test_destroyed_table_raises_clearly(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        _write(spark, t)
+        create_snapshot(spark, t, "pin")
+        # a non-retention-aware full overwrite (the documented hazard)
+        snap_dir = str(tmp_path / "saved")
+        os.rename(os.path.join(t, "_snapshots"), snap_dir)
+        spark.range(10).selectExpr(
+            "id AS k", "CAST(0 AS DOUBLE) AS v", "'x' AS s"
+        ).write.mode("overwrite").parquet(t)
+        os.rename(snap_dir, os.path.join(t, "_snapshots"))
+        with pytest.raises(IOError, match="gone from both"):
+            read_snapshot(spark, t, "pin")
+
+
+class TestSnapshotCli:
+    def test_cli_roundtrip(self, spark, tmp_path, capsys):
+        from imitation_learning_data_pipeline_spark.cli import main
+
+        t = str(tmp_path / "t")
+        _write(spark, t)
+        before = _rows(spark.read.parquet(t))
+        assert main(["snapshot", "--path", t, "--create", "v1"]) == 0
+        upd_p = str(tmp_path / "u")
+        spark.range(10).selectExpr(
+            "id AS k", "CAST(-1 AS DOUBLE) AS v", "'u' AS s"
+        ).write.parquet(upd_p)
+        assert main(["merge", "--path", t, "--updates", upd_p, "--key", "k"]) == 0
+        out_p = str(tmp_path / "export")
+        capsys.readouterr()
+        assert main(
+            ["snapshot", "--path", t, "--read", "v1", "--out", out_p]
+        ) == 0
+        assert _rows(spark.read.parquet(out_p)) == before
+        assert main(["snapshot", "--path", t, "--list"]) == 0
+        lines = [
+            json.loads(l)
+            for l in capsys.readouterr().out.strip().splitlines()
+            if l.startswith("{")
+        ]
+        assert any(d.get("tag") == "v1" for d in lines)
+        assert main(["snapshot", "--path", t, "--drop", "v1"]) == 0
+        assert _retained_files(t) == []
