@@ -624,6 +624,7 @@ def cmd_rollup(args: argparse.Namespace) -> int:
         args.metrics.split(","),
         time_col=args.time_col,
         grain=args.grain,
+        distinct_cols=args.distinct.split(",") if args.distinct else None,
     )
     if not args.store:
         for r in finalize_rollup(merge_rollup(parts)).collect():
@@ -1070,6 +1071,12 @@ def build_parser() -> argparse.ArgumentParser:
     ru.add_argument("--input", default=None, help="parquet dir/file to aggregate")
     ru.add_argument("--group", default=None, help="comma-separated group columns")
     ru.add_argument("--metrics", default=None, help="comma-separated numeric metric columns")
+    ru.add_argument(
+        "--distinct",
+        default=None,
+        help="comma-separated columns to track per-group approx distinct "
+        "counts for (mergeable HLL sketches)",
+    )
     ru.add_argument("--time-col", default=None, help="add a date_trunc time-bucket group key")
     ru.add_argument("--grain", default="day", help="time bucket grain (default day)")
     ru.add_argument("--store", default=None, help="rollup store path")

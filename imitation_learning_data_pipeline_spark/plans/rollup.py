@@ -69,17 +69,23 @@ def rollup_partials(
     metrics: list[str],
     time_col: str | None = None,
     grain: str = "day",
+    distinct_cols: list[str] | None = None,
 ) -> DataFrame:
     """One-pass mergeable partials: a row per group with ``n_rows`` plus
-    ``{m}__n/{m}__sum/{m}__min/{m}__max/{m}__sumsq`` per metric.
+    ``{m}__n/{m}__sum/{m}__min/{m}__max/{m}__sumsq`` per metric and
+    ``{d}__hll`` (a Datasketches HLL sketch) per ``distinct_cols``
+    entry — per-group COUNT(DISTINCT) made mergeable the only way it
+    can be at 100 TB (register-level union is lossless, the same
+    machinery as the sketch profiles in plans/profile.py).
 
     ``time_col`` adds a ``bucket_ts = date_trunc(grain, time_col)``
-    group key — the hypertable time-bucket axis. All five stats compile
+    group key — the hypertable time-bucket axis. Every stat compiles
     into ONE hash aggregate with map-side partial combine; nothing but
-    (group, 5·metrics doubles) crosses the shuffle.
+    (group, 5·metrics doubles + sketches) crosses the shuffle.
     """
     group_cols = list(group_cols)
-    _check_names(group_cols, metrics)
+    distinct_cols = list(distinct_cols or [])
+    _check_names(group_cols, metrics + distinct_cols)
     if time_col is not None:
         df = df.withColumn("bucket_ts", F.date_trunc(grain, _bt(time_col)))
         group_cols = group_cols + ["bucket_ts"]
@@ -99,13 +105,19 @@ def rollup_partials(
                 F.sum(v * v).alias(f"{m}__sumsq"),
             ]
         )
+    for d in distinct_cols:
+        aggs.append(
+            F.hll_sketch_agg(_bt(d).cast("string")).alias(f"{d}__hll")
+        )
     return df.groupBy(*[_bt(c) for c in group_cols]).agg(*aggs)
 
 
-def _split_schema(parts: DataFrame) -> tuple[list[str], list[str]]:
-    """(group_cols, metrics) recovered from a partials frame's column
-    suffix convention — layout columns (bucket, ingest_batch) excluded."""
+def _split_schema(parts: DataFrame) -> tuple[list[str], list[str], list[str]]:
+    """(group_cols, metrics, distinct_cols) recovered from a partials
+    frame's column suffix convention — layout columns (bucket,
+    ingest_batch) excluded."""
     metrics = [c[: -len("__sum")] for c in parts.columns if c.endswith("__sum")]
+    distinct_cols = [c[: -len("__hll")] for c in parts.columns if c.endswith("__hll")]
     group_cols = [
         c
         for c in parts.columns
@@ -113,14 +125,14 @@ def _split_schema(parts: DataFrame) -> tuple[list[str], list[str]]:
     ]
     if not metrics or not group_cols:
         raise ValueError("rollup: frame is not a rollup-partials frame")
-    return group_cols, metrics
+    return group_cols, metrics, distinct_cols
 
 
 def merge_rollup(parts: DataFrame) -> DataFrame:
     """Fold any union of partial frames down to one row per group:
-    counts/sums add, min/min, max/max. Input is #groups × #batches rows
-    — aggregate-sized, never data-sized."""
-    group_cols, metrics = _split_schema(parts)
+    counts/sums add, min/min, max/max, HLL sketches union. Input is
+    #groups × #batches rows — aggregate-sized, never data-sized."""
+    group_cols, metrics, distinct_cols = _split_schema(parts)
     aggs: list[Column] = [F.sum("n_rows").alias("n_rows")]
     for m in metrics:
         aggs.extend(
@@ -132,14 +144,17 @@ def merge_rollup(parts: DataFrame) -> DataFrame:
                 F.sum(f"{m}__sumsq").alias(f"{m}__sumsq"),
             ]
         )
+    for d in distinct_cols:
+        aggs.append(F.hll_union_agg(f"{d}__hll").alias(f"{d}__hll"))
     return parts.groupBy(*[_bt(c) for c in group_cols]).agg(*aggs)
 
 
 def finalize_rollup(parts: DataFrame) -> DataFrame:
     """Render merged partials readable: per metric ``{m}_n, {m}_sum,
     {m}_avg, {m}_min, {m}_max, {m}_var`` (population variance via the
-    (n, sum, sumsq) identity; null when n = 0)."""
-    group_cols, metrics = _split_schema(parts)
+    (n, sum, sumsq) identity; null when n = 0), plus
+    ``{d}_distinct_est`` per sketched distinct column."""
+    group_cols, metrics, distinct_cols = _split_schema(parts)
     out: list[Column] = [_bt(c) for c in group_cols] + [F.col("n_rows")]
     for m in metrics:
         n = F.col(f"{m}__n")
@@ -155,6 +170,10 @@ def finalize_rollup(parts: DataFrame) -> DataFrame:
                 F.col(f"{m}__max").alias(f"{m}_max"),
                 F.when(n > 0, sq / n - (s / n) * (s / n)).alias(f"{m}_var"),
             ]
+        )
+    for d in distinct_cols:
+        out.append(
+            F.hll_sketch_estimate(f"{d}__hll").alias(f"{d}_distinct_est")
         )
     return parts.select(*out)
 
@@ -292,7 +311,7 @@ def write_rollup_store(
     overwrite — the at-least-once-safe path (a replay replaces its own
     partition byte-for-byte).
     """
-    group_cols, metrics = _split_schema(partials)
+    group_cols, metrics, _distinct = _split_schema(partials)
     spark = partials.sparkSession
     if ingest_batch is None:
         merged = merge_rollup(partials).withColumn(

@@ -12,6 +12,7 @@ import json
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from imitation_learning_data_pipeline_spark.plans.rollup import (
     compact_rollup_store,
@@ -89,6 +90,45 @@ class TestRollupAlgebra:
         parts = rollup_partials(_mk(spark, _rows(9, 100)), ["g"], ["v"])
         plan = parts._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") == 1
+
+    def test_distinct_sketches_merge_losslessly(self, spark, tmp_path):
+        """Per-group HLL distinct folded through the store == one-pass
+        sketch over the concatenation (register union is lossless), and
+        the estimate is exact on small cardinalities."""
+        b0, b1 = _rows(80, 400), _rows(81, 400)
+        p0 = rollup_partials(_mk(spark, b0), ["g"], ["v"], distinct_cols=["v"])
+        p1 = rollup_partials(_mk(spark, b1), ["g"], ["v"], distinct_cols=["v"])
+        folded = {
+            r["g"]: r["v_distinct_est"]
+            for r in finalize_rollup(merge_rollup(p0.unionByName(p1))).collect()
+        }
+        whole = {
+            r["g"]: r["v_distinct_est"]
+            for r in finalize_rollup(
+                rollup_partials(
+                    _mk(spark, b0 + b1), ["g"], ["v"], distinct_cols=["v"]
+                )
+            ).collect()
+        }
+        assert folded == whole
+        exact = {
+            r["g"]: r["n"]
+            for r in _mk(spark, b0 + b1)
+            .groupBy("g")
+            .agg(F.count_distinct("v").alias("n"))
+            .collect()
+        }
+        for g, est in whole.items():
+            assert abs(est - exact[g]) <= 0.05 * exact[g]
+        # store roundtrip keeps sketches foldable
+        store = str(tmp_path / "dstore")
+        write_rollup_store(p0, store)
+        fold_rollup_into_store(spark, store, p1, batch_id=1)
+        got = {
+            r["g"]: r["v_distinct_est"]
+            for r in read_rollup(spark, store).collect()
+        }
+        assert got == whole
 
     def test_reserved_names_raise(self, spark):
         df = _mk(spark, _rows(0, 10))
