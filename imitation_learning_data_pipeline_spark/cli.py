@@ -561,6 +561,23 @@ def cmd_profile(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_delete(args: argparse.Namespace) -> int:
+    """Row-level DELETE via file-level copy-on-write (pipeline/merge.py):
+    rewrite only the files holding matching rows."""
+    from .pipeline.merge import delete_from
+
+    spark = _spark("delete")
+    stats = delete_from(
+        spark,
+        args.path,
+        args.where,
+        partition_by=args.partition_by.split(",") if args.partition_by else None,
+        stale_lock_s=args.stale_lock_s,
+    )
+    print(json.dumps({"path": args.path, **stats}))
+    return 0
+
+
 def cmd_snapshot(args: argparse.Namespace) -> int:
     """Snapshot isolation for plain-parquet tables (pipeline/snapshot.py):
     pin, list, time-travel-read (export), and vacuum."""
@@ -1115,6 +1132,19 @@ def build_parser() -> argparse.ArgumentParser:
     sn.add_argument("--out", default=None)
     sn.add_argument("--list", action="store_true", help="(default action)")
     sn.set_defaults(fn=cmd_snapshot)
+
+    dl = sub.add_parser(
+        "delete",
+        help="row-level DELETE: rewrite only the files holding rows "
+        "matching a predicate (GDPR-delete for plain parquet)",
+    )
+    dl.add_argument("--path", required=True, help="table root")
+    dl.add_argument(
+        "--where", required=True, help="SQL predicate; NULL-evaluating rows are kept"
+    )
+    dl.add_argument("--partition-by", default=None)
+    dl.add_argument("--stale-lock-s", type=float, default=None)
+    dl.set_defaults(fn=cmd_delete)
     return p
 
 

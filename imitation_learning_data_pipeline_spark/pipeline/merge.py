@@ -224,6 +224,45 @@ def merge_into(
         fs.delete(jvm_path(_lock_path(path)), False)
 
 
+def _commit_staged(spark, fs, jvm_path, path, tmp, touched) -> int:
+    """Journaled commit shared by merge_into/delete_from: record (staged
+    rel paths, files to drop) atomically, move staged files in
+    (fresh-UUID names — no collisions), retire-or-delete the replaced
+    files (snapshot-aware, pipeline/snapshot.py), clear the journal. A
+    crash anywhere after the journal lands is COMPLETED by the next
+    maintenance op on the path; before it, staging is simply discarded.
+    Returns the number of files moved in."""
+    root = fs.makeQualified(jvm_path(tmp)).toString().rstrip("/")
+    staged_rel = []
+    if fs.exists(jvm_path(tmp)):
+        it = fs.listFiles(jvm_path(tmp), True)
+        while it.hasNext():
+            st = it.next()
+            p = st.getPath().toString()
+            name = p.rsplit("/", 1)[-1]
+            if not name.endswith(".parquet") or name.startswith(("_", ".")):
+                continue
+            staged_rel.append(p[len(root) + 1 :])
+    _write_pending(
+        spark, fs, jvm_path, path, staged_rel, [t[0] for t in touched]
+    )
+    moved = 0
+    for rel in staged_rel:
+        dest = jvm_path(f"{path}/{rel}")
+        fs.mkdirs(dest.getParent())
+        if not fs.rename(jvm_path(f"{tmp}/{rel}"), dest):
+            raise IOError(f"commit: could not move {rel} into {path}")
+        moved += 1
+    from .snapshot import referenced_rels, retire_or_delete
+
+    refs = referenced_rels(spark, fs, jvm_path, path)
+    for fstr, jp_old in touched:
+        retire_or_delete(spark, fs, jvm_path, path, fstr, jp_old, refs)
+    fs.delete(jvm_path(f"{path}/{_PENDING}"), False)
+    _rm(fs, jvm_path, tmp)
+    return moved
+
+
 def _merge_into_locked(
     spark, path, updates, keys, partition_by, max_file_rows,
     allow_new_columns, fs, jpath, jvm_path, tmp,
@@ -352,40 +391,7 @@ def _merge_into_locked(
     finally:
         upd.unpersist()
 
-    # journaled commit: record (staged rel paths, files to delete)
-    # atomically, then move staged files in (fresh-UUID names — no
-    # collisions), then drop the replaced files, then clear the journal.
-    # A crash anywhere after the journal lands is completed by the next
-    # merge_into; before it, staging is simply discarded.
-    root = fs.makeQualified(jvm_path(tmp)).toString().rstrip("/")
-    it = fs.listFiles(jvm_path(tmp), True)
-    staged_rel = []
-    while it.hasNext():
-        st = it.next()
-        p = st.getPath().toString()
-        name = p.rsplit("/", 1)[-1]
-        if not name.endswith(".parquet") or name.startswith(("_", ".")):
-            continue
-        staged_rel.append(p[len(root) + 1 :])
-    _write_pending(
-        spark, fs, jvm_path, path, staged_rel, [t[0] for t in touched]
-    )
-    moved = 0
-    for rel in staged_rel:
-        dest = jvm_path(f"{path}/{rel}")
-        fs.mkdirs(dest.getParent())
-        if not fs.rename(jvm_path(f"{tmp}/{rel}"), dest):
-            raise IOError(f"merge_into: could not move {rel} into {path}")
-        moved += 1
-    # replaced files RETIRE into the snapshot retained tree when a live
-    # snapshot still references them (pipeline/snapshot.py), else delete
-    from .snapshot import referenced_rels, retire_or_delete
-
-    refs = referenced_rels(spark, fs, jvm_path, path)
-    for fstr, jp_old in touched:
-        retire_or_delete(spark, fs, jvm_path, path, fstr, jp_old, refs)
-    fs.delete(jvm_path(f"{path}/{_PENDING}"), False)
-    _rm(fs, jvm_path, tmp)
+    moved = _commit_staged(spark, fs, jvm_path, path, tmp, touched)
 
     return {
         "files_touched": len(touched),
@@ -393,6 +399,113 @@ def _merge_into_locked(
         "rows_matched": keys_matched,
         "rows_inserted": n_keys - keys_matched,
     }
+
+
+def delete_from(
+    spark: SparkSession,
+    path: str,
+    predicate,
+    partition_by: list[str] | None = None,
+    stale_lock_s: float | None = None,
+) -> dict:
+    """Row-level DELETE on a plain-parquet table via the same file-level
+    copy-on-write as :func:`merge_into` — the right-to-be-forgotten
+    operation a 100 TB corpus actually runs: find the data files holding
+    at least one row WHERE ``predicate`` IS TRUE (a pruning pass whose
+    output is file paths), rewrite ONLY those files keeping the
+    survivors, commit journaled. A file whose rows all match simply
+    disappears (no empty-file rewrite). Untouched files keep their
+    bytes/mtimes; cost ∝ files containing deleted rows, never table
+    size — and on a ``cluster_write``/``zorder_write`` layout a
+    predicate on the cluster columns prunes the find phase via footer
+    stats before any row is read.
+
+    ``predicate``: a Column or SQL string; SQL DELETE semantics — rows
+    where it evaluates NULL are KEPT. Shares merge_into's journal
+    (crash mid-commit completed by the next op or :func:`recover`),
+    single-writer lock, and snapshot retention (a deleted file still
+    pinned by a snapshot retires instead of vanishing — time travel
+    shows pre-deletion data until the snapshot is vacuumed; for
+    regulatory erasure, ``drop_snapshot`` the pins too). Returns
+    {files_touched, files_added, rows_deleted}.
+    """
+    path = path.rstrip("/")
+    fs, jpath = _fs(spark, path)
+    jvm_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    tmp = f"{path}__merge_tmp"
+    _acquire_lock(spark, fs, jvm_path, path, "delete_from", stale_lock_s)
+    try:
+        _recover_pending(spark, fs, jvm_path, path, tmp)
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        hit = pred.isNotNull() & pred
+
+        partitioned_dirs = [
+            st.getPath().getName()
+            for st in fs.listStatus(jpath)
+            if st.isDirectory() and "=" in st.getPath().getName()
+        ]
+        if partitioned_dirs and not partition_by:
+            raise ValueError(
+                f"delete_from: {path} is Hive-partitioned "
+                f"({partitioned_dirs[0]}/...); pass partition_by=[...]"
+            )
+        if partition_by and not partitioned_dirs:
+            raise ValueError(
+                f"delete_from: {path} has a flat layout but partition_by="
+                f"{partition_by} was given"
+            )
+
+        target = spark.read.parquet(path)
+        target_cols = target.columns
+        # find phase: column pruning is Catalyst's (only predicate
+        # columns + _metadata are read); footer stats prune clustered
+        # layouts because `hit` pushes down as a data filter
+        touched_meta = sorted(
+            r["__file"]
+            for r in target.filter(hit)
+            .select(F.col("_metadata.file_path").alias("__file"))
+            .distinct()
+            .collect()
+        )
+        if not touched_meta:
+            return {"files_touched": 0, "files_added": 0, "rows_deleted": 0}
+        live = _list_data_files(fs, jvm_path, path)
+        touched = []
+        for m in touched_meta:
+            t = live.get(_norm_key(m))
+            if t is None:
+                raise IOError(f"delete_from: listed file vanished: {m}")
+            touched.append(t)
+
+        touched_rows = (
+            spark.read.option("basePath", path)
+            .parquet(*[t[0] for t in touched])
+            .select(*target_cols)
+            .persist()
+        )
+        try:
+            n_before = touched_rows.count()
+            survivors = touched_rows.filter(~hit)
+            n_after = survivors.count()
+            if n_after > 0:
+                staged = survivors.coalesce(len(touched))
+                writer = staged.write.mode("overwrite")
+                if partition_by:
+                    writer = writer.partitionBy(*partition_by)
+                writer.parquet(tmp)
+            else:
+                _rm(fs, jvm_path, tmp)  # pure delete: nothing staged
+        finally:
+            touched_rows.unpersist()
+
+        moved = _commit_staged(spark, fs, jvm_path, path, tmp, touched)
+        return {
+            "files_touched": len(touched),
+            "files_added": moved,
+            "rows_deleted": int(n_before - n_after),
+        }
+    finally:
+        fs.delete(jvm_path(_lock_path(path)), False)
 
 
 def cluster_write(

@@ -222,3 +222,129 @@ class TestSnapshotCli:
         assert any(d.get("tag") == "v1" for d in lines)
         assert main(["snapshot", "--path", t, "--drop", "v1"]) == 0
         assert _retained_files(t) == []
+
+
+class TestDeleteFrom:
+    def _file_state(self, table):
+        out = {}
+        for dirpath, _d, files in os.walk(table):
+            if "_snapshots" in dirpath:
+                continue
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    out[p] = (os.path.getsize(p), os.path.getmtime(p))
+        return out
+
+    def test_delete_rewrites_only_touched_files(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.merge import (
+            cluster_write,
+            delete_from,
+        )
+
+        t = str(tmp_path / "t")
+        df = spark.range(1000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+        # clustered layout: the deleted key range lives in few files
+        cluster_write(df, t, "k", n_files=10)
+        before = self._file_state(t)
+        stats = delete_from(spark, t, "k >= 100 AND k < 150")
+        assert stats["rows_deleted"] == 50
+        assert stats["files_touched"] <= 2  # range-clustered locality
+        after = self._file_state(t)
+        untouched = [p for p in before if p in after]
+        assert all(before[p] == after[p] for p in untouched)
+        assert len(before) - len(untouched) == stats["files_touched"]
+        got = sorted(r["k"] for r in spark.read.parquet(t).collect())
+        assert got == [k for k in range(1000) if not (100 <= k < 150)]
+
+    def test_null_predicate_rows_are_kept(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.merge import delete_from
+
+        t = str(tmp_path / "t")
+        spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "b")], "k long, s string"
+        ).coalesce(1).write.parquet(t)
+        stats = delete_from(spark, t, "s = 'a'")  # NULL for k=2 → kept
+        assert stats["rows_deleted"] == 1
+        assert sorted(r["k"] for r in spark.read.parquet(t).collect()) == [2, 3]
+
+    def test_whole_file_delete_leaves_no_empty_file(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.merge import delete_from
+
+        t = str(tmp_path / "t")
+        df = spark.range(100).selectExpr("id AS k", "id % 2 AS p")
+        # two files with disjoint p values: the p=0 file dies wholesale
+        df.filter("p = 0").coalesce(1).write.parquet(t)
+        df.filter("p = 1").coalesce(1).write.mode("append").parquet(t)
+        n_before = len(self._file_state(t))
+        stats = delete_from(spark, t, "p = 0")
+        assert stats["rows_deleted"] == 50
+        assert stats["files_added"] <= stats["files_touched"]
+        assert sorted(r["k"] for r in spark.read.parquet(t).collect()) == list(
+            range(1, 100, 2)
+        )
+        assert len(self._file_state(t)) < n_before
+
+    def test_no_match_is_noop(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.merge import delete_from
+
+        t = str(tmp_path / "t")
+        spark.range(10).selectExpr("id AS k").write.parquet(t)
+        before = self._file_state(t)
+        stats = delete_from(spark, t, "k > 1000")
+        assert stats == {"files_touched": 0, "files_added": 0, "rows_deleted": 0}
+        assert self._file_state(t) == before
+
+    def test_partitioned_layout_and_guards(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.merge import delete_from
+
+        t = str(tmp_path / "t")
+        df = spark.range(200).selectExpr(
+            "id AS k", "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS split"
+        )
+        df.write.partitionBy("split").parquet(t)
+        with pytest.raises(ValueError, match="Hive-partitioned"):
+            delete_from(spark, t, "k < 10")
+        stats = delete_from(spark, t, "k < 10", partition_by=["split"])
+        assert stats["rows_deleted"] == 10
+        left = spark.read.parquet(t)
+        assert left.count() == 190
+        assert left.select("split").distinct().count() == 2
+
+    def test_snapshot_retention_on_delete(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.merge import delete_from
+
+        t = str(tmp_path / "t")
+        spark.range(100).selectExpr("id AS k").repartition(4).write.parquet(t)
+        before = sorted(r["k"] for r in spark.read.parquet(t).collect())
+        create_snapshot(spark, t, "pin")
+        delete_from(spark, t, "k < 50")
+        assert sorted(
+            r["k"] for r in read_snapshot(spark, t, "pin").collect()
+        ) == before
+        assert sorted(r["k"] for r in spark.read.parquet(t).collect()) == list(
+            range(50, 100)
+        )
+
+    def test_lock_respected(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.compact import (
+            ConcurrentMaintenanceError,
+        )
+        from imitation_learning_data_pipeline_spark.pipeline.merge import delete_from
+
+        t = str(tmp_path / "t")
+        spark.range(10).selectExpr("id AS k").write.parquet(t)
+        with open(t + "__maintenance_lock", "w") as fh:
+            fh.write("{}")
+        with pytest.raises(ConcurrentMaintenanceError):
+            delete_from(spark, t, "k < 5")
+
+    def test_cli(self, spark, tmp_path, capsys):
+        from imitation_learning_data_pipeline_spark.cli import main
+
+        t = str(tmp_path / "t")
+        spark.range(100).selectExpr("id AS k").write.parquet(t)
+        assert main(["delete", "--path", t, "--where", "k < 10"]) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["rows_deleted"] == 10
+        assert spark.read.parquet(t).count() == 90
