@@ -84,7 +84,10 @@ CONTRACT_FIRST: list[str] = [
     "dedup_simhash_pairs",
     "decontam_overlap_spans",
     "dedup_embedding_cosine_lsh",
-    "pack_sequences",
+    # Round-7 addition #2 (this session): the continuous-aggregate
+    # rollup — new operators go straight into the contract; funded by
+    # parking pack_sequences (see CONTRACT_EXCLUDE).
+    "rollup_events_daily",
     # Round-7 rotation (proxy-drift check, ADVICE r4 cadence): parked in
     # r6 after four green rounds, rotated BACK for a fresh direct row;
     # funded by parking pipeline_dedup_end_to_end (see CONTRACT_EXCLUDE).
@@ -306,15 +309,15 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     "pipeline_corpus_curation": "text_quality_score (quality gate) + "
     "dedup_exact (dedup stage) + sample_mixture_sources (rebalance "
     "stage) + pytest cascade-order assertions",
-    # round-7: continuous-aggregate rollup. Library-only (cap): its
-    # grouped multi-aggregate is agg_cube's retained family and its
-    # (n, sum, sumsq) mergeable variance decomposition is
-    # agg_weighted_variance's retained A3 identity; the full
-    # partials→merge→finalize fold is oracle-checked in
-    # check_contract --all and the store fold is pytest-locked.
-    "rollup_events_daily": "agg_cube (grouped multi-aggregate family) + "
-    "agg_weighted_variance (same (n,sum,sumsq) mergeable decomposition) "
-    "+ check_contract --all row",
+    # round-7 rotation #2: funds rollup_events_daily's contract slot
+    # (new operators go straight into the contract). Twice green
+    # (r5, r6); its two-level prefix sum is window_running_sum's
+    # retained frame-running-sum shape, and its per-doc token-count
+    # aggregate is mixture_token_budget's retained first stage; the
+    # offset-contiguity invariants stay pytest-locked.
+    "pack_sequences": "window_running_sum (same frame running sum) + "
+    "mixture_token_budget (same token-count aggregate stage) + pytest "
+    "contiguity/span invariants",
 }
 
 CONTRACT_CAP = 50
