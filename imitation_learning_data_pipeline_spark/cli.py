@@ -561,6 +561,17 @@ def cmd_profile(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_history(args: argparse.Namespace) -> int:
+    """Print a table's maintenance audit log (pipeline/history.py) as
+    JSON lines, oldest-first."""
+    from .pipeline.history import history
+
+    spark = _spark("history")
+    for ev in history(spark, args.path):
+        print(json.dumps(ev))
+    return 0
+
+
 def cmd_delete(args: argparse.Namespace) -> int:
     """Row-level DELETE via file-level copy-on-write (pipeline/merge.py):
     rewrite only the files holding matching rows."""
@@ -1145,6 +1156,12 @@ def build_parser() -> argparse.ArgumentParser:
     dl.add_argument("--partition-by", default=None)
     dl.add_argument("--stale-lock-s", type=float, default=None)
     dl.set_defaults(fn=cmd_delete)
+
+    hi = sub.add_parser(
+        "history", help="print a table's maintenance audit log (JSON lines)"
+    )
+    hi.add_argument("--path", required=True)
+    hi.set_defaults(fn=cmd_history)
     return p
 
 

@@ -175,9 +175,13 @@ def compact(
     jvm_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
     _acquire_lock(spark, fs, jvm_path, path, "compact", stale_lock_s)
     try:
-        return _compact_locked(spark, path, target_bytes, partition_col)
+        out = _compact_locked(spark, path, target_bytes, partition_col)
     finally:
         fs.delete(jvm_path(_lock_path(path)), False)
+    from .history import log_event
+
+    log_event(spark, path, "compact", out)
+    return out
 
 
 def _compact_locked(
@@ -371,7 +375,7 @@ def compact_sprawling(
                 snap_prefix=f"{d}/",
             )
             files_after += sub["files_after"]
-        return {
+        out = {
             "partitions_total": len(by_dir),
             "partitions_selected": len(selected),
             "selected": selected,
@@ -381,3 +385,8 @@ def compact_sprawling(
         }
     finally:
         fs.delete(jvm_path(_lock_path(path)), False)
+    if out["partitions_selected"]:
+        from .history import log_event
+
+        log_event(spark, path, "compact_sprawling", out)
+    return out

@@ -216,12 +216,16 @@ def merge_into(
     tmp = f"{path}__merge_tmp"
     _acquire_lock(spark, fs, jvm_path, path, "merge_into", stale_lock_s)
     try:
-        return _merge_into_locked(
+        out = _merge_into_locked(
             spark, path, updates, keys, partition_by, max_file_rows,
             allow_new_columns, fs, jpath, jvm_path, tmp,
         )
     finally:
         fs.delete(jvm_path(_lock_path(path)), False)
+    from .history import log_event
+
+    log_event(spark, path, "merge_into", {"key": keys, **out})
+    return out
 
 
 def _commit_staged(spark, fs, jvm_path, path, tmp, touched) -> int:
@@ -499,13 +503,22 @@ def delete_from(
             touched_rows.unpersist()
 
         moved = _commit_staged(spark, fs, jvm_path, path, tmp, touched)
-        return {
+        out = {
             "files_touched": len(touched),
             "files_added": moved,
             "rows_deleted": int(n_before - n_after),
         }
     finally:
         fs.delete(jvm_path(_lock_path(path)), False)
+    from .history import log_event
+
+    log_event(
+        spark,
+        path,
+        "delete_from",
+        {"predicate": str(predicate), **out},
+    )
+    return out
 
 
 def cluster_write(

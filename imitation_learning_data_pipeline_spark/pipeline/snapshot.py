@@ -163,9 +163,13 @@ def create_snapshot(spark: SparkSession, path: str, tag: str) -> dict:
         }
         fs.mkdirs(jvm_path(f"{path}/{_SNAP}"))
         _write_json(fs, jvm_path, mp, manifest)
-        return {k: manifest[k] for k in ("tag", "created_utc", "n_files", "bytes")}
+        out = {k: manifest[k] for k in ("tag", "created_utc", "n_files", "bytes")}
     finally:
         fs.delete(jvm_path(_lock_path(path)), False)
+    from .history import log_event
+
+    log_event(spark, path, "snapshot_create", out)
+    return out
 
 
 def list_snapshots(spark: SparkSession, path: str) -> list[dict]:
@@ -255,9 +259,13 @@ def drop_snapshot(spark: SparkSession, path: str, tag: str) -> dict:
                     deleted += 1
             if not referenced_rels(spark, fs, jvm_path, path):
                 _rm(fs, jvm_path, rroot)  # tree empty of references: clear it
-        return {"retained_deleted": deleted}
+        out = {"retained_deleted": deleted}
     finally:
         fs.delete(jvm_path(_lock_path(path)), False)
+    from .history import log_event
+
+    log_event(spark, path, "snapshot_drop", {"tag": tag, **out})
+    return out
 
 
 # --- maintenance integration -------------------------------------------------
@@ -299,14 +307,16 @@ def preserve_from_dir(
     swap displaced it). ``rel_prefix`` maps subtree paths to table-root
     relpaths for compact_sprawling's per-partition swaps. Returns the
     number of files retained."""
-    # the swap moved _snapshots aside with the rest of the root dir —
-    # restore it first so the reference check sees the manifests
+    # the swap moved _snapshots (and the _history audit log) aside with
+    # the rest of the root dir — restore them first so the reference
+    # check sees the manifests and the log survives compaction
     if not rel_prefix:
-        src = jvm_path(f"{old_dir}/{_SNAP}")
-        if fs.exists(src):
-            dst = jvm_path(f"{root}/{_SNAP}")
-            if not fs.exists(dst):
-                fs.rename(src, dst)
+        for meta_dir in (_SNAP, "_history"):
+            src = jvm_path(f"{old_dir}/{meta_dir}")
+            if fs.exists(src):
+                dst = jvm_path(f"{root}/{meta_dir}")
+                if not fs.exists(dst):
+                    fs.rename(src, dst)
     refs = referenced_rels(spark, fs, jvm_path, root, prefix=rel_prefix)
     if not refs:
         return 0

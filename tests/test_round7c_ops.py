@@ -348,3 +348,64 @@ class TestDeleteFrom:
         out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert out["rows_deleted"] == 10
         assert spark.read.parquet(t).count() == 90
+
+
+class TestHistory:
+    def test_ops_append_chronological_events(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.history import history
+        from imitation_learning_data_pipeline_spark.pipeline.merge import (
+            delete_from,
+            merge_into,
+        )
+
+        t = str(tmp_path / "t")
+        spark.range(200).selectExpr(
+            "id AS k", "CAST(id AS DOUBLE) AS v", "concat('r', id) AS s"
+        ).repartition(4).write.parquet(t)
+        assert history(spark, t) == []
+        create_snapshot(spark, t, "pin")
+        upd = spark.range(10).selectExpr(
+            "id AS k", "CAST(-1 AS DOUBLE) AS v", "'u' AS s"
+        )
+        merge_into(spark, t, upd, key="k")
+        delete_from(spark, t, "k >= 190")
+        compact(spark, t, target_bytes=1 << 30)
+        drop_snapshot(spark, t, "pin")
+        ops = [e["op"] for e in history(spark, t)]
+        assert ops == [
+            "snapshot_create",
+            "merge_into",
+            "delete_from",
+            "compact",
+            "snapshot_drop",
+        ]
+        ev = history(spark, t)
+        assert ev[1]["rows_matched"] == 10 and ev[1]["key"] == ["k"]
+        assert ev[2]["rows_deleted"] == 10
+        assert all("ts_utc" in e for e in ev)
+        # the log survived compact's directory swap (carried back)
+        assert ev[3]["files_after"] <= ev[3]["files_before"]
+
+    def test_noop_delete_logs_nothing(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.history import history
+        from imitation_learning_data_pipeline_spark.pipeline.merge import delete_from
+
+        t = str(tmp_path / "t")
+        spark.range(10).selectExpr("id AS k").write.parquet(t)
+        delete_from(spark, t, "k > 100")
+        assert history(spark, t) == []
+
+    def test_cli(self, spark, tmp_path, capsys):
+        from imitation_learning_data_pipeline_spark.cli import main
+        from imitation_learning_data_pipeline_spark.pipeline.merge import delete_from
+
+        t = str(tmp_path / "t")
+        spark.range(10).selectExpr("id AS k").write.parquet(t)
+        delete_from(spark, t, "k < 2")
+        assert main(["history", "--path", t]) == 0
+        lines = [
+            json.loads(l)
+            for l in capsys.readouterr().out.strip().splitlines()
+            if l.startswith("{")
+        ]
+        assert [e["op"] for e in lines] == ["delete_from"]
