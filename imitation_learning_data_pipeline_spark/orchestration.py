@@ -56,6 +56,7 @@ def pipeline_tasks(
     link_videos: str = "symlink",
     maintenance: bool = False,
     expectations_rules: str | None = None,
+    snapshot_tag: str | None = None,
 ) -> list[PipelineTask]:
     """The five-stage chain with the reference DAG's wiring
     (neura_pipeline_dag.py:52-135; path layout :20-25)."""
@@ -161,6 +162,32 @@ def pipeline_tasks(
             )
         ]
         if maintenance
+        else []
+    ) + (
+        [
+            # reproducibility pin: after everything that rewrites the
+            # dataset (compact included — a pin taken before compaction
+            # would immediately force the whole table into the retained
+            # tree), record a snapshot manifest so THIS run's training
+            # inputs stay time-travel-readable forever
+            # (pipeline/snapshot.py). Tag convention: the run id.
+            PipelineTask(
+                "snapshot_pin",
+                (
+                    "snapshot",
+                    "--path", f"{dataset_out}/data",
+                    "--create", snapshot_tag,
+                ),
+                upstream=(
+                    ("compact",)
+                    if maintenance
+                    else ("expect_gate",)
+                    if expectations_rules
+                    else ("materialize",)
+                ),
+            )
+        ]
+        if snapshot_tag
         else []
     )
 

@@ -210,3 +210,33 @@ def test_real_five_stage_run(spark, tmp_path, capsys):
     assert os.path.isdir(f"{work}/dataset/data")
     splits = {d for d in os.listdir(f"{work}/dataset/data") if d.startswith("split=")}
     assert "split=train" in splits
+
+
+class TestSnapshotPinTask:
+    def test_pin_task_wiring_and_parse(self):
+        from imitation_learning_data_pipeline_spark.cli import build_parser
+        from imitation_learning_data_pipeline_spark.orchestration import (
+            pipeline_tasks,
+            toposort,
+        )
+
+        parser = build_parser()
+        # pin alone: downstream of materialize
+        tasks = pipeline_tasks("/data", "/work", snapshot_tag="run-1")
+        by_id = {t.task_id: t for t in tasks}
+        assert by_id["snapshot_pin"].upstream == ("materialize",)
+        # with maintenance: downstream of compact (a pre-compaction pin
+        # would force the whole table into the retained tree)
+        tasks = pipeline_tasks(
+            "/data", "/work", maintenance=True, snapshot_tag="run-1"
+        )
+        by_id = {t.task_id: t for t in tasks}
+        assert by_id["snapshot_pin"].upstream == ("compact",)
+        assert toposort(tasks)[-1].task_id == "snapshot_pin"
+        for t in tasks:
+            ns = parser.parse_args(list(t.argv))
+            assert callable(ns.fn)
+        # no tag → no task
+        assert "snapshot_pin" not in {
+            t.task_id for t in pipeline_tasks("/data", "/work")
+        }
