@@ -318,6 +318,14 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     "pack_sequences": "window_running_sum (same frame running sum) + "
     "mixture_token_budget (same token-count aggregate stage) + pytest "
     "contiguity/span invariants",
+    # round-7: mixture materialization. Library-only (cap): its planner
+    # stage IS the retained mixture_token_budget (called verbatim), its
+    # seeded-acceptance copy decision is sample_mixture_sources'
+    # retained u<frac predicate, and the full planner→copies→explode
+    # chain is oracle-checked in check_contract --all.
+    "mixture_materialize": "mixture_token_budget (planner stage, called "
+    "verbatim) + sample_mixture_sources (same seeded md5 acceptance "
+    "predicate) + check_contract --all row",
 }
 
 CONTRACT_CAP = 50

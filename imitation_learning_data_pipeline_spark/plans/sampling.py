@@ -358,6 +358,94 @@ def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def apply_mixture_plan(
+    docs: DataFrame,
+    plan: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    seed: str = "mixmat",
+) -> DataFrame:
+    """Materialize a mixture plan: the missing step between
+    :func:`mixture_token_budget` (which says "web at 1.0 epochs, code at
+    3.2") and training data on disk. Each document is replicated
+    ``floor(epochs)`` times plus one more with probability
+    ``frac(epochs)``, decided by the corpus's seeded md5 unit-interval
+    recipe — so the materialized mix is a pure function of (doc id,
+    seed): re-runs are byte-reproducible and a grown corpus never flips
+    a previous doc's copy count.
+
+    ``plan`` needs (source, epochs_milli) — exactly the planner's
+    output. Output adds ``epoch_idx`` (0-based copy number) so a
+    downstream packer can interleave epochs instead of concatenating
+    them.
+
+    Scale shape: one broadcast join (plan is k rows) + a map-side
+    explode of at most ⌈epochs⌉ copies — the only data growth is the
+    intended repetition, there is no shuffle at all; feed the result to
+    export_shards/pack_sequences for layout.
+    """
+    e = plan.select(
+        source_col, (F.col("epochs_milli") / 1000.0).alias("__epochs")
+    )
+    j = docs.join(F.broadcast(e), source_col)
+    full = F.floor("__epochs").cast("int")
+    frac = F.col("__epochs") - F.floor("__epochs")
+    extra = (md5_unit_interval(id_col, seed=seed) < frac).cast("int")
+    return (
+        j.withColumn("__n", full + extra)
+        .filter(F.col("__n") > 0)
+        .withColumn(
+            "epoch_idx", F.explode(F.sequence(F.lit(0), F.col("__n") - 1))
+        )
+        .drop("__epochs", "__n")
+    )
+
+
+@register(
+    "mixture_materialize",
+    oracle=f"""
+WITH t AS (
+  SELECT source, sum(CAST(len({_W_SQL}) AS BIGINT)) AS n_tokens
+  FROM documents GROUP BY source
+),
+g AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total, CAST(count(*) AS BIGINT) AS k FROM t),
+p AS (
+  SELECT t.source,
+         CAST(round(1000 * least({_MAX_EPOCHS}, (g.total / g.k) / t.n_tokens)) AS BIGINT)
+           / 1000.0 AS epochs
+  FROM t CROSS JOIN g
+),
+c AS (
+  SELECT d.doc_id, d.source,
+         CAST(floor(p.epochs) AS BIGINT)
+         + CASE WHEN {_U_SQL.format(seed="mixmat")} < p.epochs - floor(p.epochs)
+                THEN 1 ELSE 0 END AS n_copies
+  FROM documents d JOIN p USING (source)
+),
+x AS (
+  SELECT source, doc_id, unnest(range(n_copies)) AS epoch_idx FROM c
+  WHERE n_copies > 0
+)
+SELECT source, CAST(epoch_idx AS BIGINT) AS epoch_idx,
+       count(*) AS n_rows, count(DISTINCT doc_id) AS n_docs
+FROM x GROUP BY source, epoch_idx
+""",
+)
+def mixture_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Library/oracle wrapper: materialize the equal-share token-budget
+    plan over documents and report the replication structure — rows and
+    distinct docs per (source, epoch copy). Checks the whole chain
+    planner → copy counts → explode against an independent engine."""
+    ensure_utc(spark)
+    plan = mixture_token_budget(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    out = apply_mixture_plan(docs, plan.select("source", "epochs_milli"))
+    return out.groupBy("source", F.col("epoch_idx").cast("long").alias("epoch_idx")).agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+
+
 # --- leakage-safe splits ------------------------------------------------------
 
 

@@ -324,3 +324,56 @@ class TestRollupCli:
         assert {r["g"]: r["v_sum"] for r in out} == {
             g: want[g]["v_sum"] for g in want
         }
+
+
+class TestApplyMixturePlan:
+    def _docs(self, spark):
+        rows = [(i, "web") for i in range(100)] + [(1000 + i, "code") for i in range(10)]
+        return spark.createDataFrame(rows, "doc_id long, source string")
+
+    def test_copy_counts_and_determinism(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.sampling import (
+            apply_mixture_plan,
+        )
+
+        docs = self._docs(spark)
+        plan = spark.createDataFrame(
+            [("web", 1000), ("code", 2500)], "source string, epochs_milli long"
+        )
+        out = apply_mixture_plan(docs, plan)
+        pdf = out.toPandas()
+        web = pdf[pdf.source == "web"]
+        code = pdf[pdf.source == "code"]
+        # web at exactly 1.0 epochs: every doc once, epoch_idx 0
+        assert len(web) == 100 and set(web.epoch_idx) == {0}
+        # code at 2.5: every doc 2 or 3 times, mean ~2.5
+        per_doc = code.groupby("doc_id").size()
+        assert set(per_doc) <= {2, 3}
+        assert 20 <= len(code) <= 30
+        # epoch_idx is 0..n-1 per doc
+        for d, n in per_doc.items():
+            assert sorted(code[code.doc_id == d].epoch_idx) == list(range(n))
+        # pure function of (doc_id, seed): rerun identical
+        pdf2 = apply_mixture_plan(docs, plan).toPandas()
+        a = sorted(map(tuple, pdf[["doc_id", "epoch_idx"]].values))
+        b = sorted(map(tuple, pdf2[["doc_id", "epoch_idx"]].values))
+        assert a == b
+
+    def test_zero_epoch_source_dropped_and_no_shuffle(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.sampling import (
+            apply_mixture_plan,
+        )
+
+        docs = self._docs(spark)
+        plan = spark.createDataFrame(
+            [("web", 0), ("code", 2000)], "source string, epochs_milli long"
+        )
+        out = apply_mixture_plan(docs, plan)
+        assert out.filter("source = 'web'").count() == 0
+        assert out.filter("source = 'code'").count() == 20
+        # broadcast join + map-side explode: zero exchanges on the doc side
+        plan_str = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan_str
+        import re
+
+        assert len(re.findall(r"Exchange (?!SinglePartition)", plan_str)) <= 1
