@@ -195,8 +195,15 @@ def _compact_locked(
     total, before, by_dir = _list_parquet(spark, path)
     fs, jpath = _fs(spark, path)
     jvm_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
-    tmp = f"{path}__compact_tmp"
-    old = f"{path}__compact_old"
+    # stage-aside dirs are DOT-prefixed siblings: for a partition-subtree
+    # compact (compact_sprawling) they live INSIDE the table directory,
+    # where a crash-stranded `split=train__compact_old` would otherwise
+    # parse as a partition value and pollute every read until the next
+    # compaction of that same subtree; hidden names are invisible to
+    # Spark's data discovery in any crash state
+    _dir, _base = path.rsplit("/", 1)
+    tmp = f"{_dir}/.{_base}__compact_tmp"
+    old = f"{_dir}/.{_base}__compact_old"
     # a crashed prior run may have stranded either; clear both so the
     # overwrite below starts clean and the renames land on empty targets
     _rm(fs, jvm_path, tmp)

@@ -544,11 +544,33 @@ def cluster_write(
     modular hashing).
     """
     keys = _key_cols(by)
+    _guard_snapshot_overwrite(df.sparkSession, path, mode, "cluster_write")
     if n_files:
         ranged = df.repartitionByRange(n_files, *keys)
     else:
         ranged = df.repartitionByRange(*keys)
     ranged.sortWithinPartitions(*keys).write.mode(mode).parquet(path)
+
+
+def _guard_snapshot_overwrite(spark, path: str, mode: str, op: str) -> None:
+    """Full-rewrite writers destroy every snapshot manifest's files —
+    refuse rather than silently break time travel (the documented
+    boundary in pipeline/snapshot.py). Vacuum the snapshots first, or
+    rewrite to a fresh path and swap."""
+    if mode != "overwrite":
+        return
+    fs, _ = _fs(spark, path)
+    jvm_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    from .snapshot import _SNAP, _manifest_paths
+
+    if fs.exists(jvm_path(f"{path.rstrip('/')}/{_SNAP}")) and _manifest_paths(
+        fs, jvm_path, path.rstrip("/")
+    ):
+        raise ValueError(
+            f"{op}: {path} has live snapshots; a full overwrite would "
+            "break their pinned reads. drop_snapshot them first, or "
+            "write to a new path and swap."
+        )
 
 
 _Z_BITS = 8  # 256 quantile buckets per dimension
@@ -583,6 +605,7 @@ def zorder_write(
     """
     if len(by) < 2:
         raise ValueError("zorder_write: needs 2+ columns; use cluster_write for 1")
+    _guard_snapshot_overwrite(df.sparkSession, path, mode, "zorder_write")
     from pyspark.sql import types as T
 
     numeric = {

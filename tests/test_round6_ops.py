@@ -50,20 +50,22 @@ class TestCompactionSkew:
         assert back.filter(F.col("part") == "small").count() == 1_000
 
     def test_leftover_tmp_and_old_dirs_are_cleaned(self, spark, tmp_path):
-        """A crashed prior run strands __compact_tmp/__compact_old;
-        the next run must clear both and still succeed."""
+        """A crashed prior run strands the (dot-prefixed) stage-aside
+        dirs; the next run must clear both and still succeed — and the
+        hidden naming keeps a crash-stranded subtree dir invisible to
+        partition discovery in the meantime."""
         from imitation_learning_data_pipeline_spark.pipeline.compact import compact
 
         p = str(tmp_path / "t")
         spark.range(0, 1000).repartition(8).write.parquet(p)
-        for leftover in (f"{p}__compact_tmp", f"{p}__compact_old"):
+        for leftover in (f"{tmp_path}/.t__compact_tmp", f"{tmp_path}/.t__compact_old"):
             os.makedirs(leftover)
             with open(os.path.join(leftover, "stale.parquet"), "w") as f:
                 f.write("junk from a crashed run")
         r = compact(spark, p, target_bytes=1 << 30)
         assert r["files_after"] == 1
-        assert not os.path.exists(f"{p}__compact_tmp")
-        assert not os.path.exists(f"{p}__compact_old")
+        assert not os.path.exists(f"{tmp_path}/.t__compact_tmp")
+        assert not os.path.exists(f"{tmp_path}/.t__compact_old")
         assert spark.read.parquet(p).count() == 1000
 
     def test_unpartitioned_round_trip_still_green(self, spark, tmp_path):

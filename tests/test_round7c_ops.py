@@ -409,3 +409,27 @@ class TestHistory:
             if l.startswith("{")
         ]
         assert [e["op"] for e in lines] == ["delete_from"]
+
+
+class TestSnapshotOverwriteGuard:
+    def test_clustered_overwrite_refused_with_live_snapshots(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.merge import (
+            cluster_write,
+            zorder_write,
+        )
+
+        t = str(tmp_path / "t")
+        df = spark.range(100).selectExpr(
+            "id AS k", "CAST(id AS DOUBLE) AS a", "CAST(id % 7 AS DOUBLE) AS b"
+        )
+        cluster_write(df, t, "k", n_files=4)
+        create_snapshot(spark, t, "pin")
+        with pytest.raises(ValueError, match="live snapshots"):
+            cluster_write(df, t, "k", n_files=4)
+        with pytest.raises(ValueError, match="live snapshots"):
+            zorder_write(df, t, ["a", "b"], n_files=4)
+        # append mode is not a rewrite: allowed
+        cluster_write(df, t, "k", n_files=1, mode="append")
+        # vacuumed: overwrite allowed again
+        drop_snapshot(spark, t, "pin")
+        cluster_write(df, t, "k", n_files=4)
