@@ -98,6 +98,22 @@ AUDIT = {
         "max_exchanges": 1,
         "forbid": ["rangepartitioning", "CartesianProduct"],
     },
+    # continuous aggregate: both half-partials + the merge compile into
+    # hash aggregates with map-side partial combine — per-half exchange
+    # plus the merge's; never a sort-based aggregate.
+    "rollup_events_daily": {
+        "max_exchanges": 3,
+        "want": ["HashAggregate"],
+        "forbid": ["SortAggregate", "CartesianProduct"],
+    },
+    # mixture materialization: the k-row plan must broadcast onto the
+    # corpus scan and the epoch explode stays map-side — the doc side
+    # crosses no exchange at all (token-count agg exchanges belong to
+    # the embedded planner stage).
+    "mixture_materialize": {
+        "want": ["BroadcastHashJoin", "Generate"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
 }
 
 
