@@ -561,6 +561,25 @@ def cmd_profile(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_card(args: argparse.Namespace) -> int:
+    """Data card (pipeline/card.py): one JSON datasheet per table —
+    counts, schema, column profile, source mixture, snapshots, history."""
+    from .pipeline.card import data_card, write_data_card
+
+    spark = _spark("card")
+    kwargs = dict(
+        columns=args.columns.split(",") if args.columns else None,
+        source_col=args.source_col,
+        snapshot_tag=args.snapshot_tag,
+    )
+    if args.out:
+        card = write_data_card(spark, args.path, args.out, **kwargs)
+    else:
+        card = data_card(spark, args.path, **kwargs)
+    print(json.dumps(card, sort_keys=True, default=str))
+    return 0
+
+
 def cmd_history(args: argparse.Namespace) -> int:
     """Print a table's maintenance audit log (pipeline/history.py) as
     JSON lines, oldest-first."""
@@ -1162,6 +1181,18 @@ def build_parser() -> argparse.ArgumentParser:
     )
     hi.add_argument("--path", required=True)
     hi.set_defaults(fn=cmd_history)
+
+    cd = sub.add_parser(
+        "card",
+        help="emit a data-card JSON datasheet (counts, profile, mixture, "
+        "snapshots, history) for a table",
+    )
+    cd.add_argument("--path", required=True)
+    cd.add_argument("--columns", default=None, help="profile subset (default: atomic columns)")
+    cd.add_argument("--source-col", default=None, help="add a per-source mixture table")
+    cd.add_argument("--snapshot-tag", default=None, help="record which pin this card describes")
+    cd.add_argument("--out", default=None, help="also write the card JSON to this path")
+    cd.set_defaults(fn=cmd_card)
     return p
 
 

@@ -433,3 +433,51 @@ class TestSnapshotOverwriteGuard:
         # vacuumed: overwrite allowed again
         drop_snapshot(spark, t, "pin")
         cluster_write(df, t, "k", n_files=4)
+
+
+class TestDataCard:
+    def test_card_contents(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.card import data_card
+        from imitation_learning_data_pipeline_spark.pipeline.merge import merge_into
+
+        t = str(tmp_path / "t")
+        spark.createDataFrame(
+            [(i, "web" if i % 4 else "code", float(i)) for i in range(200)],
+            "doc_id long, source string, score double",
+        ).repartition(4).write.parquet(t)
+        create_snapshot(spark, t, "v1")
+        merge_into(
+            spark,
+            t,
+            spark.createDataFrame(
+                [(0, "code", -1.0)], "doc_id long, source string, score double"
+            ),
+            key="doc_id",
+        )
+        card = data_card(spark, t, source_col="source", snapshot_tag="v1")
+        assert card["n_rows"] == 200 and card["n_files"] >= 4
+        assert {c["name"] for c in card["schema"]} == {"doc_id", "source", "score"}
+        by_col = {c["name"]: c for c in card["columns"]}
+        assert by_col["doc_id"]["n_null"] == 0
+        assert abs(by_col["doc_id"]["n_distinct_approx"] - 200) <= 10
+        mix = {m["source"]: m for m in card["mixture"]}
+        assert mix["web"]["n_rows"] == 150 and mix["code"]["n_rows"] == 50
+        assert mix["web"]["share_milli"] == 750
+        assert [s["tag"] for s in card["snapshots"]] == ["v1"]
+        assert [e["op"] for e in card["history_tail"]] == [
+            "snapshot_create",
+            "merge_into",
+        ]
+        assert card["snapshot_tag"] == "v1"
+
+    def test_cli_writes_card_file(self, spark, tmp_path, capsys):
+        from imitation_learning_data_pipeline_spark.cli import main
+
+        t = str(tmp_path / "t")
+        spark.range(50).selectExpr("id AS k").write.parquet(t)
+        out = str(tmp_path / "card.json")
+        assert main(["card", "--path", t, "--out", out]) == 0
+        with open(out) as fh:
+            card = json.load(fh)
+        assert card["n_rows"] == 50
+        assert card["columns"][0]["name"] == "k"
