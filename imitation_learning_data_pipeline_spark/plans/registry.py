@@ -326,6 +326,14 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     "mixture_materialize": "mixture_token_budget (planner stage, called "
     "verbatim) + sample_mixture_sources (same seeded md5 acceptance "
     "predicate) + check_contract --all row",
+    # round-7: document chunking. Library-only (cap): its map-side
+    # sequence()→explode fixed-window derivation is trajectory_windows'
+    # retained shape applied to token arrays, and its tokenize/array
+    # projections are text_repetition_stats' retained scan-bound
+    # family; the exact chunk text is oracle-checked in --all.
+    "text_chunk_documents": "trajectory_windows (same sequence→explode "
+    "fixed-window family) + text_repetition_stats (same scan-bound "
+    "token-array projections) + check_contract --all row",
 }
 
 CONTRACT_CAP = 50

@@ -484,3 +484,92 @@ def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_sentence_chars"),
         F.array_max(lens).cast("long").alias("max_sentence_chars"),
     )
+
+
+# --- document chunking -------------------------------------------------------
+
+_CHUNK_TOKENS = 64  # tokens per chunk
+_CHUNK_STRIDE = 48  # stride between chunk starts (overlap = 64 - 48)
+
+
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int = _CHUNK_TOKENS,
+    stride: int = _CHUNK_STRIDE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping fixed-size token chunks — the
+    context-window/RAG preprocessing every retrieval corpus runs:
+    ``(id, chunk_id, start_token, n_tokens, chunk_text)`` with chunk
+    starts at 0, stride, 2·stride, … (``overlap = max_tokens − stride``)
+    and the final chunk truncated at the document end.
+
+    Start set: every multiple of ``stride`` that is < n OR starts the
+    only chunk of an empty-tail doc — i.e. ``ceil(max(n−max_tokens,0)/
+    stride)+1`` chunks, so the last chunk always reaches the final
+    token and no start begins past it (the trajectory_windows coverage
+    rule applied to text).
+
+    Scale shape: tokenization + ``sequence()`` + explode + ``slice``
+    are all map-side array expressions — zero shuffles, zero UDFs; the
+    output feeds pack_sequences/export_shards for layout. Empty docs
+    yield no chunks.
+    """
+    if stride <= 0 or max_tokens <= 0 or stride > max_tokens:
+        raise ValueError("chunk_documents: need 0 < stride <= max_tokens")
+    from ..functions.text import clean_words
+
+    w = docs.select(
+        F.col(id_col), clean_words(text_col).alias("__w")
+    ).withColumn("__n", F.size("__w"))
+    # last start = stride * ceil(max(n - max_tokens, 0) / stride)
+    last = F.lit(stride) * F.ceil(
+        F.greatest(F.col("__n") - max_tokens, F.lit(0)) / stride
+    ).cast("long")
+    chunks = (
+        w.filter(F.col("__n") > 0)
+        .withColumn("start_token", F.explode(F.sequence(F.lit(0), last, F.lit(stride))))
+        .withColumn(
+            "n_tokens",
+            F.least(F.lit(max_tokens), F.col("__n") - F.col("start_token")),
+        )
+    )
+    return chunks.select(
+        id_col,
+        (F.col("start_token") / stride).cast("long").alias("chunk_id"),
+        F.col("start_token").cast("long").alias("start_token"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.array_join(
+            F.slice("__w", F.col("start_token") + 1, F.col("n_tokens")), " "
+        ).alias("chunk_text"),
+    )
+
+
+@register(
+    "text_chunk_documents",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, {_W_SQL} AS ws, len({_W_SQL}) AS n FROM documents
+),
+s AS (
+  SELECT doc_id, ws, n,
+         unnest(range(0, {_CHUNK_STRIDE} * CAST(ceil(greatest(n - {_CHUNK_TOKENS}, 0)
+                / {_CHUNK_STRIDE}.0) AS BIGINT) + 1, {_CHUNK_STRIDE})) AS start_token
+  FROM w WHERE n > 0
+)
+SELECT doc_id,
+       CAST(start_token / {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(start_token AS BIGINT) AS start_token,
+       CAST(least({_CHUNK_TOKENS}, n - start_token) AS BIGINT) AS n_tokens,
+       array_to_string(
+         ws[start_token + 1 : start_token + least({_CHUNK_TOKENS}, n - start_token)],
+         ' ') AS chunk_text
+FROM s
+""",
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Library/oracle wrapper: overlapping 64-token chunks (stride 48)
+    of every document — start offsets, token counts, and the exact
+    chunk text, hash-checked against DuckDB's list-slicing."""
+    return chunk_documents(_docs(spark, sf_dir))

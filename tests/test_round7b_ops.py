@@ -377,3 +377,55 @@ class TestApplyMixturePlan:
         import re
 
         assert len(re.findall(r"Exchange (?!SinglePartition)", plan_str)) <= 1
+
+
+class TestChunkDocuments:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_coverage_overlap_and_edges(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.text import chunk_documents
+
+        words = " ".join(f"w{i}" for i in range(10))
+        rows = [
+            (1, words),             # 10 tokens: chunks at 0,3,6 (max 4, stride 3)
+            (2, "a b"),             # shorter than max: one chunk
+            (3, ""),                # empty: no chunks
+            (4, " ".join(f"x{i}" for i in range(7))),  # n == max+stride boundary
+        ]
+        out = chunk_documents(
+            self._docs(spark, rows), max_tokens=4, stride=3
+        ).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(r.asDict())
+        for chunks in by_doc.values():
+            chunks.sort(key=lambda c: c["chunk_id"])
+        assert 3 not in by_doc
+        d1 = by_doc[1]
+        assert [(c["start_token"], c["n_tokens"]) for c in d1] == [
+            (0, 4), (3, 4), (6, 4),
+        ]
+        # every token covered; adjacent chunks overlap by max-stride = 1
+        assert d1[0]["chunk_text"] == "w0 w1 w2 w3"
+        assert d1[1]["chunk_text"] == "w3 w4 w5 w6"
+        assert d1[2]["chunk_text"] == "w6 w7 w8 w9"
+        assert by_doc[2] == [
+            {"doc_id": 2, "chunk_id": 0, "start_token": 0, "n_tokens": 2,
+             "chunk_text": "a b"}
+        ]
+        d4 = by_doc[4]  # 7 tokens: starts 0,3 — last chunk reaches token 6
+        assert [(c["start_token"], c["n_tokens"]) for c in d4] == [(0, 4), (3, 4)]
+        assert d4[-1]["chunk_text"].endswith("x6")
+
+    def test_no_shuffle_and_guards(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.text import chunk_documents
+
+        docs = self._docs(spark, [(1, "a b c d e f")])
+        out = chunk_documents(docs, max_tokens=3, stride=2)
+        tree = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in tree and "Generate" in tree
+        with pytest.raises(ValueError):
+            chunk_documents(docs, max_tokens=3, stride=4)
+        with pytest.raises(ValueError):
+            chunk_documents(docs, max_tokens=0, stride=0)
