@@ -374,8 +374,17 @@ def fold_rollup_into_store(
     replaces exactly those buckets — cost ∝ batch's group count, flat
     in store size (measured, SCALING.md round-7b). Runs under the
     table maintenance lock; ``batch_id`` (monotonic) fences replays —
-    a batch ≤ the store's ``last_batch`` watermark is skipped, so a
-    sequential at-least-once driver (Airflow retry) cannot double-add.
+    a batch ≤ the store's ``last_batch`` watermark is skipped, so an
+    Airflow retry of an already-committed fold is a no-op.
+
+    Exactness boundary, stated precisely: the fence advances AFTER the
+    bucket write commits, so a crash in that (metadata-sized) window
+    leaves the data folded but the fence behind — a replay would then
+    fold the batch twice. A driver that can crash-and-replay should use
+    the BATCH layout instead (``write_rollup_store(ingest_batch=...)``),
+    whose partition-replace write is idempotent with no window at all;
+    the plain fold is for the sequential scheduled-job shape where a
+    retry only follows a FAILED (uncommitted) attempt.
     Returns ``{"folded": bool, "touched_buckets": int}``.
     """
     from ..pipeline.compact import _acquire_lock, _fs, _lock_path
