@@ -373,3 +373,49 @@ def mllib_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.avg("dist_to_centroid"), 4).alias("avg_dist"),
     )
+
+
+@register(
+    "mllib_pca_coverage",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_vecs_total,
+       TRUE AS orthonormal,
+       TRUE AS variance_sorted,
+       TRUE AS projection_total
+FROM embeddings
+""",
+)
+def mllib_pca_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariant check on an MLlib PCA dimensionality reduction of the
+    embedding corpus (the standard pre-step before clustering/ANN on
+    high-dim vectors): the k=8 principal components must be orthonormal
+    (CᵀC = I within 1e-6 — a k×k driver-side check on the model, never
+    the corpus), explained variance must be non-increasing, and the
+    projection must cover every corpus vector exactly once. The fit is
+    distributed (one corpus pass per covariance/SVD step); the checked
+    facts are SQL constants, making the whole model pipeline
+    hash-checkable like mllib_kmeans_coverage.
+    """
+    import numpy as np
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector
+
+    ensure_utc(spark)
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    vecs = emb.select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+    model = PCA(k=8, inputCol="features", outputCol="proj").fit(vecs)
+    comp = model.pc.toArray()  # (dim, k)
+    gram = comp.T @ comp
+    orthonormal = bool(np.abs(gram - np.eye(comp.shape[1])).max() < 1e-6)
+    ev = list(model.explainedVariance)
+    variance_sorted = all(a >= b - 1e-12 for a, b in zip(ev, ev[1:]))
+    projected = model.transform(vecs).select("vec_id", "proj")
+    return projected.agg(
+        F.count("*").cast("long").alias("n_vecs_total"),
+        F.lit(orthonormal).alias("orthonormal"),
+        F.lit(variance_sorted).alias("variance_sorted"),
+        (F.count("*") == F.count("proj")).alias("projection_total"),
+    )

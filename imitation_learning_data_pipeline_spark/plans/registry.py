@@ -334,6 +334,12 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     "text_chunk_documents": "trajectory_windows (same sequence→explode "
     "fixed-window family) + text_repetition_stats (same scan-bound "
     "token-array projections) + check_contract --all row",
+    # round-7: PCA coverage. Library-only (cap): same distributed-fit +
+    # SQL-constant-invariant shape as the retained mllib_kmeans_coverage
+    # (identical array_to_vector ingest and agg-of-booleans contract);
+    # the invariant row runs in check_contract --all.
+    "mllib_pca_coverage": "mllib_kmeans_coverage (same MLlib fit + "
+    "invariant-constants contract shape) + check_contract --all row",
 }
 
 CONTRACT_CAP = 50
