@@ -561,6 +561,30 @@ def cmd_profile(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_update(args: argparse.Namespace) -> int:
+    """Row-level UPDATE via file-level copy-on-write (pipeline/merge.py):
+    apply SET expressions to matching rows, rewriting only their files."""
+    from .pipeline.merge import update_where
+
+    spark = _spark("update")
+    assignments = {}
+    for a in args.set:
+        if "=" not in a:
+            raise SystemExit(f"update: --set needs col=expr, got {a!r}")
+        c, e = a.split("=", 1)
+        assignments[c.strip()] = e.strip()
+    stats = update_where(
+        spark,
+        args.path,
+        args.where,
+        assignments,
+        partition_by=args.partition_by.split(",") if args.partition_by else None,
+        stale_lock_s=args.stale_lock_s,
+    )
+    print(json.dumps({"path": args.path, **stats}))
+    return 0
+
+
 def cmd_card(args: argparse.Namespace) -> int:
     """Data card (pipeline/card.py): one JSON datasheet per table —
     counts, schema, column profile, source mixture, snapshots, history."""
@@ -1175,6 +1199,24 @@ def build_parser() -> argparse.ArgumentParser:
     dl.add_argument("--partition-by", default=None)
     dl.add_argument("--stale-lock-s", type=float, default=None)
     dl.set_defaults(fn=cmd_delete)
+
+    up = sub.add_parser(
+        "update",
+        help="row-level UPDATE: apply SET col=expr to rows matching a "
+        "predicate, rewriting only their files",
+    )
+    up.add_argument("--path", required=True, help="table root")
+    up.add_argument("--where", required=True, help="SQL predicate")
+    up.add_argument(
+        "--set",
+        action="append",
+        required=True,
+        metavar="COL=EXPR",
+        help="assignment (repeatable)",
+    )
+    up.add_argument("--partition-by", default=None)
+    up.add_argument("--stale-lock-s", type=float, default=None)
+    up.set_defaults(fn=cmd_update)
 
     hi = sub.add_parser(
         "history", help="print a table's maintenance audit log (JSON lines)"

@@ -521,6 +521,139 @@ def delete_from(
     return out
 
 
+def update_where(
+    spark: SparkSession,
+    path: str,
+    predicate,
+    assignments: dict,
+    partition_by: list[str] | None = None,
+    stale_lock_s: float | None = None,
+) -> dict:
+    """Row-level UPDATE on a plain-parquet table — the last member of
+    the DML triad (append / :func:`merge_into` / :func:`delete_from`):
+    ``UPDATE SET col = expr WHERE predicate`` via the same file-level
+    copy-on-write. Files holding at least one matching row are
+    rewritten with ``assignments`` applied to matching rows and
+    survivors untouched; everything else keeps its bytes. The batch
+    correction every corpus eventually needs ("relabel this source",
+    "clamp that column") without rewriting the table.
+
+    ``assignments``: {column name: Column or SQL expression string}.
+    Only EXISTING columns may be assigned (schema evolution belongs to
+    merge_into's ``allow_new_columns``); assigning a partition column
+    raises — rows would need to MOVE partitions, which is a delete +
+    insert, i.e. a merge. NULL-evaluating predicates leave the row
+    unmodified (same kept-rows semantics as delete_from). Shares the
+    journal, single-writer lock, snapshot retention, and history log.
+    Returns {files_touched, files_added, rows_updated}.
+    """
+    path = path.rstrip("/")
+    fs, jpath = _fs(spark, path)
+    jvm_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    tmp = f"{path}__merge_tmp"
+    _acquire_lock(spark, fs, jvm_path, path, "update_where", stale_lock_s)
+    try:
+        _recover_pending(spark, fs, jvm_path, path, tmp)
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        hit = pred.isNotNull() & pred
+
+        partitioned_dirs = [
+            st.getPath().getName()
+            for st in fs.listStatus(jpath)
+            if st.isDirectory() and "=" in st.getPath().getName()
+        ]
+        if partitioned_dirs and not partition_by:
+            raise ValueError(
+                f"update_where: {path} is Hive-partitioned "
+                f"({partitioned_dirs[0]}/...); pass partition_by=[...]"
+            )
+        if partition_by and not partitioned_dirs:
+            raise ValueError(
+                f"update_where: {path} has a flat layout but partition_by="
+                f"{partition_by} was given"
+            )
+
+        target = spark.read.parquet(path)
+        bad = [c for c in assignments if c not in target.columns]
+        if bad:
+            raise ValueError(
+                f"update_where: assignments to unknown columns {bad} — "
+                "UPDATE cannot add columns; use merge_into("
+                "allow_new_columns=True) for schema evolution"
+            )
+        part_assign = [c for c in assignments if c in (partition_by or [])]
+        if part_assign:
+            raise ValueError(
+                f"update_where: assigning partition columns {part_assign} "
+                "would move rows between partitions — that is a delete + "
+                "insert; use merge_into"
+            )
+        exprs = {
+            c: (F.expr(e) if isinstance(e, str) else e)
+            for c, e in assignments.items()
+        }
+        target_cols = target.columns
+
+        touched_meta = sorted(
+            r["__file"]
+            for r in target.filter(hit)
+            .select(F.col("_metadata.file_path").alias("__file"))
+            .distinct()
+            .collect()
+        )
+        if not touched_meta:
+            return {"files_touched": 0, "files_added": 0, "rows_updated": 0}
+        live = _list_data_files(fs, jvm_path, path)
+        touched = []
+        for m in touched_meta:
+            t = live.get(_norm_key(m))
+            if t is None:
+                raise IOError(f"update_where: listed file vanished: {m}")
+            touched.append(t)
+
+        touched_rows = (
+            spark.read.option("basePath", path)
+            .parquet(*[t[0] for t in touched])
+            .select(*target_cols)
+            .persist()
+        )
+        try:
+            n_updated = touched_rows.filter(hit).count()
+            out_cols = [
+                F.when(hit, exprs[c]).otherwise(F.col(c)).cast(
+                    dict(touched_rows.dtypes)[c]
+                ).alias(c)
+                if c in exprs
+                else F.col(c)
+                for c in target_cols
+            ]
+            staged = touched_rows.select(*out_cols).coalesce(len(touched))
+            writer = staged.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(tmp)
+        finally:
+            touched_rows.unpersist()
+
+        moved = _commit_staged(spark, fs, jvm_path, path, tmp, touched)
+        out = {
+            "files_touched": len(touched),
+            "files_added": moved,
+            "rows_updated": int(n_updated),
+        }
+    finally:
+        fs.delete(jvm_path(_lock_path(path)), False)
+    from .history import log_event
+
+    log_event(
+        spark,
+        path,
+        "update_where",
+        {"predicate": str(predicate), "columns": sorted(assignments), **out},
+    )
+    return out
+
+
 def cluster_write(
     df: DataFrame,
     path: str,

@@ -527,3 +527,107 @@ class TestLshIndexAppend:
         res = search_lsh_index(spark, idx, [150], qmat, k=3)
         plan = res._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters: [" in plan and "bucket" in plan
+
+
+class TestUpdateWhere:
+    def test_update_rewrites_only_touched_files(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.merge import (
+            cluster_write,
+            update_where,
+        )
+
+        t = str(tmp_path / "t")
+        df = spark.range(1000).selectExpr(
+            "id AS k", "CAST(id AS DOUBLE) AS v", "'raw' AS tag"
+        )
+        cluster_write(df, t, "k", n_files=10)
+        before = TestDeleteFrom._file_state(self, t)
+        stats = update_where(
+            spark, t, "k >= 100 AND k < 150",
+            {"v": "v * 2", "tag": "'fixed'"},
+        )
+        assert stats["rows_updated"] == 50
+        assert stats["files_touched"] <= 2
+        after = TestDeleteFrom._file_state(self, t)
+        untouched = [p for p in before if p in after]
+        assert all(before[p] == after[p] for p in untouched)
+        got = spark.read.parquet(t)
+        fixed = got.filter("tag = 'fixed'")
+        assert fixed.count() == 50
+        assert fixed.filter("v != k * 2").count() == 0
+        assert got.filter("tag = 'raw'").count() == 950
+        assert got.filter("tag = 'raw' AND v != k").count() == 0
+
+    def test_guards(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.merge import update_where
+
+        t = str(tmp_path / "t")
+        df = spark.range(100).selectExpr(
+            "id AS k", "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS split"
+        )
+        df.write.partitionBy("split").parquet(t)
+        with pytest.raises(ValueError, match="Hive-partitioned"):
+            update_where(spark, t, "k < 10", {"k": "k + 1"})
+        with pytest.raises(ValueError, match="unknown columns"):
+            update_where(
+                spark, t, "k < 10", {"nope": "1"}, partition_by=["split"]
+            )
+        with pytest.raises(ValueError, match="partition columns"):
+            update_where(
+                spark, t, "k < 10", {"split": "'c'"}, partition_by=["split"]
+            )
+        stats = update_where(
+            spark, t, "k < 10", {"k": "k + 1000"}, partition_by=["split"]
+        )
+        assert stats["rows_updated"] == 10
+        back = spark.read.parquet(t)
+        assert back.filter("k >= 1000").count() == 10
+        assert back.count() == 100
+
+    def test_null_predicate_rows_unmodified_and_noop(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.merge import update_where
+
+        t = str(tmp_path / "t")
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, None, 2.0), (3, "b", 3.0)],
+            "k long, s string, v double",
+        ).coalesce(1).write.parquet(t)
+        stats = update_where(spark, t, "s = 'a'", {"v": "v + 10"})
+        assert stats["rows_updated"] == 1
+        got = {r["k"]: r["v"] for r in spark.read.parquet(t).collect()}
+        assert got == {1: 11.0, 2: 2.0, 3: 3.0}
+        assert update_where(spark, t, "s = 'zzz'", {"v": "0"}) == {
+            "files_touched": 0, "files_added": 0, "rows_updated": 0,
+        }
+
+    def test_snapshot_and_history_integration(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.history import history
+        from imitation_learning_data_pipeline_spark.pipeline.merge import update_where
+
+        t = str(tmp_path / "t")
+        spark.range(100).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v") \
+            .repartition(4).write.parquet(t)
+        before = sorted(
+            (r["k"], r["v"]) for r in spark.read.parquet(t).collect()
+        )
+        create_snapshot(spark, t, "pin")
+        update_where(spark, t, "k < 50", {"v": "-1"})
+        assert sorted(
+            (r["k"], r["v"]) for r in read_snapshot(spark, t, "pin").collect()
+        ) == before
+        ev = history(spark, t)
+        assert [e["op"] for e in ev] == ["snapshot_create", "update_where"]
+        assert ev[1]["columns"] == ["v"] and ev[1]["rows_updated"] == 50
+
+    def test_cli(self, spark, tmp_path, capsys):
+        from imitation_learning_data_pipeline_spark.cli import main
+
+        t = str(tmp_path / "t")
+        spark.range(100).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v") \
+            .write.parquet(t)
+        assert main(
+            ["update", "--path", t, "--where", "k < 10", "--set", "v=v+100"]
+        ) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["rows_updated"] == 10
+        assert spark.read.parquet(t).filter("v >= 100").count() == 10
