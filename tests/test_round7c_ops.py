@@ -631,3 +631,49 @@ class TestUpdateWhere:
         out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert out["rows_updated"] == 10
         assert spark.read.parquet(t).filter("v >= 100").count() == 10
+
+
+class TestRecoverWithSnapshots:
+    def test_crashed_commit_recovery_retires_pinned_files(self, spark, tmp_path):
+        """The journal's delete list goes through the same
+        retire-or-delete as a live commit: recovering a crashed
+        merge/delete/update on a snapshotted table must move the
+        replaced file into the retained tree, not drop it."""
+        from imitation_learning_data_pipeline_spark.pipeline.merge import recover
+
+        p = str(tmp_path / "cr")
+        spark.range(100).selectExpr("id", "id AS val").repartition(4).write.parquet(p)
+        before = sorted((r["id"], r["val"]) for r in spark.read.parquet(p).collect())
+        create_snapshot(spark, p, "pin")
+        files = sorted(
+            f for f in os.listdir(p)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+        victim = os.path.join(p, files[0])
+        victim_rows = {
+            (r["id"], r["val"]) for r in spark.read.parquet(victim).collect()
+        }
+        tmp = p + "__merge_tmp"
+        spark.createDataFrame(
+            [(i, -7 if i == 7 else v) for (i, v) in victim_rows], ["id", "val"]
+        ).coalesce(1).write.parquet(tmp)
+        staged_file = next(
+            f for f in os.listdir(tmp)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+        with open(os.path.join(p, "__merge_pending.json"), "w") as fh:
+            json.dump({"add": [staged_file], "delete": [victim]}, fh)
+
+        assert recover(spark, p) is True
+        # the replaced file lives on in the retained tree...
+        retained = _retained_files(p)
+        assert len(retained) == 1 and retained[0].endswith(files[0])
+        # ...so the pinned view is intact while the live table moved on
+        assert sorted(
+            (r["id"], r["val"])
+            for r in read_snapshot(spark, p, "pin").collect()
+        ) == before
+        if (7, 7) in victim_rows:
+            assert (7, -7) in {
+                (r["id"], r["val"]) for r in spark.read.parquet(p).collect()
+            }
