@@ -99,3 +99,27 @@ class Bloom64:
 
     def nbytes(self) -> int:
         return int(self.bits.nbytes)
+
+    # --- serialization (persisted probe stores, plans/dedup.py) ----------
+
+    def to_bytes(self) -> bytes:
+        """8-byte header (m_bits, k as two uint32) + raw bit array —
+        version-free because the header fully determines the layout."""
+        import struct
+
+        return struct.pack("<II", self.m_bits, self.k) + self.bits.tobytes()
+
+    @classmethod
+    def from_bytes(cls, raw: bytes) -> "Bloom64":
+        import struct
+
+        m_bits, k = struct.unpack("<II", raw[:8])
+        b = cls(m_bits, k)
+        arr = np.frombuffer(raw[8:], dtype=np.uint8)
+        if arr.nbytes != b.bits.nbytes:
+            raise ValueError(
+                f"Bloom64.from_bytes: {arr.nbytes} payload bytes for "
+                f"m_bits={m_bits} (want {b.bits.nbytes})"
+            )
+        b.bits = arr.copy()
+        return b

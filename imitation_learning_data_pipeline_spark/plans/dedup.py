@@ -1765,3 +1765,86 @@ def fold_components_into_store(
         }
     finally:
         remap.unpersist()
+
+
+# --- persisted decontam probe store ------------------------------------------
+#
+# Probe suites (eval benchmarks, blocklists) are STATIC across ingest
+# batches, but every decontam_overlap* call above reshingles them.
+# For a continuously-ingesting corpus the probe side should be prepared
+# ONCE: distinct probe shingles as parquet + the Bloom prefilter bits as
+# one sidecar blob. Per-batch decontam then costs shingling the BATCH
+# only — the probe store is read (metadata-sized vs the corpus) and the
+# filter deserializes straight into the broadcast.
+
+
+def write_probe_store(
+    probe: DataFrame, path: str, n: int = _DECONTAM_N, fpp: float = 0.01
+) -> dict:
+    """Prepare a probe suite for repeated decontamination: distinct
+    shingles under ``{path}/shingles`` (with their xxhash64, so batch
+    runs never rehash the probe) and Bloom bits at
+    ``{path}/_bloom.bin``. Returns {n_shingles, bloom_bytes}."""
+    from ..functions.bloom import Bloom64
+    from ..pipeline.compact import _fs
+
+    path = path.rstrip("/")
+    spark = probe.sparkSession
+    sh = (
+        exploded_shingles(probe, n)
+        .select("s")
+        .distinct()
+        .withColumn("h", F.xxhash64("s"))
+    )
+    sh.write.mode("overwrite").parquet(f"{path}/shingles")
+    sh_back = spark.read.parquet(f"{path}/shingles")
+    hashes = [r["h"] for r in sh_back.select("h").collect()]
+    bloom = Bloom64.build(hashes, fpp=fpp)
+    fs, _ = _fs(spark, path)
+    jvm_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    stream = fs.create(jvm_path(f"{path}/_bloom.bin"), True)
+    stream.write(bytearray(bloom.to_bytes()))
+    stream.close()
+    return {"n_shingles": len(hashes), "bloom_bytes": bloom.nbytes()}
+
+
+def decontam_overlap_against_store(
+    docs: DataFrame, path: str, n: int = _DECONTAM_N
+) -> DataFrame:
+    """:func:`decontam_overlap` for a batch against a persisted probe
+    store — output identical to the from-scratch plan (Bloom has no
+    false negatives; survivors exact-verify against the stored shingle
+    set), but the probe side costs a parquet read + one broadcast of
+    pre-built bits instead of a reshingle per batch."""
+    import pandas as pd
+
+    from ..functions.bloom import Bloom64
+    from ..pipeline.compact import _fs
+
+    path = path.rstrip("/")
+    spark = docs.sparkSession
+    fs, _ = _fs(spark, path)
+    jvm_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    jvm = spark.sparkContext._jvm
+    stream = fs.open(jvm_path(f"{path}/_bloom.bin"))
+    raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    stream.close()
+    bloom = Bloom64.from_bytes(raw)
+    b_bloom = spark.sparkContext.broadcast(bloom)
+
+    @F.pandas_udf("boolean")
+    def _maybe_hit(h: pd.Series) -> pd.Series:
+        return pd.Series(b_bloom.value.contains_many(h.to_numpy()))
+
+    probe_sh = spark.read.parquet(f"{path}/shingles").select("s")
+    cand = (
+        exploded_shingles(docs, n)
+        .withColumn("__h", F.xxhash64("s"))
+        .filter(_maybe_hit(F.col("__h")))
+        .drop("__h")
+    )
+    return (
+        cand.join(probe_sh, "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )

@@ -429,3 +429,83 @@ class TestChunkDocuments:
             chunk_documents(docs, max_tokens=3, stride=4)
         with pytest.raises(ValueError):
             chunk_documents(docs, max_tokens=0, stride=0)
+
+
+class TestProbeStore:
+    def test_store_matches_from_scratch_plan(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.plans.dedup import (
+            decontam_overlap,
+            decontam_overlap_against_store,
+            write_probe_store,
+        )
+
+        probe = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog today"),
+             (2, "machine learning models memorize benchmark answers easily")],
+            "doc_id long, text string",
+        )
+        docs = spark.createDataFrame(
+            [(10, "someone said the quick brown fox jumps over the lazy dog yesterday"),
+             (11, "completely unrelated words about gardening and cooking recipes"),
+             (12, "models memorize benchmark answers easily when training data leaks")],
+            "doc_id long, text string",
+        )
+        store = str(tmp_path / "probe")
+        stats = write_probe_store(probe, store, n=5)
+        assert stats["n_shingles"] > 0 and stats["bloom_bytes"] > 0
+        want = {
+            r["doc_id"]: r["n_overlap"]
+            for r in decontam_overlap(docs, probe, n=5).collect()
+        }
+        got = {
+            r["doc_id"]: r["n_overlap"]
+            for r in decontam_overlap_against_store(docs, store, n=5).collect()
+        }
+        assert got == want and 10 in got and 11 not in got
+
+    def test_bloom_roundtrip_forced_collisions_stay_exact(self, spark, tmp_path):
+        """Deserialized tiny filter (heavy false positives) must still
+        produce exact output — the verify join restores exactness."""
+        from imitation_learning_data_pipeline_spark.functions.bloom import Bloom64
+        from imitation_learning_data_pipeline_spark.plans.dedup import (
+            decontam_overlap,
+            decontam_overlap_against_store,
+            write_probe_store,
+        )
+
+        probe = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+            "doc_id long, text string",
+        )
+        docs = spark.createDataFrame(
+            [(10, "prefix alpha beta gamma delta epsilon zeta suffix words"),
+             (11, "nothing shared here with anything else at all today")],
+            "doc_id long, text string",
+        )
+        store = str(tmp_path / "probe")
+        write_probe_store(probe, store, n=5)
+        # overwrite the sidecar with a pathologically small filter
+        import struct
+
+        hashes = [
+            r["h"]
+            for r in spark.read.parquet(store + "/shingles").collect()
+        ]
+        tiny = Bloom64(8, k=1)
+        tiny.add_many(hashes)
+        with open(store + "/_bloom.bin", "wb") as fh:
+            fh.write(tiny.to_bytes())
+        # hadoop's local FS keeps a checksum sidecar for files IT wrote;
+        # an out-of-band overwrite must drop it or reads fail CRC
+        crc = store + "/._bloom.bin.crc"
+        if os.path.exists(crc):
+            os.unlink(crc)
+        want = {
+            r["doc_id"]: r["n_overlap"]
+            for r in decontam_overlap(docs, probe, n=5).collect()
+        }
+        got = {
+            r["doc_id"]: r["n_overlap"]
+            for r in decontam_overlap_against_store(docs, store, n=5).collect()
+        }
+        assert got == want
