@@ -662,3 +662,46 @@ def run_incremental_rollup_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def run_incremental_decontam_stream(
+    stream: DataFrame,
+    probe_store: str,
+    out_path: str,
+    checkpoint: str,
+    n: int = 5,
+) -> None:
+    """Continuous decontamination: each micro-batch of documents is
+    checked against a PERSISTED probe store (plans.dedup.
+    write_probe_store — the probe suite is shingled once, ever) and the
+    per-doc overlap report lands under ``ingest_batch=N`` partitions at
+    ``out_path``. Per-trigger cost is shingling the BATCH plus a
+    Bloom-broadcast prefilter — the probe side is a metadata-sized
+    parquet read, never a reshingle.
+
+    Same effectively-exactly-once recipe as every incremental driver
+    here: checkpointed offsets + dynamic partition overwrite make a
+    replayed batch REPLACE its own report partition. Contaminated docs
+    accumulated so far = a plain read of ``out_path``.
+    """
+    from ..plans.dedup import decontam_overlap_against_store
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            decontam_overlap_against_store(batch_df, probe_store, n=n)
+            .withColumn("ingest_batch", F.lit(int(batch_id)))
+            .write.partitionBy("ingest_batch")
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(out_path)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -509,3 +509,51 @@ class TestProbeStore:
             for r in decontam_overlap_against_store(docs, store, n=5).collect()
         }
         assert got == want
+
+
+class TestStreamingDecontam:
+    def test_stream_reports_match_batch(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.plans.dedup import (
+            decontam_overlap,
+            write_probe_store,
+        )
+        from imitation_learning_data_pipeline_spark.streaming.incremental import (
+            run_incremental_decontam_stream,
+        )
+
+        probe = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog today")],
+            "doc_id long, text string",
+        )
+        store = str(tmp_path / "probe")
+        write_probe_store(probe, store, n=5)
+        rows = [
+            (10, "someone said the quick brown fox jumps over the lazy dog again"),
+            (11, "unrelated gardening text with zero overlap whatsoever here now"),
+            (12, "quick brown fox jumps over the lazy dog spotted running away"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        src = str(tmp_path / "src")
+        docs.repartition(3).write.parquet(src)
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        stream = spark.readStream.schema("doc_id long, text string").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        run_incremental_decontam_stream(stream, store, out, ckpt, n=5)
+        got = {
+            r["doc_id"]: r["n_overlap"]
+            for r in spark.read.parquet(out).collect()
+        }
+        want = {
+            r["doc_id"]: r["n_overlap"]
+            for r in decontam_overlap(docs, probe, n=5).collect()
+        }
+        assert got == want and 11 not in got
+        # replay with a fresh checkpoint: dynamic overwrite keeps one
+        # report per doc (partitions replaced, not appended)
+        run_incremental_decontam_stream(stream, store, out, str(tmp_path / "ck2"), n=5)
+        got2 = {
+            r["doc_id"]: r["n_overlap"]
+            for r in spark.read.parquet(out).collect()
+        }
+        assert got2 == want
