@@ -561,6 +561,37 @@ def cmd_profile(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_decontam(args: argparse.Namespace) -> int:
+    """Benchmark decontamination from the shell: build a persisted
+    probe store from an eval suite, then report per-doc shingle overlap
+    for any corpus batch against it (plans/dedup.py)."""
+    from .plans.dedup import decontam_overlap_against_store, write_probe_store
+
+    spark = _spark("decontam")
+    if args.probe:
+        if not args.store:
+            raise SystemExit("decontam: --probe needs --store")
+        probe = spark.read.parquet(args.probe).selectExpr(
+            f"{args.id_col} AS doc_id", f"{args.text_col} AS text"
+        )
+        stats = write_probe_store(probe, args.store, n=args.n, fpp=args.fpp)
+        print(json.dumps({"store": args.store, **stats}))
+        return 0
+    if not args.input or not args.store:
+        raise SystemExit("decontam: need --probe --store (build) or --input --store (check)")
+    docs = spark.read.parquet(args.input).selectExpr(
+        f"{args.id_col} AS doc_id", f"{args.text_col} AS text"
+    )
+    report = decontam_overlap_against_store(docs, args.store, n=args.n)
+    if args.out:
+        report.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"out": args.out, "n_contaminated": report.count()}))
+    else:
+        for r in report.collect():
+            print(json.dumps(r.asDict()))
+    return 0
+
+
 def cmd_update(args: argparse.Namespace) -> int:
     """Row-level UPDATE via file-level copy-on-write (pipeline/merge.py):
     apply SET expressions to matching rows, rewriting only their files."""
@@ -1217,6 +1248,21 @@ def build_parser() -> argparse.ArgumentParser:
     up.add_argument("--partition-by", default=None)
     up.add_argument("--stale-lock-s", type=float, default=None)
     up.set_defaults(fn=cmd_update)
+
+    dc = sub.add_parser(
+        "decontam",
+        help="benchmark decontamination: build a persisted probe store, "
+        "or report per-doc overlap of a corpus batch against it",
+    )
+    dc.add_argument("--probe", default=None, help="eval-suite parquet (build mode)")
+    dc.add_argument("--store", default=None, help="probe store path")
+    dc.add_argument("--input", default=None, help="corpus batch parquet (check mode)")
+    dc.add_argument("--out", default=None, help="write the report parquet here")
+    dc.add_argument("--id-col", default="doc_id")
+    dc.add_argument("--text-col", default="text")
+    dc.add_argument("--n", type=int, default=5, help="shingle size")
+    dc.add_argument("--fpp", type=float, default=0.01)
+    dc.set_defaults(fn=cmd_decontam)
 
     hi = sub.add_parser(
         "history", help="print a table's maintenance audit log (JSON lines)"

@@ -557,3 +557,33 @@ class TestStreamingDecontam:
             for r in spark.read.parquet(out).collect()
         }
         assert got2 == want
+import json
+
+
+class TestDecontamCli:
+    def test_build_and_check(self, spark, tmp_path, capsys):
+        from imitation_learning_data_pipeline_spark.cli import main
+
+        probe_p = str(tmp_path / "probe.parquet")
+        spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog today")],
+            "doc_id long, text string",
+        ).write.parquet(probe_p)
+        corpus_p = str(tmp_path / "corpus.parquet")
+        spark.createDataFrame(
+            [(10, "witness saw the quick brown fox jumps over the lazy dog run"),
+             (11, "unrelated text about cooking pasta with fresh tomatoes basil")],
+            "doc_id long, text string",
+        ).write.parquet(corpus_p)
+        store = str(tmp_path / "store")
+        assert main(["decontam", "--probe", probe_p, "--store", store]) == 0
+        built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert built["n_shingles"] > 0
+        assert main(["decontam", "--input", corpus_p, "--store", store]) == 0
+        rows = [
+            json.loads(l)
+            for l in capsys.readouterr().out.strip().splitlines()
+            if l.startswith("{")
+        ]
+        by_id = {r["doc_id"]: r["n_overlap"] for r in rows}
+        assert 10 in by_id and 11 not in by_id
