@@ -113,7 +113,11 @@ CONTRACT_FIRST: list[str] = [
     # (round-5: text_sentence_stats / text_langid / asof_join_last_click /
     # window_frame_suite / window_group_order_suite moved to
     # CONTRACT_EXCLUDE after 2+ green rounds.)
-    "text_quality_score",
+    # Round-7 addition #3 (this session): the Gopher quality-rule set —
+    # new operators go straight into the contract; funded by parking
+    # text_quality_score behind it (same family, strict superset of the
+    # per-doc quality-feature projection discipline).
+    "text_gopher_rules",
     "streaming_session_window",
     "mllib_minhash_verify",
     "mllib_kmeans_coverage",
@@ -145,7 +149,8 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     # round-3 rotation: twice-green queries parked behind named proxies
     # to free contract slots for previously driver-unchecked ones.
     "window_sessionize": "streaming_session_window (same session-gap windowing)",
-    "text_token_count": "text_quality_score (same scan-bound text projection)",
+    "text_token_count": "text_gopher_rules (same scan-bound text "
+    "tokenize-and-count projection)",
     "agg_rollup": "agg_cube (rollup grouping sets ⊂ cube's)",
     "multimodal_decode_stub": "multimodal_frame_sample (drives the same decode plumbing further)",
     # bench-only composite: reads/writes local files, host-dependent URIs;
@@ -190,7 +195,7 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     "first stage, identical agg)",
     "text_sentence_stats": "text_repetition_stats (same scan-bound "
     "per-doc text-statistics aggregate family)",
-    "text_langid": "text_quality_score (same scan-bound normalized-token "
+    "text_langid": "text_gopher_rules (same scan-bound normalized-token "
     "ratio projections; langid = argmax over marker ratios)",
     "asof_join_last_click": "range_join_prior_views (same event-time "
     "inequality-join family; as-of = range join + keep-last window)",
@@ -202,9 +207,9 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     "ann_ivf_recall": "mllib_kmeans_coverage (same KMeans-IVF fit) + "
     "pytest recall invariants",
     # round-5 rotation #3: funds the dedup_embedding_cosine_lsh slot.
-    # (r6: proxy re-pointed from text_fingerprint, itself parked, to the
-    # retained member of the same Java-regex∩RE2 projection family.)
-    "text_redact_pii": "text_quality_score (same scan-bound "
+    # (r7: proxy re-pointed to text_gopher_rules, which now anchors the
+    # scan-bound Java-regex∩RE2 projection family in the contract.)
+    "text_redact_pii": "text_gopher_rules (same scan-bound "
     "Java-regex∩RE2 text projection family)",
     # round-5 rotation #4: funds the pack_sequences slot. Twice green
     # (r3, r4); corpus-level ngram counting is text_repetition_stats'
@@ -340,6 +345,14 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     # the invariant row runs in check_contract --all.
     "mllib_pca_coverage": "mllib_kmeans_coverage (same MLlib fit + "
     "invariant-constants contract shape) + check_contract --all row",
+    # round-7 rotation #3: funds the text_gopher_rules slot (new
+    # operators go straight into the contract). Green r3-r6 (4 rounds);
+    # text_gopher_rules is the strict superset of its shape — the same
+    # ONE-projection word-array feature discipline (n_words /
+    # mean_word_len / stopword counts over clean_words) plus the line /
+    # symbol / alpha rule features and the published thresholds.
+    "text_quality_score": "text_gopher_rules (same per-doc quality-"
+    "feature projection family, strict superset with rule thresholds)",
 }
 
 CONTRACT_CAP = 50

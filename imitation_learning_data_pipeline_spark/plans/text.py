@@ -573,3 +573,191 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     of every document — start offsets, token counts, and the exact
     chunk text, hash-checked against DuckDB's list-slicing."""
     return chunk_documents(_docs(spark, sf_dir))
+
+
+# --- Gopher-style quality-rule filter (library → contract surface) ----------
+#
+# The composite rule set from the public Gopher paper (Rae et al. 2021,
+# "Scaling Language Models", table A1) — the de-facto standard cheap
+# quality gate run before LLM pretraining. Each rule is a named boolean
+# over per-document features; `keep` is their conjunction. All features
+# are map-side built-in expressions over ONE projection of the word /
+# line arrays (HOFs are CodegenFallback with no CSE — see langid_scores).
+#
+# Thresholds are the published ones: 50 ≤ words ≤ 100k, 3 ≤ mean word
+# length ≤ 10, symbol-to-word ratio (# and ...) ≤ 0.1, ≤ 90% bullet
+# lines, ≤ 30% ellipsis lines, ≥ 80% words with an alphabetic char, and
+# ≥ 2 distinct required stopwords present. Rule booleans compare the RAW
+# (unrounded) ratios — integer-count quotients are bit-identical across
+# engines — while the displayed ratio columns round to 4 decimals.
+
+_GOPHER_REQ_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+#: The contract query lowers the published ≥2 required-stopword
+#: threshold to ≥1: the synthetic corpus vocabulary contains at most ONE
+#: of the Gopher stopword set per document (measured at sf0.01), so the
+#: paper's threshold would make r_stopwords — and therefore ``keep`` —
+#: constant-false and the rule undiscriminating. The operator default
+#: stays at the published value.
+_GOPHER_CONTRACT_MIN_REQ = 1
+
+#: raw whitespace tokens (NOT the normalized clean_words: mean word
+#: length and the alpha-word rule are defined over surface forms).
+#: Explicit [ \t\n\r] class — the Java-regex ∩ RE2 common subset of \s.
+_RAWW_SQL = r"list_filter(string_split_regex(text, '[ \t\n\r]+'), x -> x <> '')"
+
+
+def _gopher_oracle() -> str:
+    req = ", ".join(f"'{s}'" for s in _GOPHER_REQ_STOPWORDS)
+    return f"""
+WITH arr AS (
+  SELECT doc_id,
+         {_RAWW_SQL} AS w,
+         {_W_SQL} AS cw,
+         string_split(text, chr(10)) AS lines,
+         CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+           + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT)
+           AS n_sym
+  FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_words,
+         CAST(coalesce(list_aggregate(list_transform(w, x -> length(x)), 'sum'), 0)
+              AS DOUBLE) / greatest(len(w), 1) AS mean_word_len_raw,
+         CAST(n_sym AS DOUBLE) / greatest(len(w), 1) AS symbol_ratio_raw,
+         CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*]')))
+              AS DOUBLE) / greatest(len(lines), 1) AS bullet_frac_raw,
+         CAST(len(list_filter(lines, l -> ends_with(trim(l), '...')))
+              AS DOUBLE) / greatest(len(lines), 1) AS ellipsis_frac_raw,
+         CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+              AS DOUBLE) / greatest(len(w), 1) AS alpha_frac_raw,
+         CAST(len(list_filter([{req}], s -> list_contains(cw, s)))
+              AS BIGINT) AS n_req_stopwords
+  FROM arr
+)
+SELECT doc_id, n_words,
+       round(mean_word_len_raw, 4) AS mean_word_len,
+       round(symbol_ratio_raw, 4) AS symbol_word_ratio,
+       round(bullet_frac_raw, 4) AS bullet_line_frac,
+       round(ellipsis_frac_raw, 4) AS ellipsis_line_frac,
+       round(alpha_frac_raw, 4) AS alpha_word_frac,
+       n_req_stopwords,
+       (n_words BETWEEN 50 AND 100000) AS r_word_count,
+       (mean_word_len_raw >= 3 AND mean_word_len_raw <= 10) AS r_mean_word_len,
+       (symbol_ratio_raw <= 0.1) AS r_symbol_ratio,
+       (bullet_frac_raw <= 0.9) AS r_bullet_lines,
+       (ellipsis_frac_raw <= 0.3) AS r_ellipsis_lines,
+       (alpha_frac_raw >= 0.8) AS r_alpha_words,
+       (n_req_stopwords >= {_GOPHER_CONTRACT_MIN_REQ}) AS r_stopwords,
+       (n_words BETWEEN 50 AND 100000
+        AND mean_word_len_raw >= 3 AND mean_word_len_raw <= 10
+        AND symbol_ratio_raw <= 0.1
+        AND bullet_frac_raw <= 0.9
+        AND ellipsis_frac_raw <= 0.3
+        AND alpha_frac_raw >= 0.8
+        AND n_req_stopwords >= {_GOPHER_CONTRACT_MIN_REQ}) AS keep
+FROM feats
+"""
+
+
+def gopher_rules(docs: DataFrame, min_required_stopwords: int = 2) -> DataFrame:
+    """Gopher quality-rule features + per-rule booleans for ANY
+    ``(doc_id, text)`` frame.
+
+    Scale shape: a pure per-row projection — no shuffle, no UDF; the
+    word/line arrays are projected ONCE and every feature reads the
+    materialized columns. Scan-bound at any corpus size; composes with
+    the curation cascade as the cheapest first gate.
+    """
+    arr = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.col("text"), "[ \t\n\r]+"), lambda x: x != ""
+        ).alias("w"),
+        clean_words("text").alias("cw"),
+        F.split(F.col("text"), "\n").alias("lines"),
+        (
+            (F.length("text") - F.length(F.expr("replace(text, '#', '')")))
+            .cast("long")
+            + (
+                (F.length("text") - F.length(F.expr("replace(text, '...', '')")))
+                / 3
+            ).cast("long")
+        ).alias("n_sym"),
+    )
+    nw = F.greatest(F.size("w"), F.lit(1))
+    nl = F.greatest(F.size("lines"), F.lit(1))
+    feats = arr.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_words"),
+        (
+            F.coalesce(
+                F.aggregate(
+                    "w", F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+                ),
+                F.lit(0),
+            ).cast("double")
+            / nw
+        ).alias("mean_word_len_raw"),
+        (F.col("n_sym").cast("double") / nw).alias("symbol_ratio_raw"),
+        (
+            F.size(F.filter("lines", lambda l: F.trim(l).rlike("^[-*]")))
+            .cast("double")
+            / nl
+        ).alias("bullet_frac_raw"),
+        (
+            F.size(F.filter("lines", lambda l: F.trim(l).endswith("...")))
+            .cast("double")
+            / nl
+        ).alias("ellipsis_frac_raw"),
+        (
+            F.size(F.filter("w", lambda x: x.rlike("[A-Za-z]")))
+            .cast("double")
+            / nw
+        ).alias("alpha_frac_raw"),
+        F.size(
+            F.filter(
+                F.array(*[F.lit(s) for s in _GOPHER_REQ_STOPWORDS]),
+                lambda s: F.array_contains(F.col("cw"), s),
+            )
+        )
+        .cast("long")
+        .alias("n_req_stopwords"),
+    )
+    r_wc = F.col("n_words").between(50, 100000)
+    r_mwl = (F.col("mean_word_len_raw") >= 3) & (F.col("mean_word_len_raw") <= 10)
+    r_sym = F.col("symbol_ratio_raw") <= 0.1
+    r_bul = F.col("bullet_frac_raw") <= 0.9
+    r_ell = F.col("ellipsis_frac_raw") <= 0.3
+    r_alpha = F.col("alpha_frac_raw") >= 0.8
+    r_stop = F.col("n_req_stopwords") >= min_required_stopwords
+    return feats.select(
+        "doc_id",
+        "n_words",
+        F.round("mean_word_len_raw", 4).alias("mean_word_len"),
+        F.round("symbol_ratio_raw", 4).alias("symbol_word_ratio"),
+        F.round("bullet_frac_raw", 4).alias("bullet_line_frac"),
+        F.round("ellipsis_frac_raw", 4).alias("ellipsis_line_frac"),
+        F.round("alpha_frac_raw", 4).alias("alpha_word_frac"),
+        "n_req_stopwords",
+        r_wc.alias("r_word_count"),
+        r_mwl.alias("r_mean_word_len"),
+        r_sym.alias("r_symbol_ratio"),
+        r_bul.alias("r_bullet_lines"),
+        r_ell.alias("r_ellipsis_lines"),
+        r_alpha.alias("r_alpha_words"),
+        r_stop.alias("r_stopwords"),
+        (r_wc & r_mwl & r_sym & r_bul & r_ell & r_alpha & r_stop).alias("keep"),
+    )
+
+
+@register("text_gopher_rules", oracle=_gopher_oracle())
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract wrapper: the Gopher rule set over the documents table
+    (stopword threshold lowered to the corpus-discriminative value —
+    see _GOPHER_CONTRACT_MIN_REQ)."""
+    return gopher_rules(
+        _docs(spark, sf_dir),
+        min_required_stopwords=_GOPHER_CONTRACT_MIN_REQ,
+    )
