@@ -879,6 +879,24 @@ def cmd_drift(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_manifest(args: argparse.Namespace) -> int:
+    """Bootstrap / refresh / verify a table's live-file manifest
+    (pipeline/manifest.py) — the list-free read index maintained
+    incrementally by merge/delete/update commits."""
+    from .pipeline import manifest as man
+
+    spark = _spark("manifest")
+    if args.verify:
+        diff = man.verify_manifest(spark, args.path)
+        print(json.dumps({"path": args.path, **diff}))
+        return 0 if not diff["missing"] and not diff["extra"] else 1
+    payload = man.write_manifest(spark, args.path)
+    print(
+        json.dumps({"path": args.path, "n_files": len(payload["files"])})
+    )
+    return 0
+
+
 def cmd_recover(args: argparse.Namespace) -> int:
     """Complete a crashed merge commit's journal (pipeline/merge.py
     recover()) without running another merge — for one-shot pipelines
@@ -1281,6 +1299,19 @@ def build_parser() -> argparse.ArgumentParser:
     cd.add_argument("--snapshot-tag", default=None, help="record which pin this card describes")
     cd.add_argument("--out", default=None, help="also write the card JSON to this path")
     cd.set_defaults(fn=cmd_card)
+
+    mf = sub.add_parser(
+        "manifest",
+        help="bootstrap/refresh (default) or --verify a table's "
+        "live-file manifest for list-free reads",
+    )
+    mf.add_argument("--path", required=True)
+    mf.add_argument(
+        "--verify",
+        action="store_true",
+        help="diff the manifest against an actual listing; exit 1 on drift",
+    )
+    mf.set_defaults(fn=cmd_manifest)
     return p
 
 

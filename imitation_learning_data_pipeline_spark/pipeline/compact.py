@@ -299,6 +299,12 @@ def _compact_locked(
         spark, fs, jvm_path, snap_root or path, old, rel_prefix=snap_prefix
     )
     _rm(fs, jvm_path, old)
+    # a wholesale rewrite invalidates the live-file manifest — refresh
+    # it from the post-compact listing (no-op for non-manifested tables;
+    # for sprawl compacts snap_root is the table root that holds it)
+    from .manifest import refresh_if_present
+
+    refresh_if_present(spark, snap_root or path)
     _, after, _ = _list_parquet(spark, path)
     return {"files_before": before, "files_after": after, "bytes": total}
 

@@ -1,0 +1,146 @@
+"""Live-file manifest: list-free reads for plain-parquet tables.
+
+At 100 TB a table is O(100k-1M) parquet files; on an object store each
+read starts with a recursive LIST that costs seconds-to-minutes and
+(on S3-likes) only eventually-consistent results. Table formats solve
+this by making the file SET metadata, not a directory walk — Delta's
+transaction log, Iceberg's manifest lists. This module is that idea at
+minimum viable size for the repo's journaled copy-on-write tables:
+
+- ``_manifest/current.json`` holds the table's live data-file relpaths
+  (+ sizes), written atomically (tmp + rename).
+- Maintenance ops keep it fresh INCREMENTALLY: ``merge_into`` /
+  ``delete_from`` / ``update_where`` commits apply their (add, delete)
+  file deltas driver-side — O(touched files), no relisting.
+  Compaction rewrites wholesale, so it refreshes wholesale.
+- ``read_via_manifest`` builds the DataFrame from the manifest's
+  explicit file list (``basePath`` option preserves Hive partition
+  columns) — ONE small JSON read instead of the recursive LIST.
+
+Crash window: the commit journal (``__pending_commit``) is the source
+of truth. A crash after the journal lands but before the manifest
+delta is applied leaves the manifest one commit behind; every journal
+RECOVERY path therefore ends with a full refresh, and the reader
+falls back to a listing read whenever a pending journal exists.
+
+The manifest is OPT-IN per table: ``write_manifest`` bootstraps it;
+tables without one pay zero cost (every hook is a no-op when the
+manifest file is absent).
+
+Deployment mapping: on Delta/Iceberg this whole module is subsumed by
+the table format's own metadata layer (see SCALING.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .compact import _fs
+from .snapshot import _live_rels, _read_json, _write_json
+
+MANIFEST_DIR = "_manifest"
+MANIFEST_REL = f"{MANIFEST_DIR}/current.json"
+
+#: merge.py's journal name (duplicated to avoid a circular import; the
+#: value is pinned by tests/test_round7d_ops.py).
+_PENDING = "__merge_pending.json"
+
+
+def _jvm_path(spark):
+    return spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+
+
+def _manifest_path(path: str) -> str:
+    return f"{path.rstrip('/')}/{MANIFEST_REL}"
+
+
+def has_manifest(spark: SparkSession, path: str) -> bool:
+    fs, _ = _fs(spark, path)
+    return bool(fs.exists(_jvm_path(spark)(_manifest_path(path))))
+
+
+def read_manifest_entries(spark: SparkSession, path: str) -> dict:
+    """The raw manifest payload: {"files": [[rel, bytes], ...], "op": …}."""
+    fs, _ = _fs(spark, path)
+    return _read_json(spark, fs, _jvm_path(spark), _manifest_path(path))
+
+
+def write_manifest(spark: SparkSession, path: str) -> dict:
+    """Bootstrap or wholesale-refresh the manifest from one recursive
+    listing — the LAST full LIST this table needs until compaction."""
+    path = path.rstrip("/")
+    fs, _ = _fs(spark, path)
+    jvm_path = _jvm_path(spark)
+    files = _live_rels(spark, fs, jvm_path, path)
+    payload = {"files": [list(t) for t in files], "op": "refresh"}
+    _write_json(fs, jvm_path, _manifest_path(path), payload)
+    return payload
+
+
+def refresh_if_present(spark: SparkSession, path: str) -> bool:
+    """Wholesale refresh for ops that rewrite arbitrarily (compaction,
+    journal recovery). No-op for tables that never opted in."""
+    if not has_manifest(spark, path):
+        return False
+    write_manifest(spark, path)
+    return True
+
+
+def apply_deltas(
+    spark: SparkSession,
+    path: str,
+    add: list[tuple[str, int]],
+    delete: list[str],
+) -> bool:
+    """Fold a commit's file delta into the manifest driver-side:
+    O(manifest) JSON rewrite, NO relisting. ``add`` = (relpath, bytes)
+    of files moved in; ``delete`` = relpaths that left the live set
+    (whether deleted or retired into a snapshot's retained tree).
+    No-op when the table has no manifest."""
+    path = path.rstrip("/")
+    if not has_manifest(spark, path):
+        return False
+    fs, _ = _fs(spark, path)
+    jvm_path = _jvm_path(spark)
+    cur = _read_json(spark, fs, jvm_path, _manifest_path(path))
+    dead = set(delete)
+    files = [[r, b] for r, b in cur["files"] if r not in dead]
+    files += [[r, int(b)] for r, b in add]
+    files.sort()
+    _write_json(
+        fs, jvm_path, _manifest_path(path), {"files": files, "op": "delta"}
+    )
+    return True
+
+
+def read_via_manifest(spark: SparkSession, path: str) -> DataFrame:
+    """The list-free read: resolve the file set from the manifest and
+    hand Spark the explicit paths (``basePath`` keeps Hive partition
+    columns). Falls back to a plain listing read while a crashed
+    commit's journal is pending — the one state where the manifest may
+    trail the directory by one commit."""
+    path = path.rstrip("/")
+    fs, _ = _fs(spark, path)
+    jvm_path = _jvm_path(spark)
+    if fs.exists(jvm_path(f"{path}/{_PENDING}")):
+        return spark.read.parquet(path)
+    cur = read_manifest_entries(spark, path)
+    if not cur["files"]:
+        return spark.read.parquet(path)  # schema from the empty dir
+    paths = [f"{path}/{rel}" for rel, _b in cur["files"]]
+    return spark.read.option("basePath", path).parquet(*paths)
+
+
+def verify_manifest(spark: SparkSession, path: str) -> dict:
+    """Debug/CI helper: diff the manifest against an actual listing.
+    Empty ``missing``/``extra`` = consistent."""
+    path = path.rstrip("/")
+    fs, _ = _fs(spark, path)
+    jvm_path = _jvm_path(spark)
+    listed = {r: b for r, b in _live_rels(spark, fs, jvm_path, path)}
+    manifested = {r: b for r, b in read_manifest_entries(spark, path)["files"]}
+    return {
+        "missing": sorted(set(listed) - set(manifested)),
+        "extra": sorted(set(manifested) - set(listed)),
+        "n_files": len(listed),
+    }

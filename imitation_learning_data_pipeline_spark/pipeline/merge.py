@@ -145,6 +145,11 @@ def _recover_pending(spark, fs, jvm_path, path: str, tmp: str) -> None:
             retire_or_delete(spark, fs, jvm_path, path, hit[0], hit[1], refs)
     fs.delete(jp, False)
     _rm(fs, jvm_path, tmp)
+    # the crash may have landed between the original commit and its
+    # manifest delta — recovery can't tell, so refresh wholesale
+    from .manifest import refresh_if_present
+
+    refresh_if_present(spark, path)
 
 
 def recover(spark: SparkSession, path: str) -> bool:
@@ -237,7 +242,7 @@ def _commit_staged(spark, fs, jvm_path, path, tmp, touched) -> int:
     maintenance op on the path; before it, staging is simply discarded.
     Returns the number of files moved in."""
     root = fs.makeQualified(jvm_path(tmp)).toString().rstrip("/")
-    staged_rel = []
+    staged_rel, staged_bytes = [], {}
     if fs.exists(jvm_path(tmp)):
         it = fs.listFiles(jvm_path(tmp), True)
         while it.hasNext():
@@ -246,7 +251,9 @@ def _commit_staged(spark, fs, jvm_path, path, tmp, touched) -> int:
             name = p.rsplit("/", 1)[-1]
             if not name.endswith(".parquet") or name.startswith(("_", ".")):
                 continue
-            staged_rel.append(p[len(root) + 1 :])
+            rel = p[len(root) + 1 :]
+            staged_rel.append(rel)
+            staged_bytes[rel] = int(st.getLen())
     _write_pending(
         spark, fs, jvm_path, path, staged_rel, [t[0] for t in touched]
     )
@@ -264,6 +271,20 @@ def _commit_staged(spark, fs, jvm_path, path, tmp, touched) -> int:
         retire_or_delete(spark, fs, jvm_path, path, fstr, jp_old, refs)
     fs.delete(jvm_path(f"{path}/{_PENDING}"), False)
     _rm(fs, jvm_path, tmp)
+    # list-free reads (pipeline/manifest.py): fold this commit's file
+    # delta into the table manifest — O(touched), no relisting; no-op
+    # for tables that never opted in
+    from .manifest import apply_deltas
+
+    table_root = fs.makeQualified(jvm_path(path)).toString().rstrip("/")
+    dropped = [
+        fstr[len(table_root) + 1 :] if fstr.startswith(table_root + "/")
+        else fstr.rsplit("/", 1)[-1]
+        for fstr, _jp in touched
+    ]
+    apply_deltas(
+        spark, path, [(r, staged_bytes[r]) for r in staged_rel], dropped
+    )
     return moved
 
 
@@ -678,11 +699,16 @@ def cluster_write(
     """
     keys = _key_cols(by)
     _guard_snapshot_overwrite(df.sparkSession, path, mode, "cluster_write")
+    from .manifest import has_manifest, write_manifest
+
+    manifested = mode == "overwrite" and has_manifest(df.sparkSession, path)
     if n_files:
         ranged = df.repartitionByRange(n_files, *keys)
     else:
         ranged = df.repartitionByRange(*keys)
     ranged.sortWithinPartitions(*keys).write.mode(mode).parquet(path)
+    if manifested:  # the overwrite wiped _manifest — restore the opt-in
+        write_manifest(df.sparkSession, path)
 
 
 def _guard_snapshot_overwrite(spark, path: str, mode: str, op: str) -> None:
@@ -772,6 +798,9 @@ def zorder_write(
             z = z + F.shiftleft(
                 F.shiftright(b.cast("long"), bit).bitwiseAND(F.lit(1)), pos
             )
+    from .manifest import has_manifest, write_manifest
+
+    manifested = mode == "overwrite" and has_manifest(df.sparkSession, path)
     (
         df.withColumn("__z", z)
         .repartitionByRange(n_files, "__z")
@@ -780,3 +809,5 @@ def zorder_write(
         .write.mode(mode)
         .parquet(path)
     )
+    if manifested:  # the overwrite wiped _manifest — restore the opt-in
+        write_manifest(df.sparkSession, path)

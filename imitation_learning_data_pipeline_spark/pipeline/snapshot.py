@@ -307,11 +307,13 @@ def preserve_from_dir(
     swap displaced it). ``rel_prefix`` maps subtree paths to table-root
     relpaths for compact_sprawling's per-partition swaps. Returns the
     number of files retained."""
-    # the swap moved _snapshots (and the _history audit log) aside with
-    # the rest of the root dir — restore them first so the reference
-    # check sees the manifests and the log survives compaction
+    # the swap moved _snapshots (and the _history audit log and the
+    # _manifest live-file index) aside with the rest of the root dir —
+    # restore them first so the reference check sees the manifests and
+    # the log survives compaction (compact then refreshes _manifest,
+    # which is stale after any wholesale rewrite)
     if not rel_prefix:
-        for meta_dir in (_SNAP, "_history"):
+        for meta_dir in (_SNAP, "_history", "_manifest"):
             src = jvm_path(f"{old_dir}/{meta_dir}")
             if fs.exists(src):
                 dst = jvm_path(f"{root}/{meta_dir}")

@@ -92,3 +92,145 @@ class TestGopherRules:
         df = gopher_rules(_frame(spark, [(1, GOOD), (2, "x")]))
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
+
+
+class TestManifest:
+    """Live-file manifest (pipeline/manifest.py): list-free reads kept
+    fresh incrementally by copy-on-write commits."""
+
+    def _write(self, spark, path, n=500, files=6):
+        spark.range(n).selectExpr(
+            "id AS k", "CAST(id * 10 AS DOUBLE) AS v"
+        ).repartition(files).write.parquet(path)
+
+    def test_bootstrap_matches_listing_and_read(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline import manifest as man
+
+        t = str(tmp_path / "t")
+        self._write(spark, t)
+        payload = man.write_manifest(spark, t)
+        assert len(payload["files"]) == 6
+        diff = man.verify_manifest(spark, t)
+        assert diff["missing"] == [] and diff["extra"] == []
+        got = sorted(r["k"] for r in man.read_via_manifest(spark, t).collect())
+        assert got == list(range(500))
+
+    def test_merge_applies_delta_without_relist(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline import manifest as man
+        from imitation_learning_data_pipeline_spark.pipeline.merge import merge_into
+
+        t = str(tmp_path / "t")
+        self._write(spark, t)
+        man.write_manifest(spark, t)
+        upd = spark.createDataFrame(
+            [(3, -1.0), (700, -2.0)], "k long, v double"
+        )
+        merge_into(spark, t, upd, key="k")
+        # the commit hook must have folded its delta in (op == "delta",
+        # not a wholesale refresh) and the result must match a listing
+        cur = man.read_manifest_entries(spark, t)
+        assert cur["op"] == "delta"
+        diff = man.verify_manifest(spark, t)
+        assert diff["missing"] == [] and diff["extra"] == []
+        rows = {r["k"]: r["v"] for r in man.read_via_manifest(spark, t).collect()}
+        assert rows[3] == -1.0 and rows[700] == -2.0 and len(rows) == 501
+
+    def test_delete_and_update_keep_manifest_fresh(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline import manifest as man
+        from imitation_learning_data_pipeline_spark.pipeline.merge import (
+            delete_from,
+            update_where,
+        )
+        from pyspark.sql import functions as F
+
+        t = str(tmp_path / "t")
+        self._write(spark, t)
+        man.write_manifest(spark, t)
+        delete_from(spark, t, F.col("k") < 100)
+        diff = man.verify_manifest(spark, t)
+        assert diff["missing"] == [] and diff["extra"] == []
+        update_where(spark, t, F.col("k") == 200, {"v": F.lit(0.0)})
+        diff = man.verify_manifest(spark, t)
+        assert diff["missing"] == [] and diff["extra"] == []
+        rows = {r["k"]: r["v"] for r in man.read_via_manifest(spark, t).collect()}
+        assert len(rows) == 400 and rows[200] == 0.0
+
+    def test_partitioned_read_keeps_partition_columns(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline import manifest as man
+
+        t = str(tmp_path / "t")
+        spark.range(100).selectExpr(
+            "id AS k", "CAST(id % 3 AS STRING) AS part"
+        ).write.partitionBy("part").parquet(t)
+        man.write_manifest(spark, t)
+        df = man.read_via_manifest(spark, t)
+        assert "part" in df.columns
+        assert df.count() == 100
+        assert df.filter("part = '1'").count() == 33
+
+    def test_pending_journal_falls_back_to_listing(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline import manifest as man
+
+        t = str(tmp_path / "t")
+        self._write(spark, t)
+        man.write_manifest(spark, t)
+        # simulate the crash window: a new data file landed but the
+        # manifest delta never applied, and the journal is still present
+        spark.range(500, 600).selectExpr(
+            "id AS k", "CAST(id * 10 AS DOUBLE) AS v"
+        ).coalesce(1).write.mode("append").parquet(t)
+        (tmp_path / "t" / "__merge_pending.json").write_text(
+            '{"add": [], "delete": []}'
+        )
+        got = man.read_via_manifest(spark, t).count()
+        assert got == 600  # listing fallback, not the stale manifest
+
+    def test_compact_refreshes_manifest(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline import manifest as man
+        from imitation_learning_data_pipeline_spark.pipeline.compact import compact
+
+        t = str(tmp_path / "t")
+        self._write(spark, t, files=12)
+        man.write_manifest(spark, t)
+        compact(spark, t, target_bytes=1 << 30)
+        assert man.has_manifest(spark, t)  # survived the dir swap
+        diff = man.verify_manifest(spark, t)
+        assert diff["missing"] == [] and diff["extra"] == []
+        assert diff["n_files"] < 12
+        assert man.read_via_manifest(spark, t).count() == 500
+
+    def test_non_manifested_table_pays_nothing(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline import manifest as man
+        from imitation_learning_data_pipeline_spark.pipeline.merge import merge_into
+
+        t = str(tmp_path / "t")
+        self._write(spark, t)
+        upd = spark.createDataFrame([(3, -1.0)], "k long, v double")
+        merge_into(spark, t, upd, key="k")
+        assert not man.has_manifest(spark, t)
+        import os
+
+        assert not os.path.exists(str(tmp_path / "t" / "_manifest"))
+
+    def test_cluster_write_restores_opt_in(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline import manifest as man
+        from imitation_learning_data_pipeline_spark.pipeline.merge import cluster_write
+
+        t = str(tmp_path / "t")
+        self._write(spark, t)
+        man.write_manifest(spark, t)
+        fresh = spark.range(500).selectExpr(
+            "id AS k", "CAST(id * 10 AS DOUBLE) AS v"
+        )
+        cluster_write(fresh, t, by="k", n_files=3)
+        assert man.has_manifest(spark, t)
+        diff = man.verify_manifest(spark, t)
+        assert diff["missing"] == [] and diff["extra"] == []
+
+    def test_manifest_cli(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.cli import main as cli_main
+
+        t = str(tmp_path / "t")
+        self._write(spark, t)
+        assert cli_main(["manifest", "--path", t]) == 0
+        assert cli_main(["manifest", "--path", t, "--verify"]) == 0
