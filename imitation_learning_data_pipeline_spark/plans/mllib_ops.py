@@ -419,3 +419,152 @@ def mllib_pca_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(variance_sorted).alias("variance_sorted"),
         (F.count("*") == F.count("proj")).alias("projection_total"),
     )
+
+
+# --- SemDeDup: k-means-clustered semantic deduplication ----------------------
+#
+# The embedding-space dedup from the public SemDeDup paper (Abbas et al.
+# 2023): cluster the corpus with k-means, find near-duplicate pairs only
+# WITHIN each cluster (the clustering bounds the quadratic term), group
+# them into components, and keep exactly one representative per group —
+# the paper keeps the member with the LOWEST cosine similarity to its
+# cluster centroid (prototypical examples are the redundant ones;
+# boundary examples carry the information).
+#
+# Spark shape: k-means fit + transform (MLlib, seeded), centroid
+# similarity as a broadcast join + zip_with dot product (k rows), the
+# pair search reuses plans/dedup.embedding_cosine_pairs with cell_id as
+# the blocking label (block_cap salting bounds every gemm task), and the
+# keep rule is a min_by aggregate over the PAIRS-SIZED component frame —
+# no corpus-wide window, no giant null partition for singletons.
+
+
+def semdedup(
+    corpus: DataFrame,
+    k: int = 16,
+    threshold: float = 0.95,
+    seed: int = 42,
+    block_cap: int = 8192,
+) -> DataFrame:
+    """SemDeDup keep/drop assignments for ANY ``(vec_id, v)`` frame
+    (``v`` = array<double> embedding) → one row per vector:
+    (vec_id, cell_id, centroid_sim, cluster_id, keep).
+
+    ``cluster_id`` is NULL for semantic singletons (always kept); every
+    non-null cluster keeps exactly one member."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from ..functions.vector import cosine
+    from .dedup import connected_components, embedding_cosine_pairs
+
+    spark = corpus.sparkSession
+    vecs = corpus.select(
+        "vec_id", "v", array_to_vector("v").alias("features")
+    )
+    km = KMeans(
+        k=k, seed=seed, maxIter=10,
+        featuresCol="features", predictionCol="cell_id",
+    )
+    model = km.fit(vecs)
+    centers = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        ["cell_id", "center"],
+    )
+    assigned = (
+        model.transform(vecs)
+        .select("vec_id", "cell_id", "v")
+        .join(F.broadcast(centers), "cell_id")
+        .select(
+            "vec_id",
+            "cell_id",
+            "v",
+            F.round(cosine("v", "center"), 4).alias("centroid_sim"),
+        )
+    )
+    pairs = embedding_cosine_pairs(
+        assigned.select(F.col("cell_id").alias("label"), "vec_id", "v"),
+        threshold=threshold,
+        block_cap=block_cap,
+    )
+    comps = connected_components(pairs.select("vec_a", "vec_b")).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
+    # keeper per component: min over (centroid_sim, vec_id) — struct
+    # ordering gives the deterministic tiebreak; the aggregate runs on
+    # the pairs-sized membership frame, not the corpus
+    keepers = (
+        assigned.select("vec_id", "centroid_sim")
+        .join(comps, "vec_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.min_by(
+                "vec_id", F.struct(F.col("centroid_sim"), F.col("vec_id"))
+            ).alias("keep_vec")
+        )
+    )
+    return (
+        assigned.select("vec_id", "cell_id", "centroid_sim")
+        .join(comps, "vec_id", "left")
+        .join(keepers, "cluster_id", "left")
+        .select(
+            "vec_id",
+            "cell_id",
+            "centroid_sim",
+            "cluster_id",
+            (
+                F.col("cluster_id").isNull()
+                | (F.col("vec_id") == F.col("keep_vec"))
+            ).alias("keep"),
+        )
+    )
+
+
+@register(
+    "semdedup_embeddings",
+    oracle="""
+SELECT CAST(count(*) + sum(CASE WHEN vec_id % 50 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_total,
+       TRUE AS one_keeper_per_cluster,
+       TRUE AS twins_resolved
+FROM embeddings
+""",
+)
+def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariant-constants check over SemDeDup on the planted corpus
+    (every vec_id % 50 == 0 vector gets an EXACT copy at +1000000):
+    totals must cover the corpus, every non-null cluster must keep
+    exactly one member, and every planted identical twin-pair must
+    resolve to exactly one kept side (identical vectors land in the
+    same k-means cell, so the pair is always found)."""
+    from ..functions.vector import as_double
+
+    ensure_utc(spark)
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    base = emb.select("vec_id", as_double("embedding").alias("v"))
+    planted = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        as_double("embedding").alias("v"),
+    )
+    out = semdedup(base.unionByName(planted)).persist()
+    per_cluster = (
+        out.filter(F.col("cluster_id").isNotNull())
+        .groupBy("cluster_id")
+        .agg(F.sum(F.col("keep").cast("int")).alias("n_kept"))
+    )
+    bad_clusters = per_cluster.filter(F.col("n_kept") != 1).count()
+    twins = out.filter(F.col("vec_id") >= 1000000).select(
+        (F.col("vec_id") - 1000000).alias("vec_id"),
+        F.col("keep").alias("keep_copy"),
+    )
+    twin_pairs = out.join(twins, "vec_id").select(
+        (F.col("keep").cast("int") + F.col("keep_copy").cast("int")).alias("n")
+    )
+    bad_twins = twin_pairs.filter(F.col("n") != 1).count()
+    res = out.agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.lit(bad_clusters == 0).alias("one_keeper_per_cluster"),
+        F.lit(bad_twins == 0).alias("twins_resolved"),
+    )
+    out.unpersist()
+    return res

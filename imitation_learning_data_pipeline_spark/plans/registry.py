@@ -345,6 +345,16 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     # the invariant row runs in check_contract --all.
     "mllib_pca_coverage": "mllib_kmeans_coverage (same MLlib fit + "
     "invariant-constants contract shape) + check_contract --all row",
+    # round-7: SemDeDup. Library-only (cap): its k-means fit +
+    # invariant-constants contract shape is the retained
+    # mllib_kmeans_coverage's, its blocked-gemm cosine pair stage is
+    # dedup_embedding_cosine_lsh's retained scoring, and its component
+    # grouping is dedup_cluster_components' retained shape; the
+    # invariant row runs in check_contract --all.
+    "semdedup_embeddings": "mllib_kmeans_coverage (same KMeans fit + "
+    "invariant-constants shape) + dedup_embedding_cosine_lsh (same "
+    "blocked-gemm cosine pairs) + dedup_cluster_components (same "
+    "component grouping) + check_contract --all row",
     # round-7 rotation #3: funds the text_gopher_rules slot (new
     # operators go straight into the contract). Green r3-r6 (4 rounds);
     # text_gopher_rules is the strict superset of its shape — the same

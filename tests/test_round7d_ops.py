@@ -1,8 +1,10 @@
-"""Round-7d: Gopher quality-rule filter (plans/text.py::gopher_rules).
+"""Round-7d: Gopher quality rules, live-file manifest, SemDeDup.
 
-Coverage: each published rule trips on a purpose-built document while a
-clean document passes all seven; the plan is a pure projection (no
-Exchange); the contract threshold override stays discriminative.
+Coverage: each published Gopher rule trips on a purpose-built document
+while a clean document passes all seven (pure-projection plan); the
+manifest stays listing-consistent through merge/delete/update deltas,
+compaction swaps, and the crash-window fallback; SemDeDup keeps exactly
+one (farthest-from-centroid) member per semantic group.
 """
 
 from __future__ import annotations
@@ -234,3 +236,46 @@ class TestManifest:
         self._write(spark, t)
         assert cli_main(["manifest", "--path", t]) == 0
         assert cli_main(["manifest", "--path", t, "--verify"]) == 0
+
+
+class TestSemDeDup:
+    """SemDeDup (plans/mllib_ops.py::semdedup): cluster-blocked semantic
+    dedup with keep-farthest-from-centroid representatives."""
+
+    def _corpus(self, spark):
+        # two tight semantic groups far apart + two singletons; group A
+        # has three near-identical members, group B two exact copies
+        rows = [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.999, 0.01, 0.0]),
+            (3, [0.998, 0.02, 0.0]),
+            (10, [0.0, 1.0, 0.0]),
+            (11, [0.0, 1.0, 0.0]),
+            (20, [0.0, 0.0, 1.0]),
+            (21, [0.7, 0.7, 0.0]),
+        ]
+        return spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+    def test_one_keeper_per_group_singletons_kept(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.mllib_ops import semdedup
+
+        out = semdedup(self._corpus(spark), k=3, threshold=0.95).collect()
+        by_id = {r["vec_id"]: r for r in out}
+        assert len(by_id) == 7
+        # groups: {1,2,3} and {10,11} are near-dups; 20, 21 singletons
+        ga = [by_id[i] for i in (1, 2, 3)]
+        gb = [by_id[i] for i in (10, 11)]
+        assert len({r["cluster_id"] for r in ga}) == 1
+        assert ga[0]["cluster_id"] is not None
+        assert sum(r["keep"] for r in ga) == 1
+        assert sum(r["keep"] for r in gb) == 1
+        for i in (20, 21):
+            assert by_id[i]["cluster_id"] is None and by_id[i]["keep"] is True
+
+    def test_keeps_lowest_centroid_similarity(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.mllib_ops import semdedup
+
+        out = semdedup(self._corpus(spark), k=3, threshold=0.95).collect()
+        grp = [r for r in out if r["vec_id"] in (1, 2, 3)]
+        kept = [r for r in grp if r["keep"]][0]
+        assert kept["centroid_sim"] == min(r["centroid_sim"] for r in grp)
