@@ -345,6 +345,15 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     # the invariant row runs in check_contract --all.
     "mllib_pca_coverage": "mllib_kmeans_coverage (same MLlib fit + "
     "invariant-constants contract shape) + check_contract --all row",
+    # round-7: perplexity-bucket sampling. Library-only (cap): its
+    # score→bucket→accept chain composes the retained seeded-hash
+    # families — scalar_hash_split's md5 unit interval and
+    # sample_mixture_sources' u<rate acceptance predicate — and the
+    # full chain is oracle-checked in check_contract --all; the
+    # real-model mapInPandas plug point is pytest-locked.
+    "sample_perplexity_buckets": "scalar_hash_split (same seeded md5 "
+    "unit-interval family) + sample_mixture_sources (same seeded "
+    "acceptance predicate) + check_contract --all row",
     # round-7: SemDeDup. Library-only (cap): its k-means fit +
     # invariant-constants contract shape is the retained
     # mllib_kmeans_coverage's, its blocked-gemm cosine pair stage is

@@ -640,3 +640,136 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import _corpus
 
     return leakage_safe_splits(_corpus(spark, sf_dir))
+
+
+# --- perplexity filtering: model scores → bucket-stratified sampling ---------
+#
+# The CCNet/LLaMA-style quality pipeline: score every document with a
+# (language-model) perplexity, bucket the corpus by score, and sample
+# each bucket at its own rate — keep the fluent middle, thin the
+# too-clean head (boilerplate) and the noisy tail. Two layers:
+#
+# - ``score_with_model`` is the REAL-MODEL plug point: Arrow-batched
+#   ``mapInPandas`` over (doc_id, text) partitions, one scorer call per
+#   batch. No LM runtime ships in this container, so the default scorer
+#   RAISES NotImplementedError (the multimodal-decode pattern) — the
+#   Spark plumbing (schema, batching, partition parallelism) is real
+#   and tested with an injected scorer.
+# - ``proxy_perplexity_score`` is the deterministic stand-in used by
+#   the oracle-checked library query: the md5-of-content unit interval
+#   — content-dependent, engine-mirrorable, and uniform on [0,1) so
+#   fixed-width buckets are well-populated.
+#
+# Scale shape: scoring is map-side (model inference parallelizes per
+# partition); bucketing is a pure projection; the per-bucket acceptance
+# is the repo's seeded-hash predicate — the ONLY shuffle anywhere is
+# whatever the caller does with the result.
+
+_PPL_BUCKETS = 10
+#: per-bucket keep rates, head → tail (CCNet shape: thin both extremes)
+_PPL_KEEP_RATES = [0.1, 0.5, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 0.5, 0.1]
+
+
+def score_with_model(
+    docs: DataFrame,
+    scorer=None,
+    score_col: str = "ppl_score",
+    batch_size: int = 512,
+) -> DataFrame:
+    """Attach a model score to every (doc_id, text) row via Arrow-batched
+    ``mapInPandas``: ``scorer(texts: pd.Series) -> pd.Series[float]`` is
+    called once per ≤batch_size slice, so a real scorer amortizes model
+    setup per batch and inference parallelism == partition parallelism.
+
+    No scorer → NotImplementedError: language-model runtimes are not
+    available in this environment; inject one (or use
+    :func:`proxy_perplexity_score` for a deterministic stand-in).
+    """
+    if scorer is None:
+        raise NotImplementedError(
+            "score_with_model needs a scorer callable (no LM runtime is "
+            "bundled); use proxy_perplexity_score for a deterministic "
+            "hash-based stand-in"
+        )
+    import pandas as pd  # noqa: F401 — document the batch contract
+
+    fields = docs.schema.fieldNames()
+    out_schema = docs.schema.add(score_col, "double")
+
+    def run(batches):
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[lo : lo + batch_size].copy()
+                chunk[score_col] = scorer(chunk["text"]).astype("float64")
+                yield chunk
+
+    return docs.select(*fields).mapInPandas(run, out_schema)
+
+
+def proxy_perplexity_score(col, seed: str = "ppl"):
+    """Deterministic content-hash stand-in for a perplexity score:
+    md5(seed || text) → u ∈ [0, 1). Uniform by construction (every
+    fixed-width bucket well-populated) and mirrorable in any engine."""
+    return md5_unit_interval(col, seed)
+
+
+def perplexity_bucket_sample(
+    scored: DataFrame,
+    score_col: str = "ppl_score",
+    n_buckets: int = _PPL_BUCKETS,
+    keep_rates: list[float] | None = None,
+    seed: str = "pplkeep",
+) -> DataFrame:
+    """Bucket-stratified sampling over a scored corpus: bucket =
+    ⌊score·n_buckets⌋ (scores in [0,1)), keep iff the seeded per-doc
+    hash u < keep_rates[bucket]. Deterministic per (doc_id, seed) — a
+    re-run on grown data never flips a kept document."""
+    rates = keep_rates if keep_rates is not None else _PPL_KEEP_RATES
+    if len(rates) != n_buckets:
+        raise ValueError(
+            f"keep_rates has {len(rates)} entries for {n_buckets} buckets"
+        )
+    bucket = F.least(
+        F.floor(F.col(score_col) * n_buckets).cast("int"), F.lit(n_buckets - 1)
+    )
+    u = md5_unit_interval("doc_id", seed)
+    rate = F.element_at(F.array(*[F.lit(r) for r in rates]), bucket + 1)
+    return (
+        scored.withColumn("bucket", bucket)
+        .filter(u < rate)
+        .select("doc_id", "bucket")
+    )
+
+
+_PPL_SQL = (
+    "('0x' || substr(md5('ppl' || '|' || text), 1, 8))::BIGINT / 4294967296.0"
+)
+
+
+@register(
+    "sample_perplexity_buckets",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id,
+         least(CAST(floor({_PPL_SQL} * {_PPL_BUCKETS}) AS INTEGER),
+               {_PPL_BUCKETS - 1}) AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket
+FROM scored
+WHERE {_U_SQL.format(seed="pplkeep")}
+      < [{", ".join(str(r) for r in _PPL_KEEP_RATES)}][bucket + 1]
+""",
+)
+def sample_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Library/oracle wrapper: proxy-scored perplexity bucketing + the
+    CCNet-shaped per-bucket acceptance over the documents table. The
+    proxy score is the md5-of-content unit interval, so the full
+    score→bucket→accept chain is oracle-checked; swapping in a real LM
+    via :func:`score_with_model` changes only the score column."""
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", proxy_perplexity_score("text").alias("ppl_score")
+    )
+    return perplexity_bucket_sample(scored)

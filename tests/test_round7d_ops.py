@@ -279,3 +279,74 @@ class TestSemDeDup:
         grp = [r for r in out if r["vec_id"] in (1, 2, 3)]
         kept = [r for r in grp if r["keep"]][0]
         assert kept["centroid_sim"] == min(r["centroid_sim"] for r in grp)
+
+
+class TestPerplexityFiltering:
+    """Perplexity filtering (plans/sampling.py): mapInPandas scorer
+    plumbing + bucket-stratified deterministic sampling."""
+
+    def test_score_with_model_requires_scorer(self, spark):
+        import pytest as _pytest
+
+        from imitation_learning_data_pipeline_spark.plans.sampling import (
+            score_with_model,
+        )
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with _pytest.raises(NotImplementedError):
+            score_with_model(df)
+
+    def test_injected_scorer_batches_and_schema(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.sampling import (
+            score_with_model,
+        )
+
+        rows = [(i, "w " * (i + 1)) for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+
+        def scorer(texts):
+            # fake LM: "perplexity" = word count (one call per batch)
+            return texts.str.split().str.len().astype("float64")
+
+        out = score_with_model(df, scorer, batch_size=16)
+        assert out.schema["ppl_score"].dataType.typeName() == "double"
+        got = {r["doc_id"]: r["ppl_score"] for r in out.collect()}
+        assert got[0] == 1.0 and got[39] == 40.0 and len(got) == 40
+
+    def test_bucket_sample_deterministic_and_rate_shaped(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.sampling import (
+            perplexity_bucket_sample,
+            proxy_perplexity_score,
+        )
+
+        docs = spark.range(4000).selectExpr(
+            "id AS doc_id", "concat('doc ', id) AS text"
+        )
+        scored = docs.select(
+            "doc_id", proxy_perplexity_score("text").alias("ppl_score")
+        )
+        kept = perplexity_bucket_sample(scored)
+        a = sorted(r["doc_id"] for r in kept.collect())
+        b = sorted(r["doc_id"] for r in kept.collect())
+        assert a == b  # rerun-stable
+        by_bucket = {
+            r["bucket"]: r["n"]
+            for r in kept.groupBy("bucket").count().withColumnRenamed(
+                "count", "n"
+            ).collect()
+        }
+        # ~400 docs/bucket before sampling: full-rate middle buckets keep
+        # ~4x the 10%-rate extremes
+        assert by_bucket[4] > 2.5 * by_bucket[0]
+        assert by_bucket[5] > 2.5 * by_bucket[9]
+
+    def test_rate_length_guard(self, spark):
+        import pytest as _pytest
+
+        from imitation_learning_data_pipeline_spark.plans.sampling import (
+            perplexity_bucket_sample,
+        )
+
+        df = spark.createDataFrame([(1, 0.5)], "doc_id long, ppl_score double")
+        with _pytest.raises(ValueError):
+            perplexity_bucket_sample(df, keep_rates=[1.0, 0.5])
