@@ -879,6 +879,51 @@ def cmd_drift(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_quality(args: argparse.Namespace) -> int:
+    """Gopher quality-rule gate over a (doc_id, text) parquet dataset
+    (plans/text.py::gopher_rules): write per-document rule booleans (or
+    only the keepers with --keep-only), print the per-rule pass-rate
+    summary. Optionally chain the perplexity bucket sampler
+    (--ppl-sample) on the kept set using the deterministic proxy score."""
+    from pyspark.sql import functions as F
+
+    from .plans.sampling import (
+        perplexity_bucket_sample,
+        proxy_perplexity_score,
+    )
+    from .plans.text import gopher_rules
+
+    spark = _spark("quality")
+    docs = spark.read.parquet(args.path)
+    for c in ("doc_id", "text"):
+        if c not in docs.columns:
+            raise SystemExit(f"quality: input must have a '{c}' column")
+    rules = gopher_rules(
+        docs, min_required_stopwords=args.min_stopwords
+    ).persist()
+    rule_cols = [c for c in rules.columns if c.startswith("r_")] + ["keep"]
+    summary = rules.agg(
+        F.count("*").alias("n_docs"),
+        *[
+            F.round(F.avg(F.col(c).cast("int")), 4).alias(c)
+            for c in rule_cols
+        ],
+    ).collect()[0]
+    out = rules.filter("keep") if args.keep_only else rules
+    if args.ppl_sample:
+        kept = rules.filter("keep").select("doc_id")
+        scored = (
+            docs.join(kept, "doc_id", "left_semi")
+            .select("doc_id", proxy_perplexity_score("text").alias("ppl_score"))
+        )
+        out = perplexity_bucket_sample(scored)
+    if args.out:
+        out.write.mode("overwrite").parquet(args.out)
+    rules.unpersist()
+    print(json.dumps(summary.asDict()))
+    return 0
+
+
 def cmd_manifest(args: argparse.Namespace) -> int:
     """Bootstrap / refresh / verify a table's live-file manifest
     (pipeline/manifest.py) — the list-free read index maintained
@@ -1312,6 +1357,30 @@ def build_parser() -> argparse.ArgumentParser:
         help="diff the manifest against an actual listing; exit 1 on drift",
     )
     mf.set_defaults(fn=cmd_manifest)
+
+    qa = sub.add_parser(
+        "quality",
+        help="Gopher rule gate over (doc_id, text) parquet: per-rule "
+        "pass rates + optional filtered/sampled output",
+    )
+    qa.add_argument("--path", required=True)
+    qa.add_argument("--out", default=None, help="write result parquet here")
+    qa.add_argument(
+        "--keep-only", action="store_true", help="write only keep=true rows"
+    )
+    qa.add_argument(
+        "--min-stopwords",
+        type=int,
+        default=2,
+        help="required-stopword threshold (published default 2)",
+    )
+    qa.add_argument(
+        "--ppl-sample",
+        action="store_true",
+        help="chain the perplexity bucket sampler (proxy score) on the "
+        "kept set; output becomes (doc_id, bucket)",
+    )
+    qa.set_defaults(fn=cmd_quality)
     return p
 
 

@@ -350,3 +350,57 @@ class TestPerplexityFiltering:
         df = spark.createDataFrame([(1, 0.5)], "doc_id long, ppl_score double")
         with _pytest.raises(ValueError):
             perplexity_bucket_sample(df, keep_rates=[1.0, 0.5])
+
+
+class TestQualityCli:
+    def test_gate_summary_and_keep_only_output(self, spark, tmp_path, capsys):
+        import json as _json
+
+        from imitation_learning_data_pipeline_spark.cli import main as cli_main
+
+        good = (
+            "The project has a set of tools to work with and the results "
+            "have been good because the team chose to work with care and "
+            "that focus paid off over time for all of the people involved. "
+        ) * 3
+        rows = [(1, good), (2, "too short"), (3, good + " extra")]
+        src = str(tmp_path / "docs")
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+        out = str(tmp_path / "kept")
+        rc = cli_main(
+            ["quality", "--path", src, "--out", out, "--keep-only"]
+        )
+        assert rc == 0
+        summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["n_docs"] == 3
+        assert summary["keep"] == 0.6667
+        kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+        assert kept == {1, 3}
+
+    def test_ppl_sample_chain(self, spark, tmp_path, capsys):
+        from imitation_learning_data_pipeline_spark.cli import main as cli_main
+
+        good = (
+            "The team and the tools have all of the care that work needs "
+            "to be good and that focus paid off for the people involved. "
+        ) * 3
+        rows = [(i, good + f" tail {i}") for i in range(50)]
+        src = str(tmp_path / "docs")
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+        out = str(tmp_path / "sampled")
+        rc = cli_main(["quality", "--path", src, "--out", out, "--ppl-sample"])
+        assert rc == 0
+        sampled = spark.read.parquet(out)
+        assert set(sampled.columns) == {"doc_id", "bucket"}
+        n = sampled.count()
+        assert 0 < n <= 50  # extremes thinned, middle kept
+
+    def test_missing_column_raises(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from imitation_learning_data_pipeline_spark.cli import main as cli_main
+
+        src = str(tmp_path / "docs")
+        spark.range(3).write.parquet(src)
+        with _pytest.raises(SystemExit):
+            cli_main(["quality", "--path", src])
