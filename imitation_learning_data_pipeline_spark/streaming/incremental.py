@@ -705,3 +705,44 @@ def run_incremental_decontam_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def run_incremental_quality_stream(
+    stream: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    min_required_stopwords: int = 2,
+) -> None:
+    """Continuous quality gating: each micro-batch of ``(doc_id, text)``
+    documents is scored with the Gopher rule set (plans.text.
+    gopher_rules — a pure per-row projection, so per-trigger cost is
+    exactly the batch scan) and the per-document rule report lands
+    under ``ingest_batch=N`` partitions at ``out_path``.
+
+    Same effectively-exactly-once recipe as every incremental driver
+    here: checkpointed offsets + dynamic partition overwrite make a
+    replayed batch REPLACE its own report partition. The corpus-so-far
+    gate is a plain read of ``out_path`` (filter ``keep`` for the
+    training-eligible set).
+    """
+    from ..plans.text import gopher_rules
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            gopher_rules(batch_df, min_required_stopwords=min_required_stopwords)
+            .withColumn("ingest_batch", F.lit(int(batch_id)))
+            .write.partitionBy("ingest_batch")
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(out_path)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -404,3 +404,37 @@ class TestQualityCli:
         spark.range(3).write.parquet(src)
         with _pytest.raises(SystemExit):
             cli_main(["quality", "--path", src])
+
+
+class TestStreamingQualityGate:
+    def test_stream_reports_match_batch_and_replay_replaces(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.plans.text import gopher_rules
+        from imitation_learning_data_pipeline_spark.streaming.incremental import (
+            run_incremental_quality_stream,
+        )
+
+        good = (
+            "The team and the tools have all of the care that work needs "
+            "to be good and that focus paid off for the people involved. "
+        ) * 3
+        rows = [(1, good), (2, "too short"), (3, good + " tail")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        src = str(tmp_path / "src")
+        docs.repartition(3).write.parquet(src)
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        stream = spark.readStream.schema("doc_id long, text string").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        run_incremental_quality_stream(stream, out, ckpt)
+        got = {
+            r["doc_id"]: (r["keep"], r["n_words"])
+            for r in spark.read.parquet(out).collect()
+        }
+        want = {
+            r["doc_id"]: (r["keep"], r["n_words"])
+            for r in gopher_rules(docs).collect()
+        }
+        assert got == want and got[2][0] is False
+        # replay with a fresh checkpoint: partitions replaced, not appended
+        run_incremental_quality_stream(stream, out, str(tmp_path / "ck2"))
+        assert spark.read.parquet(out).count() == 3
