@@ -114,6 +114,12 @@ AUDIT = {
         "want": ["BroadcastHashJoin", "Generate"],
         "forbid": ["CartesianProduct", "SortMergeJoin"],
     },
+    # the quality gate must stay a pure per-row projection: zero
+    # exchanges between the scan and the rule booleans (spread()'s
+    # repartition of the few-MB test file is the one allowed exchange)
+    "text_gopher_rules": {"max_exchanges": 1},
+    # score→bucket→accept is likewise map-side only
+    "sample_perplexity_buckets": {"max_exchanges": 0},
 }
 
 
