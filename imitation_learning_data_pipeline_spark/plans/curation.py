@@ -114,3 +114,100 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
         F.count("*").alias("n"),
     )
+
+
+# --- corpus version diff -----------------------------------------------------
+#
+# "What changed between corpus v1 and v2" — the release-engineering
+# operation behind every dataset version bump: per-document status
+# (ADDED / REMOVED / CHANGED / UNCHANGED) from a key-aligned content
+# comparison. At 100 TB this is ONE full-outer hash join on the key with
+# both sides reduced to (key, content_hash) first — the text never
+# shuffles, only 16-byte digests do.
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """Per-key diff of two corpus versions → (key, status) where status
+    ∈ ADDED (key only in ``new``), REMOVED (only in ``old``), CHANGED
+    (both, different content hash), UNCHANGED.
+
+    Content equality is md5-of-content — each side is projected to
+    (key, hash) BEFORE the join, so the shuffle carries digests, not
+    documents. Presence is tracked with explicit flags (md5 of a NULL
+    document is NULL, so a missing hash must not mean a missing key);
+    NULL content hashes compare via null-safe equality."""
+    o = old.select(
+        F.col(key),
+        F.md5(F.col(content_col)).alias("__h_old"),
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        F.col(key),
+        F.md5(F.col(content_col)).alias("__h_new"),
+        F.lit(True).alias("__in_new"),
+    )
+    status = (
+        F.when(F.col("__in_old").isNull(), F.lit("ADDED"))
+        .when(F.col("__in_new").isNull(), F.lit("REMOVED"))
+        .when(F.col("__h_old").eqNullSafe(F.col("__h_new")), F.lit("UNCHANGED"))
+        .otherwise(F.lit("CHANGED"))
+    )
+    return o.join(n, key, "full_outer").select(key, status.alias("status"))
+
+
+_DIFF_DROP = 97  # doc_id % 97 == 0 → removed in v2
+_DIFF_EDIT = 53  # doc_id % 53 == 0 → text edited in v2
+
+
+@register(
+    "corpus_diff_versions",
+    oracle=f"""
+WITH v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {_DIFF_EDIT} = 0 THEN text || ' v2 edit'
+              ELSE text END AS text
+  FROM documents WHERE doc_id % {_DIFF_DROP} <> 0
+  UNION ALL
+  SELECT doc_id + 5000000 AS doc_id, text FROM documents
+  WHERE doc_id % 101 = 0
+),
+o AS (SELECT doc_id, md5(text) AS h, TRUE AS in_old FROM documents),
+n AS (SELECT doc_id, md5(text) AS h, TRUE AS in_new FROM v2)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.in_old IS NULL THEN 'ADDED'
+            WHEN n.in_new IS NULL THEN 'REMOVED'
+            WHEN o.h IS NOT DISTINCT FROM n.h THEN 'UNCHANGED'
+            ELSE 'CHANGED' END AS status
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+""",
+)
+def corpus_diff_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Library/oracle wrapper: diff the documents table against a
+    deterministically-derived v2 (every %97 doc removed, every %53 doc
+    edited, every %101 doc re-added under a new id) — all four statuses
+    populated and the whole diff hash-checked."""
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    v2 = (
+        docs.filter(F.col("doc_id") % _DIFF_DROP != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % _DIFF_EDIT == 0,
+                F.concat(F.col("text"), F.lit(" v2 edit")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 101 == 0).select(
+                (F.col("doc_id") + 5000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return corpus_diff(docs, v2)

@@ -345,6 +345,15 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     # the invariant row runs in check_contract --all.
     "mllib_pca_coverage": "mllib_kmeans_coverage (same MLlib fit + "
     "invariant-constants contract shape) + check_contract --all row",
+    # round-7: corpus version diff. Library-only (cap): its shape is a
+    # key-aligned full-outer join over pre-hashed sides — the diff-join
+    # family pipeline_discover_status retains (same J1/J2 change-detect
+    # semantics at file level), with the digest projection
+    # dedup_exact retains; the four-status output is oracle-checked in
+    # check_contract --all.
+    "corpus_diff_versions": "pipeline_discover_status (same change-"
+    "detect diff-join family) + dedup_exact (same content-digest "
+    "projection) + check_contract --all row",
     # round-7: perplexity-bucket sampling. Library-only (cap): its
     # score→bucket→accept chain composes the retained seeded-hash
     # families — scalar_hash_split's md5 unit interval and

@@ -438,3 +438,36 @@ class TestStreamingQualityGate:
         # replay with a fresh checkpoint: partitions replaced, not appended
         run_incremental_quality_stream(stream, out, str(tmp_path / "ck2"))
         assert spark.read.parquet(out).count() == 3
+
+
+class TestCorpusDiff:
+    def test_four_statuses(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.curation import corpus_diff
+
+        old = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+        )
+        new = spark.createDataFrame(
+            [(1, "a"), (2, "B"), (4, "d")], "doc_id long, text string"
+        )
+        got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+        assert got == {1: "UNCHANGED", 2: "CHANGED", 3: "REMOVED", 4: "ADDED"}
+
+    def test_null_content_null_safe(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.curation import corpus_diff
+
+        old = spark.createDataFrame([(1, None)], "doc_id long, text string")
+        new = spark.createDataFrame([(1, None)], "doc_id long, text string")
+        got = corpus_diff(old, new).collect()
+        assert got[0]["status"] == "UNCHANGED"
+
+    def test_digest_projection_before_join(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.curation import corpus_diff
+
+        old = spark.createDataFrame([(1, "a" * 10)], "doc_id long, text string")
+        df = corpus_diff(old, old)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the join inputs must already be the 16-byte digests — the text
+        # column may not appear above the scan
+        joined = plan.split("SortMergeJoin")[0] if "SortMergeJoin" in plan else plan
+        assert "md5" in plan
