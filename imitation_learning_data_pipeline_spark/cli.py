@@ -879,6 +879,42 @@ def cmd_drift(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_diff(args: argparse.Namespace) -> int:
+    """Corpus version diff (plans/curation.py::corpus_diff): per-status
+    counts between two parquet corpus versions as one JSON line;
+    --out writes the per-key status parquet."""
+    from pyspark.sql import functions as F
+
+    from .plans.curation import corpus_diff
+
+    spark = _spark("diff")
+    old = spark.read.parquet(args.old)
+    new = spark.read.parquet(args.new)
+    for side, df in (("--old", old), ("--new", new)):
+        for c in (args.key, args.content_col):
+            if c not in df.columns:
+                raise SystemExit(f"diff: {side} dataset lacks column '{c}'")
+    d = corpus_diff(old, new, key=args.key, content_col=args.content_col)
+    if args.out:
+        d = d.persist()
+        d.write.mode("overwrite").parquet(args.out)
+    counts = {
+        r["status"]: r["n"]
+        for r in d.groupBy("status").agg(F.count("*").alias("n")).collect()
+    }
+    if args.out:
+        d.unpersist()
+    print(
+        json.dumps(
+            {
+                s: counts.get(s, 0)
+                for s in ("ADDED", "REMOVED", "CHANGED", "UNCHANGED")
+            }
+        )
+    )
+    return 0
+
+
 def cmd_quality(args: argparse.Namespace) -> int:
     """Gopher quality-rule gate over a (doc_id, text) parquet dataset
     (plans/text.py::gopher_rules): write per-document rule booleans (or
@@ -1381,6 +1417,18 @@ def build_parser() -> argparse.ArgumentParser:
         "kept set; output becomes (doc_id, bucket)",
     )
     qa.set_defaults(fn=cmd_quality)
+
+    df_ = sub.add_parser(
+        "diff",
+        help="corpus version diff: per-status counts between two "
+        "parquet versions (ADDED/REMOVED/CHANGED/UNCHANGED)",
+    )
+    df_.add_argument("--old", required=True)
+    df_.add_argument("--new", required=True)
+    df_.add_argument("--key", default="doc_id")
+    df_.add_argument("--content-col", default="text")
+    df_.add_argument("--out", default=None, help="write per-key status parquet")
+    df_.set_defaults(fn=cmd_diff)
     return p
 
 

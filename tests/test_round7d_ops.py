@@ -471,3 +471,37 @@ class TestCorpusDiff:
         # column may not appear above the scan
         joined = plan.split("SortMergeJoin")[0] if "SortMergeJoin" in plan else plan
         assert "md5" in plan
+
+
+class TestDiffCli:
+    def test_counts_and_output(self, spark, tmp_path, capsys):
+        import json as _json
+
+        from imitation_learning_data_pipeline_spark.cli import main as cli_main
+
+        old_p, new_p = str(tmp_path / "v1"), str(tmp_path / "v2")
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+        ).write.parquet(old_p)
+        spark.createDataFrame(
+            [(1, "a"), (2, "B"), (4, "d")], "doc_id long, text string"
+        ).write.parquet(new_p)
+        out = str(tmp_path / "status")
+        rc = cli_main(["diff", "--old", old_p, "--new", new_p, "--out", out])
+        assert rc == 0
+        summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary == {
+            "ADDED": 1, "REMOVED": 1, "CHANGED": 1, "UNCHANGED": 1
+        }
+        st = {r["doc_id"]: r["status"] for r in spark.read.parquet(out).collect()}
+        assert st[4] == "ADDED" and st[3] == "REMOVED"
+
+    def test_missing_column_guard(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from imitation_learning_data_pipeline_spark.cli import main as cli_main
+
+        p = str(tmp_path / "v")
+        spark.range(2).write.parquet(p)
+        with _pytest.raises(SystemExit):
+            cli_main(["diff", "--old", p, "--new", p])
