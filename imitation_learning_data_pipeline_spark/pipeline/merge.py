@@ -269,11 +269,12 @@ def _commit_staged(spark, fs, jvm_path, path, tmp, touched) -> int:
     refs = referenced_rels(spark, fs, jvm_path, path)
     for fstr, jp_old in touched:
         retire_or_delete(spark, fs, jvm_path, path, fstr, jp_old, refs)
-    fs.delete(jvm_path(f"{path}/{_PENDING}"), False)
-    _rm(fs, jvm_path, tmp)
     # list-free reads (pipeline/manifest.py): fold this commit's file
     # delta into the table manifest — O(touched), no relisting; no-op
-    # for tables that never opted in
+    # for tables that never opted in. MUST run before the journal
+    # clears: while the journal exists readers fall back to a listing,
+    # so a crash anywhere in here leaves the stale manifest untrusted
+    # (and the recovery path refreshes it wholesale).
     from .manifest import apply_deltas
 
     table_root = fs.makeQualified(jvm_path(path)).toString().rstrip("/")
@@ -285,6 +286,8 @@ def _commit_staged(spark, fs, jvm_path, path, tmp, touched) -> int:
     apply_deltas(
         spark, path, [(r, staged_bytes[r]) for r in staged_rel], dropped
     )
+    fs.delete(jvm_path(f"{path}/{_PENDING}"), False)
+    _rm(fs, jvm_path, tmp)
     return moved
 
 

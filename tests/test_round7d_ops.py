@@ -505,3 +505,42 @@ class TestDiffCli:
         spark.range(2).write.parquet(p)
         with _pytest.raises(SystemExit):
             cli_main(["diff", "--old", p, "--new", p])
+
+
+class TestManifestCrashOrdering:
+    def test_delta_failure_leaves_journal_for_fallback(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """The manifest delta must apply INSIDE the journaled window: if
+        it dies, the journal must still exist (readers fall back to a
+        listing) and recovery must heal both commit and manifest."""
+        import os
+
+        from imitation_learning_data_pipeline_spark.pipeline import manifest as man
+        from imitation_learning_data_pipeline_spark.pipeline import merge as mg
+
+        t = str(tmp_path / "t")
+        spark.range(500).selectExpr(
+            "id AS k", "CAST(id * 10 AS DOUBLE) AS v"
+        ).repartition(6).write.parquet(t)
+        man.write_manifest(spark, t)
+
+        def boom(*a, **kw):
+            raise RuntimeError("injected manifest failure")
+
+        monkeypatch.setattr(man, "apply_deltas", boom)
+        upd = spark.createDataFrame([(3, -1.0)], "k long, v double")
+        try:
+            mg.merge_into(spark, t, upd, key="k")
+            raise AssertionError("merge should have propagated the failure")
+        except RuntimeError:
+            pass
+        # journal still present → manifest is untrusted, listing fallback
+        assert os.path.exists(os.path.join(t, "__merge_pending.json"))
+        assert man.read_via_manifest(spark, t).filter("k = 3").collect()[0][
+            "v"
+        ] == -1.0
+        monkeypatch.undo()
+        assert mg.recover(spark, t) is True
+        diff = man.verify_manifest(spark, t)
+        assert diff["missing"] == [] and diff["extra"] == []
