@@ -253,6 +253,48 @@ def _minhash_sig_plan(docs: DataFrame) -> DataFrame:
     )
 
 
+def _bucket_pairs(
+    bands: DataFrame, keys: list[str], bucket_cap: int, distinct: bool = True
+) -> DataFrame:
+    """Distinct candidate pairs (doc_a < doc_b) from co-bucketed band
+    rows in ONE bucket-key shuffle: group each bucket, then emit its
+    member pairs MAP-SIDE from the sorted id array.
+
+    Replaces the previous count-agg + filter-join + self-join shape,
+    which shuffled the corpus-sized band frame three more times for the
+    same pair set (measured: simhash plan dropped from 26 to 13
+    exchanges). ``bucket_cap`` bounds both the collected array and the
+    quadratic emit exactly as it bounded the self-join — an over-cap
+    bucket is signature collapse, not near-dups, and is skipped whole.
+
+    Memory bound: flatten() materializes one bucket's pair array per
+    row before the explode — cap²/2 two-long structs, ~8 MB at the
+    largest cap in use (simhash's 1000) and only for a degenerate
+    bucket at that; routine buckets are a few entries.
+    """
+    buckets = bands.groupBy(*keys).agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ids")
+    )
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.greatest(F.size(ids) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    out = (
+        buckets.filter((F.size("ids") >= 2) & (F.size("ids") <= bucket_cap))
+        .select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+    )
+    # distinct=False keeps per-bucket multiplicity (ngram-Jaccard counts
+    # shared shingles per pair; callers aggregate)
+    return out.distinct() if distinct else out
+
+
 def _minhash_band_rows(sigs: DataFrame) -> DataFrame:
     """Signatures → LSH band rows ``(doc_id, band, bucket)`` (map-side)."""
     band_structs = [
@@ -303,29 +345,15 @@ def minhash_pairs(
     sigs = cache.pin(_minhash_sig_plan(docs))
     sets = sigs.select("doc_id", "sh")
     bands = _minhash_band_rows(sigs)
+    cand = _bucket_pairs(bands, ["band", "bucket"], bucket_cap)
+    return _verify_jaccard(cand, sets, threshold)
 
-    bucket_sizes = bands.groupBy("band", "bucket").agg(F.count("*").alias("n"))
-    # pin(): the candidate self-join consumes ok_bands on BOTH sides;
-    # without the pin each side re-runs the bucket-histogram join.
-    ok_bands = cache.pin(
-        bands.join(
-            bucket_sizes.filter(F.col("n") <= bucket_cap).select("band", "bucket"),
-            ["band", "bucket"],
-        )
-    )
 
-    a = ok_bands.alias("a")
-    b = ok_bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+def _verify_jaccard(
+    cand: DataFrame, sets: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs against the hashed
+    shingle sets (shared by the batch and A/B candidate paths)."""
     inter = F.size(F.array_intersect(F.col("x.sh"), F.col("y.sh"))).cast("double")
     union_sz = (
         F.size(F.col("x.sh"))
@@ -642,25 +670,7 @@ def simhash_pairs(
     bands = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.byte").alias("byte")
     )
-    bucket_sizes = bands.groupBy("band", "byte").agg(F.count("*").alias("n"))
-    ok_bands = cache.pin(
-        bands.join(
-            bucket_sizes.filter(F.col("n") <= bucket_cap).select("band", "byte"),
-            ["band", "byte"],
-        )
-    )
-    a = ok_bands.alias("a")
-    b = ok_bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.byte") == F.col("b.byte"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = _bucket_pairs(bands, ["band", "byte"], bucket_cap)
     hd = F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash")))
     return (
         cand.join(sig.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
@@ -779,20 +789,13 @@ def ngram_jaccard_pairs(
         exploded_shingles(docs, n).select("doc_id", F.xxhash64("s").alias("s"))
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    rare = (
-        sh.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") <= df_cap)
-        .select("s")
-    )
-    posting = sh.join(rare, "s")
-    a = posting.alias("a")
-    b = posting.alias("b")
-    pair_inter = (
-        a.join(
-            b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id"))
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("inter"))
-    )
+    # df-histogram, df-cap filter, and the posting self-join collapse
+    # into ONE shingle-key shuffle: the per-shingle doc list IS the df
+    # histogram (size(ids) = df), and pairs emit map-side from it
+    # (_bucket_pairs, distinct=False keeps one row per shared shingle)
+    pair_inter = _bucket_pairs(sh, ["s"], df_cap, distinct=False).groupBy(
+        "doc_a", "doc_b"
+    ).agg(F.count("*").alias("inter"))
     jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
         pair_inter.join(
