@@ -484,27 +484,38 @@ def dedup_against_store(
             F.col("ingest_batch") != int(exclude_batch)
         )
     bands_old = bands_old.select("doc_id", "band", "bucket")
-    bands_all = cache.pin(bands_new.unionByName(bands_old))
-
-    ok = (
-        bands_all.groupBy("band", "bucket")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") <= bucket_cap)
-        .select("band", "bucket")
+    # candidate generation in ONE bucket shuffle (the _bucket_pairs
+    # shape, new-vs-all variant): group each bucket over the union
+    # with an is_new flag, cap on the TOTAL bucket size exactly as the
+    # old histogram did, emit sorted (i < j) member pairs map-side and
+    # keep only pairs touching the batch — old-old pairs were found
+    # when their batches folded. Replaces a histogram agg + two cap
+    # joins + a new-vs-all join over the store-sized band frame.
+    flagged = bands_new.withColumn("is_new", F.lit(True)).unionByName(
+        bands_old.withColumn("is_new", F.lit(False))
     )
-    a = bands_new.join(ok, ["band", "bucket"]).alias("a")
-    b = bands_all.join(ok, ["band", "bucket"]).alias("b")
+    buckets = flagged.groupBy("band", "bucket").agg(
+        F.array_sort(F.collect_list(F.struct("doc_id", "is_new"))).alias("ms")
+    )
+    ms = F.col("ms")
+    pair_structs = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.transform(
+                F.slice(ms, i + 2, F.greatest(F.size(ms) - i - 1, F.lit(0))),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    (x["is_new"] | y["is_new"]).alias("any_new"),
+                ),
+            ),
+        )
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
-        )
-        .select(
-            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
-            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
-        )
+        buckets.filter((F.size("ms") >= 2) & (F.size("ms") <= bucket_cap))
+        .select(F.explode(pair_structs).alias("p"))
+        .filter(F.col("p.any_new"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
     sets_old = spark.read.parquet(f"{path}/sets")
