@@ -15,7 +15,22 @@ minimum viable size for the repo's journaled copy-on-write tables:
   Compaction rewrites wholesale, so it refreshes wholesale.
 - ``read_via_manifest`` builds the DataFrame from the manifest's
   explicit file list (``basePath`` option preserves Hive partition
-  columns) — ONE small JSON read instead of the recursive LIST.
+  columns) — the file SET comes from one small JSON read instead of
+  the recursive LIST.
+
+Scope of the win (measured, see SCALING.md): the manifest removes the
+LIST from everything that only needs the file set — consistency
+verification, external consumers, vacuum/GC, the O(touched) commit
+bookkeeping — and gives readers a point-in-time file set immune to
+eventually-consistent or concurrently-mutating listings. Spark's OWN
+scan of explicit paths still stats each file (PySpark exposes no hook
+to feed a pre-built FileIndex), so ``read_via_manifest`` does not beat
+a plain directory read on wall clock locally (measured ~1.0 s vs
+~0.4 s resolving a 4,000-file table; explicit paths below the
+parallel-discovery threshold additionally trigger a distributed
+listing job). The full read-path win is exactly what Delta/Iceberg
+readers deliver by consuming manifest stats natively — the deployment
+mapping this module is the minimum viable local form of.
 
 Crash window: the commit journal (``__pending_commit``) is the source
 of truth. A crash after the journal lands but before the manifest
