@@ -544,3 +544,53 @@ class TestManifestCrashOrdering:
         assert mg.recover(spark, t) is True
         diff = man.verify_manifest(spark, t)
         assert diff["missing"] == [] and diff["extra"] == []
+
+
+class TestBucketPairsEquivalence:
+    def test_matches_selfjoin_reference_with_caps_and_multiplicity(self, spark):
+        """_bucket_pairs must emit exactly the pair set (and, with
+        distinct=False, the pair multiset) the old bucket self-join
+        produced — including cap exclusions — on a seeded random band
+        frame with planted over-cap and singleton buckets."""
+        import random
+        from collections import Counter
+
+        from imitation_learning_data_pipeline_spark.plans.dedup import _bucket_pairs
+
+        rng = random.Random(7)
+        rows = []
+        for bucket in range(60):
+            size = rng.choice([1, 1, 2, 3, 5, 9, 25])  # 25 > cap below
+            members = rng.sample(range(10000), size)
+            for m in members:
+                rows.append((m, rng.randint(0, 3), f"b{bucket}"))
+        bands = spark.createDataFrame(
+            rows, "doc_id long, band int, bucket string"
+        )
+        cap = 20
+
+        # pure-Python reference: per (band, bucket) group, all i<j pairs
+        groups = {}
+        for d, band, bucket in rows:
+            groups.setdefault((band, bucket), []).append(d)
+        ref = Counter()
+        for ids in groups.values():
+            if len(ids) < 2 or len(ids) > cap:
+                continue
+            ids = sorted(ids)
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    ref[(ids[i], ids[j])] += 1
+
+        got_multi = Counter(
+            (r["doc_a"], r["doc_b"])
+            for r in _bucket_pairs(
+                bands, ["band", "bucket"], cap, distinct=False
+            ).collect()
+        )
+        assert got_multi == ref
+        got_distinct = {
+            (r["doc_a"], r["doc_b"])
+            for r in _bucket_pairs(bands, ["band", "bucket"], cap).collect()
+        }
+        assert got_distinct == set(ref)
