@@ -345,6 +345,16 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     # the invariant row runs in check_contract --all.
     "mllib_pca_coverage": "mllib_kmeans_coverage (same MLlib fit + "
     "invariant-constants contract shape) + check_contract --all row",
+    # round-7: curriculum ordering. Library-only (cap): its sharded
+    # two-level rank composes the retained families — window_rank_ntile
+    # (row_number window), window_running_sum (prefix-sum offsets),
+    # scalar_hash_split (seeded md5 unit interval) — and the EXACT
+    # global order is hash-checked against DuckDB's single-sort
+    # row_number in check_contract --all.
+    "curriculum_order_docs": "window_rank_ntile (same row_number "
+    "window) + window_running_sum (same prefix-sum offset family) + "
+    "scalar_hash_split (same seeded md5 unit interval) + "
+    "check_contract --all row",
     # round-7: corpus version diff. Library-only (cap): its shape is a
     # key-aligned full-outer join over pre-hashed sides — the diff-join
     # family pipeline_discover_status retains (same J1/J2 change-detect

@@ -773,3 +773,97 @@ def sample_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", proxy_perplexity_score("text").alias("ppl_score")
     )
     return perplexity_bucket_sample(scored)
+
+
+# --- curriculum ordering: global difficulty rank without a global sort -------
+#
+# Curriculum training consumes the corpus easy → hard with a shuffle
+# WITHIN each difficulty level. That is a global contiguous rank over
+# (level, seeded-hash) — and a naive `row_number() OVER (ORDER BY ...)`
+# collapses 100 TB into ONE sort partition. The two-level prefix-sum
+# idiom (pack_sequences) fixes that but parallelizes only across
+# levels — ~10 curriculum levels would still sort a tenth of the corpus
+# per task. Here the second key SPREADS: shard = ⌊u·S⌋ is monotonic in
+# the seeded hash u, so ranking within (level, shard) and offsetting by
+# cumulative (level, shard) counts reproduces the exact global
+# (level, u, doc_id) rank with level×S-way parallelism. The only
+# full-data exchange is the (level, shard)-partitioned window sort;
+# the base offsets are a level×S-row driver-side window.
+
+_CURR_SHARDS = 64
+
+
+def curriculum_plan(
+    leveled: DataFrame,
+    level_col: str = "level",
+    n_shards: int = _CURR_SHARDS,
+    seed: str = "curr",
+) -> DataFrame:
+    """Global curriculum rank 0..N−1 for ANY ``(doc_id, level)`` frame:
+    ordered by (level ASC, seeded md5 hash, doc_id) — easy levels
+    first, deterministic shuffle within a level — with no global sort
+    anywhere in the plan."""
+    from pyspark.sql.window import Window
+
+    u = md5_unit_interval("doc_id", seed)
+    keyed = leveled.select(
+        "doc_id",
+        F.col(level_col).alias("level"),
+        u.alias("u"),
+        F.floor(u * n_shards).cast("int").alias("shard"),
+    )
+    counts = keyed.groupBy("level", "shard").agg(F.count("*").alias("n"))
+    w_base = Window.orderBy("level", "shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bases = counts.select(
+        "level",
+        "shard",
+        F.coalesce(F.sum("n").over(w_base), F.lit(0)).alias("base"),
+    )
+    w_rank = Window.partitionBy("level", "shard").orderBy("u", "doc_id")
+    return (
+        keyed.join(F.broadcast(bases), ["level", "shard"])
+        .withColumn(
+            "curriculum_rank",
+            (F.col("base") + F.row_number().over(w_rank) - 1).cast("long"),
+        )
+        .select("doc_id", "level", "curriculum_rank")
+    )
+
+
+@register(
+    "curriculum_order_docs",
+    oracle=f"""
+WITH leveled AS (
+  SELECT doc_id,
+         least(9, CAST(floor(len({_W_SQL}) / 25) AS BIGINT)) AS level
+  FROM documents
+)
+SELECT doc_id, level,
+       CAST(row_number() OVER (
+         ORDER BY level,
+                  {_U_SQL.format(seed="curr")},
+                  doc_id
+       ) - 1 AS BIGINT) AS curriculum_rank
+FROM leveled
+""",
+)
+def curriculum_order_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Library/oracle wrapper: word-count difficulty levels (25-word
+    bands capped at level 9) → the full global curriculum rank,
+    hash-checked against DuckDB's single-sort row_number — proving the
+    sharded two-level plan reproduces the exact global order."""
+    from ..functions.text import clean_words
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    leveled = docs.select(
+        "doc_id",
+        F.least(
+            F.lit(9), F.floor(F.size(clean_words("text")) / 25)
+        )
+        .cast("long")
+        .alias("level"),
+    )
+    return curriculum_plan(leveled)

@@ -594,3 +594,44 @@ class TestBucketPairsEquivalence:
             for r in _bucket_pairs(bands, ["band", "bucket"], cap).collect()
         }
         assert got_distinct == set(ref)
+
+
+class TestCurriculumPlan:
+    def test_contiguous_global_rank_level_ordered(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.sampling import (
+            curriculum_plan,
+        )
+
+        leveled = spark.createDataFrame(
+            [(i, i % 3) for i in range(300)], "doc_id long, level long"
+        )
+        out = curriculum_plan(leveled, n_shards=8).collect()
+        ranks = sorted(r["curriculum_rank"] for r in out)
+        assert ranks == list(range(300))  # contiguous 0..N-1
+        max_by_level = {}
+        min_by_level = {}
+        for r in out:
+            max_by_level[r["level"]] = max(
+                max_by_level.get(r["level"], -1), r["curriculum_rank"]
+            )
+            min_by_level[r["level"]] = min(
+                min_by_level.get(r["level"], 1 << 60), r["curriculum_rank"]
+            )
+        assert max_by_level[0] < min_by_level[1] < max_by_level[1] < min_by_level[2]
+
+    def test_deterministic_and_no_global_sort(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.sampling import (
+            curriculum_plan,
+        )
+
+        leveled = spark.createDataFrame(
+            [(i, 0) for i in range(200)], "doc_id long, level long"
+        )
+        df = curriculum_plan(leveled, n_shards=16)
+        a = [r["curriculum_rank"] for r in sorted(df.collect(), key=lambda r: r["doc_id"])]
+        b = [r["curriculum_rank"] for r in sorted(df.collect(), key=lambda r: r["doc_id"])]
+        assert a == b
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the one range exchange of a global orderBy must NOT appear —
+        # ordering comes from (level, shard) hash partitions + bases
+        assert "rangepartitioning" not in plan.lower(), plan
