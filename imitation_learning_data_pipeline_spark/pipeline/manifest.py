@@ -80,9 +80,9 @@ def read_manifest_entries(spark: SparkSession, path: str) -> dict:
     return _read_json(spark, fs, _jvm_path(spark), _manifest_path(path))
 
 
-def write_manifest(spark: SparkSession, path: str) -> dict:
-    """Bootstrap or wholesale-refresh the manifest from one recursive
-    listing — the LAST full LIST this table needs until compaction."""
+def _refresh_unlocked(spark: SparkSession, path: str) -> dict:
+    """Listing → manifest write, no locking: for callers already inside
+    a locked maintenance op (compact's swap, journal recovery)."""
     path = path.rstrip("/")
     fs, _ = _fs(spark, path)
     jvm_path = _jvm_path(spark)
@@ -92,12 +92,32 @@ def write_manifest(spark: SparkSession, path: str) -> dict:
     return payload
 
 
+def write_manifest(spark: SparkSession, path: str) -> dict:
+    """Bootstrap or wholesale-refresh the manifest from one recursive
+    listing — the LAST full LIST this table needs until compaction.
+
+    Takes the table's maintenance lock: a bootstrap racing a concurrent
+    merge could otherwise list mid-commit and persist a torn file set
+    with no pending journal left to distrust it."""
+    from .compact import _acquire_lock, _lock_path
+
+    path = path.rstrip("/")
+    fs, _ = _fs(spark, path)
+    jvm_path = _jvm_path(spark)
+    _acquire_lock(spark, fs, jvm_path, path, "write_manifest")
+    try:
+        return _refresh_unlocked(spark, path)
+    finally:
+        fs.delete(jvm_path(_lock_path(path)), False)
+
+
 def refresh_if_present(spark: SparkSession, path: str) -> bool:
     """Wholesale refresh for ops that rewrite arbitrarily (compaction,
-    journal recovery). No-op for tables that never opted in."""
+    journal recovery). Lock-free — every caller already holds the
+    maintenance lock. No-op for tables that never opted in."""
     if not has_manifest(spark, path):
         return False
-    write_manifest(spark, path)
+    _refresh_unlocked(spark, path)
     return True
 
 

@@ -635,3 +635,30 @@ class TestCurriculumPlan:
         # the one range exchange of a global orderBy must NOT appear —
         # ordering comes from (level, shard) hash partitions + bases
         assert "rangepartitioning" not in plan.lower(), plan
+
+
+class TestManifestLock:
+    def test_bootstrap_respects_maintenance_lock(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline import manifest as man
+        from imitation_learning_data_pipeline_spark.pipeline.compact import (
+            ConcurrentMaintenanceError,
+            _acquire_lock,
+            _fs,
+            release_lock,
+        )
+        import pytest as _pytest
+
+        t = str(tmp_path / "t")
+        spark.range(10).selectExpr("id AS k").write.parquet(t)
+        fs, _ = _fs(spark, t)
+        jvm_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+        _acquire_lock(spark, fs, jvm_path, t, "test-holder")
+        try:
+            with _pytest.raises(ConcurrentMaintenanceError):
+                man.write_manifest(spark, t)
+        finally:
+            release_lock(spark, t)
+        # released → bootstrap succeeds and is consistent
+        man.write_manifest(spark, t)
+        diff = man.verify_manifest(spark, t)
+        assert diff["missing"] == [] and diff["extra"] == []
