@@ -423,6 +423,11 @@ def cmd_compact(args: argparse.Namespace) -> int:
 
     spark = _spark("compact")
     part_cols = args.partition_col.split(",") if args.partition_col else None
+    if args.sprawling_only and (args.cluster_by or args.zorder_by):
+        raise SystemExit(
+            "compact: --cluster-by/--zorder-by apply to the full rewrite, "
+            "not --sprawling-only maintenance"
+        )
     if args.sprawling_only:
         stats = compact_sprawling(
             spark,
@@ -437,6 +442,8 @@ def cmd_compact(args: argparse.Namespace) -> int:
             args.path,
             target_bytes=args.target_mb * 1024 * 1024,
             partition_col=part_cols,
+            cluster_by=args.cluster_by.split(",") if args.cluster_by else None,
+            zorder_by=args.zorder_by.split(",") if args.zorder_by else None,
         )
     print(json.dumps({"path": args.path, **stats}))
     return 0
@@ -1123,6 +1130,18 @@ def build_parser() -> argparse.ArgumentParser:
         "(cost scales with the sprawl, not the table)",
     )
     c.add_argument("--sprawl-factor", type=float, default=2.0)
+    c.add_argument(
+        "--cluster-by",
+        default=None,
+        help="OPTIMIZE layout: also range-cluster + sort rewritten files "
+        "on these comma-separated key column(s) (flat tables only)",
+    )
+    c.add_argument(
+        "--zorder-by",
+        default=None,
+        help="OPTIMIZE ZORDER layout: Morton-cluster rewritten files on "
+        "2+ comma-separated numeric columns (flat tables only)",
+    )
     c.set_defaults(fn=cmd_compact)
 
     mg = sub.add_parser(

@@ -151,6 +151,8 @@ def compact(
     target_bytes: int = 128 * 1024 * 1024,
     partition_col: str | list[str] | None = None,
     stale_lock_s: float | None = None,
+    cluster_by: str | list[str] | None = None,
+    zorder_by: list[str] | None = None,
 ) -> dict:
     """Rewrite ``path`` into ~ceil(bytes/target) files (per Hive
     partition if ``partition_col`` names the layout's partition
@@ -170,16 +172,31 @@ def compact(
     takeover of a crashed holder's lock by age. Multi-writer
     deployments belong on a transactional table format.
     """
+    if (cluster_by or zorder_by) and partition_col:
+        raise ValueError(
+            "compact: cluster_by/zorder_by rewrite flat tables only — a "
+            "Hive-partitioned layout would need per-partition range "
+            "repartitioning; compact the partitions plain or restructure"
+        )
+    if cluster_by and zorder_by:
+        raise ValueError("compact: pass cluster_by OR zorder_by, not both")
     path = path.rstrip("/")
     fs, jpath = _fs(spark, path)
     jvm_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
     _acquire_lock(spark, fs, jvm_path, path, "compact", stale_lock_s)
     try:
-        out = _compact_locked(spark, path, target_bytes, partition_col)
+        out = _compact_locked(
+            spark, path, target_bytes, partition_col,
+            cluster_by=cluster_by, zorder_by=zorder_by,
+        )
     finally:
         fs.delete(jvm_path(_lock_path(path)), False)
     from .history import log_event
 
+    if cluster_by:
+        out["layout"] = {"cluster_by": cluster_by}
+    elif zorder_by:
+        out["layout"] = {"zorder_by": zorder_by}
     log_event(spark, path, "compact", out)
     return out
 
@@ -191,6 +208,8 @@ def _compact_locked(
     partition_col: str | list[str] | None,
     snap_root: str | None = None,
     snap_prefix: str = "",
+    cluster_by: str | list[str] | None = None,
+    zorder_by: list[str] | None = None,
 ) -> dict:
     total, before, by_dir = _list_parquet(spark, path)
     fs, jpath = _fs(spark, path)
@@ -276,6 +295,30 @@ def _compact_locked(
                 .partitionBy(*part_cols)
                 .parquet(tmp)
             )
+    elif cluster_by:
+        # in-place OPTIMIZE with key clustering: target-sized files AND
+        # disjoint per-file key ranges (footer min/max prune after)
+        keys = [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
+        (
+            df.repartitionByRange(n, *keys)
+            .sortWithinPartitions(*keys)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+    elif zorder_by:
+        # in-place OPTIMIZE ZORDER: every file covers a small
+        # hyper-rectangle of the z-columns (see merge.zorder_column)
+        from .merge import zorder_column
+
+        z = zorder_column(df, zorder_by)
+        (
+            df.withColumn("__z", z)
+            .repartitionByRange(n, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
     else:
         df.repartition(n).write.mode("overwrite").parquet(tmp)
 

@@ -738,6 +738,48 @@ def _guard_snapshot_overwrite(spark, path: str, mode: str, op: str) -> None:
 _Z_BITS = 8  # 256 quantile buckets per dimension
 
 
+def zorder_column(df: DataFrame, by: list[str]):
+    """The Morton z-value expression for ``df`` over 2+ numeric columns
+    (quantile-bucketed, pure JVM — see :func:`zorder_write`). Shared by
+    zorder_write and compact's in-place OPTIMIZE-with-layout path."""
+    if len(by) < 2:
+        raise ValueError("zorder: needs 2+ columns; use cluster layout for 1")
+    from pyspark.sql import types as T
+
+    numeric = {
+        f.name for f in df.schema.fields if isinstance(f.dataType, T.NumericType)
+    }
+    bad = [c for c in by if c not in numeric]
+    if bad:
+        raise ValueError(
+            f"zorder: non-numeric z-order columns {bad} — cast or "
+            "dictionary-encode them first"
+        )
+    n_buckets = 1 << _Z_BITS
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bucket_cols = []
+    for c in by:
+        cuts = df.stat.approxQuantile(c, probs, 0.001)
+        # bucket = #cuts <= value (0..n_buckets-1), monotone in the value
+        arr = F.array(*[F.lit(float(x)) for x in cuts])
+        b = F.aggregate(
+            arr,
+            F.lit(0),
+            lambda acc, cut: acc
+            + F.when(F.col(c).cast("double") >= cut, 1).otherwise(0),
+        )
+        bucket_cols.append(F.coalesce(b, F.lit(0)))
+    k = len(by)
+    z = F.lit(0).cast("long")
+    for bit in range(_Z_BITS):
+        for ci, b in enumerate(bucket_cols):
+            pos = bit * k + ci
+            z = z + F.shiftleft(
+                F.shiftright(b.cast("long"), bit).bitwiseAND(F.lit(1)), pos
+            )
+    return z
+
+
 def zorder_write(
     df: DataFrame,
     path: str,
@@ -765,42 +807,8 @@ def zorder_write(
     16 shift/mask terms); one ``repartitionByRange`` shuffle on it,
     no UDF, no global sort.
     """
-    if len(by) < 2:
-        raise ValueError("zorder_write: needs 2+ columns; use cluster_write for 1")
     _guard_snapshot_overwrite(df.sparkSession, path, mode, "zorder_write")
-    from pyspark.sql import types as T
-
-    numeric = {
-        f.name for f in df.schema.fields if isinstance(f.dataType, T.NumericType)
-    }
-    bad = [c for c in by if c not in numeric]
-    if bad:
-        raise ValueError(
-            f"zorder_write: non-numeric z-order columns {bad} — cast or "
-            "dictionary-encode them first"
-        )
-    n_buckets = 1 << _Z_BITS
-    probs = [i / n_buckets for i in range(1, n_buckets)]
-    bucket_cols = []
-    for c in by:
-        cuts = df.stat.approxQuantile(c, probs, 0.001)
-        # bucket = #cuts <= value (0..n_buckets-1), monotone in the value
-        arr = F.array(*[F.lit(float(x)) for x in cuts])
-        b = F.aggregate(
-            arr,
-            F.lit(0),
-            lambda acc, cut: acc
-            + F.when(F.col(c).cast("double") >= cut, 1).otherwise(0),
-        )
-        bucket_cols.append(F.coalesce(b, F.lit(0)))
-    k = len(by)
-    z = F.lit(0).cast("long")
-    for bit in range(_Z_BITS):
-        for ci, b in enumerate(bucket_cols):
-            pos = bit * k + ci
-            z = z + F.shiftleft(
-                F.shiftright(b.cast("long"), bit).bitwiseAND(F.lit(1)), pos
-            )
+    z = zorder_column(df, by)
     from .manifest import has_manifest, write_manifest
 
     manifested = mode == "overwrite" and has_manifest(df.sparkSession, path)

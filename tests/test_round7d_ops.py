@@ -662,3 +662,81 @@ class TestManifestLock:
         man.write_manifest(spark, t)
         diff = man.verify_manifest(spark, t)
         assert diff["missing"] == [] and diff["extra"] == []
+
+
+class TestCompactLayout:
+    """compact(cluster_by=/zorder_by=): in-place OPTIMIZE with layout."""
+
+    def _file_ranges(self, spark, path, col):
+        from pyspark.sql import functions as F
+
+        rows = (
+            spark.read.parquet(path)
+            .groupBy(F.col("_metadata.file_path").alias("f"))
+            .agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
+            .collect()
+        )
+        return sorted((r["lo"], r["hi"]) for r in rows)
+
+    def test_cluster_by_gives_disjoint_ranges(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.compact import compact
+
+        t = str(tmp_path / "t")
+        spark.range(20000).selectExpr(
+            "id AS k", "CAST(id % 97 AS DOUBLE) AS v"
+        ).repartition(40).write.parquet(t)
+        out = compact(spark, t, target_bytes=60_000, cluster_by="k")
+        assert out["files_after"] < 40
+        assert out["layout"] == {"cluster_by": "k"}
+        ranges = self._file_ranges(spark, t, "k")
+        assert len(ranges) > 1
+        for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+            assert hi_prev < lo_next  # disjoint per-file key ranges
+        assert spark.read.parquet(t).count() == 20000
+
+    def test_zorder_by_bounds_both_dims(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.compact import compact
+
+        t = str(tmp_path / "t")
+        # two independent uniform dims — hash-scattered on write
+        spark.range(60000).selectExpr(
+            "CAST(id % 141 AS DOUBLE) AS a",
+            "CAST((id * 7919) % 133 AS DOUBLE) AS b",
+        ).repartition(40).write.parquet(t)
+        compact(spark, t, target_bytes=25_000, zorder_by=["a", "b"])
+        spans_a = [hi - lo for lo, hi in self._file_ranges(spark, t, "a")]
+        spans_b = [hi - lo for lo, hi in self._file_ranges(spark, t, "b")]
+        assert len(spans_a) >= 4
+        # every file must cover a strict sub-range of BOTH dimensions
+        # (a single-col clustering would leave the other dim full-span)
+        assert sum(spans_a) / len(spans_a) < 0.75 * 140
+        assert sum(spans_b) / len(spans_b) < 0.75 * 132
+        assert spark.read.parquet(t).count() == 60000
+
+    def test_guards(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from imitation_learning_data_pipeline_spark.pipeline.compact import compact
+
+        t = str(tmp_path / "t")
+        spark.range(10).selectExpr("id AS k").write.parquet(t)
+        with _pytest.raises(ValueError, match="flat tables only"):
+            compact(spark, t, partition_col="split", cluster_by="k")
+        with _pytest.raises(ValueError, match="not both"):
+            compact(spark, t, cluster_by="k", zorder_by=["k", "v"])
+
+    def test_cli_cluster_flag(self, spark, tmp_path, capsys):
+        import json as _json
+
+        from imitation_learning_data_pipeline_spark.cli import main as cli_main
+
+        t = str(tmp_path / "t")
+        spark.range(5000).selectExpr(
+            "id AS k", "CAST(id AS DOUBLE) AS v"
+        ).repartition(20).write.parquet(t)
+        rc = cli_main(
+            ["compact", "--path", t, "--target-mb", "1", "--cluster-by", "k"]
+        )
+        assert rc == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["layout"] == {"cluster_by": ["k"]}
