@@ -886,6 +886,42 @@ def cmd_drift(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_semdedup(args: argparse.Namespace) -> int:
+    """Semantic dedup over an embeddings parquet (plans/mllib_ops.py::
+    semdedup): k-means cluster blocking + within-cell cosine pairs +
+    keep-farthest-from-centroid representatives. Prints summary counts;
+    --out writes the per-vector (cell_id, centroid_sim, cluster_id,
+    keep) assignment parquet."""
+    from pyspark.sql import functions as F
+
+    from .functions.vector import as_double
+    from .plans.mllib_ops import semdedup
+
+    spark = _spark("semdedup")
+    emb = spark.read.parquet(args.path)
+    for c in (args.id_col, args.vec_col):
+        if c not in emb.columns:
+            raise SystemExit(f"semdedup: input lacks column '{c}'")
+    corpus = emb.select(
+        F.col(args.id_col).alias("vec_id"),
+        as_double(args.vec_col).alias("v"),
+    )
+    out = semdedup(
+        corpus, k=args.k, threshold=args.threshold
+    ).persist()
+    if args.out:
+        out.write.mode("overwrite").parquet(args.out)
+    row = out.agg(
+        F.count("*").alias("n_vectors"),
+        F.sum(F.col("keep").cast("int")).alias("n_kept"),
+        F.count("cluster_id").alias("n_clustered"),
+        F.countDistinct("cluster_id").alias("n_groups"),
+    ).collect()[0]
+    out.unpersist()
+    print(json.dumps({k: (int(v) if v is not None else 0) for k, v in row.asDict().items()}))
+    return 0
+
+
 def cmd_diff(args: argparse.Namespace) -> int:
     """Corpus version diff (plans/curation.py::corpus_diff): per-status
     counts between two parquet corpus versions as one JSON line;
@@ -1448,6 +1484,19 @@ def build_parser() -> argparse.ArgumentParser:
     df_.add_argument("--content-col", default="text")
     df_.add_argument("--out", default=None, help="write per-key status parquet")
     df_.set_defaults(fn=cmd_diff)
+
+    sd = sub.add_parser(
+        "semdedup",
+        help="semantic dedup over an embeddings parquet: k-means "
+        "blocking + cosine near-dup groups, one keeper per group",
+    )
+    sd.add_argument("--path", required=True)
+    sd.add_argument("--id-col", default="vec_id")
+    sd.add_argument("--vec-col", default="embedding")
+    sd.add_argument("--k", type=int, default=16)
+    sd.add_argument("--threshold", type=float, default=0.95)
+    sd.add_argument("--out", default=None, help="write assignment parquet")
+    sd.set_defaults(fn=cmd_semdedup)
     return p
 
 

@@ -740,3 +740,46 @@ class TestCompactLayout:
         assert rc == 0
         out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert out["layout"] == {"cluster_by": ["k"]}
+
+
+class TestSemDedupCli:
+    def test_summary_and_assignments(self, spark, tmp_path, capsys):
+        import json as _json
+
+        from imitation_learning_data_pipeline_spark.cli import main as cli_main
+
+        rows = [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [1.0, 0.0, 0.0]),
+            (10, [0.0, 1.0, 0.0]),
+            (11, [0.0, 1.0, 0.0]),
+            (20, [0.0, 0.0, 1.0]),
+        ]
+        src = str(tmp_path / "emb")
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        ).write.parquet(src)
+        out = str(tmp_path / "assign")
+        rc = cli_main(
+            ["semdedup", "--path", src, "--k", "3", "--out", out]
+        )
+        assert rc == 0
+        summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["n_vectors"] == 5
+        assert summary["n_kept"] == 3  # one per twin-group + singleton
+        assert summary["n_groups"] == 2
+        kept = {
+            r["vec_id"]
+            for r in spark.read.parquet(out).filter("keep").collect()
+        }
+        assert 20 in kept and len(kept) == 3
+
+    def test_missing_column_guard(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from imitation_learning_data_pipeline_spark.cli import main as cli_main
+
+        p = str(tmp_path / "emb")
+        spark.range(3).write.parquet(p)
+        with _pytest.raises(SystemExit):
+            cli_main(["semdedup", "--path", p])
