@@ -1,10 +1,16 @@
-"""Round-7d: Gopher quality rules, live-file manifest, SemDeDup.
+"""Round-7d: Gopher quality rules, live-file manifest, SemDeDup,
+perplexity filtering, corpus diff, curriculum ordering, bucket-pair
+candidate generation, OPTIMIZE-with-layout, and their CLI verbs.
 
 Coverage: each published Gopher rule trips on a purpose-built document
 while a clean document passes all seven (pure-projection plan); the
 manifest stays listing-consistent through merge/delete/update deltas,
-compaction swaps, and the crash-window fallback; SemDeDup keeps exactly
-one (farthest-from-centroid) member per semantic group.
+compaction swaps, lock contention, and the crash-window fallback;
+SemDeDup keeps exactly one (farthest-from-centroid) member per
+semantic group; _bucket_pairs reproduces the self-join pair multiset
+on a randomized band frame; curriculum ranks are the exact global
+order with no global sort; compact's cluster/zorder layouts leave
+disjoint / both-dim-bounded per-file ranges.
 """
 
 from __future__ import annotations
