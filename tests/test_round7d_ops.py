@@ -789,3 +789,27 @@ class TestSemDedupCli:
         spark.range(3).write.parquet(p)
         with _pytest.raises(SystemExit):
             cli_main(["semdedup", "--path", p])
+
+
+class TestManifestPartitionedMerge:
+    def test_partitioned_merge_keeps_manifest_fresh(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline import manifest as man
+        from imitation_learning_data_pipeline_spark.pipeline.merge import merge_into
+
+        t = str(tmp_path / "t")
+        spark.range(300).selectExpr(
+            "id AS k",
+            "CAST(id AS DOUBLE) AS v",
+            "CAST(id % 3 AS STRING) AS part",
+        ).write.partitionBy("part").parquet(t)
+        man.write_manifest(spark, t)
+        upd = spark.createDataFrame(
+            [(7, -1.0, "1"), (999, -2.0, "0")],
+            "k long, v double, part string",
+        )
+        merge_into(spark, t, upd, key="k", partition_by=["part"])
+        assert man.read_manifest_entries(spark, t)["op"] == "delta"
+        diff = man.verify_manifest(spark, t)
+        assert diff["missing"] == [] and diff["extra"] == []
+        rows = {r["k"]: r["v"] for r in man.read_via_manifest(spark, t).collect()}
+        assert rows[7] == -1.0 and rows[999] == -2.0 and len(rows) == 301
