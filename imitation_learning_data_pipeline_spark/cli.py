@@ -886,6 +886,42 @@ def cmd_drift(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_curriculum(args: argparse.Namespace) -> int:
+    """Curriculum ordering from the shell (plans/sampling.py::
+    curriculum_plan): global easy→hard rank over a parquet dataset with
+    an integer difficulty column; writes (doc_id, level,
+    curriculum_rank) parquet and prints per-level rank spans."""
+    from pyspark.sql import functions as F
+
+    from .plans.sampling import curriculum_plan
+
+    spark = _spark("curriculum")
+    df = spark.read.parquet(args.path)
+    for c in (args.id_col, args.level_col):
+        if c not in df.columns:
+            raise SystemExit(f"curriculum: input lacks column '{c}'")
+    leveled = df.select(
+        F.col(args.id_col).alias("doc_id"),
+        F.col(args.level_col).cast("long").alias("level"),
+    )
+    out = curriculum_plan(leveled, seed=args.seed).persist()
+    out.write.mode("overwrite").parquet(args.out)
+    spans = (
+        out.groupBy("level")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("curriculum_rank").alias("rank_lo"),
+            F.max("curriculum_rank").alias("rank_hi"),
+        )
+        .orderBy("level")
+        .collect()
+    )
+    out.unpersist()
+    for r in spans:
+        print(json.dumps(r.asDict()))
+    return 0
+
+
 def cmd_semdedup(args: argparse.Namespace) -> int:
     """Semantic dedup over an embeddings parquet (plans/mllib_ops.py::
     semdedup): k-means cluster blocking + within-cell cosine pairs +
@@ -1497,6 +1533,18 @@ def build_parser() -> argparse.ArgumentParser:
     sd.add_argument("--threshold", type=float, default=0.95)
     sd.add_argument("--out", default=None, help="write assignment parquet")
     sd.set_defaults(fn=cmd_semdedup)
+
+    cu = sub.add_parser(
+        "curriculum",
+        help="global easy-to-hard curriculum rank over a parquet dataset "
+        "with an integer difficulty column (no global sort)",
+    )
+    cu.add_argument("--path", required=True)
+    cu.add_argument("--out", required=True)
+    cu.add_argument("--id-col", default="doc_id")
+    cu.add_argument("--level-col", required=True)
+    cu.add_argument("--seed", default="curr")
+    cu.set_defaults(fn=cmd_curriculum)
     return p
 
 

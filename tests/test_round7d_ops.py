@@ -813,3 +813,45 @@ class TestManifestPartitionedMerge:
         assert diff["missing"] == [] and diff["extra"] == []
         rows = {r["k"]: r["v"] for r in man.read_via_manifest(spark, t).collect()}
         assert rows[7] == -1.0 and rows[999] == -2.0 and len(rows) == 301
+
+
+class TestCurriculumCli:
+    def test_rank_parquet_and_level_spans(self, spark, tmp_path, capsys):
+        import json as _json
+
+        from imitation_learning_data_pipeline_spark.cli import main as cli_main
+
+        src = str(tmp_path / "docs")
+        spark.range(90).selectExpr(
+            "id AS doc_id", "CAST(id % 3 AS INT) AS difficulty"
+        ).write.parquet(src)
+        out = str(tmp_path / "ranked")
+        rc = cli_main(
+            ["curriculum", "--path", src, "--out", out, "--level-col", "difficulty"]
+        )
+        assert rc == 0
+        lines = [
+            _json.loads(x)
+            for x in capsys.readouterr().out.strip().splitlines()
+            if x.startswith("{")
+        ]
+        assert [r["level"] for r in lines] == [0, 1, 2]
+        assert lines[0]["rank_lo"] == 0 and lines[2]["rank_hi"] == 89
+        assert lines[0]["rank_hi"] + 1 == lines[1]["rank_lo"]
+        ranks = sorted(
+            r["curriculum_rank"] for r in spark.read.parquet(out).collect()
+        )
+        assert ranks == list(range(90))
+
+    def test_missing_level_col_guard(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from imitation_learning_data_pipeline_spark.cli import main as cli_main
+
+        src = str(tmp_path / "docs")
+        spark.range(3).selectExpr("id AS doc_id").write.parquet(src)
+        with _pytest.raises(SystemExit):
+            cli_main(
+                ["curriculum", "--path", src, "--out", str(tmp_path / "o"),
+                 "--level-col", "nope"]
+            )
