@@ -223,10 +223,24 @@ def _compact_locked(
     _dir, _base = path.rsplit("/", 1)
     tmp = f"{_dir}/.{_base}__compact_tmp"
     old = f"{_dir}/.{_base}__compact_old"
-    # a crashed prior run may have stranded either; clear both so the
-    # overwrite below starts clean and the renames land on empty targets
+    # a crashed prior run may have stranded either. Staging (tmp) is
+    # safe to discard, but a stranded OLD dir is the crashed run's
+    # pre-swap table — it may hold _snapshots/_history/_manifest and
+    # every snapshot-retained data file (the crash landed after the
+    # swap, before preserve_from_dir carried them back). Run the same
+    # post-swap restore hook BEFORE clearing it, or this compact's
+    # startup would silently destroy every pinned snapshot.
     _rm(fs, jvm_path, tmp)
-    _rm(fs, jvm_path, old)
+    if fs.exists(jvm_path(old)):
+        from .snapshot import preserve_from_dir
+
+        preserve_from_dir(
+            spark, fs, jvm_path, snap_root or path, old, rel_prefix=snap_prefix
+        )
+        from .manifest import refresh_if_present
+
+        refresh_if_present(spark, snap_root or path)
+        _rm(fs, jvm_path, old)
 
     df = spark.read.parquet(path)
     n = max(1, math.ceil(total / target_bytes))

@@ -705,13 +705,47 @@ def cluster_write(
     from .manifest import has_manifest, write_manifest
 
     manifested = mode == "overwrite" and has_manifest(df.sparkSession, path)
-    if n_files:
-        ranged = df.repartitionByRange(n_files, *keys)
-    else:
-        ranged = df.repartitionByRange(*keys)
-    ranged.sortWithinPartitions(*keys).write.mode(mode).parquet(path)
+    with _preserve_history(df.sparkSession, path, mode):
+        if n_files:
+            ranged = df.repartitionByRange(n_files, *keys)
+        else:
+            ranged = df.repartitionByRange(*keys)
+        ranged.sortWithinPartitions(*keys).write.mode(mode).parquet(path)
     if manifested:  # the overwrite wiped _manifest — restore the opt-in
         write_manifest(df.sparkSession, path)
+
+
+import contextlib as _contextlib
+
+
+@_contextlib.contextmanager
+def _preserve_history(spark, path: str, mode: str):
+    """Carry the ``_history`` audit log across a full-directory
+    overwrite (cluster_write / zorder_write): merge/delete/compact all
+    deliberately preserve it, so a layout rewrite must not erase the
+    table's maintenance record. Stage it to a hidden sibling before the
+    write and move it back after (or on failure)."""
+    path = path.rstrip("/")
+    if mode != "overwrite":
+        yield
+        return
+    fs, _ = _fs(spark, path)
+    jvm_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    _dir, _base = path.rsplit("/", 1)
+    stage = f"{_dir}/.{_base}__history_stage"
+    src = jvm_path(f"{path}/_history")
+    staged = False
+    if fs.exists(src):
+        _rm(fs, jvm_path, stage)
+        staged = bool(fs.rename(src, jvm_path(stage)))
+    try:
+        yield
+    finally:
+        if staged:
+            dst = jvm_path(f"{path}/_history")
+            if not fs.exists(dst):
+                fs.mkdirs(jvm_path(path))  # a failed overwrite may have
+                fs.rename(jvm_path(stage), dst)  # removed the dir itself
 
 
 def _guard_snapshot_overwrite(spark, path: str, mode: str, op: str) -> None:
@@ -812,13 +846,14 @@ def zorder_write(
     from .manifest import has_manifest, write_manifest
 
     manifested = mode == "overwrite" and has_manifest(df.sparkSession, path)
-    (
-        df.withColumn("__z", z)
-        .repartitionByRange(n_files, "__z")
-        .sortWithinPartitions("__z")
-        .drop("__z")
-        .write.mode(mode)
-        .parquet(path)
-    )
+    with _preserve_history(df.sparkSession, path, mode):
+        (
+            df.withColumn("__z", z)
+            .repartitionByRange(n_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+            .write.mode(mode)
+            .parquet(path)
+        )
     if manifested:  # the overwrite wiped _manifest — restore the opt-in
         write_manifest(df.sparkSession, path)

@@ -146,6 +146,16 @@ def create_snapshot(spark: SparkSession, path: str, tag: str) -> dict:
     jvm_path = _jvm_path(spark)
     _acquire_lock(spark, fs, jvm_path, path, "snapshot")
     try:
+        # journal-awareness: a crashed merge/delete/update commit leaves
+        # __merge_pending.json with staged files already moved in but
+        # replaced files not yet retired — _live_rels would capture that
+        # torn, duplicate-key file set and the snapshot would pin it
+        # forever. Complete the journal first (same recovery every other
+        # consumer runs), under the lock we already hold.
+        from .merge import _PENDING, _recover_pending
+
+        if fs.exists(jvm_path(f"{path}/{_PENDING}")):
+            _recover_pending(spark, fs, jvm_path, path, f"{path}__merge_tmp")
         mp = f"{path}/{_SNAP}/{tag}.json"
         if fs.exists(jvm_path(mp)):
             raise ValueError(f"snapshot: tag {tag!r} already exists on {path}")

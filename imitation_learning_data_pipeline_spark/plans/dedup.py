@@ -515,6 +515,11 @@ def dedup_against_store(
         buckets.filter((F.size("ms") >= 2) & (F.size("ms") <= bucket_cap))
         .select(F.explode(pair_structs).alias("p"))
         .filter(F.col("p.any_new"))
+        # a doc_id present in BOTH the batch and an older stored batch
+        # (re-ingest outside the exclude_batch replay path) sits twice in
+        # one bucket's member list — drop the degenerate (d, d) self-pair
+        # (sorted emission already guarantees doc_a <= doc_b)
+        .filter(F.col("p.doc_a") != F.col("p.doc_b"))
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
