@@ -211,7 +211,6 @@ def _compact_locked(
     cluster_by: str | list[str] | None = None,
     zorder_by: list[str] | None = None,
 ) -> dict:
-    total, before, by_dir = _list_parquet(spark, path)
     fs, jpath = _fs(spark, path)
     jvm_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
     # stage-aside dirs are DOT-prefixed siblings: for a partition-subtree
@@ -223,13 +222,26 @@ def _compact_locked(
     _dir, _base = path.rsplit("/", 1)
     tmp = f"{_dir}/.{_base}__compact_tmp"
     old = f"{_dir}/.{_base}__compact_old"
-    # a crashed prior run may have stranded either. Staging (tmp) is
-    # safe to discard, but a stranded OLD dir is the crashed run's
-    # pre-swap table — it may hold _snapshots/_history/_manifest and
-    # every snapshot-retained data file (the crash landed after the
-    # swap, before preserve_from_dir carried them back). Run the same
-    # post-swap restore hook BEFORE clearing it, or this compact's
-    # startup would silently destroy every pinned snapshot.
+    # a crashed prior run may have stranded either — handle BEFORE the
+    # listing below, which raises when `path` itself is absent (the
+    # hard-crash window between rename(path→old) and rename(tmp→path):
+    # old is the complete pre-swap table, so a plain rename restores it
+    # wholesale, snapshots/history/manifest included; the fully-written
+    # staging output is discarded and this run redoes the rewrite).
+    if not fs.exists(jvm_path(path)) and fs.exists(jvm_path(old)):
+        if not fs.rename(jvm_path(old), jvm_path(path)):
+            raise IOError(
+                f"compact: {path} is absent and restoring the stranded "
+                f"pre-swap copy at {old} failed — restore it by hand"
+            )
+        _rm(fs, jvm_path, tmp)
+    # Staging (tmp) is safe to discard, but a stranded OLD dir next to a
+    # live table is the crashed run's pre-swap tree — it may hold
+    # _snapshots/_history/_manifest and every snapshot-retained data
+    # file (the crash landed after the swap, before preserve_from_dir
+    # carried them back). Run the same post-swap restore hook BEFORE
+    # clearing it, or this compact's startup would silently destroy
+    # every pinned snapshot.
     _rm(fs, jvm_path, tmp)
     if fs.exists(jvm_path(old)):
         from .snapshot import preserve_from_dir
@@ -242,6 +254,7 @@ def _compact_locked(
         refresh_if_present(spark, snap_root or path)
         _rm(fs, jvm_path, old)
 
+    total, before, by_dir = _list_parquet(spark, path)
     df = spark.read.parquet(path)
     n = max(1, math.ceil(total / target_bytes))
     if partition_col:

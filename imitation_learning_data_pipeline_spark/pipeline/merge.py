@@ -737,7 +737,14 @@ def _preserve_history(spark, path: str, mode: str):
     staged = False
     if fs.exists(src):
         _rm(fs, jvm_path, stage)
-        staged = bool(fs.rename(src, jvm_path(stage)))
+        if not fs.rename(src, jvm_path(stage)):
+            # a silent False here would let the overwrite destroy
+            # _history — the exact loss this guard exists to prevent
+            raise IOError(
+                f"layout rewrite: could not stage {path}/_history aside "
+                f"to {stage}"
+            )
+        staged = True
     try:
         yield
     finally:
@@ -745,7 +752,11 @@ def _preserve_history(spark, path: str, mode: str):
             dst = jvm_path(f"{path}/_history")
             if not fs.exists(dst):
                 fs.mkdirs(jvm_path(path))  # a failed overwrite may have
-                fs.rename(jvm_path(stage), dst)  # removed the dir itself
+                if not fs.rename(jvm_path(stage), dst):  # removed the dir
+                    raise IOError(
+                        f"layout rewrite: _history is stranded at {stage} "
+                        f"— move it back to {path}/_history by hand"
+                    )
 
 
 def _guard_snapshot_overwrite(spark, path: str, mode: str, op: str) -> None:

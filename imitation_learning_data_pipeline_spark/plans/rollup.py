@@ -446,16 +446,20 @@ def _recover_fold(spark, fs, jvm_path, path: str, tmp: str) -> bool:
     return True
 
 
-def recover_rollup_fold(spark: SparkSession, path: str) -> bool:
+def recover_rollup_fold(
+    spark: SparkSession, path: str, stale_lock_s: float | None = None
+) -> bool:
     """Standalone recovery for a crashed :func:`fold_rollup_into_store`
     commit (the rollup twin of ``pipeline.merge.recover``). Takes the
-    maintenance lock. Returns True if a pending journal was completed."""
+    maintenance lock; a hard crash strands the holder's lock file too,
+    so ``stale_lock_s`` enables takeover by lock age (same contract as
+    merge/compact). Returns True if a pending journal was completed."""
     from ..pipeline.compact import _acquire_lock, _fs, _lock_path
 
     path = path.rstrip("/")
     fs, _ = _fs(spark, path)
     jvm_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
-    _acquire_lock(spark, fs, jvm_path, path, "rollup-recover")
+    _acquire_lock(spark, fs, jvm_path, path, "rollup-recover", stale_lock_s)
     try:
         return _recover_fold(spark, fs, jvm_path, path, f"{path}__fold_tmp")
     finally:
@@ -568,20 +572,49 @@ def fold_rollup_into_store(
 
 
 def read_rollup(
-    spark: SparkSession, path: str, finalize: bool = True
+    spark: SparkSession,
+    path: str,
+    finalize: bool = True,
+    stale_lock_s: float | None = None,
 ) -> DataFrame:
     """Current aggregate state of a store (either layout): batch-layout
     partials merge on read; ``finalize`` renders the readable stats.
     A pending fold journal (crashed commit — staged files partly moved
     in, replaced files not yet dropped) is completed first, so reads
-    never observe the torn duplicate-partial state."""
+    never observe the torn duplicate-partial state.
+
+    If the journal belongs to a LIVE fold (its holder still holds the
+    maintenance lock), the read waits briefly for the commit window —
+    metadata-sized, sub-second — to close, then reads normally. A lock
+    that never clears means a crashed holder stranded it: pass
+    ``stale_lock_s`` to take it over (threaded to
+    :func:`recover_rollup_fold`), or ``release_lock`` after confirming
+    the holder is dead."""
+    import time as _time
+
     path = path.rstrip("/")
-    from ..pipeline.compact import _fs
+    from ..pipeline.compact import ConcurrentMaintenanceError, _fs
 
     fs, _ = _fs(spark, path)
     jvm_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
-    if fs.exists(jvm_path(f"{path}/{_FOLD_PENDING}")):
-        recover_rollup_fold(spark, path)
+    jp = jvm_path(f"{path}/{_FOLD_PENDING}")
+    for attempt in range(20):
+        if not fs.exists(jp):
+            break  # no crash state (or the live fold just finished)
+        try:
+            recover_rollup_fold(spark, path, stale_lock_s)
+            break
+        except ConcurrentMaintenanceError:
+            _time.sleep(0.25)  # live fold mid-commit; wait it out
+    else:
+        raise ConcurrentMaintenanceError(
+            f"read_rollup: {path} has a pending fold journal and its "
+            "maintenance lock never cleared — either a fold is live and "
+            "unusually slow (retry), or a crashed holder stranded the "
+            "lock: pass stale_lock_s= to take it over, or "
+            "pipeline.compact.release_lock() after confirming the "
+            "holder is dead"
+        )
     df = spark.read.parquet(path)
     drop = [c for c in ("bucket", "ingest_batch") if c in df.columns]
     df = df.drop(*drop)

@@ -1,0 +1,375 @@
+"""Round-9 crash-window hardening (ADVICE r8): fault-injection tests
+for the rollup fold journal, recover_rollup_fold takeover, read_rollup
+under a held lock, _preserve_history failure modes, compact's
+path-absent stranded-old restore, and create_snapshot journal
+awareness. Every test hand-builds or injects the crash state the way
+the merge-journal tests do (tests/test_round6b_ops.py), then asserts
+the next consumer converges to the committed state exactly once."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+
+import imitation_learning_data_pipeline_spark.plans.rollup as R
+from imitation_learning_data_pipeline_spark.pipeline.compact import (
+    ConcurrentMaintenanceError,
+)
+from imitation_learning_data_pipeline_spark.plans.rollup import (
+    fold_rollup_into_store,
+    read_rollup,
+    recover_rollup_fold,
+    rollup_partials,
+    write_rollup_store,
+)
+
+PENDING = "__rollup_pending.json"
+
+
+def _base_rows():
+    return [(g, float(v)) for g in ("a", "b") for v in range(5)]
+
+
+def _batch_rows():
+    return [(g, float(v)) for g in ("a", "c") for v in (10, 20)]
+
+
+def _mk_store(spark, p):
+    df = spark.createDataFrame(_base_rows(), ["g", "x"])
+    write_rollup_store(rollup_partials(df, ["g"], ["x"]), p, n_buckets=4)
+
+
+def _batch_partials(spark):
+    df = spark.createDataFrame(_batch_rows(), ["g", "x"])
+    return rollup_partials(df, ["g"], ["x"])
+
+
+def _state(spark, p):
+    """{group: (n_rows, x__sum)} of the store's current merged state."""
+    rows = read_rollup(spark, p, finalize=False).collect()
+    return {r["g"]: (r["n_rows"], r["x__sum"]) for r in rows}
+
+
+# the single-fold truth: base ∪ batch folded exactly once
+EXPECT_ONCE = {
+    "a": (7, 0.0 + 1 + 2 + 3 + 4 + 10 + 20),
+    "b": (5, 0.0 + 1 + 2 + 3 + 4),
+    "c": (2, 30.0),
+}
+
+
+def _crash_fold(spark, p, partials, where: str, batch_id=1):
+    """Run a fold that dies at the named commit step, leaving the
+    journaled crash state on disk (lock released — the fold's finally
+    ran, as it does for any soft failure)."""
+    with pytest.MonkeyPatch.context() as mp:
+
+        def boom(*a, **k):
+            raise RuntimeError("injected crash")
+
+        mp.setattr(R, where, boom)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            fold_rollup_into_store(spark, p, partials, batch_id=batch_id)
+    assert os.path.exists(os.path.join(p, PENDING))
+
+
+class TestRollupFoldCrashRecovery:
+    def test_replay_after_crash_before_moves_is_noop(self, spark, tmp_path):
+        """Crash AFTER the journal lands but BEFORE any file moves: the
+        journal is the commit point, so the next fold completes it
+        (moves + deletes + fence) and the replayed batch_id is then
+        correctly fenced — folded exactly once, not twice."""
+        p = str(tmp_path / "s1")
+        _mk_store(spark, p)
+        parts = _batch_partials(spark)
+        _crash_fold(spark, p, parts, "_move_staged_in", batch_id=1)
+        out = fold_rollup_into_store(spark, p, parts, batch_id=1)
+        assert out == {"folded": False, "touched_buckets": 0}
+        assert not os.path.exists(os.path.join(p, PENDING))
+        assert not os.path.exists(p + "__fold_tmp")
+        assert _state(spark, p) == EXPECT_ONCE
+
+    def test_replay_after_crash_before_fence_is_noop(self, spark, tmp_path):
+        """Crash AFTER moves+deletes but BEFORE the fence write — the
+        r7 double-fold window. The journal carries the batch_id, so
+        recovery advances the fence and the replay is a no-op."""
+        p = str(tmp_path / "s2")
+        _mk_store(spark, p)
+        parts = _batch_partials(spark)
+        _crash_fold(spark, p, parts, "_advance_fence", batch_id=1)
+        out = fold_rollup_into_store(spark, p, parts, batch_id=1)
+        assert out == {"folded": False, "touched_buckets": 0}
+        assert _state(spark, p) == EXPECT_ONCE
+        # fence advanced exactly once, to the journaled batch
+        assert R._read_meta(spark, p)["last_batch"] == 1
+
+    def test_read_rollup_completes_crashed_commit(self, spark, tmp_path):
+        """A bare read after the crash finishes the journaled commit —
+        no torn duplicate-partial state is ever observable."""
+        p = str(tmp_path / "s3")
+        _mk_store(spark, p)
+        _crash_fold(spark, p, _batch_partials(spark), "_move_staged_in")
+        assert _state(spark, p) == EXPECT_ONCE
+        assert not os.path.exists(os.path.join(p, PENDING))
+
+    def test_compact_completes_crashed_commit(self, spark, tmp_path):
+        """compact_rollup_store on a crashed store recovers first, then
+        compacts the recovered (single-fold) state."""
+        from imitation_learning_data_pipeline_spark.plans.rollup import (
+            compact_rollup_store,
+        )
+
+        p = str(tmp_path / "s4")
+        _mk_store(spark, p)
+        _crash_fold(spark, p, _batch_partials(spark), "_delete_replaced")
+        out = compact_rollup_store(spark, p)
+        assert out["n_groups"] == 3
+        assert _state(spark, p) == EXPECT_ONCE
+        assert not os.path.exists(os.path.join(p, PENDING))
+
+    def test_recover_standalone_and_stale_lock_takeover(self, spark, tmp_path):
+        """A HARD crash strands the lock file too. recover_rollup_fold
+        refuses by default and takes over with stale_lock_s — the same
+        contract as merge/compact (ADVICE r8 item 1)."""
+        p = str(tmp_path / "s5")
+        _mk_store(spark, p)
+        _crash_fold(spark, p, _batch_partials(spark), "_advance_fence")
+        lock = p + "__maintenance_lock"
+        with open(lock, "w") as fh:
+            fh.write('{"op": "rollup-fold", "pid": 1}')
+        os.utime(lock, (1_000_000, 1_000_000))  # ancient mtime
+        with pytest.raises(ConcurrentMaintenanceError):
+            recover_rollup_fold(spark, p)
+        assert recover_rollup_fold(spark, p, stale_lock_s=3600) is True
+        assert not os.path.exists(lock)
+        assert not os.path.exists(os.path.join(p, PENDING))
+        assert _state(spark, p) == EXPECT_ONCE
+        # a second recover finds nothing to do
+        assert recover_rollup_fold(spark, p) is False
+
+    def test_read_under_held_lock_raises_clear_error(self, spark, tmp_path):
+        """Journal present + lock held by a (fresh, apparently live)
+        holder that never finishes: read_rollup waits out the commit
+        window, then raises with takeover guidance instead of the bare
+        lock-conflict error (ADVICE r8 item 1)."""
+        p = str(tmp_path / "s6")
+        _mk_store(spark, p)
+        _crash_fold(spark, p, _batch_partials(spark), "_move_staged_in")
+        with open(p + "__maintenance_lock", "w") as fh:
+            fh.write('{"op": "rollup-fold", "pid": 1}')  # fresh mtime
+        with pytest.raises(ConcurrentMaintenanceError, match="pending fold"):
+            read_rollup(spark, p)  # ~5 s of waiting out the "live" holder
+        # stale takeover path clears it
+        os.utime(p + "__maintenance_lock", (1_000_000, 1_000_000))
+        assert _state_with_stale(spark, p) == EXPECT_ONCE
+
+    def test_read_with_stale_lock_s_takes_over(self, spark, tmp_path):
+        p = str(tmp_path / "s7")
+        _mk_store(spark, p)
+        _crash_fold(spark, p, _batch_partials(spark), "_advance_fence")
+        lock = p + "__maintenance_lock"
+        with open(lock, "w") as fh:
+            fh.write('{"op": "rollup-fold", "pid": 1}')
+        os.utime(lock, (1_000_000, 1_000_000))
+        assert _state_with_stale(spark, p) == EXPECT_ONCE
+        assert not os.path.exists(lock)
+
+
+def _state_with_stale(spark, p):
+    rows = read_rollup(spark, p, finalize=False, stale_lock_s=3600).collect()
+    return {r["g"]: (r["n_rows"], r["x__sum"]) for r in rows}
+
+
+class TestPreserveHistoryFailure:
+    def _table_with_history(self, spark, tmp_path, name):
+        p = str(tmp_path / name)
+        spark.range(0, 50).selectExpr("id", "id AS val").write.parquet(p)
+        os.makedirs(os.path.join(p, "_history"), exist_ok=True)
+        with open(os.path.join(p, "_history", "events.jsonl"), "w") as fh:
+            fh.write('{"op": "create"}\n')
+        return p
+
+    def test_stage_aside_failure_raises_before_overwrite(
+        self, spark, tmp_path
+    ):
+        """fs.rename returning False at stage-aside must raise, not
+        silently let the overwrite destroy _history (ADVICE r8 item 2)."""
+        from imitation_learning_data_pipeline_spark.pipeline import merge as M
+
+        p = self._table_with_history(spark, tmp_path, "h1")
+        real_fs = M._fs
+
+        class _NoRename:
+            def __init__(self, fs):
+                self._fs = fs
+
+            def __getattr__(self, n):
+                return getattr(self._fs, n)
+
+            def rename(self, src, dst):
+                return False
+
+        def fake_fs(spark_, path_):
+            fs, jp = real_fs(spark_, path_)
+            return _NoRename(fs), jp
+
+        entered = False
+        with pytest.MonkeyPatch.context() as mp:
+            mp.setattr(M, "_fs", fake_fs)
+            with pytest.raises(IOError, match="_history"):
+                with M._preserve_history(spark, p, "overwrite"):
+                    entered = True
+        assert entered is False  # raised BEFORE the body (the overwrite)
+        assert os.path.exists(os.path.join(p, "_history", "events.jsonl"))
+
+    def test_history_restored_when_write_fails(self, spark, tmp_path):
+        """The overwrite body dying (table dir wiped) still restores
+        _history from the stage-aside sibling."""
+        from imitation_learning_data_pipeline_spark.pipeline import merge as M
+
+        p = self._table_with_history(spark, tmp_path, "h2")
+        with pytest.raises(RuntimeError, match="write died"):
+            with M._preserve_history(spark, p, "overwrite"):
+                shutil.rmtree(p)  # an overwrite removes the dir first
+                raise RuntimeError("write died")
+        assert os.path.exists(os.path.join(p, "_history", "events.jsonl"))
+        _dir, _base = p.rsplit("/", 1)
+        assert not os.path.exists(f"{_dir}/.{_base}__history_stage")
+
+    def test_cluster_write_end_to_end_keeps_history(self, spark, tmp_path):
+        """Happy path through the real writer: overwrite cluster_write
+        preserves the audit log."""
+        from imitation_learning_data_pipeline_spark.pipeline.merge import (
+            cluster_write,
+        )
+
+        p = self._table_with_history(spark, tmp_path, "h3")
+        df = spark.range(0, 50).selectExpr("id", "id AS val")
+        cluster_write(df, p, by="id", n_files=2, mode="overwrite")
+        assert os.path.exists(os.path.join(p, "_history", "events.jsonl"))
+        got = spark.read.parquet(p)
+        assert got.count() == 50
+        assert "_history" not in [c for c in got.columns]
+
+
+class TestCompactPathAbsentRestore:
+    def test_restore_when_table_dir_missing(self, spark, tmp_path):
+        """Hard crash between rename(path→old) and rename(tmp→path):
+        path is ABSENT, old holds the full pre-swap table. The next
+        compact must restore old before listing — previously
+        _list_parquet raised first (ADVICE r8 item 3)."""
+        from imitation_learning_data_pipeline_spark.pipeline.compact import (
+            compact,
+        )
+
+        p = str(tmp_path / "t")
+        spark.range(0, 1000).selectExpr("id", "id AS val").repartition(
+            8
+        ).write.parquet(p)
+        os.makedirs(os.path.join(p, "_history"), exist_ok=True)
+        with open(os.path.join(p, "_history", "events.jsonl"), "w") as fh:
+            fh.write('{"op": "create"}\n')
+        _dir, _base = p.rsplit("/", 1)
+        old = f"{_dir}/.{_base}__compact_old"
+        tmp = f"{_dir}/.{_base}__compact_tmp"
+        # build the crash state by hand: table renamed aside, staged
+        # output fully written (content irrelevant — it is discarded)
+        os.rename(p, old)
+        os.makedirs(tmp)
+        with open(os.path.join(tmp, "part-junk.parquet"), "w") as fh:
+            fh.write("junk from the crashed run")
+        out = compact(spark, p, target_bytes=1 << 30)
+        assert out["files_after"] >= 1
+        got = spark.read.parquet(p)
+        assert got.count() == 1000
+        assert not os.path.exists(old)
+        assert not os.path.exists(tmp)
+
+    def test_restore_failure_raises_loudly(self, spark, tmp_path):
+        """If even the restore rename fails the error names both paths
+        instead of the opaque path-not-found from the listing."""
+        from imitation_learning_data_pipeline_spark.pipeline import compact as C
+
+        p = str(tmp_path / "t2")
+        spark.range(0, 10).write.parquet(p)
+        _dir, _base = p.rsplit("/", 1)
+        old = f"{_dir}/.{_base}__compact_old"
+        os.rename(p, old)
+        real_fs = C._fs
+
+        class _NoRename:
+            def __init__(self, fs):
+                self._fs = fs
+
+            def __getattr__(self, n):
+                return getattr(self._fs, n)
+
+            def rename(self, src, dst):
+                return False
+
+        def fake_fs(spark_, path_):
+            fs, jp = real_fs(spark_, path_)
+            return _NoRename(fs), jp
+
+        with pytest.MonkeyPatch.context() as mp:
+            mp.setattr(C, "_fs", fake_fs)
+            with pytest.raises(IOError, match="restor"):
+                C.compact(spark, p, target_bytes=1 << 30)
+
+
+class TestSnapshotJournalAwareness:
+    def test_snapshot_pins_recovered_not_torn_state(self, spark, tmp_path):
+        """A crashed merge commit (staged file moved in, victim not yet
+        retired, journal pending) must NOT be pinned as-is: the
+        snapshot would hold duplicate keys forever. create_snapshot
+        completes the journal first (r8), pinning the deduplicated
+        committed state."""
+        from imitation_learning_data_pipeline_spark.pipeline.snapshot import (
+            create_snapshot,
+            read_snapshot,
+        )
+
+        p = str(tmp_path / "sn")
+        spark.range(0, 100).selectExpr("id", "id AS val").repartition(
+            4
+        ).write.parquet(p)
+        files = sorted(
+            f
+            for f in os.listdir(p)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+        victim = os.path.join(p, files[0])
+        victim_rows = {
+            (r["id"], r["val"]) for r in spark.read.parquet(victim).collect()
+        }
+        tmp = p + "__merge_tmp"
+        staged_rows = [(i, -7 if i == 7 else v) for (i, v) in victim_rows]
+        spark.createDataFrame(staged_rows, ["id", "val"]).coalesce(
+            1
+        ).write.parquet(tmp)
+        staged_file = next(
+            f
+            for f in os.listdir(tmp)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+        # crash state: staged replacement ALREADY moved in (the torn,
+        # duplicate-key shape), victim not yet deleted, journal pending
+        shutil.move(os.path.join(tmp, staged_file), os.path.join(p, staged_file))
+        with open(os.path.join(p, "__merge_pending.json"), "w") as fh:
+            json.dump({"add": [staged_file], "delete": [victim]}, fh)
+
+        create_snapshot(spark, p, "pinned")
+        pinned = read_snapshot(spark, p, "pinned")
+        assert (
+            pinned.groupBy("id").count().filter("count > 1").count() == 0
+        ), "snapshot pinned the torn duplicate-key state"
+        assert pinned.count() == 100
+        got = {(r["id"], r["val"]) for r in pinned.collect()}
+        base = {(i, i) for i in range(100)}
+        if (7, 7) in victim_rows:
+            base = (base - {(7, 7)}) | {(7, -7)}
+        assert got == base
+        assert not os.path.exists(os.path.join(p, "__merge_pending.json"))
