@@ -119,9 +119,13 @@ CONTRACT_FIRST: list[str] = [
     # per-doc quality-feature projection discipline).
     "text_gopher_rules",
     "streaming_session_window",
-    "mllib_minhash_verify",
     "mllib_kmeans_coverage",
     "agg_approx_sketches",
+    # Round-9 rotation (proxy-drift cadence, ADVICE r4 / r7 verdict item
+    # 2): parked in r6 after four green rounds, ann_bruteforce_topk
+    # rotates BACK for a fresh direct row; funded by parking
+    # mllib_minhash_verify (four rounds green, see CONTRACT_EXCLUDE).
+    "ann_bruteforce_topk",
 ]
 
 # Excluded from the contract (still in the library + local checker): each
@@ -159,7 +163,9 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     # rows-only MLlib bases: their *_verify/*_coverage companions run the
     # same model pipelines AND add oracle-checkable invariants, upgrading
     # these components from rows-only to hash-checked.
-    "mllib_minhash_dups": "mllib_minhash_verify (superset with oracle)",
+    "mllib_minhash_dups": "dedup_minhash_lsh (the native minhash pair "
+    "pipeline the MLlib run is cross-checked against; the r9-parked "
+    "mllib_minhash_verify remains green in the --all library check)",
     "mllib_kmeans_ivf": "mllib_kmeans_coverage (superset with oracle)",
     # J3 broadcast lookup join: join_star_region_revenue broadcasts both
     # dims (BroadcastHashJoin verified by tools/explain_audit.py).
@@ -237,12 +243,13 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     # vs hyperplane bucket), which the LSH variant checks directly.
     "dedup_embedding_cosine": "dedup_embedding_cosine_lsh (same "
     "chunked-gemm cosine pair scoring; label vs derived blocking key)",
-    # Brute-force ANN baseline (green r2-r5): ann_lsh_topk's scoring
-    # stage IS the brute-force Arrow-matmul cosine top-k restricted to
-    # candidate buckets, and ann_int8_topk keeps an exact-dot top-k in
-    # the contract; recall-vs-bruteforce invariants stay in pytest.
-    "ann_bruteforce_topk": "ann_lsh_topk (same Arrow-matmul cosine "
-    "top-k, bucket-restricted) + ann_int8_topk (exact dot top-k)",
+    # round-9 rotation: funds the ann_bruteforce_topk return slot.
+    # Green r5-r8; it verifies MLlib MinHashLSH agreement with the
+    # native minhash pipeline, whose pair output dedup_minhash_lsh
+    # drives directly in the contract, and mllib_kmeans_coverage keeps
+    # an MLlib-fit-inside-a-plan query in the contract.
+    "mllib_minhash_verify": "dedup_minhash_lsh (the native minhash "
+    "pairs it cross-checks) + mllib_kmeans_coverage (MLlib fit in-plan)",
     # round-6 rotation #2: funds the dedup_substring_spans slot. Green
     # r4+r5; decontam_overlap_spans is its strict superset — same probe
     # cut, same broadcast-probe shingle join, and it RETURNS the same
