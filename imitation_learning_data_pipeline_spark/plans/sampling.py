@@ -692,9 +692,15 @@ def score_with_model(
             "hash-based stand-in"
         )
     import pandas as pd  # noqa: F401 — document the batch contract
+    from pyspark.sql.types import DoubleType, StructField, StructType
 
     fields = docs.schema.fieldNames()
-    out_schema = docs.schema.add(score_col, "double")
+    # StructType.add MUTATES in place — building the output schema from
+    # docs.schema.add() would corrupt the caller's frame (its cached
+    # schema object would grow a phantom score column); construct fresh
+    out_schema = StructType(
+        list(docs.schema.fields) + [StructField(score_col, DoubleType())]
+    )
 
     def run(batches):
         for pdf in batches:

@@ -320,6 +320,176 @@ class TestCompactPathAbsentRestore:
                 C.compact(spark, p, target_bytes=1 << 30)
 
 
+class TestScoreWithModelContract:
+    """r7 verdict item 3: exercise the real-LM perplexity plug point
+    without an LM runtime — a deterministic pure-Python char-trigram
+    entropy scorer driven through score_with_model's Arrow-batched
+    mapInPandas contract."""
+
+    def _docs(self, spark):
+        from tests.conftest import SF_DIR
+
+        return (
+            spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "text")
+            .repartition(2)
+        )
+
+    def test_scorer_sees_batches_not_rows(self, spark):
+        """Each scorer call receives a multi-row pd.Series slice of
+        ≤ batch_size — encode the received batch length as the score
+        and inspect the distribution."""
+        from imitation_learning_data_pipeline_spark.plans.sampling import (
+            score_with_model,
+        )
+
+        docs = self._docs(spark)
+        scored = score_with_model(
+            docs, scorer=lambda s: s.map(lambda _: float(len(s))),
+            batch_size=128,
+        )
+        sizes = [r["ppl_score"] for r in scored.collect()]
+        assert max(sizes) > 1, "scorer was invoked per-row"
+        assert max(sizes) <= 128, "batch_size cap not honored"
+        # a 500-doc corpus in ≥2 partitions at cap 128 → full batches
+        # dominate: per-row invocation would make every size 1.0
+        assert sum(1 for s in sizes if s >= 64) > len(sizes) / 2
+
+    def test_no_scorer_raises_loudly(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.sampling import (
+            score_with_model,
+        )
+
+        with pytest.raises(NotImplementedError, match="scorer"):
+            score_with_model(self._docs(spark))
+
+    def test_end_to_end_buckets_match_local_recompute(self, spark):
+        """Entropy scores flow through score_with_model →
+        perplexity_bucket_sample and agree exactly with a pure-pandas
+        recomputation of the same chain — the plug point's plumbing
+        carries values faithfully and the bucket/accept stage is
+        scorer-agnostic."""
+        import hashlib
+
+        from pyspark.sql import functions as F
+
+        from imitation_learning_data_pipeline_spark.plans.sampling import (
+            _PPL_KEEP_RATES,
+            perplexity_bucket_sample,
+            score_with_model,
+        )
+
+        # defined locally so cloudpickle ships it by VALUE — the
+        # executor Python workers cannot import the test module
+        def entropy(text):
+            import math
+            from collections import Counter
+
+            t = (text or "")[:2000]
+            grams = [t[i : i + 3] for i in range(max(0, len(t) - 2))]
+            if not grams:
+                return 0.0
+            counts = Counter(grams)
+            n = len(grams)
+            return -sum((v / n) * math.log2(v / n) for v in counts.values())
+
+        docs = self._docs(spark)
+        scored = score_with_model(
+            docs, scorer=lambda texts: texts.map(entropy), batch_size=128
+        )
+        # normalize entropy (≤ ~11 bits for trigrams over 2000 chars)
+        # into the [0,1) domain the bucketer expects
+        normalized = scored.withColumn(
+            "ppl_score", F.least(F.col("ppl_score") / 12.0, F.lit(0.999999))
+        )
+        got = {
+            (r["doc_id"], r["bucket"])
+            for r in perplexity_bucket_sample(normalized).collect()
+        }
+
+        pdf = docs.toPandas()
+        expect = set()
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            score = min(entropy(text) / 12.0, 0.999999)
+            bucket = min(int(score * 10), 9)
+            u = (
+                int(
+                    hashlib.md5(f"pplkeep|{doc_id}".encode()).hexdigest()[:8],
+                    16,
+                )
+                / 2**32
+            )
+            if u < _PPL_KEEP_RATES[bucket]:
+                expect.add((doc_id, bucket))
+        assert got == expect
+        assert len(got) > 0
+        # the scorer actually discriminates: multiple buckets populated
+        assert len({b for (_, b) in got}) >= 2
+
+
+class TestNonAtomicLockWarning:
+    """r7 verdict "missing" #1: the create-exclusive lock is not atomic
+    on object stores — acquiring through an s3a/gs/abfs-schemed
+    FileSystem must warn loudly, once per scheme."""
+
+    class _FakeURI:
+        def __init__(self, s):
+            self._s = s
+
+        def getScheme(self):
+            return self._s
+
+    @classmethod
+    def _schemed(cls, fs, scheme):
+        class _Proxy:
+            def __init__(self, real):
+                self._real = real
+
+            def __getattr__(self, n):
+                return getattr(self._real, n)
+
+            def getUri(self):
+                return cls._FakeURI(scheme)
+
+        return _Proxy(fs)
+
+    def test_object_store_scheme_warns_once(self, spark, tmp_path):
+        import warnings
+
+        from imitation_learning_data_pipeline_spark.pipeline import compact as C
+
+        p = str(tmp_path / "w")
+        spark.range(5).write.parquet(p)
+        fs, _ = C._fs(spark, p)
+        jvm_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+        C._warned_schemes.discard("s3a")
+        with pytest.warns(RuntimeWarning, match="NOT atomic"):
+            C._acquire_lock(spark, self._schemed(fs, "s3a"), jvm_path, p, "op")
+        C.release_lock(spark, p)
+        # one warning per scheme per process — a maintenance loop must
+        # not spam
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            C._acquire_lock(spark, self._schemed(fs, "s3a"), jvm_path, p, "op")
+        C.release_lock(spark, p)
+
+    def test_atomic_schemes_stay_silent(self, spark, tmp_path):
+        import warnings
+
+        from imitation_learning_data_pipeline_spark.pipeline import compact as C
+
+        p = str(tmp_path / "w2")
+        spark.range(5).write.parquet(p)
+        fs, _ = C._fs(spark, p)
+        jvm_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            C._acquire_lock(spark, fs, jvm_path, p, "op")  # file://
+            C.release_lock(spark, p)
+            C._acquire_lock(spark, self._schemed(fs, "hdfs"), jvm_path, p, "op")
+        C.release_lock(spark, p)
+
+
 class TestSnapshotJournalAwareness:
     def test_snapshot_pins_recovered_not_torn_state(self, spark, tmp_path):
         """A crashed merge commit (staged file moved in, victim not yet
