@@ -335,6 +335,14 @@ def write_rollup_store(
     else:
         try:
             meta = _read_meta(spark, path)
+            ct = meta.get("compacted_through")
+            if ct is not None and int(ingest_batch) <= int(ct):
+                # replay of a batch that a batch-preserving compaction
+                # already folded into the base partition: its partition
+                # no longer exists, so the dynamic overwrite would ADD
+                # its rows a second time. The fence makes the replay a
+                # no-op instead — the data is in the base.
+                return
             if meta["layout"] != "batch":
                 # mirror fold_rollup_into_store's guard: an ingest_batch=
                 # write into a plain (bucket=-partitioned) store would mix
@@ -623,15 +631,35 @@ def read_rollup(
 
 
 def compact_rollup_store(
-    spark: SparkSession, path: str, stale_lock_s: float | None = None
+    spark: SparkSession,
+    path: str,
+    stale_lock_s: float | None = None,
+    to_layout: str = "plain",
 ) -> dict:
-    """Fold a batch-layout store down to plain layout (one row per
-    group). Cost is store-sized — #groups rows, metadata next to the
-    corpus — and amortizes the read-side merge once per-batch partials
-    accumulate. Takes the maintenance lock; swaps via staging dir +
-    rename so a crash leaves either the old store or the new one."""
+    """Fold a store down to one row per group. Cost is store-sized —
+    #groups rows, metadata next to the corpus — and amortizes the
+    read-side merge once per-batch partials accumulate. Takes the
+    maintenance lock; swaps via staging dir + rename so a crash leaves
+    either the old store or the new one.
+
+    ``to_layout``:
+
+    - ``"plain"`` (default): convert to the bucket-partitioned plain
+      layout — the scheduled-fold shape (``fold_rollup_into_store``).
+      A streaming writer can NOT continue appending afterwards (the
+      ingest_batch= write refuses a plain store).
+    - ``"batch"``: KEEP the batch layout — everything folds into a
+      reserved ``ingest_batch=-1`` base partition and the meta records
+      ``compacted_through`` = the highest batch id folded. Streaming
+      keeps appending (new ids land as fresh partitions) and the
+      at-least-once story survives compaction: a replay of an
+      already-folded batch id is fenced to a no-op instead of
+      re-adding rows whose partials now live in the base.
+    """
     from ..pipeline.compact import _acquire_lock, _fs, _lock_path, _rm
 
+    if to_layout not in ("plain", "batch"):
+        raise ValueError(f"compact_rollup_store: unknown to_layout {to_layout!r}")
     path = path.rstrip("/")
     meta = _read_meta(spark, path)
     group_cols, n_buckets = meta["group_cols"], int(meta["n_buckets"])
@@ -645,16 +673,47 @@ def compact_rollup_store(
         # file set; complete it before compacting (no-op for batch stores)
         _recover_fold(spark, fs, jvm_path, path, f"{path}__fold_tmp")
         df = spark.read.parquet(path)
+        highest_batch = None
+        if "ingest_batch" in df.columns:
+            # bounded: one row per existing batch partition
+            highest_batch = df.select(
+                F.max("ingest_batch").alias("m")
+            ).collect()[0]["m"]
         df = df.drop(*[c for c in ("bucket", "ingest_batch") if c in df.columns])
-        merged = merge_rollup(df).withColumn(
-            "bucket", _bucket_col(group_cols, n_buckets)
-        )
+        merged = merge_rollup(df)
+        if to_layout == "batch":
+            if meta["layout"] != "batch":
+                raise ValueError(
+                    "compact_rollup_store(to_layout='batch'): store at "
+                    f"{path} is already plain-layout"
+                )
+            # base partition keeps the layout's two-level scheme
+            # (ingest_batch, bucket) so mixed reads stay consistent
+            merged = merged.withColumn("ingest_batch", F.lit(-1)).withColumn(
+                "bucket", _bucket_col(group_cols, n_buckets)
+            )
+            part_cols = ["ingest_batch", "bucket"]
+        else:
+            merged = merged.withColumn(
+                "bucket", _bucket_col(group_cols, n_buckets)
+            )
+            part_cols = ["bucket"]
         n_groups = merged.count()
         _rm(fs, jvm_path, tmp)
-        merged.write.partitionBy("bucket").mode("overwrite").parquet(tmp)
+        merged.write.partitionBy(*part_cols).mode("overwrite").parquet(tmp)
         # meta lands in the staging dir BEFORE the swap, so no crash
         # point leaves a store without its meta sidecar
-        meta["layout"] = "plain"
+        if to_layout == "batch":
+            prior = meta.get("compacted_through")
+            fence = [
+                int(v)
+                for v in (prior, highest_batch)
+                if v is not None and int(v) >= 0
+            ]
+            meta["compacted_through"] = max(fence) if fence else None
+        else:
+            meta["layout"] = "plain"
+            meta.pop("compacted_through", None)
         _write_meta(spark, tmp, meta)
         _rm(fs, jvm_path, old)
         if not fs.rename(jvm_path(path), jvm_path(old)):

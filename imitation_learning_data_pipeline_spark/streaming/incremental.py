@@ -639,8 +639,13 @@ def run_incremental_rollup_stream(
     checkpointed offsets + per-batch dynamic partition overwrite make a
     replayed micro-batch REPLACE its own partial partition byte-for-
     byte, so at-least-once delivery cannot double-count a batch. When
-    per-batch partials accumulate, ``compact_rollup_store`` folds them
-    to one row per group (and subsequent batch writes keep appending).
+    per-batch partials accumulate, ``compact_rollup_store(...,
+    to_layout="batch")`` folds them into a base partition while
+    KEEPING the batch layout — subsequent triggers keep appending, and
+    a replay of an already-folded batch id is fenced to a no-op by the
+    store's ``compacted_through`` watermark (the plain-layout default
+    conversion is for handing the store to scheduled
+    ``fold_rollup_into_store`` jobs instead).
 
     Runs with Trigger.availableNow and blocks; call again with the same
     checkpoint as new data lands.

@@ -320,6 +320,136 @@ class TestCompactPathAbsentRestore:
                 C.compact(spark, p, target_bytes=1 << 30)
 
 
+class TestStreamingRollupLateness:
+    """r7 verdict item 9: a late-arriving batch for an already-folded
+    day must land in the correct day bucket through
+    run_incremental_rollup_stream + compact_rollup_store — and the
+    at-least-once replay story must survive the compaction."""
+
+    @staticmethod
+    def _rows(day_vals):
+        from datetime import datetime, timezone
+
+        return [
+            (
+                "g1",
+                datetime(2026, 3, day, 12, 0, 0, tzinfo=timezone.utc),
+                float(v),
+            )
+            for day, v in day_vals
+        ]
+
+    def _run_stream(self, spark, src, store, ckpt):
+        from imitation_learning_data_pipeline_spark.streaming.incremental import (
+            run_incremental_rollup_stream,
+        )
+
+        stream = (
+            spark.readStream.schema("g string, ts timestamp, v double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        run_incremental_rollup_stream(
+            stream, ["g"], ["v"], store, ckpt, time_col="ts", grain="day"
+        )
+
+    def test_late_day_lands_after_batch_compaction(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from imitation_learning_data_pipeline_spark.plans.rollup import (
+            compact_rollup_store,
+            read_rollup,
+        )
+
+        src = str(tmp_path / "src")
+        store = str(tmp_path / "store")
+        ckpt = str(tmp_path / "ckpt")
+        first = self._rows([(1, 10.0), (1, 20.0), (2, 5.0)])
+        spark.createDataFrame(first, "g string, ts timestamp, v double").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        self._run_stream(spark, src, store, ckpt)
+
+        # fold the accumulated partials, KEEPING the batch layout so
+        # the stream can continue
+        stats = compact_rollup_store(spark, store, to_layout="batch")
+        assert stats["n_groups"] == 2  # (g1, day1), (g1, day2)
+
+        # late data for day 1 — already folded into the base partition
+        late = self._rows([(1, 100.0), (3, 7.0)])
+        spark.createDataFrame(late, "g string, ts timestamp, v double").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        self._run_stream(spark, src, store, ckpt)
+
+        got = {
+            r["bucket_ts"].day: (r["n_rows"], r["v_sum"])
+            for r in read_rollup(spark, store)
+            .select("bucket_ts", "n_rows", F.col("v_sum"))
+            .collect()
+        }
+        assert got == {1: (3, 130.0), 2: (1, 5.0), 3: (1, 7.0)}
+
+    def test_replay_of_folded_batch_is_fenced(self, spark, tmp_path):
+        """A crashed trigger whose batch was folded by a concurrent
+        batch-layout compaction must NOT double-count on replay: the
+        compacted_through watermark turns the rewrite into a no-op."""
+        from imitation_learning_data_pipeline_spark.plans.rollup import (
+            compact_rollup_store,
+            read_rollup,
+            rollup_partials,
+            write_rollup_store,
+        )
+
+        store = str(tmp_path / "store")
+        df = spark.createDataFrame(
+            self._rows([(1, 10.0), (2, 5.0)]), "g string, ts timestamp, v double"
+        )
+        parts = rollup_partials(df, ["g"], ["v"], time_col="ts", grain="day")
+        write_rollup_store(parts, store, ingest_batch=0)
+        compact_rollup_store(spark, store, to_layout="batch")
+        # at-least-once replay of batch 0 AFTER its fold: fenced no-op
+        write_rollup_store(parts, store, ingest_batch=0)
+        got = {
+            r["bucket_ts"].day: r["v_sum"]
+            for r in read_rollup(spark, store).collect()
+        }
+        assert got == {1: 10.0, 2: 5.0}
+        # a genuinely NEW batch still lands
+        df2 = spark.createDataFrame(
+            self._rows([(1, 1.0)]), "g string, ts timestamp, v double"
+        )
+        write_rollup_store(
+            rollup_partials(df2, ["g"], ["v"], time_col="ts", grain="day"),
+            store,
+            ingest_batch=1,
+        )
+        got2 = {
+            r["bucket_ts"].day: r["v_sum"]
+            for r in read_rollup(spark, store).collect()
+        }
+        assert got2 == {1: 11.0, 2: 5.0}
+
+    def test_batch_compact_refused_on_plain_store(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.plans.rollup import (
+            compact_rollup_store,
+            rollup_partials,
+            write_rollup_store,
+        )
+
+        store = str(tmp_path / "pstore")
+        df = spark.createDataFrame(
+            self._rows([(1, 10.0)]), "g string, ts timestamp, v double"
+        )
+        write_rollup_store(
+            rollup_partials(df, ["g"], ["v"], time_col="ts", grain="day"),
+            store,
+            n_buckets=4,
+        )
+        with pytest.raises(ValueError, match="already plain"):
+            compact_rollup_store(spark, store, to_layout="batch")
+
+
 class TestScoreWithModelContract:
     """r7 verdict item 3: exercise the real-LM perplexity plug point
     without an LM runtime — a deterministic pure-Python char-trigram
