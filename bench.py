@@ -192,6 +192,30 @@ def main() -> int:
 
     m = re.search(r"sf([0-9.]+)", args.sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
+    # Methodology disclosure (ADVICE r4): `value`/`queries` are
+    # best-of-`repeat` (warm steady state); first-run walls and task
+    # CPU ship alongside so cross-round comparisons can tell which
+    # methodology produced a number. The extended record goes on its
+    # OWN line first: the driver keeps only the tail of stdout and
+    # parses the LAST line, and the combined record had grown past its
+    # capture window — every BENCH_r*.json since r5 carries
+    # `parsed: null` because the one fat line arrived truncated. The
+    # final line is the compact driver-contract JSON, well under the
+    # window.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_detail",
+                "repeat": args.repeat,
+                "task_time_s": task_times,
+                "task_time_cold_s": cold_task_times,
+                "queries_cold_s": cold_timings,
+                "cold_total_s": round(sum(cold_timings.values()), 3),
+                "sf": sf,
+            }
+        ),
+        flush=True,
+    )
     print(
         json.dumps(
             {
@@ -199,18 +223,12 @@ def main() -> int:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
-                "task_time_s": task_times,
-                # Methodology disclosure (ADVICE r4): `value`/`queries`
-                # are best-of-`repeat` (warm steady state); first-run
-                # walls ship alongside so cross-round comparisons can
-                # tell which methodology produced a number.
                 "repeat": args.repeat,
-                "task_time_cold_s": cold_task_times,
-                "queries_cold_s": cold_timings,
                 "cold_total_s": round(sum(cold_timings.values()), 3),
                 "sf": sf,
             }
-        )
+        ),
+        flush=True,
     )
     return 0
 

@@ -153,7 +153,17 @@ def read_via_manifest(spark: SparkSession, path: str) -> DataFrame:
     hand Spark the explicit paths (``basePath`` keeps Hive partition
     columns). Falls back to a plain listing read while a crashed
     commit's journal is pending — the one state where the manifest may
-    trail the directory by one commit."""
+    trail the directory by one commit.
+
+    NOT a performance feature on local/HDFS-class filesystems:
+    measured at 4k/40k/100k files (SCALING.md round-9), the explicit-
+    path read loses to the directory read at every size and diverges —
+    Spark stats each explicit path individually while the directory
+    read bulk-lists, and ``parallelPartitionDiscovery`` tuning doesn't
+    change the ordering. Use it for correctness (pinned file sets,
+    journal-aware reads); the object-store LIST win would need a JVM
+    FileIndex that trusts the manifest's sizes, which PySpark exposes
+    no hook for."""
     path = path.rstrip("/")
     fs, _ = _fs(spark, path)
     jvm_path = _jvm_path(spark)
