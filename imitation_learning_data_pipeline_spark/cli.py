@@ -1050,9 +1050,21 @@ def cmd_manifest(args: argparse.Namespace) -> int:
         diff = man.verify_manifest(spark, args.path)
         print(json.dumps({"path": args.path, **diff}))
         return 0 if not diff["missing"] and not diff["extra"] else 1
-    payload = man.write_manifest(spark, args.path)
+    stats_cols = (
+        [c for c in args.stats_cols.split(",") if c]
+        if args.stats_cols is not None
+        else None
+    )
+    payload = man.write_manifest(spark, args.path, stats_cols=stats_cols)
     print(
-        json.dumps({"path": args.path, "n_files": len(payload["files"])})
+        json.dumps(
+            {
+                "path": args.path,
+                "n_files": len(payload["files"]),
+                "stats_cols": payload.get("stats_cols") or [],
+                "row_count": man.manifest_row_count(spark, args.path),
+            }
+        )
     )
     return 0
 
@@ -1482,6 +1494,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--verify",
         action="store_true",
         help="diff the manifest against an actual listing; exit 1 on drift",
+    )
+    mf.add_argument(
+        "--stats-cols",
+        default=None,
+        help="comma-separated columns: record per-file min/max + row "
+        "counts for driver-side data skipping (read_pruned) and "
+        "metadata-only counts; omitted = preserve prior config",
     )
     mf.set_defaults(fn=cmd_manifest)
 

@@ -80,21 +80,110 @@ def read_manifest_entries(spark: SparkSession, path: str) -> dict:
     return _read_json(spark, fs, _jvm_path(spark), _manifest_path(path))
 
 
-def _refresh_unlocked(spark: SparkSession, path: str) -> dict:
+#: per-file stat value serialization: JSON-native passthrough for
+#: int/float/str/bool; date/datetime → ISO-8601 strings, whose
+#: lexicographic order equals temporal order (fixed-width fields;
+#: variable-length fractional seconds still compare correctly because
+#: a prefix sorts before its extensions and '.' < any digit position
+#: of the next field). Unsupported kinds (decimal, binary, nested)
+#: refuse at stats-collection time rather than prune wrongly.
+def _ser_stat(v):
+    import datetime as _dt
+
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    raise TypeError(
+        f"manifest stats: unsupported min/max value type {type(v).__name__} "
+        "(supported: numeric, string, boolean, date, timestamp)"
+    )
+
+
+def _collect_stats(spark: SparkSession, path: str, stats_cols: list[str]) -> dict:
+    """One column-pruned scan → per-file (row count, min/max per stats
+    column), keyed by manifest relpath. Driver-side result is O(#files)
+    rows × a few columns — the same size class as the file listing."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    missing = [c for c in stats_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"manifest stats: columns not in table: {missing}")
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in stats_cols:
+        aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
+    rows = (
+        df.select(F.col("_metadata.file_path").alias("__fp"), *stats_cols)
+        .groupBy("__fp")
+        .agg(*aggs)
+        .collect()
+    )
+    fs, _ = _fs(spark, path)
+    qual = fs.makeQualified(_jvm_path(spark)(path)).toString().rstrip("/")
+    stats: dict = {}
+    for r in rows:
+        fp = r["__fp"]
+        rel = fp[len(qual) + 1 :] if fp.startswith(qual) else fp
+        entry = {"rows": int(r["__rows"])}
+        for c in stats_cols:
+            entry[c] = [_ser_stat(r[f"__min_{c}"]), _ser_stat(r[f"__max_{c}"])]
+        stats[rel] = entry
+    return stats
+
+
+def _refresh_unlocked(
+    spark: SparkSession, path: str, stats_cols: list[str] | None = None
+) -> dict:
     """Listing → manifest write, no locking: for callers already inside
-    a locked maintenance op (compact's swap, journal recovery)."""
+    a locked maintenance op (compact's swap, journal recovery).
+    ``stats_cols=None`` preserves the existing manifest's stats
+    configuration (recomputing the stats over the current file set);
+    pass ``[]`` to drop stats."""
     path = path.rstrip("/")
     fs, _ = _fs(spark, path)
     jvm_path = _jvm_path(spark)
+    if stats_cols is None and has_manifest(spark, path):
+        stats_cols = (
+            _read_json(spark, fs, jvm_path, _manifest_path(path)).get(
+                "stats_cols"
+            )
+            or []
+        )
+    stats_cols = list(stats_cols or [])
     files = _live_rels(spark, fs, jvm_path, path)
     payload = {"files": [list(t) for t in files], "op": "refresh"}
+    if stats_cols:
+        payload["stats_cols"] = stats_cols
+        stats = _collect_stats(spark, path, stats_cols)
+        # ZERO-ROW part files (an empty write task in a merge/upsert
+        # commit) never surface in the row-wise aggregate — record them
+        # explicitly so metadata row counts stay answerable and pruning
+        # can skip them outright
+        for rel, _b in files:
+            stats.setdefault(
+                rel, {"rows": 0, **{c: [None, None] for c in stats_cols}}
+            )
+        payload["stats"] = stats
     _write_json(fs, jvm_path, _manifest_path(path), payload)
     return payload
 
 
-def write_manifest(spark: SparkSession, path: str) -> dict:
+def write_manifest(
+    spark: SparkSession, path: str, stats_cols: list[str] | None = None
+) -> dict:
     """Bootstrap or wholesale-refresh the manifest from one recursive
     listing — the LAST full LIST this table needs until compaction.
+
+    ``stats_cols`` opts the table into DATA SKIPPING: the manifest
+    additionally records per-file row counts and min/max for the named
+    columns (one column-pruned scan), which :func:`read_pruned` uses to
+    drop whole files driver-side — zero file I/O on the pruned-away
+    set, the Delta/Iceberg-style skip this module's explicit-path read
+    cannot get from Spark's own scan (SCALING.md round-9). Most
+    effective on key-clustered layouts (``cluster_write`` /
+    ``zorder_write``), where per-file ranges are disjoint.
+    ``None`` preserves a prior stats configuration across refreshes.
 
     Takes the table's maintenance lock: a bootstrap racing a concurrent
     merge could otherwise list mid-commit and persist a torn file set
@@ -106,7 +195,7 @@ def write_manifest(spark: SparkSession, path: str) -> dict:
     jvm_path = _jvm_path(spark)
     _acquire_lock(spark, fs, jvm_path, path, "write_manifest")
     try:
-        return _refresh_unlocked(spark, path)
+        return _refresh_unlocked(spark, path, stats_cols)
     finally:
         fs.delete(jvm_path(_lock_path(path)), False)
 
@@ -114,7 +203,10 @@ def write_manifest(spark: SparkSession, path: str) -> dict:
 def refresh_if_present(spark: SparkSession, path: str) -> bool:
     """Wholesale refresh for ops that rewrite arbitrarily (compaction,
     journal recovery). Lock-free — every caller already holds the
-    maintenance lock. No-op for tables that never opted in."""
+    maintenance lock. No-op for tables that never opted in. A stats
+    configuration survives the refresh (recomputed over the new file
+    set — the compacted layout is exactly when fresh per-file ranges
+    pay)."""
     if not has_manifest(spark, path):
         return False
     _refresh_unlocked(spark, path)
@@ -142,9 +234,19 @@ def apply_deltas(
     files = [[r, b] for r, b in cur["files"] if r not in dead]
     files += [[r, int(b)] for r, b in add]
     files.sort()
-    _write_json(
-        fs, jvm_path, _manifest_path(path), {"files": files, "op": "delta"}
-    )
+    payload = {"files": files, "op": "delta"}
+    if cur.get("stats_cols"):
+        # carry the skipping config and the surviving files' stats;
+        # files ADDED by this commit get no stats entry (pruning keeps
+        # stat-less files, so correctness holds while coverage decays
+        # until the next refresh/compaction recomputes wholesale)
+        payload["stats_cols"] = cur["stats_cols"]
+        payload["stats"] = {
+            rel: st
+            for rel, st in (cur.get("stats") or {}).items()
+            if rel not in dead
+        }
+    _write_json(fs, jvm_path, _manifest_path(path), payload)
     return True
 
 
@@ -174,6 +276,116 @@ def read_via_manifest(spark: SparkSession, path: str) -> DataFrame:
         return spark.read.parquet(path)  # schema from the empty dir
     paths = [f"{path}/{rel}" for rel, _b in cur["files"]]
     return spark.read.option("basePath", path).parquet(*paths)
+
+
+def prune_files(
+    spark: SparkSession, path: str, col: str, lower=None, upper=None
+) -> dict:
+    """Driver-side data skipping: which manifest files can contain rows
+    with ``lower <= col <= upper``? Pure JSON arithmetic — zero file
+    I/O, no Spark job. Returns {"kept": [rel...], "n_total": N,
+    "n_skipped": M}. Files without a stats entry (added since the last
+    refresh) are always kept — skipping is only ever an optimization,
+    never a correctness bet. Raises if the table has no stats for
+    ``col`` (caller should fall back to a plain read)."""
+    import datetime as _dt
+
+    path = path.rstrip("/")
+    cur = read_manifest_entries(spark, path)
+    if col not in (cur.get("stats_cols") or []):
+        raise ValueError(
+            f"manifest stats: no per-file stats for {col!r} at {path} — "
+            f"bootstrap with write_manifest(stats_cols=[{col!r}, ...])"
+        )
+    lo = lower.isoformat() if isinstance(lower, (_dt.datetime, _dt.date)) else lower
+    hi = upper.isoformat() if isinstance(upper, (_dt.datetime, _dt.date)) else upper
+    stats = cur.get("stats") or {}
+    kept = []
+    for rel, _bytes in cur["files"]:
+        entry = stats.get(rel)
+        if entry is None or col not in entry:
+            kept.append(rel)  # stat-less (fresh commit): must read
+            continue
+        if entry.get("rows") == 0:
+            continue  # empty part file: nothing to read
+        fmin, fmax = entry[col]
+        if fmin is None or fmax is None:
+            kept.append(rel)  # all-null file stats: cannot prune
+            continue
+        if hi is not None and not (fmin <= hi):
+            continue
+        if lo is not None and not (fmax >= lo):
+            continue
+        kept.append(rel)
+    return {
+        "kept": kept,
+        "n_total": len(cur["files"]),
+        "n_skipped": len(cur["files"]) - len(kept),
+    }
+
+
+def read_pruned(
+    spark: SparkSession, path: str, col: str, lower=None, upper=None
+) -> DataFrame:
+    """Range read with manifest data skipping: files whose [min, max]
+    cannot intersect [lower, upper] are dropped DRIVER-SIDE before
+    Spark ever stats them — on a key-clustered table a selective range
+    touches O(selectivity) files instead of all of them. The residual
+    per-row filter is applied on top (file ranges overlap the bounds,
+    they don't equal them), so the result is exactly
+    ``read(...).filter(lower <= col <= upper)``.
+
+    Falls back to a plain filtered read when the table has no manifest,
+    no stats for ``col``, or a pending commit journal (the manifest may
+    trail by one commit — same rule as :func:`read_via_manifest`)."""
+    from pyspark.sql import functions as F
+
+    path = path.rstrip("/")
+
+    def _residual(df: DataFrame) -> DataFrame:
+        if lower is not None:
+            df = df.filter(F.col(col) >= F.lit(lower))
+        if upper is not None:
+            df = df.filter(F.col(col) <= F.lit(upper))
+        return df
+
+    fs, _ = _fs(spark, path)
+    jvm_path = _jvm_path(spark)
+    if not has_manifest(spark, path) or fs.exists(
+        jvm_path(f"{path}/{_PENDING}")
+    ):
+        return _residual(spark.read.parquet(path))
+    try:
+        pruned = prune_files(spark, path, col, lower, upper)
+    except ValueError:
+        return _residual(spark.read.parquet(path))
+    if not pruned["kept"]:
+        # every file skipped: an empty frame with the table's schema
+        return _residual(spark.read.parquet(path)).limit(0)
+    paths = [f"{path}/{rel}" for rel in pruned["kept"]]
+    return _residual(spark.read.option("basePath", path).parquet(*paths))
+
+
+def manifest_row_count(spark: SparkSession, path: str) -> int | None:
+    """COUNT(*) from manifest metadata alone — zero data I/O. Returns
+    None when any live file lacks a row-count stat (stats never
+    written, or files added since the last refresh): an honest "don't
+    know" beats a silent undercount."""
+    path = path.rstrip("/")
+    if not has_manifest(spark, path):
+        return None
+    fs, _ = _fs(spark, path)
+    if fs.exists(_jvm_path(spark)(f"{path}/{_PENDING}")):
+        return None  # manifest may trail the journaled commit
+    cur = read_manifest_entries(spark, path)
+    stats = cur.get("stats") or {}
+    total = 0
+    for rel, _bytes in cur["files"]:
+        entry = stats.get(rel)
+        if entry is None or "rows" not in entry:
+            return None
+        total += int(entry["rows"])
+    return total
 
 
 def verify_manifest(spark: SparkSession, path: str) -> dict:

@@ -320,6 +320,157 @@ class TestCompactPathAbsentRestore:
                 C.compact(spark, p, target_bytes=1 << 30)
 
 
+class TestManifestDataSkipping:
+    """Round-9 feature: per-file min/max + row counts in the manifest →
+    driver-side file pruning with ZERO file I/O on the skipped set, and
+    metadata-only COUNT(*). The scan-path win the explicit-path read
+    couldn't deliver (SCALING.md round-9 break-even study) — pruning
+    needs no FileIndex hook because skipped files are never given to
+    Spark at all."""
+
+    def _clustered(self, spark, tmp_path, name):
+        from imitation_learning_data_pipeline_spark.pipeline.merge import (
+            cluster_write,
+        )
+
+        p = str(tmp_path / name)
+        df = spark.range(0, 10_000).selectExpr(
+            "id", "id % 7 AS v", "timestamp_seconds(1780000000 + id) AS ts"
+        )
+        cluster_write(df, p, by="id", n_files=10)
+        return p
+
+    def test_range_read_prunes_files_and_matches_plain_filter(
+        self, spark, tmp_path
+    ):
+        from imitation_learning_data_pipeline_spark.pipeline.manifest import (
+            prune_files,
+            read_pruned,
+            write_manifest,
+        )
+
+        p = self._clustered(spark, tmp_path, "ds")
+        payload = write_manifest(spark, p, stats_cols=["id"])
+        assert payload["stats_cols"] == ["id"]
+        # clustered by id into 10 disjoint ranges: a 1000-row range
+        # intersects 2-3 files (repartitionByRange samples its cut
+        # points, so the exact boundaries vary per run)
+        pr = prune_files(spark, p, "id", 2000, 2999)
+        assert pr["n_total"] == 10
+        assert pr["n_skipped"] >= 7
+        got = sorted(
+            r["id"] for r in read_pruned(spark, p, "id", 2000, 2999).collect()
+        )
+        assert got == list(range(2000, 3000))
+
+    def test_open_ended_bounds_and_empty_result(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.manifest import (
+            read_pruned,
+            write_manifest,
+        )
+
+        p = self._clustered(spark, tmp_path, "ds2")
+        write_manifest(spark, p, stats_cols=["id"])
+        assert read_pruned(spark, p, "id", lower=9990).count() == 10
+        assert read_pruned(spark, p, "id", upper=9).count() == 10
+        out = read_pruned(spark, p, "id", 50_000, 60_000)
+        assert out.count() == 0
+        assert set(out.columns) == {"id", "v", "ts"}  # schema survives
+
+    def test_timestamp_stats_prune_correctly(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.manifest import (
+            prune_files,
+            read_pruned,
+            write_manifest,
+        )
+
+        p = self._clustered(spark, tmp_path, "ds3")
+        write_manifest(spark, p, stats_cols=["ts"])
+        # bounds taken from the data itself — same session-tz basis as
+        # the collected stats
+        lo, hi = [
+            r["ts"]
+            for r in spark.read.parquet(p)
+            .filter("id IN (4000, 4999)")
+            .orderBy("id")
+            .collect()
+        ]
+        pr = prune_files(spark, p, "ts", lo, hi)
+        # ts is monotone in id → clustered too; range-cut boundaries
+        # can overlap one extra file
+        assert pr["n_skipped"] >= 7
+        got = sorted(
+            r["id"] for r in read_pruned(spark, p, "ts", lo, hi).collect()
+        )
+        assert got == list(range(4000, 5000))
+
+    def test_commit_delta_keeps_statless_files_readable(
+        self, spark, tmp_path
+    ):
+        from imitation_learning_data_pipeline_spark.pipeline.manifest import (
+            manifest_row_count,
+            prune_files,
+            read_pruned,
+            write_manifest,
+        )
+        from imitation_learning_data_pipeline_spark.pipeline.merge import (
+            merge_into,
+        )
+
+        p = self._clustered(spark, tmp_path, "ds4")
+        write_manifest(spark, p, stats_cols=["id"])
+        assert manifest_row_count(spark, p) == 10_000
+        upd = spark.createDataFrame(
+            [(999_999, 1, None)], "id long, v long, ts timestamp"
+        )
+        merge_into(spark, p, upd, key="id")
+        # the commit's new file has no stats entry → every prune keeps
+        # it, so the fresh row is visible in ANY range read
+        got = read_pruned(spark, p, "id", 999_000, 1_000_000).collect()
+        assert [r["id"] for r in got] == [999_999]
+        pr = prune_files(spark, p, "id", 0, 9)
+        # old files still prune; the stat-less file rides along
+        assert pr["n_skipped"] >= 8
+        # row count honestly declines to answer until the next refresh
+        assert manifest_row_count(spark, p) is None
+        write_manifest(spark, p)  # stats_cols preserved by default
+        assert manifest_row_count(spark, p) == spark.read.parquet(p).count()
+        pr2 = prune_files(spark, p, "id", 999_000, 1_000_000)
+        assert pr2["n_skipped"] >= pr["n_skipped"]
+
+    def test_compaction_refresh_recomputes_stats(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.compact import (
+            compact,
+        )
+        from imitation_learning_data_pipeline_spark.pipeline.manifest import (
+            manifest_row_count,
+            prune_files,
+            write_manifest,
+        )
+
+        p = self._clustered(spark, tmp_path, "ds5")
+        write_manifest(spark, p, stats_cols=["id"])
+        compact(spark, p, target_bytes=1 << 30)  # rewrites wholesale
+        cnt = manifest_row_count(spark, p)
+        assert cnt == 10_000  # refresh recomputed stats for new files
+        pr = prune_files(spark, p, "id", 0, 10)
+        assert pr["n_total"] >= 1  # stats exist over the compacted set
+
+    def test_no_stats_falls_back_to_plain_read(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.manifest import (
+            prune_files,
+            read_pruned,
+            write_manifest,
+        )
+
+        p = self._clustered(spark, tmp_path, "ds6")
+        write_manifest(spark, p)  # no stats opt-in
+        with pytest.raises(ValueError, match="no per-file stats"):
+            prune_files(spark, p, "id", 0, 10)
+        got = read_pruned(spark, p, "id", 0, 9).count()
+        assert got == 10  # falls back, still correct
+
+
 class TestSemDeDupBoundaryTwins:
     """r7 verdict item 10: NEAR-identical (not bit-identical) twins,
     some planted at k-means cell midpoints so assignment can flip.
