@@ -445,13 +445,24 @@ def semdedup(
     threshold: float = 0.95,
     seed: int = 42,
     block_cap: int = 8192,
+    probe_cells: int = 1,
 ) -> DataFrame:
     """SemDeDup keep/drop assignments for ANY ``(vec_id, v)`` frame
     (``v`` = array<double> embedding) → one row per vector:
     (vec_id, cell_id, centroid_sim, cluster_id, keep).
 
     ``cluster_id`` is NULL for semantic singletons (always kept); every
-    non-null cluster keeps exactly one member."""
+    non-null cluster keeps exactly one member.
+
+    ``probe_cells``: cells each vector is SEARCHED in (its output
+    cell_id stays the nearest). The measured loss channel of cell
+    blocking is twins straddling a k-means boundary (2.5% on an
+    adversarial midpoint population, 0% elsewhere — SCALING.md
+    round-9); ``probe_cells=2`` runs the pair stage on each vector's
+    two nearest cells, closing that channel for ~2× the gemm cost —
+    the IVF-multiprobe recipe applied to cells. Components still merge
+    by vec_id, so a pair found in either probe cell joins the same
+    cluster and keepers stay deterministic."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -482,8 +493,71 @@ def semdedup(
             F.round(cosine("v", "center"), 4).alias("centroid_sim"),
         )
     )
+    if probe_cells <= 1:
+        probe_frame = assigned.select(
+            F.col("cell_id").alias("label"), "vec_id", "v"
+        )
+    else:
+        # multiprobe, SHUFFLE-FREE: the centers are a k×d plan literal
+        # (they were collected for the broadcast join above anyway), so
+        # per-vector centroid ranking is a map-side array expression —
+        # score every center (|v|² is rank-invariant and dropped),
+        # array_sort, slice the probe_cells nearest, explode. No
+        # exchange anywhere; the exploded frame is probe_cells× the
+        # corpus, exactly the extra gemm work multiprobe buys. Guarded:
+        # a huge k would bloat the plan with k·d literals — that regime
+        # wants the IVF index (mllib_kmeans_ivf), not literal centers.
+        ctrs = model.clusterCenters()
+        if len(ctrs) * len(ctrs[0]) > 200_000:
+            raise ValueError(
+                "semdedup(probe_cells>1): k·dim too large for literal "
+                "center ranking; reduce k or probe via mllib_kmeans_ivf"
+            )
+        centers_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(int(i)).alias("cell_id"),
+                    F.array(*[F.lit(float(x)) for x in c]).alias("center"),
+                )
+                for i, c in enumerate(ctrs)
+            ]
+        )
+        scored = F.transform(
+            centers_arr,
+            lambda s: F.struct(
+                (
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("v"), s["center"], lambda a, b: a * b
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    * F.lit(-2.0)
+                    + F.lit(0.0)
+                    + F.aggregate(
+                        F.transform(s["center"], lambda b: b * b),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                ).alias("d2"),
+                s["cell_id"].alias("cell_id"),
+            ),
+        )
+        probe_frame = (
+            vecs.select(
+                "vec_id",
+                "v",
+                F.explode(
+                    F.slice(F.array_sort(scored), 1, int(probe_cells))
+                ).alias("__probe"),
+            )
+            .select(
+                F.col("__probe.cell_id").alias("label"), "vec_id", "v"
+            )
+        )
     pairs = embedding_cosine_pairs(
-        assigned.select(F.col("cell_id").alias("label"), "vec_id", "v"),
+        probe_frame,
         threshold=threshold,
         block_cap=block_cap,
     )

@@ -536,6 +536,24 @@ class TestSemDeDupBoundaryTwins:
         # estimate — k-means is seeded but numerically iterative.
         assert boundary_det >= int(boundary_n * 0.8)
 
+        # probe_cells=2 (cell multiprobe, shuffle-free top-2 centroid
+        # ranking) closes the cross-cell channel: every >=threshold
+        # twin pair is found regardless of which side of the boundary
+        # each member landed on
+        out2 = {
+            r["vec_id"]: (r["cell_id"], r["cluster_id"])
+            for r in semdedup(
+                corpus, k=k, threshold=0.95, probe_cells=2
+            ).collect()
+        }
+        for a, b, kind in twin_pairs:
+            _, clu_a = out2[a]
+            _, clu_b = out2[b]
+            assert clu_a is not None and clu_a == clu_b, (a, b, kind)
+        # output cell_id stays the NEAREST cell — multiprobe only
+        # widens the SEARCH, one row per vector survives
+        assert len(out2) == len(out)
+
 
 class TestCurriculumSkew:
     """r7 verdict item 7: one level holding 99% of the corpus must
