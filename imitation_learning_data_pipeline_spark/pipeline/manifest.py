@@ -278,45 +278,71 @@ def read_via_manifest(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.option("basePath", path).parquet(*paths)
 
 
-def prune_files(
-    spark: SparkSession, path: str, col: str, lower=None, upper=None
-) -> dict:
-    """Driver-side data skipping: which manifest files can contain rows
-    with ``lower <= col <= upper``? Pure JSON arithmetic — zero file
-    I/O, no Spark job. Returns {"kept": [rel...], "n_total": N,
-    "n_skipped": M}. Files without a stats entry (added since the last
-    refresh) are always kept — skipping is only ever an optimization,
-    never a correctness bet. Raises if the table has no stats for
-    ``col`` (caller should fall back to a plain read)."""
+def _norm_bound(v):
     import datetime as _dt
 
+    return v.isoformat() if isinstance(v, (_dt.datetime, _dt.date)) else v
+
+
+def prune_files(
+    spark: SparkSession,
+    path: str,
+    col: str | None = None,
+    lower=None,
+    upper=None,
+    bounds: dict | None = None,
+) -> dict:
+    """Driver-side data skipping: which manifest files can contain rows
+    satisfying EVERY range in ``bounds`` ({col: (lower, upper)}, None
+    bound = open side)? Pure JSON arithmetic — zero file I/O, no Spark
+    job. The single-column form (``col``, ``lower``, ``upper``) is
+    sugar for a one-entry ``bounds``. Returns {"kept": [rel...],
+    "n_total": N, "n_skipped": M}. Files without a stats entry (added
+    since the last refresh) are always kept — skipping is only ever an
+    optimization, never a correctness bet. Raises if the table lacks
+    stats for any requested column (caller should fall back to a plain
+    read)."""
     path = path.rstrip("/")
+    if bounds is None:
+        if col is None:
+            raise ValueError("prune_files: pass col or bounds")
+        bounds = {col: (lower, upper)}
     cur = read_manifest_entries(spark, path)
-    if col not in (cur.get("stats_cols") or []):
+    have = set(cur.get("stats_cols") or [])
+    missing = [c for c in bounds if c not in have]
+    if missing:
         raise ValueError(
-            f"manifest stats: no per-file stats for {col!r} at {path} — "
-            f"bootstrap with write_manifest(stats_cols=[{col!r}, ...])"
+            f"manifest stats: no per-file stats for {missing} at {path} — "
+            f"bootstrap with write_manifest(stats_cols=[...])"
         )
-    lo = lower.isoformat() if isinstance(lower, (_dt.datetime, _dt.date)) else lower
-    hi = upper.isoformat() if isinstance(upper, (_dt.datetime, _dt.date)) else upper
+    norm = {
+        c: (_norm_bound(lo), _norm_bound(hi)) for c, (lo, hi) in bounds.items()
+    }
     stats = cur.get("stats") or {}
     kept = []
     for rel, _bytes in cur["files"]:
         entry = stats.get(rel)
-        if entry is None or col not in entry:
+        if entry is None:
             kept.append(rel)  # stat-less (fresh commit): must read
             continue
         if entry.get("rows") == 0:
             continue  # empty part file: nothing to read
-        fmin, fmax = entry[col]
-        if fmin is None or fmax is None:
-            kept.append(rel)  # all-null file stats: cannot prune
-            continue
-        if hi is not None and not (fmin <= hi):
-            continue
-        if lo is not None and not (fmax >= lo):
-            continue
-        kept.append(rel)
+        keep = True
+        prunable = True
+        for c, (lo, hi) in norm.items():
+            if c not in entry:
+                prunable = False
+                break
+            fmin, fmax = entry[c]
+            if fmin is None or fmax is None:
+                continue  # all-null column in this file: can't cut on it
+            if (hi is not None and not (fmin <= hi)) or (
+                lo is not None and not (fmax >= lo)
+            ):
+                keep = False
+                break
+        if not prunable or keep:
+            kept.append(rel)
     return {
         "kept": kept,
         "n_total": len(cur["files"]),
@@ -325,28 +351,41 @@ def prune_files(
 
 
 def read_pruned(
-    spark: SparkSession, path: str, col: str, lower=None, upper=None
+    spark: SparkSession,
+    path: str,
+    col: str | None = None,
+    lower=None,
+    upper=None,
+    bounds: dict | None = None,
 ) -> DataFrame:
-    """Range read with manifest data skipping: files whose [min, max]
-    cannot intersect [lower, upper] are dropped DRIVER-SIDE before
-    Spark ever stats them — on a key-clustered table a selective range
-    touches O(selectivity) files instead of all of them. The residual
-    per-row filter is applied on top (file ranges overlap the bounds,
-    they don't equal them), so the result is exactly
-    ``read(...).filter(lower <= col <= upper)``.
+    """Range read with manifest data skipping: files whose per-column
+    [min, max] cannot intersect every requested range are dropped
+    DRIVER-SIDE before Spark ever stats them — on a key-clustered table
+    a selective range touches O(selectivity) files instead of all of
+    them. ``bounds`` = {col: (lower, upper)} conjunctions; the
+    single-column form is sugar for one entry. The residual per-row
+    filters are applied on top (file ranges overlap the bounds, they
+    don't equal them), so the result is exactly the plain read filtered
+    by every range.
 
     Falls back to a plain filtered read when the table has no manifest,
-    no stats for ``col``, or a pending commit journal (the manifest may
-    trail by one commit — same rule as :func:`read_via_manifest`)."""
+    no stats for a requested column, or a pending commit journal (the
+    manifest may trail by one commit — same rule as
+    :func:`read_via_manifest`)."""
     from pyspark.sql import functions as F
 
     path = path.rstrip("/")
+    if bounds is None:
+        if col is None:
+            raise ValueError("read_pruned: pass col or bounds")
+        bounds = {col: (lower, upper)}
 
     def _residual(df: DataFrame) -> DataFrame:
-        if lower is not None:
-            df = df.filter(F.col(col) >= F.lit(lower))
-        if upper is not None:
-            df = df.filter(F.col(col) <= F.lit(upper))
+        for c, (lo, hi) in bounds.items():
+            if lo is not None:
+                df = df.filter(F.col(c) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(c) <= F.lit(hi))
         return df
 
     fs, _ = _fs(spark, path)
@@ -356,7 +395,7 @@ def read_pruned(
     ):
         return _residual(spark.read.parquet(path))
     try:
-        pruned = prune_files(spark, path, col, lower, upper)
+        pruned = prune_files(spark, path, bounds=bounds)
     except ValueError:
         return _residual(spark.read.parquet(path))
     if not pruned["kept"]:

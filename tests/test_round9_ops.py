@@ -456,6 +456,30 @@ class TestManifestDataSkipping:
         pr = prune_files(spark, p, "id", 0, 10)
         assert pr["n_total"] >= 1  # stats exist over the compacted set
 
+    def test_multi_column_bounds_conjunction(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.manifest import (
+            prune_files,
+            read_pruned,
+            write_manifest,
+        )
+
+        p = self._clustered(spark, tmp_path, "ds7")
+        write_manifest(spark, p, stats_cols=["id", "ts"])
+        lo_ts = spark.read.parquet(p).filter("id = 3000").collect()[0]["ts"]
+        pr = prune_files(
+            spark, p, bounds={"id": (2500, 3499), "ts": (lo_ts, None)}
+        )
+        # the conjunction cuts harder than either range alone: id range
+        # spans ~2 files, ts>=id3000 removes the earlier one too
+        assert pr["n_skipped"] >= 7
+        got = sorted(
+            r["id"]
+            for r in read_pruned(
+                spark, p, bounds={"id": (2500, 3499), "ts": (lo_ts, None)}
+            ).collect()
+        )
+        assert got == list(range(3000, 3500))
+
     def test_no_stats_falls_back_to_plain_read(self, spark, tmp_path):
         from imitation_learning_data_pipeline_spark.pipeline.manifest import (
             prune_files,
