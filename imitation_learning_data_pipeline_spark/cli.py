@@ -721,7 +721,11 @@ def cmd_rollup(args: argparse.Namespace) -> int:
             print(json.dumps(r.asDict(), default=str))
         return 0
     if args.store and args.compact:
-        stats = compact_rollup_store(spark, args.store)
+        stats = compact_rollup_store(
+            spark,
+            args.store,
+            to_layout="batch" if args.keep_batch_layout else "plain",
+        )
         print(json.dumps({"store": args.store, **stats}))
         return 0
     if not args.input or not args.group or not args.metrics:
@@ -1405,6 +1409,13 @@ def build_parser() -> argparse.ArgumentParser:
     ru.add_argument("--n-buckets", type=int, default=64)
     ru.add_argument("--read", action="store_true", help="print the store's finalized aggregate")
     ru.add_argument("--compact", action="store_true", help="fold a batch-layout store to plain")
+    ru.add_argument(
+        "--keep-batch-layout",
+        action="store_true",
+        help="with --compact: fold into an ingest_batch=-1 base "
+        "partition instead of converting to plain — streaming keeps "
+        "appending and replays of folded batches are fenced",
+    )
     ru.set_defaults(fn=cmd_rollup)
 
     sn = sub.add_parser(
