@@ -655,6 +655,15 @@ def compact_rollup_store(
       at-least-once story survives compaction: a replay of an
       already-folded batch id is fenced to a no-op instead of
       re-adding rows whose partials now live in the base.
+
+    Concurrency contract, stated precisely: batch-layout INGEST writes
+    are deliberately lock-free (a streaming trigger replaces only its
+    own partition — it needs no coordination with other triggers), so
+    the maintenance lock held here does NOT exclude them. A batch that
+    lands between this compaction's read and its directory swap would
+    be silently dropped by the swap. Run compaction with the stream
+    quiesced (between availableNow runs — the natural cadence), the
+    same rule every lock-free-ingest + table-maintenance pairing has.
     """
     from ..pipeline.compact import _acquire_lock, _fs, _lock_path, _rm
 
