@@ -390,6 +390,15 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     "invariant-constants shape) + dedup_embedding_cosine_lsh (same "
     "blocked-gemm cosine pairs) + dedup_cluster_components (same "
     "component grouping) + check_contract --all row",
+    # round-9: BM25 top-k retrieval. Library-only (cap): its per-doc
+    # term-frequency projection is text_gopher_rules' retained
+    # one-clean_words-projection feature discipline, and its rounded
+    # score-descending TakeOrdered cut is q3_shipping_priority's
+    # retained top-k shape; the full-formula row (Okapi BM25 vs DuckDB
+    # computing the identical expression) runs in check_contract --all.
+    "text_bm25_topk": "text_gopher_rules (same one-projection word "
+    "feature discipline) + q3_shipping_priority (same deterministic "
+    "top-k cut) + check_contract --all row",
     # round-7 rotation #3: funds the text_gopher_rules slot (new
     # operators go straight into the contract). Green r3-r6 (4 rounds);
     # text_gopher_rules is the strict superset of its shape — the same

@@ -761,3 +761,125 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir),
         min_required_stopwords=_GOPHER_CONTRACT_MIN_REQ,
     )
+
+
+# --- BM25 top-k retrieval (round-9) -----------------------------------------
+#
+# The standard Okapi BM25 ranking function (Robertson & Zaragoza 2009;
+# the Lucene-default +1 idf smoothing) over the corpus, for a fixed
+# query term list. Shapes for 100 TB: term-frequency extraction is a
+# map-side projection over ONE clean_words materialization; the corpus
+# statistics (N, avgdl, per-term document frequency) are one
+# map-side-combinable global aggregate whose result is a SINGLE row,
+# broadcast back into the scoring projection — no driver collect, no
+# second scan shape beyond the rescan Catalyst plans for the 1-row agg.
+# Top-k is TakeOrdered (per-partition heap + driver merge of k), never
+# a global sort.
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = _BM25_K1,
+    b: float = _BM25_B,
+) -> DataFrame:
+    """BM25 scores for ``query_terms`` over ANY ``(doc_id, text)``
+    frame → the ``k`` best (doc_id, bm25) rows, score-descending with
+    doc_id tiebreak. Scores are rounded to 4 decimals BEFORE ordering
+    so the cut is deterministic across engines; zero-score documents
+    (no query term present) never rank."""
+    if not query_terms:
+        raise ValueError("bm25_topk: empty query")
+    words = docs.select("doc_id", clean_words("text").alias("w"))
+
+    def _eq(term):
+        # closure factory, NOT a default arg: a second lambda parameter
+        # would make pyspark bind it to the array INDEX
+        return lambda x: x == F.lit(term)
+
+    base_cols = [F.size("w").cast("double").alias("dl")]
+    for i, t in enumerate(query_terms):
+        base_cols.append(
+            F.size(F.filter("w", _eq(t))).cast("double").alias(f"tf_{i}")
+        )
+    base = words.select("doc_id", *base_cols)
+    aggs = [
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+    ]
+    for i in range(len(query_terms)):
+        aggs.append(
+            F.sum((F.col(f"tf_{i}") > 0).cast("double")).alias(f"df_{i}")
+        )
+    stats = base.groupBy().agg(*aggs)
+    scored = base.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    for i in range(len(query_terms)):
+        tf = F.col(f"tf_{i}")
+        df = F.col(f"df_{i}")
+        idf = F.log((F.col("n") - df + 0.5) / (df + 0.5) + 1.0)
+        score = score + idf * tf * (k1 + 1.0) / (
+            tf + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+    return (
+        scored.select("doc_id", F.round(score, 4).alias("bm25"))
+        .filter(F.col("bm25") > 0)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(k)
+    )
+
+
+#: fixed query for the library row — three mid-frequency vocabulary
+#: terms of the synthetic documents table
+_BM25_QUERY = ["vector", "window", "stream"]
+
+
+def _bm25_oracle() -> str:
+    tf_defs = ",\n         ".join(
+        f"CAST(len(list_filter(w, x -> x = '{t}')) AS DOUBLE) AS tf_{i}"
+        for i, t in enumerate(_BM25_QUERY)
+    )
+    df_defs = ",\n         ".join(
+        f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_{i}"
+        for i in range(len(_BM25_QUERY))
+    )
+    parts = " + ".join(
+        f"ln((n - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0) * tf_{i} * "
+        f"{_BM25_K1 + 1.0} / (tf_{i} + {_BM25_K1} * "
+        f"(1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl))"
+        for i in range(len(_BM25_QUERY))
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, {_W_SQL} AS w FROM documents
+),
+base AS (
+  SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl,
+         {tf_defs}
+  FROM w
+),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+         {df_defs}
+  FROM base
+)
+SELECT * FROM (
+  SELECT doc_id, round({parts}, 4) AS bm25
+  FROM base, stats
+)
+WHERE bm25 > 0
+ORDER BY bm25 DESC, doc_id
+LIMIT 20
+"""
+
+
+@register("text_bm25_topk", oracle=_bm25_oracle())
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Library wrapper: BM25 top-20 for a fixed three-term query over
+    the documents table, hash-checked against DuckDB computing the
+    identical formula."""
+    return bm25_topk(_docs(spark, sf_dir), _BM25_QUERY)

@@ -320,6 +320,64 @@ class TestCompactPathAbsentRestore:
                 C.compact(spark, p, target_bytes=1 << 30)
 
 
+class TestBm25TopK:
+    """Round-9 operator: Okapi BM25 ranking. The full-formula
+    hash-check against DuckDB lives in the contract library
+    (text_bm25_topk, --all gate); these tests pin the ranking
+    SEMANTICS on a corpus built to make the right order obvious."""
+
+    def _corpus(self, spark):
+        rows = [
+            # d0: both terms, short doc → highest score
+            (0, "spark engine spark rank"),
+            # d1: both terms, diluted by length
+            (1, "spark engine " + "filler " * 60),
+            # d2: one term only
+            (2, "spark alone here with words"),
+            # d3: rare term 'engine' only — idf(engine) > idf(spark)
+            (3, "engine text goes here"),
+            # d4: no query terms → never ranked
+            (4, "nothing relevant at all"),
+            # d5-d9: background docs with 'spark' (lowers its idf)
+            *[(5 + i, f"spark background doc number {i}") for i in range(5)],
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_ranking_semantics(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.text import bm25_topk
+
+        out = bm25_topk(self._corpus(spark), ["spark", "engine"], k=10)
+        rows = out.collect()
+        ids = [r["doc_id"] for r in rows]
+        scores = [r["bm25"] for r in rows]
+        assert ids[0] == 0  # both terms, compact doc wins
+        assert 4 not in ids  # zero-score docs never rank
+        assert scores == sorted(scores, reverse=True)
+        by_id = dict(zip(ids, scores))
+        # idf: 'engine' appears in 2/11 docs, 'spark' in 8/11 → the
+        # engine-only doc outranks any spark-only doc
+        assert by_id[3] > by_id[2]
+        # length normalization: the diluted doc scores below the
+        # compact doc despite identical term counts
+        assert by_id[0] > by_id[1]
+
+    def test_k_cut_and_guards(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.text import bm25_topk
+
+        corpus = self._corpus(spark)
+        assert bm25_topk(corpus, ["spark"], k=3).count() == 3
+        with pytest.raises(ValueError, match="empty query"):
+            bm25_topk(corpus, [])
+
+    def test_determinism(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.text import bm25_topk
+
+        corpus = self._corpus(spark)
+        a = [tuple(r) for r in bm25_topk(corpus, ["spark", "engine"]).collect()]
+        b = [tuple(r) for r in bm25_topk(corpus, ["spark", "engine"]).collect()]
+        assert a == b
+
+
 class TestManifestDataSkipping:
     """Round-9 feature: per-file min/max + row counts in the manifest →
     driver-side file pruning with ZERO file I/O on the skipped set, and
