@@ -399,6 +399,15 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     "text_bm25_topk": "text_gopher_rules (same one-projection word "
     "feature discipline) + q3_shipping_priority (same deterministic "
     "top-k cut) + check_contract --all row",
+    # round-9: PII scrubbing. Library-only (cap): a pure map-side
+    # regexp projection — scalar_parse_format retains the
+    # regexp-extract discipline and text_gopher_rules the per-doc
+    # projection shape; the replacement-parity row (md5 of the
+    # scrubbed bytes vs DuckDB) runs in check_contract --all, and the
+    # discriminating planted-PII fixtures are pytest:TestPiiScrub.
+    "text_pii_scrub": "scalar_parse_format (same regexp-extract "
+    "projection discipline) + text_gopher_rules (same per-doc "
+    "projection shape) + check_contract --all row",
     # round-7 rotation #3: funds the text_gopher_rules slot (new
     # operators go straight into the contract). Green r3-r6 (4 rounds);
     # text_gopher_rules is the strict superset of its shape — the same

@@ -883,3 +883,88 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the documents table, hash-checked against DuckDB computing the
     identical formula."""
     return bm25_topk(_docs(spark, sf_dir), _BM25_QUERY)
+
+
+# --- PII scrubbing (round-9) ------------------------------------------------
+#
+# The standard pretraining-curation redaction pass (the C4/RefinedWeb
+# recipe): replace emails, IPv4 addresses, and international-prefixed
+# phone numbers with typed placeholders, and report per-document match
+# counts. Pure map-side regexp work — no shuffle, no UDF; the patterns
+# stay inside the Java-regex ∩ RE2 common subset (character classes +
+# bounded quantifiers, no alternation/lookaround) so the DuckDB oracle
+# replaces byte-identically.
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+_PII_IPV4 = "([0-9]{1,3}[.]){3}[0-9]{1,3}"
+#: only +-prefixed runs: a bare digit-run pattern would eat ordinary
+#: numbers (years, quantities) — precision over recall, the same trade
+#: the published pipelines make
+_PII_PHONE = "[+][0-9][0-9() -]{6,}[0-9]"
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, n_emails, n_ipv4, n_phones,
+    text_clean): typed-placeholder redaction with counts from the
+    ORIGINAL text. Scrub order email → ipv4 → phone on the
+    progressively cleaned string, so one span is never double-counted
+    by a later pattern."""
+    counted = docs.select(
+        "doc_id",
+        "text",
+        F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL), 0)).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_IPV4), 0)).alias(
+            "n_ipv4"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_PHONE), 0)).alias(
+            "n_phones"
+        ),
+    )
+    cleaned = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
+            _PII_IPV4,
+            "<IP>",
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return counted.select(
+        "doc_id", "n_emails", "n_ipv4", "n_phones", cleaned.alias("text_clean")
+    )
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PII_IPV4}')) AS BIGINT)
+         AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT)
+         AS n_phones,
+       md5(regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_IPV4}', '<IP>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g')) AS scrub_md5
+FROM documents
+""",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Library wrapper: PII redaction over the documents table. The
+    scrubbed text ships as an md5 digest so the oracle checks the
+    REPLACEMENT bytes, not just the counts. (The synthetic corpus
+    carries no planted PII — the discriminating fixtures live in
+    pytest:TestPiiScrub; this row checks cross-engine regex parity.)"""
+    out = pii_scrub(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.col("n_phones").cast("long").alias("n_phones"),
+        F.md5("text_clean").alias("scrub_md5"),
+    )

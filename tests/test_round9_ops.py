@@ -320,6 +320,51 @@ class TestCompactPathAbsentRestore:
                 C.compact(spark, p, target_bytes=1 << 30)
 
 
+class TestPiiScrub:
+    """Round-9 operator: PII redaction. The synthetic corpus carries no
+    PII (the contract row checks cross-engine regex parity on clean
+    text); the discriminating cases are planted here."""
+
+    def test_planted_pii_redacted_and_counted(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.text import pii_scrub
+
+        rows = [
+            (0, "contact alice.smith+x@example.org or bob@sub.domain.co"),
+            (1, "server at 192.168.1.10 and backup at 10.0.0.255 today"),
+            (2, "call +1 (415) 555-0100 or +44 20 7946 0958 now"),
+            (3, "mixed: a@b.io from 127.0.0.1 dialed +33 1 23 45 67 89"),
+            (4, "clean text with numbers 12345 and a year 2026"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r.asDict() for r in pii_scrub(docs).collect()}
+
+        assert (out[0]["n_emails"], out[0]["n_ipv4"], out[0]["n_phones"]) == (
+            2, 0, 0,
+        )
+        assert "<EMAIL>" in out[0]["text_clean"]
+        assert "@" not in out[0]["text_clean"]
+
+        assert out[1]["n_ipv4"] == 2
+        assert out[1]["text_clean"].count("<IP>") == 2
+        assert "192.168" not in out[1]["text_clean"]
+
+        assert out[2]["n_phones"] == 2
+        assert out[2]["text_clean"].count("<PHONE>") == 2
+        assert "555" not in out[2]["text_clean"]
+
+        assert (out[3]["n_emails"], out[3]["n_ipv4"], out[3]["n_phones"]) == (
+            1, 1, 1,
+        )
+        for tag in ("<EMAIL>", "<IP>", "<PHONE>"):
+            assert tag in out[3]["text_clean"]
+
+        # precision: plain numbers and years are NOT phone numbers
+        assert (out[4]["n_emails"], out[4]["n_ipv4"], out[4]["n_phones"]) == (
+            0, 0, 0,
+        )
+        assert out[4]["text_clean"] == rows[4][1]
+
+
 class TestBm25TopK:
     """Round-9 operator: Okapi BM25 ranking. The full-formula
     hash-check against DuckDB lives in the contract library
