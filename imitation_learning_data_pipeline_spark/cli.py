@@ -1073,6 +1073,31 @@ def cmd_manifest(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_curate(args: argparse.Namespace) -> int:
+    """Operational curation funnel (plans/curation.py::curation_funnel):
+    gopher quality gate → PII redaction → exact dedup → perplexity
+    bucket sampling over any (doc_id, text) parquet, with a per-stage
+    funnel report and the curated corpus as parquet output."""
+    from .plans.curation import curation_funnel
+
+    spark = _spark("curate")
+    docs = spark.read.parquet(args.path)
+    for c in ("doc_id", "text"):
+        if c not in docs.columns:
+            raise SystemExit(f"curate: input needs a {c!r} column")
+    stages = tuple(s for s in args.stages.split(",") if s)
+    curated, report = curation_funnel(
+        docs,
+        stages=stages,
+        min_required_stopwords=args.min_stopwords,
+    )
+    if args.out:
+        curated.write.mode("overwrite").parquet(args.out)
+    curated.unpersist()
+    print(json.dumps({"path": args.path, "funnel": report, "out": args.out}))
+    return 0
+
+
 def cmd_recover(args: argparse.Namespace) -> int:
     """Complete a crashed merge commit's journal (pipeline/merge.py
     recover()) without running another merge — for one-shot pipelines
@@ -1494,6 +1519,27 @@ def build_parser() -> argparse.ArgumentParser:
     cd.add_argument("--snapshot-tag", default=None, help="record which pin this card describes")
     cd.add_argument("--out", default=None, help="also write the card JSON to this path")
     cd.set_defaults(fn=cmd_card)
+
+    cu = sub.add_parser(
+        "curate",
+        help="curation funnel: gopher gate, PII redaction, exact "
+        "dedup, perplexity sampling — per-stage report + curated "
+        "parquet",
+    )
+    cu.add_argument("--path", required=True, help="(doc_id, text) parquet")
+    cu.add_argument("--out", default=None, help="write curated corpus here")
+    cu.add_argument(
+        "--stages",
+        default="gopher,pii,dedup,sample",
+        help="comma-separated subset/order of gopher,pii,dedup,sample",
+    )
+    cu.add_argument(
+        "--min-stopwords",
+        type=int,
+        default=2,
+        help="Gopher required-stopword threshold (published default 2)",
+    )
+    cu.set_defaults(fn=cmd_curate)
 
     mf = sub.add_parser(
         "manifest",

@@ -211,3 +211,89 @@ def corpus_diff_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return corpus_diff(docs, v2)
+
+
+# --- operational curation funnel (round-9) ----------------------------------
+#
+# pipeline_corpus_curation (above) is the FUSED report query — three
+# stages collapsed into two exchanges for the contract check. This is
+# the operational form a corpus actually runs through: configurable
+# stage chain with a per-stage funnel report and the curated corpus as
+# the output. Each stage is a contract-covered plan (gopher_rules,
+# pii_scrub, exact dedup's keep-canonical agg, perplexity bucket
+# sampling) — this function only composes them.
+
+_FUNNEL_STAGES = ("gopher", "pii", "dedup", "sample")
+
+
+def curation_funnel(
+    docs: DataFrame,
+    stages: tuple[str, ...] = _FUNNEL_STAGES,
+    min_required_stopwords: int = 2,
+    report: bool = True,
+) -> tuple[DataFrame, list[dict]]:
+    """Chain curation stages over a ``(doc_id, text)`` frame →
+    (curated_frame, funnel_report).
+
+    ``report=True`` counts rows after every stage (N extra actions —
+    the funnel numbers every curation run wants at development scale);
+    ``report=False`` builds one lazy plan with zero extra actions for
+    the 100 TB production pass. Stages:
+
+    - ``gopher``: published Gopher rule conjunction (threshold
+      override via ``min_required_stopwords``).
+    - ``pii``: email/IPv4/phone redaction — transforms text, drops
+      nothing.
+    - ``dedup``: exact content dedup, keep the lowest doc_id per
+      md5(text) (one hash aggregate — no window).
+    - ``sample``: CCNet-shaped perplexity-bucket acceptance on the
+      proxy score (swap in score_with_model upstream for a real LM).
+    """
+    from .sampling import perplexity_bucket_sample, proxy_perplexity_score
+    from .text import gopher_rules, pii_scrub
+
+    unknown = [s for s in stages if s not in _FUNNEL_STAGES]
+    if unknown:
+        raise ValueError(f"curation_funnel: unknown stages {unknown}")
+    cur = docs.select("doc_id", "text")
+    out: list[dict] = []
+    n = cur.count() if report else None
+    prev = None
+    for stage in stages:
+        if stage == "gopher":
+            keep = (
+                gopher_rules(cur, min_required_stopwords)
+                .filter(F.col("keep"))
+                .select("doc_id")
+            )
+            cur = cur.join(keep, "doc_id")
+        elif stage == "pii":
+            cur = pii_scrub(cur).select(
+                "doc_id", F.col("text_clean").alias("text")
+            )
+        elif stage == "dedup":
+            keep = (
+                cur.groupBy(F.md5("text").alias("__d"))
+                .agg(F.min("doc_id").alias("doc_id"))
+                .select("doc_id")
+            )
+            cur = cur.join(keep, "doc_id")
+        elif stage == "sample":
+            sel = perplexity_bucket_sample(
+                cur.select(
+                    "doc_id",
+                    proxy_perplexity_score("text").alias("ppl_score"),
+                )
+            ).select("doc_id")
+            cur = cur.join(sel, "doc_id")
+        if report:
+            cur = cur.persist()
+            m = cur.count()
+            if prev is not None:
+                prev.unpersist()
+            prev = cur
+            out.append({"stage": stage, "rows_in": n, "rows_out": m})
+            n = m
+    # the final frame stays persisted under report=True — the caller
+    # reads it next (write/collect) and may unpersist afterwards
+    return cur, out

@@ -320,6 +320,78 @@ class TestCompactPathAbsentRestore:
                 C.compact(spark, p, target_bytes=1 << 30)
 
 
+class TestCurationFunnel:
+    """Round-9: the operational curation cascade — each stage is a
+    contract-covered plan; these tests pin the composition and the
+    funnel report."""
+
+    def _corpus(self, spark):
+        good = TestGopherPublishedThresholds.GOOD_1  # ~70 words, all rules pass
+        rows = [
+            (0, good),
+            (1, good),  # exact dup of 0 → dedup drops it
+            (2, good + " Contact me at jane@example.com for details."),
+            (3, "too short"),  # gopher drops it
+            (4, good.replace("truth", "verity")),  # distinct survivor
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_stage_chain_and_report(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.curation import (
+            curation_funnel,
+        )
+
+        curated, report = curation_funnel(
+            self._corpus(spark), stages=("gopher", "pii", "dedup")
+        )
+        stages = [r["stage"] for r in report]
+        assert stages == ["gopher", "pii", "dedup"]
+        # gopher: drops the short doc (5 → 4)
+        assert report[0] == {"stage": "gopher", "rows_in": 5, "rows_out": 4}
+        # pii transforms, drops nothing
+        assert report[1]["rows_out"] == 4
+        # dedup: 0 and 1 are identical → one survives
+        assert report[2]["rows_out"] == 3
+        rows = {r["doc_id"]: r["text"] for r in curated.collect()}
+        curated.unpersist()
+        assert set(rows) == {0, 2, 4}  # keep-lowest doc_id of the dup pair
+        assert "<EMAIL>" in rows[2] and "@" not in rows[2]
+
+    def test_funnel_chain_is_consistent(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.curation import (
+            curation_funnel,
+        )
+
+        curated, report = curation_funnel(self._corpus(spark))
+        for prev, nxt in zip(report, report[1:]):
+            assert prev["rows_out"] == nxt["rows_in"]
+        assert curated.count() == report[-1]["rows_out"]
+        curated.unpersist()
+
+    def test_report_false_builds_one_lazy_plan(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.curation import (
+            curation_funnel,
+        )
+
+        curated, report = curation_funnel(self._corpus(spark), report=False)
+        assert report == []
+        reported, rep = curation_funnel(self._corpus(spark))
+        # same final population whether counted per-stage or built lazy
+        assert curated.count() == rep[-1]["rows_out"]
+        assert {r["doc_id"] for r in curated.collect()} == {
+            r["doc_id"] for r in reported.collect()
+        }
+        reported.unpersist()
+
+    def test_unknown_stage_raises(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.curation import (
+            curation_funnel,
+        )
+
+        with pytest.raises(ValueError, match="unknown stages"):
+            curation_funnel(self._corpus(spark), stages=("gopher", "nope"))
+
+
 class TestPiiScrub:
     """Round-9 operator: PII redaction. The synthetic corpus carries no
     PII (the contract row checks cross-engine regex parity on clean
