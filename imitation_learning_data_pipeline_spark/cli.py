@@ -787,6 +787,32 @@ def cmd_shards(args: argparse.Namespace) -> int:
     df = spark.read.parquet(args.input)
     if args.id_col not in df.columns:
         raise SystemExit(f"shards: --id-col {args.id_col!r} not in input")
+    if args.format == "webdataset":
+        from .pipeline.webdataset import export_webdataset
+
+        meta = [c for c in (args.meta_cols or "").split(",") if c]
+        report = export_webdataset(
+            df,
+            args.out,
+            n_shards=args.n_shards,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            meta_cols=meta,
+            shard_seed=args.seed,
+            order_seed=args.seed + ":order",
+        )
+        print(
+            json.dumps(
+                {
+                    "out": args.out,
+                    "format": "webdataset",
+                    "n_shards": args.n_shards,
+                    "rows": sum(r["n_samples"] for r in report),
+                    "bytes": sum(r["bytes"] for r in report),
+                }
+            )
+        )
+        return 0
     export_shards(
         df,
         args.out,
@@ -1302,6 +1328,18 @@ def build_parser() -> argparse.ArgumentParser:
         "--seed",
         default="shard7",
         help="permutation seed; same input + seed = byte-identical export",
+    )
+    sh.add_argument(
+        "--format",
+        choices=["parquet", "webdataset"],
+        default="parquet",
+        help="parquet shard=N dirs (default) or WebDataset tar shards",
+    )
+    sh.add_argument("--text-col", default="text", help="webdataset: text member column")
+    sh.add_argument(
+        "--meta-cols",
+        default=None,
+        help="webdataset: comma-separated columns for the {key}.json member",
     )
     sh.set_defaults(fn=cmd_shards)
 
