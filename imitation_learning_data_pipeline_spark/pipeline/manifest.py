@@ -100,13 +100,24 @@ def _ser_stat(v):
     )
 
 
-def _collect_stats(spark: SparkSession, path: str, stats_cols: list[str]) -> dict:
+def _collect_stats(
+    spark: SparkSession,
+    path: str,
+    stats_cols: list[str],
+    only_paths: list[str] | None = None,
+) -> dict:
     """One column-pruned scan → per-file (row count, min/max per stats
     column), keyed by manifest relpath. Driver-side result is O(#files)
-    rows × a few columns — the same size class as the file listing."""
+    rows × a few columns — the same size class as the file listing.
+    ``only_paths`` restricts the scan to an explicit file list (the
+    incremental-commit case: stats for just-added files cost O(touched),
+    not a table scan)."""
     from pyspark.sql import functions as F
 
-    df = spark.read.parquet(path)
+    if only_paths:
+        df = spark.read.option("basePath", path).parquet(*only_paths)
+    else:
+        df = spark.read.parquet(path)
     missing = [c for c in stats_cols if c not in df.columns]
     if missing:
         raise ValueError(f"manifest stats: columns not in table: {missing}")
@@ -236,16 +247,43 @@ def apply_deltas(
     files.sort()
     payload = {"files": files, "op": "delta"}
     if cur.get("stats_cols"):
-        # carry the skipping config and the surviving files' stats;
-        # files ADDED by this commit get no stats entry (pruning keeps
-        # stat-less files, so correctness holds while coverage decays
-        # until the next refresh/compaction recomputes wholesale)
-        payload["stats_cols"] = cur["stats_cols"]
-        payload["stats"] = {
+        # carry the skipping config, the surviving files' stats, AND
+        # fresh stats for the files this commit just added — an
+        # O(touched) column-pruned scan (the commit wrote these bytes a
+        # moment ago; they're in page cache), so the manifest stays
+        # fully prunable and row-countable through incremental commits
+        # instead of decaying until the next wholesale refresh.
+        stats_cols = cur["stats_cols"]
+        payload["stats_cols"] = stats_cols
+        stats = {
             rel: st
             for rel, st in (cur.get("stats") or {}).items()
             if rel not in dead
         }
+        if add:
+            new_paths = [f"{path}/{rel}" for rel, _b in add]
+            try:
+                fresh = _collect_stats(
+                    spark, path, stats_cols, only_paths=new_paths
+                )
+                # rels the row-wise aggregate couldn't see are
+                # genuinely EMPTY part files — but only when the scan
+                # succeeded; zero-filling after a failure would mark
+                # live files empty and pruning would wrongly skip them
+                for rel, _b in add:
+                    fresh.setdefault(
+                        rel,
+                        {"rows": 0, **{c: [None, None] for c in stats_cols}},
+                    )
+                stats.update(fresh)
+            except Exception:
+                # a commit that evolved the schema away from a stats
+                # column (or any stats failure) must not fail the
+                # commit: the added files simply stay stat-less — the
+                # always-read rule keeps reads correct, row counts
+                # honestly return None until the next refresh
+                pass
+        payload["stats"] = stats
     _write_json(fs, jvm_path, _manifest_path(path), payload)
     return True
 

@@ -591,6 +591,14 @@ class TestBm25TopK:
         assert a == b
 
 
+def read_pruned_ids(spark, p, lo, hi):
+    from imitation_learning_data_pipeline_spark.pipeline.manifest import (
+        read_pruned,
+    )
+
+    return sorted(r["id"] for r in read_pruned(spark, p, "id", lo, hi).collect())
+
+
 class TestManifestDataSkipping:
     """Round-9 feature: per-file min/max + row counts in the manifest →
     driver-side file pruning with ZERO file I/O on the skipped set, and
@@ -675,9 +683,10 @@ class TestManifestDataSkipping:
         )
         assert got == list(range(4000, 5000))
 
-    def test_commit_delta_keeps_statless_files_readable(
-        self, spark, tmp_path
-    ):
+    def test_commit_delta_keeps_stats_fresh(self, spark, tmp_path):
+        """A merge commit's delta computes stats for its added files
+        (O(touched) scan), so pruning coverage and the metadata row
+        count survive incremental commits without a refresh."""
         from imitation_learning_data_pipeline_spark.pipeline.manifest import (
             manifest_row_count,
             prune_files,
@@ -695,19 +704,46 @@ class TestManifestDataSkipping:
             [(999_999, 1, None)], "id long, v long, ts timestamp"
         )
         merge_into(spark, p, upd, key="id")
-        # the commit's new file has no stats entry → every prune keeps
-        # it, so the fresh row is visible in ANY range read
         got = read_pruned(spark, p, "id", 999_000, 1_000_000).collect()
         assert [r["id"] for r in got] == [999_999]
+        # the new file carries stats → a low range PRUNES it away too
         pr = prune_files(spark, p, "id", 0, 9)
-        # old files still prune; the stat-less file rides along
-        assert pr["n_skipped"] >= 8
-        # row count honestly declines to answer until the next refresh
-        assert manifest_row_count(spark, p) is None
-        write_manifest(spark, p)  # stats_cols preserved by default
-        assert manifest_row_count(spark, p) == spark.read.parquet(p).count()
-        pr2 = prune_files(spark, p, "id", 999_000, 1_000_000)
-        assert pr2["n_skipped"] >= pr["n_skipped"]
+        assert pr["n_skipped"] >= 9
+        # metadata count stays answerable through the commit
+        assert manifest_row_count(spark, p) == 10_001
+
+    def test_delta_stats_failure_degrades_honestly(self, spark, tmp_path):
+        """If the delta's stats scan fails, the commit still lands: the
+        added file is stat-less (always read), and the row count
+        honestly returns None until the next refresh."""
+        from imitation_learning_data_pipeline_spark.pipeline import (
+            manifest as M,
+        )
+        from imitation_learning_data_pipeline_spark.pipeline.merge import (
+            merge_into,
+        )
+
+        p = self._clustered(spark, tmp_path, "ds4b")
+        M.write_manifest(spark, p, stats_cols=["id"])
+        real = M._collect_stats
+
+        def boom(spark_, path_, cols, only_paths=None):
+            if only_paths is not None:
+                raise RuntimeError("injected stats failure")
+            return real(spark_, path_, cols, only_paths)
+
+        upd = spark.createDataFrame(
+            [(999_999, 1, None)], "id long, v long, ts timestamp"
+        )
+        with pytest.MonkeyPatch.context() as mp:
+            mp.setattr(M, "_collect_stats", boom)
+            merge_into(spark, p, upd, key="id")
+        # stat-less file: every prune keeps it, reads stay correct
+        got = read_pruned_ids(spark, p, 999_000, 1_000_000)
+        assert got == [999_999]
+        assert M.manifest_row_count(spark, p) is None
+        M.write_manifest(spark, p)  # stats_cols preserved by default
+        assert M.manifest_row_count(spark, p) == 10_001
 
     def test_compaction_refresh_recomputes_stats(self, spark, tmp_path):
         from imitation_learning_data_pipeline_spark.pipeline.compact import (
