@@ -777,6 +777,25 @@ def cmd_merge(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_insert(args: argparse.Namespace) -> int:
+    """Journaled INSERT (pipeline/merge.py::insert_into): append rows
+    as new files through the same crash-safe commit as merge/delete/
+    update — manifest delta, stats, and history included."""
+    from .pipeline.merge import insert_into
+
+    spark = _spark("insert")
+    rows = spark.read.parquet(args.rows)
+    stats = insert_into(
+        spark,
+        args.path,
+        rows,
+        partition_by=args.partition_by.split(",") if args.partition_by else None,
+        stale_lock_s=args.stale_lock_s,
+    )
+    print(json.dumps({"path": args.path, **stats}))
+    return 0
+
+
 def cmd_shards(args: argparse.Namespace) -> int:
     """Deterministic shuffled shard export (plans/sampling.py): seeded
     md5 permutation, shard=N Hive dirs, one file per shard, byte-stable
@@ -1308,6 +1327,27 @@ def build_parser() -> argparse.ArgumentParser:
         "this many seconds (default: never)",
     )
     mg.set_defaults(fn=cmd_merge)
+
+    ins = sub.add_parser(
+        "insert",
+        help="journaled INSERT: append rows through the same crash-safe "
+        "commit as merge/delete/update (manifest + history included)",
+    )
+    ins.add_argument("--path", required=True, help="target parquet dataset")
+    ins.add_argument("--rows", required=True, help="parquet dir of rows to append")
+    ins.add_argument(
+        "--partition-by",
+        default=None,
+        help="comma-separated Hive partition columns of the target layout",
+    )
+    ins.add_argument(
+        "--stale-lock-s",
+        type=float,
+        default=None,
+        help="take over a crashed holder's maintenance lock older than "
+        "this many seconds (default: never)",
+    )
+    ins.set_defaults(fn=cmd_insert)
 
     rc = sub.add_parser(
         "recover",

@@ -868,3 +868,84 @@ def zorder_write(
         )
     if manifested:  # the overwrite wiped _manifest — restore the opt-in
         write_manifest(df.sparkSession, path)
+
+
+def insert_into(
+    spark: SparkSession,
+    path: str,
+    rows: DataFrame,
+    partition_by: list[str] | None = None,
+    stale_lock_s: float | None = None,
+) -> dict:
+    """INSERT: append ``rows`` to the parquet dataset at ``path`` as
+    new files through the SAME journaled commit as merge/delete/update
+    — completing the DML family (a bare ``df.write.mode("append")``
+    bypasses the journal, the manifest, and the history log, leaving a
+    manifested table silently stale and a crashed append half-visible).
+
+    No existing file is touched: snapshots are unaffected, and the
+    commit is crash-safe — ``__merge_pending.json`` lands atomically
+    before any file moves, so a crash mid-move is completed by the next
+    maintenance op (or :func:`recover`) instead of leaving a torn
+    append. Manifested tables get their (add, []) delta folded in
+    O(touched) — per-file stats included when the table opted into
+    data skipping.
+
+    ``partition_by`` follows merge_into's rule: required when the
+    target is Hive-partitioned, rejected when it's flat. Schema is
+    strict by NAME SET (order-insensitive); values cast to the target's
+    column types so an append can never widen or corrupt the schema.
+    Returns {"files_added": N}.
+    """
+    path = path.rstrip("/")
+    fs, jpath = _fs(spark, path)
+    jvm_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    tmp = f"{path}__merge_tmp"
+    _acquire_lock(spark, fs, jvm_path, path, "insert_into", stale_lock_s)
+    try:
+        _recover_pending(spark, fs, jvm_path, path, tmp)
+        partitioned_dirs = [
+            st.getPath().getName()
+            for st in fs.listStatus(jpath)
+            if st.isDirectory() and "=" in st.getPath().getName()
+        ]
+        if partitioned_dirs and not partition_by:
+            raise ValueError(
+                f"insert_into: {path} is Hive-partitioned "
+                f"({partitioned_dirs[0]}/...); pass partition_by=[...] "
+                "so staged files keep the layout"
+            )
+        if partition_by and not partitioned_dirs:
+            raise ValueError(
+                f"insert_into: {path} has a flat layout but partition_by="
+                f"{partition_by} was given — committing would mix flat "
+                "and partitioned files into an unreadable tree"
+            )
+        target = spark.read.parquet(path)
+        missing = [c for c in target.columns if c not in rows.columns]
+        extra = [c for c in rows.columns if c not in target.columns]
+        if missing or extra:
+            raise ValueError(
+                f"insert_into: schema mismatch — rows missing {missing}, "
+                f"extra {extra}; INSERT appends whole rows of the "
+                "target's exact schema (use merge_into with "
+                "allow_new_columns=True to widen)"
+            )
+        cast = rows.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in target.schema.fields
+            ]
+        )
+        _rm(fs, jvm_path, tmp)
+        writer = cast.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(tmp)
+        moved = _commit_staged(spark, fs, jvm_path, path, tmp, [])
+        from .history import log_event
+
+        log_event(spark, path, "insert", {"files_added": moved})
+        return {"files_added": moved}
+    finally:
+        fs.delete(jvm_path(_lock_path(path)), False)

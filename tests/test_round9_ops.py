@@ -320,6 +320,124 @@ class TestCompactPathAbsentRestore:
                 C.compact(spark, p, target_bytes=1 << 30)
 
 
+class TestInsertInto:
+    """Round-9: journaled INSERT completes the DML family — appends go
+    through the same commit discipline as merge/delete/update instead
+    of a manifest-bypassing bare write."""
+
+    def test_append_rows_and_manifest_stats_stay_fresh(
+        self, spark, tmp_path
+    ):
+        from imitation_learning_data_pipeline_spark.pipeline.manifest import (
+            manifest_row_count,
+            write_manifest,
+        )
+        from imitation_learning_data_pipeline_spark.pipeline.merge import (
+            insert_into,
+        )
+
+        p = str(tmp_path / "t")
+        spark.range(0, 100).selectExpr("id", "id AS val").write.parquet(p)
+        write_manifest(spark, p, stats_cols=["id"])
+        out = insert_into(
+            spark,
+            p,
+            spark.createDataFrame([(1000, -1), (1001, -2)], ["id", "val"]),
+        )
+        assert out["files_added"] >= 1
+        got = spark.read.parquet(p)
+        assert got.count() == 102
+        assert got.filter("id >= 1000").count() == 2
+        # manifest delta + stats applied through the commit
+        assert manifest_row_count(spark, p) == 102
+        # history records the op
+        from imitation_learning_data_pipeline_spark.pipeline.history import (
+            history,
+        )
+
+        ops = [r["op"] for r in history(spark, p)]
+        assert "insert" in ops
+
+    def test_schema_and_layout_guards(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.merge import (
+            insert_into,
+        )
+
+        flat = str(tmp_path / "flat")
+        spark.range(0, 10).selectExpr("id", "id AS val").write.parquet(flat)
+        with pytest.raises(ValueError, match="schema mismatch"):
+            insert_into(
+                spark, flat, spark.createDataFrame([(1,)], ["id"])
+            )
+        with pytest.raises(ValueError, match="flat layout"):
+            insert_into(
+                spark,
+                flat,
+                spark.createDataFrame([(1, 2)], ["id", "val"]),
+                partition_by=["val"],
+            )
+        part = str(tmp_path / "part")
+        spark.range(0, 10).selectExpr(
+            "id", "id % 2 AS split"
+        ).write.partitionBy("split").parquet(part)
+        with pytest.raises(ValueError, match="Hive-partitioned"):
+            insert_into(
+                spark, part, spark.createDataFrame([(11, 1)], ["id", "split"])
+            )
+        out = insert_into(
+            spark,
+            part,
+            spark.createDataFrame([(11, 1)], ["id", "split"]),
+            partition_by=["split"],
+        )
+        assert out["files_added"] >= 1
+        got = spark.read.parquet(part)
+        assert got.count() == 11
+        assert got.filter("split = 1").count() == 6
+
+    def test_values_cast_to_target_types(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.merge import (
+            insert_into,
+        )
+
+        p = str(tmp_path / "c")
+        spark.range(0, 5).selectExpr(
+            "id", "cast(id AS double) AS val"
+        ).write.parquet(p)
+        insert_into(
+            spark, p, spark.createDataFrame([(9, 9)], ["id", "val"])
+        )  # int val → cast to double, schema unchanged
+        got = spark.read.parquet(p)
+        assert dict(got.dtypes)["val"] == "double"
+        assert got.count() == 6
+
+    def test_insert_completes_crashed_prior_commit(self, spark, tmp_path):
+        """An insert on a path with a pending journal finishes it first
+        — same recovery discipline as the rest of the DML family."""
+        from imitation_learning_data_pipeline_spark.pipeline.merge import (
+            insert_into,
+        )
+
+        p = str(tmp_path / "cr")
+        spark.range(0, 50).selectExpr("id", "id AS val").write.parquet(p)
+        tmp = p + "__merge_tmp"
+        spark.createDataFrame([(777, -7)], ["id", "val"]).coalesce(
+            1
+        ).write.parquet(tmp)
+        staged = next(
+            f for f in os.listdir(tmp) if f.endswith(".parquet")
+        )
+        with open(os.path.join(p, "__merge_pending.json"), "w") as fh:
+            json.dump({"add": [staged], "delete": []}, fh)
+        insert_into(
+            spark, p, spark.createDataFrame([(888, -8)], ["id", "val"])
+        )
+        ids = {r["id"] for r in spark.read.parquet(p).collect()}
+        assert 777 in ids and 888 in ids
+        assert len(ids) == 52
+        assert not os.path.exists(os.path.join(p, "__merge_pending.json"))
+
+
 class TestWebdatasetExport:
     """Round-9 sink: WebDataset tar shards with the deterministic
     shard/order permutation and normalized tar metadata — re-exports
