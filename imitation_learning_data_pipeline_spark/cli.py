@@ -1099,6 +1099,24 @@ def cmd_manifest(args: argparse.Namespace) -> int:
         diff = man.verify_manifest(spark, args.path)
         print(json.dumps({"path": args.path, **diff}))
         return 0 if not diff["missing"] and not diff["extra"] else 1
+    if args.vacuum_orphans:
+        out = man.vacuum_orphans(
+            spark,
+            args.path,
+            older_than_s=args.older_than_s,
+            dry_run=args.dry_run,
+        )
+        print(
+            json.dumps(
+                {
+                    "path": args.path,
+                    "n_removed": len(out["removed"]),
+                    **{k: v for k, v in out.items() if k != "removed"},
+                    "dry_run": args.dry_run,
+                }
+            )
+        )
+        return 0
     stats_cols = (
         [c for c in args.stats_cols.split(",") if c]
         if args.stats_cols is not None
@@ -1629,6 +1647,21 @@ def build_parser() -> argparse.ArgumentParser:
         "--verify",
         action="store_true",
         help="diff the manifest against an actual listing; exit 1 on drift",
+    )
+    mf.add_argument(
+        "--vacuum-orphans",
+        action="store_true",
+        help="GC aged data files the manifest does not list "
+        "(crash-stranded output); snapshot-referenced files survive",
+    )
+    mf.add_argument(
+        "--older-than-s",
+        type=float,
+        default=86400.0,
+        help="vacuum: only files older than this many seconds (default 1 day)",
+    )
+    mf.add_argument(
+        "--dry-run", action="store_true", help="vacuum: report, don't delete"
     )
     mf.add_argument(
         "--stats-cols",

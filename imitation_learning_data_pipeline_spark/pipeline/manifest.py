@@ -465,6 +465,79 @@ def manifest_row_count(spark: SparkSession, path: str) -> int | None:
     return total
 
 
+def vacuum_orphans(
+    spark: SparkSession,
+    path: str,
+    older_than_s: float = 86_400.0,
+    dry_run: bool = False,
+    stale_lock_s: float | None = None,
+) -> dict:
+    """GC data files the manifest does NOT list — crash-stranded
+    output from aborted jobs, or writes that bypassed the DML commit
+    path. The Delta/Iceberg VACUUM shape on plain parquet: the
+    manifest is the liveness reference, ``older_than_s`` protects
+    in-flight writers (a file younger than the cutoff may belong to a
+    commit that has not journaled yet), and snapshot-referenced files
+    are never touched. Takes the maintenance lock; refuses while a
+    commit journal is pending (the manifest may trail it by one
+    commit). Returns {"removed": [rel...], "kept_recent": N,
+    "bytes_reclaimed": B}; ``dry_run`` reports without deleting."""
+    import time as _time
+
+    from .compact import _acquire_lock, _lock_path
+    from .snapshot import _live_rels, referenced_rels
+
+    path = path.rstrip("/")
+    if not has_manifest(spark, path):
+        raise ValueError(
+            f"vacuum_orphans: {path} has no manifest — without one there "
+            "is no liveness reference to distinguish an orphan from data "
+            "(write_manifest first)"
+        )
+    fs, _ = _fs(spark, path)
+    jvm_path = _jvm_path(spark)
+    if fs.exists(jvm_path(f"{path}/{_PENDING}")):
+        raise ValueError(
+            f"vacuum_orphans: {path} has a pending commit journal — "
+            "recover it first (pipeline.merge.recover); the manifest may "
+            "trail the journaled commit"
+        )
+    _acquire_lock(spark, fs, jvm_path, path, "vacuum_orphans", stale_lock_s)
+    try:
+        manifested = {r for r, _b in read_manifest_entries(spark, path)["files"]}
+        snap_refs = referenced_rels(spark, fs, jvm_path, path)
+        cutoff_ms = (_time.time() - older_than_s) * 1000.0
+        removed, kept_recent, reclaimed = [], 0, 0
+        for rel, nbytes in _live_rels(spark, fs, jvm_path, path):
+            if rel in manifested or rel in snap_refs:
+                continue
+            st = fs.getFileStatus(jvm_path(f"{path}/{rel}"))
+            if st.getModificationTime() > cutoff_ms:
+                kept_recent += 1  # possibly a not-yet-journaled commit
+                continue
+            if not dry_run:
+                fs.delete(jvm_path(f"{path}/{rel}"), False)
+            removed.append(rel)
+            reclaimed += int(nbytes)
+        out = {
+            "removed": sorted(removed),
+            "kept_recent": kept_recent,
+            "bytes_reclaimed": reclaimed,
+        }
+        if removed and not dry_run:
+            from .history import log_event
+
+            log_event(
+                spark,
+                path,
+                "vacuum_orphans",
+                {"n_removed": len(removed), "bytes_reclaimed": reclaimed},
+            )
+        return out
+    finally:
+        fs.delete(jvm_path(_lock_path(path)), False)
+
+
 def verify_manifest(spark: SparkSession, path: str) -> dict:
     """Debug/CI helper: diff the manifest against an actual listing.
     Empty ``missing``/``extra`` = consistent."""

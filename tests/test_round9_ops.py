@@ -320,6 +320,113 @@ class TestCompactPathAbsentRestore:
                 C.compact(spark, p, target_bytes=1 << 30)
 
 
+class TestVacuumOrphans:
+    """Round-9: manifest-referenced orphan GC — removes only aged,
+    unmanifested, snapshot-unreferenced data files."""
+
+    def _table(self, spark, tmp_path, name):
+        from imitation_learning_data_pipeline_spark.pipeline.manifest import (
+            write_manifest,
+        )
+
+        p = str(tmp_path / name)
+        spark.range(0, 100).selectExpr("id", "id AS val").repartition(
+            2
+        ).write.parquet(p)
+        write_manifest(spark, p)
+        return p
+
+    def _plant_orphan(self, spark, p, name, old=True):
+        import shutil as sh
+
+        tmp = p + "_stage"
+        spark.createDataFrame([(9999, -1)], ["id", "val"]).coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        staged = next(
+            f for f in os.listdir(tmp) if f.endswith(".parquet")
+        )
+        dst = os.path.join(p, name)
+        sh.move(os.path.join(tmp, staged), dst)
+        if old:
+            os.utime(dst, (1_000_000, 1_000_000))
+        return dst
+
+    def test_aged_orphan_removed_fresh_kept(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.manifest import (
+            vacuum_orphans,
+        )
+
+        p = self._table(spark, tmp_path, "v1")
+        self._plant_orphan(spark, p, "part-orphan-old.parquet", old=True)
+        fresh = self._plant_orphan(
+            spark, p, "part-orphan-new.parquet", old=False
+        )
+        dry = vacuum_orphans(spark, p, older_than_s=3600, dry_run=True)
+        assert dry["removed"] == ["part-orphan-old.parquet"]
+        assert os.path.exists(os.path.join(p, "part-orphan-old.parquet"))
+        out = vacuum_orphans(spark, p, older_than_s=3600)
+        assert out["removed"] == ["part-orphan-old.parquet"]
+        assert out["kept_recent"] == 1
+        assert out["bytes_reclaimed"] > 0
+        assert not os.path.exists(os.path.join(p, "part-orphan-old.parquet"))
+        assert os.path.exists(fresh)
+        # manifested data untouched, table still reads clean
+        assert spark.read.parquet(p).filter("id < 100").count() == 100
+
+    def test_guards(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.manifest import (
+            vacuum_orphans,
+        )
+
+        bare = str(tmp_path / "bare")
+        spark.range(5).write.parquet(bare)
+        with pytest.raises(ValueError, match="no manifest"):
+            vacuum_orphans(spark, bare)
+        p = self._table(spark, tmp_path, "v2")
+        with open(os.path.join(p, "__merge_pending.json"), "w") as fh:
+            fh.write('{"add": [], "delete": []}')
+        with pytest.raises(ValueError, match="pending commit journal"):
+            vacuum_orphans(spark, p)
+
+    def test_snapshot_referenced_files_survive(self, spark, tmp_path):
+        """A file a snapshot pins but the current manifest no longer
+        lists must NOT be vacuumed even when aged."""
+        from imitation_learning_data_pipeline_spark.pipeline.manifest import (
+            vacuum_orphans,
+            write_manifest,
+        )
+        from imitation_learning_data_pipeline_spark.pipeline.snapshot import (
+            create_snapshot,
+            read_snapshot,
+        )
+
+        p = self._table(spark, tmp_path, "v3")
+        orphan = self._plant_orphan(spark, p, "part-pinned.parquet", old=False)
+        write_manifest(spark, p)  # manifest now includes it
+        create_snapshot(spark, p, "pin")  # snapshot pins the file set
+        # simulate the manifest dropping it again (external refresh
+        # from a state where the file was gone): hand-edit is overkill —
+        # rewrite manifest WITHOUT the file by deleting + refreshing is
+        # destructive; instead drop it from the manifest JSON directly
+        import json as _json
+
+        mp = os.path.join(p, "_manifest", "current.json")
+        cur = _json.load(open(mp))
+        cur["files"] = [
+            [r, b] for r, b in cur["files"] if r != "part-pinned.parquet"
+        ]
+        _json.dump(cur, open(mp, "w"))
+        crc = os.path.join(p, "_manifest", ".current.json.crc")
+        if os.path.exists(crc):  # hand-edit invalidates Hadoop's sidecar
+            os.remove(crc)
+        os.utime(orphan, (1_000_000, 1_000_000))  # aged
+        out = vacuum_orphans(spark, p, older_than_s=3600)
+        assert out["removed"] == []  # snapshot reference protects it
+        assert os.path.exists(orphan)
+        assert read_snapshot(spark, p, "pin").count() == 101
+
+
 class TestInsertInto:
     """Round-9: journaled INSERT completes the DML family — appends go
     through the same commit discipline as merge/delete/update instead
