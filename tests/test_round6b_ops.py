@@ -727,13 +727,16 @@ class TestClusterWrite:
         for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
             assert hi1 < lo2  # disjoint, ordered key ranges
 
-        # a contiguous-key merge now touches ~1 file, not ~k
+        # a contiguous-key merge now touches ~1 file, not ~k.
+        # repartitionByRange SAMPLES its cut points, so a 20-key run can
+        # land exactly on a file boundary — allow the straddle (2), the
+        # locality claim is "O(1) files, not O(n_files)"
         upd = spark.createDataFrame(
             [(i, "upd") for i in range(5000, 5020)], ["id", "val"]
         )
         stats = merge_into(spark, p, upd, key="id")
         assert stats["rows_matched"] == 20
-        assert stats["files_touched"] == 1
+        assert stats["files_touched"] <= 2
 
 
 class TestTrajectoryCli:
