@@ -443,6 +443,154 @@ def read_pruned(
     return _residual(spark.read.option("basePath", path).parquet(*paths))
 
 
+_CONJUNCT_RE = None  # compiled lazily in _extract_bounds
+
+
+def _parse_literal(tok: str):
+    """SQL literal → Python value for stats comparison, or None if the
+    token isn't a recognizable literal. timestamp/date literals map to
+    their ISO string — the same lexicographically-ordered form the
+    stats serializer uses."""
+    import re as _re
+
+    tok = tok.strip()
+    m = _re.match(r"^(?:timestamp|date)\s*'([^']*)'$", tok, _re.IGNORECASE)
+    if m:
+        return m.group(1).replace(" ", "T", 1) if "T" not in m.group(1) else m.group(1)
+    m = _re.match(r"^'([^']*)'$", tok)
+    if m:
+        return m.group(1)
+    m = _re.match(r"^-?\d+$", tok)
+    if m:
+        return int(tok)
+    m = _re.match(r"^-?\d*\.\d+$", tok)
+    if m:
+        return float(tok)
+    return None
+
+
+def extract_range_bounds(where: str) -> dict:
+    """Best-effort extraction of per-column range bounds from a SQL
+    predicate's top-level AND conjuncts: ``col >= lit``, ``col > lit``,
+    ``col <= lit``, ``col < lit``, ``col = lit``, ``col BETWEEN a AND
+    b``. Anything else (OR subtrees, functions, reversed operands)
+    contributes nothing — pruning is an optimization, the caller always
+    applies the FULL predicate as the residual filter, so a missed
+    conjunct can never change results. Returns {col: (lo, hi)} with
+    None for open sides; strict comparisons prune with the inclusive
+    superset."""
+    import re as _re
+
+    # mask BETWEEN's internal AND so the conjunct split doesn't cut it
+    masked = _re.sub(
+        r"(?i)(between\s+[^()']*?|\bbetween\s+'[^']*')\s+and\s+",
+        lambda m: m.group(1) + " \x00 ",
+        where,
+    )
+    # split on top-level AND (outside parens and quotes)
+    conjuncts, depth, buf, i, in_q = [], 0, "", 0, False
+    tokens = _re.split(r"(?i)(\s+and\s+|\(|\)|')", masked)
+    for t in tokens:
+        if t is None:
+            continue
+        if t == "'":
+            in_q = not in_q
+            buf += t
+        elif t == "(" and not in_q:
+            depth += 1
+            buf += t
+        elif t == ")" and not in_q:
+            depth -= 1
+            buf += t
+        elif _re.fullmatch(r"(?i)\s+and\s+", t) and depth == 0 and not in_q:
+            conjuncts.append(buf)
+            buf = ""
+        else:
+            buf += t
+    conjuncts.append(buf)
+
+    ident = r"`?([A-Za-z_][A-Za-z0-9_]*)`?"
+    lit = r"((?:timestamp|date)?\s*'[^']*'|-?\d+(?:\.\d+)?)"
+    bounds: dict = {}
+
+    def _fold(col, lo=None, hi=None):
+        cur_lo, cur_hi = bounds.get(col, (None, None))
+        try:
+            if lo is not None:
+                cur_lo = lo if cur_lo is None else max(cur_lo, lo)
+            if hi is not None:
+                cur_hi = hi if cur_hi is None else min(cur_hi, hi)
+        except TypeError:
+            return  # mixed types across conjuncts: skip the column
+        bounds[col] = (cur_lo, cur_hi)
+
+    for c in conjuncts:
+        c = c.strip()
+        m = _re.fullmatch(
+            rf"(?i){ident}\s+between\s+{lit}\s+\x00\s+{lit}", c
+        )
+        if m:
+            lo, hi = _parse_literal(m.group(2)), _parse_literal(m.group(3))
+            if lo is not None and hi is not None:
+                _fold(m.group(1), lo=lo, hi=hi)
+            continue
+        m = _re.fullmatch(rf"{ident}\s*(>=|<=|>|<|=)\s*{lit}", c)
+        if not m:
+            continue
+        col, op, val = m.group(1), m.group(2), _parse_literal(m.group(3))
+        if val is None:
+            continue
+        if op in (">=", ">"):
+            _fold(col, lo=val)
+        elif op in ("<=", "<"):
+            _fold(col, hi=val)
+        else:
+            _fold(col, lo=val, hi=val)
+    return {c: b for c, b in bounds.items() if b != (None, None)}
+
+
+def read_where(spark: SparkSession, path: str, where: str) -> DataFrame:
+    """Predicate read with AUTOMATIC data skipping: range/equality
+    conjuncts on stats columns are extracted from ``where`` and used to
+    prune files driver-side; the full predicate then applies as the
+    residual row filter, so the result is exactly
+    ``spark.read.parquet(path).filter(where)`` regardless of what the
+    extractor understood. Falls back to the plain filtered read when
+    the table has no manifest/stats, a commit journal is pending, or
+    no conjunct is prunable."""
+    path = path.rstrip("/")
+
+    def _plain():
+        return spark.read.parquet(path).filter(where)
+
+    try:
+        bounds = extract_range_bounds(where)
+    except Exception:
+        return _plain()
+    if not bounds or not has_manifest(spark, path):
+        return _plain()
+    fs, _ = _fs(spark, path)
+    jvm_path = _jvm_path(spark)
+    if fs.exists(jvm_path(f"{path}/{_PENDING}")):
+        return _plain()
+    cur = read_manifest_entries(spark, path)
+    usable = {
+        c: b for c, b in bounds.items() if c in (cur.get("stats_cols") or [])
+    }
+    if not usable:
+        return _plain()
+    try:
+        pruned = prune_files(spark, path, bounds=usable)
+    except Exception:
+        return _plain()
+    if not pruned["kept"]:
+        return _plain().limit(0)
+    paths = [f"{path}/{rel}" for rel in pruned["kept"]]
+    return (
+        spark.read.option("basePath", path).parquet(*paths).filter(where)
+    )
+
+
 def manifest_row_count(spark: SparkSession, path: str) -> int | None:
     """COUNT(*) from manifest metadata alone — zero data I/O. Returns
     None when any live file lacks a row-count stat (stats never

@@ -320,6 +320,75 @@ class TestCompactPathAbsentRestore:
                 C.compact(spark, p, target_bytes=1 << 30)
 
 
+class TestReadWhereAutoPruning:
+    """Round-9: automatic data skipping from a SQL predicate — range
+    conjuncts on stats columns prune files; the FULL predicate always
+    applies as the residual, so correctness never depends on what the
+    extractor understood."""
+
+    def test_bounds_extraction(self):
+        from imitation_learning_data_pipeline_spark.pipeline.manifest import (
+            extract_range_bounds,
+        )
+
+        b = extract_range_bounds(
+            "id >= 100 AND id < 200 AND v = 'x' AND (a > 1 OR b < 2) "
+            "AND ts >= timestamp'2026-01-01 00:00:00' AND w BETWEEN 5 AND 9"
+        )
+        assert b["id"] == (100, 200)
+        assert b["v"] == ("x", "x")
+        assert b["ts"] == ("2026-01-01T00:00:00", None)
+        assert b["w"] == (5, 9)
+        assert "a" not in b and "b" not in b  # OR subtree ignored
+        # repeated conjuncts intersect
+        assert extract_range_bounds("id >= 10 AND id >= 50 AND id <= 90")[
+            "id"
+        ] == (50, 90)
+        # nothing extractable → empty
+        assert extract_range_bounds("length(text) > 5") == {}
+
+    def test_read_where_prunes_and_matches(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.manifest import (
+            read_where,
+            write_manifest,
+        )
+        from imitation_learning_data_pipeline_spark.pipeline.merge import (
+            cluster_write,
+        )
+
+        p = str(tmp_path / "rw")
+        df = spark.range(0, 10_000).selectExpr("id", "id % 7 AS v")
+        cluster_write(df, p, by="id", n_files=10)
+        write_manifest(spark, p, stats_cols=["id"])
+        where = "id BETWEEN 4000 AND 4999 AND v = 3"
+        got = sorted(r["id"] for r in read_where(spark, p, where).collect())
+        expect = sorted(
+            r["id"]
+            for r in spark.read.parquet(p).filter(where).collect()
+        )
+        assert got == expect and len(got) > 0
+        # the pruned plan really reads fewer files
+        assert len(read_where(spark, p, where).inputFiles()) <= 3
+        assert (
+            len(spark.read.parquet(p).filter(where).inputFiles()) == 10
+        )
+
+    def test_unprunable_predicates_fall_back(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.manifest import (
+            read_where,
+            write_manifest,
+        )
+
+        p = str(tmp_path / "rw2")
+        spark.range(0, 100).selectExpr("id", "id % 3 AS v").write.parquet(p)
+        write_manifest(spark, p, stats_cols=["id"])
+        # OR at top level: no bounds → plain read, still correct
+        got = read_where(spark, p, "id < 5 OR id > 95").count()
+        assert got == 9
+        # stats-less column: falls back
+        assert read_where(spark, p, "v = 1").count() == 33
+
+
 class TestDmlCrashSweep:
     """Round-9: systematic crash-injection sweep over the DML family.
     Each scenario kills one op at one commit window (before the
