@@ -429,6 +429,50 @@ def _merge_into_locked(
     }
 
 
+def _find_phase_source(spark, path: str, predicate) -> DataFrame | None:
+    """The frame the DML find phase scans. On a manifested table with
+    data-skipping stats and a STRING predicate, range/equality
+    conjuncts pre-cut the file set driver-side (a kept-superset cut:
+    every extracted conjunct is implied by the full predicate, so a
+    skipped file cannot contain a matching row) — the find scan then
+    never stats or footer-reads the skipped files at all. Returns None
+    when pruning proves NO file can match. Any other state falls back
+    to the plain full-table frame. Callers run this AFTER journal
+    recovery, so the manifest is trustworthy."""
+    full = spark.read.parquet(path)
+    if not isinstance(predicate, str):
+        return full
+    try:
+        from .manifest import (
+            extract_range_bounds,
+            has_manifest,
+            prune_files,
+            read_manifest_entries,
+        )
+
+        if not has_manifest(spark, path):
+            return full
+        bounds = extract_range_bounds(predicate)
+        cur = read_manifest_entries(spark, path)
+        usable = {
+            c: b
+            for c, b in bounds.items()
+            if c in (cur.get("stats_cols") or [])
+        }
+        if not usable:
+            return full
+        pruned = prune_files(spark, path, bounds=usable)
+        if pruned["n_skipped"] == 0:
+            return full
+        if not pruned["kept"]:
+            return None
+        return spark.read.option("basePath", path).parquet(
+            *[f"{path}/{rel}" for rel in pruned["kept"]]
+        )
+    except Exception:
+        return full
+
+
 def delete_from(
     spark: SparkSession,
     path: str,
@@ -487,10 +531,15 @@ def delete_from(
         target_cols = target.columns
         # find phase: column pruning is Catalyst's (only predicate
         # columns + _metadata are read); footer stats prune clustered
-        # layouts because `hit` pushes down as a data filter
+        # layouts because `hit` pushes down as a data filter — and on a
+        # manifested table with stats, the file set is pre-cut
+        # driver-side before Spark stats a single skipped file
+        find_src = _find_phase_source(spark, path, predicate)
+        if find_src is None:
+            return {"files_touched": 0, "files_added": 0, "rows_deleted": 0}
         touched_meta = sorted(
             r["__file"]
-            for r in target.filter(hit)
+            for r in find_src.filter(hit)
             .select(F.col("_metadata.file_path").alias("__file"))
             .distinct()
             .collect()
@@ -618,9 +667,12 @@ def update_where(
         }
         target_cols = target.columns
 
+        find_src = _find_phase_source(spark, path, predicate)
+        if find_src is None:
+            return {"files_touched": 0, "files_added": 0, "rows_updated": 0}
         touched_meta = sorted(
             r["__file"]
-            for r in target.filter(hit)
+            for r in find_src.filter(hit)
             .select(F.col("_metadata.file_path").alias("__file"))
             .distinct()
             .collect()

@@ -320,6 +320,82 @@ class TestCompactPathAbsentRestore:
                 C.compact(spark, p, target_bytes=1 << 30)
 
 
+class TestDmlFindPhasePruning:
+    """Round-9: DML find phases pre-cut their file set through manifest
+    stats — a delete/update whose predicate range misses every file
+    never stats one, and results are identical with or without the
+    manifest."""
+
+    def _mk(self, spark, tmp_path, name, with_manifest=True):
+        from imitation_learning_data_pipeline_spark.pipeline.manifest import (
+            write_manifest,
+        )
+        from imitation_learning_data_pipeline_spark.pipeline.merge import (
+            cluster_write,
+        )
+
+        p = str(tmp_path / name)
+        df = spark.range(0, 10_000).selectExpr("id", "id % 7 AS v")
+        cluster_write(df, p, by="id", n_files=10)
+        if with_manifest:
+            write_manifest(spark, p, stats_cols=["id"])
+        return p
+
+    def test_delete_same_result_with_and_without_stats(
+        self, spark, tmp_path
+    ):
+        from imitation_learning_data_pipeline_spark.pipeline.merge import (
+            delete_from,
+        )
+
+        pred = "id BETWEEN 3000 AND 3099 AND v = 2"
+        pa = self._mk(spark, tmp_path, "a", with_manifest=True)
+        pb = self._mk(spark, tmp_path, "b", with_manifest=False)
+        sa = delete_from(spark, pa, pred)
+        sb = delete_from(spark, pb, pred)
+        assert sa["rows_deleted"] == sb["rows_deleted"] > 0
+        ga = sorted(
+            (r["id"], r["v"]) for r in spark.read.parquet(pa).collect()
+        )
+        gb = sorted(
+            (r["id"], r["v"]) for r in spark.read.parquet(pb).collect()
+        )
+        assert ga == gb
+        # pruned find touches no more files than the unpruned one
+        assert sa["files_touched"] <= sb["files_touched"]
+
+    def test_out_of_range_predicate_touches_nothing(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.merge import (
+            delete_from,
+            update_where,
+        )
+
+        p = self._mk(spark, tmp_path, "c")
+        out = delete_from(spark, p, "id >= 50000")
+        assert out == {
+            "files_touched": 0,
+            "files_added": 0,
+            "rows_deleted": 0,
+        }
+        out2 = update_where(spark, p, "id >= 50000", {"v": "v + 1"})
+        assert out2["files_touched"] == 0
+        assert spark.read.parquet(p).count() == 10_000
+
+    def test_update_with_pruned_find_is_exact(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.merge import (
+            update_where,
+        )
+
+        p = self._mk(spark, tmp_path, "d")
+        out = update_where(
+            spark, p, "id BETWEEN 7000 AND 7009", {"v": "-1"}
+        )
+        assert out["rows_updated"] == 10
+        got = spark.read.parquet(p)
+        assert got.filter("v = -1").count() == 10
+        assert got.count() == 10_000
+
+
 class TestReadWhereAutoPruning:
     """Round-9: automatic data skipping from a SQL predicate — range
     conjuncts on stats columns prune files; the FULL predicate always
