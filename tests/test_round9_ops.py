@@ -320,6 +320,58 @@ class TestCompactPathAbsentRestore:
                 C.compact(spark, p, target_bytes=1 << 30)
 
 
+class TestBoundsExtractionProperties:
+    """Property test for the predicate-bounds extractor: randomly
+    composed conjunct lists must extract to exactly the interval
+    intersection, with distractor subtrees changing nothing."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    conjunct = st.tuples(
+        st.sampled_from(["alpha", "beta_2", "g"]),
+        st.sampled_from([">=", ">", "<=", "<", "="]),
+        st.integers(min_value=-1000, max_value=1000),
+    )
+
+    @staticmethod
+    def _expected(conjs):
+        out = {}
+        for col, op, v in conjs:
+            lo, hi = out.get(col, (None, None))
+            if op in (">=", ">"):
+                lo = v if lo is None else max(lo, v)
+            elif op in ("<=", "<"):
+                hi = v if hi is None else min(hi, v)
+            else:
+                lo = v if lo is None else max(lo, v)
+                hi = v if hi is None else min(hi, v)
+            out[col] = (lo, hi)
+        return {c: b for c, b in out.items() if b != (None, None)}
+
+    @given(
+        conjs=st.lists(conjunct, min_size=1, max_size=6),
+        distract=st.booleans(),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_extraction_matches_interval_intersection(self, conjs, distract):
+        from imitation_learning_data_pipeline_spark.pipeline.manifest import (
+            extract_range_bounds,
+        )
+
+        parts = [f"{c} {op} {v}" for c, op, v in conjs]
+        if distract:
+            # OR subtree and a function call must contribute nothing
+            parts.insert(1 % len(parts), "(zeta > 1 OR zeta < -1)")
+            parts.append("length(name) >= 3")
+        where = " AND ".join(parts)
+        got = extract_range_bounds(where)
+        expect = self._expected(conjs)
+        for col in ("zeta", "name", "length"):
+            assert col not in got
+        assert got == expect
+
+
 class TestDmlFindPhasePruning:
     """Round-9: DML find phases pre-cut their file set through manifest
     stats — a delete/update whose predicate range misses every file
