@@ -291,9 +291,11 @@ def _compact_locked(
         preserve_from_dir(
             spark, fs, jvm_path, snap_root or path, old, rel_prefix=snap_prefix
         )
+        from .bloom import refresh_blooms_if_present
         from .manifest import refresh_if_present
 
         refresh_if_present(spark, snap_root or path)
+        refresh_blooms_if_present(spark, snap_root or path)
         _rm(fs, jvm_path, old)
 
     total, before, by_dir = _list_parquet(spark, path)
@@ -413,10 +415,13 @@ def _compact_locked(
     _rm(fs, jvm_path, old)
     # a wholesale rewrite invalidates the live-file manifest — refresh
     # it from the post-compact listing (no-op for non-manifested tables;
-    # for sprawl compacts snap_root is the table root that holds it)
+    # for sprawl compacts snap_root is the table root that holds it);
+    # same for the bloom sidecar, rebuilt over the compacted file set
+    from .bloom import refresh_blooms_if_present
     from .manifest import refresh_if_present
 
     refresh_if_present(spark, snap_root or path)
+    refresh_blooms_if_present(spark, snap_root or path)
     _, after, _ = _list_parquet(spark, path)
     return {"files_before": before, "files_after": after, "bytes": total}
 

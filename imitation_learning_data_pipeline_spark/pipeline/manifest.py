@@ -549,15 +549,62 @@ def extract_range_bounds(where: str) -> dict:
     return {c: b for c, b in bounds.items() if b != (None, None)}
 
 
+def prune_files_combined(
+    spark: SparkSession, path: str, bounds: dict
+) -> dict | None:
+    """One skipping decision from BOTH metadata layers: range min/max
+    stats for every bounded column that has them, bloom membership
+    (pipeline/bloom.py) for every EQUALITY point (lo == hi) on a
+    bloomed column — the intersection of two kept-supersets is still a
+    kept-superset, so combining never wrongly skips. The two layers are
+    complementary: stats bite on clustered layouts, blooms bite on
+    point lookups against unclustered high-cardinality keys, where
+    every file's [min, max] overlaps and stats alone keep everything.
+    Returns {"kept", "n_total", "n_skipped"} or None when neither
+    layer covers any requested column (caller falls back)."""
+    path = path.rstrip("/")
+    cur = read_manifest_entries(spark, path)
+    stats_usable = {
+        c: b for c, b in bounds.items() if c in (cur.get("stats_cols") or [])
+    }
+    points = {
+        c: lo
+        for c, (lo, hi) in bounds.items()
+        if lo is not None and lo == hi
+    }
+    kept = None
+    if stats_usable:
+        kept = prune_files(spark, path, bounds=stats_usable)["kept"]
+    if points:
+        from .bloom import prune_files_bloom
+
+        bloomed = prune_files_bloom(spark, path, points)
+        if bloomed is not None:
+            kept = (
+                bloomed["kept"]
+                if kept is None
+                else [r for r in kept if r in set(bloomed["kept"])]
+            )
+    if kept is None:
+        return None
+    n_total = len(cur["files"])
+    return {
+        "kept": kept,
+        "n_total": n_total,
+        "n_skipped": n_total - len(kept),
+    }
+
+
 def read_where(spark: SparkSession, path: str, where: str) -> DataFrame:
     """Predicate read with AUTOMATIC data skipping: range/equality
-    conjuncts on stats columns are extracted from ``where`` and used to
-    prune files driver-side; the full predicate then applies as the
-    residual row filter, so the result is exactly
+    conjuncts are extracted from ``where``; range stats prune on stats
+    columns and per-file blooms prune equality points on bloomed
+    columns. The full predicate then applies as the residual row
+    filter, so the result is exactly
     ``spark.read.parquet(path).filter(where)`` regardless of what the
     extractor understood. Falls back to the plain filtered read when
-    the table has no manifest/stats, a commit journal is pending, or
-    no conjunct is prunable."""
+    the table has no manifest/stats/blooms, a commit journal is
+    pending, or no conjunct is prunable."""
     path = path.rstrip("/")
 
     def _plain():
@@ -573,15 +620,11 @@ def read_where(spark: SparkSession, path: str, where: str) -> DataFrame:
     jvm_path = _jvm_path(spark)
     if fs.exists(jvm_path(f"{path}/{_PENDING}")):
         return _plain()
-    cur = read_manifest_entries(spark, path)
-    usable = {
-        c: b for c, b in bounds.items() if c in (cur.get("stats_cols") or [])
-    }
-    if not usable:
-        return _plain()
     try:
-        pruned = prune_files(spark, path, bounds=usable)
+        pruned = prune_files_combined(spark, path, bounds)
     except Exception:
+        return _plain()
+    if pruned is None:
         return _plain()
     if not pruned["kept"]:
         return _plain().limit(0)

@@ -147,9 +147,11 @@ def _recover_pending(spark, fs, jvm_path, path: str, tmp: str) -> None:
     _rm(fs, jvm_path, tmp)
     # the crash may have landed between the original commit and its
     # manifest delta — recovery can't tell, so refresh wholesale
+    from .bloom import refresh_blooms_if_present
     from .manifest import refresh_if_present
 
     refresh_if_present(spark, path)
+    refresh_blooms_if_present(spark, path)
 
 
 def recover(spark: SparkSession, path: str) -> bool:
@@ -284,6 +286,11 @@ def _commit_staged(spark, fs, jvm_path, path, tmp, touched) -> int:
         for fstr, _jp in touched
     ]
     apply_deltas(
+        spark, path, [(r, staged_bytes[r]) for r in staged_rel], dropped
+    )
+    from .bloom import apply_bloom_deltas
+
+    apply_bloom_deltas(
         spark, path, [(r, staged_bytes[r]) for r in staged_rel], dropped
     )
     fs.delete(jvm_path(f"{path}/{_PENDING}"), False)
@@ -446,23 +453,16 @@ def _find_phase_source(spark, path: str, predicate) -> DataFrame | None:
         from .manifest import (
             extract_range_bounds,
             has_manifest,
-            prune_files,
-            read_manifest_entries,
+            prune_files_combined,
         )
 
         if not has_manifest(spark, path):
             return full
         bounds = extract_range_bounds(predicate)
-        cur = read_manifest_entries(spark, path)
-        usable = {
-            c: b
-            for c, b in bounds.items()
-            if c in (cur.get("stats_cols") or [])
-        }
-        if not usable:
+        if not bounds:
             return full
-        pruned = prune_files(spark, path, bounds=usable)
-        if pruned["n_skipped"] == 0:
+        pruned = prune_files_combined(spark, path, bounds)
+        if pruned is None or pruned["n_skipped"] == 0:
             return full
         if not pruned["kept"]:
             return None
@@ -754,20 +754,46 @@ def cluster_write(
     """
     keys = _key_cols(by)
     _guard_snapshot_overwrite(df.sparkSession, path, mode, "cluster_write")
-    from .manifest import has_manifest, write_manifest
-
-    manifested = mode == "overwrite" and has_manifest(df.sparkSession, path)
+    manifested, bloom_cfg = _capture_meta_optins(df.sparkSession, path, mode)
     with _preserve_history(df.sparkSession, path, mode):
         if n_files:
             ranged = df.repartitionByRange(n_files, *keys)
         else:
             ranged = df.repartitionByRange(*keys)
         ranged.sortWithinPartitions(*keys).write.mode(mode).parquet(path)
-    if manifested:  # the overwrite wiped _manifest — restore the opt-in
-        write_manifest(df.sparkSession, path)
+    _restore_meta_optins(df.sparkSession, path, manifested, bloom_cfg)
 
 
 import contextlib as _contextlib
+
+
+def _capture_meta_optins(spark, path: str, mode: str):
+    """Before a layout overwrite: remember which metadata layers the
+    table opted into (live-file manifest, bloom sidecar config) — the
+    overwrite wipes ``_manifest/`` wholesale, so the opt-ins must be
+    re-established from the rewritten file set afterwards."""
+    from .bloom import has_blooms, read_bloom_sidecar
+    from .manifest import has_manifest
+
+    if mode != "overwrite" or not has_manifest(spark, path):
+        return False, None
+    bloom_cfg = None
+    if has_blooms(spark, path):
+        side = read_bloom_sidecar(spark, path)
+        bloom_cfg = (side["cols"], side["nbytes"], side["k"])
+    return True, bloom_cfg
+
+
+def _restore_meta_optins(spark, path: str, manifested: bool, bloom_cfg):
+    from .bloom import write_blooms
+    from .manifest import write_manifest
+
+    if not manifested:
+        return
+    write_manifest(spark, path)  # the overwrite wiped _manifest
+    if bloom_cfg:
+        cols, nbytes, k = bloom_cfg
+        write_blooms(spark, path, cols, nbytes, k)
 
 
 @_contextlib.contextmanager
@@ -906,9 +932,7 @@ def zorder_write(
     """
     _guard_snapshot_overwrite(df.sparkSession, path, mode, "zorder_write")
     z = zorder_column(df, by)
-    from .manifest import has_manifest, write_manifest
-
-    manifested = mode == "overwrite" and has_manifest(df.sparkSession, path)
+    manifested, bloom_cfg = _capture_meta_optins(df.sparkSession, path, mode)
     with _preserve_history(df.sparkSession, path, mode):
         (
             df.withColumn("__z", z)
@@ -918,8 +942,7 @@ def zorder_write(
             .write.mode(mode)
             .parquet(path)
         )
-    if manifested:  # the overwrite wiped _manifest — restore the opt-in
-        write_manifest(df.sparkSession, path)
+    _restore_meta_optins(df.sparkSession, path, manifested, bloom_cfg)
 
 
 def insert_into(

@@ -1,0 +1,243 @@
+"""Round-9 bloom sidecar (pipeline/bloom.py): per-file bloom filters
+for point-lookup data skipping — build/probe parity, no-false-negative
+guarantee, combined range+bloom pruning, and freshness through every
+table-mutating path (DML commit deltas, journal recovery, compaction,
+layout overwrites). Complements the manifest min/max stats tests
+(test_scale_patterns.py), which cover the range-skipping half."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from imitation_learning_data_pipeline_spark.pipeline.bloom import (
+    BLOOM_REL,
+    apply_bloom_deltas,
+    bloom_might_contain,
+    build_file_blooms,
+    has_blooms,
+    probe_hashes,
+    prune_files_bloom,
+    read_bloom_sidecar,
+    write_blooms,
+)
+from imitation_learning_data_pipeline_spark.pipeline.manifest import (
+    extract_range_bounds,
+    prune_files_combined,
+    read_manifest_entries,
+    read_where,
+    write_manifest,
+)
+from imitation_learning_data_pipeline_spark.pipeline.merge import (
+    cluster_write,
+    delete_from,
+    insert_into,
+    merge_into,
+)
+
+N_FILES = 6
+
+
+def _mk_table(spark, path, n=3000):
+    """doc_id hash-scattered across N_FILES files: every file's
+    [min, max] on doc_id spans ~the whole key space, so range stats
+    CANNOT prune a point lookup — the bloom's job."""
+    df = spark.range(n).select(
+        F.concat(F.lit("doc-"), F.col("id")).alias("doc_id"),
+        (F.col("id") % 40).alias("grp"),
+        (F.col("id") * 2).alias("val"),
+    )
+    df.repartition(N_FILES, "doc_id").write.parquet(path)
+    write_manifest(spark, path, stats_cols=["grp"])
+    write_blooms(spark, path, ["doc_id"])
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    _mk_table(spark, path)
+    return path
+
+
+def _file_of(spark, path, doc_id):
+    """The relpath actually holding doc_id (ground truth via _metadata)."""
+    fp = (
+        spark.read.parquet(path)
+        .filter(F.col("doc_id") == doc_id)
+        .select(F.col("_metadata.file_path"))
+        .collect()[0][0]
+    )
+    return fp.rsplit("/", 1)[-1]
+
+
+class TestBloomPrune:
+    def test_no_false_negative_and_skips(self, spark, table):
+        """Every present key's true file is kept (no false negatives —
+        the correctness half), and pruning skips files (the point)."""
+        skipped_total = 0
+        for i in (0, 7, 555, 2024, 2999):
+            doc = f"doc-{i}"
+            pr = prune_files_bloom(spark, table, {"doc_id": doc})
+            assert pr is not None and pr["n_total"] == N_FILES
+            truth = _file_of(spark, table, doc)
+            assert any(rel.endswith(truth) for rel in pr["kept"]), doc
+            skipped_total += pr["n_skipped"]
+        # ~3k distinct over 6 files × 32k bits ⇒ fpp ≪ 1; near-perfect
+        # skipping expected, but only a conservative floor is asserted
+        assert skipped_total >= 5 * (N_FILES - 2)
+
+    def test_absent_key_skips_everything(self, spark, table):
+        pr = prune_files_bloom(spark, table, {"doc_id": "doc-nope"})
+        # each file may false-positive independently (p ≪ 0.01 here)
+        assert pr["n_skipped"] >= N_FILES - 1
+
+    def test_unbloomed_column_falls_back(self, spark, table):
+        assert prune_files_bloom(spark, table, {"val": 10}) is None
+
+    def test_probe_hash_type_independence(self, spark, table):
+        """Build casts to string; probing an int key with the int
+        literal must match the build of an int column."""
+        # val is a LongType column; bloom it and probe with Python int
+        write_blooms(spark, table, ["val"])
+        pr = prune_files_bloom(spark, table, {"val": 4048})
+        truth = _file_of(spark, table, "doc-2024")  # val = 2*2024
+        assert any(rel.endswith(truth) for rel in pr["kept"])
+
+    def test_combined_range_and_bloom(self, spark, table):
+        bounds = extract_range_bounds("grp >= 10 AND doc_id = 'doc-555'")
+        pr = prune_files_combined(spark, table, bounds)
+        assert pr is not None and pr["n_skipped"] >= N_FILES - 2
+        truth = _file_of(spark, table, "doc-555")
+        assert any(rel.endswith(truth) for rel in pr["kept"])
+
+
+class TestReadWhereBloom:
+    def test_equality_read_matches_plain(self, spark, table):
+        for where in (
+            "doc_id = 'doc-123'",
+            "doc_id = 'doc-123' AND grp >= 0",
+            "doc_id = 'doc-none-such'",
+        ):
+            got = sorted(
+                (r["doc_id"], r["val"])
+                for r in read_where(spark, table, where).collect()
+            )
+            want = sorted(
+                (r["doc_id"], r["val"])
+                for r in spark.read.parquet(table).filter(where).collect()
+            )
+            assert got == want, where
+
+    def test_membership_proof(self, spark, table):
+        """bloom_might_contain is True for every value actually built
+        in, via the probe-hash path (build/probe parity end to end)."""
+        side = read_bloom_sidecar(spark, table)
+        rel = _file_of(spark, table, "doc-42")
+        key = next(r for r in side["blooms"] if r.endswith(rel))
+        (h,) = probe_hashes(spark, ["doc-42"])
+        assert bloom_might_contain(side["blooms"][key]["doc_id"], h, side["k"])
+
+
+class TestBloomFreshness:
+    def test_delete_point_lookup_touches_one_file(self, spark, table):
+        res = delete_from(spark, table, "doc_id = 'doc-1500'")
+        assert res == {
+            "files_touched": 1,
+            "files_added": 1,
+            "rows_deleted": 1,
+        }
+        # sidecar folded the delta: rewritten file probes correctly for
+        # a surviving neighbour key, and the dead rel is gone
+        side = read_bloom_sidecar(spark, table)
+        live = {r for r, _b in read_manifest_entries(spark, table)["files"]}
+        assert set(side["blooms"]) == live
+        assert read_where(spark, table, "doc_id = 'doc-1500'").count() == 0
+        assert read_where(spark, table, "doc_id = 'doc-1501'").count() == 1
+
+    def test_merge_keeps_blooms_fresh(self, spark, table):
+        ups = spark.createDataFrame(
+            [("doc-77", 7, 7000), ("doc-brandnew", 39, 1)],
+            "doc_id string, grp int, val long",
+        )
+        merge_into(spark, table, ups, key="doc_id")
+        assert read_where(spark, table, "doc_id = 'doc-brandnew'").count() == 1
+        got = read_where(spark, table, "doc_id = 'doc-77'").collect()
+        assert [(r["doc_id"], r["val"]) for r in got] == [("doc-77", 7000)]
+        pr = prune_files_bloom(spark, table, {"doc_id": "doc-brandnew"})
+        assert pr["n_skipped"] >= 1  # fresh file bloomed, others skip
+
+    def test_insert_blooms_added_files(self, spark, table):
+        insert_into(
+            spark,
+            table,
+            spark.createDataFrame(
+                [("doc-ins-1", 5, 10)], "doc_id string, grp int, val long"
+            ),
+        )
+        pr = prune_files_bloom(spark, table, {"doc_id": "doc-ins-1"})
+        assert pr is not None
+        assert pr["n_skipped"] >= pr["n_total"] - 2
+        assert read_where(spark, table, "doc_id = 'doc-ins-1'").count() == 1
+
+    def test_cluster_write_restores_bloom_optin(self, spark, table):
+        df = spark.read.parquet(table)
+        cluster_write(df, table, by="doc_id", n_files=4)
+        assert has_blooms(spark, table)
+        side = read_bloom_sidecar(spark, table)
+        assert side["cols"] == ["doc_id"]
+        live = {r for r, _b in read_manifest_entries(spark, table)["files"]}
+        assert set(side["blooms"]) == live
+        assert read_where(spark, table, "doc_id = 'doc-9'").count() == 1
+
+    def test_compact_rebuilds_blooms(self, spark, table):
+        from imitation_learning_data_pipeline_spark.pipeline.compact import (
+            compact,
+        )
+
+        compact(spark, table, target_bytes=1 << 30)
+        side = read_bloom_sidecar(spark, table)
+        live = {r for r, _b in read_manifest_entries(spark, table)["files"]}
+        assert set(side["blooms"]) == live
+        assert read_where(spark, table, "doc_id = 'doc-2222'").count() == 1
+
+    def test_journal_recovery_rebuilds_blooms(self, spark, table):
+        """A crash between commit and sidecar fold leaves stale blooms;
+        recovery refreshes them wholesale (same rule as the manifest)."""
+        from imitation_learning_data_pipeline_spark.pipeline.merge import (
+            recover,
+        )
+
+        # corrupt the sidecar to a visibly-stale state, then plant an
+        # empty pending journal the way the merge-journal tests do
+        side_p = os.path.join(table, BLOOM_REL)
+        side = json.load(open(side_p))
+        side["blooms"] = {}
+        json.dump(side, open(side_p, "w"))
+        # hand-editing bypasses Hadoop's checksummed LocalFileSystem —
+        # drop the stale sidecar crc or the next fs.open raises
+        crc = os.path.join(table, "_manifest", ".blooms.json.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+        pend = os.path.join(table, "__merge_pending.json")
+        json.dump({"add": [], "delete": []}, open(pend, "w"))
+        assert recover(spark, table)
+        side2 = read_bloom_sidecar(spark, table)
+        live = {r for r, _b in read_manifest_entries(spark, table)["files"]}
+        assert set(side2["blooms"]) == live
+
+    def test_delta_failure_degrades_to_keep(self, spark, table, tmp_path):
+        """A bloom build failure for added files must not fail the
+        commit: the rels stay bloom-less and pruning keeps them."""
+        apply_bloom_deltas(
+            spark, table, add=[("no-such-file.parquet", 1)], delete=[]
+        )
+        side = read_bloom_sidecar(spark, table)
+        assert "no-such-file.parquet" not in side["blooms"]
+        # prune treats the manifest-listed-but-bloomless rel as keep —
+        # simulate by injecting it into the manifest copy
+        pr = prune_files_bloom(spark, table, {"doc_id": "doc-1"})
+        assert pr is not None  # probing still works on the rest
