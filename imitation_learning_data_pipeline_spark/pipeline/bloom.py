@@ -349,10 +349,12 @@ def prune_files_bloom(
     spark: SparkSession, path: str, points: dict
 ) -> dict | None:
     """Driver-side point-lookup skipping: which live files MIGHT
-    contain ``{col: value}`` for every given equality point? Returns
-    {"kept": [rel...], "n_total": N, "n_skipped": M}, or None when the
-    table has no bloom sidecar or none of the point columns is
-    bloomed (caller falls back). Files without a bloom entry (added
+    contain the requested equality points? ``points`` maps col →
+    value OR list of values (an ``IN`` list: the file is kept when ANY
+    listed value might be present — the disjunction's kept-superset).
+    Returns {"kept": [rel...], "n_total": N, "n_skipped": M}, or None
+    when the table has no bloom sidecar or none of the point columns
+    is bloomed (caller falls back). Files without a bloom entry (added
     since the sidecar was last folded) are always kept — skipping is
     an optimization, never a correctness bet."""
     from .manifest import read_manifest_entries
@@ -361,11 +363,18 @@ def prune_files_bloom(
     if not points or not has_blooms(spark, path):
         return None
     side = read_bloom_sidecar(spark, path)
-    usable = {c: v for c, v in points.items() if c in side["cols"]}
+    usable = {
+        c: (v if isinstance(v, list) else [v])
+        for c, v in points.items()
+        if c in side["cols"]
+    }
     if not usable:
         return None
-    cols = list(usable)
-    hashes = dict(zip(cols, probe_hashes(spark, [usable[c] for c in cols])))
+    flat = [(c, v) for c, vs in usable.items() for v in vs]
+    hs = probe_hashes(spark, [v for _c, v in flat])
+    hashes: dict = {}
+    for (c, _v), h in zip(flat, hs):
+        hashes.setdefault(c, []).append(h)
     cur = read_manifest_entries(spark, path)
     blooms = side["blooms"]
     k = side["k"]
@@ -376,11 +385,11 @@ def prune_files_bloom(
             kept.append(rel)  # bloom-less (fresh commit): must read
             continue
         keep = True
-        for c in cols:
+        for c, h_list in hashes.items():
             bits = entry.get(c)
             if bits is None:
                 continue  # column unbloomed in this entry: can't cut
-            if not bloom_might_contain(bits, hashes[c], k):
+            if not any(bloom_might_contain(bits, h, k) for h in h_list):
                 keep = False
                 break
         if keep:

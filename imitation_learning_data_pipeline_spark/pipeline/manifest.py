@@ -469,26 +469,17 @@ def _parse_literal(tok: str):
     return None
 
 
-def extract_range_bounds(where: str) -> dict:
-    """Best-effort extraction of per-column range bounds from a SQL
-    predicate's top-level AND conjuncts: ``col >= lit``, ``col > lit``,
-    ``col <= lit``, ``col < lit``, ``col = lit``, ``col BETWEEN a AND
-    b``. Anything else (OR subtrees, functions, reversed operands)
-    contributes nothing — pruning is an optimization, the caller always
-    applies the FULL predicate as the residual filter, so a missed
-    conjunct can never change results. Returns {col: (lo, hi)} with
-    None for open sides; strict comparisons prune with the inclusive
-    superset."""
+def _split_conjuncts(where: str) -> list[str]:
+    """Top-level AND conjuncts of a SQL predicate (split outside
+    parens and quotes; BETWEEN's internal AND masked to ``\\x00``)."""
     import re as _re
 
-    # mask BETWEEN's internal AND so the conjunct split doesn't cut it
     masked = _re.sub(
         r"(?i)(between\s+[^()']*?|\bbetween\s+'[^']*')\s+and\s+",
         lambda m: m.group(1) + " \x00 ",
         where,
     )
-    # split on top-level AND (outside parens and quotes)
-    conjuncts, depth, buf, i, in_q = [], 0, "", 0, False
+    conjuncts, depth, buf, in_q = [], 0, "", False
     tokens = _re.split(r"(?i)(\s+and\s+|\(|\)|')", masked)
     for t in tokens:
         if t is None:
@@ -508,9 +499,105 @@ def extract_range_bounds(where: str) -> dict:
         else:
             buf += t
     conjuncts.append(buf)
+    return conjuncts
 
-    ident = r"`?([A-Za-z_][A-Za-z0-9_]*)`?"
-    lit = r"((?:timestamp|date)?\s*'[^']*'|-?\d+(?:\.\d+)?)"
+
+_IDENT = r"`?([A-Za-z_][A-Za-z0-9_]*)`?"
+_LIT = r"((?:timestamp|date)?\s*'[^']*'|-?\d+(?:\.\d+)?)"
+
+
+def _split_in_list(body: str) -> list | None:
+    """The literal values of an ``IN (...)`` body, or None when any
+    element isn't a plain literal (subquery, expression, …). Commas
+    inside quoted strings don't split."""
+    parts, buf, in_q = [], "", False
+    for ch in body:
+        if ch == "'":
+            in_q = not in_q
+            buf += ch
+        elif ch == "," and not in_q:
+            parts.append(buf)
+            buf = ""
+        else:
+            buf += ch
+    parts.append(buf)
+    vals = []
+    for p in parts:
+        v = _parse_literal(p)
+        if v is None:
+            return None
+        vals.append(v)
+    return vals or None
+
+
+def _prefix_bounds(pattern: str):
+    """(lo, hi) string range containing every LIKE match of a
+    prefix-only pattern (``'abc%'`` — no other wildcard/escape), or
+    None when the pattern isn't prefix-shaped. hi is the prefix with
+    its last char incremented — a kept-superset inclusive bound."""
+    if not pattern.endswith("%"):
+        return None
+    prefix = pattern[:-1]
+    if not prefix or any(ch in prefix for ch in ("%", "_", "\\")):
+        return None
+    last = ord(prefix[-1])
+    if last >= 0x10FFFF:
+        return (prefix, None)
+    return (prefix, prefix[:-1] + chr(last + 1))
+
+
+def extract_point_sets(where: str) -> dict:
+    """Equality point-sets from top-level AND conjuncts — the
+    bloom-testable shapes: ``col = lit`` (one point) and ``col IN
+    (lit, ...)`` (the list). Returns {col: [values]}; a column
+    constrained by several such conjuncts keeps the smaller set's
+    semantics by intersecting when types allow, else contributes the
+    first set (still a superset → safe for keep-decisions)."""
+    import re as _re
+
+    points: dict = {}
+    for c in _split_conjuncts(where):
+        c = c.strip()
+        m = _re.fullmatch(rf"{_IDENT}\s*=\s*{_LIT}", c)
+        vals = None
+        if m:
+            v = _parse_literal(m.group(2))
+            if v is not None:
+                col, vals = m.group(1), [v]
+        else:
+            m = _re.fullmatch(rf"(?is){_IDENT}\s+in\s*\((.*)\)", c)
+            if m:
+                got = _split_in_list(m.group(2))
+                if got is not None:
+                    col, vals = m.group(1), got
+        if vals is None:
+            continue
+        if col in points:
+            try:
+                inter = [v for v in points[col] if v in vals]
+                points[col] = inter if inter else points[col]
+            except TypeError:
+                pass
+        else:
+            points[col] = vals
+    return points
+
+
+def extract_range_bounds(where: str) -> dict:
+    """Best-effort extraction of per-column range bounds from a SQL
+    predicate's top-level AND conjuncts: ``col >= lit``, ``col > lit``,
+    ``col <= lit``, ``col < lit``, ``col = lit``, ``col BETWEEN a AND
+    b``, ``col IN (lits)`` (folded to [min, max]), ``col LIKE
+    'prefix%'`` (prefix string range). Anything else (OR subtrees,
+    functions, reversed operands) contributes nothing — pruning is an
+    optimization, the caller always applies the FULL predicate as the
+    residual filter, so a missed conjunct can never change results.
+    Returns {col: (lo, hi)} with None for open sides; strict
+    comparisons prune with the inclusive superset."""
+    import re as _re
+
+    conjuncts = _split_conjuncts(where)
+    ident, lit = _IDENT, _LIT
     bounds: dict = {}
 
     def _fold(col, lo=None, hi=None):
@@ -534,6 +621,21 @@ def extract_range_bounds(where: str) -> dict:
             if lo is not None and hi is not None:
                 _fold(m.group(1), lo=lo, hi=hi)
             continue
+        m = _re.fullmatch(rf"(?is){ident}\s+in\s*\((.*)\)", c)
+        if m:
+            vals = _split_in_list(m.group(2))
+            if vals is not None:
+                try:
+                    _fold(m.group(1), lo=min(vals), hi=max(vals))
+                except TypeError:
+                    pass  # mixed-type IN list: contributes nothing
+            continue
+        m = _re.fullmatch(rf"(?i){ident}\s+like\s+'([^']*)'", c)
+        if m:
+            pb = _prefix_bounds(m.group(2))
+            if pb is not None:
+                _fold(m.group(1), lo=pb[0], hi=pb[1])
+            continue
         m = _re.fullmatch(rf"{ident}\s*(>=|<=|>|<|=)\s*{lit}", c)
         if not m:
             continue
@@ -550,28 +652,32 @@ def extract_range_bounds(where: str) -> dict:
 
 
 def prune_files_combined(
-    spark: SparkSession, path: str, bounds: dict
+    spark: SparkSession, path: str, bounds: dict, points: dict | None = None
 ) -> dict | None:
     """One skipping decision from BOTH metadata layers: range min/max
     stats for every bounded column that has them, bloom membership
-    (pipeline/bloom.py) for every EQUALITY point (lo == hi) on a
-    bloomed column — the intersection of two kept-supersets is still a
+    (pipeline/bloom.py) for every equality point-set on a bloomed
+    column — the intersection of two kept-supersets is still a
     kept-superset, so combining never wrongly skips. The two layers are
     complementary: stats bite on clustered layouts, blooms bite on
     point lookups against unclustered high-cardinality keys, where
     every file's [min, max] overlaps and stats alone keep everything.
-    Returns {"kept", "n_total", "n_skipped"} or None when neither
-    layer covers any requested column (caller falls back)."""
+    ``points`` maps col → value-list (``=`` and ``IN`` shapes, see
+    :func:`extract_point_sets`); when omitted, degenerate lo == hi
+    bounds are treated as points. Returns {"kept", "n_total",
+    "n_skipped"} or None when neither layer covers any requested
+    column (caller falls back)."""
     path = path.rstrip("/")
     cur = read_manifest_entries(spark, path)
     stats_usable = {
         c: b for c, b in bounds.items() if c in (cur.get("stats_cols") or [])
     }
-    points = {
-        c: lo
-        for c, (lo, hi) in bounds.items()
-        if lo is not None and lo == hi
-    }
+    if points is None:
+        points = {
+            c: lo
+            for c, (lo, hi) in bounds.items()
+            if lo is not None and lo == hi
+        }
     kept = None
     if stats_usable:
         kept = prune_files(spark, path, bounds=stats_usable)["kept"]
@@ -612,16 +718,17 @@ def read_where(spark: SparkSession, path: str, where: str) -> DataFrame:
 
     try:
         bounds = extract_range_bounds(where)
+        points = extract_point_sets(where)
     except Exception:
         return _plain()
-    if not bounds or not has_manifest(spark, path):
+    if (not bounds and not points) or not has_manifest(spark, path):
         return _plain()
     fs, _ = _fs(spark, path)
     jvm_path = _jvm_path(spark)
     if fs.exists(jvm_path(f"{path}/{_PENDING}")):
         return _plain()
     try:
-        pruned = prune_files_combined(spark, path, bounds)
+        pruned = prune_files_combined(spark, path, bounds, points)
     except Exception:
         return _plain()
     if pruned is None:
@@ -654,6 +761,40 @@ def manifest_row_count(spark: SparkSession, path: str) -> int | None:
             return None
         total += int(entry["rows"])
     return total
+
+
+def manifest_col_bounds(
+    spark: SparkSession, path: str, col: str
+) -> tuple | None:
+    """Table-level (MIN, MAX) of a stats column from manifest metadata
+    alone — zero data I/O, the Iceberg snapshot-summary fast path.
+    Returns None when the table has no manifest/stats for ``col``, a
+    commit journal is pending, or any live non-empty file lacks the
+    stat (honest "don't know" beats a wrong bound). All-null files
+    contribute nothing; an all-null table returns (None, None)."""
+    path = path.rstrip("/")
+    if not has_manifest(spark, path):
+        return None
+    fs, _ = _fs(spark, path)
+    if fs.exists(_jvm_path(spark)(f"{path}/{_PENDING}")):
+        return None
+    cur = read_manifest_entries(spark, path)
+    if col not in (cur.get("stats_cols") or []):
+        return None
+    stats = cur.get("stats") or {}
+    lo = hi = None
+    for rel, _bytes in cur["files"]:
+        entry = stats.get(rel)
+        if entry is None or col not in entry:
+            return None  # stat-less live file: bounds unknowable
+        if entry.get("rows") == 0:
+            continue
+        fmin, fmax = entry[col]
+        if fmin is None or fmax is None:
+            continue  # all-null column in this file
+        lo = fmin if lo is None else min(lo, fmin)
+        hi = fmax if hi is None else max(hi, fmax)
+    return (lo, hi)
 
 
 def vacuum_orphans(

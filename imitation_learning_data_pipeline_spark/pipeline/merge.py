@@ -451,6 +451,7 @@ def _find_phase_source(spark, path: str, predicate) -> DataFrame | None:
         return full
     try:
         from .manifest import (
+            extract_point_sets,
             extract_range_bounds,
             has_manifest,
             prune_files_combined,
@@ -459,9 +460,10 @@ def _find_phase_source(spark, path: str, predicate) -> DataFrame | None:
         if not has_manifest(spark, path):
             return full
         bounds = extract_range_bounds(predicate)
-        if not bounds:
+        points = extract_point_sets(predicate)
+        if not bounds and not points:
             return full
-        pruned = prune_files_combined(spark, path, bounds)
+        pruned = prune_files_combined(spark, path, bounds, points)
         if pruned is None or pruned["n_skipped"] == 0:
             return full
         if not pruned["kept"]:

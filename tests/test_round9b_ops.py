@@ -26,7 +26,9 @@ from imitation_learning_data_pipeline_spark.pipeline.bloom import (
     write_blooms,
 )
 from imitation_learning_data_pipeline_spark.pipeline.manifest import (
+    extract_point_sets,
     extract_range_bounds,
+    manifest_col_bounds,
     prune_files_combined,
     read_manifest_entries,
     read_where,
@@ -241,3 +243,87 @@ class TestBloomFreshness:
         # simulate by injecting it into the manifest copy
         pr = prune_files_bloom(spark, table, {"doc_id": "doc-1"})
         assert pr is not None  # probing still works on the rest
+
+
+class TestPredicateShapes:
+    """IN-list and LIKE-prefix conjuncts prune through the same
+    machinery: IN folds to a [min, max] range AND a bloom point-set,
+    LIKE 'p%' folds to the prefix string range."""
+
+    def test_extract_in_list(self):
+        assert extract_range_bounds("grp IN (7, 3, 5)") == {"grp": (3, 7)}
+        assert extract_point_sets("grp IN (7, 3, 5)") == {"grp": [7, 3, 5]}
+        assert extract_point_sets("doc_id = 'a'") == {"doc_id": ["a"]}
+        # quoted comma must not split; non-literal members disable
+        assert extract_point_sets("s IN ('a,b', 'c')") == {"s": ["a,b", "c"]}
+        assert extract_point_sets("s IN (lower('A'), 'c')") == {}
+        # NOT IN must contribute nothing
+        assert extract_point_sets("grp NOT IN (1, 2)") == {}
+        assert extract_range_bounds("grp NOT IN (1, 2)") == {}
+
+    def test_extract_like_prefix(self):
+        assert extract_range_bounds("s LIKE 'abc%'") == {
+            "s": ("abc", "abd")
+        }
+        # non-prefix patterns contribute nothing
+        for p in ("'%abc'", "'a%c'", "'a_c%'", "'%'"):
+            assert extract_range_bounds(f"s LIKE {p}") == {}, p
+        assert extract_range_bounds("s NOT LIKE 'abc%'") == {}
+
+    def test_in_list_bloom_prune(self, spark, table):
+        pr = prune_files_bloom(
+            spark, table, {"doc_id": ["doc-5", "doc-777", "doc-2900"]}
+        )
+        assert pr["n_skipped"] >= 1
+        for doc in ("doc-5", "doc-777", "doc-2900"):
+            truth = _file_of(spark, table, doc)
+            assert any(rel.endswith(truth) for rel in pr["kept"]), doc
+
+    def test_read_where_in_and_like(self, spark, table):
+        for where in (
+            "doc_id IN ('doc-5', 'doc-777', 'doc-nope')",
+            "doc_id LIKE 'doc-29%' AND grp <= 39",
+            "doc_id IN ('doc-8') AND grp >= 0",
+        ):
+            got = sorted(
+                r["doc_id"]
+                for r in read_where(spark, table, where).collect()
+            )
+            want = sorted(
+                r["doc_id"]
+                for r in spark.read.parquet(table).filter(where).collect()
+            )
+            assert got == want, where
+
+    def test_dml_in_list_prunes(self, spark, table):
+        res = delete_from(
+            spark, table, "doc_id IN ('doc-100', 'doc-200', 'doc-300')"
+        )
+        assert res["rows_deleted"] == 3
+        assert res["files_touched"] <= 3
+        assert (
+            spark.read.parquet(table)
+            .filter("doc_id IN ('doc-100', 'doc-200', 'doc-300')")
+            .count()
+            == 0
+        )
+
+
+class TestManifestColBounds:
+    def test_metadata_only_min_max(self, spark, table):
+        got = manifest_col_bounds(spark, table, "grp")
+        assert got == (0, 39)
+
+    def test_unknown_cases_return_none(self, spark, table):
+        assert manifest_col_bounds(spark, table, "doc_id") is None  # no stats
+        assert manifest_col_bounds(spark, str(table) + "x", "grp") is None
+
+    def test_fresh_through_dml(self, spark, table):
+        insert_into(
+            spark,
+            table,
+            spark.createDataFrame(
+                [("doc-hi", 99, 0)], "doc_id string, grp int, val long"
+            ),
+        )
+        assert manifest_col_bounds(spark, table, "grp") == (0, 99)
