@@ -225,6 +225,9 @@ def compact(
     path = path.rstrip("/")
     fs, jpath = _fs(spark, path)
     jvm_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    from .deletes import guard_no_pending_deletes
+
+    guard_no_pending_deletes(spark, path, "compact")
     _acquire_lock(spark, fs, jvm_path, path, "compact", stale_lock_s)
     try:
         out = _compact_locked(
@@ -460,6 +463,9 @@ def compact_sprawling(
     )
     fs, jpath = _fs(spark, path)
     jvm_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    from .deletes import guard_no_pending_deletes
+
+    guard_no_pending_deletes(spark, path, "compact_sprawling")
     _acquire_lock(spark, fs, jvm_path, path, "compact_sprawling", stale_lock_s)
     try:
         _total, before_all, by_dir = _list_parquet(spark, path)

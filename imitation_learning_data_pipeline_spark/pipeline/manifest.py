@@ -307,13 +307,17 @@ def read_via_manifest(spark: SparkSession, path: str) -> DataFrame:
     path = path.rstrip("/")
     fs, _ = _fs(spark, path)
     jvm_path = _jvm_path(spark)
+    from .deletes import apply_deletes
+
     if fs.exists(jvm_path(f"{path}/{_PENDING}")):
-        return spark.read.parquet(path)
+        return apply_deletes(spark, path, spark.read.parquet(path))
     cur = read_manifest_entries(spark, path)
     if not cur["files"]:
         return spark.read.parquet(path)  # schema from the empty dir
     paths = [f"{path}/{rel}" for rel, _b in cur["files"]]
-    return spark.read.option("basePath", path).parquet(*paths)
+    return apply_deletes(
+        spark, path, spark.read.option("basePath", path).parquet(*paths)
+    )
 
 
 def _norm_bound(v):
@@ -426,21 +430,28 @@ def read_pruned(
                 df = df.filter(F.col(c) <= F.lit(hi))
         return df
 
+    from .deletes import apply_deletes
+
+    def _mor(df: DataFrame) -> DataFrame:
+        return apply_deletes(spark, path, df)
+
     fs, _ = _fs(spark, path)
     jvm_path = _jvm_path(spark)
     if not has_manifest(spark, path) or fs.exists(
         jvm_path(f"{path}/{_PENDING}")
     ):
-        return _residual(spark.read.parquet(path))
+        return _residual(_mor(spark.read.parquet(path)))
     try:
         pruned = prune_files(spark, path, bounds=bounds)
     except ValueError:
-        return _residual(spark.read.parquet(path))
+        return _residual(_mor(spark.read.parquet(path)))
     if not pruned["kept"]:
         # every file skipped: an empty frame with the table's schema
         return _residual(spark.read.parquet(path)).limit(0)
     paths = [f"{path}/{rel}" for rel in pruned["kept"]]
-    return _residual(spark.read.option("basePath", path).parquet(*paths))
+    return _residual(
+        _mor(spark.read.option("basePath", path).parquet(*paths))
+    )
 
 
 _CONJUNCT_RE = None  # compiled lazily in _extract_bounds
@@ -713,8 +724,12 @@ def read_where(spark: SparkSession, path: str, where: str) -> DataFrame:
     pending, or no conjunct is prunable."""
     path = path.rstrip("/")
 
+    from .deletes import apply_deletes
+
     def _plain():
-        return spark.read.parquet(path).filter(where)
+        return apply_deletes(spark, path, spark.read.parquet(path)).filter(
+            where
+        )
 
     try:
         bounds = extract_range_bounds(where)
@@ -736,9 +751,9 @@ def read_where(spark: SparkSession, path: str, where: str) -> DataFrame:
     if not pruned["kept"]:
         return _plain().limit(0)
     paths = [f"{path}/{rel}" for rel in pruned["kept"]]
-    return (
-        spark.read.option("basePath", path).parquet(*paths).filter(where)
-    )
+    return apply_deletes(
+        spark, path, spark.read.option("basePath", path).parquet(*paths)
+    ).filter(where)
 
 
 def manifest_row_count(spark: SparkSession, path: str) -> int | None:
@@ -760,7 +775,12 @@ def manifest_row_count(spark: SparkSession, path: str) -> int | None:
         if entry is None or "rows" not in entry:
             return None
         total += int(entry["rows"])
-    return total
+    from .deletes import deleted_row_count
+
+    # merge-on-read tables: live DV positions subtract from the file
+    # stats (the DV count is itself parquet footer metadata — still no
+    # column I/O)
+    return total - deleted_row_count(spark, path)
 
 
 def manifest_col_bounds(
@@ -778,6 +798,10 @@ def manifest_col_bounds(
     fs, _ = _fs(spark, path)
     if fs.exists(_jvm_path(spark)(f"{path}/{_PENDING}")):
         return None
+    from .deletes import has_live_deletes
+
+    if has_live_deletes(spark, path):
+        return None  # deleted rows may hold the extremes: unknowable
     cur = read_manifest_entries(spark, path)
     if col not in (cur.get("stats_cols") or []):
         return None

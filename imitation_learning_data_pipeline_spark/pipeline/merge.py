@@ -221,6 +221,9 @@ def merge_into(
     fs, jpath = _fs(spark, path)
     jvm_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
     tmp = f"{path}__merge_tmp"
+    from .deletes import guard_no_pending_deletes
+
+    guard_no_pending_deletes(spark, path, "merge_into")
     _acquire_lock(spark, fs, jvm_path, path, "merge_into", stale_lock_s)
     try:
         out = _merge_into_locked(
@@ -507,6 +510,9 @@ def delete_from(
     fs, jpath = _fs(spark, path)
     jvm_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
     tmp = f"{path}__merge_tmp"
+    from .deletes import guard_no_pending_deletes
+
+    guard_no_pending_deletes(spark, path, "delete_from")
     _acquire_lock(spark, fs, jvm_path, path, "delete_from", stale_lock_s)
     try:
         _recover_pending(spark, fs, jvm_path, path, tmp)
@@ -626,6 +632,9 @@ def update_where(
     fs, jpath = _fs(spark, path)
     jvm_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
     tmp = f"{path}__merge_tmp"
+    from .deletes import guard_no_pending_deletes
+
+    guard_no_pending_deletes(spark, path, "update_where")
     _acquire_lock(spark, fs, jvm_path, path, "update_where", stale_lock_s)
     try:
         _recover_pending(spark, fs, jvm_path, path, tmp)
@@ -756,6 +765,10 @@ def cluster_write(
     """
     keys = _key_cols(by)
     _guard_snapshot_overwrite(df.sparkSession, path, mode, "cluster_write")
+    if mode == "overwrite":
+        from .deletes import guard_no_pending_deletes
+
+        guard_no_pending_deletes(df.sparkSession, path, "cluster_write")
     manifested, bloom_cfg = _capture_meta_optins(df.sparkSession, path, mode)
     with _preserve_history(df.sparkSession, path, mode):
         if n_files:
@@ -933,6 +946,10 @@ def zorder_write(
     no UDF, no global sort.
     """
     _guard_snapshot_overwrite(df.sparkSession, path, mode, "zorder_write")
+    if mode == "overwrite":
+        from .deletes import guard_no_pending_deletes
+
+        guard_no_pending_deletes(df.sparkSession, path, "zorder_write")
     z = zorder_column(df, by)
     manifested, bloom_cfg = _capture_meta_optins(df.sparkSession, path, mode)
     with _preserve_history(df.sparkSession, path, mode):

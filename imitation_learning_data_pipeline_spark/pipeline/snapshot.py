@@ -142,6 +142,12 @@ def create_snapshot(spark: SparkSession, path: str, tag: str) -> dict:
     if not _TAG_RE.match(tag):
         raise ValueError(f"snapshot: invalid tag {tag!r}")
     path = path.rstrip("/")
+    # live deletion vectors (pipeline/deletes.py) are NOT captured by
+    # the file-list manifest — a snapshot taken now would time-travel
+    # to a state with the deleted rows resurrected. Purge first.
+    from .deletes import guard_no_pending_deletes
+
+    guard_no_pending_deletes(spark, path, "create_snapshot")
     fs, _ = _fs(spark, path)
     jvm_path = _jvm_path(spark)
     _acquire_lock(spark, fs, jvm_path, path, "snapshot")
