@@ -654,15 +654,40 @@ def cmd_history(args: argparse.Namespace) -> int:
 
 
 def cmd_delete(args: argparse.Namespace) -> int:
-    """Row-level DELETE via file-level copy-on-write (pipeline/merge.py):
-    rewrite only the files holding matching rows."""
-    from .pipeline.merge import delete_from
-
+    """Row-level DELETE: copy-on-write by default (rewrite only the
+    files holding matching rows, pipeline/merge.py), or merge-on-read
+    with ``--mor`` (write only the matched positions as a deletion
+    vector, pipeline/deletes.py — O(rows matched), purge later)."""
     spark = _spark("delete")
-    stats = delete_from(
+    if args.mor:
+        from .pipeline.deletes import delete_from_mor
+
+        stats = delete_from_mor(
+            spark, args.path, args.where, stale_lock_s=args.stale_lock_s
+        )
+    else:
+        from .pipeline.merge import delete_from
+
+        stats = delete_from(
+            spark,
+            args.path,
+            args.where,
+            partition_by=args.partition_by.split(",") if args.partition_by else None,
+            stale_lock_s=args.stale_lock_s,
+        )
+    print(json.dumps({"path": args.path, **stats}))
+    return 0
+
+
+def cmd_purge_deletes(args: argparse.Namespace) -> int:
+    """Fold live deletion vectors back into the data files (the
+    deferred copy-on-write bill), reopening file-rewriting maintenance."""
+    from .pipeline.deletes import purge_deletes
+
+    spark = _spark("purge-deletes")
+    stats = purge_deletes(
         spark,
         args.path,
-        args.where,
         partition_by=args.partition_by.split(",") if args.partition_by else None,
         stale_lock_s=args.stale_lock_s,
     )
@@ -1563,7 +1588,23 @@ def build_parser() -> argparse.ArgumentParser:
     )
     dl.add_argument("--partition-by", default=None)
     dl.add_argument("--stale-lock-s", type=float, default=None)
+    dl.add_argument(
+        "--mor",
+        action="store_true",
+        help="merge-on-read: record matched positions as a deletion "
+        "vector instead of rewriting files (run purge-deletes later)",
+    )
     dl.set_defaults(fn=cmd_delete)
+
+    pg = sub.add_parser(
+        "purge-deletes",
+        help="fold live deletion vectors back into the data files "
+        "(rewrites only files with recorded positions)",
+    )
+    pg.add_argument("--path", required=True, help="table root")
+    pg.add_argument("--partition-by", default=None)
+    pg.add_argument("--stale-lock-s", type=float, default=None)
+    pg.set_defaults(fn=cmd_purge_deletes)
 
     up = sub.add_parser(
         "update",

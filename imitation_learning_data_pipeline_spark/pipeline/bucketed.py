@@ -1,0 +1,123 @@
+"""Bucketed tables: pre-shuffled layouts for exchange-free equi-joins.
+
+At 100 TB the dominant cost of a repeated big⋈big equi-join (documents
+⋈ embeddings on doc_id, lineitem ⋈ orders on orderkey) is the shuffle:
+every run re-hashes and re-ships both sides across the cluster. Spark's
+bucketing amortizes that shuffle into the WRITE: each side is stored
+hash-partitioned into N buckets on the join key (murmur3 pmod N — the
+same function the shuffle would use), so a join of two co-bucketed
+tables needs NO Exchange at all — each task zips bucket i with bucket
+i. With ``sort=True`` the buckets are also stored sorted, so the
+sort-merge join skips its per-task Sort too: the join becomes a pure
+streaming merge of pre-sorted files. Grouping/windowing by the bucket
+key gets the same exchange elision on one table.
+
+Why a module instead of "just call bucketBy": Spark's writer produces
+one file per bucket PER TASK — an unpartitioned ``df.write.bucketBy``
+from a 2000-task upstream writes up to 2000×N files and the reader
+then distrusts intra-bucket sort order (multi-file buckets are merged,
+not streamed). :func:`bucket_write` first ``repartition(N, keys)`` —
+hash-identical to the bucket function — so exactly one file per bucket
+lands, the layout stays compact, and sorted buckets stay trusted.
+
+Bucketed tables must live in the session catalog (the bucket spec is
+table metadata, not parquet metadata), but the DATA stays at the
+caller's path — ``saveAsTable`` with an explicit ``path`` creates an
+EXTERNAL table: dropping the catalog entry never deletes the files,
+and a plain ``spark.read.parquet(path)`` still works (it just doesn't
+know about buckets). This is the plain-parquet analogue of what a table
+format records natively; deployment mapping: Iceberg bucket partition
+transforms / Delta Liquid-ish clustering + Hive bucketed tables.
+
+Reference scope note: the reference pipeline (single-process Polars)
+has no multi-table join amortization story; this module is part of the
+100 TB extension surface, same as dedup/ANN.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _keys(by) -> list[str]:
+    return [by] if isinstance(by, str) else list(by)
+
+
+def bucket_write(
+    df: DataFrame,
+    name: str,
+    by,
+    n_buckets: int,
+    path: str,
+    mode: str = "overwrite",
+    sort: bool = True,
+) -> dict:
+    """Persist ``df`` as an external bucketed table ``name`` at ``path``,
+    hash-bucketed (and per-bucket sorted, by default) on ``by``.
+
+    ``repartition(n_buckets, keys)`` first: repartition's
+    HashPartitioning and the bucket-id function are the same murmur3
+    pmod, so partition i holds exactly bucket i — one file per bucket,
+    sort order trusted by the reader. Returns {table, path, n_buckets,
+    rows}.
+    """
+    keys = _keys(by)
+    spark = df.sparkSession
+    if mode == "overwrite":
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    writer = (
+        df.repartition(n_buckets, *[F.col(k) for k in keys])
+        .write.mode(mode)
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(n_buckets, keys[0], *keys[1:])
+    )
+    if sort:
+        writer = writer.sortBy(keys[0], *keys[1:])
+    writer.saveAsTable(name)
+    return {
+        "table": name,
+        "path": path,
+        "n_buckets": n_buckets,
+        "rows": spark.table(name).count(),
+    }
+
+
+def read_bucketed(spark: SparkSession, name: str) -> DataFrame:
+    """The bucket-aware read (``spark.table``). A plain
+    ``spark.read.parquet(path)`` of the same files works but plans
+    shuffles as if unbucketed — the bucket spec lives in the catalog."""
+    return spark.table(name)
+
+
+def cobucket_join(
+    spark: SparkSession,
+    left: str,
+    right: str,
+    on,
+    how: str = "inner",
+) -> DataFrame:
+    """Join two co-bucketed tables on their bucket key. With equal
+    bucket counts this plans with ZERO Exchange (verify with
+    :func:`exchange_count`); with counts n and k·n Spark still elides
+    one side's shuffle (bucket coalescing)."""
+    return read_bucketed(spark, left).join(
+        read_bucketed(spark, right), on=_keys(on), how=how
+    )
+
+
+def exchange_count(df: DataFrame, execute: bool = False) -> int:
+    """Shuffle (Exchange) nodes in the physical plan — the property
+    bucketing exists to drive to zero. With ``execute=True`` the frame
+    is run first so AQE's FINAL plan is counted (under AQE the
+    pre-execution string shows the initial plan)."""
+    if execute:
+        # noop sink: runs the whole plan JVM-side, no rows to Python
+        df.write.format("noop").mode("overwrite").save()
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    # shuffle exchanges only: BroadcastExchange moves no partitioned
+    # data and is counted by neither this audit nor the bucketing claim
+    return len(re.findall(r"(?<!Broadcast)Exchange", tree))

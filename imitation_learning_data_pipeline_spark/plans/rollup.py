@@ -192,18 +192,20 @@ WITH p AS (
          strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
          CAST(count(*) AS BIGINT) AS n_rows,
          CAST(count(value) AS BIGINT) AS value_n,
-         round(sum(value), 2) AS value_sum,
-         round(min(value), 4) AS value_min,
-         round(max(value), 4) AS value_max,
-         round(sum(value * value), 2) AS sumsq
+         CAST(round(sum(value) * 100) AS BIGINT) / 100.0 AS value_sum,
+         CAST(round(min(value) * 10000) AS BIGINT) / 10000.0 AS value_min,
+         CAST(round(max(value) * 10000) AS BIGINT) / 10000.0 AS value_max,
+         CAST(round(sum(value * value) * 100) AS BIGINT) / 100.0 AS sumsq
   FROM events
   GROUP BY event_type, date_trunc('day', ts)
 )
 SELECT event_type, day, n_rows, value_n, value_sum,
-       round(value_sum / value_n, 4) AS value_avg,
+       CAST(round(value_sum / value_n * 10000) AS BIGINT) / 10000.0
+         AS value_avg,
        value_min, value_max,
-       round(sumsq / value_n
-             - (value_sum / value_n) * (value_sum / value_n), 4) AS value_var
+       CAST(round((sumsq / value_n
+             - (value_sum / value_n) * (value_sum / value_n)) * 10000)
+            AS BIGINT) / 10000.0 AS value_var
 FROM p
 """,
 )
@@ -231,12 +233,23 @@ def rollup_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in (0, 1)
     ]
     merged = merge_rollup(halves[0].unionByName(halves[1]))
-    # determinism: avg/var derive from the ROUNDED sum/sumsq — engines
-    # may sum doubles in different orders, so only the rounded partials
-    # cross the hash comparator; everything after is identical IEEE
-    # arithmetic on identical inputs (registry determinism rule 1)
-    s2 = F.round("value__sum", 2)
-    q2 = F.round("value__sumsq", 2)
+
+    # determinism: avg/var derive from QUANTIZED sum/sumsq — engines
+    # may sum doubles in different orders, so only integer-rounded
+    # partials cross the hash comparator. Fractional round(x, k) is NOT
+    # bit-portable (Spark rounds the shortest decimal repr, DuckDB the
+    # exact binary value — they disagree when the shortest repr lands
+    # exactly on a half boundary, e.g. sum/n = "38.37875" whose binary
+    # value is ...749999); round-to-INTEGER is portable because every
+    # representable half IS exact, so quantize as round(x*10^k)/10^k.
+    # Everything downstream is identical IEEE arithmetic on identical
+    # inputs (see plans/numeric.py vector_zscore for the full rule).
+    def q(col, k):
+        p = float(10**k)
+        return F.round(col * p).cast("long").cast("double") / F.lit(p)
+
+    s2 = q(F.col("value__sum"), 2)
+    q2 = q(F.col("value__sumsq"), 2)
     n = F.col("value__n").cast("long")
     return merged.select(
         "event_type",
@@ -244,10 +257,10 @@ def rollup_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rows"),
         n.alias("value_n"),
         s2.alias("value_sum"),
-        F.round(s2 / n, 4).alias("value_avg"),
-        F.round("value__min", 4).alias("value_min"),
-        F.round("value__max", 4).alias("value_max"),
-        F.round(q2 / n - (s2 / n) * (s2 / n), 4).alias("value_var"),
+        q(s2 / n, 4).alias("value_avg"),
+        q(F.col("value__min"), 4).alias("value_min"),
+        q(F.col("value__max"), 4).alias("value_max"),
+        q(q2 / n - (s2 / n) * (s2 / n), 4).alias("value_var"),
     )
 
 

@@ -210,6 +210,25 @@ class TestPurge:
         }
 
 
+class TestMorCli:
+    def test_delete_mor_and_purge_verbs(self, spark, table, capsys):
+        import json
+
+        from imitation_learning_data_pipeline_spark.cli import main
+
+        rc = main(
+            ["delete", "--path", table, "--where", "grp = 5", "--mor"]
+        )
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0 and out["rows_deleted"] == N // 20
+        assert has_live_deletes(spark, table)
+        rc = main(["purge-deletes", "--path", table])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0 and out["rows_purged"] == N // 20
+        assert not has_live_deletes(spark, table)
+        assert spark.read.parquet(table).count() == N - N // 20
+
+
 class TestMorMetadataIntegration:
     def test_manifest_reads_subtract(self, spark, table):
         write_blooms(spark, table, ["doc_id"])
