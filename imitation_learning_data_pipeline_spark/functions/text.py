@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .rounding import quantize
+
 
 def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
@@ -165,22 +167,24 @@ def quality_features(col: Column | str) -> dict[str, Column]:
     return {
         "n_chars": n_chars.cast("long"),
         "n_words": n_words.cast("long"),
-        "mean_word_len": F.round(
+        # quantize, not F.round: int/int ratios land on shortest-repr
+        # half boundaries constantly (functions/rounding.py)
+        "mean_word_len": quantize(
             F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x)).cast("double")
             / F.greatest(n_words, F.lit(1)),
             4,
         ),
-        "stopword_ratio": F.round(
+        "stopword_ratio": quantize(
             F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))).cast("double")
             / F.greatest(n_words, F.lit(1)),
             4,
         ),
-        "digit_ratio": F.round(
+        "digit_ratio": quantize(
             (n_chars - F.length(F.regexp_replace(t, "[0-9]", ""))).cast("double")
             / F.greatest(n_chars, F.lit(1)),
             4,
         ),
-        "punct_ratio": F.round(
+        "punct_ratio": quantize(
             (n_chars - F.length(F.regexp_replace(t, "[.!?,;:]", ""))).cast("double")
             / F.greatest(n_chars, F.lit(1)),
             4,

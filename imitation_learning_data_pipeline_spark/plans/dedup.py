@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from .. import cache
 from ..functions.text import clean_words, normalize_text, shingles_of_words
+from ..functions.rounding import quantize
 from ..session import ensure_utc
 from ..sources import load_table
 from .registry import register
@@ -198,8 +199,9 @@ cand AS (
     ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 )
 SELECT c.doc_a, c.doc_b,
-       round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-             / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 4)
+       CAST(round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+             / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+             * 10000) AS BIGINT) / 10000.0
          AS jaccard
 FROM cand c JOIN sets x ON c.doc_a = x.doc_id JOIN sets y ON c.doc_b = y.doc_id
 WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
@@ -365,7 +367,7 @@ def _verify_jaccard(
         cand.join(sets.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
         .join(sets.alias("y"), F.col("doc_b") == F.col("y.doc_id"))
         .filter(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .select("doc_a", "doc_b", quantize(jac, 4).alias("jaccard"))
     )
 
 
@@ -542,7 +544,7 @@ def dedup_against_store(
         cand.join(sets_all.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
         .join(sets_all.alias("y"), F.col("doc_b") == F.col("y.doc_id"))
         .filter(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .select("doc_a", "doc_b", quantize(jac, 4).alias("jaccard"))
     )
 
 
@@ -761,7 +763,8 @@ pair_inter AS (
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT p.doc_a, p.doc_b,
-       round(CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter), 4) AS jaccard
+       CAST(round(CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter)
+             * 10000) AS BIGINT) / 10000.0 AS jaccard
 FROM pair_inter p
 JOIN sizes sa ON p.doc_a = sa.doc_id
 JOIN sizes sb ON p.doc_b = sb.doc_id
@@ -827,7 +830,7 @@ def ngram_jaccard_pairs(
             "doc_b",
         )
         .filter(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .select("doc_a", "doc_b", quantize(jac, 4).alias("jaccard"))
     )
 
 

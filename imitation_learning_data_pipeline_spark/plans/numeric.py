@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.vector import as_double, dot, zscore
+from ..functions.rounding import quantize
 from ..session import ensure_utc
 from ..sources import load_table
 from .registry import register
@@ -41,10 +42,10 @@ _EXPLODED = """
     oracle=f"""
 WITH ex AS ({_EXPLODED})
 SELECT dim, count(*) AS n,
-       round(avg(x), 4) AS mean_x,
-       round(stddev_pop(x), 4) AS std_x,
-       round(min(x), 4) AS min_x,
-       round(max(x), 4) AS max_x
+       CAST(round(avg(x) * 10000) AS BIGINT) / 10000.0 AS mean_x,
+       CAST(round(stddev_pop(x) * 10000) AS BIGINT) / 10000.0 AS std_x,
+       CAST(round(min(x) * 10000) AS BIGINT) / 10000.0 AS min_x,
+       CAST(round(max(x) * 10000) AS BIGINT) / 10000.0 AS max_x
 FROM ex GROUP BY dim
 """,
 )
@@ -72,10 +73,10 @@ def agg_weighted_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     var = F.greatest(ex2 - mean * mean, F.lit(0.0))  # clamp ≥0, :40
     return part.groupBy("dim").agg(
         s.cast("long").alias("n"),
-        F.round(mean, 4).alias("mean_x"),
-        F.round(F.sqrt(var), 4).alias("std_x"),
-        F.round(F.min("mn"), 4).alias("min_x"),
-        F.round(F.max("mx"), 4).alias("max_x"),
+        quantize(mean, 4).alias("mean_x"),
+        quantize(F.sqrt(var), 4).alias("std_x"),
+        quantize(F.min("mn"), 4).alias("min_x"),
+        quantize(F.max("mx"), 4).alias("max_x"),
     )
 
 
@@ -154,11 +155,15 @@ def vector_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vector_stats",
     oracle="""
 SELECT vec_id,
-       round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                   CAST(embedding AS DOUBLE[]))), 4) AS l2_norm,
-       round(list_aggregate(CAST(embedding AS DOUBLE[]), 'avg'), 4) AS mean_v,
-       round(list_aggregate(CAST(embedding AS DOUBLE[]), 'min'), 4) AS min_v,
-       round(list_aggregate(CAST(embedding AS DOUBLE[]), 'max'), 4) AS max_v,
+       CAST(round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                       CAST(embedding AS DOUBLE[]))) * 10000) AS BIGINT)
+         / 10000.0 AS l2_norm,
+       CAST(round(list_aggregate(CAST(embedding AS DOUBLE[]), 'avg') * 10000)
+            AS BIGINT) / 10000.0 AS mean_v,
+       CAST(round(list_aggregate(CAST(embedding AS DOUBLE[]), 'min') * 10000)
+            AS BIGINT) / 10000.0 AS min_v,
+       CAST(round(list_aggregate(CAST(embedding AS DOUBLE[]), 'max') * 10000)
+            AS BIGINT) / 10000.0 AS max_v,
        len(embedding) AS width
 FROM embeddings
 """,
@@ -170,9 +175,9 @@ def vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean_v = F.aggregate(v, F.lit(0.0), lambda a, x: a + x) / F.size(v)
     return emb.select(
         "vec_id",
-        F.round(F.sqrt(dot("embedding", "embedding")), 4).alias("l2_norm"),
-        F.round(mean_v, 4).alias("mean_v"),
-        F.round(F.array_min(v), 4).alias("min_v"),
-        F.round(F.array_max(v), 4).alias("max_v"),
+        quantize(F.sqrt(dot("embedding", "embedding")), 4).alias("l2_norm"),
+        quantize(mean_v, 4).alias("mean_v"),
+        quantize(F.array_min(v), 4).alias("min_v"),
+        quantize(F.array_max(v), 4).alias("max_v"),
         F.size(v).cast("long").alias("width"),
     )

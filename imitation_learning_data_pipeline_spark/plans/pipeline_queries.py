@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.hashing import cents, split_assign
+from ..functions.rounding import quantize
 from ..session import ensure_utc
 from ..sources import load_table
 from .registry import register
@@ -176,7 +177,8 @@ WITH frames AS (
 SELECT d.user_id, d.event_id, d.src,
        row_number() OVER (PARTITION BY d.user_id ORDER BY d.ts, d.event_id) - 1
          AS new_index,
-       round((d.value - s.mu) / (CASE WHEN s.sd = 0 THEN 1 ELSE s.sd END), 4) AS z
+       CAST(round((d.value - s.mu) / (CASE WHEN s.sd = 0 THEN 1 ELSE s.sd END)
+            * 10000) AS BIGINT) / 10000.0 AS z
 FROM deduped d JOIN stats s ON d.user_id = s.user_id
 """,
 )
@@ -221,7 +223,7 @@ def pipeline_align_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "src",
             (F.row_number().over(w_idx) - 1).alias("new_index"),
-            F.round(z, 4).alias("z"),
+            quantize(z, 4).alias("z"),
         )
     )
 

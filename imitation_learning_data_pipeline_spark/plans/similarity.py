@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.rounding import quantize
 from ..session import ensure_utc
 from ..sources import load_table
 from .registry import register
@@ -165,11 +166,17 @@ _COS_SQL = (
 
 
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
-    w = Window.partitionBy("qid").orderBy(F.round("cos", 6).desc(), "vec_id")
+    # portable ranking: the sort key is an INTEGER micro-cosine and the
+    # output a quantized double — fractional round() of a double is not
+    # bit-portable across engines (functions/rounding.py), and a flipped
+    # 6th decimal in the sort key would reorder rank ties
+    micro = F.round(F.col("cos") * 1000000).cast("long")
+    w = Window.partitionBy("qid").orderBy(F.col("micro").desc(), "vec_id")
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("micro", micro)
+        .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
-        .select("qid", "rnk", "vec_id", F.round("cos", 4).alias("cos_sim"))
+        .select("qid", "rnk", "vec_id", quantize(F.col("cos"), 4).alias("cos_sim"))
     )
 
 
@@ -188,10 +195,11 @@ WITH q AS (
 ), ranked AS (
   SELECT qid, vec_id, cos,
          row_number() OVER (PARTITION BY qid
-                            ORDER BY round(cos, 6) DESC, vec_id) AS rnk
+                            ORDER BY CAST(round(cos * 1000000) AS BIGINT)
+                                     DESC, vec_id) AS rnk
   FROM scored
 )
-SELECT qid, rnk, vec_id, round(cos, 4) AS cos_sim
+SELECT qid, rnk, vec_id, CAST(round(cos * 10000) AS BIGINT) / 10000.0 AS cos_sim
 FROM ranked WHERE rnk <= 10
 """,
 )
@@ -442,10 +450,11 @@ scored AS (
 ), ranked AS (
   SELECT qid, vec_id, cos,
          row_number() OVER (PARTITION BY qid
-                            ORDER BY round(cos, 6) DESC, vec_id) AS rnk
+                            ORDER BY CAST(round(cos * 1000000) AS BIGINT)
+                                     DESC, vec_id) AS rnk
   FROM scored
 )
-SELECT qid, rnk, vec_id, round(cos, 4) AS cos_sim
+SELECT qid, rnk, vec_id, CAST(round(cos * 10000) AS BIGINT) / 10000.0 AS cos_sim
 FROM ranked WHERE rnk <= 5
 """,
 )

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.rounding import quantize
 from ..functions.text import (
     LANG_MARKERS,
     STOPWORDS,
@@ -93,15 +94,19 @@ _FEATURE_SQL = f"""
   SELECT doc_id,
          CAST(length(text) AS BIGINT) AS n_chars,
          CAST(len({_W_SQL}) AS BIGINT) AS n_words,
-         round(CAST(list_aggregate(list_transform({_W_SQL}, x -> length(x)), 'sum')
-                 AS DOUBLE) / greatest(len({_W_SQL}), 1), 4) AS mean_word_len,
-         round(CAST(len(list_filter({_W_SQL},
+         CAST(round(CAST(list_aggregate(list_transform({_W_SQL}, x -> length(x)), 'sum')
+                 AS DOUBLE) / greatest(len({_W_SQL}), 1) * 10000) AS BIGINT)
+           / 10000.0 AS mean_word_len,
+         CAST(round(CAST(len(list_filter({_W_SQL},
                  x -> x IN ({", ".join(f"'{s}'" for s in STOPWORDS)})))
-                 AS DOUBLE) / greatest(len({_W_SQL}), 1), 4) AS stopword_ratio,
-         round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
-                 AS DOUBLE) / greatest(length(text), 1), 4) AS digit_ratio,
-         round(CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))
-                 AS DOUBLE) / greatest(length(text), 1), 4) AS punct_ratio
+                 AS DOUBLE) / greatest(len({_W_SQL}), 1) * 10000) AS BIGINT)
+           / 10000.0 AS stopword_ratio,
+         CAST(round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                 AS DOUBLE) / greatest(length(text), 1) * 10000) AS BIGINT)
+           / 10000.0 AS digit_ratio,
+         CAST(round(CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))
+                 AS DOUBLE) / greatest(length(text), 1) * 10000) AS BIGINT)
+           / 10000.0 AS punct_ratio
   FROM documents
 """
 
@@ -112,8 +117,9 @@ _FEATURE_SQL = f"""
 WITH feats AS ({_FEATURE_SQL})
 SELECT doc_id, n_chars, n_words, mean_word_len, stopword_ratio,
        digit_ratio, punct_ratio,
-       round(2 * stopword_ratio + least(n_words, 100) / 100.0
-             - 2 * digit_ratio - 2 * punct_ratio, 4) AS quality_score,
+       CAST(round((2 * stopword_ratio + least(n_words, 100) / 100.0
+             - 2 * digit_ratio - 2 * punct_ratio) * 10000) AS BIGINT)
+         / 10000.0 AS quality_score,
        (n_words >= 10 AND mean_word_len BETWEEN 2 AND 12) AS is_good
 FROM feats
 """,
@@ -130,7 +136,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = docs.select("doc_id", *[
         expr.alias(name) for name, expr in quality_features("text").items()
     ])
-    score = F.round(
+    score = quantize(
         2 * F.col("stopword_ratio")
         + F.least(F.col("n_words"), F.lit(100)) / 100.0
         - 2 * F.col("digit_ratio")
@@ -161,9 +167,10 @@ SELECT doc_id,
          AS BIGINT) AS n_regex_tokens,
        CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))
          AS BIGINT) AS n_distinct_tokens,
-       round(CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))
+       CAST(round(CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))
                  AS DOUBLE)
-             / greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1), 4)
+             / greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1)
+             * 10000) AS BIGINT) / 10000.0
          AS type_token_ratio
 FROM documents
 """,
@@ -180,7 +187,7 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(ws).cast("long").alias("n_ws_tokens"),
         F.size(regex_toks).cast("long").alias("n_regex_tokens"),
         F.size(F.array_distinct(alpha_toks)).cast("long").alias("n_distinct_tokens"),
-        F.round(
+        quantize(
             F.size(F.array_distinct(alpha_toks)).cast("double")
             / F.greatest(F.size(alpha_toks), F.lit(1)),
             4,
@@ -324,10 +331,12 @@ agg AS (
 )
 SELECT doc_id,
        CAST(total1 AS BIGINT) AS n_words,
-       round(CAST(total1 - distinct1 AS DOUBLE) / greatest(total1, 1), 4)
-         AS word_rep_frac,
-       round(CAST(max2 AS DOUBLE) / greatest(total2, 1), 4) AS top_2gram_frac,
-       round(CAST(dup3 AS DOUBLE) / greatest(total3, 1), 4) AS dup_3gram_frac
+       CAST(round(CAST(total1 - distinct1 AS DOUBLE) / greatest(total1, 1)
+            * 10000) AS BIGINT) / 10000.0 AS word_rep_frac,
+       CAST(round(CAST(max2 AS DOUBLE) / greatest(total2, 1) * 10000)
+            AS BIGINT) / 10000.0 AS top_2gram_frac,
+       CAST(round(CAST(dup3 AS DOUBLE) / greatest(total3, 1) * 10000)
+            AS BIGINT) / 10000.0 AS dup_3gram_frac
 FROM agg
 """
 
@@ -383,15 +392,15 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "doc_id",
         F.col("total1").cast("long").alias("n_words"),
-        F.round(
+        quantize(
             (F.col("total1") - F.col("distinct1")).cast("double")
             / F.greatest(F.col("total1"), F.lit(1)),
             4,
         ).alias("word_rep_frac"),
-        F.round(
+        quantize(
             F.col("max2").cast("double") / F.greatest(F.col("total2"), F.lit(1)), 4
         ).alias("top_2gram_frac"),
-        F.round(
+        quantize(
             F.col("dup3").cast("double") / F.greatest(F.col("total3"), F.lit(1)), 4
         ).alias("dup_3gram_frac"),
     )
@@ -456,8 +465,9 @@ WITH sents AS (
 )
 SELECT doc_id,
        CAST(len(ss) AS BIGINT) AS n_sentences,
-       round(CAST(list_aggregate(list_transform(ss, s -> length(s)), 'sum')
-               AS DOUBLE) / greatest(len(ss), 1), 4) AS mean_sentence_chars,
+       CAST(round(CAST(list_aggregate(list_transform(ss, s -> length(s)), 'sum')
+               AS DOUBLE) / greatest(len(ss), 1) * 10000) AS BIGINT)
+         / 10000.0 AS mean_sentence_chars,
        CAST(list_aggregate(list_transform(ss, s -> length(s)), 'max')
          AS BIGINT) AS max_sentence_chars
 FROM sents
@@ -477,7 +487,7 @@ def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs2.select(
         "doc_id",
         F.size("__ss").cast("long").alias("n_sentences"),
-        F.round(
+        quantize(
             F.aggregate(lens, F.lit(0), lambda a, x: a + x).cast("double")
             / F.greatest(F.size("__ss"), F.lit(1)),
             4,
@@ -637,11 +647,16 @@ feats AS (
   FROM arr
 )
 SELECT doc_id, n_words,
-       round(mean_word_len_raw, 4) AS mean_word_len,
-       round(symbol_ratio_raw, 4) AS symbol_word_ratio,
-       round(bullet_frac_raw, 4) AS bullet_line_frac,
-       round(ellipsis_frac_raw, 4) AS ellipsis_line_frac,
-       round(alpha_frac_raw, 4) AS alpha_word_frac,
+       CAST(round(mean_word_len_raw * 10000) AS BIGINT) / 10000.0
+         AS mean_word_len,
+       CAST(round(symbol_ratio_raw * 10000) AS BIGINT) / 10000.0
+         AS symbol_word_ratio,
+       CAST(round(bullet_frac_raw * 10000) AS BIGINT) / 10000.0
+         AS bullet_line_frac,
+       CAST(round(ellipsis_frac_raw * 10000) AS BIGINT) / 10000.0
+         AS ellipsis_line_frac,
+       CAST(round(alpha_frac_raw * 10000) AS BIGINT) / 10000.0
+         AS alpha_word_frac,
        n_req_stopwords,
        (n_words BETWEEN 50 AND 100000) AS r_word_count,
        (mean_word_len_raw >= 3 AND mean_word_len_raw <= 10) AS r_mean_word_len,
@@ -735,11 +750,11 @@ def gopher_rules(docs: DataFrame, min_required_stopwords: int = 2) -> DataFrame:
     return feats.select(
         "doc_id",
         "n_words",
-        F.round("mean_word_len_raw", 4).alias("mean_word_len"),
-        F.round("symbol_ratio_raw", 4).alias("symbol_word_ratio"),
-        F.round("bullet_frac_raw", 4).alias("bullet_line_frac"),
-        F.round("ellipsis_frac_raw", 4).alias("ellipsis_line_frac"),
-        F.round("alpha_frac_raw", 4).alias("alpha_word_frac"),
+        quantize("mean_word_len_raw", 4).alias("mean_word_len"),
+        quantize("symbol_ratio_raw", 4).alias("symbol_word_ratio"),
+        quantize("bullet_frac_raw", 4).alias("bullet_line_frac"),
+        quantize("ellipsis_frac_raw", 4).alias("ellipsis_line_frac"),
+        quantize("alpha_frac_raw", 4).alias("alpha_word_frac"),
         "n_req_stopwords",
         r_wc.alias("r_word_count"),
         r_mwl.alias("r_mean_word_len"),
@@ -826,7 +841,7 @@ def bm25_topk(
             tf + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
         )
     return (
-        scored.select("doc_id", F.round(score, 4).alias("bm25"))
+        scored.select("doc_id", quantize(score, 4).alias("bm25"))
         .filter(F.col("bm25") > 0)
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(k)
@@ -868,7 +883,7 @@ stats AS (
   FROM base
 )
 SELECT * FROM (
-  SELECT doc_id, round({parts}, 4) AS bm25
+  SELECT doc_id, CAST(round(({parts}) * 10000) AS BIGINT) / 10000.0 AS bm25
   FROM base, stats
 )
 WHERE bm25 > 0
