@@ -659,13 +659,29 @@ def cmd_delete(args: argparse.Namespace) -> int:
     with ``--mor`` (write only the matched positions as a deletion
     vector, pipeline/deletes.py — O(rows matched), purge later)."""
     spark = _spark("delete")
-    if args.mor:
+    if args.keys is not None:
+        if not args.key_col:
+            raise SystemExit("delete: --keys needs --key-col")
+        from .pipeline.deletes import delete_keys_mor
+
+        stats = delete_keys_mor(
+            spark,
+            args.path,
+            args.key_col,
+            args.keys.split(","),
+            stale_lock_s=args.stale_lock_s,
+        )
+    elif args.mor:
+        if not args.where:
+            raise SystemExit("delete: --mor needs --where")
         from .pipeline.deletes import delete_from_mor
 
         stats = delete_from_mor(
             spark, args.path, args.where, stale_lock_s=args.stale_lock_s
         )
     else:
+        if not args.where:
+            raise SystemExit("delete: needs --where (or --key-col/--keys)")
         from .pipeline.merge import delete_from
 
         stats = delete_from(
@@ -1584,7 +1600,16 @@ def build_parser() -> argparse.ArgumentParser:
     )
     dl.add_argument("--path", required=True, help="table root")
     dl.add_argument(
-        "--where", required=True, help="SQL predicate; NULL-evaluating rows are kept"
+        "--where", default=None, help="SQL predicate; NULL-evaluating rows are kept"
+    )
+    dl.add_argument(
+        "--key-col", default=None, help="equality-delete key column (with --keys)"
+    )
+    dl.add_argument(
+        "--keys",
+        default=None,
+        help="comma-separated key values: scan-free equality delete "
+        "(deletion vector of VALUES; purge-deletes resolves it later)",
     )
     dl.add_argument("--partition-by", default=None)
     dl.add_argument("--stale-lock-s", type=float, default=None)

@@ -16,9 +16,14 @@ Mechanics:
 - ``delete_from_mor(path, predicate)`` finds matched positions on the
   DV-aware frame (already-deleted rows can't re-match) using the same
   manifest/bloom file pre-cut as the COW find phase, then commits them
-  as one parquet DV under ``_manifest/deletes/dv-<n>-<uuid>/``
+  as one parquet DV under ``_manifest/deletes/dv-<uuid>/``
   (written to a sibling tmp dir, ATOMIC directory rename in — a crash
   leaves only the tmp, swept by the next MOR op).
+- ``delete_keys_mor(path, col, values)`` is the EQUALITY-delete
+  variant (Iceberg v2 equality deletes): record the key VALUES under
+  ``dv-eq-<uuid>/`` with no scan at all — readers subtract with a
+  broadcast anti join on the key column; the find scan is deferred to
+  ``purge_deletes``, which resolves matching files then.
 - ``read_with_deletes(path)`` is the MOR read: attach
   ``_metadata.file_path``/``row_index``, LEFT ANTI join the DV set on
   (relpath, row_index). DVs are metadata-sized (positions, not rows),
@@ -101,51 +106,89 @@ def guard_no_pending_deletes(spark: SparkSession, path: str, op: str) -> None:
         )
 
 
-def _read_dv(spark: SparkSession, path: str) -> DataFrame | None:
-    """The union of all live DV positions: (rel string, row_index
-    long). None when the table has no DVs."""
+def _dv_dirs(spark: SparkSession, path: str, prefix: str) -> list[str]:
     fs, _ = _fs(spark, path)
     root = _jvm_path(spark)(_dv_root(path))
     if not fs.exists(root):
-        return None
-    dirs = [
+        return []
+    return [
         st.getPath().toString()
         for st in fs.listStatus(root)
-        if st.getPath().getName().startswith("dv-")
+        if st.getPath().getName().startswith(prefix)
+    ]
+
+
+def _read_dv(spark: SparkSession, path: str) -> DataFrame | None:
+    """The union of all live POSITION-delete DVs: (rel string,
+    row_index long). None when the table has none."""
+    dirs = [
+        d
+        for d in _dv_dirs(spark, path, "dv-")
+        if not d.rsplit("/", 1)[-1].startswith("dv-eq-")
     ]
     if not dirs:
         return None
     return spark.read.parquet(*dirs)
 
 
+def _read_eq_dvs(spark: SparkSession, path: str) -> dict[str, DataFrame]:
+    """Live EQUALITY-delete DVs grouped by key column: {col: distinct
+    values frame (single column named col)}. The key column's name is
+    the DV parquet's single column name."""
+    out: dict[str, DataFrame] = {}
+    for d in _dv_dirs(spark, path, "dv-eq-"):
+        df = spark.read.parquet(d)
+        col = df.columns[0]
+        out[col] = out[col].unionByName(df) if col in out else df
+    return {c: df.distinct() for c, df in out.items()}
+
+
 def deleted_row_count(spark: SparkSession, path: str) -> int:
-    """Live deleted-position count — a parquet COUNT(*) over the DV
-    files, which Spark answers from footer metadata (no column I/O)."""
+    """Live deleted-POSITION count — a parquet COUNT(*) over the DV
+    files, which Spark answers from footer metadata (no column I/O).
+    Equality deletes are not counted: their matched-row count is
+    unknowable without a scan (see :func:`manifest_row_count`'s
+    honest-None)."""
     dv = _read_dv(spark, path)
     return 0 if dv is None else dv.count()
 
 
+def has_equality_deletes(spark: SparkSession, path: str) -> bool:
+    return bool(_dv_dirs(spark, path, "dv-eq-"))
+
+
+def _apply_eq(spark: SparkSession, path: str, df: DataFrame) -> DataFrame:
+    """Subtract live equality-delete values: one LEFT ANTI join per key
+    column, no projection (``_metadata`` stays resolvable)."""
+    for col, vals in _read_eq_dvs(spark, path).items():
+        df = df.join(F.broadcast(vals), on=[col], how="left_anti")
+    return df
+
+
 def apply_deletes(spark: SparkSession, path: str, df: DataFrame) -> DataFrame:
-    """Subtract live DV positions from a frame JUST read from
-    ``path`` (the ``_metadata`` struct must still be resolvable, i.e.
-    call this before any projection). No-op without DVs."""
+    """Subtract live DVs (positions AND equality values) from a frame
+    JUST read from ``path`` (the ``_metadata`` struct must still be
+    resolvable, i.e. call this before any projection or join). No-op
+    without DVs. Positions subtract FIRST — ``_metadata`` resolves only
+    on a plain file-source frame, and the equality anti join would
+    destroy that."""
     dv = _read_dv(spark, path)
-    if dv is None:
-        return df
-    fs, _ = _fs(spark, path)
-    qual = _qual_root(spark, fs, path)
-    out_cols = df.columns
-    keyed = df.withColumn(
-        "__rel", F.expr(f"substring(_metadata.file_path, {len(qual) + 2})")
-    ).withColumn("__idx", F.col("_metadata.row_index"))
-    kept = keyed.join(
-        dv.select(
-            F.col("rel").alias("__rel"), F.col("row_index").alias("__idx")
-        ),
-        on=["__rel", "__idx"],
-        how="left_anti",
-    )
-    return kept.select(*out_cols)
+    if dv is not None:
+        fs, _ = _fs(spark, path)
+        qual = _qual_root(spark, fs, path)
+        out_cols = df.columns
+        keyed = df.withColumn(
+            "__rel", F.expr(f"substring(_metadata.file_path, {len(qual) + 2})")
+        ).withColumn("__idx", F.col("_metadata.row_index"))
+        kept = keyed.join(
+            dv.select(
+                F.col("rel").alias("__rel"), F.col("row_index").alias("__idx")
+            ),
+            on=["__rel", "__idx"],
+            how="left_anti",
+        )
+        df = kept.select(*out_cols)
+    return _apply_eq(spark, path, df)
 
 
 def read_with_deletes(spark: SparkSession, path: str) -> DataFrame:
@@ -189,16 +232,22 @@ def delete_from_mor(
         if src is None:
             return {"rows_deleted": 0, "dv_files": 0}
         qual = _qual_root(spark, fs, path)
-        # key the rows BEFORE subtracting prior DVs (the subtraction
-        # projects _metadata away), so already-deleted rows can't
+        # key the rows BEFORE subtracting prior DVs (any join makes
+        # _metadata unresolvable), carrying the equality-key columns so
+        # rows already deleted — positionally OR by key — can't
         # re-match and re-count
+        eq = _read_eq_dvs(spark, path)
         keyed = src.select(
             F.expr(
                 f"substring(_metadata.file_path, {len(qual) + 2})"
             ).alias("rel"),
             F.col("_metadata.row_index").alias("row_index"),
             hit.alias("__hit"),
+            *[F.col(c) for c in eq],
         )
+        for col, vals in eq.items():
+            keyed = keyed.join(F.broadcast(vals), on=[col], how="left_anti")
+        keyed = keyed.select("rel", "row_index", "__hit")
         prior = _read_dv(spark, path)
         if prior is not None:
             keyed = keyed.join(prior, on=["rel", "row_index"], how="left_anti")
@@ -221,6 +270,73 @@ def delete_from_mor(
     return out
 
 
+def delete_keys_mor(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    values,
+    stale_lock_s: float | None = None,
+) -> dict:
+    """Row-level DELETE by key values with NO SCAN AT ALL (Iceberg v2
+    equality deletes): record the values of ``col`` to delete as one
+    parquet DV whose single column is named ``col`` (typed to the
+    table's column type from its schema — a metadata read); readers
+    subtract with a broadcast anti join on that column. The GDPR
+    fast path: cost ∝ number of keys, independent of table size —
+    ``delete_from_mor`` still scans a (bloom-pre-cut) find set to
+    resolve positions; this writes kilobytes and touches nothing.
+
+    The matched-row count is unknowable without a scan, so the return
+    is {keys_recorded, dv_files} and ``manifest_row_count`` goes
+    honest-None while equality DVs are live. ``purge_deletes`` resolves
+    them to rewrites (and exact counts) later. NULL keys are rejected:
+    SQL equality never matches NULL, so recording one would silently
+    delete nothing.
+    """
+    from .compact import _acquire_lock, _lock_path
+    from .merge import _rm
+
+    path = path.rstrip("/")
+    if not isinstance(values, (list, tuple)):
+        raise TypeError("delete_keys_mor: values must be a list/tuple")
+    if any(v is None for v in values):
+        raise ValueError("delete_keys_mor: NULL keys never match — refuse")
+    fs, _ = _fs(spark, path)
+    jvm_path = _jvm_path(spark)
+    tmp = f"{path}__dv_tmp"
+    _acquire_lock(spark, fs, jvm_path, path, "delete_keys_mor", stale_lock_s)
+    try:
+        _rm(fs, jvm_path, tmp)
+        field = next(
+            (f for f in spark.read.parquet(path).schema.fields if f.name == col),
+            None,
+        )
+        if field is None:
+            raise ValueError(f"delete_keys_mor: no column {col!r} in {path}")
+        vals = (
+            # values ride in as strings and cast to the table's own
+            # column type — one row per key, driver-side by definition
+            spark.createDataFrame(
+                [(str(v),) for v in values], f"`{col}` string"
+            )
+            .select(F.col(col).cast(field.dataType).alias(col))
+            .distinct()
+        )
+        vals.coalesce(1).write.mode("overwrite").parquet(tmp)
+        n = spark.read.parquet(tmp).count()
+        fs.mkdirs(jvm_path(_dv_root(path)))
+        dest = jvm_path(f"{_dv_root(path)}/dv-eq-{uuid.uuid4().hex}")
+        if not fs.rename(jvm_path(tmp), dest):
+            raise IOError(f"delete_keys_mor: could not commit DV to {dest}")
+        out = {"keys_recorded": int(n), "dv_files": 1}
+    finally:
+        fs.delete(jvm_path(_lock_path(path)), False)
+    from .history import log_event
+
+    log_event(spark, path, "delete_keys_mor", out)
+    return out
+
+
 def purge_deletes(
     spark: SparkSession,
     path: str,
@@ -228,11 +344,14 @@ def purge_deletes(
     stale_lock_s: float | None = None,
 ) -> dict:
     """Fold live DVs back into the data: rewrite ONLY the files with
-    recorded positions (survivor rows kept, fully-deleted files simply
-    dropped) through the shared journaled copy-on-write commit — so
-    crash recovery, snapshot retention, and the manifest/bloom deltas
-    all behave exactly as for a COW delete — then retire the DV dirs.
-    After this, file-rewriting maintenance is legal again. Returns
+    recorded positions or equality-matched rows (survivor rows kept,
+    fully-deleted files simply dropped) through the shared journaled
+    copy-on-write commit — so crash recovery, snapshot retention, and
+    the manifest/bloom deltas all behave exactly as for a COW delete —
+    then retire the DV dirs. Equality DVs pay their find scan HERE
+    (one semi-join pass locating matching files — this is where the
+    deferred cost of the scan-free ``delete_keys_mor`` lands). After
+    this, file-rewriting maintenance is legal again. Returns
     {files_touched, files_added, rows_purged}.
     """
     from .compact import _acquire_lock, _lock_path
@@ -261,38 +380,53 @@ def purge_deletes(
                 f"{partition_by} was given"
             )
         dv = _read_dv(spark, path)
-        if dv is None:
+        eq = _read_eq_dvs(spark, path)
+        if dv is None and not eq:
             return {"files_touched": 0, "files_added": 0, "rows_purged": 0}
-        all_rels = sorted(
-            r["rel"] for r in dv.select("rel").distinct().collect()
-        )
+        qual = _qual_root(spark, fs, path)
+        all_rels: set[str] = set()
+        if dv is not None:
+            all_rels.update(
+                r["rel"] for r in dv.select("rel").distinct().collect()
+            )
+        if eq:
+            # the equality find scan: files holding any matching row.
+            # O(#files) collect — the same Delta-log-sized list the COW
+            # find phase materializes.
+            rel_expr = F.expr(
+                f"substring(_metadata.file_path, {len(qual) + 2})"
+            )
+            hit = spark.read.parquet(path).select(
+                rel_expr.alias("rel"), *[F.col(c) for c in eq]
+            )
+            for col, vals in eq.items():
+                matched = hit.join(F.broadcast(vals), on=[col], how="left_semi")
+                all_rels.update(
+                    r["rel"]
+                    for r in matched.select("rel").distinct().collect()
+                )
         # positions whose file no longer exists are leftovers of a
         # crash between a prior purge's commit and its DV drop — those
         # rows are ALREADY purged (the rewrite excluded them); the
         # obsolete positions no-op against reads (dead rels never
         # match) and are simply retired below with the rest
-        touched_rels = [
+        touched_rels = sorted(
             rel
             for rel in all_rels
             if fs.exists(jvm_path(f"{path}/{rel}"))
-        ]
+        )
         moved = 0
         n_purged = 0
         if touched_rels:
-            live = dv.filter(F.col("rel").isin(touched_rels))
-            n_purged = live.count()
-            qual = _qual_root(spark, fs, path)
             touched = [
                 (f"{qual}/{rel}", jvm_path(f"{path}/{rel}"))
                 for rel in touched_rels
             ]
-            survivors = apply_deletes(
-                spark,
-                path,
-                spark.read.option("basePath", path).parquet(
-                    *[f"{path}/{rel}" for rel in touched_rels]
-                ),
+            before_df = spark.read.option("basePath", path).parquet(
+                *[f"{path}/{rel}" for rel in touched_rels]
             )
+            n_before = before_df.count()  # footer metadata, no column I/O
+            survivors = apply_deletes(spark, path, before_df)
             _rm(fs, jvm_path, tmp)
             writer = survivors.coalesce(len(touched_rels)).write.mode(
                 "overwrite"
@@ -300,6 +434,9 @@ def purge_deletes(
             if partition_by:
                 writer = writer.partitionBy(*partition_by)
             writer.parquet(tmp)
+            # exact across both DV kinds: rows in the touched files that
+            # did not survive the rewrite (position- OR equality-deleted)
+            n_purged = n_before - spark.read.parquet(tmp).count()
             moved = _commit_staged(spark, fs, jvm_path, path, tmp, touched)
         # DV retirement strictly AFTER the journaled commit: a crash
         # in between leaves rewritten files + DVs pointing at dead

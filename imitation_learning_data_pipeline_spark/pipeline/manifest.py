@@ -775,11 +775,14 @@ def manifest_row_count(spark: SparkSession, path: str) -> int | None:
         if entry is None or "rows" not in entry:
             return None
         total += int(entry["rows"])
-    from .deletes import deleted_row_count
+    from .deletes import deleted_row_count, has_equality_deletes
 
-    # merge-on-read tables: live DV positions subtract from the file
+    # merge-on-read tables: live POSITION DVs subtract from the file
     # stats (the DV count is itself parquet footer metadata — still no
-    # column I/O)
+    # column I/O); EQUALITY DVs make the count unknowable without a
+    # scan (how many rows match the recorded keys?) — honest None
+    if has_equality_deletes(spark, path):
+        return None
     return total - deleted_row_count(spark, path)
 
 

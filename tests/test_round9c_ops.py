@@ -210,6 +210,94 @@ class TestPurge:
         }
 
 
+class TestEqualityDeletes:
+    def test_no_scan_delete_and_read(self, spark, table):
+        from imitation_learning_data_pipeline_spark.pipeline.deletes import (
+            delete_keys_mor,
+        )
+
+        before = {
+            f for f in os.listdir(table) if f.endswith(".parquet")
+        }
+        r = delete_keys_mor(
+            spark, table, "doc_id", ["doc-1", "doc-2", "doc-ghost"]
+        )
+        assert r == {"keys_recorded": 3, "dv_files": 1}
+        # no data file touched
+        assert {
+            f for f in os.listdir(table) if f.endswith(".parquet")
+        } == before
+        got = read_with_deletes(spark, table)
+        assert got.count() == N - 2  # ghost key matches nothing
+        assert got.filter("doc_id IN ('doc-1','doc-2')").count() == 0
+
+    def test_guard_and_manifest_honesty(self, spark, table):
+        from imitation_learning_data_pipeline_spark.pipeline.deletes import (
+            delete_keys_mor,
+        )
+
+        delete_keys_mor(spark, table, "doc_id", ["doc-7"])
+        assert has_live_deletes(spark, table)
+        with pytest.raises(PendingDeletesError):
+            delete_from(spark, table, "grp = 1")
+        # matched-row count unknowable without a scan: honest None
+        assert manifest_row_count(spark, table) is None
+        assert manifest_col_bounds(spark, table, "grp") is None
+
+    def test_purge_resolves_equality(self, spark, table):
+        from imitation_learning_data_pipeline_spark.pipeline.deletes import (
+            delete_keys_mor,
+        )
+
+        delete_keys_mor(spark, table, "doc_id", ["doc-10", "doc-11"])
+        p = purge_deletes(spark, table)
+        assert p["rows_purged"] == 2
+        assert not has_live_deletes(spark, table)
+        df = spark.read.parquet(table)
+        assert df.count() == N - 2
+        assert df.filter("doc_id IN ('doc-10','doc-11')").count() == 0
+        assert manifest_row_count(spark, table) == N - 2
+
+    def test_mixed_positions_and_equality(self, spark, table):
+        from imitation_learning_data_pipeline_spark.pipeline.deletes import (
+            delete_keys_mor,
+        )
+
+        delete_from_mor(spark, table, "grp = 7")  # N//20 positions
+        delete_keys_mor(spark, table, "doc_id", ["doc-0"])  # grp 0
+        got = read_with_deletes(spark, table)
+        assert got.count() == N - N // 20 - 1
+        # positional delete after an equality delete: the eq-deleted
+        # row can't re-match and re-count
+        r = delete_from_mor(spark, table, "doc_id = 'doc-0' OR grp = 3")
+        assert r["rows_deleted"] == N // 20  # grp=3 only
+        p = purge_deletes(spark, table)
+        assert p["rows_purged"] == 2 * (N // 20) + 1
+        assert spark.read.parquet(table).count() == N - 2 * (N // 20) - 1
+
+    def test_typed_key_column(self, spark, table):
+        from imitation_learning_data_pipeline_spark.pipeline.deletes import (
+            delete_keys_mor,
+        )
+
+        # long-typed key column: values cast through the table schema
+        r = delete_keys_mor(spark, table, "grp", [4, 9])
+        assert r["keys_recorded"] == 2
+        got = read_with_deletes(spark, table)
+        assert got.count() == N - 2 * (N // 20)
+        assert got.filter("grp IN (4, 9)").count() == 0
+
+    def test_null_and_missing_col_refused(self, spark, table):
+        from imitation_learning_data_pipeline_spark.pipeline.deletes import (
+            delete_keys_mor,
+        )
+
+        with pytest.raises(ValueError):
+            delete_keys_mor(spark, table, "doc_id", ["doc-1", None])
+        with pytest.raises(ValueError):
+            delete_keys_mor(spark, table, "nope", ["x"])
+
+
 class TestMorCli:
     def test_delete_mor_and_purge_verbs(self, spark, table, capsys):
         import json
@@ -227,6 +315,29 @@ class TestMorCli:
         assert rc == 0 and out["rows_purged"] == N // 20
         assert not has_live_deletes(spark, table)
         assert spark.read.parquet(table).count() == N - N // 20
+
+    def test_equality_keys_verb(self, spark, table, capsys):
+        import json
+
+        from imitation_learning_data_pipeline_spark.cli import main
+
+        rc = main(
+            [
+                "delete",
+                "--path",
+                table,
+                "--key-col",
+                "doc_id",
+                "--keys",
+                "doc-5,doc-6",
+            ]
+        )
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0 and out["keys_recorded"] == 2
+        rc = main(["purge-deletes", "--path", table])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0 and out["rows_purged"] == 2
+        assert spark.read.parquet(table).count() == N - 2
 
 
 class TestMorMetadataIntegration:
