@@ -70,7 +70,6 @@ CONTRACT_FIRST: list[str] = [
     # Round-6 additions #2 (this session): the imitation-learning sample
     # extractor, two curation planners, and the schema profiler — new
     # operators go straight into the contract.
-    "trajectory_windows",
     "trajectory_features",
     "mixture_token_budget",
     "sample_reservoir_pergroup",
@@ -88,6 +87,12 @@ CONTRACT_FIRST: list[str] = [
     # rollup — new operators go straight into the contract; funded by
     # parking pack_sequences (see CONTRACT_EXCLUDE).
     "rollup_events_daily",
+    # Round-9 addition: mergeable histogram-quantile accuracy invariant
+    # (two-batch merge must land within one bin width of exact
+    # percentiles) — new operators go straight into the contract;
+    # funded by parking trajectory_windows (three rounds green) behind
+    # trajectory_features, which drives the same window extraction.
+    "rollup_quantile_accuracy",
     # Round-7 rotation (proxy-drift check, ADVICE r4 cadence): parked in
     # r6 after four green rounds, rotated BACK for a fresh direct row;
     # funded by parking pipeline_dedup_end_to_end (see CONTRACT_EXCLUDE).
@@ -132,6 +137,10 @@ CONTRACT_FIRST: list[str] = [
 # is a strict sub-shape of a retained query, so driver coverage is kept
 # via the named proxy.
 CONTRACT_EXCLUDE: dict[str, str] = {
+    # round-9 rotation: three rounds green (r6-r8), parked to fund
+    # rollup_quantile_accuracy's slot.
+    "trajectory_windows": "trajectory_features (computes its features "
+    "FROM the same window extraction — strict superset)",
     "scan_project_filter": "every scan; q6_forecast_revenue is scan+filter+agg",
     "join_left_change_detect": "pipeline_discover_status (same J1 diff join)",
     "join_anti_deleted": "pipeline_discover_status (same J2 anti join)",

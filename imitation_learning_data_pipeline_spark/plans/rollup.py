@@ -73,6 +73,8 @@ def rollup_partials(
     time_col: str | None = None,
     grain: str = "day",
     distinct_cols: list[str] | None = None,
+    quantile_cols: dict[str, tuple[float, float]] | None = None,
+    n_bins: int = 64,
 ) -> DataFrame:
     """One-pass mergeable partials: a row per group with ``n_rows`` plus
     ``{m}__n/{m}__sum/{m}__min/{m}__max/{m}__sumsq`` per metric and
@@ -81,14 +83,39 @@ def rollup_partials(
     can be at 100 TB (register-level union is lossless, the same
     machinery as the sketch profiles in plans/profile.py).
 
+    ``quantile_cols`` adds mergeable QUANTILE state per entry —
+    ``{q}: (lo, hi)`` declares a fixed value domain and the state is a
+    fixed-bin histogram ``{q}__hist`` (array<long>, ``n_bins`` equal
+    bins over [lo, hi), out-of-domain values clamped into the end
+    bins) plus the domain literals ``{q}__hlo/{q}__hhi``. Histograms
+    merge by elementwise add — associative and commutative like every
+    other stat here — and :func:`finalize_rollup` interpolates
+    p50/p95/p99 from the folded counts with error ≤ one bin width
+    ((hi−lo)/n_bins) against the empirical CDF inverse (≤ two vs an
+    interpolated type-7 percentile — see :func:`histogram_quantile`). The domain must be DECLARED, not derived: bins
+    computed from a batch's own min/max would differ across batches
+    and never merge (the same reason t-digest centroids don't fit a
+    fixed-schema store row). ``percentile_approx`` is the one-shot
+    alternative, but Spark exposes no mergeable partial state for it —
+    this histogram IS the state, at 8·n_bins bytes per group.
+
     ``time_col`` adds a ``bucket_ts = date_trunc(grain, time_col)``
     group key — the hypertable time-bucket axis. Every stat compiles
     into ONE hash aggregate with map-side partial combine; nothing but
-    (group, 5·metrics doubles + sketches) crosses the shuffle.
+    (group, 5·metrics doubles + sketches + histograms) crosses the
+    shuffle.
     """
     group_cols = list(group_cols)
     distinct_cols = list(distinct_cols or [])
-    _check_names(group_cols, metrics + distinct_cols)
+    quantile_cols = dict(quantile_cols or {})
+    _check_names(
+        group_cols, metrics + distinct_cols + list(quantile_cols)
+    )
+    for qc, (lo, hi) in quantile_cols.items():
+        if not (hi > lo):
+            raise ValueError(f"rollup_partials: {qc} domain needs hi > lo")
+        if n_bins < 2:
+            raise ValueError("rollup_partials: n_bins must be >= 2")
     if time_col is not None:
         df = df.withColumn("bucket_ts", F.date_trunc(grain, _bt(time_col)))
         group_cols = group_cols + ["bucket_ts"]
@@ -112,15 +139,54 @@ def rollup_partials(
         aggs.append(
             F.hll_sketch_agg(_bt(d).cast("string")).alias(f"{d}__hll")
         )
-    return df.groupBy(*[_bt(c) for c in group_cols]).agg(*aggs)
+    for qc, (lo, hi) in quantile_cols.items():
+        v = _bt(qc).cast("double")
+        width = (hi - lo) / n_bins
+        # clamp into [0, n_bins-1]: under/overflow lands in the end
+        # bins. The isNotNull guard is load-bearing: greatest/least
+        # SKIP nulls (greatest(NULL, 0) = 0), so an unguarded NULL
+        # value would silently count into bin 0.
+        bin_ix = F.when(
+            v.isNotNull(),
+            F.least(
+                F.greatest(F.floor((v - F.lit(lo)) / F.lit(width)), F.lit(0)),
+                F.lit(n_bins - 1),
+            ),
+        )
+        aggs.append(
+            F.array(
+                *[
+                    F.coalesce(
+                        F.sum(
+                            F.when(bin_ix == i, F.lit(1)).otherwise(F.lit(0))
+                        ),
+                        F.lit(0),
+                    ).cast("long")
+                    for i in range(n_bins)
+                ]
+            ).alias(f"{qc}__hist")
+        )
+    out = df.groupBy(*[_bt(c) for c in group_cols]).agg(*aggs)
+    for qc, (lo, hi) in quantile_cols.items():
+        # the declared domain rides along as literals so merges can
+        # verify spec agreement without a side-channel
+        out = out.withColumn(f"{qc}__hlo", F.lit(float(lo))).withColumn(
+            f"{qc}__hhi", F.lit(float(hi))
+        )
+    return out
 
 
-def _split_schema(parts: DataFrame) -> tuple[list[str], list[str], list[str]]:
-    """(group_cols, metrics, distinct_cols) recovered from a partials
-    frame's column suffix convention — layout columns (bucket,
-    ingest_batch) excluded."""
+def _split_schema(
+    parts: DataFrame,
+) -> tuple[list[str], list[str], list[str], list[str]]:
+    """(group_cols, metrics, distinct_cols, quantile_cols) recovered
+    from a partials frame's column suffix convention — layout columns
+    (bucket, ingest_batch) excluded."""
     metrics = [c[: -len("__sum")] for c in parts.columns if c.endswith("__sum")]
     distinct_cols = [c[: -len("__hll")] for c in parts.columns if c.endswith("__hll")]
+    quantile_cols = [
+        c[: -len("__hist")] for c in parts.columns if c.endswith("__hist")
+    ]
     group_cols = [
         c
         for c in parts.columns
@@ -128,14 +194,39 @@ def _split_schema(parts: DataFrame) -> tuple[list[str], list[str], list[str]]:
     ]
     if not metrics or not group_cols:
         raise ValueError("rollup: frame is not a rollup-partials frame")
-    return group_cols, metrics, distinct_cols
+    return group_cols, metrics, distinct_cols, quantile_cols
 
 
 def merge_rollup(parts: DataFrame) -> DataFrame:
     """Fold any union of partial frames down to one row per group:
-    counts/sums add, min/min, max/max, HLL sketches union. Input is
-    #groups × #batches rows — aggregate-sized, never data-sized."""
-    group_cols, metrics, distinct_cols = _split_schema(parts)
+    counts/sums add, min/min, max/max, HLL sketches union, histograms
+    add elementwise. Input is #groups × #batches rows —
+    aggregate-sized, never data-sized."""
+    group_cols, metrics, distinct_cols, quantile_cols = _split_schema(parts)
+    if quantile_cols:
+        # bin specs must agree or the elementwise add is meaningless;
+        # one aggregate-sized job validates all quantile columns at once
+        checks = []
+        for qc in quantile_cols:
+            checks.extend(
+                [
+                    F.countDistinct(f"{qc}__hlo").alias(f"{qc}_lo_n"),
+                    F.countDistinct(f"{qc}__hhi").alias(f"{qc}_hi_n"),
+                    F.countDistinct(F.size(f"{qc}__hist")).alias(f"{qc}_nb_n"),
+                ]
+            )
+        row = parts.agg(*checks).first()
+        for qc in quantile_cols:
+            if (
+                row[f"{qc}_lo_n"] > 1
+                or row[f"{qc}_hi_n"] > 1
+                or row[f"{qc}_nb_n"] > 1
+            ):
+                raise ValueError(
+                    f"merge_rollup: {qc} histogram specs disagree across "
+                    "batches (lo/hi/n_bins must match — re-bin before "
+                    "merging)"
+                )
     aggs: list[Column] = [F.sum("n_rows").alias("n_rows")]
     for m in metrics:
         aggs.extend(
@@ -149,15 +240,83 @@ def merge_rollup(parts: DataFrame) -> DataFrame:
         )
     for d in distinct_cols:
         aggs.append(F.hll_union_agg(f"{d}__hll").alias(f"{d}__hll"))
+    for qc in quantile_cols:
+        # elementwise histogram add: fold the (few, per-batch) arrays
+        # with the first as the accumulator seed
+        lst = F.collect_list(f"{qc}__hist")
+        aggs.append(
+            F.aggregate(
+                F.slice(lst, F.lit(2), F.greatest(F.size(lst) - 1, F.lit(0))),
+                F.element_at(lst, 1),
+                lambda acc, h: F.zip_with(acc, h, lambda a, b: a + b),
+            ).alias(f"{qc}__hist")
+        )
+        aggs.append(F.min(f"{qc}__hlo").alias(f"{qc}__hlo"))
+        aggs.append(F.min(f"{qc}__hhi").alias(f"{qc}__hhi"))
     return parts.groupBy(*[_bt(c) for c in group_cols]).agg(*aggs)
 
 
-def finalize_rollup(parts: DataFrame) -> DataFrame:
+def histogram_quantile(hist: Column, lo: Column, hi: Column, q: float) -> Column:
+    """Interpolated quantile estimate from a fixed-bin histogram —
+    pure array expressions, no explode, no UDF. Error ≤ one bin width
+    against the empirical CDF inverse (≤ two against an interpolated
+    type-7 percentile, which may sit at the adjacent bin's far edge).
+
+    Walk the cumulative counts to the first bin where cum ≥ q·n, then
+    linear-interpolate inside it. The walk is one ``aggregate`` over
+    the bins with a (cum, answer) struct accumulator — O(n_bins) per
+    group, JVM-side."""
+    n = F.aggregate(hist, F.lit(0).cast("long"), lambda a, x: a + x)
+    target = F.lit(q) * n.cast("double")
+    width = (hi - lo) / F.size(hist)
+    acc0 = F.struct(
+        F.lit(0).cast("long").alias("cum"),
+        F.lit(-1).alias("ix"),
+        F.lit(0).cast("long").alias("cnt"),
+        F.lit(0).cast("long").alias("below"),
+    )
+    walked = F.aggregate(
+        F.zip_with(
+            hist,
+            F.sequence(F.lit(0), F.size(hist) - 1),
+            lambda c, i: F.struct(c.alias("c"), i.alias("i")),
+        ),
+        acc0,
+        lambda a, e: F.when(
+            (a["ix"] < 0) & ((a["cum"] + e["c"]).cast("double") >= target),
+            F.struct(
+                (a["cum"] + e["c"]).alias("cum"),
+                e["i"].alias("ix"),
+                e["c"].cast("long").alias("cnt"),
+                a["cum"].alias("below"),
+            ),
+        ).otherwise(
+            F.struct(
+                (a["cum"] + e["c"]).alias("cum"),
+                a["ix"].alias("ix"),
+                a["cnt"].alias("cnt"),
+                a["below"].alias("below"),
+            )
+        ),
+    )
+    frac = F.when(
+        walked["cnt"] > 0,
+        (target - walked["below"].cast("double")) / walked["cnt"].cast("double"),
+    ).otherwise(F.lit(0.5))
+    est = lo + (walked["ix"].cast("double") + frac) * width
+    return F.when(n > 0, F.least(F.greatest(est, lo), hi))
+
+
+def finalize_rollup(
+    parts: DataFrame, quantiles: tuple[float, ...] = (0.5, 0.95, 0.99)
+) -> DataFrame:
     """Render merged partials readable: per metric ``{m}_n, {m}_sum,
     {m}_avg, {m}_min, {m}_max, {m}_var`` (population variance via the
     (n, sum, sumsq) identity; null when n = 0), plus
-    ``{d}_distinct_est`` per sketched distinct column."""
-    group_cols, metrics, distinct_cols = _split_schema(parts)
+    ``{d}_distinct_est`` per sketched distinct column, plus
+    ``{q}_p50/p95/p99`` interpolated estimates per histogram column
+    (error ≤ one bin width)."""
+    group_cols, metrics, distinct_cols, quantile_cols = _split_schema(parts)
     out: list[Column] = [_bt(c) for c in group_cols] + [F.col("n_rows")]
     for m in metrics:
         n = F.col(f"{m}__n")
@@ -178,6 +337,17 @@ def finalize_rollup(parts: DataFrame) -> DataFrame:
         out.append(
             F.hll_sketch_estimate(f"{d}__hll").alias(f"{d}_distinct_est")
         )
+    for qc in quantile_cols:
+        for q in quantiles:
+            tag = f"p{int(round(q * 100))}"
+            out.append(
+                histogram_quantile(
+                    F.col(f"{qc}__hist"),
+                    F.col(f"{qc}__hlo"),
+                    F.col(f"{qc}__hhi"),
+                    q,
+                ).alias(f"{qc}_{tag}")
+            )
     return parts.select(*out)
 
 
@@ -264,6 +434,64 @@ def rollup_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rollup_quantile_accuracy",
+    oracle="""
+SELECT TRUE AS all_within_bin_width,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_groups
+FROM events
+""",
+)
+def rollup_quantile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable accuracy invariant for the mergeable histogram
+    quantiles: p50/p95 estimated from TWO-BATCH-merged fixed-bin
+    histograms (event_id parity split — the store's fold path) must
+    sit within TWO BIN WIDTHS of Spark's exact percentile. One bin is
+    the estimator's own bound (interpolation cannot leave the bin
+    where the cumulative count crosses q·n); the second absorbs the
+    definitional straddle against a TYPE-7 INTERPOLATED percentile,
+    which can sit at the far edge of the adjacent bin (measured: a
+    199-row group put p95 5.10 away at width 5.0). A failure means
+    the bin index, the elementwise merge, or the cumulative walk is
+    broken — exactly the states a silent histogram bug would
+    corrupt."""
+    from ..session import ensure_utc
+    from ..sources import load_table
+
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi, n_bins = 0.0, 500.0, 100
+    width = (hi - lo) / n_bins
+    halves = [
+        rollup_partials(
+            ev.filter(F.col("event_id") % 2 == i),
+            ["event_type"],
+            ["value"],
+            quantile_cols={"value": (lo, hi)},
+            n_bins=n_bins,
+        )
+        for i in (0, 1)
+    ]
+    est = finalize_rollup(merge_rollup(halves[0].unionByName(halves[1]))).select(
+        "event_type", "value_p50", "value_p95"
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("e50"),
+        F.percentile("value", 0.95).alias("e95"),
+    )
+    err = est.join(exact, "event_type").select(
+        "event_type",
+        F.greatest(
+            F.abs(F.col("value_p50") - F.col("e50")),
+            F.abs(F.col("value_p95") - F.col("e95")),
+        ).alias("err"),
+    )
+    return err.agg(
+        (F.max("err") <= F.lit(2 * width)).alias("all_within_bin_width"),
+        F.count("*").cast("long").alias("n_groups"),
+    )
+
+
 # --- incremental store -------------------------------------------------------
 
 
@@ -327,7 +555,7 @@ def write_rollup_store(
     overwrite — the at-least-once-safe path (a replay replaces its own
     partition byte-for-byte).
     """
-    group_cols, metrics, _distinct = _split_schema(partials)
+    group_cols, metrics, _distinct, _quant = _split_schema(partials)
     spark = partials.sparkSession
     if ingest_batch is None:
         merged = merge_rollup(partials).withColumn(
