@@ -771,6 +771,13 @@ def cmd_rollup(args: argparse.Namespace) -> int:
         return 0
     if not args.input or not args.group or not args.metrics:
         raise SystemExit("rollup: --input/--group/--metrics required")
+    quantile_cols = None
+    if args.quantiles:
+        # COL:LO:HI per entry, e.g. --quantiles value:0:500
+        quantile_cols = {}
+        for spec in args.quantiles.split(","):
+            col, lo, hi = spec.rsplit(":", 2)
+            quantile_cols[col] = (float(lo), float(hi))
     df = spark.read.parquet(args.input)
     parts = rollup_partials(
         df,
@@ -779,6 +786,8 @@ def cmd_rollup(args: argparse.Namespace) -> int:
         time_col=args.time_col,
         grain=args.grain,
         distinct_cols=args.distinct.split(",") if args.distinct else None,
+        quantile_cols=quantile_cols,
+        n_bins=args.n_bins,
     )
     if not args.store:
         for r in finalize_rollup(merge_rollup(parts)).collect():
@@ -1549,6 +1558,19 @@ def build_parser() -> argparse.ArgumentParser:
     )
     ru.add_argument("--time-col", default=None, help="add a date_trunc time-bucket group key")
     ru.add_argument("--grain", default="day", help="time bucket grain (default day)")
+    ru.add_argument(
+        "--quantiles",
+        default=None,
+        metavar="COL:LO:HI[,...]",
+        help="mergeable fixed-bin histogram quantiles per column over a "
+        "declared [LO, HI) domain; reads render p50/p95/p99",
+    )
+    ru.add_argument(
+        "--n-bins",
+        type=int,
+        default=64,
+        help="histogram bins for --quantiles (error ≤ (HI-LO)/n_bins)",
+    )
     ru.add_argument("--store", default=None, help="rollup store path")
     ru.add_argument(
         "--fold",

@@ -109,6 +109,35 @@ class TestHistogramQuantiles:
         with pytest.raises(ValueError, match="hi > lo"):
             rollup_partials(df, ["g"], ["v"], quantile_cols={"v": (5.0, 5.0)})
 
+    def test_cli_quantiles(self, spark, tmp_path, capsys):
+        import json
+
+        from imitation_learning_data_pipeline_spark.cli import main
+
+        p = str(tmp_path / "ev")
+        _mk(spark).write.parquet(p)
+        rc = main(
+            [
+                "rollup",
+                "--input",
+                p,
+                "--group",
+                "g",
+                "--metrics",
+                "v",
+                "--quantiles",
+                "v:0:100",
+                "--n-bins",
+                "50",
+            ]
+        )
+        rows = [
+            json.loads(line)
+            for line in capsys.readouterr().out.strip().splitlines()
+        ]
+        assert rc == 0 and len(rows) == 3
+        assert all("v_p50" in r and "v_p95" in r and "v_p99" in r for r in rows)
+
     def test_store_fold_roundtrip(self, spark, tmp_path):
         df0, df1 = _mk(spark), _mk(spark, seed_shift=17)
         p0 = rollup_partials(df0, ["g"], ["v"], quantile_cols=QSPEC, n_bins=40)
