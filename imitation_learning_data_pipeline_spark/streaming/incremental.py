@@ -627,10 +627,14 @@ def run_incremental_rollup_stream(
     checkpoint: str,
     time_col: str | None = None,
     grain: str = "day",
+    quantile_cols: dict[str, tuple[float, float]] | None = None,
+    n_bins: int = 64,
 ) -> None:
     """Continuous aggregates over a stream: each micro-batch's mergeable
     rollup partials (plans.rollup.rollup_partials — per-group n/sum/min/
-    max/sumsq) land as one ``ingest_batch``-partitioned write under
+    max/sumsq, plus fixed-bin quantile histograms when
+    ``quantile_cols`` declares domains) land as one
+    ``ingest_batch``-partitioned write under
     ``store_path`` (the rollup store's batch layout). The running
     aggregate of the whole corpus is ``read_rollup(store)`` — a fold
     over #batches × #touched-groups partial rows, never a rescan.
@@ -656,7 +660,13 @@ def run_incremental_rollup_stream(
         if batch_df.isEmpty():
             return
         parts = rollup_partials(
-            batch_df, group_cols, metrics, time_col=time_col, grain=grain
+            batch_df,
+            group_cols,
+            metrics,
+            time_col=time_col,
+            grain=grain,
+            quantile_cols=quantile_cols,
+            n_bins=n_bins,
         )
         write_rollup_store(parts, store_path, ingest_batch=int(batch_id))
 

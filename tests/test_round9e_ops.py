@@ -138,6 +138,57 @@ class TestHistogramQuantiles:
         assert rc == 0 and len(rows) == 3
         assert all("v_p50" in r and "v_p95" in r and "v_p99" in r for r in rows)
 
+    def test_streaming_rollup_carries_histograms(self, spark, tmp_path):
+        """The streaming twin folds quantile state batch by batch: two
+        micro-batches through run_incremental_rollup_stream must read
+        back the exact histogram the one-shot batch path computes."""
+        from imitation_learning_data_pipeline_spark.streaming.incremental import (
+            run_incremental_rollup_stream,
+        )
+
+        src, store, ckpt = (
+            str(tmp_path / d) for d in ("src", "store", "ckpt")
+        )
+        base = spark.range(2000).select(
+            "id",
+            (F.col("id") % 3).alias("g"),
+            ((F.col("id") * 37) % 1000 / 10.0).alias("v"),
+        )
+        df = base.select("g", "v")
+        base.filter(F.col("id") % 2 == 0).drop("id").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        base.filter(F.col("id") % 2 == 1).drop("id").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = (
+            spark.readStream.schema("g long, v double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        run_incremental_rollup_stream(
+            stream,
+            ["g"],
+            ["v"],
+            store,
+            ckpt,
+            quantile_cols=QSPEC,
+            n_bins=40,
+        )
+        got = sorted(
+            (r["g"], r["v_p50"], r["v_p95"])
+            for r in read_rollup(spark, store).collect()
+        )
+        whole = sorted(
+            (r["g"], r["v_p50"], r["v_p95"])
+            for r in finalize_rollup(
+                rollup_partials(
+                    df, ["g"], ["v"], quantile_cols=QSPEC, n_bins=40
+                )
+            ).collect()
+        )
+        assert got == whole
+
     def test_store_fold_roundtrip(self, spark, tmp_path):
         df0, df1 = _mk(spark), _mk(spark, seed_shift=17)
         p0 = rollup_partials(df0, ["g"], ["v"], quantile_cols=QSPEC, n_bins=40)
