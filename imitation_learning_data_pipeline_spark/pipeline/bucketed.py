@@ -42,8 +42,45 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+MARKER = "_bucketed.json"
+
+
+class BucketedTableError(RuntimeError):
+    """A row- or file-rewriting op ran against a bucketed table's path."""
+
+
 def _keys(by) -> list[str]:
     return [by] if isinstance(by, str) else list(by)
+
+
+def is_bucketed_path(spark: SparkSession, path: str) -> bool:
+    from .compact import _fs
+
+    fs, _ = _fs(spark, path)
+    jvm_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    return fs.exists(jvm_path(f"{path.rstrip('/')}/{MARKER}"))
+
+
+def guard_not_bucketed(spark: SparkSession, path: str, op: str) -> None:
+    """Refuse repo DML/maintenance against a bucketed table's files.
+
+    The bucket spec lives in the CATALOG, not the parquet — any file
+    rewrite (COW merge/delete/update, compaction, layout rewrites, MOR
+    purge) produces files whose placement no longer honors
+    hash(key) pmod N, while ``spark.table`` still plans exchange-free
+    joins that TRUST it: joins then silently drop or mismatch rows.
+    Deletion-vector writes are refused too — the catalog read path
+    (``spark.table``) knows nothing of DVs, so deleted rows would
+    resurrect in every bucketed join. Rewrite through
+    :func:`bucket_write` instead, or use an unbucketed table for
+    DML-heavy data."""
+    if is_bucketed_path(spark, path):
+        raise BucketedTableError(
+            f"{op}: {path} is a bucketed table ({MARKER} present) — "
+            "file rewrites break the catalog's bucket spec and corrupt "
+            "exchange-free joins; re-materialize with bucket_write() or "
+            "use an unbucketed copy for DML"
+        )
 
 
 def bucket_write(
@@ -64,6 +101,8 @@ def bucket_write(
     sort order trusted by the reader. Returns {table, path, n_buckets,
     rows}.
     """
+    import json as _json
+
     keys = _keys(by)
     spark = df.sparkSession
     if mode == "overwrite":
@@ -78,6 +117,27 @@ def bucket_write(
     if sort:
         writer = writer.sortBy(keys[0], *keys[1:])
     writer.saveAsTable(name)
+    # marker: the repo's DML/maintenance ops refuse this path (their
+    # file rewrites would break the catalog's bucket spec — see
+    # guard_not_bucketed)
+    from .compact import _fs
+
+    fs, _ = _fs(spark, path)
+    jvm_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    out = fs.create(jvm_path(f"{path.rstrip('/')}/{MARKER}"), True)
+    out.write(
+        bytearray(
+            _json.dumps(
+                {
+                    "table": name,
+                    "by": keys,
+                    "n_buckets": n_buckets,
+                    "sorted": bool(sort),
+                }
+            ).encode()
+        )
+    )
+    out.close()
     return {
         "table": name,
         "path": path,

@@ -97,7 +97,11 @@ def guard_no_pending_deletes(spark: SparkSession, path: str, op: str) -> None:
     Called by every COW maintenance op — rewriting a file that has
     recorded delete positions resurrects the deleted rows (the old
     bytes still contain them) and strands positions pointing at dead
-    files."""
+    files. Doubles as the bucketed-table guard: the same callers'
+    rewrites would break a catalog bucket spec (bucketed.py)."""
+    from .bucketed import guard_not_bucketed
+
+    guard_not_bucketed(spark, path, op)
     if has_live_deletes(spark, path):
         raise PendingDeletesError(
             f"{op}: {path} has live deletion vectors ({DV_DIR}/dv-*) — "
@@ -219,7 +223,10 @@ def delete_from_mor(
     from .compact import _acquire_lock, _lock_path
     from .merge import _find_phase_source, _rm
 
+    from .bucketed import guard_not_bucketed
+
     path = path.rstrip("/")
+    guard_not_bucketed(spark, path, "delete_from_mor")
     fs, _ = _fs(spark, path)
     jvm_path = _jvm_path(spark)
     tmp = f"{path}__dv_tmp"
@@ -296,7 +303,10 @@ def delete_keys_mor(
     from .compact import _acquire_lock, _lock_path
     from .merge import _rm
 
+    from .bucketed import guard_not_bucketed
+
     path = path.rstrip("/")
+    guard_not_bucketed(spark, path, "delete_keys_mor")
     if not isinstance(values, (list, tuple)):
         raise TypeError("delete_keys_mor: values must be a list/tuple")
     if any(v is None for v in values):
@@ -357,7 +367,10 @@ def purge_deletes(
     from .compact import _acquire_lock, _lock_path
     from .merge import _commit_staged, _recover_pending, _rm
 
+    from .bucketed import guard_not_bucketed
+
     path = path.rstrip("/")
+    guard_not_bucketed(spark, path, "purge_deletes")
     fs, _ = _fs(spark, path)
     jvm_path = _jvm_path(spark)
     tmp = f"{path}__merge_tmp"

@@ -765,6 +765,9 @@ def cluster_write(
     """
     keys = _key_cols(by)
     _guard_snapshot_overwrite(df.sparkSession, path, mode, "cluster_write")
+    from .bucketed import guard_not_bucketed
+
+    guard_not_bucketed(df.sparkSession, path, "cluster_write")
     if mode == "overwrite":
         from .deletes import guard_no_pending_deletes
 
@@ -946,6 +949,9 @@ def zorder_write(
     no UDF, no global sort.
     """
     _guard_snapshot_overwrite(df.sparkSession, path, mode, "zorder_write")
+    from .bucketed import guard_not_bucketed
+
+    guard_not_bucketed(df.sparkSession, path, "zorder_write")
     if mode == "overwrite":
         from .deletes import guard_no_pending_deletes
 
@@ -992,6 +998,11 @@ def insert_into(
     Returns {"files_added": N}.
     """
     path = path.rstrip("/")
+    # appended files don't follow hash(key) pmod N placement, so even
+    # the append-only op breaks a catalog bucket spec
+    from .bucketed import guard_not_bucketed
+
+    guard_not_bucketed(spark, path, "insert_into")
     fs, jpath = _fs(spark, path)
     jvm_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
     tmp = f"{path}__merge_tmp"

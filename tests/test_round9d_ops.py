@@ -89,6 +89,71 @@ class TestBucketedJoin:
         assert exchange_count(g, execute=True) == 0
 
 
+class TestBucketedDmlGuard:
+    """Repo DML against a bucketed table's path would rewrite or append
+    files that no longer honor hash(key) pmod N while the catalog still
+    plans exchange-free joins trusting it — silent wrong results. Every
+    rewriting/appending op must refuse."""
+
+    def test_all_dml_refuses(self, spark, pair):
+        from imitation_learning_data_pipeline_spark.pipeline.bucketed import (
+            BucketedTableError,
+        )
+        from imitation_learning_data_pipeline_spark.pipeline.compact import (
+            compact,
+        )
+        from imitation_learning_data_pipeline_spark.pipeline.deletes import (
+            delete_from_mor,
+            delete_keys_mor,
+            purge_deletes,
+        )
+        from imitation_learning_data_pipeline_spark.pipeline.merge import (
+            cluster_write,
+            delete_from,
+            insert_into,
+            merge_into,
+            update_where,
+        )
+
+        lp = pair[2]
+        ups = spark.createDataFrame(
+            [("doc-1", 5)], "doc_id string, grp long"
+        )
+        with pytest.raises(BucketedTableError):
+            merge_into(spark, lp, ups, key="doc_id")
+        with pytest.raises(BucketedTableError):
+            delete_from(spark, lp, "grp = 1")
+        with pytest.raises(BucketedTableError):
+            update_where(spark, lp, "grp = 1", {"grp": F.lit(2)})
+        with pytest.raises(BucketedTableError):
+            insert_into(spark, lp, ups)
+        with pytest.raises(BucketedTableError):
+            compact(spark, lp)
+        with pytest.raises(BucketedTableError):
+            delete_from_mor(spark, lp, "grp = 1")
+        with pytest.raises(BucketedTableError):
+            delete_keys_mor(spark, lp, "doc_id", ["doc-1"])
+        with pytest.raises(BucketedTableError):
+            purge_deletes(spark, lp)
+        with pytest.raises(BucketedTableError):
+            cluster_write(
+                spark.read.parquet(lp), lp, by="doc_id", n_files=2
+            )
+
+    def test_rebucket_is_the_legal_rewrite(self, spark, pair, tmp_path):
+        # the sanctioned path: bucket_write() re-materializes to a new
+        # bucketed table (same-path self-overwrite is Spark-illegal)
+        lp = pair[2]
+        df = spark.read.parquet(lp).filter("grp <> 1")
+        out = str(tmp_path / "rebucketed")
+        r = bucket_write(df, "t9d_rebucket", "doc_id", NB, out)
+        try:
+            assert r["rows"] == N - N // 100
+            assert spark.table("t9d_rebucket").filter("grp = 1").count() == 0
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t9d_rebucket")
+
+
 class TestBucketedLayout:
     def test_one_file_per_bucket(self, pair):
         lp, r1 = pair[2], pair[4]
