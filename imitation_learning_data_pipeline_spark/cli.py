@@ -807,6 +807,55 @@ def cmd_rollup(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_matview(args: argparse.Namespace) -> int:
+    """Incremental materialized views (pipeline/matview.py): create,
+    refresh (cost ∝ new base files), rebuild, read."""
+    from .pipeline.matview import (
+        create_matview,
+        read_matview,
+        rebuild_matview,
+        refresh_matview,
+    )
+
+    spark = _spark("matview")
+    if args.create:
+        if not args.base or not args.group or not args.metrics:
+            raise SystemExit("matview: --create needs --base/--group/--metrics")
+        quantile_cols = None
+        if args.quantiles:
+            quantile_cols = {}
+            for spec in args.quantiles.split(","):
+                col, lo, hi = spec.rsplit(":", 2)
+                quantile_cols[col] = (float(lo), float(hi))
+        stats = create_matview(
+            spark,
+            args.base,
+            args.path,
+            args.group.split(","),
+            args.metrics.split(","),
+            time_col=args.time_col,
+            grain=args.grain,
+            distinct_cols=args.distinct.split(",") if args.distinct else None,
+            quantile_cols=quantile_cols,
+            n_bins=args.n_bins,
+        )
+        print(json.dumps({"path": args.path, **stats}))
+        return 0
+    if args.refresh:
+        stats = refresh_matview(
+            spark, args.path, on_base_mutation=args.on_base_mutation
+        )
+        print(json.dumps({"path": args.path, **stats}))
+        return 0
+    if args.rebuild:
+        stats = rebuild_matview(spark, args.path)
+        print(json.dumps({"path": args.path, **stats}))
+        return 0
+    for r in read_matview(spark, args.path).collect():
+        print(json.dumps(r.asDict(), default=str))
+    return 0
+
+
 def cmd_merge(args: argparse.Namespace) -> int:
     """File-level copy-on-write MERGE INTO (pipeline/merge.py): replace
     matched keys, insert unmatched, rewriting only touched data files."""
@@ -1642,6 +1691,32 @@ def build_parser() -> argparse.ArgumentParser:
         "vector instead of rewriting files (run purge-deletes later)",
     )
     dl.set_defaults(fn=cmd_delete)
+
+    mv = sub.add_parser(
+        "matview",
+        help="incremental materialized view: create once, refresh at "
+        "cost ∝ new base files, read the finalized aggregate",
+    )
+    mv.add_argument("--path", required=True, help="view store path")
+    mv.add_argument("--create", action="store_true")
+    mv.add_argument("--refresh", action="store_true")
+    mv.add_argument("--rebuild", action="store_true")
+    mv.add_argument("--base", default=None, help="base table (with --create)")
+    mv.add_argument("--group", default=None, help="comma-separated group columns")
+    mv.add_argument("--metrics", default=None, help="comma-separated metric columns")
+    mv.add_argument("--distinct", default=None)
+    mv.add_argument("--time-col", default=None)
+    mv.add_argument("--grain", default="day")
+    mv.add_argument("--quantiles", default=None, metavar="COL:LO:HI[,...]")
+    mv.add_argument("--n-bins", type=int, default=64)
+    mv.add_argument(
+        "--on-base-mutation",
+        default="error",
+        choices=["error", "rebuild"],
+        help="what refresh does when already-aggregated base files were "
+        "rewritten (default: refuse)",
+    )
+    mv.set_defaults(fn=cmd_matview)
 
     pg = sub.add_parser(
         "purge-deletes",
