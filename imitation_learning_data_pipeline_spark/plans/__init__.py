@@ -20,6 +20,7 @@ def _late_imports() -> None:
     from . import (  # noqa: F401
         curation,
         dedup,
+        graph,
         mllib_ops,
         multimodal_queries,
         numeric,
@@ -60,6 +61,7 @@ def _late_imports() -> None:
         trajectory,
         profile,
         rollup,
+        graph,
     ]
 
 

@@ -1,0 +1,203 @@
+"""Iterative graph algorithms: distributed PageRank over an edge frame.
+
+Web-scale corpus curation uses link-graph centrality as a quality
+signal (Common Crawl ranks hosts by harmonic centrality; quality
+filters downstream consume it). The engine-level requirement is an
+ITERATIVE DataFrame algorithm done right — the same discipline as
+connected components (plans/dedup.py): per-iteration lineage
+truncation, shuffles bounded by edge count, no driver-side row
+movement ever.
+
+PageRank here is the fixed-iteration power method:
+
+    rank_{t+1}(v) = (1-d)/N + d · Σ_{(u,v)∈E} rank_t(u) / outdeg(u)
+
+- out-degrees are computed ONCE and live joined onto the edge list —
+  every iteration is then one join (rank onto edges, by src) + one
+  aggregation (sum contributions, by dst), both shuffling at most
+  |E| rows; node frames are |V|.
+- dangling nodes (no out-edges) redistribute their mass uniformly via
+  ONE scalar aggregate per iteration (a 1-row frame, broadcast) —
+  the standard correction, kept O(1) in data size.
+- each iteration ``localCheckpoint``s the new rank frame: persist()
+  alone lets the logical plan grow per round and analyzer/AQE cost
+  compounds (measured on components: 1.6→3.2→9.1 s/round with
+  persist, flat ~0.5 s with checkpointing). A cluster deployment
+  would use durable checkpoint() for executor-failure recovery.
+
+Fixed iterations (default 10) rather than a convergence test: the
+contract needs determinism, and power-method error decays as d^t
+(d=0.85 → <0.2 rank mass error after 10 rounds); pass more for
+tighter fixed points. At 100 TB the per-iteration cost is the |E|
+shuffle — pre-partitioning the edge list by src lets every iteration
+reuse the same exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import register
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iters: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, rank) after ``iters`` power-method rounds over the
+    directed ``edges`` frame. Ranks sum to 1 (dangling mass
+    redistributed). Nodes = every id appearing as src or dst."""
+    if iters < 1:
+        raise ValueError("pagerank: iters must be >= 1")
+    if not (0 < damping < 1):
+        raise ValueError("pagerank: damping must be in (0, 1)")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        raise ValueError("pagerank: empty graph")
+    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # edge list with out-degree attached once — the per-iteration join
+    # then carries everything it needs
+    ed = e.join(deg, "src").localCheckpoint()
+    ranks = nodes.select(
+        "node", (F.lit(1.0) / n_nodes).alias("rank")
+    ).localCheckpoint()
+    dangling = nodes.join(
+        deg.select(F.col("src").alias("node")), "node", "left_anti"
+    ).localCheckpoint()
+    base = (1.0 - damping) / n_nodes
+    for _ in range(iters):
+        contrib = (
+            ed.join(ranks, ed.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("outdeg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        # dangling mass: one scalar, computed from a |dangling|-row join
+        dmass = (
+            dangling.join(ranks, "node")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
+        )
+        new = (
+            nodes.join(contrib, "node", "left_outer")
+            .crossJoin(F.broadcast(dmass))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("inflow"), F.lit(0.0))
+                        + F.col("m") / n_nodes
+                    )
+                ).alias("rank"),
+            )
+        )
+        old = ranks
+        ranks = new.localCheckpoint()
+        old.unpersist()
+    return ranks
+
+
+# --- contract query ----------------------------------------------------------
+
+_PR_ITERS = 10
+_PR_D = 0.85
+
+
+def _pagerank_oracle() -> str:
+    """Fixed-iteration PageRank as UNROLLED CTE layers (recursive CTEs
+    forbid aggregation in the recursive term, so the power method is
+    spelled out: one CTE per iteration — deterministic and
+    hash-checkable, no special graph support needed)."""
+    d = _PR_D
+    head = f"""
+WITH n AS (SELECT count(*) AS cnt FROM documents),
+e AS (
+  SELECT doc_id AS src, (doc_id * 31 + 7) % (SELECT cnt FROM n) AS dst
+  FROM documents
+  UNION ALL
+  SELECT doc_id AS src, (doc_id * 17 + 3) % (SELECT cnt FROM n) AS dst
+  FROM documents
+  UNION ALL
+  SELECT doc_id AS src, 0 AS dst FROM documents WHERE doc_id <> 0
+),
+deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+r0 AS (SELECT doc_id AS node, 1.0 / (SELECT cnt FROM n) AS rank
+       FROM documents)"""
+    layers = []
+    for i in range(_PR_ITERS):
+        prev, cur = f"r{i}", f"r{i + 1}"
+        layers.append(
+            f""",
+{cur} AS (
+  SELECT nd.node,
+         (1 - {d}) / (SELECT cnt FROM n)
+         + {d} * coalesce(agg.inflow, 0) AS rank
+  FROM (SELECT node FROM r0) nd
+  LEFT JOIN (
+    SELECT e.dst AS node, sum(p.rank / deg.outdeg) AS inflow
+    FROM e JOIN {prev} p ON e.src = p.node JOIN deg ON e.src = deg.src
+    GROUP BY e.dst
+  ) agg USING (node)
+)"""
+        )
+    return (
+        head
+        + "".join(layers)
+        + f"""
+SELECT node, CAST(round(rank * (SELECT cnt FROM n) * 100000) AS BIGINT)
+         AS rank_scaled
+FROM r{_PR_ITERS}
+"""
+    )
+
+
+@register("graph_pagerank_doclinks", oracle=_pagerank_oracle())
+def graph_pagerank_doclinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over a deterministic synthetic doc-link graph: every
+    doc links to two affine-map neighbors plus the hub doc 0 (so the
+    rank distribution is non-uniform and in-degrees vary) — the graph
+    has no dangling nodes, isolating the iteration machinery itself.
+    Output ranks are scaled by N and integer-quantized at 1e-5 (the
+    portable-rounding rule) so the 10-iteration float fixed point
+    hash-compares against DuckDB's unrolled-CTE power method."""
+    from ..session import ensure_utc
+    from ..sources import load_table
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    affine = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 31 + 7) % n).alias("dst"),
+    ).unionByName(
+        docs.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 17 + 3) % n).alias("dst"),
+        )
+    )
+    hub = docs.filter(F.col("doc_id") != 0).select(
+        F.col("doc_id").alias("src"), F.lit(0).cast("long").alias("dst")
+    )
+    edges = affine.unionByName(hub)
+    pr = pagerank(edges, damping=_PR_D, iters=_PR_ITERS)
+    # direct integer rounding (not quantize-then-rescale: the divide/
+    # re-multiply roundtrip can land a hair under the integer and the
+    # long cast would truncate it down)
+    return pr.select(
+        "node",
+        F.round(F.col("rank") * n * 100000).cast("long").alias("rank_scaled"),
+    )

@@ -141,6 +141,11 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     # rollup_quantile_accuracy's slot.
     "trajectory_windows": "trajectory_features (computes its features "
     "FROM the same window extraction — strict superset)",
+    # round-9 rotation #2: eight rounds green (r1-r8), parked to fund
+    # graph_pagerank_doclinks' slot.
+    "scalar_hash_split": "pipeline_materialize_index (its deterministic "
+    "split is computed by the same F3-F5 seeded-hash -> unit-interval "
+    "machinery this query exposes directly)",
     "scan_project_filter": "every scan; q6_forecast_revenue is scan+filter+agg",
     "join_left_change_detect": "pipeline_discover_status (same J1 diff join)",
     "join_anti_deleted": "pipeline_discover_status (same J2 anti join)",
