@@ -807,6 +807,29 @@ def cmd_rollup(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_graph(args: argparse.Namespace) -> int:
+    """Iterative graph algorithms (plans/graph.py): PageRank over any
+    parquet edge list."""
+    from .plans.graph import pagerank
+
+    spark = _spark("graph")
+    edges = spark.read.parquet(args.edges)
+    pr = pagerank(
+        edges,
+        damping=args.damping,
+        iters=args.iters,
+        src=args.src,
+        dst=args.dst,
+    )
+    if args.out:
+        pr.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"out": args.out, "nodes": pr.count()}))
+        return 0
+    for r in pr.orderBy(F.col("rank").desc()).limit(args.top).collect():
+        print(json.dumps(r.asDict()))
+    return 0
+
+
 def cmd_matview(args: argparse.Namespace) -> int:
     """Incremental materialized views (pipeline/matview.py): create,
     refresh (cost ∝ new base files), rebuild, read."""
@@ -1691,6 +1714,19 @@ def build_parser() -> argparse.ArgumentParser:
         "vector instead of rewriting files (run purge-deletes later)",
     )
     dl.set_defaults(fn=cmd_delete)
+
+    gr = sub.add_parser(
+        "graph",
+        help="iterative graph algorithms: PageRank over a parquet edge list",
+    )
+    gr.add_argument("--edges", required=True, help="parquet dir with src/dst columns")
+    gr.add_argument("--src", default="src")
+    gr.add_argument("--dst", default="dst")
+    gr.add_argument("--damping", type=float, default=0.85)
+    gr.add_argument("--iters", type=int, default=10)
+    gr.add_argument("--top", type=int, default=20, help="print top-k to stdout")
+    gr.add_argument("--out", default=None, help="write full (node, rank) parquet")
+    gr.set_defaults(fn=cmd_graph)
 
     mv = sub.add_parser(
         "matview",

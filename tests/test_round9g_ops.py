@@ -58,6 +58,23 @@ class TestPagerank:
         assert got[1] == pytest.approx(rb, abs=1e-12)
         assert sum(got.values()) == pytest.approx(1.0, abs=1e-12)
 
+    def test_cli_pagerank(self, spark, tmp_path, capsys):
+        import json
+
+        from imitation_learning_data_pipeline_spark.cli import main
+
+        p = str(tmp_path / "edges")
+        spark.createDataFrame(
+            [(i, 0) for i in range(1, 6)] + [(0, 1)], "src long, dst long"
+        ).write.parquet(p)
+        rc = main(["graph", "--edges", p, "--iters", "20", "--top", "3"])
+        rows = [
+            json.loads(line)
+            for line in capsys.readouterr().out.strip().splitlines()
+        ]
+        assert rc == 0 and len(rows) == 3
+        assert rows[0]["node"] in (0, 1)  # the hub pair dominates
+
     def test_guards(self, spark):
         edges = spark.createDataFrame([(0, 1)], "src long, dst long")
         with pytest.raises(ValueError, match="iters"):
