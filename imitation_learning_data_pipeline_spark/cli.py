@@ -814,12 +814,18 @@ def cmd_graph(args: argparse.Namespace) -> int:
 
     spark = _spark("graph")
     edges = spark.read.parquet(args.edges)
+    seeds = None
+    if args.seeds:
+        seeds = spark.createDataFrame(
+            [(int(s),) for s in args.seeds.split(",")], "node long"
+        )
     pr = pagerank(
         edges,
         damping=args.damping,
         iters=args.iters,
         src=args.src,
         dst=args.dst,
+        seeds=seeds,
     )
     if args.out:
         pr.write.mode("overwrite").parquet(args.out)
@@ -1725,6 +1731,12 @@ def build_parser() -> argparse.ArgumentParser:
     gr.add_argument("--damping", type=float, default=0.85)
     gr.add_argument("--iters", type=int, default=10)
     gr.add_argument("--top", type=int, default=20, help="print top-k to stdout")
+    gr.add_argument(
+        "--seeds",
+        default=None,
+        help="comma-separated node ids: personalized PageRank (teleport "
+        "uniform over the seeds — rank becomes a seed-proximity prior)",
+    )
     gr.add_argument("--out", default=None, help="write full (node, rank) parquet")
     gr.set_defaults(fn=cmd_graph)
 

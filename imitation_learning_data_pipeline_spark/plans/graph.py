@@ -47,10 +47,21 @@ def pagerank(
     iters: int = 10,
     src: str = "src",
     dst: str = "dst",
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """(node, rank) after ``iters`` power-method rounds over the
     directed ``edges`` frame. Ranks sum to 1 (dangling mass
-    redistributed). Nodes = every id appearing as src or dst."""
+    redistributed). Nodes = every id appearing as src or dst.
+
+    ``seeds`` (a 1-column frame of node ids) switches to PERSONALIZED
+    PageRank: the teleport distribution is uniform over the seeds
+    instead of all nodes — rank mass concentrates around the seed
+    set's neighborhood. The curation use: seed with a vetted
+    high-quality document set and the ranks become a corpus-wide
+    quality prior that propagates through the similarity/link graph
+    (the graph-based cousin of classifier-based data selection).
+    Dangling mass teleports to the seeds too, keeping the mass
+    conservation identity."""
     if iters < 1:
         raise ValueError("pagerank: iters must be >= 1")
     if not (0 < damping < 1):
@@ -68,13 +79,26 @@ def pagerank(
     # edge list with out-degree attached once — the per-iteration join
     # then carries everything it needs
     ed = e.join(deg, "src").localCheckpoint()
-    ranks = nodes.select(
-        "node", (F.lit(1.0) / n_nodes).alias("rank")
-    ).localCheckpoint()
+    # teleport distribution t(v): uniform over all nodes, or over the
+    # seed set (personalized). Carried as a column on the node frame —
+    # the teleport term and dangling redistribution both scale by it.
+    if seeds is None:
+        tele = nodes.withColumn("t", F.lit(1.0) / n_nodes)
+    else:
+        seed_set = seeds.select(
+            F.col(seeds.columns[0]).alias("node")
+        ).distinct()
+        n_seeds = seed_set.join(nodes, "node", "left_semi").count()
+        if n_seeds == 0:
+            raise ValueError("pagerank: no seed is a graph node")
+        tele = nodes.join(
+            seed_set.withColumn("t", F.lit(1.0) / n_seeds), "node", "left_outer"
+        ).select("node", F.coalesce(F.col("t"), F.lit(0.0)).alias("t"))
+    tele = tele.localCheckpoint()
+    ranks = tele.select("node", F.col("t").alias("rank")).localCheckpoint()
     dangling = nodes.join(
         deg.select(F.col("src").alias("node")), "node", "left_anti"
     ).localCheckpoint()
-    base = (1.0 - damping) / n_nodes
     for _ in range(iters):
         contrib = (
             ed.join(ranks, ed.src == ranks.node)
@@ -91,16 +115,16 @@ def pagerank(
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
         )
         new = (
-            nodes.join(contrib, "node", "left_outer")
+            tele.join(contrib, "node", "left_outer")
             .crossJoin(F.broadcast(dmass))
             .select(
                 "node",
                 (
-                    F.lit(base)
+                    (1.0 - damping) * F.col("t")
                     + F.lit(damping)
                     * (
                         F.coalesce(F.col("inflow"), F.lit(0.0))
-                        + F.col("m") / n_nodes
+                        + F.col("m") * F.col("t")
                     )
                 ).alias("rank"),
             )

@@ -58,6 +58,28 @@ class TestPagerank:
         assert got[1] == pytest.approx(rb, abs=1e-12)
         assert sum(got.values()) == pytest.approx(1.0, abs=1e-12)
 
+    def test_personalized_concentrates_on_seeds(self, spark):
+        # two disjoint 3-cycles; seeding in one leaves the other at
+        # EXACTLY zero (no teleport there, no path in)
+        cyc = lambda b: [(b + i, b + (i + 1) % 3) for i in range(3)]
+        edges = spark.createDataFrame(
+            cyc(0) + cyc(10), "src long, dst long"
+        )
+        seeds = spark.createDataFrame([(0,)], "node long")
+        got = {
+            r["node"]: r["rank"]
+            for r in pagerank(edges, iters=20, seeds=seeds).collect()
+        }
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+        assert all(got[n] == 0.0 for n in (10, 11, 12))
+        assert got[0] == max(got.values())  # the seed keeps the most
+
+    def test_personalized_seed_guard(self, spark):
+        edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+        seeds = spark.createDataFrame([(99,)], "node long")
+        with pytest.raises(ValueError, match="no seed"):
+            pagerank(edges, seeds=seeds)
+
     def test_cli_pagerank(self, spark, tmp_path, capsys):
         import json
 
