@@ -307,6 +307,10 @@ def delete_keys_mor(
 
     path = path.rstrip("/")
     guard_not_bucketed(spark, path, "delete_keys_mor")
+    if col in ("rel", "row_index", "__hit"):
+        # reserved by delete_from_mor's position projection, which
+        # carries eq-key columns through its find frame
+        raise ValueError(f"delete_keys_mor: key column name {col!r} is reserved")
     if not isinstance(values, (list, tuple)):
         raise TypeError("delete_keys_mor: values must be a list/tuple")
     if any(v is None for v in values):

@@ -296,6 +296,8 @@ class TestEqualityDeletes:
             delete_keys_mor(spark, table, "doc_id", ["doc-1", None])
         with pytest.raises(ValueError):
             delete_keys_mor(spark, table, "nope", ["x"])
+        with pytest.raises(ValueError, match="reserved"):
+            delete_keys_mor(spark, table, "rel", ["x"])
 
 
 class TestMorCli:
