@@ -75,6 +75,7 @@ def main() -> None:
     from imitation_learning_data_pipeline_spark.pipeline.bloom import write_blooms
     from imitation_learning_data_pipeline_spark.pipeline.deletes import (
         delete_from_mor,
+        delete_keys_mor,
         purge_deletes,
         read_with_deletes,
     )
@@ -86,7 +87,7 @@ def main() -> None:
     try:
         # One table per arm so neither path sees the other's layout.
         arms = {}
-        for arm in ("cow", "mor"):
+        for arm in ("cow", "mor", "eq"):
             path = os.path.join(base, arm)
             df = spark.range(n_rows).select(
                 F.concat(F.lit("doc-"), F.col("id")).alias("doc_id"),
@@ -118,6 +119,18 @@ def main() -> None:
         res["mor_delete_s"] = round(time.perf_counter() - t0, 3)
         res["mor_rows_deleted"] = r_mor["rows_deleted"]
         res["mor_bytes_written"] = _bytes_written(snap, arms["mor"])
+
+        # Equality arm: scan-free — record the 50 keys themselves.
+        snap = _files(arms["eq"])
+        t0 = time.perf_counter()
+        r_eq = delete_keys_mor(spark, arms["eq"], "doc_id", keys)
+        res["eq_delete_s"] = round(time.perf_counter() - t0, 3)
+        res["eq_keys_recorded"] = r_eq["keys_recorded"]
+        res["eq_bytes_written"] = _bytes_written(snap, arms["eq"])
+        t0 = time.perf_counter()
+        n_eq = read_with_deletes(spark, arms["eq"]).count()
+        res["eq_read_s"] = round(time.perf_counter() - t0, 3)
+        assert n_eq == n_rows - len(keys)
 
         # Read overhead while DVs are live (full count, anti join on).
         t0 = time.perf_counter()
