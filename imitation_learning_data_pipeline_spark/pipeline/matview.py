@@ -103,6 +103,21 @@ def _write_state(spark: SparkSession, mv_path: str, state: dict) -> None:
         raise IOError(f"matview: could not commit state under {mv_path}")
 
 
+def _guard_no_base_dvs(spark: SparkSession, base: str, op: str) -> None:
+    """Live deletion vectors on the base are invisible to the file
+    diff (MOR deletes touch no files), so the view would silently
+    aggregate deleted rows forever — refuse, like every other op that
+    would trust stale bytes. ``purge_deletes`` first."""
+    from .deletes import has_live_deletes
+
+    if has_live_deletes(spark, base):
+        raise BaseMutatedError(
+            f"{op}: base {base} has live deletion vectors — the view "
+            "would aggregate deleted rows (MOR deletes are invisible to "
+            "the file diff); run purge_deletes() on the base first"
+        )
+
+
 def _partials(spark: SparkSession, spec: dict, df: DataFrame) -> DataFrame:
     from ..plans.rollup import rollup_partials
 
@@ -143,6 +158,7 @@ def create_matview(
 
     base = base.rstrip("/")
     mv_path = mv_path.rstrip("/")
+    _guard_no_base_dvs(spark, base, "create_matview")
     spec = {
         "base": base,
         "group_cols": list(group_cols),
@@ -190,6 +206,7 @@ def refresh_matview(
     mv_path = mv_path.rstrip("/")
     state = _read_state(spark, mv_path)
     spec = state["spec"]
+    _guard_no_base_dvs(spark, spec["base"], "refresh_matview")
     current = _list_base_files(spark, spec["base"])
     processed = state["processed"]
     mutated = [
@@ -248,6 +265,7 @@ def rebuild_matview(spark: SparkSession, mv_path: str) -> dict:
     state = _read_state(spark, mv_path)
     spec = state["spec"]
     base = spec["base"]
+    _guard_no_base_dvs(spark, base, "rebuild_matview")
     files = _list_base_files(spark, base)
     df = spark.read.option("basePath", base).parquet(
         *[f"{base}/{rel}" for rel in sorted(files)]

@@ -158,6 +158,38 @@ class TestMatview:
         assert rc == 0 and len(rows) == 4
         assert sum(r["v_n"] for r in rows) == 1200
 
+    def test_base_with_live_dvs_refused(self, spark, mv, tmp_path):
+        """MOR deletes touch no files, so the file diff can't see them —
+        the view would aggregate deleted rows forever. All three entry
+        points must refuse until the base is purged."""
+        from imitation_learning_data_pipeline_spark.pipeline.deletes import (
+            delete_from_mor,
+            purge_deletes,
+        )
+        from imitation_learning_data_pipeline_spark.pipeline.matview import (
+            create_matview,
+            rebuild_matview,
+        )
+
+        base, path = mv
+        delete_from_mor(spark, base, "grp = 2")
+        with pytest.raises(BaseMutatedError, match="deletion vectors"):
+            refresh_matview(spark, path)
+        with pytest.raises(BaseMutatedError, match="deletion vectors"):
+            rebuild_matview(spark, path)
+        with pytest.raises(BaseMutatedError, match="deletion vectors"):
+            create_matview(
+                spark, base, str(tmp_path / "mv2"), ["grp"], ["v"]
+            )
+        # purge resolves the DVs to a rewrite → the mutation detector
+        # takes over, and rebuild restores exactness
+        purge_deletes(spark, base)
+        with pytest.raises(BaseMutatedError, match="rewritten or removed"):
+            refresh_matview(spark, path)
+        r = refresh_matview(spark, path, on_base_mutation="rebuild")
+        assert r["rebuilt"]
+        assert _got(spark, path) == _expected(spark, base)
+
     def test_crash_between_fold_and_state_is_fenced(self, spark, mv):
         """Fold committed, state write crashed: the replayed refresh
         re-folds the same files under the same batch_id — the store
