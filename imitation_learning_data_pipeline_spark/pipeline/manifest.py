@@ -482,32 +482,49 @@ def _parse_literal(tok: str):
 
 def _split_conjuncts(where: str) -> list[str]:
     """Top-level AND conjuncts of a SQL predicate (split outside
-    parens and quotes; BETWEEN's internal AND masked to ``\\x00``)."""
+    parens and quotes; BETWEEN's internal AND masked to ``\\x00``).
+
+    Masking is quote-aware: quoted string literals are lexed as whole
+    tokens BEFORE any BETWEEN/AND recognition, so text inside a
+    literal (``name = 'between 1 and 2'``) is never rewritten. A
+    BETWEEN keyword arms a per-paren-depth counter and the next AND at
+    that depth is consumed as the range separator; every other
+    top-level AND splits."""
     import re as _re
 
-    masked = _re.sub(
-        r"(?i)(between\s+[^()']*?|\bbetween\s+'[^']*')\s+and\s+",
-        lambda m: m.group(1) + " \x00 ",
-        where,
-    )
-    conjuncts, depth, buf, in_q = [], 0, "", False
-    tokens = _re.split(r"(?i)(\s+and\s+|\(|\)|')", masked)
+    # Quoted literals surface as single tokens (the first alternative
+    # wins), so neither the BETWEEN counter nor the AND splitter ever
+    # looks inside one. Unbalanced quotes leave a bare "'" inside a
+    # plain segment — the predicate contract (callers pass valid Spark
+    # SQL) makes that unreachable in practice.
+    tokens = _re.split(r"('[^']*'|\(|\)|\s+[Aa][Nn][Dd]\s+)", where)
+    conjuncts, buf, depth = [], "", 0
+    pending = [0]  # BETWEENs awaiting their AND, one counter per depth
     for t in tokens:
-        if t is None:
+        if not t:
             continue
-        if t == "'":
-            in_q = not in_q
+        if t.startswith("'"):
             buf += t
-        elif t == "(" and not in_q:
+        elif t == "(":
             depth += 1
+            pending.append(0)
             buf += t
-        elif t == ")" and not in_q:
-            depth -= 1
+        elif t == ")":
+            if depth > 0:
+                depth -= 1
+                pending.pop()
             buf += t
-        elif _re.fullmatch(r"(?i)\s+and\s+", t) and depth == 0 and not in_q:
-            conjuncts.append(buf)
-            buf = ""
+        elif _re.fullmatch(r"(?i)\s+and\s+", t):
+            if pending[-1] > 0:
+                pending[-1] -= 1
+                buf += " \x00 "
+            elif depth == 0:
+                conjuncts.append(buf)
+                buf = ""
+            else:
+                buf += t
         else:
+            pending[-1] += len(_re.findall(r"(?i)\bbetween\b", t))
             buf += t
     conjuncts.append(buf)
     return conjuncts

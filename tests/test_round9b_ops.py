@@ -261,6 +261,39 @@ class TestPredicateShapes:
         assert extract_point_sets("grp NOT IN (1, 2)") == {}
         assert extract_range_bounds("grp NOT IN (1, 2)") == {}
 
+    def test_between_mask_is_quote_aware(self):
+        # ADVICE r9: the old mask rewrote "and" INSIDE string literals,
+        # corrupting the point value ('between 1 \x00 2') and making
+        # bloom/stats pruning skip files that contain the real value.
+        assert extract_point_sets("name = 'between 1 and 2'") == {
+            "name": ["between 1 and 2"]
+        }
+        assert extract_range_bounds("name = 'between 1 and 2'") == {
+            "name": ("between 1 and 2", "between 1 and 2")
+        }
+        # a literal containing BETWEEN-ish text followed by a REAL
+        # top-level AND still splits into two conjuncts
+        assert extract_point_sets("name = 'between x' and id = 7") == {
+            "name": ["between x"],
+            "id": [7],
+        }
+        # genuine BETWEEN still masks — numeric and string bounds
+        assert extract_range_bounds("id between 10 and 90") == {
+            "id": (10, 90)
+        }
+        assert extract_range_bounds("s between 'a' and 'm'") == {
+            "s": ("a", "m")
+        }
+        assert extract_range_bounds(
+            "a between 1 and 2 and b between 3 and 4"
+        ) == {"a": (1, 2), "b": (3, 4)}
+        # NOT BETWEEN and paren-wrapped BETWEEN contribute nothing
+        # (kept-superset safe), and don't derail later conjuncts
+        assert extract_range_bounds("a not between 1 and 2") == {}
+        assert extract_range_bounds("(a between 1 and 2) and c >= 9") == {
+            "c": (9, None)
+        }
+
     def test_extract_like_prefix(self):
         assert extract_range_bounds("s LIKE 'abc%'") == {
             "s": ("abc", "abd")
