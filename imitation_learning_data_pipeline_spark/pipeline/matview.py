@@ -21,12 +21,30 @@ partials, journaled folds, replay fencing) and file-listing state
   var, HLL distinct estimates, histogram quantiles — whatever the
   spec declared).
 
-Exactly-once under crashes, by composition: the fold is the rollup
-store's journaled commit, fenced by its ``last_batch`` watermark. The
-state file advances strictly AFTER the fold commits — a crash between
-them replays the SAME new files under the SAME batch_id, which the
-fence turns into a no-op before the state finally advances. No crash
-ordering double-counts a file.
+Exactly-once under crashes, by composition (r10 hardening): before a
+refresh folds anything it journals its intent INTO the state —
+``pending = {batch_id, files}`` — so a crash between the fold and the
+final state advance replays EXACTLY that file list under EXACTLY that
+batch_id on retry, even if the base grew in the meantime (the r9 hole:
+a grown base re-diffed under the same batch_id, the store fence
+silently no-op'd the fold, and the never-folded fresh files were
+marked processed). The fold itself is the rollup store's journaled
+commit, fenced by its ``last_batch`` watermark: a replayed pending
+fold is a no-op when the crash hit after the store commit, and a real
+fold when it hit before. The fold's return is CHECKED on the fresh
+path — a fence no-op where a fresh fold was expected means the store
+advanced out-of-band and the refresh raises instead of silently
+marking files processed. Refreshes serialize on a view-level lock
+(sibling ``<mv>__mv_refresh__maintenance_lock``), distinct from the
+store's own fold lock so the refresh can hold one while the fold takes
+the other.
+
+State itself commits crash-safely: versioned ``_mv_state.<seq>.json``
+files, each landed by tmp-write + rename-to-a-fresh-name (never
+delete-then-rename — the r9 window that could leave NO state file).
+Readers resolve the highest seq; older versions are best-effort
+deleted after a successful commit. The legacy single ``_mv_state.json``
+reads as seq −1 for migration.
 
 Base-mutation honesty: incremental refresh is sound only for an
 APPEND-ONLY base (insert_into / new ingest files). A base file that
@@ -50,7 +68,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .compact import _acquire_lock, _fs, _lock_path
 
-_STATE = "_mv_state.json"
+_STATE = "_mv_state.json"  # legacy single-file form (read fallback, seq −1)
+_STATE_PREFIX = "_mv_state."  # versioned: _mv_state.<seq>.json
 
 
 class BaseMutatedError(RuntimeError):
@@ -77,30 +96,94 @@ def _list_base_files(spark: SparkSession, base: str) -> dict[str, int]:
     return out
 
 
+def _state_versions(fs, jvm_path, mv_path: str) -> list[tuple[int, str]]:
+    """Sorted [(seq, name)] of state files under ``mv_path``; the
+    legacy unversioned file participates as seq −1 so upgraded stores
+    keep reading until the first versioned commit supersedes it."""
+    root = jvm_path(mv_path)
+    if not fs.exists(root):
+        return []
+    out = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name == _STATE:
+            out.append((-1, name))
+        elif name.startswith(_STATE_PREFIX) and name.endswith(".json"):
+            mid = name[len(_STATE_PREFIX) : -len(".json")]
+            if mid.isdigit():
+                out.append((int(mid), name))
+    return sorted(out)
+
+
 def _read_state(spark: SparkSession, mv_path: str) -> dict:
     fs, _ = _fs(spark, mv_path)
     jvm_path = _jvm_path(spark)
-    jp = jvm_path(f"{mv_path}/{_STATE}")
-    if not fs.exists(jp):
+    versions = _state_versions(fs, jvm_path, mv_path)
+    if not versions:
         raise FileNotFoundError(f"matview state missing under {mv_path}")
     jvm = spark.sparkContext._jvm
-    stream = fs.open(jp)
+    stream = fs.open(jvm_path(f"{mv_path}/{versions[-1][1]}"))
     raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
     stream.close()
     return json.loads(raw.decode())
 
 
 def _write_state(spark: SparkSession, mv_path: str, state: dict) -> None:
+    """Commit state as ``_mv_state.<seq+1>.json``: tmp-write, then
+    rename to a name that DOESN'T exist yet (atomic on HDFS/local; no
+    delete-first window — a crash at any point leaves the previous
+    version readable). Older versions are deleted only after the new
+    one is durably in place; a crash mid-cleanup just leaves extras
+    that max-seq resolution ignores and the next commit re-collects."""
     fs, _ = _fs(spark, mv_path)
     jvm_path = _jvm_path(spark)
+    versions = _state_versions(fs, jvm_path, mv_path)
+    seq = (versions[-1][0] + 1) if versions else 0
     tmp = jvm_path(f"{mv_path}/.{_STATE}.tmp")
     stream = fs.create(tmp, True)
     stream.write(bytearray(json.dumps(state).encode()))
     stream.close()
-    dst = jvm_path(f"{mv_path}/{_STATE}")
-    fs.delete(dst, False)
+    dst = jvm_path(f"{mv_path}/{_STATE_PREFIX}{seq}.json")
     if not fs.rename(tmp, dst):
         raise IOError(f"matview: could not commit state under {mv_path}")
+    for _, name in versions:
+        fs.delete(jvm_path(f"{mv_path}/{name}"), False)
+
+
+def _refresh_lock_base(mv_path: str) -> str:
+    # a DISTINCT lock from the store's own fold/maintenance lock: the
+    # refresh holds this one across diff+fold+state while the inner
+    # fold_rollup_into_store takes the store lock — two levels, fixed
+    # acquisition order (refresh → store), no deadlock
+    return f"{mv_path}__mv_refresh"
+
+
+def _rebuild_tmp(mv_path: str) -> str:
+    return f"{mv_path}__mv_rebuild_tmp"
+
+
+def _rebuild_old(mv_path: str) -> str:
+    return f"{mv_path}__mv_old"
+
+
+def _restore_stranded_rebuild(spark: SparkSession, mv_path: str) -> None:
+    """Crash-window repair for rebuild's whole-directory swap
+    (compact.py's restore-before-list discipline): view dir missing +
+    ``__mv_old`` present means the crash hit between the two renames —
+    restore the old store; both present means the swap completed and
+    the old dir is garbage. Caller must hold the refresh lock (or have
+    verified no writer is live) so an in-flight swap isn't 'repaired'."""
+    fs, _ = _fs(spark, mv_path)
+    jvm_path = _jvm_path(spark)
+    old = jvm_path(_rebuild_old(mv_path))
+    if not fs.exists(old):
+        return
+    if fs.exists(jvm_path(mv_path)):
+        fs.delete(old, True)
+    elif not fs.rename(old, jvm_path(mv_path)):
+        raise IOError(
+            f"matview: could not restore crashed rebuild under {mv_path}"
+        )
 
 
 def _guard_no_base_dvs(spark: SparkSession, base: str, op: str) -> None:
@@ -180,7 +263,12 @@ def create_matview(
         *[f"{base}/{rel}" for rel in sorted(files)]
     )
     write_rollup_store(_partials(spark, spec, df), mv_path, n_buckets=n_buckets)
-    state = {"spec": spec, "processed": files, "refresh_seq": 0}
+    state = {
+        "spec": spec,
+        "processed": files,
+        "refresh_seq": 0,
+        "pending": None,
+    }
     _write_state(spark, mv_path, state)
     from .history import log_event
 
@@ -198,71 +286,155 @@ def refresh_matview(
 ) -> dict:
     """Incremental refresh: fold ONLY base files that appeared since
     the last refresh. Returns {files_new, files_total, refresh_seq,
-    rebuilt}. Crash-safe by fold-then-state ordering (module doc)."""
+    rebuilt}. Crash-safe by the pending-intent journal (module doc):
+    intent (batch_id + exact file list) commits to state BEFORE the
+    fold, the fold commits, then state advances and clears the
+    pending. Any crash replays the pending list verbatim — base growth
+    between crash and retry cannot smuggle unfolded files past the
+    store's batch fence. Serializes on the view-level refresh lock."""
     from ..plans.rollup import fold_rollup_into_store
 
     if on_base_mutation not in ("error", "rebuild"):
         raise ValueError("on_base_mutation must be 'error' or 'rebuild'")
     mv_path = mv_path.rstrip("/")
-    state = _read_state(spark, mv_path)
-    spec = state["spec"]
-    _guard_no_base_dvs(spark, spec["base"], "refresh_matview")
-    current = _list_base_files(spark, spec["base"])
-    processed = state["processed"]
-    mutated = [
-        rel
-        for rel in processed
-        if rel not in current or current[rel] != processed[rel]
-    ]
-    if mutated:
-        if on_base_mutation == "error":
-            raise BaseMutatedError(
-                f"refresh_matview: {len(mutated)} already-aggregated base "
-                f"file(s) were rewritten or removed (e.g. {mutated[0]!r}) — "
-                "incremental refresh cannot unwind folded rows; pass "
-                "on_base_mutation='rebuild' to recompute from scratch"
-            )
-        return rebuild_matview(spark, mv_path)
-    new = sorted(rel for rel in current if rel not in processed)
-    seq = int(state["refresh_seq"]) + 1
-    if new:
+    fs, _ = _fs(spark, mv_path)
+    jvm_path = _jvm_path(spark)
+    lock_base = _refresh_lock_base(mv_path)
+    _acquire_lock(
+        spark, fs, jvm_path, lock_base, "refresh_matview", stale_lock_s
+    )
+    try:
+        _restore_stranded_rebuild(spark, mv_path)
+        state = _read_state(spark, mv_path)
+        spec = state["spec"]
+        _guard_no_base_dvs(spark, spec["base"], "refresh_matview")
+        current = _list_base_files(spark, spec["base"])
+        processed = dict(state["processed"])
+        pending = state.get("pending")
+        # mutation check covers pending files too: a pending file that
+        # vanished or changed size cannot be replayed faithfully
+        tracked = {**processed, **(pending["files"] if pending else {})}
+        mutated = [
+            rel
+            for rel in tracked
+            if rel not in current or current[rel] != tracked[rel]
+        ]
+        if mutated:
+            if on_base_mutation == "error":
+                raise BaseMutatedError(
+                    f"refresh_matview: {len(mutated)} already-aggregated "
+                    f"base file(s) were rewritten or removed (e.g. "
+                    f"{mutated[0]!r}) — incremental refresh cannot unwind "
+                    "folded rows; pass on_base_mutation='rebuild' to "
+                    "recompute from scratch"
+                )
+            return _rebuild_locked(spark, mv_path, state)
         base = spec["base"]
-        df = spark.read.option("basePath", base).parquet(
-            *[f"{base}/{rel}" for rel in new]
-        )
-        # fold first, state second: a crash in between replays the same
-        # files under the same batch_id and the store fence no-ops it
-        fold_rollup_into_store(
-            spark,
-            mv_path,
-            _partials(spark, spec, df),
-            batch_id=seq,
-            stale_lock_s=stale_lock_s,
-        )
-        state["processed"] = {**processed, **{r: current[r] for r in new}}
-        state["refresh_seq"] = seq
-        _write_state(spark, mv_path, state)
-    out = {
-        "files_new": len(new),
-        "files_total": len(current),
-        "refresh_seq": seq if new else int(state["refresh_seq"]),
-        "rebuilt": False,
-    }
+        replayed = 0
+        if pending:
+            pseq = int(pending["batch_id"])
+            if pseq > int(state["refresh_seq"]):
+                pfiles = pending["files"]
+                df = spark.read.option("basePath", base).parquet(
+                    *[f"{base}/{rel}" for rel in sorted(pfiles)]
+                )
+                # fenced (crash hit after the store commit) or a real
+                # fold (crash hit before) — either way the pending
+                # files are in the store when this returns
+                fold_rollup_into_store(
+                    spark,
+                    mv_path,
+                    _partials(spark, spec, df),
+                    batch_id=pseq,
+                    stale_lock_s=stale_lock_s,
+                )
+                processed.update(pfiles)
+                state.update(
+                    {
+                        "processed": processed,
+                        "refresh_seq": pseq,
+                        "pending": None,
+                    }
+                )
+                replayed = len(pfiles)
+            else:
+                # superseded intent (state already advanced past it)
+                state["pending"] = None
+            _write_state(spark, mv_path, state)
+        new = sorted(rel for rel in current if rel not in processed)
+        seq = int(state["refresh_seq"]) + 1
+        if new:
+            new_sizes = {r: current[r] for r in new}
+            # journal the intent FIRST: a crash after the fold replays
+            # EXACTLY this list under EXACTLY this batch_id
+            state["pending"] = {"batch_id": seq, "files": new_sizes}
+            _write_state(spark, mv_path, state)
+            df = spark.read.option("basePath", base).parquet(
+                *[f"{base}/{rel}" for rel in new]
+            )
+            res = fold_rollup_into_store(
+                spark,
+                mv_path,
+                _partials(spark, spec, df),
+                batch_id=seq,
+                stale_lock_s=stale_lock_s,
+            )
+            if not res["folded"]:
+                raise RuntimeError(
+                    f"refresh_matview: store fence at {mv_path} is ahead "
+                    f"of the view state (batch {seq} was fenced as a "
+                    "replay) — something folded into the store out-of-band"
+                )
+            state["processed"] = {**processed, **new_sizes}
+            state["refresh_seq"] = seq
+            state["pending"] = None
+            _write_state(spark, mv_path, state)
+        out = {
+            "files_new": len(new) + replayed,
+            "files_total": len(current),
+            "refresh_seq": int(state["refresh_seq"]),
+            "rebuilt": False,
+        }
+    finally:
+        fs.delete(jvm_path(_lock_path(lock_base)), False)
     from .history import log_event
 
     log_event(spark, mv_path, "refresh_matview", out)
     return out
 
 
-def rebuild_matview(spark: SparkSession, mv_path: str) -> dict:
+def rebuild_matview(
+    spark: SparkSession,
+    mv_path: str,
+    stale_lock_s: float | None = None,
+) -> dict:
     """Full recompute (the base-mutation fallback): re-bootstrap from
     the base's current files, keeping the spec. Same cost as CREATE."""
-    import uuid as _uuid
-
-    from ..plans.rollup import write_rollup_store
-
     mv_path = mv_path.rstrip("/")
-    state = _read_state(spark, mv_path)
+    fs, _ = _fs(spark, mv_path)
+    jvm_path = _jvm_path(spark)
+    lock_base = _refresh_lock_base(mv_path)
+    _acquire_lock(
+        spark, fs, jvm_path, lock_base, "rebuild_matview", stale_lock_s
+    )
+    try:
+        _restore_stranded_rebuild(spark, mv_path)
+        state = _read_state(spark, mv_path)
+        return _rebuild_locked(spark, mv_path, state)
+    finally:
+        fs.delete(jvm_path(_lock_path(lock_base)), False)
+
+
+def _rebuild_locked(spark: SparkSession, mv_path: str, state: dict) -> dict:
+    """Rebuild body; caller holds the refresh lock. The swap is two
+    WHOLE-DIRECTORY renames (stage → ``__mv_old`` → live), mirroring
+    ``_compact_locked``'s crash discipline: the staged directory
+    already contains its own committed state file, so there is no
+    window in which the live path exists without readable state, and
+    :func:`_restore_stranded_rebuild` repairs the single between-the-
+    renames window at every entry point."""
+    from ..plans.rollup import _read_meta, write_rollup_store
+
     spec = state["spec"]
     base = spec["base"]
     _guard_no_base_dvs(spark, base, "rebuild_matview")
@@ -273,34 +445,32 @@ def rebuild_matview(spark: SparkSession, mv_path: str) -> dict:
     parts = _partials(spark, spec, df)
     fs, _ = _fs(spark, mv_path)
     jvm_path = _jvm_path(spark)
+    # keep the creator's bucket layout across the rebuild
+    try:
+        n_buckets = int(_read_meta(spark, mv_path).get("n_buckets", 64))
+    except Exception:
+        n_buckets = 64
+    # the store lock guards against a concurrent direct fold during
+    # the swap; both locks are SIBLINGS of mv_path so neither moves
     _acquire_lock(spark, fs, jvm_path, mv_path, "rebuild_matview")
     try:
-        # stage the new store beside, then swap: readers of the old
-        # store stay consistent until the rename
-        tmp = f"{mv_path}__mv_tmp_{_uuid.uuid4().hex[:8]}"
-        write_rollup_store(parts, tmp)
-        old = f"{mv_path}__mv_old"
-        fs.delete(jvm_path(old), True)
-        # the maintenance lock is a SIBLING of mv_path (compact.py
-        # convention), so everything inside except the state file and
-        # dot-temps is store content
-        for name in [
-            st.getPath().getName()
-            for st in fs.listStatus(jvm_path(mv_path))
-            if st.getPath().getName() != _STATE
-            and not st.getPath().getName().startswith(".")
-        ]:
-            fs.mkdirs(jvm_path(old))
-            fs.rename(jvm_path(f"{mv_path}/{name}"), jvm_path(f"{old}/{name}"))
-        for name in [
-            st.getPath().getName() for st in fs.listStatus(jvm_path(tmp))
-        ]:
-            fs.rename(jvm_path(f"{tmp}/{name}"), jvm_path(f"{mv_path}/{name}"))
-        fs.delete(jvm_path(tmp), True)
-        fs.delete(jvm_path(old), True)
+        tmp = _rebuild_tmp(mv_path)
+        old = _rebuild_old(mv_path)
+        fs.delete(jvm_path(tmp), True)  # stranded pre-swap stage, if any
+        write_rollup_store(parts, tmp, n_buckets=n_buckets)
         seq = int(state["refresh_seq"]) + 1
-        state.update({"processed": files, "refresh_seq": seq})
-        _write_state(spark, mv_path, state)
+        _write_state(
+            spark,
+            tmp,
+            {**state, "processed": files, "refresh_seq": seq, "pending": None},
+        )
+        fs.delete(jvm_path(old), True)
+        if not fs.rename(jvm_path(mv_path), jvm_path(old)):
+            raise IOError(f"rebuild_matview: could not stage {mv_path} aside")
+        if not fs.rename(jvm_path(tmp), jvm_path(mv_path)):
+            fs.rename(jvm_path(old), jvm_path(mv_path))  # roll back
+            raise IOError(f"rebuild_matview: could not swap in {tmp}")
+        fs.delete(jvm_path(old), True)
     finally:
         fs.delete(jvm_path(_lock_path(mv_path)), False)
     out = {
@@ -319,4 +489,18 @@ def read_matview(spark: SparkSession, mv_path: str) -> DataFrame:
     """The view's current aggregate (finalized rollup read)."""
     from ..plans.rollup import read_rollup
 
-    return read_rollup(spark, mv_path.rstrip("/"))
+    mv_path = mv_path.rstrip("/")
+    fs, _ = _fs(spark, mv_path)
+    jvm_path = _jvm_path(spark)
+    # lock-free read repair: only when the view dir is MISSING, the old
+    # dir exists, and no writer holds either lock — i.e. a rebuild
+    # crashed between its two renames. An in-flight rebuild holds both
+    # locks, so this can't race a live swap.
+    if (
+        not fs.exists(jvm_path(mv_path))
+        and fs.exists(jvm_path(_rebuild_old(mv_path)))
+        and not fs.exists(jvm_path(_lock_path(mv_path)))
+        and not fs.exists(jvm_path(_lock_path(_refresh_lock_base(mv_path))))
+    ):
+        _restore_stranded_rebuild(spark, mv_path)
+    return read_rollup(spark, mv_path)

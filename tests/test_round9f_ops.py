@@ -191,9 +191,10 @@ class TestMatview:
         assert _got(spark, path) == _expected(spark, base)
 
     def test_crash_between_fold_and_state_is_fenced(self, spark, mv):
-        """Fold committed, state write crashed: the replayed refresh
-        re-folds the same files under the same batch_id — the store
-        fence must make it a no-op, not a double-count."""
+        """Fold committed, final state write crashed: the replayed
+        refresh re-folds the PENDING list under the same batch_id — the
+        store fence must make it a no-op, not a double-count. (Write #1
+        is the pending-intent journal, #2 the post-fold advance.)"""
         from imitation_learning_data_pipeline_spark.pipeline import matview as m
 
         base, path = mv
@@ -201,22 +202,162 @@ class TestMatview:
         orig = m._write_state
         calls = {"n": 0}
 
-        def crash_once(spark_, mv_path_, state_):
+        def crash_post_fold(spark_, mv_path_, state_):
             calls["n"] += 1
-            if calls["n"] == 1:
+            if calls["n"] == 2:
                 raise RuntimeError("injected crash before state commit")
             return orig(spark_, mv_path_, state_)
 
-        m._write_state = crash_once
+        m._write_state = crash_post_fold
         try:
             with pytest.raises(RuntimeError, match="injected crash"):
                 refresh_matview(spark, path)
         finally:
             m._write_state = orig
-        # replay: same new files, same batch_id → fenced fold, state
-        # finally advances, totals exact
+        # replay: same pending files, same batch_id → fenced fold,
+        # state finally advances, totals exact
         r = refresh_matview(spark, path)
         assert r["files_new"] >= 1
         assert _got(spark, path) == _expected(spark, base)
         # and a third refresh is a clean no-op
+        assert refresh_matview(spark, path)["files_new"] == 0
+
+    def test_crash_before_fold_replays_clean(self, spark, mv):
+        """Crash ON the pending-intent write (before any fold): no
+        store mutation happened, the retry must fold once, exactly."""
+        from imitation_learning_data_pipeline_spark.pipeline import matview as m
+
+        base, path = mv
+        insert_into(spark, base, _rows(spark, 4000, 4300))
+        orig = m._write_state
+        calls = {"n": 0}
+
+        def crash_on_intent(spark_, mv_path_, state_):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("injected crash on intent write")
+            return orig(spark_, mv_path_, state_)
+
+        m._write_state = crash_on_intent
+        try:
+            with pytest.raises(RuntimeError, match="injected crash"):
+                refresh_matview(spark, path)
+        finally:
+            m._write_state = orig
+        assert refresh_matview(spark, path)["files_new"] >= 1
+        assert _got(spark, path) == _expected(spark, base)
+
+    def test_crash_then_base_grows_loses_no_files(self, spark, mv):
+        """THE r9 hole (ADVICE high): fold committed, state crashed,
+        base GREW before the retry. The old code re-diffed everything
+        under the same batch_id, the fence no-op'd the fold, and the
+        fresh files were marked processed without ever being folded.
+        The pending journal must replay exactly the crashed list, then
+        fold the growth under the NEXT batch_id."""
+        from imitation_learning_data_pipeline_spark.pipeline import matview as m
+
+        base, path = mv
+        insert_into(spark, base, _rows(spark, 4000, 4500))
+        orig = m._write_state
+        calls = {"n": 0}
+
+        def crash_post_fold(spark_, mv_path_, state_):
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise RuntimeError("injected crash before state commit")
+            return orig(spark_, mv_path_, state_)
+
+        m._write_state = crash_post_fold
+        try:
+            with pytest.raises(RuntimeError, match="injected crash"):
+                refresh_matview(spark, path)
+        finally:
+            m._write_state = orig
+        # the base grows BETWEEN crash and retry
+        insert_into(spark, base, _rows(spark, 4500, 5000))
+        r = refresh_matview(spark, path)
+        assert r["files_new"] >= 2  # replayed pending + fresh growth
+        assert _got(spark, path) == _expected(spark, base)
+        assert refresh_matview(spark, path)["files_new"] == 0
+
+    def test_state_commit_never_leaves_no_state(self, spark, mv):
+        """The r9 state-commit window: delete-then-rename could crash
+        with NO state file, bricking the view. Versioned commits rename
+        to a fresh name — a crash after the rename but before cleanup
+        leaves BOTH versions, and max-seq resolution picks the new one;
+        a crash before the rename leaves the old one."""
+        from imitation_learning_data_pipeline_spark.pipeline import matview as m
+
+        base, path = mv
+        fs, _ = m._fs(spark, path)
+        jvm_path = m._jvm_path(spark)
+        # baseline: exactly one versioned state file after create
+        vs = m._state_versions(fs, jvm_path, path)
+        assert len(vs) == 1 and vs[0][0] >= 0
+        s0 = m._read_state(spark, path)
+        # simulate "crash before cleanup": write a NEWER version by
+        # hand without deleting the old one
+        newer = {**s0, "refresh_seq": int(s0["refresh_seq"]) + 7}
+        seq = vs[-1][0] + 1
+        stream = fs.create(jvm_path(f"{path}/{m._STATE_PREFIX}{seq}.json"), True)
+        stream.write(bytearray(__import__("json").dumps(newer).encode()))
+        stream.close()
+        assert m._read_state(spark, path)["refresh_seq"] == newer["refresh_seq"]
+        # the next real commit collects the stale versions
+        m._write_state(spark, path, s0)
+        assert len(m._state_versions(fs, jvm_path, path)) == 1
+        # legacy single-file stores still read (seq −1 fallback)
+        for _, name in m._state_versions(fs, jvm_path, path):
+            fs.rename(
+                jvm_path(f"{path}/{name}"), jvm_path(f"{path}/{m._STATE}")
+            )
+        assert m._read_state(spark, path)["refresh_seq"] == s0["refresh_seq"]
+        # and the first versioned commit supersedes + removes the legacy
+        m._write_state(spark, path, s0)
+        vs = m._state_versions(fs, jvm_path, path)
+        assert [v for v, _ in vs] == [0]
+
+    def test_rebuild_crash_between_renames_restores(self, spark, mv):
+        """Whole-dir swap window: old store renamed aside, crash before
+        the staged store moved in. Every entry point must restore the
+        old store instead of reading a missing view."""
+        from imitation_learning_data_pipeline_spark.pipeline import matview as m
+
+        base, path = mv
+        expected = _got(spark, path)
+        fs, _ = m._fs(spark, path)
+        jvm_path = m._jvm_path(spark)
+        # simulate the crash: live dir renamed aside, nothing moved in
+        assert fs.rename(jvm_path(path), jvm_path(m._rebuild_old(path)))
+        assert not fs.exists(jvm_path(path))
+        # read path repairs lock-free (no writer is live)
+        assert _got(spark, path) == expected
+        assert fs.exists(jvm_path(path))
+        assert not fs.exists(jvm_path(m._rebuild_old(path)))
+        # post-swap window: BOTH exist → the old dir is garbage
+        fs.mkdirs(jvm_path(m._rebuild_old(path)))
+        assert refresh_matview(spark, path)["files_new"] == 0
+        assert not fs.exists(jvm_path(m._rebuild_old(path)))
+
+    def test_concurrent_refresh_refused(self, spark, mv):
+        """Two refreshes must serialize on the view-level lock; a held
+        lock refuses the second writer instead of double-folding."""
+        from imitation_learning_data_pipeline_spark.pipeline import matview as m
+        from imitation_learning_data_pipeline_spark.pipeline.compact import (
+            ConcurrentMaintenanceError,
+            _lock_path,
+        )
+
+        base, path = mv
+        fs, _ = m._fs(spark, path)
+        jvm_path = m._jvm_path(spark)
+        lock = jvm_path(_lock_path(m._refresh_lock_base(path)))
+        stream = fs.create(lock, False)
+        stream.write(bytearray(b"{}"))
+        stream.close()
+        try:
+            with pytest.raises(ConcurrentMaintenanceError):
+                refresh_matview(spark, path)
+        finally:
+            fs.delete(lock, False)
         assert refresh_matview(spark, path)["files_new"] == 0
