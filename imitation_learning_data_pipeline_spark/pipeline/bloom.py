@@ -132,18 +132,33 @@ def _hash_col(c: str):
     return F.xxhash64(F.col(c).cast("string"))
 
 
-def probe_hashes(spark: SparkSession, values: list) -> list[int]:
+def probe_hashes(
+    spark: SparkSession, values: list, types: list | None = None
+) -> list[int]:
     """xxhash64 of each probe literal THROUGH THE BUILD EXPRESSION —
     one 1-row Spark job for the whole batch, guaranteeing bit-exact
     build/probe parity (Spark's own XXH64 + Spark's own cast-to-string
-    formatting; no Python reimplementation to drift)."""
+    formatting; no Python reimplementation to drift).
+
+    ``types`` (parallel to ``values``; None entries allowed) routes
+    each literal through the BLOOMED COLUMN'S type first:
+    ``lit(v).cast(col_type).cast('string')`` renders exactly what the
+    build hashed from the column. Without it, a timestamp literal
+    parsed to its ISO 'T' form (the stats serializer's shape) hashes a
+    different string than the column's own cast ('2026-01-01 00:00:00'
+    with a space) — a guaranteed false negative."""
     if not values:
         return []
+
+    def _expr(v, t):
+        lit = F.lit(v)
+        if t:
+            lit = lit.cast(t)
+        return F.xxhash64(lit.cast("string"))
+
+    ts = types if types is not None else [None] * len(values)
     row = spark.range(1).select(
-        *[
-            F.xxhash64(F.lit(v).cast("string")).alias(f"h{i}")
-            for i, v in enumerate(values)
-        ]
+        *[_expr(v, t).alias(f"h{i}") for i, (v, t) in enumerate(zip(values, ts))]
     ).collect()[0]
     return [row[f"h{i}"] for i in range(len(values))]
 
@@ -274,6 +289,18 @@ def write_blooms(
             "nbytes": nbytes,
             "k": k,
             "blooms": blooms,
+            # probe-parity metadata: each bloomed column's type (the
+            # probe casts literals through it before the string hash)
+            # and the build session's timezone (timestamp→string
+            # rendering is tz-dependent; a probe under a different tz
+            # degrades those columns to always-keep instead of risking
+            # false negatives)
+            "types": {
+                c: t
+                for c, t in spark.read.parquet(path).dtypes
+                if c in set(cols)
+            },
+            "timezone": spark.conf.get("spark.sql.session.timeZone"),
         }
         _write_sidecar(fs, jvm_path, _bloom_path(path), payload)
         return payload
@@ -363,15 +390,44 @@ def prune_files_bloom(
     if not points or not has_blooms(spark, path):
         return None
     side = read_bloom_sidecar(spark, path)
+    # legacy sidecars (pre-types) fall back to a schema peek; a column
+    # missing from both maps probes untyped (string semantics — the
+    # pre-r10 behavior, correct for string/int columns)
+    types = side.get("types")
+    if types is None:
+        try:
+            types = {
+                c: t for c, t in spark.read.parquet(path).dtypes
+                if c in set(side["cols"])
+            }
+        except Exception:
+            types = {}
+    session_tz = spark.conf.get("spark.sql.session.timeZone")
+    build_tz = side.get("timezone")
+
+    def _tz_unsafe(c: str) -> bool:
+        # timestamp→string rendering depends on the session timezone:
+        # probing under a different tz than the build would hash a
+        # shifted rendering — degrade the column to always-keep
+        return (
+            types.get(c, "").startswith("timestamp")
+            and build_tz is not None
+            and session_tz != build_tz
+        )
+
     usable = {
         c: (v if isinstance(v, list) else [v])
         for c, v in points.items()
-        if c in side["cols"]
+        if c in side["cols"] and not _tz_unsafe(c)
     }
     if not usable:
         return None
     flat = [(c, v) for c, vs in usable.items() for v in vs]
-    hs = probe_hashes(spark, [v for _c, v in flat])
+    hs = probe_hashes(
+        spark,
+        [v for _c, v in flat],
+        types=[types.get(c) for c, _v in flat],
+    )
     hashes: dict = {}
     for (c, _v), h in zip(flat, hs):
         hashes.setdefault(c, []).append(h)

@@ -259,7 +259,10 @@ def delete_from_mor(
         if prior is not None:
             keyed = keyed.join(prior, on=["rel", "row_index"], how="left_anti")
         positions = keyed.filter(F.col("__hit")).select("rel", "row_index")
-        positions.write.mode("overwrite").parquet(tmp)
+        # positions per delete are metadata-sized by design — one part
+        # file, not shuffle-partitions-many tiny ones (every MOR read
+        # unions ALL DV dirs, so file count compounds per delete)
+        positions.coalesce(1).write.mode("overwrite").parquet(tmp)
         n = spark.read.parquet(tmp).count()
         if n == 0:
             _rm(fs, jvm_path, tmp)
@@ -331,11 +334,31 @@ def delete_keys_mor(
             # values ride in as strings and cast to the table's own
             # column type — one row per key, driver-side by definition
             spark.createDataFrame(
-                [(str(v),) for v in values], f"`{col}` string"
+                [(str(v),) for v in values], "`__raw` string"
             )
-            .select(F.col(col).cast(field.dataType).alias(col))
+            .select(
+                F.col("__raw"),
+                # try_cast, not cast: ANSI mode would throw mid-job on
+                # the first malformed value — we want the full list of
+                # offenders in ONE clean error below
+                F.col("__raw").try_cast(field.dataType).alias(col),
+            )
             .distinct()
         )
+        # an uncastable key ('abc' against a LONG column) becomes NULL
+        # after the cast — it would never match a row yet still count
+        # in keys_recorded and park a ghost DV. Raise, naming inputs.
+        bad = [
+            r["__raw"]
+            for r in vals.filter(F.col(col).isNull()).collect()
+        ]
+        if bad:
+            raise ValueError(
+                f"delete_keys_mor: {len(bad)} value(s) do not cast to "
+                f"{col}'s type {field.dataType.simpleString()} and would "
+                f"never match any row: {bad[:5]!r}"
+            )
+        vals = vals.select(col).distinct()
         vals.coalesce(1).write.mode("overwrite").parquet(tmp)
         n = spark.read.parquet(tmp).count()
         fs.mkdirs(jvm_path(_dv_root(path)))

@@ -143,6 +143,61 @@ class TestReadWhereBloom:
         (h,) = probe_hashes(spark, ["doc-42"])
         assert bloom_might_contain(side["blooms"][key]["doc_id"], h, side["k"])
 
+    def test_timestamp_bloom_parity(self, spark, tmp_path):
+        """ADVICE r9 (medium): the build hashes cast(ts AS STRING)
+        ('2026-01-01 00:00:00', a space), but _parse_literal renders
+        timestamp literals in ISO 'T' form — probing the raw string
+        guaranteed a false negative, silently skipping EVERY matching
+        file for `ts = timestamp'...'` on a bloomed timestamp column.
+        The sidecar now records column types and the probe casts
+        through them."""
+        path = str(tmp_path / "tstbl")
+        df = spark.range(3000).select(
+            F.concat(F.lit("doc-"), F.col("id")).alias("doc_id"),
+            F.to_timestamp(
+                F.concat(
+                    F.lit("2026-01-"),
+                    F.lpad((F.col("id") % 28 + 1).cast("string"), 2, "0"),
+                    F.lit(" 12:00:00"),
+                )
+            ).alias("ts"),
+            (F.col("id") * 2).alias("val"),
+        )
+        df.repartition(N_FILES, "doc_id").write.parquet(path)
+        write_manifest(spark, path)
+        write_blooms(spark, path, ["ts"])
+        side = read_bloom_sidecar(spark, path)
+        assert side["types"]["ts"].startswith("timestamp")
+        where = "ts = timestamp'2026-01-05 12:00:00'"
+        got = read_where(spark, path, where).count()
+        want = spark.read.parquet(path).filter(where).count()
+        assert want > 0 and got == want
+        # the prune itself keeps exactly the files that hold the value
+        pts = extract_point_sets(where)
+        pr = prune_files_bloom(spark, path, pts)
+        assert pr is not None and len(pr["kept"]) >= 1
+        truth = {
+            p.rsplit("/", 1)[-1]
+            for p in spark.read.parquet(path)
+            .filter(where)
+            .select("_metadata.file_path")
+            .distinct()
+            .toPandas()["file_path"]
+        }
+        kept_names = {rel.rsplit("/", 1)[-1] for rel in pr["kept"]}
+        assert truth <= kept_names
+        # a probe under a DIFFERENT session timezone must degrade to
+        # always-keep (no pruning) instead of risking false negatives
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        try:
+            spark.conf.set(
+                "spark.sql.session.timeZone",
+                "America/Los_Angeles" if tz != "America/Los_Angeles" else "UTC",
+            )
+            assert prune_files_bloom(spark, path, pts) is None
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", tz)
+
 
 class TestBloomFreshness:
     def test_delete_point_lookup_touches_one_file(self, spark, table):

@@ -98,6 +98,23 @@ class TestMorDelete:
         assert r["rows_deleted"] == N // 20
         assert not os.path.exists(table + "__dv_tmp")
 
+    def test_position_dv_is_one_part_file(self, spark, table):
+        """Positions per delete are metadata-sized by design — the DV
+        commit must be ONE parquet part, not shuffle-partitions-many
+        tiny files (every MOR read unions ALL DV dirs, so the file
+        count compounds per delete)."""
+        delete_from_mor(spark, table, "grp = 7")
+        dv_root = os.path.join(table, "_manifest", "deletes")
+        (dv_dir,) = [
+            d for d in os.listdir(dv_root) if d.startswith("dv-")
+        ]
+        parts = [
+            f
+            for f in os.listdir(os.path.join(dv_root, dv_dir))
+            if f.endswith(".parquet")
+        ]
+        assert len(parts) == 1
+
 
 class TestResurrectionGuard:
     def test_rewriting_ops_refuse(self, spark, table):
@@ -286,6 +303,23 @@ class TestEqualityDeletes:
         got = read_with_deletes(spark, table)
         assert got.count() == N - 2 * (N // 20)
         assert got.filter("grp IN (4, 9)").count() == 0
+
+    def test_uncastable_key_raises_not_ghost_dv(self, spark, table):
+        """ADVICE r9: an uncastable key ('abc' against a LONG column)
+        silently became NULL after the cast — counted in keys_recorded,
+        never matched a row, parked a useless DV. Must raise, naming
+        the offending inputs, and record nothing."""
+        from imitation_learning_data_pipeline_spark.pipeline.deletes import (
+            delete_keys_mor,
+        )
+
+        with pytest.raises(ValueError, match="'abc'"):
+            delete_keys_mor(spark, table, "grp", [4, "abc"])
+        assert not has_live_deletes(spark, table)
+        # the castable-only call still works afterwards
+        assert delete_keys_mor(spark, table, "grp", [4])[
+            "keys_recorded"
+        ] == 1
 
     def test_null_and_missing_col_refused(self, spark, table):
         from imitation_learning_data_pipeline_spark.pipeline.deletes import (
