@@ -111,10 +111,11 @@ CONTRACT_FIRST: list[str] = [
     "text_repetition_stats",
     "range_join_prior_views",
     "ann_int8_topk",
-    # Round-3 rotation (r2 verdict item 7): drive previously library-only
-    # queries through the driver, displacing four twice-green proxies
-    # (now in CONTRACT_EXCLUDE with their named stand-ins).
-    "window_running_sum",
+    # Round-10 rotation (proxy-drift cadence, r9 verdict item 4):
+    # q1_pricing_summary was the oldest never-re-rotated park (since
+    # r5) — rotated BACK for a fresh direct row; funded by parking
+    # window_running_sum (green r3-r9, see CONTRACT_EXCLUDE).
+    "q1_pricing_summary",
     # (round-5: text_sentence_stats / text_langid / asof_join_last_click /
     # window_frame_suite / window_group_order_suite moved to
     # CONTRACT_EXCLUDE after 2+ green rounds.)
@@ -243,12 +244,17 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     # TestStorageOrder).
     "window_dedup_first": "window_reindex (row_number over group) + "
     "dedup_exact (keep-canonical agg)",
-    # round-5 rotation #6: funds the pipeline_dedup_end_to_end slot.
-    # Four rounds green; the inverse of the r4 q6 park — same lineitem
-    # scan+filter+agg shape, pushdown assertions stay in
-    # tools/explain_audit.py.
-    "q1_pricing_summary": "q6_forecast_revenue (same lineitem "
-    "scan+filter+agg shape; pushdown audit retained)",
+    # round-10 rotation: funds q1_pricing_summary's return slot
+    # (proxy-drift cadence — q1 was the oldest never-re-rotated park).
+    # Seven rounds green (r3-r9); the same per-user ordered-window
+    # machinery over events as the retained window_rank_ntile /
+    # window_lag_monotonic rows, and its UNBOUNDED-PRECEDING frame-sum
+    # shape stays hash-checked by the window_frame_suite and
+    # pack_sequences rows in check_contract --all.
+    "window_running_sum": "window_rank_ntile + window_lag_monotonic "
+    "(same per-user ordered-window machinery over events) + "
+    "check_contract --all rows (window_frame_suite unions the exact "
+    "frame-sum shape)",
     # round-6 rotation: two multi-green queries park to fund the
     # sketch_count_min + streaming_dedup_events slots (r5 verdict item 1).
     # Label-blocked cosine dedup (green r4, r5): its chunked-gemm cosine
