@@ -28,9 +28,24 @@ PageRank here is the fixed-iteration power method:
 Fixed iterations (default 10) rather than a convergence test: the
 contract needs determinism, and power-method error decays as d^t
 (d=0.85 → <0.2 rank mass error after 10 rounds); pass more for
-tighter fixed points. At 100 TB the per-iteration cost is the |E|
-shuffle — pre-partitioning the edge list by src lets every iteration
-reuse the same exchange.
+tighter fixed points.
+
+Partition reuse (r10, measured): at 100 TB the per-iteration cost is
+the |E| shuffle, so the edge frame is ``repartition(src)``-ed ONCE
+before its checkpoint and every iteration joins on that layout.
+This only works with AQE DISABLED for the duration of the loop:
+``localCheckpoint`` under AQE captures ``UnknownPartitioning``
+(AdaptiveSparkPlanExec doesn't expose the final plan's partitioning
+at checkpoint time), so every ``Scan ExistingRDD`` re-exchanges —
+measured 4 exchanges/iteration (two |E|-sized) with AQE on versus
+1 (the unavoidable contribution aggregation, map-side-combined to
+~|V| rows) with AQE off + pre-partitioned checkpoints; 6M edges ×
+5 iterations: 29.5 s → 20.5 s wall on local[8]. The function scopes
+``spark.sql.adaptive.enabled=false`` around the loop and restores it
+— the trade (losing AQE skew handling inside the loop) is safe here
+because the src side of the join is 1:many against a 1-row-per-key
+rank frame and the dst aggregation combines map-side before the
+shuffle.
 """
 
 from __future__ import annotations
@@ -39,6 +54,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .registry import register
+
+# test/SCALING probe: when set to a list, pagerank appends each
+# iteration's final-plan shuffle-exchange count (cheap plan-string
+# inspection, done after the checkpoint action) — how the partition-
+# reuse claim above is asserted rather than trusted
+_iteration_exchange_probe: list[int] | None = None
 
 
 def pagerank(
@@ -66,6 +87,25 @@ def pagerank(
         raise ValueError("pagerank: iters must be >= 1")
     if not (0 < damping < 1):
         raise ValueError("pagerank: damping must be in (0, 1)")
+    spark = edges.sparkSession
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    # AQE off for the loop: checkpoint partitioning is only preserved
+    # without it (module doc, "Partition reuse") — restored in finally
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _pagerank_noaqe(edges, damping, iters, src, dst, seeds)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+
+
+def _pagerank_noaqe(
+    edges: DataFrame,
+    damping: float,
+    iters: int,
+    src: str,
+    dst: str,
+    seeds: DataFrame | None,
+) -> DataFrame:
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -76,9 +116,10 @@ def pagerank(
     if n_nodes == 0:
         raise ValueError("pagerank: empty graph")
     deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
-    # edge list with out-degree attached once — the per-iteration join
-    # then carries everything it needs
-    ed = e.join(deg, "src").localCheckpoint()
+    # edge list with out-degree attached once, hash-partitioned by src
+    # ONCE — with AQE off, the checkpoint preserves this layout and the
+    # per-iteration rank join needs no |E| exchange, ever
+    ed = e.join(deg, "src").repartition("src").localCheckpoint()
     # teleport distribution t(v): uniform over all nodes, or over the
     # seed set (personalized). Carried as a column on the node frame —
     # the teleport term and dangling redistribution both scale by it.
@@ -94,7 +135,10 @@ def pagerank(
         tele = nodes.join(
             seed_set.withColumn("t", F.lit(1.0) / n_seeds), "node", "left_outer"
         ).select("node", F.coalesce(F.col("t"), F.lit(0.0)).alias("t"))
-    tele = tele.localCheckpoint()
+    # node-side frames share one node-hash layout: the teleport join and
+    # every checkpointed rank frame (whose left-outer join output keeps
+    # it) line up with the contribution aggregate — zero node exchanges
+    tele = tele.repartition("node").localCheckpoint()
     ranks = tele.select("node", F.col("t").alias("rank")).localCheckpoint()
     dangling = nodes.join(
         deg.select(F.col("src").alias("node")), "node", "left_anti"
@@ -132,6 +176,13 @@ def pagerank(
         old = ranks
         ranks = new.localCheckpoint()
         old.unpersist()
+        if _iteration_exchange_probe is not None:
+            plan = new._jdf.queryExecution().executedPlan().toString()
+            _iteration_exchange_probe.append(
+                plan.split("== Initial Plan ==")[0].count(
+                    "Exchange hashpartitioning"
+                )
+            )
     return ranks
 
 

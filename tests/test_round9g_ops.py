@@ -105,3 +105,35 @@ class TestPagerank:
             pagerank(edges, damping=1.5)
         with pytest.raises(ValueError, match="empty"):
             pagerank(edges.filter("src < 0"))
+
+    def test_one_exchange_per_iteration(self, spark):
+        # the r10 partition-reuse claim, asserted: with the edge frame
+        # pre-partitioned by src and AQE scoped off, each iteration's
+        # only shuffle is the contribution aggregation — the |E|-sized
+        # rank-join and node-side exchanges are elided by the preserved
+        # checkpoint layouts (4 exchanges/iter without this)
+        from imitation_learning_data_pipeline_spark.plans import graph
+
+        n = 500
+        edges = spark.range(n).selectExpr(
+            "id AS src", f"(id * 31 + 7) % {n} AS dst"
+        )
+        probe: list[int] = []
+        graph._iteration_exchange_probe = probe
+        try:
+            pagerank(edges, iters=3)
+        finally:
+            graph._iteration_exchange_probe = None
+        assert probe == [1, 1, 1]
+
+    def test_aqe_conf_restored(self, spark):
+        before = spark.conf.get("spark.sql.adaptive.enabled")
+        edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+        pagerank(edges, iters=2)
+        assert spark.conf.get("spark.sql.adaptive.enabled") == before
+        # error path restores too
+        with pytest.raises(ValueError, match="no seed"):
+            pagerank(
+                edges, seeds=spark.createDataFrame([(99,)], "node long")
+            )
+        assert spark.conf.get("spark.sql.adaptive.enabled") == before
