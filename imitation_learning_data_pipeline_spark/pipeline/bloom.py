@@ -265,7 +265,7 @@ def write_blooms(
     blooms describe); takes the maintenance lock for the same reason
     write_manifest does — a build racing a commit could persist blooms
     for a torn file set."""
-    from .compact import _acquire_lock, _lock_path
+    from .compact import _acquire_lock, _lock_path, _release_table_lock
     from .manifest import has_manifest, read_manifest_entries
 
     path = path.rstrip("/")
@@ -305,7 +305,7 @@ def write_blooms(
         _write_sidecar(fs, jvm_path, _bloom_path(path), payload)
         return payload
     finally:
-        fs.delete(jvm_path(_lock_path(path)), False)
+        _release_table_lock(fs, jvm_path, path)
 
 
 def apply_bloom_deltas(

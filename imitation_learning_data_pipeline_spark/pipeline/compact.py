@@ -139,41 +139,41 @@ def _acquire_lock(
     spark: SparkSession, fs, jvm_path, path: str, op: str,
     stale_lock_s: float | None = None,
 ) -> None:
-    """Take the table's single-writer lock via create-exclusive
+    """Take the table's single-writer lock through the process-wide
+    lock BACKEND (pipeline/locks.py). Default: create-exclusive
     (``FileSystem.create(overwrite=False)`` — atomic on HDFS and the
-    local FS; object stores without atomic create-exclusive should use
-    a transactional table format instead, see the merge module
-    docstring — :func:`_warn_if_non_atomic_scheme` flags them loudly).
-    If a lock exists and is older than ``stale_lock_s``
-    seconds it is treated as crashed and taken over; otherwise
-    :class:`ConcurrentMaintenanceError`."""
-    import json as _json
-    import os as _os
-    import time as _time
+    local FS; :func:`_warn_if_non_atomic_scheme` flags object stores
+    where that guarantee is best-effort). Deployments on such stores
+    opt into ``locks.ElectionBackend`` (candidate-election over
+    strongly-consistent LIST) or ``locks.ExternalCASBackend``
+    (DynamoDB/etcd-style conditional writes) via
+    ``locks.set_lock_backend`` — those backends ARE the defense, so
+    the warning is suppressed. If a lock exists and is older than
+    ``stale_lock_s`` seconds it is treated as crashed and taken over;
+    otherwise :class:`ConcurrentMaintenanceError`."""
+    from .locks import LockConflict, get_lock_backend
 
-    _warn_if_non_atomic_scheme(fs, op)
-
-    lp = jvm_path(_lock_path(path))
-    if stale_lock_s is not None and fs.exists(lp):
-        age_s = _time.time() - fs.getFileStatus(lp).getModificationTime() / 1000.0
-        if age_s > stale_lock_s:
-            fs.delete(lp, False)
-    payload = _json.dumps(
-        {"op": op, "pid": _os.getpid(), "created_unix": _time.time()}
-    ).encode()
+    backend = get_lock_backend()
+    if getattr(backend, "warns_on_object_stores", True):
+        _warn_if_non_atomic_scheme(fs, op)
     try:
-        stream = fs.create(lp, False)  # overwrite=False → create-exclusive
-    except Exception as exc:
-        if not fs.exists(lp):
-            raise  # a real IO failure, not a lock conflict — don't mask it
+        backend.acquire(spark, fs, jvm_path, _lock_path(path), op, stale_lock_s)
+    except LockConflict as exc:
         raise ConcurrentMaintenanceError(
-            f"{op}: {_lock_path(path)} exists — another maintenance op is "
+            f"{op}: {_lock_path(path)} is held — another maintenance op is "
             "running on this table (or crashed holding the lock; pass "
             "stale_lock_s to take over, or release_lock() after "
             "confirming the holder is dead)"
         ) from exc
-    stream.write(bytearray(payload))
-    stream.close()
+
+
+def _release_table_lock(fs, jvm_path, path: str) -> bool:
+    """Release ``path``'s maintenance lock through the backend — the
+    single release point every op's ``finally`` goes through, so an
+    external (non-filesystem) backend actually releases its key."""
+    from .locks import get_lock_backend
+
+    return bool(get_lock_backend().release(fs, jvm_path, _lock_path(path)))
 
 
 def release_lock(spark: SparkSession, path: str) -> bool:
@@ -181,10 +181,7 @@ def release_lock(spark: SparkSession, path: str) -> bool:
     holder). Returns True if a lock was removed."""
     fs, _ = _fs(spark, path)
     jvm_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
-    lp = jvm_path(_lock_path(path))
-    if fs.exists(lp):
-        return bool(fs.delete(lp, False))
-    return False
+    return _release_table_lock(fs, jvm_path, path)
 
 
 def compact(
@@ -235,7 +232,7 @@ def compact(
             cluster_by=cluster_by, zorder_by=zorder_by,
         )
     finally:
-        fs.delete(jvm_path(_lock_path(path)), False)
+        _release_table_lock(fs, jvm_path, path)
     from .history import log_event
 
     if cluster_by:
@@ -520,7 +517,7 @@ def compact_sprawling(
             "bytes_rewritten": rewritten_bytes,
         }
     finally:
-        fs.delete(jvm_path(_lock_path(path)), False)
+        _release_table_lock(fs, jvm_path, path)
     if out["partitions_selected"]:
         from .history import log_event
 

@@ -220,7 +220,7 @@ def delete_from_mor(
     the COW find phase. No data file is touched; snapshots see nothing
     change. Returns {rows_deleted, dv_files}.
     """
-    from .compact import _acquire_lock, _lock_path
+    from .compact import _acquire_lock, _lock_path, _release_table_lock
     from .merge import _find_phase_source, _rm
 
     from .bucketed import guard_not_bucketed
@@ -273,7 +273,7 @@ def delete_from_mor(
             raise IOError(f"delete_from_mor: could not commit DV to {dest}")
         out = {"rows_deleted": int(n), "dv_files": 1}
     finally:
-        fs.delete(jvm_path(_lock_path(path)), False)
+        _release_table_lock(fs, jvm_path, path)
     from .history import log_event
 
     log_event(spark, path, "delete_from_mor", out)
@@ -303,7 +303,7 @@ def delete_keys_mor(
     SQL equality never matches NULL, so recording one would silently
     delete nothing.
     """
-    from .compact import _acquire_lock, _lock_path
+    from .compact import _acquire_lock, _lock_path, _release_table_lock
     from .merge import _rm
 
     from .bucketed import guard_not_bucketed
@@ -367,7 +367,7 @@ def delete_keys_mor(
             raise IOError(f"delete_keys_mor: could not commit DV to {dest}")
         out = {"keys_recorded": int(n), "dv_files": 1}
     finally:
-        fs.delete(jvm_path(_lock_path(path)), False)
+        _release_table_lock(fs, jvm_path, path)
     from .history import log_event
 
     log_event(spark, path, "delete_keys_mor", out)
@@ -391,7 +391,7 @@ def purge_deletes(
     this, file-rewriting maintenance is legal again. Returns
     {files_touched, files_added, rows_purged}.
     """
-    from .compact import _acquire_lock, _lock_path
+    from .compact import _acquire_lock, _lock_path, _release_table_lock
     from .merge import _commit_staged, _recover_pending, _rm
 
     from .bucketed import guard_not_bucketed
@@ -495,7 +495,7 @@ def purge_deletes(
             "rows_purged": int(n_purged),
         }
     finally:
-        fs.delete(jvm_path(_lock_path(path)), False)
+        _release_table_lock(fs, jvm_path, path)
     from .history import log_event
 
     log_event(spark, path, "purge_deletes", out)

@@ -199,7 +199,7 @@ def write_manifest(
     Takes the table's maintenance lock: a bootstrap racing a concurrent
     merge could otherwise list mid-commit and persist a torn file set
     with no pending journal left to distrust it."""
-    from .compact import _acquire_lock, _lock_path
+    from .compact import _acquire_lock, _lock_path, _release_table_lock
 
     path = path.rstrip("/")
     fs, _ = _fs(spark, path)
@@ -208,7 +208,7 @@ def write_manifest(
     try:
         return _refresh_unlocked(spark, path, stats_cols)
     finally:
-        fs.delete(jvm_path(_lock_path(path)), False)
+        _release_table_lock(fs, jvm_path, path)
 
 
 def refresh_if_present(spark: SparkSession, path: str) -> bool:
@@ -860,7 +860,7 @@ def vacuum_orphans(
     "bytes_reclaimed": B}; ``dry_run`` reports without deleting."""
     import time as _time
 
-    from .compact import _acquire_lock, _lock_path
+    from .compact import _acquire_lock, _lock_path, _release_table_lock
     from .snapshot import _live_rels, referenced_rels
 
     path = path.rstrip("/")
@@ -911,7 +911,7 @@ def vacuum_orphans(
             )
         return out
     finally:
-        fs.delete(jvm_path(_lock_path(path)), False)
+        _release_table_lock(fs, jvm_path, path)
 
 
 def verify_manifest(spark: SparkSession, path: str) -> dict:

@@ -66,7 +66,7 @@ import json
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .compact import _acquire_lock, _fs, _lock_path
+from .compact import _acquire_lock, _fs, _lock_path, _release_table_lock
 
 _STATE = "_mv_state.json"  # legacy single-file form (read fallback, seq −1)
 _STATE_PREFIX = "_mv_state."  # versioned: _mv_state.<seq>.json
@@ -396,7 +396,7 @@ def refresh_matview(
             "rebuilt": False,
         }
     finally:
-        fs.delete(jvm_path(_lock_path(lock_base)), False)
+        _release_table_lock(fs, jvm_path, lock_base)
     from .history import log_event
 
     log_event(spark, mv_path, "refresh_matview", out)
@@ -422,19 +422,56 @@ def rebuild_matview(
         state = _read_state(spark, mv_path)
         return _rebuild_locked(spark, mv_path, state)
     finally:
-        fs.delete(jvm_path(_lock_path(lock_base)), False)
+        _release_table_lock(fs, jvm_path, lock_base)
+
+
+def _swap_in_new_store(
+    spark: SparkSession,
+    mv_path: str,
+    parts: DataFrame,
+    new_state: dict,
+    op: str,
+) -> None:
+    """Write ``parts`` + ``new_state`` as a fresh staged store and swap
+    it in with two WHOLE-DIRECTORY renames (stage → ``__mv_old`` →
+    live), mirroring ``_compact_locked``'s crash discipline: the staged
+    directory already contains its own committed state file, so there
+    is no window in which the live path exists without readable state,
+    and :func:`_restore_stranded_rebuild` repairs the single
+    between-the-renames window at every entry point. Caller holds the
+    refresh lock; this takes the STORE lock for the swap (guards a
+    concurrent direct fold; both locks are siblings of mv_path so
+    neither moves with the renames)."""
+    from ..plans.rollup import _read_meta, write_rollup_store
+
+    fs, _ = _fs(spark, mv_path)
+    jvm_path = _jvm_path(spark)
+    # keep the creator's bucket layout across the swap
+    try:
+        n_buckets = int(_read_meta(spark, mv_path).get("n_buckets", 64))
+    except Exception:
+        n_buckets = 64
+    _acquire_lock(spark, fs, jvm_path, mv_path, op)
+    try:
+        tmp = _rebuild_tmp(mv_path)
+        old = _rebuild_old(mv_path)
+        fs.delete(jvm_path(tmp), True)  # stranded pre-swap stage, if any
+        write_rollup_store(parts, tmp, n_buckets=n_buckets)
+        _write_state(spark, tmp, new_state)
+        fs.delete(jvm_path(old), True)
+        if not fs.rename(jvm_path(mv_path), jvm_path(old)):
+            raise IOError(f"{op}: could not stage {mv_path} aside")
+        if not fs.rename(jvm_path(tmp), jvm_path(mv_path)):
+            fs.rename(jvm_path(old), jvm_path(mv_path))  # roll back
+            raise IOError(f"{op}: could not swap in {tmp}")
+        fs.delete(jvm_path(old), True)
+    finally:
+        _release_table_lock(fs, jvm_path, mv_path)
 
 
 def _rebuild_locked(spark: SparkSession, mv_path: str, state: dict) -> dict:
-    """Rebuild body; caller holds the refresh lock. The swap is two
-    WHOLE-DIRECTORY renames (stage → ``__mv_old`` → live), mirroring
-    ``_compact_locked``'s crash discipline: the staged directory
-    already contains its own committed state file, so there is no
-    window in which the live path exists without readable state, and
-    :func:`_restore_stranded_rebuild` repairs the single between-the-
-    renames window at every entry point."""
-    from ..plans.rollup import _read_meta, write_rollup_store
-
+    """Rebuild body; caller holds the refresh lock. The staged-store
+    swap discipline lives in :func:`_swap_in_new_store`."""
     spec = state["spec"]
     base = spec["base"]
     _guard_no_base_dvs(spark, base, "rebuild_matview")
@@ -443,36 +480,14 @@ def _rebuild_locked(spark: SparkSession, mv_path: str, state: dict) -> dict:
         *[f"{base}/{rel}" for rel in sorted(files)]
     )
     parts = _partials(spark, spec, df)
-    fs, _ = _fs(spark, mv_path)
-    jvm_path = _jvm_path(spark)
-    # keep the creator's bucket layout across the rebuild
-    try:
-        n_buckets = int(_read_meta(spark, mv_path).get("n_buckets", 64))
-    except Exception:
-        n_buckets = 64
-    # the store lock guards against a concurrent direct fold during
-    # the swap; both locks are SIBLINGS of mv_path so neither moves
-    _acquire_lock(spark, fs, jvm_path, mv_path, "rebuild_matview")
-    try:
-        tmp = _rebuild_tmp(mv_path)
-        old = _rebuild_old(mv_path)
-        fs.delete(jvm_path(tmp), True)  # stranded pre-swap stage, if any
-        write_rollup_store(parts, tmp, n_buckets=n_buckets)
-        seq = int(state["refresh_seq"]) + 1
-        _write_state(
-            spark,
-            tmp,
-            {**state, "processed": files, "refresh_seq": seq, "pending": None},
-        )
-        fs.delete(jvm_path(old), True)
-        if not fs.rename(jvm_path(mv_path), jvm_path(old)):
-            raise IOError(f"rebuild_matview: could not stage {mv_path} aside")
-        if not fs.rename(jvm_path(tmp), jvm_path(mv_path)):
-            fs.rename(jvm_path(old), jvm_path(mv_path))  # roll back
-            raise IOError(f"rebuild_matview: could not swap in {tmp}")
-        fs.delete(jvm_path(old), True)
-    finally:
-        fs.delete(jvm_path(_lock_path(mv_path)), False)
+    seq = int(state["refresh_seq"]) + 1
+    _swap_in_new_store(
+        spark,
+        mv_path,
+        parts,
+        {**state, "processed": files, "refresh_seq": seq, "pending": None},
+        "rebuild_matview",
+    )
     out = {
         "files_new": len(files),
         "files_total": len(files),
@@ -482,6 +497,197 @@ def _rebuild_locked(spark: SparkSession, mv_path: str, state: dict) -> dict:
     from .history import log_event
 
     log_event(spark, mv_path, "rebuild_matview", out)
+    return out
+
+
+def alter_matview(
+    spark: SparkSession,
+    mv_path: str,
+    add_metrics: list[str] | None = None,
+    add_distinct: list[str] | None = None,
+    add_quantiles: dict[str, tuple[float, float]] | None = None,
+    stale_lock_s: float | None = None,
+) -> dict:
+    """Grow the view's spec with new metric / distinct-sketch /
+    quantile-histogram columns WITHOUT recomputing the untouched ones
+    (r9 verdict item 9 — previously the only path was a full rebuild).
+
+    The backfill scans the already-processed file list ONCE, projected
+    to ``group cols + time col + the NEW columns only`` (the explicit
+    ``select`` is the column pruning — old metric bytes are structurally
+    unreadable by this scan), merges those delta partials to one row
+    per group, and null-safe-joins them onto the store's existing
+    merged partials. Untouched columns' state comes from the store —
+    aggregate-sized, no base I/O — so the cost is ∝ processed bytes OF
+    THE NEW COLUMNS, and subsequent :func:`refresh_matview` calls fold
+    the full grown spec over new files only, exactly as before.
+
+    Commits via the same staged whole-directory swap as rebuild (crash
+    anywhere leaves either the old store+state or the new, never a
+    torn mix). Per-group row counts between store and backfill are
+    cross-checked; a mismatch means the base mutated under the view
+    and the alter raises instead of writing skewed state.
+
+    Returns {added, files_scanned, refresh_seq}."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from ..plans.rollup import merge_rollup, read_rollup, rollup_partials
+
+    add_metrics = list(add_metrics or [])
+    add_distinct = list(add_distinct or [])
+    add_quantiles = dict(add_quantiles or {})
+    added = add_metrics + add_distinct + list(add_quantiles)
+    if not added:
+        raise ValueError("alter_matview: nothing to add")
+    mv_path = mv_path.rstrip("/")
+    fs, _ = _fs(spark, mv_path)
+    jvm_path = _jvm_path(spark)
+    lock_base = _refresh_lock_base(mv_path)
+    _acquire_lock(
+        spark, fs, jvm_path, lock_base, "alter_matview", stale_lock_s
+    )
+    try:
+        _restore_stranded_rebuild(spark, mv_path)
+        state = _read_state(spark, mv_path)
+        spec = state["spec"]
+        pending = state.get("pending")
+        if pending and int(pending["batch_id"]) > int(state["refresh_seq"]):
+            raise RuntimeError(
+                "alter_matview: a crashed refresh left a pending fold — "
+                "run refresh_matview() first to replay it"
+            )
+        # collisions are PER CATEGORY: a column may carry metric state
+        # and grow quantile state later (the partial names differ by
+        # suffix); re-adding within the same category is the error.
+        # Group columns can never double as stat columns.
+        dup = sorted(
+            (set(add_metrics) & set(spec["metrics"]))
+            | (set(add_distinct) & set(spec.get("distinct_cols") or []))
+            | (set(add_quantiles) & set(spec.get("quantile_cols") or {}))
+            | (set(added) & set(spec["group_cols"]))
+        ) or [
+            c
+            for cat in (add_metrics, add_distinct)
+            for c in cat
+            if cat.count(c) > 1
+        ]
+        if dup:
+            raise ValueError(
+                f"alter_matview: column(s) already in the spec: {dup}"
+            )
+        base = spec["base"]
+        _guard_no_base_dvs(spark, base, "alter_matview")
+        processed = dict(state["processed"])
+        if not processed:
+            raise ValueError("alter_matview: view has no processed files")
+        current = _list_base_files(spark, base)
+        mutated = [
+            rel
+            for rel in processed
+            if rel not in current or current[rel] != processed[rel]
+        ]
+        if mutated:
+            raise BaseMutatedError(
+                f"alter_matview: {len(mutated)} already-aggregated base "
+                f"file(s) were rewritten or removed (e.g. {mutated[0]!r}) "
+                "— backfill cannot replay them; rebuild_matview() with "
+                "the new spec instead"
+            )
+        # group keys as stored: declared group cols + the time bucket
+        keys = list(spec["group_cols"]) + (
+            ["bucket_ts"] if spec.get("time_col") else []
+        )
+        # the new-columns-only backfill scan: the select IS the pruning
+        backfill_cols = sorted(
+            set(
+                spec["group_cols"]
+                + ([spec["time_col"]] if spec.get("time_col") else [])
+                + added
+            )
+        )
+        df = (
+            spark.read.option("basePath", base)
+            .parquet(*[f"{base}/{rel}" for rel in sorted(processed)])
+            .select(*backfill_cols)
+        )
+        delta = merge_rollup(
+            rollup_partials(
+                df,
+                spec["group_cols"],
+                add_metrics,
+                time_col=spec.get("time_col"),
+                grain=spec.get("grain", "day"),
+                distinct_cols=add_distinct or None,
+                quantile_cols=add_quantiles or None,
+                n_bins=spec.get("n_bins", 64),
+            )
+        ).alias("d")
+        old = read_rollup(spark, mv_path, finalize=False).alias("o")
+        cond = reduce(
+            lambda a, b: a & b,
+            [F.col(f"o.`{k}`").eqNullSafe(F.col(f"d.`{k}`")) for k in keys],
+        )
+        joined = old.join(delta, cond, "full_outer").localCheckpoint()
+        # alignment audit in ONE aggregate-sized pass: same group sets,
+        # same per-group row counts — else the base drifted mid-alter
+        bad = joined.filter(
+            F.col("o.n_rows").isNull()
+            | F.col("d.n_rows").isNull()
+            | (F.col("o.n_rows") != F.col("d.n_rows"))
+        ).count()
+        if bad:
+            raise BaseMutatedError(
+                f"alter_matview: {bad} group(s) disagree between the "
+                "store and the backfill (row counts or membership) — the "
+                "base changed under the view; rebuild_matview() instead"
+            )
+        new_stat_cols = [
+            c for c in delta.columns if c not in keys and c != "n_rows"
+        ]
+        combined = joined.select(
+            *[F.col(f"o.`{c}`") for c in old.columns],
+            *[F.col(f"d.`{c}`") for c in new_stat_cols],
+        )
+        new_spec = {
+            **spec,
+            "metrics": list(spec["metrics"]) + add_metrics,
+            "distinct_cols": (
+                (list(spec.get("distinct_cols") or []) + add_distinct)
+                or None
+            ),
+            "quantile_cols": (
+                {
+                    **(spec.get("quantile_cols") or {}),
+                    **{k: list(v) for k, v in add_quantiles.items()},
+                }
+                or None
+            ),
+        }
+        seq = int(state["refresh_seq"]) + 1
+        _swap_in_new_store(
+            spark,
+            mv_path,
+            combined,
+            {**state, "spec": new_spec, "refresh_seq": seq, "pending": None},
+            "alter_matview",
+        )
+        joined.unpersist()
+        out = {
+            "added": added,
+            "files_scanned": len(processed),
+            "refresh_seq": seq,
+            "backfill_columns": backfill_cols,
+        }
+    finally:
+        _release_table_lock(fs, jvm_path, lock_base)
+    from .history import log_event
+
+    log_event(
+        spark, mv_path, "alter_matview",
+        {"added": added, "files_scanned": len(processed)},
+    )
     return out
 
 

@@ -47,6 +47,7 @@ from .compact import (  # noqa: F401  (re-exported API)
     _acquire_lock,
     _fs,
     _lock_path,
+    _release_table_lock,
     _rm,
     release_lock,
 )
@@ -170,7 +171,7 @@ def recover(spark: SparkSession, path: str) -> bool:
         _recover_pending(spark, fs, jvm_path, path, f"{path}__merge_tmp")
         return had_journal
     finally:
-        fs.delete(jvm_path(_lock_path(path)), False)
+        _release_table_lock(fs, jvm_path, path)
 
 
 def merge_into(
@@ -231,7 +232,7 @@ def merge_into(
             allow_new_columns, fs, jpath, jvm_path, tmp,
         )
     finally:
-        fs.delete(jvm_path(_lock_path(path)), False)
+        _release_table_lock(fs, jvm_path, path)
     from .history import log_event
 
     log_event(spark, path, "merge_into", {"key": keys, **out})
@@ -590,7 +591,7 @@ def delete_from(
             "rows_deleted": int(n_before - n_after),
         }
     finally:
-        fs.delete(jvm_path(_lock_path(path)), False)
+        _release_table_lock(fs, jvm_path, path)
     from .history import log_event
 
     log_event(
@@ -729,7 +730,7 @@ def update_where(
             "rows_updated": int(n_updated),
         }
     finally:
-        fs.delete(jvm_path(_lock_path(path)), False)
+        _release_table_lock(fs, jvm_path, path)
     from .history import log_event
 
     log_event(
@@ -1053,4 +1054,4 @@ def insert_into(
         log_event(spark, path, "insert", {"files_added": moved})
         return {"files_added": moved}
     finally:
-        fs.delete(jvm_path(_lock_path(path)), False)
+        _release_table_lock(fs, jvm_path, path)

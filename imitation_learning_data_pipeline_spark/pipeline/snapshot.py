@@ -49,7 +49,7 @@ import re as _re
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .compact import _acquire_lock, _fs, _lock_path, _rm
+from .compact import _acquire_lock, _fs, _lock_path, _release_table_lock, _rm
 
 _SNAP = "_snapshots"
 _RETAINED = f"{_SNAP}/retained"
@@ -181,7 +181,7 @@ def create_snapshot(spark: SparkSession, path: str, tag: str) -> dict:
         _write_json(fs, jvm_path, mp, manifest)
         out = {k: manifest[k] for k in ("tag", "created_utc", "n_files", "bytes")}
     finally:
-        fs.delete(jvm_path(_lock_path(path)), False)
+        _release_table_lock(fs, jvm_path, path)
     from .history import log_event
 
     log_event(spark, path, "snapshot_create", out)
@@ -277,7 +277,7 @@ def drop_snapshot(spark: SparkSession, path: str, tag: str) -> dict:
                 _rm(fs, jvm_path, rroot)  # tree empty of references: clear it
         out = {"retained_deleted": deleted}
     finally:
-        fs.delete(jvm_path(_lock_path(path)), False)
+        _release_table_lock(fs, jvm_path, path)
     from .history import log_event
 
     log_event(spark, path, "snapshot_drop", {"tag": tag, **out})

@@ -121,7 +121,9 @@ def rollup_partials(
         group_cols = group_cols + ["bucket_ts"]
     if not group_cols:
         raise ValueError("rollup_partials: no group columns")
-    if not metrics:
+    if not metrics and not distinct_cols and not quantile_cols:
+        # metric-less frames are legal when sketch/histogram state is
+        # present (alter_matview's new-columns-only backfill)
         raise ValueError("rollup_partials: no metric columns")
     aggs: list[Column] = [F.count("*").alias("n_rows")]
     for m in metrics:
@@ -192,7 +194,9 @@ def _split_schema(
         for c in parts.columns
         if "__" not in c and c not in ("n_rows", "bucket", "ingest_batch")
     ]
-    if not metrics or not group_cols:
+    if not group_cols or (
+        not metrics and not distinct_cols and not quantile_cols
+    ):
         raise ValueError("rollup: frame is not a rollup-partials frame")
     return group_cols, metrics, distinct_cols, quantile_cols
 
@@ -703,7 +707,7 @@ def recover_rollup_fold(
     maintenance lock; a hard crash strands the holder's lock file too,
     so ``stale_lock_s`` enables takeover by lock age (same contract as
     merge/compact). Returns True if a pending journal was completed."""
-    from ..pipeline.compact import _acquire_lock, _fs, _lock_path
+    from ..pipeline.compact import _acquire_lock, _fs, _lock_path, _release_table_lock
 
     path = path.rstrip("/")
     fs, _ = _fs(spark, path)
@@ -712,7 +716,7 @@ def recover_rollup_fold(
     try:
         return _recover_fold(spark, fs, jvm_path, path, f"{path}__fold_tmp")
     finally:
-        fs.delete(jvm_path(_lock_path(path)), False)
+        _release_table_lock(fs, jvm_path, path)
 
 
 def fold_rollup_into_store(
@@ -747,7 +751,7 @@ def fold_rollup_into_store(
     the replay folds normally.
     Returns ``{"folded": bool, "touched_buckets": int}``.
     """
-    from ..pipeline.compact import _acquire_lock, _fs, _lock_path, _rm
+    from ..pipeline.compact import _acquire_lock, _fs, _lock_path, _release_table_lock, _rm
 
     path = path.rstrip("/")
     fs, _ = _fs(spark, path)
@@ -817,7 +821,7 @@ def fold_rollup_into_store(
         _rm(fs, jvm_path, tmp)
         return {"folded": True, "touched_buckets": len(touched)}
     finally:
-        fs.delete(jvm_path(_lock_path(path)), False)
+        _release_table_lock(fs, jvm_path, path)
 
 
 def read_rollup(
@@ -906,7 +910,7 @@ def compact_rollup_store(
     quiesced (between availableNow runs — the natural cadence), the
     same rule every lock-free-ingest + table-maintenance pairing has.
     """
-    from ..pipeline.compact import _acquire_lock, _fs, _lock_path, _rm
+    from ..pipeline.compact import _acquire_lock, _fs, _lock_path, _release_table_lock, _rm
 
     if to_layout not in ("plain", "batch"):
         raise ValueError(f"compact_rollup_store: unknown to_layout {to_layout!r}")
@@ -974,4 +978,4 @@ def compact_rollup_store(
         _rm(fs, jvm_path, old)
         return {"n_groups": int(n_groups)}
     finally:
-        fs.delete(jvm_path(_lock_path(path)), False)
+        _release_table_lock(fs, jvm_path, path)

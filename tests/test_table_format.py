@@ -1,0 +1,107 @@
+"""Table-format adapter (pipeline/table_format.py, r9 verdict item 7).
+
+Two halves with different runtime requirements:
+- plain-parquet routing: runs everywhere (it's the existing DML stack
+  behind the adapter's verb surface);
+- Delta routing: a full roundtrip that runs wherever delta-spark is
+  pip-installed, and SKIPS loudly here (the sandbox has no pip) — the
+  skip marker is the documented deployment seam, mirroring the
+  real-ffprobe arm in test_media_real.py.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from imitation_learning_data_pipeline_spark.pipeline.table_format import (
+    delta_available,
+    delta_session_configs,
+    is_delta_table,
+    table_dml,
+)
+
+
+def _rows(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+
+
+class TestPlainRouting:
+    def test_auto_detect_and_verb_surface(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        h = table_dml(spark, t)
+        assert h.format == "parquet"  # no delta log → plain routing
+        h.create(_rows(spark, 0, 100))
+        h.insert_into(_rows(spark, 100, 150))
+        assert h.read().count() == 150
+        h.merge_into(
+            spark.createDataFrame([(0, 999), (500, 1)], "k long, v long"),
+            key="k",
+        )
+        got = {r.k: r.v for r in h.read().collect()}
+        assert got[0] == 999 and got[500] == 1 and len(got) == 151
+        h.delete_from("k >= 100 AND k < 150")
+        h.update_where("k = 1", {"v": "v + 40"})
+        got = {r.k: r.v for r in h.read().collect()}
+        assert len(got) == 101 and got[1] == 42
+        h.compact()
+        assert {r.k: r.v for r in h.read().collect()} == got
+
+    def test_force_unknown_format_rejected(self, spark, tmp_path):
+        with pytest.raises(ValueError, match="unknown format"):
+            table_dml(spark, str(tmp_path / "x"), format="iceberg")
+
+    def test_delta_forced_without_install_raises_descriptively(
+        self, spark, tmp_path
+    ):
+        if delta_available():
+            pytest.skip("delta-spark installed; the ImportError arm is moot")
+        with pytest.raises(ImportError, match="delta-spark"):
+            table_dml(spark, str(tmp_path / "x"), format="delta")
+        # and auto-detect degrades to plain, never crashes
+        assert not is_delta_table(spark, str(tmp_path / "x"))
+
+
+@pytest.mark.skipif(
+    not delta_available(),
+    reason="delta-spark not installed — Delta roundtrip runs in "
+    "deployments that pip-install it (see module docstring)",
+)
+class TestDeltaRouting:
+    @pytest.fixture(scope="class")
+    def dspark(self):
+        from pyspark.sql import SparkSession
+
+        b = (
+            SparkSession.builder.master("local[4]")
+            .appName("delta-adapter-test")
+            .config("spark.sql.shuffle.partitions", "4")
+        )
+        for k, v in delta_session_configs().items():
+            b = b.config(k, v)
+        s = b.getOrCreate()
+        yield s
+
+    def test_delta_roundtrip(self, dspark, tmp_path):
+        t = str(tmp_path / "dt")
+        h = table_dml(dspark, t, format="delta")
+        h.create(_rows(dspark, 0, 100))
+        assert is_delta_table(dspark, t)
+        # auto-detect now routes to delta
+        h = table_dml(dspark, t)
+        assert h.format == "delta"
+        h.insert_into(_rows(dspark, 100, 150))
+        h.merge_into(
+            dspark.createDataFrame([(0, 999), (500, 1)], "k long, v long"),
+            key="k",
+        )
+        h.delete_from("k >= 100 AND k < 150")
+        h.update_where("k = 1", {"v": "v + 40"})
+        got = {r.k: r.v for r in h.read().collect()}
+        assert len(got) == 101 and got[0] == 999 and got[1] == 42
+        # time travel: version 0 is the create
+        assert h.read(version=0).count() == 100
+        h.compact()
+        assert len(h.history().collect()) >= 5
