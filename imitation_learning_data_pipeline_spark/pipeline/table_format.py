@@ -235,9 +235,16 @@ class _PlainDML:
         vacuum_orphans(self.spark, self.path, older_than_s=retention_hours * 3600)
 
     def history(self) -> DataFrame:
-        from .history import read_history
+        # The _history dir is one small JSON file per event — read it
+        # as a DataFrame for verb parity with DeltaTable.history().
+        from .compact import _fs
 
-        return read_history(self.spark, self.path)
+        fs, _ = _fs(self.spark, self.path)
+        jvm_path = self.spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+        d = f"{self.path}/_history"
+        if not fs.exists(jvm_path(d)):
+            return self.spark.createDataFrame([], "op string, ts_utc string")
+        return self.spark.read.json(d).orderBy("ts_utc")
 
 
 def table_dml(spark: SparkSession, path: str, format: str | None = None):

@@ -110,7 +110,12 @@ CONTRACT_FIRST: list[str] = [
     # the contract so their first CORRECTNESS row lands immediately.
     "text_repetition_stats",
     "range_join_prior_views",
-    "ann_int8_topk",
+    # Round-10 addition: exact frequent-n-gram heavy hitters via
+    # per-partition Misra-Gries candidates + exact broadcast verify
+    # (the vocabulary never shuffles) — new operators go straight into
+    # the contract; funded by parking ann_int8_topk (seven rounds
+    # green, see CONTRACT_EXCLUDE).
+    "text_heavy_hitters",
     # Round-10 rotation (proxy-drift cadence, r9 verdict item 4):
     # q1_pricing_summary was the oldest never-re-rotated park (since
     # r5) — rotated BACK for a fresh direct row; funded by parking
@@ -410,6 +415,15 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     "invariant-constants shape) + dedup_embedding_cosine_lsh (same "
     "blocked-gemm cosine pairs) + dedup_cluster_components (same "
     "component grouping) + check_contract --all row",
+    # round-10 rotation: funds the text_heavy_hitters slot (new
+    # operators go straight into the contract). Seven rounds green
+    # (r3-r9); ann_bruteforce_topk — freshly re-rotated into the
+    # contract in r9 — drives the identical brute-force cosine top-k
+    # cut (int8 adds only a quantization projection on the same rank
+    # machinery), and the int8 row stays green in check_contract --all.
+    "ann_int8_topk": "ann_bruteforce_topk (same brute-force cosine "
+    "top-k cut; int8 adds a quantization projection) + "
+    "check_contract --all row",
     # round-9: BM25 top-k retrieval. Library-only (cap): its per-doc
     # term-frequency projection is text_gopher_rules' retained
     # one-clean_words-projection feature discipline, and its rounded

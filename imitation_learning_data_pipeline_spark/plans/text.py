@@ -983,3 +983,153 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_phones").cast("long").alias("n_phones"),
         F.md5("text_clean").alias("scrub_md5"),
     )
+
+
+# --- heavy hitters: exact frequent n-grams without a vocabulary shuffle ------
+#
+# The boilerplate census a 100 TB curation pass actually needs: every
+# n-gram whose corpus frequency is >= min_frac of all n-gram occurrences
+# (navigation chrome, license headers, template sentences). The naive
+# plan (explode -> groupBy(gram)) shuffles the ENTIRE distinct
+# vocabulary — at web scale that is billions of keys and the shuffle IS
+# the job. This operator never shuffles the vocabulary and is still
+# EXACT:
+#
+#   1. candidate pass — one corpus scan; each partition folds its n-gram
+#      stream into a Misra-Gries summary of k = floor(1/min_frac)+1
+#      counters (mergeable-summaries guarantee, Agarwal et al. 2012:
+#      any item with partition-relative frequency > 1/(k+1) survives).
+#      An averaging argument lifts this to the corpus: a gram with
+#      global relative frequency >= min_frac > 1/(k+1) has at least one
+#      partition where its LOCAL relative frequency is >= its global
+#      one (if c_p/N_p < c/N for every p then c = sum c_p < c), so every
+#      true heavy hitter appears in >= 1 partition summary. Each
+#      partition also emits its stream length, so the same pass yields
+#      the exact total N.
+#   2. verify pass — candidates (<= k rows per partition) are collected
+#      driver-side (metadata-sized by construction), broadcast into an
+#      isin prefilter, and ONLY candidate occurrences are recounted
+#      exactly and thresholded at ceil(min_frac * N). False positives
+#      from step 1 die here; false negatives cannot exist (step 1).
+#
+# Cost shape: two corpus scans, shuffle bounded by (#partitions * k)
+# candidate rows + the recount's candidate-only aggregate — independent
+# of vocabulary size. The inner MG fold is Arrow-batched: each batch is
+# pre-aggregated with pandas value_counts (vectorized) and merged into
+# the running summary in O(k log k), never a per-token Python loop.
+
+
+def misra_gries_candidates(
+    grams: DataFrame, k: int, gram_col: str = "gram"
+) -> DataFrame:
+    """Per-partition Misra-Gries summaries of the ``gram_col`` stream:
+    rows (gram, weight) per partition plus one (NULL, stream_length)
+    row per partition. ``weight`` is the MG lower bound (diagnostic
+    only — the verify pass recounts exactly)."""
+    import pandas as pd
+
+    def fold(batches):
+        counters: dict[str, int] = {}
+        total = 0
+        for pdf in batches:
+            vc = pdf[gram_col].value_counts()
+            total += int(vc.sum())
+            for g, c in vc.items():
+                counters[g] = counters.get(g, 0) + int(c)
+            if len(counters) > k:
+                # mergeable-MG step: subtract the (k+1)-th largest
+                # count from everyone, drop the non-positive
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    g: c - cut for g, c in counters.items() if c > cut
+                }
+        yield pd.DataFrame(
+            {
+                gram_col: list(counters) + [None],
+                "weight": list(counters.values()) + [total],
+            }
+        )
+
+    return grams.mapInPandas(fold, f"`{gram_col}` string, weight long")
+
+
+def heavy_hitter_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    min_frac: float = 0.001,
+    max_candidates: int = 2_000_000,
+) -> DataFrame:
+    """Exact (gram, n_occurrences) for every word ``n``-gram with
+    corpus frequency >= ceil(min_frac * total n-gram occurrences),
+    computed without shuffling the vocabulary (module comment above).
+
+    ``max_candidates`` is a driver-memory guard: the candidate set is
+    bounded by #partitions * (floor(1/min_frac)+1) by construction;
+    if a caller picks a min_frac so small that the bound exceeds this,
+    raise rather than collect an unbounded list.
+    """
+    if not (0 < min_frac < 1):
+        raise ValueError("heavy_hitter_ngrams: min_frac must be in (0,1)")
+    k = int(1.0 / min_frac) + 1
+    spark = df.sparkSession
+    grams = df.select(
+        F.explode(
+            shingles_of_words(clean_words(F.col(text_col)), n)
+        ).alias("gram")
+    )
+    n_parts = grams.rdd.getNumPartitions()
+    if n_parts * k > max_candidates:
+        raise ValueError(
+            f"heavy_hitter_ngrams: candidate bound {n_parts}*{k} exceeds "
+            f"max_candidates={max_candidates}; raise min_frac or coalesce"
+        )
+    summaries = misra_gries_candidates(grams, k).collect()
+    total = sum(r.weight for r in summaries if r.gram is None)
+    cands = list({r.gram for r in summaries if r.gram is not None})
+    threshold = -(-min_frac * total // 1)  # ceil, driver-side float ok
+    if not cands or total == 0:
+        return spark.createDataFrame(
+            [], "gram string, n_occurrences long"
+        )
+    cand_df = F.broadcast(
+        spark.createDataFrame([(c,) for c in cands], "gram string")
+    )
+    return (
+        grams.join(cand_df, "gram", "left_semi")
+        .groupBy("gram")
+        .agg(F.count("*").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= F.lit(int(threshold)))
+    )
+
+
+_HH_FRAC = 0.001
+
+
+@register(
+    "text_heavy_hitters",
+    oracle=f"""
+WITH grams AS (
+  SELECT unnest({{gram2}}) AS gram FROM documents
+),
+tot AS (SELECT count(*) AS n FROM grams),
+counted AS (
+  SELECT gram, CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM grams GROUP BY gram
+)
+SELECT gram, n_occurrences
+FROM counted, tot
+WHERE n_occurrences >= CAST(ceil({_HH_FRAC} * n) AS BIGINT)
+""".replace("{gram2}", _gram_sql(2)),
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract row for the exact shuffle-free heavy-hitter plan:
+    every 2-gram holding >= 0.1% of all 2-gram occurrences in the
+    documents corpus. The oracle is the NAIVE full GROUP BY — DuckDB
+    recounts everything and the Misra-Gries + exact-verify plan must
+    land on the identical row set (exactness is the contract, not an
+    approximation bound)."""
+    docs = _docs(spark, sf_dir)
+    return heavy_hitter_ngrams(
+        docs, text_col="text", n=2, min_frac=_HH_FRAC
+    ).select("gram", F.col("n_occurrences").cast("long").alias("n_occurrences"))

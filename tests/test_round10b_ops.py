@@ -1,0 +1,142 @@
+"""Round-10 ops #2: exact heavy-hitter n-grams (plans/text.py).
+
+The exactness claim is the whole point: the Misra-Gries candidate pass
++ broadcast exact-verify recount must equal the naive full GROUP BY on
+EVERY corpus, including adversarial ones built to sit exactly on the
+threshold or to overflow the per-partition counter budget.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from imitation_learning_data_pipeline_spark.functions.text import (
+    clean_words,
+    shingles_of_words,
+)
+from imitation_learning_data_pipeline_spark.plans.text import (
+    heavy_hitter_ngrams,
+    misra_gries_candidates,
+)
+
+
+def _brute(df, n, min_frac):
+    grams = df.select(
+        F.explode(shingles_of_words(clean_words(F.col("text")), n)).alias("gram")
+    )
+    total = grams.count()
+    thr = -(-min_frac * total // 1)
+    return {
+        (r.gram, r.n_occurrences)
+        for r in grams.groupBy("gram")
+        .agg(F.count("*").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= F.lit(int(thr)))
+        .collect()
+    }
+
+
+def _hh(df, n, min_frac, **kw):
+    return {
+        (r.gram, r.n_occurrences)
+        for r in heavy_hitter_ngrams(
+            df, text_col="text", n=n, min_frac=min_frac, **kw
+        ).collect()
+    }
+
+
+class TestHeavyHitters:
+    def test_planted_hitters_exact(self, spark):
+        # 40 docs of unique filler + boilerplate planted in half of them:
+        # the boilerplate bigrams are heavy, the filler is not
+        rows = []
+        for i in range(40):
+            filler = " ".join(f"w{i}x{j}" for j in range(30))
+            boiler = "all rights reserved worldwide" if i % 2 == 0 else ""
+            rows.append((i, f"{filler} {boiler}"))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = _hh(df, 2, 0.01)
+        want = _brute(df, 2, 0.01)
+        assert got == want and want  # nonempty and exact
+        assert {"all rights", "rights reserved", "reserved worldwide"} <= {
+            g for g, _ in got
+        }
+
+    def test_threshold_boundary_ties(self, spark):
+        # every bigram appears exactly the same number of times -> ALL
+        # of them sit exactly on the threshold; exactness means the
+        # plan returns every one (ceil semantics, >= comparison)
+        df = spark.createDataFrame(
+            [(i, "alpha beta gamma") for i in range(10)],
+            "doc_id long, text string",
+        )
+        # 20 bigram occurrences, each distinct bigram has count 10;
+        # min_frac=0.5 -> threshold ceil(10)=10 -> both survive
+        got = _hh(df, 2, 0.5)
+        assert got == {("alpha beta", 10), ("beta gamma", 10)}
+        # nudge above the boundary -> nothing survives
+        assert _hh(df, 2, 0.51) == set()
+
+    def test_counter_overflow_still_exact(self, spark):
+        # vocabulary far larger than k forces constant MG evictions;
+        # a single repeated bigram must still surface exactly
+        rows = [(i, " ".join(f"u{i}v{j}" for j in range(50))) for i in range(64)]
+        rows += [(1000 + i, "needle in haystack") for i in range(40)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).repartition(8)
+        got = _hh(df, 2, 0.01)
+        want = _brute(df, 2, 0.01)
+        assert got == want
+        assert {g for g, _ in got} == {"needle in", "in haystack"}
+
+    def test_unigrams_and_trigrams(self, spark):
+        df = spark.createDataFrame(
+            [(i, "spark spark spark rapid fire drill") for i in range(12)],
+            "doc_id long, text string",
+        )
+        for n in (1, 3):
+            assert _hh(df, n, 0.1) == _brute(df, n, 0.1)
+
+    def test_candidate_bound_guard(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c")], "doc_id long, text string"
+        )
+        with pytest.raises(ValueError, match="candidate bound"):
+            heavy_hitter_ngrams(df, n=2, min_frac=1e-6, max_candidates=100)
+        with pytest.raises(ValueError, match="min_frac"):
+            heavy_hitter_ngrams(df, n=2, min_frac=1.5)
+
+    def test_empty_corpus(self, spark):
+        df = spark.createDataFrame([(1, "")], "doc_id long, text string")
+        out = heavy_hitter_ngrams(df, n=2, min_frac=0.1)
+        assert out.count() == 0
+        assert out.columns == ["gram", "n_occurrences"]
+
+    def test_mg_summary_guarantee(self, spark):
+        # the candidate pass alone (before verify) must contain every
+        # item whose partition-relative frequency exceeds 1/(k+1) —
+        # checked on a single-partition stream with a known skew
+        df = spark.createDataFrame(
+            [(i, "hot pair " * 10 + f"cold{i} one") for i in range(20)],
+            "doc_id long, text string",
+        ).coalesce(1)
+        grams = df.select(
+            F.explode(
+                shingles_of_words(clean_words(F.col("text")), 2)
+            ).alias("gram")
+        )
+        cands = {
+            r.gram
+            for r in misra_gries_candidates(grams, k=11).collect()
+            if r.gram is not None
+        }
+        # 'hot pair'/'pair hot' dominate the stream -> must be present
+        assert "hot pair" in cands and "pair hot" in cands
+        # and the per-partition total row equals the real stream length
+        totals = [
+            r.weight
+            for r in misra_gries_candidates(grams, k=11).collect()
+            if r.gram is None
+        ]
+        assert sum(totals) == grams.count()

@@ -48,6 +48,32 @@ class TestPlainRouting:
         assert len(got) == 101 and got[1] == 42
         h.compact()
         assert {r.k: r.v for r in h.read().collect()} == got
+        # history() has DataFrame parity with DeltaTable.history():
+        # every DML verb above logged one event
+        ops = [r.op for r in h.history().collect()]
+        for expected in ("insert", "merge_into", "delete_from",
+                         "update_where", "compact"):
+            assert expected in ops, ops
+        assert h.history().columns  # non-empty schema
+        # vacuum needs the manifest as its liveness reference on plain
+        # parquet (Delta's log plays that role natively) — the raise is
+        # the documented seam, and with a manifest the verb routes clean
+        with pytest.raises(ValueError, match="no manifest"):
+            h.vacuum(retention_hours=1.0)
+        from imitation_learning_data_pipeline_spark.pipeline.manifest import (
+            write_manifest,
+        )
+
+        write_manifest(spark, t)
+        h.vacuum(retention_hours=1.0)
+        assert {r.k: r.v for r in h.read().collect()} == got
+
+    def test_history_empty_table(self, spark, tmp_path):
+        t = str(tmp_path / "empty")
+        h = table_dml(spark, t)
+        h.create(_rows(spark, 0, 5))
+        # create() writes no history event — the frame is empty, not an error
+        assert h.history().count() == 0
 
     def test_force_unknown_format_rejected(self, spark, tmp_path):
         with pytest.raises(ValueError, match="unknown format"):
