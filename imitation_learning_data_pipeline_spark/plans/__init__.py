@@ -36,6 +36,7 @@ def _late_imports() -> None:
         streaming_queries,
         temporal,
         text,
+        tokenize,
         trajectory,
         windows,
     )
@@ -62,6 +63,7 @@ def _late_imports() -> None:
         profile,
         rollup,
         graph,
+        tokenize,
     ]
 
 

@@ -424,6 +424,17 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     "ann_int8_topk": "ann_bruteforce_topk (same brute-force cosine "
     "top-k cut; int8 adds a quantization projection) + "
     "check_contract --all row",
+    # round-10: distributed BPE tokenizer training. Library-only (cap,
+    # and rows-only by nature: the iterative argmax-and-merge loop is
+    # not SQL-expressible — same category as the stateful streaming
+    # ops). Its single corpus-sized stage is text_token_count's
+    # retained explode→count word aggregate; exact train/encode parity
+    # with an independently-written reference BPE is pytest-locked
+    # (tests/test_round10b_ops.py::TestBpe), and the row runs in
+    # check_contract --all as a rows-only entry.
+    "text_bpe_merges": "text_gopher_rules (same clean_words corpus "
+    "tokenization) + mixture_token_budget (same explode→count word "
+    "aggregate stage) + pytest reference-implementation parity",
     # round-9: BM25 top-k retrieval. Library-only (cap): its per-doc
     # term-frequency projection is text_gopher_rules' retained
     # one-clean_words-projection feature discipline, and its rounded

@@ -140,3 +140,185 @@ class TestHeavyHitters:
             if r.gram is None
         ]
         assert sum(totals) == grams.count()
+
+
+# --- BPE trainer/encoder parity ------------------------------------------------
+#
+# The reference implementation below is written directly from the
+# published algorithm (Sennrich et al. 2016): count symbol pairs over a
+# word-frequency dict, merge the argmax left-to-right, repeat. The
+# Spark trainer must reproduce the EXACT merge sequence (same
+# count-desc, pair-lexicographic tiebreak) and the encoder the exact
+# token arrays.
+
+from collections import Counter
+
+from imitation_learning_data_pipeline_spark.plans.tokenize import (
+    EOW,
+    bpe_encode_words,
+    bpe_token_counts,
+    bpe_train,
+    word_frequency_table,
+)
+
+
+def _ref_word_counts(texts):
+    import re
+
+    c = Counter()
+    for t in texts:
+        for w in re.split(r"[^a-z0-9]+", t.lower()):
+            if w:
+                c[w] += 1
+    return c
+
+
+def _ref_bpe_train(texts, n_merges, min_pair_count=2):
+    vocab = {
+        tuple(list(w) + [EOW]): n for w, n in _ref_word_counts(texts).items()
+    }
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), cnt = best
+        if cnt < min_pair_count:
+            break
+        merges.append((l, r, cnt))
+        new_vocab = {}
+        for syms, n in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = n
+        vocab = new_vocab
+    return merges, vocab
+
+
+_CORPUS = [
+    "the lowest lower low",
+    "newest newer new news",
+    "the newest widest wide",
+    "low lower lowest wide wider widest",
+    "the the the news new",
+]
+
+
+class TestBpe:
+    def test_train_matches_reference(self, spark):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(_CORPUS)], "doc_id long, text string"
+        )
+        got, words = bpe_train(df, n_merges=12)
+        want, ref_vocab = _ref_bpe_train(_CORPUS, 12)
+        assert got == want
+        # and the trained segmentation of every word agrees
+        spark_vocab = {
+            tuple(r.symbols): r.n_occurrences for r in words.collect()
+        }
+        assert spark_vocab == {k: v for k, v in ref_vocab.items()}
+
+    def test_encode_matches_training_segmentation(self, spark):
+        # encoding a word with the learned merges must reproduce the
+        # segmentation the trainer left it with — the classic BPE
+        # invariant tying encode to train
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(_CORPUS)], "doc_id long, text string"
+        )
+        merges, words = bpe_train(df, n_merges=12)
+        enc = {
+            r.word: tuple(r.tokens)
+            for r in bpe_encode_words(
+                words.select("word"), merges
+            ).collect()
+        }
+        trained = {r.word: tuple(r.symbols) for r in words.collect()}
+        assert enc == trained
+
+    def test_encode_unseen_word(self, spark):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(_CORPUS)], "doc_id long, text string"
+        )
+        merges, _ = bpe_train(df, n_merges=12)
+        unseen = spark.createDataFrame([("lowering",)], "word string")
+        (row,) = bpe_encode_words(unseen, merges).collect()
+        # applies learned merges greedily by rank, leaves the rest as chars
+        assert "".join(row.tokens) == "lowering" + EOW
+        assert len(row.tokens) < len("lowering") + 1  # something merged
+
+    def test_token_counts_sum_over_occurrences(self, spark):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(_CORPUS)], "doc_id long, text string"
+        )
+        merges, _ = bpe_train(df, n_merges=12)
+        got = {r.doc_id: r.n_tokens for r in bpe_token_counts(df, merges).collect()}
+        # brute force: encode every occurrence independently
+        import re
+
+        ranks = {(l, r): i for i, (l, r, _c) in enumerate(merges)}
+
+        def enc(w):
+            syms = list(w) + [EOW]
+            while True:
+                pairs = [
+                    (syms[i], syms[i + 1]) for i in range(len(syms) - 1)
+                ]
+                cand = min(
+                    (p for p in pairs if p in ranks),
+                    key=lambda p: ranks[p],
+                    default=None,
+                )
+                if cand is None:
+                    return syms
+                l, r = cand
+                out, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == l
+                        and syms[i + 1] == r
+                    ):
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+
+        want = {
+            i: sum(
+                len(enc(w))
+                for w in re.split(r"[^a-z0-9]+", t.lower())
+                if w
+            )
+            for i, t in enumerate(_CORPUS)
+        }
+        assert got == want
+
+    def test_min_pair_count_stops(self, spark):
+        # every word unique, every pair count 1 -> no merge survives
+        df = spark.createDataFrame(
+            [(1, "abc def ghi")], "doc_id long, text string"
+        )
+        merges, _ = bpe_train(df, n_merges=10, min_pair_count=2)
+        assert merges == []
+
+    def test_word_frequency_table(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b a"), (2, "A, b!")], "doc_id long, text string"
+        )
+        got = {
+            r.word: r.n_occurrences
+            for r in word_frequency_table(df).collect()
+        }
+        assert got == {"a": 3, "b": 2}
