@@ -64,6 +64,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "text_quality_score",
     "text_langid",
+    "text_heavy_hitters",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
     "pipeline_discover_status",
