@@ -761,3 +761,140 @@ def run_incremental_quality_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def run_incremental_heavyhitter_stream(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    n: int = 2,
+    k: int = 1001,
+) -> None:
+    """Continuous boilerplate census: each micro-batch of documents is
+    folded into the per-batch heavy-hitter state — Misra-Gries
+    candidates over the batch's n-gram stream (mergeable summaries,
+    same machinery as plans.text.heavy_hitter_ngrams) followed by an
+    EXACT recount of those candidates within the batch (the batch is
+    still at hand, so the stored counts are exact batch counts, not MG
+    lower bounds). One small partition lands per ``ingest_batch``:
+    candidate rows (gram, n_occurrences) plus a single (NULL,
+    stream-length) row.
+
+    Read with :func:`read_heavyhitter_store`, which folds exact sums
+    and carries a QUANTIFIED upper bound: a gram absent from batch b's
+    candidates has batch count <= floor(N_b/(k+1)) (the MG guarantee),
+    so its fold-wide undercount is bounded by the sum of that slack
+    over exactly the batches it is missing from. No false negatives
+    above the bound, certainty flags below it — the honest incremental
+    version of the batch operator's exactness.
+
+    Same effectively-exactly-once recipe as every incremental driver
+    here: checkpointed offsets + dynamic partition overwrite make a
+    replayed micro-batch REPLACE its own partition. Per-trigger cost is
+    two scans of the BATCH (candidates, verify); history is never
+    rescanned. Runs with Trigger.availableNow and blocks.
+    """
+    from ..functions.text import clean_words, shingles_of_words
+    from ..plans.text import misra_gries_candidates
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        grams = batch_df.select(
+            F.explode(
+                shingles_of_words(clean_words(F.col(text_col)), n)
+            ).alias("gram")
+        ).persist()
+        try:
+            summaries = misra_gries_candidates(grams, k).collect()
+            total = sum(r.weight for r in summaries if r.gram is None)
+            cands = list({r.gram for r in summaries if r.gram is not None})
+            if cands:
+                cand_df = F.broadcast(
+                    spark.createDataFrame([(c,) for c in cands], "gram string")
+                )
+                counted = (
+                    grams.join(cand_df, "gram", "left_semi")
+                    .groupBy("gram")
+                    .agg(F.count("*").alias("n_occurrences"))
+                )
+            else:
+                counted = spark.createDataFrame(
+                    [], "gram string, n_occurrences long"
+                )
+            out = counted.unionByName(
+                spark.createDataFrame(
+                    [(None, int(total))], "gram string, n_occurrences long"
+                )
+            )
+            (
+                out.withColumn("k", F.lit(int(k)))
+                .withColumn("ingest_batch", F.lit(int(batch_id)))
+                .coalesce(1)
+                .write.partitionBy("ingest_batch")
+                .mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(store_path)
+            )
+        finally:
+            grams.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_heavyhitter_store(
+    spark: SparkSession, store_path: str, min_frac: float
+) -> DataFrame:
+    """The corpus-so-far heavy hitters from the incremental store:
+    (gram, n_lower, n_upper, certain) for every candidate whose upper
+    bound reaches ``ceil(min_frac * total stream length)``.
+
+    ``n_lower`` sums the stored EXACT batch counts (batches where the
+    gram was a candidate); ``n_upper`` adds floor(N_b/(k+1)) for each
+    batch the gram is MISSING from (the MG absence bound), so the true
+    corpus count always sits in [n_lower, n_upper]. ``certain`` marks
+    rows already provable from n_lower alone. The fold touches only
+    the store's metadata-sized partial rows — never the corpus.
+    """
+    st = spark.read.parquet(store_path)
+    totals = st.filter(F.col("gram").isNull()).select(
+        "ingest_batch",
+        F.col("n_occurrences").alias("batch_total"),
+        F.floor(
+            F.col("n_occurrences") / (F.col("k") + F.lit(1))
+        ).alias("slack"),
+    )
+    agg = totals.agg(
+        F.sum("batch_total").alias("total"), F.sum("slack").alias("total_slack")
+    )
+    cands = st.filter(F.col("gram").isNotNull())
+    per_gram = (
+        cands.join(totals.select("ingest_batch", "slack"), "ingest_batch")
+        .groupBy("gram")
+        .agg(
+            F.sum("n_occurrences").alias("n_lower"),
+            F.sum("slack").alias("present_slack"),
+        )
+    )
+    thr = F.ceil(F.lit(float(min_frac)) * F.col("total")).cast("long")
+    return (
+        per_gram.crossJoin(F.broadcast(agg))
+        .select(
+            "gram",
+            F.col("n_lower").cast("long").alias("n_lower"),
+            (
+                F.col("n_lower") + F.col("total_slack") - F.col("present_slack")
+            ).cast("long").alias("n_upper"),
+            (F.col("n_lower") >= thr).alias("certain"),
+            thr.alias("threshold"),
+        )
+        .filter(F.col("n_upper") >= F.col("threshold"))
+    )

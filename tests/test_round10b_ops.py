@@ -322,3 +322,121 @@ class TestBpe:
             for r in word_frequency_table(df).collect()
         }
         assert got == {"a": 3, "b": 2}
+
+
+class TestIncrementalHeavyHitters:
+    def test_two_batch_fold_and_bounds(self, spark, tmp_path):
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        from imitation_learning_data_pipeline_spark.streaming.incremental import (
+            read_heavyhitter_store,
+            run_incremental_heavyhitter_stream,
+        )
+
+        ingest = tmp_path / "in"
+        ingest.mkdir()
+        store = str(tmp_path / "store")
+        ckpt = str(tmp_path / "ckpt")
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        )
+
+        def _run():
+            stream = spark.readStream.schema(schema).parquet(str(ingest))
+            run_incremental_heavyhitter_stream(
+                stream, store, ckpt, n=2, k=101
+            )
+
+        # batch 1: boilerplate planted in half the docs
+        b1 = pd.DataFrame(
+            {
+                "doc_id": range(40),
+                "text": [
+                    (
+                        " ".join(f"a{i}b{j}" for j in range(10))
+                        + (" click here now" if i % 2 == 0 else "")
+                    )
+                    for i in range(40)
+                ],
+            }
+        )
+        b1.to_parquet(ingest / "b1.parquet", index=False)
+        _run()
+        r1 = {r.gram: r for r in read_heavyhitter_store(spark, store, 0.02).collect()}
+        assert "click here" in r1 and "here now" in r1
+        assert r1["click here"].certain and r1["click here"].n_lower == 20
+
+        # batch 2: same boilerplate again + new filler
+        b2 = pd.DataFrame(
+            {
+                "doc_id": range(100, 140),
+                "text": [
+                    (
+                        " ".join(f"c{i}d{j}" for j in range(10))
+                        + (" click here now" if i % 2 == 0 else "")
+                    )
+                    for i in range(40)
+                ],
+            }
+        )
+        b2.to_parquet(ingest / "b2.parquet", index=False)
+        _run()
+        r2 = {r.gram: r for r in read_heavyhitter_store(spark, store, 0.02).collect()}
+        # exact across both batches: candidate in both -> n_lower exact
+        assert r2["click here"].n_lower == 40
+        assert r2["click here"].n_upper == 40  # present in every batch: no slack
+        assert r2["click here"].certain
+
+        # replay with no new data: store unchanged (exactly-once)
+        _run()
+        r3 = {r.gram: r for r in read_heavyhitter_store(spark, store, 0.02).collect()}
+        assert r3["click here"].n_lower == 40
+
+    def test_absence_slack_bounds_true_count(self, spark, tmp_path):
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        from imitation_learning_data_pipeline_spark.streaming.incremental import (
+            read_heavyhitter_store,
+            run_incremental_heavyhitter_stream,
+        )
+
+        ingest = tmp_path / "in"
+        ingest.mkdir()
+        store = str(tmp_path / "store")
+        ckpt = str(tmp_path / "ckpt")
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        )
+
+        def _run():
+            stream = spark.readStream.schema(schema).parquet(str(ingest))
+            # tiny k so batch 2's filler CAN evict the planted gram
+            run_incremental_heavyhitter_stream(stream, store, ckpt, n=2, k=5)
+
+        # batch 1: planted heavy gram
+        pd.DataFrame(
+            {"doc_id": [1], "text": ["hot pair " * 30]}
+        ).to_parquet(ingest / "b1.parquet", index=False)
+        _run()
+        # batch 2: pure noise, planted gram absent
+        pd.DataFrame(
+            {"doc_id": [2], "text": [" ".join(f"n{j} m{j}" for j in range(40))]}
+        ).to_parquet(ingest / "b2.parquet", index=False)
+        _run()
+        rows = {
+            r.gram: r
+            for r in read_heavyhitter_store(spark, store, 0.2).collect()
+        }
+        hp = rows["hot pair"]
+        # true corpus count of 'hot pair' is 30; the interval must hold it
+        assert hp.n_lower <= 30 <= hp.n_upper
+        # and the slack came only from the batch it was missing in
+        assert hp.n_upper > hp.n_lower
