@@ -21,6 +21,7 @@ def _late_imports() -> None:
         curation,
         dedup,
         graph,
+        lm,
         mllib_ops,
         multimodal_queries,
         numeric,
@@ -64,6 +65,7 @@ def _late_imports() -> None:
         rollup,
         graph,
         tokenize,
+        lm,
     ]
 
 

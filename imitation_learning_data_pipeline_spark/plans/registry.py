@@ -435,6 +435,17 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     "text_bpe_merges": "text_gopher_rules (same clean_words corpus "
     "tokenization) + mixture_token_budget (same explode→count word "
     "aggregate stage) + pytest reference-implementation parity",
+    # round-10: corpus-trained bigram-LM perplexity scoring. Library-
+    # only (cap): its training stage is the explode→groupBy gram
+    # aggregate family text_repetition_stats retains, its scoring is
+    # the stream-joins-small-table shape join_star_region_revenue
+    # retains, and the full add-α formula is hash-checked against
+    # DuckDB computing the identical expression in check_contract
+    # --all; sample_perplexity_buckets (also --all-gated) consumes the
+    # same score→bucket contract downstream.
+    "text_bigram_lm_nll": "text_repetition_stats (same gram-count "
+    "aggregate family) + join_star_region_revenue (same "
+    "stream-join-dim scoring shape) + check_contract --all row",
     # round-9: BM25 top-k retrieval. Library-only (cap): its per-doc
     # term-frequency projection is text_gopher_rules' retained
     # one-clean_words-projection feature discipline, and its rounded

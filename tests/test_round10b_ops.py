@@ -440,3 +440,89 @@ class TestIncrementalHeavyHitters:
         assert hp.n_lower <= 30 <= hp.n_upper
         # and the slack came only from the batch it was missing in
         assert hp.n_upper > hp.n_lower
+
+
+# --- bigram LM scorer -----------------------------------------------------------
+
+import math
+
+from imitation_learning_data_pipeline_spark.plans.lm import (
+    score_bigram_nll,
+    train_bigram_lm,
+)
+
+
+class TestBigramLm:
+    def test_hand_computed_probabilities(self, spark):
+        # corpus: "a b a b" + "a c" -> bigrams: (a b)x2, (b a)x1, (a c)x1
+        # contexts: a->3, b->1 ; vocab V=3 ; alpha=0.5
+        df = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a c")], "doc_id long, text string"
+        )
+        big, ctx, v = train_bigram_lm(df)
+        assert v == 3
+        bmap = {r.gram: r.c_ab for r in big.collect()}
+        cmap = {r.left: r.c_a for r in ctx.collect()}
+        assert bmap == {"a b": 2, "b a": 1, "a c": 1}
+        assert cmap == {"a": 3, "b": 1}
+        got = {
+            r.doc_id: (r.n_bigrams, r.avg_nll)
+            for r in score_bigram_nll(df, big, ctx, v).collect()
+        }
+
+        def p(cab, ca):
+            return (cab + 0.5) / (ca + 0.5 * 3)
+
+        # doc 1: (a b), (b a), (a b)
+        nlls1 = [
+            round(-math.log(p(2, 3)) * 1e6)
+            for _ in range(2)
+        ] + [round(-math.log(p(1, 1)) * 1e6)]
+        want1 = round(sum(nlls1) / 1e6 / 3 * 1e4) / 1e4
+        # doc 2: (a c)
+        want2 = round(round(-math.log(p(1, 3)) * 1e6) / 1e6 / 1 * 1e4) / 1e4
+        assert got[1] == (3, want1)
+        assert got[2] == (1, want2)
+
+    def test_unseen_bigram_and_context_smoothed(self, spark):
+        train = spark.createDataFrame(
+            [(1, "a b a b")], "doc_id long, text string"
+        )
+        big, ctx, v = train_bigram_lm(train)  # V=2
+        new = spark.createDataFrame(
+            [(9, "a z")], "doc_id long, text string"
+        )
+        (row,) = score_bigram_nll(new, big, ctx, v).collect()
+        # unseen bigram (a z), seen context a (c_a=2):
+        # p = 0.5 / (2 + 0.5*2) = 1/6
+        want = round(round(-math.log(0.5 / 3.0) * 1e6) / 1e6 * 1e4) / 1e4
+        assert (row.n_bigrams, row.avg_nll) == (1, want)
+        # fully unseen context: p = 0.5/(0.5*V) = 1/V
+        new2 = spark.createDataFrame(
+            [(10, "z q")], "doc_id long, text string"
+        )
+        (row2,) = score_bigram_nll(new2, big, ctx, v).collect()
+        want2 = round(round(-math.log(1.0 / 2.0) * 1e6) / 1e6 * 1e4) / 1e4
+        assert row2.avg_nll == want2
+
+    def test_short_docs_omitted(self, spark):
+        df = spark.createDataFrame(
+            [(1, "hello"), (2, ""), (3, "two words")],
+            "doc_id long, text string",
+        )
+        big, ctx, v = train_bigram_lm(df)
+        got = {r.doc_id for r in score_bigram_nll(df, big, ctx, v).collect()}
+        assert got == {3}
+
+    def test_boilerplate_scores_lower_than_noise(self, spark):
+        # the data-selection property: a doc made of corpus-frequent
+        # bigrams must score LOWER avg_nll than a doc of rare ones
+        rows = [(i, "the quick brown fox jumps") for i in range(50)]
+        rows += [(100 + i, f"x{i}y z{i}w q{i}v") for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        big, ctx, v = train_bigram_lm(df)
+        scores = {
+            r.doc_id: r.avg_nll
+            for r in score_bigram_nll(df, big, ctx, v).collect()
+        }
+        assert scores[0] < scores[100]
