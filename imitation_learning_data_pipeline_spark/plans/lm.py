@@ -186,3 +186,57 @@ def text_bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
     big, ctx, v = train_bigram_lm(docs)
     return score_bigram_nll(docs, big, ctx, v)
+
+
+def lm_perplexity_buckets(
+    docs: DataFrame,
+    n_buckets: int = 10,
+    keep_rates: list[float] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "lmkeep",
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """The CCNet recipe end-to-end on the in-repo scorer: train the
+    bigram LM on ``docs``, score every document, bucket by CORPUS-
+    RELATIVE score quantiles, and keep each bucket at its own rate
+    (thin the too-clean head and the noisy tail, keep the fluent
+    middle). Returns (id, bucket, avg_nll) for kept documents.
+
+    Bucketing uses ``percentile_approx`` boundaries — ONE aggregate
+    row, then a map-side comparison per doc — instead of an ntile
+    window, which would global-sort the corpus at 100 TB. The keep
+    decision is the repo's seeded md5 unit-interval predicate, so
+    membership is stable under corpus growth (a re-run on grown data
+    never flips an already-kept document's coin).
+    """
+    from ..functions.hashing import md5_unit_interval
+    from .sampling import _PPL_KEEP_RATES
+
+    rates = keep_rates if keep_rates is not None else _PPL_KEEP_RATES
+    if len(rates) != n_buckets:
+        raise ValueError(
+            f"lm_perplexity_buckets: keep_rates has {len(rates)} entries "
+            f"for {n_buckets} buckets"
+        )
+    big, ctx, v = train_bigram_lm(docs, text_col)
+    scored = score_bigram_nll(
+        docs, big, ctx, v, text_col=text_col, id_col=id_col
+    )
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    (bounds_row,) = scored.agg(
+        F.percentile_approx("avg_nll", probs, accuracy).alias("b")
+    ).collect()
+    bounds = list(bounds_row["b"] or [])
+    bucket = sum(
+        (F.col("avg_nll") > F.lit(float(b))).cast("int") for b in bounds
+    ) if bounds else F.lit(0)
+    u = md5_unit_interval(id_col, seed)
+    rate = F.element_at(
+        F.array(*[F.lit(float(r)) for r in rates]), bucket + F.lit(1)
+    )
+    return (
+        scored.withColumn("bucket", bucket.cast("int"))
+        .filter(u < rate)
+        .select(id_col, "bucket", "avg_nll")
+    )

@@ -526,3 +526,56 @@ class TestBigramLm:
             for r in score_bigram_nll(df, big, ctx, v).collect()
         }
         assert scores[0] < scores[100]
+
+
+class TestLmPerplexityBuckets:
+    def test_buckets_thin_extremes(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.lm import (
+            lm_perplexity_buckets,
+        )
+
+        # 200 fluent docs (shared phrasing) + 200 noise docs (unique
+        # bigrams): fluent land in low buckets, noise in high ones
+        rows = [(i, "the quick brown fox jumps over the lazy dog")
+                for i in range(200)]
+        rows += [(1000 + i, f"r{i}s t{i}u v{i}w x{i}y") for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        kept = lm_perplexity_buckets(
+            df, n_buckets=4, keep_rates=[0.0, 1.0, 1.0, 0.0]
+        ).collect()
+        kept_ids = {r.doc_id for r in kept}
+        # rate-0 buckets are empty by construction
+        assert all(r.bucket in (1, 2) for r in kept)
+        # the fluent docs all share one score -> one bucket; they fill
+        # the distribution's low half, noise the high half
+        fluent_buckets = {r.bucket for r in kept if r.doc_id < 1000}
+        noise_buckets = {r.bucket for r in kept if r.doc_id >= 1000}
+        assert fluent_buckets <= {1} or fluent_buckets == set()
+        assert noise_buckets <= {2} or noise_buckets == set()
+        assert kept_ids  # something survives the middle
+
+    def test_keep_all_returns_every_scored_doc(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.lm import (
+            lm_perplexity_buckets,
+        )
+
+        df = spark.createDataFrame(
+            [(i, f"alpha beta w{i}") for i in range(30)],
+            "doc_id long, text string",
+        )
+        kept = lm_perplexity_buckets(
+            df, n_buckets=2, keep_rates=[1.0, 1.0]
+        )
+        assert kept.count() == 30
+        assert set(kept.columns) == {"doc_id", "bucket", "avg_nll"}
+
+    def test_rate_length_guard(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.lm import (
+            lm_perplexity_buckets,
+        )
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="keep_rates"):
+            lm_perplexity_buckets(df, n_buckets=3, keep_rates=[1.0])
