@@ -836,6 +836,84 @@ def cmd_graph(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_hitters(args: argparse.Namespace) -> int:
+    """Exact heavy-hitter n-grams (plans/text.py) over any parquet
+    table with a text column — the boilerplate census."""
+    from .plans.text import heavy_hitter_ngrams
+
+    spark = _spark("hitters")
+    df = spark.read.parquet(args.input)
+    out = heavy_hitter_ngrams(
+        df, text_col=args.text_col, n=args.n, min_frac=args.min_frac
+    )
+    if args.out:
+        out.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"out": args.out, "hitters": out.count()}))
+        return 0
+    for r in (
+        out.orderBy(F.col("n_occurrences").desc(), "gram")
+        .limit(args.top)
+        .collect()
+    ):
+        print(json.dumps(r.asDict()))
+    return 0
+
+
+def cmd_bpe(args: argparse.Namespace) -> int:
+    """BPE tokenizer training (plans/tokenize.py): learn merges from a
+    corpus; optionally write per-document token counts under the
+    trained tokenizer."""
+    from .plans.tokenize import bpe_token_counts, bpe_train
+
+    spark = _spark("bpe")
+    df = spark.read.parquet(args.input)
+    merges, _words = bpe_train(
+        df,
+        text_col=args.text_col,
+        n_merges=args.merges,
+        min_pair_count=args.min_pair_count,
+    )
+    mdf = spark.createDataFrame(
+        [(i, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "rank long, left string, right string, pair_count long",
+    )
+    mdf.coalesce(1).write.mode("overwrite").parquet(args.merges_out)
+    stats = {"merges_out": args.merges_out, "merges": len(merges)}
+    if args.counts_out:
+        bpe_token_counts(
+            df, merges, text_col=args.text_col, id_col=args.id_col
+        ).write.mode("overwrite").parquet(args.counts_out)
+        stats["counts_out"] = args.counts_out
+    print(json.dumps(stats))
+    return 0
+
+
+def cmd_lm_score(args: argparse.Namespace) -> int:
+    """Bigram-LM perplexity scoring (plans/lm.py): train on the corpus,
+    score every document; optionally bucket-sample (CCNet shape)."""
+    from .plans.lm import lm_perplexity_buckets, score_bigram_nll, train_bigram_lm
+
+    spark = _spark("lm-score")
+    df = spark.read.parquet(args.input)
+    if args.keep_rates:
+        rates = [float(r) for r in args.keep_rates.split(",")]
+        out = lm_perplexity_buckets(
+            df,
+            n_buckets=len(rates),
+            keep_rates=rates,
+            text_col=args.text_col,
+            id_col=args.id_col,
+        )
+    else:
+        big, ctx, v = train_bigram_lm(df, args.text_col)
+        out = score_bigram_nll(
+            df, big, ctx, v, text_col=args.text_col, id_col=args.id_col
+        )
+    out.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"out": args.out, "rows": out.count()}))
+    return 0
+
+
 def cmd_matview(args: argparse.Namespace) -> int:
     """Incremental materialized views (pipeline/matview.py): create,
     refresh (cost ∝ new base files), rebuild, read."""
@@ -1739,6 +1817,52 @@ def build_parser() -> argparse.ArgumentParser:
     )
     gr.add_argument("--out", default=None, help="write full (node, rank) parquet")
     gr.set_defaults(fn=cmd_graph)
+
+    hh = sub.add_parser(
+        "hitters",
+        help="exact heavy-hitter n-grams (Misra-Gries + exact verify; "
+        "the vocabulary never shuffles)",
+    )
+    hh.add_argument("--input", required=True, help="parquet dir with a text column")
+    hh.add_argument("--text-col", default="text")
+    hh.add_argument("--n", type=int, default=2)
+    hh.add_argument("--min-frac", type=float, default=0.001)
+    hh.add_argument("--top", type=int, default=20, help="print top-k to stdout")
+    hh.add_argument("--out", default=None, help="write (gram, n_occurrences) parquet")
+    hh.set_defaults(fn=cmd_hitters)
+
+    bp = sub.add_parser(
+        "bpe",
+        help="train a BPE tokenizer on the corpus (merge table out; "
+        "optional per-doc token counts)",
+    )
+    bp.add_argument("--input", required=True)
+    bp.add_argument("--text-col", default="text")
+    bp.add_argument("--id-col", default="doc_id")
+    bp.add_argument("--merges", type=int, default=100)
+    bp.add_argument("--min-pair-count", type=int, default=2)
+    bp.add_argument("--merges-out", required=True, help="merge-table parquet")
+    bp.add_argument(
+        "--counts-out", default=None, help="per-doc token counts parquet"
+    )
+    bp.set_defaults(fn=cmd_bpe)
+
+    lm = sub.add_parser(
+        "lm-score",
+        help="bigram-LM perplexity scoring (trained on the corpus); "
+        "--keep-rates switches to CCNet bucket sampling",
+    )
+    lm.add_argument("--input", required=True)
+    lm.add_argument("--text-col", default="text")
+    lm.add_argument("--id-col", default="doc_id")
+    lm.add_argument(
+        "--keep-rates",
+        default=None,
+        help="comma-separated per-bucket keep rates (bucket count = "
+        "list length); omit to write raw scores",
+    )
+    lm.add_argument("--out", required=True)
+    lm.set_defaults(fn=cmd_lm_score)
 
     mv = sub.add_parser(
         "matview",

@@ -579,3 +579,59 @@ class TestLmPerplexityBuckets:
 
         with _pytest.raises(ValueError, match="keep_rates"):
             lm_perplexity_buckets(df, n_buckets=3, keep_rates=[1.0])
+
+
+class TestRound10Cli:
+    def test_hitters_bpe_lmscore_verbs(self, spark, tmp_path, capsys):
+        import json as _json
+
+        from imitation_learning_data_pipeline_spark.cli import main
+
+        src = str(tmp_path / "docs")
+        rows = [(i, "terms of service apply " + f"u{i} v{i}") for i in range(30)]
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+
+        # hitters: stdout top-k
+        assert main(["hitters", "--input", src, "--min-frac", "0.05"]) == 0
+        lines = [
+            _json.loads(ln)
+            for ln in capsys.readouterr().out.strip().splitlines()
+            if ln.startswith("{")
+        ]
+        grams = {d["gram"] for d in lines}
+        assert {"terms of", "of service", "service apply"} <= grams
+
+        # bpe: merge table + counts
+        mout = str(tmp_path / "merges")
+        cout = str(tmp_path / "counts")
+        assert (
+            main(
+                ["bpe", "--input", src, "--merges", "10",
+                 "--merges-out", mout, "--counts-out", cout]
+            )
+            == 0
+        )
+        m = spark.read.parquet(mout)
+        assert m.count() == 10 and set(m.columns) == {
+            "rank", "left", "right", "pair_count"
+        }
+        c = spark.read.parquet(cout)
+        assert c.count() == 30 and c.filter("n_tokens <= 0").count() == 0
+
+        # lm-score: raw scores, then bucket sampling
+        sout = str(tmp_path / "scores")
+        assert main(["lm-score", "--input", src, "--out", sout]) == 0
+        s = spark.read.parquet(sout)
+        assert s.count() == 30 and "avg_nll" in s.columns
+        bout = str(tmp_path / "buckets")
+        assert (
+            main(
+                ["lm-score", "--input", src, "--keep-rates", "1.0,1.0",
+                 "--out", bout]
+            )
+            == 0
+        )
+        b = spark.read.parquet(bout)
+        assert b.count() == 30 and set(b.columns) == {
+            "doc_id", "bucket", "avg_nll"
+        }
