@@ -120,6 +120,22 @@ AUDIT = {
     "text_gopher_rules": {"max_exchanges": 1},
     # score→bucket→accept is likewise map-side only
     "sample_perplexity_buckets": {"max_exchanges": 0},
+    # heavy hitters: the exact-verify recount must be a BROADCAST semi
+    # join against the candidate set (the whole point is that the
+    # vocabulary never shuffles) feeding a hash aggregate of candidate
+    # occurrences only; an SMJ here would re-introduce the shuffle the
+    # operator exists to avoid.
+    "text_heavy_hitters": {
+        "want": ["BroadcastHashJoin", "HashAggregate"],
+        "forbid": ["SortMergeJoin", "CartesianProduct"],
+    },
+    # LM scoring: doc-bigram stream joins the vocabulary-bounded count
+    # tables — hash joins only, and the per-doc fold is a hash
+    # aggregate with map-side partial combine (integer nll sums).
+    "text_bigram_lm_nll": {
+        "want": ["HashAggregate"],
+        "forbid": ["CartesianProduct", "SortAggregate"],
+    },
 }
 
 
