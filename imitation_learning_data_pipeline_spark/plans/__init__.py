@@ -20,6 +20,7 @@ def _late_imports() -> None:
     from . import (  # noqa: F401
         curation,
         dedup,
+        dsir,
         graph,
         lm,
         mllib_ops,
@@ -27,6 +28,7 @@ def _late_imports() -> None:
         numeric,
         pipeline_queries,
         profile,
+        quality_model,
         relational,
         relational2,
         rollup,
@@ -51,6 +53,7 @@ def _late_imports() -> None:
         temporal,
         numeric,
         dedup,
+        dsir,
         sampling,
         text,
         similarity,
@@ -66,6 +69,7 @@ def _late_imports() -> None:
         graph,
         tokenize,
         lm,
+        quality_model,
     ]
 
 

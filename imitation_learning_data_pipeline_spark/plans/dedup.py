@@ -1465,6 +1465,142 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dup_spans(_corpus(spark, sf_dir))
 
 
+# --- exact-substring dedup REMOVAL (Lee et al., "Deduplicating Training
+# Data Makes Language Models Better"): not just flagging duplicated
+# spans but excising them from the text, keeping one canonical
+# occurrence per duplicated gram. A word position is removed iff it is
+# covered by at least one NON-canonical occurrence of a duplicated
+# n-gram; the canonical occurrence is the (min doc_id, min pos) one, so
+# exactly one copy of every duplicated passage survives corpus-wide and
+# the result is a pure function of the data (no partition-order
+# dependence). Reference scope: the reference repo has no corpus-level
+# text rewriting at all — this is a BASELINE.json LLM-pipeline
+# extension like the rest of this module.
+
+def remove_dup_spans(docs: DataFrame, n: int = _SUBSTR_N) -> DataFrame:
+    """Rewrite each document with corpus-duplicated word ``n``-gram
+    occurrences excised → ``(doc_id, n_words, n_removed, kept_text)``.
+
+    Scale shape (100 TB): the gram aggregate and the hit join move only
+    8-byte ``xxhash64`` keys + (doc_id, pos) tuples, exactly like
+    :func:`substring_dup_spans`. The rewrite itself never shuffles
+    text: covered word positions are collapsed to ONE array per
+    affected doc (metadata-sized — only docs containing duplicates
+    appear), and that small side joins back to the docs scan where a
+    JVM-side ``filter(words, (w, i) -> ...)`` drops the covered
+    indices in place — AQE broadcasts the positions side in the
+    common mostly-unique-corpus case. Canonical-occurrence selection
+    is ``min(struct(doc_id, pos))`` — a map-side-combinable agg, not
+    a window.
+    """
+    cache.begin_plan()
+    pos_sh = cache.pin(
+        docs.select("doc_id", clean_words("text").alias("__w"))
+        .select(
+            "doc_id",
+            F.posexplode(shingles_of_words(F.col("__w"), n)).alias("pos0", "s"),
+        )
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.xxhash64("s").alias("h"),
+        )
+    )
+    # Duplicated grams (>1 occurrence corpus-wide, within-doc repeats
+    # included — Lee et al. dedup within documents too) with their
+    # canonical occurrence.
+    dup = (
+        pos_sh.groupBy("h")
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.min(F.struct("doc_id", "pos")).alias("can"),
+        )
+        .filter(F.col("n_occ") > 1)
+        .select("h", F.col("can.doc_id").alias("can_doc"), F.col("can.pos").alias("can_pos"))
+    )
+    removable = pos_sh.join(dup, "h").filter(
+        ~((F.col("doc_id") == F.col("can_doc")) & (F.col("pos") == F.col("can_pos")))
+    )
+    covered = (
+        removable.select(
+            "doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("idx")
+        )
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("idx")).alias("cov"))
+    )
+    words = docs.select("doc_id", clean_words("text").alias("__w"))
+    out = words.join(covered, "doc_id", "left")
+    cov = F.coalesce(F.col("cov"), F.array().cast("array<integer>"))
+    kept = F.filter(F.col("__w"), lambda w, i: ~F.array_contains(cov, i + 1))
+    return out.select(
+        "doc_id",
+        F.size("__w").alias("n_words"),
+        (F.size("__w") - F.size(kept)).alias("n_removed"),
+        F.array_join(kept, " ").alias("kept_text"),
+    )
+
+
+@register(
+    "dedup_remove_spans",
+    oracle=f"""
+WITH corpus AS ({_CORPUS_SQL}),
+pos_sh AS (
+  SELECT doc_id, u.pos AS pos, u.s AS s
+  FROM (
+    SELECT doc_id, unnest({_pos_shingle_sql(_SUBSTR_N)}) AS u
+    FROM corpus
+  )
+),
+dup AS (
+  SELECT s, min(struct_pack(doc_id := doc_id, pos := pos)) AS can
+  FROM pos_sh GROUP BY s HAVING count(*) > 1
+),
+removable AS (
+  SELECT p.doc_id, p.pos
+  FROM pos_sh p JOIN dup d ON p.s = d.s
+  WHERE NOT (p.doc_id = d.can.doc_id AND p.pos = d.can.pos)
+),
+covered AS (
+  SELECT DISTINCT doc_id, pos + unnest(range(0, {_SUBSTR_N})) AS idx
+  FROM removable
+),
+words AS (
+  SELECT doc_id, u.pos AS idx, u.s AS w
+  FROM (
+    SELECT doc_id, unnest(list_filter(list_transform(
+      range(1, len({_W_SQL}) + 1),
+      i -> struct_pack(pos := i, s := ({_W_SQL})[i])), x -> x.s <> '')) AS u
+    FROM corpus
+  )
+),
+kept AS (
+  SELECT w.doc_id, w.idx, w.w
+  FROM words w LEFT JOIN covered c ON w.doc_id = c.doc_id AND w.idx = c.idx
+  WHERE c.idx IS NULL
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(w, ' ' ORDER BY idx) AS kept_text
+  FROM kept GROUP BY doc_id
+),
+nw AS (SELECT doc_id, len({_W_SQL}) AS n_words FROM corpus)
+SELECT nw.doc_id,
+       CAST(nw.n_words AS INTEGER) AS n_words,
+       CAST(nw.n_words - coalesce(a.n_kept, 0) AS INTEGER) AS n_removed,
+       coalesce(a.kept_text, '') AS kept_text
+FROM nw LEFT JOIN agg a ON nw.doc_id = a.doc_id
+""",
+)
+def dedup_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract wrapper: :func:`remove_dup_spans` over the planted
+    corpus. The planted exact copies lose their entire text (the
+    originals, with smaller doc_ids, are canonical); the tail-appended
+    near-dups keep only the words adjacent to the appended marker; and
+    base docs keep everything except chance-repeated passages — all of
+    which the oracle recomputes independently."""
+    return remove_dup_spans(_corpus(spark, sf_dir))
+
+
 # --- near-dup clustering: pairs → connected components -----------------------
 #
 # The missing last step of every dedup pipeline: pairwise hits (minhash,

@@ -58,10 +58,10 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 CONTRACT_FIRST: list[str] = [
     "vector_zscore",
     # Round-6 rotation (r5 verdict item 1): the last two
-    # never-driver-checked oracles rotate IN for their first CORRECTNESS
+    # never-driver-checked oracles rotated IN for their first CORRECTNESS
     # rows, closing the oracle surface — everything with a DuckDB oracle
-    # has now been driver-checked at least once.
-    "sketch_count_min",
+    # has now been driver-checked at least once. (r10: sketch_count_min
+    # parked after four green rounds to fund dsir_importance_topk.)
     "streaming_dedup_events",
     # Round-6 addition: corpus-wide exact-substring duplicate spans (the
     # suffix-array dedup signal re-expressed as a positional-shingle
@@ -80,7 +80,16 @@ CONTRACT_FIRST: list[str] = [
     # their first-ever direct CORRECTNESS rows (r4 verdict item 3); and
     # one round-4-parked query rotates BACK in to bound proxy drift
     # (ADVICE r4: re-verify one parked query per round).
-    "dedup_simhash_pairs",
+    # Round-10 addition #2 (this session): exact-substring dedup
+    # REMOVAL (Lee et al.) — the rewrite step downstream of the span
+    # detector — goes straight into the contract; funded by parking
+    # dedup_simhash_pairs (five rounds green, see CONTRACT_EXCLUDE).
+    "dedup_remove_spans",
+    # Round-10 addition #3 (this session): DSIR importance resampling
+    # (hashed-ngram log-ratio weights + seeded Gumbel-top-k) — goes
+    # straight into the contract; funded by parking sketch_count_min
+    # (four rounds green, see CONTRACT_EXCLUDE).
+    "dsir_importance_topk",
     "decontam_overlap_spans",
     "dedup_embedding_cosine_lsh",
     # Round-7 addition #2 (this session): the continuous-aggregate
@@ -260,6 +269,23 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     "(same per-user ordered-window machinery over events) + "
     "check_contract --all rows (window_frame_suite unions the exact "
     "frame-sum shape)",
+    # round-10 rotation #2: funds the dedup_remove_spans slot. Five
+    # rounds green (r5-r9); its banded-signature bucketing and the
+    # single-shuffle `_bucket_pairs` candidate emit are exactly
+    # dedup_minhash_lsh's retained machinery (same helper, same cap),
+    # and both the pair query and its signature stage (dedup_simhash)
+    # stay hash-checked in check_contract --all.
+    "dedup_simhash_pairs": "dedup_minhash_lsh (same banded `_bucket_pairs` "
+    "single-shuffle candidate machinery, same bucket cap) + "
+    "check_contract --all rows (dedup_simhash_pairs, dedup_simhash)",
+    # round-10 rotation #3: funds the dsir_importance_topk slot. Four
+    # rounds green (r6-r9); its mergeable-sketch partial-aggregate
+    # family and error-bound-invariant oracle shape are exactly
+    # agg_approx_sketches' retained discipline (HLL/quantile sketches
+    # with checked bounds), and the count-min row itself stays
+    # hash-checked in check_contract --all.
+    "sketch_count_min": "agg_approx_sketches (same mergeable-sketch "
+    "error-bound-invariant aggregate family) + check_contract --all row",
     # round-6 rotation: two multi-green queries park to fund the
     # sketch_count_min + streaming_dedup_events slots (r5 verdict item 1).
     # Label-blocked cosine dedup (green r4, r5): its chunked-gemm cosine
@@ -309,6 +335,16 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     "decontam_overlap_bloom": "decontam_overlap_spans (same probe cut "
     "and exact shingle-overlap verify; Bloom prefilter cannot change "
     "rows) + check_contract --all row",
+    # round-10: classifier-based quality filtering (GPT-3 recipe).
+    # Library-only (cap): the MLlib-fit-inside-a-plan discipline is
+    # contract-anchored by mllib_kmeans_coverage, its seeded
+    # md5-acceptance filter is sample_mixture_sources' retained family,
+    # and the invariant row (split counts exact, AUC/filter thresholds)
+    # runs in check_contract --all; the planted-corpus separation is
+    # pytest-locked (TestQualityClassifier).
+    "quality_classifier_holdout": "mllib_kmeans_coverage (MLlib fit "
+    "in-plan, invariant oracle) + sample_mixture_sources (seeded "
+    "md5-acceptance filter family) + check_contract --all row",
     # round-7: deterministic shuffled shard export. Library-only (cap):
     # its md5→unit-interval assignment is scalar_hash_split's retained
     # family and its rank-within-partition is window_rank_ntile's; the

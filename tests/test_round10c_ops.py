@@ -1,0 +1,173 @@
+"""Round-10 ops, part 3: exact-substring dedup REMOVAL (Lee et al.),
+DSIR importance resampling (Xie et al. 2023), and classifier-based
+quality filtering (the GPT-3 recipe)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+PASSAGE = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+
+class TestRemoveDupSpans:
+    def _corpus(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_canonical_keeps_duplicate_loses(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.dedup import remove_dup_spans
+
+        rows = [
+            (1, f"one unique prefix {PASSAGE} and one unique suffix"),
+            (2, f"totally different opening {PASSAGE} closing words here"),
+            (3, "nothing shared with anything else in this corpus at all"),
+        ]
+        out = {
+            r["doc_id"]: r
+            for r in remove_dup_spans(self._corpus(spark, rows), n=8).collect()
+        }
+        # Doc 1 owns the canonical occurrence: text unchanged.
+        assert out[1]["n_removed"] == 0
+        assert PASSAGE in out[1]["kept_text"]
+        # Doc 2 loses exactly the 10 shared words.
+        assert out[2]["n_removed"] == 10
+        assert "alpha" not in out[2]["kept_text"]
+        assert out[2]["kept_text"].startswith("totally different opening")
+        assert out[2]["kept_text"].endswith("closing words here")
+        # Untouched doc.
+        assert out[3]["n_removed"] == 0
+
+    def test_within_doc_repeat_removed(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.dedup import remove_dup_spans
+
+        rows = [(1, f"{PASSAGE} filler words in the middle {PASSAGE}")]
+        out = remove_dup_spans(self._corpus(spark, rows), n=8).collect()[0]
+        # Second occurrence excised, first (canonical) kept.
+        assert out["n_removed"] == 10
+        assert out["kept_text"].count("alpha") == 1
+        assert out["kept_text"].startswith("alpha beta")
+
+    def test_accounting(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.dedup import remove_dup_spans
+
+        rows = [
+            (1, PASSAGE),
+            (2, PASSAGE),  # exact copy: all 10 words removed
+        ]
+        out = {r["doc_id"]: r for r in remove_dup_spans(self._corpus(spark, rows), n=8).collect()}
+        assert out[1]["n_words"] == 10 and out[1]["n_removed"] == 0
+        assert out[2]["n_removed"] == 10 and out[2]["kept_text"] == ""
+
+
+class TestDsir:
+    def _frames(self, spark):
+        # Raw corpus: 20 docs in the target style (sports vocab), 20 junk.
+        sporty = "match goal team score win league player season coach referee"
+        junky = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+        rows = []
+        for i in range(20):
+            w = sporty.split()
+            rows.append((i, " ".join(w[i % 5 :] + w[: i % 5])))
+        for i in range(20, 40):
+            w = junky.split()
+            rows.append((i, " ".join(w[i % 7 :] + w[: i % 7])))
+        raw = spark.createDataFrame(rows, "doc_id long, text string")
+        # Target domain: fresh sports docs (ids disjoint from raw).
+        tgt = spark.createDataFrame(
+            [(100 + i, sporty) for i in range(5)], "doc_id long, text string"
+        )
+        return raw, tgt
+
+    def test_selects_target_like_docs(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.dsir import (
+            doc_features,
+            dsir_resample_topk,
+            dsir_scores,
+            dsir_weights,
+        )
+
+        raw, tgt = self._frames(spark)
+        both = raw.unionByName(tgt)
+        feats = doc_features(both)
+        weights = dsir_weights(feats, tgt.select("doc_id"))
+        scored = dsir_scores(raw, weights)
+        top = dsir_resample_topk(scored, k=15).collect()
+        picked = {r["doc_id"] for r in top}
+        # Gumbel noise is ~O(1) on the log scale; the vocab gap is huge,
+        # so every selected doc must be from the sporty half.
+        assert picked <= set(range(20)), picked
+        # Scores separate the halves strictly.
+        by_id = {r["doc_id"]: r["score_int"] for r in scored.collect()}
+        assert min(by_id[i] for i in range(20)) > max(by_id[i] for i in range(20, 40))
+
+    def test_deterministic(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.dsir import (
+            dsir_importance_topk,
+        )
+
+        a = [tuple(r) for r in dsir_importance_topk(spark, SF_DIR).collect()]
+        b = [tuple(r) for r in dsir_importance_topk(spark, SF_DIR).collect()]
+        assert a == b
+        assert len(a) > 0
+
+
+class TestQualityClassifier:
+    def test_separates_planted_spam(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.quality_model import (
+            _planted,
+            pareto_keep,
+            score_quality,
+            train_quality_classifier,
+        )
+        from imitation_learning_data_pipeline_spark.functions.hashing import (
+            md5_unit_interval,
+        )
+
+        corpus = _planted(spark, SF_DIR).withColumn(
+            "is_train", md5_unit_interval("doc_id", seed="qsplit") < 0.7
+        )
+        model = train_quality_classifier(corpus.filter("is_train"))
+        scored = score_quality(model, corpus.filter("NOT is_train"))
+        rows = scored.select(
+            "doc_id",
+            "label",
+            "quality_score",
+            pareto_keep("quality_score", "doc_id").alias("kept"),
+        ).collect()
+        good = [r for r in rows if r["label"] == 1]
+        bad = [r for r in rows if r["label"] == 0]
+        assert good and bad
+        # Hard separation on the planted vocab.
+        assert min(r["quality_score"] for r in good) > max(
+            r["quality_score"] for r in bad
+        )
+        # GPT-3 Pareto filter: keeps most good, almost no spam.
+        assert sum(r["kept"] for r in good) >= 0.7 * len(good)
+        assert sum(r["kept"] for r in bad) <= 0.1 * len(bad)
+
+    def test_holdout_invariants_row(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.quality_model import (
+            quality_classifier_holdout,
+        )
+
+        row = quality_classifier_holdout(spark, SF_DIR).collect()[0]
+        assert row["auc_ge_090"] and row["good_kept_ge_070"] and row["bad_kept_le_010"]
+        assert row["n_train"] + row["n_eval"] > 0
+
+    def test_pareto_keep_deterministic(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.quality_model import (
+            pareto_keep,
+        )
+
+        df = spark.range(200).select(
+            F.col("id").alias("doc_id"), (F.col("id") / 200.0).alias("s")
+        )
+        a = df.select("doc_id", pareto_keep("s", "doc_id").alias("k")).collect()
+        b = df.select("doc_id", pareto_keep("s", "doc_id").alias("k")).collect()
+        assert a == b
+        # Monotone-ish: a score of 1.0 is always kept, 0.0 essentially never.
+        kept = {r["doc_id"]: r["k"] for r in a}
+        assert kept[199] is True
