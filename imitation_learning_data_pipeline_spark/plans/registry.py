@@ -226,8 +226,13 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     # round-5 rotation: q6_forecast_revenue rotated back INTO the
     # contract (proxy-drift check, ADVICE r4); these multi-green queries
     # park to fund the five round-5 contract entries.
-    "dedup_simhash": "dedup_simhash_pairs (the signature stage is its "
-    "first stage, identical agg)",
+    # (r10: proxy re-pointed to dedup_minhash_lsh when
+    # dedup_simhash_pairs itself parked — same banded-signature
+    # bucketing + `_bucket_pairs` machinery anchors the family in the
+    # contract; both simhash rows stay green in check_contract --all.)
+    "dedup_simhash": "dedup_minhash_lsh (same banded seeded-hash "
+    "signature aggregate and `_bucket_pairs` machinery; the simhash "
+    "signature stage stays hash-checked in check_contract --all)",
     "text_sentence_stats": "text_repetition_stats (same scan-bound "
     "per-doc text-statistics aggregate family)",
     "text_langid": "text_gopher_rules (same scan-bound normalized-token "
