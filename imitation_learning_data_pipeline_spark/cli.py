@@ -914,6 +914,122 @@ def cmd_lm_score(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_rewrite_dups(args: argparse.Namespace) -> int:
+    """Exact-substring dedup REMOVAL (plans/dedup.py::remove_dup_spans,
+    the Lee et al. rewrite step): excise corpus-duplicated word n-gram
+    occurrences from every document, keeping one canonical copy."""
+    from pyspark.sql import functions as F
+
+    from .plans.dedup import remove_dup_spans
+
+    spark = _spark("rewrite-dups")
+    docs = spark.read.parquet(args.input)
+    for c in (args.id_col, args.text_col):
+        if c not in docs.columns:
+            raise SystemExit(f"rewrite-dups: input must have a '{c}' column")
+    docs = docs.select(
+        F.col(args.id_col).alias("doc_id"), F.col(args.text_col).alias("text")
+    )
+    out = remove_dup_spans(docs, n=args.ngram)
+    if args.drop_empty:
+        out = out.filter(F.col("kept_text") != "")
+    out.write.mode("overwrite").parquet(args.out)
+    stats = out.agg(
+        F.count("*").alias("docs_out"),
+        F.sum("n_words").alias("words_in"),
+        F.sum("n_removed").alias("words_removed"),
+    ).collect()[0]
+    print(json.dumps({"out": args.out, **stats.asDict()}))
+    return 0
+
+
+def cmd_dsir(args: argparse.Namespace) -> int:
+    """DSIR importance resampling (plans/dsir.py): select the raw
+    documents most like a target domain via hashed-ngram log-ratio
+    weights + seeded Gumbel-top-k."""
+    from pyspark.sql import functions as F
+
+    from . import cache
+    from .plans.dsir import (
+        doc_features,
+        dsir_resample_topk,
+        dsir_scores,
+        dsir_weights,
+    )
+
+    spark = _spark("dsir")
+    raw = spark.read.parquet(args.input).select(
+        F.col(args.id_col).alias("doc_id"), F.col(args.text_col).alias("text")
+    )
+    if args.target:
+        tgt = spark.read.parquet(args.target).select(
+            F.col(args.id_col).alias("doc_id"), F.col(args.text_col).alias("text")
+        )
+        # Disjoint id spaces are the caller's contract; weights come
+        # from the union so every raw feature bucket is covered.
+        both = raw.unionByName(tgt)
+        target_ids = tgt.select("doc_id")
+    elif args.target_where:
+        # Target is a subset of the raw corpus named by a predicate
+        # (e.g. "source = 'wiki'"); weights come from raw itself.
+        both = raw
+        target_ids = (
+            spark.read.parquet(args.input)
+            .filter(args.target_where)
+            .select(F.col(args.id_col).alias("doc_id"))
+        )
+    else:
+        raise SystemExit("dsir: pass --target PARQUET or --target-where PREDICATE")
+    cache.begin_plan()
+    feats = cache.pin(doc_features(both))
+    weights = dsir_weights(feats, target_ids)
+    # feats may cover target docs too; dsir_scores left-joins from the
+    # raw id set, so extra target rows prune away.
+    scored = dsir_scores(raw, weights, feats=feats)
+    picked = dsir_resample_topk(scored, k=args.k, seed=args.seed)
+    picked.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"out": args.out, "selected": picked.count(), "k": args.k}))
+    return 0
+
+
+def cmd_quality_model(args: argparse.Namespace) -> int:
+    """Classifier-based quality filtering (plans/quality_model.py, the
+    GPT-3 recipe): train an MLlib LR on a labeled parquet, score the
+    input corpus, optionally apply the seeded Pareto acceptance filter."""
+    from pyspark.sql import functions as F
+
+    from .plans.quality_model import (
+        pareto_keep,
+        score_quality,
+        train_quality_classifier,
+    )
+
+    spark = _spark("quality-model")
+    labeled = spark.read.parquet(args.labeled)
+    for c in (args.label_col, args.text_col):
+        if c not in labeled.columns:
+            raise SystemExit(f"quality-model: labeled set needs a '{c}' column")
+    model = train_quality_classifier(
+        labeled, label_col=args.label_col, text_col=args.text_col
+    )
+    docs = spark.read.parquet(args.input)
+    scored = score_quality(model, docs, text_col=args.text_col)
+    if args.filter:
+        scored = scored.withColumn(
+            "kept",
+            pareto_keep(
+                "quality_score", args.id_col, alpha=args.alpha, seed=args.seed
+            ),
+        )
+        out = scored.filter("kept").drop("kept") if args.keep_only else scored
+    else:
+        out = scored
+    out.write.mode("overwrite").parquet(args.out)
+    stats = {"out": args.out, "rows": out.count()}
+    print(json.dumps(stats))
+    return 0
+
+
 def cmd_matview(args: argparse.Namespace) -> int:
     """Incremental materialized views (pipeline/matview.py): create,
     refresh (cost ∝ new base files), rebuild, read."""
@@ -1863,6 +1979,57 @@ def build_parser() -> argparse.ArgumentParser:
     )
     lm.add_argument("--out", required=True)
     lm.set_defaults(fn=cmd_lm_score)
+
+    rd = sub.add_parser(
+        "rewrite-dups",
+        help="excise corpus-duplicated word n-gram spans from every "
+        "document, keeping one canonical occurrence (Lee et al.)",
+    )
+    rd.add_argument("--input", required=True, help="parquet with id + text columns")
+    rd.add_argument("--text-col", default="text")
+    rd.add_argument("--id-col", default="doc_id")
+    rd.add_argument("--ngram", type=int, default=8, help="span gram width")
+    rd.add_argument(
+        "--drop-empty", action="store_true",
+        help="drop documents whose text was entirely duplicated",
+    )
+    rd.add_argument("--out", required=True)
+    rd.set_defaults(fn=cmd_rewrite_dups)
+
+    ds = sub.add_parser(
+        "dsir",
+        help="DSIR: select raw docs most like a target domain "
+        "(hashed-ngram log-ratio weights + seeded Gumbel-top-k)",
+    )
+    ds.add_argument("--input", required=True, help="raw corpus parquet")
+    ds.add_argument("--target", default=None, help="target-domain parquet")
+    ds.add_argument(
+        "--target-where", default=None,
+        help="SQL predicate naming the target subset of --input",
+    )
+    ds.add_argument("--text-col", default="text")
+    ds.add_argument("--id-col", default="doc_id")
+    ds.add_argument("--k", type=int, default=1000)
+    ds.add_argument("--seed", default="dsir-g")
+    ds.add_argument("--out", required=True)
+    ds.set_defaults(fn=cmd_dsir)
+
+    qm = sub.add_parser(
+        "quality-model",
+        help="train an LR quality classifier on a labeled set, score "
+        "the corpus; --filter applies the seeded Pareto keep rule",
+    )
+    qm.add_argument("--input", required=True, help="corpus to score")
+    qm.add_argument("--labeled", required=True, help="labeled training parquet")
+    qm.add_argument("--label-col", default="label")
+    qm.add_argument("--text-col", default="text")
+    qm.add_argument("--id-col", default="doc_id")
+    qm.add_argument("--filter", action="store_true")
+    qm.add_argument("--keep-only", action="store_true")
+    qm.add_argument("--alpha", type=float, default=9.0)
+    qm.add_argument("--seed", default="quality")
+    qm.add_argument("--out", required=True)
+    qm.set_defaults(fn=cmd_quality_model)
 
     mv = sub.add_parser(
         "matview",

@@ -171,3 +171,70 @@ class TestQualityClassifier:
         # Monotone-ish: a score of 1.0 is always kept, 0.0 essentially never.
         kept = {r["doc_id"]: r["k"] for r in a}
         assert kept[199] is True
+
+
+class TestRound10cCli:
+    def test_rewrite_dups_dsir_quality_verbs(self, spark, tmp_path, capsys):
+        import json as _json
+
+        from imitation_learning_data_pipeline_spark.cli import main
+
+        # rewrite-dups: two docs sharing a 10-word passage.
+        src = str(tmp_path / "docs")
+        rows = [
+            (1, f"one unique prefix {PASSAGE} and one unique suffix"),
+            (2, f"totally different opening {PASSAGE} closing words here"),
+            (3, "nothing shared with anything else in this small corpus"),
+        ]
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+        rout = str(tmp_path / "rewritten")
+        assert main(["rewrite-dups", "--input", src, "--out", rout]) == 0
+        stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats["docs_out"] == 3 and stats["words_removed"] == 10
+        got = {
+            r["doc_id"]: r["kept_text"]
+            for r in spark.read.parquet(rout).collect()
+        }
+        assert "alpha" in got[1] and "alpha" not in got[2]
+
+        # dsir --target-where: sporty target inside a mixed corpus.
+        mixed = str(tmp_path / "mixed")
+        sporty = "match goal team score win league player season coach referee"
+        junky = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+        mrows = [(i, sporty, "tgt") for i in range(10)] + [
+            (100 + i, junky, "raw") for i in range(10)
+        ] + [(200 + i, sporty, "raw") for i in range(10)]
+        spark.createDataFrame(
+            mrows, "doc_id long, text string, source string"
+        ).write.parquet(mixed)
+        dout = str(tmp_path / "dsir_sel")
+        assert (
+            main(
+                ["dsir", "--input", mixed, "--target-where", "source = 'tgt'",
+                 "--k", "12", "--out", dout]
+            )
+            == 0
+        )
+        sel = {r["doc_id"] for r in spark.read.parquet(dout).collect()}
+        assert len(sel) == 12
+        # junk docs (100-109) must lose to sporty ones under any Gumbel draw
+        assert not (sel & {100 + i for i in range(10)})
+
+        # quality-model: labeled spam vs real, filter the corpus.
+        labeled = str(tmp_path / "labeled")
+        lrows = [(i, sporty + f" extra{i}", 1) for i in range(20)] + [
+            (100 + i, "buy cheap click winner prize " * 2, 0) for i in range(20)
+        ]
+        spark.createDataFrame(
+            lrows, "doc_id long, text string, label int"
+        ).write.parquet(labeled)
+        qout = str(tmp_path / "scored")
+        assert (
+            main(
+                ["quality-model", "--input", mixed, "--labeled", labeled,
+                 "--out", qout]
+            )
+            == 0
+        )
+        q = spark.read.parquet(qout)
+        assert q.count() == 30 and "quality_score" in q.columns
