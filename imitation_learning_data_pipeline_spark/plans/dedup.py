@@ -1521,12 +1521,23 @@ def remove_dup_spans(docs: DataFrame, n: int = _SUBSTR_N) -> DataFrame:
     removable = pos_sh.join(dup, "h").filter(
         ~((F.col("doc_id") == F.col("can_doc")) & (F.col("pos") == F.col("can_pos")))
     )
+    # Aggregate the span STARTS (one row per removable occurrence) and
+    # expand to covered word indices AFTER the shuffle, as a pure array
+    # expression — exploding sequence() first would shuffle n× the rows
+    # (measured 8×: 189 task-CPU-s → see SCALING.md round-10 pairing).
     covered = (
-        removable.select(
-            "doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("idx")
+        removable.groupBy("doc_id")
+        .agg(F.collect_list("pos").alias("starts"))
+        .select(
+            "doc_id",
+            F.array_sort(
+                F.array_distinct(
+                    F.flatten(
+                        F.transform("starts", lambda p: F.sequence(p, p + (n - 1)))
+                    )
+                )
+            ).alias("cov"),
         )
-        .groupBy("doc_id")
-        .agg(F.sort_array(F.collect_set("idx")).alias("cov"))
     )
     words = docs.select("doc_id", clean_words("text").alias("__w"))
     out = words.join(covered, "doc_id", "left")

@@ -129,6 +129,20 @@ AUDIT = {
         "want": ["BroadcastHashJoin", "HashAggregate"],
         "forbid": ["SortMergeJoin", "CartesianProduct"],
     },
+    # dup-span removal: every join is hash-keyed (gram hash, doc_id) —
+    # never all-pairs — and the covered-position rewrite joins ONE
+    # metadata-sized array per affected doc back to the corpus.
+    "dedup_remove_spans": {
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    # DSIR: the 4096-row weight table and the target-id set broadcast
+    # onto the feature stream (never an SMJ of corpus-sized sides), and
+    # selection is TakeOrdered — a global sort of the corpus
+    # (rangepartitioning) is the anti-plan.
+    "dsir_importance_topk": {
+        "want": ["BroadcastHashJoin", "TakeOrderedAndProject"],
+        "forbid": ["CartesianProduct", "rangepartitioning"],
+    },
     # LM scoring: doc-bigram stream joins the vocabulary-bounded count
     # tables — hash joins only, and the per-doc fold is a hash
     # aggregate with map-side partial combine (integer nll sums).
