@@ -961,6 +961,16 @@ def cmd_dsir(args: argparse.Namespace) -> int:
     raw = spark.read.parquet(args.input).select(
         F.col(args.id_col).alias("doc_id"), F.col(args.text_col).alias("text")
     )
+    if args.weights:
+        # Stored-weights fast path: score + select this batch at
+        # O(batch); the reference corpora are never touched.
+        from .plans.dsir import dsir_select_batch, read_dsir_weights
+
+        w = read_dsir_weights(spark, args.weights)
+        picked = dsir_select_batch(raw, w, k=args.k, seed=args.seed)
+        picked.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"out": args.out, "selected": picked.count(), "k": args.k}))
+        return 0
     if args.target:
         tgt = spark.read.parquet(args.target).select(
             F.col(args.id_col).alias("doc_id"), F.col(args.text_col).alias("text")
@@ -983,12 +993,20 @@ def cmd_dsir(args: argparse.Namespace) -> int:
     cache.begin_plan()
     feats = cache.pin(doc_features(both))
     weights = dsir_weights(feats, target_ids)
+    if args.weights_out:
+        from .plans.dsir import write_dsir_weights
+
+        write_dsir_weights(weights, args.weights_out)
+        weights = spark.read.parquet(args.weights_out)
     # feats may cover target docs too; dsir_scores left-joins from the
     # raw id set, so extra target rows prune away.
     scored = dsir_scores(raw, weights, feats=feats)
     picked = dsir_resample_topk(scored, k=args.k, seed=args.seed)
     picked.write.mode("overwrite").parquet(args.out)
-    print(json.dumps({"out": args.out, "selected": picked.count(), "k": args.k}))
+    stats = {"out": args.out, "selected": picked.count(), "k": args.k}
+    if args.weights_out:
+        stats["weights_out"] = args.weights_out
+    print(json.dumps(stats))
     return 0
 
 
@@ -2011,6 +2029,14 @@ def build_parser() -> argparse.ArgumentParser:
     ds.add_argument("--id-col", default="doc_id")
     ds.add_argument("--k", type=int, default=1000)
     ds.add_argument("--seed", default="dsir-g")
+    ds.add_argument(
+        "--weights-out", default=None,
+        help="persist the estimated bucket-weight table for batch reuse",
+    )
+    ds.add_argument(
+        "--weights", default=None,
+        help="score against a STORED weight table (O(batch), no re-estimation)",
+    )
     ds.add_argument("--out", required=True)
     ds.set_defaults(fn=cmd_dsir)
 

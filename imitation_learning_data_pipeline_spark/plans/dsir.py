@@ -180,6 +180,52 @@ def dsir_resample_topk(
     )
 
 
+def write_dsir_weights(weights: DataFrame, path: str) -> None:
+    """Persist the bucket-weight table (the decontam probe-store
+    pattern: estimate ONCE over the reference corpora, then select each
+    incoming batch at O(batch)). B rows — one parquet part."""
+    weights.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def read_dsir_weights(spark: SparkSession, path: str) -> DataFrame:
+    """Load a persisted weight table for batch scoring."""
+    w = spark.read.parquet(path)
+    missing = {"bkt", "w_int"} - set(w.columns)
+    if missing:
+        raise ValueError(f"not a DSIR weight store (missing {sorted(missing)}): {path}")
+    return w
+
+
+def dsir_select_batch(
+    docs: DataFrame,
+    weights: DataFrame,
+    k: int = 1000,
+    seed: str = "dsir-g",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score + Gumbel-top-k one incoming batch against STORED weights —
+    cost O(batch), nothing about the reference corpora is recomputed.
+
+    The weight join is LEFT with weight-0 fill: a batch can contain
+    feature buckets the estimation corpora never produced (new
+    vocabulary), and the smoothed log-ratio of an unseen bucket is ~0
+    by construction — an inner join would silently drop those features
+    and bias the scores.
+    """
+    feats = doc_features(docs, text_col)
+    scored = (
+        feats.join(F.broadcast(weights), "bkt", "left")
+        .groupBy("doc_id")
+        .agg(F.sum(F.coalesce("w_int", F.lit(0))).alias("score_int"))
+    )
+    scored = (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select("doc_id", F.coalesce("score_int", F.lit(0)).alias("score_int"))
+    )
+    return dsir_resample_topk(scored, k=k, seed=seed)
+
+
 _FEATS_SQL = f"""
   SELECT doc_id, ('0x' || substr(md5('dsir|' || ng), 1, 8))::BIGINT % {N_BUCKETS} AS bkt
   FROM (

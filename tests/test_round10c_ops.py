@@ -238,3 +238,64 @@ class TestRound10cCli:
         )
         q = spark.read.parquet(qout)
         assert q.count() == 30 and "quality_score" in q.columns
+
+
+class TestDsirWeightStore:
+    def test_roundtrip_matches_inline(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.plans.dsir import (
+            doc_features,
+            dsir_resample_topk,
+            dsir_scores,
+            dsir_select_batch,
+            dsir_weights,
+            read_dsir_weights,
+            write_dsir_weights,
+        )
+
+        sporty = "match goal team score win league player season coach referee"
+        junky = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+        rows = [(i, sporty if i % 2 == 0 else junky) for i in range(40)]
+        raw = spark.createDataFrame(rows, "doc_id long, text string")
+        tgt_ids = raw.filter("doc_id % 2 = 0 and doc_id < 10").select("doc_id")
+        feats = doc_features(raw)
+        weights = dsir_weights(feats, tgt_ids)
+        path = str(tmp_path / "wstore")
+        write_dsir_weights(weights, path)
+        stored = read_dsir_weights(spark, path)
+        inline = dsir_resample_topk(dsir_scores(raw, weights), k=10).collect()
+        batch = dsir_select_batch(raw, stored, k=10).collect()
+        assert [tuple(r) for r in inline] == [tuple(r) for r in batch]
+        # One parquet part: the store is metadata-sized by construction.
+        import glob
+        assert len(glob.glob(f"{path}/part-*.parquet")) == 1
+
+    def test_unseen_buckets_score_zero(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.plans.dsir import (
+            doc_features,
+            dsir_select_batch,
+            dsir_weights,
+            read_dsir_weights,
+            write_dsir_weights,
+        )
+
+        ref = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+            "doc_id long, text string",
+        )
+        w = dsir_weights(doc_features(ref), ref.limit(1).select("doc_id"))
+        path = str(tmp_path / "w2")
+        write_dsir_weights(w, path)
+        # Batch made ENTIRELY of vocabulary the reference never saw.
+        batch = spark.createDataFrame(
+            [(10, "totally novel words here")], "doc_id long, text string"
+        )
+        out = dsir_select_batch(batch, read_dsir_weights(spark, path), k=5).collect()
+        assert len(out) == 1 and out[0]["score"] == 0.0
+
+    def test_store_guard(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.plans.dsir import read_dsir_weights
+
+        bad = str(tmp_path / "notweights")
+        spark.range(3).write.parquet(bad)
+        with pytest.raises(ValueError, match="DSIR weight store"):
+            read_dsir_weights(spark, bad)
