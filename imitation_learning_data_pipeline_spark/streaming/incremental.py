@@ -763,6 +763,84 @@ def run_incremental_quality_stream(
     q.awaitTermination()
 
 
+def run_incremental_dsir_stream(
+    stream: DataFrame,
+    weights_path: str,
+    out_path: str,
+    checkpoint: str,
+    min_score: float | None = None,
+    k_per_batch: int | None = None,
+    seed: str = "dsir-g",
+) -> None:
+    """Continuous DSIR selection: each micro-batch of ``(doc_id, text)``
+    documents is scored against a PERSISTED weight table
+    (plans.dsir.write_dsir_weights — estimated once over the reference
+    corpora, never re-touched) and the selected rows land under
+    ``ingest_batch=N`` partitions at ``out_path``.
+
+    Two selection modes, exactly one required:
+    - ``min_score``: keep every doc whose importance score clears the
+      threshold — the natural streaming form (batch-size-independent
+      acceptance, same doc always gets the same verdict).
+    - ``k_per_batch``: seeded Gumbel-top-k WITHIN each batch — the
+      paper's resampling applied per micro-batch (note the k is per
+      batch, not global: a stream has no global top-k without a
+      compaction pass; the seed keys on doc_id so replays agree).
+
+    Exactly-once: checkpointed offsets + dynamic partition overwrite —
+    a replayed batch REPLACES its own partition. Per-trigger cost is
+    the batch featurization + a broadcast join against the B-row
+    weight table (O(batch), the probe-store discipline).
+    """
+    if (min_score is None) == (k_per_batch is None):
+        raise ValueError("pass exactly one of min_score / k_per_batch")
+    from ..plans.dsir import dsir_select_batch, doc_features, read_dsir_weights
+
+    spark = stream.sparkSession
+    weights = read_dsir_weights(spark, weights_path)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if k_per_batch is not None:
+            picked = dsir_select_batch(
+                batch_df, weights, k=k_per_batch, seed=seed
+            )
+        else:
+            feats = doc_features(batch_df)
+            scored = (
+                feats.join(F.broadcast(weights), "bkt", "left")
+                .groupBy("doc_id")
+                .agg(F.sum(F.coalesce("w_int", F.lit(0))).alias("score_int"))
+            )
+            picked = (
+                batch_df.select("doc_id")
+                .join(scored, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    (F.coalesce("score_int", F.lit(0)).cast("double") / 10000).alias(
+                        "score"
+                    ),
+                )
+                .filter(F.col("score") >= min_score)
+            )
+        (
+            picked.withColumn("ingest_batch", F.lit(int(batch_id)))
+            .write.partitionBy("ingest_batch")
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(out_path)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_incremental_heavyhitter_stream(
     stream: DataFrame,
     store_path: str,

@@ -299,3 +299,100 @@ class TestDsirWeightStore:
         spark.range(3).write.parquet(bad)
         with pytest.raises(ValueError, match="DSIR weight store"):
             read_dsir_weights(spark, bad)
+
+
+class TestStreamingDsir:
+    def test_threshold_stream_matches_batch_and_replays(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.plans.dsir import (
+            doc_features,
+            dsir_weights,
+            write_dsir_weights,
+        )
+        from imitation_learning_data_pipeline_spark.streaming.incremental import (
+            run_incremental_dsir_stream,
+        )
+
+        sporty = "match goal team score win league player season coach referee"
+        junky = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+        ref = spark.createDataFrame(
+            [(900 + i, sporty) for i in range(5)]
+            + [(950 + i, junky) for i in range(5)],
+            "doc_id long, text string",
+        )
+        wpath = str(tmp_path / "weights")
+        write_dsir_weights(
+            dsir_weights(doc_features(ref), ref.filter("doc_id < 950").select("doc_id")),
+            wpath,
+        )
+        rows = [(i, sporty if i % 2 == 0 else junky) for i in range(12)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        src = str(tmp_path / "src")
+        docs.repartition(3).write.parquet(src)
+        stream = spark.readStream.schema("doc_id long, text string").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        run_incremental_dsir_stream(stream, wpath, out, ckpt, min_score=0.0)
+        got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+        # Sporty docs score positive, junk negative: the threshold keeps
+        # exactly the even ids regardless of batch boundaries.
+        assert got == {i for i in range(12) if i % 2 == 0}
+        # Replay with a fresh checkpoint: partitions replaced, not appended.
+        run_incremental_dsir_stream(
+            stream, wpath, out, str(tmp_path / "ck2"), min_score=0.0
+        )
+        assert spark.read.parquet(out).count() == len(got)
+
+    def test_mode_exclusivity(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.streaming.incremental import (
+            run_incremental_dsir_stream,
+        )
+
+        with pytest.raises(ValueError, match="exactly one"):
+            run_incremental_dsir_stream(None, "w", "o", "c")
+        with pytest.raises(ValueError, match="exactly one"):
+            run_incremental_dsir_stream(
+                None, "w", "o", "c", min_score=0.0, k_per_batch=5
+            )
+
+    def test_per_batch_topk(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.plans.dsir import (
+            doc_features,
+            dsir_weights,
+            write_dsir_weights,
+        )
+        from imitation_learning_data_pipeline_spark.streaming.incremental import (
+            run_incremental_dsir_stream,
+        )
+
+        sporty = "match goal team score win league player season coach referee"
+        ref = spark.createDataFrame(
+            [(900, sporty), (950, "lorem ipsum dolor sit amet consectetur")],
+            "doc_id long, text string",
+        )
+        wpath = str(tmp_path / "w")
+        write_dsir_weights(
+            dsir_weights(doc_features(ref), ref.filter("doc_id = 900").select("doc_id")),
+            wpath,
+        )
+        docs = spark.createDataFrame(
+            [(i, sporty) for i in range(9)], "doc_id long, text string"
+        )
+        src = str(tmp_path / "src")
+        docs.repartition(3).write.parquet(src)
+        stream = spark.readStream.schema("doc_id long, text string").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        out = str(tmp_path / "out")
+        run_incremental_dsir_stream(
+            stream, wpath, out, str(tmp_path / "ck"), k_per_batch=2
+        )
+        per_batch = {
+            r["ingest_batch"]: r["n"]
+            for r in spark.read.parquet(out)
+            .groupBy("ingest_batch")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        # 3 files -> 3 micro-batches, top-2 each.
+        assert len(per_batch) == 3 and all(n == 2 for n in per_batch.values())
