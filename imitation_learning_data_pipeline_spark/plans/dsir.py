@@ -226,6 +226,37 @@ def dsir_select_batch(
     return dsir_resample_topk(scored, k=k, seed=seed)
 
 
+def read_dsir_selection(spark: SparkSession, store_path: str, k: int) -> DataFrame:
+    """Fold a streaming DSIR store (per-batch Gumbel-top-k partitions
+    from ``run_incremental_dsir_stream(k_per_batch=...)``) into the
+    EXACT global top-k.
+
+    Why this is exact, not approximate: the Gumbel key is a pure
+    function of (doc_id, seed) — identical whether a doc was scored in
+    batch 3 or in one big batch — and each batch contributes at most
+    ``k`` rows to the global top-k, so with ``k ≤ k_per_batch`` every
+    global winner survived its own batch's cut. The fold is a
+    TakeOrdered over ≤ batches·k_per_batch candidate rows — metadata-
+    sized, never a corpus pass (pytest-locked equal to the single-batch
+    selection).
+    """
+    from pyspark.sql.window import Window
+
+    store = spark.read.parquet(store_path)
+    need = {"doc_id", "score", "sample_key"}
+    if not need <= set(store.columns):
+        raise ValueError(
+            f"not a streaming DSIR selection store (need {sorted(need)}): {store_path}"
+        )
+    top = (
+        store.select("doc_id", "score", "sample_key")
+        .orderBy(F.col("sample_key").desc(), "doc_id")
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("sample_key").desc(), "doc_id")
+    return top.select(F.row_number().over(w).alias("rk"), "doc_id", "score", "sample_key")
+
+
 _FEATS_SQL = f"""
   SELECT doc_id, ('0x' || substr(md5('dsir|' || ng), 1, 8))::BIGINT % {N_BUCKETS} AS bkt
   FROM (

@@ -396,3 +396,59 @@ class TestStreamingDsir:
         }
         # 3 files -> 3 micro-batches, top-2 each.
         assert len(per_batch) == 3 and all(n == 2 for n in per_batch.values())
+
+
+class TestDsirGlobalCompaction:
+    def test_stream_then_fold_equals_single_batch(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.plans.dsir import (
+            doc_features,
+            dsir_select_batch,
+            dsir_weights,
+            read_dsir_selection,
+            read_dsir_weights,
+            write_dsir_weights,
+        )
+        from imitation_learning_data_pipeline_spark.streaming.incremental import (
+            run_incremental_dsir_stream,
+        )
+
+        sporty = "match goal team score win league player season coach referee"
+        junky = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+        ref = spark.createDataFrame(
+            [(900, sporty), (950, junky)], "doc_id long, text string"
+        )
+        wpath = str(tmp_path / "w")
+        write_dsir_weights(
+            dsir_weights(doc_features(ref), ref.filter("doc_id = 900").select("doc_id")),
+            wpath,
+        )
+        # Mixed corpus split over 4 files -> 4 micro-batches.
+        rows = [
+            (i, " ".join((sporty if i % 3 else junky).split()[i % 4 :]))
+            for i in range(24)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        src = str(tmp_path / "src")
+        docs.repartition(4).write.parquet(src)
+        stream = spark.readStream.schema("doc_id long, text string").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        out = str(tmp_path / "sel")
+        run_incremental_dsir_stream(
+            stream, wpath, out, str(tmp_path / "ck"), k_per_batch=6
+        )
+        folded = read_dsir_selection(spark, out, k=6).collect()
+        single = dsir_select_batch(
+            docs, read_dsir_weights(spark, wpath), k=6
+        ).collect()
+        assert [tuple(r) for r in folded] == [tuple(r) for r in single]
+
+    def test_store_guard(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.plans.dsir import (
+            read_dsir_selection,
+        )
+
+        bad = str(tmp_path / "bad")
+        spark.range(3).write.parquet(bad)
+        with pytest.raises(ValueError, match="selection store"):
+            read_dsir_selection(spark, bad, k=2)
