@@ -1754,6 +1754,93 @@ def connected_components(
     )
 
 
+def cluster_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score,
+    max_iters: int = _CC_MAX_ITERS,
+) -> DataFrame:
+    """Quality-aware canonical selection: per near-dup cluster keep the
+    HIGHEST-scoring document (tiebreak min doc_id), not blindly the
+    min-id one → ``(doc_id, cluster_id, score, is_keeper)``.
+
+    This is what production dedup actually does — when a page exists in
+    five scrapes, keep the best extraction, not the first-crawled.
+    Singletons (docs absent from ``pairs``) are their own keepers.
+
+    Scale shape: components run on the pair graph only (corpus-scale
+    text never enters); keeper selection is ``max(struct(score,
+    −doc_id))`` — a map-side-combinable aggregate, NOT a per-cluster
+    window (no sort, and the agg output is one row per cluster).
+    ``score`` is a column name or Column over ``docs``.
+    """
+    s = F.col(score) if isinstance(score, str) else score
+    comp = connected_components(pairs, max_iters=max_iters).select(
+        "doc_id", "cluster_id"
+    )
+    scored = docs.select("doc_id", s.cast("double").alias("score"))
+    j = scored.join(comp, "doc_id", "left").withColumn(
+        "cluster_id", F.coalesce("cluster_id", F.col("doc_id"))
+    )
+    best = j.groupBy("cluster_id").agg(
+        F.max(F.struct(F.col("score"), (-F.col("doc_id")).alias("negid"))).alias("m")
+    )
+    keepers = best.select("cluster_id", (-F.col("m.negid")).alias("__keeper"))
+    return j.join(keepers, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "score",
+        (F.col("doc_id") == F.col("__keeper")).alias("is_keeper"),
+    )
+
+
+@register(
+    "dedup_cluster_keep_best",
+    oracle=f"""
+WITH RECURSIVE corpus AS ({_CORPUS_SQL}),
+mh AS MATERIALIZED (
+  {_minhash_oracle().strip()}
+),
+e AS (
+  SELECT doc_a AS a, doc_b AS b FROM mh
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM mh
+),
+nodes AS (SELECT DISTINCT a AS doc FROM e),
+r(doc, reach) AS (
+  SELECT doc, doc FROM nodes
+  UNION
+  SELECT r.doc, e.b FROM r JOIN e ON r.reach = e.a
+),
+comp AS (SELECT doc, min(reach) AS cluster_id FROM r GROUP BY doc),
+scored AS (
+  SELECT c.doc_id,
+         coalesce(comp.cluster_id, c.doc_id) AS cluster_id,
+         CAST(len({_W_SQL}) AS DOUBLE) AS score
+  FROM corpus c LEFT JOIN comp ON c.doc_id = comp.doc
+),
+best AS (
+  SELECT cluster_id,
+         max(struct_pack(score := score, negid := -doc_id)) AS m
+  FROM scored GROUP BY cluster_id
+)
+SELECT s.doc_id, s.cluster_id, s.score,
+       s.doc_id = -(b.m.negid) AS is_keeper
+FROM scored s JOIN best b ON s.cluster_id = b.cluster_id
+""",
+)
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Library query: quality-aware keeper selection over the planted
+    corpus with word count as the quality score — the tail-appended
+    near-dups (5 extra words) must beat their bases, the case-variant
+    exact copies tie and fall back to min doc_id (the base wins)."""
+    corpus = _corpus(spark, sf_dir)
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    return cluster_keep_best(
+        corpus, pairs, F.size(clean_words("text"))
+    )
+
+
 # --- end-to-end dedup: corpus → pairs → components → reduction stats ---------
 
 @register(

@@ -340,6 +340,15 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     "decontam_overlap_bloom": "decontam_overlap_spans (same probe cut "
     "and exact shingle-overlap verify; Bloom prefilter cannot change "
     "rows) + check_contract --all row",
+    # round-10: quality-aware canonical selection. Library-only (cap):
+    # its transitive closure IS dedup_cluster_components' retained
+    # machinery (same connected_components call over the same minhash
+    # pair graph) and the keeper argmax is one map-side struct-max agg;
+    # the full keeper assignment is hash-checked in check_contract
+    # --all against the recursive-CTE oracle extended with the score.
+    "dedup_cluster_keep_best": "dedup_cluster_components (same "
+    "connected-components machinery over the same minhash pair graph) "
+    "+ check_contract --all row",
     # round-10: classifier-based quality filtering (GPT-3 recipe).
     # Library-only (cap): the MLlib-fit-inside-a-plan discipline is
     # contract-anchored by mllib_kmeans_coverage, its seeded

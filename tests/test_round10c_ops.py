@@ -452,3 +452,52 @@ class TestDsirGlobalCompaction:
         spark.range(3).write.parquet(bad)
         with pytest.raises(ValueError, match="selection store"):
             read_dsir_selection(spark, bad, k=2)
+
+
+class TestClusterKeepBest:
+    def test_best_keeper_and_singletons(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.dedup import cluster_keep_best
+
+        docs = spark.createDataFrame(
+            [
+                (1, 5.0),   # cluster {1,2,3}: 2 has the best score
+                (2, 9.0),
+                (3, 9.0),   # ties 2 on score -> min doc_id (2) wins
+                (7, 1.0),   # singleton: its own keeper
+            ],
+            "doc_id long, score double",
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3)], "doc_a long, doc_b long"
+        )
+        out = {
+            r["doc_id"]: (r["cluster_id"], r["is_keeper"])
+            for r in cluster_keep_best(docs, pairs, "score").collect()
+        }
+        assert out[1] == (1, False)
+        assert out[2] == (1, True)   # best score, tie broken by min id
+        assert out[3] == (1, False)
+        assert out[7] == (7, True)   # singleton keeps itself
+
+    def test_lib_query_planted_semantics(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.dedup import (
+            dedup_cluster_keep_best,
+        )
+        from tests.conftest import SF_DIR
+
+        rows = dedup_cluster_keep_best(spark, SF_DIR).collect()
+        by_id = {r["doc_id"]: r for r in rows}
+        # Tail-appended near-dups (+2000000, 5 extra words) must beat
+        # their bases wherever both ended up in one cluster.
+        for r in rows:
+            if r["doc_id"] >= 2000000 and (r["doc_id"] - 2000000) in by_id:
+                base = by_id[r["doc_id"] - 2000000]
+                if base["cluster_id"] == r["cluster_id"]:
+                    assert r["is_keeper"] and not base["is_keeper"]
+        # Exactly one keeper per cluster.
+        from collections import Counter
+
+        per_cluster = Counter(r["cluster_id"] for r in rows if r["is_keeper"])
+        all_clusters = {r["cluster_id"] for r in rows}
+        assert set(per_cluster) == all_clusters
+        assert all(v == 1 for v in per_cluster.values())
