@@ -2155,7 +2155,8 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument(
         "--stages",
         default="gopher,pii,dedup,sample",
-        help="comma-separated subset/order of gopher,pii,dedup,sample",
+        help="comma-separated subset/order of gopher,pii,rewrite,dedup,"
+        "sample (rewrite = duplicate-span excision, opt-in)",
     )
     cu.add_argument(
         "--min-stopwords",

@@ -224,6 +224,8 @@ def corpus_diff_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sampling) — this function only composes them.
 
 _FUNNEL_STAGES = ("gopher", "pii", "dedup", "sample")
+# every runnable stage ("rewrite" is opt-in, not in the default chain)
+_KNOWN_STAGES = ("gopher", "pii", "rewrite", "dedup", "sample")
 
 
 def curation_funnel(
@@ -244,6 +246,11 @@ def curation_funnel(
       override via ``min_required_stopwords``).
     - ``pii``: email/IPv4/phone redaction — transforms text, drops
       nothing.
+    - ``rewrite`` (opt-in, not in the default chain): Lee-et-al
+      duplicate-span excision (dedup.remove_dup_spans) — rewrites
+      text, drops docs whose text was entirely duplicated. Place it
+      BEFORE ``dedup``: exact copies become empty and drop here,
+      partial copies lose only the copied passage.
     - ``dedup``: exact content dedup, keep the lowest doc_id per
       md5(text) (one hash aggregate — no window).
     - ``sample``: CCNet-shaped perplexity-bucket acceptance on the
@@ -252,7 +259,7 @@ def curation_funnel(
     from .sampling import perplexity_bucket_sample, proxy_perplexity_score
     from .text import gopher_rules, pii_scrub
 
-    unknown = [s for s in stages if s not in _FUNNEL_STAGES]
+    unknown = [s for s in stages if s not in _KNOWN_STAGES]
     if unknown:
         raise ValueError(f"curation_funnel: unknown stages {unknown}")
     cur = docs.select("doc_id", "text")
@@ -270,6 +277,14 @@ def curation_funnel(
         elif stage == "pii":
             cur = pii_scrub(cur).select(
                 "doc_id", F.col("text_clean").alias("text")
+            )
+        elif stage == "rewrite":
+            from .dedup import remove_dup_spans
+
+            cur = (
+                remove_dup_spans(cur)
+                .filter(F.col("kept_text") != "")
+                .select("doc_id", F.col("kept_text").alias("text"))
             )
         elif stage == "dedup":
             keep = (

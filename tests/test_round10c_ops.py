@@ -501,3 +501,40 @@ class TestClusterKeepBest:
         all_clusters = {r["cluster_id"] for r in rows}
         assert set(per_cluster) == all_clusters
         assert all(v == 1 for v in per_cluster.values())
+
+
+class TestFunnelRewriteStage:
+    def test_rewrite_before_dedup(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.curation import (
+            curation_funnel,
+        )
+
+        base = (
+            "the quick brown fox jumps over the lazy dog and runs far "
+            "away into the quiet green hills before the sun sets tonight"
+        )
+        rows = [
+            (1, base),
+            (2, base),  # exact copy: rewrite empties it -> dropped
+            (3, base + " plus a genuinely new closing thought appended here"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        cur, report = curation_funnel(
+            docs, stages=("rewrite", "dedup"), report=True
+        )
+        got = {r["doc_id"]: r["text"] for r in cur.collect()}
+        # Doc 1 canonical (kept in full); doc 2 emptied and dropped;
+        # doc 3 keeps only its unique tail.
+        assert set(got) == {1, 3}
+        assert got[1].startswith("the quick brown fox")
+        assert "quick" not in got[3] and got[3].endswith("appended here")
+        assert report[0]["stage"] == "rewrite" and report[0]["rows_out"] == 2
+
+    def test_unknown_stage_still_raises(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.curation import (
+            curation_funnel,
+        )
+
+        docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="unknown stages"):
+            curation_funnel(docs, stages=("gopher", "nope"))
