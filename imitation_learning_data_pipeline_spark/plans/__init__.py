@@ -21,6 +21,7 @@ def _late_imports() -> None:
         curation,
         dedup,
         dsir,
+        embedding_quality,
         graph,
         lm,
         mllib_ops,
@@ -54,6 +55,7 @@ def _late_imports() -> None:
         numeric,
         dedup,
         dsir,
+        embedding_quality,
         sampling,
         text,
         similarity,

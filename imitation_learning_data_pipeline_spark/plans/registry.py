@@ -340,6 +340,15 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     "decontam_overlap_bloom": "decontam_overlap_spans (same probe cut "
     "and exact shingle-overlap verify; Bloom prefilter cannot change "
     "rows) + check_contract --all row",
+    # round-10: embedding outlier detection. Library-only (cap): its
+    # posexplode per-dim aggregate is agg_weighted_variance's retained
+    # family, its cell mode reuses mllib_kmeans_coverage's contract-
+    # anchored KMeans-fit-in-plan discipline, and the invariant row
+    # (exact count + planted-detection + base-rate bounds) runs in
+    # check_contract --all; planted/cluster semantics pytest-locked.
+    "embedding_outlier_check": "agg_weighted_variance (same posexplode "
+    "per-dimension aggregate family) + mllib_kmeans_coverage (KMeans "
+    "fit in-plan) + check_contract --all row",
     # round-10: quality-aware canonical selection. Library-only (cap):
     # its transitive closure IS dedup_cluster_components' retained
     # machinery (same connected_components call over the same minhash

@@ -538,3 +538,52 @@ class TestFunnelRewriteStage:
         docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         with pytest.raises(ValueError, match="unknown stages"):
             curation_funnel(docs, stages=("gopher", "nope"))
+
+
+class TestEmbeddingOutliers:
+    def test_global_mode_flags_planted(self, spark):
+        import random
+
+        from imitation_learning_data_pipeline_spark.plans.embedding_quality import (
+            embedding_outliers,
+        )
+
+        rng = random.Random(7)
+        rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(200)]
+        rows += [(1000 + i, [rng.gauss(0, 1) * 12 for _ in range(16)]) for i in range(5)]
+        vecs = spark.createDataFrame(rows, "vec_id long, v array<double>")
+        out = {r["vec_id"]: r for r in embedding_outliers(vecs).collect()}
+        assert all(out[1000 + i]["is_outlier"] for i in range(5))
+        base_flags = sum(1 for i in range(200) if out[i]["is_outlier"])
+        assert base_flags <= 10  # ≤5% false-flag rate on clean gaussians
+
+    def test_cell_mode_tiny_cell_flagged(self, spark):
+        import random
+
+        from imitation_learning_data_pipeline_spark.plans.embedding_quality import (
+            embedding_outliers,
+        )
+
+        rng = random.Random(11)
+        # Two tight, well-separated clusters + one extreme singleton.
+        rows = [(i, [rng.gauss(0, 0.1) for _ in range(8)]) for i in range(50)]
+        rows += [(100 + i, [rng.gauss(5, 0.1) for _ in range(8)]) for i in range(50)]
+        rows += [(999, [100.0] * 8)]
+        vecs = spark.createDataFrame(rows, "vec_id long, v array<double>")
+        out = {r["vec_id"]: r for r in embedding_outliers(vecs, k=3).collect()}
+        # Whether KMeans parked a centroid on the extreme point (tiny
+        # cell -> flagged by min_cell) or lumped it into a cluster
+        # (giant z -> flagged by threshold), it must be an outlier.
+        assert out[999]["is_outlier"]
+        base_flags = sum(1 for i in list(range(50)) + list(range(100, 150))
+                         if out[i]["is_outlier"])
+        assert base_flags <= 5
+
+    def test_invariant_row(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.embedding_quality import (
+            embedding_outlier_check,
+        )
+        from tests.conftest import SF_DIR
+
+        row = embedding_outlier_check(spark, SF_DIR).collect()[0]
+        assert row["planted_all_flagged"] and row["base_rate_low"]
