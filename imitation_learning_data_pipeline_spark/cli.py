@@ -1048,6 +1048,40 @@ def cmd_quality_model(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_embed_filter(args: argparse.Namespace) -> int:
+    """Embedding outlier filtering (plans/embedding_quality.py): flag or
+    drop vectors outside the corpus distribution before they poison ANN
+    indexes / SemDeDup cells."""
+    from pyspark.sql import functions as F
+
+    from .plans.embedding_quality import embedding_outliers
+
+    spark = _spark("embed-filter")
+    emb = spark.read.parquet(args.input)
+    for c in (args.id_col, args.vec_col):
+        if c not in emb.columns:
+            raise SystemExit(f"embed-filter: input must have a '{c}' column")
+    vecs = emb.select(
+        F.col(args.id_col).alias("vec_id"),
+        F.col(args.vec_col).cast("array<double>").alias("v"),
+    )
+    out = embedding_outliers(
+        vecs,
+        k=args.cells,
+        z_threshold=args.z_threshold,
+        min_cell=args.min_cell,
+    )
+    if args.keep_only:
+        out = out.filter("NOT is_outlier")
+    out.write.mode("overwrite").parquet(args.out)
+    stats = out.agg(
+        F.count("*").alias("rows"),
+        F.sum(F.col("is_outlier").cast("int")).alias("outliers"),
+    ).collect()[0]
+    print(json.dumps({"out": args.out, **stats.asDict()}))
+    return 0
+
+
 def cmd_matview(args: argparse.Namespace) -> int:
     """Incremental materialized views (pipeline/matview.py): create,
     refresh (cost ∝ new base files), rebuild, read."""
@@ -2056,6 +2090,24 @@ def build_parser() -> argparse.ArgumentParser:
     qm.add_argument("--seed", default="quality")
     qm.add_argument("--out", required=True)
     qm.set_defaults(fn=cmd_quality_model)
+
+    ef = sub.add_parser(
+        "embed-filter",
+        help="flag/drop embedding outliers (global-centroid z or "
+        "per-KMeans-cell z with a tiny-cell defense)",
+    )
+    ef.add_argument("--input", required=True, help="parquet with id + vector columns")
+    ef.add_argument("--id-col", default="vec_id")
+    ef.add_argument("--vec-col", default="embedding")
+    ef.add_argument(
+        "--cells", type=int, default=None,
+        help="KMeans cell count for the localized test (omit = global mode)",
+    )
+    ef.add_argument("--z-threshold", type=float, default=3.0)
+    ef.add_argument("--min-cell", type=int, default=4)
+    ef.add_argument("--keep-only", action="store_true")
+    ef.add_argument("--out", required=True)
+    ef.set_defaults(fn=cmd_embed_filter)
 
     mv = sub.add_parser(
         "matview",

@@ -340,6 +340,13 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     "decontam_overlap_bloom": "decontam_overlap_spans (same probe cut "
     "and exact shingle-overlap verify; Bloom prefilter cannot change "
     "rows) + check_contract --all row",
+    # round-10: temperature mixture reweighting. Library-only (cap):
+    # identical planning shape to the retained mixture_token_budget
+    # (one token-count aggregate + k-row arithmetic; equal-share is
+    # the α=0 corner of this op), fully hash-checked in --all.
+    "mixture_temperature_budget": "mixture_token_budget (same one-"
+    "aggregate k-row planning shape; equal-share = the α=0 corner) + "
+    "check_contract --all row",
     # round-10: embedding outlier detection. Library-only (cap): its
     # posexplode per-dim aggregate is agg_weighted_variance's retained
     # family, its cell mode reuses mllib_kmeans_coverage's contract-

@@ -358,6 +358,76 @@ def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TEMP_ALPHA = 0.3  # mT5/XLM-R default sampling temperature
+
+
+@register(
+    "mixture_temperature_budget",
+    oracle=f"""
+WITH t AS (
+  SELECT source, count(*) AS n_docs,
+         sum(CAST(len({_W_SQL}) AS BIGINT)) AS n_tokens
+  FROM documents GROUP BY source
+),
+g AS (
+  SELECT CAST(sum(n_tokens) AS DOUBLE) AS total,
+         sum(pow(CAST(n_tokens AS DOUBLE), {_TEMP_ALPHA})) AS z
+  FROM t
+)
+SELECT t.source, t.n_docs, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       CAST(round(10000 * pow(CAST(t.n_tokens AS DOUBLE), {_TEMP_ALPHA}) / g.z) AS BIGINT)
+         AS q_bp,
+       CAST(round(1000 * least({_MAX_EPOCHS},
+         (pow(CAST(t.n_tokens AS DOUBLE), {_TEMP_ALPHA}) / g.z * g.total) / t.n_tokens))
+         AS BIGINT) AS epochs_milli,
+       CAST(round(least({_MAX_EPOCHS},
+         (pow(CAST(t.n_tokens AS DOUBLE), {_TEMP_ALPHA}) / g.z * g.total) / t.n_tokens)
+         * t.n_tokens) AS BIGINT) AS planned_tokens
+FROM t CROSS JOIN g
+""",
+)
+def mixture_temperature_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture reweighting (the mT5/XLM-R standard):
+    sampling share q_s ∝ n_s^α flattens the source distribution —
+    α=1 keeps natural proportions, α→0 approaches uniform; α=0.3 is
+    the published multilingual default. Same k-row planning shape as
+    mixture_token_budget (equal-share is the α=0 corner); epochs stay
+    capped at {_MAX_EPOCHS} so a tiny source is never recycled into
+    memorization territory.
+
+    Scale shape: identical to mixture_token_budget — ONE map-side
+    token-count aggregate, then arithmetic on the k-row frame. The only
+    floats are one pow per source and the k-term Z sum, integer-
+    quantized at output (q in basis points, epochs in milli) per the
+    portable-rounding discipline.
+    """
+    from ..functions.text import clean_words
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(clean_words("text")).cast("long")).alias("n_tokens"),
+    )
+    totals = per_src.agg(
+        F.sum("n_tokens").cast("double").alias("total"),
+        F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(_TEMP_ALPHA))).alias("z"),
+    )
+    q = F.pow(F.col("n_tokens").cast("double"), F.lit(_TEMP_ALPHA)) / F.col("z")
+    epochs = F.least(F.lit(_MAX_EPOCHS), (q * F.col("total")) / F.col("n_tokens"))
+    return (
+        per_src.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(10000 * q).cast("long").alias("q_bp"),
+            F.round(epochs * 1000).cast("long").alias("epochs_milli"),
+            F.round(epochs * F.col("n_tokens")).cast("long").alias("planned_tokens"),
+        )
+    )
+
+
 def apply_mixture_plan(
     docs: DataFrame,
     plan: DataFrame,

@@ -587,3 +587,50 @@ class TestEmbeddingOutliers:
 
         row = embedding_outlier_check(spark, SF_DIR).collect()[0]
         assert row["planted_all_flagged"] and row["base_rate_low"]
+
+
+class TestTemperatureMixture:
+    def test_flattens_toward_uniform(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.sampling import (
+            mixture_temperature_budget,
+            mixture_token_budget,
+        )
+        from tests.conftest import SF_DIR
+
+        temp = {r["source"]: r for r in mixture_temperature_budget(spark, SF_DIR).collect()}
+        nat = {s: r["n_tokens"] for s, r in temp.items()}
+        q = {s: r["q_bp"] for s, r in temp.items()}
+        # Shares sum to ~1 (basis points; integer rounding slack).
+        assert abs(sum(q.values()) - 10000) <= len(q)
+        # Flattening: the share RATIO between largest and smallest
+        # source must shrink vs natural proportions (alpha < 1).
+        big = max(nat, key=nat.get)
+        small = min(nat, key=nat.get)
+        if nat[big] > nat[small]:
+            nat_ratio = nat[big] / nat[small]
+            q_ratio = q[big] / max(q[small], 1)
+            assert q_ratio < nat_ratio
+            # And ordering is preserved (monotone transform).
+            assert q[big] >= q[small]
+        # Epoch cap honored.
+        assert all(r["epochs_milli"] <= 4000 for r in temp.values())
+
+
+class TestEmbedFilterCli:
+    def test_verb_global_mode(self, spark, tmp_path, capsys):
+        import json as _json
+        import random
+
+        from imitation_learning_data_pipeline_spark.cli import main
+
+        rng = random.Random(3)
+        rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(100)]
+        rows += [(900, [50.0] * 8)]
+        src = str(tmp_path / "emb")
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>").write.parquet(src)
+        out = str(tmp_path / "kept")
+        assert main(["embed-filter", "--input", src, "--keep-only", "--out", out]) == 0
+        stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        kept = {r["vec_id"] for r in spark.read.parquet(out).collect()}
+        assert 900 not in kept and len(kept) >= 95
+        assert stats["outliers"] == 0  # keep-only output carries no outliers
