@@ -340,6 +340,12 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     "decontam_overlap_bloom": "decontam_overlap_spans (same probe cut "
     "and exact shingle-overlap verify; Bloom prefilter cannot change "
     "rows) + check_contract --all row",
+    # round-10: C4-style word-blocklist gate. Library-only (cap): a
+    # pure scan-bound per-row token projection — text_gopher_rules'
+    # retained family (it IS a one-rule Gopher-style gate) — fully
+    # hash-checked in --all.
+    "text_blocklist_filter": "text_gopher_rules (same scan-bound "
+    "per-row token-projection gate family) + check_contract --all row",
     # round-10: temperature mixture reweighting. Library-only (cap):
     # identical planning shape to the retained mixture_token_budget
     # (one token-count aggregate + k-row arithmetic; equal-share is

@@ -1133,3 +1133,55 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitter_ngrams(
         docs, text_col="text", n=2, min_frac=_HH_FRAC
     ).select("gram", F.col("n_occurrences").cast("long").alias("n_occurrences"))
+
+
+# --- word-blocklist filter (the C4 "bad words" gate) --------------------------
+
+_BLOCK_SAMPLE = ["merge", "stream", "batch"]  # contract stand-in list
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    blockwords: list[str],
+    text_col: str = "text",
+    max_hits: int = 0,
+) -> DataFrame:
+    """C4-style blocklist gate: ``(doc_id, n_blocked, keep)`` where
+    ``n_blocked`` counts blocklisted word OCCURRENCES and ``keep``
+    allows at most ``max_hits`` (C4 uses 0 — any hit drops the doc).
+
+    Scale shape: the blocklist rides as a plan-literal array (the
+    published lists are a few hundred words — C4's is ~400), so the
+    whole gate is ONE per-row projection inside whole-stage codegen;
+    no shuffle, no UDF, no join. For 10⁴⁺-word lists, switch to
+    explode + broadcast semi-join + hits-only aggregate — the literal
+    array comparison goes O(words·list) per row past that point.
+    """
+    bl = F.array(*[F.lit(w) for w in blockwords])
+    words = clean_words(text_col)
+    n_blocked = F.size(F.filter(words, lambda w: F.array_contains(bl, w)))
+    return docs.select(
+        "doc_id",
+        n_blocked.alias("n_blocked"),
+        (n_blocked <= max_hits).alias("keep"),
+    )
+
+
+@register(
+    "text_blocklist_filter",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(list_filter({_W_SQL},
+         w -> w IN ({", ".join(f"'{w}'" for w in _BLOCK_SAMPLE)}))) AS INTEGER)
+         AS n_blocked,
+       len(list_filter({_W_SQL},
+         w -> w IN ({", ".join(f"'{w}'" for w in _BLOCK_SAMPLE)}))) <= 0 AS keep
+FROM documents
+""",
+)
+def text_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Library row: the blocklist gate over the documents table with a
+    three-word stand-in list drawn from the synthetic vocabulary (the
+    real deployment swaps in a published bad-words list) — per-doc hit
+    counts and the keep verdict, both hash-checked."""
+    return blocklist_filter(_docs(spark, sf_dir), _BLOCK_SAMPLE)

@@ -634,3 +634,29 @@ class TestEmbedFilterCli:
         kept = {r["vec_id"] for r in spark.read.parquet(out).collect()}
         assert 900 not in kept and len(kept) >= 95
         assert stats["outliers"] == 0  # keep-only output carries no outliers
+
+
+class TestBlocklistFilter:
+    def test_occurrences_and_threshold(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.text import blocklist_filter
+
+        docs = spark.createDataFrame(
+            [
+                (1, "clean words only here"),
+                (2, "one bad word here"),
+                (3, "bad bad words and another bad one"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: (r["n_blocked"], r["keep"])
+            for r in blocklist_filter(docs, ["bad", "another"]).collect()
+        }
+        assert out[1] == (0, True)
+        assert out[2] == (1, False)
+        assert out[3] == (4, False)  # occurrences, not distinct types
+        relaxed = {
+            r["doc_id"]: r["keep"]
+            for r in blocklist_filter(docs, ["bad", "another"], max_hits=1).collect()
+        }
+        assert relaxed[2] is True and relaxed[3] is False
