@@ -1023,13 +1023,24 @@ def cmd_quality_model(args: argparse.Namespace) -> int:
     )
 
     spark = _spark("quality-model")
-    labeled = spark.read.parquet(args.labeled)
-    for c in (args.label_col, args.text_col):
-        if c not in labeled.columns:
-            raise SystemExit(f"quality-model: labeled set needs a '{c}' column")
-    model = train_quality_classifier(
-        labeled, label_col=args.label_col, text_col=args.text_col
-    )
+    if args.model:
+        from .plans.quality_model import load_quality_model
+
+        model = load_quality_model(args.model)
+    else:
+        if not args.labeled:
+            raise SystemExit("quality-model: pass --labeled to train or --model to reload")
+        labeled = spark.read.parquet(args.labeled)
+        for c in (args.label_col, args.text_col):
+            if c not in labeled.columns:
+                raise SystemExit(f"quality-model: labeled set needs a '{c}' column")
+        model = train_quality_classifier(
+            labeled, label_col=args.label_col, text_col=args.text_col
+        )
+        if args.model_out:
+            from .plans.quality_model import save_quality_model
+
+            save_quality_model(model, args.model_out)
     docs = spark.read.parquet(args.input)
     scored = score_quality(model, docs, text_col=args.text_col)
     if args.filter:
@@ -2080,7 +2091,13 @@ def build_parser() -> argparse.ArgumentParser:
         "the corpus; --filter applies the seeded Pareto keep rule",
     )
     qm.add_argument("--input", required=True, help="corpus to score")
-    qm.add_argument("--labeled", required=True, help="labeled training parquet")
+    qm.add_argument("--labeled", default=None, help="labeled training parquet")
+    qm.add_argument(
+        "--model-out", default=None, help="persist the trained model for reuse"
+    )
+    qm.add_argument(
+        "--model", default=None, help="reload a persisted model (skips training)"
+    )
     qm.add_argument("--label-col", default="label")
     qm.add_argument("--text-col", default="text")
     qm.add_argument("--id-col", default="doc_id")

@@ -86,6 +86,20 @@ def score_quality(
     ).drop("__features", "rawPrediction", "probability", "prediction")
 
 
+def save_quality_model(model, path: str) -> None:
+    """Persist the fitted LR (MLlib native format: metadata JSON +
+    coefficient parquet — metadata-sized, engine-versioned). The
+    train-once/score-everywhere seam: batch jobs, the CLI, and the
+    streaming scorer all reload from here."""
+    model.write().overwrite().save(path)
+
+
+def load_quality_model(path: str):
+    from pyspark.ml.classification import LogisticRegressionModel
+
+    return LogisticRegressionModel.load(path)
+
+
 def pareto_keep(
     score: Column | str,
     key: Column | str,

@@ -841,6 +841,60 @@ def run_incremental_dsir_stream(
     q.awaitTermination()
 
 
+def run_incremental_quality_model_stream(
+    stream: DataFrame,
+    model_path: str,
+    out_path: str,
+    checkpoint: str,
+    filter_keep: bool = False,
+    alpha: float = 9.0,
+    seed: str = "quality",
+) -> None:
+    """Continuous classifier-based quality scoring: each micro-batch of
+    ``(doc_id, text)`` documents is scored by a PERSISTED LR quality
+    model (plans.quality_model.save_quality_model — trained once on a
+    labeled sample, never retrained in the stream) and lands under
+    ``ingest_batch=N`` partitions; ``filter_keep`` additionally applies
+    the seeded Pareto acceptance rule and keeps only survivors.
+
+    Per-trigger cost: hashed-TF featurization + a coefficient-broadcast
+    transform — map-side only, O(batch). Keep decisions are pure
+    functions of (doc_id, seed), so replays and re-chunked streams
+    agree row-for-row (the split_assign determinism contract).
+    """
+    from ..plans.quality_model import load_quality_model, pareto_keep, score_quality
+
+    model = load_quality_model(model_path)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        scored = score_quality(model, batch_df).select(
+            "doc_id",
+            F.round("quality_score", 6).alias("quality_score"),
+            pareto_keep("quality_score", "doc_id", alpha=alpha, seed=seed).alias(
+                "kept"
+            ),
+        )
+        if filter_keep:
+            scored = scored.filter("kept").drop("kept")
+        (
+            scored.withColumn("ingest_batch", F.lit(int(batch_id)))
+            .write.partitionBy("ingest_batch")
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(out_path)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_incremental_heavyhitter_stream(
     stream: DataFrame,
     store_path: str,

@@ -660,3 +660,82 @@ class TestBlocklistFilter:
             for r in blocklist_filter(docs, ["bad", "another"], max_hits=1).collect()
         }
         assert relaxed[2] is True and relaxed[3] is False
+
+
+class TestQualityModelPersistence:
+    def test_roundtrip_and_streaming_scoring(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.plans.quality_model import (
+            load_quality_model,
+            save_quality_model,
+            score_quality,
+            train_quality_classifier,
+        )
+        from imitation_learning_data_pipeline_spark.streaming.incremental import (
+            run_incremental_quality_model_stream,
+        )
+
+        sporty = "match goal team score win league player season coach referee"
+        spam = "buy cheap click winner prize buy cheap click winner prize"
+        labeled = spark.createDataFrame(
+            [(i, sporty + f" x{i}", 1) for i in range(15)]
+            + [(100 + i, spam, 0) for i in range(15)],
+            "doc_id long, text string, label int",
+        )
+        model = train_quality_classifier(labeled)
+        mpath = str(tmp_path / "model")
+        save_quality_model(model, mpath)
+        reloaded = load_quality_model(mpath)
+
+        probe = spark.createDataFrame(
+            [(1, sporty), (2, spam)], "doc_id long, text string"
+        )
+        a = {r["doc_id"]: r["quality_score"] for r in score_quality(model, probe).collect()}
+        b = {r["doc_id"]: r["quality_score"] for r in score_quality(reloaded, probe).collect()}
+        assert a == b and a[1] > 0.5 > a[2]
+
+        # Streaming scorer over 3 micro-batches, keep-only mode.
+        docs = spark.createDataFrame(
+            [(i, sporty if i % 2 == 0 else spam) for i in range(12)],
+            "doc_id long, text string",
+        )
+        src = str(tmp_path / "src")
+        docs.repartition(3).write.parquet(src)
+        stream = spark.readStream.schema("doc_id long, text string").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        out = str(tmp_path / "scored")
+        run_incremental_quality_model_stream(
+            stream, mpath, out, str(tmp_path / "ck"), filter_keep=True
+        )
+        kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+        # Spam never survives; the seeded Pareto rule may drop a few
+        # good docs (by design), but most sporty docs survive.
+        assert kept <= {i for i in range(12) if i % 2 == 0}
+        assert len(kept) >= 4
+
+    def test_cli_model_reuse(self, spark, tmp_path, capsys):
+        import json as _json
+
+        from imitation_learning_data_pipeline_spark.cli import main
+
+        sporty = "match goal team score win league player season coach referee"
+        labeled = str(tmp_path / "labeled")
+        spark.createDataFrame(
+            [(i, sporty, 1) for i in range(10)]
+            + [(100 + i, "buy cheap click winner prize", 0) for i in range(10)],
+            "doc_id long, text string, label int",
+        ).write.parquet(labeled)
+        corpus = str(tmp_path / "corpus")
+        spark.createDataFrame(
+            [(1, sporty), (2, "buy cheap click winner prize")],
+            "doc_id long, text string",
+        ).write.parquet(corpus)
+        mdl = str(tmp_path / "mdl")
+        out1, out2 = str(tmp_path / "o1"), str(tmp_path / "o2")
+        assert main(["quality-model", "--input", corpus, "--labeled", labeled,
+                     "--model-out", mdl, "--out", out1]) == 0
+        assert main(["quality-model", "--input", corpus, "--model", mdl,
+                     "--out", out2]) == 0
+        s1 = {r["doc_id"]: r["quality_score"] for r in spark.read.parquet(out1).collect()}
+        s2 = {r["doc_id"]: r["quality_score"] for r in spark.read.parquet(out2).collect()}
+        assert s1 == s2
