@@ -1538,6 +1538,9 @@ def cmd_curate(args: argparse.Namespace) -> int:
         docs,
         stages=stages,
         min_required_stopwords=args.min_stopwords,
+        blockwords=(
+            [w for w in args.blockwords.split(",") if w] if args.blockwords else None
+        ),
     )
     if args.out:
         curated.write.mode("overwrite").parquet(args.out)
@@ -2224,8 +2227,13 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument(
         "--stages",
         default="gopher,pii,dedup,sample",
-        help="comma-separated subset/order of gopher,pii,rewrite,dedup,"
-        "sample (rewrite = duplicate-span excision, opt-in)",
+        help="comma-separated subset/order of gopher,blocklist,pii,"
+        "rewrite,dedup,sample (blocklist and rewrite are opt-in)",
+    )
+    cu.add_argument(
+        "--blockwords",
+        default=None,
+        help="comma-separated bad-words list for the blocklist stage",
     )
     cu.add_argument(
         "--min-stopwords",

@@ -225,7 +225,7 @@ def corpus_diff_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FUNNEL_STAGES = ("gopher", "pii", "dedup", "sample")
 # every runnable stage ("rewrite" is opt-in, not in the default chain)
-_KNOWN_STAGES = ("gopher", "pii", "rewrite", "dedup", "sample")
+_KNOWN_STAGES = ("gopher", "blocklist", "pii", "rewrite", "dedup", "sample")
 
 
 def curation_funnel(
@@ -233,6 +233,7 @@ def curation_funnel(
     stages: tuple[str, ...] = _FUNNEL_STAGES,
     min_required_stopwords: int = 2,
     report: bool = True,
+    blockwords: list[str] | None = None,
 ) -> tuple[DataFrame, list[dict]]:
     """Chain curation stages over a ``(doc_id, text)`` frame →
     (curated_frame, funnel_report).
@@ -244,6 +245,8 @@ def curation_funnel(
 
     - ``gopher``: published Gopher rule conjunction (threshold
       override via ``min_required_stopwords``).
+    - ``blocklist`` (opt-in): C4-style bad-words gate — drops any doc
+      containing a ``blockwords`` hit (text.blocklist_filter).
     - ``pii``: email/IPv4/phone redaction — transforms text, drops
       nothing.
     - ``rewrite`` (opt-in, not in the default chain): Lee-et-al
@@ -278,6 +281,19 @@ def curation_funnel(
             cur = pii_scrub(cur).select(
                 "doc_id", F.col("text_clean").alias("text")
             )
+        elif stage == "blocklist":
+            if not blockwords:
+                raise ValueError(
+                    "curation_funnel: the 'blocklist' stage needs blockwords"
+                )
+            from .text import blocklist_filter
+
+            keep = (
+                blocklist_filter(cur, blockwords)
+                .filter(F.col("keep"))
+                .select("doc_id")
+            )
+            cur = cur.join(keep, "doc_id")
         elif stage == "rewrite":
             from .dedup import remove_dup_spans
 

@@ -739,3 +739,38 @@ class TestQualityModelPersistence:
         s1 = {r["doc_id"]: r["quality_score"] for r in spark.read.parquet(out1).collect()}
         s2 = {r["doc_id"]: r["quality_score"] for r in spark.read.parquet(out2).collect()}
         assert s1 == s2
+
+
+class TestFunnelBlocklistStage:
+    def test_blocklist_stage_and_cli(self, spark, tmp_path, capsys):
+        import json as _json
+
+        from imitation_learning_data_pipeline_spark.cli import main
+        from imitation_learning_data_pipeline_spark.plans.curation import (
+            curation_funnel,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "perfectly fine words here"),
+                (2, "contains a banned word"),
+                (3, "clean again"),
+            ],
+            "doc_id long, text string",
+        )
+        cur, report = curation_funnel(
+            docs, stages=("blocklist",), blockwords=["banned"]
+        )
+        assert {r["doc_id"] for r in cur.collect()} == {1, 3}
+        assert report[0]["rows_out"] == 2
+        with pytest.raises(ValueError, match="needs blockwords"):
+            curation_funnel(docs, stages=("blocklist",))
+
+        src = str(tmp_path / "docs")
+        docs.write.parquet(src)
+        out = str(tmp_path / "curated")
+        assert main(["curate", "--path", src, "--stages", "blocklist,dedup",
+                     "--blockwords", "banned", "--out", out]) == 0
+        rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["funnel"][0]["stage"] == "blocklist"
+        assert spark.read.parquet(out).count() == 2
