@@ -65,6 +65,8 @@ HEADLINE = [
     "text_quality_score",
     "text_langid",
     "text_heavy_hitters",
+    "dedup_remove_spans",
+    "dsir_importance_topk",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
     "pipeline_discover_status",
