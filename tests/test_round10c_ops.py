@@ -774,3 +774,45 @@ class TestFunnelBlocklistStage:
         rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert rep["funnel"][0]["stage"] == "blocklist"
         assert spark.read.parquet(out).count() == 2
+
+
+class TestRemoveDupSpansInvariants:
+    def test_overlapping_grams_union_coverage(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.dedup import remove_dup_spans
+
+        # Doc 2 shares an 11-word window with doc 1 (two overlapping
+        # 8-gram families): covered positions must UNION, removing the
+        # full 11 words exactly once.
+        w = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11"
+        rows = [
+            (1, f"{w} unique tail for canonical"),
+            (2, f"other head {w} other tail"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in remove_dup_spans(docs, n=8).collect()}
+        assert out[1]["n_removed"] == 0
+        assert out[2]["n_removed"] == 11
+        assert out[2]["kept_text"] == "other head other tail"
+
+    def test_unique_corpus_is_untouched(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.dedup import remove_dup_spans
+
+        # Every word globally unique -> nothing can be a duplicated
+        # gram -> every doc survives verbatim (normalized).
+        rows = [
+            (i, " ".join(f"tok{i}x{j}" for j in range(12))) for i in range(8)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = remove_dup_spans(docs, n=8).collect()
+        assert all(r["n_removed"] == 0 for r in out)
+        assert all(r["kept_text"].count(" ") == 11 for r in out)
+
+    def test_short_docs_never_removed(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.dedup import remove_dup_spans
+
+        # Docs shorter than n have no n-grams at all — identical short
+        # docs are exact-dedup's job, not span removal's.
+        rows = [(1, "same tiny doc"), (2, "same tiny doc")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = remove_dup_spans(docs, n=8).collect()
+        assert all(r["n_removed"] == 0 for r in out)
