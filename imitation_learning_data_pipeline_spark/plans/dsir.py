@@ -248,6 +248,18 @@ def read_dsir_selection(spark: SparkSession, store_path: str, k: int) -> DataFra
         raise ValueError(
             f"not a streaming DSIR selection store (need {sorted(need)}): {store_path}"
         )
+    # Exactness guard: the containment argument needs k ≤ k_per_batch.
+    # The streaming writer stamps its k into every row; a store written
+    # with a smaller per-batch cut cannot answer a larger global k
+    # exactly — refuse rather than silently under-return.
+    if "k_batch" in store.columns:
+        k_min = store.agg(F.min("k_batch")).collect()[0][0]
+        if k_min is not None and k > k_min:
+            raise ValueError(
+                f"global k={k} exceeds the store's k_per_batch={k_min}: the "
+                "per-batch cut may have discarded global winners — re-run "
+                "the stream with k_per_batch >= the global k"
+            )
     top = (
         store.select("doc_id", "score", "sample_key")
         .orderBy(F.col("sample_key").desc(), "doc_id")

@@ -1157,7 +1157,27 @@ def blocklist_filter(
     explode + broadcast semi-join + hits-only aggregate — the literal
     array comparison goes O(words·list) per row past that point.
     """
-    bl = F.array(*[F.lit(w) for w in blockwords])
+    import re as _re
+
+    # Normalize each entry into clean_words' alphabet (lowercase
+    # [a-z0-9] runs) — a raw "Bad!" entry would otherwise NEVER match
+    # any token and the gate would silently pass everything. Entries
+    # that normalize to several tokens are phrases, which token
+    # membership can't express — refuse loudly instead of silently
+    # matching each word independently (over-blocking).
+    norm: list[str] = []
+    for w in blockwords:
+        toks = [t for t in _re.split(r"[^a-z0-9]+", w.lower()) if t]
+        if len(toks) > 1:
+            raise ValueError(
+                f"blocklist_filter: {w!r} is a multi-word phrase; this gate "
+                "matches single tokens — split the list or use a substring "
+                "rule over normalize_text for phrases"
+            )
+        norm.extend(toks)
+    if not norm:
+        raise ValueError("blocklist_filter: blockwords normalized to nothing")
+    bl = F.array(*[F.lit(w) for w in dict.fromkeys(norm)])
     words = clean_words(text_col)
     n_blocked = F.size(F.filter(words, lambda w: F.array_contains(bl, w)))
     return docs.select(

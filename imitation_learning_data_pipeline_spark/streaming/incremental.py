@@ -805,8 +805,10 @@ def run_incremental_dsir_stream(
         if k_per_batch is not None:
             picked = dsir_select_batch(
                 batch_df, weights, k=k_per_batch, seed=seed
-            )
+            ).withColumn("k_batch", F.lit(int(k_per_batch)))
         else:
+            from ..plans.dsir import _SCALE
+
             feats = doc_features(batch_df)
             scored = (
                 feats.join(F.broadcast(weights), "bkt", "left")
@@ -818,7 +820,7 @@ def run_incremental_dsir_stream(
                 .join(scored, "doc_id", "left")
                 .select(
                     "doc_id",
-                    (F.coalesce("score_int", F.lit(0)).cast("double") / 10000).alias(
+                    (F.coalesce("score_int", F.lit(0)).cast("double") / _SCALE).alias(
                         "score"
                     ),
                 )

@@ -816,3 +816,54 @@ class TestRemoveDupSpansInvariants:
         docs = spark.createDataFrame(rows, "doc_id long, text string")
         out = remove_dup_spans(docs, n=8).collect()
         assert all(r["n_removed"] == 0 for r in out)
+
+
+class TestRound10cHardening:
+    def test_blocklist_normalizes_entries(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.text import blocklist_filter
+
+        docs = spark.createDataFrame(
+            [(1, "this has a banned token")], "doc_id long, text string"
+        )
+        out = blocklist_filter(docs, ["Banned!"]).collect()[0]
+        assert out["n_blocked"] == 1 and out["keep"] is False
+        with pytest.raises(ValueError, match="multi-word"):
+            blocklist_filter(docs, ["two words"])
+        with pytest.raises(ValueError, match="normalized to nothing"):
+            blocklist_filter(docs, ["!!!"])
+
+    def test_global_fold_refuses_larger_k(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.plans.dsir import (
+            doc_features,
+            dsir_weights,
+            read_dsir_selection,
+            write_dsir_weights,
+        )
+        from imitation_learning_data_pipeline_spark.streaming.incremental import (
+            run_incremental_dsir_stream,
+        )
+
+        ref = spark.createDataFrame(
+            [(900, "alpha beta gamma"), (950, "delta epsilon zeta")],
+            "doc_id long, text string",
+        )
+        wpath = str(tmp_path / "w")
+        write_dsir_weights(
+            dsir_weights(doc_features(ref), ref.limit(1).select("doc_id")), wpath
+        )
+        docs = spark.createDataFrame(
+            [(i, "alpha beta gamma") for i in range(9)], "doc_id long, text string"
+        )
+        src = str(tmp_path / "src")
+        docs.repartition(3).write.parquet(src)
+        stream = spark.readStream.schema("doc_id long, text string").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        out = str(tmp_path / "sel")
+        run_incremental_dsir_stream(
+            stream, wpath, out, str(tmp_path / "ck"), k_per_batch=2
+        )
+        # k within the per-batch cut: fine; beyond it: refused.
+        assert len(read_dsir_selection(spark, out, k=2).collect()) == 2
+        with pytest.raises(ValueError, match="exceeds the store's k_per_batch"):
+            read_dsir_selection(spark, out, k=3)
