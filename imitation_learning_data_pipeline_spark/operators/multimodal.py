@@ -173,3 +173,60 @@ def plan_resize(
         ((F.lit(target_w) - out_w) / 2).cast("int").alias("pad_x"),
         ((F.lit(target_h) - out_h) / 2).cast("int").alias("pad_y"),
     )
+
+
+PHASH_SCHEMA = "doc_id long, phash long"
+
+
+def _fake_ahash(payload: bytes) -> int:
+    """Locality-preserving stand-in for decode→grayscale→8×8→aHash:
+    sample the byte stream at 64 evenly spaced centers with a ±2
+    smoothing window, threshold by the mean, pack 64 bits.
+
+    The property the real aHash has and this preserves: SMALL payload
+    edits flip FEW bits (only the pixels whose windows cover the edited
+    offsets change), identical payloads hash identically. Appends/
+    re-encodes shift every sample center — larger Hamming distance —
+    exactly like a real recompression shifts pHash moderately.
+    """
+    n = len(payload)
+    if n == 0:
+        return 0
+    pixels = []
+    for i in range(64):
+        center = (i * n) // 64
+        lo, hi = max(0, center - 2), min(n, center + 3)
+        window = payload[lo:hi]
+        pixels.append(sum(window) / len(window))
+    mean = sum(pixels) / 64.0
+    h = 0
+    for i, p in enumerate(pixels):
+        if p > mean:
+            h |= 1 << i
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def perceptual_hash(media: DataFrame, fake_decode: bool = False) -> DataFrame:
+    """Arrow-batched perceptual hash over (doc_id, payload) rows →
+    (doc_id, phash BIGINT). The real arm is PIL's decode → grayscale →
+    8×8 average-hash (stubbed in this container); ``fake_decode=True``
+    substitutes :func:`_fake_ahash`, which keeps the locality property
+    the downstream banded dedup relies on, so the whole pipeline —
+    batching, schema, banding, Hamming verify — runs and is tested end
+    to end here."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake_decode:
+                raise NotImplementedError(
+                    "real perceptual hashing requires PIL on executors; "
+                    "run with fake_decode=True for the deterministic stub"
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": [_fake_ahash(bytes(p)) for p in pdf["payload"]],
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(run, PHASH_SCHEMA)

@@ -340,6 +340,17 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     "decontam_overlap_bloom": "decontam_overlap_spans (same probe cut "
     "and exact shingle-overlap verify; Bloom prefilter cannot change "
     "rows) + check_contract --all row",
+    # round-10: perceptual-hash near-dup image dedup. Library-only
+    # (cap, and rows-only by nature — the hash IS the Python codec
+    # seam): its banded bucket-join + Hamming verify is exactly
+    # dedup_simhash_pairs' machinery (same `_bucket_pairs` helper, same
+    # pigeonhole guarantee), which stays hash-checked in --all, and
+    # multimodal_frame_sample anchors the decode-seam plumbing in the
+    # contract; locality/pigeonhole semantics pytest-locked.
+    "multimodal_phash_pairs": "dedup_minhash_lsh (contract anchor of "
+    "the banded `_bucket_pairs` machinery) + multimodal_frame_sample "
+    "(decode-seam plumbing) + check_contract --all rows-only row + "
+    "pytest TestPerceptualHash",
     # round-10: C4-style word-blocklist gate. Library-only (cap): a
     # pure scan-bound per-row token projection — text_gopher_rules'
     # retained family (it IS a one-rule Gopher-style gate) — fully

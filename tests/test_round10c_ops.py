@@ -867,3 +867,72 @@ class TestRound10cHardening:
         assert len(read_dsir_selection(spark, out, k=2).collect()) == 2
         with pytest.raises(ValueError, match="exceeds the store's k_per_batch"):
             read_dsir_selection(spark, out, k=3)
+
+
+class TestPerceptualHash:
+    def test_locality_and_pairs(self, spark):
+        from imitation_learning_data_pipeline_spark.operators.multimodal import (
+            _fake_ahash,
+            attach_payload,
+            perceptual_hash,
+        )
+        from imitation_learning_data_pipeline_spark.plans.multimodal_queries import (
+            phash_pairs,
+        )
+
+        base = ("the quick brown fox jumps over the lazy dog " * 6).encode()
+        edited = bytearray(base)
+        edited[10] = ord("x")  # one-byte edit -> few pixels change
+        assert bin(
+            _fake_ahash(base) ^ _fake_ahash(bytes(edited))
+        ).count("1") <= 3
+        assert _fake_ahash(base) == _fake_ahash(bytes(base))
+        assert _fake_ahash(b"") == 0
+
+        rows = [
+            (1, base.decode()),
+            (2, base.decode()),            # exact copy -> hamming 0
+            (3, bytes(edited).decode()),   # near copy -> small hamming
+            (4, "a completely different payload with other bytes entirely xyz"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        hashes = perceptual_hash(attach_payload(docs), fake_decode=True)
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in phash_pairs(hashes).collect()
+        }
+        assert pairs[(1, 2)] == 0
+        assert pairs[(1, 3)] <= 3
+        assert (1, 4) not in pairs and (2, 4) not in pairs
+
+    def test_pigeonhole_no_false_negatives(self, spark):
+        # Any pair within Hamming <= 3 MUST be found: flip 3 scattered
+        # bits of a fixed 64-bit pattern and require the candidate.
+        from imitation_learning_data_pipeline_spark.plans.multimodal_queries import (
+            phash_pairs,
+        )
+
+        h0 = 0x0123456789ABCDEF
+        h1 = h0 ^ (1 << 2) ^ (1 << 21) ^ (1 << 63)  # 3 flips in 3 bands
+
+        def signed(h):
+            return h - (1 << 64) if h >= (1 << 63) else h
+
+        hashes = spark.createDataFrame(
+            [(1, signed(h0)), (2, signed(h1))], "doc_id long, phash long"
+        )
+        got = phash_pairs(hashes).collect()
+        assert len(got) == 1 and got[0]["hamming"] == 3
+
+    def test_library_query_planted(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.multimodal_queries import (
+            multimodal_phash_pairs,
+        )
+        from tests.conftest import SF_DIR
+
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in multimodal_phash_pairs(spark, SF_DIR).collect()
+        }
+        exact = [(a, b) for (a, b) in pairs if b == a + 1000000]
+        assert exact and all(pairs[p] == 0 for p in exact)
