@@ -1093,6 +1093,34 @@ def cmd_embed_filter(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_phash(args: argparse.Namespace) -> int:
+    """Perceptual-hash near-dup pairs over a binary-payload parquet
+    (operators/multimodal.py::perceptual_hash + plans/multimodal_queries
+    .phash_pairs). --fake-decode drives the deterministic stand-in; the
+    real arm needs PIL on executors."""
+    from pyspark.sql import functions as F
+
+    from .operators.multimodal import perceptual_hash
+    from .plans.multimodal_queries import phash_pairs
+
+    spark = _spark("phash")
+    media = spark.read.parquet(args.input)
+    for c in (args.id_col, args.payload_col):
+        if c not in media.columns:
+            raise SystemExit(f"phash: input must have a '{c}' column")
+    media = media.select(
+        F.col(args.id_col).alias("doc_id"),
+        F.col(args.payload_col).cast("binary").alias("payload"),
+    )
+    hashes = perceptual_hash(media, fake_decode=args.fake_decode)
+    pairs = phash_pairs(
+        hashes, max_hamming=args.max_hamming, bucket_cap=args.bucket_cap
+    )
+    pairs.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"out": args.out, "pairs": pairs.count()}))
+    return 0
+
+
 def cmd_matview(args: argparse.Namespace) -> int:
     """Incremental materialized views (pipeline/matview.py): create,
     refresh (cost ∝ new base files), rebuild, read."""
@@ -2129,6 +2157,20 @@ def build_parser() -> argparse.ArgumentParser:
     ef.add_argument("--out", required=True)
     ef.set_defaults(fn=cmd_embed_filter)
 
+    ph = sub.add_parser(
+        "phash",
+        help="perceptual-hash near-dup pairs over binary payloads "
+        "(banded Hamming; --fake-decode for the codec-less stand-in)",
+    )
+    ph.add_argument("--input", required=True, help="parquet with id + payload columns")
+    ph.add_argument("--id-col", default="doc_id")
+    ph.add_argument("--payload-col", default="payload")
+    ph.add_argument("--max-hamming", type=int, default=3)
+    ph.add_argument("--bucket-cap", type=int, default=1000)
+    ph.add_argument("--fake-decode", action="store_true")
+    ph.add_argument("--out", required=True)
+    ph.set_defaults(fn=cmd_phash)
+
     mv = sub.add_parser(
         "matview",
         help="incremental materialized view: create once, refresh at "
@@ -2228,7 +2270,8 @@ def build_parser() -> argparse.ArgumentParser:
         "--stages",
         default="gopher,pii,dedup,sample",
         help="comma-separated subset/order of gopher,blocklist,pii,"
-        "rewrite,dedup,sample (blocklist and rewrite are opt-in)",
+        "rewrite,dedup,neardup,sample (blocklist/rewrite/neardup are "
+        "opt-in)",
     )
     cu.add_argument(
         "--blockwords",

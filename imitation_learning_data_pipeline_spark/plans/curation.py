@@ -225,7 +225,7 @@ def corpus_diff_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FUNNEL_STAGES = ("gopher", "pii", "dedup", "sample")
 # every runnable stage ("rewrite" is opt-in, not in the default chain)
-_KNOWN_STAGES = ("gopher", "blocklist", "pii", "rewrite", "dedup", "sample")
+_KNOWN_STAGES = ("gopher", "blocklist", "pii", "rewrite", "dedup", "neardup", "sample")
 
 
 def curation_funnel(
@@ -256,6 +256,11 @@ def curation_funnel(
       partial copies lose only the copied passage.
     - ``dedup``: exact content dedup, keep the lowest doc_id per
       md5(text) (one hash aggregate — no window).
+    - ``neardup`` (opt-in): MinHash-LSH near-dup clustering with
+      QUALITY-AWARE keeper selection (dedup.cluster_keep_best, word
+      count as the default quality score) — keeps the best extraction
+      per cluster, not the first-crawled. Place it AFTER ``dedup``
+      (exact copies are cheaper to kill by hash).
     - ``sample``: CCNet-shaped perplexity-bucket acceptance on the
       proxy score (swap in score_with_model upstream for a real LM).
     """
@@ -306,6 +311,17 @@ def curation_funnel(
             keep = (
                 cur.groupBy(F.md5("text").alias("__d"))
                 .agg(F.min("doc_id").alias("doc_id"))
+                .select("doc_id")
+            )
+            cur = cur.join(keep, "doc_id")
+        elif stage == "neardup":
+            from ..functions.text import clean_words
+            from .dedup import cluster_keep_best, minhash_pairs
+
+            pairs = minhash_pairs(cur).select("doc_a", "doc_b")
+            keep = (
+                cluster_keep_best(cur, pairs, F.size(clean_words("text")))
+                .filter(F.col("is_keeper"))
                 .select("doc_id")
             )
             cur = cur.join(keep, "doc_id")

@@ -936,3 +936,46 @@ class TestPerceptualHash:
         }
         exact = [(a, b) for (a, b) in pairs if b == a + 1000000]
         assert exact and all(pairs[p] == 0 for p in exact)
+
+
+class TestFunnelNeardupStage:
+    def test_neardup_keeps_best_extraction(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.curation import (
+            curation_funnel,
+        )
+
+        base = (
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lamda mu nu xi omicron pi rho sigma tau upsilon"
+        )
+        rows = [
+            (1, base),                                  # truncated extraction
+            (2, base + " phi chi psi omega and more"),  # fuller extraction
+            (3, "entirely different content with its own words here now"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        cur, report = curation_funnel(docs, stages=("neardup",))
+        kept = {r["doc_id"] for r in cur.collect()}
+        # Docs 1 and 2 are near-dups; the LONGER extraction (2) wins
+        # even though 1 has the smaller id. Doc 3 is a singleton.
+        assert kept == {2, 3}
+        assert report[0] == {"stage": "neardup", "rows_in": 3, "rows_out": 2}
+
+
+class TestPhashCli:
+    def test_verb(self, spark, tmp_path, capsys):
+        import json as _json
+
+        from imitation_learning_data_pipeline_spark.cli import main
+
+        base = "the quick brown fox jumps over the lazy dog " * 6
+        src = str(tmp_path / "media")
+        spark.createDataFrame(
+            [(1, base.encode()), (2, base.encode()), (3, b"unrelated bytes here xyz")],
+            "doc_id long, payload binary",
+        ).write.parquet(src)
+        out = str(tmp_path / "pairs")
+        assert main(["phash", "--input", src, "--fake-decode", "--out", out]) == 0
+        stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        pairs = {(r["doc_a"], r["doc_b"]) for r in spark.read.parquet(out).collect()}
+        assert (1, 2) in pairs and stats["pairs"] >= 1
