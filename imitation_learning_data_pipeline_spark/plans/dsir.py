@@ -260,8 +260,14 @@ def read_dsir_selection(spark: SparkSession, store_path: str, k: int) -> DataFra
                 "per-batch cut may have discarded global winners — re-run "
                 "the stream with k_per_batch >= the global k"
             )
+    # distinct: a re-dropped input file lands the SAME docs in a new
+    # ingest_batch (new batch_id → new partition, not replaced), and a
+    # doc must not occupy two of the k slots. The triple is a pure
+    # function of (doc_id, weights, seed), so duplicates are
+    # bit-identical rows and dedupe exactly.
     top = (
         store.select("doc_id", "score", "sample_key")
+        .distinct()
         .orderBy(F.col("sample_key").desc(), "doc_id")
         .limit(k)
     )

@@ -979,3 +979,45 @@ class TestPhashCli:
         stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         pairs = {(r["doc_a"], r["doc_b"]) for r in spark.read.parquet(out).collect()}
         assert (1, 2) in pairs and stats["pairs"] >= 1
+
+
+class TestDsirFoldDedup:
+    def test_redropped_file_does_not_double_select(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.plans.dsir import (
+            doc_features,
+            dsir_weights,
+            read_dsir_selection,
+            write_dsir_weights,
+        )
+        from imitation_learning_data_pipeline_spark.streaming.incremental import (
+            run_incremental_dsir_stream,
+        )
+
+        ref = spark.createDataFrame(
+            [(900, "alpha beta gamma"), (950, "delta epsilon zeta")],
+            "doc_id long, text string",
+        )
+        wpath = str(tmp_path / "w")
+        write_dsir_weights(
+            dsir_weights(doc_features(ref), ref.limit(1).select("doc_id")), wpath
+        )
+        docs = spark.createDataFrame(
+            [(i, "alpha beta gamma") for i in range(6)], "doc_id long, text string"
+        )
+        src = str(tmp_path / "src")
+        docs.repartition(1).write.parquet(src)
+        # Re-drop the SAME rows as a second file: same docs, new batch.
+        import shutil, glob
+
+        part = glob.glob(f"{src}/part-*.parquet")[0]
+        shutil.copy(part, f"{src}/part-redrop.parquet")
+        stream = spark.readStream.schema("doc_id long, text string").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        out = str(tmp_path / "sel")
+        run_incremental_dsir_stream(
+            stream, wpath, out, str(tmp_path / "ck"), k_per_batch=6
+        )
+        got = read_dsir_selection(spark, out, k=6).collect()
+        ids = [r["doc_id"] for r in got]
+        assert sorted(ids) == list(range(6))  # each doc once, never twice
