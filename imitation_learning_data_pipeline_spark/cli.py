@@ -1569,6 +1569,7 @@ def cmd_curate(args: argparse.Namespace) -> int:
         blockwords=(
             [w for w in args.blockwords.split(",") if w] if args.blockwords else None
         ),
+        quality_model_path=args.quality_model,
     )
     if args.out:
         curated.write.mode("overwrite").parquet(args.out)
@@ -2270,13 +2271,18 @@ def build_parser() -> argparse.ArgumentParser:
         "--stages",
         default="gopher,pii,dedup,sample",
         help="comma-separated subset/order of gopher,blocklist,pii,"
-        "rewrite,dedup,neardup,sample (blocklist/rewrite/neardup are "
-        "opt-in)",
+        "rewrite,dedup,neardup,classify,sample (blocklist/rewrite/"
+        "neardup/classify are opt-in)",
     )
     cu.add_argument(
         "--blockwords",
         default=None,
         help="comma-separated bad-words list for the blocklist stage",
+    )
+    cu.add_argument(
+        "--quality-model",
+        default=None,
+        help="persisted LR model path for the classify stage",
     )
     cu.add_argument(
         "--min-stopwords",

@@ -225,7 +225,9 @@ def corpus_diff_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FUNNEL_STAGES = ("gopher", "pii", "dedup", "sample")
 # every runnable stage ("rewrite" is opt-in, not in the default chain)
-_KNOWN_STAGES = ("gopher", "blocklist", "pii", "rewrite", "dedup", "neardup", "sample")
+_KNOWN_STAGES = (
+    "gopher", "blocklist", "pii", "rewrite", "dedup", "neardup", "classify", "sample"
+)
 
 
 def curation_funnel(
@@ -234,6 +236,7 @@ def curation_funnel(
     min_required_stopwords: int = 2,
     report: bool = True,
     blockwords: list[str] | None = None,
+    quality_model_path: str | None = None,
 ) -> tuple[DataFrame, list[dict]]:
     """Chain curation stages over a ``(doc_id, text)`` frame →
     (curated_frame, funnel_report).
@@ -261,6 +264,9 @@ def curation_funnel(
       count as the default quality score) — keeps the best extraction
       per cluster, not the first-crawled. Place it AFTER ``dedup``
       (exact copies are cheaper to kill by hash).
+    - ``classify`` (opt-in): classifier-based quality filtering — score
+      with a PERSISTED LR model (quality_model.save_quality_model) and
+      keep via the seeded Pareto acceptance rule (the GPT-3 recipe).
     - ``sample``: CCNet-shaped perplexity-bucket acceptance on the
       proxy score (swap in score_with_model upstream for a real LM).
     """
@@ -322,6 +328,20 @@ def curation_funnel(
             keep = (
                 cluster_keep_best(cur, pairs, F.size(clean_words("text")))
                 .filter(F.col("is_keeper"))
+                .select("doc_id")
+            )
+            cur = cur.join(keep, "doc_id")
+        elif stage == "classify":
+            if not quality_model_path:
+                raise ValueError(
+                    "curation_funnel: the 'classify' stage needs "
+                    "quality_model_path (see quality_model.save_quality_model)"
+                )
+            from .quality_model import load_quality_model, pareto_keep, score_quality
+
+            scored = score_quality(load_quality_model(quality_model_path), cur)
+            keep = (
+                scored.filter(pareto_keep("quality_score", "doc_id"))
                 .select("doc_id")
             )
             cur = cur.join(keep, "doc_id")

@@ -1021,3 +1021,38 @@ class TestDsirFoldDedup:
         got = read_dsir_selection(spark, out, k=6).collect()
         ids = [r["doc_id"] for r in got]
         assert sorted(ids) == list(range(6))  # each doc once, never twice
+
+
+class TestFunnelClassifyStage:
+    def test_classify_stage_with_persisted_model(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.plans.curation import (
+            curation_funnel,
+        )
+        from imitation_learning_data_pipeline_spark.plans.quality_model import (
+            save_quality_model,
+            train_quality_classifier,
+        )
+
+        sporty = "match goal team score win league player season coach referee"
+        spam = "buy cheap click winner prize buy cheap click winner prize"
+        labeled = spark.createDataFrame(
+            [(i, sporty + f" v{i}", 1) for i in range(15)]
+            + [(100 + i, spam, 0) for i in range(15)],
+            "doc_id long, text string, label int",
+        )
+        mpath = str(tmp_path / "model")
+        save_quality_model(train_quality_classifier(labeled), mpath)
+
+        docs = spark.createDataFrame(
+            [(i, sporty if i % 2 == 0 else spam) for i in range(20)],
+            "doc_id long, text string",
+        )
+        cur, report = curation_funnel(
+            docs, stages=("classify",), quality_model_path=mpath
+        )
+        kept = {r["doc_id"] for r in cur.collect()}
+        assert kept <= {i for i in range(20) if i % 2 == 0}
+        assert len(kept) >= 7  # Pareto keeps most high scorers
+        assert report[0]["stage"] == "classify"
+        with pytest.raises(ValueError, match="needs\n?.*quality_model_path|quality_model_path"):
+            curation_funnel(docs, stages=("classify",))
