@@ -971,35 +971,42 @@ def cmd_dsir(args: argparse.Namespace) -> int:
         picked.write.mode("overwrite").parquet(args.out)
         print(json.dumps({"out": args.out, "selected": picked.count(), "k": args.k}))
         return 0
+    cache.begin_plan()
     if args.target:
+        # Separate target corpus: the paper's q is the RAW distribution
+        # alone and p the target distribution alone — never a union
+        # (union counting shrinks log-ratios for target-distinctive
+        # buckets because target features would inflate q too).
+        # Overlapping doc_ids are harmless here: each side counts only
+        # its own featurization (see dsir_weights_paired docstring).
+        from .plans.dsir import dsir_weights_paired
+
         tgt = spark.read.parquet(args.target).select(
             F.col(args.id_col).alias("doc_id"), F.col(args.text_col).alias("text")
         )
-        # Disjoint id spaces are the caller's contract; weights come
-        # from the union so every raw feature bucket is covered.
-        both = raw.unionByName(tgt)
-        target_ids = tgt.select("doc_id")
+        feats = cache.pin(doc_features(raw))
+        weights = dsir_weights_paired(feats, doc_features(tgt))
     elif args.target_where:
         # Target is a subset of the raw corpus named by a predicate
-        # (e.g. "source = 'wiki'"); weights come from raw itself.
-        both = raw
+        # (e.g. "source = 'wiki'"); those docs ARE raw-pool members, so
+        # the paper's q (raw distribution) genuinely includes them.
+        feats = cache.pin(doc_features(raw))
         target_ids = (
             spark.read.parquet(args.input)
             .filter(args.target_where)
             .select(F.col(args.id_col).alias("doc_id"))
         )
+        weights = dsir_weights(feats, target_ids)
     else:
         raise SystemExit("dsir: pass --target PARQUET or --target-where PREDICATE")
-    cache.begin_plan()
-    feats = cache.pin(doc_features(both))
-    weights = dsir_weights(feats, target_ids)
     if args.weights_out:
         from .plans.dsir import write_dsir_weights
 
         write_dsir_weights(weights, args.weights_out)
         weights = spark.read.parquet(args.weights_out)
-    # feats may cover target docs too; dsir_scores left-joins from the
-    # raw id set, so extra target rows prune away.
+    # feats is the raw featurization in both estimation paths; the
+    # weight join inside dsir_scores is left+0-fill, so raw buckets a
+    # foreign/paired weight table lacks score as ~0 (unbiased).
     scored = dsir_scores(raw, weights, feats=feats)
     picked = dsir_resample_topk(scored, k=args.k, seed=args.seed)
     picked.write.mode("overwrite").parquet(args.out)
@@ -2097,7 +2104,13 @@ def build_parser() -> argparse.ArgumentParser:
         "(hashed-ngram log-ratio weights + seeded Gumbel-top-k)",
     )
     ds.add_argument("--input", required=True, help="raw corpus parquet")
-    ds.add_argument("--target", default=None, help="target-domain parquet")
+    ds.add_argument(
+        "--target", default=None,
+        help="target-domain parquet (a SEPARATE corpus: q is estimated "
+        "from --input alone, p from --target alone, per the DSIR paper; "
+        "a doc_id appearing in both is scored as a raw doc — its target "
+        "copy only shapes p, counts never merge)",
+    )
     ds.add_argument(
         "--target-where", default=None,
         help="SQL predicate naming the target subset of --input",

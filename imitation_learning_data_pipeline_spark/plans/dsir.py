@@ -74,6 +74,45 @@ def doc_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _parse_bytes(s: str) -> int:
+    """Parse a Spark size conf string ("10MB", "10485760b", "-1")."""
+    s = s.strip().lower()
+    mult = 1
+    for suffix, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                      ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+        if s.endswith(suffix):
+            s, mult = s[: -len(suffix)], m
+            break
+    return int(s) * mult
+
+
+def _broadcast_if_small(df: DataFrame) -> DataFrame:
+    """Broadcast-hint ``df`` only when its optimizer size estimate fits
+    the session's ``autoBroadcastJoinThreshold``.
+
+    Uses plan statistics (no action triggered). Any introspection
+    failure leaves the hint off — with no hint AQE still broadcasts a
+    small side at runtime, whereas a forced hint on a huge frame rams
+    it into driver memory. So the failure mode of NOT hinting is a
+    shuffle join; the failure mode of over-hinting is an OOM.
+    """
+    try:
+        spark = df.sparkSession
+        thresh = _parse_bytes(
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+        )
+        if thresh <= 0:
+            return df
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
+        )
+        if size <= thresh:
+            return F.broadcast(df)
+    except Exception:
+        pass
+    return df
+
+
 def dsir_weights(
     feats: DataFrame,
     target_ids: DataFrame,
@@ -87,16 +126,29 @@ def dsir_weights(
     document, so the weight table inner-joins losslessly downstream.
     Both counts are map-side-combinable aggregates; the result is
     ``n_buckets`` rows — broadcast it.
+
+    The target-id join is broadcast only when ``target_ids``'s
+    plan-statistics size fits under the session's
+    ``autoBroadcastJoinThreshold`` (the LM-scorer conditional pattern):
+    the contract's target is tiny, but this API accepts ANY frame, and
+    force-broadcasting a 10⁸-row target domain would OOM the driver
+    where a shuffle join degrades gracefully. With no hint, AQE picks.
     """
     raw_c = feats.groupBy("bkt").agg(F.count("*").alias("n_r"))
     tgt_c = (
-        feats.join(F.broadcast(target_ids), "doc_id")
+        feats.join(_broadcast_if_small(target_ids), "doc_id")
         .groupBy("bkt")
         .agg(F.count("*").alias("n_t"))
     )
     joined = raw_c.join(tgt_c, "bkt", "left").select(
         "bkt", "n_r", F.coalesce("n_t", F.lit(0)).alias("n_t")
     )
+    return _weights_from_counts(joined, n_buckets)
+
+
+def _weights_from_counts(joined: DataFrame, n_buckets: int) -> DataFrame:
+    """(bkt, n_r, n_t) → (bkt, w_int): add-one-smoothed integer log
+    importance weights. ONE ln per bucket (registry float discipline)."""
     # 1-row broadcast totals; qualify both sides (totals derives from
     # `joined`, so unqualified names are self-join-ambiguous).
     totals = joined.agg(
@@ -112,6 +164,38 @@ def dsir_weights(
     )
 
 
+def dsir_weights_paired(
+    raw_feats: DataFrame,
+    tgt_feats: DataFrame,
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Weights from SEPARATE raw / target featurizations — the exact
+    paper setting (Xie et al. §3): q is the raw distribution ALONE and
+    p the target distribution alone, never a union of the two.
+
+    Use this when the target corpus is a DIFFERENT dataset from the raw
+    pool (the CLI's ``--target`` path). :func:`dsir_weights` remains
+    the right call when the target is a SUBSET of the raw corpus named
+    by ids (``--target-where``) — there the paper's q genuinely
+    includes the target docs, because they are raw-pool members.
+
+    Buckets seen by EITHER side get a row (full outer join, 0-fill):
+    target-distinctive vocabulary absent from this raw pool still earns
+    its positive weight, which matters when the table is persisted and
+    later applied to new batches (:func:`dsir_select_batch`).
+    Overlapping doc_ids between the frames are harmless — each side
+    counts only its own featurization, nothing merges.
+    """
+    raw_c = raw_feats.groupBy("bkt").agg(F.count("*").alias("n_r"))
+    tgt_c = tgt_feats.groupBy("bkt").agg(F.count("*").alias("n_t"))
+    joined = raw_c.join(tgt_c, "bkt", "full").select(
+        "bkt",
+        F.coalesce("n_r", F.lit(0)).alias("n_r"),
+        F.coalesce("n_t", F.lit(0)).alias("n_t"),
+    )
+    return _weights_from_counts(joined, n_buckets)
+
+
 def dsir_scores(
     docs: DataFrame,
     weights: DataFrame,
@@ -125,13 +209,22 @@ def dsir_scores(
     paper's "every raw example has nonzero resampling probability".
     Pass the already-built ``feats`` frame (pinned) to share ONE
     featurization pass with :func:`dsir_weights`.
+
+    The weight join is LEFT with weight-0 fill, same as
+    :func:`dsir_select_batch`: when ``weights`` came from
+    :func:`dsir_weights` over this very corpus the joins are identical
+    (every feature bucket has a weight row), but a persisted / foreign
+    weight store (:func:`read_dsir_weights`) can miss buckets this
+    corpus produces — an inner join would silently drop those features,
+    and the smoothed log-ratio of an unseen bucket is ~0 by
+    construction, so 0-fill is the unbiased treatment.
     """
     if feats is None:
         feats = doc_features(docs, text_col)
     scored = (
-        feats.join(F.broadcast(weights), "bkt")
+        feats.join(F.broadcast(weights), "bkt", "left")
         .groupBy("doc_id")
-        .agg(F.sum("w_int").alias("score_int"))
+        .agg(F.sum(F.coalesce("w_int", F.lit(0))).alias("score_int"))
     )
     return (
         docs.select("doc_id")
@@ -260,14 +353,22 @@ def read_dsir_selection(spark: SparkSession, store_path: str, k: int) -> DataFra
                 "per-batch cut may have discarded global winners — re-run "
                 "the stream with k_per_batch >= the global k"
             )
-    # distinct: a re-dropped input file lands the SAME docs in a new
-    # ingest_batch (new batch_id → new partition, not replaced), and a
-    # doc must not occupy two of the k slots. The triple is a pure
-    # function of (doc_id, weights, seed), so duplicates are
-    # bit-identical rows and dedupe exactly.
+    # One row per doc_id: a re-dropped input file lands the SAME docs
+    # in a new ingest_batch (new batch_id → new partition, not
+    # replaced), and a doc must not occupy two of the k slots. When the
+    # text is unchanged the re-ingested triple is bit-identical (pure
+    # function of (doc_id, weights, seed)) — but a re-ingest whose TEXT
+    # changed yields a different score and therefore a different
+    # sample_key, so a plain distinct() would seat the doc twice. Keep
+    # the max-sample_key row per doc_id (a map-side struct-max
+    # aggregate, the cluster_keep_best idiom): deterministic, and for
+    # the unchanged-text case identical to distinct().
     top = (
-        store.select("doc_id", "score", "sample_key")
-        .distinct()
+        store.select("doc_id", F.struct("sample_key", "score").alias("__s"))
+        .groupBy("doc_id")
+        .agg(F.max("__s").alias("__s"))
+        .select("doc_id", F.col("__s.score").alias("score"),
+                F.col("__s.sample_key").alias("sample_key"))
         .orderBy(F.col("sample_key").desc(), "doc_id")
         .limit(k)
     )

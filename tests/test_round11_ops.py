@@ -1,0 +1,358 @@
+"""Round-11 hardening: DSIR re-ingest fold, conditional target
+broadcast, paper-exact paired weight estimation, foreign-store scoring.
+
+Verdict/ADVICE items closed here:
+- VERDICT r10 #2: read_dsir_selection must not seat one doc_id in two
+  of the k slots when a doc re-ingests with MODIFIED text.
+- VERDICT r10 #3: dsir_weights must not force-broadcast an arbitrarily
+  large target-id frame.
+- ADVICE r10: dsir_scores left-joins foreign weight stores (0-fill);
+  `cli dsir --target` estimates q from the raw featurization alone.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SPORTY = "match goal team score win league player season coach referee"
+JUNKY = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+
+
+class TestDsirReingestFold:
+    def test_modified_reingest_never_double_seats(self, spark, tmp_path):
+        """A doc_id re-ingested with CHANGED text produces two
+        non-identical (score, sample_key) rows in the store; the fold
+        must still yield k DISTINCT doc_ids, keeping the max-sample_key
+        row for the conflicted doc."""
+        from imitation_learning_data_pipeline_spark.plans.dsir import (
+            doc_features,
+            dsir_select_batch,
+            dsir_weights,
+            read_dsir_selection,
+            read_dsir_weights,
+            write_dsir_weights,
+        )
+
+        ref = spark.createDataFrame(
+            [(900, SPORTY), (950, JUNKY)], "doc_id long, text string"
+        )
+        wpath = str(tmp_path / "w")
+        write_dsir_weights(
+            dsir_weights(doc_features(ref), ref.filter("doc_id = 900").select("doc_id")),
+            wpath,
+        )
+        weights = read_dsir_weights(spark, wpath)
+        k = 4
+        batch1 = spark.createDataFrame(
+            [(i, SPORTY if i % 2 else JUNKY) for i in range(8)],
+            "doc_id long, text string",
+        )
+        # doc 3 re-ingests with modified (now junky) text: same id,
+        # different score, different sample_key.
+        batch2 = spark.createDataFrame(
+            [(3, JUNKY + " extra"), (20, SPORTY), (21, JUNKY)],
+            "doc_id long, text string",
+        )
+        out = str(tmp_path / "sel")
+        for i, b in enumerate((batch1, batch2)):
+            sel = dsir_select_batch(b, weights, k=k).withColumn(
+                "k_batch", F.lit(k)
+            ).withColumn("ingest_batch", F.lit(i))
+            sel.write.mode("append").partitionBy("ingest_batch").parquet(out)
+
+        # Sanity: the raw store really does carry doc 3 twice with
+        # differing sample keys (the r10 hole's precondition).
+        raw = spark.read.parquet(out).filter("doc_id = 3")
+        keys = [r.sample_key for r in raw.collect()]
+        assert len(keys) == 2 and keys[0] != keys[1]
+
+        folded = read_dsir_selection(spark, out, k=k).collect()
+        ids = [r.doc_id for r in folded]
+        assert len(ids) == len(set(ids)) == k
+        # The conflicted doc resolves to its max sample_key.
+        if 3 in ids:
+            got = next(r for r in folded if r.doc_id == 3)
+            assert got.sample_key == pytest.approx(max(keys))
+
+    def test_unchanged_reingest_still_exact(self, spark, tmp_path):
+        """Bit-identical re-ingest (the r10 case) keeps the documented
+        fold-equals-single-batch exactness."""
+        from imitation_learning_data_pipeline_spark.plans.dsir import (
+            doc_features,
+            dsir_select_batch,
+            dsir_weights,
+            read_dsir_selection,
+            read_dsir_weights,
+            write_dsir_weights,
+        )
+
+        ref = spark.createDataFrame(
+            [(900, SPORTY), (950, JUNKY)], "doc_id long, text string"
+        )
+        wpath = str(tmp_path / "w")
+        write_dsir_weights(
+            dsir_weights(doc_features(ref), ref.filter("doc_id = 900").select("doc_id")),
+            wpath,
+        )
+        weights = read_dsir_weights(spark, wpath)
+        docs = spark.createDataFrame(
+            [(i, SPORTY if i % 2 else JUNKY) for i in range(10)],
+            "doc_id long, text string",
+        )
+        out = str(tmp_path / "sel")
+        k = 5
+        for i in range(2):  # same docs twice = re-dropped input file
+            dsir_select_batch(docs, weights, k=k).withColumn(
+                "k_batch", F.lit(k)
+            ).withColumn("ingest_batch", F.lit(i)).write.mode("append").partitionBy(
+                "ingest_batch"
+            ).parquet(out)
+        folded = read_dsir_selection(spark, out, k=k).collect()
+        single = dsir_select_batch(docs, weights, k=k).collect()
+        assert [tuple(r) for r in folded] == [tuple(r) for r in single]
+
+
+class TestDsirBroadcastGate:
+    def test_parse_bytes(self):
+        from imitation_learning_data_pipeline_spark.plans.dsir import _parse_bytes
+
+        assert _parse_bytes("10MB") == 10 << 20
+        assert _parse_bytes("10485760b") == 10 << 20
+        assert _parse_bytes("512kb") == 512 << 10
+        assert _parse_bytes("-1") == -1
+        assert _parse_bytes("1g") == 1 << 30
+
+    def test_large_target_not_force_broadcast(self, spark):
+        """With autoBroadcastJoinThreshold=-1 a forced hint is the ONLY
+        way a broadcast join can appear — so the target join must plan
+        as a shuffle join when the target's stats are large."""
+        from imitation_learning_data_pipeline_spark.plans.dsir import (
+            doc_features,
+            dsir_weights,
+        )
+
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            docs = spark.createDataFrame(
+                [(i, SPORTY) for i in range(4)], "doc_id long, text string"
+            )
+            big_target = spark.range(0, 50_000_000).select(
+                F.col("id").alias("doc_id")
+            )
+            plan = dsir_weights(
+                doc_features(docs), big_target
+            )._jdf.queryExecution().executedPlan().toString()
+            # The doc_id join must not be a broadcast; the 1-row totals
+            # crossJoin legitimately broadcasts, so look at the join on
+            # doc_id specifically via the absence of a forced-hint SMJ
+            # downgrade: no BroadcastHashJoin over the range relation.
+            assert "BroadcastHashJoin" not in plan.split("== Physical Plan ==")[-1] or (
+                "SortMergeJoin" in plan
+            )
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    def test_small_target_still_broadcasts(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.dsir import (
+            doc_features,
+            dsir_weights,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, SPORTY) for i in range(4)], "doc_id long, text string"
+        )
+        small = docs.limit(2).select("doc_id")
+        plan = dsir_weights(
+            doc_features(docs), small
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+    def test_weights_unchanged_by_gate(self, spark):
+        """The gate changes the physical join only — weight values are
+        identical whichever side of the threshold the target lands."""
+        from imitation_learning_data_pipeline_spark.plans.dsir import (
+            doc_features,
+            dsir_weights,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, SPORTY if i % 2 else JUNKY) for i in range(10)],
+            "doc_id long, text string",
+        )
+        tgt = docs.filter("doc_id % 2 = 1").select("doc_id")
+        feats = doc_features(docs)
+        w_b = {r.bkt: r.w_int for r in dsir_weights(feats, tgt).collect()}
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            w_s = {r.bkt: r.w_int for r in dsir_weights(feats, tgt).collect()}
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert w_b == w_s
+
+
+class TestDsirPairedWeights:
+    def test_q_from_raw_alone(self, spark):
+        """Paired estimation must equal hand-computed add-one smoothing
+        with n_r from the raw featurization ONLY — target occurrences
+        must not inflate q."""
+        import math
+
+        from imitation_learning_data_pipeline_spark.plans.dsir import (
+            N_BUCKETS,
+            _SCALE,
+            doc_features,
+            dsir_weights_paired,
+        )
+
+        raw = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
+        tgt = spark.createDataFrame(
+            [(100, "alpha alpha alpha")], "doc_id long, text string"
+        )
+        rf, tf = doc_features(raw), doc_features(tgt)
+        n_r = {r.bkt: r.cnt for r in rf.groupBy("bkt").agg(F.count("*").alias("cnt")).collect()}
+        n_t = {r.bkt: r.cnt for r in tf.groupBy("bkt").agg(F.count("*").alias("cnt")).collect()}
+        N_r, N_t = sum(n_r.values()), sum(n_t.values())
+        got = {r.bkt: r.w_int for r in dsir_weights_paired(rf, tf).collect()}
+        assert set(got) == set(n_r) | set(n_t)
+        for bkt, w in got.items():
+            p_t = (n_t.get(bkt, 0) + 1) / (N_t + N_BUCKETS)
+            p_r = (n_r.get(bkt, 0) + 1) / (N_r + N_BUCKETS)
+            assert w == round(math.log(p_t / p_r) * _SCALE)
+
+    def test_target_distinctive_bucket_outranks_union_estimate(self, spark):
+        """The r10 ADVICE defect: union-q shrinks log-ratios for
+        target-distinctive buckets. Paired weights must strictly exceed
+        the union-derived weight for a bucket only the target emits."""
+        from imitation_learning_data_pipeline_spark.plans.dsir import (
+            doc_features,
+            dsir_weights,
+            dsir_weights_paired,
+        )
+
+        raw = spark.createDataFrame(
+            [(i, JUNKY) for i in range(6)], "doc_id long, text string"
+        )
+        tgt = spark.createDataFrame(
+            [(100 + i, SPORTY) for i in range(6)], "doc_id long, text string"
+        )
+        paired = {
+            r.bkt: r.w_int
+            for r in dsir_weights_paired(doc_features(raw), doc_features(tgt)).collect()
+        }
+        union = {
+            r.bkt: r.w_int
+            for r in dsir_weights(
+                doc_features(raw.unionByName(tgt)), tgt.select("doc_id")
+            ).collect()
+        }
+        tgt_buckets = {r.bkt for r in doc_features(tgt).select("bkt").distinct().collect()}
+        raw_buckets = {r.bkt for r in doc_features(raw).select("bkt").distinct().collect()}
+        distinctive = tgt_buckets - raw_buckets
+        assert distinctive
+        for b in distinctive:
+            assert paired[b] > union[b]
+
+    def test_overlapping_ids_do_not_merge(self, spark):
+        """Same doc_id in raw and target: each side counts only its own
+        featurization (nothing unions), so weights equal the relabeled
+        run where the ids are disjoint."""
+        from imitation_learning_data_pipeline_spark.plans.dsir import (
+            doc_features,
+            dsir_weights_paired,
+        )
+
+        raw = spark.createDataFrame(
+            [(1, JUNKY), (2, JUNKY)], "doc_id long, text string"
+        )
+        tgt_overlap = spark.createDataFrame(
+            [(1, SPORTY)], "doc_id long, text string"
+        )
+        tgt_disjoint = spark.createDataFrame(
+            [(999, SPORTY)], "doc_id long, text string"
+        )
+        w1 = {
+            r.bkt: r.w_int
+            for r in dsir_weights_paired(
+                doc_features(raw), doc_features(tgt_overlap)
+            ).collect()
+        }
+        w2 = {
+            r.bkt: r.w_int
+            for r in dsir_weights_paired(
+                doc_features(raw), doc_features(tgt_disjoint)
+            ).collect()
+        }
+        assert w1 == w2
+
+    def test_cli_target_path(self, spark, tmp_path, capsys):
+        """`cli dsir --target` end-to-end on a separate target corpus:
+        sporty raw docs must dominate the selection."""
+        import json
+
+        from imitation_learning_data_pipeline_spark.cli import main
+
+        raw_rows = [(i, SPORTY if i < 10 else JUNKY) for i in range(20)]
+        spark.createDataFrame(raw_rows, "doc_id long, text string").write.parquet(
+            str(tmp_path / "raw")
+        )
+        spark.createDataFrame(
+            [(1000 + i, SPORTY) for i in range(4)], "doc_id long, text string"
+        ).write.parquet(str(tmp_path / "tgt"))
+        out = str(tmp_path / "sel")
+        rc = main(
+            ["dsir", "--input", str(tmp_path / "raw"), "--target",
+             str(tmp_path / "tgt"), "--k", "8", "--out", out]
+        )
+        assert rc == 0
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats["selected"] == 8
+        picked = {r.doc_id for r in spark.read.parquet(out).collect()}
+        assert picked <= set(range(20))
+        # 10 sporty raw docs, k=8: the target-like docs dominate.
+        assert len(picked & set(range(10))) >= 7
+
+
+class TestDsirScoresForeignStore:
+    def test_left_join_zero_fill(self, spark, tmp_path):
+        """Scoring a corpus against a FOREIGN weight store (estimated
+        elsewhere, missing buckets this corpus produces) must not drop
+        the novel-vocabulary features: dsir_scores now matches
+        dsir_select_batch's left+0-fill semantics exactly."""
+        from imitation_learning_data_pipeline_spark.plans.dsir import (
+            doc_features,
+            dsir_scores,
+            dsir_select_batch,
+            dsir_weights,
+            read_dsir_weights,
+            write_dsir_weights,
+        )
+
+        ref = spark.createDataFrame(
+            [(900, SPORTY), (950, JUNKY)], "doc_id long, text string"
+        )
+        path = str(tmp_path / "w")
+        write_dsir_weights(
+            dsir_weights(doc_features(ref), ref.filter("doc_id = 900").select("doc_id")),
+            path,
+        )
+        stored = read_dsir_weights(spark, path)
+        # Novel vocabulary: half the words never appeared in ref.
+        docs = spark.createDataFrame(
+            [(1, SPORTY + " zebrafish quantum"), (2, "zebrafish quantum flux")],
+            "doc_id long, text string",
+        )
+        scores = {r.doc_id: r.score_int for r in dsir_scores(docs, stored).collect()}
+        batch = {
+            r.doc_id: round(r.score * 10000)
+            for r in dsir_select_batch(docs, stored, k=2).collect()
+        }
+        # dsir_select_batch reports score = score_int / 1e4.
+        for did, s in batch.items():
+            assert scores[did] == s
+        # Doc 2 is ALL novel vocabulary: every feature 0-fills, score 0
+        # (an inner join would have produced no row / dropped features).
+        assert scores[2] == 0
