@@ -39,6 +39,54 @@ from .registry import register
 N_FEATURES = 1 << 15
 
 
+def rank_auc(
+    scored: DataFrame,
+    score_col: str = "quality_score",
+    label_col: str = "label",
+    tiebreak_col: str = "doc_id",
+    extra_aggs: list[Column] | None = None,
+):
+    """Mann-Whitney rank AUC, fully distributed — no unpartitioned
+    window (the r10 verdict found the old global
+    ``row_number().over(Window.orderBy(...))`` single-task-sorts the
+    whole holdout; this is the helper people reach for to AUC a FULL
+    corpus, so the bottleneck had to go).
+
+    Uses :func:`plans.windows.bucket_ranked` (range-partitioned
+    two-pass rank — every bucket sorts in parallel) and fuses the AUC
+    reduction plus any caller ``extra_aggs`` into ONE aggregate over
+    the cached bucketed frame, so the corpus is ranked and reduced in
+    a single pass, never checkpointed.
+
+    Rank semantics are identical to the old window: deterministic
+    ``(score, tiebreak)`` row_number — ties between a positive and a
+    negative at the same score resolve by the tiebreaker, exactly as
+    before (pytest-locked parity).
+
+    Returns ``(auc, row)`` where ``row`` carries ``__n``/``__n_pos``
+    and the results of ``extra_aggs``.
+    """
+    from .windows import bucket_ranked
+
+    ranked, cached = bucket_ranked(
+        scored, [score_col, tiebreak_col], rank_col="__r"
+    )
+    try:
+        lbl = F.col(label_col).cast("long")
+        row = ranked.agg(
+            F.count("*").alias("__n"),
+            F.sum(lbl).alias("__n_pos"),
+            F.sum(F.when(lbl == 1, F.col("__r")).otherwise(0)).alias("__rank_pos"),
+            *(extra_aggs or []),
+        ).collect()[0]
+    finally:
+        cached.unpersist()
+    n_pos = row["__n_pos"] or 0
+    n_neg = row["__n"] - n_pos
+    auc = (row["__rank_pos"] - n_pos * (n_pos + 1) / 2) / max(n_pos * n_neg, 1)
+    return auc, row
+
+
 def _featurize(docs: DataFrame, text_col: str = "text") -> DataFrame:
     from pyspark.ml.feature import HashingTF
 
@@ -188,32 +236,28 @@ def quality_classifier_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quality_score",
             pareto_keep("quality_score", "doc_id").alias("kept"),
         )
-        # Rank-based AUC (Mann-Whitney): portable, one aggregate pass.
-        from pyspark.sql.window import Window
-
-        ranked = scored.withColumn(
-            "r", F.row_number().over(Window.orderBy("quality_score", "doc_id"))
+        # Rank-based AUC (Mann-Whitney): distributed two-pass bucket
+        # rank (no unpartitioned window), keep-counts fused into the
+        # same aggregate pass.
+        auc, agg = rank_auc(
+            scored,
+            extra_aggs=[
+                F.sum(
+                    F.when((F.col("label") == 1) & F.col("kept"), 1).otherwise(0)
+                ).alias("good_kept"),
+                F.sum(
+                    F.when((F.col("label") == 0) & F.col("kept"), 1).otherwise(0)
+                ).alias("bad_kept"),
+            ],
         )
-        agg = ranked.agg(
-            F.count("*").alias("n"),
-            F.sum(F.col("label")).alias("n_pos"),
-            F.sum(F.when(F.col("label") == 1, F.col("r")).otherwise(0)).alias("rank_pos"),
-            F.sum(F.when((F.col("label") == 1) & F.col("kept"), 1).otherwise(0)).alias(
-                "good_kept"
-            ),
-            F.sum(F.when((F.col("label") == 0) & F.col("kept"), 1).otherwise(0)).alias(
-                "bad_kept"
-            ),
-        ).collect()[0]
-        n_pos = agg["n_pos"]
-        n_neg = agg["n"] - n_pos
-        auc = (agg["rank_pos"] - n_pos * (n_pos + 1) / 2) / max(n_pos * n_neg, 1)
+        n_pos = agg["__n_pos"]
+        n_neg = agg["__n"] - n_pos
         n_train = train.count()
         return spark.createDataFrame(
             [
                 (
                     n_train,
-                    int(agg["n"]),
+                    int(agg["__n"]),
                     bool(auc >= 0.90),
                     bool(agg["good_kept"] >= 0.70 * n_pos),
                     bool(agg["bad_kept"] <= 0.10 * n_neg),

@@ -26,6 +26,60 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events")
 
 
+def bucket_ranked(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "r",
+    n_buckets: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Exact global ``row_number()`` over ``order_cols`` WITHOUT an
+    unpartitioned window (which plans an ``Exchange SinglePartition`` —
+    one task sorts the whole frame; the r10 verdict's AUC bottleneck).
+
+    Two-pass bucket rank: range-partition on the sort key (each range
+    bucket sorts in parallel), count per bucket (a ≤-#partitions-row
+    driver aggregate), and add the cumulative bucket offset to each
+    local row_number. The RangePartitioner guarantees every row in
+    bucket i orders before every row in bucket i+1, so local rank +
+    offset IS the global rank — bit-identical to
+    ``row_number().over(Window.orderBy(*order_cols))`` whenever the key
+    is total (include a unique tiebreaker, the registry O2 rule).
+
+    Returns ``(ranked, cached)``: ``ranked`` carries ``rank_col``;
+    ``cached`` is the PERSISTED range-bucketed frame the offsets were
+    counted against. The caller MUST consume ``ranked`` (action or
+    checkpoint) before calling ``cached.unpersist()`` — the offsets are
+    only valid against the cached partitioning, and an uncached
+    recompute could re-sample different range boundaries. Fuse your
+    reduction while the cache is live (see
+    ``quality_model.rank_auc``) rather than checkpointing the full
+    ranked corpus when all you need is an aggregate of the ranks.
+    """
+    spark = df.sparkSession
+    n = int(n_buckets or spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    keys = [F.col(c) for c in order_cols]
+    parted = (
+        df.repartitionByRange(n, *keys)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = parted.groupBy("__pid").agg(F.count("*").alias("__cnt")).collect()
+    cum, offset_rows = 0, []
+    for r in sorted(counts, key=lambda r: r["__pid"]):
+        offset_rows.append((r["__pid"], cum))
+        cum += r["__cnt"]
+    if not offset_rows:
+        offset_rows = [(0, 0)]
+    offsets = spark.createDataFrame(offset_rows, "__pid int, __off long")
+    w = Window.partitionBy("__pid").orderBy(*keys)
+    ranked = (
+        parted.join(F.broadcast(offsets), "__pid")
+        .withColumn(rank_col, (F.row_number().over(w) + F.col("__off")).cast("long"))
+        .drop("__pid", "__off")
+    )
+    return ranked, parted
+
+
 # --- W2: dedup keep-first (align_transform_refactored.py:108-110) -----------
 
 @register(

@@ -356,3 +356,107 @@ class TestDsirScoresForeignStore:
         # Doc 2 is ALL novel vocabulary: every feature 0-fills, score 0
         # (an inner join would have produced no row / dropped features).
         assert scores[2] == 0
+
+
+class TestBucketRank:
+    def test_matches_global_window(self, spark):
+        """bucket_ranked == row_number().over(Window.orderBy(...)) on a
+        shuffled frame with duplicate scores (unique tiebreaker)."""
+        from pyspark.sql.window import Window
+
+        from imitation_learning_data_pipeline_spark.plans.windows import bucket_ranked
+
+        rows = [(i, float((i * 37) % 11)) for i in range(500)]
+        df = spark.createDataFrame(rows, "doc_id long, s double").repartition(7)
+        ranked, cached = bucket_ranked(df, ["s", "doc_id"], rank_col="r", n_buckets=8)
+        try:
+            got = {r.doc_id: r.r for r in ranked.collect()}
+        finally:
+            cached.unpersist()
+        want = {
+            r.doc_id: r.r
+            for r in df.withColumn(
+                "r", F.row_number().over(Window.orderBy("s", "doc_id"))
+            ).collect()
+        }
+        assert got == want
+
+    def test_no_single_partition_exchange(self, spark):
+        """The ranked plan must not contain Exchange SinglePartition —
+        the whole point of the two-pass rank."""
+        from imitation_learning_data_pipeline_spark.plans.windows import bucket_ranked
+
+        df = spark.createDataFrame(
+            [(i, float(i % 5)) for i in range(100)], "doc_id long, s double"
+        )
+        ranked, cached = bucket_ranked(df, ["s", "doc_id"], n_buckets=4)
+        try:
+            plan = ranked._jdf.queryExecution().executedPlan().toString()
+            assert "SinglePartition" not in plan
+            assert "Window" in plan  # the per-bucket window is still there
+        finally:
+            cached.unpersist()
+
+    def test_empty_frame(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.windows import bucket_ranked
+
+        df = spark.createDataFrame([], "doc_id long, s double")
+        ranked, cached = bucket_ranked(df, ["s", "doc_id"], n_buckets=4)
+        try:
+            assert ranked.count() == 0
+        finally:
+            cached.unpersist()
+
+
+class TestDistributedRankAuc:
+    def test_matches_windowed_auc(self, spark):
+        """rank_auc == the old global-window Mann-Whitney AUC on a
+        planted good/spam corpus, including tied scores."""
+        from pyspark.sql.window import Window
+
+        from imitation_learning_data_pipeline_spark.plans.quality_model import rank_auc
+
+        rows = []
+        for i in range(300):
+            label = 1 if i % 3 else 0
+            # Coarse scores force cross-label ties.
+            score = round(0.2 + 0.6 * label + 0.2 * ((i * 7) % 5) / 5.0, 2)
+            rows.append((i, label, score))
+        scored = spark.createDataFrame(rows, "doc_id long, label int, quality_score double")
+        auc, row = rank_auc(scored)
+        ranked = scored.withColumn(
+            "r", F.row_number().over(Window.orderBy("quality_score", "doc_id"))
+        )
+        agg = ranked.agg(
+            F.count("*").alias("n"),
+            F.sum("label").alias("n_pos"),
+            F.sum(F.when(F.col("label") == 1, F.col("r")).otherwise(0)).alias("rp"),
+        ).collect()[0]
+        n_pos = agg["n_pos"]
+        n_neg = agg["n"] - n_pos
+        want = (agg["rp"] - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+        assert auc == pytest.approx(want, abs=0)
+        assert row["__n"] == 300
+
+    def test_extra_aggs_fused(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.quality_model import rank_auc
+
+        scored = spark.createDataFrame(
+            [(i, i % 2, float(i % 2), i % 4 == 0) for i in range(40)],
+            "doc_id long, label int, quality_score double, kept boolean",
+        )
+        _, row = rank_auc(
+            scored,
+            extra_aggs=[F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept")],
+        )
+        assert row["n_kept"] == 10
+
+    def test_degenerate_single_class(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.quality_model import rank_auc
+
+        scored = spark.createDataFrame(
+            [(i, 1, float(i)) for i in range(5)],
+            "doc_id long, label int, quality_score double",
+        )
+        auc, _ = rank_auc(scored)  # n_neg = 0: guarded by max(..., 1)
+        assert auc >= 0.0
