@@ -460,3 +460,48 @@ class TestDistributedRankAuc:
         )
         auc, _ = rank_auc(scored)  # n_neg = 0: guarded by max(..., 1)
         assert auc >= 0.0
+
+
+class TestRemoveDupSpansGapExpansion:
+    def test_fully_duplicated_corpus(self, spark):
+        """The r10 verdict's pathological case: identical long docs →
+        |cov| ≈ n_words for every non-canonical doc. Gap-expansion must
+        fully excise the non-canonical copies and leave the canonical
+        doc (all-distinct words, so no within-doc repeats) untouched."""
+        from imitation_learning_data_pipeline_spark.plans.dedup import (
+            remove_dup_spans,
+        )
+
+        text = " ".join(f"word{i}" for i in range(300))
+        docs = spark.createDataFrame(
+            [(1, text), (2, text), (3, text)], "doc_id long, text string"
+        )
+        out = {r.doc_id: r for r in remove_dup_spans(docs).collect()}
+        assert out[1].n_removed == 0 and out[1].kept_text.split() == text.split()
+        for d in (2, 3):
+            assert out[d].n_removed == out[d].n_words == 300
+            assert out[d].kept_text == ""
+
+    def test_interleaved_gaps(self, spark):
+        """Covered runs with gaps between them: the complement-run
+        expansion must keep exactly the uncovered indices, in order."""
+        from imitation_learning_data_pipeline_spark.plans.dedup import (
+            remove_dup_spans,
+        )
+
+        # Shared 8-gram at the start and at the end of doc 2, unique
+        # middle: only the shared spans are excised from doc 2.
+        shared1 = " ".join(f"a{i}" for i in range(8))
+        shared2 = " ".join(f"b{i}" for i in range(8))
+        middle = " ".join(f"mid{i}" for i in range(10))
+        docs = spark.createDataFrame(
+            [
+                (1, shared1 + " " + shared2),
+                (2, shared1 + " " + middle + " " + shared2),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in remove_dup_spans(docs).collect()}
+        assert out[2].kept_text.split() == middle.split()
+        assert out[2].n_removed == 16
+        assert out[1].n_removed == 0
