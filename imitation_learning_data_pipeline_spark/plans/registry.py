@@ -63,10 +63,9 @@ CONTRACT_FIRST: list[str] = [
     # has now been driver-checked at least once. (r10: sketch_count_min
     # parked after four green rounds to fund dsir_importance_topk.)
     "streaming_dedup_events",
-    # Round-6 addition: corpus-wide exact-substring duplicate spans (the
-    # suffix-array dedup signal re-expressed as a positional-shingle
-    # hash-aggregate) — new operators go straight into the contract.
-    "dedup_substring_spans",
+    # (round-11: dedup_substring_spans — green r6-r10 — parked behind
+    # dedup_remove_spans, its strict superset; funds the
+    # asof_join_last_click return slot. See CONTRACT_EXCLUDE.)
     # Round-6 additions #2 (this session): the imitation-learning sample
     # extractor, two curation planners, and the schema profiler — new
     # operators go straight into the contract.
@@ -130,6 +129,12 @@ CONTRACT_FIRST: list[str] = [
     # r5) — rotated BACK for a fresh direct row; funded by parking
     # window_running_sum (green r3-r9, see CONTRACT_EXCLUDE).
     "q1_pricing_summary",
+    # Round-11 rotation (proxy-drift cadence, r10 verdict item 5): the
+    # r5 parks are the oldest never-re-rotated group;
+    # asof_join_last_click rotates BACK for a fresh direct row, funded
+    # by parking dedup_substring_spans (green r6-r10) behind its strict
+    # superset dedup_remove_spans (see CONTRACT_EXCLUDE).
+    "asof_join_last_click",
     # (round-5: text_sentence_stats / text_langid / asof_join_last_click /
     # window_frame_suite / window_group_order_suite moved to
     # CONTRACT_EXCLUDE after 2+ green rounds.)
@@ -237,8 +242,19 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     "per-doc text-statistics aggregate family)",
     "text_langid": "text_gopher_rules (same scan-bound normalized-token "
     "ratio projections; langid = argmax over marker ratios)",
-    "asof_join_last_click": "range_join_prior_views (same event-time "
-    "inequality-join family; as-of = range join + keep-last window)",
+    # (round-11: asof_join_last_click rotated BACK into the contract —
+    # proxy-drift cadence; its r5 park entry is removed.)
+    # round-11 rotation: funds asof_join_last_click's return slot.
+    # Green r6-r10 (five rounds); dedup_remove_spans is its strict
+    # superset — the rewrite's detection stage IS this query (same
+    # positional-shingle xxhash64 aggregate, same min(struct(doc_id,
+    # pos)) canonical-occurrence selection), driven further into the
+    # per-doc excision; the spans row itself stays hash-checked in
+    # check_contract --all.
+    "dedup_substring_spans": "dedup_remove_spans (the rewrite's "
+    "detection stage is the identical positional-shingle hash "
+    "aggregate + canonical-occurrence selection) + check_contract "
+    "--all row",
     # round-5 rotation #2: funds the decontam_overlap_spans slot. Twice
     # green (r3, r4); its KMeans-IVF model pipeline stays contract-checked
     # via mllib_kmeans_coverage and its recall invariants in pytest
