@@ -56,9 +56,43 @@ plain-parquet routing still works and the Delta routing raises a
 descriptive ImportError. The roundtrip test
 (tests/test_table_format.py) runs wherever ``pip install delta-spark``
 has happened and SKIPS (loudly) elsewhere.
+
+ICEBERG (r10 verdict item 1). The reference's own roadmap is Spark +
+Iceberg on S3 (/root/reference/README.md:164-187), so the adapter now
+carries an Iceberg binding with the SAME verb surface, jar-gated the
+same way Delta is import-gated. Iceberg tables are catalog-addressed
+(``catalog.namespace.table``), not path-addressed — that IS the
+format's model (the catalog provides the atomic metadata-pointer swap
+that Delta gets from its _delta_log directory), so ``table_dml`` takes
+the identifier when ``format="iceberg"``. Session build::
+
+    b = SparkSession.builder.master(...)
+    for k, v in iceberg_session_configs(warehouse="/data/wh").items():
+        b = b.config(k, v)
+    # plus the runtime jar: spark.jars=<iceberg-spark-runtime-*.jar>
+    # (tools/vendor_table_formats.py downloads pinned jars into
+    # vendor/, and vendor_jars() hands them to the builder)
+
+Verb mapping (all through Spark SQL — Iceberg's DML is native Spark
+SQL once the extension is loaded):
+
+    repo verb          Iceberg delegation
+    ---------          ----------------------------------------------
+    create             df.writeTo(ident).using("iceberg").create()
+    insert_into        df.writeTo(ident).append()
+    merge_into         MERGE INTO ident t USING src s ON ... UPDATE/INSERT *
+    delete_from        DELETE FROM ident WHERE ...
+    update_where       UPDATE ident SET ... WHERE ...
+    compact            CALL catalog.system.rewrite_data_files (sort/zorder)
+    vacuum             CALL catalog.system.expire_snapshots + remove_orphan_files
+    read(version)      SELECT * FROM ident VERSION AS OF <snapshot-id|tag>
+    history            SELECT * FROM ident.history (metadata table)
 """
 
 from __future__ import annotations
+
+import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -93,6 +127,184 @@ def delta_session_configs() -> dict[str, str]:
             "org.apache.spark.sql.delta.catalog.DeltaCatalog"
         ),
     }
+
+
+def vendor_jars(kinds: tuple[str, ...] = ("iceberg", "delta")) -> list[str]:
+    """Jars under ``<repo>/vendor`` matching the requested formats —
+    what ``tools/vendor_table_formats.py`` downloads. Hand the result
+    to ``spark.jars`` (comma-joined) at session build."""
+    vendor = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "vendor")
+    if not os.path.isdir(vendor):
+        return []
+    return sorted(
+        os.path.join(vendor, f)
+        for f in os.listdir(vendor)
+        if f.endswith(".jar") and any(k in f for k in kinds)
+    )
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark runtime jar is on this session's
+    classpath (jar-gated, the Delta import-gate's twin)."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.Table")
+        return True
+    except Exception:
+        return False
+
+
+def iceberg_jar_present() -> bool:
+    """Collection-time check (no JVM): an iceberg-spark-runtime jar in
+    pyspark's jars dir, vendor/, or $SPARK_CLASSPATH. Used by the
+    skipif gate so the roundtrip test can skip loudly without building
+    a session first."""
+    import pyspark
+
+    candidates = [os.path.join(os.path.dirname(pyspark.__file__), "jars")]
+    candidates += [p for p in os.environ.get("SPARK_CLASSPATH", "").split(":") if p]
+    vendor = vendor_jars(("iceberg",))
+    if vendor:
+        return True
+    for d in candidates:
+        if os.path.isdir(d) and any(
+            "iceberg-spark-runtime" in f for f in os.listdir(d)
+        ):
+            return True
+    return False
+
+
+def iceberg_session_configs(
+    warehouse: str, catalog: str = "local"
+) -> dict[str, str]:
+    """Session-build configs for a Hadoop-catalog Iceberg deployment
+    (filesystem-atomic metadata swap — the zero-service flavor; swap
+    ``type`` for ``rest``/``glue`` etc. in real deployments)."""
+    return {
+        "spark.sql.extensions": (
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+        ),
+        f"spark.sql.catalog.{catalog}": "org.apache.iceberg.spark.SparkCatalog",
+        f"spark.sql.catalog.{catalog}.type": "hadoop",
+        f"spark.sql.catalog.{catalog}.warehouse": warehouse,
+    }
+
+
+_IDENT_RE = re.compile(r"^[A-Za-z0-9_]+(\.[A-Za-z0-9_]+){1,2}$")
+
+
+class _IcebergDML:
+    """Iceberg routing for the repo's DML verb surface. ``ident`` is a
+    catalog identifier (``catalog.namespace.table``); every verb is
+    native Spark SQL, so the binding is jar-gated, not import-gated
+    (there is no Python package — the runtime jar carries everything).
+    """
+
+    format = "iceberg"
+
+    def __init__(self, spark: SparkSession, ident: str):
+        if not _IDENT_RE.match(ident):
+            raise ValueError(
+                "table_dml(format='iceberg') takes a catalog identifier "
+                f"(catalog.namespace.table), got {ident!r} — Iceberg tables "
+                "are catalog-addressed; configure the catalog with "
+                "iceberg_session_configs()"
+            )
+        if not iceberg_available(spark):
+            raise ImportError(
+                "table_format: this operation routes to Iceberg but no "
+                "iceberg-spark-runtime jar is on the session classpath "
+                "(run tools/vendor_table_formats.py, then build the "
+                "session with spark.jars=','.join(vendor_jars()) and "
+                "iceberg_session_configs())"
+            )
+        self.spark = spark
+        self.ident = ident
+        parts = ident.split(".")
+        self.catalog = parts[0] if len(parts) == 3 else "spark_catalog"
+        self.table = ".".join(parts[1:]) if len(parts) == 3 else ident
+
+    def _last_metrics(self) -> dict:
+        row = (
+            self.spark.sql(
+                f"SELECT snapshot_id, operation, summary FROM "
+                f"{self.ident}.snapshots ORDER BY committed_at DESC LIMIT 1"
+            ).first()
+        )
+        if row is None:
+            return {"operation": "none"}
+        return {
+            "version": row["snapshot_id"],
+            "operation": row["operation"],
+            **dict(row["summary"] or {}),
+        }
+
+    def read(self, version: int | str | None = None) -> DataFrame:
+        if version is not None:
+            # snapshot id (long) or a named tag/branch — both are
+            # VERSION AS OF citizens in Iceberg's Spark SQL.
+            v = str(version) if isinstance(version, int) else f"'{version}'"
+            return self.spark.sql(f"SELECT * FROM {self.ident} VERSION AS OF {v}")
+        return self.spark.read.table(self.ident)
+
+    def create(self, df: DataFrame) -> dict:
+        df.writeTo(self.ident).using("iceberg").create()
+        return self._last_metrics()
+
+    def insert_into(self, df: DataFrame) -> dict:
+        df.writeTo(self.ident).append()
+        return self._last_metrics()
+
+    def merge_into(self, source: DataFrame, key: str | list[str]) -> dict:
+        keys = [key] if isinstance(key, str) else list(key)
+        cond = " AND ".join(f"t.`{k}` <=> s.`{k}`" for k in keys)
+        view = "__tf_merge_src"
+        source.createOrReplaceTempView(view)
+        try:
+            self.spark.sql(
+                f"MERGE INTO {self.ident} t USING {view} s ON {cond} "
+                "WHEN MATCHED THEN UPDATE SET * "
+                "WHEN NOT MATCHED THEN INSERT *"
+            )
+        finally:
+            self.spark.catalog.dropTempView(view)
+        return self._last_metrics()
+
+    def delete_from(self, predicate: str) -> dict:
+        self.spark.sql(f"DELETE FROM {self.ident} WHERE {predicate}")
+        return self._last_metrics()
+
+    def update_where(self, predicate: str, set_exprs: dict[str, str]) -> dict:
+        sets = ", ".join(f"`{k}` = {v}" for k, v in set_exprs.items())
+        self.spark.sql(f"UPDATE {self.ident} SET {sets} WHERE {predicate}")
+        return self._last_metrics()
+
+    def compact(self, zorder_by: list[str] | None = None) -> dict:
+        if zorder_by:
+            cols = ", ".join(zorder_by)
+            strategy = f"strategy => 'sort', sort_order => 'zorder({cols})'"
+        else:
+            strategy = "options => map('min-input-files', '2')"
+        row = self.spark.sql(
+            f"CALL {self.catalog}.system.rewrite_data_files("
+            f"table => '{self.table}', {strategy})"
+        ).first()
+        return {"operation": "rewrite_data_files", **row.asDict()}
+
+    def vacuum(self, retention_hours: float = 168.0) -> None:
+        self.spark.sql(
+            f"CALL {self.catalog}.system.expire_snapshots("
+            f"table => '{self.table}', "
+            f"older_than => now() - interval {int(retention_hours)} hours)"
+        )
+        self.spark.sql(
+            f"CALL {self.catalog}.system.remove_orphan_files("
+            f"table => '{self.table}', "
+            f"older_than => now() - interval {int(retention_hours)} hours)"
+        )
+
+    def history(self) -> DataFrame:
+        return self.spark.sql(f"SELECT * FROM {self.ident}.history")
 
 
 def is_delta_table(spark: SparkSession, path: str) -> bool:
@@ -251,11 +463,15 @@ def table_dml(spark: SparkSession, path: str, format: str | None = None):
     """The adapter entry point: a DML handle for ``path``.
 
     ``format=None`` auto-detects (Delta log present → Delta, else plain
-    parquet); ``"delta"``/``"parquet"`` force a routing. Call sites use
-    one verb surface either way — the format becomes a deployment
-    decision instead of a code change."""
-    if format not in (None, "delta", "parquet"):
+    parquet); ``"delta"``/``"parquet"``/``"iceberg"`` force a routing
+    (Iceberg takes a ``catalog.namespace.table`` identifier, the
+    format's native addressing). Call sites use one verb surface either
+    way — the format becomes a deployment decision instead of a code
+    change."""
+    if format not in (None, "delta", "parquet", "iceberg"):
         raise ValueError(f"table_dml: unknown format {format!r}")
+    if format == "iceberg":
+        return _IcebergDML(spark, path)
     if format == "delta" or (format is None and is_delta_table(spark, path)):
         _require_delta()
         return _DeltaDML(spark, path)

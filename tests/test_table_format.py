@@ -77,7 +77,23 @@ class TestPlainRouting:
 
     def test_force_unknown_format_rejected(self, spark, tmp_path):
         with pytest.raises(ValueError, match="unknown format"):
+            table_dml(spark, str(tmp_path / "x"), format="hudi")
+
+    def test_iceberg_identifier_validation(self, spark, tmp_path):
+        # A filesystem path is not an Iceberg address — catch the
+        # misuse before any JVM/jar interaction.
+        with pytest.raises(ValueError, match="catalog identifier"):
             table_dml(spark, str(tmp_path / "x"), format="iceberg")
+
+    def test_iceberg_forced_without_jar_raises_descriptively(self, spark):
+        from imitation_learning_data_pipeline_spark.pipeline.table_format import (
+            iceberg_available,
+        )
+
+        if iceberg_available(spark):
+            pytest.skip("iceberg runtime jar present; ImportError arm is moot")
+        with pytest.raises(ImportError, match="iceberg-spark-runtime"):
+            table_dml(spark, "local.db.t", format="iceberg")
 
     def test_delta_forced_without_install_raises_descriptively(
         self, spark, tmp_path
@@ -131,3 +147,56 @@ class TestDeltaRouting:
         assert h.read(version=0).count() == 100
         h.compact()
         assert len(h.history().collect()) >= 5
+
+
+@pytest.mark.skipif(
+    not __import__(
+        "imitation_learning_data_pipeline_spark.pipeline.table_format",
+        fromlist=["iceberg_jar_present"],
+    ).iceberg_jar_present(),
+    reason="no iceberg-spark-runtime jar — the Iceberg roundtrip runs in "
+    "deployments that vendor the jar (tools/vendor_table_formats.py); "
+    "this sandbox has no network, so the binding is jar-gated exactly "
+    "like the Delta half is import-gated",
+)
+class TestIcebergRouting:
+    @pytest.fixture(scope="class")
+    def ispark(self, tmp_path_factory):
+        from pyspark.sql import SparkSession
+
+        from imitation_learning_data_pipeline_spark.pipeline.table_format import (
+            iceberg_session_configs,
+            vendor_jars,
+        )
+
+        wh = str(tmp_path_factory.mktemp("icewh"))
+        b = (
+            SparkSession.builder.master("local[4]")
+            .appName("iceberg-adapter-test")
+            .config("spark.sql.shuffle.partitions", "4")
+        )
+        jars = vendor_jars(("iceberg",))
+        if jars:
+            b = b.config("spark.jars", ",".join(jars))
+        for k, v in iceberg_session_configs(warehouse=wh).items():
+            b = b.config(k, v)
+        yield b.getOrCreate()
+
+    def test_iceberg_roundtrip(self, ispark):
+        h = table_dml(ispark, "local.db.t", format="iceberg")
+        h.create(_rows(ispark, 0, 100))
+        v0 = h._last_metrics()["version"]  # snapshot id of the create
+        h.insert_into(_rows(ispark, 100, 150))
+        h.merge_into(
+            ispark.createDataFrame([(0, 999), (500, 1)], "k long, v long"),
+            key="k",
+        )
+        h.delete_from("k >= 100 AND k < 150")
+        h.update_where("k = 1", {"v": "v + 40"})
+        got = {r.k: r.v for r in h.read().collect()}
+        assert len(got) == 101 and got[0] == 999 and got[1] == 42
+        # time travel: the create snapshot still reads 100 rows
+        assert h.read(version=int(v0)).count() == 100
+        h.compact()
+        assert {r.k: r.v for r in h.read().collect()} == got
+        assert h.history().count() >= 5
