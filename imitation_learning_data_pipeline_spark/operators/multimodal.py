@@ -206,26 +206,54 @@ def _fake_ahash(payload: bytes) -> int:
     return h - (1 << 64) if h >= (1 << 63) else h
 
 
+def _real_ahash(payload: bytes) -> int:
+    """The REAL aHash: PIL decode → grayscale → 8×8 box-resize → mean
+    threshold → 64 packed bits. Executor-side only (inside the Arrow
+    UDF); import-gated — :func:`perceptual_hash` raises a descriptive
+    NotImplementedError where PIL is absent, and the skipif test
+    (tests/test_multimodal_real.py) drives this arm wherever PIL
+    exists, mirroring the real-ffprobe pattern."""
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload)).convert("L").resize((8, 8))
+    px = list(img.getdata())
+    mean = sum(px) / 64.0
+    h = 0
+    for i, p in enumerate(px):
+        if p > mean:
+            h |= 1 << i
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
 def perceptual_hash(media: DataFrame, fake_decode: bool = False) -> DataFrame:
     """Arrow-batched perceptual hash over (doc_id, payload) rows →
-    (doc_id, phash BIGINT). The real arm is PIL's decode → grayscale →
-    8×8 average-hash (stubbed in this container); ``fake_decode=True``
-    substitutes :func:`_fake_ahash`, which keeps the locality property
-    the downstream banded dedup relies on, so the whole pipeline —
-    batching, schema, banding, Hamming verify — runs and is tested end
-    to end here."""
+    (doc_id, phash BIGINT). The real arm (:func:`_real_ahash`) is PIL's
+    decode → grayscale → 8×8 average-hash, import-gated on executors;
+    ``fake_decode=True`` substitutes :func:`_fake_ahash`, which keeps
+    the locality property the downstream banded dedup relies on, so the
+    whole pipeline — batching, schema, banding, Hamming verify — runs
+    and is tested end to end even without PIL."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not fake_decode:
+        hasher = _fake_ahash
+        if not fake_decode:
+            try:
+                import PIL  # noqa: F401
+
+                hasher = _real_ahash
+            except ImportError:
                 raise NotImplementedError(
-                    "real perceptual hashing requires PIL on executors; "
-                    "run with fake_decode=True for the deterministic stub"
-                )
+                    "real perceptual hashing requires PIL on executors "
+                    "(pip install pillow); run with fake_decode=True for "
+                    "the deterministic stub"
+                ) from None
+        for pdf in batches:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "phash": [_fake_ahash(bytes(p)) for p in pdf["payload"]],
+                    "phash": [hasher(bytes(p)) for p in pdf["payload"]],
                 }
             )
 

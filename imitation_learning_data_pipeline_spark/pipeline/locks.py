@@ -252,6 +252,137 @@ class ExternalCASBackend:
         return True
 
 
+def _is_conditional_failure(exc: Exception) -> bool:
+    """botocore conditional-write conflicts, duck-typed so the adapter
+    tests can drive the SAME code path with a fake client (no boto3 in
+    this sandbox): DynamoDB raises ConditionalCheckFailedException,
+    S3's native If-None-Match PUT raises a 412 PreconditionFailed."""
+    code = getattr(exc, "response", {}).get("Error", {}).get("Code", "")
+    return (
+        exc.__class__.__name__ == "ConditionalCheckFailedException"
+        or code in ("ConditionalCheckFailedException", "PreconditionFailed")
+        or getattr(exc, "response", {})
+        .get("ResponseMetadata", {})
+        .get("HTTPStatusCode")
+        == 412
+    )
+
+
+def dynamodb_cas_backend(
+    table: str, region: str | None = None, client=None
+) -> ExternalCASBackend:
+    """One-line real-service binding (r10 verdict item 8): a true-CAS
+    lock over a DynamoDB table with a string HASH key ``lock_key``::
+
+        set_lock_backend(dynamodb_cas_backend("my-locks-table"))
+
+    put_if_absent is a conditional PutItem
+    (``attribute_not_exists(lock_key)``) — atomic on the service side,
+    which removes the lease-free election's residual pause window
+    entirely (see ElectionBackend's honesty boundary). ``client``
+    injection lets tests exercise this exact adapter against a fake;
+    without one boto3 is imported here (import-gated — a descriptive
+    ImportError where boto3 isn't installed)."""
+    if client is None:
+        try:
+            import boto3
+        except ImportError as exc:
+            raise ImportError(
+                "dynamodb_cas_backend requires boto3 (pip install boto3) "
+                "or an injected botocore-compatible client"
+            ) from exc
+        client = boto3.client(
+            "dynamodb", **({"region_name": region} if region else {})
+        )
+
+    def put_if_absent(key: str, payload: bytes) -> bool:
+        try:
+            client.put_item(
+                TableName=table,
+                Item={
+                    "lock_key": {"S": key},
+                    "payload": {"B": payload},
+                    "created_unix": {"N": repr(time.time())},
+                },
+                ConditionExpression="attribute_not_exists(lock_key)",
+            )
+            return True
+        except Exception as exc:
+            if _is_conditional_failure(exc):
+                return False
+            raise
+
+    def delete(key: str) -> None:
+        client.delete_item(TableName=table, Key={"lock_key": {"S": key}})
+
+    def age_s(key: str) -> float | None:
+        got = client.get_item(
+            TableName=table, Key={"lock_key": {"S": key}}, ConsistentRead=True
+        )
+        item = got.get("Item")
+        if not item:
+            return None
+        return time.time() - float(item["created_unix"]["N"])
+
+    return ExternalCASBackend(put_if_absent, delete, age_s)
+
+
+def s3_cas_backend(
+    bucket: str, prefix: str = "locks/", region: str | None = None, client=None
+) -> ExternalCASBackend:
+    """True-CAS lock over S3's native conditional PUT
+    (``If-None-Match: *``, generally available since 2024)::
+
+        set_lock_backend(s3_cas_backend("my-bucket"))
+
+    A PUT that loses the race fails with 412 PreconditionFailed —
+    atomicity comes from S3 itself, no election needed. Key layout:
+    ``<prefix><lock file path>``. Same client-injection test seam as
+    :func:`dynamodb_cas_backend`."""
+    if client is None:
+        try:
+            import boto3
+        except ImportError as exc:
+            raise ImportError(
+                "s3_cas_backend requires boto3 (pip install boto3) "
+                "or an injected botocore-compatible client"
+            ) from exc
+        client = boto3.client("s3", **({"region_name": region} if region else {}))
+
+    def _key(key: str) -> str:
+        return prefix + key.lstrip("/")
+
+    def put_if_absent(key: str, payload: bytes) -> bool:
+        try:
+            client.put_object(
+                Bucket=bucket, Key=_key(key), Body=payload, IfNoneMatch="*"
+            )
+            return True
+        except Exception as exc:
+            if _is_conditional_failure(exc):
+                return False
+            raise
+
+    def delete(key: str) -> None:
+        client.delete_object(Bucket=bucket, Key=_key(key))
+
+    def age_s(key: str) -> float | None:
+        try:
+            head = client.head_object(Bucket=bucket, Key=_key(key))
+        except Exception:
+            return None
+        lm = head.get("LastModified")
+        if lm is None:
+            return None
+        import datetime
+
+        return (
+            datetime.datetime.now(datetime.timezone.utc) - lm
+        ).total_seconds()
+
+    return ExternalCASBackend(put_if_absent, delete, age_s)
+
+
 _backend = CreateExclusiveBackend()
 
 
