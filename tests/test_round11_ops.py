@@ -643,3 +643,85 @@ class TestBoto3CASBindings:
             pass
         with pytest.raises(ImportError, match="boto3"):
             dynamodb_cas_backend("locks")
+
+
+class TestBoto3RealClientStubber:
+    """boto3 IS installed here — drive the adapters through a REAL
+    boto3 client with botocore's Stubber, so the error-classification
+    path is validated against genuine botocore ClientError shapes (not
+    just the duck-typed fakes above)."""
+
+    boto3 = pytest.importorskip("boto3")
+
+    def _stubbed(self, service):
+        import boto3
+        from botocore.stub import Stubber
+
+        client = boto3.client(service, region_name="us-east-1",
+                              aws_access_key_id="x", aws_secret_access_key="y")
+        return client, Stubber(client)
+
+    def test_dynamodb_conditional_check_failed_maps_to_conflict(self):
+        from imitation_learning_data_pipeline_spark.pipeline.locks import (
+            LockConflict,
+            dynamodb_cas_backend,
+        )
+
+        client, stub = self._stubbed("dynamodb")
+        stub.add_client_error(
+            "put_item",
+            service_error_code="ConditionalCheckFailedException",
+            service_message="The conditional request failed",
+            http_status_code=400,
+        )
+        with stub:
+            b = dynamodb_cas_backend("locks", client=client)
+            with pytest.raises(LockConflict):
+                b.acquire(None, None, None, "/tbl/_lock", "op", None)
+
+    def test_dynamodb_throttle_propagates(self):
+        from botocore.exceptions import ClientError
+
+        from imitation_learning_data_pipeline_spark.pipeline.locks import (
+            dynamodb_cas_backend,
+        )
+
+        client, stub = self._stubbed("dynamodb")
+        stub.add_client_error(
+            "put_item",
+            service_error_code="ProvisionedThroughputExceededException",
+            http_status_code=400,
+        )
+        with stub:
+            b = dynamodb_cas_backend("locks", client=client)
+            with pytest.raises(ClientError):
+                b.acquire(None, None, None, "/tbl/_lock", "op", None)
+
+    def test_s3_precondition_failed_maps_to_conflict(self):
+        from imitation_learning_data_pipeline_spark.pipeline.locks import (
+            LockConflict,
+            s3_cas_backend,
+        )
+
+        client, stub = self._stubbed("s3")
+        stub.add_client_error(
+            "put_object",
+            service_error_code="PreconditionFailed",
+            service_message="At least one precondition did not hold",
+            http_status_code=412,
+        )
+        with stub:
+            b = s3_cas_backend("bkt", client=client)
+            with pytest.raises(LockConflict):
+                b.acquire(None, None, None, "/tbl/_lock", "op", None)
+
+    def test_s3_successful_put_grants(self):
+        from imitation_learning_data_pipeline_spark.pipeline.locks import (
+            s3_cas_backend,
+        )
+
+        client, stub = self._stubbed("s3")
+        stub.add_response("put_object", {"ETag": '"abc"'})
+        with stub:
+            b = s3_cas_backend("bkt", client=client)
+            b.acquire(None, None, None, "/tbl/_lock", "op", None)  # no raise
