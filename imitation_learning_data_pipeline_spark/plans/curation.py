@@ -256,7 +256,13 @@ def curation_funnel(
       duplicate-span excision (dedup.remove_dup_spans) — rewrites
       text, drops docs whose text was entirely duplicated. Place it
       BEFORE ``dedup``: exact copies become empty and drop here,
-      partial copies lose only the copied passage.
+      partial copies lose only the copied passage. NORMALIZATION SIDE
+      EFFECT: the rewrite reassembles EVERY document (even ones with
+      zero duplicated spans) from ``clean_words`` — lowercased,
+      punctuation stripped — so the original surface text is gone
+      downstream. In particular ``pii`` after ``rewrite`` cannot
+      match emails/IPv4s/phones (``@`` and ``.`` are stripped); that
+      ordering raises here rather than silently leaking PII.
     - ``dedup``: exact content dedup, keep the lowest doc_id per
       md5(text) (one hash aggregate — no window).
     - ``neardup`` (opt-in): MinHash-LSH near-dup clustering with
@@ -276,6 +282,16 @@ def curation_funnel(
     unknown = [s for s in stages if s not in _KNOWN_STAGES]
     if unknown:
         raise ValueError(f"curation_funnel: unknown stages {unknown}")
+    if "rewrite" in stages and "pii" in stages and stages.index(
+        "pii"
+    ) > stages.index("rewrite"):
+        raise ValueError(
+            "curation_funnel: 'pii' after 'rewrite' cannot work — the "
+            "rewrite stage reassembles text from clean_words (lowercased, "
+            "punctuation stripped), so '@'/'.'/digit-group patterns no "
+            "longer match and PII would silently leak; order 'pii' before "
+            "'rewrite'"
+        )
     cur = docs.select("doc_id", "text")
     out: list[dict] = []
     n = cur.count() if report else None

@@ -56,9 +56,22 @@ def embedding_outliers(
     z_threshold: float = 3.0,
     min_cell: int = 4,
     seed: int = 42,
+    robust: bool = False,
 ) -> DataFrame:
     """(vec_id, v: array<double>) → (vec_id, cell_id, dist, z,
-    is_outlier). ``cell_id`` is -1 in global mode."""
+    is_outlier). ``cell_id`` is -1 in global mode.
+
+    CONTAMINATION BOUND (r10 ADVICE): the default mean/stddev_pop
+    baseline is computed over the full corpus INCLUDING the outliers,
+    so it holds only at low contamination — at ~2% (the planted test
+    rate) extreme vectors barely move mu/sd, but past roughly 10-20%
+    they inflate both and mask each other (z of a genuine outlier
+    drops below the threshold). ``robust=True`` swaps the baseline for
+    median + 1.4826·MAD (normal-consistent), which keeps a ~50%
+    breakdown point at the cost of one extra aggregate pass
+    (percentile_approx twice: the location, then the scaled deviation
+    median). The per-cell mode shares the same bound inside each cell
+    above ``min_cell``."""
     vecs = vecs.select("vec_id", as_double("v").alias("v"))
     if k is None:
         # Mean vector via posexplode → per-dimension avg (map-side
@@ -93,11 +106,35 @@ def embedding_outliers(
             .join(F.broadcast(centers), "cell_id")
         )
     with_dist = assigned.select("vec_id", "cell_id", _dist_to("center").alias("dist"))
-    stats = with_dist.groupBy("cell_id").agg(
-        F.avg("dist").alias("mu"),
-        F.stddev_pop("dist").alias("sd"),
-        F.count("*").alias("cell_n"),
-    )
+    if robust:
+        # Median + MAD: two vocabulary-of-cells-bounded aggregates
+        # (percentile_approx is a mergeable sketch — map-side partials,
+        # k-row result). 1.4826 makes MAD estimate sigma under
+        # normality, so z_threshold keeps its usual meaning.
+        loc = with_dist.groupBy("cell_id").agg(
+            F.percentile_approx("dist", 0.5, 10000).alias("mu"),
+            F.count("*").alias("cell_n"),
+        )
+        stats = (
+            with_dist.join(F.broadcast(loc), "cell_id")
+            .groupBy("cell_id")
+            .agg(
+                F.percentile_approx(
+                    F.abs(F.col("dist") - F.col("mu")), 0.5, 10000
+                ).alias("mad"),
+                F.first("mu").alias("mu"),
+                F.first("cell_n").alias("cell_n"),
+            )
+            .select(
+                "cell_id", "mu", (F.col("mad") * 1.4826).alias("sd"), "cell_n"
+            )
+        )
+    else:
+        stats = with_dist.groupBy("cell_id").agg(
+            F.avg("dist").alias("mu"),
+            F.stddev_pop("dist").alias("sd"),
+            F.count("*").alias("cell_n"),
+        )
     z = (F.col("dist") - F.col("mu")) / F.greatest(F.col("sd"), F.lit(_EPS))
     flagged = F.when(F.col("cell_n") < min_cell, F.lit(True)).otherwise(
         z > z_threshold
@@ -151,3 +188,55 @@ def embedding_outlier_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("base_rate_low"),
     )
     return agg
+
+
+@register(
+    "embedding_outlier_robust",
+    oracle="""
+SELECT CAST(count(*) + count(*) FILTER (vec_id % 5 = 0) AS BIGINT) AS n_vecs,
+       TRUE AS planted_all_flagged,
+       TRUE AS base_rate_low,
+       TRUE AS nonrobust_would_mask
+FROM embeddings
+""",
+)
+def embedding_outlier_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariant check for the MEDIAN+MAD baseline at HIGH
+    contamination (the r10 ADVICE masking case): every ``vec_id % 5 ==
+    0`` embedding (20% of the corpus) reappears at +1000000 scaled ×10.
+    At that rate the mean/stddev baseline inflates until the planted
+    rows read as inliers (``nonrobust_would_mask`` asserts at least one
+    planted row slips past it), while the robust baseline — a 50%
+    breakdown point — must still flag every planted row and keep the
+    base false-flag rate under 5%. Row count is the SQL-exact fact.
+    """
+    from ..sources.readers import spread
+
+    ensure_utc(spark)
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    planted = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("v", lambda x: x * 10.0).alias("v"),
+    )
+    corpus = emb.unionByName(planted)
+    robust = embedding_outliers(corpus, robust=True)
+    naive = embedding_outliers(corpus, robust=False).select(
+        "vec_id", F.col("is_outlier").alias("naive_outlier")
+    )
+    joined = robust.join(naive, "vec_id")
+    is_planted = F.col("vec_id") >= 1000000
+    return joined.agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        (
+            F.sum(F.when(is_planted & ~F.col("is_outlier"), 1).otherwise(0)) == 0
+        ).alias("planted_all_flagged"),
+        (
+            F.sum(F.when(~is_planted & F.col("is_outlier"), 1).otherwise(0))
+            <= 0.05 * F.sum(F.when(~is_planted, 1).otherwise(0))
+        ).alias("base_rate_low"),
+        (
+            F.sum(F.when(is_planted & ~F.col("naive_outlier"), 1).otherwise(0)) > 0
+        ).alias("nonrobust_would_mask"),
+    )

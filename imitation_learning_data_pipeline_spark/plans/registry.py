@@ -389,6 +389,17 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     "embedding_outlier_check": "agg_weighted_variance (same posexplode "
     "per-dimension aggregate family) + mllib_kmeans_coverage (KMeans "
     "fit in-plan) + check_contract --all row",
+    # round-11: median+MAD robust outlier baseline (the r10 ADVICE
+    # masking fix). Library-only (cap): same posexplode/distance
+    # aggregate family as embedding_outlier_check's contract anchors,
+    # plus agg_approx_sketches anchoring the percentile_approx
+    # mergeable-sketch discipline; the invariant row (planted 20%
+    # contamination flagged by robust, masked by naive) runs in
+    # check_contract --all, and the masking threshold is pytest-locked.
+    "embedding_outlier_robust": "agg_weighted_variance (same posexplode "
+    "per-dimension aggregate family) + agg_approx_sketches "
+    "(percentile_approx mergeable-sketch discipline) + "
+    "check_contract --all row",
     # round-10: quality-aware canonical selection. Library-only (cap):
     # its transitive closure IS dedup_cluster_components' retained
     # machinery (same connected_components call over the same minhash

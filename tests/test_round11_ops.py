@@ -725,3 +725,87 @@ class TestBoto3RealClientStubber:
         with stub:
             b = s3_cas_backend("bkt", client=client)
             b.acquire(None, None, None, "/tbl/_lock", "op", None)  # no raise
+
+
+class TestCurationRewritePiiOrder:
+    def test_pii_after_rewrite_raises(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.curation import (
+            curation_funnel,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "contact me at a@b.com please")], "doc_id long, text string"
+        )
+        with pytest.raises(ValueError, match="pii.*after.*rewrite|'pii' after 'rewrite'"):
+            curation_funnel(docs, stages=("gopher", "rewrite", "pii"))
+
+    def test_pii_before_rewrite_allowed(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.curation import (
+            curation_funnel,
+        )
+
+        text = " ".join(
+            "the quick brown fox jumps over the lazy dog and that was fine because"
+            .split() * 6
+        )
+        docs = spark.createDataFrame(
+            [(i, text + f" tail{i} a@b.com") for i in range(4)],
+            "doc_id long, text string",
+        )
+        cur, rep = curation_funnel(
+            docs, stages=("pii", "rewrite"), report=True
+        )
+        assert cur.count() >= 1
+        # pii ran while '@' still existed: no email survives the chain
+        assert all("a@b.com" not in r.text for r in cur.collect())
+
+
+class TestRobustEmbeddingOutliers:
+    def _contaminated(self, spark, frac_out=0.2, n=100):
+        rows = []
+        for i in range(n):
+            if i % int(1 / frac_out) == 0:
+                v = [10.0, 0.0, 0.0, 0.0]
+            else:
+                v = [1.0 + (i % 7) * 0.01, 0.0, 0.0, 0.0]
+            rows.append((i, v))
+        return spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+    def test_naive_masks_robust_flags(self, spark):
+        """20% contamination at 10x: mean/std inflates until planted
+        rows z-score under 3 (masking); median+MAD still flags all of
+        them with no base false flags."""
+        from imitation_learning_data_pipeline_spark.plans.embedding_quality import (
+            embedding_outliers,
+        )
+
+        vecs = self._contaminated(spark)
+        planted = {i for i in range(100) if i % 5 == 0}
+        naive = {
+            r.vec_id for r in embedding_outliers(vecs).collect() if r.is_outlier
+        }
+        robust = {
+            r.vec_id
+            for r in embedding_outliers(vecs, robust=True).collect()
+            if r.is_outlier
+        }
+        assert planted - naive, "naive baseline unexpectedly flagged everything"
+        assert planted <= robust
+        assert not (robust - planted), "robust flagged base rows"
+
+    def test_robust_matches_naive_at_low_contamination(self, spark):
+        """At the documented ~2% rate both baselines agree on the
+        planted set — robust is a superset guard, not a different op."""
+        from imitation_learning_data_pipeline_spark.plans.embedding_quality import (
+            embedding_outliers,
+        )
+
+        vecs = self._contaminated(spark, frac_out=0.02, n=200)
+        planted = {i for i in range(200) if i % 50 == 0}
+        for mode in (False, True):
+            got = {
+                r.vec_id
+                for r in embedding_outliers(vecs, robust=mode).collect()
+                if r.is_outlier
+            }
+            assert got == planted, (mode, got ^ planted)
