@@ -73,6 +73,12 @@ HEADLINE = [
     "pipeline_align_events",
     "multimodal_decode_stub",
     "pipeline_stage_chain",
+    # Round 11 adds ONE entry (r10 verdict item 9): the COMPOSED
+    # curation funnel (gopher→blocklist→pii→rewrite→dedup→neardup→
+    # classify→sample, report=False) so the one-plan composition — not
+    # just its stages — has a regression surface. Subtract it (or
+    # compare per-query) for like-for-like totals vs r10.
+    "pipeline_curation_full",
 ]
 
 

@@ -348,14 +348,20 @@ def curation_funnel(
             )
             cur = cur.join(keep, "doc_id")
         elif stage == "classify":
-            if not quality_model_path:
+            if quality_model_path is None:
                 raise ValueError(
                     "curation_funnel: the 'classify' stage needs "
-                    "quality_model_path (see quality_model.save_quality_model)"
+                    "quality_model_path (see quality_model.save_quality_model) "
+                    "or an already-fitted model object"
                 )
             from .quality_model import load_quality_model, pareto_keep, score_quality
 
-            scored = score_quality(load_quality_model(quality_model_path), cur)
+            model = (
+                quality_model_path
+                if hasattr(quality_model_path, "transform")
+                else load_quality_model(quality_model_path)
+            )
+            scored = score_quality(model, cur)
             keep = (
                 scored.filter(pareto_keep("quality_score", "doc_id"))
                 .select("doc_id")
@@ -380,3 +386,66 @@ def curation_funnel(
     # the final frame stays persisted under report=True — the caller
     # reads it next (write/collect) and may unpersist afterwards
     return cur, out
+
+
+@register("pipeline_curation_full")
+def pipeline_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL opt-in curation chain composed as one plan (r10 verdict
+    item 9 — the composed funnel, not just its stages, needs a
+    regression surface): gopher → blocklist → pii → rewrite → dedup →
+    neardup → classify → sample over the documents table,
+    ``report=False`` so the chain is one lazy plan.
+
+    The classify model is trained in-query on a seeded 20% sample with
+    a deterministic length-based label (word count ≥ 30 — a stand-in
+    for human quality labels; LBFGS LR is deterministic given the
+    sample, and the Pareto keep is a pure function of (doc_id, seed)),
+    so the whole query is reproducible and rows-only-checkable. Output:
+    per-language doc/word counts of the curated corpus. Rows-only by
+    nature (minhash clustering + an LR decision boundary are not
+    SQL-expressible); every stage's own semantics are oracle- or
+    pytest-anchored individually (see CONTRACT_EXCLUDE entry).
+    """
+    from ..functions.hashing import md5_unit_interval
+    from ..functions.text import clean_words
+    from ..sources.readers import spread
+    from .quality_model import train_quality_classifier
+
+    ensure_utc(spark)
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "text"
+    )
+    sample = docs.filter(md5_unit_interval("doc_id", seed="qfull") < 0.2)
+    labeled = sample.select(
+        "doc_id",
+        "text",
+        (F.size(clean_words("text")) >= 30).cast("int").alias("label"),
+    )
+    model = train_quality_classifier(labeled)
+    curated, _ = curation_funnel(
+        docs.select("doc_id", "text"),
+        stages=(
+            "gopher", "blocklist", "pii", "rewrite",
+            "dedup", "neardup", "classify", "sample",
+        ),
+        # the corpus-discriminative stopword threshold the contract's
+        # gopher query uses (the synthetic vocabulary carries one
+        # required stopword, "the" — see _GOPHER_CONTRACT_MIN_REQ)
+        min_required_stopwords=1,
+        report=False,
+        blockwords=["dup"],
+        quality_model_path=model,
+    )
+    kept = curated.select(
+        "doc_id", F.size(clean_words("text")).alias("n_words")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(kept, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("total_words"),
+        )
+        .orderBy("lang")
+    )

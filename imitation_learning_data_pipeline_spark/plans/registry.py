@@ -419,6 +419,20 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     "quality_classifier_holdout": "mllib_kmeans_coverage (MLlib fit "
     "in-plan, invariant oracle) + sample_mixture_sources (seeded "
     "md5-acceptance filter family) + check_contract --all row",
+    # round-11: the FULL opt-in curation chain composed as one plan
+    # (r10 verdict item 9 — a regression surface for the composition,
+    # benchmarked in bench.py). Library-only (cap) and rows-only by
+    # nature (minhash clustering + an LR boundary aren't SQL);
+    # every stage is individually contract-anchored: gopher
+    # (text_gopher_rules), exact dedup (dedup_exact), minhash pairs
+    # (dedup_minhash_lsh), span rewrite (dedup_remove_spans), and the
+    # pii/blocklist/classify/sample stages hold their own green --all
+    # rows (text_pii_scrub, text_blocklist_filter,
+    # quality_classifier_holdout, sample_perplexity_buckets).
+    "pipeline_curation_full": "text_gopher_rules + dedup_exact + "
+    "dedup_minhash_lsh + dedup_remove_spans (each stage's contract "
+    "anchor) + check_contract --all rows-only row + pytest funnel "
+    "stage tests",
     # round-7: deterministic shuffled shard export. Library-only (cap):
     # its md5→unit-interval assignment is scalar_hash_split's retained
     # family and its rank-within-partition is window_rank_ntile's; the

@@ -809,3 +809,35 @@ class TestRobustEmbeddingOutliers:
                 if r.is_outlier
             }
             assert got == planted, (mode, got ^ planted)
+
+
+class TestFullFunnelQuery:
+    def test_runs_and_is_deterministic(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.registry import QUERIES
+
+        fn = QUERIES["pipeline_curation_full"]
+        a = [tuple(r) for r in fn(spark, "/root/testdata/sf0.001").collect()]
+        b = [tuple(r) for r in fn(spark, "/root/testdata/sf0.001").collect()]
+        assert a == b and len(a) >= 1
+        # every language bucket carries survivors of the whole chain
+        assert all(n > 0 for (_, n, w) in a) and all(w > 0 for (_, n, w) in a)
+
+    def test_survivors_are_subset_of_gopher_keepers(self, spark):
+        """The composed chain can only shrink the gopher-kept set —
+        a cheap cross-check that stage composition actually chains."""
+        from pyspark.sql import functions as F
+
+        from imitation_learning_data_pipeline_spark.plans.registry import QUERIES
+        from imitation_learning_data_pipeline_spark.plans.text import gopher_rules
+        from imitation_learning_data_pipeline_spark.sources import load_table
+        from imitation_learning_data_pipeline_spark.sources.readers import spread
+
+        sf = "/root/testdata/sf0.001"
+        total_curated = sum(
+            r.n_docs for r in QUERIES["pipeline_curation_full"](spark, sf).collect()
+        )
+        docs = spread(load_table(spark, sf, "documents")).select("doc_id", "text")
+        n_gopher = (
+            gopher_rules(docs, 1).filter(F.col("keep")).count()
+        )
+        assert 0 < total_curated < n_gopher
