@@ -2129,3 +2129,89 @@ def decontam_overlap_against_store(
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_overlap"))
     )
+
+
+# --- per-doc n-gram novelty --------------------------------------------------
+#
+# The per-document curation signal behind "how much of this doc is
+# copied from elsewhere in the corpus": the count of word n-gram
+# OCCURRENCES whose gram appears >=2 times corpus-wide (within-doc
+# repeats included, the remove_dup_spans convention). Low novelty
+# correlates with boilerplate/template/memorization risk — the standard
+# per-doc companion to corpus-level substring dedup (Lee et al. report
+# the same statistic as "fraction of tokens in a duplicate substring").
+
+
+def ngram_novelty(docs: DataFrame, n: int = _SUBSTR_N) -> DataFrame:
+    """(doc_id, n_grams, n_dup, is_novel): per-document duplicated-gram
+    occurrence counts. ``is_novel`` = at most 10% of occurrences
+    duplicated, decided as ``n_dup*10 <= n_grams`` — integer exact,
+    no float ratio to round cross-engine.
+
+    Scale shape (100 TB): identical to :func:`substring_dup_spans`'s
+    first two stages — shingles collapse to 8-byte ``xxhash64`` keys
+    before the occurrence-count aggregate, the join back is on the
+    8-byte key, and the per-doc reduce moves (doc_id, flag) pairs.
+    Text never shuffles.
+    """
+    cache.begin_plan()
+    w = F.col("__w")
+    sh = cache.pin(
+        docs.select("doc_id", clean_words("text").alias("__w"))
+        .select("doc_id", F.explode(shingles_of_words(w, n)).alias("s"))
+        .select("doc_id", F.xxhash64("s").alias("h"))
+    )
+    counts = sh.groupBy("h").agg(F.count("*").alias("c"))
+    per_doc = (
+        sh.join(counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias("n_dup"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup"),
+            (
+                F.coalesce("n_dup", F.lit(0)) * 10
+                <= F.coalesce("n_grams", F.lit(0))
+            ).alias("is_novel"),
+        )
+    )
+
+
+@register(
+    "text_novelty_ngrams",
+    oracle=f"""
+WITH corpus AS ({_CORPUS_SQL}),
+sh AS (
+  SELECT doc_id, unnest(list_filter(list_transform(
+    range(1, greatest(len({_W_SQL}) - {_SUBSTR_N - 2}, 1)),
+    i -> array_to_string(({_W_SQL})[i:i+{_SUBSTR_N - 1}], ' ')), x -> x <> '')) AS s
+  FROM corpus
+),
+g AS (SELECT s, count(*) AS c FROM sh GROUP BY s),
+d AS (
+  SELECT sh.doc_id, count(*) AS n_grams,
+         sum(CASE WHEN g.c > 1 THEN 1 ELSE 0 END) AS n_dup
+  FROM sh JOIN g USING (s) GROUP BY sh.doc_id
+)
+SELECT corpus.doc_id,
+       CAST(coalesce(d.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup,
+       coalesce(d.n_dup, 0) * 10 <= coalesce(d.n_grams, 0) AS is_novel
+FROM corpus LEFT JOIN d USING (doc_id)
+""",
+)
+def text_novelty_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc novelty over the planted corpus (exact copies + near
+    copies planted by :func:`_corpus`): planted copies and their
+    originals score low-novelty, unique docs score high. The oracle
+    counts the same grams by string; Spark counts by xxhash64 — the
+    2^-64 collision trade every hash-based dedup makes."""
+    return ngram_novelty(_corpus(spark, sf_dir))

@@ -62,7 +62,18 @@ CONTRACT_FIRST: list[str] = [
     # rows, closing the oracle surface — everything with a DuckDB oracle
     # has now been driver-checked at least once. (r10: sketch_count_min
     # parked after four green rounds to fund dsir_importance_topk.)
-    "streaming_dedup_events",
+    # (round-11: streaming_dedup_events — green r6-r10 — parked behind
+    # streaming_session_window + dedup_exact; funds the
+    # text_novelty_ngrams slot. See CONTRACT_EXCLUDE.)
+    # Round-11 addition: per-doc n-gram novelty (duplicated-occurrence
+    # counts, the Lee-et-al per-doc dup-fraction signal) — new
+    # operators go straight into the contract.
+    "text_novelty_ngrams",
+    # Round-11 addition #2: UniMax budget allocation (Chung et al.,
+    # water-filling over per-language caps, all-integer arithmetic) —
+    # new operators go straight into the contract; funded by parking
+    # rollup_events_daily (green r7-r10, see CONTRACT_EXCLUDE).
+    "mixture_unimax_budget",
     # (round-11: dedup_substring_spans — green r6-r10 — parked behind
     # dedup_remove_spans, its strict superset; funds the
     # asof_join_last_click return slot. See CONTRACT_EXCLUDE.)
@@ -94,7 +105,9 @@ CONTRACT_FIRST: list[str] = [
     # Round-7 addition #2 (this session): the continuous-aggregate
     # rollup — new operators go straight into the contract; funded by
     # parking pack_sequences (see CONTRACT_EXCLUDE).
-    "rollup_events_daily",
+    # (round-11: rollup_events_daily — green r7-r10 — parked behind
+    # rollup_quantile_accuracy; funds the mixture_unimax_budget slot.
+    # See CONTRACT_EXCLUDE.)
     # Round-9 addition: mergeable histogram-quantile accuracy invariant
     # (two-batch merge must land within one bin width of exact
     # percentiles) — new operators go straight into the contract;
@@ -255,6 +268,25 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     "detection stage is the identical positional-shingle hash "
     "aggregate + canonical-occurrence selection) + check_contract "
     "--all row",
+    # round-11 rotation #2: funds the text_novelty_ngrams slot. Green
+    # r6-r10 (five rounds); its exactly-once batch-parity machinery is
+    # streaming_session_window's retained incremental shape, and its
+    # keep-canonical-per-hash semantics are dedup_exact's retained agg
+    # (the same pairing that already anchors the r5-parked
+    # streaming_dedup_exact / window_dedup_first); the row stays
+    # hash-checked in check_contract --all.
+    "streaming_dedup_events": "streaming_session_window (same "
+    "incremental batch-parity machinery) + dedup_exact (same "
+    "keep-canonical hash agg) + check_contract --all row",
+    # round-11 rotation #3: funds the mixture_unimax_budget slot.
+    # Green r7-r10 (four rounds); rollup_quantile_accuracy drives the
+    # SAME rollup-store machinery (create/fold/read over the identical
+    # partial-aggregate schema) further, adding the merge-accuracy
+    # invariants, and holds a contract slot; the daily-rollup row
+    # stays hash-checked in check_contract --all.
+    "rollup_events_daily": "rollup_quantile_accuracy (same rollup-store "
+    "create/fold/read machinery with added merge invariants) + "
+    "check_contract --all row",
     # round-5 rotation #2: funds the decontam_overlap_spans slot. Twice
     # green (r3, r4); its KMeans-IVF model pipeline stays contract-checked
     # via mllib_kmeans_coverage and its recall invariants in pytest

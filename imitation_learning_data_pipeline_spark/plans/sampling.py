@@ -943,3 +943,134 @@ def curriculum_order_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("level"),
     )
     return curriculum_plan(leveled)
+
+
+# --- UniMax mixture allocation ------------------------------------------------
+#
+# UniMax (Chung et al., 2023, arXiv:2304.09151): allocate a total token
+# budget across languages as UNIFORMLY as possible subject to a per-
+# language epoch cap — the published answer to temperature sampling's
+# two failure modes (low T starves tail languages, high T over-epochs
+# them). The allocation is exactly water-filling: alloc_l = min(cap_l,
+# theta) with one global water level theta chosen so the budget is
+# spent. Everything below is INTEGER arithmetic (caps, cumulative sums,
+# one DIV per frame), so the result is bit-identical across engines —
+# no float quantization point needed.
+
+
+def unimax_allocation(
+    counts: DataFrame,
+    group_col: str = "lang",
+    epochs: int = 1,
+    budget: int | None = None,
+    budget_frac: tuple[int, int] | None = None,
+) -> DataFrame:
+    """(group, n_tokens) → (group, n_tokens, cap, alloc, capped).
+
+    ``cap = epochs·n_tokens`` (the UniMax epoch bound); ``alloc =
+    min(cap, theta)`` with the integer water level ``theta = (B −
+    Σ capped caps) DIV (k − #capped)``. The capped prefix is found by
+    the sorted-caps criterion ``cap_i·(k−i+1) ≤ B − cum_{i−1}``
+    (prefix-monotone for ascending caps — the standard water-filling
+    argument), all in exact BIGINT comparisons.
+
+    ``budget`` is an absolute token count; ``budget_frac=(num, den)``
+    derives ``B = (Σ n_tokens · num) DIV den`` from the corpus itself.
+
+    Scale shape (100 TB): the caller's ``counts`` is the one corpus
+    aggregate; everything here is a k-row planning frame (k =
+    #languages) — the row_number window is unpartitioned over k
+    driver-bound rows, the documented top-k idiom, and the two 1-row
+    totals broadcast.
+    """
+    from pyspark.sql.window import Window
+
+    if (budget is None) == (budget_frac is None):
+        raise ValueError("unimax_allocation: pass exactly one of budget / budget_frac")
+    c = counts.select(
+        F.col(group_col).alias("__grp"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    ).withColumn("cap", (F.col("n_tokens") * epochs).cast("long"))
+    tot = c.agg(
+        F.sum("n_tokens").alias("__N"), F.count("*").cast("long").alias("__k")
+    )
+    if budget is not None:
+        tot = tot.withColumn("__B", F.lit(int(budget)).cast("long"))
+    else:
+        num, den = budget_frac
+        tot = tot.withColumn("__B", F.expr(f"(__N * {int(num)}) DIV {int(den)}"))
+    j = c.crossJoin(F.broadcast(tot))
+    w = Window.orderBy("cap", "__grp")
+    j = j.withColumn("__i", F.row_number().over(w)).withColumn(
+        "__cum", F.sum("cap").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    capped = (F.col("cap") * (F.col("__k") - F.col("__i") + 1)) <= (
+        F.col("__B") - (F.col("__cum") - F.col("cap"))
+    )
+    j = j.withColumn("__capped", capped)
+    s = j.agg(
+        F.sum(F.col("__capped").cast("long")).alias("__istar"),
+        F.sum(F.when(F.col("__capped"), F.col("cap")).otherwise(0)).alias("__cumstar"),
+    )
+    out = j.crossJoin(F.broadcast(s))
+    theta = F.expr("(__B - __cumstar) DIV (__k - __istar)")
+    alloc = F.when(F.col("__istar") == F.col("__k"), F.col("cap")).otherwise(
+        F.least(F.col("cap"), theta)
+    )
+    return out.select(
+        F.col("__grp").alias(group_col),
+        "n_tokens",
+        "cap",
+        alloc.cast("long").alias("alloc"),
+        F.col("__capped").alias("capped"),
+    )
+
+
+@register(
+    "mixture_unimax_budget",
+    oracle=f"""
+WITH t AS (
+  SELECT lang, sum(CAST(len({_W_SQL}) AS BIGINT)) AS n_tokens
+  FROM documents GROUP BY lang
+),
+g AS (SELECT sum(n_tokens) AS N, CAST(count(*) AS BIGINT) AS k FROM t),
+b AS (SELECT (N * 9) // 10 AS B, k FROM g),
+o AS (
+  SELECT t.lang, t.n_tokens, t.n_tokens AS cap,
+         row_number() OVER (ORDER BY t.n_tokens, t.lang) AS i,
+         sum(t.n_tokens) OVER (ORDER BY t.n_tokens, t.lang
+                               ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+),
+c AS (
+  SELECT o.*, b.B, b.k,
+         CASE WHEN cap * (k - i + 1) <= B - (cum - cap) THEN 1 ELSE 0 END AS cf
+  FROM o CROSS JOIN b
+),
+s AS (
+  SELECT sum(cf) AS istar,
+         coalesce(sum(CASE WHEN cf = 1 THEN cap ELSE 0 END), 0) AS cumstar
+  FROM c
+)
+SELECT c.lang, CAST(c.n_tokens AS BIGINT) AS n_tokens,
+       CAST(c.cap AS BIGINT) AS cap,
+       CAST(CASE WHEN s.istar = c.k THEN c.cap
+                 ELSE least(c.cap, (c.B - s.cumstar) // (c.k - s.istar))
+            END AS BIGINT) AS alloc,
+       c.cf = 1 AS capped
+FROM c CROSS JOIN s
+""",
+)
+def mixture_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax plan over the documents table: per-language clean-token
+    counts, epoch cap 1, budget = 90% of the corpus (a binding budget on
+    this data — the largest language gets water-leveled, the tail
+    languages keep their full cap, the behavior the paper is for)."""
+    from ..functions.text import clean_words
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    counts = docs.groupBy("lang").agg(
+        F.sum(F.size(clean_words("text")).cast("long")).alias("n_tokens")
+    )
+    return unimax_allocation(counts, group_col="lang", epochs=1, budget_frac=(9, 10))

@@ -841,3 +841,112 @@ class TestFullFunnelQuery:
             gopher_rules(docs, 1).filter(F.col("keep")).count()
         )
         assert 0 < total_curated < n_gopher
+
+
+class TestNgramNovelty:
+    def test_planted_copies_low_novelty(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.dedup import ngram_novelty
+
+        unique = " ".join(f"u{i}" for i in range(40))
+        copied = " ".join(f"c{i}" for i in range(40))
+        docs = spark.createDataFrame(
+            [(1, unique), (2, copied), (3, copied), (4, "short text")],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in ngram_novelty(docs).collect()}
+        assert got[1].n_dup == 0 and got[1].is_novel
+        # exact copies: every occurrence duplicated on both sides
+        for d in (2, 3):
+            assert got[d].n_dup == got[d].n_grams > 0
+            assert not got[d].is_novel
+        # too short for an 8-gram: zero grams, trivially novel
+        assert got[4].n_grams == 0 and got[4].is_novel
+
+    def test_within_doc_repeats_count(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.dedup import ngram_novelty
+
+        span = " ".join(f"w{i}" for i in range(8))
+        doc = span + " mid1 mid2 mid3 mid4 mid5 mid6 mid7 mid8 " + span
+        docs = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+        got = ngram_novelty(docs).collect()[0]
+        assert got.n_dup == 2  # the repeated 8-gram's two occurrences
+
+
+class TestUnimaxAllocation:
+    def _counts(self, spark, vals):
+        return spark.createDataFrame(
+            [(f"l{i}", v) for i, v in enumerate(vals)], "lang string, n_tokens long"
+        )
+
+    def test_water_filling_exact(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.sampling import (
+            unimax_allocation,
+        )
+
+        # caps [10, 20, 100], B = 60: l0 capped (10), l1 capped (20),
+        # theta = (60-30)/1 = 30 for l2.
+        got = {
+            r.lang: r
+            for r in unimax_allocation(
+                self._counts(spark, [10, 20, 100]), budget=60
+            ).collect()
+        }
+        assert (got["l0"].alloc, got["l1"].alloc, got["l2"].alloc) == (10, 20, 30)
+        assert got["l0"].capped and got["l1"].capped and not got["l2"].capped
+        assert sum(r.alloc for r in got.values()) == 60
+
+    def test_budget_exceeds_corpus(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.sampling import (
+            unimax_allocation,
+        )
+
+        got = unimax_allocation(self._counts(spark, [5, 7]), budget=100).collect()
+        assert {r.lang: r.alloc for r in got} == {"l0": 5, "l1": 7}
+        assert all(r.capped for r in got)
+
+    def test_uniform_when_budget_small(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.sampling import (
+            unimax_allocation,
+        )
+
+        got = unimax_allocation(
+            self._counts(spark, [50, 60, 70]), budget=30
+        ).collect()
+        assert all(r.alloc == 10 and not r.capped for r in got)
+
+    def test_epochs_scale_caps(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.sampling import (
+            unimax_allocation,
+        )
+
+        got = {
+            r.lang: r
+            for r in unimax_allocation(
+                self._counts(spark, [10, 100]), epochs=2, budget=50
+            ).collect()
+        }
+        # caps [20, 200]; l0 capped at 20, l1 gets (50-20)/1 = 30
+        assert got["l0"].alloc == 20 and got["l0"].cap == 20
+        assert got["l1"].alloc == 30
+
+    def test_never_exceeds_budget_and_deterministic(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.sampling import (
+            unimax_allocation,
+        )
+
+        counts = self._counts(spark, [13, 27, 31, 999, 4])
+        for b in (7, 50, 333, 2000):
+            rows = unimax_allocation(counts, budget=b).collect()
+            total = sum(r.alloc for r in rows)
+            assert total <= b
+            # integer water-fill leaves < k tokens on the table when binding
+            if sum((13, 27, 31, 999, 4)) > b:
+                assert b - total < len(rows)
+
+    def test_param_validation(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.sampling import (
+            unimax_allocation,
+        )
+
+        with pytest.raises(ValueError, match="exactly one"):
+            unimax_allocation(self._counts(spark, [1]), budget=None, budget_frac=None)
