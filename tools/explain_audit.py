@@ -150,6 +150,20 @@ AUDIT = {
         "want": ["HashAggregate"],
         "forbid": ["CartesianProduct", "SortAggregate"],
     },
+    # round-11: per-doc novelty — the occurrence-count aggregate and
+    # the join back are hash-keyed on the 8-byte gram hash; never
+    # all-pairs, never sort-based aggregation.
+    "text_novelty_ngrams": {
+        "want": ["HashAggregate"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin", "SortAggregate"],
+    },
+    # round-11: UniMax water-filling — one corpus token aggregate, then
+    # a k-row planning frame: the totals crossJoins must broadcast and
+    # the corpus must never range-partition (no global sort).
+    "mixture_unimax_budget": {
+        "want": ["HashAggregate", "BroadcastNestedLoopJoin"],
+        "forbid": ["CartesianProduct", "rangepartitioning(cap"],
+    },
 }
 
 
