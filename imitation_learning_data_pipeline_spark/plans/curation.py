@@ -297,13 +297,18 @@ def curation_funnel(
     n = cur.count() if report else None
     prev = None
     for stage in stages:
+        # Per-row stages (gopher / blocklist / pii / classify / sample)
+        # filter INLINE via passthrough instead of deriving a keep-set
+        # and joining it back: a self-join references `cur` twice, and
+        # under report=False (one lazy plan, nothing persisted) each
+        # reference re-scans the whole upstream chain — measured 2.2×
+        # on the composed 8-stage funnel (SCALING.md round-11).
         if stage == "gopher":
-            keep = (
-                gopher_rules(cur, min_required_stopwords)
+            cur = (
+                gopher_rules(cur, min_required_stopwords, passthrough=("text",))
                 .filter(F.col("keep"))
-                .select("doc_id")
+                .select("doc_id", "text")
             )
-            cur = cur.join(keep, "doc_id")
         elif stage == "pii":
             cur = pii_scrub(cur).select(
                 "doc_id", F.col("text_clean").alias("text")
@@ -315,12 +320,11 @@ def curation_funnel(
                 )
             from .text import blocklist_filter
 
-            keep = (
-                blocklist_filter(cur, blockwords)
+            cur = (
+                blocklist_filter(cur, blockwords, passthrough=("text",))
                 .filter(F.col("keep"))
-                .select("doc_id")
+                .select("doc_id", "text")
             )
-            cur = cur.join(keep, "doc_id")
         elif stage == "rewrite":
             from .dedup import remove_dup_spans
 
@@ -361,20 +365,21 @@ def curation_funnel(
                 if hasattr(quality_model_path, "transform")
                 else load_quality_model(quality_model_path)
             )
-            scored = score_quality(model, cur)
-            keep = (
-                scored.filter(pareto_keep("quality_score", "doc_id"))
-                .select("doc_id")
+            # score_quality preserves input columns — filter in place
+            cur = (
+                score_quality(model, cur)
+                .filter(pareto_keep("quality_score", "doc_id"))
+                .select("doc_id", "text")
             )
-            cur = cur.join(keep, "doc_id")
         elif stage == "sample":
-            sel = perplexity_bucket_sample(
+            cur = perplexity_bucket_sample(
                 cur.select(
                     "doc_id",
+                    "text",
                     proxy_perplexity_score("text").alias("ppl_score"),
-                )
-            ).select("doc_id")
-            cur = cur.join(sel, "doc_id")
+                ),
+                passthrough=("text",),
+            ).select("doc_id", "text")
         if report:
             cur = cur.persist()
             m = cur.count()

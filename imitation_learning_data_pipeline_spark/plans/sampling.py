@@ -795,6 +795,7 @@ def perplexity_bucket_sample(
     n_buckets: int = _PPL_BUCKETS,
     keep_rates: list[float] | None = None,
     seed: str = "pplkeep",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Bucket-stratified sampling over a scored corpus: bucket =
     ⌊score·n_buckets⌋ (scores in [0,1)), keep iff the seeded per-doc
@@ -813,7 +814,7 @@ def perplexity_bucket_sample(
     return (
         scored.withColumn("bucket", bucket)
         .filter(u < rate)
-        .select("doc_id", "bucket")
+        .select("doc_id", *passthrough, "bucket")
     )
 
 

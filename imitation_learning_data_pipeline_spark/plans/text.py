@@ -676,17 +676,26 @@ FROM feats
 """
 
 
-def gopher_rules(docs: DataFrame, min_required_stopwords: int = 2) -> DataFrame:
+def gopher_rules(
+    docs: DataFrame,
+    min_required_stopwords: int = 2,
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
     """Gopher quality-rule features + per-rule booleans for ANY
     ``(doc_id, text)`` frame.
 
     Scale shape: a pure per-row projection — no shuffle, no UDF; the
     word/line arrays are projected ONCE and every feature reads the
     materialized columns. Scan-bound at any corpus size; composes with
-    the curation cascade as the cheapest first gate.
+    the curation cascade as the cheapest first gate. ``passthrough``
+    carries input columns (e.g. the text itself) into the output so a
+    cascade can ``filter("keep")`` in ONE plan branch instead of
+    deriving a keep-set and joining it back (two scans of the
+    upstream chain).
     """
     arr = docs.select(
         "doc_id",
+        *passthrough,
         F.filter(
             F.split(F.col("text"), "[ \t\n\r]+"), lambda x: x != ""
         ).alias("w"),
@@ -705,6 +714,7 @@ def gopher_rules(docs: DataFrame, min_required_stopwords: int = 2) -> DataFrame:
     nl = F.greatest(F.size("lines"), F.lit(1))
     feats = arr.select(
         "doc_id",
+        *passthrough,
         F.size("w").cast("long").alias("n_words"),
         (
             F.coalesce(
@@ -749,6 +759,7 @@ def gopher_rules(docs: DataFrame, min_required_stopwords: int = 2) -> DataFrame:
     r_stop = F.col("n_req_stopwords") >= min_required_stopwords
     return feats.select(
         "doc_id",
+        *passthrough,
         "n_words",
         quantize("mean_word_len_raw", 4).alias("mean_word_len"),
         quantize("symbol_ratio_raw", 4).alias("symbol_word_ratio"),
@@ -1145,6 +1156,7 @@ def blocklist_filter(
     blockwords: list[str],
     text_col: str = "text",
     max_hits: int = 0,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """C4-style blocklist gate: ``(doc_id, n_blocked, keep)`` where
     ``n_blocked`` counts blocklisted word OCCURRENCES and ``keep``
@@ -1182,6 +1194,7 @@ def blocklist_filter(
     n_blocked = F.size(F.filter(words, lambda w: F.array_contains(bl, w)))
     return docs.select(
         "doc_id",
+        *passthrough,
         n_blocked.alias("n_blocked"),
         (n_blocked <= max_hits).alias("keep"),
     )
