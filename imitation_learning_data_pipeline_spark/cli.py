@@ -859,6 +859,59 @@ def cmd_hitters(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_novelty(args: argparse.Namespace) -> int:
+    """Per-doc n-gram novelty (plans/dedup.py::ngram_novelty): the
+    duplicated-occurrence census behind 'how much of this doc is copied
+    from elsewhere in the corpus'."""
+    from .plans.dedup import ngram_novelty
+
+    spark = _spark("novelty")
+    docs = spark.read.parquet(args.input).select(
+        F.col(args.id_col).alias("doc_id"), F.col(args.text_col).alias("text")
+    )
+    out = ngram_novelty(docs, n=args.ngram)
+    if args.drop_dupey:
+        out = out.filter(F.col("is_novel"))
+    out.write.mode("overwrite").parquet(args.out)
+    stats = out.agg(
+        F.count("*").alias("docs"),
+        F.sum(F.when(F.col("is_novel"), 0).otherwise(1)).alias("low_novelty"),
+        F.sum("n_dup").alias("dup_occurrences"),
+    ).collect()[0]
+    print(json.dumps({"out": args.out, **stats.asDict()}))
+    return 0
+
+
+def cmd_unimax(args: argparse.Namespace) -> int:
+    """UniMax budget allocation (plans/sampling.py::unimax_allocation):
+    water-fill a token budget across languages under an epoch cap."""
+    from .plans.sampling import unimax_allocation
+
+    spark = _spark("unimax")
+    from .functions.text import clean_words
+
+    docs = spark.read.parquet(args.input).select(
+        F.col(args.group_col).alias("grp"), F.col(args.text_col).alias("text")
+    )
+    counts = docs.groupBy("grp").agg(
+        F.sum(F.size(clean_words("text")).cast("long")).alias("n_tokens")
+    )
+    kw = {}
+    if args.budget is not None:
+        kw["budget"] = args.budget
+    else:
+        num, den = args.budget_frac.split("/")
+        kw["budget_frac"] = (int(num), int(den))
+    plan = unimax_allocation(
+        counts, group_col="grp", epochs=args.epochs, **kw
+    ).withColumnRenamed("grp", args.group_col)
+    if args.out:
+        plan.coalesce(1).write.mode("overwrite").parquet(args.out)
+    for r in plan.orderBy(args.group_col).collect():
+        print(json.dumps(r.asDict()))
+    return 0
+
+
 def cmd_bpe(args: argparse.Namespace) -> int:
     """BPE tokenizer training (plans/tokenize.py): learn merges from a
     corpus; optionally write per-document token counts under the
@@ -2048,6 +2101,40 @@ def build_parser() -> argparse.ArgumentParser:
     hh.add_argument("--top", type=int, default=20, help="print top-k to stdout")
     hh.add_argument("--out", default=None, help="write (gram, n_occurrences) parquet")
     hh.set_defaults(fn=cmd_hitters)
+
+    nv = sub.add_parser(
+        "novelty",
+        help="per-doc n-gram novelty: duplicated-occurrence counts + "
+        "is_novel gate (n_dup*10 <= n_grams)",
+    )
+    nv.add_argument("--input", required=True)
+    nv.add_argument("--text-col", default="text")
+    nv.add_argument("--id-col", default="doc_id")
+    nv.add_argument("--ngram", type=int, default=8)
+    nv.add_argument(
+        "--drop-dupey", action="store_true",
+        help="write only is_novel docs (the filter form of the census)",
+    )
+    nv.add_argument("--out", required=True)
+    nv.set_defaults(fn=cmd_novelty)
+
+    um = sub.add_parser(
+        "unimax",
+        help="UniMax mixture plan: water-fill a token budget across "
+        "languages under an epoch cap (all-integer, deterministic)",
+    )
+    um.add_argument("--input", required=True)
+    um.add_argument("--text-col", default="text")
+    um.add_argument("--group-col", default="lang")
+    um.add_argument("--epochs", type=int, default=1)
+    um.add_argument("--budget", type=int, default=None, help="absolute token budget")
+    um.add_argument(
+        "--budget-frac", default="9/10",
+        help="budget as a fraction NUM/DEN of the corpus tokens "
+        "(used when --budget is not given)",
+    )
+    um.add_argument("--out", default=None, help="optional plan parquet")
+    um.set_defaults(fn=cmd_unimax)
 
     bp = sub.add_parser(
         "bpe",

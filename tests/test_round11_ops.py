@@ -950,3 +950,36 @@ class TestUnimaxAllocation:
 
         with pytest.raises(ValueError, match="exactly one"):
             unimax_allocation(self._counts(spark, [1]), budget=None, budget_frac=None)
+
+
+class TestRound11Cli:
+    def test_novelty_and_unimax_verbs(self, spark, tmp_path, capsys):
+        import json
+
+        from imitation_learning_data_pipeline_spark.cli import main
+
+        copied = " ".join(f"c{i}" for i in range(40))
+        rows = [(1, "en", " ".join(f"u{i}" for i in range(40))),
+                (2, "en", copied), (3, "de", copied),
+                (4, "de", " ".join(f"v{i}" for i in range(10)))]
+        src = str(tmp_path / "docs")
+        spark.createDataFrame(rows, "doc_id long, lang string, text string").write.parquet(src)
+
+        out = str(tmp_path / "nov")
+        rc = main(["novelty", "--input", src, "--out", out])
+        assert rc == 0
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats["docs"] == 4 and stats["low_novelty"] == 2
+        got = {r.doc_id: r.is_novel for r in spark.read.parquet(out).collect()}
+        assert got == {1: True, 2: False, 3: False, 4: True}
+
+        rc = main(["unimax", "--input", src, "--budget", "60",
+                   "--out", str(tmp_path / "plan")])
+        assert rc == 0
+        lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+        plan = {d["lang"]: d for d in lines}
+        assert set(plan) == {"en", "de"}
+        assert sum(d["alloc"] for d in plan.values()) <= 60
+        # de has fewer tokens (50) than en (80): with B=60 both level
+        # at 30 (neither capped at 50/80 caps)
+        assert plan["de"]["alloc"] == 30 and plan["en"]["alloc"] == 30
