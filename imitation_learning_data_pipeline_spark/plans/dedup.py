@@ -1567,7 +1567,13 @@ def remove_dup_spans(docs: DataFrame, n: int = _SUBSTR_N) -> DataFrame:
             ).otherwise(F.array().cast("array<integer>")),
         )
     )
-    kept = F.transform(kept_idx, lambda i: F.element_at(F.col("__w"), i))
+    # Short-circuit the common case: in a mostly-unique corpus most
+    # docs have NO covered spans, and building sentinel/gap arrays for
+    # them is pure overhead — CASE WHEN evaluates only the taken branch
+    # per row, so untouched docs keep their word array at zero cost.
+    kept = F.when(F.size(cov) == 0, F.col("__w")).otherwise(
+        F.transform(kept_idx, lambda i: F.element_at(F.col("__w"), i))
+    )
     return out.select(
         "doc_id",
         F.size("__w").alias("n_words"),
