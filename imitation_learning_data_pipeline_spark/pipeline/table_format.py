@@ -256,9 +256,13 @@ class _IcebergDML:
         return self._last_metrics()
 
     def merge_into(self, source: DataFrame, key: str | list[str]) -> dict:
+        import uuid
+
         keys = [key] if isinstance(key, str) else list(key)
         cond = " AND ".join(f"t.`{k}` <=> s.`{k}`" for k in keys)
-        view = "__tf_merge_src"
+        # unique per call: two concurrent merges in one session must not
+        # clobber each other's source view between create and MERGE
+        view = f"__tf_merge_src_{uuid.uuid4().hex}"
         source.createOrReplaceTempView(view)
         try:
             self.spark.sql(

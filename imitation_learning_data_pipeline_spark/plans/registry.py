@@ -304,6 +304,15 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     "range_join_prior_views": "asof_join_last_click (same event-time "
     "inequality-join family, driven further: as-of = range join + "
     "keep-last window) + check_contract --all row",
+    # round-11: two-pass distributed global rank (the rank-AUC core).
+    # Library-only (cap): ranking semantics are window_rank_ntile's
+    # retained family (row_number with unique tiebreak), the row is
+    # hash-checked against DuckDB's single-sort form in check_contract
+    # --all, and the no-SinglePartition property + windowed-parity are
+    # pytest-locked (TestBucketRank / TestDistributedRankAuc).
+    "window_global_rank": "window_rank_ntile (same deterministic "
+    "ranking family) + check_contract --all row + pytest "
+    "TestBucketRank no-SinglePartition/parity",
     # round-5 rotation #2: funds the decontam_overlap_spans slot. Twice
     # green (r3, r4); its KMeans-IVF model pipeline stays contract-checked
     # via mllib_kmeans_coverage and its recall invariants in pytest

@@ -338,3 +338,29 @@ def window_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(w).alias("rnk"),
         F.ntile(4).over(w).alias("quartile"),
     )
+
+
+@register(
+    "window_global_rank",
+    oracle="""
+SELECT event_id,
+       CAST(row_number() OVER (ORDER BY value, event_id) AS BIGINT) AS r
+FROM events
+""",
+)
+def window_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Library row for :func:`bucket_ranked` (the r10 verdict's
+    distributed-AUC core): the exact global row_number over the events
+    table WITHOUT an unpartitioned window, hash-checked against DuckDB
+    computing the single-sort form. The offsets collect happens at plan
+    build (metadata-sized — one row per range bucket); the cached
+    bucket frame is registered with the plan-cache registry so the next
+    builder invocation evicts it."""
+    from .. import cache
+
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    cache.begin_plan()
+    ranked, cached = bucket_ranked(ev, ["value", "event_id"], rank_col="r")
+    cache.pin(cached)
+    return ranked.select("event_id", F.col("r").cast("long").alias("r"))
