@@ -2221,3 +2221,86 @@ def text_novelty_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts the same grams by string; Spark counts by xxhash64 — the
     2^-64 collision trade every hash-based dedup makes."""
     return ngram_novelty(_corpus(spark, sf_dir))
+
+
+def write_novelty_gram_store(docs: DataFrame, path: str, n: int = _SUBSTR_N) -> None:
+    """Bootstrap the gram-count store for incremental novelty:
+    ``(h, c)`` — one row per DISTINCT gram hash with its corpus
+    occurrence count, written as ``ingest_batch=0``.
+
+    HONEST COST NOTE (unlike the metadata-sized decontam/DSIR stores):
+    n-gram vocabularies are nearly corpus-sized (most 8-grams are
+    unique), so this store is O(distinct grams) — ~16 bytes per
+    distinct gram, roughly an eighth of the text bytes. That is the
+    inherent price of exact "seen before?" over a growing corpus; the
+    trade is the same one a dedup index makes.
+    """
+    grams = (
+        docs.select("doc_id", clean_words("text").alias("__w"))
+        .select(F.explode(shingles_of_words(F.col("__w"), n)).alias("s"))
+        .select(F.xxhash64("s").alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("c"))
+        .withColumn("ingest_batch", F.lit(0))
+    )
+    grams.write.partitionBy("ingest_batch").mode("overwrite").parquet(path)
+
+
+def read_novelty_gram_store(spark: SparkSession, path: str) -> DataFrame:
+    """Corpus-so-far gram counts: fold the per-batch partitions."""
+    st = spark.read.parquet(path)
+    missing = {"h", "c"} - set(st.columns)
+    if missing:
+        raise ValueError(f"not a novelty gram store (missing {sorted(missing)}): {path}")
+    return st.groupBy("h").agg(F.sum("c").alias("c"))
+
+
+def novelty_against_store(
+    docs: DataFrame, store_counts: DataFrame, n: int = _SUBSTR_N
+) -> DataFrame:
+    """Per-doc novelty of a BATCH against (history + the batch itself):
+    an occurrence is duplicated iff its gram's history count plus its
+    batch count is ≥ 2 — exactly the count the batch's grams would
+    have in the concatenated corpus, so scoring batch b against the
+    store of batches 0..b−1 equals full-corpus :func:`ngram_novelty`
+    restricted to batch b's docs (pytest-locked).
+
+    Scale shape: the batch gram stream joins the store on the 8-byte
+    hash — with a small batch AQE broadcasts the batch side, so the
+    per-trigger cost is one store scan of hashes (see the store's cost
+    note) plus O(batch); nothing rescans text.
+    """
+    cache.begin_plan()
+    w = F.col("__w")
+    sh = cache.pin(
+        docs.select("doc_id", clean_words("text").alias("__w"))
+        .select("doc_id", F.explode(shingles_of_words(w, n)).alias("s"))
+        .select("doc_id", F.xxhash64("s").alias("h"))
+    )
+    batch_counts = sh.groupBy("h").agg(F.count("*").alias("cb"))
+    joined = batch_counts.join(
+        store_counts.withColumnRenamed("c", "cs"), "h", "left"
+    ).select(
+        "h", (F.col("cb") + F.coalesce("cs", F.lit(0))).alias("ct")
+    )
+    per_doc = (
+        sh.join(joined, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("ct") > 1, 1).otherwise(0)).alias("n_dup"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup"),
+            (
+                F.coalesce("n_dup", F.lit(0)) * 10
+                <= F.coalesce("n_grams", F.lit(0))
+            ).alias("is_novel"),
+        )
+    )

@@ -1032,3 +1032,81 @@ def read_heavyhitter_store(
         )
         .filter(F.col("n_upper") >= F.col("threshold"))
     )
+
+
+def run_incremental_novelty_stream(
+    stream: DataFrame,
+    store_path: str,
+    out_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    n: int = 8,
+) -> None:
+    """Continuous per-doc novelty: each micro-batch is scored against
+    the gram-count store of every PRIOR batch plus itself
+    (plans.dedup.novelty_against_store — exactly the count the batch
+    would see in the concatenated corpus), the per-doc novelty rows
+    land under ``out_path/ingest_batch=b``, and the batch's own gram
+    counts fold into the store as a new partition.
+
+    Exactly-once: checkpointed offsets + dynamic partition overwrite on
+    BOTH sinks, and the store read EXCLUDES the current batch_id's
+    partition, so a replayed micro-batch re-scores against the same
+    history and replaces its own outputs. Per-trigger cost: one hash
+    scan of the store + O(batch) — text is never rescanned (see the
+    store's honest vocabulary-sized cost note in plans/dedup.py).
+    """
+    from ..plans.dedup import novelty_against_store
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        docs = batch_df.select(
+            "doc_id", F.col(text_col).alias("text")
+        ).persist()
+        try:
+            try:
+                st = spark.read.parquet(store_path)
+                history = (
+                    st.filter(F.col("ingest_batch") != int(batch_id))
+                    .groupBy("h")
+                    .agg(F.sum("c").alias("c"))
+                )
+            except Exception:
+                history = spark.createDataFrame([], "h long, c long")
+            out = novelty_against_store(docs, history, n=n)
+            (
+                out.withColumn("ingest_batch", F.lit(int(batch_id)))
+                .write.partitionBy("ingest_batch")
+                .mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(out_path)
+            )
+            from ..functions.text import clean_words, shingles_of_words
+
+            (
+                docs.select(
+                    F.explode(
+                        shingles_of_words(clean_words(F.col("text")), n)
+                    ).alias("s")
+                )
+                .select(F.xxhash64("s").alias("h"))
+                .groupBy("h")
+                .agg(F.count("*").alias("c"))
+                .withColumn("ingest_batch", F.lit(int(batch_id)))
+                .write.partitionBy("ingest_batch")
+                .mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(store_path)
+            )
+        finally:
+            docs.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1037,3 +1037,84 @@ class TestChunkDocuments:
             chunk_documents(docs, window=0)
         with pytest.raises(ValueError, match="positive"):
             chunk_documents(docs, stride=0)
+
+
+class TestIncrementalNovelty:
+    def test_batch_scoring_equals_full_corpus(self, spark, tmp_path):
+        """The exactness invariant: batch-2 docs scored against
+        store(batch 1) + batch 2 itself == full-corpus ngram_novelty
+        restricted to batch-2 docs."""
+        from imitation_learning_data_pipeline_spark.plans.dedup import (
+            ngram_novelty,
+            novelty_against_store,
+            read_novelty_gram_store,
+            write_novelty_gram_store,
+        )
+
+        copied = " ".join(f"c{i}" for i in range(30))
+        b1 = spark.createDataFrame(
+            [(1, " ".join(f"a{i}" for i in range(30))), (2, copied)],
+            "doc_id long, text string",
+        )
+        b2 = spark.createDataFrame(
+            [(10, copied), (11, " ".join(f"z{i}" for i in range(30)))],
+            "doc_id long, text string",
+        )
+        path = str(tmp_path / "grams")
+        write_novelty_gram_store(b1, path)
+        got = {
+            r.doc_id: (r.n_grams, r.n_dup, r.is_novel)
+            for r in novelty_against_store(
+                b2, read_novelty_gram_store(spark, path)
+            ).collect()
+        }
+        full = {
+            r.doc_id: (r.n_grams, r.n_dup, r.is_novel)
+            for r in ngram_novelty(b1.unionByName(b2)).collect()
+            if r.doc_id >= 10
+        }
+        assert got == full
+        assert not got[10][2] and got[11][2]  # copy flagged, fresh doc novel
+
+    def test_stream_replays_and_store_guard(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.plans.dedup import (
+            ngram_novelty,
+            read_novelty_gram_store,
+        )
+        from imitation_learning_data_pipeline_spark.streaming.incremental import (
+            run_incremental_novelty_stream,
+        )
+
+        copied = " ".join(f"c{i}" for i in range(30))
+        rows = [(i, copied if i % 3 == 0 else " ".join(f"d{i}x{j}" for j in range(30)))
+                for i in range(12)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        src = str(tmp_path / "src")
+        docs.repartition(3).write.parquet(src)
+        stream = spark.readStream.schema("doc_id long, text string").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        store, out, ck = (str(tmp_path / p) for p in ("grams", "nov", "ck"))
+        run_incremental_novelty_stream(stream, store, out, ck)
+        got = {r.doc_id: r.is_novel for r in spark.read.parquet(out).collect()}
+        assert set(got) == set(range(12))
+        # every copied doc AFTER the first-seen batch is flagged; the
+        # stream order decides which batch saw it first, so at minimum
+        # the copies are not ALL novel and the unique docs all are
+        copies = [i for i in range(12) if i % 3 == 0]
+        uniques = [i for i in range(12) if i % 3 != 0]
+        assert all(got[i] for i in uniques)
+        assert sum(not got[i] for i in copies) >= len(copies) - 1
+        # store folds to the full corpus counts
+        total = read_novelty_gram_store(spark, store).agg(
+            F.sum("c").alias("s")
+        ).collect()[0]["s"]
+        full = ngram_novelty(docs).agg(F.sum("n_grams").alias("s")).collect()[0]["s"]
+        assert total == full
+        # guard
+        import pytest as _pytest
+
+        bad = str(tmp_path / "bad")
+        spark.range(3).write.parquet(bad)
+        with _pytest.raises(ValueError, match="gram store"):
+            read_novelty_gram_store(spark, bad)
