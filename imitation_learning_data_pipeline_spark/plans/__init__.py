@@ -25,6 +25,7 @@ def _late_imports() -> None:
         graph,
         lm,
         mllib_ops,
+        monitor,
         multimodal_queries,
         numeric,
         pipeline_queries,
@@ -72,6 +73,7 @@ def _late_imports() -> None:
         tokenize,
         lm,
         quality_model,
+        monitor,
     ]
 
 

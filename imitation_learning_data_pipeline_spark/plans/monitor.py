@@ -1,0 +1,143 @@
+"""Corpus drift monitoring: Population Stability Index between two
+scored corpus slices (reference vs current).
+
+PSI is the standard production monitor for "did my data shift": bucket
+both populations on a score in [0,1), then
+``PSI = Σ_b (p_b − q_b)·ln(p_b / q_b)`` over the buckets (p = reference
+proportion, q = current). Conventional reading: < 0.1 stable, 0.1–0.25
+moderate shift, > 0.25 investigate. At 100 TB a drift check must be a
+pair of bucket-count aggregates — never a distribution test over raw
+rows — and that is all this is: two map-side-combinable counts plus
+k-row arithmetic.
+
+Cross-engine determinism (registry float rules): add-one smoothing
+makes every proportion a ratio of exact integers (identical doubles in
+both engines), ONE ln per bucket mirrored structurally in the oracle,
+and the per-bucket PSI contribution is integer-quantized at 1e-6
+(``functions/rounding.py`` discipline) so the total is an exact
+integer sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import ensure_utc
+from ..sources import load_table
+from .registry import register
+
+_DRIFT_BUCKETS = 10
+_PSI_SCALE = 1000000
+
+
+def score_drift_psi(
+    ref: DataFrame,
+    cur: DataFrame,
+    score_col: str = "score",
+    n_buckets: int = _DRIFT_BUCKETS,
+) -> DataFrame:
+    """(bucket, n_ref, n_cur, psi_int): per-bucket PSI contributions
+    between two scored frames; ``sum(psi_int)/1e6`` is the PSI.
+
+    Scores are bucketed ``least(floor(s·B), B−1)`` (scores in [0,1);
+    out-of-range clamps into the edge buckets). Every bucket 0..B−1
+    appears (0-filled via a B-row spine), so two monitors over
+    different slices always align row-for-row.
+    """
+    spark = ref.sparkSession
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        b = F.greatest(
+            F.lit(0),
+            F.least(
+                F.floor(F.col(score_col) * n_buckets).cast("int"),
+                F.lit(n_buckets - 1),
+            ),
+        )
+        return df.select(b.alias("bucket")).groupBy("bucket").agg(
+            F.count("*").alias(name)
+        )
+
+    spine = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+    joined = (
+        spine.join(counts(ref, "n_ref"), "bucket", "left")
+        .join(counts(cur, "n_cur"), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+        )
+    )
+    totals = joined.agg(
+        F.sum("n_ref").alias("N_ref"), F.sum("n_cur").alias("N_cur")
+    )
+    j, t = joined.alias("j"), totals.alias("t")
+    bl = F.lit(n_buckets)
+    p = (F.col("j.n_ref") + 1).cast("double") / (F.col("t.N_ref") + bl).cast("double")
+    q = (F.col("j.n_cur") + 1).cast("double") / (F.col("t.N_cur") + bl).cast("double")
+    psi = (p - q) * F.log(p / q)
+    return (
+        j.crossJoin(F.broadcast(t))
+        .select(
+            F.col("j.bucket").alias("bucket"),
+            F.col("j.n_ref").alias("n_ref"),
+            F.col("j.n_cur").alias("n_cur"),
+            F.round(psi * _PSI_SCALE).cast("long").alias("psi_int"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_SCORE_SQL = "('0x' || substr(md5('ppl' || '|' || text), 1, 8))::BIGINT / 4294967296.0"
+
+
+@register(
+    "monitor_score_drift",
+    oracle=f"""
+WITH s AS (
+  SELECT source,
+         greatest(0, least(CAST(floor({_SCORE_SQL} * {_DRIFT_BUCKETS}) AS INTEGER),
+                           {_DRIFT_BUCKETS - 1})) AS bucket
+  FROM documents
+),
+spine AS (SELECT unnest(range(0, {_DRIFT_BUCKETS})) AS bucket),
+r AS (SELECT bucket, count(*) AS n_ref FROM s WHERE source = 'src0' GROUP BY bucket),
+c AS (SELECT bucket, count(*) AS n_cur FROM s WHERE source <> 'src0' GROUP BY bucket),
+j AS (
+  SELECT spine.bucket,
+         coalesce(r.n_ref, 0) AS n_ref,
+         coalesce(c.n_cur, 0) AS n_cur
+  FROM spine LEFT JOIN r USING (bucket) LEFT JOIN c USING (bucket)
+),
+t AS (SELECT sum(n_ref) AS N_ref, sum(n_cur) AS N_cur FROM j)
+SELECT CAST(j.bucket AS INTEGER) AS bucket,
+       CAST(j.n_ref AS BIGINT) AS n_ref,
+       CAST(j.n_cur AS BIGINT) AS n_cur,
+       CAST(round(
+         (CAST(j.n_ref + 1 AS DOUBLE) / CAST(t.N_ref + {_DRIFT_BUCKETS} AS DOUBLE)
+          - CAST(j.n_cur + 1 AS DOUBLE) / CAST(t.N_cur + {_DRIFT_BUCKETS} AS DOUBLE))
+         * ln((CAST(j.n_ref + 1 AS DOUBLE) / CAST(t.N_ref + {_DRIFT_BUCKETS} AS DOUBLE))
+              / (CAST(j.n_cur + 1 AS DOUBLE) / CAST(t.N_cur + {_DRIFT_BUCKETS} AS DOUBLE)))
+         * {_PSI_SCALE}) AS BIGINT) AS psi_int
+FROM j CROSS JOIN t
+""",
+)
+def monitor_score_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift between the 'src0' slice of the documents table and the
+    rest, on the deterministic proxy perplexity score (md5-based —
+    mirrored bit-exactly in the oracle). The proxy is uniform by
+    construction, so this checks the MACHINERY cross-engine; the
+    planted-drift detection semantics are pytest-locked with a shifted
+    score distribution."""
+    from .sampling import proxy_perplexity_score
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    scored = docs.select(
+        "source", proxy_perplexity_score("text").alias("score")
+    )
+    return score_drift_psi(
+        scored.filter(F.col("source") == "src0"),
+        scored.filter(F.col("source") != "src0"),
+    )

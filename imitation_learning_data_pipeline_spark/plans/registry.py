@@ -84,7 +84,12 @@ CONTRACT_FIRST: list[str] = [
     "mixture_token_budget",
     "sample_reservoir_pergroup",
     "profile_documents",
-    "split_leakage_safe",
+    # (round-11: split_leakage_safe — green r6-r10 — parked behind
+    # dedup_cluster_components + pipeline_materialize_index; funds the
+    # monitor_score_drift slot. See CONTRACT_EXCLUDE.)
+    # Round-11 addition #4: PSI score-drift monitoring between corpus
+    # slices — new operators go straight into the contract.
+    "monitor_score_drift",
     # Round-5 additions/rotations: the SimHash pair stage (new) goes
     # straight into the contract; the four granular window queries get
     # their first-ever direct CORRECTNESS rows (r4 verdict item 3); and
@@ -313,6 +318,16 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     "window_global_rank": "window_rank_ntile (same deterministic "
     "ranking family) + check_contract --all row + pytest "
     "TestBucketRank no-SinglePartition/parity",
+    # round-11 rotation #5: funds the monitor_score_drift slot. Green
+    # r6-r10 (five rounds); its near-dup transitive closure is
+    # dedup_cluster_components' retained machinery over the same pair
+    # graph, its deterministic split assignment is the F5 seeded-hash
+    # machinery pipeline_materialize_index retains, and the row stays
+    # hash-checked in check_contract --all.
+    "split_leakage_safe": "dedup_cluster_components (same "
+    "connected-components closure over the pair graph) + "
+    "pipeline_materialize_index (same F5 deterministic split "
+    "assignment) + check_contract --all row",
     # round-5 rotation #2: funds the decontam_overlap_spans slot. Twice
     # green (r3, r4); its KMeans-IVF model pipeline stays contract-checked
     # via mllib_kmeans_coverage and its recall invariants in pytest

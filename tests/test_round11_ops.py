@@ -1118,3 +1118,52 @@ class TestIncrementalNovelty:
         spark.range(3).write.parquet(bad)
         with _pytest.raises(ValueError, match="gram store"):
             read_novelty_gram_store(spark, bad)
+
+
+class TestScoreDriftPsi:
+    def _scored(self, spark, scores):
+        return spark.createDataFrame([(float(s),) for s in scores], "score double")
+
+    def test_identical_distributions_near_zero(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.monitor import (
+            score_drift_psi,
+        )
+
+        scores = [(i % 100) / 100.0 for i in range(1000)]
+        out = score_drift_psi(
+            self._scored(spark, scores), self._scored(spark, scores)
+        ).collect()
+        assert [r.bucket for r in out] == list(range(10))
+        psi = sum(r.psi_int for r in out) / 1e6
+        assert psi < 0.01
+
+    def test_planted_shift_detected(self, spark):
+        """Reference uniform, current shifted hard into the top
+        buckets: PSI must cross the conventional 0.25 alert line."""
+        from imitation_learning_data_pipeline_spark.plans.monitor import (
+            score_drift_psi,
+        )
+
+        ref = [(i % 100) / 100.0 for i in range(1000)]
+        cur = [0.8 + (i % 20) / 100.0 for i in range(1000)]
+        out = score_drift_psi(
+            self._scored(spark, ref), self._scored(spark, cur)
+        ).collect()
+        psi = sum(r.psi_int for r in out) / 1e6
+        assert psi > 0.25
+        # counts align on the full spine, including 0-filled buckets
+        got = {r.bucket: (r.n_ref, r.n_cur) for r in out}
+        assert got[0][1] == 0 and got[9][1] > 0
+        assert sum(v[0] for v in got.values()) == 1000
+
+    def test_out_of_range_clamps(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.monitor import (
+            score_drift_psi,
+        )
+
+        out = score_drift_psi(
+            self._scored(spark, [-0.5, 0.5, 1.5]),
+            self._scored(spark, [0.5]),
+        ).collect()
+        got = {r.bucket: r.n_ref for r in out}
+        assert got[0] == 1 and got[5] == 1 and got[9] == 1
