@@ -164,6 +164,23 @@ AUDIT = {
         "want": ["HashAggregate", "BroadcastNestedLoopJoin"],
         "forbid": ["CartesianProduct", "rangepartitioning(cap"],
     },
+    # round-11: chunking is one projection + Generate (explode) — the
+    # single exchange is _docs' spread() repartition of the few-MB test
+    # file (the text_gopher_rules allowance); the chunk expressions are
+    # higher-order fns (CodegenFallback, like text_langid) so no
+    # WholeStageCodegen span is expected.
+    "text_chunk_windows": {
+        "max_exchanges": 1,
+        "want": ["Generate"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
+    # round-11: drift monitor — two bucket-count hash aggregates plus
+    # broadcast spine/total joins; the corpus never range-partitions
+    # and nothing sorts.
+    "monitor_score_drift": {
+        "want": ["HashAggregate"],
+        "forbid": ["CartesianProduct", "SortAggregate", "SortMergeJoin"],
+    },
 }
 
 
