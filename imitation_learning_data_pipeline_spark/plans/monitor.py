@@ -43,7 +43,10 @@ def score_drift_psi(
     Scores are bucketed ``least(floor(s·B), B−1)`` (scores in [0,1);
     out-of-range clamps into the edge buckets). Every bucket 0..B−1
     appears (0-filled via a B-row spine), so two monitors over
-    different slices always align row-for-row.
+    different slices always align row-for-row. NULL scores are
+    EXCLUDED from both populations (a null would otherwise fall off
+    the spine and silently vanish from the proportions) — monitor null
+    rates separately if nullability itself is the drift signal.
     """
     spark = ref.sparkSession
 
@@ -55,8 +58,11 @@ def score_drift_psi(
                 F.lit(n_buckets - 1),
             ),
         )
-        return df.select(b.alias("bucket")).groupBy("bucket").agg(
-            F.count("*").alias(name)
+        return (
+            df.filter(F.col(score_col).isNotNull())
+            .select(b.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias(name))
         )
 
     spine = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))

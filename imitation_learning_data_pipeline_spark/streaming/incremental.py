@@ -1066,6 +1066,11 @@ def run_incremental_novelty_stream(
             "doc_id", F.col(text_col).alias("text")
         ).persist()
         try:
+            # Missing store (first batch) => empty history; any OTHER
+            # read failure must surface — treating a corrupted store as
+            # empty would silently mark every re-seen doc novel.
+            from pyspark.errors import AnalysisException
+
             try:
                 st = spark.read.parquet(store_path)
                 history = (
@@ -1073,7 +1078,7 @@ def run_incremental_novelty_stream(
                     .groupBy("h")
                     .agg(F.sum("c").alias("c"))
                 )
-            except Exception:
+            except AnalysisException:
                 history = spark.createDataFrame([], "h long, c long")
             out = novelty_against_store(docs, history, n=n)
             (

@@ -1167,3 +1167,18 @@ class TestScoreDriftPsi:
         ).collect()
         got = {r.bucket: r.n_ref for r in out}
         assert got[0] == 1 and got[5] == 1 and got[9] == 1
+
+
+class TestScoreDriftNulls:
+    def test_null_scores_excluded(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.monitor import (
+            score_drift_psi,
+        )
+
+        ref = spark.createDataFrame(
+            [(0.5,), (None,), (0.5,)], "score double"
+        )
+        cur = spark.createDataFrame([(0.5,)], "score double")
+        out = score_drift_psi(ref, cur).collect()
+        got = {r.bucket: r.n_ref for r in out}
+        assert got[5] == 2 and sum(got.values()) == 2  # null excluded
