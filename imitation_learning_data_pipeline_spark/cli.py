@@ -912,6 +912,40 @@ def cmd_unimax(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_drift(args: argparse.Namespace) -> int:
+    """PSI drift monitor (plans/monitor.py): compare a current corpus
+    slice against a reference on a score column (or the deterministic
+    text-proxy score) and print per-bucket contributions + the PSI."""
+    from .plans.monitor import score_drift_psi
+
+    spark = _spark("drift")
+
+    def load(path: str):
+        df = spark.read.parquet(path)
+        if args.score_col in df.columns:
+            return df.select(F.col(args.score_col).alias("score"))
+        if args.text_col in df.columns:
+            from .plans.sampling import proxy_perplexity_score
+
+            return df.select(
+                proxy_perplexity_score(args.text_col).alias("score")
+            )
+        raise SystemExit(
+            f"drift: {path} has neither '{args.score_col}' nor "
+            f"'{args.text_col}' columns"
+        )
+
+    out = score_drift_psi(
+        load(args.input), load(args.against), n_buckets=args.buckets
+    ).collect()
+    psi = sum(r.psi_int for r in out) / 1e6
+    for r in out:
+        print(json.dumps(r.asDict()))
+    verdict = "stable" if psi < 0.1 else ("moderate" if psi <= 0.25 else "ALERT")
+    print(json.dumps({"psi": round(psi, 6), "verdict": verdict}))
+    return 0
+
+
 def cmd_bpe(args: argparse.Namespace) -> int:
     """BPE tokenizer training (plans/tokenize.py): learn merges from a
     corpus; optionally write per-document token counts under the
@@ -2135,6 +2169,18 @@ def build_parser() -> argparse.ArgumentParser:
     )
     um.add_argument("--out", default=None, help="optional plan parquet")
     um.set_defaults(fn=cmd_unimax)
+
+    dft = sub.add_parser(
+        "drift",
+        help="PSI drift monitor: reference slice vs current slice on a "
+        "score column (or the deterministic text-proxy score)",
+    )
+    dft.add_argument("--input", required=True, help="REFERENCE parquet")
+    dft.add_argument("--against", required=True, help="CURRENT parquet")
+    dft.add_argument("--score-col", default="score")
+    dft.add_argument("--text-col", default="text")
+    dft.add_argument("--buckets", type=int, default=10)
+    dft.set_defaults(fn=cmd_drift)
 
     bp = sub.add_parser(
         "bpe",

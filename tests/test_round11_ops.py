@@ -1182,3 +1182,23 @@ class TestScoreDriftNulls:
         out = score_drift_psi(ref, cur).collect()
         got = {r.bucket: r.n_ref for r in out}
         assert got[5] == 2 and sum(got.values()) == 2  # null excluded
+
+
+class TestDriftCli:
+    def test_verb(self, spark, tmp_path, capsys):
+        import json
+
+        from imitation_learning_data_pipeline_spark.cli import main
+
+        spark.createDataFrame(
+            [(float((i % 100) / 100),) for i in range(500)], "score double"
+        ).write.parquet(str(tmp_path / "ref"))
+        spark.createDataFrame(
+            [(0.9 + (i % 10) / 100.0,) for i in range(500)], "score double"
+        ).write.parquet(str(tmp_path / "cur"))
+        rc = main(["drift", "--input", str(tmp_path / "ref"),
+                   "--against", str(tmp_path / "cur")])
+        assert rc == 0
+        lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+        assert len(lines) == 11  # 10 buckets + verdict
+        assert lines[-1]["verdict"] == "ALERT" and lines[-1]["psi"] > 0.25
