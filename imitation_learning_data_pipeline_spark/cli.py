@@ -912,13 +912,15 @@ def cmd_unimax(args: argparse.Namespace) -> int:
     return 0
 
 
-def cmd_drift(args: argparse.Namespace) -> int:
-    """PSI drift monitor (plans/monitor.py): compare a current corpus
-    slice against a reference on a score column (or the deterministic
-    text-proxy score) and print per-bucket contributions + the PSI."""
+def cmd_psi(args: argparse.Namespace) -> int:
+    """PSI score-drift monitor (plans/monitor.py): compare a current
+    corpus slice against a reference on a score column (or the
+    deterministic text-proxy score) and print per-bucket contributions
+    + the PSI. Complements the column-profile `drift` verb: `drift`
+    gates SCHEMA/statistics shape, `psi` gates a score DISTRIBUTION."""
     from .plans.monitor import score_drift_psi
 
-    spark = _spark("drift")
+    spark = _spark("psi")
 
     def load(path: str):
         df = spark.read.parquet(path)
@@ -2171,16 +2173,16 @@ def build_parser() -> argparse.ArgumentParser:
     um.set_defaults(fn=cmd_unimax)
 
     dft = sub.add_parser(
-        "drift",
-        help="PSI drift monitor: reference slice vs current slice on a "
-        "score column (or the deterministic text-proxy score)",
+        "psi",
+        help="PSI score-drift monitor: reference slice vs current slice "
+        "on a score column (or the deterministic text-proxy score)",
     )
     dft.add_argument("--input", required=True, help="REFERENCE parquet")
     dft.add_argument("--against", required=True, help="CURRENT parquet")
     dft.add_argument("--score-col", default="score")
     dft.add_argument("--text-col", default="text")
     dft.add_argument("--buckets", type=int, default=10)
-    dft.set_defaults(fn=cmd_drift)
+    dft.set_defaults(fn=cmd_psi)
 
     bp = sub.add_parser(
         "bpe",

@@ -1184,7 +1184,7 @@ class TestScoreDriftNulls:
         assert got[5] == 2 and sum(got.values()) == 2  # null excluded
 
 
-class TestDriftCli:
+class TestPsiCli:
     def test_verb(self, spark, tmp_path, capsys):
         import json
 
@@ -1196,7 +1196,7 @@ class TestDriftCli:
         spark.createDataFrame(
             [(0.9 + (i % 10) / 100.0,) for i in range(500)], "score double"
         ).write.parquet(str(tmp_path / "cur"))
-        rc = main(["drift", "--input", str(tmp_path / "ref"),
+        rc = main(["psi", "--input", str(tmp_path / "ref"),
                    "--against", str(tmp_path / "cur")])
         assert rc == 0
         lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
