@@ -135,15 +135,7 @@ CONTRACT_FIRST: list[str] = [
     # Round-3 additions: new operators built this round go straight into
     # the contract so their first CORRECTNESS row lands immediately.
     "text_repetition_stats",
-    # (round-11: range_join_prior_views — green r3-r10, eight rounds —
-    # parked behind asof_join_last_click, which rotated back into the
-    # contract this round and drives the same event-time inequality
-    # join further; funds the text_chunk_windows slot. See
-    # CONTRACT_EXCLUDE.)
-    # Round-11 addition #3: document chunking into training windows
-    # (fixed-size word windows with stride) — new operators go straight
-    # into the contract.
-    "text_chunk_windows",
+    "range_join_prior_views",
     # Round-10 addition: exact frequent-n-gram heavy hitters via
     # per-partition Misra-Gries candidates + exact broadcast verify
     # (the vocabulary never shuffles) — new operators go straight into
@@ -300,15 +292,6 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     "rollup_events_daily": "rollup_quantile_accuracy (same rollup-store "
     "create/fold/read machinery with added merge invariants) + "
     "check_contract --all row",
-    # round-11 rotation #4: funds the text_chunk_windows slot. Green
-    # r3-r10 (eight rounds); asof_join_last_click — freshly rotated
-    # back into the contract — is the same event-time inequality-join
-    # family driven further (as-of = range join + keep-last window),
-    # and the prior-views row stays hash-checked in check_contract
-    # --all.
-    "range_join_prior_views": "asof_join_last_click (same event-time "
-    "inequality-join family, driven further: as-of = range join + "
-    "keep-last window) + check_contract --all row",
     # round-11: two-pass distributed global rank (the rank-AUC core).
     # Library-only (cap): ranking semantics are window_rank_ntile's
     # retained family (row_number with unique tiebreak), the row is

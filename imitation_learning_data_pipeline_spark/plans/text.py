@@ -1218,94 +1218,3 @@ def text_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     real deployment swaps in a published bad-words list) — per-doc hit
     counts and the keep verdict, both hash-checked."""
     return blocklist_filter(_docs(spark, sf_dir), _BLOCK_SAMPLE)
-
-
-# --- document chunking into training windows ----------------------------------
-#
-# Every pretraining pipeline slices long documents into fixed-size
-# token windows with overlap (context stuffing with stride, the
-# GPT-2/Pile convention) before packing/sharding. Chunking is a pure
-# per-row array expression — no shuffle, no UDF — so it composes with
-# the curation funnel at scan cost.
-
-_CHUNK_WINDOW = 64
-_CHUNK_STRIDE = 48
-
-
-def chunk_documents(
-    docs: DataFrame, window: int = _CHUNK_WINDOW, stride: int = _CHUNK_STRIDE
-) -> DataFrame:
-    """(doc_id, text) → (doc_id, chunk_id, n_words, chunk_text): word
-    windows of ``window`` tokens every ``stride`` tokens over the
-    shared ``clean_words`` tokenization. The last window is shorter
-    when the doc doesn't divide evenly; empty docs emit no chunks;
-    ``stride < window`` gives the usual overlap.
-
-    Scale shape (100 TB): one codegen projection + posexplode — chunk
-    boundaries are computed per row from the word array (``sequence``
-    over chunk indices + ``slice`` per index); nothing shuffles unless
-    the caller aggregates downstream. Output text bytes are bounded by
-    ``ceil(window/stride)`` × input bytes (the overlap factor).
-    """
-    if window <= 0 or stride <= 0:
-        raise ValueError("chunk_documents: window and stride must be positive")
-    w = F.col("__w")
-    nw = F.size(w)
-    n_chunks = F.when(nw <= 0, F.lit(0)).when(nw <= window, F.lit(1)).otherwise(
-        F.lit(1) + F.ceil((nw - window) / F.lit(stride)).cast("int")
-    )
-    idx = F.when(
-        n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)
-    ).otherwise(F.array().cast("array<integer>"))
-    chunks = F.transform(
-        idx,
-        lambda i: F.struct(
-            i.alias("chunk_id"),
-            F.slice(w, i * stride + 1, window).alias("cw"),
-        ),
-    )
-    return (
-        docs.select("doc_id", clean_words("text").alias("__w"))
-        .select("doc_id", F.explode(chunks).alias("c"))
-        .select(
-            "doc_id",
-            F.col("c.chunk_id").cast("long").alias("chunk_id"),
-            F.size("c.cw").cast("long").alias("n_words"),
-            F.array_join("c.cw", " ").alias("chunk_text"),
-        )
-    )
-
-
-@register(
-    "text_chunk_windows",
-    oracle=f"""
-WITH w AS (SELECT doc_id, {_W_SQL} AS ws FROM documents),
-n AS (SELECT doc_id, ws, len(ws) AS nw FROM w),
-c AS (
-  SELECT doc_id, ws,
-         CASE WHEN nw <= 0 THEN 0
-              WHEN nw <= {_CHUNK_WINDOW} THEN 1
-              ELSE 1 + CAST(ceil(CAST(nw - {_CHUNK_WINDOW} AS DOUBLE)
-                                 / {_CHUNK_STRIDE}) AS INTEGER)
-         END AS n_chunks
-  FROM n
-),
-e AS (
-  SELECT doc_id, unnest(list_transform(range(0, n_chunks), i -> struct_pack(
-    chunk_id := i,
-    cw := ws[i*{_CHUNK_STRIDE}+1 : i*{_CHUNK_STRIDE}+{_CHUNK_WINDOW}]
-  ))) AS u
-  FROM c
-)
-SELECT doc_id,
-       CAST(u.chunk_id AS BIGINT) AS chunk_id,
-       CAST(len(u.cw) AS BIGINT) AS n_words,
-       array_to_string(u.cw, ' ') AS chunk_text
-FROM e
-""",
-)
-def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Contract row: 64-word windows at stride 48 over the documents
-    table (the synthetic docs run 20-120 words, so single-chunk,
-    two-chunk, and shorter-tail cases all occur), hash-checked."""
-    return chunk_documents(_docs(spark, sf_dir))

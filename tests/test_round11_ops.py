@@ -985,60 +985,6 @@ class TestRound11Cli:
         assert plan["de"]["alloc"] == 30 and plan["en"]["alloc"] == 30
 
 
-class TestChunkDocuments:
-    def test_exact_windows(self, spark):
-        from imitation_learning_data_pipeline_spark.plans.dedup import _W_SQL  # noqa: F401
-        from imitation_learning_data_pipeline_spark.plans.text import chunk_documents
-
-        words = [f"w{i}" for i in range(10)]
-        docs = spark.createDataFrame(
-            [(1, " ".join(words)), (2, "one two"), (3, "")],
-            "doc_id long, text string",
-        )
-        got = sorted(
-            (r.doc_id, r.chunk_id, r.n_words, r.chunk_text)
-            for r in chunk_documents(docs, window=4, stride=3).collect()
-        )
-        # doc 1: 10 words, window 4, stride 3 -> chunks at 0,3,6 cover
-        # w0..9 with last chunk w9 alone? n_chunks = 1+ceil(6/3)=3:
-        # [w0-3],[w3-6],[w6-9] -> exact cover, last is 4 words.
-        assert got == [
-            (1, 0, 4, "w0 w1 w2 w3"),
-            (1, 1, 4, "w3 w4 w5 w6"),
-            (1, 2, 4, "w6 w7 w8 w9"),
-            (2, 0, 2, "one two"),
-        ]  # empty doc 3 emits nothing
-
-    def test_tail_shorter_and_coverage(self, spark):
-        from imitation_learning_data_pipeline_spark.plans.text import chunk_documents
-
-        n = 11
-        docs = spark.createDataFrame(
-            [(1, " ".join(f"w{i}" for i in range(n)))], "doc_id long, text string"
-        )
-        rows = sorted(
-            (r.chunk_id, r.n_words, r.chunk_text)
-            for r in chunk_documents(docs, window=4, stride=3).collect()
-        )
-        # ceil((11-4)/3)=3 -> 4 chunks, last starts at 9 (1-based 10): 2 words
-        assert [r[0] for r in rows] == [0, 1, 2, 3]
-        assert rows[-1][1] == 2
-        # every word index covered at least once
-        covered = set()
-        for cid, _, text in rows:
-            covered.update(text.split())
-        assert covered == {f"w{i}" for i in range(n)}
-
-    def test_param_validation(self, spark):
-        from imitation_learning_data_pipeline_spark.plans.text import chunk_documents
-
-        docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
-        with pytest.raises(ValueError, match="positive"):
-            chunk_documents(docs, window=0)
-        with pytest.raises(ValueError, match="positive"):
-            chunk_documents(docs, stride=0)
-
-
 class TestIncrementalNovelty:
     def test_batch_scoring_equals_full_corpus(self, spark, tmp_path):
         """The exactness invariant: batch-2 docs scored against

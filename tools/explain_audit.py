@@ -166,10 +166,9 @@ AUDIT = {
     },
     # round-11: chunking is one projection + Generate (explode) — the
     # single exchange is _docs' spread() repartition of the few-MB test
-    # file (the text_gopher_rules allowance); the chunk expressions are
-    # higher-order fns (CodegenFallback, like text_langid) so no
-    # WholeStageCodegen span is expected.
-    "text_chunk_windows": {
+    # file (the text_gopher_rules allowance); chunk expressions are
+    # higher-order fns (CodegenFallback, like text_langid).
+    "text_chunk_documents": {
         "max_exchanges": 1,
         "want": ["Generate"],
         "forbid": ["CartesianProduct", "SortMergeJoin"],
