@@ -22,11 +22,38 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 _PINS: list[DataFrame] = []
+_COMPOSITE_DEPTH = 0
 
 
 def begin_plan() -> None:
-    """Start a new builder invocation: evict every prior plan's pins."""
-    clear_plan_cache()
+    """Start a new builder invocation: evict every prior plan's pins.
+
+    Inside a :class:`composite` block this is a no-op — a composite
+    plan (e.g. the curation funnel) calls several pin-using builders
+    and must keep ALL their pins (plus its own inter-stage pins) live
+    until the next TOP-LEVEL plan; without the guard, each nested
+    builder's begin_plan would evict the composite's earlier pins and
+    the downstream branches would silently recompute them."""
+    if _COMPOSITE_DEPTH == 0:
+        clear_plan_cache()
+
+
+class composite:
+    """Context manager marking a composite plan build: nested
+    begin_plan() calls stop evicting, so pins accumulate for the whole
+    composite and are evicted together at the next top-level plan."""
+
+    def __enter__(self):
+        global _COMPOSITE_DEPTH
+        if _COMPOSITE_DEPTH == 0:
+            clear_plan_cache()
+        _COMPOSITE_DEPTH += 1
+        return self
+
+    def __exit__(self, *exc):
+        global _COMPOSITE_DEPTH
+        _COMPOSITE_DEPTH -= 1
+        return False
 
 
 def pin(df: DataFrame) -> DataFrame:

@@ -292,104 +292,129 @@ def curation_funnel(
             "longer match and PII would silently leak; order 'pii' before "
             "'rewrite'"
         )
+    from .. import cache
+
     cur = docs.select("doc_id", "text")
     out: list[dict] = []
     n = cur.count() if report else None
     prev = None
-    for stage in stages:
-        # Per-row stages (gopher / blocklist / pii / classify / sample)
-        # filter INLINE via passthrough instead of deriving a keep-set
-        # and joining it back: a self-join references `cur` twice, and
-        # under report=False (one lazy plan, nothing persisted) each
-        # reference re-scans the whole upstream chain — measured 2.2×
-        # on the composed 8-stage funnel (SCALING.md round-11).
-        if stage == "gopher":
-            cur = (
-                gopher_rules(cur, min_required_stopwords, passthrough=("text",))
-                .filter(F.col("keep"))
-                .select("doc_id", "text")
-            )
-        elif stage == "pii":
-            cur = pii_scrub(cur).select(
-                "doc_id", F.col("text_clean").alias("text")
-            )
-        elif stage == "blocklist":
-            if not blockwords:
-                raise ValueError(
-                    "curation_funnel: the 'blocklist' stage needs blockwords"
+    # Composite plan: nested builders (remove_dup_spans, minhash_pairs)
+    # call cache.begin_plan() internally; the composite guard keeps
+    # their pins AND the inter-stage pins below alive together until
+    # the next top-level plan (see cache.composite). Entered without a
+    # `with` block on purpose: the returned frame is LAZY, so the pins
+    # must outlive this function — eviction happens at the next
+    # top-level begin_plan, exactly like every other pin-using builder.
+    _composite = cache.composite()
+    _composite.__enter__()
+    try:
+        for stage in stages:
+            # Per-row stages (gopher / blocklist / pii / classify / sample)
+            # filter INLINE via passthrough instead of deriving a keep-set
+            # and joining it back: a self-join references `cur` twice, and
+            # under report=False (one lazy plan, nothing persisted) each
+            # reference re-scans the whole upstream chain — measured 2.2×
+            # on the composed 8-stage funnel (SCALING.md round-11).
+            if stage == "gopher":
+                cur = (
+                    gopher_rules(cur, min_required_stopwords, passthrough=("text",))
+                    .filter(F.col("keep"))
+                    .select("doc_id", "text")
                 )
-            from .text import blocklist_filter
-
-            cur = (
-                blocklist_filter(cur, blockwords, passthrough=("text",))
-                .filter(F.col("keep"))
-                .select("doc_id", "text")
-            )
-        elif stage == "rewrite":
-            from .dedup import remove_dup_spans
-
-            cur = (
-                remove_dup_spans(cur)
-                .filter(F.col("kept_text") != "")
-                .select("doc_id", F.col("kept_text").alias("text"))
-            )
-        elif stage == "dedup":
-            keep = (
-                cur.groupBy(F.md5("text").alias("__d"))
-                .agg(F.min("doc_id").alias("doc_id"))
-                .select("doc_id")
-            )
-            cur = cur.join(keep, "doc_id")
-        elif stage == "neardup":
-            from ..functions.text import clean_words
-            from .dedup import cluster_keep_best, minhash_pairs
-
-            pairs = minhash_pairs(cur).select("doc_a", "doc_b")
-            keep = (
-                cluster_keep_best(cur, pairs, F.size(clean_words("text")))
-                .filter(F.col("is_keeper"))
-                .select("doc_id")
-            )
-            cur = cur.join(keep, "doc_id")
-        elif stage == "classify":
-            if quality_model_path is None:
-                raise ValueError(
-                    "curation_funnel: the 'classify' stage needs "
-                    "quality_model_path (see quality_model.save_quality_model) "
-                    "or an already-fitted model object"
+            elif stage == "pii":
+                cur = pii_scrub(cur).select(
+                    "doc_id", F.col("text_clean").alias("text")
                 )
-            from .quality_model import load_quality_model, pareto_keep, score_quality
+            elif stage == "blocklist":
+                if not blockwords:
+                    raise ValueError(
+                        "curation_funnel: the 'blocklist' stage needs blockwords"
+                    )
+                from .text import blocklist_filter
 
-            model = (
-                quality_model_path
-                if hasattr(quality_model_path, "transform")
-                else load_quality_model(quality_model_path)
-            )
-            # score_quality preserves input columns — filter in place
-            cur = (
-                score_quality(model, cur)
-                .filter(pareto_keep("quality_score", "doc_id"))
-                .select("doc_id", "text")
-            )
-        elif stage == "sample":
-            cur = perplexity_bucket_sample(
-                cur.select(
-                    "doc_id",
-                    "text",
-                    proxy_perplexity_score("text").alias("ppl_score"),
-                ),
-                passthrough=("text",),
-            ).select("doc_id", "text")
-        if report:
-            cur = cur.persist()
-            m = cur.count()
-            if prev is not None:
-                prev.unpersist()
-            prev = cur
-            out.append({"stage": stage, "rows_in": n, "rows_out": m})
-            n = m
-    # the final frame stays persisted under report=True — the caller
-    # reads it next (write/collect) and may unpersist afterwards
+                cur = (
+                    blocklist_filter(cur, blockwords, passthrough=("text",))
+                    .filter(F.col("keep"))
+                    .select("doc_id", "text")
+                )
+            elif stage == "rewrite":
+                from .dedup import remove_dup_spans
+
+                # multi-reference stage (the span detector and the join-back
+                # both read cur): pin the upstream chain once
+                if not report:
+                    cur = cache.pin(cur)
+                cur = (
+                    remove_dup_spans(cur)
+                    .filter(F.col("kept_text") != "")
+                    .select("doc_id", F.col("kept_text").alias("text"))
+                )
+            elif stage == "dedup":
+                if not report:
+                    cur = cache.pin(cur)
+                keep = (
+                    cur.groupBy(F.md5("text").alias("__d"))
+                    .agg(F.min("doc_id").alias("doc_id"))
+                    .select("doc_id")
+                )
+                cur = cur.join(keep, "doc_id")
+            elif stage == "neardup":
+                from ..functions.text import clean_words
+                from .dedup import cluster_keep_best, minhash_pairs
+
+                if not report:
+                    cur = cache.pin(cur)
+
+                pairs = minhash_pairs(cur).select("doc_a", "doc_b")
+                keep = (
+                    cluster_keep_best(cur, pairs, F.size(clean_words("text")))
+                    .filter(F.col("is_keeper"))
+                    .select("doc_id")
+                )
+                cur = cur.join(keep, "doc_id")
+            elif stage == "classify":
+                if quality_model_path is None:
+                    raise ValueError(
+                        "curation_funnel: the 'classify' stage needs "
+                        "quality_model_path (see quality_model.save_quality_model) "
+                        "or an already-fitted model object"
+                    )
+                from .quality_model import load_quality_model, pareto_keep, score_quality
+
+                model = (
+                    quality_model_path
+                    if hasattr(quality_model_path, "transform")
+                    else load_quality_model(quality_model_path)
+                )
+                # score_quality preserves input columns — filter in place
+                cur = (
+                    score_quality(model, cur)
+                    .filter(pareto_keep("quality_score", "doc_id"))
+                    .select("doc_id", "text")
+                )
+            elif stage == "sample":
+                cur = perplexity_bucket_sample(
+                    cur.select(
+                        "doc_id",
+                        "text",
+                        proxy_perplexity_score("text").alias("ppl_score"),
+                    ),
+                    passthrough=("text",),
+                ).select("doc_id", "text")
+            if report:
+                cur = cur.persist()
+                m = cur.count()
+                if prev is not None:
+                    prev.unpersist()
+                prev = cur
+                out.append({"stage": stage, "rows_in": n, "rows_out": m})
+                n = m
+        # the final frame stays persisted under report=True — the caller
+        # reads it next (write/collect) and may unpersist afterwards
+    finally:
+        # depth must unwind even if a stage builder raises —
+        # otherwise begin_plan() would never evict again
+        _composite.__exit__(None, None, None)
     return cur, out
 
 

@@ -1148,3 +1148,48 @@ class TestPsiCli:
         lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
         assert len(lines) == 11  # 10 buckets + verdict
         assert lines[-1]["verdict"] == "ALERT" and lines[-1]["psi"] > 0.25
+
+
+class TestCompositePlanCache:
+    def test_nested_begin_plan_keeps_pins(self, spark):
+        from imitation_learning_data_pipeline_spark import cache
+
+        cache.begin_plan()
+        with cache.composite():
+            a = cache.pin(spark.range(5))
+            cache.begin_plan()  # a nested builder starting its plan
+            b = cache.pin(spark.range(5, 10))
+            assert a.storageLevel.useMemory and b.storageLevel.useMemory
+        # composite exited: pins still live until the NEXT top-level plan
+        assert a.storageLevel.useMemory and b.storageLevel.useMemory
+        cache.begin_plan()
+        assert not a.storageLevel.useMemory and not b.storageLevel.useMemory
+
+    def test_depth_unwinds_on_exception(self, spark):
+        from imitation_learning_data_pipeline_spark import cache
+
+        try:
+            with cache.composite():
+                cache.pin(spark.range(3))
+                raise RuntimeError("stage blew up")
+        except RuntimeError:
+            pass
+        # top-level begin_plan must evict again (depth unwound)
+        c = cache.pin(spark.range(3))
+        cache.begin_plan()
+        assert not c.storageLevel.useMemory
+
+    def test_funnel_raises_unwind(self, spark):
+        """curation_funnel's own finally must unwind the depth when a
+        stage raises (the blocklist stage without blockwords)."""
+        from imitation_learning_data_pipeline_spark import cache
+        from imitation_learning_data_pipeline_spark.plans.curation import (
+            curation_funnel,
+        )
+
+        docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="blockwords"):
+            curation_funnel(docs, stages=("blocklist",), report=False)
+        d = cache.pin(spark.range(2))
+        cache.begin_plan()
+        assert not d.storageLevel.useMemory
