@@ -90,6 +90,13 @@ CONTRACT_FIRST: list[str] = [
     # Round-11 addition #4: PSI score-drift monitoring between corpus
     # slices — new operators go straight into the contract.
     "monitor_score_drift",
+    # Round-11 addition #5: fuzzy MinHash decontamination (corpus ×
+    # benchmark LSH with a fully-broadcast probe side) — new operators
+    # go straight into the contract; funded by parking
+    # window_first_last (green r5-r10; see CONTRACT_EXCLUDE — its
+    # group-window machinery stays covered by window_lag_monotonic and
+    # window_reindex, which hold contract slots).
+    "decontam_fuzzy_minhash",
     # Round-5 additions/rotations: the SimHash pair stage (new) goes
     # straight into the contract; the four granular window queries get
     # their first-ever direct CORRECTNESS rows (r4 verdict item 3); and
@@ -125,7 +132,10 @@ CONTRACT_FIRST: list[str] = [
     "dedup_ngram_jaccard",
     "window_reindex",
     "window_lag_monotonic",
-    "window_first_last",
+    # (round-11: window_first_last — green r5-r10 — parked behind
+    # window_lag_monotonic + window_reindex, the same W-family
+    # partitionBy/orderBy window machinery with direct rows; funds the
+    # decontam_fuzzy_minhash slot. See CONTRACT_EXCLUDE.)
     "window_rank_ntile",
     "q6_forecast_revenue",
     # Round-4 additions: benchmark decontamination + deterministic
@@ -175,6 +185,15 @@ CONTRACT_FIRST: list[str] = [
 # is a strict sub-shape of a retained query, so driver coverage is kept
 # via the named proxy.
 CONTRACT_EXCLUDE: dict[str, str] = {
+    # round-11 rotation: six rounds green (r5-r10), parked to fund
+    # decontam_fuzzy_minhash's slot. first/last-per-group is the same
+    # W-family partitionBy/orderBy window machinery that
+    # window_lag_monotonic and window_reindex keep under direct
+    # contract rows, and the parked window_group_order_suite unions
+    # exactly the first/last shape — all stay green in --all.
+    "window_first_last": "window_lag_monotonic + window_reindex (same "
+    "grouped-window partitionBy/orderBy machinery with direct rows; "
+    "the parked window_group_order_suite unions the first/last shape)",
     # round-9 rotation: three rounds green (r6-r8), parked to fund
     # rollup_quantile_accuracy's slot.
     "trajectory_windows": "trajectory_features (computes its features "

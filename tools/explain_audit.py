@@ -180,6 +180,14 @@ AUDIT = {
         "want": ["HashAggregate"],
         "forbid": ["CartesianProduct", "SortAggregate", "SortMergeJoin"],
     },
+    # round-11: fuzzy decontam — the benchmark side's band rows AND
+    # hashed shingle sets must BROADCAST (candidate generation and
+    # verification are map-side against the corpus); never a
+    # SortMergeJoin against the probe side, never all-pairs.
+    "decontam_fuzzy_minhash": {
+        "want": ["BroadcastHashJoin"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
 }
 
 
