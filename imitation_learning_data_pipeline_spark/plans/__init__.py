@@ -29,6 +29,7 @@ def _late_imports() -> None:
         multimodal_queries,
         numeric,
         pipeline_queries,
+        privacy,
         profile,
         quality_model,
         relational,
@@ -68,6 +69,7 @@ def _late_imports() -> None:
         stage_chain,
         trajectory,
         profile,
+        privacy,
         rollup,
         graph,
         tokenize,

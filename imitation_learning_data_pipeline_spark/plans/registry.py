@@ -145,7 +145,13 @@ CONTRACT_FIRST: list[str] = [
     # Round-3 additions: new operators built this round go straight into
     # the contract so their first CORRECTNESS row lands immediately.
     "text_repetition_stats",
-    "range_join_prior_views",
+    # (round-11: range_join_prior_views — green r3-r10, eight rounds —
+    # parked behind asof_join_last_click, the same event-interval join
+    # family holding a fresh direct row this round; funds the
+    # privacy_k_anonymity slot. See CONTRACT_EXCLUDE.)
+    # Round-11 addition #6: k-anonymity / l-diversity privacy audit —
+    # new operators go straight into the contract.
+    "privacy_k_anonymity",
     # Round-10 addition: exact frequent-n-gram heavy hitters via
     # per-partition Misra-Gries candidates + exact broadcast verify
     # (the vocabulary never shuffles) — new operators go straight into
@@ -194,6 +200,14 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     "window_first_last": "window_lag_monotonic + window_reindex (same "
     "grouped-window partitionBy/orderBy machinery with direct rows; "
     "the parked window_group_order_suite unions the first/last shape)",
+    # round-11 rotation: eight rounds green (r3-r10), parked to fund
+    # privacy_k_anonymity's slot. Both queries join events to a
+    # per-entity time interval — asof_join_last_click holds a FRESH
+    # direct row this round (rotated back in) and exercises the same
+    # event-interval join discipline; the range-join plan itself stays
+    # green in check_contract --all.
+    "range_join_prior_views": "asof_join_last_click (same event-"
+    "interval join family, fresh direct row this round)",
     # round-9 rotation: three rounds green (r6-r8), parked to fund
     # rollup_quantile_accuracy's slot.
     "trajectory_windows": "trajectory_features (computes its features "

@@ -94,3 +94,86 @@ class TestDecontamFuzzy:
         probe = self._mk(spark, [])
         docs = self._mk(spark, [(100, DOC_A)])
         assert decontam_fuzzy(docs, probe).count() == 0
+
+
+class TestKAnonymity:
+    SCHEMA = "rid long, city string, age_band long, salary long"
+    ROWS = [
+        # class (a, 1): 3 members, 2 distinct salaries → k=3 ok, l=2 ok
+        (1, "a", 1, 100),
+        (2, "a", 1, 100),
+        (3, "a", 1, 200),
+        # class (a, 2): 2 members → k violation; 2 salaries → l ok
+        (4, "a", 2, 100),
+        (5, "a", 2, 300),
+        # class (b, 1): 4 members, 1 salary → l violation only
+        (6, "b", 1, 500),
+        (7, "b", 1, 500),
+        (8, "b", 1, 500),
+        (9, "b", 1, 500),
+        # class (b, 9): singleton → both violations
+        (10, "b", 9, 700),
+    ]
+
+    def test_audit_flags(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.privacy import (
+            k_anonymity_audit,
+        )
+
+        df = spark.createDataFrame(self.ROWS, self.SCHEMA)
+        out = {
+            (r.city, r.age_band): (r.class_size, r.n_sensitive, r.k_violation, r.l_violation)
+            for r in k_anonymity_audit(df, ["city", "age_band"], "salary").collect()
+        }
+        assert out == {
+            ("a", 1): (3, 2, 0, 0),
+            ("a", 2): (2, 2, 1, 0),
+            ("b", 1): (4, 1, 0, 1),
+            ("b", 9): (1, 1, 1, 1),
+        }
+
+    def test_suppression_nulls_only_violating_classes(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.privacy import (
+            suppress_small_classes,
+        )
+
+        df = spark.createDataFrame(self.ROWS, self.SCHEMA)
+        out = {r.rid: r for r in suppress_small_classes(df, ["city", "age_band"]).collect()}
+        assert len(out) == len(self.ROWS)  # row count preserved
+        # violators (classes of size < 3): rids 4,5 and 10 → QI nulled
+        for rid in (4, 5, 10):
+            assert out[rid].city is None and out[rid].age_band is None
+        # non-violators keep QI values, all rows keep non-QI columns
+        for rid, city, band, sal in self.ROWS:
+            assert out[rid].salary == sal
+            if rid not in (4, 5, 10):
+                assert out[rid].city == city and out[rid].age_band == band
+
+    def test_suppressed_release_reaudits_clean(self, spark):
+        """After suppression the merged NULL class has 3 members here,
+        so a k=3 re-audit of the release shows zero k violations."""
+        from imitation_learning_data_pipeline_spark.plans.privacy import (
+            k_anonymity_audit,
+            suppress_small_classes,
+        )
+
+        df = spark.createDataFrame(self.ROWS, self.SCHEMA)
+        rel = suppress_small_classes(df, ["city", "age_band"])
+        audit = k_anonymity_audit(rel, ["city", "age_band"], "salary")
+        assert audit.agg(F.sum("k_violation")).collect()[0][0] == 0
+
+    def test_degenerate_single_violator_stays_small(self, spark):
+        """One singleton violator alone: the merged suppressed class is
+        still size 1 — suppression is not magic, and the re-audit says
+        so (the docstring's caveat)."""
+        from imitation_learning_data_pipeline_spark.plans.privacy import (
+            k_anonymity_audit,
+            suppress_small_classes,
+        )
+
+        rows = [(1, "a", 1, 10), (2, "a", 1, 20), (3, "a", 1, 30), (4, "z", 9, 40)]
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        rel = suppress_small_classes(df, ["city", "age_band"])
+        audit = k_anonymity_audit(rel, ["city", "age_band"], "salary")
+        viol = {(r.city, r.age_band): r.k_violation for r in audit.collect()}
+        assert viol[(None, None)] == 1 and viol[("a", 1)] == 0

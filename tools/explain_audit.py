@@ -188,6 +188,15 @@ AUDIT = {
         "want": ["BroadcastHashJoin"],
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    # round-11: privacy audit — ONE two-phase hash aggregate over the
+    # quasi-identifier key (count-distinct expand); nothing joins,
+    # nothing sorts, the scan reads only the four audit columns.
+    "privacy_k_anonymity": {
+        "max_exchanges": 2,
+        "want": ["HashAggregate"],
+        "forbid": ["CartesianProduct", "SortAggregate", "SortMergeJoin"],
+        "read_cols": 4,
+    },
 }
 
 
