@@ -23,6 +23,7 @@ def _late_imports() -> None:
         dsir,
         embedding_quality,
         graph,
+        hll,
         lm,
         mllib_ops,
         monitor,
@@ -72,6 +73,7 @@ def _late_imports() -> None:
         privacy,
         rollup,
         graph,
+        hll,
         tokenize,
         lm,
         quality_model,

@@ -152,6 +152,12 @@ CONTRACT_FIRST: list[str] = [
     # Round-11 addition #6: k-anonymity / l-diversity privacy audit —
     # new operators go straight into the contract.
     "privacy_k_anonymity",
+    # Round-11 addition #7: mergeable deterministic HLL registers (the
+    # persisted distinct-count state for continuous ingest; exact
+    # merge property pytest-pinned) — new operators go straight into
+    # the contract; funded by parking scalar_json_get (ten rounds
+    # green, no parked dependents; see CONTRACT_EXCLUDE).
+    "sketch_hll_registers",
     # Round-10 addition: exact frequent-n-gram heavy hitters via
     # per-partition Misra-Gries candidates + exact broadcast verify
     # (the vocabulary never shuffles) — new operators go straight into
@@ -208,6 +214,14 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     # green in check_contract --all.
     "range_join_prior_views": "asof_join_last_click (same event-"
     "interval join family, fresh direct row this round)",
+    # round-11 rotation: ten rounds green (r1-r10), no parked
+    # dependents, parked to fund sketch_hll_registers' slot. The F12
+    # get_json_object projection is the same scan-bound scalar-function
+    # family as the retained scalar_parse_format /
+    # scalar_datetime_extract rows; stays green in --all.
+    "scalar_json_get": "scalar_parse_format + scalar_datetime_extract "
+    "(same scan-bound scalar-projection family, F-row siblings with "
+    "direct contract rows)",
     # round-9 rotation: three rounds green (r6-r8), parked to fund
     # rollup_quantile_accuracy's slot.
     "trajectory_windows": "trajectory_features (computes its features "

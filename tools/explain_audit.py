@@ -197,6 +197,16 @@ AUDIT = {
         "forbid": ["CartesianProduct", "SortAggregate", "SortMergeJoin"],
         "read_cols": 4,
     },
+    # round-11: HLL registers — per-row (bucket, rho) projection into a
+    # map-side-combined hash aggregate; the shuffle carries ≤
+    # partitions × 256 rows. Nothing joins, nothing sorts, the scan
+    # reads only `text`.
+    "sketch_hll_registers": {
+        "max_exchanges": 1,
+        "want": ["HashAggregate"],
+        "forbid": ["CartesianProduct", "SortAggregate", "SortMergeJoin"],
+        "read_cols": 1,
+    },
 }
 
 
