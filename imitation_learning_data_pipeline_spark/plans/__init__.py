@@ -20,6 +20,7 @@ def _late_imports() -> None:
     from . import (  # noqa: F401
         curation,
         dedup,
+        doremi,
         dsir,
         embedding_quality,
         graph,
@@ -57,6 +58,7 @@ def _late_imports() -> None:
         temporal,
         numeric,
         dedup,
+        doremi,
         dsir,
         embedding_quality,
         sampling,

@@ -158,6 +158,12 @@ CONTRACT_FIRST: list[str] = [
     # the contract; funded by parking scalar_json_get (ten rounds
     # green, no parked dependents; see CONTRACT_EXCLUDE).
     "sketch_hll_registers",
+    # Round-11 addition #8: DoReMi-style domain mixture weights from
+    # per-domain excess bigram-LM loss (one-shot Group-DRO step,
+    # Xie et al. 2023) — new operators go straight into the contract;
+    # funded by parking scalar_datetime_extract (ten rounds green, no
+    # parked dependents; see CONTRACT_EXCLUDE).
+    "mixture_doremi_weights",
     # Round-10 addition: exact frequent-n-gram heavy hitters via
     # per-partition Misra-Gries candidates + exact broadcast verify
     # (the vocabulary never shuffles) — new operators go straight into
@@ -219,9 +225,15 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     # get_json_object projection is the same scan-bound scalar-function
     # family as the retained scalar_parse_format /
     # scalar_datetime_extract rows; stays green in --all.
-    "scalar_json_get": "scalar_parse_format + scalar_datetime_extract "
-    "(same scan-bound scalar-projection family, F-row siblings with "
-    "direct contract rows)",
+    "scalar_json_get": "scalar_parse_format (same scan-bound scalar-"
+    "projection family, F-row sibling with a direct contract row)",
+    # round-11 rotation: ten rounds green (r1-r10), no parked
+    # dependents, parked to fund mixture_doremi_weights' slot. Same
+    # scan-bound scalar-projection family as the retained
+    # scalar_parse_format row (F1/F2 parse siblings of F10); stays
+    # green in --all.
+    "scalar_datetime_extract": "scalar_parse_format (same scan-bound "
+    "scalar parse/format projection family with a direct contract row)",
     # round-9 rotation: three rounds green (r6-r8), parked to fund
     # rollup_quantile_accuracy's slot.
     "trajectory_windows": "trajectory_features (computes its features "

@@ -254,3 +254,62 @@ class TestHllRegisters:
 
         with pytest.raises(ValueError):
             hll_registers(self._words(spark, ["a"]), p=10)
+
+
+class TestDoremiWeights:
+    def _corpus(self, spark, rows):
+        return spark.createDataFrame(rows, "lang string, text string")
+
+    def test_minority_distinct_domain_gets_excess_and_weight(self, spark):
+        """A small domain with its own vocabulary is underfit by the
+        pooled model (positive excess) and must be upweighted relative
+        to the majority domain that IS the pool."""
+        from imitation_learning_data_pipeline_spark.plans.doremi import (
+            doremi_domain_weights,
+        )
+
+        easy = "the cat sat on the mat and the dog sat on the rug"
+        hard = "quasar neutrino entanglement decoheres across inflaton manifolds"
+        rows = [("easy", easy)] * 20 + [("hard", hard + f" epoch{i}") for i in range(3)]
+        out = {
+            r.domain: r
+            for r in doremi_domain_weights(self._corpus(spark, rows)).collect()
+        }
+        assert out["hard"].excess_micro > out["easy"].excess_micro
+        assert out["hard"].weight > out["easy"].weight
+
+    def test_weights_sum_to_one_with_smoothing_floor(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.doremi import (
+            _SMOOTH,
+            doremi_domain_weights,
+        )
+
+        rows = [
+            ("a", "alpha beta gamma delta epsilon zeta"),
+            ("b", "one two three four five six seven"),
+            ("c", "red green blue cyan magenta yellow"),
+        ]
+        ws = [r.weight for r in doremi_domain_weights(self._corpus(spark, rows)).collect()]
+        assert abs(sum(ws) - 1.0) < 1e-4
+        assert all(w >= _SMOOTH / len(ws) - 1e-9 for w in ws)
+
+    def test_identical_domains_stay_uniform(self, spark):
+        """Domains drawn from the same distribution have ~zero excess,
+        so the one-step update must stay (near-)uniform."""
+        from imitation_learning_data_pipeline_spark.plans.doremi import (
+            doremi_domain_weights,
+        )
+
+        doc = "spark shuffles partitions across the cluster executors evenly"
+        rows = [("a", doc), ("b", doc), ("c", doc)]
+        ws = [r.weight for r in doremi_domain_weights(self._corpus(spark, rows)).collect()]
+        assert max(ws) - min(ws) < 0.02
+
+    def test_schema_feeds_mixture_plan(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.doremi import (
+            doremi_domain_weights,
+        )
+
+        rows = [("a", "x y z"), ("b", "p q r")]
+        df = doremi_domain_weights(self._corpus(spark, rows))
+        assert df.columns == ["domain", "n_bigrams", "excess_micro", "weight"]

@@ -207,6 +207,14 @@ AUDIT = {
         "forbid": ["CartesianProduct", "SortAggregate", "SortMergeJoin"],
         "read_cols": 1,
     },
+    # round-11: DoReMi weights — vocabulary-bounded aggregates; the
+    # k-row totals crossJoin must BROADCAST (the one allowed
+    # nested-loop, 1-row build side) and nothing range-partitions.
+    "mixture_doremi_weights": {
+        "want": ["HashAggregate", "BroadcastNestedLoopJoin"],
+        "forbid": ["CartesianProduct"],
+        "read_cols": 2,
+    },
 }
 
 
