@@ -572,9 +572,32 @@ def cmd_decontam(args: argparse.Namespace) -> int:
     """Benchmark decontamination from the shell: build a persisted
     probe store from an eval suite, then report per-doc shingle overlap
     for any corpus batch against it (plans/dedup.py)."""
-    from .plans.dedup import decontam_overlap_against_store, write_probe_store
+    from .plans.dedup import (
+        decontam_fuzzy,
+        decontam_overlap_against_store,
+        write_probe_store,
+    )
 
     spark = _spark("decontam")
+    if args.fuzzy:
+        # one-shot fuzzy mode: MinHash-LSH Jaccard vs the probe suite
+        # (no store — the probe side broadcasts whole).
+        if not args.probe or not args.input:
+            raise SystemExit("decontam: --fuzzy needs --probe and --input")
+        probe = spark.read.parquet(args.probe).selectExpr(
+            f"{args.id_col} AS doc_id", f"{args.text_col} AS text"
+        )
+        docs = spark.read.parquet(args.input).selectExpr(
+            f"{args.id_col} AS doc_id", f"{args.text_col} AS text"
+        )
+        report = decontam_fuzzy(docs, probe, threshold=args.threshold)
+        if args.out:
+            report.write.mode("overwrite").parquet(args.out)
+            print(json.dumps({"out": args.out, "n_pairs": report.count()}))
+        else:
+            for r in report.collect():
+                print(json.dumps(r.asDict()))
+        return 0
     if args.probe:
         if not args.store:
             raise SystemExit("decontam: --probe needs --store")
@@ -945,6 +968,84 @@ def cmd_psi(args: argparse.Namespace) -> int:
         print(json.dumps(r.asDict()))
     verdict = "stable" if psi < 0.1 else ("moderate" if psi <= 0.25 else "ALERT")
     print(json.dumps({"psi": round(psi, 6), "verdict": verdict}))
+    return 0
+
+
+def cmd_privacy(args: argparse.Namespace) -> int:
+    """k-anonymity / l-diversity audit (plans/privacy.py): report
+    per-equivalence-class sizes and violation counts; --suppress writes
+    a release with quasi-identifiers NULLed for sub-k classes."""
+    from .plans.privacy import k_anonymity_audit, suppress_small_classes
+
+    spark = _spark("privacy")
+    df = spark.read.parquet(args.input)
+    quasi = [c.strip() for c in args.quasi.split(",") if c.strip()]
+    audit = k_anonymity_audit(df, quasi, args.sensitive, k=args.k, l_div=args.l)
+    if args.audit_out:
+        audit.write.mode("overwrite").parquet(args.audit_out)
+    summary = audit.agg(
+        F.count("*").alias("classes"),
+        F.sum("k_violation").alias("k_violations"),
+        F.sum("l_violation").alias("l_violations"),
+        F.sum(F.col("class_size") * F.col("k_violation")).alias("rows_at_risk"),
+    ).collect()[0]
+    if args.suppress:
+        if not args.out:
+            raise SystemExit("privacy: --suppress needs --out")
+        suppress_small_classes(df, quasi, k=args.k).write.mode(
+            "overwrite"
+        ).parquet(args.out)
+    print(json.dumps({"k": args.k, "l": args.l, **summary.asDict(),
+                      **({"out": args.out} if args.suppress else {})}))
+    return 0
+
+
+def cmd_hll(args: argparse.Namespace) -> int:
+    """Mergeable HLL distinct tracker (plans/hll.py): fold a batch's
+    registers into a persisted store and print the running estimate —
+    O(256) per batch, never a corpus rescan."""
+    from .plans.hll import (
+        fold_into_hll_store,
+        hll_estimate,
+        hll_registers,
+        read_hll_store,
+    )
+
+    spark = _spark("hll")
+    if args.input:
+        df = spark.read.parquet(args.input).select(
+            F.col(args.col).alias("item")
+        )
+        if args.explode_words:
+            from .functions.text import clean_words
+
+            df = df.select(F.explode(clean_words("item")).alias("item"))
+        fold_into_hll_store(spark, hll_registers(df, "item"), args.store)
+    est = hll_estimate(read_hll_store(spark, args.store))
+    print(json.dumps({"store": args.store, "distinct_estimate": int(round(est))}))
+    return 0
+
+
+def cmd_doremi(args: argparse.Namespace) -> int:
+    """DoReMi-style domain mixture weights (plans/doremi.py): one-shot
+    excess-loss reweighting; writes/prints (domain, weight) rows that
+    feed `cli curate` / apply_mixture_plan."""
+    from .plans.doremi import doremi_domain_weights
+
+    spark = _spark("doremi")
+    docs = spark.read.parquet(args.input).select(
+        F.col(args.domain_col).alias(args.domain_col),
+        F.col(args.text_col).alias("text"),
+    )
+    out = doremi_domain_weights(
+        docs, domain_col=args.domain_col, eta=args.eta, smoothing=args.smoothing
+    )
+    if args.out:
+        out.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"out": args.out, "domains": out.count()}))
+    else:
+        for r in out.orderBy("domain").collect():
+            print(json.dumps(r.asDict()))
     return 0
 
 
@@ -2184,6 +2285,49 @@ def build_parser() -> argparse.ArgumentParser:
     dft.add_argument("--buckets", type=int, default=10)
     dft.set_defaults(fn=cmd_psi)
 
+    pv = sub.add_parser(
+        "privacy",
+        help="k-anonymity/l-diversity audit over quasi-identifier "
+        "columns; --suppress writes a release with sub-k classes NULLed",
+    )
+    pv.add_argument("--input", required=True)
+    pv.add_argument("--quasi", required=True, help="comma-separated quasi-identifier columns")
+    pv.add_argument("--sensitive", required=True)
+    pv.add_argument("--k", type=int, default=3)
+    pv.add_argument("--l", type=int, default=2)
+    pv.add_argument("--audit-out", default=None, help="write per-class audit parquet")
+    pv.add_argument("--suppress", action="store_true")
+    pv.add_argument("--out", default=None, help="suppressed release path")
+    pv.set_defaults(fn=cmd_privacy)
+
+    hl = sub.add_parser(
+        "hll",
+        help="mergeable HLL distinct tracker: fold a batch into the "
+        "register store and print the running estimate",
+    )
+    hl.add_argument("--input", default=None, help="batch parquet (omit to just read the store)")
+    hl.add_argument("--col", default="doc_id")
+    hl.add_argument(
+        "--explode-words",
+        action="store_true",
+        help="tokenize --col and count distinct WORDS instead of values",
+    )
+    hl.add_argument("--store", required=True)
+    hl.set_defaults(fn=cmd_hll)
+
+    dm = sub.add_parser(
+        "doremi",
+        help="DoReMi-style domain mixture weights from excess "
+        "bigram-LM loss (one-shot Group-DRO step)",
+    )
+    dm.add_argument("--input", required=True)
+    dm.add_argument("--domain-col", default="lang")
+    dm.add_argument("--text-col", default="text")
+    dm.add_argument("--eta", type=float, default=0.5)
+    dm.add_argument("--smoothing", type=float, default=0.2)
+    dm.add_argument("--out", default=None)
+    dm.set_defaults(fn=cmd_doremi)
+
     bp = sub.add_parser(
         "bpe",
         help="train a BPE tokenizer on the corpus (merge table out; "
@@ -2387,6 +2531,13 @@ def build_parser() -> argparse.ArgumentParser:
     dc.add_argument("--text-col", default="text")
     dc.add_argument("--n", type=int, default=5, help="shingle size")
     dc.add_argument("--fpp", type=float, default=0.01)
+    dc.add_argument(
+        "--fuzzy",
+        action="store_true",
+        help="MinHash-LSH Jaccard vs --probe (rephrased/edited copies), "
+        "not exact shingle overlap; needs --probe AND --input",
+    )
+    dc.add_argument("--threshold", type=float, default=0.5)
     dc.set_defaults(fn=cmd_decontam)
 
     hi = sub.add_parser(

@@ -313,3 +313,80 @@ class TestDoremiWeights:
         rows = [("a", "x y z"), ("b", "p q r")]
         df = doremi_domain_weights(self._corpus(spark, rows))
         assert df.columns == ["domain", "n_bigrams", "excess_micro", "weight"]
+
+
+class TestRound11bCli:
+    def test_privacy_verb(self, spark, tmp_path, capsys):
+        import json
+
+        from imitation_learning_data_pipeline_spark.cli import main
+
+        rows = [(i, "a" if i < 9 else "z", 100 + i % 3) for i in range(10)]
+        spark.createDataFrame(rows, "rid long, city string, salary long").write.parquet(
+            str(tmp_path / "in")
+        )
+        rel = str(tmp_path / "release")
+        rc = main(["privacy", "--input", str(tmp_path / "in"), "--quasi", "city",
+                   "--sensitive", "salary", "--suppress", "--out", rel])
+        assert rc == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["classes"] == 2 and rep["k_violations"] == 1
+        out = spark.read.parquet(rel)
+        assert out.filter("city IS NULL").count() == 1  # the z singleton
+
+    def test_hll_verb_folds_and_estimates(self, spark, tmp_path, capsys):
+        import json
+
+        from imitation_learning_data_pipeline_spark.cli import main
+
+        store = str(tmp_path / "hll")
+        for lo, hi, tag in ((0, 300, "b1"), (150, 500, "b2")):
+            spark.createDataFrame(
+                [(f"id{i}",) for i in range(lo, hi)], "doc_id string"
+            ).write.parquet(str(tmp_path / tag))
+            rc = main(["hll", "--input", str(tmp_path / tag), "--col", "doc_id",
+                       "--store", store])
+            assert rc == 0
+        est = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert abs(est["distinct_estimate"] - 500) / 500 < 0.20
+        # store-only read (no --input) reports without refolding
+        rc = main(["hll", "--store", store])
+        assert rc == 0
+
+    def test_doremi_verb(self, spark, tmp_path, capsys):
+        import json
+
+        from imitation_learning_data_pipeline_spark.cli import main
+
+        easy = "the cat sat on the mat and the dog sat on the rug"
+        hard = "quasar neutrino entanglement decoheres across inflaton manifolds"
+        rows = [("easy", easy)] * 12 + [("hard", hard)] * 2
+        spark.createDataFrame(rows, "lang string, text string").write.parquet(
+            str(tmp_path / "docs")
+        )
+        rc = main(["doremi", "--input", str(tmp_path / "docs")])
+        assert rc == 0
+        got = {
+            j["domain"]: j
+            for j in map(json.loads, capsys.readouterr().out.strip().splitlines())
+        }
+        assert got["hard"]["weight"] > got["easy"]["weight"]
+
+    def test_decontam_fuzzy_flag(self, spark, tmp_path, capsys):
+        import json
+
+        from imitation_learning_data_pipeline_spark.cli import main
+
+        base = " ".join(f"w{i} tok{i} itm{i}" for i in range(12))
+        spark.createDataFrame([(1, base)], "doc_id long, text string").write.parquet(
+            str(tmp_path / "probe")
+        )
+        spark.createDataFrame(
+            [(100, base.upper()), (101, "totally unrelated text about nothing")],
+            "doc_id long, text string",
+        ).write.parquet(str(tmp_path / "corpus"))
+        rc = main(["decontam", "--fuzzy", "--probe", str(tmp_path / "probe"),
+                   "--input", str(tmp_path / "corpus")])
+        assert rc == 0
+        rows = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+        assert rows == [{"doc_id": 100, "probe_id": 1, "jaccard": 1.0}]
