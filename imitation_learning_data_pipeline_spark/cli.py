@@ -1767,6 +1767,15 @@ def cmd_curate(args: argparse.Namespace) -> int:
             [w for w in args.blockwords.split(",") if w] if args.blockwords else None
         ),
         quality_model_path=args.quality_model,
+        decontam_probe=(
+            spark.read.parquet(args.decontam_probe).selectExpr(
+                "doc_id", "text"
+            )
+            if args.decontam_probe
+            else None
+        ),
+        decontam_fuzzy_mode=args.decontam_fuzzy,
+        decontam_threshold=args.decontam_threshold,
     )
     if args.out:
         curated.write.mode("overwrite").parquet(args.out)
@@ -2570,8 +2579,8 @@ def build_parser() -> argparse.ArgumentParser:
         "--stages",
         default="gopher,pii,dedup,sample",
         help="comma-separated subset/order of gopher,blocklist,pii,"
-        "rewrite,dedup,neardup,classify,sample (blocklist/rewrite/"
-        "neardup/classify are opt-in)",
+        "rewrite,decontam,dedup,neardup,classify,sample (blocklist/"
+        "rewrite/decontam/neardup/classify are opt-in)",
     )
     cu.add_argument(
         "--blockwords",
@@ -2583,6 +2592,19 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="persisted LR model path for the classify stage",
     )
+    cu.add_argument(
+        "--decontam-probe",
+        default=None,
+        help="benchmark/eval-suite (doc_id, text) parquet for the "
+        "decontam stage",
+    )
+    cu.add_argument(
+        "--decontam-fuzzy",
+        action="store_true",
+        help="decontam stage: MinHash-LSH Jaccard instead of exact "
+        "5-gram overlap",
+    )
+    cu.add_argument("--decontam-threshold", type=float, default=0.5)
     cu.add_argument(
         "--min-stopwords",
         type=int,

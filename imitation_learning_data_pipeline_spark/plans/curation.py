@@ -226,7 +226,8 @@ def corpus_diff_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FUNNEL_STAGES = ("gopher", "pii", "dedup", "sample")
 # every runnable stage ("rewrite" is opt-in, not in the default chain)
 _KNOWN_STAGES = (
-    "gopher", "blocklist", "pii", "rewrite", "dedup", "neardup", "classify", "sample"
+    "gopher", "blocklist", "pii", "rewrite", "decontam", "dedup", "neardup",
+    "classify", "sample",
 )
 
 
@@ -237,6 +238,9 @@ def curation_funnel(
     report: bool = True,
     blockwords: list[str] | None = None,
     quality_model_path: str | None = None,
+    decontam_probe: DataFrame | None = None,
+    decontam_fuzzy_mode: bool = False,
+    decontam_threshold: float = 0.5,
 ) -> tuple[DataFrame, list[dict]]:
     """Chain curation stages over a ``(doc_id, text)`` frame →
     (curated_frame, funnel_report).
@@ -263,6 +267,16 @@ def curation_funnel(
       downstream. In particular ``pii`` after ``rewrite`` cannot
       match emails/IPv4s/phones (``@`` and ``.`` are stripped); that
       ordering raises here rather than silently leaking PII.
+    - ``decontam`` (opt-in): drop documents that leak the benchmark
+      suite ``decontam_probe`` — any exact distinct-5-gram overlap by
+      default (dedup.decontam_overlap: broadcast probe shingle set,
+      map-side corpus join), or ``decontam_fuzzy_mode=True`` for
+      MinHash-LSH Jaccard ≥ ``decontam_threshold``
+      (dedup.decontam_fuzzy — catches rephrased copies). Shingling
+      normalizes via clean_words, so ordering vs ``rewrite`` is a
+      policy choice, not a correctness trap — but place it BEFORE
+      ``rewrite`` if you want contamination judged on the document's
+      FULL original content rather than its span-excised remainder.
     - ``dedup``: exact content dedup, keep the lowest doc_id per
       md5(text) (one hash aggregate — no window).
     - ``neardup`` (opt-in): MinHash-LSH near-dup clustering with
@@ -349,6 +363,25 @@ def curation_funnel(
                     .filter(F.col("kept_text") != "")
                     .select("doc_id", F.col("kept_text").alias("text"))
                 )
+            elif stage == "decontam":
+                if decontam_probe is None:
+                    raise ValueError(
+                        "curation_funnel: the 'decontam' stage needs "
+                        "decontam_probe (the benchmark/eval-suite frame)"
+                    )
+                from .dedup import decontam_fuzzy, decontam_overlap
+
+                # multi-reference stage (the overlap plan and the anti
+                # join-back both read cur): pin the upstream chain once
+                if not report:
+                    cur = cache.pin(cur)
+                if decontam_fuzzy_mode:
+                    hit = decontam_fuzzy(
+                        cur, decontam_probe, threshold=decontam_threshold
+                    ).select("doc_id").distinct()
+                else:
+                    hit = decontam_overlap(cur, decontam_probe).select("doc_id")
+                cur = cur.join(hit, "doc_id", "left_anti")
             elif stage == "dedup":
                 if not report:
                     cur = cache.pin(cur)

@@ -390,3 +390,82 @@ class TestRound11bCli:
         assert rc == 0
         rows = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
         assert rows == [{"doc_id": 100, "probe_id": 1, "jaccard": 1.0}]
+
+
+class TestFunnelDecontamStage:
+    BASE = " ".join(f"w{i} tok{i} itm{i}" for i in range(12))
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, self.BASE),                              # exact leak
+                (2, self.BASE + " tail words appended here"),  # fuzzy leak
+                (3, "a clean document about spark partitions and shuffle planning"),
+            ],
+            "doc_id long, text string",
+        )
+
+    def _probe(self, spark):
+        return spark.createDataFrame([(900, self.BASE)], "doc_id long, text string")
+
+    def test_exact_mode_drops_any_overlap(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.curation import curation_funnel
+
+        cur, report = curation_funnel(
+            self._docs(spark),
+            stages=("decontam",),
+            decontam_probe=self._probe(spark),
+        )
+        # exact 5-gram overlap catches BOTH the copy and the tail-append
+        assert sorted(r.doc_id for r in cur.collect()) == [3]
+        assert report == [{"stage": "decontam", "rows_in": 3, "rows_out": 1}]
+
+    def test_fuzzy_mode_uses_threshold(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.curation import curation_funnel
+
+        cur, _ = curation_funnel(
+            self._docs(spark),
+            stages=("decontam",),
+            decontam_probe=self._probe(spark),
+            decontam_fuzzy_mode=True,
+            decontam_threshold=0.99,  # only the exact copy clears 0.99
+        )
+        assert sorted(r.doc_id for r in cur.collect()) == [2, 3]
+
+    def test_missing_probe_raises(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.curation import curation_funnel
+
+        with pytest.raises(ValueError, match="decontam_probe"):
+            curation_funnel(self._docs(spark), stages=("decontam",))
+
+    def test_composes_lazily_with_chain(self, spark):
+        """decontam inside the one-plan (report=False) chain: the
+        composite pin discipline must keep the stage's double reference
+        of `cur` correct."""
+        from imitation_learning_data_pipeline_spark.plans.curation import curation_funnel
+
+        cur, report = curation_funnel(
+            self._docs(spark),
+            stages=("gopher", "decontam", "dedup"),
+            report=False,
+            decontam_probe=self._probe(spark),
+        )
+        assert report == []
+        ids = sorted(r.doc_id for r in cur.collect())
+        assert 1 not in ids and 2 not in ids
+
+    def test_cli_flag(self, spark, tmp_path, capsys):
+        import json
+
+        from imitation_learning_data_pipeline_spark.cli import main
+
+        self._docs(spark).write.parquet(str(tmp_path / "docs"))
+        self._probe(spark).write.parquet(str(tmp_path / "probe"))
+        rc = main(["curate", "--path", str(tmp_path / "docs"),
+                   "--stages", "decontam",
+                   "--decontam-probe", str(tmp_path / "probe"),
+                   "--out", str(tmp_path / "outp")])
+        assert rc == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["funnel"][0]["rows_out"] == 1
+        assert spark.read.parquet(str(tmp_path / "outp")).count() == 1
