@@ -1049,6 +1049,52 @@ def cmd_doremi(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_ivf(args: argparse.Namespace) -> int:
+    """Persisted IVF ANN index (plans/mllib_ops.py): --build fits the
+    quantizer and writes the cell-partitioned layout, --append assigns
+    a batch to the fixed centroids at O(batch), --query searches the
+    probed cells only (partition-level pruning; --fraction prints the
+    files-read receipt)."""
+    from .plans.mllib_ops import (
+        append_ivf_index,
+        ivf_scan_fraction,
+        search_ivf_index,
+        write_ivf_index,
+    )
+
+    spark = _spark("ivf")
+    if args.build:
+        emb = spark.read.parquet(args.build).selectExpr(
+            f"{args.id_col} AS vec_id", f"{args.vec_col} AS embedding"
+        )
+        print(json.dumps({"path": args.path, **write_ivf_index(emb, args.path, k=args.k)}))
+        return 0
+    if args.append:
+        emb = spark.read.parquet(args.append).selectExpr(
+            f"{args.id_col} AS vec_id", f"{args.vec_col} AS embedding"
+        )
+        print(json.dumps({"path": args.path, **append_ivf_index(emb, args.path)}))
+        return 0
+    if not args.query:
+        raise SystemExit("ivf: need --build, --append, or --query")
+    queries = spark.read.parquet(args.query).selectExpr(
+        f"{args.id_col} AS qid", f"CAST({args.vec_col} AS array<double>) AS v"
+    )
+    if args.fraction:
+        print(json.dumps(ivf_scan_fraction(spark, args.path, queries, args.nprobe)))
+        return 0
+    out = search_ivf_index(
+        spark, args.path, queries, nprobe=args.nprobe, k_neighbors=args.topk
+    )
+    if args.out:
+        out.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"out": args.out, "rows": out.count()}))
+    else:
+        for r in out.orderBy("qid", "rnk").collect():
+            print(json.dumps(r.asDict()))
+    return 0
+
+
 def cmd_bpe(args: argparse.Namespace) -> int:
     """BPE tokenizer training (plans/tokenize.py): learn merges from a
     corpus; optionally write per-document token counts under the
@@ -2336,6 +2382,25 @@ def build_parser() -> argparse.ArgumentParser:
     dm.add_argument("--smoothing", type=float, default=0.2)
     dm.add_argument("--out", default=None)
     dm.set_defaults(fn=cmd_doremi)
+
+    iv = sub.add_parser(
+        "ivf",
+        help="persisted IVF ANN index: build / O(batch) append / "
+        "partition-pruned cosine search",
+    )
+    iv.add_argument("--path", required=True, help="index root")
+    iv.add_argument("--build", default=None, help="embeddings parquet (fit + write)")
+    iv.add_argument("--append", default=None, help="embeddings parquet (incremental)")
+    iv.add_argument("--query", default=None, help="query vectors parquet")
+    iv.add_argument("--id-col", default="vec_id")
+    iv.add_argument("--vec-col", default="embedding")
+    iv.add_argument("--k", type=int, default=16, help="quantizer cells (build)")
+    iv.add_argument("--nprobe", type=int, default=2)
+    iv.add_argument("--topk", type=int, default=5)
+    iv.add_argument("--fraction", action="store_true",
+                    help="print the files-read/files-total pruning receipt")
+    iv.add_argument("--out", default=None)
+    iv.set_defaults(fn=cmd_ivf)
 
     bp = sub.add_parser(
         "bpe",

@@ -427,6 +427,166 @@ def mllib_pca_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 2023): cluster the corpus with k-means, find near-duplicate pairs only
 # WITHIN each cluster (the clustering bounds the quadratic term), group
 # them into components, and keep exactly one representative per group —
+# --- persisted IVF index: centroid store + cell-partitioned layout ----------
+#
+# write_lsh_index (plans/similarity.py) persists the HASH-bucketed ANN
+# index; this is its learned-quantizer dual — the other standard ANN
+# store. The index is (a) a k-row centroid table and (b) the vectors
+# written hive-partitioned BY CELL, so a search's probe list prunes at
+# the PARTITION level: a 1000-executor scan touches ~nprobe/k of the
+# files, asserted by ivf_scan_fraction / pytest via inputFiles. Appends
+# assign new vectors to the FIXED fitted centroids map-side (broadcast
+# k-row table + min_by over the k distances — no shuffle, no model
+# object needed at ingest time) and land as new files under the same
+# cell partitions; periodic refit = rebuild, the standard IVF
+# maintenance trade (a drifting corpus degrades recall, not
+# correctness, since search is exact within probed cells).
+
+
+def write_ivf_index(
+    emb: DataFrame, path: str, k: int = 16, seed: int = 42
+) -> dict:
+    """Fit the quantizer and persist the index: ``path/centroids``
+    (k rows) + ``path/vectors`` partitioned by ``cell_id``.
+    ``emb`` is any ``(vec_id long, embedding array<float/double>)``."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vecs = emb.select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+    km = KMeans(k=k, seed=seed, maxIter=10, featuresCol="features",
+                predictionCol="cell_id")
+    model = km.fit(vecs)
+    spark = emb.sparkSession
+    centers = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        ["cell_id", "center"],
+    )
+    centers.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    assigned = model.transform(vecs).select(
+        "vec_id", "cell_id", vector_to_array("features").alias("v")
+    )
+    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(
+        f"{path}/vectors"
+    )
+    return {"cells": k, "vectors": assigned.count()}
+
+
+def _nearest_cells(
+    vecs: DataFrame, centers: DataFrame, n: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, cell_id) of the ``n`` nearest centroids per vector — k-row
+    broadcast crossJoin + rank; JVM array expressions only."""
+    from pyspark.sql.window import Window
+
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("center"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("d2").asc(), F.col("cell_id").asc())
+    ranked = (
+        vecs.crossJoin(F.broadcast(centers))
+        .select(id_col, "v", "cell_id", d2.alias("d2"))
+        .withColumn("pr", F.row_number().over(w))
+        .filter(F.col("pr") <= n)
+    )
+    return ranked.select(id_col, "v", "cell_id")
+
+
+def append_ivf_index(emb: DataFrame, path: str) -> dict:
+    """Incremental index maintenance: assign a batch to the FIXED
+    centroids (broadcast, map-side — the per-vector window here spans
+    k rows per vector inside one batch partition) and append under the
+    cell partitions. O(batch) — the stored corpus is never rescanned."""
+    spark = emb.sparkSession
+    centers = spark.read.parquet(f"{path}/centroids")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    assigned = _nearest_cells(vecs, centers, 1)
+    assigned.select("vec_id", "v", "cell_id").write.mode("append").partitionBy(
+        "cell_id"
+    ).parquet(f"{path}/vectors")
+    return {"appended": assigned.count()}
+
+
+def _probe_vectors(
+    spark: SparkSession, path: str, queries: DataFrame, nprobe: int
+):
+    """(probe frame, pruned corpus reader) for a search: the probe-cell
+    list is collected (n_queries × nprobe ints — metadata), and the
+    reader is built from the EXPLICIT cell partition directories (with
+    basePath so cell_id survives) — the scan never even LISTS the
+    un-probed partitions, which is the whole economics of the layout.
+    Cells the quantizer left empty have no directory and are skipped
+    via O(nprobe) FS existence checks."""
+    from ..pipeline.compact import _fs
+
+    centers = spark.read.parquet(f"{path}/centroids")
+    probe = _nearest_cells(
+        queries.select(F.col("qid").alias("vec_id"), "v"), centers, nprobe
+    ).select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"), "cell_id")
+    cells = sorted({r["cell_id"] for r in probe.select("cell_id").distinct().collect()})
+    vec_root = f"{path.rstrip('/')}/vectors"
+    fs, _ = _fs(spark, vec_root)
+    jpath = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    dirs = [
+        f"{vec_root}/cell_id={c}"
+        for c in cells
+        if fs.exists(jpath(f"{vec_root}/cell_id={c}"))
+    ]
+    if not dirs:
+        return probe, spark.read.parquet(vec_root).limit(0)
+    pruned = spark.read.option("basePath", vec_root).parquet(*dirs)
+    return probe, pruned
+
+
+def search_ivf_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    nprobe: int = 2,
+    k_neighbors: int = 5,
+) -> DataFrame:
+    """Top-``k_neighbors`` cosine neighbors per query over the probed
+    cells of a persisted index. ``queries`` is ``(qid long,
+    v array<double>)``. Exact within probed cells; recall follows
+    nprobe/k exactly as the in-memory ivf_topk path (whose pytest pins
+    full-probe == brute force)."""
+    from pyspark.sql.window import Window
+
+    from ..functions.vector import dot, l2_norm
+
+    probe, corpus = _probe_vectors(spark, path, queries, nprobe)
+    cand = corpus.join(F.broadcast(probe), "cell_id").filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    cos = dot(F.col("qv"), F.col("v")) / (l2_norm(F.col("qv")) * l2_norm(F.col("v")))
+    scored = cand.select("qid", "vec_id", F.round(cos, 6).alias("cos"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k_neighbors)
+        .select("qid", "rnk", "vec_id", F.round("cos", 4).alias("cos_sim"))
+    )
+
+
+def ivf_scan_fraction(
+    spark: SparkSession, path: str, queries: DataFrame, nprobe: int
+) -> dict:
+    """Observability: how much of the index a search would read —
+    (files_read, files_total). The partition-pruning receipt."""
+    _, pruned = _probe_vectors(spark, path, queries, nprobe)
+    total = spark.read.parquet(f"{path}/vectors")
+    return {
+        "files_read": len(pruned.inputFiles()),
+        "files_total": len(total.inputFiles()),
+    }
+
+
 # the paper keeps the member with the LOWEST cosine similarity to its
 # cluster centroid (prototypical examples are the redundant ones;
 # boundary examples carry the information).

@@ -469,3 +469,133 @@ class TestFunnelDecontamStage:
         rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert rep["funnel"][0]["rows_out"] == 1
         assert spark.read.parquet(str(tmp_path / "outp")).count() == 1
+
+
+class TestIvfIndexStore:
+    def _emb(self, spark, n=60, dim=8, off=0):
+        import math
+
+        rows = []
+        for i in range(n):
+            # three well-separated blobs so cells are meaningful
+            blob = i % 3
+            base = [10.0 * blob + math.sin(i + d) for d in range(dim)]
+            rows.append((off + i, [float(x) for x in base]))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def _brute_topk(self, emb_rows, q_rows, k):
+        import numpy as np
+
+        out = {}
+        for qid, qv in q_rows:
+            q = np.array(qv)
+            scored = []
+            for vid, v in emb_rows:
+                if vid == qid:
+                    continue
+                vv = np.array(v)
+                c = float(q @ vv / (np.linalg.norm(q) * np.linalg.norm(vv)))
+                scored.append((round(c, 6), -vid, vid))
+            scored.sort(reverse=True)
+            out[qid] = [vid for _, _, vid in scored[:k]]
+        return out
+
+    def test_full_probe_equals_brute_force(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.plans.mllib_ops import (
+            search_ivf_index,
+            write_ivf_index,
+        )
+
+        emb = self._emb(spark)
+        path = str(tmp_path / "ivf")
+        stats = write_ivf_index(emb, path, k=4)
+        assert stats == {"cells": 4, "vectors": 60}
+        qrows = [(r.vec_id, r.embedding) for r in emb.filter("vec_id < 3").collect()]
+        queries = spark.createDataFrame(qrows, "qid long, v array<double>")
+        got = search_ivf_index(spark, path, queries, nprobe=4, k_neighbors=5)
+        got_map = {}
+        for r in got.orderBy("qid", "rnk").collect():
+            got_map.setdefault(r.qid, []).append(r.vec_id)
+        brute = self._brute_topk(
+            [(r.vec_id, r.embedding) for r in emb.collect()], qrows, 5
+        )
+        assert got_map == brute
+
+    def test_partition_pruning_reads_fraction(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.plans.mllib_ops import (
+            ivf_scan_fraction,
+            write_ivf_index,
+        )
+
+        emb = self._emb(spark)
+        path = str(tmp_path / "ivf")
+        write_ivf_index(emb, path, k=6)
+        queries = spark.createDataFrame(
+            [(0, emb.filter("vec_id = 0").collect()[0].embedding)],
+            "qid long, v array<double>",
+        )
+        frac = ivf_scan_fraction(spark, path, queries, nprobe=1)
+        assert 0 < frac["files_read"] < frac["files_total"]
+
+    def test_append_is_searchable_and_incremental(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.plans.mllib_ops import (
+            append_ivf_index,
+            search_ivf_index,
+            write_ivf_index,
+        )
+
+        emb = self._emb(spark)
+        path = str(tmp_path / "ivf")
+        write_ivf_index(emb, path, k=4)
+        # append a batch of near-duplicates of vec 0
+        batch = spark.createDataFrame(
+            [(1000, [v + 0.001 for v in emb.filter("vec_id = 0").collect()[0].embedding])],
+            "vec_id long, embedding array<double>",
+        )
+        assert append_ivf_index(batch, path) == {"appended": 1}
+        queries = spark.createDataFrame(
+            [(0, emb.filter("vec_id = 0").collect()[0].embedding)],
+            "qid long, v array<double>",
+        )
+        top = search_ivf_index(spark, path, queries, nprobe=1, k_neighbors=1).collect()
+        assert top[0].vec_id == 1000 and top[0].cos_sim >= 0.9999
+
+
+class TestIvfCli:
+    def test_build_append_query_fraction(self, spark, tmp_path, capsys):
+        import json
+
+        from imitation_learning_data_pipeline_spark.cli import main
+
+        # distinct directions per vector (0.07·i skew) so cosine has a
+        # unique argmax; the appended batch vector is an exact SCALED
+        # copy of the query (cos = 1.0, strictly above every corpus vec)
+        emb = spark.createDataFrame(
+            [
+                (i, [10.0 * (i % 3) + d + 0.07 * i * d for d in range(4)])
+                for i in range(30)
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        emb.write.parquet(str(tmp_path / "emb"))
+        idx = str(tmp_path / "idx")
+        assert main(["ivf", "--path", idx, "--build", str(tmp_path / "emb"),
+                     "--k", "3"]) == 0
+        spark.createDataFrame(
+            [(100, [2.0 * (10.0 * 2 + d) for d in range(4)])],
+            "vec_id long, embedding array<double>",
+        ).write.parquet(str(tmp_path / "batch"))
+        assert main(["ivf", "--path", idx, "--append", str(tmp_path / "batch")]) == 0
+        spark.createDataFrame(
+            [(2, [10.0 * 2 + d for d in range(4)])],
+            "vec_id long, embedding array<double>",
+        ).write.parquet(str(tmp_path / "q"))
+        assert main(["ivf", "--path", idx, "--query", str(tmp_path / "q"),
+                     "--nprobe", "1", "--topk", "1"]) == 0
+        assert main(["ivf", "--path", idx, "--query", str(tmp_path / "q"),
+                     "--nprobe", "1", "--fraction"]) == 0
+        lines = capsys.readouterr().out.strip().splitlines()
+        top = json.loads(lines[-2])
+        frac = json.loads(lines[-1])
+        assert top["vec_id"] == 100  # the appended near-twin wins
+        assert 0 < frac["files_read"] < frac["files_total"]
