@@ -1488,6 +1488,31 @@ def cmd_shards(args: argparse.Namespace) -> int:
             )
         )
         return 0
+    if args.format == "tfrecord":
+        from .pipeline.tfrecord import export_tfrecord
+
+        feats = [c for c in (args.feature_cols or "").split(",") if c] or None
+        report = export_tfrecord(
+            df,
+            args.out,
+            n_shards=args.n_shards,
+            id_col=args.id_col,
+            feature_cols=feats,
+            shard_seed=args.seed,
+            order_seed=args.seed + ":order",
+        )
+        print(
+            json.dumps(
+                {
+                    "out": args.out,
+                    "format": "tfrecord",
+                    "n_shards": args.n_shards,
+                    "rows": sum(r["n_records"] for r in report),
+                    "bytes": sum(r["bytes"] for r in report),
+                }
+            )
+        )
+        return 0
     export_shards(
         df,
         args.out,
@@ -2058,15 +2083,21 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sh.add_argument(
         "--format",
-        choices=["parquet", "webdataset"],
+        choices=["parquet", "webdataset", "tfrecord"],
         default="parquet",
-        help="parquet shard=N dirs (default) or WebDataset tar shards",
+        help="parquet shard=N dirs (default), WebDataset tar shards, or "
+        "TFRecord tf.train.Example shards",
     )
     sh.add_argument("--text-col", default="text", help="webdataset: text member column")
     sh.add_argument(
         "--meta-cols",
         default=None,
         help="webdataset: comma-separated columns for the {key}.json member",
+    )
+    sh.add_argument(
+        "--feature-cols",
+        default=None,
+        help="tfrecord: comma-separated feature columns (default: all)",
     )
     sh.set_defaults(fn=cmd_shards)
 

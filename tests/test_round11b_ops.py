@@ -599,3 +599,101 @@ class TestIvfCli:
         frac = json.loads(lines[-1])
         assert top["vec_id"] == 100  # the appended near-twin wins
         assert 0 < frac["files_read"] < frac["files_total"]
+
+
+class TestTfrecordSink:
+    def test_crc32c_check_vector(self):
+        from imitation_learning_data_pipeline_spark.pipeline.tfrecord import crc32c
+
+        assert crc32c(b"123456789") == 0xE3069283
+        assert crc32c(b"") == 0
+
+    def test_example_roundtrip_all_types(self):
+        from imitation_learning_data_pipeline_spark.pipeline.tfrecord import (
+            decode_example,
+            encode_example,
+        )
+
+        feats = {
+            "doc_id": 42,
+            "neg": -7,
+            "text": "héllo world",
+            "blob": b"\x00\x01\xff",
+            "score": 0.5,
+            "vec": [1.5, -2.25, 0.0],
+            "ids": [1, 2, 3],
+            "skipme": None,
+        }
+        got = decode_example(encode_example(feats))
+        assert got["doc_id"] == [42]
+        assert got["neg"] == [-7]
+        assert got["text"] == ["héllo world".encode("utf-8")]
+        assert got["blob"] == [b"\x00\x01\xff"]
+        assert got["score"] == [0.5]
+        assert got["vec"] == [1.5, -2.25, 0.0]
+        assert got["ids"] == [1, 2, 3]
+        assert "skipme" not in got
+
+    def test_export_deterministic_and_readable(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.tfrecord import (
+            decode_example,
+            export_tfrecord,
+            read_records,
+        )
+
+        df = spark.createDataFrame(
+            [(i, f"doc number {i}", float(i) / 4) for i in range(40)],
+            "doc_id long, text string, score double",
+        )
+        a, b = str(tmp_path / "a"), str(tmp_path / "b")
+        rep = export_tfrecord(df, a, n_shards=4)
+        export_tfrecord(df, b, n_shards=4)
+        assert sum(r["n_records"] for r in rep) == 40
+        import os
+
+        files_a = sorted(os.listdir(a))
+        assert files_a == sorted(os.listdir(b))
+        seen = set()
+        for f in files_a:
+            ra = open(os.path.join(a, f), "rb").read()
+            rb = open(os.path.join(b, f), "rb").read()
+            assert ra == rb  # byte-identical re-export
+            for rec in read_records(os.path.join(a, f)):
+                ex = decode_example(rec)
+                (i,) = ex["doc_id"]
+                seen.add(i)
+                assert ex["text"] == [f"doc number {i}".encode()]
+        assert seen == set(range(40))
+
+    def test_reader_detects_corruption(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.tfrecord import (
+            export_tfrecord,
+            read_records,
+        )
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        out = str(tmp_path / "t")
+        export_tfrecord(df, out, n_shards=1)
+        import os
+
+        f = os.path.join(out, sorted(os.listdir(out))[0])
+        blob = bytearray(open(f, "rb").read())
+        blob[-5] ^= 0xFF  # flip a data byte
+        open(f, "wb").write(bytes(blob))
+        with pytest.raises(ValueError, match="crc"):
+            list(read_records(f))
+
+    def test_cli_format_flag(self, spark, tmp_path, capsys):
+        import json
+
+        from imitation_learning_data_pipeline_spark.cli import main
+
+        spark.createDataFrame(
+            [(i, f"t{i}") for i in range(10)], "doc_id long, text string"
+        ).write.parquet(str(tmp_path / "in"))
+        rc = main(["shards", "--input", str(tmp_path / "in"),
+                   "--out", str(tmp_path / "tfr"), "--n-shards", "2",
+                   "--format", "tfrecord"])
+        assert rc == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["format"] == "tfrecord" and rep["rows"] == 10
