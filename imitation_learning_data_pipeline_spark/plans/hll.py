@@ -91,6 +91,51 @@ def hll_registers(items: DataFrame, col: str = "item", p: int = _P) -> DataFrame
     )
 
 
+def hll_registers_by_group(
+    items: DataFrame, group_col: str, col: str = "item", p: int = _P
+) -> DataFrame:
+    """Per-group register tables ``(group, bucket, rho_max)`` — one HLL
+    per group key in a SINGLE aggregate (state ≤ groups × 2^p rows):
+    per-language distinct-vocabulary tracking, per-source distinct-URL
+    counts, etc. Merging grouped stores is groupBy(group, bucket).max,
+    same exactness as the ungrouped merge."""
+    if p % 4 != 0:
+        raise ValueError(f"p must be a multiple of 4 (whole hex nibbles), got {p}")
+    n_bucket_nibbles = p // 4
+    h = F.md5(F.col(col).cast("string"))
+    bucket = F.conv(F.substring(h, 1, n_bucket_nibbles), 16, 10).cast("long")
+    rho = _rho_from_hex(F.substring(h, n_bucket_nibbles + 1, 13))
+    return (
+        items.select(
+            F.col(group_col).alias("group"),
+            bucket.alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("group", "bucket")
+        .agg(F.max("rho").alias("rho_max"))
+    )
+
+
+def hll_estimate_by_group(registers: DataFrame, p: int = _P) -> DataFrame:
+    """(group, n_est) from grouped registers, computed DISTRIBUTED (one
+    aggregate over the register table — no driver loop), with the same
+    small-range linear-counting correction as :func:`hll_estimate`."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = registers.groupBy("group").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho_max"))).alias("harm_filled"),
+        F.count("*").alias("filled"),
+    )
+    zeros = F.lit(m) - F.col("filled")
+    harm = F.col("harm_filled") + zeros.cast("double")  # empty buckets: 2^0
+    raw = F.lit(alpha * m * m) / harm
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+    return agg.select(
+        "group",
+        F.when((raw <= 2.5 * m) & (zeros > 0), linear).otherwise(raw).alias("n_est"),
+    )
+
+
 def merge_hll_registers(*stores: DataFrame) -> DataFrame:
     """Union any number of register tables into one — per-bucket max.
     EXACTLY equals computing registers over the concatenated inputs."""

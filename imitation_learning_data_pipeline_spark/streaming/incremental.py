@@ -1115,3 +1115,60 @@ def run_incremental_novelty_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def run_incremental_hll_stream(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    col: str = "doc_id",
+    explode_words: bool = False,
+) -> None:
+    """Continuous distinct tracking: each micro-batch's HLL registers
+    land under ``store_path/ingest_batch=b``; the folded registers
+    (groupBy bucket, max) are EXACTLY the registers of everything
+    ingested (plans/hll.py's merge property), read back with
+    :func:`read_hll_register_store`.
+
+    Exactly-once the easy way: a replayed micro-batch overwrites its
+    own partition (checkpointed offsets + dynamic partition overwrite),
+    and register max is idempotent besides — double-folding a batch
+    cannot move the state. Per-trigger cost: O(batch) hashing + a
+    ≤256-row write; the store grows 2^p rows per batch and compacts to
+    2^p rows whenever convenient (fold partitions, rewrite)."""
+    from ..plans.hll import hll_registers
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        items = batch_df.select(F.col(col).cast("string").alias("item"))
+        if explode_words:
+            from ..functions.text import clean_words
+
+            items = items.select(F.explode(clean_words("item")).alias("item"))
+        (
+            hll_registers(items, "item")
+            .withColumn("ingest_batch", F.lit(int(batch_id)))
+            .write.partitionBy("ingest_batch")
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(store_path)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_hll_register_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """Fold the per-batch register partitions into the global register
+    table (bucket, rho_max) — feed to plans/hll.py::hll_estimate."""
+    return (
+        spark.read.parquet(store_path)
+        .groupBy("bucket")
+        .agg(F.max("rho_max").alias("rho_max"))
+    )

@@ -697,3 +697,77 @@ class TestTfrecordSink:
         assert rc == 0
         rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert rep["format"] == "tfrecord" and rep["rows"] == 10
+
+
+class TestHllGroupedAndStreaming:
+    def test_grouped_registers_match_per_group_singles(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.hll import (
+            hll_registers,
+            hll_registers_by_group,
+        )
+
+        rows = [("en", f"e{i}") for i in range(200)] + [
+            ("de", f"d{i}") for i in range(80)
+        ]
+        df = spark.createDataFrame(rows, "lang string, item string")
+        grouped = {
+            (r.group, r.bucket): r.rho_max
+            for r in hll_registers_by_group(df, "lang").collect()
+        }
+        for lang in ("en", "de"):
+            single = {
+                (lang, r.bucket): r.rho_max
+                for r in hll_registers(
+                    df.filter(F.col("lang") == lang).select("item")
+                ).collect()
+            }
+            assert {k: v for k, v in grouped.items() if k[0] == lang} == single
+
+    def test_grouped_estimate_within_bound(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.hll import (
+            hll_estimate_by_group,
+            hll_registers_by_group,
+        )
+
+        rows = [("a", f"x{i}") for i in range(3000)] + [
+            ("b", f"y{i}") for i in range(100)
+        ]
+        df = spark.createDataFrame(rows, "g string, item string")
+        est = {
+            r.group: r.n_est
+            for r in hll_estimate_by_group(
+                hll_registers_by_group(df, "g")
+            ).collect()
+        }
+        assert abs(est["a"] - 3000) / 3000 < 0.20
+        assert abs(est["b"] - 100) / 100 < 0.20
+
+    def test_streaming_fold_equals_whole(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.plans.hll import hll_registers
+        from imitation_learning_data_pipeline_spark.streaming.incremental import (
+            read_hll_register_store,
+            run_incremental_hll_stream,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"tok{i % 333}") for i in range(900)], "doc_id long, word string"
+        )
+        src = str(tmp_path / "src")
+        docs.repartition(3).write.parquet(src)
+        stream = spark.readStream.schema("doc_id long, word string").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        store, ck = str(tmp_path / "hll"), str(tmp_path / "ck")
+        run_incremental_hll_stream(stream, store, ck, col="word")
+        folded = set(
+            map(tuple, read_hll_register_store(spark, store).collect())
+        )
+        whole = set(
+            map(
+                tuple,
+                hll_registers(
+                    docs.select(F.col("word").cast("string").alias("item"))
+                ).collect(),
+            )
+        )
+        assert folded == whole
