@@ -656,6 +656,12 @@ def cmd_card(args: argparse.Namespace) -> int:
         columns=args.columns.split(",") if args.columns else None,
         source_col=args.source_col,
         snapshot_tag=args.snapshot_tag,
+        privacy_quasi=(
+            [c for c in args.privacy_quasi.split(",") if c]
+            if args.privacy_quasi
+            else None
+        ),
+        privacy_sensitive=args.privacy_sensitive,
     )
     if args.out:
         card = write_data_card(spark, args.path, args.out, **kwargs)
@@ -2661,6 +2667,13 @@ def build_parser() -> argparse.ArgumentParser:
     cd.add_argument("--source-col", default=None, help="add a per-source mixture table")
     cd.add_argument("--snapshot-tag", default=None, help="record which pin this card describes")
     cd.add_argument("--out", default=None, help="also write the card JSON to this path")
+    cd.add_argument(
+        "--privacy-quasi",
+        default=None,
+        help="comma-separated quasi-identifier columns: adds the "
+        "k-anonymity/l-diversity privacy section",
+    )
+    cd.add_argument("--privacy-sensitive", default=None)
     cd.set_defaults(fn=cmd_card)
 
     cu = sub.add_parser(

@@ -32,10 +32,17 @@ def data_card(
     source_col: str | None = None,
     snapshot_tag: str | None = None,
     max_history: int = 20,
+    privacy_quasi: list[str] | None = None,
+    privacy_sensitive: str | None = None,
+    privacy_k: int = 3,
+    privacy_l: int = 2,
 ) -> dict:
     """Assemble the card. ``columns`` limits the profile (default: all
     atomic columns); ``source_col`` adds the per-source mixture table;
-    ``snapshot_tag`` records which pin this card describes."""
+    ``snapshot_tag`` records which pin this card describes;
+    ``privacy_quasi`` + ``privacy_sensitive`` add the k-anonymity /
+    l-diversity summary (the Datasheets-for-Datasets privacy section,
+    computed by plans/privacy.py's one-aggregate audit)."""
     from ..plans.profile import profile_frame
     from .history import history
     from .snapshot import list_snapshots
@@ -102,6 +109,28 @@ def data_card(
             }
             for r in mix
         ]
+
+    if privacy_quasi:
+        if privacy_sensitive is None:
+            raise ValueError("data_card: privacy_quasi needs privacy_sensitive")
+        from ..plans.privacy import k_anonymity_audit
+
+        aud = k_anonymity_audit(
+            df, privacy_quasi, privacy_sensitive, k=privacy_k, l_div=privacy_l
+        ).agg(
+            F.count("*").alias("classes"),
+            F.sum("k_violation").alias("k_violations"),
+            F.sum("l_violation").alias("l_violations"),
+            F.sum(F.col("class_size") * F.col("k_violation")).alias("rows_at_risk"),
+        ).collect()[0]
+        card["privacy"] = {
+            "quasi_identifiers": list(privacy_quasi),
+            "sensitive": privacy_sensitive,
+            "k": privacy_k,
+            "l": privacy_l,
+            **{k: int(aud[k] or 0) for k in
+               ("classes", "k_violations", "l_violations", "rows_at_risk")},
+        }
 
     snaps = list_snapshots(spark, path)
     if snaps:

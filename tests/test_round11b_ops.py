@@ -771,3 +771,36 @@ class TestHllGroupedAndStreaming:
             )
         )
         assert folded == whole
+
+
+class TestCardPrivacySection:
+    def test_card_includes_privacy_summary(self, spark, tmp_path, capsys):
+        import json
+
+        from imitation_learning_data_pipeline_spark.cli import main
+
+        rows = [(i, "a" if i < 9 else "z", 100 + i % 3) for i in range(10)]
+        spark.createDataFrame(rows, "rid long, city string, salary long").write.parquet(
+            str(tmp_path / "t")
+        )
+        rc = main(["card", "--path", str(tmp_path / "t"),
+                   "--privacy-quasi", "city", "--privacy-sensitive", "salary"])
+        assert rc == 0
+        card = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert card["privacy"] == {
+            "quasi_identifiers": ["city"],
+            "sensitive": "salary",
+            "k": 3,
+            "l": 2,
+            "classes": 2,
+            "k_violations": 1,
+            "l_violations": 1,  # the singleton has 1 distinct salary
+            "rows_at_risk": 1,
+        }
+
+    def test_quasi_without_sensitive_raises(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.card import data_card
+
+        spark.range(3).write.parquet(str(tmp_path / "t2"))
+        with pytest.raises(ValueError, match="privacy_sensitive"):
+            data_card(spark, str(tmp_path / "t2"), privacy_quasi=["id"])
