@@ -126,10 +126,14 @@ CONTRACT_FIRST: list[str] = [
     # funded by parking trajectory_windows (three rounds green) behind
     # trajectory_features, which drives the same window extraction.
     "rollup_quantile_accuracy",
-    # Round-7 rotation (proxy-drift check, ADVICE r4 cadence): parked in
-    # r6 after four green rounds, rotated BACK for a fresh direct row;
-    # funded by parking pipeline_dedup_end_to_end (see CONTRACT_EXCLUDE).
-    "dedup_ngram_jaccard",
+    # (round-11: dedup_ngram_jaccard — green r1-r5 + r7-r10, nine rounds
+    # — parked behind dedup_embedding_cosine_lsh (the same banded
+    # `_bucket_pairs` machinery with a direct row) and
+    # decontam_fuzzy_minhash (the exact-Jaccard verification family);
+    # funds the text_zipf_ttr slot. See CONTRACT_EXCLUDE.)
+    # Round-11 addition #9: corpus-health Zipf/TTR statistics — new
+    # operators go straight into the contract.
+    "text_zipf_ttr",
     "window_reindex",
     "window_lag_monotonic",
     # (round-11: window_first_last — green r5-r10 — parked behind
@@ -234,6 +238,15 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     # green in --all.
     "scalar_datetime_extract": "scalar_parse_format (same scan-bound "
     "scalar parse/format projection family with a direct contract row)",
+    # round-11 rotation: nine rounds green (r1-r5, r7-r10), no parked
+    # dependents, parked to fund text_zipf_ttr's slot. Its banded
+    # `_bucket_pairs` candidate machinery stays under a direct row via
+    # dedup_embedding_cosine_lsh (same helper), and its exact-Jaccard
+    # verification family via decontam_fuzzy_minhash; stays green in
+    # --all.
+    "dedup_ngram_jaccard": "dedup_embedding_cosine_lsh (same "
+    "_bucket_pairs banded candidate machinery, direct row) + "
+    "decontam_fuzzy_minhash (same exact-Jaccard verification family)",
     # round-9 rotation: three rounds green (r6-r8), parked to fund
     # rollup_quantile_accuracy's slot.
     "trajectory_windows": "trajectory_features (computes its features "

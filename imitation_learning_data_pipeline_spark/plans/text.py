@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import cache
 from ..functions.rounding import quantize
 from ..functions.text import (
     LANG_MARKERS,
@@ -1218,3 +1219,128 @@ def text_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     real deployment swaps in a published bad-words list) — per-doc hit
     counts and the keep verdict, both hash-checked."""
     return blocklist_filter(_docs(spark, sf_dir), _BLOCK_SAMPLE)
+
+
+# --- corpus-health statistics: type-token ratio + Zipf fit -------------------
+
+_ZIPF_TOPK = 1000  # fit over the head of the rank-frequency curve
+
+
+@register(
+    "text_zipf_ttr",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest({_W_SQL}) AS word FROM documents
+),
+freq AS (SELECT word, count(*) AS c FROM toks GROUP BY word),
+tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types
+  FROM freq
+),
+ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, word) AS r FROM freq
+),
+pts AS (
+  SELECT CAST(round(ln(r) * 10000) AS BIGINT) AS x4,
+         CAST(round(ln(c) * 10000) AS BIGINT) AS y4
+  FROM ranked WHERE r <= {_ZIPF_TOPK}
+),
+sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x4) AS BIGINT) AS sx, CAST(sum(y4) AS BIGINT) AS sy,
+         CAST(sum(x4 * y4) AS BIGINT) AS sxy,
+         CAST(sum(x4 * x4) AS BIGINT) AS sxx,
+         CAST(sum(y4 * y4) AS BIGINT) AS syy
+  FROM pts
+)
+SELECT t.n_tokens, t.n_types,
+       CAST(round(CAST(t.n_types AS DOUBLE) / t.n_tokens * 1000000) AS BIGINT)
+         / 1000000.0 AS ttr,
+       CAST(round(
+         CAST(s.n * s.sxy - s.sx * s.sy AS DOUBLE)
+         / CAST(s.n * s.sxx - s.sx * s.sx AS DOUBLE) * 1000) AS BIGINT)
+         / 1000.0 AS zipf_slope,
+       CAST(round(
+         CASE WHEN s.n * s.syy - s.sy * s.sy = 0 THEN 0.0
+              ELSE (CAST(s.n * s.sxy - s.sx * s.sy AS DOUBLE)
+                    * CAST(s.n * s.sxy - s.sx * s.sy AS DOUBLE))
+                   / (CAST(s.n * s.sxx - s.sx * s.sx AS DOUBLE)
+                      * CAST(s.n * s.syy - s.sy * s.sy AS DOUBLE)) END
+         * 1000) AS BIGINT) / 1000.0 AS zipf_r2
+FROM tot t, sums s
+""",
+)
+def text_zipf_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health statistics in one row: type-token ratio and the
+    Zipf rank-frequency power-law fit (slope ≈ −1 for natural language;
+    a far-off slope or low R² flags boilerplate floods, dedup failures,
+    or synthetic/templated text — the vocabulary-distribution dashboard
+    number next to PSI's score-distribution one).
+
+    Scale shape: ONE corpus token aggregate (vocabulary-bounded,
+    map-side combined); the fit uses only the top-{_ZIPF_TOPK} ranks
+    via orderBy+limit (TakeOrderedAndProject — the text_topk_ngrams
+    idiom, never a vocabulary-wide sort; the post-limit rank window
+    spans ≤1000 rows).
+
+    Cross-engine determinism: ln(rank)/ln(freq) are quantized to 1e-4
+    INTEGERS first, so every product and sum in the least-squares
+    normal equations is exact integer arithmetic on both engines — the
+    only floats are the two final divisions of exact operands, then a
+    1e-3 quantize. Magnitudes: x4 ≤ ln(1000)·10⁴ ≈ 6.9·10⁴, so
+    n·Σx4² ≤ 10³·10³·4.8·10⁹ < 2⁶³ — no overflow (the 1e-6 scaling
+    the repo uses elsewhere WOULD overflow the n·Σ(x6·y6) term).
+    """
+    cache.begin_plan()
+    docs = _docs(spark, sf_dir)
+    freq = (
+        docs.select(F.explode(clean_words("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+    )
+    freq = cache.pin(freq)
+    tot = freq.agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+    )
+    top = freq.orderBy(F.col("c").desc(), "word").limit(_ZIPF_TOPK)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("c").desc(), "word")
+    pts = top.select(
+        F.round(F.log(F.row_number().over(w).cast("double")) * 1e4)
+        .cast("long")
+        .alias("x4"),
+        F.round(F.log(F.col("c").cast("double")) * 1e4).cast("long").alias("y4"),
+    )
+    sums = pts.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x4").alias("sx"),
+        F.sum("y4").alias("sy"),
+        F.sum(F.col("x4") * F.col("y4")).alias("sxy"),
+        F.sum(F.col("x4") * F.col("x4")).alias("sxx"),
+        F.sum(F.col("y4") * F.col("y4")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    den_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return (
+        tot.crossJoin(F.broadcast(sums))
+        .select(
+            "n_tokens",
+            "n_types",
+            quantize(F.col("n_types").cast("double") / F.col("n_tokens"), 6).alias(
+                "ttr"
+            ),
+            quantize(num / den_x, 3).alias("zipf_slope"),
+            # a corpus where every word has the SAME frequency has zero
+            # y-variance: r^2 is 0/0 there — define it as 0 (no fit)
+            quantize(
+                F.when(den_y == 0, F.lit(0.0)).otherwise(
+                    (num * num) / (den_x * den_y)
+                ),
+                3,
+            ).alias("zipf_r2"),
+        )
+    )

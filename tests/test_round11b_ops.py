@@ -804,3 +804,42 @@ class TestCardPrivacySection:
         spark.range(3).write.parquet(str(tmp_path / "t2"))
         with pytest.raises(ValueError, match="privacy_sensitive"):
             data_card(spark, str(tmp_path / "t2"), privacy_quasi=["id"])
+
+
+class TestZipfTtr:
+    def _run(self, spark, sf_dir="/root/testdata/sf0.001"):
+        from imitation_learning_data_pipeline_spark.plans.text import text_zipf_ttr
+
+        return text_zipf_ttr(spark, sf_dir).collect()[0]
+
+    def test_planted_zipf_slope_near_minus_one(self, spark, tmp_path, monkeypatch):
+        """A corpus whose word frequencies follow rank^-1 exactly must
+        fit slope ≈ -1 with r² ≈ 1."""
+        import math
+
+        from imitation_learning_data_pipeline_spark.plans import text as text_mod
+
+        rows, did = [], 0
+        # word w_r appears floor(1000 / r) times, r = 1..50
+        for r in range(1, 51):
+            for _ in range(1000 // r):
+                rows.append((did, f"w{r:03d}"))
+                did += 1
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        monkeypatch.setattr(text_mod, "_docs", lambda s, d: docs)
+        got = self._run(spark)
+        assert abs(got.zipf_slope + 1.0) < 0.05
+        assert got.zipf_r2 > 0.99
+        assert got.n_types == 50
+        assert abs(got.ttr - 50 / got.n_tokens) < 1e-6
+
+    def test_uniform_corpus_defines_r2_zero(self, spark, monkeypatch):
+        """Every word equally frequent: zero y-variance, r² defined 0."""
+        from imitation_learning_data_pipeline_spark.plans import text as text_mod
+
+        rows = [(i, f"u{i % 20}") for i in range(200)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        monkeypatch.setattr(text_mod, "_docs", lambda s, d: docs)
+        got = self._run(spark)
+        assert got.zipf_r2 == 0.0 and got.zipf_slope == 0.0
+        assert got.n_types == 20 and got.n_tokens == 200

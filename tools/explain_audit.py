@@ -215,6 +215,13 @@ AUDIT = {
         "forbid": ["CartesianProduct"],
         "read_cols": 2,
     },
+    # round-11: Zipf/TTR — one vocabulary aggregate; the fit points come
+    # from TakeOrderedAndProject (top-1000), never a vocabulary-wide
+    # range partitioning; the 1-row sums crossJoin broadcasts.
+    "text_zipf_ttr": {
+        "want": ["HashAggregate", "TakeOrderedAndProject"],
+        "forbid": ["CartesianProduct", "rangepartitioning(c"],
+    },
 }
 
 
