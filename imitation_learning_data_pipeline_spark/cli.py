@@ -1090,7 +1090,8 @@ def cmd_ivf(args: argparse.Namespace) -> int:
         print(json.dumps(ivf_scan_fraction(spark, args.path, queries, args.nprobe)))
         return 0
     out = search_ivf_index(
-        spark, args.path, queries, nprobe=args.nprobe, k_neighbors=args.topk
+        spark, args.path, queries, nprobe=args.nprobe, k_neighbors=args.topk,
+        exclude_self=args.exclude_self,
     )
     if args.out:
         out.write.mode("overwrite").parquet(args.out)
@@ -2436,6 +2437,12 @@ def build_parser() -> argparse.ArgumentParser:
     iv.add_argument("--topk", type=int, default=5)
     iv.add_argument("--fraction", action="store_true",
                     help="print the files-read/files-total pruning receipt")
+    iv.add_argument(
+        "--exclude-self",
+        action="store_true",
+        help="drop stored vectors with vec_id == qid — ONLY when the "
+        "queries are corpus members sharing the index id space",
+    )
     iv.add_argument("--out", default=None)
     iv.set_defaults(fn=cmd_ivf)
 

@@ -153,14 +153,20 @@ def read_records(path: str):
                 return
             if len(header) != 8:
                 raise ValueError("tfrecord: truncated length header")
-            (expect,) = struct.unpack("<I", fh.read(4))
+            crc = fh.read(4)
+            if len(crc) != 4:
+                raise ValueError("tfrecord: truncated length crc")
+            (expect,) = struct.unpack("<I", crc)
             if _masked_crc(header) != expect:
                 raise ValueError("tfrecord: length crc mismatch")
             (n,) = struct.unpack("<Q", header)
             data = fh.read(n)
             if len(data) != n:
                 raise ValueError("tfrecord: truncated record")
-            (expect,) = struct.unpack("<I", fh.read(4))
+            crc = fh.read(4)
+            if len(crc) != 4:
+                raise ValueError("tfrecord: truncated data crc")
+            (expect,) = struct.unpack("<I", crc)
             if _masked_crc(data) != expect:
                 raise ValueError("tfrecord: data crc mismatch")
             yield data
@@ -275,6 +281,13 @@ def export_tfrecord(
 
         for row in rows:
             shard = row["__shard"]
+            if shard is None:
+                # a NULL id hashes to a NULL shard, which would also
+                # collide with the cur=None first-iteration sentinel —
+                # fail loudly instead of AttributeError'ing in the task
+                raise ValueError(
+                    f"export_tfrecord: NULL {icol!r} — ids must be non-null"
+                )
             if shard != cur:
                 done = _close()
                 if done:

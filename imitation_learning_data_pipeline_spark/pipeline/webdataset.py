@@ -100,6 +100,10 @@ def export_webdataset(
 
         for row in rows:
             shard = row["__shard"]
+            if shard is None:
+                raise ValueError(
+                    f"export_webdataset: NULL {icol!r} — ids must be non-null"
+                )
             if shard != cur_shard:
                 done = _close()
                 if done:

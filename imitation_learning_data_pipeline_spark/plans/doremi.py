@@ -21,11 +21,15 @@ measures how much the pooled model underfits domain d — the
 hard-but-learnable headroom signal.
 
 Scale shape — everything is vocabulary-bounded, the corpus is scanned
-ONCE: the per-(domain, gram) count table is the single corpus
-aggregate; the pooled model's tables DERIVE from it by a second tiny
-aggregate (sum over domains); and the domain NLL sums need NO
+TWICE (the gram pass and the word-vocabulary pass — a single-word doc
+has vocabulary but no bigram, so words can't derive from the gram
+table): the per-(domain, gram) count table is the main corpus
+aggregate and the pooled model's tables DERIVE from it by a second
+tiny aggregate (sum over domains); the domain NLL sums need NO
 doc-level scoring join at all, because Σ_instances nll(gram) =
-Σ_grams count·nll(gram) — a weighted sum over the count table itself.
+Σ_grams count·nll(gram) — a weighted sum over the count table itself;
+and the (domain, word) distinct table is pinned so both vocabulary
+aggregates read it once.
 The final softmax runs over k domain rows.
 
 Cross-engine determinism: per-gram nll is integer-quantized at 1e-6
@@ -85,13 +89,21 @@ def doremi_domain_weights(
     # pooled (reference) model derives from the domain table.
     big_g = big_d.groupBy("gram").agg(F.sum("c_ab_d").alias("c_ab_g"))
     ctx_g = big_d.groupBy("lft").agg(F.sum("c_ab_d").alias("c_a_g"))
-    # vocabulary sizes: per-domain and pooled distinct unigrams.
-    words = docs.select(
-        F.col(domain_col).alias("domain"),
-        F.explode(clean_words(F.col(text_col))).alias("w"),
+    # vocabulary sizes: per-domain and pooled, BOTH from one pinned
+    # (domain, word) distinct table — without the pin the eager v_g
+    # collect and the lazy vocab_d branch would each re-tokenize the
+    # corpus (a full extra scan apiece at the scale this module
+    # advertises). Total corpus scans: 2 (grams + words) — the word
+    # pass cannot derive from the bigram table because single-word
+    # documents contribute vocabulary but no bigram.
+    dwords = cache.pin(
+        docs.select(
+            F.col(domain_col).alias("domain"),
+            F.explode(clean_words(F.col(text_col))).alias("w"),
+        ).distinct()
     )
-    vocab_d = words.groupBy("domain").agg(F.countDistinct("w").alias("v_d"))
-    v_g = int(words.agg(F.countDistinct("w")).collect()[0][0])
+    vocab_d = dwords.groupBy("domain").agg(F.count("*").alias("v_d"))
+    v_g = int(dwords.select("w").distinct().count())
 
     def _nll6(c_num, c_den, v):
         p = (c_num + F.lit(alpha)) / (c_den + F.lit(alpha) * v.cast("double"))
@@ -151,11 +163,9 @@ def doremi_domain_weights(
     )
 
 
-_W = "list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), x -> x <> '')"
-_G2 = (
-    f"list_filter(list_transform(range(1, greatest(len({_W}) - 0, 1)), "
-    f"i -> array_to_string(({_W})[i:i+1], ' ')), x -> x <> '')"
-)
+# ONE oracle tokenizer definition per family: reuse plans/lm.py's
+# clean_words/2-gram mirrors instead of a fresh copy (drift risk).
+from .lm import _G2, _W  # noqa: E402
 
 
 @register(

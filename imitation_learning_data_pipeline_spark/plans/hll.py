@@ -74,18 +74,28 @@ def _rho_from_hex(vhex: Column) -> Column:
     )
 
 
-def hll_registers(items: DataFrame, col: str = "item", p: int = _P) -> DataFrame:
-    """(bucket, rho_max) register table for the distinct values of
-    ``col`` — the mergeable HLL state. ``p`` must be a multiple of 4
-    (whole hex nibbles; 8 → 256 registers)."""
+def _bucket_rho(col: str, p: int) -> tuple[Column, Column]:
+    """Shared (bucket, rho) projection for the grouped and ungrouped
+    register builders. ``p`` must be a multiple of 4 (whole hex
+    nibbles; 8 → 256 registers)."""
     if p % 4 != 0:
         raise ValueError(f"p must be a multiple of 4 (whole hex nibbles), got {p}")
     n_bucket_nibbles = p // 4
     h = F.md5(F.col(col).cast("string"))
     bucket = F.conv(F.substring(h, 1, n_bucket_nibbles), 16, 10).cast("long")
     rho = _rho_from_hex(F.substring(h, n_bucket_nibbles + 1, 13))
+    return bucket, rho
+
+
+def hll_registers(items: DataFrame, col: str = "item", p: int = _P) -> DataFrame:
+    """(bucket, rho_max) register table for the distinct values of
+    ``col`` — the mergeable HLL state. NULL items are ignored (the
+    approx_count_distinct convention; a NULL would otherwise poison the
+    register store and crash the estimator)."""
+    bucket, rho = _bucket_rho(col, p)
     return (
-        items.select(bucket.alias("bucket"), rho.alias("rho"))
+        items.filter(F.col(col).isNotNull())
+        .select(bucket.alias("bucket"), rho.alias("rho"))
         .groupBy("bucket")
         .agg(F.max("rho").alias("rho_max"))
     )
@@ -99,14 +109,10 @@ def hll_registers_by_group(
     per-language distinct-vocabulary tracking, per-source distinct-URL
     counts, etc. Merging grouped stores is groupBy(group, bucket).max,
     same exactness as the ungrouped merge."""
-    if p % 4 != 0:
-        raise ValueError(f"p must be a multiple of 4 (whole hex nibbles), got {p}")
-    n_bucket_nibbles = p // 4
-    h = F.md5(F.col(col).cast("string"))
-    bucket = F.conv(F.substring(h, 1, n_bucket_nibbles), 16, 10).cast("long")
-    rho = _rho_from_hex(F.substring(h, n_bucket_nibbles + 1, 13))
+    bucket, rho = _bucket_rho(col, p)
     return (
-        items.select(
+        items.filter(F.col(col).isNotNull())
+        .select(
             F.col(group_col).alias("group"),
             bucket.alias("bucket"),
             rho.alias("rho"),
@@ -210,11 +216,12 @@ def hll_union_datasketches(frames: list[DataFrame], col: str) -> DataFrame:
     )
 
 
-_TOKS_SQL = """
-  SELECT unnest(list_filter(string_split(trim(regexp_replace(regexp_replace(
-           lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '),
-         x -> x <> '')) AS word
-  FROM documents
+# ONE tokenizer definition: derive from dedup._W_SQL (see its
+# one-definition rationale) instead of a third hand-rolled copy.
+from .dedup import _W_SQL as _DEDUP_W_SQL  # noqa: E402
+
+_TOKS_SQL = f"""
+  SELECT unnest({_DEDUP_W_SQL}) AS word FROM documents
 """
 
 

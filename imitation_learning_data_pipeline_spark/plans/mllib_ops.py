@@ -467,11 +467,15 @@ def write_ivf_index(
     centers.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     assigned = model.transform(vecs).select(
         "vec_id", "cell_id", vector_to_array("features").alias("v")
-    )
-    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(
-        f"{path}/vectors"
-    )
-    return {"cells": k, "vectors": assigned.count()}
+    ).persist()
+    try:
+        assigned.write.mode("overwrite").partitionBy("cell_id").parquet(
+            f"{path}/vectors"
+        )
+        n = assigned.count()  # served from the persisted assignment
+    finally:
+        assigned.unpersist()
+    return {"cells": k, "vectors": n}
 
 
 def _nearest_cells(
@@ -506,11 +510,15 @@ def append_ivf_index(emb: DataFrame, path: str) -> dict:
     vecs = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    assigned = _nearest_cells(vecs, centers, 1)
-    assigned.select("vec_id", "v", "cell_id").write.mode("append").partitionBy(
-        "cell_id"
-    ).parquet(f"{path}/vectors")
-    return {"appended": assigned.count()}
+    assigned = _nearest_cells(vecs, centers, 1).persist()
+    try:
+        assigned.select("vec_id", "v", "cell_id").write.mode("append").partitionBy(
+            "cell_id"
+        ).parquet(f"{path}/vectors")
+        n = assigned.count()  # served from the persisted assignment
+    finally:
+        assigned.unpersist()
+    return {"appended": n}
 
 
 def _probe_vectors(
@@ -550,20 +558,25 @@ def search_ivf_index(
     queries: DataFrame,
     nprobe: int = 2,
     k_neighbors: int = 5,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Top-``k_neighbors`` cosine neighbors per query over the probed
     cells of a persisted index. ``queries`` is ``(qid long,
     v array<double>)``. Exact within probed cells; recall follows
     nprobe/k exactly as the in-memory ivf_topk path (whose pytest pins
-    full-probe == brute force)."""
+    full-probe == brute force). ``exclude_self=True`` drops stored
+    vectors whose vec_id equals the query's qid — ONLY correct when the
+    queries are corpus members sharing the index's id space (the
+    ivf_topk shape); external query frames must keep the default, else
+    an id collision silently suppresses a true neighbor."""
     from pyspark.sql.window import Window
 
     from ..functions.vector import dot, l2_norm
 
     probe, corpus = _probe_vectors(spark, path, queries, nprobe)
-    cand = corpus.join(F.broadcast(probe), "cell_id").filter(
-        F.col("vec_id") != F.col("qid")
-    )
+    cand = corpus.join(F.broadcast(probe), "cell_id")
+    if exclude_self:
+        cand = cand.filter(F.col("vec_id") != F.col("qid"))
     cos = dot(F.col("qv"), F.col("v")) / (l2_norm(F.col("qv")) * l2_norm(F.col("v")))
     scored = cand.select("qid", "vec_id", F.round(cos, 6).alias("cos"))
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "vec_id")

@@ -91,9 +91,22 @@ def suppress_small_classes(
         df.groupBy(*quasi_cols)
         .agg(F.count("*").alias("__n"))
         .filter(F.col("__n") < k)
-        .select(*quasi_cols, F.lit(1).alias("__viol"))
+        .select(
+            *[F.col(c).alias(f"__v_{c}") for c in quasi_cols],
+            F.lit(1).alias("__viol"),
+        )
     )
-    joined = df.join(F.broadcast(violators), quasi_cols, "left")
+    # eqNullSafe keys: groupBy treats NULL as a class value, so the
+    # join-back must too — a plain equi-join would never match a
+    # violating class containing a NULL quasi-identifier, silently
+    # leaking its OTHER (re-identifying) quasi values in the release.
+    cond = None
+    for c in quasi_cols:
+        term = F.col(c).eqNullSafe(F.col(f"__v_{c}"))
+        cond = term if cond is None else (cond & term)
+    joined = df.join(F.broadcast(violators), cond, "left").drop(
+        *[f"__v_{c}" for c in quasi_cols]
+    )
     keep_cols = [
         (
             F.when(F.col("__viol").isNull(), F.col(c)).alias(c)

@@ -512,7 +512,8 @@ class TestIvfIndexStore:
         assert stats == {"cells": 4, "vectors": 60}
         qrows = [(r.vec_id, r.embedding) for r in emb.filter("vec_id < 3").collect()]
         queries = spark.createDataFrame(qrows, "qid long, v array<double>")
-        got = search_ivf_index(spark, path, queries, nprobe=4, k_neighbors=5)
+        got = search_ivf_index(spark, path, queries, nprobe=4, k_neighbors=5,
+                                exclude_self=True)
         got_map = {}
         for r in got.orderBy("qid", "rnk").collect():
             got_map.setdefault(r.qid, []).append(r.vec_id)
@@ -557,7 +558,9 @@ class TestIvfIndexStore:
             [(0, emb.filter("vec_id = 0").collect()[0].embedding)],
             "qid long, v array<double>",
         )
-        top = search_ivf_index(spark, path, queries, nprobe=1, k_neighbors=1).collect()
+        top = search_ivf_index(
+            spark, path, queries, nprobe=1, k_neighbors=1, exclude_self=True
+        ).collect()
         assert top[0].vec_id == 1000 and top[0].cos_sim >= 0.9999
 
 
@@ -843,3 +846,102 @@ class TestZipfTtr:
         got = self._run(spark)
         assert got.zipf_r2 == 0.0 and got.zipf_slope == 0.0
         assert got.n_types == 20 and got.n_tokens == 200
+
+
+class TestReviewFixes:
+    """Regression pins for the round-11 self-review findings."""
+
+    def test_hll_ignores_null_items(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.plans.hll import (
+            fold_into_hll_store,
+            hll_estimate,
+            hll_registers,
+            hll_registers_by_group,
+            read_hll_store,
+        )
+
+        withnull = spark.createDataFrame(
+            [("a",), ("b",), (None,)], "item string"
+        )
+        clean = withnull.filter("item IS NOT NULL")
+        assert set(map(tuple, hll_registers(withnull).collect())) == set(
+            map(tuple, hll_registers(clean).collect())
+        )
+        # the store path must stay estimable after a null-bearing fold
+        path = str(tmp_path / "h")
+        fold_into_hll_store(spark, hll_registers(withnull), path)
+        assert hll_estimate(read_hll_store(spark, path)) > 0
+        g = spark.createDataFrame(
+            [("en", "a"), ("en", None)], "lang string, item string"
+        )
+        assert hll_registers_by_group(g, "lang").count() == 1
+
+    def test_suppression_covers_null_quasi_classes(self, spark):
+        """A violating class whose quasi-identifier value IS NULL must
+        still be suppressed — the other quasi columns re-identify."""
+        from imitation_learning_data_pipeline_spark.plans.privacy import (
+            suppress_small_classes,
+        )
+
+        rows = [
+            (1, None, 7, 10),
+            (2, None, 7, 20),  # class (NULL, 7): size 2 < k=3
+            (3, "a", 1, 30),
+            (4, "a", 1, 40),
+            (5, "a", 1, 50),
+        ]
+        df = spark.createDataFrame(rows, "rid long, city string, age_band long, salary long")
+        out = {r.rid: r for r in suppress_small_classes(df, ["city", "age_band"]).collect()}
+        assert out[1].age_band is None and out[2].age_band is None
+        assert out[3].city == "a" and out[3].age_band == 1
+
+    def test_ivf_external_query_keeps_id_collisions(self, spark, tmp_path):
+        """An external query whose qid collides with a stored vec_id
+        must still retrieve that vector (default exclude_self=False)."""
+        import math
+
+        from imitation_learning_data_pipeline_spark.plans.mllib_ops import (
+            search_ivf_index,
+            write_ivf_index,
+        )
+
+        emb = spark.createDataFrame(
+            [(i, [10.0 * (i % 3) + d + 0.07 * i * d for d in range(4)])
+             for i in range(30)],
+            "vec_id long, embedding array<double>",
+        )
+        path = str(tmp_path / "ivf")
+        write_ivf_index(emb, path, k=3)
+        v7 = emb.filter("vec_id = 7").collect()[0].embedding
+        # external query happens to carry qid=7; its true NN is stored 7
+        queries = spark.createDataFrame([(7, v7)], "qid long, v array<double>")
+        top = search_ivf_index(spark, path, queries, nprobe=3, k_neighbors=1).collect()
+        assert top[0].vec_id == 7 and top[0].cos_sim == 1.0
+
+    def test_tfrecord_truncated_crc_raises_valueerror(self, spark, tmp_path):
+        import os
+
+        from imitation_learning_data_pipeline_spark.pipeline.tfrecord import (
+            export_tfrecord,
+            read_records,
+        )
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        out = str(tmp_path / "t")
+        export_tfrecord(df, out, n_shards=1)
+        f = os.path.join(out, sorted(os.listdir(out))[0])
+        blob = open(f, "rb").read()
+        open(f, "wb").write(blob[:10])  # cut inside the length crc
+        with pytest.raises(ValueError, match="truncated"):
+            list(read_records(f))
+
+    def test_tfrecord_null_id_fails_loudly(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.tfrecord import (
+            export_tfrecord,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "x"), (None, "y")], "doc_id long, text string"
+        )
+        with pytest.raises(Exception, match="non-null"):
+            export_tfrecord(df, str(tmp_path / "t"), n_shards=1)
