@@ -947,7 +947,12 @@ def cmd_psi(args: argparse.Namespace) -> int:
     deterministic text-proxy score) and print per-bucket contributions
     + the PSI. Complements the column-profile `drift` verb: `drift`
     gates SCHEMA/statistics shape, `psi` gates a score DISTRIBUTION."""
-    from .plans.monitor import score_drift_psi
+    from .plans.monitor import (
+        psi_against_baseline,
+        read_drift_baseline,
+        score_drift_psi,
+        write_drift_baseline,
+    )
 
     spark = _spark("psi")
 
@@ -966,9 +971,23 @@ def cmd_psi(args: argparse.Namespace) -> int:
             f"'{args.text_col}' columns"
         )
 
-    out = score_drift_psi(
-        load(args.input), load(args.against), n_buckets=args.buckets
-    ).collect()
+    if args.baseline_out:
+        # build mode: persist the reference population once
+        write_drift_baseline(
+            load(args.input), args.baseline_out, n_buckets=args.buckets
+        )
+        print(json.dumps({"baseline": args.baseline_out, "buckets": args.buckets}))
+        return 0
+    if args.baseline:
+        out = psi_against_baseline(
+            load(args.input), read_drift_baseline(spark, args.baseline)
+        ).collect()
+    else:
+        if not args.against:
+            raise SystemExit("psi: need --against, --baseline, or --baseline-out")
+        out = score_drift_psi(
+            load(args.input), load(args.against), n_buckets=args.buckets
+        ).collect()
     psi = sum(r.psi_int for r in out) / 1e6
     for r in out:
         print(json.dumps(r.asDict()))
@@ -2371,8 +2390,24 @@ def build_parser() -> argparse.ArgumentParser:
         help="PSI score-drift monitor: reference slice vs current slice "
         "on a score column (or the deterministic text-proxy score)",
     )
-    dft.add_argument("--input", required=True, help="REFERENCE parquet")
-    dft.add_argument("--against", required=True, help="CURRENT parquet")
+    dft.add_argument(
+        "--input",
+        required=True,
+        help="REFERENCE parquet (--against / --baseline-out modes) or "
+        "the CURRENT batch (--baseline mode)",
+    )
+    dft.add_argument("--against", default=None, help="CURRENT parquet")
+    dft.add_argument(
+        "--baseline-out",
+        default=None,
+        help="persist --input's bucket counts as the drift baseline "
+        "(compute the reference once; audit later batches at O(batch))",
+    )
+    dft.add_argument(
+        "--baseline",
+        default=None,
+        help="audit --input against this persisted baseline store",
+    )
     dft.add_argument("--score-col", default="score")
     dft.add_argument("--text-col", default="text")
     dft.add_argument("--buckets", type=int, default=10)

@@ -147,3 +147,87 @@ def monitor_score_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.filter(F.col("source") == "src0"),
         scored.filter(F.col("source") != "src0"),
     )
+
+
+# --- persisted drift baseline: monitor production batches at O(batch) --------
+
+
+def drift_bucket_counts(
+    df: DataFrame, score_col: str = "score", n_buckets: int = _DRIFT_BUCKETS
+) -> DataFrame:
+    """Full-spine (bucket, n) counts of a scored frame — the persistable
+    PSI population state (B integer rows; NULL scores excluded, same
+    contract as score_drift_psi)."""
+    spark = df.sparkSession
+    b = F.greatest(
+        F.lit(0),
+        F.least(
+            F.floor(F.col(score_col) * n_buckets).cast("int"),
+            F.lit(n_buckets - 1),
+        ),
+    )
+    counts = (
+        df.filter(F.col(score_col).isNotNull())
+        .select(b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    spine = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+    return spine.join(counts, "bucket", "left").select(
+        "bucket", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+    )
+
+
+def write_drift_baseline(
+    ref: DataFrame,
+    path: str,
+    score_col: str = "score",
+    n_buckets: int = _DRIFT_BUCKETS,
+) -> None:
+    """Persist the reference population's bucket counts — computed ONCE
+    over the (possibly huge) reference slice; every later batch audit
+    is O(batch) against these B rows. Counts are additive, so folding a
+    grown reference is a union + sum, never a rescan."""
+    drift_bucket_counts(ref, score_col, n_buckets).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def read_drift_baseline(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def psi_against_baseline(
+    cur: DataFrame,
+    baseline: DataFrame,
+    score_col: str = "score",
+) -> DataFrame:
+    """score_drift_psi where the reference side is a PERSISTED baseline
+    (read_drift_baseline) instead of a frame to re-bucket: identical
+    output schema (bucket, n_ref, n_cur, psi_int), the batch is the
+    only population scanned. n_buckets is the baseline's row count (the
+    spine is stored whole)."""
+    n_buckets = baseline.count()
+    ref_counts = baseline.select("bucket", F.col("n").alias("n_ref"))
+    cur_counts = drift_bucket_counts(cur, score_col, n_buckets).select(
+        "bucket", F.col("n").alias("n_cur")
+    )
+    joined = ref_counts.join(cur_counts, "bucket")
+    totals = joined.agg(
+        F.sum("n_ref").alias("N_ref"), F.sum("n_cur").alias("N_cur")
+    )
+    j, t = joined.alias("j"), totals.alias("t")
+    bl = F.lit(n_buckets)
+    p = (F.col("j.n_ref") + 1).cast("double") / (F.col("t.N_ref") + bl).cast("double")
+    q = (F.col("j.n_cur") + 1).cast("double") / (F.col("t.N_cur") + bl).cast("double")
+    psi = (p - q) * F.log(p / q)
+    return (
+        j.crossJoin(F.broadcast(t))
+        .select(
+            F.col("j.bucket").alias("bucket"),
+            F.col("j.n_ref").alias("n_ref"),
+            F.col("j.n_cur").alias("n_cur"),
+            F.round(psi * _PSI_SCALE).cast("long").alias("psi_int"),
+        )
+        .orderBy("bucket")
+    )

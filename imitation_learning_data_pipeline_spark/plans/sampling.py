@@ -1075,3 +1075,47 @@ def mixture_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(clean_words("text")).cast("long")).alias("n_tokens")
     )
     return unimax_allocation(counts, group_col="lang", epochs=1, budget_frac=(9, 10))
+
+
+def split_leakage_audit(
+    docs: DataFrame, splits: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """MEASURE what :func:`leakage_safe_splits` promises by
+    construction: per ordered split pair, the number of near-duplicate
+    document pairs (minhash-LSH Jaccard ≥ ``threshold``) that CROSS the
+    split boundary → ``(split_a, split_b, n_cross_pairs)``, plus a
+    ("__total__", "__total__", n) row so an empty-cross audit still
+    proves the pair search ran. A leakage-safe assignment audits to
+    zero cross rows; a naive per-doc hash split does not (pytest pins
+    both directions).
+
+    Run this against ANY split assignment (splits = (doc_id, split))
+    before training — it is the release gate for "the test set does
+    not paraphrase the training set".
+
+    Scale shape: the pair frame is the already-banded minhash search
+    (never all-pairs); the split table joins onto it by doc_id twice —
+    pairs are sparse (near-dups only), so both joins are
+    pair-frame-sized, and the audit aggregate is ≤ 9+1 rows.
+    """
+    from .dedup import minhash_pairs
+
+    pairs = minhash_pairs(docs, threshold=threshold).select("doc_a", "doc_b")
+    sa = splits.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    tagged = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    cross = (
+        tagged.filter(F.col("split_a") != F.col("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(F.count("*").alias("n_cross_pairs"))
+    )
+    total = tagged.agg(F.count("*").alias("n_cross_pairs")).select(
+        F.lit("__total__").alias("split_a"),
+        F.lit("__total__").alias("split_b"),
+        "n_cross_pairs",
+    )
+    return cross.unionByName(total)

@@ -945,3 +945,136 @@ class TestReviewFixes:
         )
         with pytest.raises(Exception, match="non-null"):
             export_tfrecord(df, str(tmp_path / "t"), n_shards=1)
+
+
+class TestSplitLeakageAudit:
+    def _corpus(self, spark):
+        import random
+
+        rng = random.Random(7)
+        rows = []
+        vocab = [f"tok{i}" for i in range(400)]
+        for i in range(40):
+            words = [vocab[rng.randrange(400)] for _ in range(25)]
+            rows.append((i, " ".join(words)))
+            if i % 4 == 0:  # plant a near-dup twin
+                rows.append((1000 + i, " ".join(words) + " tail bit"))
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_leakage_safe_audits_to_zero(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.sampling import (
+            leakage_safe_splits,
+            split_leakage_audit,
+        )
+
+        docs = self._corpus(spark)
+        splits = leakage_safe_splits(docs).select("doc_id", "split")
+        audit = {
+            (r.split_a, r.split_b): r.n_cross_pairs
+            for r in split_leakage_audit(docs, splits).collect()
+        }
+        cross = {k: v for k, v in audit.items() if k != ("__total__", "__total__")}
+        assert cross == {}  # the guarantee, measured
+        assert audit[("__total__", "__total__")] > 0  # pairs exist
+
+    def test_naive_split_leaks(self, spark):
+        """A per-doc hash split ignores near-dup structure: the planted
+        twins (doc_id vs doc_id+1000 hash independently) land across
+        boundaries with probability 1-(0.8^2+0.1^2+0.1^2)=0.34 per
+        pair — with 10 planted pairs at least one crosses under the
+        fixed seed (deterministic)."""
+        from imitation_learning_data_pipeline_spark.functions.hashing import (
+            split_assign,
+        )
+        from imitation_learning_data_pipeline_spark.plans.sampling import (
+            split_leakage_audit,
+        )
+
+        docs = self._corpus(spark)
+        naive = docs.select(
+            "doc_id", split_assign(F.col("doc_id"), seed="naive1").alias("split")
+        )
+        audit = {
+            (r.split_a, r.split_b): r.n_cross_pairs
+            for r in split_leakage_audit(docs, naive).collect()
+        }
+        cross_total = sum(
+            v for k, v in audit.items() if k != ("__total__", "__total__")
+        )
+        assert cross_total > 0
+
+
+class TestDriftBaselineStore:
+    def test_baseline_psi_equals_direct(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.plans.monitor import (
+            psi_against_baseline,
+            read_drift_baseline,
+            score_drift_psi,
+            write_drift_baseline,
+        )
+
+        ref = spark.createDataFrame(
+            [(float((i % 100) / 100),) for i in range(500)], "score double"
+        )
+        cur = spark.createDataFrame(
+            [(0.9 + (i % 10) / 100.0,) for i in range(300)], "score double"
+        )
+        direct = [tuple(r) for r in score_drift_psi(ref, cur).collect()]
+        path = str(tmp_path / "base")
+        write_drift_baseline(ref, path)
+        stored = [
+            tuple(r)
+            for r in psi_against_baseline(
+                cur, read_drift_baseline(spark, path)
+            ).collect()
+        ]
+        assert stored == direct
+
+    def test_baseline_counts_are_additive(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.plans.monitor import (
+            drift_bucket_counts,
+        )
+
+        a = spark.createDataFrame([(0.15,), (0.95,)], "score double")
+        b = spark.createDataFrame([(0.15,), (0.35,)], "score double")
+        both = a.unionByName(b)
+        merged = {
+            r.bucket: r.n
+            for r in drift_bucket_counts(a)
+            .unionByName(drift_bucket_counts(b))
+            .groupBy("bucket")
+            .agg(F.sum("n").alias("n"))
+            .collect()
+        }
+        whole = {r.bucket: r.n for r in drift_bucket_counts(both).collect()}
+        assert merged == whole
+
+
+class TestPsiBaselineCli:
+    def test_build_then_audit(self, spark, tmp_path, capsys):
+        import json
+
+        from imitation_learning_data_pipeline_spark.cli import main
+
+        spark.createDataFrame(
+            [(float((i % 100) / 100),) for i in range(500)], "score double"
+        ).write.parquet(str(tmp_path / "ref"))
+        spark.createDataFrame(
+            [(0.9 + (i % 10) / 100.0,) for i in range(300)], "score double"
+        ).write.parquet(str(tmp_path / "cur"))
+        base = str(tmp_path / "base")
+        assert main(["psi", "--input", str(tmp_path / "ref"),
+                     "--baseline-out", base]) == 0
+        assert main(["psi", "--input", str(tmp_path / "cur"),
+                     "--baseline", base]) == 0
+        lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+        assert lines[-1]["verdict"] == "ALERT" and lines[-1]["psi"] > 0.25
+
+    def test_missing_mode_errors(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.cli import main
+
+        spark.createDataFrame([(0.5,)], "score double").write.parquet(
+            str(tmp_path / "x")
+        )
+        with pytest.raises(SystemExit, match="--against"):
+            main(["psi", "--input", str(tmp_path / "x")])
