@@ -898,15 +898,20 @@ def cmd_novelty(args: argparse.Namespace) -> int:
     docs = spark.read.parquet(args.input).select(
         F.col(args.id_col).alias("doc_id"), F.col(args.text_col).alias("text")
     )
-    out = ngram_novelty(docs, n=args.ngram)
-    if args.drop_dupey:
-        out = out.filter(F.col("is_novel"))
-    out.write.mode("overwrite").parquet(args.out)
-    stats = out.agg(
-        F.count("*").alias("docs"),
-        F.sum(F.when(F.col("is_novel"), 0).otherwise(1)).alias("low_novelty"),
-        F.sum("n_dup").alias("dup_occurrences"),
-    ).collect()[0]
+    out = ngram_novelty(docs, n=args.ngram).persist()
+    try:
+        # census over the FULL frame — under --drop-dupey the filtered
+        # write would otherwise report low_novelty=0 by construction,
+        # hiding exactly what was dropped
+        stats = out.agg(
+            F.count("*").alias("docs"),
+            F.sum(F.when(F.col("is_novel"), 0).otherwise(1)).alias("low_novelty"),
+            F.sum("n_dup").alias("dup_occurrences"),
+        ).collect()[0]
+        kept = out.filter(F.col("is_novel")) if args.drop_dupey else out
+        kept.write.mode("overwrite").parquet(args.out)
+    finally:
+        out.unpersist()
     print(json.dumps({"out": args.out, **stats.asDict()}))
     return 0
 
@@ -934,9 +939,15 @@ def cmd_unimax(args: argparse.Namespace) -> int:
     plan = unimax_allocation(
         counts, group_col="grp", epochs=args.epochs, **kw
     ).withColumnRenamed("grp", args.group_col)
+    # collect the languages-sized plan ONCE; the parquet write re-uses
+    # the collected rows instead of re-running the corpus token
+    # aggregate a second time
+    rows = plan.orderBy(args.group_col).collect()
     if args.out:
-        plan.coalesce(1).write.mode("overwrite").parquet(args.out)
-    for r in plan.orderBy(args.group_col).collect():
+        spark.createDataFrame(rows, plan.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(args.out)
+    for r in rows:
         print(json.dumps(r.asDict()))
     return 0
 
@@ -967,7 +978,7 @@ def cmd_psi(args: argparse.Namespace) -> int:
                 proxy_perplexity_score(args.text_col).alias("score")
             )
         raise SystemExit(
-            f"drift: {path} has neither '{args.score_col}' nor "
+            f"psi: {path} has neither '{args.score_col}' nor "
             f"'{args.text_col}' columns"
         )
 

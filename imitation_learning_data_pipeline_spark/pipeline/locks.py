@@ -258,13 +258,25 @@ def _is_conditional_failure(exc: Exception) -> bool:
     this sandbox): DynamoDB raises ConditionalCheckFailedException,
     S3's native If-None-Match PUT raises a 412 PreconditionFailed."""
     code = getattr(exc, "response", {}).get("Error", {}).get("Code", "")
-    return (
-        exc.__class__.__name__ == "ConditionalCheckFailedException"
-        or code in ("ConditionalCheckFailedException", "PreconditionFailed")
-        or getattr(exc, "response", {})
+    status = (
+        getattr(exc, "response", {})
         .get("ResponseMetadata", {})
         .get("HTTPStatusCode")
-        == 412
+    )
+    # S3 answers 412 PreconditionFailed once a committed object exists,
+    # but a CONCURRENT in-flight conditional write surfaces as 409
+    # ConditionalRequestConflict — both mean "you lost the race", and
+    # crashing on the 409 would kill exactly the contended case the
+    # CAS lock exists for.
+    return (
+        exc.__class__.__name__ == "ConditionalCheckFailedException"
+        or code
+        in (
+            "ConditionalCheckFailedException",
+            "PreconditionFailed",
+            "ConditionalRequestConflict",
+        )
+        or status in (412, 409)
     )
 
 

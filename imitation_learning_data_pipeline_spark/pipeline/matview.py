@@ -85,27 +85,27 @@ def _list_base_files(spark: SparkSession, base: str) -> dict[str, int]:
     metadata-only (one listing), the same hidden-segment rules as the
     DML file discovery.
 
-    Delta bridge (r10 verdict item 10): when ``base`` is a Delta table,
-    the LIVE file set comes from the transaction log
-    (``inputFiles()``), not a directory walk — a raw listing would see
-    tombstoned files (pre-vacuum) and double-fold them. Appends add
-    files (incremental refresh folds exactly the log's additions);
-    OPTIMIZE / DELETE rewrite files, which the size/removal diff
-    reports as a base mutation → rebuild, same contract as plain
-    parquet."""
-    from .table_format import is_delta_table
+    Delta bridge (r10 verdict item 10, hardened r11): when ``base``
+    carries a ``_delta_log``, the LIVE file set AND the sizes come from
+    a pure-filesystem replay of the transaction log
+    (pipeline/delta_log.py) — a raw listing would see tombstoned
+    (pre-vacuum) files and double-fold them, per-file getFileStatus
+    RPCs would turn a metadata read into 50k driver-blocking HEADs on
+    object stores, and gating on the delta-spark package would make
+    the bridge SILENTLY inert (raw-walk the tombstones) on deployments
+    without it. Appends add files (incremental refresh folds exactly
+    the log's additions); OPTIMIZE / DELETE rewrite files, which the
+    size/removal diff reports as a base mutation → rebuild, same
+    contract as plain parquet."""
+    from .delta_log import has_delta_log, read_delta_snapshot
 
     fs, _ = _fs(spark, base)
     jvm_path = _jvm_path(spark)
     root = fs.makeQualified(jvm_path(base)).toString().rstrip("/")
     out = {}
-    if is_delta_table(spark, base):
-        for p in spark.read.format("delta").load(base).inputFiles():
-            jp = jvm_path(p)
-            q = fs.makeQualified(jp).toString()
-            rel = q[len(root) + 1 :] if q.startswith(root + "/") else jp.getName()
-            out[rel] = int(fs.getFileStatus(jp).getLen())
-        return out
+    if has_delta_log(spark, base):
+        snap = read_delta_snapshot(spark, base)
+        return {rel: info["size"] for rel, info in snap["files"].items()}
     from .merge import _list_data_files
 
     for p, jp in _list_data_files(fs, jvm_path, base).values():
@@ -218,20 +218,32 @@ def _guard_no_base_dvs(spark: SparkSession, base: str, op: str) -> None:
     mapping is refused too: the fold reads data files directly as
     parquet, and mapped physical column names would silently
     mis-resolve the spec's columns."""
-    from .table_format import is_delta_table
+    from .delta_log import has_delta_log, read_delta_snapshot
 
-    if is_delta_table(spark, base):
-        props = dict(
-            spark.sql(f"DESCRIBE DETAIL delta.`{base}`")
-            .select("properties")
-            .first()["properties"]
-            or {}
+    if has_delta_log(spark, base):
+        snap = read_delta_snapshot(spark, base)
+        props = snap["configuration"]
+        # LIVE DVs first: disabling delta.enableDeletionVectors does
+        # NOT drop existing deletion vectors (REORG ... APPLY (PURGE)
+        # does), so a property-only guard waves through exactly the
+        # stale-DV base it exists to refuse — and the fold would keep
+        # every DV-masked row forever, silently.
+        dv_files = sorted(
+            rel for rel, info in snap["files"].items() if info["dv"]
         )
+        if dv_files:
+            raise BaseMutatedError(
+                f"{op}: Delta base {base} has LIVE deletion vectors on "
+                f"{len(dv_files)} file(s) (e.g. {dv_files[0]}) — "
+                "row-level deletes are invisible to the file-diff fold; "
+                "REORG TABLE ... APPLY (PURGE) to materialize them "
+                "before using this base under a matview"
+            )
         if props.get("delta.enableDeletionVectors", "false").lower() == "true":
             raise BaseMutatedError(
                 f"{op}: Delta base {base} has deletion vectors enabled — "
-                "row-level deletes would be invisible to the file-diff "
-                "fold; disable DVs (or OPTIMIZE to materialize them) "
+                "the NEXT row-level delete would be invisible to the "
+                "file-diff fold; disable DVs (and purge any existing) "
                 "before using this base under a matview"
             )
         if props.get("delta.columnMapping.mode", "none") != "none":

@@ -46,12 +46,19 @@ def bucket_ranked(
     is total (include a unique tiebreaker, the registry O2 rule).
 
     Returns ``(ranked, cached)``: ``ranked`` carries ``rank_col``;
-    ``cached`` is the PERSISTED range-bucketed frame the offsets were
-    counted against. The caller MUST consume ``ranked`` (action or
-    checkpoint) before calling ``cached.unpersist()`` — the offsets are
-    only valid against the cached partitioning, and an uncached
-    recompute could re-sample different range boundaries. Fuse your
-    reduction while the cache is live (see
+    ``cached`` is the range-bucketed frame the offsets were counted
+    against — an EAGER localCheckpoint, not a persist: the offsets are
+    only valid against the exact materialization they were counted on,
+    and a persist pin can be evicted (plan-cache rotation, memory
+    pressure) BEFORE the caller materializes ``ranked``, at which point
+    repartitionByRange would re-sample different range boundaries and
+    the baked offsets would silently corrupt every rank. The checkpoint
+    truncates lineage, so a recompute is impossible by construction:
+    executor-loss turns into a loud job failure instead of wrong
+    ranks (the right trade for a correctness-critical offset bake; the
+    counts collect below forces the same materialization cost either
+    way). ``cached.unpersist()`` after consuming ``ranked`` releases
+    the checkpoint blocks. Fuse your reduction over ``ranked`` (see
     ``quality_model.rank_auc``) rather than checkpointing the full
     ranked corpus when all you need is an aggregate of the ranks.
     """
@@ -61,7 +68,7 @@ def bucket_ranked(
     parted = (
         df.repartitionByRange(n, *keys)
         .withColumn("__pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     counts = parted.groupBy("__pid").agg(F.count("*").alias("__cnt")).collect()
     cum, offset_rows = 0, []
@@ -353,14 +360,12 @@ def window_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed-AUC core): the exact global row_number over the events
     table WITHOUT an unpartitioned window, hash-checked against DuckDB
     computing the single-sort form. The offsets collect happens at plan
-    build (metadata-sized — one row per range bucket); the cached
-    bucket frame is registered with the plan-cache registry so the next
-    builder invocation evicts it."""
-    from .. import cache
-
+    build (metadata-sized — one row per range bucket); the bucket frame
+    is an eager localCheckpoint, so the returned lazy frame stays valid
+    however late the harness materializes it (a persist pin could be
+    evicted by the next builder and re-sample range boundaries under
+    the baked offsets)."""
     ensure_utc(spark)
     ev = load_table(spark, sf_dir, "events").select("event_id", "value")
-    cache.begin_plan()
-    ranked, cached = bucket_ranked(ev, ["value", "event_id"], rank_col="r")
-    cache.pin(cached)
+    ranked, _cached = bucket_ranked(ev, ["value", "event_id"], rank_col="r")
     return ranked.select("event_id", F.col("r").cast("long").alias("r"))
