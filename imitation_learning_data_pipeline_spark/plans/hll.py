@@ -187,11 +187,16 @@ def fold_into_hll_store(
     work per batch, independent of corpus and batch size. Write goes
     through a temp-suffix rename on the caller's side if atomicity
     matters (same discipline as the other stores)."""
-    import os
+    from pyspark.errors import AnalysisException
 
-    if os.path.exists(path):
+    # Missing store (first batch) => start fresh; any OTHER read
+    # failure must surface. A plain os.path.exists here would read
+    # "absent" for every REMOTE store path and silently overwrite the
+    # accumulated registers (the novelty-stream store uses the same
+    # try/except discipline).
+    try:
         merged = merge_hll_registers(read_hll_store(spark, path), batch_registers)
-    else:
+    except AnalysisException:
         merged = batch_registers
     out = merged.collect()  # ≤2^p rows
     spark.createDataFrame(out, "bucket long, rho_max int").coalesce(1).write.mode(
