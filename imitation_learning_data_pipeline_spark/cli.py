@@ -982,6 +982,20 @@ def cmd_psi(args: argparse.Namespace) -> int:
             f"'{args.text_col}' columns"
         )
 
+    if args.baseline_out and (args.against or args.baseline):
+        raise SystemExit(
+            "psi: --baseline-out builds a baseline from --input and "
+            "runs NO comparison — drop --against/--baseline or run them "
+            "as a second invocation"
+        )
+    if args.baseline and args.buckets != 10:
+        raise SystemExit(
+            "psi: --buckets has no effect with --baseline (the stored "
+            "spine fixes the bucket count) — rebuild the baseline with "
+            "the desired --buckets instead"
+        )
+    if args.baseline and args.against:
+        raise SystemExit("psi: pass either --against or --baseline, not both")
     if args.baseline_out:
         # build mode: persist the reference population once
         write_drift_baseline(

@@ -87,13 +87,27 @@ def read_delta_snapshot(spark: SparkSession, path: str) -> dict:
     config: dict = {}
     start_version = -1
 
-    # checkpoint (optional)
+    # checkpoint: prefer _last_checkpoint, but it is a best-effort HINT
+    # per the protocol (its write can fail/lag) — fall back to the
+    # newest classic single-part checkpoint visible in the listing, so
+    # an expired-commit prefix cannot silently vanish from the replay
+    # just because the hint file is stale or absent.
+    v = parts = None
     if "_last_checkpoint" in names:
         meta = json.loads(
             _read_small_file(spark, fs, jpath(f"{log}/_last_checkpoint")).decode("utf-8")
         )
         v = int(meta["version"])
         parts = int(meta.get("parts") or 1)
+    else:
+        classic = [
+            int(n.split(".")[0])
+            for n in names
+            if n.endswith(".checkpoint.parquet") and n.split(".")[0].isdigit()
+        ]
+        if classic:
+            v, parts = max(classic), 1
+    if v is not None:
         if parts == 1:
             cp_files = [f"{log}/{v:020d}.checkpoint.parquet"]
         else:
@@ -143,7 +157,24 @@ def read_delta_snapshot(spark: SparkSession, path: str) -> dict:
             if ver > start_version:
                 commits.append((ver, n))
     last_version = start_version
-    for ver, n in sorted(commits):
+    expected = start_version + 1
+    sorted_commits = sorted(commits)
+    if sorted_commits and sorted_commits[0][0] != expected:
+        raise ValueError(
+            f"delta_log: commit chain is not contiguous — replay starts "
+            f"at version {expected} but the oldest surviving commit is "
+            f"{sorted_commits[0][0]:020d}.json (log-retention expiry "
+            f"past the last checkpoint?); refusing a silently "
+            f"incomplete snapshot of {path}"
+        )
+    for ver, n in sorted_commits:
+        if ver != expected:
+            raise ValueError(
+                f"delta_log: commit chain gap — expected version "
+                f"{expected}, found {n}; refusing a silently incomplete "
+                f"snapshot of {path}"
+            )
+        expected = ver + 1
         payload = _read_small_file(spark, fs, jpath(f"{log}/{n}")).decode("utf-8")
         for line in payload.splitlines():
             line = line.strip()

@@ -105,6 +105,18 @@ def _list_base_files(spark: SparkSession, base: str) -> dict[str, int]:
     out = {}
     if has_delta_log(spark, base):
         snap = read_delta_snapshot(spark, base)
+        absolute = sorted(
+            rel
+            for rel in snap["files"]
+            if "://" in rel or rel.startswith("/")
+        )
+        if absolute:
+            raise ValueError(
+                f"matview: Delta base {base} carries ABSOLUTE add-action "
+                f"paths (e.g. {absolute[0]}; shallow clone?) — the fold "
+                "reads files relative to the base root and would build "
+                "malformed paths; use a deep-cloned/self-contained base"
+            )
         return {rel: info["size"] for rel, info in snap["files"].items()}
     from .merge import _list_data_files
 

@@ -189,14 +189,26 @@ def fold_into_hll_store(
     matters (same discipline as the other stores)."""
     from pyspark.errors import AnalysisException
 
-    # Missing store (first batch) => start fresh; any OTHER read
-    # failure must surface. A plain os.path.exists here would read
-    # "absent" for every REMOTE store path and silently overwrite the
-    # accumulated registers (the novelty-stream store uses the same
-    # try/except discipline).
+    # Missing store (first batch) => start fresh; any OTHER failure
+    # must surface. The try covers ONLY the read — wrapping the merge
+    # too would let a schema-mismatched store (e.g. a grouped register
+    # table at this path) raise AnalysisException from unionByName,
+    # read as "missing", and be silently overwritten with one batch.
+    # A plain os.path.exists would similarly read "absent" for every
+    # REMOTE store path (the novelty-stream store discipline).
     try:
-        merged = merge_hll_registers(read_hll_store(spark, path), batch_registers)
+        existing = read_hll_store(spark, path)
     except AnalysisException:
+        existing = None
+    if existing is not None:
+        if set(existing.columns) != {"bucket", "rho_max"}:
+            raise ValueError(
+                f"fold_into_hll_store: {path} is not an HLL register "
+                f"store (columns {existing.columns}) — refusing to "
+                "overwrite it"
+            )
+        merged = merge_hll_registers(existing, batch_registers)
+    else:
         merged = batch_registers
     out = merged.collect()  # ≤2^p rows
     spark.createDataFrame(out, "bucket long, rho_max int").coalesce(1).write.mode(

@@ -1107,9 +1107,19 @@ def split_leakage_audit(
     sb = splits.select(
         F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
     )
-    tagged = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    # LEFT joins: a pair member MISSING from the split assignment is a
+    # broken gate input, not a pair to silently drop — inner joins
+    # would erase exactly the leaked pair whose test doc lacks a split
+    # row. Unassigned sides surface as the "__unassigned__" label and
+    # always count as crossing (the audit cannot certify them).
+    tagged = pairs.join(sa, "doc_a", "left").join(sb, "doc_b", "left")
+    unassigned = F.col("split_a").isNull() | F.col("split_b").isNull()
     cross = (
-        tagged.filter(F.col("split_a") != F.col("split_b"))
+        tagged.filter(unassigned | (F.col("split_a") != F.col("split_b")))
+        .select(
+            F.coalesce("split_a", F.lit("__unassigned__")).alias("split_a"),
+            F.coalesce("split_b", F.lit("__unassigned__")).alias("split_b"),
+        )
         .groupBy("split_a", "split_b")
         .agg(F.count("*").alias("n_cross_pairs"))
     )

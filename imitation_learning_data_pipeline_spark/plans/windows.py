@@ -36,53 +36,71 @@ def bucket_ranked(
     unpartitioned window (which plans an ``Exchange SinglePartition`` —
     one task sorts the whole frame; the r10 verdict's AUC bottleneck).
 
-    Two-pass bucket rank: range-partition on the sort key (each range
-    bucket sorts in parallel), count per bucket (a ≤-#partitions-row
-    driver aggregate), and add the cumulative bucket offset to each
-    local row_number. The RangePartitioner guarantees every row in
-    bucket i orders before every row in bucket i+1, so local rank +
-    offset IS the global rank — bit-identical to
-    ``row_number().over(Window.orderBy(*order_cols))`` whenever the key
-    is total (include a unique tiebreaker, the registry O2 rule).
+    Two-pass bucket rank with PLAN-LITERAL boundaries: approxQuantile
+    boundaries of the LEADING sort column are collected once at build
+    time and baked into the plan as literals, so the bucket id is a
+    pure function of the ROW — unlike ``repartitionByRange``, whose
+    bucket membership depends on a per-execution boundary SAMPLE, a
+    recompute (cache eviction, task retry, late materialization) can
+    never shift rows across buckets under the driver-baked offsets.
+    All rows tying on the leading column share a bucket by
+    construction, and the within-bucket window orders by the FULL key,
+    so bucket-ascending + local row_number + cumulative offset IS the
+    global rank — bit-identical to ``row_number().over(
+    Window.orderBy(*order_cols))`` whenever the key is total (include
+    a unique tiebreaker, the registry O2 rule). NULL leading keys get
+    bucket −1 (Spark's nulls-first ascending order).
 
     Returns ``(ranked, cached)``: ``ranked`` carries ``rank_col``;
-    ``cached`` is the range-bucketed frame the offsets were counted
-    against — an EAGER localCheckpoint, not a persist: the offsets are
-    only valid against the exact materialization they were counted on,
-    and a persist pin can be evicted (plan-cache rotation, memory
-    pressure) BEFORE the caller materializes ``ranked``, at which point
-    repartitionByRange would re-sample different range boundaries and
-    the baked offsets would silently corrupt every rank. The checkpoint
-    truncates lineage, so a recompute is impossible by construction:
-    executor-loss turns into a loud job failure instead of wrong
-    ranks (the right trade for a correctness-critical offset bake; the
-    counts collect below forces the same materialization cost either
-    way). ``cached.unpersist()`` after consuming ``ranked`` releases
-    the checkpoint blocks. Fuse your reduction over ``ranked`` (see
-    ``quality_model.rank_auc``) rather than checkpointing the full
-    ranked corpus when all you need is an aggregate of the ranks.
+    ``cached`` is the persisted bucketed frame — a pure OPTIMIZATION
+    (the counts pass and the final ranked read share one
+    materialization); because bucket ids are row-pure, eviction or
+    recompute is harmless to correctness. ``cached.unpersist()`` after
+    consuming ``ranked`` releases the cache. Fuse your reduction over
+    ``ranked`` (see ``quality_model.rank_auc``) rather than
+    checkpointing the full ranked corpus when all you need is an
+    aggregate of the ranks.
+
+    The leading sort column must be numeric (approxQuantile); skewed
+    leading-column ties degrade bucket balance, never correctness.
     """
     spark = df.sparkSession
     n = int(n_buckets or spark.conf.get("spark.sql.shuffle.partitions", "32"))
     keys = [F.col(c) for c in order_cols]
+    c1 = order_cols[0]
+    if n > 1:
+        try:
+            qs = [i / n for i in range(1, n)]
+            bounds = sorted(set(df.stat.approxQuantile(c1, qs, 0.001)))
+        except Exception as exc:  # non-numeric leading column
+            raise TypeError(
+                f"bucket_ranked: leading sort column {c1!r} must be "
+                f"numeric (approxQuantile boundary probe failed: {exc})"
+            ) from exc
+    else:
+        bounds = []
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + (F.col(c1) > F.lit(b)).cast("int")
+    bucket = F.when(F.col(c1).isNull(), F.lit(-1)).otherwise(bucket)
     parted = (
-        df.repartitionByRange(n, *keys)
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        df.withColumn("__b", bucket.cast("int"))
+        .repartition(max(len(bounds) + 1, 1), F.col("__b"))
+        .persist()
     )
-    counts = parted.groupBy("__pid").agg(F.count("*").alias("__cnt")).collect()
+    counts = parted.groupBy("__b").agg(F.count("*").alias("__cnt")).collect()
     cum, offset_rows = 0, []
-    for r in sorted(counts, key=lambda r: r["__pid"]):
-        offset_rows.append((r["__pid"], cum))
+    for r in sorted(counts, key=lambda r: r["__b"]):
+        offset_rows.append((r["__b"], cum))
         cum += r["__cnt"]
     if not offset_rows:
         offset_rows = [(0, 0)]
-    offsets = spark.createDataFrame(offset_rows, "__pid int, __off long")
-    w = Window.partitionBy("__pid").orderBy(*keys)
+    offsets = spark.createDataFrame(offset_rows, "__b int, __off long")
+    w = Window.partitionBy("__b").orderBy(*keys)
     ranked = (
-        parted.join(F.broadcast(offsets), "__pid")
+        parted.join(F.broadcast(offsets), "__b")
         .withColumn(rank_col, (F.row_number().over(w) + F.col("__off")).cast("long"))
-        .drop("__pid", "__off")
+        .drop("__b", "__off")
     )
     return ranked, parted
 
@@ -360,11 +378,10 @@ def window_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed-AUC core): the exact global row_number over the events
     table WITHOUT an unpartitioned window, hash-checked against DuckDB
     computing the single-sort form. The offsets collect happens at plan
-    build (metadata-sized — one row per range bucket); the bucket frame
-    is an eager localCheckpoint, so the returned lazy frame stays valid
-    however late the harness materializes it (a persist pin could be
-    evicted by the next builder and re-sample range boundaries under
-    the baked offsets)."""
+    build (metadata-sized — one row per bucket); bucket boundaries are
+    plan literals, so the returned lazy frame stays valid however late
+    the harness materializes it — recompute cannot shift bucket
+    membership under the baked offsets."""
     ensure_utc(spark)
     ev = load_table(spark, sf_dir, "events").select("event_id", "value")
     ranked, _cached = bucket_ranked(ev, ["value", "event_id"], rank_col="r")

@@ -1234,3 +1234,122 @@ class TestDeltaLogReader:
         ])
         with pytest.raises(BaseMutatedError, match="column mapping"):
             _guard_no_base_dvs(spark, base2, "refresh")
+
+
+class TestReviewFixesRound2:
+    """Regression pins for the second self-review pass."""
+
+    def _commit(self, log_dir, version, actions):
+        import json as _json
+        import os
+
+        os.makedirs(log_dir, exist_ok=True)
+        with open(os.path.join(log_dir, f"{version:020d}.json"), "w") as fh:
+            for a in actions:
+                fh.write(_json.dumps(a) + "\n")
+
+    def test_delta_log_refuses_commit_gaps(self, spark, tmp_path):
+        """Expired log prefix without a checkpoint must raise, not
+        return a silently incomplete snapshot."""
+        from imitation_learning_data_pipeline_spark.pipeline.delta_log import (
+            read_delta_snapshot,
+        )
+
+        base = str(tmp_path / "t")
+        # versions 3 and 4 survive; 0-2 expired — chain must start at 0
+        self._commit(f"{base}/_delta_log", 3, [{"add": {"path": "a", "size": 1}}])
+        self._commit(f"{base}/_delta_log", 4, [{"add": {"path": "b", "size": 1}}])
+        with pytest.raises(ValueError, match="not contiguous"):
+            read_delta_snapshot(spark, base)
+
+    def test_delta_log_checkpoint_fallback_without_hint(self, spark, tmp_path):
+        """A checkpoint visible in the listing is used even when the
+        best-effort _last_checkpoint hint file is absent."""
+        import json as _json
+        import os
+
+        from imitation_learning_data_pipeline_spark.pipeline.delta_log import (
+            read_delta_snapshot,
+        )
+
+        base = str(tmp_path / "t")
+        log = f"{base}/_delta_log"
+        os.makedirs(log, exist_ok=True)
+        schema = (
+            "add struct<path:string,size:bigint>, remove struct<path:string>, "
+            "metaData struct<configuration:map<string,string>>"
+        )
+        spark.createDataFrame(
+            [(("cp.parquet", 5), None, None)], schema
+        ).coalesce(1).write.parquet(f"{log}/{2:020d}.checkpoint.parquet")
+        # commits 0-1 expired; the fallback checkpoint at v2 covers them
+        self._commit(log, 3, [{"add": {"path": "tail.parquet", "size": 7}}])
+        snap = read_delta_snapshot(spark, base)
+        assert snap["files"] == {
+            "cp.parquet": {"size": 5, "dv": False},
+            "tail.parquet": {"size": 7, "dv": False},
+        }
+
+    def test_matview_refuses_absolute_add_paths(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.matview import (
+            _list_base_files,
+        )
+
+        base = str(tmp_path / "t")
+        self._commit(f"{base}/_delta_log", 0, [
+            {"add": {"path": "s3://other-bucket/part.parquet", "size": 9}},
+        ])
+        with pytest.raises(ValueError, match="ABSOLUTE"):
+            _list_base_files(spark, base)
+
+    def test_fold_refuses_foreign_store(self, spark, tmp_path):
+        """A schema-mismatched parquet at the store path must raise,
+        never be read as 'missing' and overwritten."""
+        from imitation_learning_data_pipeline_spark.plans.hll import (
+            fold_into_hll_store,
+            hll_registers,
+        )
+
+        path = str(tmp_path / "x")
+        spark.range(5).write.parquet(path)  # not a register store
+        regs = hll_registers(
+            spark.createDataFrame([("a",)], "item string")
+        )
+        with pytest.raises(ValueError, match="not an HLL register store"):
+            fold_into_hll_store(spark, regs, path)
+        # the foreign data survives untouched
+        assert spark.read.parquet(path).count() == 5
+
+    def test_leakage_audit_surfaces_unassigned_pairs(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.sampling import (
+            split_leakage_audit,
+        )
+
+        base = " ".join(f"w{i} x{i} y{i}" for i in range(12))
+        docs = spark.createDataFrame(
+            [(1, base), (2, base + " tail")], "doc_id long, text string"
+        )
+        # doc 2 has NO split assignment — the near-dup pair must
+        # surface as __unassigned__, not silently vanish
+        splits = spark.createDataFrame([(1, "train")], "doc_id long, split string")
+        audit = {
+            (r.split_a, r.split_b): r.n_cross_pairs
+            for r in split_leakage_audit(docs, splits).collect()
+        }
+        cross = {k: v for k, v in audit.items() if k != ("__total__", "__total__")}
+        assert sum(cross.values()) >= 1
+        assert any("__unassigned__" in k for k in cross)
+
+    def test_psi_flag_conflicts_rejected(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.cli import main
+
+        spark.createDataFrame([(0.5,)], "score double").write.parquet(
+            str(tmp_path / "x")
+        )
+        with pytest.raises(SystemExit, match="NO comparison"):
+            main(["psi", "--input", str(tmp_path / "x"),
+                  "--baseline-out", str(tmp_path / "b"),
+                  "--against", str(tmp_path / "x")])
+        with pytest.raises(SystemExit, match="buckets"):
+            main(["psi", "--input", str(tmp_path / "x"),
+                  "--baseline", str(tmp_path / "b"), "--buckets", "20"])
