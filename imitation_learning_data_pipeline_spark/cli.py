@@ -1146,6 +1146,38 @@ def cmd_ivf(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_release_gate(args: argparse.Namespace) -> int:
+    """Release gate (pipeline/release.py): run the configured audits —
+    split leakage, benchmark decontamination, k-anonymity, PSI drift —
+    over a release candidate and exit nonzero on ANY failure (the
+    CI-able export guard)."""
+    from .pipeline.release import release_gate
+
+    spark = _spark("release-gate")
+    docs = spark.read.parquet(args.input)
+    report = release_gate(
+        spark,
+        docs,
+        splits=(spark.read.parquet(args.splits) if args.splits else None),
+        probe=(
+            spark.read.parquet(args.probe).selectExpr("doc_id", "text")
+            if args.probe
+            else None
+        ),
+        decontam_fuzzy_mode=args.fuzzy,
+        quasi_cols=(
+            [c for c in args.quasi.split(",") if c] if args.quasi else None
+        ),
+        sensitive_col=args.sensitive,
+        k=args.k,
+        psi_baseline_path=args.psi_baseline,
+        score_col=args.score_col,
+        psi_threshold=args.psi_threshold,
+    )
+    print(json.dumps(report))
+    return 0 if report["pass"] else 1
+
+
 def cmd_bpe(args: argparse.Namespace) -> int:
     """BPE tokenizer training (plans/tokenize.py): learn merges from a
     corpus; optionally write per-document token counts under the
@@ -2505,6 +2537,23 @@ def build_parser() -> argparse.ArgumentParser:
     )
     iv.add_argument("--out", default=None)
     iv.set_defaults(fn=cmd_ivf)
+
+    rg = sub.add_parser(
+        "release-gate",
+        help="run the configured audits (leakage / decontam / privacy "
+        "/ psi) over a release candidate; exits nonzero on any failure",
+    )
+    rg.add_argument("--input", required=True, help="(doc_id, text[, score]) parquet")
+    rg.add_argument("--splits", default=None, help="(doc_id, split) parquet → leakage check")
+    rg.add_argument("--probe", default=None, help="benchmark parquet → decontam check")
+    rg.add_argument("--fuzzy", action="store_true", help="decontam via MinHash-LSH Jaccard")
+    rg.add_argument("--quasi", default=None, help="quasi-identifier columns → privacy check")
+    rg.add_argument("--sensitive", default=None)
+    rg.add_argument("--k", type=int, default=3)
+    rg.add_argument("--psi-baseline", default=None, help="drift baseline store → PSI check")
+    rg.add_argument("--score-col", default="score")
+    rg.add_argument("--psi-threshold", type=float, default=0.25)
+    rg.set_defaults(fn=cmd_release_gate)
 
     bp = sub.add_parser(
         "bpe",

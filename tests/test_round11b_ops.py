@@ -1353,3 +1353,90 @@ class TestReviewFixesRound2:
         with pytest.raises(SystemExit, match="buckets"):
             main(["psi", "--input", str(tmp_path / "x"),
                   "--baseline", str(tmp_path / "b"), "--buckets", "20"])
+
+
+class TestReleaseGate:
+    BASE = " ".join(f"w{i} x{i} y{i}" for i in range(12))
+
+    def test_all_checks_pass_and_fail_paths(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.release import (
+            release_gate,
+        )
+        from imitation_learning_data_pipeline_spark.plans.monitor import (
+            write_drift_baseline,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a clean document about spark partition pruning", 0.5, "x", 10),
+             (2, "another unrelated piece of text entirely here", 0.52, "x", 20),
+             (3, "third document with its own words and nothing shared", 0.48, "x", 30)],
+            "doc_id long, text string, score double, city string, salary long",
+        )
+        splits = spark.createDataFrame(
+            [(1, "train"), (2, "test"), (3, "train")], "doc_id long, split string"
+        )
+        probe = spark.createDataFrame(
+            [(900, "completely disjoint benchmark sentence tokens qqq zzz")],
+            "doc_id long, text string",
+        )
+        base = str(tmp_path / "psi")
+        write_drift_baseline(docs.select("score"), base)
+        rep = release_gate(
+            spark, docs, splits=splits, probe=probe,
+            quasi_cols=["city"], sensitive_col="salary",
+            psi_baseline_path=base,
+        )
+        assert rep["pass"] and set(rep["checks"]) == {
+            "leakage", "decontam", "privacy", "psi"
+        }
+        # now plant a contaminated near-dup: fails decontam AND leakage
+        bad = docs.unionByName(spark.createDataFrame(
+            [(4, self.BASE, 0.5, "y", 40), (5, self.BASE + " tail", 0.5, "y", 50)],
+            "doc_id long, text string, score double, city string, salary long",
+        ))
+        bad_splits = splits.unionByName(spark.createDataFrame(
+            [(4, "train"), (5, "test")], "doc_id long, split string"
+        ))
+        bad_probe = probe.unionByName(spark.createDataFrame(
+            [(901, self.BASE)], "doc_id long, text string"
+        ))
+        rep2 = release_gate(
+            spark, bad, splits=bad_splits, probe=bad_probe,
+            quasi_cols=["city"], sensitive_col="salary",
+        )
+        assert not rep2["pass"]
+        assert not rep2["checks"]["leakage"]["pass"]
+        assert not rep2["checks"]["decontam"]["pass"]
+        assert not rep2["checks"]["privacy"]["pass"]  # 'y' class of 2 < k=3
+
+    def test_all_skip_gate_refused(self, spark):
+        from imitation_learning_data_pipeline_spark.pipeline.release import (
+            release_gate,
+        )
+
+        docs = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="no check configured"):
+            release_gate(spark, docs)
+
+    def test_cli_exit_codes(self, spark, tmp_path, capsys):
+        import json
+
+        from imitation_learning_data_pipeline_spark.cli import main
+
+        spark.createDataFrame(
+            [(1, self.BASE), (2, "something wholly unrelated to anything")],
+            "doc_id long, text string",
+        ).write.parquet(str(tmp_path / "docs"))
+        spark.createDataFrame(
+            [(900, "no shared phrases with the corpus at all")],
+            "doc_id long, text string",
+        ).write.parquet(str(tmp_path / "probe_ok"))
+        spark.createDataFrame(
+            [(901, self.BASE)], "doc_id long, text string"
+        ).write.parquet(str(tmp_path / "probe_bad"))
+        assert main(["release-gate", "--input", str(tmp_path / "docs"),
+                     "--probe", str(tmp_path / "probe_ok")]) == 0
+        assert main(["release-gate", "--input", str(tmp_path / "docs"),
+                     "--probe", str(tmp_path / "probe_bad")]) == 1
+        last = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert last["checks"]["decontam"]["contaminated_docs"] == 1
