@@ -171,9 +171,93 @@ def hll_estimate(registers: DataFrame, p: int = _P) -> float:
     return raw
 
 
+_HLL_META = "__hll_meta.json"  # inside the store dir — travels with the swap
+_HLL_PENDING = "__hll_pending.json"  # SIBLING of the store dir (dir is swapped)
+
+
+def _hll_meta(spark: SparkSession, path: str) -> dict:
+    """Fence metadata from inside the store dir; {} if absent (stores
+    written before the fence existed, or first-batch paths)."""
+    import json as _json
+
+    from ..pipeline.compact import _fs
+
+    fs, _ = _fs(spark, path)
+    jvm_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    jp = jvm_path(f"{path}/{_HLL_META}")
+    if not fs.exists(jp):
+        return {}
+    stream = fs.open(jp)
+    raw = bytes(
+        spark.sparkContext._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+    )
+    stream.close()
+    return _json.loads(raw.decode())
+
+
+def _hll_recover(spark: SparkSession, fs, jvm_path, path: str) -> bool:
+    """Complete (or discard) a crashed fold commit. The journal sibling
+    is the commit point: journal present → the staged store under
+    ``<path>__hll_tmp`` is the truth, finish the swap; journal absent →
+    pre-journal staging is safe to discard. Idempotent; call under the
+    maintenance lock. Returns True if a journaled commit was finished."""
+    from ..pipeline.compact import _rm
+
+    tmp, pending = f"{path}__hll_tmp", f"{path}{_HLL_PENDING}"
+    jpend = jvm_path(pending)
+    if not fs.exists(jpend):
+        _rm(fs, jvm_path, tmp)
+        return False
+    if fs.exists(jvm_path(tmp)):
+        # staged dir holds the FULL merged store (fence meta included)
+        _hll_swap_in(fs, jvm_path, path, tmp)
+    elif not fs.exists(jvm_path(path)):
+        raise IOError(
+            f"hll store: journal {pending} present but neither the store "
+            "nor the staged dir exists — manual inspection required"
+        )
+    fs.delete(jpend, False)
+    return True
+
+
+def recover_hll_store(
+    spark: SparkSession, path: str, stale_lock_s: float | None = None
+) -> bool:
+    """Standalone recovery for a crashed :func:`fold_into_hll_store`
+    commit (the HLL twin of ``recover_rollup_fold``). Takes the
+    maintenance lock; ``stale_lock_s`` enables takeover of a crashed
+    holder's stranded lock by age. Returns True if a journaled commit
+    was completed."""
+    from ..pipeline.compact import _acquire_lock, _fs, _release_table_lock
+
+    path = path.rstrip("/")
+    fs, _ = _fs(spark, path)
+    jvm_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    _acquire_lock(spark, fs, jvm_path, path, "hll-recover", stale_lock_s)
+    try:
+        return _hll_recover(spark, fs, jvm_path, path)
+    finally:
+        _release_table_lock(fs, jvm_path, path)
+
+
 def write_hll_store(registers: DataFrame, path: str) -> None:
-    """Persist a register table (2^p rows — one tiny file)."""
-    registers.coalesce(1).write.mode("overwrite").parquet(path)
+    """Persist a register table (2^p rows — one tiny file). Runs under
+    the table maintenance lock: a bare overwrite racing a concurrent
+    fold would silently drop the fold's batch (VERDICT r11 #1), so the
+    first/replace write takes the same single-writer lock the fold
+    does."""
+    from ..pipeline.compact import _acquire_lock, _fs, _release_table_lock
+
+    spark = registers.sparkSession
+    path = path.rstrip("/")
+    fs, _ = _fs(spark, path)
+    jvm_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    _acquire_lock(spark, fs, jvm_path, path, "hll-write")
+    try:
+        _hll_recover(spark, fs, jvm_path, path)
+        registers.coalesce(1).write.mode("overwrite").parquet(path)
+    finally:
+        _release_table_lock(fs, jvm_path, path)
 
 
 def read_hll_store(spark: SparkSession, path: str) -> DataFrame:
@@ -181,39 +265,115 @@ def read_hll_store(spark: SparkSession, path: str) -> DataFrame:
 
 
 def fold_into_hll_store(
-    spark: SparkSession, batch_registers: DataFrame, path: str
-) -> None:
+    spark: SparkSession,
+    batch_registers: DataFrame,
+    path: str,
+    batch_id: int | None = None,
+    stale_lock_s: float | None = None,
+) -> dict:
     """Merge a batch's registers into the persisted store — O(2^p)
-    work per batch, independent of corpus and batch size. Write goes
-    through a temp-suffix rename on the caller's side if atomicity
-    matters (same discipline as the other stores)."""
+    work per batch, independent of corpus and batch size.
+
+    SINGLE WRITER (closes VERDICT r11 #1): the read→merge→write runs
+    under the table maintenance lock (``pipeline.compact._acquire_lock``
+    — the same create-exclusive sibling lock merge/compact/rollup use),
+    so two concurrent folds can no longer both read the store and
+    last-writer-wins away a batch; the loser raises
+    :class:`ConcurrentMaintenanceError`. ``batch_id`` (monotonic) fences
+    replays: a batch ≤ the store's ``last_batch`` watermark is a no-op,
+    so an orchestrator retry of an already-committed fold cannot
+    double-count (registers are max-merged, so a double fold is
+    value-safe, but the fence keeps the discipline uniform with the
+    rollup store and makes retries observable).
+
+    Crash safety: the merged store is staged to ``<path>__hll_tmp``
+    (fence meta inside, so it travels with the swap), then a SIBLING
+    journal ``<path>__hll_pending.json`` lands atomically (the commit
+    point), then old dir drops, staged dir renames in, journal clears.
+    A crash before the journal discards staging and the replay folds
+    normally; a crash after it is completed by the next fold/write on
+    the path or by :func:`recover_hll_store`.
+
+    Returns ``{"folded": bool}``.
+    """
+    import json as _json
+
     from pyspark.errors import AnalysisException
 
-    # Missing store (first batch) => start fresh; any OTHER failure
-    # must surface. The try covers ONLY the read — wrapping the merge
-    # too would let a schema-mismatched store (e.g. a grouped register
-    # table at this path) raise AnalysisException from unionByName,
-    # read as "missing", and be silently overwritten with one batch.
-    # A plain os.path.exists would similarly read "absent" for every
-    # REMOTE store path (the novelty-stream store discipline).
+    from ..pipeline.compact import _acquire_lock, _fs, _release_table_lock, _rm
+
+    path = path.rstrip("/")
+    fs, _ = _fs(spark, path)
+    jvm_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    tmp, pending = f"{path}__hll_tmp", f"{path}{_HLL_PENDING}"
+    _acquire_lock(spark, fs, jvm_path, path, "hll-fold", stale_lock_s)
     try:
-        existing = read_hll_store(spark, path)
-    except AnalysisException:
-        existing = None
-    if existing is not None:
-        if set(existing.columns) != {"bucket", "rho_max"}:
-            raise ValueError(
-                f"fold_into_hll_store: {path} is not an HLL register "
-                f"store (columns {existing.columns}) — refusing to "
-                "overwrite it"
-            )
-        merged = merge_hll_registers(existing, batch_registers)
-    else:
-        merged = batch_registers
-    out = merged.collect()  # ≤2^p rows
-    spark.createDataFrame(out, "bucket long, rho_max int").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(path)
+        # complete any crashed prior commit first — it may advance the
+        # fence, correctly turning THIS call into a replay
+        _hll_recover(spark, fs, jvm_path, path)
+        meta = _hll_meta(spark, path)
+        last = meta.get("last_batch")
+        if batch_id is not None and last is not None and int(batch_id) <= int(last):
+            return {"folded": False}
+        # Missing store (first batch) => start fresh; any OTHER failure
+        # must surface. The try covers ONLY the read — wrapping the
+        # merge too would let a schema-mismatched store (e.g. a grouped
+        # register table at this path) raise AnalysisException from
+        # unionByName, read as "missing", and be silently overwritten
+        # with one batch. A plain os.path.exists would similarly read
+        # "absent" for every REMOTE store path (the novelty-stream
+        # store discipline).
+        try:
+            existing = read_hll_store(spark, path)
+        except AnalysisException:
+            existing = None
+        if existing is not None:
+            if set(existing.columns) != {"bucket", "rho_max"}:
+                raise ValueError(
+                    f"fold_into_hll_store: {path} is not an HLL register "
+                    f"store (columns {existing.columns}) — refusing to "
+                    "overwrite it"
+                )
+            merged = merge_hll_registers(existing, batch_registers)
+        else:
+            merged = batch_registers
+        out = merged.collect()  # ≤2^p rows
+        _rm(fs, jvm_path, tmp)
+        spark.createDataFrame(out, "bucket long, rho_max int").coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        new_last = last
+        if batch_id is not None:
+            new_last = int(batch_id) if last is None else max(int(batch_id), int(last))
+        payload = _json.dumps({"last_batch": new_last}).encode()
+        stream = fs.create(jvm_path(f"{tmp}/{_HLL_META}"), True)
+        stream.write(bytearray(payload))
+        stream.close()
+        _hll_write_journal(fs, jvm_path, pending)  # the commit point
+        _hll_swap_in(fs, jvm_path, path, tmp)
+        fs.delete(jvm_path(pending), False)
+        return {"folded": True}
+    finally:
+        _release_table_lock(fs, jvm_path, path)
+
+
+def _hll_write_journal(fs, jvm_path, pending: str) -> None:
+    """Atomically land the commit-point journal (tmp + rename)."""
+    jtmp = jvm_path(f"{pending}.tmp")
+    stream = fs.create(jtmp, True)
+    stream.write(bytearray(b"{}"))
+    stream.close()
+    if not fs.rename(jtmp, jvm_path(pending)):
+        raise IOError(f"hll fold: could not commit journal at {pending}")
+
+
+def _hll_swap_in(fs, jvm_path, path: str, tmp: str) -> None:
+    """Swap the staged store in: drop the old dir, rename staged in."""
+    from ..pipeline.compact import _rm
+
+    _rm(fs, jvm_path, path)
+    if not fs.rename(jvm_path(tmp), jvm_path(path)):
+        raise IOError(f"hll fold: could not swap staged store into {path}")
 
 
 def hll_union_datasketches(frames: list[DataFrame], col: str) -> DataFrame:

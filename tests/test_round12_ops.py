@@ -1,0 +1,204 @@
+"""Round-12 hardening (VERDICT r11 #1 + next-round item 1): the HLL
+register-store fold is now a locked, fenced, journaled commit — the
+same single-writer discipline as plans/rollup.py::fold_rollup_into_store.
+Every test hand-builds or injects the crash state (the round-9 rollup
+pattern) and asserts the next consumer converges to the committed state
+exactly once."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+import imitation_learning_data_pipeline_spark.plans.hll as H
+from imitation_learning_data_pipeline_spark.pipeline.compact import (
+    ConcurrentMaintenanceError,
+)
+from imitation_learning_data_pipeline_spark.plans.hll import (
+    fold_into_hll_store,
+    hll_estimate,
+    hll_registers,
+    read_hll_store,
+    recover_hll_store,
+    write_hll_store,
+)
+
+PENDING = "__hll_pending.json"
+
+
+def _items(spark, lo: int, hi: int):
+    return spark.createDataFrame(
+        [(f"item-{i}",) for i in range(lo, hi)], ["item"]
+    )
+
+
+def _regs(spark, lo: int, hi: int):
+    return hll_registers(_items(spark, lo, hi), "item")
+
+
+def _state(spark, p):
+    return {(int(r["bucket"]), int(r["rho_max"])) for r in read_hll_store(spark, p).collect()}
+
+
+def _expected_once(spark, lo_a, hi_a, lo_b, hi_b):
+    """Registers of A ∪ B computed in one shot — the exactly-once truth."""
+    both = _items(spark, lo_a, hi_a).unionByName(_items(spark, lo_b, hi_b))
+    return {
+        (int(r["bucket"]), int(r["rho_max"]))
+        for r in hll_registers(both, "item").collect()
+    }
+
+
+class TestHllFoldLockAndFence:
+    def test_fold_batch_id_fence_replay_noop(self, spark, tmp_path):
+        """A replayed batch_id is a no-op; a fresh batch_id folds and
+        the result equals the one-shot registers of the union."""
+        p = str(tmp_path / "hll1")
+        assert fold_into_hll_store(spark, _regs(spark, 0, 100), p, batch_id=1) == {
+            "folded": True
+        }
+        before = _state(spark, p)
+        assert fold_into_hll_store(spark, _regs(spark, 0, 100), p, batch_id=1) == {
+            "folded": False
+        }
+        assert _state(spark, p) == before
+        assert fold_into_hll_store(spark, _regs(spark, 100, 200), p, batch_id=2) == {
+            "folded": True
+        }
+        assert _state(spark, p) == _expected_once(spark, 0, 100, 100, 200)
+        # fence meta travels inside the dir and Spark's reader ignores it
+        assert json.load(open(os.path.join(p, "__hll_meta.json")))["last_batch"] == 2
+        assert set(read_hll_store(spark, p).columns) == {"bucket", "rho_max"}
+
+    def test_unfenced_fold_still_exact(self, spark, tmp_path):
+        """batch_id is optional — registers max-merge, so even an
+        unfenced double fold cannot move the state."""
+        p = str(tmp_path / "hll2")
+        fold_into_hll_store(spark, _regs(spark, 0, 50), p)
+        once = _state(spark, p)
+        fold_into_hll_store(spark, _regs(spark, 0, 50), p)
+        assert _state(spark, p) == once
+
+    def test_concurrent_fold_raises_then_stale_takeover(self, spark, tmp_path):
+        """A second writer hitting a held lock raises instead of
+        silently last-writer-winning; stale_lock_s allows takeover of a
+        crashed holder's lock (merge/compact contract)."""
+        p = str(tmp_path / "hll3")
+        fold_into_hll_store(spark, _regs(spark, 0, 50), p, batch_id=1)
+        lock = p + "__maintenance_lock"
+        with open(lock, "w") as fh:
+            fh.write('{"op": "hll-fold", "pid": 1}')
+        with pytest.raises(ConcurrentMaintenanceError):
+            fold_into_hll_store(spark, _regs(spark, 50, 100), p, batch_id=2)
+        # the held-lock loser changed nothing
+        assert _state(spark, p) == {
+            (int(r["bucket"]), int(r["rho_max"]))
+            for r in _regs(spark, 0, 50).collect()
+        }
+        os.utime(lock, (1_000_000, 1_000_000))  # ancient mtime
+        out = fold_into_hll_store(
+            spark, _regs(spark, 50, 100), p, batch_id=2, stale_lock_s=3600
+        )
+        assert out == {"folded": True}
+        assert _state(spark, p) == _expected_once(spark, 0, 50, 50, 100)
+        assert not os.path.exists(lock)
+
+    def test_write_hll_store_respects_lock(self, spark, tmp_path):
+        """A direct write_hll_store racing a fold would drop the fold's
+        batch — it takes the same lock now (VERDICT r11 #1)."""
+        p = str(tmp_path / "hll4")
+        lock = p + "__maintenance_lock"
+        with open(lock, "w") as fh:
+            fh.write('{"op": "hll-fold", "pid": 1}')
+        with pytest.raises(ConcurrentMaintenanceError):
+            write_hll_store(_regs(spark, 0, 10), p)
+        os.remove(lock)
+        write_hll_store(_regs(spark, 0, 10), p)
+        assert hll_estimate(read_hll_store(spark, p)) > 0
+        assert not os.path.exists(lock)
+
+
+class TestHllFoldCrashRecovery:
+    def _crash_fold(self, spark, p, regs, where: str, batch_id=None):
+        """Run a fold that dies at the named commit step (lock released
+        — the fold's finally ran, as for any soft failure)."""
+        with pytest.MonkeyPatch.context() as mp:
+
+            def boom(*a, **k):
+                raise RuntimeError("injected crash")
+
+            mp.setattr(H, where, boom)
+            with pytest.raises(RuntimeError, match="injected crash"):
+                fold_into_hll_store(spark, regs, p, batch_id=batch_id)
+
+    def test_crash_before_journal_discards_staging(self, spark, tmp_path):
+        """Crash BEFORE the journal lands: staging is discarded and the
+        replay folds normally — exactly once, via the retry."""
+        p = str(tmp_path / "hc1")
+        fold_into_hll_store(spark, _regs(spark, 0, 50), p, batch_id=1)
+        self._crash_fold(spark, p, _regs(spark, 50, 100), "_hll_write_journal", 2)
+        assert not os.path.exists(p + PENDING)
+        out = fold_into_hll_store(spark, _regs(spark, 50, 100), p, batch_id=2)
+        assert out == {"folded": True}
+        assert not os.path.exists(p + "__hll_tmp")
+        assert _state(spark, p) == _expected_once(spark, 0, 50, 50, 100)
+
+    def test_crash_after_journal_replay_converges(self, spark, tmp_path):
+        """Crash AFTER the journal (the commit point) but BEFORE the
+        swap: the next fold completes the staged commit first — fence
+        included — so the replayed batch_id is a no-op, folded exactly
+        once."""
+        p = str(tmp_path / "hc2")
+        fold_into_hll_store(spark, _regs(spark, 0, 50), p, batch_id=1)
+        self._crash_fold(spark, p, _regs(spark, 50, 100), "_hll_swap_in", 2)
+        assert os.path.exists(p + PENDING)
+        out = fold_into_hll_store(spark, _regs(spark, 50, 100), p, batch_id=2)
+        assert out == {"folded": False}
+        assert not os.path.exists(p + PENDING)
+        assert not os.path.exists(p + "__hll_tmp")
+        assert _state(spark, p) == _expected_once(spark, 0, 50, 50, 100)
+
+    def test_crash_after_swap_before_journal_clear(self, spark, tmp_path):
+        """Journal present, staged dir gone, store present: the swap
+        completed — recovery just clears the journal."""
+        p = str(tmp_path / "hc3")
+        fold_into_hll_store(spark, _regs(spark, 0, 50), p, batch_id=1)
+        once = _state(spark, p)
+        with open(p + PENDING, "w") as fh:
+            fh.write("{}")
+        assert recover_hll_store(spark, p) is True
+        assert not os.path.exists(p + PENDING)
+        assert _state(spark, p) == once
+
+    def test_recover_standalone_and_stale_lock(self, spark, tmp_path):
+        """A HARD crash strands the lock too: recover_hll_store refuses
+        by default, takes over with stale_lock_s, and a second recover
+        finds nothing to do."""
+        p = str(tmp_path / "hc4")
+        fold_into_hll_store(spark, _regs(spark, 0, 50), p, batch_id=1)
+        self._crash_fold(spark, p, _regs(spark, 50, 100), "_hll_swap_in", 2)
+        lock = p + "__maintenance_lock"
+        with open(lock, "w") as fh:
+            fh.write('{"op": "hll-fold", "pid": 1}')
+        os.utime(lock, (1_000_000, 1_000_000))
+        with pytest.raises(ConcurrentMaintenanceError):
+            recover_hll_store(spark, p)
+        assert recover_hll_store(spark, p, stale_lock_s=3600) is True
+        assert _state(spark, p) == _expected_once(spark, 0, 50, 50, 100)
+        assert recover_hll_store(spark, p) is False
+
+    def test_write_hll_store_completes_crashed_commit(self, spark, tmp_path):
+        """A plain write on a crashed path recovers the journaled fold
+        first, then overwrites — no torn state is ever observable."""
+        p = str(tmp_path / "hc5")
+        fold_into_hll_store(spark, _regs(spark, 0, 50), p, batch_id=1)
+        self._crash_fold(spark, p, _regs(spark, 50, 100), "_hll_swap_in", 2)
+        write_hll_store(_regs(spark, 0, 10), p)
+        assert not os.path.exists(p + PENDING)
+        assert not os.path.exists(p + "__hll_tmp")
+        assert _state(spark, p) == {
+            (int(r["bucket"]), int(r["rho_max"]))
+            for r in _regs(spark, 0, 10).collect()
+        }
