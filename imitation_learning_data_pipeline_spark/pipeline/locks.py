@@ -267,17 +267,21 @@ def _is_conditional_failure(exc: Exception) -> bool:
     # but a CONCURRENT in-flight conditional write surfaces as 409
     # ConditionalRequestConflict — both mean "you lost the race", and
     # crashing on the 409 would kill exactly the contended case the
-    # CAS lock exists for.
-    return (
-        exc.__class__.__name__ == "ConditionalCheckFailedException"
-        or code
-        in (
-            "ConditionalCheckFailedException",
-            "PreconditionFailed",
-            "ConditionalRequestConflict",
-        )
-        or status in (412, 409)
-    )
+    # CAS lock exists for. A 409 is accepted as "lost the race" ONLY
+    # when its Error.Code is ConditionalRequestConflict or absent
+    # (ADVICE r11): S3-compatible stores reuse 409 for unrelated
+    # conflicts (OperationAborted, BucketAlreadyOwnedByYou,
+    # directory-bucket conflicts) that are infrastructure errors, not
+    # contention, and must propagate.
+    if exc.__class__.__name__ == "ConditionalCheckFailedException" or code in (
+        "ConditionalCheckFailedException",
+        "PreconditionFailed",
+        "ConditionalRequestConflict",
+    ):
+        return True
+    if status == 412:
+        return True
+    return status == 409 and not code
 
 
 def dynamodb_cas_backend(

@@ -266,6 +266,17 @@ def export_tfrecord(
     out_dir, fcols, icol = path, cols, id_col
 
     def _write(rows):
+        # Attempt-unique tmp suffix (ADVICE r11): a speculative or
+        # retried attempt of the same shard's task otherwise writes the
+        # SAME .tmp concurrently and interleaves bytes into one file
+        # before os.replace. Each attempt writes its own tmp; whichever
+        # attempt's os.replace lands last wins whole-file — both wrote
+        # identical content (deterministic membership + order), so
+        # either outcome is the correct shard.
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        attempt = ctx.taskAttemptId() if ctx is not None else os.getpid()
         cur, fh, tmp, n, nbytes = None, None, None, 0, 0
 
         def _close():
@@ -273,7 +284,7 @@ def export_tfrecord(
             if fh is None:
                 return None
             fh.close()
-            final = tmp[: -len(".tmp")]
+            final = tmp[: tmp.index(".tfrecord.tmp")] + ".tfrecord"
             os.replace(tmp, final)
             rep = {"shard": int(cur), "n_records": n, "bytes": nbytes}
             fh, tmp, n, nbytes = None, None, 0, 0
@@ -293,7 +304,9 @@ def export_tfrecord(
                 if done:
                     yield done
                 cur = shard
-                tmp = os.path.join(out_dir, f"shard-{shard:05d}.tfrecord.tmp")
+                tmp = os.path.join(
+                    out_dir, f"shard-{shard:05d}.tfrecord.tmp.{attempt}"
+                )
                 fh = open(tmp, "wb")
             feats = {c: row[c] for c in fcols}
             nbytes += write_record(fh, encode_example(feats))

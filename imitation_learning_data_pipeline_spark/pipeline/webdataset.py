@@ -81,6 +81,16 @@ def export_webdataset(
         return ti
 
     def _write(rows):
+        # Attempt-unique tmp suffix (ADVICE r11, fixed alongside the
+        # TFRecord sink): a speculative/retried attempt of the same
+        # task otherwise interleaves bytes into one shared .tmp before
+        # os.replace. Attempts write identical content (deterministic
+        # membership + order), so whichever rename lands last wins a
+        # whole, correct shard.
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        attempt = ctx.taskAttemptId() if ctx is not None else os.getpid()
         cur_shard, tf, tmp, n = None, None, None, 0
 
         def _close():
@@ -88,7 +98,7 @@ def export_webdataset(
             if tf is None:
                 return
             tf.close()
-            final = tmp[: -len(".tmp")]
+            final = tmp[: tmp.index(".tar.tmp")] + ".tar"
             os.replace(tmp, final)  # atomic: no torn shard visible
             yield_row = {
                 "shard": int(cur_shard),
@@ -109,7 +119,9 @@ def export_webdataset(
                 if done:
                     yield done
                 cur_shard = shard
-                tmp = os.path.join(out_dir, f"shard-{shard:06d}.tar.tmp")
+                tmp = os.path.join(
+                    out_dir, f"shard-{shard:06d}.tar.tmp.{attempt}"
+                )
                 tf = tarfile.open(tmp, "w")
             key = f"{row[icol]:012d}" if isinstance(
                 row[icol], int

@@ -524,13 +524,18 @@ def append_ivf_index(emb: DataFrame, path: str) -> dict:
 def _probe_vectors(
     spark: SparkSession, path: str, queries: DataFrame, nprobe: int
 ):
-    """(probe frame, pruned corpus reader) for a search: the probe-cell
-    list is collected (n_queries × nprobe ints — metadata), and the
-    reader is built from the EXPLICIT cell partition directories (with
-    basePath so cell_id survives) — the scan never even LISTS the
-    un-probed partitions, which is the whole economics of the layout.
-    Cells the quantizer left empty have no directory and are skipped
-    via O(nprobe) FS existence checks."""
+    """(probe frame, pruned corpus reader, n pruned dirs) for a search:
+    the probe-cell list is collected (n_queries × nprobe ints —
+    metadata), and the reader is built from the EXPLICIT cell partition
+    directories (with basePath so cell_id survives) — the scan never
+    even LISTS the un-probed partitions, which is the whole economics
+    of the layout. Cells the quantizer left empty have no directory and
+    are skipped via O(nprobe) FS existence checks. When EVERY probed
+    cell is absent the reader is an explicit schema-literal empty frame
+    (ADVICE r11): the old ``read.parquet(root).limit(0)`` fallback
+    listed the whole index in ``inputFiles()`` — inverting the scan
+    receipt in exactly the degenerate case — and crashed outright on a
+    fully-empty vectors root (no footer to infer from)."""
     from ..pipeline.compact import _fs
 
     centers = spark.read.parquet(f"{path}/centroids")
@@ -547,9 +552,12 @@ def _probe_vectors(
         if fs.exists(jpath(f"{vec_root}/cell_id={c}"))
     ]
     if not dirs:
-        return probe, spark.read.parquet(vec_root).limit(0)
+        empty = spark.createDataFrame(
+            [], "vec_id long, v array<double>, cell_id int"
+        )
+        return probe, empty, 0
     pruned = spark.read.option("basePath", vec_root).parquet(*dirs)
-    return probe, pruned
+    return probe, pruned, len(dirs)
 
 
 def search_ivf_index(
@@ -573,7 +581,7 @@ def search_ivf_index(
 
     from ..functions.vector import dot, l2_norm
 
-    probe, corpus = _probe_vectors(spark, path, queries, nprobe)
+    probe, corpus, _ = _probe_vectors(spark, path, queries, nprobe)
     cand = corpus.join(F.broadcast(probe), "cell_id")
     if exclude_self:
         cand = cand.filter(F.col("vec_id") != F.col("qid"))
@@ -591,12 +599,20 @@ def ivf_scan_fraction(
     spark: SparkSession, path: str, queries: DataFrame, nprobe: int
 ) -> dict:
     """Observability: how much of the index a search would read —
-    (files_read, files_total). The partition-pruning receipt."""
-    _, pruned = _probe_vectors(spark, path, queries, nprobe)
-    total = spark.read.parquet(f"{path}/vectors")
+    (files_read, files_total). The partition-pruning receipt. When no
+    probed cell directory exists the search reads NOTHING —
+    files_read is 0, not the schema-reader's full listing (ADVICE
+    r11: the receipt used to invert in exactly the degenerate case)."""
+    from pyspark.errors import AnalysisException
+
+    _, pruned, n_dirs = _probe_vectors(spark, path, queries, nprobe)
+    try:
+        files_total = len(spark.read.parquet(f"{path}/vectors").inputFiles())
+    except AnalysisException:  # fully-empty vectors root: nothing stored
+        files_total = 0
     return {
-        "files_read": len(pruned.inputFiles()),
-        "files_total": len(total.inputFiles()),
+        "files_read": 0 if n_dirs == 0 else len(pruned.inputFiles()),
+        "files_total": files_total,
     }
 
 

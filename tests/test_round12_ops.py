@@ -264,3 +264,175 @@ class TestBucketRankedSingleScan:
         assert out2.count() == n
         cache.begin_plan()
         assert cache._PINS == []
+
+
+class TestCas409Classification:
+    """ADVICE r11 (low): a bare HTTP 409 was read as a lost CAS race
+    regardless of Error.Code — but S3-compatible stores reuse 409 for
+    unrelated conflicts (OperationAborted, directory-bucket conflicts)
+    that are infrastructure errors. 409 maps to LockConflict ONLY when
+    the code is ConditionalRequestConflict or absent."""
+
+    boto3 = pytest.importorskip("boto3")
+
+    def _stubbed_s3(self):
+        import boto3
+        from botocore.stub import Stubber
+
+        client = boto3.client(
+            "s3",
+            region_name="us-east-1",
+            aws_access_key_id="x",
+            aws_secret_access_key="y",
+        )
+        return client, Stubber(client)
+
+    def _acquire(self, client):
+        from imitation_learning_data_pipeline_spark.pipeline.locks import (
+            s3_cas_backend,
+        )
+
+        b = s3_cas_backend("bkt", client=client)
+        b.acquire(None, None, None, "/tbl/_lock", "op", None)
+
+    def test_409_conditional_request_conflict_is_lock_conflict(self):
+        from imitation_learning_data_pipeline_spark.pipeline.locks import (
+            LockConflict,
+        )
+
+        client, stub = self._stubbed_s3()
+        stub.add_client_error(
+            "put_object",
+            service_error_code="ConditionalRequestConflict",
+            service_message="A conflicting conditional operation is in progress",
+            http_status_code=409,
+        )
+        with stub:
+            with pytest.raises(LockConflict):
+                self._acquire(client)
+
+    def test_409_other_code_propagates(self):
+        from botocore.exceptions import ClientError
+
+        client, stub = self._stubbed_s3()
+        stub.add_client_error(
+            "put_object",
+            service_error_code="OperationAborted",
+            service_message="A conflicting operation is in progress against this resource",
+            http_status_code=409,
+        )
+        with stub:
+            with pytest.raises(ClientError):
+                self._acquire(client)
+
+    def test_bare_409_no_code_is_lock_conflict(self):
+        """Some S3-compatible stores answer a naked 409 with no
+        Error.Code on a lost conditional write — still contention."""
+        from imitation_learning_data_pipeline_spark.pipeline.locks import (
+            LockConflict,
+            _is_conditional_failure,
+        )
+
+        class Bare409(Exception):
+            response = {"Error": {}, "ResponseMetadata": {"HTTPStatusCode": 409}}
+
+        assert _is_conditional_failure(Bare409())
+
+        class Coded409(Exception):
+            response = {
+                "Error": {"Code": "BucketAlreadyOwnedByYou"},
+                "ResponseMetadata": {"HTTPStatusCode": 409},
+            }
+
+        assert not _is_conditional_failure(Coded409())
+        assert LockConflict is not None
+
+
+class TestShardTmpAttemptUnique:
+    """ADVICE r11 (low): shard .tmp names embed the task attempt id so
+    a speculative/retried attempt can never interleave bytes into
+    another attempt's tmp before the atomic rename."""
+
+    def test_tfrecord_final_names_and_no_tmp_residue(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.tfrecord import (
+            export_tfrecord,
+        )
+
+        df = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(40)], "doc_id long, text string"
+        )
+        out = str(tmp_path / "tfr")
+        rep = export_tfrecord(df, out, n_shards=4, id_col="doc_id")
+        names = sorted(os.listdir(out))
+        assert names == [f"shard-{r['shard']:05d}.tfrecord" for r in rep]
+        assert not any(".tmp" in n for n in names)
+
+    def test_webdataset_final_names_and_no_tmp_residue(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.webdataset import (
+            export_webdataset,
+        )
+
+        df = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(40)], "doc_id long, text string"
+        )
+        out = str(tmp_path / "wds")
+        rep = export_webdataset(df, out, n_shards=4, id_col="doc_id")
+        names = sorted(os.listdir(out))
+        assert names == [f"shard-{r['shard']:06d}.tar" for r in rep]
+        assert not any(".tmp" in n for n in names)
+
+
+class TestIvfScanFractionDegenerate:
+    def test_no_probed_cells_reports_zero_files_read(self, spark, tmp_path):
+        """ADVICE r11 (low): when every probed cell directory is
+        absent, the search reads nothing — the pruning receipt must say
+        files_read=0, not files_read == files_total (the schema
+        reader's inputFiles())."""
+        import numpy as np
+
+        from imitation_learning_data_pipeline_spark.plans.mllib_ops import (
+            ivf_scan_fraction,
+            search_ivf_index,
+            write_ivf_index,
+        )
+
+        rng = np.random.default_rng(7)
+        rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(60)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        path = str(tmp_path / "ivf")
+        write_ivf_index(emb, path, k=4)
+        # delete EVERY cell directory: the index exists but no probed
+        # cell can resolve — the degenerate case the receipt inverted on
+        import shutil
+
+        vec_root = os.path.join(path, "vectors")
+        for d in os.listdir(vec_root):
+            if d.startswith("cell_id="):
+                shutil.rmtree(os.path.join(vec_root, d))
+        q = spark.createDataFrame(rows[:3], "qid long, v array<double>")
+        frac = ivf_scan_fraction(spark, path, q, nprobe=2)
+        assert frac["files_read"] == 0
+        assert frac["files_total"] == 0  # nothing left on disk either
+        # and the search itself returns an empty, well-formed frame
+        out = search_ivf_index(spark, path, q, nprobe=2, k_neighbors=3)
+        assert out.count() == 0
+        assert set(out.columns) == {"qid", "rnk", "vec_id", "cos_sim"}
+
+    def test_partial_cells_still_counts_pruned_files(self, spark, tmp_path):
+        """Receipt sanity on the normal path: probing a subset reads a
+        strict subset of the files."""
+        import numpy as np
+
+        from imitation_learning_data_pipeline_spark.plans.mllib_ops import (
+            ivf_scan_fraction,
+            write_ivf_index,
+        )
+
+        rng = np.random.default_rng(11)
+        rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(200)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        path = str(tmp_path / "ivf2")
+        write_ivf_index(emb, path, k=8)
+        q = spark.createDataFrame(rows[:1], "qid long, v array<double>")
+        frac = ivf_scan_fraction(spark, path, q, nprobe=1)
+        assert 0 < frac["files_read"] < frac["files_total"]
