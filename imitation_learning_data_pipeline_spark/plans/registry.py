@@ -188,6 +188,14 @@ CONTRACT_FIRST: list[str] = [
     # (round-5: text_sentence_stats / text_langid / asof_join_last_click /
     # window_frame_suite / window_group_order_suite moved to
     # CONTRACT_EXCLUDE after 2+ green rounds.)
+    # Round-12 rotation (proxy-drift cadence, r11 verdict item 5): the
+    # r5 parks are the oldest never-re-rotated group;
+    # window_frame_suite rotates BACK for a fresh direct row (its
+    # frame-running aggregates haven't been driver-checked since r4),
+    # funded by parking join_semi_active_customers (green r1-r11,
+    # eleven rounds, no parked dependents) behind
+    # join_anti_orphan_parts (see CONTRACT_EXCLUDE).
+    "window_frame_suite",
     # Round-7 addition #3 (this session): the Gopher quality-rule set —
     # new operators go straight into the contract; funded by parking
     # text_quality_score behind it (same family, strict superset of the
@@ -266,12 +274,19 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     "topk_orders": "q3_shipping_priority (same sort+limit)",
     "streaming_event_counts": "streaming_session_window (same machinery)",
     "ann_lsh_buckets": "ann_lsh_topk (bucketing is its first stage)",
-    # round-5 rotation: the two merged window suites park behind their
-    # granular components, which now hold direct CORRECTNESS rows (the
-    # suites' only extra surface is the union glue; their frame-running
-    # aggregates are window_running_sum's retained shape).
-    "window_frame_suite": "window_reindex + window_rank_ntile + "
-    "window_running_sum (the suite unions exactly these shapes)",
+    # (round-12: window_frame_suite rotated BACK into the contract —
+    # proxy-drift cadence, oldest never-re-rotated r5 park; its r5 park
+    # entry is removed.)
+    # round-12 rotation: funds window_frame_suite's return slot. Green
+    # r1-r11 (eleven rounds), no parked dependents; LeftSemi is the
+    # complement of the LeftAnti key-membership machinery that
+    # join_anti_orphan_parts keeps under a direct contract row (both
+    # are broadcast key-membership joins over the same dim tables),
+    # and the semi-join row stays hash-checked in check_contract --all.
+    "join_semi_active_customers": "join_anti_orphan_parts (same "
+    "broadcast key-membership join machinery; LeftSemi is the "
+    "complement of the retained LeftAnti shape) + check_contract "
+    "--all row",
     "window_group_order_suite": "window_lag_monotonic + window_first_last "
     "(the suite unions exactly these shapes)",
     # round-3 rotation: twice-green queries parked behind named proxies
