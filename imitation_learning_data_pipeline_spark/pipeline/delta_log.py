@@ -193,3 +193,188 @@ def read_delta_snapshot(spark: SparkSession, path: str) -> dict:
                 config = dict(action["metaData"].get("configuration") or {})
         last_version = ver
     return {"files": files, "configuration": config, "version": last_version}
+
+
+# --- writer twin (r11 verdict item 6) ---------------------------------------
+#
+# The inverse of the replay above: emit `_delta_log/NNN.json` add/remove
+# actions from the repo's OWN manifest state, so a Delta-reading engine
+# (Spark+delta-spark, Trino, DuckDB delta_scan, ...) can consume
+# repo-maintained parquet tables, and the replay bridge gets a
+# bidirectional roundtrip that runs WITHOUT delta-spark. Only the
+# actions the protocol REQUIRES for a readable table are written
+# (protocol, metaData with schemaString/partitionColumns, add, remove);
+# no checkpoints — the reader-side checkpoint interval is a consumer
+# optimization, and every commit here is a small JSON tail.
+
+
+def _partition_values(rel: str) -> dict:
+    """Hive `key=value` path segments → Delta partitionValues (values
+    stay URI-encoded in the path but are stored decoded, per spec)."""
+    vals = {}
+    for seg in rel.split("/")[:-1]:
+        if "=" in seg and not seg.startswith(("_", ".")):
+            k, _, v = seg.partition("=")
+            vals[k] = unquote(v)
+    return vals
+
+
+def write_delta_commit(
+    spark: SparkSession,
+    path: str,
+    add: list[tuple[str, int]],
+    remove: list[str],
+    schema_json: str | None = None,
+    configuration: dict | None = None,
+    table_id: str | None = None,
+) -> int:
+    """Append the NEXT transaction-log commit for ``path``.
+
+    Version 0 (a log bootstrap) additionally writes the required
+    ``protocol`` and ``metaData`` actions; ``schema_json`` (a Spark
+    ``StructType.json()`` string) is required then — for later commits
+    the existing metaData stands. The commit file lands via
+    create-exclusive (the local/HDFS put-if-absent the Delta protocol
+    itself relies on), under the table maintenance lock — same
+    single-writer discipline as every other commit path in this repo.
+    Returns the committed version.
+    """
+    import time
+    import uuid
+
+    from .compact import _acquire_lock, _release_table_lock
+
+    path = path.rstrip("/")
+    fs, _ = _fs(spark, path)
+    jpath = _jvm_path(spark)
+    log = _log_dir(path)
+    _acquire_lock(spark, fs, jpath, path, "delta-log-commit")
+    try:
+        if fs.exists(jpath(log)):
+            snap = read_delta_snapshot(spark, path)
+            version = snap["version"] + 1
+        else:
+            fs.mkdirs(jpath(log))
+            version = 0
+        now_ms = int(time.time() * 1000)
+        lines = []
+        if version == 0:
+            if not schema_json:
+                raise ValueError(
+                    "write_delta_commit: bootstrapping a log (version 0) "
+                    "requires schema_json (StructType.json() of the table)"
+                )
+            part_cols = sorted(
+                {k for rel, _b in add for k in _partition_values(rel)}
+            )
+            lines.append(
+                json.dumps(
+                    {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+                )
+            )
+            lines.append(
+                json.dumps(
+                    {
+                        "metaData": {
+                            "id": table_id or str(uuid.uuid4()),
+                            "format": {"provider": "parquet", "options": {}},
+                            "schemaString": schema_json,
+                            "partitionColumns": part_cols,
+                            "configuration": dict(configuration or {}),
+                            "createdTime": now_ms,
+                        }
+                    }
+                )
+            )
+        for rel in sorted(remove):
+            lines.append(
+                json.dumps(
+                    {
+                        "remove": {
+                            "path": rel,
+                            "deletionTimestamp": now_ms,
+                            "dataChange": True,
+                        }
+                    }
+                )
+            )
+        for rel, size in sorted(add):
+            lines.append(
+                json.dumps(
+                    {
+                        "add": {
+                            "path": rel,
+                            "partitionValues": _partition_values(rel),
+                            "size": int(size),
+                            "modificationTime": now_ms,
+                            "dataChange": True,
+                        }
+                    }
+                )
+            )
+        payload = ("\n".join(lines) + "\n").encode("utf-8")
+        dst = jpath(f"{log}/{version:020d}.json")
+        # create-exclusive = the protocol's put-if-absent commit point
+        stream = fs.create(dst, False)
+        try:
+            stream.write(bytearray(payload))
+        finally:
+            stream.close()
+        return version
+    finally:
+        _release_table_lock(fs, jpath, path)
+
+
+def sync_delta_log_from_manifest(spark: SparkSession, path: str) -> dict:
+    """Converge ``path``'s Delta log to the repo manifest's live file
+    set in ONE commit: adds for manifest files the log doesn't know,
+    removes (tombstones) for logged files the manifest dropped. Call
+    after any repo maintenance commit (merge/compact/insert/delete) to
+    keep external Delta readers current — O(manifest) driver-side diff,
+    no relisting, no data movement. Returns
+    ``{"version", "n_add", "n_remove", "changed"}`` (version is the
+    last committed one when nothing changed)."""
+    from .manifest import has_manifest, read_manifest_entries
+
+    path = path.rstrip("/")
+    if not has_manifest(spark, path):
+        raise ValueError(
+            f"sync_delta_log_from_manifest: {path} has no _manifest — "
+            "bootstrap with write_manifest() first (the manifest is the "
+            "live-set source of truth this sync reads)"
+        )
+    manifest = read_manifest_entries(spark, path)
+    live = {rel: int(b) for rel, b in manifest["files"]}
+    fs, _ = _fs(spark, path)
+    if fs.exists(_jvm_path(spark)(_log_dir(path))):
+        snap = read_delta_snapshot(spark, path)
+        logged = {rel: meta["size"] for rel, meta in snap["files"].items()}
+        last_version = snap["version"]
+    else:
+        logged, last_version = {}, -1
+    add = sorted(
+        (rel, b) for rel, b in live.items()
+        if rel not in logged or logged[rel] != b
+    )
+    remove = sorted(rel for rel in logged if rel not in live)
+    if not add and not remove:
+        return {
+            "version": last_version, "n_add": 0, "n_remove": 0,
+            "changed": False,
+        }
+    schema_json = None
+    if last_version < 0:
+        if not live:
+            raise ValueError(
+                "sync_delta_log_from_manifest: empty manifest and no "
+                "existing log — nothing to derive a schema from"
+            )
+        first = sorted(live)[0]
+        schema_json = spark.read.parquet(f"{path}/{first}").schema.json()
+    version = write_delta_commit(
+        spark, path, add=add, remove=remove, schema_json=schema_json
+    )
+    return {
+        "version": version, "n_add": len(add), "n_remove": len(remove),
+        "changed": True,
+    }

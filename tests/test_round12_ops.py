@@ -436,3 +436,169 @@ class TestIvfScanFractionDegenerate:
         q = spark.createDataFrame(rows[:1], "qid long, v array<double>")
         frac = ivf_scan_fraction(spark, path, q, nprobe=1)
         assert 0 < frac["files_read"] < frac["files_total"]
+
+
+class TestDeltaLogWriter:
+    """r11 verdict item 6: the repo can already REPLAY a Delta log; the
+    writer twin emits `_delta_log/NNN.json` add/remove actions from the
+    repo's own manifest, so a Delta-reading engine can consume
+    repo-maintained tables — and the bridge gets a bidirectional
+    roundtrip that runs WITHOUT delta-spark."""
+
+    def _mk_table(self, spark, p, n=40):
+        df = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(n)], "id long, s string"
+        )
+        df.repartition(3).write.mode("overwrite").parquet(p)
+
+    def _manifest_live(self, spark, p):
+        from imitation_learning_data_pipeline_spark.pipeline.manifest import (
+            read_manifest_entries,
+        )
+
+        return {rel: int(b) for rel, b in read_manifest_entries(spark, p)["files"]}
+
+    def test_bootstrap_sync_replays_to_manifest_live_set(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.delta_log import (
+            read_delta_snapshot,
+            sync_delta_log_from_manifest,
+        )
+        from imitation_learning_data_pipeline_spark.pipeline.manifest import (
+            write_manifest,
+        )
+
+        p = str(tmp_path / "t1")
+        self._mk_table(spark, p)
+        write_manifest(spark, p)
+        out = sync_delta_log_from_manifest(spark, p)
+        assert out["changed"] and out["version"] == 0 and out["n_remove"] == 0
+        snap = read_delta_snapshot(spark, p)
+        assert snap["version"] == 0
+        assert {r: m["size"] for r, m in snap["files"].items()} == (
+            self._manifest_live(spark, p)
+        )
+        assert not any(m["dv"] for m in snap["files"].values())
+        # idempotent: a second sync commits nothing
+        again = sync_delta_log_from_manifest(spark, p)
+        assert again == {
+            "version": 0, "n_add": 0, "n_remove": 0, "changed": False
+        }
+
+    def test_maintenance_delta_emits_tombstones_and_adds(self, spark, tmp_path):
+        import glob
+
+        from imitation_learning_data_pipeline_spark.pipeline.delta_log import (
+            read_delta_snapshot,
+            sync_delta_log_from_manifest,
+        )
+        from imitation_learning_data_pipeline_spark.pipeline.manifest import (
+            write_manifest,
+        )
+
+        p = str(tmp_path / "t2")
+        self._mk_table(spark, p)
+        write_manifest(spark, p)
+        sync_delta_log_from_manifest(spark, p)
+        before = self._manifest_live(spark, p)
+        # a maintenance-style rewrite: one live file leaves, new ones land
+        gone = sorted(before)[0]
+        os.remove(os.path.join(p, gone))
+        spark.createDataFrame(
+            [(100 + i, f"n{i}") for i in range(10)], "id long, s string"
+        ).coalesce(1).write.mode("append").parquet(p)
+        write_manifest(spark, p)  # wholesale refresh = the compact path
+        after = self._manifest_live(spark, p)
+        assert gone not in after and set(after) != set(before)
+        out = sync_delta_log_from_manifest(spark, p)
+        assert out["changed"] and out["version"] == 1
+        assert out["n_remove"] == 1 and out["n_add"] >= 1
+        snap = read_delta_snapshot(spark, p)
+        assert snap["version"] == 1
+        assert {r: m["size"] for r, m in snap["files"].items()} == after
+        # the tombstone is a real remove action in the commit JSON
+        commit1 = os.path.join(p, "_delta_log", f"{1:020d}.json")
+        actions = [
+            json.loads(line) for line in open(commit1) if line.strip()
+        ]
+        removes = [a["remove"]["path"] for a in actions if "remove" in a]
+        assert removes == [gone]
+
+    def test_partitioned_table_partition_columns_and_values(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.delta_log import (
+            read_delta_snapshot,
+            sync_delta_log_from_manifest,
+        )
+        from imitation_learning_data_pipeline_spark.pipeline.manifest import (
+            write_manifest,
+        )
+
+        p = str(tmp_path / "t3")
+        df = spark.createDataFrame(
+            [(i, "train" if i % 2 else "val") for i in range(20)],
+            "id long, split string",
+        )
+        df.write.mode("overwrite").partitionBy("split").parquet(p)
+        write_manifest(spark, p)
+        sync_delta_log_from_manifest(spark, p)
+        snap = read_delta_snapshot(spark, p)
+        assert {r: m["size"] for r, m in snap["files"].items()} == (
+            self._manifest_live(spark, p)
+        )
+        commit0 = os.path.join(p, "_delta_log", f"{0:020d}.json")
+        actions = [json.loads(line) for line in open(commit0) if line.strip()]
+        meta = [a["metaData"] for a in actions if "metaData" in a][0]
+        assert meta["partitionColumns"] == ["split"]
+        assert json.loads(meta["schemaString"])["type"] == "struct"
+        adds = [a["add"] for a in actions if "add" in a]
+        assert adds and all(
+            a["partitionValues"].get("split") in ("train", "val") for a in adds
+        )
+
+    def test_commit_is_create_exclusive(self, spark, tmp_path):
+        """A concurrent writer that lost the race cannot overwrite a
+        committed version — the create-exclusive put-if-absent the Delta
+        protocol itself relies on."""
+        from imitation_learning_data_pipeline_spark.pipeline.delta_log import (
+            write_delta_commit,
+        )
+        from imitation_learning_data_pipeline_spark.pipeline.manifest import (
+            write_manifest,
+        )
+        from imitation_learning_data_pipeline_spark.pipeline.delta_log import (
+            sync_delta_log_from_manifest,
+        )
+
+        import imitation_learning_data_pipeline_spark.pipeline.delta_log as DL
+
+        p = str(tmp_path / "t4")
+        self._mk_table(spark, p, n=10)
+        write_manifest(spark, p)
+        sync_delta_log_from_manifest(spark, p)
+        # simulate an external writer racing us: OUR writer believes the
+        # log is still at version -1 (stale read), so it targets version
+        # 0 — which already exists. create-exclusive must refuse, never
+        # overwrite the committed file.
+        committed = os.path.join(p, "_delta_log", f"{0:020d}.json")
+        before = open(committed).read()
+        with pytest.MonkeyPatch.context() as mp:
+            mp.setattr(
+                DL,
+                "read_delta_snapshot",
+                lambda *a, **k: {"files": {}, "configuration": {}, "version": -1},
+            )
+            with pytest.raises(Exception):
+                write_delta_commit(
+                    spark, p, add=[("x.parquet", 1)], remove=[],
+                    schema_json='{"type":"struct","fields":[]}',
+                )
+        assert open(committed).read() == before
+
+    def test_requires_manifest(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.delta_log import (
+            sync_delta_log_from_manifest,
+        )
+
+        p = str(tmp_path / "t5")
+        self._mk_table(spark, p, n=5)
+        with pytest.raises(ValueError, match="no _manifest"):
+            sync_delta_log_from_manifest(spark, p)
