@@ -82,6 +82,12 @@ HEADLINE = [
     # just its stages — has a regression surface. Subtract it (or
     # compare per-query) for like-for-like totals vs r10.
     "pipeline_curation_full",
+    # Round 12 adds ONE entry (r11 verdict item 8): the 9-stage
+    # PRODUCTION funnel shape — the same composed chain plus the
+    # opt-in decontam stage (r11) — so the full chain a deployment
+    # runs has a regression surface. Subtract it (or compare
+    # per-query) for like-for-like totals vs r11.
+    "pipeline_curation_decontam",
 ]
 
 

@@ -512,3 +512,65 @@ def pipeline_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register("pipeline_curation_decontam")
+def pipeline_curation_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 9-stage PRODUCTION funnel shape (r11 verdict item 8): the
+    full composed chain of :func:`pipeline_curation_full` PLUS the
+    opt-in ``decontam`` stage (added r11, previously benched only as a
+    standalone plan) — gopher → blocklist → pii → rewrite → decontam →
+    dedup → neardup → classify → sample as ONE lazy plan, so the
+    complete chain a deployment actually runs has its own regression
+    surface in bench/SCALING.
+
+    The "benchmark suite" probe is a deterministic seeded 2% slice of
+    the documents table (md5 unit-interval on doc_id — a pure row
+    function, so the query is reproducible), run through the DEFAULT
+    exact distinct-5-gram overlap decontam (broadcast probe shingle
+    set, map-side corpus join — dedup.decontam_overlap). Rows-only by
+    nature, like the 8-stage row."""
+    from ..functions.hashing import md5_unit_interval
+    from ..functions.text import clean_words
+    from ..sources.readers import spread
+    from .quality_model import train_quality_classifier
+
+    ensure_utc(spark)
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "text"
+    )
+    probe = docs.filter(
+        md5_unit_interval("doc_id", seed="bench-probe") < 0.02
+    ).select("doc_id", "text")
+    sample = docs.filter(md5_unit_interval("doc_id", seed="qfull") < 0.2)
+    labeled = sample.select(
+        "doc_id",
+        "text",
+        (F.size(clean_words("text")) >= 30).cast("int").alias("label"),
+    )
+    model = train_quality_classifier(labeled)
+    curated, _ = curation_funnel(
+        docs.select("doc_id", "text"),
+        stages=(
+            "gopher", "blocklist", "pii", "rewrite", "decontam",
+            "dedup", "neardup", "classify", "sample",
+        ),
+        min_required_stopwords=1,
+        report=False,
+        blockwords=["dup"],
+        quality_model_path=model,
+        decontam_probe=probe,
+    )
+    kept = curated.select(
+        "doc_id", F.size(clean_words("text")).alias("n_words")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(kept, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("total_words"),
+        )
+        .orderBy("lang")
+    )

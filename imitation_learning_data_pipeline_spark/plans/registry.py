@@ -576,6 +576,17 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     "dedup_minhash_lsh + dedup_remove_spans (each stage's contract "
     "anchor) + check_contract --all rows-only row + pytest funnel "
     "stage tests",
+    # round-12 (r11 verdict item 8): the 9-stage production funnel
+    # shape — pipeline_curation_full PLUS the opt-in decontam stage.
+    # Library-only (cap): every stage holds its own contract anchor
+    # (the 8-stage park above, plus decontam_overlap_spans /
+    # decontam_fuzzy_minhash direct rows for the added stage); the
+    # composed row is benched (bench.py HEADLINE) and rows-only-checked
+    # in --all.
+    "pipeline_curation_decontam": "pipeline_curation_full's anchors + "
+    "decontam_overlap_spans + decontam_fuzzy_minhash (the added "
+    "stage's direct contract rows) + check_contract --all rows-only "
+    "row",
     # round-7: deterministic shuffled shard export. Library-only (cap):
     # its md5→unit-interval assignment is scalar_hash_split's retained
     # family and its rank-within-partition is window_rank_ntile's; the
