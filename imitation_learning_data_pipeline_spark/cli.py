@@ -997,12 +997,25 @@ def cmd_psi(args: argparse.Namespace) -> int:
     if args.baseline and args.against:
         raise SystemExit("psi: pass either --against or --baseline, not both")
     if args.baseline_out:
+        if args.grow:
+            # growth mode (r11 verdict item 9): additive union+sum fold
+            # into the EXISTING baseline — locked, batch-id fenced,
+            # never a reference rescan
+            from .plans.monitor import fold_drift_baseline
+
+            out = fold_drift_baseline(
+                load(args.input), args.baseline_out, batch_id=args.batch_id
+            )
+            print(json.dumps({"baseline": args.baseline_out, **out}))
+            return 0
         # build mode: persist the reference population once
         write_drift_baseline(
             load(args.input), args.baseline_out, n_buckets=args.buckets
         )
         print(json.dumps({"baseline": args.baseline_out, "buckets": args.buckets}))
         return 0
+    if args.grow:
+        raise SystemExit("psi: --grow needs --baseline-out (the store to fold into)")
     if args.baseline:
         out = psi_against_baseline(
             load(args.input), read_drift_baseline(spark, args.baseline)
@@ -2464,6 +2477,20 @@ def build_parser() -> argparse.ArgumentParser:
         "--baseline",
         default=None,
         help="audit --input against this persisted baseline store",
+    )
+    dft.add_argument(
+        "--grow",
+        action="store_true",
+        help="with --baseline-out: FOLD --input's counts into the "
+        "existing baseline (additive union+sum, locked + batch-id "
+        "fenced) instead of overwriting it",
+    )
+    dft.add_argument(
+        "--batch-id",
+        type=int,
+        default=None,
+        help="monotonic replay fence for --grow (a batch <= the "
+        "baseline's watermark is a no-op)",
     )
     dft.add_argument("--score-col", default="score")
     dft.add_argument("--text-col", default="text")

@@ -81,6 +81,54 @@ def _rm(fs, jvm_path_cls, path_str: str) -> None:
         fs.delete(p, True)
 
 
+# --- staged-swap commit: the shared small-store discipline ------------------
+#
+# Several tiny persisted stores (HLL registers, the PSI drift baseline)
+# are rewritten WHOLE on every fold. The crash-safe commit for that
+# shape: stage the new store to a sibling tmp dir, land a sibling
+# journal file atomically (the commit point), drop the old dir, rename
+# the staged dir in, clear the journal. Callers run the sequence under
+# the table maintenance lock.
+
+
+def _staged_swap_write_journal(fs, jvm_path_cls, pending: str) -> None:
+    """Atomically land the commit-point journal (tmp + rename)."""
+    jtmp = jvm_path_cls(f"{pending}.tmp")
+    stream = fs.create(jtmp, True)
+    stream.write(bytearray(b"{}"))
+    stream.close()
+    if not fs.rename(jtmp, jvm_path_cls(pending)):
+        raise IOError(f"staged swap: could not commit journal at {pending}")
+
+
+def _staged_swap_in(fs, jvm_path_cls, path: str, tmp: str) -> None:
+    """Swap the staged store in: drop the old dir, rename staged in."""
+    _rm(fs, jvm_path_cls, path)
+    if not fs.rename(jvm_path_cls(tmp), jvm_path_cls(path)):
+        raise IOError(f"staged swap: could not swap staged store into {path}")
+
+
+def _recover_staged_swap(fs, jvm_path_cls, path: str, tmp: str, pending: str) -> bool:
+    """Complete (or discard) a crashed staged-swap commit. Journal
+    present → the staged dir is the truth, finish the swap; journal
+    absent → pre-journal staging is safe to discard. Idempotent; call
+    under the maintenance lock. Returns True if a journaled commit was
+    finished."""
+    jpend = jvm_path_cls(pending)
+    if not fs.exists(jpend):
+        _rm(fs, jvm_path_cls, tmp)
+        return False
+    if fs.exists(jvm_path_cls(tmp)):
+        _staged_swap_in(fs, jvm_path_cls, path, tmp)
+    elif not fs.exists(jvm_path_cls(path)):
+        raise IOError(
+            f"staged swap: journal {pending} present but neither the "
+            "store nor the staged dir exists — manual inspection required"
+        )
+    fs.delete(jpend, False)
+    return True
+
+
 class ConcurrentMaintenanceError(RuntimeError):
     """Another maintenance op (merge_into / compact) holds this table's
     lock. Two concurrent merges would both list the same live files,

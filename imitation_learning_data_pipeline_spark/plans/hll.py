@@ -201,23 +201,12 @@ def _hll_recover(spark: SparkSession, fs, jvm_path, path: str) -> bool:
     ``<path>__hll_tmp`` is the truth, finish the swap; journal absent →
     pre-journal staging is safe to discard. Idempotent; call under the
     maintenance lock. Returns True if a journaled commit was finished."""
-    from ..pipeline.compact import _rm
+    from ..pipeline.compact import _recover_staged_swap
 
-    tmp, pending = f"{path}__hll_tmp", f"{path}{_HLL_PENDING}"
-    jpend = jvm_path(pending)
-    if not fs.exists(jpend):
-        _rm(fs, jvm_path, tmp)
-        return False
-    if fs.exists(jvm_path(tmp)):
-        # staged dir holds the FULL merged store (fence meta included)
-        _hll_swap_in(fs, jvm_path, path, tmp)
-    elif not fs.exists(jvm_path(path)):
-        raise IOError(
-            f"hll store: journal {pending} present but neither the store "
-            "nor the staged dir exists — manual inspection required"
-        )
-    fs.delete(jpend, False)
-    return True
+    # staged dir holds the FULL merged store (fence meta included)
+    return _recover_staged_swap(
+        fs, jvm_path, path, f"{path}__hll_tmp", f"{path}{_HLL_PENDING}"
+    )
 
 
 def recover_hll_store(
@@ -357,23 +346,19 @@ def fold_into_hll_store(
         _release_table_lock(fs, jvm_path, path)
 
 
+# Module-level seams (crash-injection tests monkeypatch these by name);
+# the discipline itself lives in pipeline.compact's staged-swap helpers
+# and is shared with the PSI drift-baseline fold (plans/monitor.py).
 def _hll_write_journal(fs, jvm_path, pending: str) -> None:
-    """Atomically land the commit-point journal (tmp + rename)."""
-    jtmp = jvm_path(f"{pending}.tmp")
-    stream = fs.create(jtmp, True)
-    stream.write(bytearray(b"{}"))
-    stream.close()
-    if not fs.rename(jtmp, jvm_path(pending)):
-        raise IOError(f"hll fold: could not commit journal at {pending}")
+    from ..pipeline.compact import _staged_swap_write_journal
+
+    _staged_swap_write_journal(fs, jvm_path, pending)
 
 
 def _hll_swap_in(fs, jvm_path, path: str, tmp: str) -> None:
-    """Swap the staged store in: drop the old dir, rename staged in."""
-    from ..pipeline.compact import _rm
+    from ..pipeline.compact import _staged_swap_in
 
-    _rm(fs, jvm_path, path)
-    if not fs.rename(jvm_path(tmp), jvm_path(path)):
-        raise IOError(f"hll fold: could not swap staged store into {path}")
+    _staged_swap_in(fs, jvm_path, path, tmp)
 
 
 def hll_union_datasketches(frames: list[DataFrame], col: str) -> DataFrame:

@@ -231,3 +231,106 @@ def psi_against_baseline(
         )
         .orderBy("bucket")
     )
+
+
+_PSI_META = "__psi_meta.json"  # inside the baseline dir — travels with the swap
+_PSI_PENDING = "__psi_pending.json"  # SIBLING of the baseline dir
+
+
+def _psi_meta(spark: SparkSession, path: str) -> dict:
+    import json as _json
+
+    from ..pipeline.compact import _fs
+
+    fs, _ = _fs(spark, path)
+    jvm_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    jp = jvm_path(f"{path}/{_PSI_META}")
+    if not fs.exists(jp):
+        return {}
+    stream = fs.open(jp)
+    raw = bytes(
+        spark.sparkContext._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+    )
+    stream.close()
+    return _json.loads(raw.decode())
+
+
+def fold_drift_baseline(
+    batch: DataFrame,
+    path: str,
+    score_col: str = "score",
+    batch_id: int | None = None,
+    stale_lock_s: float | None = None,
+) -> dict:
+    """GROW a persisted drift baseline with a new reference batch —
+    counts are additive, so the fold is bucket-counts(batch) + the
+    stored B rows, never a reference rescan (the write_drift_baseline
+    contract made concrete; r11 verdict item 9).
+
+    Same single-writer discipline as the HLL register fold (the shared
+    ``pipeline.compact`` staged-swap helpers): maintenance lock around
+    read→sum→write, a monotonic ``batch_id`` fence in ``__psi_meta.json``
+    (a replayed fold is a NO-OP — counts are sums, so an unfenced
+    orchestrator retry would double-count the batch, unlike the
+    max-merge registers), and a journaled staged-dir swap so a crash
+    anywhere converges. Returns ``{"folded": bool}``.
+    """
+    import json as _json
+
+    from ..pipeline.compact import (
+        _acquire_lock,
+        _fs,
+        _recover_staged_swap,
+        _release_table_lock,
+        _rm,
+        _staged_swap_in,
+        _staged_swap_write_journal,
+    )
+
+    spark = batch.sparkSession
+    path = path.rstrip("/")
+    fs, _ = _fs(spark, path)
+    jvm_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    tmp, pending = f"{path}__psi_tmp", f"{path}{_PSI_PENDING}"
+    _acquire_lock(spark, fs, jvm_path, path, "psi-fold", stale_lock_s)
+    try:
+        _recover_staged_swap(fs, jvm_path, path, tmp, pending)
+        if not fs.exists(jvm_path(path)):
+            raise ValueError(
+                f"fold_drift_baseline: no baseline at {path} — bootstrap "
+                "with write_drift_baseline first (growing an absent "
+                "store would silently found the baseline on one batch)"
+            )
+        meta = _psi_meta(spark, path)
+        last = meta.get("last_batch")
+        if batch_id is not None and last is not None and int(batch_id) <= int(last):
+            return {"folded": False}
+        baseline = read_drift_baseline(spark, path)
+        if set(baseline.columns) != {"bucket", "n"}:
+            raise ValueError(
+                f"fold_drift_baseline: {path} is not a drift baseline "
+                f"(columns {baseline.columns}) — refusing to overwrite it"
+            )
+        n_buckets = baseline.count()
+        grown = (
+            baseline.unionByName(drift_bucket_counts(batch, score_col, n_buckets))
+            .groupBy("bucket")
+            .agg(F.sum("n").cast("long").alias("n"))
+        )
+        rows = grown.collect()  # B rows — metadata-sized
+        _rm(fs, jvm_path, tmp)
+        spark.createDataFrame(rows, "bucket int, n long").coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        new_last = last
+        if batch_id is not None:
+            new_last = int(batch_id) if last is None else max(int(batch_id), int(last))
+        stream = fs.create(jvm_path(f"{tmp}/{_PSI_META}"), True)
+        stream.write(bytearray(_json.dumps({"last_batch": new_last}).encode()))
+        stream.close()
+        _staged_swap_write_journal(fs, jvm_path, pending)  # the commit point
+        _staged_swap_in(fs, jvm_path, path, tmp)
+        fs.delete(jvm_path(pending), False)
+        return {"folded": True}
+    finally:
+        _release_table_lock(fs, jvm_path, path)

@@ -602,3 +602,130 @@ class TestDeltaLogWriter:
         self._mk_table(spark, p, n=5)
         with pytest.raises(ValueError, match="no _manifest"):
             sync_delta_log_from_manifest(spark, p)
+
+
+class TestPsiBaselineGrowthGate:
+    """r11 verdict item 9: the baseline → growth → release-gate CLI
+    sequence pinned end to end, plus the new fold_drift_baseline growth
+    path (additive union+sum, locked + fenced + journaled — the shared
+    staged-swap discipline)."""
+
+    def _scores(self, spark, tmp_path, name, values):
+        p = str(tmp_path / name)
+        spark.createDataFrame(
+            [(i, f"doc {i}", float(v)) for i, v in enumerate(values)],
+            "doc_id long, text string, score double",
+        ).write.mode("overwrite").parquet(p)
+        return p
+
+    def test_cli_baseline_grow_gate_sequence(self, spark, tmp_path, capsys):
+        from imitation_learning_data_pipeline_spark.cli import main
+        from imitation_learning_data_pipeline_spark.plans.monitor import (
+            read_drift_baseline,
+        )
+
+        n = 500
+        uniform = [((i % 100) + 0.5) / 100 for i in range(n)]
+        ref1 = self._scores(spark, tmp_path, "ref1", uniform)
+        ref2 = self._scores(spark, tmp_path, "ref2", uniform)
+        cur_ok = self._scores(spark, tmp_path, "cur_ok", uniform)
+        cur_drift = self._scores(
+            spark, tmp_path, "cur_drift", [0.95 + (i % 5) / 100 for i in range(n)]
+        )
+        base = str(tmp_path / "baseline")
+        # 1. bootstrap
+        assert main(["psi", "--input", ref1, "--baseline-out", base]) == 0
+        assert read_drift_baseline(spark, base).agg({"n": "sum"}).collect()[0][0] == n
+        # 2. grow with a second reference batch (fenced)
+        assert main([
+            "psi", "--input", ref2, "--baseline-out", base,
+            "--grow", "--batch-id", "1",
+        ]) == 0
+        grown = read_drift_baseline(spark, base)
+        assert grown.agg({"n": "sum"}).collect()[0][0] == 2 * n
+        # 3. an orchestrator RETRY of the same batch is a no-op — counts
+        # are sums, so an unfenced replay would double-count
+        assert main([
+            "psi", "--input", ref2, "--baseline-out", base,
+            "--grow", "--batch-id", "1",
+        ]) == 0
+        assert read_drift_baseline(spark, base).agg(
+            {"n": "sum"}
+        ).collect()[0][0] == 2 * n
+        out_lines = capsys.readouterr().out.strip().splitlines()
+        assert json.loads(out_lines[-1])["folded"] is False
+        # 4. release-gate over the grown baseline: in-distribution batch
+        # passes, drifted batch fails on the psi check
+        assert main([
+            "release-gate", "--input", cur_ok, "--psi-baseline", base,
+        ]) == 0
+        assert main([
+            "release-gate", "--input", cur_drift, "--psi-baseline", base,
+        ]) == 1
+        last = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert last["pass"] is False and last["checks"]["psi"]["pass"] is False
+
+    def test_grow_requires_existing_baseline(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.plans.monitor import (
+            fold_drift_baseline,
+        )
+
+        batch = spark.createDataFrame(
+            [(1, 0.5)], "doc_id long, score double"
+        )
+        with pytest.raises(ValueError, match="no baseline"):
+            fold_drift_baseline(batch, str(tmp_path / "absent"))
+
+    def test_fold_crash_converges_and_replay_fences(self, spark, tmp_path):
+        """Crash after the journal lands: the next fold completes the
+        staged commit (fence included), so the replayed batch folds
+        exactly once — sums would double-count otherwise."""
+        import imitation_learning_data_pipeline_spark.pipeline.compact as C
+        from imitation_learning_data_pipeline_spark.plans.monitor import (
+            fold_drift_baseline,
+            read_drift_baseline,
+            write_drift_baseline,
+        )
+
+        base = str(tmp_path / "b2")
+        ref = spark.createDataFrame(
+            [(i, (i % 10) / 10 + 0.05) for i in range(100)],
+            "doc_id long, score double",
+        )
+        write_drift_baseline(ref.select("score"), base)
+        batch = spark.createDataFrame(
+            [(i, 0.35) for i in range(50)], "doc_id long, score double"
+        ).select("score")
+        with pytest.MonkeyPatch.context() as mp:
+            def boom(*a, **k):
+                raise RuntimeError("injected crash")
+
+            mp.setattr(C, "_staged_swap_in", boom)
+            with pytest.raises(RuntimeError, match="injected crash"):
+                fold_drift_baseline(batch, base, batch_id=1)
+        assert os.path.exists(base + "__psi_pending.json")
+        out = fold_drift_baseline(batch, base, batch_id=1)
+        assert out == {"folded": False}  # recovery committed batch 1
+        assert not os.path.exists(base + "__psi_pending.json")
+        total = read_drift_baseline(spark, base).agg({"n": "sum"}).collect()[0][0]
+        assert total == 150  # folded exactly once
+
+    def test_concurrent_fold_raises(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.compact import (
+            ConcurrentMaintenanceError,
+        )
+        from imitation_learning_data_pipeline_spark.plans.monitor import (
+            fold_drift_baseline,
+            write_drift_baseline,
+        )
+
+        base = str(tmp_path / "b3")
+        ref = spark.createDataFrame(
+            [(i, (i % 10) / 10 + 0.05) for i in range(50)],
+            "doc_id long, score double",
+        )
+        write_drift_baseline(ref.select("score"), base)
+        with open(base + "__maintenance_lock", "w") as fh:
+            fh.write('{"op": "psi-fold", "pid": 1}')
+        with pytest.raises(ConcurrentMaintenanceError):
+            fold_drift_baseline(ref.select("score"), base, batch_id=1)
