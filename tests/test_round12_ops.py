@@ -729,3 +729,42 @@ class TestPsiBaselineGrowthGate:
             fh.write('{"op": "psi-fold", "pid": 1}')
         with pytest.raises(ConcurrentMaintenanceError):
             fold_drift_baseline(ref.select("score"), base, batch_id=1)
+
+
+class TestNormalizeTextSinglePass:
+    def test_equivalent_to_two_pass_form(self, spark):
+        """r12 scale-sweep fix: normalize_text's one run-matching regex
+        must be byte-identical to the historical two-pass form on
+        adversarial inputs (punctuation runs, boundary junk, unicode,
+        whitespace variants) — the oracles still encode the two-pass
+        SQL, so string equality IS the contract."""
+        from pyspark.sql import functions as F
+
+        from imitation_learning_data_pipeline_spark.functions.text import (
+            normalize_text,
+        )
+
+        cases = [
+            "Hello, World!",
+            "a--b .. c",
+            "  leading and trailing  ",
+            "tabs\tand\nnewlines\r\nmixed",
+            "punct!!!only???",
+            "",
+            "déjà vu — naïve café",
+            "数字123と漢字",
+            "a  b   c    d",
+            "UPPER lower MiXeD 42",
+            "-start and end-",
+        ]
+        df = spark.createDataFrame([(s,) for s in cases], ["text"])
+        two_pass = F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "), " +", " "
+            )
+        )
+        out = df.select(
+            normalize_text("text").alias("new"), two_pass.alias("old")
+        ).collect()
+        for r in out:
+            assert r["new"] == r["old"], (r["new"], r["old"])

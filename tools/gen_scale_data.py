@@ -106,13 +106,58 @@ def main() -> int:
         )
     pq.write_table(pa.concat_tables(reps), f"{args.dst}/events.parquet")
 
-    for t in TABLES:
+    # TPC-H-ish tables (r11 verdict item 4): the relational contract
+    # queries need a REAL 10x to sweep — a symlinked lineitem makes
+    # their measured exponent 0 by construction. Fact/dim tables
+    # replicate with CONSISTENT key shifts (each replica moves
+    # orderkey/custkey/partkey/suppkey into a fresh range in every
+    # table that carries them), so join selectivities and per-key group
+    # sizes are preserved while row counts scale by --factor — the way
+    # TPC-H itself grows with SF. region/nation stay symlinked: they
+    # are fixed-cardinality at EVERY real SF.
+    key_shift = {
+        "orders": {"o_orderkey": None, "o_custkey": None},
+        "lineitem": {"l_orderkey": None, "l_partkey": None, "l_suppkey": None},
+        "customer": {"c_custkey": None},
+        "supplier": {"s_suppkey": None},
+        "part": {"p_partkey": None},
+    }
+    # span per base key = max over EVERY table carrying it (a shift
+    # computed from a referencing table alone could be smaller than the
+    # referenced table's own key domain and make replicas collide)
+    spans: dict[str, int] = {}
+    for t, key_cols in key_shift.items():
+        for col in key_cols:
+            base = col.split("_", 1)[1]  # o_orderkey -> orderkey
+            tbl = pq.read_table(f"{args.src}/{t}.parquet", columns=[col])
+            mx = int(np.max(tbl.column(col).to_numpy())) + 1
+            spans[base] = max(spans.get(base, 0), mx)
+
+    def _span(table: str, col: str) -> int:
+        return spans[col.split("_", 1)[1]]
+
+    for t in ["orders", "lineitem", "customer", "supplier", "part"]:
+        src_t = pq.read_table(f"{args.src}/{t}.parquet")
+        reps = []
+        for r in range(args.factor):
+            cols = {}
+            for name in src_t.column_names:
+                col = src_t.column(name)
+                if name in key_shift[t]:
+                    arr = col.to_numpy() + r * _span(t, name)
+                    cols[name] = pa.array(arr, col.type)
+                else:
+                    cols[name] = col
+            reps.append(pa.table(cols))
+        pq.write_table(pa.concat_tables(reps), f"{args.dst}/{t}.parquet")
+
+    for t in ["region", "nation"]:
         link = f"{args.dst}/{t}.parquet"
         if not os.path.exists(link):
             os.symlink(f"{args.src}/{t}.parquet", link)
     print(
         f"wrote {n_out} docs ({len(vocab)}-word vocab), {m_out} embeddings "
-        f"(dim {dim}) to {args.dst}"
+        f"(dim {dim}), {args.factor}x TPC-H fact tables to {args.dst}"
     )
     return 0
 
