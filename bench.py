@@ -145,7 +145,13 @@ def main() -> int:
     from imitation_learning_data_pipeline_spark.plans import QUERIES
     from imitation_learning_data_pipeline_spark.session import get_spark
 
-    spark = get_spark("bench")
+    # retainedStages must outlast the run: TaskTimeProbe sums over
+    # RETAINED stages, and the default 1000-stage eviction would make
+    # before/after deltas negative once the window rolls mid-query
+    # (seen in the r12 scale sweep on iterative plans).
+    spark = get_spark(
+        "bench", extra_conf={"spark.ui.retainedStages": "1000000"}
+    )
     # Warm the JVM/session so per-query timings measure the queries, and
     # touch lower() once so any residual one-time string-expression init
     # is paid here rather than inside a measured query.

@@ -45,7 +45,49 @@ def main() -> int:
     ap.add_argument("--repeat", type=int, default=2)
     ap.add_argument("--min-cpu-s", type=float, default=0.2)
     ap.add_argument("--out", default=None, help="write the JSON record here too")
+    ap.add_argument(
+        "--isolate",
+        action="store_true",
+        help="run EACH query pair in its own fresh JVM (subprocess) — "
+        "slow but immune to in-session degradation; use to adjudicate "
+        "queries the shared-session sweep flagged (a 50-query session "
+        "accumulates GC/broadcast state that inflated late queries up "
+        "to 8x in the r12 sweep)",
+    )
     args = ap.parse_args()
+
+    if args.isolate:
+        import subprocess
+
+        names = (args.queries or "").split(",") if args.queries else None
+        if not names:
+            raise SystemExit("--isolate needs --queries (the flagged set)")
+        rows = []
+        for name in names:
+            cmd = [
+                sys.executable, os.path.abspath(__file__),
+                "--queries", name, "--small", args.small, "--big", args.big,
+                "--factor", str(args.factor), "--repeat", str(args.repeat),
+                "--min-cpu-s", str(args.min_cpu_s),
+            ]
+            out = subprocess.run(cmd, capture_output=True, text=True)
+            last = [
+                ln for ln in out.stdout.splitlines() if ln.startswith("{")
+            ]
+            if not last:
+                raise SystemExit(f"{name}: no JSON line\n{out.stderr[-2000:]}")
+            rows.extend(json.loads(last[-1])["rows"])
+        record = {
+            "metric": "scale_sweep_exponents_isolated",
+            "factor": args.factor,
+            "n_queries": len(rows),
+            "rows": rows,
+        }
+        print(json.dumps(record), flush=True)
+        if args.out:
+            with open(args.out, "w") as fh:
+                json.dump(record, fh, indent=1)
+        return 0
 
     import __spark_entry__ as entry
     from bench import TaskTimeProbe
@@ -58,7 +100,37 @@ def main() -> int:
     if missing:
         raise SystemExit(f"unknown queries: {missing}")
 
-    spark = get_spark("scale-sweep")
+    # Calibration: a KNOWN-linear plan (md5 over the spread documents
+    # table) measured at both dirs. CPU-time exponents carry a
+    # systematic UP-bias on this box: the small-SF run schedules fewer
+    # concurrent tasks (spread() sizes partitions to input bytes), and
+    # per-row CPU of string/regex work inflates with concurrency
+    # (memory-bandwidth contention — measured up to 8x at 32 vs 3
+    # tasks). The calibration exponent makes that bias visible; the
+    # superlinear flag triggers only ABOVE it.
+    def _calibration(sf_dir: str):
+        from pyspark.sql import functions as F
+
+        from imitation_learning_data_pipeline_spark.sources.readers import (
+            load_table,
+            spread,
+        )
+
+        return spread(load_table(spark, sf_dir, "documents")).select(
+            F.md5(F.encode(F.col("text"), "UTF-8")).alias("h")
+        )
+
+    # retainedStages must outlast the whole sweep: the TaskTimeProbe
+    # sums over RETAINED stages, so the default 1000-stage eviction
+    # makes before/after deltas go NEGATIVE once long multi-job queries
+    # (pagerank iterations, funnels) roll the window mid-measure.
+    spark = get_spark(
+        "scale-sweep",
+        extra_conf={
+            "spark.ui.retainedStages": "1000000",
+            "spark.ui.retainedJobs": "1000000",
+        },
+    )
     spark.range(1000).selectExpr("sum(id)", "max(lower(string(id)))").collect()
     probe = TaskTimeProbe(spark)
 
@@ -74,6 +146,18 @@ def main() -> int:
                 best = cpu
             spark.catalog.clearCache()
         return best if best is not None else cpu
+
+    cal_small = measure(lambda s, d: _calibration(d), args.small)
+    cal_big = measure(lambda s, d: _calibration(d), args.big)
+    cal_exp = math.log(max(cal_big, 1e-3) / max(cal_small, 1e-3)) / math.log(
+        args.factor
+    )
+    print(
+        f"# calibration (known-linear md5 scan): {cal_small:.2f}s -> "
+        f"{cal_big:.2f}s  exp {cal_exp:+.2f}",
+        flush=True,
+    )
+    flag_at = max(1.0, cal_exp) + 0.1
 
     rows = []
     for name in names:
@@ -110,11 +194,13 @@ def main() -> int:
             f"| {r['query']} | {r['cpu_small_s']} | {r['cpu_big_s']} "
             f"| {r['exponent']} | {note} |"
         )
-    over = [r for r in rows if r["exponent"] > 1.0 and not r["tiny"]]
+    over = [r for r in rows if r["exponent"] > flag_at and not r["tiny"]]
     record = {
         "metric": "scale_sweep_exponents",
         "factor": args.factor,
         "n_queries": len(rows),
+        "calibration_exponent": round(cal_exp, 2),
+        "flag_threshold": round(flag_at, 2),
         "n_superlinear": len(over),
         "superlinear": [r["query"] for r in over],
         "rows": rows,
