@@ -1460,6 +1460,38 @@ def cmd_phash(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_delta_log(args: argparse.Namespace) -> int:
+    """Delta transaction-log bridge (pipeline/delta_log.py): --sync
+    converges the table's _delta_log to the repo manifest's live file
+    set (one add/remove commit, so external Delta readers consume
+    repo-maintained tables); --show replays the log and prints the
+    snapshot summary. Both run WITHOUT delta-spark."""
+    from .pipeline.delta_log import (
+        read_delta_snapshot,
+        sync_delta_log_from_manifest,
+    )
+
+    spark = _spark("delta-log")
+    if args.sync:
+        out = sync_delta_log_from_manifest(spark, args.path)
+        print(json.dumps({"path": args.path, **out}))
+        return 0
+    snap = read_delta_snapshot(spark, args.path)
+    print(
+        json.dumps(
+            {
+                "path": args.path,
+                "version": snap["version"],
+                "n_files": len(snap["files"]),
+                "bytes": sum(m["size"] for m in snap["files"].values()),
+                "any_dv": any(m["dv"] for m in snap["files"].values()),
+                "configuration": snap["configuration"],
+            }
+        )
+    )
+    return 0
+
+
 def cmd_matview(args: argparse.Namespace) -> int:
     """Incremental materialized views (pipeline/matview.py): create,
     refresh (cost ∝ new base files), rebuild, read."""
@@ -2581,6 +2613,20 @@ def build_parser() -> argparse.ArgumentParser:
     rg.add_argument("--score-col", default="score")
     rg.add_argument("--psi-threshold", type=float, default=0.25)
     rg.set_defaults(fn=cmd_release_gate)
+
+    dl = sub.add_parser(
+        "delta-log",
+        help="Delta transaction-log bridge (no delta-spark needed): "
+        "--sync emits one add/remove commit converging _delta_log to "
+        "the repo manifest's live set; default replays and summarizes",
+    )
+    dl.add_argument("--path", required=True, help="table root")
+    dl.add_argument(
+        "--sync",
+        action="store_true",
+        help="write the converging commit (requires a _manifest)",
+    )
+    dl.set_defaults(fn=cmd_delta_log)
 
     bp = sub.add_parser(
         "bpe",

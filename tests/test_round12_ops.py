@@ -768,3 +768,24 @@ class TestNormalizeTextSinglePass:
         ).collect()
         for r in out:
             assert r["new"] == r["old"], (r["new"], r["old"])
+
+
+class TestDeltaLogCli:
+    def test_sync_and_show(self, spark, tmp_path, capsys):
+        from imitation_learning_data_pipeline_spark.cli import main
+        from imitation_learning_data_pipeline_spark.pipeline.manifest import (
+            write_manifest,
+        )
+
+        p = str(tmp_path / "t")
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(20)], "id long, s string"
+        ).repartition(2).write.mode("overwrite").parquet(p)
+        write_manifest(spark, p)
+        assert main(["delta-log", "--path", p, "--sync"]) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["changed"] is True and out["version"] == 0
+        assert main(["delta-log", "--path", p]) == 0
+        show = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert show["version"] == 0 and show["n_files"] == 2
+        assert show["bytes"] > 0 and show["any_dv"] is False

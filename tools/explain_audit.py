@@ -222,6 +222,14 @@ AUDIT = {
         "want": ["HashAggregate", "TakeOrderedAndProject"],
         "forbid": ["CartesianProduct", "rangepartitioning(c"],
     },
+    # round-12: the 9-stage production funnel — the decontam probe's
+    # shingle set and every dedup/neardup candidate join must be
+    # hash-keyed or broadcast; an all-pairs node anywhere in the chain
+    # is the composition-level scale-killer this row exists to catch.
+    "pipeline_curation_decontam": {
+        "want": ["BroadcastHashJoin"],
+        "forbid": ["CartesianProduct"],
+    },
 }
 
 
