@@ -789,3 +789,32 @@ class TestDeltaLogCli:
         show = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert show["version"] == 0 and show["n_files"] == 2
         assert show["bytes"] > 0 and show["any_dv"] is False
+
+
+class TestPsiFoldWholesaleParity:
+    def test_fold_equals_wholesale_rebuild(self, spark, tmp_path):
+        """Growing by fold must equal rebuilding the baseline over the
+        concatenated reference — the additivity contract made concrete
+        at the STORE level (not just psi_against_baseline's counts)."""
+        from imitation_learning_data_pipeline_spark.plans.monitor import (
+            fold_drift_baseline,
+            read_drift_baseline,
+            write_drift_baseline,
+        )
+
+        a = spark.createDataFrame(
+            [(i, ((i * 7) % 100 + 0.5) / 100) for i in range(300)],
+            "doc_id long, score double",
+        ).select("score")
+        b = spark.createDataFrame(
+            [(i, ((i * 13) % 100 + 0.5) / 100) for i in range(200)],
+            "doc_id long, score double",
+        ).select("score")
+        grown = str(tmp_path / "grown")
+        write_drift_baseline(a, grown)
+        fold_drift_baseline(b, grown, batch_id=1)
+        whole = str(tmp_path / "whole")
+        write_drift_baseline(a.unionByName(b), whole)
+        g = {(r["bucket"], r["n"]) for r in read_drift_baseline(spark, grown).collect()}
+        w = {(r["bucket"], r["n"]) for r in read_drift_baseline(spark, whole).collect()}
+        assert g == w
