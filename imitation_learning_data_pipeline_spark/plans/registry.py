@@ -196,6 +196,11 @@ CONTRACT_FIRST: list[str] = [
     # eleven rounds, no parked dependents) behind
     # join_anti_orphan_parts (see CONTRACT_EXCLUDE).
     "window_frame_suite",
+    # Round-12 rotation #2: window_group_order_suite (the other
+    # never-re-rotated r5 park) returns for a fresh direct row, funded
+    # by parking graph_pagerank_doclinks (green r9-r11) behind
+    # dedup_cluster_components (see CONTRACT_EXCLUDE).
+    "window_group_order_suite",
     # Round-7 addition #3 (this session): the Gopher quality-rule set —
     # new operators go straight into the contract; funded by parking
     # text_quality_score behind it (same family, strict superset of the
@@ -287,8 +292,18 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     "broadcast key-membership join machinery; LeftSemi is the "
     "complement of the retained LeftAnti shape) + check_contract "
     "--all row",
-    "window_group_order_suite": "window_lag_monotonic + window_first_last "
-    "(the suite unions exactly these shapes)",
+    # (round-12: window_group_order_suite rotated BACK into the
+    # contract — proxy-drift cadence, the other never-re-rotated r5
+    # park; its r5 park entry is removed.)
+    # round-12 rotation #2: funds window_group_order_suite's return
+    # slot. Green r9-r11; its iterative message-passing machinery is
+    # dedup_cluster_components' retained shape over the same doclinks
+    # pair graph (both: broadcast-rank join per iteration, one
+    # exchange — pytest-pinned exchange count), and the pagerank row
+    # stays hash-checked in check_contract --all.
+    "graph_pagerank_doclinks": "dedup_cluster_components (same "
+    "iterative pair-graph machinery with a direct row) + "
+    "check_contract --all row + pytest exchange-per-iteration pin",
     # round-3 rotation: twice-green queries parked behind named proxies
     # to free contract slots for previously driver-unchecked ones.
     "window_sessionize": "streaming_session_window (same session-gap windowing)",
