@@ -1,0 +1,158 @@
+"""HTML → text extraction for web-corpus ingestion (stdlib-only).
+
+The front door of every web-scale LLM corpus (C4, RefinedWeb, FineWeb)
+is boilerplate-aware text extraction from crawled HTML. This module is
+that stage in its dependency-free form: a :mod:`html.parser`-based
+extractor (stdlib — trafilatura/justext/bs4 are not in this container
+and are NOT silently required) run as ONE Arrow-batched ``mapInPandas``
+over (id, html) rows, emitting per-document:
+
+- ``text``: visible text with ``<script>/<style>/<noscript>/<template>``
+  subtrees dropped, block-level tags as line breaks, inline tags
+  flowed, entities decoded (``html.unescape`` via the parser's
+  ``convert_charrefs``), whitespace normalized;
+- ``title``: the first ``<title>`` content;
+- ``n_links`` / ``link_text_chars``: anchor counts and anchor-text
+  mass for the standard link-density boilerplate signal
+  (``link_density = link_text_chars / max(text_chars, 1)`` — nav/menu
+  pages score high and get filtered downstream);
+- ``text_chars``: visible-text length after normalization.
+
+Scale shape: pure map-side — no shuffle, no driver involvement; the
+Python cost is the parse itself, paid once per document in Arrow
+batches. Downstream quality gates (Gopher rules, language ID, dedup)
+consume ``text`` unchanged. Malformed HTML never raises: html.parser
+is a forgiving streaming tokenizer (unclosed tags flow through), which
+is the correct posture for crawl data — refusal lives at the WARC
+framing layer (`sources/warc.py`), not the markup layer.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+from typing import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SKIP_SUBTREES = {"script", "style", "noscript", "template", "svg"}
+# HTML5 block-ish elements: entering/leaving one is a line break
+_BLOCK = {
+    "p", "div", "br", "li", "ul", "ol", "table", "tr", "td", "th",
+    "h1", "h2", "h3", "h4", "h5", "h6", "section", "article", "header",
+    "footer", "nav", "aside", "blockquote", "pre", "figure",
+    "figcaption", "main", "form", "hr",
+}
+
+
+class _TextExtractor(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._skip_depth = 0
+        self._in_title = False
+        self._in_anchor = 0
+        self.parts: list[str] = []
+        self.title_parts: list[str] = []
+        self.n_links = 0
+        self.link_text_chars = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_SUBTREES:
+            self._skip_depth += 1
+        elif tag == "title":
+            self._in_title = True
+        elif tag == "a":
+            self._in_anchor += 1
+            self.n_links += 1
+        if tag in _BLOCK:
+            self.parts.append("\n")
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_SUBTREES and self._skip_depth > 0:
+            self._skip_depth -= 1
+        elif tag == "title":
+            self._in_title = False
+        elif tag == "a" and self._in_anchor > 0:
+            self._in_anchor -= 1
+        if tag in _BLOCK:
+            self.parts.append("\n")
+
+    def handle_data(self, data):
+        if self._skip_depth > 0:
+            return
+        if self._in_title:
+            self.title_parts.append(data)
+            return
+        if data:
+            self.parts.append(data)
+            if self._in_anchor > 0:
+                self.link_text_chars += len(data.strip())
+
+
+def extract_text(html: str) -> dict:
+    """One document's extraction — the unit the Spark operator maps.
+    Pure function; safe for driver-side tests and oracle derivation."""
+    p = _TextExtractor()
+    p.feed(html or "")
+    p.close()
+    # normalize: collapse intra-line whitespace, drop blank lines
+    lines = []
+    for raw_line in "".join(p.parts).split("\n"):
+        line = " ".join(raw_line.split())
+        if line:
+            lines.append(line)
+    text = "\n".join(lines)
+    return {
+        "text": text,
+        "title": " ".join("".join(p.title_parts).split()),
+        "n_links": p.n_links,
+        "link_text_chars": p.link_text_chars,
+        "text_chars": len(text),
+    }
+
+
+_OUT_FIELDS = (
+    "text string, title string, n_links int, link_text_chars int, "
+    "text_chars int"
+)
+
+
+def extract_html_text(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, html) → (id, text, title, n_links, link_text_chars,
+    text_chars, link_density) via one Arrow-batched ``mapInPandas``.
+    ``html_col`` may be string or binary (crawl payloads — decoded as
+    UTF-8 with replacement; charset sniffing is a documented
+    refinement, not silently guessed)."""
+    import pandas as pd
+
+    schema = f"{id_col} long, {_OUT_FIELDS}"
+
+    def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for i, h in zip(pdf[id_col], pdf[html_col]):
+                if isinstance(h, (bytes, bytearray)):
+                    h = bytes(h).decode("utf-8", "replace")
+                out.append({id_col: i, **extract_text(h)})
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    id_col, "text", "title", "n_links",
+                    "link_text_chars", "text_chars",
+                ],
+            )
+
+    extracted = df.select(id_col, html_col).mapInPandas(_run, schema)
+    return extracted.withColumn("link_density", link_density_col())
+
+
+def link_density_col() -> Column:
+    """The boilerplate signal, quantized like every oracled ratio."""
+    from ..functions.rounding import quantize
+
+    raw = F.col("link_text_chars").cast("double") / F.greatest(
+        F.col("text_chars"), F.lit(1)
+    ).cast("double")
+    return quantize(raw, 4)

@@ -43,6 +43,7 @@ def _late_imports() -> None:
         stage_chain,
         streaming_queries,
         temporal,
+        web,
         text,
         tokenize,
         trajectory,
@@ -80,6 +81,7 @@ def _late_imports() -> None:
         lm,
         quality_model,
         monitor,
+        web,
     ]
 
 

@@ -304,6 +304,17 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     "graph_pagerank_doclinks": "dedup_cluster_components (same "
     "iterative pair-graph machinery with a direct row) + "
     "check_contract --all row + pytest exchange-per-iteration pin",
+    # round-12: HTML extraction over a synthesized-in-plan page.
+    # Library-only (cap): the whole extraction contract (subtree skip,
+    # title, link counting, block line-breaking, whitespace
+    # normalization, quantized link density) is hash-checked against
+    # the SQL-predicted outputs in check_contract --all, and the
+    # operator's Arrow-batch plumbing is the multimodal_frame_sample
+    # retained mapInPandas family; adversarial/malformed input is
+    # pytest-locked (TestHtmlText / TestWarcSource).
+    "web_html_extract": "multimodal_frame_sample (same Arrow-batched "
+    "mapInPandas operator family with a direct row) + check_contract "
+    "--all hash-checked row + pytest TestHtmlText",
     # round-3 rotation: twice-green queries parked behind named proxies
     # to free contract slots for previously driver-unchecked ones.
     "window_sessionize": "streaming_session_window (same session-gap windowing)",

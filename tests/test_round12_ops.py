@@ -818,3 +818,224 @@ class TestPsiFoldWholesaleParity:
         g = {(r["bucket"], r["n"]) for r in read_drift_baseline(spark, grown).collect()}
         w = {(r["bucket"], r["n"]) for r in read_drift_baseline(spark, whole).collect()}
         assert g == w
+
+
+class TestHtmlText:
+    """Web-ingestion extraction (operators/html_text.py): the oracled
+    lib row pins well-formed semantics; these pin the crawl-data
+    posture — malformed markup, entities, skipped subtrees, binary
+    payloads."""
+
+    def _x(self, html):
+        from imitation_learning_data_pipeline_spark.operators.html_text import (
+            extract_text,
+        )
+
+        return extract_text(html)
+
+    def test_script_style_and_entities(self):
+        out = self._x(
+            "<html><head><title>T&amp;A</title><style>p{color:red}</style>"
+            "</head><body><script>alert('x')</script>"
+            "<p>a &lt;b&gt; &amp; c</p><noscript>no</noscript></body></html>"
+        )
+        assert out["title"] == "T&A"
+        assert out["text"] == "a <b> & c"
+        assert "alert" not in out["text"] and "color" not in out["text"]
+        assert "no" not in out["text"].split()
+
+    def test_block_breaks_and_whitespace(self):
+        out = self._x(
+            "<div>one</div><div>  two\n\n  three </div><br>four"
+        )
+        # raw newlines inside data are line breaks too (paragraph-ish
+        # breaks in source text survive normalization)
+        assert out["text"] == "one\ntwo\nthree\nfour"
+        assert out["text_chars"] == len(out["text"])
+
+    def test_links_and_density(self):
+        out = self._x(
+            '<p><a href="/">home</a> filler <a href="/b">about us</a></p>'
+        )
+        assert out["n_links"] == 2
+        # anchor data is stripped per data-chunk: "about us" is one
+        # chunk, so its inner space counts toward link-text mass
+        assert out["link_text_chars"] == len("home") + len("about us")
+        assert "filler" in out["text"]
+
+    def test_malformed_never_raises(self):
+        for bad in [
+            "<p>unclosed",
+            "<<<>>>",
+            "<a <b>>text",
+            "</only-end-tags></p>",
+            "<script>never closed",
+            "",
+            None,
+        ]:
+            out = self._x(bad)
+            assert isinstance(out["text"], str)
+
+    def test_unclosed_script_swallows_rest(self):
+        # html.parser treats an unclosed <script> as CDATA to EOF —
+        # crawl reality; the document extracts empty, it doesn't crash
+        assert self._x("<script>var x<p>hi</p>")["text"] == ""
+
+    def test_binary_payload_decoding(self, spark):
+        from imitation_learning_data_pipeline_spark.operators.html_text import (
+            extract_html_text,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "<p>café</p>".encode()), (2, b"<p>plain</p>")],
+            "doc_id long, html binary",
+        )
+        rows = {
+            r["doc_id"]: r["text"]
+            for r in extract_html_text(df).collect()
+        }
+        assert rows == {1: "café", 2: "plain"}
+
+
+def _warc_record(
+    warc_type: str,
+    uri: str,
+    payload: bytes,
+    content_type: str = "application/http; msgtype=response",
+    record_id: str = "<urn:uuid:1>",
+) -> bytes:
+    head = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: {warc_type}\r\n"
+        f"WARC-Record-ID: {record_id}\r\n"
+        f"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        f"Content-Type: {content_type}\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode()
+    return head + payload + b"\r\n\r\n"
+
+
+def _http_response(body: bytes, ctype: bytes = b"text/html") -> bytes:
+    return (
+        b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype +
+        b"\r\nServer: x\r\n\r\n" + body
+    )
+
+
+class TestWarcSource:
+    def _write_warc_gz(self, path, records):
+        """Common Crawl framing: each record its own gzip MEMBER."""
+        import gzip
+
+        with open(path, "wb") as fh:
+            for rec in records:
+                fh.write(gzip.compress(rec))
+
+    def test_parse_stream_multi_member_and_http_unwrap(self, tmp_path):
+        import gzip
+        import io
+
+        from imitation_learning_data_pipeline_spark.sources.warc import (
+            parse_warc_stream,
+        )
+
+        p = str(tmp_path / "a.warc.gz")
+        self._write_warc_gz(
+            p,
+            [
+                _warc_record(
+                    "warcinfo", "", b"software: test\r\n",
+                    content_type="application/warc-fields",
+                ),
+                _warc_record(
+                    "request", "http://x.test/",
+                    b"GET / HTTP/1.1\r\nHost: x.test\r\n\r\n",
+                    content_type="application/http; msgtype=request",
+                ),
+                _warc_record(
+                    "response", "http://x.test/",
+                    _http_response(b"<p>hello warc</p>"),
+                ),
+            ],
+        )
+        with open(p, "rb") as fh:
+            recs = list(parse_warc_stream(gzip.GzipFile(fileobj=fh), p))
+        assert [r["warc_type"] for r in recs] == [
+            "warcinfo", "request", "response",
+        ]
+        resp = recs[2]
+        assert resp["http_status"] == 200
+        assert resp["content_type"].startswith("text/html")
+        assert resp["payload"] == b"<p>hello warc</p>"
+        assert resp["target_uri"] == "http://x.test/"
+
+    def test_truncated_record_refused(self, tmp_path):
+        import io
+
+        from imitation_learning_data_pipeline_spark.sources.warc import (
+            WarcFormatError,
+            parse_warc_stream,
+        )
+
+        rec = _warc_record("response", "http://x/", _http_response(b"body"))
+        truncated = rec[: len(rec) - 10]
+        with pytest.raises(WarcFormatError, match="truncated"):
+            list(parse_warc_stream(io.BytesIO(truncated), "t"))
+        with pytest.raises(WarcFormatError, match="expected WARC"):
+            list(parse_warc_stream(io.BytesIO(b"not a warc\r\n"), "t"))
+
+    def test_read_warc_to_extraction_end_to_end(self, spark, tmp_path):
+        """The composed ingestion front door: read_warc (binaryFile +
+        mapInPandas) → extract_html_text → quality signals, over a
+        two-file corpus with non-response records filtered out."""
+        from pyspark.sql import functions as F
+
+        from imitation_learning_data_pipeline_spark.operators.html_text import (
+            extract_html_text,
+        )
+        from imitation_learning_data_pipeline_spark.sources.warc import read_warc
+
+        d = tmp_path / "crawl"
+        d.mkdir()
+        self._write_warc_gz(
+            str(d / "seg0.warc.gz"),
+            [
+                _warc_record(
+                    "warcinfo", "", b"x: y\r\n",
+                    content_type="application/warc-fields",
+                ),
+                _warc_record(
+                    "response", "http://a.test/",
+                    _http_response(
+                        b"<html><title>A</title><body><p>alpha page"
+                        b"</p></body></html>"
+                    ),
+                ),
+            ],
+        )
+        self._write_warc_gz(
+            str(d / "seg1.warc.gz"),
+            [
+                _warc_record(
+                    "response", "http://b.test/",
+                    _http_response(b"<p>beta <a href='/'>link</a></p>"),
+                ),
+            ],
+        )
+        recs = read_warc(spark, str(d))
+        assert recs.count() == 2  # warcinfo filtered by default
+        pages = recs.select(
+            F.monotonically_increasing_id().alias("doc_id"),
+            F.col("payload").alias("html"),
+            "target_uri",
+        )
+        out = extract_html_text(pages, html_col="html")
+        texts = {r["text"] for r in out.collect()}
+        assert texts == {"alpha page", "beta link"}
+        # non-gz WARC also reads
+        raw = d / "plain.warc"
+        raw.write_bytes(
+            _warc_record("response", "http://c.test/", _http_response(b"<p>c</p>"))
+        )
+        assert read_warc(spark, str(d)).count() == 3
