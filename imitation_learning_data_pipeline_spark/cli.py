@@ -1460,6 +1460,49 @@ def cmd_phash(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_ingest_warc(args: argparse.Namespace) -> int:
+    """Web-corpus front door (sources/warc.py + operators/html_text.py):
+    WARC(.gz) responses → extracted text → documents-shaped parquet
+    (doc_id, url, title, text, n_links, link_density, text_chars) ready
+    for the curation funnel. --max-link-density drops boilerplate-heavy
+    pages (nav/menu/link farms) at ingest."""
+    from .operators.html_text import extract_html_text
+    from .sources.warc import read_warc
+
+    spark = _spark("ingest-warc")
+    recs = read_warc(spark, args.input).filter(
+        F.col("http_status") == 200
+    )
+    if args.content_type:
+        recs = recs.filter(
+            F.col("content_type").startswith(args.content_type)
+        )
+    # deterministic doc ids as a PURE ROW FUNCTION of the stable record
+    # identity (file, offset) — reproducible across runs with zero
+    # shuffle; a global row_number would Exchange SinglePartition the
+    # whole crawl (the repo's documented anti-plan). 64-bit hash
+    # collisions at crawl scale are birthday-bounded (~2^-32 per 6B
+    # docs pairwise) and downstream exact dedup keys on content anyway.
+    pages = recs.select(
+        F.xxhash64("warc_file", "record_offset").alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.col("payload").alias("html"),
+    )
+    out = extract_html_text(pages, html_col="html").join(
+        pages.select("doc_id", "url"), "doc_id"
+    )
+    if args.max_link_density is not None:
+        out = out.filter(F.col("link_density") <= args.max_link_density)
+    out = out.select(
+        "doc_id", "url", "title", "text", "n_links", "link_density",
+        "text_chars",
+    )
+    out.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(json.dumps({"out": args.out, "docs": n}))
+    return 0
+
+
 def cmd_delta_log(args: argparse.Namespace) -> int:
     """Delta transaction-log bridge (pipeline/delta_log.py): --sync
     converges the table's _delta_log to the repo manifest's live file
@@ -2613,6 +2656,27 @@ def build_parser() -> argparse.ArgumentParser:
     rg.add_argument("--score-col", default="score")
     rg.add_argument("--psi-threshold", type=float, default=0.25)
     rg.set_defaults(fn=cmd_release_gate)
+
+    iw = sub.add_parser(
+        "ingest-warc",
+        help="web-corpus front door: WARC(.gz) responses -> extracted "
+        "text -> documents-shaped parquet for the curation funnel",
+    )
+    iw.add_argument("--input", required=True, help="dir/glob of .warc(.gz) files")
+    iw.add_argument("--out", required=True, help="output parquet path")
+    iw.add_argument(
+        "--content-type",
+        default="text/html",
+        help="keep only responses whose Content-Type starts with this "
+        "(empty string keeps all)",
+    )
+    iw.add_argument(
+        "--max-link-density",
+        type=float,
+        default=None,
+        help="drop pages above this link-text/text ratio (boilerplate)",
+    )
+    iw.set_defaults(fn=cmd_ingest_warc)
 
     dl = sub.add_parser(
         "delta-log",

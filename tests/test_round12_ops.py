@@ -1039,3 +1039,58 @@ class TestWarcSource:
             _warc_record("response", "http://c.test/", _http_response(b"<p>c</p>"))
         )
         assert read_warc(spark, str(d)).count() == 3
+
+
+class TestIngestWarcCli:
+    def test_warc_to_documents_parquet(self, spark, tmp_path, capsys):
+        from imitation_learning_data_pipeline_spark.cli import main
+
+        d = tmp_path / "crawl"
+        d.mkdir()
+        import gzip
+
+        def w(path, recs):
+            with open(path, "wb") as fh:
+                for r in recs:
+                    fh.write(gzip.compress(r))
+
+        w(
+            str(d / "s0.warc.gz"),
+            [
+                _warc_record(
+                    "response", "http://a.test/",
+                    _http_response(b"<html><title>A</title><p>real content "
+                                   b"page words</p></html>"),
+                ),
+                _warc_record(
+                    "response", "http://nav.test/",
+                    _http_response(
+                        b"<p><a href='/a'>one</a> <a href='/b'>two</a> "
+                        b"<a href='/c'>three</a> x</p>"
+                    ),
+                ),
+                _warc_record(
+                    "response", "http://png.test/",
+                    _http_response(b"\x89PNG...", ctype=b"image/png"),
+                ),
+            ],
+        )
+        out = str(tmp_path / "docs")
+        assert main([
+            "ingest-warc", "--input", str(d), "--out", out,
+            "--max-link-density", "0.5",
+        ]) == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["docs"] == 1  # png filtered by type, nav by density
+        row = spark.read.parquet(out).collect()[0]
+        assert row["title"] == "A" and row["url"] == "http://a.test/"
+        assert row["text"] == "real content page words"
+        assert row["link_density"] == 0.0
+        # reproducible ids: a second run lands identical doc_ids
+        out2 = str(tmp_path / "docs2")
+        main(["ingest-warc", "--input", str(d), "--out", out2,
+              "--max-link-density", "0.5"])
+        assert (
+            spark.read.parquet(out).select("doc_id").collect()
+            == spark.read.parquet(out2).select("doc_id").collect()
+        )
