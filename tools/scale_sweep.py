@@ -94,9 +94,19 @@ def main() -> int:
 
     from imitation_learning_data_pipeline_spark.session import get_spark
 
-    qs = entry.queries()
+    qs = dict(entry.queries())
     names = args.queries.split(",") if args.queries else sorted(qs)
     missing = [n for n in names if n not in qs]
+    if missing:
+        # explicitly-named queries may be cap-parked library rows —
+        # resolve them from the full registry (the default full-sweep
+        # scope stays the 50-query contract)
+        from imitation_learning_data_pipeline_spark.plans import QUERIES
+
+        for n in list(missing):
+            if n in QUERIES:
+                qs[n] = QUERIES[n]
+                missing.remove(n)
     if missing:
         raise SystemExit(f"unknown queries: {missing}")
 
