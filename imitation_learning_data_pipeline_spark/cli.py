@@ -1487,10 +1487,11 @@ def cmd_ingest_warc(args: argparse.Namespace) -> int:
         F.xxhash64("warc_file", "record_offset").alias("doc_id"),
         F.col("target_uri").alias("url"),
         F.col("payload").alias("html"),
+        "content_type",
     )
-    out = extract_html_text(pages, html_col="html").join(
-        pages.select("doc_id", "url"), "doc_id"
-    )
+    out = extract_html_text(
+        pages, html_col="html", content_type_col="content_type"
+    ).join(pages.select("doc_id", "url"), "doc_id")
     if args.max_link_density is not None:
         out = out.filter(F.col("link_density") <= args.max_link_density)
     out = out.select(

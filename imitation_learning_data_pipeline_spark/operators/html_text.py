@@ -29,6 +29,7 @@ framing layer (`sources/warc.py`), not the markup layer.
 
 from __future__ import annotations
 
+import re
 from html.parser import HTMLParser
 from typing import Iterator
 
@@ -116,25 +117,76 @@ _OUT_FIELDS = (
     "text_chars int"
 )
 
+# first-2-KiB probe, per the HTML5 encoding prescan
+_META_CHARSET = re.compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?\s*([a-zA-Z0-9_\-]+)""", re.IGNORECASE
+)
+
+
+def decode_html(payload: bytes, declared: str | None = None) -> str:
+    """Crawl-grade charset handling (the WHATWG encoding-sniffing
+    order, minus chardet-style statistical guessing): BOM wins, then
+    the transport-declared charset (HTTP Content-Type parameter), then
+    an HTML5-style ``<meta charset>`` prescan of the first 2 KiB, then
+    UTF-8. Every decode uses ``errors="replace"`` — a mojibake'd
+    document flows to the quality gates (which score it down), a
+    raised one kills a task; unknown/misdeclared labels fall through
+    to the next source rather than erroring."""
+    if payload.startswith(b"\xef\xbb\xbf"):
+        return payload[3:].decode("utf-8", "replace")
+    if payload.startswith((b"\xff\xfe", b"\xfe\xff")):
+        return payload.decode("utf-16", "replace")
+    for label in (declared, _sniff_meta_charset(payload)):
+        if not label:
+            continue
+        try:
+            return payload.decode(label, "replace")
+        except LookupError:  # unknown codec label in the wild
+            continue
+    return payload.decode("utf-8", "replace")
+
+
+def _sniff_meta_charset(payload: bytes) -> str | None:
+    m = _META_CHARSET.search(payload[:2048])
+    return m.group(1).decode("ascii", "replace") if m else None
+
+
+def _charset_from_content_type(ct: str | None) -> str | None:
+    """``text/html; charset=ISO-8859-1`` → ``ISO-8859-1``."""
+    if not ct or "charset=" not in ct:
+        return None
+    return ct.split("charset=", 1)[1].split(";")[0].strip().strip("\"'") or None
+
 
 def extract_html_text(
-    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    content_type_col: str | None = None,
 ) -> DataFrame:
     """(id, html) → (id, text, title, n_links, link_text_chars,
     text_chars, link_density) via one Arrow-batched ``mapInPandas``.
-    ``html_col`` may be string or binary (crawl payloads — decoded as
-    UTF-8 with replacement; charset sniffing is a documented
-    refinement, not silently guessed)."""
+    ``html_col`` may be string or binary; binary payloads go through
+    :func:`decode_html` (BOM → transport charset → ``<meta charset>``
+    prescan → UTF-8, always ``errors="replace"``). Pass
+    ``content_type_col`` (e.g. the WARC source's ``content_type``) so
+    the HTTP-declared charset participates in that order."""
     import pandas as pd
 
     schema = f"{id_col} long, {_OUT_FIELDS}"
+    cols = [id_col, html_col] + ([content_type_col] if content_type_col else [])
 
     def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
+            cts = (
+                pdf[content_type_col]
+                if content_type_col
+                else [None] * len(pdf)
+            )
             out = []
-            for i, h in zip(pdf[id_col], pdf[html_col]):
+            for i, h, ct in zip(pdf[id_col], pdf[html_col], cts):
                 if isinstance(h, (bytes, bytearray)):
-                    h = bytes(h).decode("utf-8", "replace")
+                    h = decode_html(bytes(h), _charset_from_content_type(ct))
                 out.append({id_col: i, **extract_text(h)})
             yield pd.DataFrame(
                 out,
@@ -144,7 +196,7 @@ def extract_html_text(
                 ],
             )
 
-    extracted = df.select(id_col, html_col).mapInPandas(_run, schema)
+    extracted = df.select(*cols).mapInPandas(_run, schema)
     return extracted.withColumn("link_density", link_density_col())
 
 

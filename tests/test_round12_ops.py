@@ -1094,3 +1094,69 @@ class TestIngestWarcCli:
             spark.read.parquet(out).select("doc_id").collect()
             == spark.read.parquet(out2).select("doc_id").collect()
         )
+
+
+class TestHtmlCharsetSniffing:
+    """decode_html: the WHATWG sniffing order minus statistical
+    guessing — BOM > HTTP charset > <meta charset> prescan > UTF-8,
+    always errors=replace."""
+
+    def test_bom_wins(self):
+        from imitation_learning_data_pipeline_spark.operators.html_text import (
+            decode_html,
+        )
+
+        assert decode_html("<p>é</p>".encode("utf-8-sig")) == "<p>é</p>"
+        assert decode_html("<p>é</p>".encode("utf-16")) == "<p>é</p>"
+
+    def test_declared_then_meta_then_utf8(self):
+        from imitation_learning_data_pipeline_spark.operators.html_text import (
+            decode_html,
+        )
+
+        latin = "<p>café naïve</p>".encode("latin-1")
+        assert "café" in decode_html(latin, "ISO-8859-1")
+        meta = (
+            b'<html><head><meta charset="windows-1252"></head>'
+            b"<body><p>caf\xe9</p></body></html>"
+        )
+        assert "caf\xe9" in decode_html(meta)
+        # unknown declared label falls through to meta, then utf-8
+        assert "caf\xe9" in decode_html(meta, "x-bogus-charset")
+        # plain utf-8, nothing declared
+        assert "日本語" in decode_html("<p>日本語</p>".encode())
+
+    def test_http_charset_param_parse(self):
+        from imitation_learning_data_pipeline_spark.operators.html_text import (
+            _charset_from_content_type,
+        )
+
+        assert _charset_from_content_type("text/html; charset=ISO-8859-1") == (
+            "ISO-8859-1"
+        )
+        assert _charset_from_content_type('text/html; charset="utf-8"; x=1') == (
+            "utf-8"
+        )
+        assert _charset_from_content_type("text/html") is None
+        assert _charset_from_content_type(None) is None
+
+    def test_end_to_end_latin1_page(self, spark):
+        from imitation_learning_data_pipeline_spark.operators.html_text import (
+            extract_html_text,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "<p>café</p>".encode("latin-1"),
+                 "text/html; charset=ISO-8859-1"),
+                (2, b"<p>plain</p>", "text/html"),
+            ],
+            "doc_id long, html binary, content_type string",
+        )
+        rows = {
+            r["doc_id"]: r["text"]
+            for r in extract_html_text(
+                df, content_type_col="content_type"
+            ).collect()
+        }
+        assert rows == {1: "café", 2: "plain"}
