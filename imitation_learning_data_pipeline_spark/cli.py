@@ -1489,9 +1489,15 @@ def cmd_ingest_warc(args: argparse.Namespace) -> int:
         F.col("payload").alias("html"),
         "content_type",
     )
+    # url rides THROUGH the extraction batch (passthrough) — joining
+    # extraction output back to `pages` would recompute the upstream in
+    # both join branches, i.e. parse the whole crawl twice
     out = extract_html_text(
-        pages, html_col="html", content_type_col="content_type"
-    ).join(pages.select("doc_id", "url"), "doc_id")
+        pages,
+        html_col="html",
+        content_type_col="content_type",
+        passthrough=("url",),
+    )
     if args.max_link_density is not None:
         out = out.filter(F.col("link_density") <= args.max_link_density)
     out = out.select(

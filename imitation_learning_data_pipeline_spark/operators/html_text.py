@@ -163,6 +163,7 @@ def extract_html_text(
     html_col: str = "html",
     id_col: str = "doc_id",
     content_type_col: str | None = None,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, html) → (id, text, title, n_links, link_text_chars,
     text_chars, link_density) via one Arrow-batched ``mapInPandas``.
@@ -170,11 +171,22 @@ def extract_html_text(
     :func:`decode_html` (BOM → transport charset → ``<meta charset>``
     prescan → UTF-8, always ``errors="replace"``). Pass
     ``content_type_col`` (e.g. the WARC source's ``content_type``) so
-    the HTTP-declared charset participates in that order."""
+    the HTTP-declared charset participates in that order.
+    ``passthrough`` carries input columns (url, date, ...) through the
+    batch unchanged, so callers never join extraction output back to
+    its own input — that join's two branches would each recompute the
+    upstream (for a WARC input: parse the whole crawl twice)."""
     import pandas as pd
 
-    schema = f"{id_col} long, {_OUT_FIELDS}"
-    cols = [id_col, html_col] + ([content_type_col] if content_type_col else [])
+    pt = [c for c in passthrough if c not in (id_col,)]
+    pt_schema = "".join(
+        f", {c} {df.schema[c].dataType.simpleString()}" for c in pt
+    )
+    schema = f"{id_col} long, {_OUT_FIELDS}{pt_schema}"
+    cols = [id_col, html_col]
+    if content_type_col:
+        cols.append(content_type_col)
+    cols += [c for c in pt if c not in cols]
 
     def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -184,15 +196,20 @@ def extract_html_text(
                 else [None] * len(pdf)
             )
             out = []
-            for i, h, ct in zip(pdf[id_col], pdf[html_col], cts):
+            for row_i, (i, h, ct) in enumerate(
+                zip(pdf[id_col], pdf[html_col], cts)
+            ):
                 if isinstance(h, (bytes, bytearray)):
                     h = decode_html(bytes(h), _charset_from_content_type(ct))
-                out.append({id_col: i, **extract_text(h)})
+                rec = {id_col: i, **extract_text(h)}
+                for c in pt:
+                    rec[c] = pdf[c].iloc[row_i]
+                out.append(rec)
             yield pd.DataFrame(
                 out,
                 columns=[
                     id_col, "text", "title", "n_links",
-                    "link_text_chars", "text_chars",
+                    "link_text_chars", "text_chars", *pt,
                 ],
             )
 

@@ -239,90 +239,102 @@ def write_delta_commit(
     single-writer discipline as every other commit path in this repo.
     Returns the committed version.
     """
-    import time
-    import uuid
-
     from .compact import _acquire_lock, _release_table_lock
 
     path = path.rstrip("/")
     fs, _ = _fs(spark, path)
     jpath = _jvm_path(spark)
-    log = _log_dir(path)
     _acquire_lock(spark, fs, jpath, path, "delta-log-commit")
     try:
-        if fs.exists(jpath(log)):
-            snap = read_delta_snapshot(spark, path)
-            version = snap["version"] + 1
-        else:
-            fs.mkdirs(jpath(log))
-            version = 0
-        now_ms = int(time.time() * 1000)
-        lines = []
-        if version == 0:
-            if not schema_json:
-                raise ValueError(
-                    "write_delta_commit: bootstrapping a log (version 0) "
-                    "requires schema_json (StructType.json() of the table)"
-                )
-            part_cols = sorted(
-                {k for rel, _b in add for k in _partition_values(rel)}
-            )
-            lines.append(
-                json.dumps(
-                    {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
-                )
-            )
-            lines.append(
-                json.dumps(
-                    {
-                        "metaData": {
-                            "id": table_id or str(uuid.uuid4()),
-                            "format": {"provider": "parquet", "options": {}},
-                            "schemaString": schema_json,
-                            "partitionColumns": part_cols,
-                            "configuration": dict(configuration or {}),
-                            "createdTime": now_ms,
-                        }
-                    }
-                )
-            )
-        for rel in sorted(remove):
-            lines.append(
-                json.dumps(
-                    {
-                        "remove": {
-                            "path": rel,
-                            "deletionTimestamp": now_ms,
-                            "dataChange": True,
-                        }
-                    }
-                )
-            )
-        for rel, size in sorted(add):
-            lines.append(
-                json.dumps(
-                    {
-                        "add": {
-                            "path": rel,
-                            "partitionValues": _partition_values(rel),
-                            "size": int(size),
-                            "modificationTime": now_ms,
-                            "dataChange": True,
-                        }
-                    }
-                )
-            )
-        payload = ("\n".join(lines) + "\n").encode("utf-8")
-        dst = jpath(f"{log}/{version:020d}.json")
-        # create-exclusive = the protocol's put-if-absent commit point
-        stream = fs.create(dst, False)
-        try:
-            stream.write(bytearray(payload))
-        finally:
-            stream.close()
-        return version
+        return _write_delta_commit_locked(
+            spark, fs, jpath, path, add, remove, schema_json,
+            configuration, table_id,
+        )
     finally:
         _release_table_lock(fs, jpath, path)
+
+
+def _write_delta_commit_locked(
+    spark, fs, jpath, path, add, remove, schema_json, configuration, table_id
+) -> int:
+    """Body of :func:`write_delta_commit`; caller holds the lock (the
+    sync path needs manifest-diff + commit under ONE lock acquisition —
+    the lock is not reentrant)."""
+    import time
+    import uuid
+
+    log = _log_dir(path)
+    if fs.exists(jpath(log)):
+        snap = read_delta_snapshot(spark, path)
+        version = snap["version"] + 1
+    else:
+        fs.mkdirs(jpath(log))
+        version = 0
+    now_ms = int(time.time() * 1000)
+    lines = []
+    if version == 0:
+        if not schema_json:
+            raise ValueError(
+                "write_delta_commit: bootstrapping a log (version 0) "
+                "requires schema_json (StructType.json() of the table)"
+            )
+        part_cols = sorted(
+            {k for rel, _b in add for k in _partition_values(rel)}
+        )
+        lines.append(
+            json.dumps(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            )
+        )
+        lines.append(
+            json.dumps(
+                {
+                    "metaData": {
+                        "id": table_id or str(uuid.uuid4()),
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": schema_json,
+                        "partitionColumns": part_cols,
+                        "configuration": dict(configuration or {}),
+                        "createdTime": now_ms,
+                    }
+                }
+            )
+        )
+    for rel in sorted(remove):
+        lines.append(
+            json.dumps(
+                {
+                    "remove": {
+                        "path": rel,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+        )
+    for rel, size in sorted(add):
+        lines.append(
+            json.dumps(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": _partition_values(rel),
+                        "size": int(size),
+                        "modificationTime": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+        )
+    payload = ("\n".join(lines) + "\n").encode("utf-8")
+    dst = jpath(f"{log}/{version:020d}.json")
+    # create-exclusive = the protocol's put-if-absent commit point
+    stream = fs.create(dst, False)
+    try:
+        stream.write(bytearray(payload))
+    finally:
+        stream.close()
+    return version
 
 
 def sync_delta_log_from_manifest(spark: SparkSession, path: str) -> dict:
@@ -333,7 +345,15 @@ def sync_delta_log_from_manifest(spark: SparkSession, path: str) -> dict:
     keep external Delta readers current — O(manifest) driver-side diff,
     no relisting, no data movement. Returns
     ``{"version", "n_add", "n_remove", "changed"}`` (version is the
-    last committed one when nothing changed)."""
+    last committed one when nothing changed).
+
+    The manifest read, the log replay, the diff, AND the commit all run
+    under ONE maintenance-lock acquisition (r12 self-review): a diff
+    computed outside the lock could race a concurrent merge/compact and
+    commit a stale mirror of the live set — still self-healing at the
+    next sync, but a window where external readers see ghosts is
+    avoidable, so it is avoided."""
+    from .compact import _acquire_lock, _release_table_lock
     from .manifest import has_manifest, read_manifest_entries
 
     path = path.rstrip("/")
@@ -343,38 +363,43 @@ def sync_delta_log_from_manifest(spark: SparkSession, path: str) -> dict:
             "bootstrap with write_manifest() first (the manifest is the "
             "live-set source of truth this sync reads)"
         )
-    manifest = read_manifest_entries(spark, path)
-    live = {rel: int(b) for rel, b in manifest["files"]}
     fs, _ = _fs(spark, path)
-    if fs.exists(_jvm_path(spark)(_log_dir(path))):
-        snap = read_delta_snapshot(spark, path)
-        logged = {rel: meta["size"] for rel, meta in snap["files"].items()}
-        last_version = snap["version"]
-    else:
-        logged, last_version = {}, -1
-    add = sorted(
-        (rel, b) for rel, b in live.items()
-        if rel not in logged or logged[rel] != b
-    )
-    remove = sorted(rel for rel in logged if rel not in live)
-    if not add and not remove:
+    jpath = _jvm_path(spark)
+    _acquire_lock(spark, fs, jpath, path, "delta-log-sync")
+    try:
+        manifest = read_manifest_entries(spark, path)
+        live = {rel: int(b) for rel, b in manifest["files"]}
+        if fs.exists(jpath(_log_dir(path))):
+            snap = read_delta_snapshot(spark, path)
+            logged = {rel: meta["size"] for rel, meta in snap["files"].items()}
+            last_version = snap["version"]
+        else:
+            logged, last_version = {}, -1
+        add = sorted(
+            (rel, b) for rel, b in live.items()
+            if rel not in logged or logged[rel] != b
+        )
+        remove = sorted(rel for rel in logged if rel not in live)
+        if not add and not remove:
+            return {
+                "version": last_version, "n_add": 0, "n_remove": 0,
+                "changed": False,
+            }
+        schema_json = None
+        if last_version < 0:
+            if not live:
+                raise ValueError(
+                    "sync_delta_log_from_manifest: empty manifest and no "
+                    "existing log — nothing to derive a schema from"
+                )
+            first = sorted(live)[0]
+            schema_json = spark.read.parquet(f"{path}/{first}").schema.json()
+        version = _write_delta_commit_locked(
+            spark, fs, jpath, path, add, remove, schema_json, None, None
+        )
         return {
-            "version": last_version, "n_add": 0, "n_remove": 0,
-            "changed": False,
+            "version": version, "n_add": len(add), "n_remove": len(remove),
+            "changed": True,
         }
-    schema_json = None
-    if last_version < 0:
-        if not live:
-            raise ValueError(
-                "sync_delta_log_from_manifest: empty manifest and no "
-                "existing log — nothing to derive a schema from"
-            )
-        first = sorted(live)[0]
-        schema_json = spark.read.parquet(f"{path}/{first}").schema.json()
-    version = write_delta_commit(
-        spark, path, add=add, remove=remove, schema_json=schema_json
-    )
-    return {
-        "version": version, "n_add": len(add), "n_remove": len(remove),
-        "changed": True,
-    }
+    finally:
+        _release_table_lock(fs, jpath, path)
