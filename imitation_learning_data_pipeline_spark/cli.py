@@ -1504,6 +1504,25 @@ def cmd_ingest_warc(args: argparse.Namespace) -> int:
         "doc_id", "url", "title", "text", "n_links", "link_density",
         "text_chars",
     )
+    if args.dedup_url:
+        # crawls refetch the same URL across segments — keep ONE page
+        # per URL (deterministic: max doc_id = latest stable record
+        # identity), as a struct-max agg, not a window (the W2 rule:
+        # no per-URL sort, one hash exchange on url)
+        keep = F.max(
+            F.struct("doc_id", "title", "text", "n_links",
+                     "link_density", "text_chars")
+        ).alias("k")
+        out = (
+            out.groupBy("url").agg(keep)
+            .select(
+                F.col("k.doc_id").alias("doc_id"), "url",
+                F.col("k.title").alias("title"), F.col("k.text").alias("text"),
+                F.col("k.n_links").alias("n_links"),
+                F.col("k.link_density").alias("link_density"),
+                F.col("k.text_chars").alias("text_chars"),
+            )
+        )
     out.write.mode("overwrite").parquet(args.out)
     n = spark.read.parquet(args.out).count()
     print(json.dumps({"out": args.out, "docs": n}))
@@ -2682,6 +2701,11 @@ def build_parser() -> argparse.ArgumentParser:
         type=float,
         default=None,
         help="drop pages above this link-text/text ratio (boilerplate)",
+    )
+    iw.add_argument(
+        "--dedup-url",
+        action="store_true",
+        help="keep one page per URL (crawls refetch across segments)",
     )
     iw.set_defaults(fn=cmd_ingest_warc)
 

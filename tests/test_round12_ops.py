@@ -1160,3 +1160,65 @@ class TestHtmlCharsetSniffing:
             ).collect()
         }
         assert rows == {1: "café", 2: "plain"}
+
+
+class TestWarcWetAndUrlDedup:
+    def test_wet_conversion_records(self, spark, tmp_path):
+        """Common Crawl WET files are WARC-framed `conversion` records
+        carrying pre-extracted text/plain — the same parser reads them
+        with a record_types override."""
+        import gzip
+
+        from imitation_learning_data_pipeline_spark.sources.warc import read_warc
+
+        d = tmp_path / "wet"
+        d.mkdir()
+        with open(str(d / "s0.warc.wet.gz"), "wb") as fh:
+            fh.write(
+                gzip.compress(
+                    _warc_record(
+                        "conversion", "http://a.test/",
+                        b"already extracted plain text",
+                        content_type="text/plain",
+                    )
+                )
+            )
+        recs = read_warc(spark, str(d), record_types=("conversion",))
+        rows = recs.collect()
+        assert len(rows) == 1
+        assert bytes(rows[0]["payload"]) == b"already extracted plain text"
+        assert rows[0]["content_type"] == "text/plain"
+        # default (response-only) sees nothing in a WET file
+        assert read_warc(spark, str(d)).count() == 0
+
+    def test_ingest_dedup_url(self, spark, tmp_path, capsys):
+        import gzip
+
+        from imitation_learning_data_pipeline_spark.cli import main
+
+        d = tmp_path / "crawl"
+        d.mkdir()
+        recs = [
+            _warc_record(
+                "response", "http://a.test/",
+                _http_response(b"<p>first fetch</p>"),
+            ),
+            _warc_record(
+                "response", "http://a.test/",
+                _http_response(b"<p>second fetch</p>"),
+            ),
+            _warc_record(
+                "response", "http://b.test/",
+                _http_response(b"<p>other page</p>"),
+            ),
+        ]
+        with open(str(d / "s0.warc.gz"), "wb") as fh:
+            for r in recs:
+                fh.write(gzip.compress(r))
+        out = str(tmp_path / "docs")
+        assert main(
+            ["ingest-warc", "--input", str(d), "--out", out, "--dedup-url"]
+        ) == 0
+        rows = spark.read.parquet(out).collect()
+        assert len(rows) == 2
+        assert {r["url"] for r in rows} == {"http://a.test/", "http://b.test/"}
