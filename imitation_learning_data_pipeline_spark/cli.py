@@ -1506,15 +1506,20 @@ def cmd_ingest_warc(args: argparse.Namespace) -> int:
     )
     if args.dedup_url:
         # crawls refetch the same URL across segments — keep ONE page
-        # per URL (deterministic: max doc_id = latest stable record
-        # identity), as a struct-max agg, not a window (the W2 rule:
-        # no per-URL sort, one hash exchange on url)
+        # per URL via a struct-max agg, not a window (the W2 rule: no
+        # per-URL sort, one hash exchange). The winner is the max
+        # doc_id — hash-arbitrary but DETERMINISTIC across runs.
+        # Records WITHOUT a target URI must not collapse into one
+        # group: the empty-url rows key on their own doc_id instead,
+        # so each survives (content-level dedup downstream is the real
+        # gate for those).
+        key = F.when(F.col("url") == "", F.col("doc_id")).otherwise(F.lit(0))
         keep = F.max(
             F.struct("doc_id", "title", "text", "n_links",
                      "link_density", "text_chars")
         ).alias("k")
         out = (
-            out.groupBy("url").agg(keep)
+            out.groupBy("url", key.alias("__selfkey")).agg(keep)
             .select(
                 F.col("k.doc_id").alias("doc_id"), "url",
                 F.col("k.title").alias("title"), F.col("k.text").alias("text"),

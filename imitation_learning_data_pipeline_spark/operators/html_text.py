@@ -60,7 +60,13 @@ class _TextExtractor(HTMLParser):
     def handle_starttag(self, tag, attrs):
         if tag in _SKIP_SUBTREES:
             self._skip_depth += 1
-        elif tag == "title":
+            return
+        if self._skip_depth > 0:
+            # a link inside <noscript>/<template> contributes neither
+            # text nor link metrics — counting it would inflate n_links
+            # relative to link_text_chars (the pair must stay coherent)
+            return
+        if tag == "title":
             self._in_title = True
         elif tag == "a":
             self._in_anchor += 1
@@ -71,7 +77,10 @@ class _TextExtractor(HTMLParser):
     def handle_endtag(self, tag):
         if tag in _SKIP_SUBTREES and self._skip_depth > 0:
             self._skip_depth -= 1
-        elif tag == "title":
+            return
+        if self._skip_depth > 0:
+            return
+        if tag == "title":
             self._in_title = False
         elif tag == "a" and self._in_anchor > 0:
             self._in_anchor -= 1
@@ -182,7 +191,10 @@ def extract_html_text(
     pt_schema = "".join(
         f", {c} {df.schema[c].dataType.simpleString()}" for c in pt
     )
-    schema = f"{id_col} long, {_OUT_FIELDS}{pt_schema}"
+    # id keeps ITS dtype — hardcoding `long` would Arrow-fail a string
+    # id (e.g. the WARC source's record_id)
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, {_OUT_FIELDS}{pt_schema}"
     cols = [id_col, html_col]
     if content_type_col:
         cols.append(content_type_col)

@@ -81,6 +81,31 @@ def _rm(fs, jvm_path_cls, path_str: str) -> None:
         fs.delete(p, True)
 
 
+def _read_small_bytes(spark, fs, jvm_path_cls, path_str: str) -> bytes:
+    """Whole-small-file read through the JVM (py4j byte[] args are
+    copies, so a chunked read loop cannot work) — the ONE definition
+    the delta-log/HLL/PSI readers share."""
+    stream = fs.open(jvm_path_cls(path_str))
+    try:
+        jvm = spark.sparkContext._jvm
+        return bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+
+
+def _read_json_meta_if_exists(spark, path: str, name: str) -> dict:
+    """``{path}/{name}`` parsed as JSON; ``{}`` when absent — the
+    store-fence metadata shape (HLL registers, PSI baseline)."""
+    import json as _json
+
+    fs, _ = _fs(spark, path)
+    jvm_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    p = f"{path}/{name}"
+    if not fs.exists(jvm_path(p)):
+        return {}
+    return _json.loads(_read_small_bytes(spark, fs, jvm_path, p).decode())
+
+
 # --- staged-swap commit: the shared small-store discipline ------------------
 #
 # Several tiny persisted stores (HLL registers, the PSI drift baseline)

@@ -33,7 +33,7 @@ rather than guess.
 from __future__ import annotations
 
 import json
-from urllib.parse import unquote
+from urllib.parse import quote, unquote
 
 from pyspark.sql import SparkSession
 
@@ -57,15 +57,11 @@ def has_delta_log(spark: SparkSession, path: str) -> bool:
 
 
 def _read_small_file(spark, fs, jpath) -> bytes:
-    """Whole-file read through the JVM (py4j byte[] args are copies, so
-    a chunked read loop cannot work — the repo's history/locks readers
-    use the same commons-io shape)."""
-    stream = fs.open(jpath)
-    try:
-        jvm = spark.sparkContext._jvm
-        return bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
-    finally:
-        stream.close()
+    """Whole-file read — delegates to the shared compact helper (one
+    definition for the delta-log/HLL/PSI small-file reads)."""
+    from .compact import _read_small_bytes
+
+    return _read_small_bytes(spark, fs, _jvm_path(spark), jpath.toString())
 
 
 def read_delta_snapshot(spark: SparkSession, path: str) -> dict:
@@ -255,16 +251,24 @@ def write_delta_commit(
 
 
 def _write_delta_commit_locked(
-    spark, fs, jpath, path, add, remove, schema_json, configuration, table_id
+    spark, fs, jpath, path, add, remove, schema_json, configuration, table_id,
+    known_version: int | None = None,
 ) -> int:
     """Body of :func:`write_delta_commit`; caller holds the lock (the
     sync path needs manifest-diff + commit under ONE lock acquisition —
-    the lock is not reentrant)."""
+    the lock is not reentrant). ``known_version`` skips the version
+    replay when the caller just replayed the log itself (sync would
+    otherwise replay the whole tail twice per call, both under the
+    lock)."""
     import time
     import uuid
 
     log = _log_dir(path)
-    if fs.exists(jpath(log)):
+    if known_version is not None:
+        version = known_version + 1
+        if version == 0:
+            fs.mkdirs(jpath(log))
+    elif fs.exists(jpath(log)):
         snap = read_delta_snapshot(spark, path)
         version = snap["version"] + 1
     else:
@@ -305,7 +309,10 @@ def _write_delta_commit_locked(
             json.dumps(
                 {
                     "remove": {
-                        "path": rel,
+                        # the spec's path field is URL-encoded; readers
+                        # (incl. ours) unquote — identity for plain
+                        # names, round-trips literal '%'/spaces
+                        "path": quote(rel, safe="/="),
                         "deletionTimestamp": now_ms,
                         "dataChange": True,
                     }
@@ -317,7 +324,7 @@ def _write_delta_commit_locked(
             json.dumps(
                 {
                     "add": {
-                        "path": rel,
+                        "path": quote(rel, safe="/="),
                         "partitionValues": _partition_values(rel),
                         "size": int(size),
                         "modificationTime": now_ms,
@@ -393,9 +400,18 @@ def sync_delta_log_from_manifest(spark: SparkSession, path: str) -> dict:
                     "existing log — nothing to derive a schema from"
                 )
             first = sorted(live)[0]
-            schema_json = spark.read.parquet(f"{path}/{first}").schema.json()
+            # basePath makes partition-dir columns part of the schema —
+            # a bare file read would write metaData whose schemaString
+            # lacks the very columns partitionColumns names
+            # (protocol-invalid for every partitioned table)
+            schema_json = (
+                spark.read.option("basePath", path)
+                .parquet(f"{path}/{first}")
+                .schema.json()
+            )
         version = _write_delta_commit_locked(
-            spark, fs, jpath, path, add, remove, schema_json, None, None
+            spark, fs, jpath, path, add, remove, schema_json, None, None,
+            known_version=last_version,
         )
         return {
             "version": version, "n_add": len(add), "n_remove": len(remove),

@@ -178,21 +178,9 @@ _HLL_PENDING = "__hll_pending.json"  # SIBLING of the store dir (dir is swapped)
 def _hll_meta(spark: SparkSession, path: str) -> dict:
     """Fence metadata from inside the store dir; {} if absent (stores
     written before the fence existed, or first-batch paths)."""
-    import json as _json
+    from ..pipeline.compact import _read_json_meta_if_exists
 
-    from ..pipeline.compact import _fs
-
-    fs, _ = _fs(spark, path)
-    jvm_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
-    jp = jvm_path(f"{path}/{_HLL_META}")
-    if not fs.exists(jp):
-        return {}
-    stream = fs.open(jp)
-    raw = bytes(
-        spark.sparkContext._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-    )
-    stream.close()
-    return _json.loads(raw.decode())
+    return _read_json_meta_if_exists(spark, path, _HLL_META)
 
 
 def _hll_recover(spark: SparkSession, fs, jvm_path, path: str) -> bool:

@@ -238,21 +238,9 @@ _PSI_PENDING = "__psi_pending.json"  # SIBLING of the baseline dir
 
 
 def _psi_meta(spark: SparkSession, path: str) -> dict:
-    import json as _json
+    from ..pipeline.compact import _read_json_meta_if_exists
 
-    from ..pipeline.compact import _fs
-
-    fs, _ = _fs(spark, path)
-    jvm_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
-    jp = jvm_path(f"{path}/{_PSI_META}")
-    if not fs.exists(jp):
-        return {}
-    stream = fs.open(jp)
-    raw = bytes(
-        spark.sparkContext._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-    )
-    stream.close()
-    return _json.loads(raw.decode())
+    return _read_json_meta_if_exists(spark, path, _PSI_META)
 
 
 def fold_drift_baseline(

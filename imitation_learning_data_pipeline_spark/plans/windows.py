@@ -76,7 +76,16 @@ def bucket_ranked(
     # probe + fill; it is dropped as soon as the bucketed frame is
     # materialized by the counts pass (pytest-proven single scan via a
     # counting UDF upstream).
-    src = df.persist()
+    # respect a caller-managed cache: persist() on an already-persisted
+    # frame is a no-op, so OUR unpersist in the finally would evict the
+    # CALLER's cache (Spark's cache manager keys on the analyzed plan)
+    # — e.g. a pin()ned stage inside a curation composite would then
+    # recompute in every downstream branch. Only manage the cache we
+    # actually created.
+    from pyspark.storagelevel import StorageLevel
+
+    caller_cached = df.storageLevel != StorageLevel.NONE
+    src = df if caller_cached else df.persist()
     try:
         if n > 1:
             try:
@@ -101,7 +110,8 @@ def bucket_ranked(
         # materializes `parted` (reading the input CACHE, not upstream)
         counts = parted.groupBy("__b").agg(F.count("*").alias("__cnt")).collect()
     finally:
-        src.unpersist()
+        if not caller_cached:
+            src.unpersist()
     cum, offset_rows = 0, []
     for r in sorted(counts, key=lambda r: r["__b"]):
         offset_rows.append((r["__b"], cum))

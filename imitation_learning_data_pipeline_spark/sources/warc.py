@@ -63,6 +63,60 @@ def _parse_headers(block: bytes) -> dict[str, str]:
     return headers
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Decode HTTP/1.1 chunked transfer framing (hex-size CRLF lines).
+    Raises ValueError on malformed framing — caller decides posture."""
+    out, pos = [], 0
+    while True:
+        nl = body.find(b"\r\n", pos)
+        if nl < 0:
+            raise ValueError("chunked body: missing size line")
+        size = int(body[pos:nl].split(b";")[0].strip() or b"0", 16)
+        pos = nl + 2
+        if size == 0:
+            return b"".join(out)
+        chunk = body[pos : pos + size]
+        if len(chunk) != size:
+            raise ValueError("chunked body: truncated chunk")
+        out.append(chunk)
+        pos += size + 2  # trailing CRLF
+
+
+def _decode_http_body(body: bytes, headers: dict[str, str]) -> bytes:
+    """Undo transfer/content codings the crawler recorded verbatim
+    (real crawls carry both): chunked framing first, then
+    gzip/x-gzip/deflate. A body whose declared coding fails to decode
+    is kept RAW — the header may simply be wrong (common in the wild);
+    mojibake flows to the downstream quality gates, which exist to
+    score it out, while raising would kill the whole task over one
+    mislabeled page. (Framing errors at the WARC layer still refuse —
+    that contract is unchanged.)"""
+    te = headers.get("transfer-encoding", "").lower()
+    if "chunked" in te:
+        try:
+            body = _dechunk(body)
+        except ValueError:
+            return body
+    ce = headers.get("content-encoding", "").lower().strip()
+    if ce in ("gzip", "x-gzip"):
+        import gzip as _gz
+
+        try:
+            return _gz.decompress(body)
+        except OSError:
+            return body
+    if ce == "deflate":
+        import zlib
+
+        for wbits in (zlib.MAX_WBITS, -zlib.MAX_WBITS):  # zlib + raw forms
+            try:
+                return zlib.decompress(body, wbits)
+            except zlib.error:
+                continue
+        return body
+    return body
+
+
 def parse_warc_stream(stream, warc_file: str) -> Iterator[dict]:
     """Incremental WARC/1.0 record iterator over a DECOMPRESSED byte
     stream (pass a ``gzip.GzipFile`` for .warc.gz — stdlib gzip
@@ -126,7 +180,7 @@ def parse_warc_stream(stream, warc_file: str) -> Iterator[dict]:
                         http_status = None
                 http_headers = _parse_headers(block[:sep])
                 content_type = http_headers.get("content-type", content_type)
-                payload = block[sep + 4 :]
+                payload = _decode_http_body(block[sep + 4 :], http_headers)
         yield {
             "warc_file": warc_file,
             "record_offset": offset,
