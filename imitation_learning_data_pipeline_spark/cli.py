@@ -1470,12 +1470,19 @@ def cmd_ingest_warc(args: argparse.Namespace) -> int:
     from .sources.warc import read_warc
 
     spark = _spark("ingest-warc")
+    # undecoded_coding flags br/zstd bodies the stdlib parser can't
+    # decompress — raw compressed bytes must not enter text extraction
     recs = read_warc(spark, args.input).filter(
-        F.col("http_status") == 200
+        (F.col("http_status") == 200)
+        & F.col("undecoded_coding").isNull()
     )
     if args.content_type:
+        # HTTP Content-Type is case-insensitive; real crawls carry
+        # 'Text/HTML' variants — compare lowercased both sides
         recs = recs.filter(
-            F.col("content_type").startswith(args.content_type)
+            F.lower(F.col("content_type")).startswith(
+                args.content_type.lower()
+            )
         )
     # deterministic doc ids as a PURE ROW FUNCTION of the stable record
     # identity (file, offset) — reproducible across runs with zero

@@ -1,0 +1,189 @@
+"""Round-13 surfaces: bounded-memory WARC reads, undecoded-coding
+flagging (brotli/zstd), case-insensitive ingest filters, and the
+drift-baseline bootstrap lock."""
+
+import gzip
+import json
+import os
+
+import pytest
+
+from tests.test_round12_ops import _http_response, _warc_record
+
+
+def _write_warc_gz(path, records):
+    with open(path, "wb") as fh:
+        for rec in records:
+            fh.write(gzip.compress(rec))
+
+
+class TestWarcBoundedChunks:
+    """VERDICT r12 #1: read_warc must not hold a whole file's
+    decompressed records in one list+frame — frames flush every
+    chunk_bytes of accumulated payload."""
+
+    def _records(self, n=8, body_bytes=1000):
+        return [
+            _warc_record(
+                "response",
+                f"http://x.test/{i}",
+                _http_response(
+                    b"<p>" + (b"%03d " % i) * (body_bytes // 4) + b"</p>"
+                ),
+            )
+            for i in range(n)
+        ]
+
+    def test_chunked_output_identical_and_multibatch(self, tmp_path):
+        """(a) chunked output == unbounded output, (b) a small
+        threshold provably emits MORE THAN ONE batch per file."""
+        from imitation_learning_data_pipeline_spark.sources.warc import (
+            parse_warc_file_chunks,
+        )
+
+        p = str(tmp_path / "a.warc.gz")
+        _write_warc_gz(p, self._records())
+        content = open(p, "rb").read()
+        wanted = frozenset({"response"})
+
+        bounded = list(
+            parse_warc_file_chunks(p, content, wanted, chunk_bytes=2500)
+        )
+        unbounded = list(
+            parse_warc_file_chunks(p, content, wanted, chunk_bytes=1 << 40)
+        )
+        assert len(unbounded) == 1 and len(unbounded[0]) == 8
+        assert len(bounded) > 1  # the bound actually split the file
+        # every chunk respects the threshold: payload bytes accumulated
+        # BEFORE the flush row stay under chunk_bytes (flush happens on
+        # the row that crosses it)
+        for chunk in bounded[:-1]:
+            pre_flush = sum(len(b) for b in chunk["payload"][:-1])
+            assert pre_flush < 2500
+        import pandas as pd
+
+        merged = pd.concat(bounded, ignore_index=True)
+        pd.testing.assert_frame_equal(merged, unbounded[0])
+
+    def test_read_warc_rows_invariant_under_chunking(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.sources.warc import (
+            read_warc,
+        )
+
+        d = tmp_path / "crawl"
+        d.mkdir()
+        _write_warc_gz(str(d / "s0.warc.gz"), self._records())
+        small = read_warc(spark, str(d), chunk_bytes=2500)
+        big = read_warc(spark, str(d))  # default 64 MB → one frame here
+        rows_small = sorted(
+            small.collect(), key=lambda r: r["record_offset"]
+        )
+        rows_big = sorted(big.collect(), key=lambda r: r["record_offset"])
+        assert rows_small == rows_big
+        assert len(rows_small) == 8
+
+
+class TestWarcUndecodedCoding:
+    """ADVICE r12: brotli/zstd bodies (no stdlib codec) must be
+    FLAGGED, not passed downstream as mojibake text."""
+
+    def _parse_one(self, http_msg):
+        import io
+
+        from imitation_learning_data_pipeline_spark.sources.warc import (
+            parse_warc_stream,
+        )
+
+        rec = _warc_record("response", "http://x/", http_msg)
+        return list(parse_warc_stream(io.BytesIO(rec), "t"))[0]
+
+    def test_br_and_zstd_flagged_raw(self):
+        fake_br = b"\x1b\x2e\x00compressed-with-brotli"
+        for label in (b"br", b"zstd", b"BR"):
+            msg = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                b"Content-Encoding: " + label + b"\r\n\r\n" + fake_br
+            )
+            rec = self._parse_one(msg)
+            assert rec["undecoded_coding"] == label.decode().lower()
+            assert rec["payload"] == fake_br  # kept raw, never mangled
+
+    def test_supported_and_identity_codings_unflagged(self):
+        body = gzip.compress(b"<p>ok</p>")
+        msg = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Content-Encoding: gzip\r\n\r\n" + body
+        )
+        rec = self._parse_one(msg)
+        assert rec["undecoded_coding"] is None
+        assert rec["payload"] == b"<p>ok</p>"
+        plain = self._parse_one(_http_response(b"<p>p</p>"))
+        assert plain["undecoded_coding"] is None
+        # wrong-header gzip (decode fails, kept raw) stays UNflagged:
+        # the label was supported, the bytes were just mislabeled
+        bad = self._parse_one(
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Content-Encoding: gzip\r\n\r\n<p>not gzip</p>"
+        )
+        assert bad["undecoded_coding"] is None
+        assert bad["payload"] == b"<p>not gzip</p>"
+
+    def test_ingest_warc_drops_flagged_bodies(self, spark, tmp_path, capsys):
+        from imitation_learning_data_pipeline_spark.cli import main
+
+        d = tmp_path / "crawl"
+        d.mkdir()
+        _write_warc_gz(
+            str(d / "s0.warc.gz"),
+            [
+                _warc_record(
+                    "response", "http://good.test/",
+                    _http_response(b"<p>decodable page</p>"),
+                ),
+                _warc_record(
+                    "response", "http://br.test/",
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                    b"Content-Encoding: br\r\n\r\n\x1b\x2e\x00raw-brotli",
+                ),
+            ],
+        )
+        out = str(tmp_path / "docs")
+        assert main(["ingest-warc", "--input", str(d), "--out", out]) == 0
+        rows = spark.read.parquet(out).collect()
+        assert [r["url"] for r in rows] == ["http://good.test/"]
+
+
+class TestIngestContentTypeCaseInsensitive:
+    def test_upper_case_content_type_survives_filter(
+        self, spark, tmp_path, capsys
+    ):
+        """ADVICE r12: HTTP Content-Type values are case-insensitive;
+        'Text/HTML' pages must not be silently dropped."""
+        from imitation_learning_data_pipeline_spark.cli import main
+
+        d = tmp_path / "crawl"
+        d.mkdir()
+        _write_warc_gz(
+            str(d / "s0.warc.gz"),
+            [
+                _warc_record(
+                    "response", "http://caps.test/",
+                    _http_response(
+                        b"<p>shouty headers</p>",
+                        ctype=b"Text/HTML; charset=UTF-8",
+                    ),
+                ),
+                _warc_record(
+                    "response", "http://png.test/",
+                    _http_response(b"\x89PNG...", ctype=b"IMAGE/PNG"),
+                ),
+            ],
+        )
+        out = str(tmp_path / "docs")
+        assert main([
+            "ingest-warc", "--input", str(d), "--out", out,
+            "--content-type", "text/html",
+        ]) == 0
+        rows = spark.read.parquet(out).collect()
+        assert [r["url"] for r in rows] == ["http://caps.test/"]
+        assert rows[0]["text"] == "shouty headers"
