@@ -153,6 +153,73 @@ class TestWarcUndecodedCoding:
         assert [r["url"] for r in rows] == ["http://good.test/"]
 
 
+class TestDriftBaselineWriteLock:
+    """ADVICE r12 (medium): write_drift_baseline must take the same
+    maintenance lock as fold_drift_baseline — the PSI twin of
+    write_hll_store's VERDICT r11 #1 fix."""
+
+    def _ref(self, spark, n=100):
+        return spark.createDataFrame(
+            [(i, (i % 10) / 10 + 0.05) for i in range(n)],
+            "doc_id long, score double",
+        ).select("score")
+
+    def test_write_respects_lock(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.compact import (
+            ConcurrentMaintenanceError,
+        )
+        from imitation_learning_data_pipeline_spark.plans.monitor import (
+            read_drift_baseline,
+            write_drift_baseline,
+        )
+
+        base = str(tmp_path / "b1")
+        lock = base + "__maintenance_lock"
+        with open(lock, "w") as fh:
+            fh.write('{"op": "psi-fold", "pid": 1}')
+        with pytest.raises(ConcurrentMaintenanceError):
+            write_drift_baseline(self._ref(spark), base)
+        os.remove(lock)
+        write_drift_baseline(self._ref(spark), base)
+        assert not os.path.exists(lock)  # released on success
+        total = read_drift_baseline(spark, base).agg(
+            {"n": "sum"}
+        ).collect()[0][0]
+        assert total == 100
+
+    def test_write_completes_crashed_fold_first(self, spark, tmp_path):
+        """A rebuild on a crashed-fold path completes the journaled
+        staged swap BEFORE overwriting — no torn store, no stranded
+        __psi_tmp/pending artifacts."""
+        import imitation_learning_data_pipeline_spark.pipeline.compact as C
+        from imitation_learning_data_pipeline_spark.plans.monitor import (
+            fold_drift_baseline,
+            read_drift_baseline,
+            write_drift_baseline,
+        )
+
+        base = str(tmp_path / "b2")
+        write_drift_baseline(self._ref(spark), base)
+        batch = spark.createDataFrame(
+            [(i, 0.35) for i in range(50)], "doc_id long, score double"
+        ).select("score")
+        with pytest.MonkeyPatch.context() as mp:
+            def boom(*a, **k):
+                raise RuntimeError("injected crash")
+
+            mp.setattr(C, "_staged_swap_in", boom)
+            with pytest.raises(RuntimeError, match="injected crash"):
+                fold_drift_baseline(batch, base, batch_id=1)
+        assert os.path.exists(base + "__psi_pending.json")
+        write_drift_baseline(self._ref(spark, n=40), base)
+        assert not os.path.exists(base + "__psi_pending.json")
+        assert not os.path.exists(base + "__psi_tmp")
+        total = read_drift_baseline(spark, base).agg(
+            {"n": "sum"}
+        ).collect()[0][0]
+        assert total == 40  # the rebuild, not the folded store
+
+
 class TestIngestContentTypeCaseInsensitive:
     def test_upper_case_content_type_survives_filter(
         self, spark, tmp_path, capsys
