@@ -67,9 +67,11 @@ def _read_small_file(spark, fs, jpath) -> bytes:
 def read_delta_snapshot(spark: SparkSession, path: str) -> dict:
     """Replay the log to the CURRENT snapshot:
     ``{"files": {rel_path: {"size": int, "dv": bool}},
-    "configuration": {...}, "version": int}``. Paths are URI-decoded
-    and relative to the table root (absolute add paths are kept
-    verbatim)."""
+    "configuration": {...}, "version": int, "metadata": {...}|None}``.
+    ``metadata`` is the latest metaData action seen (id, schemaString,
+    partitionColumns, ... — what a schema-evolution sync must compare
+    against). Paths are URI-decoded and relative to the table root
+    (absolute add paths are kept verbatim)."""
     fs, _ = _fs(spark, path)
     jpath = _jvm_path(spark)
     log = _log_dir(path)
@@ -81,6 +83,7 @@ def read_delta_snapshot(spark: SparkSession, path: str) -> dict:
     )
     files: dict[str, dict] = {}
     config: dict = {}
+    metadata: dict | None = None
     start_version = -1
 
     # checkpoint: prefer _last_checkpoint, but it is a best-effort HINT
@@ -137,12 +140,13 @@ def read_delta_snapshot(spark: SparkSession, path: str) -> dict:
                 files[unquote(r["p"])] = {"size": int(r["sz"]), "dv": bool(r["dv"])}
         if "metaData" in cols:
             for r in (
-                cp.selectExpr("metaData.configuration AS c")
+                cp.selectExpr("to_json(metaData) AS m")
                 .where("metaData IS NOT NULL")
                 .collect()
             ):
-                if r["c"] is not None:
-                    config = dict(r["c"])
+                if r["m"] is not None:
+                    metadata = json.loads(r["m"])
+                    config = dict(metadata.get("configuration") or {})
         start_version = v
 
     # JSON commits after the checkpoint, in version order
@@ -186,9 +190,15 @@ def read_delta_snapshot(spark: SparkSession, path: str) -> dict:
             elif "remove" in action:
                 files.pop(unquote(action["remove"]["path"]), None)
             elif "metaData" in action:
-                config = dict(action["metaData"].get("configuration") or {})
+                metadata = dict(action["metaData"])
+                config = dict(metadata.get("configuration") or {})
         last_version = ver
-    return {"files": files, "configuration": config, "version": last_version}
+    return {
+        "files": files,
+        "configuration": config,
+        "version": last_version,
+        "metadata": metadata,
+    }
 
 
 # --- writer twin (r11 verdict item 6) ---------------------------------------
@@ -253,6 +263,7 @@ def write_delta_commit(
 def _write_delta_commit_locked(
     spark, fs, jpath, path, add, remove, schema_json, configuration, table_id,
     known_version: int | None = None,
+    metadata_update: dict | None = None,
 ) -> int:
     """Body of :func:`write_delta_commit`; caller holds the lock (the
     sync path needs manifest-diff + commit under ONE lock acquisition —
@@ -304,6 +315,11 @@ def _write_delta_commit_locked(
                 }
             )
         )
+    elif metadata_update is not None:
+        # schema evolution: re-emit metaData (same table id — Delta
+        # identity is the id, the schemaString is what evolves) so
+        # external readers see columns added after the bootstrap
+        lines.append(json.dumps({"metaData": metadata_update}))
     for rel in sorted(remove):
         lines.append(
             json.dumps(
@@ -388,11 +404,15 @@ def sync_delta_log_from_manifest(spark: SparkSession, path: str) -> dict:
         )
         remove = sorted(rel for rel in logged if rel not in live)
         if not add and not remove:
+            # an unchanged file set implies an unchanged derived schema
+            # (the schema comes from those same footers) — no evolution
+            # check needed on the no-op path
             return {
                 "version": last_version, "n_add": 0, "n_remove": 0,
-                "changed": False,
+                "changed": False, "schema_updated": False,
             }
         schema_json = None
+        metadata_update = None
         if last_version < 0:
             if not live:
                 raise ValueError(
@@ -409,13 +429,74 @@ def sync_delta_log_from_manifest(spark: SparkSession, path: str) -> dict:
                 .parquet(f"{path}/{first}")
                 .schema.json()
             )
+        elif add:
+            # schema evolution (ADVICE r12): a later sync after the
+            # table gained columns would otherwise add the new files
+            # while external Delta readers kept the stale v0
+            # schemaString and silently dropped the new columns.
+            # Evolution can only ENTER via newly-added files, so merge
+            # footers over the ADDS only (cost bounded by the sync
+            # delta, never the table) and union with the logged schema:
+            # - a column present in adds but not logged is appended;
+            # - a logged column absent from adds stays (older files
+            #   still carry it; Delta reads missing columns as null);
+            # - unless EVERY logged file is removed this sync (a full
+            #   rewrite) — then the added schema replaces wholesale;
+            # - a type CHANGE refuses loudly (unsupported here — it
+            #   would silently corrupt external reads either way).
+            from pyspark.sql.types import StructType
+
+            added_schema = (
+                spark.read.option("mergeSchema", "true")
+                .option("basePath", path)
+                .parquet(*(f"{path}/{rel}" for rel, _b in add))
+                .schema
+            )
+            logged_meta = snap["metadata"] or {}
+            logged_str = logged_meta.get("schemaString")
+            logged_schema = (
+                StructType.fromJson(json.loads(logged_str))
+                if logged_str
+                else None
+            )
+            full_rewrite = logged and all(rel in remove for rel in logged)
+            if logged_schema is None or full_rewrite:
+                evolved = added_schema
+            else:
+                by_name = {f.name: f for f in logged_schema.fields}
+                conflicts = [
+                    f.name
+                    for f in added_schema.fields
+                    if f.name in by_name
+                    and by_name[f.name].dataType != f.dataType
+                ]
+                if conflicts:
+                    raise ValueError(
+                        "sync_delta_log_from_manifest: column type "
+                        f"changed in new files for {conflicts} — "
+                        "type-changing schema evolution is unsupported "
+                        "(it would silently corrupt external Delta "
+                        "reads); rewrite the whole table instead"
+                    )
+                evolved = StructType(
+                    list(logged_schema.fields)
+                    + [
+                        f
+                        for f in added_schema.fields
+                        if f.name not in by_name
+                    ]
+                )
+            if logged_schema != evolved:
+                metadata_update = dict(logged_meta)
+                metadata_update["schemaString"] = evolved.json()
         version = _write_delta_commit_locked(
             spark, fs, jpath, path, add, remove, schema_json, None, None,
             known_version=last_version,
+            metadata_update=metadata_update,
         )
         return {
             "version": version, "n_add": len(add), "n_remove": len(remove),
-            "changed": True,
+            "changed": True, "schema_updated": metadata_update is not None,
         }
     finally:
         _release_table_lock(fs, jpath, path)

@@ -39,6 +39,26 @@ from pyspark.sql import functions as F
 from ..functions.hashing import md5_unit_interval
 from ..plans.sampling import _N_SHARDS, _ORDER_SEED, _SHARD_SEED
 
+
+def _sweep_stale_tmp(out_dir: str, tmp_marker: str) -> int:
+    """Remove ``shard-*<tmp_marker>*`` leftovers before an export
+    (ADVICE r12): attempt-unique tmp names fixed the
+    concurrent-interleave bug, but a killed task attempt leaves its
+    ``.tmp.<attempt>`` file behind forever (the old fixed name was
+    self-truncating on retry). Export start is the one safe sweep
+    point — a concurrent export into the same dir was never supported
+    (both would os.replace the same finals). Shared by the TFRecord
+    and WebDataset sinks; returns the number of files removed."""
+    removed = 0
+    for name in os.listdir(out_dir):
+        if name.startswith("shard-") and tmp_marker in name:
+            try:
+                os.remove(os.path.join(out_dir, name))
+                removed += 1
+            except FileNotFoundError:
+                pass
+    return removed
+
 # --- CRC32-C (Castagnoli), table-driven, reflected poly 0x82f63b78 ----------
 
 _CRC_TABLE = []
@@ -252,6 +272,7 @@ def export_tfrecord(
     if missing:
         raise ValueError(f"export_tfrecord: missing columns {missing}")
     os.makedirs(path, exist_ok=True)
+    _sweep_stale_tmp(path, ".tfrecord.tmp.")
 
     u1 = md5_unit_interval(id_col, seed=shard_seed)
     u2 = md5_unit_interval(id_col, seed=order_seed)

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_unit_interval
 from ..plans.sampling import _N_SHARDS, _ORDER_SEED, _SHARD_SEED
+from .tfrecord import _sweep_stale_tmp
 
 
 def export_webdataset(
@@ -58,6 +59,7 @@ def export_webdataset(
     if missing:
         raise ValueError(f"export_webdataset: missing columns {missing}")
     os.makedirs(path, exist_ok=True)
+    _sweep_stale_tmp(path, ".tar.tmp.")
 
     u1 = md5_unit_interval(id_col, seed=shard_seed)
     u2 = md5_unit_interval(id_col, seed=order_seed)

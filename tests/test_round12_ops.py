@@ -481,7 +481,8 @@ class TestDeltaLogWriter:
         # idempotent: a second sync commits nothing
         again = sync_delta_log_from_manifest(spark, p)
         assert again == {
-            "version": 0, "n_add": 0, "n_remove": 0, "changed": False
+            "version": 0, "n_add": 0, "n_remove": 0, "changed": False,
+            "schema_updated": False,
         }
 
     def test_maintenance_delta_emits_tombstones_and_adds(self, spark, tmp_path):

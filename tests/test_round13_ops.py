@@ -220,6 +220,171 @@ class TestDriftBaselineWriteLock:
         assert total == 40  # the rebuild, not the folded store
 
 
+class TestShardTmpSweep:
+    """ADVICE r12: attempt-unique tmp names orphan a killed attempt's
+    .tmp.<attempt> file forever — exports sweep stale tmps at start."""
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(i, f"text {i}") for i in range(20)],
+            "doc_id long, text string",
+        )
+
+    def test_tfrecord_sweeps_stale_tmp(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.tfrecord import (
+            export_tfrecord,
+        )
+
+        out = tmp_path / "tf"
+        out.mkdir()
+        stale = out / "shard-00001.tfrecord.tmp.42"
+        stale.write_bytes(b"orphaned attempt bytes")
+        export_tfrecord(self._df(spark), str(out), n_shards=2)
+        names = sorted(os.listdir(out))
+        assert not any(".tmp." in n for n in names), names
+        assert names == ["shard-00000.tfrecord", "shard-00001.tfrecord"]
+
+    def test_webdataset_sweeps_stale_tmp(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.webdataset import (
+            export_webdataset,
+        )
+
+        out = tmp_path / "wds"
+        out.mkdir()
+        (out / "shard-000000.tar.tmp.7").write_bytes(b"junk")
+        export_webdataset(self._df(spark), str(out), n_shards=2)
+        names = sorted(os.listdir(out))
+        assert not any(".tmp." in n for n in names), names
+        assert names == ["shard-000000.tar", "shard-000001.tar"]
+
+
+class TestDeltaLogSchemaEvolution:
+    def test_sync_reemits_metadata_on_new_column(self, spark, tmp_path):
+        """ADVICE r12: a sync after the table gains columns must emit
+        an updated metaData action — otherwise external Delta readers
+        keep the v0 schemaString and silently drop the new columns."""
+        from imitation_learning_data_pipeline_spark.pipeline.delta_log import (
+            read_delta_snapshot,
+            sync_delta_log_from_manifest,
+        )
+        from imitation_learning_data_pipeline_spark.pipeline.manifest import (
+            write_manifest,
+        )
+
+        p = str(tmp_path / "t")
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10)], "id long, name string"
+        ).coalesce(1).write.mode("overwrite").parquet(p)
+        write_manifest(spark, p)
+        out0 = sync_delta_log_from_manifest(spark, p)
+        assert out0["version"] == 0 and out0["schema_updated"] is False
+        snap0 = read_delta_snapshot(spark, p)
+        table_id = snap0["metadata"]["id"]
+        assert '"name":"name"' in snap0["metadata"]["schemaString"]
+        assert '"name":"extra"' not in snap0["metadata"]["schemaString"]
+
+        # the table evolves: NEW files carry an extra column (old
+        # files keep the narrow footer — Delta reads them as null)
+        spark.createDataFrame(
+            [(i, f"v{i}", i * 2) for i in range(10, 20)],
+            "id long, name string, extra long",
+        ).coalesce(1).write.mode("append").parquet(p)
+        write_manifest(spark, p)
+        out1 = sync_delta_log_from_manifest(spark, p)
+        assert out1["changed"] and out1["schema_updated"] is True
+        snap1 = read_delta_snapshot(spark, p)
+        # union schema: the old column AND the new one
+        assert '"name":"name"' in snap1["metadata"]["schemaString"]
+        assert '"name":"extra"' in snap1["metadata"]["schemaString"]
+        # Delta identity is the id — it must survive the evolution
+        assert snap1["metadata"]["id"] == table_id
+        # convergence: nothing further to commit, no metadata churn
+        again = sync_delta_log_from_manifest(spark, p)
+        assert again["changed"] is False and again["schema_updated"] is False
+
+    def test_full_rewrite_replaces_schema(self, spark, tmp_path):
+        """When every logged file is removed in one sync (a wholesale
+        rebuild), the added schema REPLACES — a dropped column must not
+        haunt external readers as eternal nulls."""
+        import glob
+        import shutil
+
+        from imitation_learning_data_pipeline_spark.pipeline.delta_log import (
+            read_delta_snapshot,
+            sync_delta_log_from_manifest,
+        )
+        from imitation_learning_data_pipeline_spark.pipeline.manifest import (
+            write_manifest,
+        )
+
+        p = str(tmp_path / "t3")
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10)], "id long, name string"
+        ).coalesce(1).write.mode("overwrite").parquet(p)
+        write_manifest(spark, p)
+        sync_delta_log_from_manifest(spark, p)
+        old_parts = glob.glob(os.path.join(p, "part-*.parquet"))
+        # rebuild: write replacement files elsewhere, swap them in
+        q = str(tmp_path / "rebuild")
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(10)], "id long, score double"
+        ).coalesce(1).write.mode("overwrite").parquet(q)
+        for f in old_parts:
+            os.remove(f)
+        for f in glob.glob(os.path.join(q, "part-*.parquet")):
+            shutil.move(f, os.path.join(p, os.path.basename(f)))
+        write_manifest(spark, p)
+        out = sync_delta_log_from_manifest(spark, p)
+        assert out["schema_updated"] is True
+        s = read_delta_snapshot(spark, p)["metadata"]["schemaString"]
+        assert '"name":"score"' in s and '"name":"name"' not in s
+
+    def test_type_change_refused(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.delta_log import (
+            sync_delta_log_from_manifest,
+        )
+        from imitation_learning_data_pipeline_spark.pipeline.manifest import (
+            write_manifest,
+        )
+
+        p = str(tmp_path / "t4")
+        spark.createDataFrame(
+            [(i, i) for i in range(5)], "id long, v long"
+        ).coalesce(1).write.mode("overwrite").parquet(p)
+        write_manifest(spark, p)
+        sync_delta_log_from_manifest(spark, p)
+        spark.createDataFrame(
+            [(i, str(i)) for i in range(5, 10)], "id long, v string"
+        ).coalesce(1).write.mode("append").parquet(p)
+        write_manifest(spark, p)
+        with pytest.raises(ValueError, match="type.*changed|changed.*type"):
+            sync_delta_log_from_manifest(spark, p)
+
+    def test_sync_same_schema_emits_no_metadata(self, spark, tmp_path):
+        """File churn WITHOUT schema change must not re-emit metaData
+        (metadata actions on every sync would bloat the log replay)."""
+        from imitation_learning_data_pipeline_spark.pipeline.delta_log import (
+            sync_delta_log_from_manifest,
+        )
+        from imitation_learning_data_pipeline_spark.pipeline.manifest import (
+            write_manifest,
+        )
+
+        p = str(tmp_path / "t2")
+        df = spark.createDataFrame([(i,) for i in range(10)], "id long")
+        df.coalesce(1).write.mode("overwrite").parquet(p)
+        write_manifest(spark, p)
+        sync_delta_log_from_manifest(spark, p)
+        df.coalesce(2).write.mode("append").parquet(p)  # new files
+        write_manifest(spark, p)
+        out = sync_delta_log_from_manifest(spark, p)
+        assert out["changed"] is True and out["schema_updated"] is False
+        commit1 = open(
+            os.path.join(p, "_delta_log", f"{1:020d}.json")
+        ).read()
+        assert "metaData" not in commit1
+
+
 class TestIngestContentTypeCaseInsensitive:
     def test_upper_case_content_type_survives_filter(
         self, spark, tmp_path, capsys

@@ -226,9 +226,23 @@ AUDIT = {
     # shingle set and every dedup/neardup candidate join must be
     # hash-keyed or broadcast; an all-pairs node anywhere in the chain
     # is the composition-level scale-killer this row exists to catch.
+    # round-13 (VERDICT r12 #2): exchange counts PINNED — the composed
+    # plan text repeats reused subtrees, so the absolute number is
+    # plan-shape bookkeeping, not shuffle volume; but a stage
+    # regression that re-introduced a self-join per stage would
+    # MULTIPLY it and previously still passed. Measured r13 baseline:
+    # 877 exchanges (sf0.01, AQE plan text); ceiling = baseline ~+15%
+    # for optimizer-version noise.
     "pipeline_curation_decontam": {
+        "max_exchanges": 1010,
         "want": ["BroadcastHashJoin"],
         "forbid": ["CartesianProduct"],
+    },
+    # round-13: same pin for the 8-stage funnel without decontam —
+    # measured baseline 217 exchanges (sf0.01).
+    "pipeline_curation_full": {
+        "max_exchanges": 250,
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
 }
 
