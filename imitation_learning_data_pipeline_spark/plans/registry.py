@@ -174,11 +174,14 @@ CONTRACT_FIRST: list[str] = [
     # the contract; funded by parking ann_int8_topk (seven rounds
     # green, see CONTRACT_EXCLUDE).
     "text_heavy_hitters",
-    # Round-10 rotation (proxy-drift cadence, r9 verdict item 4):
-    # q1_pricing_summary was the oldest never-re-rotated park (since
-    # r5) — rotated BACK for a fresh direct row; funded by parking
-    # window_running_sum (green r3-r9, see CONTRACT_EXCLUDE).
-    "q1_pricing_summary",
+    # (round-13: q1_pricing_summary — green r1-r4 + r10-r12, rotated
+    # back in r10 for its refresh and green three more rounds —
+    # parked behind pipeline_validate_orders + q6_forecast_revenue;
+    # funds the window_dedup_first return slot. See CONTRACT_EXCLUDE.)
+    # Round-13 rotation (proxy-drift cadence, r12 verdict item 4):
+    # window_dedup_first (W2, a SURVEY hard-part #1) was proxy-only
+    # since its r5 park — rotated BACK for a fresh direct row.
+    "window_dedup_first",
     # Round-11 rotation (proxy-drift cadence, r10 verdict item 5): the
     # r5 parks are the oldest never-re-rotated group;
     # asof_join_last_click rotates BACK for a fresh direct row, funded
@@ -441,13 +444,17 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     # aggregate family, and its top-k sort shape is q3_shipping_priority.
     "text_topk_ngrams": "text_repetition_stats (ngram aggregate family) "
     "+ q3_shipping_priority (top-k sort)",
-    # round-5 rotation #5: funds the streaming_dedup_exact slot. Four
-    # rounds green; its row_number-over-group machinery is
-    # window_reindex's shape and its keep-canonical-per-group semantics
-    # are dedup_exact's agg (storage-order pytest coverage remains in
-    # TestStorageOrder).
-    "window_dedup_first": "window_reindex (row_number over group) + "
-    "dedup_exact (keep-canonical agg)",
+    # round-13 rotation: funds window_dedup_first's return slot
+    # (proxy-drift cadence — W2 had been proxy-only since its r5
+    # park). Green r1-r4 + r10-r12 (seven rounds total, three since
+    # its own r10 refresh); its one-pass grouped multi-aggregate shape
+    # is pipeline_validate_orders' retained A1 machinery and its
+    # filtered-scan pushdown discipline is q6_forecast_revenue's
+    # retained S2 row; the row stays hash-checked in
+    # check_contract --all.
+    "q1_pricing_summary": "pipeline_validate_orders (same one-pass "
+    "grouped multi-aggregate machinery) + q6_forecast_revenue (same "
+    "pushdown-audited lineitem scan) + check_contract --all row",
     # round-10 rotation: funds q1_pricing_summary's return slot
     # (proxy-drift cadence — q1 was the oldest never-re-rotated park).
     # Seven rounds green (r3-r9); the same per-user ordered-window
