@@ -88,6 +88,15 @@ HEADLINE = [
     # runs has a regression surface. Subtract it (or compare
     # per-query) for like-for-like totals vs r11.
     "pipeline_curation_decontam",
+    # Round 13 adds ONE entry (r12 verdict item 3): the WARC ingestion
+    # front door (parse → extract → URL dedup, the cli ingest-warc
+    # plan) over a real generated .warc.gz corpus — the most
+    # Python-heavy stage in the repo finally has a throughput
+    # regression surface (~98k pages at sf0.1; first-ever run also
+    # pays a one-time driver-side corpus generation, disk-cached
+    # thereafter). Subtract it (or compare per-query) for
+    # like-for-like totals vs r12.
+    "web_ingest_warc",
 ]
 
 

@@ -1465,76 +1465,19 @@ def cmd_ingest_warc(args: argparse.Namespace) -> int:
     WARC(.gz) responses → extracted text → documents-shaped parquet
     (doc_id, url, title, text, n_links, link_density, text_chars) ready
     for the curation funnel. --max-link-density drops boilerplate-heavy
-    pages (nav/menu/link farms) at ingest."""
-    from .operators.html_text import extract_html_text
-    from .sources.warc import read_warc
+    pages (nav/menu/link farms) at ingest. The plan itself lives in
+    plans/web.py::ingest_warc_plan, shared with the web_ingest_warc
+    bench row so the measured path IS the shipped path."""
+    from .plans.web import ingest_warc_plan
 
     spark = _spark("ingest-warc")
-    # undecoded_coding flags br/zstd bodies the stdlib parser can't
-    # decompress — raw compressed bytes must not enter text extraction
-    recs = read_warc(spark, args.input).filter(
-        (F.col("http_status") == 200)
-        & F.col("undecoded_coding").isNull()
+    out = ingest_warc_plan(
+        spark,
+        args.input,
+        content_type=args.content_type or None,
+        max_link_density=args.max_link_density,
+        dedup_url=args.dedup_url,
     )
-    if args.content_type:
-        # HTTP Content-Type is case-insensitive; real crawls carry
-        # 'Text/HTML' variants — compare lowercased both sides
-        recs = recs.filter(
-            F.lower(F.col("content_type")).startswith(
-                args.content_type.lower()
-            )
-        )
-    # deterministic doc ids as a PURE ROW FUNCTION of the stable record
-    # identity (file, offset) — reproducible across runs with zero
-    # shuffle; a global row_number would Exchange SinglePartition the
-    # whole crawl (the repo's documented anti-plan). 64-bit hash
-    # collisions at crawl scale are birthday-bounded (~2^-32 per 6B
-    # docs pairwise) and downstream exact dedup keys on content anyway.
-    pages = recs.select(
-        F.xxhash64("warc_file", "record_offset").alias("doc_id"),
-        F.col("target_uri").alias("url"),
-        F.col("payload").alias("html"),
-        "content_type",
-    )
-    # url rides THROUGH the extraction batch (passthrough) — joining
-    # extraction output back to `pages` would recompute the upstream in
-    # both join branches, i.e. parse the whole crawl twice
-    out = extract_html_text(
-        pages,
-        html_col="html",
-        content_type_col="content_type",
-        passthrough=("url",),
-    )
-    if args.max_link_density is not None:
-        out = out.filter(F.col("link_density") <= args.max_link_density)
-    out = out.select(
-        "doc_id", "url", "title", "text", "n_links", "link_density",
-        "text_chars",
-    )
-    if args.dedup_url:
-        # crawls refetch the same URL across segments — keep ONE page
-        # per URL via a struct-max agg, not a window (the W2 rule: no
-        # per-URL sort, one hash exchange). The winner is the max
-        # doc_id — hash-arbitrary but DETERMINISTIC across runs.
-        # Records WITHOUT a target URI must not collapse into one
-        # group: the empty-url rows key on their own doc_id instead,
-        # so each survives (content-level dedup downstream is the real
-        # gate for those).
-        key = F.when(F.col("url") == "", F.col("doc_id")).otherwise(F.lit(0))
-        keep = F.max(
-            F.struct("doc_id", "title", "text", "n_links",
-                     "link_density", "text_chars")
-        ).alias("k")
-        out = (
-            out.groupBy("url", key.alias("__selfkey")).agg(keep)
-            .select(
-                F.col("k.doc_id").alias("doc_id"), "url",
-                F.col("k.title").alias("title"), F.col("k.text").alias("text"),
-                F.col("k.n_links").alias("n_links"),
-                F.col("k.link_density").alias("link_density"),
-                F.col("k.text_chars").alias("text_chars"),
-            )
-        )
     out.write.mode("overwrite").parquet(args.out)
     n = spark.read.parquet(args.out).count()
     print(json.dumps({"out": args.out, "docs": n}))

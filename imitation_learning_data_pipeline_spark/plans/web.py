@@ -82,3 +82,173 @@ def web_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text_chars").cast("int").alias("text_chars"),
         "link_density",
     )
+
+
+# --- WARC ingest bench surface (VERDICT r12 #3) ------------------------------
+#
+# The WARC path had pytest coverage and the oracle row above, but no
+# bench presence — parse → extract → URL dedup is the most Python-heavy
+# stage in the repo and its throughput was unmeasured at sf0.1 scale.
+# `build_warc_corpus` materializes a REAL .warc.gz corpus (proper
+# WARC/1.0 + HTTP framing, one gzip member per record — the Common
+# Crawl layout read_warc documents) from the documents table,
+# deterministic and disk-cached; `web_ingest_warc` runs the same plan
+# `cli ingest-warc` runs (shared `ingest_warc_plan`) over it.
+
+_WARC_REPLICAS = 20  # pages per source document (URL dup factor 2)
+_WARC_FILES = 32  # ≥ local core count: per-FILE parallelism saturates
+
+
+def _page_html(doc_id: int, rep: int, text: str) -> bytes:
+    return (
+        f"<html><head><title>Page {doc_id}-{rep}</title></head>"
+        f'<body><nav><a href="/">home</a> <a href="/about">about</a>'
+        f"</nav><script>var x={rep};</script><p>{text}</p>"
+        f"</body></html>"
+    ).encode("utf-8", "replace")
+
+
+def build_warc_corpus(
+    sf_dir: str,
+    out_root: str | None = None,
+    replicas: int = _WARC_REPLICAS,
+    n_files: int = _WARC_FILES,
+) -> str:
+    """Materialize a deterministic .warc.gz corpus from ``sf_dir``'s
+    documents table (driver-side, pure stdlib — the GENERATION is not
+    part of the measured plan and must not contribute Spark task CPU).
+    Each document becomes ``replicas`` HTTP-response records; every
+    URL appears twice (the dedup stage has real work); ~2% of records
+    are non-200 (the status filter has real work). Cached on disk via
+    a completion marker — repeat bench runs skip straight to the read.
+    Returns the corpus directory."""
+    import gzip
+    import os
+
+    import duckdb
+
+    out_root = out_root or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "..", ".bench_warc"
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out_dir = os.path.normpath(os.path.join(out_root, tag))
+    marker = os.path.join(out_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    rows = duckdb.sql(
+        "SELECT doc_id, text FROM "
+        f"'{os.path.join(sf_dir, 'documents.parquet')}' "
+        "WHERE length(trim(text)) > 0 ORDER BY doc_id"
+    ).fetchall()
+    handles = [
+        open(os.path.join(out_dir, f"seg{i:04d}.warc.gz.tmp"), "wb")
+        for i in range(n_files)
+    ]
+    try:
+        for doc_id, text in rows:
+            for rep in range(replicas):
+                page_id = int(doc_id) * replicas + rep
+                # URL dup factor 2: reps 2k and 2k+1 share a URL
+                url = f"http://bench.test/{doc_id}/{rep // 2}"
+                body = _page_html(int(doc_id), rep, text)
+                status = b"404 Not Found" if page_id % 50 == 0 else b"200 OK"
+                http = (
+                    b"HTTP/1.1 " + status + b"\r\n"
+                    b"Content-Type: text/html; charset=utf-8\r\n\r\n" + body
+                )
+                rec = (
+                    "WARC/1.0\r\n"
+                    "WARC-Type: response\r\n"
+                    f"WARC-Record-ID: <urn:bench:{page_id}>\r\n"
+                    "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+                    f"WARC-Target-URI: {url}\r\n"
+                    "Content-Type: application/http; msgtype=response\r\n"
+                    f"Content-Length: {len(http)}\r\n\r\n"
+                ).encode() + http + b"\r\n\r\n"
+                handles[page_id % n_files].write(
+                    gzip.compress(rec, compresslevel=1)
+                )
+    finally:
+        for fh in handles:
+            fh.close()
+    for i in range(n_files):
+        tmp = os.path.join(out_dir, f"seg{i:04d}.warc.gz.tmp")
+        os.replace(tmp, os.path.join(out_dir, f"seg{i:04d}.warc.gz"))
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
+    return out_dir
+
+
+def ingest_warc_plan(
+    spark: SparkSession,
+    input_glob: str,
+    content_type: str | None = "text/html",
+    max_link_density: float | None = None,
+    dedup_url: bool = False,
+) -> DataFrame:
+    """The ingest-warc plan, shared verbatim by `cli ingest-warc` and
+    the bench row: WARC responses → status/coding/type filters →
+    extraction (URL rides the Arrow batch — no join-back double parse)
+    → optional URL-level struct-max dedup (one hash exchange, no
+    per-URL window sort). Doc ids are xxhash64(file, offset) — pure
+    row functions, zero shuffle, reproducible across runs."""
+    from ..sources.warc import read_warc
+
+    recs = read_warc(spark, input_glob).filter(
+        (F.col("http_status") == 200) & F.col("undecoded_coding").isNull()
+    )
+    if content_type:
+        recs = recs.filter(
+            F.lower(F.col("content_type")).startswith(content_type.lower())
+        )
+    pages = recs.select(
+        F.xxhash64("warc_file", "record_offset").alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.col("payload").alias("html"),
+        "content_type",
+    )
+    out = extract_html_text(
+        pages,
+        html_col="html",
+        content_type_col="content_type",
+        passthrough=("url",),
+    )
+    if max_link_density is not None:
+        out = out.filter(F.col("link_density") <= max_link_density)
+    out = out.select(
+        "doc_id", "url", "title", "text", "n_links", "link_density",
+        "text_chars",
+    )
+    if dedup_url:
+        key = F.when(F.col("url") == "", F.col("doc_id")).otherwise(F.lit(0))
+        keep = F.max(
+            F.struct("doc_id", "title", "text", "n_links",
+                     "link_density", "text_chars")
+        ).alias("k")
+        out = (
+            out.groupBy("url", key.alias("__selfkey")).agg(keep)
+            .select(
+                F.col("k.doc_id").alias("doc_id"), "url",
+                F.col("k.title").alias("title"), F.col("k.text").alias("text"),
+                F.col("k.n_links").alias("n_links"),
+                F.col("k.link_density").alias("link_density"),
+                F.col("k.text_chars").alias("text_chars"),
+            )
+        )
+    return out
+
+
+@register("web_ingest_warc")
+def web_ingest_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench row for the web-ingestion front door: the full
+    `cli ingest-warc` plan (parse → extract → URL dedup) over a real
+    generated .warc.gz corpus derived from the documents table.
+    Host-I/O path — no DuckDB oracle (rows-only in the library gate);
+    the extraction CONTRACT is hash-checked by `web_html_extract`, and
+    the end-to-end row-level semantics by pytest."""
+    ensure_utc(spark)
+    corpus = build_warc_corpus(sf_dir)
+    return ingest_warc_plan(
+        spark, corpus, content_type="text/html", dedup_url=True
+    )

@@ -385,6 +385,122 @@ class TestDeltaLogSchemaEvolution:
         assert "metaData" not in commit1
 
 
+_GOPHER_OK = (
+    "the team decided to review all of the design notes and confirm "
+    "that they have agreed with every point raised during the long "
+    "planning session held this week because the written record must "
+    "stay accurate and complete for those readers who come later and "
+    "want to understand what was decided here and why it mattered then"
+)
+
+
+class TestWarcToCurationComposition:
+    """VERDICT r12 #8: the crawl-to-corpus path composed end to end —
+    WARC → ingest-warc → cli curate — with a planted link farm dropped
+    at INGEST (link density) and a planted duplicate dropped at the
+    funnel's DEDUP stage."""
+
+    def test_crawl_to_curated_corpus(self, spark, tmp_path, capsys):
+        from imitation_learning_data_pipeline_spark.cli import main
+
+        d = tmp_path / "crawl"
+        d.mkdir()
+        good = [
+            _warc_record(
+                "response", f"http://site{i}.test/",
+                _http_response(
+                    f"<p>{_GOPHER_OK} unique marker {i} paragraph</p>".encode()
+                ),
+            )
+            for i in range(3)
+        ]
+        dup_body = f"<p>{_GOPHER_OK} repeated syndicated article</p>".encode()
+        dups = [
+            _warc_record(
+                "response", f"http://mirror{i}.test/", _http_response(dup_body)
+            )
+            for i in range(2)
+        ]
+        farm = _warc_record(
+            "response", "http://farm.test/",
+            _http_response(
+                b"<p>" + b" ".join(
+                    b'<a href="/%d">link%d</a>' % (i, i) for i in range(40)
+                ) + b" x</p>"
+            ),
+        )
+        _write_warc_gz(str(d / "s0.warc.gz"), good + dups + [farm])
+
+        docs = str(tmp_path / "docs")
+        assert main([
+            "ingest-warc", "--input", str(d), "--out", docs,
+            "--max-link-density", "0.5",
+        ]) == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["docs"] == 5  # farm dropped at ingest, dups survive
+
+        curated = str(tmp_path / "curated")
+        assert main([
+            "curate", "--path", docs, "--stages", "gopher,dedup",
+            "--out", curated,
+        ]) == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        stages = {r["stage"]: r for r in rep["funnel"]}
+        assert stages["gopher"]["rows_out"] == 5  # all extracted pass
+        assert stages["dedup"]["rows_out"] == 4  # one mirror dropped
+        rows = spark.read.parquet(curated).collect()
+        assert len(rows) == 4
+        texts = [r["text"] for r in rows]
+        assert sum("syndicated" in t for t in texts) == 1
+
+
+class TestWarcBenchRow:
+    """VERDICT r12 #3: the registered web_ingest_warc bench row over a
+    real generated .warc.gz corpus."""
+
+    def test_corpus_build_cached_and_query_shape(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.plans.web import (
+            _WARC_REPLICAS,
+            build_warc_corpus,
+            ingest_warc_plan,
+        )
+
+        sf_dir = "/root/testdata/sf0.001"
+        root = str(tmp_path / "corpus")
+        out = build_warc_corpus(sf_dir, out_root=root)
+        assert os.path.exists(os.path.join(out, "_COMPLETE"))
+        n_gz = len([f for f in os.listdir(out) if f.endswith(".warc.gz")])
+        assert n_gz == 32
+        # cached: a second call returns without rewriting
+        mtime = os.path.getmtime(os.path.join(out, "seg0000.warc.gz"))
+        assert build_warc_corpus(sf_dir, out_root=root) == out
+        assert os.path.getmtime(os.path.join(out, "seg0000.warc.gz")) == mtime
+
+        import duckdb
+
+        n_docs = duckdb.sql(
+            f"SELECT count(*) FROM '{sf_dir}/documents.parquet' "
+            "WHERE length(trim(text)) > 0"
+        ).fetchone()[0]
+        result = ingest_warc_plan(
+            spark, out, content_type="text/html", dedup_url=True
+        )
+        rows = result.collect()
+        # URL space: replicas//2 distinct URLs per doc (dup factor 2);
+        # every URL survives dedup (404s may thin a URL to one fetch,
+        # never to zero — 2% of records, never both fetches of a URL
+        # since consecutive page_ids differ by 1 and 404s are %50)
+        assert len(rows) == n_docs * (_WARC_REPLICAS // 2)
+        assert len({r["url"] for r in rows}) == len(rows)
+        # determinism: doc ids are pure (file, offset) functions
+        again = ingest_warc_plan(
+            spark, out, content_type="text/html", dedup_url=True
+        ).collect()
+        assert sorted(r["doc_id"] for r in again) == sorted(
+            r["doc_id"] for r in rows
+        )
+
+
 class TestIngestContentTypeCaseInsensitive:
     def test_upper_case_content_type_survives_filter(
         self, spark, tmp_path, capsys

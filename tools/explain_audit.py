@@ -244,6 +244,18 @@ AUDIT = {
         "max_exchanges": 250,
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    # round-13: the WARC ingest bench row — binaryFile scan → two
+    # Arrow-batched MapInPandas stages (parse, extract) in ONE
+    # pre-shuffle stage, then exactly one exchange for the URL-dedup
+    # aggregate (max(struct) plans as SortAggregate — Spark's
+    # immutable-buffer rule — which still partial-aggregates map-side;
+    # a window or join-back would sort/shuffle the full page set
+    # twice). No join anywhere in the ingest path.
+    "web_ingest_warc": {
+        "max_exchanges": 1,
+        "want": ["MapInPandas", "Scan binaryFile"],
+        "forbid": ["CartesianProduct", "SortMergeJoin", "Window"],
+    },
 }
 
 
