@@ -1491,11 +1491,16 @@ def cmd_delta_log(args: argparse.Namespace) -> int:
     repo-maintained tables); --show replays the log and prints the
     snapshot summary. Both run WITHOUT delta-spark."""
     from .pipeline.delta_log import (
+        enable_auto_delta_sync,
         read_delta_snapshot,
         sync_delta_log_from_manifest,
     )
 
     spark = _spark("delta-log")
+    if args.enable_auto_sync:
+        out = enable_auto_delta_sync(spark, args.path)
+        print(json.dumps({"path": args.path, "auto_sync": True, **out}))
+        return 0
     if args.sync:
         out = sync_delta_log_from_manifest(spark, args.path)
         print(json.dumps({"path": args.path, **out}))
@@ -2675,6 +2680,14 @@ def build_parser() -> argparse.ArgumentParser:
         "--sync",
         action="store_true",
         help="write the converging commit (requires a _manifest)",
+    )
+    dl.add_argument(
+        "--enable-auto-sync",
+        action="store_true",
+        help="opt the table into per-commit mirroring: every journaled "
+        "DML verb (merge/insert/delete/update/compact) syncs _delta_log "
+        "right after its manifest commit; a crash in the window "
+        "converges at the next verb",
     )
     dl.set_defaults(fn=cmd_delta_log)
 

@@ -313,6 +313,9 @@ def compact(
     elif zorder_by:
         out["layout"] = {"zorder_by": zorder_by}
     log_event(spark, path, "compact", out)
+    from .delta_log import maybe_auto_delta_sync
+
+    maybe_auto_delta_sync(spark, path)
     return out
 
 

@@ -500,3 +500,60 @@ def sync_delta_log_from_manifest(spark: SparkSession, path: str) -> dict:
         }
     finally:
         _release_table_lock(fs, jpath, path)
+
+
+# --- DML-path auto-sync (r12 verdict item 6) ---------------------------------
+#
+# `sync_delta_log_from_manifest` converges log <-> manifest ON DEMAND;
+# tables that opt in via `enable_auto_delta_sync` get that convergence
+# AFTER EVERY journaled DML verb (merge/insert/delete/update/compact):
+# the verb commits its manifest delta under the maintenance lock,
+# releases, and the auto-sync immediately re-acquires and emits the
+# matching Delta actions. Crash discipline: the sync is a pure DIFF of
+# manifest vs log, so a crash between manifest commit and log sync is
+# converged by the NEXT verb (or an explicit `cli delta-log --sync`) —
+# the same self-healing recovery the manual sync always had. Honest
+# caveat: in that window the stale log can reference files a COW
+# rewrite already retired (snapshot-unprotected files are DELETED), so
+# an external reader racing the window can hit missing files — the
+# same exposure as a manual-sync cadence, just milliseconds instead of
+# operator-minutes. True no-window atomicity needs the transactional
+# engines themselves (the documented Delta/Iceberg adapter path).
+
+_AUTOSYNC_MARKER = "_delta_autosync"
+
+
+def enable_auto_delta_sync(spark: SparkSession, path: str) -> dict:
+    """Opt ``path`` into per-commit Delta-log mirroring: writes the
+    marker and runs the bootstrap sync (requires a manifest — the
+    sync's source of truth). Idempotent."""
+    path = path.rstrip("/")
+    # bootstrap FIRST (it raises without a manifest) — the marker only
+    # lands once a sync has succeeded, so a half-enabled table can't
+    # make every later DML verb raise
+    out = sync_delta_log_from_manifest(spark, path)
+    fs, _ = _fs(spark, path)
+    jpath = _jvm_path(spark)
+    marker = jpath(f"{path}/{_AUTOSYNC_MARKER}")
+    if not fs.exists(marker):
+        stream = fs.create(marker, True)
+        try:
+            stream.write(bytearray(b'{"auto_sync": true}\n'))
+        finally:
+            stream.close()
+    return out
+
+
+def auto_delta_sync_enabled(spark: SparkSession, path: str) -> bool:
+    fs, _ = _fs(spark, path.rstrip("/"))
+    return fs.exists(_jvm_path(spark)(f"{path.rstrip('/')}/{_AUTOSYNC_MARKER}"))
+
+
+def maybe_auto_delta_sync(spark: SparkSession, path: str) -> dict | None:
+    """Post-commit hook the DML verbs call AFTER releasing the
+    maintenance lock (the sync takes its own acquisition — calling it
+    under the verb's lock would deadlock). No-op unless the table
+    opted in."""
+    if not auto_delta_sync_enabled(spark, path):
+        return None
+    return sync_delta_log_from_manifest(spark, path)

@@ -236,6 +236,9 @@ def merge_into(
     from .history import log_event
 
     log_event(spark, path, "merge_into", {"key": keys, **out})
+    from .delta_log import maybe_auto_delta_sync
+
+    maybe_auto_delta_sync(spark, path)
     return out
 
 
@@ -600,6 +603,9 @@ def delete_from(
         "delete_from",
         {"predicate": str(predicate), **out},
     )
+    from .delta_log import maybe_auto_delta_sync
+
+    maybe_auto_delta_sync(spark, path)
     return out
 
 
@@ -739,6 +745,9 @@ def update_where(
         "update_where",
         {"predicate": str(predicate), "columns": sorted(assignments), **out},
     )
+    from .delta_log import maybe_auto_delta_sync
+
+    maybe_auto_delta_sync(spark, path)
     return out
 
 
@@ -1052,6 +1061,11 @@ def insert_into(
         from .history import log_event
 
         log_event(spark, path, "insert", {"files_added": moved})
-        return {"files_added": moved}
+        out = {"files_added": moved}
     finally:
         _release_table_lock(fs, jvm_path, path)
+    # after the lock release: the sync takes its own acquisition
+    from .delta_log import maybe_auto_delta_sync
+
+    maybe_auto_delta_sync(spark, path)
+    return out

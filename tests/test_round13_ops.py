@@ -501,6 +501,93 @@ class TestWarcBenchRow:
         )
 
 
+class TestAutoDeltaSync:
+    """VERDICT r12 #6: DML verbs on an opted-in table mirror every
+    commit into _delta_log; a crash between manifest commit and log
+    sync converges at the next verb (the sync is a pure diff)."""
+
+    def _snapshot_rels(self, spark, p):
+        from imitation_learning_data_pipeline_spark.pipeline.delta_log import (
+            read_delta_snapshot,
+        )
+
+        return set(read_delta_snapshot(spark, p)["files"])
+
+    def _manifest_rels(self, spark, p):
+        from imitation_learning_data_pipeline_spark.pipeline.manifest import (
+            read_manifest_entries,
+        )
+
+        return {r for r, _b in read_manifest_entries(spark, p)["files"]}
+
+    def test_dml_commits_mirror_and_crash_converges(self, spark, tmp_path):
+        import imitation_learning_data_pipeline_spark.pipeline.delta_log as DL
+        from imitation_learning_data_pipeline_spark.pipeline.delta_log import (
+            enable_auto_delta_sync,
+        )
+        from imitation_learning_data_pipeline_spark.pipeline.manifest import (
+            write_manifest,
+        )
+        from imitation_learning_data_pipeline_spark.pipeline.merge import (
+            delete_from,
+            insert_into,
+            merge_into,
+        )
+
+        p = str(tmp_path / "t")
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(100)], "id long, v string"
+        ).repartition(2).write.mode("overwrite").parquet(p)
+        write_manifest(spark, p)
+        out = enable_auto_delta_sync(spark, p)
+        assert out["version"] == 0
+        assert self._snapshot_rels(spark, p) == self._manifest_rels(spark, p)
+
+        # a normal merge auto-emits its Delta actions
+        upd = spark.createDataFrame(
+            [(5, "updated"), (200, "new")], "id long, v string"
+        )
+        merge_into(spark, p, upd, key="id")
+        assert self._snapshot_rels(spark, p) == self._manifest_rels(spark, p)
+
+        # crash point: the delete's manifest delta commits, then the
+        # log sync dies before emitting — external readers go stale by
+        # one commit, never wrong
+        with pytest.MonkeyPatch.context() as mp:
+            real = DL.sync_delta_log_from_manifest
+
+            def boom(*a, **k):
+                raise RuntimeError("injected crash before log sync")
+
+            mp.setattr(DL, "sync_delta_log_from_manifest", boom)
+            with pytest.raises(RuntimeError, match="injected crash"):
+                delete_from(spark, p, "id < 10")
+        # the DELETE itself committed (data + manifest)...
+        assert spark.read.parquet(p).filter("id < 10").count() == 0
+        stale_log = self._snapshot_rels(spark, p)
+        assert stale_log != self._manifest_rels(spark, p)
+        # ...and the next verb's auto-sync converges the stale log
+        insert_into(
+            spark, p,
+            spark.createDataFrame([(300, "late")], "id long, v string"),
+        )
+        assert self._snapshot_rels(spark, p) == self._manifest_rels(spark, p)
+        assert real is DL.sync_delta_log_from_manifest  # patch scoped
+
+    def test_enable_requires_manifest(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.pipeline.delta_log import (
+            auto_delta_sync_enabled,
+            enable_auto_delta_sync,
+        )
+
+        p = str(tmp_path / "nomanifest")
+        spark.createDataFrame([(1,)], "id long").write.parquet(p)
+        with pytest.raises(ValueError, match="no _manifest"):
+            enable_auto_delta_sync(spark, p)
+        # marker must NOT land on the failed enable
+        assert auto_delta_sync_enabled(spark, p) is False
+
+
 class TestIngestContentTypeCaseInsensitive:
     def test_upper_case_content_type_survives_filter(
         self, spark, tmp_path, capsys

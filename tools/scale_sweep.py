@@ -42,6 +42,18 @@ def main() -> int:
     ap.add_argument("--big", default="/root/repo/.scale/sf1")
     ap.add_argument("--factor", type=float, default=10.0)
     ap.add_argument("--queries", default=None, help="comma-separated subset")
+    ap.add_argument(
+        "--lib",
+        type=int,
+        default=None,
+        metavar="N",
+        help="sweep the top-N most expensive NON-CONTRACT library rows "
+        "instead of the contract set (r12 verdict item 5: the standing "
+        "gate covered the 50 contract queries; the other ~86 library "
+        "rows had only landing-round pairings). Ranking = one cold "
+        "task-CPU run each at --small; the top N then get the full "
+        "pair protocol.",
+    )
     ap.add_argument("--repeat", type=int, default=2)
     ap.add_argument("--min-cpu-s", type=float, default=0.2)
     ap.add_argument("--out", default=None, help="write the JSON record here too")
@@ -157,6 +169,30 @@ def main() -> int:
             spark.catalog.clearCache()
         return best if best is not None else cpu
 
+    if args.lib:
+        from imitation_learning_data_pipeline_spark.plans import QUERIES
+
+        lib_names = sorted(n for n in QUERIES if n not in entry.queries())
+        print(
+            f"# ranking {len(lib_names)} library rows by one cold "
+            f"task-CPU run at {args.small}",
+            flush=True,
+        )
+        costs = []
+        for n in lib_names:
+            m0 = probe.total_ms()
+            QUERIES[n](spark, args.small).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            cpu = (probe.total_ms() - m0) / 1000.0
+            spark.catalog.clearCache()
+            costs.append((cpu, n))
+            print(f"#   {n}: {cpu:.2f}s", flush=True)
+        costs.sort(reverse=True)
+        names = [n for _c, n in costs[: args.lib]]
+        qs = dict(QUERIES)
+        print(f"# top-{args.lib} lib rows: {', '.join(names)}", flush=True)
+
     cal_small = measure(lambda s, d: _calibration(d), args.small)
     cal_big = measure(lambda s, d: _calibration(d), args.big)
     cal_exp = math.log(max(cal_big, 1e-3) / max(cal_small, 1e-3)) / math.log(
@@ -206,7 +242,9 @@ def main() -> int:
         )
     over = [r for r in rows if r["exponent"] > flag_at and not r["tiny"]]
     record = {
-        "metric": "scale_sweep_exponents",
+        "metric": (
+            "scale_sweep_exponents_lib" if args.lib else "scale_sweep_exponents"
+        ),
         "factor": args.factor,
         "n_queries": len(rows),
         "calibration_exponent": round(cal_exp, 2),
