@@ -783,6 +783,17 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     # symbol / alpha rule features and the published thresholds.
     "text_quality_score": "text_gopher_rules (same per-doc quality-"
     "feature projection family, strict superset with rule thresholds)",
+    # round-13: the WARC ingest BENCH row (host-I/O — generates and
+    # reads a real .warc.gz corpus; no DuckDB oracle is possible, the
+    # driver would record only a rows-only row). Library + bench
+    # surface by design: the extraction CONTRACT is hash-checked by
+    # web_html_extract in --all, the end-to-end semantics by
+    # pytest:TestWarcBenchRow/TestWarcToCurationComposition, and its
+    # Arrow-batched mapInPandas family is anchored in the contract by
+    # multimodal_frame_sample.
+    "web_ingest_warc": "multimodal_frame_sample (same Arrow-batched "
+    "mapInPandas family) + web_html_extract --all hash row + pytest "
+    "end-to-end",
 }
 
 CONTRACT_CAP = 50
