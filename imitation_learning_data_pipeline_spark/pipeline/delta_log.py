@@ -459,7 +459,11 @@ def sync_delta_log_from_manifest(spark: SparkSession, path: str) -> dict:
                 if logged_str
                 else None
             )
-            full_rewrite = logged and all(rel in remove for rel in logged)
+            removed = set(remove)  # list scan would be O(n^2) exactly
+            # in the full-rewrite case this detects
+            full_rewrite = bool(logged) and all(
+                rel in removed for rel in logged
+            )
             if logged_schema is None or full_rewrite:
                 evolved = added_schema
             else:
@@ -494,6 +498,23 @@ def sync_delta_log_from_manifest(spark: SparkSession, path: str) -> dict:
             known_version=last_version,
             metadata_update=metadata_update,
         )
+        # periodic classic checkpoint (r13 review): the writer twin
+        # never checkpointed, so every sync replayed the WHOLE JSON
+        # tail — O(history) per auto-synced DML verb, O(n^2)
+        # cumulative. Every _CHECKPOINT_INTERVAL commits, snapshot the
+        # post-commit live set (= the manifest, already in hand) into
+        # NNN.checkpoint.parquet + _last_checkpoint, bounding replay to
+        # one parquet + <= interval JSON commits for our reader AND
+        # external engines. Best-effort: a crash mid-checkpoint leaves
+        # the JSON chain authoritative (the protocol's own posture).
+        if version > 0 and version % _CHECKPOINT_INTERVAL == 0:
+            meta_cp = metadata_update or (
+                snap["metadata"] if last_version >= 0 else None
+            )
+            if meta_cp:
+                _write_delta_checkpoint(
+                    spark, fs, jpath, path, version, live, meta_cp
+                )
         return {
             "version": version, "n_add": len(add), "n_remove": len(remove),
             "changed": True, "schema_updated": metadata_update is not None,
@@ -553,7 +574,114 @@ def maybe_auto_delta_sync(spark: SparkSession, path: str) -> dict | None:
     """Post-commit hook the DML verbs call AFTER releasing the
     maintenance lock (the sync takes its own acquisition — calling it
     under the verb's lock would deadlock). No-op unless the table
-    opted in."""
+    opted in.
+
+    Lock contention here must NOT surface as a DML failure (r13
+    review): the verb already committed, so raising would lose its
+    result and invite a retry that double-applies the DML. A sync that
+    loses the lock race simply skips — the NEXT verb's sync (or a
+    manual `cli delta-log --sync`) converges, which is the feature's
+    documented crash discipline anyway. Genuine errors (corrupt
+    manifest, schema type change) still raise."""
     if not auto_delta_sync_enabled(spark, path):
         return None
-    return sync_delta_log_from_manifest(spark, path)
+    from .compact import ConcurrentMaintenanceError
+
+    try:
+        return sync_delta_log_from_manifest(spark, path)
+    except ConcurrentMaintenanceError:
+        import warnings
+
+        warnings.warn(
+            f"auto_delta_sync({path}): maintenance lock contended after "
+            "the DML commit — sync skipped; the next verb converges",
+            stacklevel=2,
+        )
+        return None
+
+
+_CHECKPOINT_INTERVAL = 10  # the Delta default checkpoint cadence
+
+
+def _write_delta_checkpoint(
+    spark, fs, jpath, path: str, version: int, live: dict, metadata: dict
+) -> None:
+    """Classic single-part checkpoint at ``version``: one parquet of
+    (protocol, metaData, add) action rows for the given live set, then
+    the ``_last_checkpoint`` hint. Caller holds the maintenance lock
+    and has just committed ``version``. Paths are URL-encoded exactly
+    like the JSON actions; our replay reader and external engines both
+    consume this layout (absent optional columns like
+    add.deletionVector read as null)."""
+    import time
+
+    log = _log_dir(path)
+    now_ms = int(time.time() * 1000)
+    schema = (
+        "protocol struct<minReaderVersion:int,minWriterVersion:int>, "
+        "metaData struct<id:string,"
+        "format:struct<provider:string,options:map<string,string>>,"
+        "schemaString:string,partitionColumns:array<string>,"
+        "configuration:map<string,string>,createdTime:bigint>, "
+        "add struct<path:string,partitionValues:map<string,string>,"
+        "size:bigint,modificationTime:bigint,dataChange:boolean>"
+    )
+    meta_row = {
+        "id": metadata.get("id"),
+        "format": {
+            "provider": (metadata.get("format") or {}).get(
+                "provider", "parquet"
+            ),
+            "options": dict((metadata.get("format") or {}).get("options") or {}),
+        },
+        "schemaString": metadata.get("schemaString"),
+        "partitionColumns": list(metadata.get("partitionColumns") or []),
+        "configuration": dict(metadata.get("configuration") or {}),
+        "createdTime": metadata.get("createdTime"),
+    }
+    rows = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": meta_row},
+    ] + [
+        {
+            "add": {
+                "path": quote(rel, safe="/="),
+                "partitionValues": _partition_values(rel),
+                "size": int(b),
+                "modificationTime": now_ms,
+                "dataChange": False,
+            }
+        }
+        for rel, b in sorted(live.items())
+    ]
+    tmp = f"{log}/.checkpoint_tmp"
+    from .compact import _rm
+
+    _rm(fs, jpath, tmp)
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    part = None
+    for st in fs.listStatus(jpath(tmp)):
+        name = st.getPath().getName()
+        if name.endswith(".parquet") and not name.startswith(("_", ".")):
+            part = name
+            break
+    if part is None:
+        raise IOError(f"checkpoint write produced no parquet part in {tmp}")
+    dst = jpath(f"{log}/{version:020d}.checkpoint.parquet")
+    fs.delete(dst, False)
+    if not fs.rename(jpath(f"{tmp}/{part}"), dst):
+        raise IOError(f"could not move checkpoint part to {dst}")
+    _rm(fs, jpath, tmp)
+    stream = fs.create(jpath(f"{log}/_last_checkpoint"), True)
+    try:
+        stream.write(
+            bytearray(
+                json.dumps(
+                    {"version": version, "size": len(rows), "parts": 1}
+                ).encode()
+            )
+        )
+    finally:
+        stream.close()

@@ -323,13 +323,19 @@ def preserve_from_dir(
     swap displaced it). ``rel_prefix`` maps subtree paths to table-root
     relpaths for compact_sprawling's per-partition swaps. Returns the
     number of files retained."""
-    # the swap moved _snapshots (and the _history audit log and the
-    # _manifest live-file index) aside with the rest of the root dir —
+    # the swap moved _snapshots (and the _history audit log, the
+    # _manifest live-file index, the Delta transaction log, and the
+    # auto-sync opt-in marker) aside with the rest of the root dir —
     # restore them first so the reference check sees the manifests and
-    # the log survives compaction (compact then refreshes _manifest,
-    # which is stale after any wholesale rewrite)
+    # the metadata survives compaction (compact then refreshes
+    # _manifest, which is stale after any wholesale rewrite, and the
+    # auto-sync hook converges _delta_log to the compacted live set;
+    # r13 review: without _delta_log/_delta_autosync here, one compact
+    # silently destroyed the Delta mirror AND the opt-in)
     if not rel_prefix:
-        for meta_dir in (_SNAP, "_history", "_manifest"):
+        for meta_dir in (
+            _SNAP, "_history", "_manifest", "_delta_log", "_delta_autosync",
+        ):
             src = jvm_path(f"{old_dir}/{meta_dir}")
             if fs.exists(src):
                 dst = jvm_path(f"{root}/{meta_dir}")

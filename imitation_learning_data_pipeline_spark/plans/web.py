@@ -121,8 +121,14 @@ def build_warc_corpus(
     URL appears twice (the dedup stage has real work); ~2% of records
     are non-200 (the status filter has real work). Cached on disk via
     a completion marker — repeat bench runs skip straight to the read.
-    Returns the corpus directory."""
+    Returns the corpus directory. The cache key (marker content)
+    encodes the source parquet's identity (path, mtime, size) AND the
+    shape parameters — a regenerated documents table or different
+    (replicas, n_files) rebuilds instead of silently reusing a corpus
+    that no longer matches what the bench claims to measure (r13
+    review)."""
     import gzip
+    import json as _json
     import os
 
     import duckdb
@@ -133,8 +139,24 @@ def build_warc_corpus(
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     out_dir = os.path.normpath(os.path.join(out_root, tag))
     marker = os.path.join(out_dir, "_COMPLETE")
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = {
+        "src": os.path.abspath(src),
+        "src_mtime_ns": st.st_mtime_ns,
+        "src_bytes": st.st_size,
+        "replicas": replicas,
+        "n_files": n_files,
+    }
     if os.path.exists(marker):
-        return out_dir
+        try:
+            if _json.load(open(marker)) == key:
+                return out_dir
+        except (ValueError, OSError):
+            pass
+        # stale/mismatched corpus: rebuild from scratch
+        for name in os.listdir(out_dir):
+            os.remove(os.path.join(out_dir, name))
     os.makedirs(out_dir, exist_ok=True)
     rows = duckdb.sql(
         "SELECT doc_id, text FROM "
@@ -176,7 +198,7 @@ def build_warc_corpus(
         tmp = os.path.join(out_dir, f"seg{i:04d}.warc.gz.tmp")
         os.replace(tmp, os.path.join(out_dir, f"seg{i:04d}.warc.gz"))
     with open(marker, "w") as fh:
-        fh.write("ok\n")
+        _json.dump(key, fh)
     return out_dir
 
 

@@ -120,24 +120,40 @@ def _decode_http_body(
         except ValueError:
             return body, None
     ce = headers.get("content-encoding", "").lower().strip()
-    if ce in ("gzip", "x-gzip"):
-        import gzip as _gz
+    # Content-Encoding is a comma-separated LIST applied left-to-right
+    # (RFC 9110 §8.4) — decode right-to-left, outermost first; a lone
+    # label is the one-element case of the same loop. 'gzip, br' must
+    # flag 'br' exactly like a bare 'br' does (r13 review: the
+    # exact-match form passed multi-coding bodies through unflagged).
+    for coding in reversed([t.strip() for t in ce.split(",") if t.strip()]):
+        if coding == "identity":
+            continue
+        if coding in ("gzip", "x-gzip"):
+            import gzip as _gz
 
-        try:
-            return _gz.decompress(body), None
-        except OSError:
-            return body, None
-    if ce == "deflate":
-        import zlib
-
-        for wbits in (zlib.MAX_WBITS, -zlib.MAX_WBITS):  # zlib + raw forms
             try:
-                return zlib.decompress(body, wbits), None
-            except zlib.error:
+                body = _gz.decompress(body)
                 continue
-        return body, None
-    if ce in _UNSUPPORTED_CODINGS:
-        return body, ce
+            except OSError:
+                # mislabeled (common in the wild) — keep raw, unflagged
+                return body, None
+        if coding == "deflate":
+            import zlib
+
+            decoded = None
+            for wbits in (zlib.MAX_WBITS, -zlib.MAX_WBITS):  # zlib + raw
+                try:
+                    decoded = zlib.decompress(body, wbits)
+                    break
+                except zlib.error:
+                    continue
+            if decoded is None:
+                return body, None
+            body = decoded
+            continue
+        if coding in _UNSUPPORTED_CODINGS:
+            return body, coding
+        return body, None  # unknown label: mislabel posture, unflagged
     return body, None
 
 

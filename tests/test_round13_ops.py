@@ -128,6 +128,44 @@ class TestWarcUndecodedCoding:
         assert bad["undecoded_coding"] is None
         assert bad["payload"] == b"<p>not gzip</p>"
 
+    def test_multi_coding_lists(self):
+        """r13 review #3: Content-Encoding is a comma-separated list
+        (RFC 9110) — 'gzip, br' must flag exactly like bare 'br', and
+        a fully-supported chain must decode right-to-left."""
+        raw = b"\x1b\x2e\x00brotli-bytes"
+        rec = self._parse_one(
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Content-Encoding: gzip, br\r\n\r\n" + raw
+        )
+        assert rec["undecoded_coding"] == "br"
+        assert rec["payload"] == raw
+        # outermost gzip decodes, then the inner br flags
+        body = gzip.compress(raw)
+        rec = self._parse_one(
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Content-Encoding: br, gzip\r\n\r\n" + body
+        )
+        assert rec["undecoded_coding"] == "br"
+        assert rec["payload"] == raw
+        # fully-supported chain: gzip(deflate(x)) with 'deflate, gzip'
+        import zlib
+
+        double = gzip.compress(zlib.compress(b"<p>nested</p>"))
+        rec = self._parse_one(
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Content-Encoding: deflate, gzip\r\n\r\n" + double
+        )
+        assert rec["undecoded_coding"] is None
+        assert rec["payload"] == b"<p>nested</p>"
+        # identity tokens are transparent
+        rec = self._parse_one(
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Content-Encoding: identity, gzip\r\n\r\n"
+            + gzip.compress(b"<p>i</p>")
+        )
+        assert rec["payload"] == b"<p>i</p>"
+        assert rec["undecoded_coding"] is None
+
     def test_ingest_warc_drops_flagged_bodies(self, spark, tmp_path, capsys):
         from imitation_learning_data_pipeline_spark.cli import main
 
@@ -500,6 +538,31 @@ class TestWarcBenchRow:
             r["doc_id"] for r in rows
         )
 
+    def test_corpus_cache_keys_on_params_and_source(self, tmp_path):
+        """r13 review #4: the disk cache must rebuild when the shape
+        parameters (or the source table) change — not blindly trust a
+        completion marker."""
+        import json as _json
+
+        from imitation_learning_data_pipeline_spark.plans.web import (
+            build_warc_corpus,
+        )
+
+        sf_dir = "/root/testdata/sf0.001"
+        root = str(tmp_path / "c")
+        out = build_warc_corpus(sf_dir, out_root=root, replicas=4, n_files=2)
+        m1 = os.path.getmtime(os.path.join(out, "seg0000.warc.gz"))
+        key1 = _json.load(open(os.path.join(out, "_COMPLETE")))
+        assert key1["replicas"] == 4 and key1["n_files"] == 2
+        # same params: cache hit
+        build_warc_corpus(sf_dir, out_root=root, replicas=4, n_files=2)
+        assert os.path.getmtime(os.path.join(out, "seg0000.warc.gz")) == m1
+        # different replicas: rebuild
+        build_warc_corpus(sf_dir, out_root=root, replicas=2, n_files=2)
+        key2 = _json.load(open(os.path.join(out, "_COMPLETE")))
+        assert key2["replicas"] == 2
+        assert os.path.getmtime(os.path.join(out, "seg0000.warc.gz")) != m1
+
 
 class TestAutoDeltaSync:
     """VERDICT r12 #6: DML verbs on an opted-in table mirror every
@@ -573,6 +636,99 @@ class TestAutoDeltaSync:
         )
         assert self._snapshot_rels(spark, p) == self._manifest_rels(spark, p)
         assert real is DL.sync_delta_log_from_manifest  # patch scoped
+
+    def test_compact_preserves_log_and_mirrors(self, spark, tmp_path):
+        """r13 review #1: compact's directory swap must carry
+        _delta_log and the auto-sync marker back (like _manifest/
+        _history) — one compact previously destroyed the Delta mirror
+        AND silently disabled the opt-in forever."""
+        from imitation_learning_data_pipeline_spark.pipeline.compact import (
+            compact,
+        )
+        from imitation_learning_data_pipeline_spark.pipeline.delta_log import (
+            auto_delta_sync_enabled,
+            enable_auto_delta_sync,
+            read_delta_snapshot,
+        )
+        from imitation_learning_data_pipeline_spark.pipeline.manifest import (
+            write_manifest,
+        )
+
+        p = str(tmp_path / "t")
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(200)], "id long, v string"
+        ).repartition(8).write.mode("overwrite").parquet(p)
+        write_manifest(spark, p)
+        enable_auto_delta_sync(spark, p)
+        compact(spark, p, target_bytes=1 << 30)
+        assert auto_delta_sync_enabled(spark, p) is True
+        snap = read_delta_snapshot(spark, p)
+        assert set(snap["files"]) == self._manifest_rels(spark, p)
+        assert spark.read.parquet(p).count() == 200
+
+    def test_contended_sync_does_not_fail_the_dml(self, spark, tmp_path):
+        """r13 review #2: a lock race in the post-commit sync must skip
+        (next verb converges), never surface as a DML failure that
+        invites a double-applying retry."""
+        from imitation_learning_data_pipeline_spark.pipeline.delta_log import (
+            enable_auto_delta_sync,
+            maybe_auto_delta_sync,
+        )
+        from imitation_learning_data_pipeline_spark.pipeline.manifest import (
+            write_manifest,
+        )
+
+        p = str(tmp_path / "t2")
+        spark.createDataFrame([(1,)], "id long").write.parquet(p)
+        write_manifest(spark, p)
+        enable_auto_delta_sync(spark, p)
+        with open(p + "__maintenance_lock", "w") as fh:
+            fh.write('{"op": "merge_into", "pid": 1}')
+        import warnings as _w
+
+        with _w.catch_warnings(record=True) as caught:
+            _w.simplefilter("always")
+            assert maybe_auto_delta_sync(spark, p) is None
+        assert any("sync skipped" in str(c.message) for c in caught)
+        os.remove(p + "__maintenance_lock")
+        assert maybe_auto_delta_sync(spark, p) is not None
+
+    def test_checkpoint_written_and_replayed(self, spark, tmp_path):
+        """r13 review #6: every 10th sync writes a classic checkpoint +
+        _last_checkpoint so replay is O(interval), not O(history)."""
+        from imitation_learning_data_pipeline_spark.pipeline.delta_log import (
+            read_delta_snapshot,
+            sync_delta_log_from_manifest,
+        )
+        from imitation_learning_data_pipeline_spark.pipeline.manifest import (
+            write_manifest,
+        )
+
+        p = str(tmp_path / "t3")
+        df = spark.createDataFrame([(1, "a")], "id long, v string")
+        df.coalesce(1).write.mode("overwrite").parquet(p)
+        write_manifest(spark, p)
+        sync_delta_log_from_manifest(spark, p)  # v0
+        for i in range(10):  # v1..v10 — v10 checkpoints
+            df.coalesce(1).write.mode("append").parquet(p)
+            write_manifest(spark, p)
+            out = sync_delta_log_from_manifest(spark, p)
+        assert out["version"] == 10
+        log = os.path.join(p, "_delta_log")
+        assert os.path.exists(
+            os.path.join(log, f"{10:020d}.checkpoint.parquet")
+        )
+        hint = json.load(open(os.path.join(log, "_last_checkpoint")))
+        assert hint["version"] == 10 and hint["parts"] == 1
+        snap = read_delta_snapshot(spark, p)
+        assert snap["version"] == 10
+        assert len(snap["files"]) == 11
+        assert snap["metadata"] and snap["metadata"]["schemaString"]
+        # the chain keeps extending past the checkpoint
+        df.coalesce(1).write.mode("append").parquet(p)
+        write_manifest(spark, p)
+        assert sync_delta_log_from_manifest(spark, p)["version"] == 11
+        assert len(read_delta_snapshot(spark, p)["files"]) == 12
 
     def test_enable_requires_manifest(self, spark, tmp_path):
         from imitation_learning_data_pipeline_spark.pipeline.delta_log import (
