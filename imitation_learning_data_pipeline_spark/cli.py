@@ -1477,6 +1477,7 @@ def cmd_ingest_warc(args: argparse.Namespace) -> int:
         content_type=args.content_type or None,
         max_link_density=args.max_link_density,
         dedup_url=args.dedup_url,
+        normalize_urls=args.normalize_urls,
     )
     out.write.mode("overwrite").parquet(args.out)
     n = spark.read.parquet(args.out).count()
@@ -2666,6 +2667,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--dedup-url",
         action="store_true",
         help="keep one page per URL (crawls refetch across segments)",
+    )
+    iw.add_argument(
+        "--normalize-urls",
+        action="store_true",
+        help="normalize URLs (lowercase scheme/host, strip default "
+        "ports/fragments/tracking params) before dedup, so trivial "
+        "variants collapse",
     )
     iw.set_defaults(fn=cmd_ingest_warc)
 

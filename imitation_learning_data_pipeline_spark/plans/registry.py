@@ -794,6 +794,14 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     "web_ingest_warc": "multimodal_frame_sample (same Arrow-batched "
     "mapInPandas family) + web_html_extract --all hash row + pytest "
     "end-to-end",
+    # round-13 #2: URL normalization/host/domain contract — whole
+    # surface hash-checked in check_contract --all (synthesized messy
+    # URLs, SQL-predicted outputs, same pattern as web_html_extract);
+    # cap-parked behind the scan-bound parse/format family that
+    # scalar_parse_format anchors with a direct contract row.
+    "web_url_normalize": "scalar_parse_format (same scan-bound "
+    "parse/format string-projection family) + check_contract --all "
+    "hash row + pytest TestUrlFunctions",
 }
 
 CONTRACT_CAP = 50

@@ -208,13 +208,20 @@ def ingest_warc_plan(
     content_type: str | None = "text/html",
     max_link_density: float | None = None,
     dedup_url: bool = False,
+    normalize_urls: bool = False,
 ) -> DataFrame:
     """The ingest-warc plan, shared verbatim by `cli ingest-warc` and
     the bench row: WARC responses → status/coding/type filters →
     extraction (URL rides the Arrow batch — no join-back double parse)
     → optional URL-level struct-max dedup (one hash exchange, no
     per-URL window sort). Doc ids are xxhash64(file, offset) — pure
-    row functions, zero shuffle, reproducible across runs."""
+    row functions, zero shuffle, reproducible across runs.
+    ``normalize_urls`` rewrites the url column through
+    `functions/url.py::url_normalize` BEFORE dedup, so trivial variants
+    ('HTTP://Example.COM:80/a#x' vs 'http://example.com/a?utm_source=y')
+    collapse to one page — all JVM string expressions, same stage as
+    the extraction filter."""
+    from ..functions.url import url_normalize
     from ..sources.warc import read_warc
 
     recs = read_warc(spark, input_glob).filter(
@@ -224,9 +231,14 @@ def ingest_warc_plan(
         recs = recs.filter(
             F.lower(F.col("content_type")).startswith(content_type.lower())
         )
+    url_col = (
+        url_normalize(F.col("target_uri"))
+        if normalize_urls
+        else F.col("target_uri")
+    )
     pages = recs.select(
         F.xxhash64("warc_file", "record_offset").alias("doc_id"),
-        F.col("target_uri").alias("url"),
+        url_col.alias("url"),
         F.col("payload").alias("html"),
         "content_type",
     )
@@ -273,4 +285,72 @@ def web_ingest_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = build_warc_corpus(sf_dir)
     return ingest_warc_plan(
         spark, corpus, content_type="text/html", dedup_url=True
+    )
+
+
+# --- URL analytics (round 13) ------------------------------------------------
+
+
+@register(
+    "web_url_normalize",
+    oracle="""
+WITH gen AS (
+  SELECT doc_id,
+         CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+              WHEN 2 THEN 'co.uk' ELSE 'io' END AS tld,
+         CASE doc_id % 3 WHEN 0 THEN '?id=' || doc_id
+              WHEN 1 THEN '?id=' || doc_id ELSE '' END AS q_norm
+  FROM documents
+)
+SELECT doc_id,
+       'http://www.site' || (doc_id % 40) || '.' || tld || '/p/'
+         || doc_id || q_norm AS url_norm,
+       'www.site' || (doc_id % 40) || '.' || tld AS host,
+       CASE WHEN tld = 'co.uk'
+            THEN 'site' || (doc_id % 40) || '.co.uk'
+            ELSE 'site' || (doc_id % 40) || '.' || tld END AS domain
+FROM gen
+""",
+)
+def web_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL normalization/host/domain contract, hash-checked end to end:
+    synthesize MESSY urls in-plan (uppercase scheme/host, default port,
+    tracking params, fragments — JVM concat, no UDF on the build side),
+    run the real `functions/url.py` expressions, and let the oracle
+    PREDICT every output with SQL string arithmetic. A hash match pins:
+    scheme/authority lowercasing, :80 stripping, fragment removal,
+    utm_*/fbclid filtering with survivor order, empty-query '?'
+    dropping, host extraction, and the second-level-suffix domain
+    heuristic (the co.uk arm). Cap-parked (CONTRACT_EXCLUDE) behind
+    scalar_parse_format's scan-bound parse/format family; green in
+    check_contract --all."""
+    from ..functions.url import url_host, url_normalize, url_registrable_domain
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    tld = (
+        F.when(d % 4 == 0, F.lit("com"))
+        .when(d % 4 == 1, F.lit("org"))
+        .when(d % 4 == 2, F.lit("co.uk"))
+        .otherwise(F.lit("io"))
+    )
+    q = (
+        F.when(d % 3 == 0, F.concat(F.lit("?utm_source=feed&id="), d))
+        .when(d % 3 == 1, F.concat(F.lit("?id="), d, F.lit("&fbclid=xyz#frag")))
+        .otherwise(F.lit(""))
+    )
+    messy = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTP://WWW.Site"), d % 40, F.lit("."), tld,
+            F.lit(":80/p/"), d, q,
+        ).alias("url"),
+    )
+    host = url_host(url_normalize(F.col("url")))
+    return messy.select(
+        "doc_id",
+        url_normalize(F.col("url")).alias("url_norm"),
+        host.alias("host"),
+        url_registrable_domain(host).alias("domain"),
     )

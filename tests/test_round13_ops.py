@@ -744,6 +744,96 @@ class TestAutoDeltaSync:
         assert auto_delta_sync_enabled(spark, p) is False
 
 
+class TestUrlFunctions:
+    """functions/url.py: the documented normalization subset, all JVM
+    expressions (the contract hash-check lives in web_url_normalize)."""
+
+    def _norm(self, spark, urls):
+        from pyspark.sql import functions as F
+
+        from imitation_learning_data_pipeline_spark.functions.url import (
+            url_host,
+            url_normalize,
+            url_registrable_domain,
+        )
+
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        host = url_host(url_normalize(F.col("url")))
+        return [
+            (r["n"], r["h"], r["d"])
+            for r in df.select(
+                url_normalize(F.col("url")).alias("n"),
+                host.alias("h"),
+                url_registrable_domain(host).alias("d"),
+            ).collect()
+        ]
+
+    def test_normalization_contract(self, spark):
+        rows = self._norm(spark, [
+            "HTTP://WWW.Example.COM:80/Path/A?utm_source=x&id=7#frag",
+            "https://Sub.Site.co.uk:443/",
+            "https://site.org",                      # empty path -> /
+            "http://a.io/p?fbclid=1&q=2&utm_medium=m&z=3",
+            "  http://ws.io/x  ",                    # trimmed
+            "not-a-url",                             # schemeless verbatim
+            "http://user@Host.COM:8080/p",           # non-default port kept
+        ])
+        assert rows[0] == (
+            "http://www.example.com/Path/A?id=7",
+            "www.example.com",
+            "example.com",
+        )
+        assert rows[1] == (
+            "https://sub.site.co.uk/", "sub.site.co.uk", "site.co.uk"
+        )
+        assert rows[2] == ("https://site.org/", "site.org", "site.org")
+        # survivor ORDER preserved, all trackers gone
+        assert rows[3][0] == "http://a.io/p?q=2&z=3"
+        assert rows[4][0] == "http://ws.io/x"
+        assert rows[5] == ("not-a-url", "", "")
+        assert rows[6] == (
+            "http://user@host.com:8080/p", "host.com", "host.com"
+        )
+
+    def test_ingest_normalize_urls_collapses_variants(
+        self, spark, tmp_path, capsys
+    ):
+        from imitation_learning_data_pipeline_spark.cli import main
+
+        d = tmp_path / "crawl"
+        d.mkdir()
+        _write_warc_gz(
+            str(d / "s0.warc.gz"),
+            [
+                _warc_record(
+                    "response", "HTTP://Dup.TEST:80/page#top",
+                    _http_response(b"<p>first variant</p>"),
+                ),
+                _warc_record(
+                    "response", "http://dup.test/page?utm_source=feed",
+                    _http_response(b"<p>second variant</p>"),
+                ),
+                _warc_record(
+                    "response", "http://other.test/page",
+                    _http_response(b"<p>different page</p>"),
+                ),
+            ],
+        )
+        out = str(tmp_path / "docs")
+        assert main([
+            "ingest-warc", "--input", str(d), "--out", out,
+            "--dedup-url", "--normalize-urls",
+        ]) == 0
+        rows = spark.read.parquet(out).collect()
+        assert sorted(r["url"] for r in rows) == [
+            "http://dup.test/page", "http://other.test/page"
+        ]
+        # WITHOUT normalization the variants stay distinct
+        out2 = str(tmp_path / "docs2")
+        main(["ingest-warc", "--input", str(d), "--out", out2, "--dedup-url"])
+        assert spark.read.parquet(out2).count() == 3
+
+
 class TestIngestContentTypeCaseInsensitive:
     def test_upper_case_content_type_survives_filter(
         self, spark, tmp_path, capsys
