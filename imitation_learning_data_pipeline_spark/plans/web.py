@@ -221,10 +221,31 @@ def ingest_warc_plan(
     ('HTTP://Example.COM:80/a#x' vs 'http://example.com/a?utm_source=y')
     collapse to one page — all JVM string expressions, same stage as
     the extraction filter."""
-    from ..functions.url import url_normalize
     from ..sources.warc import read_warc
 
-    recs = read_warc(spark, input_glob).filter(
+    return ingest_warc_records(
+        read_warc(spark, input_glob),
+        content_type=content_type,
+        max_link_density=max_link_density,
+        dedup_url=dedup_url,
+        normalize_urls=normalize_urls,
+    )
+
+
+def ingest_warc_records(
+    records: DataFrame,
+    content_type: str | None = "text/html",
+    max_link_density: float | None = None,
+    dedup_url: bool = False,
+    normalize_urls: bool = False,
+) -> DataFrame:
+    """The post-parse stages of :func:`ingest_warc_plan`, applicable to
+    ANY WARC-records frame — shared by the batch plan and the streaming
+    landing-dir ingest (whose foreachBatch hands micro-batch record
+    frames)."""
+    from ..functions.url import url_normalize
+
+    recs = records.filter(
         (F.col("http_status") == 200) & F.col("undecoded_coding").isNull()
     )
     if content_type:

@@ -292,6 +292,24 @@ def read_warc(
     the parse never holds a whole file's decompressed records (~4-5×
     the .gz size at crawl compression ratios) in one list + frame.
     """
+    binary = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc*")
+        .load(path_glob)
+        .select("path", "content")
+    )
+    return warc_records(binary, record_types, chunk_bytes)
+
+
+def warc_records(
+    binary: DataFrame,
+    record_types: tuple[str, ...] = ("response",),
+    chunk_bytes: int = 64 * 1024 * 1024,
+) -> DataFrame:
+    """The parse transform of :func:`read_warc`, applicable to ANY
+    ``(path, content)`` frame — shared by the batch reader and the
+    streaming landing-dir ingest (whose foreachBatch hands micro-batch
+    frames, not a glob)."""
     import pandas as pd
 
     wanted = frozenset(record_types)
@@ -303,10 +321,4 @@ def read_warc(
                     str(path), bytes(content), wanted, chunk_bytes
                 )
 
-    binary = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.warc*")
-        .load(path_glob)
-        .select("path", "content")
-    )
-    return binary.mapInPandas(_parse, WARC_SCHEMA)
+    return binary.select("path", "content").mapInPandas(_parse, WARC_SCHEMA)

@@ -834,6 +834,63 @@ class TestUrlFunctions:
         assert spark.read.parquet(out2).count() == 3
 
 
+class TestStreamingWarcIngest:
+    """streaming/warc_stream.py: continuous crawl-landing ingest —
+    exactly-once across arrivals and restarts via checkpointed file
+    offsets + per-batch dynamic partition overwrite."""
+
+    def _land(self, d, name, pages):
+        _write_warc_gz(
+            str(d / name),
+            [
+                _warc_record(
+                    "response", f"http://{u}/", _http_response(body)
+                )
+                for u, body in pages
+            ],
+        )
+
+    def test_three_arrivals_exactly_once(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.streaming.warc_stream import (
+            run_incremental_warc_ingest,
+        )
+
+        land = tmp_path / "landing"
+        land.mkdir()
+        docs = str(tmp_path / "docs")
+        ckpt = str(tmp_path / "ckpt")
+        self._land(land, "seg0.warc.gz", [
+            ("a.test", b"<p>alpha page</p>"),
+            ("b.test", b"<p>beta page</p>"),
+        ])
+        run_incremental_warc_ingest(spark, str(land), docs, ckpt)
+        first = spark.read.parquet(docs).collect()
+        assert {r["url"] for r in first} == {
+            "http://a.test/", "http://b.test/"
+        }
+        ids1 = {r["url"]: r["doc_id"] for r in first}
+
+        # second arrival: ONLY the new file is parsed and appended
+        self._land(land, "seg1.warc.gz", [("c.test", b"<p>gamma page</p>")])
+        run_incremental_warc_ingest(spark, str(land), docs, ckpt)
+        second = spark.read.parquet(docs).collect()
+        assert {r["url"] for r in second} == {
+            "http://a.test/", "http://b.test/", "http://c.test/"
+        }
+        # earlier docs unchanged — ids are pure (file, offset) functions
+        assert {
+            r["url"]: r["doc_id"] for r in second if r["url"] != "http://c.test/"
+        } == ids1
+        # distinct micro-batches landed distinct partitions
+        assert len({r["ingest_batch"] for r in second}) == 2
+
+        # no-new-data replay: nothing duplicates, nothing changes
+        run_incremental_warc_ingest(spark, str(land), docs, ckpt)
+        assert sorted(
+            (r["url"], r["doc_id"]) for r in spark.read.parquet(docs).collect()
+        ) == sorted((r["url"], r["doc_id"]) for r in second)
+
+
 class TestIngestContentTypeCaseInsensitive:
     def test_upper_case_content_type_survives_filter(
         self, spark, tmp_path, capsys
