@@ -891,6 +891,94 @@ class TestStreamingWarcIngest:
         ) == sorted((r["url"], r["doc_id"]) for r in second)
 
 
+_GOOD_PARA = (
+    "the committee reviewed all of the proposals and decided that they "
+    "would have to publish the findings because the community was "
+    "waiting for an answer about the policy and how it would be applied "
+    "to the cases that have been open since the start of the year"
+)
+
+
+class TestMainContentExtraction:
+    """operators/html_text.py jusText-lite: block classification with
+    the published context-free thresholds + simplified adjacency."""
+
+    def test_classify_blocks_table(self):
+        from imitation_learning_data_pipeline_spark.operators.html_text import (
+            classify_blocks,
+        )
+
+        nav = ("home about contact pricing blog careers", 38)  # linked
+        copyright_ = ("© 2026 example corp all rights reserved " * 3, 0)
+        good = (_GOOD_PARA, 0)
+        keyword_stuff = (
+            "buy cheap widgets best widgets premium widgets discount "
+            "widgets widget sale widget deals " * 5,
+            0,
+        )
+        short = ("read the next section", 0)
+        labels = classify_blocks([nav, copyright_, good, short, keyword_stuff])
+        assert labels[0] == "bad"  # link density
+        assert labels[1] == "bad"  # copyright mark
+        assert labels[2] == "good"  # long + stopword-rich
+        assert labels[3] == "good"  # short, adjacent to good
+        assert labels[4] == "bad"  # long but stopword-poor
+        # the same short block surrounded by bad stays bad
+        labels2 = classify_blocks([nav, short, keyword_stuff])
+        assert labels2[1] == "bad"
+
+    def test_extract_main_text_end_to_end(self):
+        from imitation_learning_data_pipeline_spark.operators.html_text import (
+            extract_main_text,
+        )
+
+        html = (
+            "<html><body>"
+            '<nav><a href="/">home</a> <a href="/a">about</a> '
+            '<a href="/b">contact</a> <a href="/c">pricing</a></nav>'
+            f"<p>{_GOOD_PARA}</p>"
+            f"<p>{_GOOD_PARA} and the report was published on time</p>"
+            "<footer>© 2026 example corp</footer>"
+            "</body></html>"
+        )
+        out = extract_main_text(html)
+        assert out["n_blocks"] == 4
+        assert out["n_good_blocks"] == 2
+        assert out["main_text"].startswith("the committee reviewed")
+        assert "©" not in out["main_text"]
+        assert "home" not in out["main_text"]
+        assert out["removed_chars"] > 0
+
+    def test_spark_operator_with_charset(self, spark):
+        from imitation_learning_data_pipeline_spark.operators.html_text import (
+            extract_main_content,
+        )
+
+        page = (
+            f"<p>{_GOOD_PARA} café</p>"
+            '<nav><a href="/">x</a><a href="/">y</a><a href="/">z</a></nav>'
+        )
+        df = spark.createDataFrame(
+            [
+                (1, page.encode("latin-1"), "text/html; charset=ISO-8859-1",
+                 "http://a/"),
+                (2, b"<p>tiny</p>", "text/html", "http://b/"),
+            ],
+            "doc_id long, html binary, content_type string, url string",
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in extract_main_content(
+                df, content_type_col="content_type", passthrough=("url",)
+            ).collect()
+        }
+        assert "café" in rows[1]["main_text"]
+        assert rows[1]["n_good_blocks"] == 1
+        assert rows[1]["url"] == "http://a/"
+        # an all-boilerplate page yields empty main text, not a crash
+        assert rows[2]["main_text"] == "" and rows[2]["n_good_blocks"] == 0
+
+
 class TestIngestContentTypeCaseInsensitive:
     def test_upper_case_content_type_survives_filter(
         self, spark, tmp_path, capsys
