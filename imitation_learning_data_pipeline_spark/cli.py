@@ -1478,6 +1478,7 @@ def cmd_ingest_warc(args: argparse.Namespace) -> int:
         max_link_density=args.max_link_density,
         dedup_url=args.dedup_url,
         normalize_urls=args.normalize_urls,
+        main_content=args.main_content,
     )
     out.write.mode("overwrite").parquet(args.out)
     n = spark.read.parquet(args.out).count()
@@ -2674,6 +2675,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="normalize URLs (lowercase scheme/host, strip default "
         "ports/fragments/tracking params) before dedup, so trivial "
         "variants collapse",
+    )
+    iw.add_argument(
+        "--main-content",
+        action="store_true",
+        help="jusText-lite block classification: text = boilerplate-"
+        "REMOVED main content (nav/footer/link blocks dropped); "
+        "replaces the page-level --max-link-density gate",
     )
     iw.set_defaults(fn=cmd_ingest_warc)
 

@@ -366,7 +366,8 @@ def classify_blocks(
 def extract_main_text(html: str) -> dict:
     """One document's main-content extraction: block-segmented parse →
     jusText-lite classification → good blocks joined by newlines.
-    Returns (main_text, n_blocks, n_good_blocks, removed_chars)."""
+    Returns (main_text, title, n_blocks, n_good_blocks,
+    removed_chars)."""
     p = _BlockExtractor()
     p.feed(html or "")
     p.close()
@@ -376,6 +377,7 @@ def extract_main_text(html: str) -> dict:
     total = sum(len(t) for t, _l in p.blocks)
     return {
         "main_text": main,
+        "title": " ".join("".join(p.title_parts).split()),
         "n_blocks": len(p.blocks),
         "n_good_blocks": len(good),
         "removed_chars": total - sum(len(t) for t in good),
@@ -383,7 +385,8 @@ def extract_main_text(html: str) -> dict:
 
 
 _MAIN_FIELDS = (
-    "main_text string, n_blocks int, n_good_blocks int, removed_chars int"
+    "main_text string, title string, n_blocks int, n_good_blocks int, "
+    "removed_chars int"
 )
 
 
@@ -394,7 +397,7 @@ def extract_main_content(
     content_type_col: str | None = None,
     passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, html) → (id, main_text, n_blocks, n_good_blocks,
+    """(id, html) → (id, main_text, title, n_blocks, n_good_blocks,
     removed_chars) via one Arrow-batched ``mapInPandas`` — the
     boilerplate-REMOVING extraction (cf. :func:`extract_html_text`,
     which keeps all visible text and reports page-level link density).
@@ -432,8 +435,8 @@ def extract_main_content(
             yield pd.DataFrame(
                 out,
                 columns=[
-                    id_col, "main_text", "n_blocks", "n_good_blocks",
-                    "removed_chars", *pt,
+                    id_col, "main_text", "title", "n_blocks",
+                    "n_good_blocks", "removed_chars", *pt,
                 ],
             )
 

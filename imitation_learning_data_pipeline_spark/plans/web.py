@@ -209,6 +209,7 @@ def ingest_warc_plan(
     max_link_density: float | None = None,
     dedup_url: bool = False,
     normalize_urls: bool = False,
+    main_content: bool = False,
 ) -> DataFrame:
     """The ingest-warc plan, shared verbatim by `cli ingest-warc` and
     the bench row: WARC responses → status/coding/type filters →
@@ -229,6 +230,7 @@ def ingest_warc_plan(
         max_link_density=max_link_density,
         dedup_url=dedup_url,
         normalize_urls=normalize_urls,
+        main_content=main_content,
     )
 
 
@@ -238,12 +240,20 @@ def ingest_warc_records(
     max_link_density: float | None = None,
     dedup_url: bool = False,
     normalize_urls: bool = False,
+    main_content: bool = False,
 ) -> DataFrame:
     """The post-parse stages of :func:`ingest_warc_plan`, applicable to
     ANY WARC-records frame — shared by the batch plan and the streaming
     landing-dir ingest (whose foreachBatch hands micro-batch record
-    frames)."""
+    frames). ``main_content=True`` swaps the page extractor for the
+    jusText-lite block classifier (`operators/html_text.py::
+    extract_main_content`): ``text`` becomes the boilerplate-REMOVED
+    main text, and the quality columns are (n_blocks, n_good_blocks,
+    removed_chars) instead of (n_links, link_density, text_chars) —
+    max_link_density does not apply (block-level classification
+    already dropped the linky blocks)."""
     from ..functions.url import url_normalize
+    from ..operators.html_text import extract_main_content
 
     recs = records.filter(
         (F.col("http_status") == 200) & F.col("undecoded_coding").isNull()
@@ -263,6 +273,43 @@ def ingest_warc_records(
         F.col("payload").alias("html"),
         "content_type",
     )
+    if main_content:
+        if max_link_density is not None:
+            raise ValueError(
+                "ingest_warc_records: max_link_density is a page-level "
+                "gate; with main_content=True the block classifier "
+                "already removes linky blocks — pass one or the other"
+            )
+        out = extract_main_content(
+            pages,
+            html_col="html",
+            content_type_col="content_type",
+            passthrough=("url",),
+        ).select(
+            "doc_id", "url", "title",
+            F.col("main_text").alias("text"),
+            "n_blocks", "n_good_blocks", "removed_chars",
+        )
+        if dedup_url:
+            key = F.when(
+                F.col("url") == "", F.col("doc_id")
+            ).otherwise(F.lit(0))
+            keep = F.max(
+                F.struct("doc_id", "title", "text", "n_blocks",
+                         "n_good_blocks", "removed_chars")
+            ).alias("k")
+            out = (
+                out.groupBy("url", key.alias("__selfkey")).agg(keep)
+                .select(
+                    F.col("k.doc_id").alias("doc_id"), "url",
+                    F.col("k.title").alias("title"),
+                    F.col("k.text").alias("text"),
+                    F.col("k.n_blocks").alias("n_blocks"),
+                    F.col("k.n_good_blocks").alias("n_good_blocks"),
+                    F.col("k.removed_chars").alias("removed_chars"),
+                )
+            )
+        return out
     out = extract_html_text(
         pages,
         html_col="html",

@@ -979,6 +979,56 @@ class TestMainContentExtraction:
         assert rows[2]["main_text"] == "" and rows[2]["n_good_blocks"] == 0
 
 
+class TestIngestMainContent:
+    def test_cli_main_content_mode(self, spark, tmp_path, capsys):
+        """--main-content: text is the boilerplate-REMOVED block set,
+        same ingest filters, URL dedup still applies."""
+        from imitation_learning_data_pipeline_spark.cli import main
+
+        d = tmp_path / "crawl"
+        d.mkdir()
+        page = (
+            "<html><head><title>Mixed</title></head><body>"
+            '<nav><a href="/">home</a> <a href="/a">about</a> '
+            '<a href="/b">contact</a> <a href="/c">more</a></nav>'
+            f"<p>{_GOPHER_OK}</p>"
+            "<footer>© 2026 example corp</footer></body></html>"
+        ).encode()
+        _write_warc_gz(
+            str(d / "s0.warc.gz"),
+            [
+                _warc_record(
+                    "response", "http://m.test/", _http_response(page)
+                ),
+                _warc_record(  # refetch — dedup keeps one
+                    "response", "http://m.test/", _http_response(page)
+                ),
+            ],
+        )
+        out = str(tmp_path / "docs")
+        assert main([
+            "ingest-warc", "--input", str(d), "--out", out,
+            "--main-content", "--dedup-url",
+        ]) == 0
+        rows = spark.read.parquet(out).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["title"] == "Mixed"
+        assert r["text"].startswith("the team decided")
+        assert "home" not in r["text"] and "©" not in r["text"]
+        assert r["n_good_blocks"] == 1 and r["removed_chars"] > 0
+
+    def test_main_content_excludes_link_density_gate(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.plans.web import (
+            ingest_warc_plan,
+        )
+
+        with pytest.raises(ValueError, match="pass one or the other"):
+            ingest_warc_plan(
+                spark, str(tmp_path), max_link_density=0.5, main_content=True
+            )
+
+
 class TestIngestContentTypeCaseInsensitive:
     def test_upper_case_content_type_survives_filter(
         self, spark, tmp_path, capsys
