@@ -802,6 +802,14 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     "web_url_normalize": "scalar_parse_format (same scan-bound "
     "parse/format string-projection family) + check_contract --all "
     "hash row + pytest TestUrlFunctions",
+    # round-13 #3: per-domain corpus census — the URL expressions
+    # composed under ONE hash aggregate; hash-checked in --all.
+    # Cap-parked behind the grouped multi-aggregate family
+    # pipeline_validate_orders anchors and the parse/format family
+    # scalar_parse_format anchors (the projection side).
+    "web_domain_stats": "pipeline_validate_orders (same one-pass "
+    "grouped multi-aggregate machinery) + scalar_parse_format (same "
+    "string-projection family) + check_contract --all hash row",
 }
 
 CONTRACT_CAP = 50

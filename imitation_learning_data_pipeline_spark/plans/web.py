@@ -422,3 +422,76 @@ def web_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         host.alias("host"),
         url_registrable_domain(host).alias("domain"),
     )
+
+
+@register(
+    "web_domain_stats",
+    oracle="""
+WITH gen AS (
+  SELECT doc_id,
+         CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+              WHEN 2 THEN 'co.uk' ELSE 'io' END AS tld,
+         length(trim(text)) AS n_chars
+  FROM documents
+),
+urls AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN tld = 'co.uk'
+              THEN 'site' || (doc_id % 40) || '.co.uk'
+              ELSE 'site' || (doc_id % 40) || '.' || tld END AS domain,
+         'www' || (doc_id % 3) || '.site' || (doc_id % 40) || '.' || tld
+           AS host
+  FROM gen
+)
+SELECT domain,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM urls
+GROUP BY domain
+""",
+)
+def web_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus census — the aggregation every crawl-curation
+    pass runs before building domain allow/block lists: doc counts,
+    distinct hosts, and text mass per registrable domain. URLs are
+    synthesized in-plan (multiple www-subdomain hosts per domain, the
+    co.uk second-level arm included) so the oracle predicts the REAL
+    `url_host`/`url_registrable_domain` expressions under a groupBy —
+    the URL family composing into analytics, hash-checked. One hash
+    aggregate, no joins. Cap-parked (CONTRACT_EXCLUDE) like its sibling
+    web_url_normalize."""
+    from ..functions.url import url_host, url_registrable_domain
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length(F.trim("text")).alias("n_chars")
+    )
+    d = F.col("doc_id")
+    tld = (
+        F.when(d % 4 == 0, F.lit("com"))
+        .when(d % 4 == 1, F.lit("org"))
+        .when(d % 4 == 2, F.lit("co.uk"))
+        .otherwise(F.lit("io"))
+    )
+    urls = docs.select(
+        "n_chars",
+        F.concat(
+            F.lit("https://WWW"), d % 3, F.lit(".Site"), d % 40,
+            F.lit("."), tld, F.lit("/p/"), d,
+        ).alias("url"),
+    )
+    host = url_host(F.col("url"))
+    return (
+        urls.select("n_chars", host.alias("host"))
+        .select(
+            "n_chars", "host",
+            url_registrable_domain(F.col("host")).alias("domain"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("host").cast("long").alias("n_hosts"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
