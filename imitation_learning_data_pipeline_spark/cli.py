@@ -1470,6 +1470,14 @@ def cmd_ingest_warc(args: argparse.Namespace) -> int:
     bench row so the measured path IS the shipped path."""
     from .plans.web import ingest_warc_plan
 
+    if args.main_content and args.max_link_density is not None:
+        # reject at the CLI layer, before a Spark session spins up —
+        # the plan-level refusal stays as the API guard
+        raise SystemExit(
+            "ingest-warc: --max-link-density is a page-level gate; "
+            "--main-content already removes linky blocks — pass one "
+            "or the other"
+        )
     spark = _spark("ingest-warc")
     out = ingest_warc_plan(
         spark,

@@ -93,12 +93,19 @@ def url_normalize(col: Column | str) -> Column:
 
 def url_host(col: Column | str) -> Column:
     """Lowercased host of a hierarchical URL: authority minus userinfo
-    and port. Empty string for schemeless input."""
+    and port. Bracketed IPv6 literals come back intact
+    (``http://[2001:db8::1]/x`` → ``[2001:db8::1]`` — the bare
+    colon-stops-host rule would return ``[``; r13 review). Empty
+    string for schemeless input."""
     url = F.trim(_c(col))
     rest = F.split(F.regexp_replace(url, r"^[A-Za-z][A-Za-z0-9+.-]*://", ""), "#", 2)[0]
     has_scheme = F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1) != ""
     authority = F.regexp_extract(rest, r"^([^/?]*)", 1)
-    host = F.lower(F.regexp_extract(authority, r"^(?:[^@]*@)?([^:]*)", 1))
+    nouser = F.regexp_extract(authority, r"^(?:[^@]*@)?(.*)$", 1)
+    host = F.when(
+        nouser.startswith("["),
+        F.lower(F.regexp_extract(nouser, r"^(\[[^\]]*\])", 1)),
+    ).otherwise(F.lower(F.regexp_extract(nouser, r"^([^:]*)", 1)))
     return F.when(has_scheme, host).otherwise(F.lit(""))
 
 
@@ -119,8 +126,11 @@ def url_registrable_domain(col: Column | str) -> Column:
         F.element_at(labels, -1),
     )
     is_sl = F.lower(last2).isin(*SECOND_LEVEL_SUFFIXES)
+    # every branch lowercases — the n<=2 passthrough previously kept
+    # the input's case, splitting domain aggregates across case
+    # variants when callers pass raw hosts (r13 review)
     return (
-        F.when(n <= 2, host)
+        F.when(n <= 2, F.lower(host))
         .when((n >= 3) & is_sl, F.lower(last3))
         .otherwise(F.lower(last2))
     )

@@ -167,24 +167,23 @@ def _charset_from_content_type(ct: str | None) -> str | None:
     return ct.split("charset=", 1)[1].split(";")[0].strip().strip("\"'") or None
 
 
-def extract_html_text(
+def _run_extraction(
     df: DataFrame,
-    html_col: str = "html",
-    id_col: str = "doc_id",
-    content_type_col: str | None = None,
-    passthrough: tuple[str, ...] = (),
+    extract_fn,
+    fields_ddl: str,
+    out_cols: tuple[str, ...],
+    html_col: str,
+    id_col: str,
+    content_type_col: str | None,
+    passthrough: tuple[str, ...],
 ) -> DataFrame:
-    """(id, html) → (id, text, title, n_links, link_text_chars,
-    text_chars, link_density) via one Arrow-batched ``mapInPandas``.
-    ``html_col`` may be string or binary; binary payloads go through
-    :func:`decode_html` (BOM → transport charset → ``<meta charset>``
-    prescan → UTF-8, always ``errors="replace"``). Pass
-    ``content_type_col`` (e.g. the WARC source's ``content_type``) so
-    the HTTP-declared charset participates in that order.
-    ``passthrough`` carries input columns (url, date, ...) through the
-    batch unchanged, so callers never join extraction output back to
-    its own input — that join's two branches would each recompute the
-    upstream (for a WARC input: parse the whole crawl twice)."""
+    """Shared Arrow-batched runner for the per-document extractors
+    (page text and main content): charset decode, passthrough
+    threading, and schema assembly live ONCE here (r13 review: the two
+    copies had already needed double application of the r12-r13
+    charset fixes). ``extract_fn(html_str) -> dict`` supplies the
+    per-document semantics; ``fields_ddl``/``out_cols`` its output
+    surface."""
     import pandas as pd
 
     pt = [c for c in passthrough if c not in (id_col,)]
@@ -194,7 +193,7 @@ def extract_html_text(
     # id keeps ITS dtype — hardcoding `long` would Arrow-fail a string
     # id (e.g. the WARC source's record_id)
     id_type = df.schema[id_col].dataType.simpleString()
-    schema = f"{id_col} {id_type}, {_OUT_FIELDS}{pt_schema}"
+    schema = f"{id_col} {id_type}, {fields_ddl}{pt_schema}"
     cols = [id_col, html_col]
     if content_type_col:
         cols.append(content_type_col)
@@ -213,19 +212,38 @@ def extract_html_text(
             ):
                 if isinstance(h, (bytes, bytearray)):
                     h = decode_html(bytes(h), _charset_from_content_type(ct))
-                rec = {id_col: i, **extract_text(h)}
+                rec = {id_col: i, **extract_fn(h)}
                 for c in pt:
                     rec[c] = pdf[c].iloc[row_i]
                 out.append(rec)
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    id_col, "text", "title", "n_links",
-                    "link_text_chars", "text_chars", *pt,
-                ],
-            )
+            yield pd.DataFrame(out, columns=[id_col, *out_cols, *pt])
 
-    extracted = df.select(*cols).mapInPandas(_run, schema)
+    return df.select(*cols).mapInPandas(_run, schema)
+
+
+def extract_html_text(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    content_type_col: str | None = None,
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, html) → (id, text, title, n_links, link_text_chars,
+    text_chars, link_density) via one Arrow-batched ``mapInPandas``.
+    ``html_col`` may be string or binary; binary payloads go through
+    :func:`decode_html` (BOM → transport charset → ``<meta charset>``
+    prescan → UTF-8, always ``errors="replace"``). Pass
+    ``content_type_col`` (e.g. the WARC source's ``content_type``) so
+    the HTTP-declared charset participates in that order.
+    ``passthrough`` carries input columns (url, date, ...) through the
+    batch unchanged, so callers never join extraction output back to
+    its own input — that join's two branches would each recompute the
+    upstream (for a WARC input: parse the whole crawl twice)."""
+    extracted = _run_extraction(
+        df, extract_text, _OUT_FIELDS,
+        ("text", "title", "n_links", "link_text_chars", "text_chars"),
+        html_col, id_col, content_type_col, passthrough,
+    )
     return extracted.withColumn("link_density", link_density_col())
 
 
@@ -274,6 +292,10 @@ _JUSTEXT_STOPWORDS = frozenset(
 )
 
 _COPYRIGHT = ("©", "&copy;", "(c) copyright", "copyright ©")
+
+# token-edge punctuation stripped before stopword matching (ASCII +
+# the common unicode quote/dash forms crawls carry)
+_PUNCT = ".,;:!?\"'()[]{}<>«»‘’“”–—…/\\|-"
 
 
 class _BlockExtractor(_TextExtractor):
@@ -332,7 +354,12 @@ def classify_blocks(
     labels = []
     for text, link_chars in blocks:
         low = text.lower()
-        words = low.split()
+        # WORD tokens, not whitespace chunks: jusText's densities are
+        # over words, and split() tokens keep attached punctuation
+        # ('that.' never matches 'that' — measured ~3-7pp density loss
+        # on ordinary prose, enough to flip blocks in the [0.30, 0.37)
+        # band; r13 review)
+        words = [w for w in (t.strip(_PUNCT) for t in low.split()) if w]
         n = len(words)
         ld = link_chars / max(len(text), 1)
         sd = sum(1 for w in words if w in stopwords) / max(n, 1)
@@ -401,43 +428,10 @@ def extract_main_content(
     removed_chars) via one Arrow-batched ``mapInPandas`` — the
     boilerplate-REMOVING extraction (cf. :func:`extract_html_text`,
     which keeps all visible text and reports page-level link density).
-    Same charset handling and passthrough contract."""
-    import pandas as pd
-
-    pt = [c for c in passthrough if c not in (id_col,)]
-    pt_schema = "".join(
-        f", {c} {df.schema[c].dataType.simpleString()}" for c in pt
+    Same charset handling and passthrough contract (shared runner)."""
+    return _run_extraction(
+        df, extract_main_text, _MAIN_FIELDS,
+        ("main_text", "title", "n_blocks", "n_good_blocks",
+         "removed_chars"),
+        html_col, id_col, content_type_col, passthrough,
     )
-    id_type = df.schema[id_col].dataType.simpleString()
-    schema = f"{id_col} {id_type}, {_MAIN_FIELDS}{pt_schema}"
-    cols = [id_col, html_col]
-    if content_type_col:
-        cols.append(content_type_col)
-    cols += [c for c in pt if c not in cols]
-
-    def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in batches:
-            cts = (
-                pdf[content_type_col]
-                if content_type_col
-                else [None] * len(pdf)
-            )
-            out = []
-            for row_i, (i, h, ct) in enumerate(
-                zip(pdf[id_col], pdf[html_col], cts)
-            ):
-                if isinstance(h, (bytes, bytearray)):
-                    h = decode_html(bytes(h), _charset_from_content_type(ct))
-                rec = {id_col: i, **extract_main_text(h)}
-                for c in pt:
-                    rec[c] = pdf[c].iloc[row_i]
-                out.append(rec)
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    id_col, "main_text", "title", "n_blocks",
-                    "n_good_blocks", "removed_chars", *pt,
-                ],
-            )
-
-    return df.select(*cols).mapInPandas(_run, schema)

@@ -234,6 +234,27 @@ def ingest_warc_plan(
     )
 
 
+def _dedup_by_url(out: "DataFrame", cols: tuple) -> "DataFrame":
+    """Per-URL struct-max dedup shared by both ingest modes (r13
+    review: the two inline copies could drift): keep ONE page per URL
+    via a struct-max agg, not a window (the W2 rule — no per-URL sort,
+    one hash exchange). The winner is the max doc_id — hash-arbitrary
+    but DETERMINISTIC across runs. Records WITHOUT a target URI must
+    not collapse into one group: empty-url rows key on their own
+    doc_id, so each survives (content-level dedup downstream is the
+    real gate for those). ``cols`` = the non-url payload columns,
+    doc_id first."""
+    key = F.when(F.col("url") == "", F.col("doc_id")).otherwise(F.lit(0))
+    keep = F.max(F.struct(*cols)).alias("k")
+    return (
+        out.groupBy("url", key.alias("__selfkey")).agg(keep)
+        .select(
+            F.col("k.doc_id").alias("doc_id"), "url",
+            *[F.col(f"k.{c}").alias(c) for c in cols if c != "doc_id"],
+        )
+    )
+
+
 def ingest_warc_records(
     records: DataFrame,
     content_type: str | None = "text/html",
@@ -291,23 +312,10 @@ def ingest_warc_records(
             "n_blocks", "n_good_blocks", "removed_chars",
         )
         if dedup_url:
-            key = F.when(
-                F.col("url") == "", F.col("doc_id")
-            ).otherwise(F.lit(0))
-            keep = F.max(
-                F.struct("doc_id", "title", "text", "n_blocks",
-                         "n_good_blocks", "removed_chars")
-            ).alias("k")
-            out = (
-                out.groupBy("url", key.alias("__selfkey")).agg(keep)
-                .select(
-                    F.col("k.doc_id").alias("doc_id"), "url",
-                    F.col("k.title").alias("title"),
-                    F.col("k.text").alias("text"),
-                    F.col("k.n_blocks").alias("n_blocks"),
-                    F.col("k.n_good_blocks").alias("n_good_blocks"),
-                    F.col("k.removed_chars").alias("removed_chars"),
-                )
+            out = _dedup_by_url(
+                out,
+                ("doc_id", "title", "text", "n_blocks", "n_good_blocks",
+                 "removed_chars"),
             )
         return out
     out = extract_html_text(
@@ -323,20 +331,10 @@ def ingest_warc_records(
         "text_chars",
     )
     if dedup_url:
-        key = F.when(F.col("url") == "", F.col("doc_id")).otherwise(F.lit(0))
-        keep = F.max(
-            F.struct("doc_id", "title", "text", "n_links",
-                     "link_density", "text_chars")
-        ).alias("k")
-        out = (
-            out.groupBy("url", key.alias("__selfkey")).agg(keep)
-            .select(
-                F.col("k.doc_id").alias("doc_id"), "url",
-                F.col("k.title").alias("title"), F.col("k.text").alias("text"),
-                F.col("k.n_links").alias("n_links"),
-                F.col("k.link_density").alias("link_density"),
-                F.col("k.text_chars").alias("text_chars"),
-            )
+        out = _dedup_by_url(
+            out,
+            ("doc_id", "title", "text", "n_links", "link_density",
+             "text_chars"),
         )
     return out
 

@@ -296,7 +296,6 @@ def read_warc(
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.warc*")
         .load(path_glob)
-        .select("path", "content")
     )
     return warc_records(binary, record_types, chunk_bytes)
 
