@@ -795,6 +795,29 @@ class TestUrlFunctions:
             "http://user@host.com:8080/p", "host.com", "host.com"
         )
 
+    def test_ipv6_and_case_consistency(self, spark):
+        """r13 review: IPv6 literals come back intact (not '['), and
+        the registrable-domain passthrough branch lowercases."""
+        from pyspark.sql import functions as F
+
+        from imitation_learning_data_pipeline_spark.functions.url import (
+            url_host,
+            url_registrable_domain,
+        )
+
+        rows = self._norm(spark, ["http://[2001:db8::1]:8080/x"])
+        assert rows[0][1] == "[2001:db8::1]"
+        df = spark.createDataFrame(
+            [("Example.COM",), ("www.Example.COM",)], "h string"
+        )
+        doms = [
+            r["d"]
+            for r in df.select(
+                url_registrable_domain(F.col("h")).alias("d")
+            ).collect()
+        ]
+        assert doms == ["example.com", "example.com"]
+
     def test_ingest_normalize_urls_collapses_variants(
         self, spark, tmp_path, capsys
     ):
@@ -926,6 +949,15 @@ class TestMainContentExtraction:
         # the same short block surrounded by bad stays bad
         labels2 = classify_blocks([nav, short, keyword_stuff])
         assert labels2[1] == "bad"
+        # r13 review: attached punctuation must not mask stopwords —
+        # the same good paragraph, densely punctuated, still passes
+        punctuated = (
+            _GOOD_PARA.replace(" the ", " the, ")
+            .replace(" of ", ' "of" ')
+            .replace(" and ", " and. "),
+            0,
+        )
+        assert classify_blocks([punctuated]) == ["good"]
 
     def test_extract_main_text_end_to_end(self):
         from imitation_learning_data_pipeline_spark.operators.html_text import (
