@@ -1478,6 +1478,11 @@ def cmd_ingest_warc(args: argparse.Namespace) -> int:
             "--main-content already removes linky blocks — pass one "
             "or the other"
         )
+    if args.main_content_lang and not args.main_content:
+        raise SystemExit(
+            "ingest-warc: --main-content-lang only applies with "
+            "--main-content"
+        )
     spark = _spark("ingest-warc")
     out = ingest_warc_plan(
         spark,
@@ -1487,6 +1492,7 @@ def cmd_ingest_warc(args: argparse.Namespace) -> int:
         dedup_url=args.dedup_url,
         normalize_urls=args.normalize_urls,
         main_content=args.main_content,
+        main_content_lang=args.main_content_lang,
     )
     out.write.mode("overwrite").parquet(args.out)
     n = spark.read.parquet(args.out).count()
@@ -2690,6 +2696,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="jusText-lite block classification: text = boilerplate-"
         "REMOVED main content (nav/footer/link blocks dropped); "
         "replaces the page-level --max-link-density gate",
+    )
+    iw.add_argument(
+        "--main-content-lang",
+        default=None,
+        help="pin the --main-content stopword language (en/de/fr/es/it/"
+        "pt); default auto-picks per page by function-word hits, and "
+        "pages with no stopword signal under any list are flagged "
+        "(no_stopword_signal) and kept, never silently emptied",
     )
     iw.set_defaults(fn=cmd_ingest_warc)
 

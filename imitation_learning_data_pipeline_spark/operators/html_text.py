@@ -30,6 +30,7 @@ framing layer (`sources/warc.py`), not the markup layer.
 from __future__ import annotations
 
 import re
+from functools import partial
 from html.parser import HTMLParser
 from typing import Iterator
 
@@ -277,19 +278,70 @@ def link_density_col() -> Column:
 #   an ADJACENT resolved block is good (jusText's full edge-case
 #   machinery around headings and multi-hop propagation is dropped;
 #   one adjacency pass captures its dominant behavior).
-# - stopwords: a compact English function-word list (jusText ships
+# - stopwords: compact per-language function-word lists (jusText ships
 #   per-language lists of thousands; vendoring them is out of scope —
-#   the docstring says so, and the list is a named constant callers
-#   can extend per deployment).
+#   these are public linguistic commonplace, and callers can extend the
+#   map per deployment). r14 (VERDICT r13 #1): the English-only list
+#   silently zeroed non-English pages — every block of ordinary German
+#   prose has ~no ENGLISH function words, so classified `bad` and the
+#   page emitted empty. Now the extractor picks the stopword set per
+#   PAGE by function-word hits, and a page with ~zero signal under the
+#   active set (CJK, code, an unsupported language) falls back to the
+#   language-independent rules (link density + copyright only) with a
+#   `no_stopword_signal` flag — flagged, never silently emptied.
 
-_JUSTEXT_STOPWORDS = frozenset(
-    """a about after all also an and any are as at be because been but by
-    can could did do does for from had has have he her his how i if in
-    into is it its just like me more most my no not of on one only or
-    other our out over she so some than that the their them then there
-    these they this to up was we were what when which who will with
-    would you your""".split()
-)
+JUSTEXT_STOPWORDS: dict[str, frozenset] = {
+    "en": frozenset(
+        """a about after all also an and any are as at be because been but
+        by can could did do does for from had has have he her his how i if
+        in into is it its just like me more most my no not of on one only
+        or other our out over she so some than that the their them then
+        there these they this to up was we were what when which who will
+        with would you your""".split()
+    ),
+    "de": frozenset(
+        """aber alle als also am an auch auf aus bei bin bis da damit dann
+        das dass dem den denn der des die diese doch dort du durch ein
+        eine einem einen einer eines er es für habe haben hat hatte hier
+        ich ihr im in ist ja kann man mehr mit nach nicht noch nur oder
+        schon sein sich sie sind so über um und uns vom von vor war was
+        wenn werden wie wir wird zu zum zur""".split()
+    ),
+    "fr": frozenset(
+        """à au aux avec ce ces cette comme dans de des du elle en est et
+        été être il ils je la le les leur lui mais même mes moi mon ne
+        nos notre nous on ont ou où par pas plus pour que qui sa se ses
+        son sont sur ton tout tous tu un une vos votre vous y""".split()
+    ),
+    "es": frozenset(
+        """al algo como con de del donde el ella ellos en entre era es
+        esta este esto fue ha hay la las le les lo los más me mi muy no
+        nos o para pero por porque que quien se ser si sin sobre son su
+        sus también te tiene todo tu un una uno y ya yo""".split()
+    ),
+    "it": frozenset(
+        """ad al alla anche che chi ci come con da dal degli dei del della
+        delle di dove e è era gli ha hanno i il in io la le lei li lo
+        loro ma mi ne nel nella noi non per però più quando questa questo
+        se si sono su sua sue sui sul suo tra tutti un una uno voi""".split()
+    ),
+    "pt": frozenset(
+        """ao aos as até com como da das de dele do dos e ela ele eles em
+        entre era essa esse esta este eu foi há isso isto já lhe mais mas
+        me meu minha muito na não nas nem no nos nós o os ou para pela
+        pelo por porque quando que quem se sem ser seu sua são também tem
+        ter teu tu um uma você""".split()
+    ),
+}
+
+# backward-compatible alias (pre-r14 single-list API)
+_JUSTEXT_STOPWORDS = JUSTEXT_STOPWORDS["en"]
+
+# below this page-wide stopword density the active list plainly does
+# not describe the page's language — classify with the language-
+# independent rules instead of emptying it (ordinary prose in a listed
+# language measures far above this; code/CJK measure ~0)
+_MIN_PAGE_STOPWORD_DENSITY = 0.04
 
 _COPYRIGHT = ("©", "&copy;", "(c) copyright", "copyright ©")
 
@@ -339,6 +391,45 @@ class _BlockExtractor(_TextExtractor):
         self._flush()
 
 
+def _block_words(text: str) -> list[str]:
+    """Lowercased WORD tokens with edge punctuation stripped — jusText's
+    densities are over words, and split() tokens keep attached
+    punctuation ('that.' never matches 'that' — measured ~3-7pp density
+    loss on ordinary prose, enough to flip blocks in the [0.30, 0.37)
+    band; r13 review)."""
+    return [w for w in (t.strip(_PUNCT) for t in text.lower().split()) if w]
+
+
+def pick_stopword_lang(
+    blocks: list[tuple[str, int]],
+    lang_map: dict[str, frozenset] = JUSTEXT_STOPWORDS,
+) -> tuple[str | None, float]:
+    """Pick the stopword language for a PAGE: the list whose function
+    words cover the most CHARACTER mass over all block words (ties
+    broken by map order — 'en' first). Returns (lang, page_density);
+    (None, 0.0) for a page with no words.
+
+    Character mass, not token counts: a spaceless CJK block tokenizes
+    as ONE word, so token-ratio density lets two English nav tokens
+    ('home', 'about') outvote a thousand characters of Chinese prose
+    and defeat the no-signal guard — char-mass density correctly
+    dilutes to ~0 there, while ordinary prose in a listed language
+    measures 0.15+ (function words are ~a third of tokens). Pure
+    function — unit-testable without Spark."""
+    words: list[str] = []
+    for text, _link in blocks:
+        words.extend(_block_words(text))
+    total_chars = sum(len(w) for w in words)
+    if total_chars == 0:
+        return None, 0.0
+    best_lang, best_mass = None, -1
+    for lang, sw in lang_map.items():
+        mass = sum(len(w) for w in words if w in sw)
+        if mass > best_mass:
+            best_lang, best_mass = lang, mass
+    return best_lang, best_mass / total_chars
+
+
 def classify_blocks(
     blocks: list[tuple[str, int]],
     max_link_density: float = 0.2,
@@ -346,28 +437,33 @@ def classify_blocks(
     length_high: int = 200,
     stopwords_low: float = 0.30,
     stopwords_high: float = 0.32,
-    stopwords: frozenset = _JUSTEXT_STOPWORDS,
+    stopwords: frozenset | None = _JUSTEXT_STOPWORDS,
 ) -> list[str]:
     """jusText context-free labels + the simplified adjacency pass.
     Returns one of good/bad per block. Pure function — unit-testable
-    without Spark."""
+    without Spark. ``stopwords=None`` is the language-independent
+    fallback (r14): only the objective rules apply — link-dense and
+    copyright blocks drop, everything else keeps. Used when the page
+    has ~no stopword signal under any known list (CJK, code, an
+    unsupported language), where the density rules would silently
+    empty real prose."""
     labels = []
     for text, link_chars in blocks:
         low = text.lower()
-        # WORD tokens, not whitespace chunks: jusText's densities are
-        # over words, and split() tokens keep attached punctuation
-        # ('that.' never matches 'that' — measured ~3-7pp density loss
-        # on ordinary prose, enough to flip blocks in the [0.30, 0.37)
-        # band; r13 review)
-        words = [w for w in (t.strip(_PUNCT) for t in low.split()) if w]
-        n = len(words)
         ld = link_chars / max(len(text), 1)
-        sd = sum(1 for w in words if w in stopwords) / max(n, 1)
         if ld > max_link_density:
             labels.append("bad")
-        elif any(c in low for c in _COPYRIGHT):
+            continue
+        if any(c in low for c in _COPYRIGHT):
             labels.append("bad")
-        elif len(text) < length_low:
+            continue
+        if stopwords is None:
+            labels.append("good")
+            continue
+        words = _block_words(text)
+        n = len(words)
+        sd = sum(1 for w in words if w in stopwords) / max(n, 1)
+        if len(text) < length_low:
             labels.append("bad" if link_chars > 0 else "short")
         elif sd >= stopwords_high:
             labels.append("good" if len(text) > length_high else "neargood")
@@ -390,15 +486,51 @@ def classify_blocks(
     return resolved
 
 
-def extract_main_text(html: str) -> dict:
+def extract_main_text(
+    html: str,
+    lang: str | None = None,
+    stopwords: frozenset | None = None,
+    min_signal: float = _MIN_PAGE_STOPWORD_DENSITY,
+) -> dict:
     """One document's main-content extraction: block-segmented parse →
-    jusText-lite classification → good blocks joined by newlines.
-    Returns (main_text, title, n_blocks, n_good_blocks,
-    removed_chars)."""
+    per-page stopword-language pick → jusText-lite classification →
+    good blocks joined by newlines. Returns (main_text, title,
+    n_blocks, n_good_blocks, removed_chars, stopword_lang,
+    no_stopword_signal).
+
+    Language handling (r14, VERDICT r13 #1): by default the stopword
+    set is chosen PER PAGE from :data:`JUSTEXT_STOPWORDS` by function-
+    word hits; ``lang`` pins one list (``ValueError`` on an unknown
+    code); ``stopwords`` supplies a caller list verbatim (labelled
+    ``stopword_lang='custom'``). Whatever set is active, a page whose
+    overall density under it falls below ``min_signal`` classifies with
+    the language-INDEPENDENT rules only (link density + copyright) and
+    sets ``no_stopword_signal=True`` — prose in an unrecognized
+    language is flagged and kept, never silently emptied."""
+    if lang is not None and stopwords is not None:
+        raise ValueError("extract_main_text: pass lang OR stopwords, not both")
     p = _BlockExtractor()
     p.feed(html or "")
     p.close()
-    labels = classify_blocks(p.blocks)
+    if stopwords is not None:
+        sw, sw_lang = stopwords, "custom"
+        _, density = pick_stopword_lang(p.blocks, {"custom": stopwords})
+    elif lang is not None:
+        if lang not in JUSTEXT_STOPWORDS:
+            raise ValueError(
+                f"extract_main_text: no stopword list for {lang!r} "
+                f"(have {sorted(JUSTEXT_STOPWORDS)})"
+            )
+        sw, sw_lang = JUSTEXT_STOPWORDS[lang], lang
+        _, density = pick_stopword_lang(p.blocks, {lang: sw})
+    else:
+        picked, density = pick_stopword_lang(p.blocks)
+        sw = JUSTEXT_STOPWORDS.get(picked) if picked else None
+        sw_lang = picked
+    no_signal = density < min_signal
+    if no_signal:
+        sw, sw_lang = None, None
+    labels = classify_blocks(p.blocks, stopwords=sw)
     good = [t for (t, _l), lab in zip(p.blocks, labels) if lab == "good"]
     main = "\n".join(good)
     total = sum(len(t) for t, _l in p.blocks)
@@ -408,12 +540,14 @@ def extract_main_text(html: str) -> dict:
         "n_blocks": len(p.blocks),
         "n_good_blocks": len(good),
         "removed_chars": total - sum(len(t) for t in good),
+        "stopword_lang": sw_lang,
+        "no_stopword_signal": no_signal,
     }
 
 
 _MAIN_FIELDS = (
     "main_text string, title string, n_blocks int, n_good_blocks int, "
-    "removed_chars int"
+    "removed_chars int, stopword_lang string, no_stopword_signal boolean"
 )
 
 
@@ -423,15 +557,26 @@ def extract_main_content(
     id_col: str = "doc_id",
     content_type_col: str | None = None,
     passthrough: tuple[str, ...] = (),
+    lang: str | None = None,
 ) -> DataFrame:
     """(id, html) → (id, main_text, title, n_blocks, n_good_blocks,
-    removed_chars) via one Arrow-batched ``mapInPandas`` — the
-    boilerplate-REMOVING extraction (cf. :func:`extract_html_text`,
-    which keeps all visible text and reports page-level link density).
-    Same charset handling and passthrough contract (shared runner)."""
+    removed_chars, stopword_lang, no_stopword_signal) via one
+    Arrow-batched ``mapInPandas`` — the boilerplate-REMOVING extraction
+    (cf. :func:`extract_html_text`, which keeps all visible text and
+    reports page-level link density). Same charset handling and
+    passthrough contract (shared runner). ``lang`` pins the stopword
+    list; default auto-picks per page (see :func:`extract_main_text`) —
+    validated HERE, driver-side, so a typo fails at plan build, not as
+    a task-time Python exception."""
+    if lang is not None and lang not in JUSTEXT_STOPWORDS:
+        raise ValueError(
+            f"extract_main_content: no stopword list for {lang!r} "
+            f"(have {sorted(JUSTEXT_STOPWORDS)})"
+        )
+    extract_fn = partial(extract_main_text, lang=lang)
     return _run_extraction(
-        df, extract_main_text, _MAIN_FIELDS,
+        df, extract_fn, _MAIN_FIELDS,
         ("main_text", "title", "n_blocks", "n_good_blocks",
-         "removed_chars"),
+         "removed_chars", "stopword_lang", "no_stopword_signal"),
         html_col, id_col, content_type_col, passthrough,
     )

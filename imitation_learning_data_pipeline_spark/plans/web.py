@@ -154,9 +154,12 @@ def build_warc_corpus(
                 return out_dir
         except (ValueError, OSError):
             pass
-        # stale/mismatched corpus: rebuild from scratch
-        for name in os.listdir(out_dir):
-            os.remove(os.path.join(out_dir, name))
+        # stale/mismatched corpus: rebuild from scratch (rmtree, not
+        # per-entry os.remove — a stray subdirectory from a crashed run
+        # would raise IsADirectoryError and abort the bench; ADVICE r13)
+        import shutil
+
+        shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     rows = duckdb.sql(
         "SELECT doc_id, text FROM "
@@ -210,6 +213,7 @@ def ingest_warc_plan(
     dedup_url: bool = False,
     normalize_urls: bool = False,
     main_content: bool = False,
+    main_content_lang: str | None = None,
 ) -> DataFrame:
     """The ingest-warc plan, shared verbatim by `cli ingest-warc` and
     the bench row: WARC responses → status/coding/type filters →
@@ -231,6 +235,7 @@ def ingest_warc_plan(
         dedup_url=dedup_url,
         normalize_urls=normalize_urls,
         main_content=main_content,
+        main_content_lang=main_content_lang,
     )
 
 
@@ -242,9 +247,14 @@ def _dedup_by_url(out: "DataFrame", cols: tuple) -> "DataFrame":
     but DETERMINISTIC across runs. Records WITHOUT a target URI must
     not collapse into one group: empty-url rows key on their own
     doc_id, so each survives (content-level dedup downstream is the
-    real gate for those). ``cols`` = the non-url payload columns,
-    doc_id first."""
-    key = F.when(F.col("url") == "", F.col("doc_id")).otherwise(F.lit(0))
+    real gate for those). NULL urls self-key too (ADVICE r13: callers
+    may feed warc_records-shaped frames from other sources where url is
+    null, and ``url == ''`` evaluates to null → otherwise(0) would
+    collapse ALL null-url pages into one survivor). ``cols`` = the
+    non-url payload columns, doc_id first."""
+    key = F.when(
+        F.col("url").isNull() | (F.col("url") == ""), F.col("doc_id")
+    ).otherwise(F.lit(0))
     keep = F.max(F.struct(*cols)).alias("k")
     return (
         out.groupBy("url", key.alias("__selfkey")).agg(keep)
@@ -262,6 +272,7 @@ def ingest_warc_records(
     dedup_url: bool = False,
     normalize_urls: bool = False,
     main_content: bool = False,
+    main_content_lang: str | None = None,
 ) -> DataFrame:
     """The post-parse stages of :func:`ingest_warc_plan`, applicable to
     ANY WARC-records frame — shared by the batch plan and the streaming
@@ -270,9 +281,12 @@ def ingest_warc_records(
     jusText-lite block classifier (`operators/html_text.py::
     extract_main_content`): ``text`` becomes the boilerplate-REMOVED
     main text, and the quality columns are (n_blocks, n_good_blocks,
-    removed_chars) instead of (n_links, link_density, text_chars) —
-    max_link_density does not apply (block-level classification
-    already dropped the linky blocks)."""
+    removed_chars, stopword_lang, no_stopword_signal) instead of
+    (n_links, link_density, text_chars) — max_link_density does not
+    apply (block-level classification already dropped the linky
+    blocks). ``main_content_lang`` pins the stopword list; default
+    auto-picks per page, and pages with no stopword signal are flagged
+    and kept (r14, VERDICT r13 #1 — never silently emptied)."""
     from ..functions.url import url_normalize
     from ..operators.html_text import extract_main_content
 
@@ -294,6 +308,11 @@ def ingest_warc_records(
         F.col("payload").alias("html"),
         "content_type",
     )
+    if main_content_lang is not None and not main_content:
+        raise ValueError(
+            "ingest_warc_records: main_content_lang only applies with "
+            "main_content=True"
+        )
     if main_content:
         if max_link_density is not None:
             raise ValueError(
@@ -306,16 +325,18 @@ def ingest_warc_records(
             html_col="html",
             content_type_col="content_type",
             passthrough=("url",),
+            lang=main_content_lang,
         ).select(
             "doc_id", "url", "title",
             F.col("main_text").alias("text"),
             "n_blocks", "n_good_blocks", "removed_chars",
+            "stopword_lang", "no_stopword_signal",
         )
         if dedup_url:
             out = _dedup_by_url(
                 out,
                 ("doc_id", "title", "text", "n_blocks", "n_good_blocks",
-                 "removed_chars"),
+                 "removed_chars", "stopword_lang", "no_stopword_signal"),
             )
         return out
     out = extract_html_text(

@@ -1007,8 +1007,15 @@ class TestMainContentExtraction:
         assert "café" in rows[1]["main_text"]
         assert rows[1]["n_good_blocks"] == 1
         assert rows[1]["url"] == "http://a/"
-        # an all-boilerplate page yields empty main text, not a crash
-        assert rows[2]["main_text"] == "" and rows[2]["n_good_blocks"] == 0
+        assert rows[1]["stopword_lang"] == "en"
+        assert rows[1]["no_stopword_signal"] is False
+        # r14: a page with ~no stopword signal is FLAGGED and kept (the
+        # language-independent fallback), never silently emptied — the
+        # pre-r14 behavior (main_text == "") destroyed non-English
+        # corpora (VERDICT r13 #1)
+        assert rows[2]["no_stopword_signal"] is True
+        assert rows[2]["stopword_lang"] is None
+        assert rows[2]["main_text"] == "tiny"
 
 
 class TestIngestMainContent:

@@ -1,0 +1,340 @@
+"""Round-14 surfaces: language-safe main-content extraction (per-page
+stopword pick + the no-signal guard), the streaming main-content arm,
+null-URL dedup self-keying, and the stale-corpus rebuild sweep."""
+
+import json
+import os
+
+import pytest
+
+from tests.test_round12_ops import _http_response, _warc_record
+from tests.test_round13_ops import _write_warc_gz
+
+GERMAN = (
+    "Die Kommission hat alle Vorschläge geprüft und entschieden, dass die "
+    "Ergebnisse veröffentlicht werden müssen, weil die Gemeinschaft auf "
+    "eine Antwort über die Richtlinie wartet und wie sie auf die Fälle "
+    "angewendet wird, die seit Beginn des Jahres offen sind."
+)
+FRENCH = (
+    "Le comité a examiné toutes les propositions et a décidé que les "
+    "résultats devraient être publiés parce que la communauté attendait "
+    "une réponse sur la politique et sur la manière dont elle serait "
+    "appliquée aux dossiers qui sont ouverts depuis le début de l'année."
+)
+ENGLISH = (
+    "the committee reviewed all of the proposals and decided that they "
+    "would have to publish the findings because the community was waiting "
+    "for an answer about the policy and how it would be applied to the "
+    "cases that have been open since the start of the year"
+)
+CJK = (
+    "委員會審查了所有提案並決定必須公佈結果因為社區正在等待關於政策的"
+    "答覆以及它將如何應用於自年初以來一直懸而未決的案件"
+) * 3
+
+_NAV = (
+    '<nav><a href="/">home</a> <a href="/a">about</a> '
+    '<a href="/b">contact</a> <a href="/c">pricing</a></nav>'
+)
+
+
+def _page(body_paras):
+    paras = "".join(f"<p>{p}</p>" for p in body_paras)
+    return (
+        f"<html><head><title>T</title></head><body>{_NAV}{paras}"
+        "<footer>© 2026 example corp</footer></body></html>"
+    )
+
+
+class TestMainContentLanguages:
+    """VERDICT r13 #1: non-English prose must survive --main-content —
+    per-page stopword-language pick, pinned lang, and the zero-signal
+    fallback that flags instead of emptying."""
+
+    def test_german_prose_retained(self):
+        from imitation_learning_data_pipeline_spark.operators.html_text import (
+            extract_main_text,
+        )
+
+        long_de = GERMAN + (
+            " Und der Bericht wurde rechtzeitig veröffentlicht und alle "
+            "waren mit dem Ergebnis zufrieden."
+        )
+        out = extract_main_text(_page([GERMAN, long_de]))
+        assert out["stopword_lang"] == "de"
+        assert out["no_stopword_signal"] is False
+        assert out["n_good_blocks"] == 2
+        assert out["main_text"].startswith("Die Kommission")
+        assert "home" not in out["main_text"]
+        assert "©" not in out["main_text"]
+
+    def test_french_prose_retained(self):
+        from imitation_learning_data_pipeline_spark.operators.html_text import (
+            extract_main_text,
+        )
+
+        out = extract_main_text(_page([FRENCH, FRENCH]))
+        assert out["stopword_lang"] == "fr"
+        assert out["n_good_blocks"] == 2
+        assert "Le comité" in out["main_text"]
+
+    def test_english_unchanged(self):
+        from imitation_learning_data_pipeline_spark.operators.html_text import (
+            extract_main_text,
+        )
+
+        out = extract_main_text(
+            _page([ENGLISH, ENGLISH + " and the report was published"])
+        )
+        assert out["stopword_lang"] == "en"
+        assert out["n_good_blocks"] == 2
+
+    def test_cjk_flagged_and_kept(self):
+        """No stopword list fits → language-independent rules: the
+        link-dense nav and the copyright footer still drop, the prose
+        blocks are KEPT, and the flag marks the degraded labels."""
+        from imitation_learning_data_pipeline_spark.operators.html_text import (
+            extract_main_text,
+        )
+
+        out = extract_main_text(_page([CJK, CJK]))
+        assert out["no_stopword_signal"] is True
+        assert out["stopword_lang"] is None
+        assert CJK[:20] in out["main_text"]
+        assert "home" not in out["main_text"]
+        assert "©" not in out["main_text"]
+        assert out["n_good_blocks"] == 2
+
+    def test_pinned_wrong_lang_falls_back_not_empties(self):
+        """lang='en' forced on a German page: density under the pinned
+        list is ~0 → the guard kicks in — the pre-r14 behavior (empty
+        main_text) must never come back."""
+        from imitation_learning_data_pipeline_spark.operators.html_text import (
+            extract_main_text,
+        )
+
+        out = extract_main_text(_page([GERMAN, GERMAN]), lang="en")
+        assert out["no_stopword_signal"] is True
+        assert "Die Kommission" in out["main_text"]
+
+    def test_pinned_lang_applies(self):
+        from imitation_learning_data_pipeline_spark.operators.html_text import (
+            extract_main_text,
+        )
+
+        out = extract_main_text(_page([GERMAN, GERMAN]), lang="de")
+        assert out["stopword_lang"] == "de"
+        assert out["no_stopword_signal"] is False
+        assert out["n_good_blocks"] == 2
+
+    def test_custom_stopwords(self):
+        from imitation_learning_data_pipeline_spark.operators.html_text import (
+            extract_main_text,
+        )
+
+        out = extract_main_text(
+            _page([ENGLISH]), stopwords=frozenset(ENGLISH.split())
+        )
+        assert out["stopword_lang"] == "custom"
+        assert out["n_good_blocks"] == 1
+        with pytest.raises(ValueError, match="not both"):
+            extract_main_text("x", lang="en", stopwords=frozenset({"a"}))
+
+    def test_unknown_lang_rejected_driver_side(self, spark):
+        from imitation_learning_data_pipeline_spark.operators.html_text import (
+            extract_main_content,
+            extract_main_text,
+        )
+
+        with pytest.raises(ValueError, match="no stopword list"):
+            extract_main_text("x", lang="xx")
+        df = spark.createDataFrame([(1, "<p>x</p>")], "doc_id long, html string")
+        # plan-build-time failure, not a task-time Python exception
+        with pytest.raises(ValueError, match="no stopword list"):
+            extract_main_content(df, lang="xx")
+
+    def test_pick_stopword_lang_edges(self):
+        from imitation_learning_data_pipeline_spark.operators.html_text import (
+            pick_stopword_lang,
+        )
+
+        assert pick_stopword_lang([]) == (None, 0.0)
+        lang, density = pick_stopword_lang([(GERMAN, 0)])
+        assert lang == "de" and density > 0.2
+        # ties break by map order: a single shared function word →
+        # deterministic first-listed language, never a random winner
+        lang, _ = pick_stopword_lang([("in", 0)])  # in ∈ en and de
+        assert lang == "en"
+
+
+class TestIngestMainContentLang:
+    def test_cli_lang_pin_and_columns(self, spark, tmp_path, capsys):
+        from imitation_learning_data_pipeline_spark.cli import main
+
+        d = tmp_path / "crawl"
+        d.mkdir()
+        page = _page([GERMAN, GERMAN]).encode()
+        _write_warc_gz(
+            str(d / "s0.warc.gz"),
+            [_warc_record("response", "http://de.test/", _http_response(page))],
+        )
+        out = str(tmp_path / "docs")
+        assert main([
+            "ingest-warc", "--input", str(d), "--out", out,
+            "--main-content", "--main-content-lang", "de",
+        ]) == 0
+        rows = spark.read.parquet(out).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["stopword_lang"] == "de"
+        assert r["no_stopword_signal"] is False
+        assert "Die Kommission" in r["text"]
+        assert "home" not in r["text"]
+
+    def test_cli_auto_detects_per_page(self, spark, tmp_path, capsys):
+        """One crawl, mixed languages: each page gets its own list —
+        the failure mode this round fixes is exactly 'the German half
+        of the crawl comes back empty'."""
+        from imitation_learning_data_pipeline_spark.cli import main
+
+        d = tmp_path / "crawl"
+        d.mkdir()
+        _write_warc_gz(
+            str(d / "s0.warc.gz"),
+            [
+                _warc_record(
+                    "response", "http://en.test/",
+                    _http_response(_page([ENGLISH, ENGLISH]).encode()),
+                ),
+                _warc_record(
+                    "response", "http://de.test/",
+                    _http_response(_page([GERMAN, GERMAN]).encode()),
+                ),
+            ],
+        )
+        out = str(tmp_path / "docs")
+        assert main([
+            "ingest-warc", "--input", str(d), "--out", out, "--main-content",
+        ]) == 0
+        rows = {r["url"]: r for r in spark.read.parquet(out).collect()}
+        assert rows["http://en.test/"]["stopword_lang"] == "en"
+        assert rows["http://de.test/"]["stopword_lang"] == "de"
+        assert rows["http://de.test/"]["text"] != ""
+        assert not rows["http://de.test/"]["no_stopword_signal"]
+
+    def test_lang_without_main_content_rejected(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.cli import main
+        from imitation_learning_data_pipeline_spark.plans.web import (
+            ingest_warc_plan,
+        )
+
+        with pytest.raises(SystemExit, match="only applies"):
+            main([
+                "ingest-warc", "--input", str(tmp_path), "--out",
+                str(tmp_path / "o"), "--main-content-lang", "de",
+            ])
+        with pytest.raises(ValueError, match="only applies"):
+            ingest_warc_plan(spark, str(tmp_path), main_content_lang="de")
+
+
+class TestStreamingMainContent:
+    def test_streaming_arm_gets_the_mode(self, spark, tmp_path):
+        """VERDICT r13 #2: run_incremental_warc_ingest(main_content=True)
+        emits the SAME main-content schema as the batch verb, across
+        micro-batches."""
+        from imitation_learning_data_pipeline_spark.streaming.warc_stream import (
+            run_incremental_warc_ingest,
+        )
+
+        land = tmp_path / "landing"
+        land.mkdir()
+        docs = str(tmp_path / "docs")
+        ckpt = str(tmp_path / "ckpt")
+        _write_warc_gz(
+            str(land / "seg0.warc.gz"),
+            [
+                _warc_record(
+                    "response", "http://en.test/",
+                    _http_response(_page([ENGLISH, ENGLISH]).encode()),
+                )
+            ],
+        )
+        run_incremental_warc_ingest(
+            spark, str(land), docs, ckpt, main_content=True
+        )
+        first = spark.read.parquet(docs).collect()
+        assert len(first) == 1
+        assert first[0]["stopword_lang"] == "en"
+        assert first[0]["n_good_blocks"] == 2
+        assert "home" not in first[0]["text"]
+
+        # second arrival: a German segment, auto-detected per page
+        _write_warc_gz(
+            str(land / "seg1.warc.gz"),
+            [
+                _warc_record(
+                    "response", "http://de.test/",
+                    _http_response(_page([GERMAN, GERMAN]).encode()),
+                )
+            ],
+        )
+        run_incremental_warc_ingest(
+            spark, str(land), docs, ckpt, main_content=True
+        )
+        rows = {r["url"]: r for r in spark.read.parquet(docs).collect()}
+        assert set(rows) == {"http://en.test/", "http://de.test/"}
+        assert rows["http://de.test/"]["stopword_lang"] == "de"
+        assert rows["http://de.test/"]["text"].startswith("Die Kommission")
+
+
+class TestDedupNullUrlSelfKey:
+    def test_null_urls_each_survive(self, spark):
+        """ADVICE r13: url IS NULL must self-key like url == '' — the
+        otherwise(0) branch was collapsing ALL null-url pages into one
+        survivor."""
+        from imitation_learning_data_pipeline_spark.plans.web import (
+            _dedup_by_url,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, None, "a"),
+                (2, None, "b"),
+                (3, "", "c"),
+                (4, "", "d"),
+                (5, "http://x/", "e"),
+                (6, "http://x/", "f"),
+            ],
+            "doc_id long, url string, text string",
+        )
+        rows = _dedup_by_url(df, ("doc_id", "text")).collect()
+        # null and empty urls each survive; the real dup collapses
+        assert sorted(r["doc_id"] for r in rows) == [1, 2, 3, 4, 6]
+
+
+class TestWarcCorpusStaleRebuild:
+    def test_stale_rebuild_survives_subdirectory(self, tmp_path):
+        """ADVICE r13: a stray subdirectory in the corpus dir (crashed
+        run) must not abort the rebuild with IsADirectoryError."""
+        from imitation_learning_data_pipeline_spark.plans.web import (
+            build_warc_corpus,
+        )
+
+        sf_dir = os.environ.get(
+            "SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001"
+        )
+        out_root = str(tmp_path / "warc")
+        first = build_warc_corpus(sf_dir, out_root=out_root, replicas=2,
+                                  n_files=2)
+        assert os.path.exists(os.path.join(first, "_COMPLETE"))
+        # poison: stale marker + a leftover subdirectory
+        with open(os.path.join(first, "_COMPLETE"), "w") as fh:
+            json.dump({"stale": True}, fh)
+        os.makedirs(os.path.join(first, "crashed.tmp.d"), exist_ok=True)
+        second = build_warc_corpus(sf_dir, out_root=out_root, replicas=2,
+                                   n_files=2)
+        assert second == first
+        assert not os.path.exists(os.path.join(first, "crashed.tmp.d"))
+        key = json.load(open(os.path.join(first, "_COMPLETE")))
+        assert key.get("replicas") == 2
