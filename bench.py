@@ -100,6 +100,28 @@ HEADLINE = [
 ]
 
 
+# Self-adjudicating requeue thresholds (VERDICT r13 #3) — module level
+# so the selection rule is unit-testable without a Spark session.
+REQUEUE_RATIO = 3.0
+REQUEUE_CAP = 5
+
+
+def flag_requeues(
+    ratios: dict[str, float],
+    threshold: float = REQUEUE_RATIO,
+    cap: int = REQUEUE_CAP,
+) -> tuple[list[str], int]:
+    """Queries whose pass-B/pass-A warm ratio flags a possible stall,
+    worst-first, capped; returns (to_requeue, n_truncated). Only the
+    SLOW direction flags — a pass-B faster than pass-A is cache/JIT
+    settling, not a regression candidate."""
+    flagged = sorted(
+        (n for n in ratios if ratios[n] >= threshold),
+        key=lambda n: -ratios[n],
+    )
+    return flagged[:cap], max(0, len(flagged) - cap)
+
+
 class TaskTimeProbe:
     """Total executor task run time (ms) across all completed stages,
     read from the live AppStatusStore (works with the UI disabled)."""
@@ -260,6 +282,33 @@ def main() -> int:
             n: round(pass_b[n] / timings[n], 3) for n in names if timings[n] > 0
         }
         worst = max(ratios, key=lambda n: max(ratios[n], 1 / ratios[n]))
+        # Self-adjudicating requeue (VERDICT r13 #3): a pass-B wall ≥3×
+        # its pass-A warm is either a real regression (reproduces) or a
+        # transient host stall (doesn't) — r13's artifact showed
+        # web_ingest_warc at 14.8× and the adjudication (an isolated
+        # re-run measuring 1.04×) had to happen by hand, a round later.
+        # Re-run each flagged query ONCE, back-to-back, and ship the
+        # third sample: adjudicated_ratio = min(pass_b, requeue)/pass_a.
+        # A transient collapses to ~1; a real regression survives both
+        # samples. Capped — if more than REQUEUE_CAP queries blew past
+        # 3× in one sweep the HOST was stalled, and the truncation count
+        # says so rather than doubling the bench.
+        flagged, n_truncated = flag_requeues(ratios)
+        requeue = {}
+        for name in flagged:
+            fn = QUERIES[name]
+            t0 = time.time()
+            fn(spark, args.sf_dir).write.format("noop").mode("overwrite").save()
+            third = round(time.time() - t0, 3)
+            spark.catalog.clearCache()
+            requeue[name] = {
+                "pass_a_s": timings[name],
+                "pass_b_s": pass_b[name],
+                "requeue_s": third,
+                "adjudicated_ratio": round(
+                    min(pass_b[name], third) / max(timings[name], 1e-9), 3
+                ),
+            }
         variance = {
             "warm_total_s_pass_a": round(sum(timings.values()), 3),
             "warm_total_s_pass_b": round(sum(pass_b.values()), 3),
@@ -268,6 +317,8 @@ def main() -> int:
             ),
             "worst_query": worst,
             "worst_query_ratio": ratios[worst],
+            "requeue": requeue,
+            "requeue_truncated": n_truncated,
             "per_query_pass_b_s": pass_b,
         }
 
@@ -318,6 +369,7 @@ def main() -> int:
                 "total_ratio_b_over_a",
                 "worst_query",
                 "worst_query_ratio",
+                "requeue",
             )
         }
     )

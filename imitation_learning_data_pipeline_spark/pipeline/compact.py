@@ -598,4 +598,11 @@ def compact_sprawling(
         from .history import log_event
 
         log_event(spark, path, "compact_sprawling", out)
+        # mirror compact(): an auto-sync table must converge _delta_log
+        # NOW, not at the next verb — the rewrite just deleted files the
+        # log still references, and external Delta readers would hit
+        # missing files for the whole window (ADVICE r13)
+        from .delta_log import maybe_auto_delta_sync
+
+        maybe_auto_delta_sync(spark, path)
     return out

@@ -67,11 +67,14 @@ def _read_small_file(spark, fs, jpath) -> bytes:
 def read_delta_snapshot(spark: SparkSession, path: str) -> dict:
     """Replay the log to the CURRENT snapshot:
     ``{"files": {rel_path: {"size": int, "dv": bool}},
-    "configuration": {...}, "version": int, "metadata": {...}|None}``.
+    "configuration": {...}, "version": int, "metadata": {...}|None,
+    "tombstones": {rel_path: deletionTimestamp_ms}}``.
     ``metadata`` is the latest metaData action seen (id, schemaString,
     partitionColumns, ... — what a schema-evolution sync must compare
-    against). Paths are URI-decoded and relative to the table root
-    (absolute add paths are kept verbatim)."""
+    against). ``tombstones`` are the paths whose LATEST action is a
+    remove (a re-add cancels) — what a spec-complete checkpoint must
+    re-emit while unexpired. Paths are URI-decoded and relative to the
+    table root (absolute add paths are kept verbatim)."""
     fs, _ = _fs(spark, path)
     jpath = _jvm_path(spark)
     log = _log_dir(path)
@@ -84,6 +87,7 @@ def read_delta_snapshot(spark: SparkSession, path: str) -> dict:
     files: dict[str, dict] = {}
     config: dict = {}
     metadata: dict | None = None
+    tombstones: dict[str, int] = {}
     start_version = -1
 
     # checkpoint: prefer _last_checkpoint, but it is a best-effort HINT
@@ -138,6 +142,22 @@ def read_delta_snapshot(spark: SparkSession, path: str) -> dict:
                 "add.path AS p", "add.size AS sz", f"{dv_expr} AS dv"
             ).where("add IS NOT NULL").collect():
                 files[unquote(r["p"])] = {"size": int(r["sz"]), "dv": bool(r["dv"])}
+        if "remove" in cols:
+            # checkpoints carry unexpired remove tombstones (vacuum
+            # safety / concurrent-reader protection); keep them so the
+            # NEXT checkpoint can re-emit the still-unexpired ones.
+            # deletionTimestamp is optional per the spec — absent field
+            # (or null value) reads as 0
+            rm_fields = {f.name for f in cp.schema["remove"].dataType.fields}
+            ts_expr = (
+                "remove.deletionTimestamp"
+                if "deletionTimestamp" in rm_fields
+                else "CAST(0 AS BIGINT)"
+            )
+            for r in cp.selectExpr(
+                "remove.path AS p", f"{ts_expr} AS ts"
+            ).where("remove IS NOT NULL").collect():
+                tombstones[unquote(r["p"])] = int(r["ts"] or 0)
         if "metaData" in cols:
             for r in (
                 cp.selectExpr("to_json(metaData) AS m")
@@ -183,12 +203,21 @@ def read_delta_snapshot(spark: SparkSession, path: str) -> dict:
             action = json.loads(line)
             if "add" in action:
                 a = action["add"]
-                files[unquote(a["path"])] = {
+                rel = unquote(a["path"])
+                files[rel] = {
                     "size": int(a["size"]),
                     "dv": a.get("deletionVector") is not None,
                 }
+                # re-adding a path cancels its tombstone — the file is
+                # live again, so later checkpoints must not carry a
+                # remove for it
+                tombstones.pop(rel, None)
             elif "remove" in action:
-                files.pop(unquote(action["remove"]["path"]), None)
+                rel = unquote(action["remove"]["path"])
+                files.pop(rel, None)
+                tombstones[rel] = int(
+                    action["remove"].get("deletionTimestamp") or 0
+                )
             elif "metaData" in action:
                 metadata = dict(action["metaData"])
                 config = dict(metadata.get("configuration") or {})
@@ -198,6 +227,7 @@ def read_delta_snapshot(spark: SparkSession, path: str) -> dict:
         "configuration": config,
         "version": last_version,
         "metadata": metadata,
+        "tombstones": tombstones,
     }
 
 
@@ -512,8 +542,21 @@ def sync_delta_log_from_manifest(spark: SparkSession, path: str) -> dict:
                 snap["metadata"] if last_version >= 0 else None
             )
             if meta_cp:
+                import time as _time
+
+                now_ms = int(_time.time() * 1000)
+                # prior tombstones still dead at this version, plus the
+                # removes THIS commit just tombstoned; a path in `add`
+                # came back to life and must not carry a remove
+                tombs = dict(
+                    snap.get("tombstones") or {} if last_version >= 0 else {}
+                )
+                tombs.update({rel: now_ms for rel in remove})
+                for rel, _b in add:
+                    tombs.pop(rel, None)
                 _write_delta_checkpoint(
-                    spark, fs, jpath, path, version, live, meta_cp
+                    spark, fs, jpath, path, version, live, meta_cp,
+                    tombstones=tombs,
                 )
         return {
             "version": version, "n_add": len(add), "n_remove": len(remove),
@@ -601,18 +644,28 @@ def maybe_auto_delta_sync(spark: SparkSession, path: str) -> dict | None:
 
 
 _CHECKPOINT_INTERVAL = 10  # the Delta default checkpoint cadence
+# Delta's delta.deletedFileRetentionDuration default: tombstones younger
+# than this must survive into checkpoints (vacuum safety / concurrent-
+# reader protection); older ones may expire
+_TOMBSTONE_RETENTION_MS = 7 * 24 * 3600 * 1000
 
 
 def _write_delta_checkpoint(
-    spark, fs, jpath, path: str, version: int, live: dict, metadata: dict
+    spark, fs, jpath, path: str, version: int, live: dict, metadata: dict,
+    tombstones: dict | None = None,
 ) -> None:
     """Classic single-part checkpoint at ``version``: one parquet of
-    (protocol, metaData, add) action rows for the given live set, then
-    the ``_last_checkpoint`` hint. Caller holds the maintenance lock
-    and has just committed ``version``. Paths are URL-encoded exactly
-    like the JSON actions; our replay reader and external engines both
-    consume this layout (absent optional columns like
-    add.deletionVector read as null)."""
+    (protocol, metaData, add, remove) action rows for the given live
+    set, then the ``_last_checkpoint`` hint. Caller holds the
+    maintenance lock and has just committed ``version``.
+    ``tombstones`` (rel_path → deletionTimestamp ms) are the remove
+    actions whose paths are still dead at ``version``; rows younger
+    than the retention window are carried into the checkpoint per the
+    protocol (ADVICE r13 — external engines rely on them for vacuum
+    safety), expired ones drop. Paths are URL-encoded exactly like the
+    JSON actions; our replay reader and external engines both consume
+    this layout (absent optional columns like add.deletionVector read
+    as null)."""
     import time
 
     log = _log_dir(path)
@@ -624,7 +677,9 @@ def _write_delta_checkpoint(
         "schemaString:string,partitionColumns:array<string>,"
         "configuration:map<string,string>,createdTime:bigint>, "
         "add struct<path:string,partitionValues:map<string,string>,"
-        "size:bigint,modificationTime:bigint,dataChange:boolean>"
+        "size:bigint,modificationTime:bigint,dataChange:boolean>, "
+        "remove struct<path:string,deletionTimestamp:bigint,"
+        "dataChange:boolean>"
     )
     meta_row = {
         "id": metadata.get("id"),
@@ -653,6 +708,16 @@ def _write_delta_checkpoint(
             }
         }
         for rel, b in sorted(live.items())
+    ] + [
+        {
+            "remove": {
+                "path": quote(rel, safe="/="),
+                "deletionTimestamp": int(ts),
+                "dataChange": False,
+            }
+        }
+        for rel, ts in sorted((tombstones or {}).items())
+        if int(ts) > now_ms - _TOMBSTONE_RETENTION_MS and rel not in live
     ]
     tmp = f"{log}/.checkpoint_tmp"
     from .compact import _rm

@@ -313,6 +313,144 @@ class TestDedupNullUrlSelfKey:
         assert sorted(r["doc_id"] for r in rows) == [1, 2, 3, 4, 6]
 
 
+class TestBenchRequeueSelection:
+    def test_flag_requeues_rule(self):
+        """VERDICT r13 #3: the variance block requeues stall-suspect
+        queries itself — worst-first, slow-direction only, capped."""
+        from bench import flag_requeues
+
+        ratios = {
+            "a": 0.2,   # fast direction: cache settling, never flagged
+            "b": 1.04,
+            "c": 14.8,  # the r13 artifact shape
+            "d": 3.0,   # threshold inclusive
+            "e": 2.99,
+        }
+        flagged, truncated = flag_requeues(ratios)
+        assert flagged == ["c", "d"] and truncated == 0
+        # cap: worst-first survivors, the rest counted not run
+        many = {f"q{i}": 3.0 + i for i in range(8)}
+        flagged, truncated = flag_requeues(many, cap=5)
+        assert len(flagged) == 5 and truncated == 3
+        assert flagged[0] == "q7"  # worst first
+        assert flag_requeues({}) == ([], 0)
+
+
+class TestCompactSprawlingAutoSync:
+    def test_sprawling_compact_converges_delta_mirror(self, spark, tmp_path):
+        """ADVICE r13 (medium): compact_sprawling deletes rewritten
+        files; on an auto-sync table the Delta log must converge NOW,
+        not at the next verb — external readers would hit missing files
+        for the whole window."""
+        from imitation_learning_data_pipeline_spark.pipeline.compact import (
+            compact_sprawling,
+        )
+        from imitation_learning_data_pipeline_spark.pipeline.delta_log import (
+            read_delta_snapshot,
+        )
+        from imitation_learning_data_pipeline_spark.pipeline.delta_log import (
+            enable_auto_delta_sync,
+        )
+        from imitation_learning_data_pipeline_spark.pipeline.manifest import (
+            read_manifest_entries,
+            write_manifest,
+        )
+
+        p = str(tmp_path / "t")
+        (
+            spark.createDataFrame(
+                [(i, "train" if i % 2 else "val", f"v{i}") for i in range(200)],
+                "id long, split string, v string",
+            )
+            .repartition(8)
+            .write.partitionBy("split")
+            .mode("overwrite")
+            .parquet(p)
+        )
+        write_manifest(spark, p)
+        enable_auto_delta_sync(spark, p)
+        out = compact_sprawling(
+            spark, p, target_bytes=1 << 30, partition_col="split"
+        )
+        assert out["partitions_selected"] > 0
+        snap = read_delta_snapshot(spark, p)
+        manifest_rels = {
+            rel for rel, _b in read_manifest_entries(spark, p)["files"]
+        }
+        # the mirror references exactly the post-compact live set — no
+        # ghost pre-compact files
+        assert set(snap["files"]) == manifest_rels
+        for rel in snap["files"]:
+            assert os.path.exists(os.path.join(p, rel)), rel
+
+
+class TestDeltaCheckpointTombstones:
+    def test_checkpoint_carries_unexpired_removes(self, spark, tmp_path):
+        """ADVICE r13: classic checkpoints must carry unexpired remove
+        tombstones (vacuum safety for external engines), with re-added
+        paths cancelled and live paths never tombstoned."""
+        from imitation_learning_data_pipeline_spark.pipeline.delta_log import (
+            read_delta_snapshot,
+            sync_delta_log_from_manifest,
+        )
+        from imitation_learning_data_pipeline_spark.pipeline.manifest import (
+            write_manifest,
+        )
+
+        p = str(tmp_path / "t")
+        df = spark.createDataFrame([(1, "a")], "id long, v string")
+        df.coalesce(1).write.mode("overwrite").parquet(p)
+        write_manifest(spark, p)
+        sync_delta_log_from_manifest(spark, p)  # v0
+        for i in range(9):  # v1..v9: appends
+            df.coalesce(1).write.mode("append").parquet(p)
+            write_manifest(spark, p)
+            sync_delta_log_from_manifest(spark, p)
+        # v10: drop 9 of the 10 data files and land one new one (a
+        # whole-dir overwrite would wipe _delta_log itself) — v10 is
+        # the checkpointing version and carries both removes and adds
+        parts = sorted(
+            n for n in os.listdir(p)
+            if n.endswith(".parquet") and not n.startswith(("_", "."))
+        )
+        assert len(parts) == 10
+        for n in parts[:9]:
+            os.remove(os.path.join(p, n))
+        df.coalesce(1).write.mode("append").parquet(p)
+        write_manifest(spark, p)
+        out = sync_delta_log_from_manifest(spark, p)
+        assert out["version"] == 10 and out["n_remove"] == 9
+        cp = spark.read.parquet(
+            os.path.join(p, "_delta_log", f"{10:020d}.checkpoint.parquet")
+        )
+        removes = (
+            cp.selectExpr("remove.path AS p", "remove.deletionTimestamp AS ts")
+            .where("remove IS NOT NULL")
+            .collect()
+        )
+        assert len(removes) == 9
+        assert all(r["ts"] and r["ts"] > 0 for r in removes)
+        adds = {
+            r["p"]
+            for r in cp.selectExpr("add.path AS p")
+            .where("add IS NOT NULL")
+            .collect()
+        }
+        # no path is both live and tombstoned in the same checkpoint
+        assert adds.isdisjoint({r["p"] for r in removes})
+        # replay through the checkpoint: live set correct, tombstones
+        # surfaced for the NEXT checkpoint to re-emit
+        snap = read_delta_snapshot(spark, p)
+        assert snap["version"] == 10 and len(snap["files"]) == 2
+        assert len(snap["tombstones"]) == 9
+        assert set(snap["tombstones"]).isdisjoint(set(snap["files"]))
+        # the chain keeps extending and the reader stays consistent
+        df.coalesce(1).write.mode("append").parquet(p)
+        write_manifest(spark, p)
+        assert sync_delta_log_from_manifest(spark, p)["version"] == 11
+        assert len(read_delta_snapshot(spark, p)["files"]) == 3
+
+
 class TestWarcCorpusStaleRebuild:
     def test_stale_rebuild_survives_subdirectory(self, tmp_path):
         """ADVICE r13: a stray subdirectory in the corpus dir (crashed
