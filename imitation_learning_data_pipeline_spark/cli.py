@@ -1483,6 +1483,11 @@ def cmd_ingest_warc(args: argparse.Namespace) -> int:
             "ingest-warc: --main-content-lang only applies with "
             "--main-content"
         )
+    if args.wet and (args.main_content or args.max_link_density is not None):
+        raise SystemExit(
+            "ingest-warc: --wet payloads are already extracted text — "
+            "--main-content/--max-link-density are HTML gates; drop them"
+        )
     spark = _spark("ingest-warc")
     out = ingest_warc_plan(
         spark,
@@ -1493,10 +1498,52 @@ def cmd_ingest_warc(args: argparse.Namespace) -> int:
         normalize_urls=args.normalize_urls,
         main_content=args.main_content,
         main_content_lang=args.main_content_lang,
+        wet=args.wet,
     )
     out.write.mode("overwrite").parquet(args.out)
     n = spark.read.parquet(args.out).count()
     print(json.dumps({"out": args.out, "docs": n}))
+    return 0
+
+
+def cmd_domain_stats(args: argparse.Namespace) -> int:
+    """Per-domain census over an INGESTED corpus (r14, VERDICT r13 #5):
+    the same host/registrable-domain expressions `web_domain_stats`
+    hash-checks on synthesized URLs, run over real `ingest-warc` output
+    (composes with --normalize-urls output unchanged — the url column
+    is already canonical there). One hash aggregate; prints the top-N
+    domains by doc count as JSON lines plus a summary, and optionally
+    writes the full census parquet."""
+    from .plans.web import domain_census
+
+    spark = _spark("domain-stats")
+    df = spark.read.parquet(args.path)
+    if args.url_col not in df.columns:
+        raise SystemExit(
+            f"domain-stats: {args.path} has no '{args.url_col}' column "
+            f"(have {df.columns}); pass --url-col"
+        )
+    census = domain_census(df, url_col=args.url_col)
+    if args.out:
+        census.write.mode("overwrite").parquet(args.out)
+        census = spark.read.parquet(args.out)  # reuse, don't recompute
+    top = census.orderBy(
+        F.desc("n_docs"), F.desc("total_chars"), "domain"
+    ).limit(args.top).collect()
+    for r in top:
+        print(json.dumps(r.asDict()))
+    print(
+        json.dumps(
+            {
+                "path": args.path,
+                "out": args.out,
+                "n_domains": census.count(),
+                "n_docs": int(
+                    (census.agg(F.sum("n_docs")).collect()[0][0]) or 0
+                ),
+            }
+        )
+    )
     return 0
 
 
@@ -2698,6 +2745,14 @@ def build_parser() -> argparse.ArgumentParser:
         "replaces the page-level --max-link-density gate",
     )
     iw.add_argument(
+        "--wet",
+        action="store_true",
+        help="ingest WET conversion records (payload is ALREADY "
+        "extracted text): text = the decoded payload verbatim, no HTML "
+        "extractor stage; --content-type defaults to text/plain in "
+        "this mode",
+    )
+    iw.add_argument(
         "--main-content-lang",
         default=None,
         help="pin the --main-content stopword language (en/de/fr/es/it/"
@@ -2706,6 +2761,26 @@ def build_parser() -> argparse.ArgumentParser:
         "(no_stopword_signal) and kept, never silently emptied",
     )
     iw.set_defaults(fn=cmd_ingest_warc)
+
+    ds = sub.add_parser(
+        "domain-stats",
+        help="per-registrable-domain census (docs, hosts, text mass) "
+        "over an ingested documents corpus",
+    )
+    ds.add_argument(
+        "--path", required=True, help="documents parquet (ingest-warc out)"
+    )
+    ds.add_argument(
+        "--out", default=None, help="optional parquet path for the full census"
+    )
+    ds.add_argument(
+        "--url-col", default="url", help="URL column name (default url)"
+    )
+    ds.add_argument(
+        "--top", type=int, default=20,
+        help="print the top-N domains by doc count (default 20)",
+    )
+    ds.set_defaults(fn=cmd_domain_stats)
 
     dl = sub.add_parser(
         "delta-log",

@@ -144,7 +144,11 @@ CONTRACT_FIRST: list[str] = [
     "q6_forecast_revenue",
     # Round-4 additions: benchmark decontamination + deterministic
     # sampling operators, contract-checked from their first round.
-    "sample_mixture_sources",
+    # (round-14: sample_mixture_sources — green r4-r13, ten rounds, no
+    # parked dependents — parked behind pipeline_materialize_index
+    # (same md5_unit_interval hash-threshold machinery) +
+    # sample_reservoir_pergroup (sampling family); funds the
+    # join_semi_active_customers return slot. See CONTRACT_EXCLUDE.)
     "dedup_cluster_components",
     # Round-3 additions: new operators built this round go straight into
     # the contract so their first CORRECTNESS row lands immediately.
@@ -199,6 +203,12 @@ CONTRACT_FIRST: list[str] = [
     # eleven rounds, no parked dependents) behind
     # join_anti_orphan_parts (see CONTRACT_EXCLUDE).
     "window_frame_suite",
+    # Round-14 rotation (proxy-drift cadence, r13 verdict item 6):
+    # join_semi_active_customers — the longest proxy-only contract
+    # absentee (parked r12) — rotates BACK for a fresh direct row,
+    # funded by parking sample_mixture_sources (green r4-r13, ten
+    # rounds; see CONTRACT_EXCLUDE).
+    "join_semi_active_customers",
     # Round-12 rotation #2: window_group_order_suite (the other
     # never-re-rotated r5 park) returns for a fresh direct row, funded
     # by parking graph_pagerank_doclinks (green r9-r11) behind
@@ -285,16 +295,21 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     # (round-12: window_frame_suite rotated BACK into the contract —
     # proxy-drift cadence, oldest never-re-rotated r5 park; its r5 park
     # entry is removed.)
-    # round-12 rotation: funds window_frame_suite's return slot. Green
-    # r1-r11 (eleven rounds), no parked dependents; LeftSemi is the
-    # complement of the LeftAnti key-membership machinery that
-    # join_anti_orphan_parts keeps under a direct contract row (both
-    # are broadcast key-membership joins over the same dim tables),
-    # and the semi-join row stays hash-checked in check_contract --all.
-    "join_semi_active_customers": "join_anti_orphan_parts (same "
-    "broadcast key-membership join machinery; LeftSemi is the "
-    "complement of the retained LeftAnti shape) + check_contract "
-    "--all row",
+    # (round-14: join_semi_active_customers rotated BACK into the
+    # contract — proxy-drift cadence, longest proxy-only absentee; its
+    # r12 park entry is removed.)
+    # round-14 rotation: funds join_semi_active_customers' return slot.
+    # Green r4-r13 (ten rounds), no parked dependents; its acceptance
+    # filter is the SAME md5_unit_interval seeded-hash → unit-interval
+    # thresholding that pipeline_materialize_index keeps under a direct
+    # contract row (the F3-F5 split machinery, same justification as
+    # the r9-parked scalar_hash_split), and the sampling family keeps a
+    # direct row via sample_reservoir_pergroup; the mixture row stays
+    # hash-checked in check_contract --all.
+    "sample_mixture_sources": "pipeline_materialize_index (same "
+    "md5_unit_interval seeded-hash threshold machinery, direct row) + "
+    "sample_reservoir_pergroup (sampling family direct row) + "
+    "check_contract --all row",
     # (round-12: window_group_order_suite rotated BACK into the
     # contract — proxy-drift cadence, the other never-re-rotated r5
     # park; its r5 park entry is removed.)
@@ -709,13 +724,18 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     "projection) + check_contract --all row",
     # round-7: perplexity-bucket sampling. Library-only (cap): its
     # score→bucket→accept chain composes the retained seeded-hash
-    # families — scalar_hash_split's md5 unit interval and
-    # sample_mixture_sources' u<rate acceptance predicate — and the
-    # full chain is oracle-checked in check_contract --all; the
-    # real-model mapInPandas plug point is pytest-locked.
-    "sample_perplexity_buckets": "scalar_hash_split (same seeded md5 "
-    "unit-interval family) + sample_mixture_sources (same seeded "
-    "acceptance predicate) + check_contract --all row",
+    # families — the md5 unit-interval split machinery that
+    # pipeline_materialize_index keeps under a direct row, and the
+    # u<rate acceptance predicate whose sampling family holds a direct
+    # row via sample_reservoir_pergroup (r14: re-pointed when
+    # sample_mixture_sources itself parked; both old proxies stay green
+    # in --all) — and the full chain is oracle-checked in
+    # check_contract --all; the real-model mapInPandas plug point is
+    # pytest-locked.
+    "sample_perplexity_buckets": "pipeline_materialize_index (same "
+    "seeded md5 unit-interval split machinery, direct row) + "
+    "sample_reservoir_pergroup (sampling family direct row) + "
+    "check_contract --all row",
     # round-7: SemDeDup. Library-only (cap): its k-means fit +
     # invariant-constants contract shape is the retained
     # mllib_kmeans_coverage's, its blocked-gemm cosine pair stage is

@@ -214,6 +214,7 @@ def ingest_warc_plan(
     normalize_urls: bool = False,
     main_content: bool = False,
     main_content_lang: str | None = None,
+    wet: bool = False,
 ) -> DataFrame:
     """The ingest-warc plan, shared verbatim by `cli ingest-warc` and
     the bench row: WARC responses → status/coding/type filters →
@@ -225,9 +226,32 @@ def ingest_warc_plan(
     `functions/url.py::url_normalize` BEFORE dedup, so trivial variants
     ('HTTP://Example.COM:80/a#x' vs 'http://example.com/a?utm_source=y')
     collapse to one page — all JVM string expressions, same stage as
-    the extraction filter."""
+    the extraction filter. ``wet=True`` (r14, VERDICT r13 #4) ingests
+    WET conversion records instead: the payload is ALREADY extracted
+    text, so the plan maps payload→text directly (JVM decode, no HTML
+    extractor stage at all) via :func:`ingest_wet_records` —
+    ``content_type`` defaults to ``text/plain`` there, and the
+    HTML-only knobs (max_link_density, main_content) are refused."""
     from ..sources.warc import read_warc
 
+    if wet:
+        if main_content or max_link_density is not None:
+            raise ValueError(
+                "ingest_warc_plan: max_link_density/main_content are "
+                "HTML-extraction gates; a WET payload is already "
+                "extracted text — drop them with wet=True"
+            )
+        # the signature's text/html default is an HTML-mode artifact —
+        # conversion records are text/plain by definition, so the
+        # unchanged default follows the mode; explicit overrides
+        # (None = keep all, or an exotic type) pass through
+        ct = "text/plain" if content_type == "text/html" else content_type
+        return ingest_wet_records(
+            read_warc(spark, input_glob, record_types=("conversion",)),
+            content_type=ct,
+            dedup_url=dedup_url,
+            normalize_urls=normalize_urls,
+        )
     return ingest_warc_records(
         read_warc(spark, input_glob),
         content_type=content_type,
@@ -360,6 +384,52 @@ def ingest_warc_records(
     return out
 
 
+def ingest_wet_records(
+    records: DataFrame,
+    content_type: str | None = "text/plain",
+    dedup_url: bool = False,
+    normalize_urls: bool = False,
+) -> DataFrame:
+    """Post-parse stages for WET conversion records (r14, VERDICT r13
+    #4): the payload IS the extracted text (Common Crawl's WET
+    convention — UTF-8 plain text, no HTTP framing, no markup), so this
+    is a pure JVM projection: decode → length → optional URL dedup.
+    No mapInPandas beyond the WARC parse itself, no http_status filter
+    (conversion records carry none). Output: (doc_id, url, text,
+    text_chars) — the HTML extractor's quality columns
+    (title/n_links/link_density) do not exist for pre-extracted text
+    and are deliberately absent rather than null-padded."""
+    from ..functions.url import url_normalize
+
+    recs = records.filter(
+        (F.col("warc_type") == "conversion")
+        & F.col("undecoded_coding").isNull()
+    )
+    if content_type:
+        recs = recs.filter(
+            F.lower(F.col("content_type")).startswith(content_type.lower())
+        )
+    url_col = (
+        url_normalize(F.col("target_uri"))
+        if normalize_urls
+        else F.col("target_uri")
+    )
+    out = recs.select(
+        F.xxhash64("warc_file", "record_offset").alias("doc_id"),
+        url_col.alias("url"),
+        # JVM charset decode (String-constructor semantics: malformed
+        # sequences become U+FFFD, never a task failure) — WET payloads
+        # are UTF-8 by the format's convention
+        F.decode(F.col("payload"), "UTF-8").alias("text"),
+    ).withColumn("text_chars", F.length("text"))
+    if dedup_url:
+        out = _dedup_by_url(out, ("doc_id", "text", "text_chars"))
+        # _dedup_by_url emits (doc_id, url, <cols>) — realign to the
+        # documented (doc_id, url, text, text_chars) order explicitly
+        out = out.select("doc_id", "url", "text", "text_chars")
+    return out
+
+
 @register("web_ingest_warc")
 def web_ingest_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench row for the web-ingestion front door: the full
@@ -440,6 +510,45 @@ def web_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         url_normalize(F.col("url")).alias("url_norm"),
         host.alias("host"),
         url_registrable_domain(host).alias("domain"),
+    )
+
+
+def domain_census(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-registrable-domain corpus census over ANY documents-shaped
+    frame with a URL column (r14, VERDICT r13 #5 — the aggregate
+    `web_domain_stats` proves on synthesized URLs, runnable over a real
+    ingested corpus via `cli domain-stats`): doc counts, distinct
+    hosts, and text mass per domain. Text mass prefers an existing
+    ``text_chars`` column (both ingest modes emit one... the HTML mode
+    emits ``text_chars``, main-content mode doesn't — fall back to
+    ``length(text)``). ONE hash aggregate, no joins; rows without a
+    parseable host group under domain='' so corpus mass is never
+    silently dropped."""
+    from ..functions.url import url_host, url_registrable_domain
+
+    chars = (
+        F.col("text_chars").cast("long")
+        if "text_chars" in df.columns
+        else F.length("text").cast("long")
+    )
+    host = url_host(F.col(url_col))
+    return (
+        df.select(
+            chars.alias("n_chars"),
+            F.coalesce(host, F.lit("")).alias("host"),
+        )
+        .select(
+            "n_chars", "host",
+            F.coalesce(
+                url_registrable_domain(F.col("host")), F.lit("")
+            ).alias("domain"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("host").cast("long").alias("n_hosts"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
     )
 
 

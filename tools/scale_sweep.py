@@ -54,6 +54,18 @@ def main() -> int:
         "task-CPU run each at --small; the top N then get the full "
         "pair protocol.",
     )
+    ap.add_argument(
+        "--lib-exclude-from",
+        default="auto",
+        metavar="PATHS",
+        help="rotation for --lib (r13 verdict item 7): exclude rows "
+        "already measured by prior lib sweeps so coverage ACCUMULATES "
+        "instead of re-measuring the same top-10 every round. 'auto' "
+        "(default) globs SCALE_SWEEP_LIB_*.json at the repo root; "
+        "'none' disables; otherwise a comma-separated list of sweep "
+        "JSON files. When every lib row has been measured, the "
+        "exclusion resets and the sweep starts a second pass.",
+    )
     ap.add_argument("--repeat", type=int, default=2)
     ap.add_argument("--min-cpu-s", type=float, default=0.2)
     ap.add_argument("--out", default=None, help="write the JSON record here too")
@@ -67,6 +79,15 @@ def main() -> int:
         "to 8x in the r12 sweep)",
     )
     args = ap.parse_args()
+
+    if args.lib and args.queries:
+        # ADVICE r13: --lib used to silently overwrite an explicit
+        # --queries subset (and still cold-rank every lib row first);
+        # rejected HERE, before a Spark session spins up
+        raise SystemExit(
+            "--lib ranks and selects its own row set; pass --queries "
+            "WITHOUT --lib to sweep an explicit subset"
+        )
 
     if args.isolate:
         import subprocess
@@ -173,6 +194,44 @@ def main() -> int:
         from imitation_learning_data_pipeline_spark.plans import QUERIES
 
         lib_names = sorted(n for n in QUERIES if n not in entry.queries())
+        measured: set[str] = set()
+        if args.lib_exclude_from != "none":
+            import glob as _glob
+
+            repo_root = os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__))
+            )
+            paths = (
+                sorted(_glob.glob(
+                    os.path.join(repo_root, "SCALE_SWEEP_LIB_*.json")
+                ))
+                if args.lib_exclude_from == "auto"
+                else args.lib_exclude_from.split(",")
+            )
+            for pth in paths:
+                try:
+                    rec = json.load(open(pth))
+                except (OSError, ValueError):
+                    continue
+                measured |= {
+                    r["query"] for r in rec.get("rows", []) if "query" in r
+                }
+            fresh = [n for n in lib_names if n not in measured]
+            if fresh:
+                print(
+                    f"# lib rotation: {len(measured & set(lib_names))} "
+                    f"rows already measured by {len(paths)} prior "
+                    f"sweep(s) excluded; ranking the {len(fresh)} "
+                    "unmeasured",
+                    flush=True,
+                )
+                lib_names = fresh
+            else:
+                print(
+                    "# lib rotation: every library row measured at least "
+                    "once — exclusion reset, starting a second pass",
+                    flush=True,
+                )
         print(
             f"# ranking {len(lib_names)} library rows by one cold "
             f"task-CPU run at {args.small}",
