@@ -97,6 +97,14 @@ HEADLINE = [
     # thereafter). Subtract it (or compare per-query) for
     # like-for-like totals vs r12.
     "web_ingest_warc",
+    # Round 14 adds ONE entry: the WET fast path (same corpus source,
+    # conversion records — parse + JVM decode + URL dedup, NO HTML
+    # extractor), so the ingest family's two throughput modes are both
+    # regression-surfaced and their gap is measured per round. First
+    # run pays one-time driver-side corpus generation, disk-cached
+    # thereafter. Subtract it (or compare per-query) for like-for-like
+    # totals vs r13.
+    "web_ingest_wet",
 ]
 
 

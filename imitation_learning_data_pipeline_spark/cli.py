@@ -1547,6 +1547,93 @@ def cmd_domain_stats(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_cdx_plan(args: argparse.Namespace) -> int:
+    """Ingestion PLANNING over a CDX(J) capture index (r14): filter the
+    index (status/mime/registrable domains), optionally keep only the
+    LATEST capture per URL, and write the fetch manifest — (url, host,
+    filename, offset, length, ts) — that tells a downstream fetcher
+    exactly which WARC files/byte-ranges to pull. This is how a 100 TB
+    crawl is ingested selectively: the index is ~1/1000th the crawl's
+    size, so plan-then-fetch beats scan-everything by the selectivity
+    of the filters. Scan-bound JVM parse (`sources/cdx.py`); the
+    per-URL latest pick is ONE struct-max aggregate, no window sort."""
+    from .functions.url import url_registrable_domain
+    from .sources.cdx import read_cdxj
+
+    spark = _spark("cdx-plan")
+    idx = read_cdxj(spark, args.input)
+    if args.status is not None and args.status >= 0:  # -1 keeps all
+        idx = idx.filter(F.col("status") == args.status)
+    if args.mime:
+        idx = idx.filter(F.lower(F.col("mime")).startswith(args.mime.lower()))
+    if args.domains:
+        doms = [d.strip().lower() for d in args.domains.split(",") if d.strip()]
+        idx = idx.filter(url_registrable_domain(F.col("host")).isin(doms))
+    plan = idx.select(
+        "url", "host", "filename", "offset", "length", "ts", "digest"
+    )
+    if args.dedup_digest:
+        # the index's content digest (sha1 of the payload) identifies
+        # byte-identical captures ACROSS urls — dedup here means those
+        # bytes are fetched once instead of once per mirror. Null
+        # digests self-key (never collapse), same discipline as the
+        # ingest URL dedup; one struct-max exchange, no window.
+        selfkey = F.when(
+            F.col("digest").isNull() | (F.col("digest") == ""),
+            F.col("url"),
+        ).otherwise(F.lit(""))
+        keep = F.max(
+            F.struct("ts", "url", "host", "filename", "offset", "length")
+        ).alias("k")
+        plan = (
+            plan.groupBy("digest", selfkey.alias("__selfkey")).agg(keep)
+            .select(
+                F.col("k.url").alias("url"),
+                F.col("k.host").alias("host"),
+                F.col("k.filename").alias("filename"),
+                F.col("k.offset").alias("offset"),
+                F.col("k.length").alias("length"),
+                F.col("k.ts").alias("ts"),
+                "digest",
+            )
+        )
+    if args.latest:
+        # one hash exchange: max(struct(ts, ...)) per url — the W2 rule
+        # (never a per-URL window sort); ties break on the struct tail
+        keep = F.max(
+            F.struct("ts", "filename", "offset", "length", "host", "digest")
+        ).alias("k")
+        plan = (
+            plan.groupBy("url").agg(keep)
+            .select(
+                "url", F.col("k.host").alias("host"),
+                F.col("k.filename").alias("filename"),
+                F.col("k.offset").alias("offset"),
+                F.col("k.length").alias("length"),
+                F.col("k.ts").alias("ts"),
+                F.col("k.digest").alias("digest"),
+            )
+        )
+    plan.write.mode("overwrite").parquet(args.out)
+    back = spark.read.parquet(args.out)
+    agg = back.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("filename").alias("nf"),
+        F.sum("length").alias("b"),
+    ).collect()[0]
+    print(
+        json.dumps(
+            {
+                "out": args.out,
+                "captures": int(agg["n"]),
+                "warc_files": int(agg["nf"]),
+                "bytes_to_fetch": int(agg["b"] or 0),
+            }
+        )
+    )
+    return 0
+
+
 def cmd_delta_log(args: argparse.Namespace) -> int:
     """Delta transaction-log bridge (pipeline/delta_log.py): --sync
     converges the table's _delta_log to the repo manifest's live file
@@ -2781,6 +2868,41 @@ def build_parser() -> argparse.ArgumentParser:
         help="print the top-N domains by doc count (default 20)",
     )
     ds.set_defaults(fn=cmd_domain_stats)
+
+    cx = sub.add_parser(
+        "cdx-plan",
+        help="plan a selective crawl ingest from a CDX(J) capture "
+        "index: filter + latest-per-URL, write the WARC fetch manifest",
+    )
+    cx.add_argument(
+        "--input", required=True, help="CDX(J) index shards (glob; .gz ok)"
+    )
+    cx.add_argument("--out", required=True, help="fetch-manifest parquet path")
+    cx.add_argument(
+        "--status", type=int, default=200,
+        help="keep captures with this HTTP status (default 200; pass -1 "
+        "to keep all)",
+    )
+    cx.add_argument(
+        "--mime", default="text/html",
+        help="keep captures whose mime starts with this (empty keeps all)",
+    )
+    cx.add_argument(
+        "--domains", default=None,
+        help="comma-separated registrable-domain allowlist",
+    )
+    cx.add_argument(
+        "--latest", action="store_true",
+        help="keep only the most recent capture per URL (struct-max, "
+        "one exchange)",
+    )
+    cx.add_argument(
+        "--dedup-digest", action="store_true",
+        help="keep one capture per content digest (byte-identical "
+        "payloads across mirrors fetched once; null digests never "
+        "collapse)",
+    )
+    cx.set_defaults(fn=cmd_cdx_plan)
 
     dl = sub.add_parser(
         "delta-log",

@@ -264,6 +264,17 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     # green in --all.
     "scalar_datetime_extract": "scalar_parse_format (same scan-bound "
     "scalar parse/format projection family with a direct contract row)",
+    # round-14: CDX(J) capture-index analytics. Library-only (cap): the
+    # whole index-reader contract (limit-3 split, get_json_object with
+    # string-typed numeric casts, 14-digit to_timestamp, SURT host
+    # reversal) is hash-checked against SQL-predicted outputs over
+    # in-plan-synthesized lines in check_contract --all — the same
+    # scan-bound parse/format family scalar_parse_format keeps under a
+    # direct row; the FILE-source arm and malformed-line nulling are
+    # pytest-locked (TestCdxSource).
+    "web_cdx_stats": "scalar_parse_format (same scan-bound "
+    "parse/format projection family, direct row) + check_contract "
+    "--all hash-checked row + pytest TestCdxSource",
     # round-11 rotation: nine rounds green (r1-r5, r7-r10), no parked
     # dependents, parked to fund text_zipf_ttr's slot. Its banded
     # `_bucket_pairs` candidate machinery stays under a direct row via
@@ -811,6 +822,14 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     # pytest:TestWarcBenchRow/TestWarcToCurationComposition, and its
     # Arrow-batched mapInPandas family is anchored in the contract by
     # multimodal_frame_sample.
+    # round-14: the WET fast-path bench row — same host-I/O posture as
+    # web_ingest_warc (no oracle by design: reads generated .warc.gz
+    # from local disk); WET semantics pytest-pinned (TestWetIngest),
+    # the URL-dedup machinery hash-checked by the ingest siblings, and
+    # the Arrow-batched parse family anchored by multimodal_frame_sample.
+    "web_ingest_wet": "multimodal_frame_sample (same Arrow-batched "
+    "mapInPandas parse family with a direct row) + pytest TestWetIngest "
+    "+ bench row",
     "web_ingest_warc": "multimodal_frame_sample (same Arrow-batched "
     "mapInPandas family) + web_html_extract --all hash row + pytest "
     "end-to-end",

@@ -113,6 +113,7 @@ def build_warc_corpus(
     out_root: str | None = None,
     replicas: int = _WARC_REPLICAS,
     n_files: int = _WARC_FILES,
+    kind: str = "response",
 ) -> str:
     """Materialize a deterministic .warc.gz corpus from ``sf_dir``'s
     documents table (driver-side, pure stdlib — the GENERATION is not
@@ -126,17 +127,24 @@ def build_warc_corpus(
     shape parameters — a regenerated documents table or different
     (replicas, n_files) rebuilds instead of silently reusing a corpus
     that no longer matches what the bench claims to measure (r13
-    review)."""
+    review). ``kind="conversion"`` (r14) writes a WET-shaped corpus
+    instead: conversion records whose payload is the document text
+    directly (text/plain, no HTTP framing) — the `web_ingest_wet`
+    bench input; cached under its own directory tag."""
     import gzip
     import json as _json
     import os
 
     import duckdb
 
+    if kind not in ("response", "conversion"):
+        raise ValueError(f"build_warc_corpus: unknown kind {kind!r}")
     out_root = out_root or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..", "..", ".bench_warc"
     )
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    if kind == "conversion":
+        tag += "-wet"
     out_dir = os.path.normpath(os.path.join(out_root, tag))
     marker = os.path.join(out_dir, "_COMPLETE")
     src = os.path.join(sf_dir, "documents.parquet")
@@ -147,6 +155,7 @@ def build_warc_corpus(
         "src_bytes": st.st_size,
         "replicas": replicas,
         "n_files": n_files,
+        "kind": kind,
     }
     if os.path.exists(marker):
         try:
@@ -176,21 +185,33 @@ def build_warc_corpus(
                 page_id = int(doc_id) * replicas + rep
                 # URL dup factor 2: reps 2k and 2k+1 share a URL
                 url = f"http://bench.test/{doc_id}/{rep // 2}"
-                body = _page_html(int(doc_id), rep, text)
-                status = b"404 Not Found" if page_id % 50 == 0 else b"200 OK"
-                http = (
-                    b"HTTP/1.1 " + status + b"\r\n"
-                    b"Content-Type: text/html; charset=utf-8\r\n\r\n" + body
-                )
+                if kind == "conversion":
+                    # WET shape: the payload IS the text, no HTTP
+                    block = f"Page {doc_id}-{rep}\n{text}".encode(
+                        "utf-8", "replace"
+                    )
+                    rec_type, rec_ct = "conversion", "text/plain"
+                else:
+                    body = _page_html(int(doc_id), rep, text)
+                    status = (
+                        b"404 Not Found" if page_id % 50 == 0 else b"200 OK"
+                    )
+                    block = (
+                        b"HTTP/1.1 " + status + b"\r\n"
+                        b"Content-Type: text/html; charset=utf-8\r\n\r\n"
+                        + body
+                    )
+                    rec_type = "response"
+                    rec_ct = "application/http; msgtype=response"
                 rec = (
                     "WARC/1.0\r\n"
-                    "WARC-Type: response\r\n"
+                    f"WARC-Type: {rec_type}\r\n"
                     f"WARC-Record-ID: <urn:bench:{page_id}>\r\n"
                     "WARC-Date: 2026-01-01T00:00:00Z\r\n"
                     f"WARC-Target-URI: {url}\r\n"
-                    "Content-Type: application/http; msgtype=response\r\n"
-                    f"Content-Length: {len(http)}\r\n\r\n"
-                ).encode() + http + b"\r\n\r\n"
+                    f"Content-Type: {rec_ct}\r\n"
+                    f"Content-Length: {len(block)}\r\n\r\n"
+                ).encode() + block + b"\r\n\r\n"
                 handles[page_id % n_files].write(
                     gzip.compress(rec, compresslevel=1)
                 )
@@ -510,6 +531,113 @@ def web_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         url_normalize(F.col("url")).alias("url_norm"),
         host.alias("host"),
         url_registrable_domain(host).alias("domain"),
+    )
+
+
+@register("web_ingest_wet")
+def web_ingest_wet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench row for the WET fast path (r14): the `cli ingest-warc
+    --wet --dedup-url` plan over a WET-shaped corpus derived from the
+    same documents table as `web_ingest_warc`'s — measures what
+    skipping the HTML extractor buys (parse + JVM decode + one dedup
+    exchange vs parse + extract + dedup). Host-I/O path — rows-only in
+    the library gate; the WET semantics are pytest-pinned
+    (TestWetIngest) and the shared dedup/normalize machinery is
+    hash-checked by its siblings."""
+    ensure_utc(spark)
+    corpus = build_warc_corpus(sf_dir, kind="conversion")
+    return ingest_warc_plan(spark, corpus, wet=True, dedup_url=True)
+
+
+@register(
+    "web_cdx_stats",
+    oracle="""
+WITH gen AS (
+  SELECT doc_id AS d, length(trim(text)) AS n_chars FROM documents
+),
+rows_ AS (
+  SELECT d, n_chars,
+    CASE WHEN d % 4 = 2 THEN 'sub.site' || (d % 20) || '.org'
+         ELSE 'site' || (d % 20) || '.' ||
+              CASE d % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                   ELSE 'io' END
+    END AS host,
+    CASE WHEN d % 5 = 0 THEN 'application/pdf'
+         ELSE 'text/html' END AS mime,
+    CASE WHEN d % 7 = 0 THEN 404 ELSE 200 END AS status,
+    strptime('20260101'
+             || lpad(CAST(d % 24 AS VARCHAR), 2, '0')
+             || lpad(CAST(d % 60 AS VARCHAR), 2, '0')
+             || lpad(CAST((d * 2) % 60 AS VARCHAR), 2, '0'),
+             '%Y%m%d%H%M%S') AS ts
+  FROM gen
+)
+SELECT host, mime, status,
+       CAST(count(*) AS BIGINT) AS n_captures,
+       CAST(sum(n_chars) AS BIGINT) AS total_bytes,
+       CAST(max(epoch(ts)) AS BIGINT) AS last_capture_unix
+FROM rows_
+GROUP BY host, mime, status
+""",
+)
+def web_cdx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-index analytics contract, hash-checked end to end:
+    synthesize CDXJ lines from the documents table IN-PLAN (JVM concat
+    — SURT keys incl. a 3-label host arm, 14-digit timestamps, the JSON
+    payload with string-typed numerics exactly as the cc-index emits
+    them), parse with the REAL `sources/cdx.py` expressions
+    (limit-3 split, get_json_object + casts, to_timestamp, surt_host
+    label reversal), and aggregate per (host, mime, status). A hash
+    match pins the whole index-reader contract on well-formed lines;
+    malformed-line nulling is pytest's job (TestCdxSource). Cap-parked
+    (CONTRACT_EXCLUDE) behind scalar_parse_format's scan-bound
+    parse/format family; green in check_contract --all."""
+    from ..sources.cdx import cdxj_columns, surt_host
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length(F.trim("text")).alias("n_chars")
+    )
+    d = F.col("doc_id")
+    k = d % 20
+    tld = (
+        F.when(d % 4 == 0, F.lit("com"))
+        .when(d % 4 == 1, F.lit("org"))
+        .otherwise(F.lit("io"))
+    )
+    surt_auth = F.when(
+        d % 4 == 2, F.concat(F.lit("org,site"), k, F.lit(",sub"))
+    ).otherwise(F.concat(tld, F.lit(",site"), k))
+    mime = F.when(d % 5 == 0, F.lit("application/pdf")).otherwise(
+        F.lit("text/html")
+    )
+    status = F.when(d % 7 == 0, F.lit(404)).otherwise(F.lit(200))
+    ts14 = F.format_string(
+        "20260101%02d%02d%02d", d % 24, d % 60, (d * 2) % 60
+    )
+    line = F.concat(
+        surt_auth, F.lit(")/p/"), d, F.lit(" "), ts14, F.lit(" "),
+        F.lit('{"url": "http://h/p", "mime": "'), mime,
+        F.lit('", "status": "'), status.cast("string"),
+        F.lit('", "digest": "sha1:x", "length": "'),
+        F.col("n_chars").cast("string"),
+        F.lit('", "offset": "'), (d * 100).cast("string"),
+        F.lit('", "filename": "seg.warc.gz"}'),
+    )
+    cols = cdxj_columns(line)
+    parsed = docs.select(
+        cols["surt_key"].alias("surt_key"),
+        cols["ts"].alias("ts"),
+        cols["mime"].alias("mime"),
+        cols["status"].alias("status"),
+        cols["length"].alias("length"),
+    ).withColumn("host", surt_host(F.col("surt_key")))
+    return parsed.groupBy("host", "mime", "status").agg(
+        F.count("*").cast("long").alias("n_captures"),
+        F.sum("length").cast("long").alias("total_bytes"),
+        F.max(F.unix_timestamp("ts")).cast("long").alias(
+            "last_capture_unix"
+        ),
     )
 
 

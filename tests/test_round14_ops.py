@@ -479,6 +479,236 @@ class TestDomainStatsCli:
             main(["domain-stats", "--path", p])
 
 
+class TestCdxSource:
+    """sources/cdx.py: the CDX(J) capture-index reader — scan-bound JVM
+    parse (the aggregate contract is hash-checked by web_cdx_stats)."""
+
+    LINES = [
+        'org,example)/path?q=1 20260101123000 {"url": "http://example.org'
+        '/path?q=1", "mime": "text/html", "status": "200", "digest": '
+        '"sha1:AB", "length": "12345", "offset": "4567", "filename": '
+        '"seg/warc/a.warc.gz"}',
+        'uk,co,site,www)/ 20251231235959 {"url": "https://www.site.co.uk/"'
+        ', "mime": "application/pdf", "status": "301", "digest": "sha1:CD"'
+        ', "length": "99", "offset": "0", "filename": "b.warc.gz"}',
+    ]
+
+    def test_typed_fields_and_host_reversal(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.sources.cdx import (
+            read_cdxj,
+        )
+
+        p = tmp_path / "idx"
+        p.mkdir()
+        (p / "part0.cdxj").write_text("\n".join(self.LINES) + "\n")
+        rows = {
+            r["surt_key"]: r
+            for r in read_cdxj(spark, str(p)).collect()
+        }
+        a = rows["org,example)/path?q=1"]
+        assert a["host"] == "example.org"
+        assert a["mime"] == "text/html" and a["status"] == 200
+        assert a["length"] == 12345 and a["offset"] == 4567
+        assert a["filename"] == "seg/warc/a.warc.gz"
+        assert str(a["ts"]).startswith("2026-01-01 12:30:00")
+        b = rows["uk,co,site,www)/"]
+        assert b["host"] == "www.site.co.uk"
+        assert b["status"] == 301
+
+    def test_gzipped_shards_and_blank_lines(self, spark, tmp_path):
+        import gzip
+
+        from imitation_learning_data_pipeline_spark.sources.cdx import (
+            read_cdxj,
+        )
+
+        p = tmp_path / "idx"
+        p.mkdir()
+        payload = (self.LINES[0] + "\n\n" + self.LINES[1] + "\n").encode()
+        with gzip.open(p / "part0.cdxj.gz", "wb") as fh:
+            fh.write(payload)
+        assert read_cdxj(spark, str(p)).count() == 2
+
+    def test_malformed_lines_null_not_crash(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.sources.cdx import (
+            read_cdxj,
+        )
+
+        p = tmp_path / "idx"
+        p.mkdir()
+        (p / "part0.cdxj").write_text(
+            self.LINES[0] + "\n"
+            + "only-two fields\n"                       # no json part
+            + "com,x)/ notadate {\"url\": \"u\"}\n"     # bad timestamp
+            + "com,y)/ 20260101000000 not-json\n"       # broken json
+        )
+        out = read_cdxj(spark, str(p)).collect()
+        assert len(out) == 4
+        by_key = {r["surt_key"]: r for r in out}
+        assert by_key[None] is not None                  # 2-field line
+        assert by_key["com,x)/"]["ts"] is None
+        assert by_key["com,x)/"]["url"] == "u"
+        assert by_key["com,y)/"]["url"] is None
+        # strict mode refuses on the unparseable line
+        with pytest.raises(ValueError, match="unparseable"):
+            read_cdxj(spark, str(p), strict=True)
+
+    def test_surt_host_edges(self, spark):
+        from pyspark.sql import functions as F
+
+        from imitation_learning_data_pipeline_spark.sources.cdx import (
+            surt_host,
+        )
+
+        df = spark.createDataFrame(
+            [("com,example)/x",), ("com,example:8080)/x",), ("noparen",)],
+            "k string",
+        )
+        got = [
+            r["h"] for r in df.select(surt_host(F.col("k")).alias("h"))
+            .collect()
+        ]
+        assert got == ["example.com", "example.com", None]
+
+
+class TestCdxPlan:
+    def _line(self, surt, ts, url, mime="text/html", status=200,
+              length=100, offset=0, fname="a.warc.gz"):
+        return (
+            f'{surt} {ts} {{"url": "{url}", "mime": "{mime}", '
+            f'"status": "{status}", "digest": "sha1:x", '
+            f'"length": "{length}", "offset": "{offset}", '
+            f'"filename": "{fname}"}}'
+        )
+
+    def test_plan_filters_and_latest(self, spark, tmp_path, capsys):
+        """cdx-plan: status/mime/domain filters + latest-per-URL
+        struct-max → the WARC fetch manifest."""
+        from imitation_learning_data_pipeline_spark.cli import main
+
+        idx = tmp_path / "idx"
+        idx.mkdir()
+        lines = [
+            # two captures of the same URL — latest (Feb) must win
+            self._line("com,keep)/a", "20260101000000",
+                       "http://keep.com/a", length=10, fname="old.warc.gz"),
+            self._line("com,keep)/a", "20260201000000",
+                       "http://keep.com/a", length=20, fname="new.warc.gz"),
+            # filtered out: 404, pdf, off-domain
+            self._line("com,keep)/b", "20260101000000",
+                       "http://keep.com/b", status=404),
+            self._line("com,keep)/c", "20260101000000",
+                       "http://keep.com/c", mime="application/pdf"),
+            self._line("org,other)/d", "20260101000000",
+                       "http://other.org/d"),
+        ]
+        (idx / "part0.cdxj").write_text("\n".join(lines) + "\n")
+        out = str(tmp_path / "plan")
+        assert main([
+            "cdx-plan", "--input", str(idx), "--out", out,
+            "--domains", "keep.com", "--latest",
+        ]) == 0
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["captures"] == 1
+        assert summary["warc_files"] == 1
+        assert summary["bytes_to_fetch"] == 20
+        rows = spark.read.parquet(out).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["filename"] == "new.warc.gz" and r["length"] == 20
+        assert r["host"] == "keep.com"
+
+    def test_dedup_digest(self, spark, tmp_path, capsys):
+        """--dedup-digest: byte-identical captures across mirror URLs
+        fetch once; null digests never collapse."""
+        from imitation_learning_data_pipeline_spark.cli import main
+
+        idx = tmp_path / "idx"
+        idx.mkdir()
+        lines = [
+            self._line("com,a)/x", "20260101000000", "http://a.com/x",
+                       length=10, fname="f1.warc.gz"),
+            # same digest (default sha1:x), different mirror URL
+            self._line("com,b)/x", "20260201000000", "http://b.com/x",
+                       length=10, fname="f2.warc.gz"),
+            # distinct content
+            'com,c)/y 20260101000000 {"url": "http://c.com/y", "mime": '
+            '"text/html", "status": "200", "digest": "sha1:OTHER", '
+            '"length": "5", "offset": "0", "filename": "f3.warc.gz"}',
+        ]
+        (idx / "p.cdxj").write_text("\n".join(lines) + "\n")
+        out = str(tmp_path / "plan")
+        assert main([
+            "cdx-plan", "--input", str(idx), "--out", out,
+            "--dedup-digest",
+        ]) == 0
+        summary = json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1]
+        )
+        assert summary["captures"] == 2
+        assert summary["bytes_to_fetch"] == 15
+        rows = {r["digest"]: r for r in spark.read.parquet(out).collect()}
+        # the shared-digest pair kept the max-struct winner (latest ts)
+        assert rows["sha1:x"]["filename"] == "f2.warc.gz"
+
+    def test_keep_all_statuses(self, spark, tmp_path, capsys):
+        from imitation_learning_data_pipeline_spark.cli import main
+
+        idx = tmp_path / "idx"
+        idx.mkdir()
+        (idx / "p.cdxj").write_text(
+            self._line("com,a)/x", "20260101000000", "http://a.com/x",
+                       status=301) + "\n"
+        )
+        out = str(tmp_path / "plan")
+        assert main([
+            "cdx-plan", "--input", str(idx), "--out", out,
+            "--status", "-1", "--mime", "",
+        ]) == 0
+        assert json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1]
+        )["captures"] == 1
+
+
+class TestWetBenchRow:
+    def test_wet_corpus_kind_and_row(self, spark, tmp_path):
+        """web_ingest_wet: conversion-record corpus (own cache tag),
+        text verbatim from the payload, dedup halves the URL space."""
+        from imitation_learning_data_pipeline_spark.plans.web import (
+            build_warc_corpus,
+            web_ingest_wet,
+        )
+
+        sf_dir = "/root/testdata/sf0.001"
+        out_root = str(tmp_path / "warc")
+        wet_dir = build_warc_corpus(
+            sf_dir, out_root=out_root, replicas=2, n_files=2,
+            kind="conversion",
+        )
+        assert wet_dir.endswith("-wet")
+        html_dir = build_warc_corpus(
+            sf_dir, out_root=out_root, replicas=2, n_files=2,
+        )
+        assert html_dir != wet_dir  # separate caches per kind
+        from imitation_learning_data_pipeline_spark.plans.web import (
+            ingest_warc_plan,
+        )
+
+        docs = ingest_warc_plan(spark, wet_dir, wet=True, dedup_url=True)
+        rows = docs.collect()
+        assert rows and all(r["text"].startswith("Page ") for r in rows)
+        # replicas=2 with URL dup factor 2 → one URL per doc survives
+        import duckdb
+
+        n_docs = duckdb.sql(
+            f"SELECT count(*) FROM '{sf_dir}/documents.parquet' "
+            "WHERE length(trim(text)) > 0"
+        ).fetchone()[0]
+        assert len(rows) == n_docs
+        with pytest.raises(ValueError, match="unknown kind"):
+            build_warc_corpus(sf_dir, out_root=out_root, kind="wat")
+
+
 class TestBenchRequeueSelection:
     def test_flag_requeues_rule(self):
         """VERDICT r13 #3: the variance block requeues stall-suspect
