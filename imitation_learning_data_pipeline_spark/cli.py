@@ -1634,6 +1634,39 @@ def cmd_cdx_plan(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_wat_links(args: argparse.Namespace) -> int:
+    """Outlink extraction from WAT metadata sidecars (r14): WARC
+    metadata records → (src, dst) edges via `plans/web.py::
+    wat_outlinks` (pure JVM JSON-path extraction — no HTML re-parse),
+    optionally collapsed to the registrable-domain link graph
+    (src_domain, dst_domain, n_links) that PageRank/link-farm analyses
+    consume. Writes parquet + a JSON summary."""
+    from .functions.url import url_host, url_registrable_domain
+    from .plans.web import wat_outlinks
+    from .sources.warc import read_warc
+
+    spark = _spark("wat-links")
+    records = read_warc(spark, args.input, record_types=("metadata",))
+    edges = wat_outlinks(records, normalize_urls=not args.no_normalize)
+    if args.domain_graph:
+        edges = (
+            edges.select(
+                url_registrable_domain(url_host(F.col("src"))).alias(
+                    "src_domain"
+                ),
+                url_registrable_domain(url_host(F.col("dst"))).alias(
+                    "dst_domain"
+                ),
+            )
+            .groupBy("src_domain", "dst_domain")
+            .agg(F.count("*").cast("long").alias("n_links"))
+        )
+    edges.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(json.dumps({"out": args.out, "edges": n}))
+    return 0
+
+
 def cmd_delta_log(args: argparse.Namespace) -> int:
     """Delta transaction-log bridge (pipeline/delta_log.py): --sync
     converges the table's _delta_log to the repo manifest's live file
@@ -2903,6 +2936,26 @@ def build_parser() -> argparse.ArgumentParser:
         "collapse)",
     )
     cx.set_defaults(fn=cmd_cdx_plan)
+
+    wl = sub.add_parser(
+        "wat-links",
+        help="extract (src, dst) outlink edges from WAT metadata "
+        "sidecars; --domain-graph collapses to the domain link graph",
+    )
+    wl.add_argument(
+        "--input", required=True, help="WAT .warc(.gz) shards (glob)"
+    )
+    wl.add_argument("--out", required=True, help="edges parquet path")
+    wl.add_argument(
+        "--domain-graph", action="store_true",
+        help="aggregate to (src_domain, dst_domain, n_links)",
+    )
+    wl.add_argument(
+        "--no-normalize", action="store_true",
+        help="keep raw URLs (default normalizes both endpoints so graph "
+        "keys match ingest-side document urls)",
+    )
+    wl.set_defaults(fn=cmd_wat_links)
 
     dl = sub.add_parser(
         "delta-log",

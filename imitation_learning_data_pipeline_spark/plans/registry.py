@@ -275,6 +275,19 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     "web_cdx_stats": "scalar_parse_format (same scan-bound "
     "parse/format projection family, direct row) + check_contract "
     "--all hash-checked row + pytest TestCdxSource",
+    # round-14: WAT outlink extraction → domain link graph. Library-
+    # only (cap): the whole chain (bracket-path get_json_object,
+    # from_json, explode, url_normalize, domain census) is hash-checked
+    # vs arithmetic-predicted outputs over in-plan-synthesized WAT
+    # envelopes in check_contract --all — the same scan-bound
+    # parse/format family scalar_parse_format anchors, with the graph
+    # consumer (pagerank/components) anchored by
+    # dedup_cluster_components' direct row; the real-file arm is
+    # pytest-locked (TestWatOutlinks).
+    "web_wat_linkgraph": "scalar_parse_format (same scan-bound "
+    "parse/format projection family, direct row) + "
+    "dedup_cluster_components (the graph consumer's direct row) + "
+    "check_contract --all hash-checked row + pytest TestWatOutlinks",
     # round-11 rotation: nine rounds green (r1-r5, r7-r10), no parked
     # dependents, parked to fund text_zipf_ttr's slot. Its banded
     # `_bucket_pairs` candidate machinery stays under a direct row via

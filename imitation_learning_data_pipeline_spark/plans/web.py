@@ -534,6 +534,134 @@ def web_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def wat_outlinks(
+    records: DataFrame, normalize_urls: bool = True
+) -> DataFrame:
+    """WAT metadata records → (src, dst) outlink edges (r14). Common
+    Crawl ships a WAT sidecar per WARC: one ``WARC-Type: metadata``
+    record per page whose JSON envelope carries the page's parsed
+    outlinks at ``Envelope / Payload-Metadata / HTTP-Response-Metadata
+    / HTML-Metadata / Links`` — the input every crawl-graph analysis
+    (PageRank, domain authority, link-farm detection) starts from,
+    WITHOUT re-parsing the HTML. Pure JVM after the WARC parse:
+    ``get_json_object`` (bracket paths — the keys are hyphenated),
+    ``from_json`` to an array of link structs, one ``explode``.
+    Relative/empty hrefs drop (the graph wants resolvable targets and
+    WAT link entries carry absolute urls for anchors); ``normalize_urls``
+    runs both endpoints through `functions/url.py::url_normalize` so
+    the graph keys match ingest-side document urls."""
+    from ..functions.url import url_normalize
+
+    js = F.decode(F.col("payload"), "UTF-8")
+    links_raw = F.get_json_object(
+        js,
+        "$['Envelope']['Payload-Metadata']['HTTP-Response-Metadata']"
+        "['HTML-Metadata']['Links']",
+    )
+    links = F.from_json(links_raw, "array<struct<url:string>>")
+    edges = (
+        records.filter(
+            (F.col("warc_type") == "metadata")
+            & F.lower(F.col("content_type")).startswith("application/json")
+        )
+        .select(
+            F.col("target_uri").alias("src"),
+            F.explode(links).alias("link"),
+        )
+        .select("src", F.col("link.url").alias("dst"))
+        .filter(
+            # lower() BEFORE the scheme test: the filter sees the RAW
+            # href (normalization comes after), and crawls carry
+            # 'HTTP://' scheme casing
+            F.col("dst").isNotNull()
+            & F.lower(F.col("dst")).startswith("http")
+        )
+    )
+    if normalize_urls:
+        edges = edges.select(
+            url_normalize(F.col("src")).alias("src"),
+            url_normalize(F.col("dst")).alias("dst"),
+        )
+    return edges
+
+
+@register(
+    "web_wat_linkgraph",
+    oracle="""
+WITH gen AS (
+  SELECT doc_id AS d FROM documents
+),
+edges AS (
+  SELECT 'site' || (d % 20) || '.com' AS src_domain,
+         'site' || ((d + 1) % 20) || '.org' AS dst_domain
+  FROM gen
+  UNION ALL
+  SELECT 'site' || (d % 20) || '.com',
+         'site' || ((d + 2) % 20) || '.io'
+  FROM gen WHERE d % 3 = 0
+)
+SELECT src_domain, dst_domain, CAST(count(*) AS BIGINT) AS n_links
+FROM edges
+GROUP BY src_domain, dst_domain
+""",
+)
+def web_wat_linkgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT outlink-extraction contract, hash-checked end to end:
+    synthesize WAT-shaped metadata records IN-PLAN (the real JSON
+    envelope nesting, binary-encoded payloads, 1-2 links per doc by
+    doc_id arithmetic), run the REAL `wat_outlinks` expressions
+    (bracket-path get_json_object, from_json, explode, url_normalize),
+    collapse to the registrable-domain link graph. The oracle predicts
+    the (src_domain, dst_domain, n_links) census from the same
+    arithmetic WITHOUT any JSON machinery — a hash match pins the
+    extraction chain. Cap-parked (CONTRACT_EXCLUDE) behind
+    scalar_parse_format's parse family + graph siblings; green in
+    check_contract --all."""
+    from ..functions.url import url_host, url_registrable_domain
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    k = d % 20
+    link1 = F.concat(
+        F.lit('{"url": "http://site'), (d + 1) % 20, F.lit('.org/p"}')
+    )
+    link2 = F.when(
+        d % 3 == 0,
+        F.concat(
+            F.lit(', {"url": "http://site'), (d + 2) % 20, F.lit('.io/q"}')
+        ),
+    ).otherwise(F.lit(""))
+    envelope = F.concat(
+        F.lit(
+            '{"Envelope": {"Payload-Metadata": '
+            '{"HTTP-Response-Metadata": {"HTML-Metadata": {"Links": ['
+        ),
+        link1, link2, F.lit("]}}}}}"),
+    )
+    records = docs.select(
+        F.concat(F.lit("http://site"), k, F.lit(".com/page/"), d).alias(
+            "target_uri"
+        ),
+        F.lit("metadata").alias("warc_type"),
+        F.lit("application/json").alias("content_type"),
+        F.encode(envelope, "UTF-8").alias("payload"),
+    )
+    edges = wat_outlinks(records)
+    return (
+        edges.select(
+            url_registrable_domain(url_host(F.col("src"))).alias(
+                "src_domain"
+            ),
+            url_registrable_domain(url_host(F.col("dst"))).alias(
+                "dst_domain"
+            ),
+        )
+        .groupBy("src_domain", "dst_domain")
+        .agg(F.count("*").cast("long").alias("n_links"))
+    )
+
+
 @register("web_ingest_wet")
 def web_ingest_wet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench row for the WET fast path (r14): the `cli ingest-warc

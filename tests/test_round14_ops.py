@@ -571,6 +571,86 @@ class TestCdxSource:
         assert got == ["example.com", "example.com", None]
 
 
+class TestWatOutlinks:
+    """plans/web.py::wat_outlinks over REAL WAT-shaped files (the
+    domain-graph contract is hash-checked by web_wat_linkgraph)."""
+
+    def _wat_record(self, page_url, links):
+        import json as _json
+
+        env = {
+            "Envelope": {
+                "Payload-Metadata": {
+                    "HTTP-Response-Metadata": {
+                        "HTML-Metadata": {"Links": links}
+                    }
+                }
+            }
+        }
+        return _warc_record(
+            "metadata", page_url, _json.dumps(env).encode(),
+            content_type="application/json",
+        )
+
+    def test_edges_from_wat_file(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.plans.web import (
+            wat_outlinks,
+        )
+        from imitation_learning_data_pipeline_spark.sources.warc import (
+            read_warc,
+        )
+
+        d = tmp_path / "wat"
+        d.mkdir()
+        _write_warc_gz(
+            str(d / "s0.warc.wat.gz"),
+            [
+                self._wat_record("http://a.test/page", [
+                    {"path": "A@/href", "url": "HTTP://B.test:80/x#frag"},
+                    {"path": "A@/href", "url": "/relative/skipped"},
+                    {"path": "IMG@/src", "url": "http://c.test/img.png"},
+                ]),
+                self._wat_record("http://no-links.test/", []),
+            ],
+        )
+        records = read_warc(spark, str(d), record_types=("metadata",))
+        edges = sorted(
+            (r["src"], r["dst"]) for r in wat_outlinks(records).collect()
+        )
+        # relative href dropped; endpoints normalized (case, :80, #frag)
+        assert edges == [
+            ("http://a.test/page", "http://b.test/x"),
+            ("http://a.test/page", "http://c.test/img.png"),
+        ]
+
+    def test_cli_domain_graph(self, spark, tmp_path, capsys):
+        from imitation_learning_data_pipeline_spark.cli import main
+
+        d = tmp_path / "wat"
+        d.mkdir()
+        _write_warc_gz(
+            str(d / "s0.warc.wat.gz"),
+            [
+                self._wat_record("http://www.alpha.test/1", [
+                    {"url": "http://beta.test/a"},
+                    {"url": "http://cdn.beta.test/b"},
+                ]),
+                self._wat_record("http://alpha.test/2", [
+                    {"url": "http://beta.test/c"},
+                ]),
+            ],
+        )
+        out = str(tmp_path / "graph")
+        assert main([
+            "wat-links", "--input", str(d), "--out", out, "--domain-graph",
+        ]) == 0
+        rows = {
+            (r["src_domain"], r["dst_domain"]): r["n_links"]
+            for r in spark.read.parquet(out).collect()
+        }
+        assert rows == {("alpha.test", "beta.test"): 3}
+
+
 class TestCdxPlan:
     def _line(self, surt, ts, url, mime="text/html", status=200,
               length=100, offset=0, fname="a.warc.gz"):
