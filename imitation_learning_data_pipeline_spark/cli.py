@@ -1667,6 +1667,52 @@ def cmd_wat_links(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_robots_filter(args: argparse.Namespace) -> int:
+    """Crawl-compliance annotation (r14): parse a robots.txt WARC
+    subset (Common Crawl ships one per crawl) into rules, then annotate
+    an ingested documents corpus with `robots_disallowed` verdicts for
+    --agent (`operators/robots.py` — JVM join + longest-match argmax).
+    --drop writes only the allowed rows instead of annotating."""
+    from .operators.robots import parse_robots_rules, robots_filter
+    from .sources.warc import read_warc
+
+    spark = _spark("robots-filter")
+    docs = spark.read.parquet(args.docs)
+    if "url" not in docs.columns:
+        raise SystemExit(
+            f"robots-filter: {args.docs} has no 'url' column "
+            f"(have {docs.columns})"
+        )
+    recs = read_warc(spark, args.robots).filter(
+        (F.col("http_status") == 200) & F.col("undecoded_coding").isNull()
+    )
+    rules = parse_robots_rules(recs)
+    out = robots_filter(docs, rules, agent=args.agent)
+    if args.drop:
+        out = out.filter(~F.col("robots_disallowed")).drop(
+            "robots_disallowed"
+        )
+    out.write.mode("overwrite").parquet(args.out)
+    back = spark.read.parquet(args.out)
+    n_out = back.count()
+    n_dis = (
+        0
+        if args.drop
+        else back.filter(F.col("robots_disallowed")).count()
+    )
+    print(
+        json.dumps(
+            {
+                "out": args.out,
+                "docs": n_out,
+                "disallowed": (docs.count() - n_out) if args.drop else n_dis,
+                "dropped": bool(args.drop),
+            }
+        )
+    )
+    return 0
+
+
 def cmd_delta_log(args: argparse.Namespace) -> int:
     """Delta transaction-log bridge (pipeline/delta_log.py): --sync
     converges the table's _delta_log to the repo manifest's live file
@@ -2956,6 +3002,28 @@ def build_parser() -> argparse.ArgumentParser:
         "keys match ingest-side document urls)",
     )
     wl.set_defaults(fn=cmd_wat_links)
+
+    rf = sub.add_parser(
+        "robots-filter",
+        help="annotate (or drop from) an ingested corpus the URLs a "
+        "crawl's robots.txt subset disallows for an agent",
+    )
+    rf.add_argument(
+        "--docs", required=True, help="documents parquet (ingest-warc out)"
+    )
+    rf.add_argument(
+        "--robots", required=True,
+        help="robots.txt WARC shards (glob; the crawl's robotstxt subset)",
+    )
+    rf.add_argument("--out", required=True, help="output parquet path")
+    rf.add_argument(
+        "--agent", default="*", help="user-agent the verdicts apply to"
+    )
+    rf.add_argument(
+        "--drop", action="store_true",
+        help="write only allowed rows instead of annotating",
+    )
+    rf.set_defaults(fn=cmd_robots_filter)
 
     dl = sub.add_parser(
         "delta-log",

@@ -288,6 +288,25 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     "parse/format projection family, direct row) + "
     "dedup_cluster_components (the graph consumer's direct row) + "
     "check_contract --all hash-checked row + pytest TestWatOutlinks",
+    # round-14: robots.txt exclusion verdicts. Library-only (cap): the
+    # verdict plan is a host equi-join (join_star_region_revenue's
+    # retained family) + a longest-match struct-max argmax
+    # (window_dedup_first's retained keep-one-per-group family), fully
+    # hash-checked vs SQL-predicted verdicts over in-plan rules/pages
+    # in check_contract --all; the Python robots.txt PARSER is
+    # pytest-locked (TestRobots).
+    "web_robots_filter": "join_star_region_revenue (host equi-join "
+    "family, direct row) + window_dedup_first (struct-max "
+    "keep-one-per-group family, direct row) + check_contract --all "
+    "hash-checked row + pytest TestRobots",
+    # round-14: sitemap <loc> extraction. Library-only (cap): the xpath
+    # chain (local-name() predicates, explode, sitemapindex flag) is
+    # hash-checked vs arithmetic-predicted rows over in-plan XML in
+    # check_contract --all — scalar_parse_format anchors the scan-bound
+    # parse/format family; malformed-XML posture is pytest-locked.
+    "web_sitemap_urls": "scalar_parse_format (same scan-bound "
+    "parse/format projection family, direct row) + check_contract "
+    "--all hash-checked row + pytest TestSitemap",
     # round-11 rotation: nine rounds green (r1-r5, r7-r10), no parked
     # dependents, parked to fund text_zipf_ttr's slot. Its banded
     # `_bucket_pairs` candidate machinery stays under a direct row via

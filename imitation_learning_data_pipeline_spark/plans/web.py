@@ -662,6 +662,175 @@ def web_wat_linkgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SITEMAP_SCHEMA = (
+    "STRUCT<url: ARRAY<STRUCT<loc: STRING>>, "
+    "sitemap: ARRAY<STRUCT<loc: STRING>>>"
+)
+
+
+def sitemap_urls(
+    df: DataFrame, xml_col: str = "xml", passthrough: tuple = ()
+) -> DataFrame:
+    """Sitemap XML → one row per ``<loc>`` URL (r14) — the crawl-
+    frontier input robots.txt points at. Pure JVM via ``from_xml``
+    (PERMISSIVE: malformed XML nulls out and yields zero rows instead
+    of killing the task — probed explicitly; Spark's ``xpath``
+    expression RAISES on unparseable input, which is the wrong posture
+    for crawl data); namespace-transparent for the sitemaps.org
+    default namespace, single elements read as 1-element arrays.
+    ``is_index`` marks ``<sitemapindex>`` documents (their locs are
+    MORE sitemaps to fetch, not pages)."""
+    p = F.from_xml(F.col(xml_col), _SITEMAP_SCHEMA)
+    return (
+        df.select(
+            *passthrough,
+            p["sitemap"].isNotNull().alias("is_index"),
+            F.explode(F.coalesce(p["sitemap"], p["url"])).alias("e"),
+        )
+        .filter(F.col("e.loc").isNotNull())
+        .select(
+            *passthrough,
+            F.trim(F.col("e.loc")).alias("loc"),
+            "is_index",
+        )
+    )
+
+
+@register(
+    "web_sitemap_urls",
+    oracle="""
+WITH gen AS (SELECT doc_id AS d FROM documents),
+expanded AS (
+  SELECT d, FALSE AS is_index,
+         'http://site' || (d % 20) || '.com/p/' || d || '/' || i AS loc
+  FROM gen, (SELECT 0 AS i UNION ALL SELECT 1) seq
+  WHERE d % 5 <> 0
+  UNION ALL
+  SELECT d, TRUE,
+         'http://site' || (d % 20) || '.com/sitemap-' || d || '.xml'
+  FROM gen WHERE d % 5 = 0
+)
+SELECT d AS doc_id, loc, is_index FROM expanded
+""",
+)
+def web_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-extraction contract, hash-checked end to end:
+    synthesize sitemap XML IN-PLAN — urlset docs with two ``<url><loc>``
+    entries (namespaced, with lastmod noise the extractor must skip)
+    for most docs, a ``<sitemapindex>`` doc with one ``<sitemap><loc>``
+    for every fifth — run the REAL `sitemap_urls` xpath expressions,
+    and predict every (doc_id, loc, is_index) row arithmetically.
+    Cap-parked (CONTRACT_EXCLUDE) behind scalar_parse_format's
+    parse/format family; green in check_contract --all."""
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    k = d % 20
+    urlset = F.concat(
+        F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+              "<url><loc>http://site"),
+        k, F.lit(".com/p/"), d, F.lit("/0</loc>"
+        "<lastmod>2026-01-01</lastmod></url><url><loc>http://site"),
+        k, F.lit(".com/p/"), d, F.lit("/1</loc></url></urlset>"),
+    )
+    index = F.concat(
+        F.lit("<sitemapindex><sitemap><loc> http://site"),
+        k, F.lit(".com/sitemap-"), d,
+        F.lit(".xml </loc></sitemap></sitemapindex>"),
+    )
+    xml = F.when(d % 5 == 0, index).otherwise(urlset)
+    frames = docs.select("doc_id", xml.alias("xml"))
+    return sitemap_urls(frames, passthrough=("doc_id",))
+
+
+@register(
+    "web_robots_filter",
+    oracle="""
+WITH gen AS (SELECT doc_id AS d FROM documents)
+SELECT d AS doc_id,
+       'http://site' || (d % 10) || '.com' ||
+         CASE d % 4 WHEN 0 THEN '/public/x' WHEN 1 THEN '/private/x'
+              WHEN 2 THEN '/private/ok/x' ELSE '/mybot-only/x' END AS url,
+       CASE WHEN (d % 10) % 2 = 0 THEN d % 4 = 3
+            ELSE d % 4 = 1 END AS robots_disallowed
+FROM gen
+""",
+)
+def web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt exclusion contract, hash-checked end to end: build a
+    deterministic rules table (a ``*`` group with a disallow and a
+    LONGER overriding allow on every host; a ``mybot`` group on
+    even-numbered hosts only) and per-doc page URLs IN-PLAN, run the
+    REAL `operators/robots.py::robots_filter` under agent='mybot', and
+    let the oracle predict every verdict arithmetically. A hash match
+    pins: host equi-join scoping, LIKE-pattern matching, longest-match
+    precedence with allow-beats-disallow ties, and the RFC agent-group
+    choice (a host WITH a mybot group ignores its ``*`` group — so
+    /private flips allowed there, and /mybot-only flips disallowed).
+    The PARSER (robots.txt text → rules) is Python-side and
+    pytest-locked (TestRobots); this row checks the verdict plan.
+    Cap-parked (CONTRACT_EXCLUDE) behind the equi-join + struct-max
+    families; green in check_contract --all."""
+    from ..operators.robots import robots_filter
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    path = (
+        F.when(d % 4 == 0, F.lit("/public/x"))
+        .when(d % 4 == 1, F.lit("/private/x"))
+        .when(d % 4 == 2, F.lit("/private/ok/x"))
+        .otherwise(F.lit("/mybot-only/x"))
+    )
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("http://site"), d % 10, F.lit(".com"), path).alias(
+            "url"
+        ),
+    )
+    hosts = docs.select(
+        F.concat(F.lit("site"), (d % 10), F.lit(".com")).alias("host"),
+        (d % 10).alias("h"),
+    ).distinct()
+    star = hosts.select(
+        "host",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("*").alias("agent"),
+                    F.lit(False).alias("allow"),
+                    F.lit("/private%").alias("pattern"),
+                    F.lit(8).alias("raw_len"),
+                ),
+                F.struct(
+                    F.lit("*").alias("agent"),
+                    F.lit(True).alias("allow"),
+                    F.lit("/private/ok%").alias("pattern"),
+                    F.lit(11).alias("raw_len"),
+                ),
+            )
+        ).alias("r"),
+    )
+    mybot = hosts.filter(F.col("h") % 2 == 0).select(
+        "host",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("mybot").alias("agent"),
+                    F.lit(False).alias("allow"),
+                    F.lit("/mybot-only%").alias("pattern"),
+                    F.lit(11).alias("raw_len"),
+                )
+            )
+        ).alias("r"),
+    )
+    rules = star.unionByName(mybot).select(
+        "host", "r.agent", "r.allow", "r.pattern", "r.raw_len"
+    )
+    out = robots_filter(pages, rules, agent="mybot")
+    return out.select("doc_id", "url", "robots_disallowed")
+
+
 @register("web_ingest_wet")
 def web_ingest_wet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench row for the WET fast path (r14): the `cli ingest-warc

@@ -571,6 +571,203 @@ class TestCdxSource:
         assert got == ["example.com", "example.com", None]
 
 
+class TestRobots:
+    """operators/robots.py: parser (pure function + WARC arm) and the
+    JVM verdict plan's edge cases (the bulk verdict contract is
+    hash-checked by web_robots_filter)."""
+
+    ROBOTS = (
+        "# comment\n"
+        "User-agent: *\n"
+        "Disallow: /private\n"
+        "Allow: /private/ok\n"
+        "\n"
+        "User-agent: MyBot\n"
+        "User-agent: otherbot\n"
+        "Disallow: /mybot*\n"
+        "Disallow:\n"            # empty = allow-all, no rule row
+        "Crawl-delay: 5\n"       # carried directive, no rule row
+        "Sitemap: http://x/s.xml\n"
+    )
+
+    def test_parse_robots_text(self):
+        from imitation_learning_data_pipeline_spark.operators.robots import (
+            parse_robots_text,
+        )
+
+        rules = parse_robots_text(self.ROBOTS)
+        assert ("*", False, "/private") in rules
+        assert ("*", True, "/private/ok") in rules
+        # the two consecutive user-agent lines share the group
+        assert ("mybot", False, "/mybot*") in rules
+        assert ("otherbot", False, "/mybot*") in rules
+        assert len(rules) == 4
+        # rule before any agent line is ignored; empty input ok
+        assert parse_robots_text("Disallow: /x\n") == []
+        assert parse_robots_text("") == []
+
+    def test_like_pattern_compilation(self):
+        from imitation_learning_data_pipeline_spark.operators.robots import (
+            _like_pattern,
+        )
+
+        assert _like_pattern("/a") == "/a%"
+        assert _like_pattern("/a*b") == "/a%b%"
+        assert _like_pattern("/a$") == "/a"          # end anchor
+        assert _like_pattern("/50%off") == "/50\\%off%"  # LIKE escape
+        assert _like_pattern("/a_b") == "/a\\_b%"
+
+    def test_parse_rules_from_warc(self, spark, tmp_path):
+        from imitation_learning_data_pipeline_spark.operators.robots import (
+            parse_robots_rules,
+        )
+        from imitation_learning_data_pipeline_spark.sources.warc import (
+            read_warc,
+        )
+
+        d = tmp_path / "robots"
+        d.mkdir()
+        _write_warc_gz(
+            str(d / "s0.warc.gz"),
+            [
+                _warc_record(
+                    "response", "http://site.test/robots.txt",
+                    _http_response(
+                        self.ROBOTS.encode(), ctype=b"text/plain"
+                    ),
+                )
+            ],
+        )
+        recs = read_warc(spark, str(d)).filter("http_status = 200")
+        rules = parse_robots_rules(recs).collect()
+        assert {r["host"] for r in rules} == {"site.test"}
+        by = {(r["agent"], r["pattern"]): r for r in rules}
+        assert by[("*", "/private%")]["allow"] is False
+        assert by[("*", "/private%")]["raw_len"] == 8
+        # specificity counts the raw pattern minus '$' — '*' included
+        assert by[("mybot", "/mybot%")]["raw_len"] == 7
+
+    def test_filter_edges(self, spark):
+        """No-rules host → allowed; $ anchor; agent-group scoping."""
+        from imitation_learning_data_pipeline_spark.operators.robots import (
+            robots_filter,
+        )
+
+        pages = spark.createDataFrame(
+            [
+                (1, "http://ruled.test/exact"),
+                (2, "http://ruled.test/exactly-longer"),
+                (3, "http://norules.test/anything"),
+                (4, "http://ruled.test"),  # no path → '/'
+            ],
+            "doc_id long, url string",
+        )
+        rules = spark.createDataFrame(
+            [("ruled.test", "*", False, "/exact", 6)],
+            "host string, agent string, allow boolean, pattern string, "
+            "raw_len int",
+        )
+        got = {
+            r["doc_id"]: r["robots_disallowed"]
+            for r in robots_filter(pages, rules).collect()
+        }
+        # '$'-anchored: '/exact' pattern (no trailing %) matches ONLY
+        # the exact path
+        assert got == {1: True, 2: False, 3: False, 4: False}
+        assert len(got) == 4  # every input row survives, annotated
+
+
+class TestSitemap:
+    def test_extract_urls_and_index_flag(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.web import (
+            sitemap_urls,
+        )
+
+        urlset = (
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            "<url><loc>http://a.test/1</loc>"
+            "<lastmod>2026-01-01</lastmod></url>"
+            "<url><loc> http://a.test/2 </loc></url></urlset>"
+        )
+        index = (
+            "<sitemapindex><sitemap><loc>http://a.test/s1.xml</loc>"
+            "</sitemap></sitemapindex>"
+        )
+        malformed = "<urlset><url><loc>http://broken"
+        df = spark.createDataFrame(
+            [(1, urlset), (2, index), (3, malformed)],
+            "doc_id long, xml string",
+        )
+        rows = sitemap_urls(df, passthrough=("doc_id",)).collect()
+        got = {(r["doc_id"], r["loc"], r["is_index"]) for r in rows}
+        # whitespace-trimmed locs, lastmod skipped, malformed yields
+        # nothing (no crash)
+        assert got == {
+            (1, "http://a.test/1", False),
+            (1, "http://a.test/2", False),
+            (2, "http://a.test/s1.xml", True),
+        }
+
+
+class TestRobotsFilterCli:
+    def test_annotate_and_drop_over_real_ingest(self, spark, tmp_path, capsys):
+        """crawl → ingest → robots-filter composition: the disallowed
+        page is flagged (or dropped), allowed and no-robots hosts
+        survive."""
+        from imitation_learning_data_pipeline_spark.cli import main
+
+        crawl = tmp_path / "crawl"
+        crawl.mkdir()
+        _write_warc_gz(
+            str(crawl / "s0.warc.gz"),
+            [
+                _warc_record("response", "http://ruled.test/private/p1",
+                             _http_response(b"<p>secret page</p>")),
+                _warc_record("response", "http://ruled.test/public/p2",
+                             _http_response(b"<p>public page</p>")),
+                _warc_record("response", "http://free.test/anything",
+                             _http_response(b"<p>no robots host</p>")),
+            ],
+        )
+        docs = str(tmp_path / "docs")
+        assert main(["ingest-warc", "--input", str(crawl), "--out", docs]) == 0
+        robots = tmp_path / "robots"
+        robots.mkdir()
+        _write_warc_gz(
+            str(robots / "r0.warc.gz"),
+            [
+                _warc_record(
+                    "response", "http://ruled.test/robots.txt",
+                    _http_response(
+                        b"User-agent: *\nDisallow: /private\n",
+                        ctype=b"text/plain",
+                    ),
+                )
+            ],
+        )
+        capsys.readouterr()
+        out = str(tmp_path / "flagged")
+        assert main([
+            "robots-filter", "--docs", docs, "--robots", str(robots),
+            "--out", out,
+        ]) == 0
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["docs"] == 3 and summary["disallowed"] == 1
+        rows = {r["url"]: r for r in spark.read.parquet(out).collect()}
+        assert rows["http://ruled.test/private/p1"]["robots_disallowed"]
+        assert not rows["http://ruled.test/public/p2"]["robots_disallowed"]
+        assert not rows["http://free.test/anything"]["robots_disallowed"]
+        # --drop arm: only allowed rows land, column removed
+        out2 = str(tmp_path / "clean")
+        assert main([
+            "robots-filter", "--docs", docs, "--robots", str(robots),
+            "--out", out2, "--drop",
+        ]) == 0
+        kept = spark.read.parquet(out2)
+        assert kept.count() == 2
+        assert "robots_disallowed" not in kept.columns
+
+
 class TestWatOutlinks:
     """plans/web.py::wat_outlinks over REAL WAT-shaped files (the
     domain-graph contract is hash-checked by web_wat_linkgraph)."""
