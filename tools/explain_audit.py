@@ -256,6 +256,46 @@ AUDIT = {
         "want": ["MapInPandas", "Scan binaryFile"],
         "forbid": ["CartesianProduct", "SortMergeJoin", "Window"],
     },
+    # round-14: the WET fast path — same single-exchange ingest shape
+    # as web_ingest_warc (parse → JVM decode → URL-dedup agg), and the
+    # whole point is NO second Python stage: exactly the parse's
+    # MapInPandas, no extractor, no window, no join.
+    "web_ingest_wet": {
+        "max_exchanges": 1,
+        "want": ["MapInPandas", "Scan binaryFile"],
+        "forbid": ["CartesianProduct", "SortMergeJoin", "Window"],
+    },
+    # round-14: CDX analytics and WAT link-graph are scan-bound JVM
+    # parse → ONE hash-aggregate exchange; any join/window appearing
+    # here means the parse stopped being a projection.
+    "web_cdx_stats": {
+        "max_exchanges": 1,
+        "forbid": ["CartesianProduct", "SortMergeJoin", "Window",
+                   "MapInPandas"],
+    },
+    "web_wat_linkgraph": {
+        "max_exchanges": 1,
+        "forbid": ["CartesianProduct", "SortMergeJoin", "Window",
+                   "MapInPandas"],
+    },
+    # round-14: robots verdicts — rules side must BROADCAST (it is
+    # per-host robots content, tiny next to the corpus) and the
+    # longest-match argmax must stay a hash aggregate (no window sort,
+    # no SMJ shuffling the corpus by host). Measured baseline: 8
+    # exchanges (sf0.01; includes the in-plan synthetic rules build —
+    # distinct + group-max + union feeding two of the four broadcast
+    # joins); ceiling +1 for optimizer noise.
+    "web_robots_filter": {
+        "max_exchanges": 9,
+        "want": ["BroadcastHashJoin"],
+        "forbid": ["CartesianProduct", "SortMergeJoin", "Window"],
+    },
+    # round-14: sitemap extraction is a pure projection — from_xml +
+    # explode, ZERO exchanges.
+    "web_sitemap_urls": {
+        "max_exchanges": 0,
+        "forbid": ["CartesianProduct", "Window", "MapInPandas"],
+    },
 }
 
 
