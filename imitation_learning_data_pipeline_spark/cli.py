@@ -1488,18 +1488,50 @@ def cmd_ingest_warc(args: argparse.Namespace) -> int:
             "ingest-warc: --wet payloads are already extracted text — "
             "--main-content/--max-link-density are HTML gates; drop them"
         )
+    if bool(args.input) == bool(args.ranges):
+        raise SystemExit(
+            "ingest-warc: pass exactly one of --input (whole files) or "
+            "--ranges (cdx-plan fetch manifest)"
+        )
     spark = _spark("ingest-warc")
-    out = ingest_warc_plan(
-        spark,
-        args.input,
-        content_type=args.content_type or None,
-        max_link_density=args.max_link_density,
-        dedup_url=args.dedup_url,
-        normalize_urls=args.normalize_urls,
-        main_content=args.main_content,
-        main_content_lang=args.main_content_lang,
-        wet=args.wet,
-    )
+    if args.ranges:
+        from .plans.web import ingest_warc_records, ingest_wet_records
+        from .sources.warc import read_warc_ranges
+
+        records = read_warc_ranges(spark, spark.read.parquet(args.ranges))
+        if args.wet:
+            out = ingest_wet_records(
+                records,
+                content_type=(
+                    "text/plain"
+                    if args.content_type == "text/html"
+                    else (args.content_type or None)
+                ),
+                dedup_url=args.dedup_url,
+                normalize_urls=args.normalize_urls,
+            )
+        else:
+            out = ingest_warc_records(
+                records,
+                content_type=args.content_type or None,
+                max_link_density=args.max_link_density,
+                dedup_url=args.dedup_url,
+                normalize_urls=args.normalize_urls,
+                main_content=args.main_content,
+                main_content_lang=args.main_content_lang,
+            )
+    else:
+        out = ingest_warc_plan(
+            spark,
+            args.input,
+            content_type=args.content_type or None,
+            max_link_density=args.max_link_density,
+            dedup_url=args.dedup_url,
+            normalize_urls=args.normalize_urls,
+            main_content=args.main_content,
+            main_content_lang=args.main_content_lang,
+            wet=args.wet,
+        )
     out.write.mode("overwrite").parquet(args.out)
     n = spark.read.parquet(args.out).count()
     print(json.dumps({"out": args.out, "docs": n}))
@@ -2877,7 +2909,16 @@ def build_parser() -> argparse.ArgumentParser:
         help="web-corpus front door: WARC(.gz) responses -> extracted "
         "text -> documents-shaped parquet for the curation funnel",
     )
-    iw.add_argument("--input", required=True, help="dir/glob of .warc(.gz) files")
+    iw.add_argument(
+        "--input", default=None,
+        help="dir/glob of .warc(.gz) files (or pass --ranges instead)",
+    )
+    iw.add_argument(
+        "--ranges", default=None,
+        help="cdx-plan fetch-manifest parquet: ingest ONLY the named "
+        "(filename, offset, length) member ranges instead of whole "
+        "files — the plan-then-fetch path",
+    )
     iw.add_argument("--out", required=True, help="output parquet path")
     iw.add_argument(
         "--content-type",

@@ -114,6 +114,7 @@ def build_warc_corpus(
     replicas: int = _WARC_REPLICAS,
     n_files: int = _WARC_FILES,
     kind: str = "response",
+    index: bool = False,
 ) -> str:
     """Materialize a deterministic .warc.gz corpus from ``sf_dir``'s
     documents table (driver-side, pure stdlib — the GENERATION is not
@@ -130,7 +131,11 @@ def build_warc_corpus(
     review). ``kind="conversion"`` (r14) writes a WET-shaped corpus
     instead: conversion records whose payload is the document text
     directly (text/plain, no HTTP framing) — the `web_ingest_wet`
-    bench input; cached under its own directory tag."""
+    bench input; cached under its own directory tag. ``index=True``
+    (r14) also writes ``index.cdxj`` — one CDXJ capture line per
+    record with the COMPRESSED member (offset, length), so tests and
+    demos can run the full plan-then-fetch loop (`read_cdxj` →
+    `cli cdx-plan` → `read_warc_ranges`) against a generated crawl."""
     import gzip
     import json as _json
     import os
@@ -156,6 +161,7 @@ def build_warc_corpus(
         "replicas": replicas,
         "n_files": n_files,
         "kind": kind,
+        "index": index,
     }
     if os.path.exists(marker):
         try:
@@ -179,6 +185,8 @@ def build_warc_corpus(
         open(os.path.join(out_dir, f"seg{i:04d}.warc.gz.tmp"), "wb")
         for i in range(n_files)
     ]
+    positions = [0] * n_files
+    index_lines: list[str] = []
     try:
         for doc_id, text in rows:
             for rep in range(replicas):
@@ -212,15 +220,49 @@ def build_warc_corpus(
                     f"Content-Type: {rec_ct}\r\n"
                     f"Content-Length: {len(block)}\r\n\r\n"
                 ).encode() + block + b"\r\n\r\n"
-                handles[page_id % n_files].write(
-                    gzip.compress(rec, compresslevel=1)
-                )
+                member = gzip.compress(rec, compresslevel=1)
+                fidx = page_id % n_files
+                handles[fidx].write(member)
+                if index:
+                    # CDXJ line per capture — the COMPRESSED member
+                    # range, exactly what read_warc_ranges consumes
+                    import hashlib
+
+                    surt = f"test,bench)/{doc_id}/{rep // 2}"
+                    ts = "20260101000000"
+                    status = (
+                        404 if kind == "response" and page_id % 50 == 0
+                        else 200
+                    )
+                    payload_js = _json.dumps(
+                        {
+                            "url": url,
+                            "mime": (
+                                "text/html"
+                                if kind == "response"
+                                else "text/plain"
+                            ),
+                            "status": str(status),
+                            "digest": "sha1:"
+                            + hashlib.sha1(block).hexdigest(),
+                            "length": str(len(member)),
+                            "offset": str(positions[fidx]),
+                            "filename": os.path.join(
+                                out_dir, f"seg{fidx:04d}.warc.gz"
+                            ),
+                        }
+                    )
+                    index_lines.append(f"{surt} {ts} {payload_js}")
+                positions[fidx] += len(member)
     finally:
         for fh in handles:
             fh.close()
     for i in range(n_files):
         tmp = os.path.join(out_dir, f"seg{i:04d}.warc.gz.tmp")
         os.replace(tmp, os.path.join(out_dir, f"seg{i:04d}.warc.gz"))
+    if index:
+        with open(os.path.join(out_dir, "index.cdxj"), "w") as fh:
+            fh.write("\n".join(index_lines) + "\n")
     with open(marker, "w") as fh:
         _json.dump(key, fh)
     return out_dir
