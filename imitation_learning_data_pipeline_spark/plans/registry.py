@@ -307,6 +307,15 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     "web_sitemap_urls": "scalar_parse_format (same scan-bound "
     "parse/format projection family, direct row) + check_contract "
     "--all hash-checked row + pytest TestSitemap",
+    # round-14: C4 line-level cleaning. Library-only (cap): the whole
+    # rule set (terminal punct, word floor, javascript lines, lorem/
+    # brace pages, kept-line floor) is hash-checked vs the SAME lambda
+    # predicate in DuckDB over in-plan pages in check_contract --all;
+    # text_gopher_rules anchors the scan-bound text-rule family with a
+    # direct contract row.
+    "text_c4_line_filter": "text_gopher_rules (same scan-bound "
+    "per-doc text-rule projection family, direct row) + check_contract "
+    "--all hash-checked row",
     # round-11 rotation: nine rounds green (r1-r5, r7-r10), no parked
     # dependents, parked to fund text_zipf_ttr's slot. Its banded
     # `_bucket_pairs` candidate machinery stays under a direct row via

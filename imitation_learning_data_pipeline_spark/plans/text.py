@@ -1344,3 +1344,132 @@ def text_zipf_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("zipf_r2"),
         )
     )
+
+
+# --- C4 line-level cleaning (round 14) ---------------------------------------
+
+_C4_PUNCT = (".", "!", "?", '"')
+
+
+def _c4_line_keep_sql(ln: str) -> str:
+    """DuckDB predicate mirroring the Spark lambda in text_c4_line_filter
+    (shared so the oracle and the docstring stay in one place):
+    terminal punctuation, >= 3 whitespace words, no 'javascript'."""
+    punct = ", ".join(f"'{p}'" if p != '"' else "'\"'" for p in _C4_PUNCT)
+    return (
+        f"substring(trim({ln}), -1, 1) IN ({punct})"
+        f" AND len(list_filter(string_split(trim({ln}), ' '), x -> x != ''))"
+        f" >= 3"
+        f" AND NOT contains(lower({ln}), 'javascript')"
+    )
+
+
+def _c4_oracle() -> str:
+    keep = _c4_line_keep_sql("ln")
+    return f"""
+WITH gen AS (
+  SELECT doc_id,
+         'This is a proper sentence with many words.' || chr(10) ||
+         'short line' || chr(10) ||
+         'Beware javascript required to view.' || chr(10) ||
+         trim(text) || chr(10) ||
+         'Another good sentence ends here.' ||
+         CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'lorem ipsum dolor sit.'
+              ELSE '' END ||
+         CASE WHEN doc_id % 19 = 0 THEN chr(10) || 'code {{ block }} here.'
+              ELSE '' END AS page
+  FROM documents
+),
+split_ AS (
+  SELECT doc_id, page, string_split(page, chr(10)) AS lines FROM gen
+),
+kept AS (
+  SELECT doc_id, page, len(lines) AS n_lines,
+         list_filter(lines, ln -> {keep}) AS keep_lines
+  FROM split_
+)
+SELECT doc_id,
+       array_to_string(keep_lines, chr(10)) AS clean_text,
+       CAST(n_lines AS INT) AS n_lines,
+       CAST(len(keep_lines) AS INT) AS n_kept_lines,
+       (NOT contains(lower(page), 'lorem ipsum'))
+         AND (NOT contains(page, '{{'))
+         AND len(keep_lines) >= 3 AS page_keep
+FROM kept
+"""
+
+
+@register("text_c4_line_filter", oracle=_c4_oracle())
+def text_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020, the published
+    C4 heuristics) as ONE projection — the line rules every web-scale
+    English corpus applies between extraction and quality scoring:
+
+    - keep lines ending in a terminal punctuation mark (. ! ? ");
+    - keep lines with >= 3 whitespace-delimited words;
+    - drop lines mentioning 'javascript' (case-insensitive);
+    - drop PAGES containing 'lorem ipsum' or a curly brace;
+    - drop pages with fewer than 3 kept lines (the paper's
+      three-SENTENCE floor applied at line granularity — a documented
+      simplification, same spirit as jusText-lite's adjacency pass).
+
+    All higher-order JVM expressions (split → filter → array_join), no
+    shuffle, no Python. Pages are synthesized in-plan: three constant
+    lines with known verdicts + the REAL document text as a line (its
+    verdict varies with the data) + deterministic lorem/brace
+    injections — so the oracle predicts every output with the SAME
+    lambda predicate in DuckDB SQL and a hash match pins the whole
+    rule set. Output keeps the page (annotated), letting callers
+    filter on page_keep — dropping here would hide the reject-rate
+    signal the census wants."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    d = F.col("doc_id")
+    page = F.concat(
+        F.lit(
+            "This is a proper sentence with many words.\n"
+            "short line\n"
+            "Beware javascript required to view.\n"
+        ),
+        F.trim("text"),
+        F.lit("\nAnother good sentence ends here."),
+        F.when(d % 17 == 0, F.lit("\nlorem ipsum dolor sit.")).otherwise(
+            F.lit("")
+        ),
+        F.when(d % 19 == 0, F.lit("\ncode { block } here.")).otherwise(
+            F.lit("")
+        ),
+    )
+
+    def _keep(ln):
+        t = F.trim(ln)
+        last = F.substring(t, -1, 1)
+        n_words = F.size(
+            F.filter(F.split(t, " "), lambda x: x != F.lit(""))
+        )
+        return (
+            last.isin(*_C4_PUNCT)
+            & (n_words >= 3)
+            & ~F.lower(ln).contains("javascript")
+        )
+
+    with_lines = docs.select(
+        "doc_id",
+        page.alias("page"),
+        F.split(page, "\n").alias("lines"),
+    ).select(
+        "doc_id",
+        "page",
+        "lines",
+        F.filter(F.col("lines"), _keep).alias("keep_lines"),
+    )
+    return with_lines.select(
+        "doc_id",
+        F.array_join("keep_lines", "\n").alias("clean_text"),
+        F.size("lines").cast("int").alias("n_lines"),
+        F.size("keep_lines").cast("int").alias("n_kept_lines"),
+        (
+            ~F.lower(F.col("page")).contains("lorem ipsum")
+            & ~F.col("page").contains("{")
+            & (F.size("keep_lines") >= 3)
+        ).alias("page_keep"),
+    )

@@ -296,6 +296,13 @@ AUDIT = {
         "max_exchanges": 0,
         "forbid": ["CartesianProduct", "Window", "MapInPandas"],
     },
+    # round-14: C4 line cleaning is HOF projections over the spread()
+    # repartition (its one exchange) — no joins, windows, or Python.
+    "text_c4_line_filter": {
+        "max_exchanges": 1,
+        "forbid": ["CartesianProduct", "SortMergeJoin", "Window",
+                   "MapInPandas", "BroadcastHashJoin"],
+    },
 }
 
 
