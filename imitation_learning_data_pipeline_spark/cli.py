@@ -1498,7 +1498,10 @@ def cmd_ingest_warc(args: argparse.Namespace) -> int:
         from .plans.web import ingest_warc_records, ingest_wet_records
         from .sources.warc import read_warc_ranges
 
-        records = read_warc_ranges(spark, spark.read.parquet(args.ranges))
+        records = read_warc_ranges(
+            spark, spark.read.parquet(args.ranges),
+            base_dir=args.ranges_base,
+        )
         if args.wet:
             out = ingest_wet_records(
                 records,
@@ -1608,11 +1611,13 @@ def cmd_cdx_plan(args: argparse.Namespace) -> int:
         # the index's content digest (sha1 of the payload) identifies
         # byte-identical captures ACROSS urls — dedup here means those
         # bytes are fetched once instead of once per mirror. Null
-        # digests self-key (never collapse), same discipline as the
-        # ingest URL dedup; one struct-max exchange, no window.
+        # digests self-key on (filename, offset) — the capture's
+        # identity — so NO two unknown-content captures ever collapse
+        # (a url selfkey would still merge same-url null-digest rows);
+        # one struct-max exchange, no window.
         selfkey = F.when(
             F.col("digest").isNull() | (F.col("digest") == ""),
-            F.col("url"),
+            F.concat_ws("#", "filename", F.col("offset").cast("string")),
         ).otherwise(F.lit(""))
         keep = F.max(
             F.struct("ts", "url", "host", "filename", "offset", "length")
@@ -2918,6 +2923,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="cdx-plan fetch-manifest parquet: ingest ONLY the named "
         "(filename, offset, length) member ranges instead of whole "
         "files — the plan-then-fetch path",
+    )
+    iw.add_argument(
+        "--ranges-base", default=None,
+        help="resolve RELATIVE manifest filenames against this local "
+        "crawl-mirror root (real CDX carries crawl-root-relative paths)",
     )
     iw.add_argument("--out", required=True, help="output parquet path")
     iw.add_argument(

@@ -149,8 +149,23 @@ def robots_filter(
 
     Agent-group choice per RFC 9309: if the host has ANY rules for
     ``agent`` (exact, lowercased), only that group applies; else the
-    ``*`` group."""
+    ``*`` group.
+
+    Contract notes: ``pages`` rows identical across ALL columns
+    collapse to one output row (the verdict is computed by a groupBy
+    over the page columns — call on keyed frames, which every ingest
+    output is); the rule working-columns are reserved and refused on
+    the pages side."""
     from ..functions.url import url_host
+
+    reserved = {"allow", "pattern", "raw_len", "__host", "__path",
+                "__rhost", "__best"}
+    clash = reserved & set(pages.columns)
+    if clash:
+        raise ValueError(
+            f"robots_filter: pages columns {sorted(clash)} collide with "
+            "the rule working columns — rename them first"
+        )
 
     a = agent.lower()
     r = rules.filter(F.lower(F.col("agent")).isin(a, "*")).select(

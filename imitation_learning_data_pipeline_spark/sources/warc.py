@@ -307,6 +307,7 @@ def read_warc_ranges(
     filename_col: str = "filename",
     offset_col: str = "offset",
     length_col: str = "length",
+    base_dir: str | None = None,
 ) -> DataFrame:
     """Selective WARC fetch (r14): read ONLY the byte ranges a CDX
     fetch manifest names — ``(filename, offset, length)`` per capture,
@@ -328,6 +329,10 @@ def read_warc_ranges(
     is the cross-path key). Files are opened with plain ``open`` —
     local/POSIX paths (a ``file:`` prefix is stripped); object-store
     ranged reads belong to the deployment's fsspec layer.
+    ``base_dir`` resolves RELATIVE manifest filenames (real Common
+    Crawl CDX carries paths relative to the crawl root, e.g.
+    ``crawl-data/CC-MAIN-.../....warc.gz``) against a local mirror —
+    absolute filenames pass through untouched.
     Plain (non-.gz) WARC ranges are sliced verbatim."""
     import gzip
 
@@ -352,6 +357,8 @@ def read_warc_ranges(
                 for f, o, n in zip(pdf["f"], pdf["o"], pdf["n"]):
                     name = str(f)
                     path = name[5:] if name.startswith("file:") else name
+                    if base_dir and not path.startswith("/"):
+                        path = f"{base_dir.rstrip('/')}/{path}"
                     if fh is None or fh_name != path:
                         if fh is not None:
                             fh.close()

@@ -675,6 +675,11 @@ class TestRobots:
         # the exact path
         assert got == {1: True, 2: False, 3: False, 4: False}
         assert len(got) == 4  # every input row survives, annotated
+        # r14 review: reserved working columns refused on the pages side
+        with pytest.raises(ValueError, match="collide"):
+            robots_filter(
+                pages.withColumn("pattern", pages["url"]), rules
+            )
 
 
 class TestSitemap:
@@ -928,6 +933,33 @@ class TestCdxPlan:
         # the shared-digest pair kept the max-struct winner (latest ts)
         assert rows["sha1:x"]["filename"] == "f2.warc.gz"
 
+    def test_dedup_digest_null_digests_never_collapse(
+        self, spark, tmp_path, capsys
+    ):
+        """r14 review: two null-digest captures — even of the SAME url
+        — are distinct unknown content and must both survive."""
+        from imitation_learning_data_pipeline_spark.cli import main
+
+        idx = tmp_path / "idx"
+        idx.mkdir()
+        line = (
+            'com,a)/x {ts} {{"url": "http://a.com/x", "mime": '
+            '"text/html", "status": "200", "length": "5", '
+            '"offset": "{off}", "filename": "f.warc.gz"}}'
+        )
+        (idx / "p.cdxj").write_text(
+            line.format(ts="20260101000000", off=0) + "\n"
+            + line.format(ts="20260201000000", off=100) + "\n"
+        )
+        out = str(tmp_path / "plan")
+        assert main([
+            "cdx-plan", "--input", str(idx), "--out", out,
+            "--dedup-digest",
+        ]) == 0
+        assert json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1]
+        )["captures"] == 2
+
     def test_keep_all_statuses(self, spark, tmp_path, capsys):
         from imitation_learning_data_pipeline_spark.cli import main
 
@@ -1080,6 +1112,33 @@ class TestWarcRanges:
                 "ingest-warc", "--input", corpus, "--ranges", manifest,
                 "--out", docs,
             ])
+
+    def test_relative_filenames_resolve_against_base(self, spark, tmp_path):
+        """Real CDX carries crawl-root-relative paths — base_dir (and
+        the CLI's --ranges-base) resolves them against a local mirror."""
+        import gzip
+
+        from imitation_learning_data_pipeline_spark.sources.warc import (
+            read_warc_ranges,
+        )
+
+        root = tmp_path / "mirror"
+        (root / "crawl-data" / "seg").mkdir(parents=True)
+        rec = gzip.compress(
+            _warc_record("response", "http://rel.test/",
+                         _http_response(b"<p>found me</p>"))
+        )
+        p = root / "crawl-data" / "seg" / "a.warc.gz"
+        p.write_bytes(rec)
+        manifest = spark.createDataFrame(
+            [("crawl-data/seg/a.warc.gz", 0, len(rec))],
+            "filename string, offset long, length long",
+        )
+        rows = read_warc_ranges(
+            spark, manifest, base_dir=str(root)
+        ).collect()
+        assert len(rows) == 1
+        assert rows[0]["target_uri"] == "http://rel.test/"
 
     def test_stale_manifest_refuses(self, spark, tmp_path):
         import gzip
