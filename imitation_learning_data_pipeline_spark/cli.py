@@ -1607,6 +1607,16 @@ def cmd_cdx_plan(args: argparse.Namespace) -> int:
     plan = idx.select(
         "url", "host", "filename", "offset", "length", "ts", "digest"
     )
+    if args.exclude_docs:
+        # incremental crawl ingestion: drop captures whose URL the
+        # corpus already holds — a LeftAnti on url (the index side is
+        # tiny next to a 100 TB crawl, but the DOCS side can be huge;
+        # anti-join shuffles only the two url column sets). Normalize
+        # nothing here: the manifest must name exactly the captures to
+        # fetch, and the docs side carries whatever url form its own
+        # ingest wrote.
+        have = spark.read.parquet(args.exclude_docs).select("url").distinct()
+        plan = plan.join(have, "url", "left_anti")
     if args.dedup_digest:
         # the index's content digest (sha1 of the payload) identifies
         # byte-identical captures ACROSS urls — dedup here means those
@@ -3031,6 +3041,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="keep one capture per content digest (byte-identical "
         "payloads across mirrors fetched once; null digests never "
         "collapse)",
+    )
+    cx.add_argument(
+        "--exclude-docs", default=None,
+        help="incremental ingest: drop captures whose url an existing "
+        "documents parquet already holds (anti-join)",
     )
     cx.set_defaults(fn=cmd_cdx_plan)
 

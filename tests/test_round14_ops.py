@@ -960,6 +960,35 @@ class TestCdxPlan:
             capsys.readouterr().out.strip().splitlines()[-1]
         )["captures"] == 2
 
+    def test_exclude_docs_incremental(self, spark, tmp_path, capsys):
+        """--exclude-docs: captures already in the corpus drop — the
+        incremental re-crawl shape (plan only what's new)."""
+        from imitation_learning_data_pipeline_spark.cli import main
+
+        idx = tmp_path / "idx"
+        idx.mkdir()
+        (idx / "p.cdxj").write_text(
+            self._line("com,a)/old", "20260101000000", "http://a.com/old")
+            + "\n"
+            + self._line("com,a)/new", "20260101000000", "http://a.com/new")
+            + "\n"
+        )
+        docs = str(tmp_path / "docs")
+        spark.createDataFrame(
+            [(1, "http://a.com/old", "already ingested")],
+            "doc_id long, url string, text string",
+        ).write.parquet(docs)
+        out = str(tmp_path / "plan")
+        assert main([
+            "cdx-plan", "--input", str(idx), "--out", out,
+            "--exclude-docs", docs,
+        ]) == 0
+        assert json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1]
+        )["captures"] == 1
+        rows = spark.read.parquet(out).collect()
+        assert rows[0]["url"] == "http://a.com/new"
+
     def test_keep_all_statuses(self, spark, tmp_path, capsys):
         from imitation_learning_data_pipeline_spark.cli import main
 
@@ -1157,6 +1186,53 @@ class TestWarcRanges:
         )
         with pytest.raises(Exception, match="ranged read"):
             read_warc_ranges(spark, manifest).collect()
+
+
+class TestStreamingCdxIngest:
+    def test_shards_drive_ranged_ingest_exactly_once(self, spark, tmp_path):
+        """Index shards land → only the new shard's captures are
+        fetched (ranged) and ingested; replay changes nothing."""
+        from imitation_learning_data_pipeline_spark.plans.web import (
+            build_warc_corpus,
+        )
+        from imitation_learning_data_pipeline_spark.streaming.cdx_stream import (
+            run_incremental_cdx_ingest,
+        )
+
+        corpus = build_warc_corpus(
+            "/root/testdata/sf0.001", out_root=str(tmp_path / "w"),
+            replicas=2, n_files=2, index=True,
+        )
+        lines = [
+            ln
+            for ln in open(os.path.join(corpus, "index.cdxj"))
+            .read().splitlines()
+            if ln.strip()
+        ]
+        half = len(lines) // 2
+        land = tmp_path / "landing"
+        land.mkdir()
+        docs = str(tmp_path / "docs")
+        ckpt = str(tmp_path / "ckpt")
+        (land / "shard0.cdxj").write_text("\n".join(lines[:half]) + "\n")
+        run_incremental_cdx_ingest(spark, str(land), docs, ckpt)
+        n1 = spark.read.parquet(docs).count()
+        assert n1 > 0
+        # second shard arrives — only ITS captures are added
+        (land / "shard1.cdxj").write_text("\n".join(lines[half:]) + "\n")
+        run_incremental_cdx_ingest(spark, str(land), docs, ckpt)
+        all_rows = spark.read.parquet(docs).collect()
+        n200 = sum(
+            1 for ln in lines if '"status": "200"' in ln
+        )
+        assert len(all_rows) == n200
+        assert len({r["ingest_batch"] for r in all_rows}) == 2
+        ids = sorted(r["doc_id"] for r in all_rows)
+        # no-new-data replay: nothing duplicates
+        run_incremental_cdx_ingest(spark, str(land), docs, ckpt)
+        assert sorted(
+            r["doc_id"] for r in spark.read.parquet(docs).collect()
+        ) == ids
 
 
 class TestBenchRequeueSelection:
