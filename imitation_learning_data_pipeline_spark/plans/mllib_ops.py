@@ -32,15 +32,37 @@ from ..sources.readers import spread
 from .registry import register
 
 
+# The MLlib minhash rows are CROSS-CHECKS of the native pipeline's
+# minhash math, not production operators — and MLlib's
+# approxSimilarityJoin offers NO bucket cap, so its candidate-pair
+# count rides bucket occupancy superlinearly with corpus size
+# (measured r14: isolated fresh-JVM exponents +1.29 / +1.86 at the 10×
+# pairing — the data has no duplicated text, it is pure LSH occupancy
+# growth; SCALING.md round-14 #3). Parity between MLlib and the native
+# path is established by a FIXED-SIZE probe, so both rows run over a
+# deterministic doc_id window: the full corpus at every driver SF
+# (≤ sf0.1, ids 0..4999) and a bounded probe beyond. The bucket-capped
+# native `dedup_minhash_lsh` is the production path and stays
+# uncapped. The verify oracle applies the SAME window.
+_MLLIB_MINHASH_PROBE_CAP = 5000
+
+
 @register("mllib_minhash_dups", oracle=None)
 def mllib_minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs via MLlib MinHashLSH over hashed token-set vectors."""
+    """Near-dup pairs via MLlib MinHashLSH over hashed token-set
+    vectors — over the fixed verification window (see
+    ``_MLLIB_MINHASH_PROBE_CAP``; the native bucket-capped pipeline is
+    the at-scale path)."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     from ..functions.text import clean_words, shingles_of_words
 
     ensure_utc(spark)
-    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    docs = spread(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < _MLLIB_MINHASH_PROBE_CAP)
+    )
     planted = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" extra tail")).alias("text"),
@@ -78,9 +100,10 @@ def _minhash_verify_oracle() -> str:
     return f"""
 WITH orig AS (
   SELECT doc_id, text FROM documents
+  WHERE doc_id < {_MLLIB_MINHASH_PROBE_CAP}
 ), aug AS (
   SELECT doc_id, text || ' extra tail' AS text FROM documents
-  WHERE doc_id % 10 = 0
+  WHERE doc_id % 10 = 0 AND doc_id < {_MLLIB_MINHASH_PROBE_CAP}
 ), so AS (
   SELECT doc_id, {sh} AS sh FROM orig
 ), sa AS (
@@ -116,7 +139,12 @@ def mllib_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_utc(spark)
     pairs = mllib_minhash_dups(spark, sf_dir)
 
-    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    # same fixed probe window as mllib_minhash_dups (and its oracle)
+    docs = spread(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < _MLLIB_MINHASH_PROBE_CAP)
+    )
     planted = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" extra tail")).alias("text"),
