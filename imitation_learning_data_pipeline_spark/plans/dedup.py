@@ -1084,7 +1084,36 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PROBE_MOD = 17  # doc_id % 17 == 3 → ~6% of originals act as the probe set
 _PROBE_REM = 3
+# r14 (SCALE_SWEEP_LIB_r14c adjudication): a benchmark probe is FIXED
+# SIZE by nature — the residue selection alone made the probe grow WITH
+# the corpus, and probe-shingle coverage × corpus hits compounds
+# (decontam_probe_overlap measured isolated exponent +1.32 at the 10×
+# pairing). The probe window is therefore capped at the sf0.1 id range:
+# bit-identical behavior at every driver SF (ids are 0-contiguous,
+# ≤ 4999 there; planted dups live at +1000000), fixed-size probe
+# beyond — the operator's true 100 TB shape. Oracles carry the same
+# predicate.
+_PROBE_CAP = 5000
 _DECONTAM_N = 5  # 5-gram overlap, the usual decontamination shingle width
+
+
+def _probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FIXED probe window as its own pushed-down scan (r14): the
+    probe rows are exactly `_corpus().filter(is_probe)` — originals
+    with the residue inside the cap; planted ids live at +1e6 and can
+    never match — but filtering the corpus pays spread()'s full-corpus
+    repartition to keep ~300 docs (measured: the probe branch alone
+    cost 7.5 of the row's 23 CPU-s at 10×). A direct scan with the
+    filter AT the source prunes instead."""
+    ensure_utc(spark)
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(
+            (F.col("doc_id") % _PROBE_MOD == _PROBE_REM)
+            & (F.col("doc_id") < _PROBE_CAP)
+        )
+    )
 
 
 @register(
@@ -1094,12 +1123,12 @@ WITH corpus AS ({_CORPUS_SQL}),
 probe_sh AS (
   SELECT DISTINCT unnest({_shingle_sql(_DECONTAM_N)}) AS s
   FROM corpus
-  WHERE doc_id < 1000000 AND doc_id % {_PROBE_MOD} = {_PROBE_REM}
+  WHERE doc_id < 1000000 AND doc_id % {_PROBE_MOD} = {_PROBE_REM} AND doc_id < {_PROBE_CAP}
 ),
 cand AS (
   SELECT doc_id, unnest({_shingle_sql(_DECONTAM_N)}) AS s
   FROM corpus
-  WHERE NOT (doc_id < 1000000 AND doc_id % {_PROBE_MOD} = {_PROBE_REM})
+  WHERE NOT (doc_id < 1000000 AND doc_id % {_PROBE_MOD} = {_PROBE_REM} AND doc_id < {_PROBE_CAP})
 )
 SELECT c.doc_id, count(*) AS n_overlap
 FROM cand c JOIN probe_sh p ON c.s = p.s
@@ -1111,10 +1140,14 @@ def decontam_probe_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the planted-dup corpus by doc_id residue (the planted copies of
     probe docs guarantee non-trivial hits on both engines)."""
     corpus = _corpus(spark, sf_dir)
-    is_probe = (F.col("doc_id") < 1000000) & (
-        F.col("doc_id") % _PROBE_MOD == _PROBE_REM
+    is_probe = (
+        (F.col("doc_id") < 1000000)
+        & (F.col("doc_id") % _PROBE_MOD == _PROBE_REM)
+        & (F.col("doc_id") < _PROBE_CAP)
     )
-    return decontam_overlap(corpus.filter(~is_probe), corpus.filter(is_probe))
+    return decontam_overlap(
+        corpus.filter(~is_probe), _probe_docs(spark, sf_dir)
+    )
 
 
 def decontam_overlap(
@@ -1212,12 +1245,12 @@ WITH corpus AS ({_CORPUS_SQL}),
 probe_sh AS (
   SELECT DISTINCT unnest({_shingle_sql(_DECONTAM_N)}) AS s
   FROM corpus
-  WHERE doc_id < 1000000 AND doc_id % {_PROBE_MOD} = {_PROBE_REM}
+  WHERE doc_id < 1000000 AND doc_id % {_PROBE_MOD} = {_PROBE_REM} AND doc_id < {_PROBE_CAP}
 ),
 cand AS (
   SELECT doc_id, unnest({_shingle_sql(_DECONTAM_N)}) AS s
   FROM corpus
-  WHERE NOT (doc_id < 1000000 AND doc_id % {_PROBE_MOD} = {_PROBE_REM})
+  WHERE NOT (doc_id < 1000000 AND doc_id % {_PROBE_MOD} = {_PROBE_REM} AND doc_id < {_PROBE_CAP})
 )
 SELECT c.doc_id, count(*) AS n_overlap
 FROM cand c JOIN probe_sh p ON c.s = p.s
@@ -1234,11 +1267,13 @@ def decontam_overlap_bloom_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the exact oracle at the default fpp therefore checks the
     whole contract, not a planted fpp=0 special case."""
     corpus = _corpus(spark, sf_dir)
-    is_probe = (F.col("doc_id") < 1000000) & (
-        F.col("doc_id") % _PROBE_MOD == _PROBE_REM
+    is_probe = (
+        (F.col("doc_id") < 1000000)
+        & (F.col("doc_id") % _PROBE_MOD == _PROBE_REM)
+        & (F.col("doc_id") < _PROBE_CAP)
     )
     return decontam_overlap_bloom(
-        corpus.filter(~is_probe), corpus.filter(is_probe)
+        corpus.filter(~is_probe), _probe_docs(spark, sf_dir)
     )
 
 
@@ -1260,14 +1295,14 @@ WITH corpus AS ({_CORPUS_SQL}),
 probe_sh AS (
   SELECT DISTINCT unnest({_shingle_sql(_DECONTAM_N)}) AS s
   FROM corpus
-  WHERE doc_id < 1000000 AND doc_id % {_PROBE_MOD} = {_PROBE_REM}
+  WHERE doc_id < 1000000 AND doc_id % {_PROBE_MOD} = {_PROBE_REM} AND doc_id < {_PROBE_CAP}
 ),
 cand AS (
   SELECT doc_id, u.pos AS pos, u.s AS s
   FROM (
     SELECT doc_id, unnest({_pos_shingle_sql(_DECONTAM_N)}) AS u
     FROM corpus
-    WHERE NOT (doc_id < 1000000 AND doc_id % {_PROBE_MOD} = {_PROBE_REM})
+    WHERE NOT (doc_id < 1000000 AND doc_id % {_PROBE_MOD} = {_PROBE_REM} AND doc_id < {_PROBE_CAP})
   )
 ),
 hits AS (
@@ -1295,10 +1330,14 @@ def decontam_overlap_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract wrapper: :func:`decontam_spans` with the same probe cut
     as decontam_probe_overlap."""
     corpus = _corpus(spark, sf_dir)
-    is_probe = (F.col("doc_id") < 1000000) & (
-        F.col("doc_id") % _PROBE_MOD == _PROBE_REM
+    is_probe = (
+        (F.col("doc_id") < 1000000)
+        & (F.col("doc_id") % _PROBE_MOD == _PROBE_REM)
+        & (F.col("doc_id") < _PROBE_CAP)
     )
-    return decontam_spans(corpus.filter(~is_probe), corpus.filter(is_probe))
+    return decontam_spans(
+        corpus.filter(~is_probe), _probe_docs(spark, sf_dir)
+    )
 
 
 def decontam_spans(
@@ -1384,7 +1423,10 @@ def _fuzzy_decontam_oracle(threshold: float) -> str:
   {bands_sql.replace('{side}', side)}
 )"""
 
-    probe_where = f"doc_id < 1000000 AND doc_id % {_PROBE_MOD} = {_PROBE_REM}"
+    probe_where = (
+        f"doc_id < 1000000 AND doc_id % {_PROBE_MOD} = {_PROBE_REM} "
+        f"AND doc_id < {_PROBE_CAP}"
+    )
     return f"""
 WITH corpus AS ({_CORPUS_SQL}),
 {_side('doc', f'NOT ({probe_where})')},
@@ -1472,10 +1514,14 @@ def decontam_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     j≈0.8) of probe-residue originals guarantee non-trivial hits on
     both engines."""
     corpus = _corpus(spark, sf_dir)
-    is_probe = (F.col("doc_id") < 1000000) & (
-        F.col("doc_id") % _PROBE_MOD == _PROBE_REM
+    is_probe = (
+        (F.col("doc_id") < 1000000)
+        & (F.col("doc_id") % _PROBE_MOD == _PROBE_REM)
+        & (F.col("doc_id") < _PROBE_CAP)
     )
-    return decontam_fuzzy(corpus.filter(~is_probe), corpus.filter(is_probe))
+    return decontam_fuzzy(
+        corpus.filter(~is_probe), _probe_docs(spark, sf_dir)
+    )
 
 
 # --- corpus-wide exact-substring duplicate spans -----------------------------
