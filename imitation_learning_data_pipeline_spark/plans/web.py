@@ -791,7 +791,7 @@ def web_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH gen AS (SELECT doc_id AS d FROM documents)
 SELECT d AS doc_id,
        'http://site' || (d % 10) || '.com' ||
-         CASE d % 4 WHEN 0 THEN '/public/x' WHEN 1 THEN '/private/x'
+         CASE d % 4 WHEN 0 THEN '/public/x' WHEN 1 THEN '/priv%61te/x'
               WHEN 2 THEN '/private/ok/x' ELSE '/mybot-only/x' END AS url,
        CASE WHEN (d % 10) % 2 = 0 THEN d % 4 = 3
             ELSE d % 4 = 1 END AS robots_disallowed
@@ -806,9 +806,13 @@ def web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     REAL `operators/robots.py::robots_filter` under agent='mybot', and
     let the oracle predict every verdict arithmetically. A hash match
     pins: host equi-join scoping, LIKE-pattern matching, longest-match
-    precedence with allow-beats-disallow ties, and the RFC agent-group
+    precedence with allow-beats-disallow ties, the RFC agent-group
     choice (a host WITH a mybot group ignores its ``*`` group — so
-    /private flips allowed there, and /mybot-only flips disallowed).
+    /private flips allowed there, and /mybot-only flips disallowed),
+    and (r15) RFC 9309 §2.2.2 percent-normalization on the page side:
+    the d%4==1 URLs carry ``/priv%61te/x`` — an unreserved-octet
+    escape that must decode to ``a`` for the ``/private`` disallow to
+    fire, while the output keeps the raw (still-encoded) url string.
     The PARSER (robots.txt text → rules) is Python-side and
     pytest-locked (TestRobots); this row checks the verdict plan.
     Cap-parked (CONTRACT_EXCLUDE) behind the equi-join + struct-max
@@ -820,7 +824,7 @@ def web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = F.col("doc_id")
     path = (
         F.when(d % 4 == 0, F.lit("/public/x"))
-        .when(d % 4 == 1, F.lit("/private/x"))
+        .when(d % 4 == 1, F.lit("/priv%61te/x"))
         .when(d % 4 == 2, F.lit("/private/ok/x"))
         .otherwise(F.lit("/mybot-only/x"))
     )

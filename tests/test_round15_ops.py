@@ -1,0 +1,185 @@
+"""Round-15 surfaces: RFC 9309 percent-escape normalization, the
+zero-shuffle robots verdict plan, the query-only URL path fix, and the
+row-preservation guarantee the r14 groupBy shape could not give."""
+
+import pytest
+
+
+class TestPctNormalize:
+    """operators/robots.py::pct_normalize — the Python arm, plus JVM
+    twin parity (the two MUST stay bit-identical: patterns are
+    normalized in Python at parse time, page paths in the JVM plan)."""
+
+    CASES = [
+        ("/a%7Eb", "/a~b"),              # unreserved → decoded
+        ("/a%7eb", "/a~b"),              # lowercase hex too
+        ("/%61%42%30%2D%2E%5F", "/aB0-._"),
+        ("/a%2Fb", "/a%2F" + "b"),       # reserved slash stays encoded
+        ("/a%2fb", "/a%2Fb"),            # ... with uppercased hex
+        ("/q%3Fx%3D1", "/q%3Fx%3D1"),    # reserved ? = stay encoded
+        ("/50%off", "/50%off"),          # invalid escape passes through
+        ("/end%", "/end%"),              # truncated escape
+        ("/end%4", "/end%4"),
+        ("/%C3%A9", "/%C3%A9"),          # non-ASCII octets stay encoded
+        ("/a%2Ab", "/a%2Ab"),            # %2A never becomes a wildcard
+        ("", ""),
+        ("%41", "A"),                    # leading escape
+    ]
+
+    def test_python_arm(self):
+        from imitation_learning_data_pipeline_spark.operators.robots import (
+            pct_normalize,
+        )
+
+        for raw, want in self.CASES:
+            assert pct_normalize(raw) == want, raw
+
+    def test_jvm_twin_parity(self, spark):
+        from pyspark.sql import functions as F
+
+        from imitation_learning_data_pipeline_spark.operators.robots import (
+            _pct_normalize_col,
+            pct_normalize,
+        )
+
+        raws = [c[0] for c in self.CASES] + [
+            "/path/with/many/segments?q=%7Ea&r=%2F",
+            "/%zz%41%zz",
+            "%%41%",
+        ]
+        df = spark.createDataFrame([(s,) for s in raws], "s string")
+        got = {
+            r["s"]: r["n"]
+            for r in df.select(
+                "s", _pct_normalize_col(F.col("s")).alias("n")
+            ).collect()
+        }
+        for s in raws:
+            assert got[s] == pct_normalize(s), s
+
+
+class TestRobotsFilterR15:
+    RULES_SCHEMA = (
+        "host string, agent string, allow boolean, pattern string, "
+        "raw_len int"
+    )
+
+    def _filter(self, spark, pages_rows, rules_rows, **kw):
+        from imitation_learning_data_pipeline_spark.operators.robots import (
+            robots_filter,
+        )
+
+        pages = spark.createDataFrame(pages_rows, "doc_id long, url string")
+        rules = spark.createDataFrame(rules_rows, self.RULES_SCHEMA)
+        return {
+            r["doc_id"]: r["robots_disallowed"]
+            for r in robots_filter(pages, rules, **kw).collect()
+        }
+
+    def test_percent_equivalence_and_2f_exception(self, spark):
+        """A '/a~b' rule (however written) matches both '/a~b' and
+        '/a%7Eb' URLs; an encoded slash never matches a literal one."""
+        from imitation_learning_data_pipeline_spark.operators.robots import (
+            _like_pattern,
+            pct_normalize,
+        )
+
+        def rule(raw, allow=False):
+            norm = pct_normalize(raw)
+            core = norm[:-1] if norm.endswith("$") else norm
+            return ("h.test", "*", allow, _like_pattern(norm), len(core))
+
+        got = self._filter(
+            spark,
+            [
+                (1, "http://h.test/a~b/x"),
+                (2, "http://h.test/a%7Eb/x"),
+                (3, "http://h.test/a%7eb/x"),
+                (4, "http://h.test/ab/x"),
+                (5, "http://h.test/c/d"),      # literal slash path
+                (6, "http://h.test/c%2Fd"),    # encoded slash path
+            ],
+            [rule("/a%7Eb"), rule("/c/d")],
+        )
+        assert got == {
+            1: True, 2: True, 3: True, 4: False,
+            5: True,
+            6: False,  # %2F exception: encoded slash ≠ literal slash
+        }
+        # and the mirror: an encoded-slash RULE only hits encoded URLs
+        got2 = self._filter(
+            spark,
+            [(1, "http://h.test/c/d"), (2, "http://h.test/c%2fd")],
+            [rule("/c%2Fd")],
+        )
+        assert got2 == {1: False, 2: True}
+
+    def test_query_only_url_keeps_query(self, spark):
+        """ADVICE r14: 'http://h?q=1' must expose '/?q=1' to matching,
+        not a bare '/'."""
+        got = self._filter(
+            spark,
+            [
+                (1, "http://h.test?q=1"),
+                (2, "http://h.test/?q=1"),
+                (3, "http://h.test?other=1"),
+                (4, "http://h.test"),
+            ],
+            [("h.test", "*", False, "/?q=%", 4)],
+        )
+        assert got == {1: True, 2: True, 3: False, 4: False}
+
+    def test_duplicate_rows_preserved(self, spark):
+        """r15 zero-shuffle shape annotates row-for-row: fully
+        identical input rows no longer collapse."""
+        from imitation_learning_data_pipeline_spark.operators.robots import (
+            robots_filter,
+        )
+
+        pages = spark.createDataFrame(
+            [(1, "http://h.test/x")] * 3 + [(2, "http://h.test/y")],
+            "doc_id long, url string",
+        )
+        rules = spark.createDataFrame(
+            [("h.test", "*", False, "/x%", 2)], self.RULES_SCHEMA
+        )
+        out = robots_filter(pages, rules).collect()
+        assert len(out) == 4
+        assert sorted(r["doc_id"] for r in out) == [1, 1, 1, 2]
+
+    def test_no_page_side_exchange(self, spark):
+        """The physical plan must not shuffle the corpus: rules side
+        broadcasts, and the only Exchanges sit under the broadcast
+        (rules) subtree — the pages scan flows straight into the
+        BroadcastHashJoin + projection."""
+        from pyspark.sql import functions as F
+
+        from imitation_learning_data_pipeline_spark.operators.robots import (
+            robots_filter,
+        )
+
+        pages = spark.range(1000).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("http://h"), F.col("id") % 7, F.lit(".test/p/"),
+                F.col("id"),
+            ).alias("url"),
+        )
+        rules = spark.createDataFrame(
+            [(f"h{i}.test", "*", False, "/p%", 2) for i in range(7)],
+            self.RULES_SCHEMA,
+        )
+        plan = robots_filter(pages, rules)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        # every remaining Exchange must live on the rules side (they
+        # all key on the __rhost working column — the groupBy/argmax
+        # feeding the broadcast); an exchange on anything else means
+        # the corpus shuffled
+        for line in plan.splitlines():
+            if (
+                "Exchange" in line
+                and "BroadcastExchange" not in line
+                and "__rhost" not in line
+            ):
+                raise AssertionError(f"corpus-side exchange: {line}")
+        assert "SortMergeJoin" not in plan and "Window" not in plan

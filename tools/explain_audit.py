@@ -278,17 +278,19 @@ AUDIT = {
         "forbid": ["CartesianProduct", "SortMergeJoin", "Window",
                    "MapInPandas"],
     },
-    # round-14: robots verdicts — rules side must BROADCAST (it is
-    # per-host robots content, tiny next to the corpus) and the
-    # longest-match argmax must stay a hash aggregate (no window sort,
-    # no SMJ shuffling the corpus by host). Measured baseline: 8
-    # exchanges (sf0.01; includes the in-plan synthetic rules build —
-    # distinct + group-max + union feeding two of the four broadcast
-    # joins); ceiling +1 for optimizer noise.
+    # round-15: robots verdicts are ZERO-shuffle on the page side —
+    # per-host rules collapse to an array row, BROADCAST, and the
+    # longest-match argmax is a per-row HOF (no groupBy keyed on page
+    # columns any more). Every surviving exchange keys on the rules
+    # side's __rhost (distinct + group-max + collect_list feeding the
+    # broadcasts); an exchange partitioned on doc_id would mean the
+    # corpus shuffled again. Measured baseline: 8 exchanges (sf0.01,
+    # incl. the in-plan synthetic rules build).
     "web_robots_filter": {
-        "max_exchanges": 9,
+        "max_exchanges": 8,
         "want": ["BroadcastHashJoin"],
-        "forbid": ["CartesianProduct", "SortMergeJoin", "Window"],
+        "forbid": ["CartesianProduct", "SortMergeJoin", "Window",
+                   "hashpartitioning(doc_id"],
     },
     # round-14: sitemap extraction is a pure projection — from_xml +
     # explode, ZERO exchanges.
