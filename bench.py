@@ -113,6 +113,96 @@ HEADLINE = [
 REQUEUE_RATIO = 3.0
 REQUEUE_CAP = 5
 
+# Host-calibration query size (VERDICT r14 #1). 500M xxhash64'd longs,
+# 64 fixed partitions: data-independent (spark.range), plan-constant
+# (no shuffle, no scan, partition count pinned so shuffle.partitions
+# can't move it), pure JVM CPU — its round-over-round wall ratio
+# measures the HOST, not the engine. r14's +17% uniform drift could
+# only be adjudicated by a judge-side rerun plus a cross-round ratio
+# distribution; this row makes the comparison self-normalizing.
+CALIBRATION_ROWS = 500_000_000
+CALIBRATION_PARTITIONS = 64
+
+
+def parse_prev_bench(record: dict) -> dict | None:
+    """Driver BENCH_r*.json record → the final-line bench JSON (the
+    one with per-query warm walls), or None. Prefers the driver's
+    `parsed` field; falls back to scanning `tail` lines in reverse for
+    the headline metric (the tail keeps only the END of stdout, so the
+    final compact line survives truncation)."""
+    parsed = record.get("parsed")
+    if isinstance(parsed, dict) and isinstance(parsed.get("queries"), dict):
+        return parsed
+    for line in reversed((record.get("tail") or "").splitlines()):
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            obj = json.loads(line)
+        except ValueError:
+            continue
+        if isinstance(obj.get("queries"), dict):
+            return obj
+    return None
+
+
+def latest_bench_file(repo_dir: str) -> str | None:
+    """Highest-numbered BENCH_r*.json under repo_dir, or None."""
+    best, best_n = None, -1
+    try:
+        entries = os.listdir(repo_dir)
+    except OSError:
+        return None
+    for f in entries:
+        m = re.fullmatch(r"BENCH_r(\d+)[a-z]?\.json", f)
+        if m and int(m.group(1)) > best_n:
+            best, best_n = f, int(m.group(1))
+    return os.path.join(repo_dir, best) if best else None
+
+
+def like_for_like(
+    cur_warm: dict[str, float],
+    cur_calibration_s: float | None,
+    prev: dict | None,
+    prev_name: str | None,
+) -> dict | None:
+    """Cross-round comparison block (VERDICT r14 #1): per-query warm
+    ratios vs the previous round's artifact, their median, and — when
+    BOTH rounds carry a calibration row — the same median divided by
+    the calibration ratio, so uniform host drift cancels and what
+    remains is attributable to the plans. Raw and normalized both
+    ship: normalization must never hide a real regression, only
+    relabel a uniform one."""
+    if not prev or not isinstance(prev.get("queries"), dict):
+        return None
+    prev_q = prev["queries"]
+    ratios = {
+        n: round(cur_warm[n] / prev_q[n], 3)
+        for n in cur_warm
+        if n in prev_q and prev_q[n] and cur_warm[n] is not None
+    }
+    if not ratios:
+        return None
+    vals = sorted(ratios.values())
+    mid = len(vals) // 2
+    median = vals[mid] if len(vals) % 2 else (vals[mid - 1] + vals[mid]) / 2
+    prev_cal = prev.get("calibration_s")
+    cal_ratio = (
+        round(cur_calibration_s / prev_cal, 3)
+        if cur_calibration_s and prev_cal
+        else None
+    )
+    return {
+        "prev": os.path.basename(prev_name) if prev_name else None,
+        "n_common": len(ratios),
+        "median_warm_ratio": round(median, 3),
+        "calibration_ratio": cal_ratio,
+        "median_normalized_ratio": (
+            round(median / cal_ratio, 3) if cal_ratio else None
+        ),
+        "per_query_warm_ratio": ratios,
+    }
+
 
 def flag_requeues(
     ratios: dict[str, float],
@@ -179,6 +269,17 @@ def main() -> int:
         action="store_true",
         help="skip the second back-to-back warm sweep (variance block)",
     )
+    ap.add_argument(
+        "--no-calibration",
+        action="store_true",
+        help="skip the host-calibration query (quick local runs)",
+    )
+    ap.add_argument(
+        "--prev",
+        default=None,
+        help="previous BENCH_r*.json for the like-for-like block "
+        "(default: highest-numbered one in the repo root)",
+    )
     args = ap.parse_args()
 
     from imitation_learning_data_pipeline_spark.plans import QUERIES
@@ -219,6 +320,34 @@ def main() -> int:
             "overwrite"
         ).save()
     probe = TaskTimeProbe(spark)
+
+    # Host-calibration row (VERDICT r14 #1): fixed JVM-only query,
+    # cold + best-of-(repeat-1) warm, same methodology as the queries.
+    calibration = None
+    if not args.no_calibration:
+        cal_walls: list[float] = []
+        cal_tasks: list[float] = []
+        for _ in range(max(args.repeat, 2)):
+            t0 = time.time()
+            m0 = probe.total_ms()
+            spark.range(
+                0, CALIBRATION_ROWS, 1, CALIBRATION_PARTITIONS
+            ).selectExpr(
+                # pmod keeps the running sum inside long range (a raw
+                # sum of 500M 64-bit hashes overflows under ANSI mode)
+                "sum(pmod(xxhash64(id), 1048576)) AS h"
+            ).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            cal_walls.append(time.time() - t0)
+            cal_tasks.append((probe.total_ms() - m0) / 1000.0)
+        calibration = {
+            "calibration_s": round(min(cal_walls[1:]), 3),
+            "calibration_cold_s": round(cal_walls[0], 3),
+            "calibration_task_s": round(min(cal_tasks[1:]), 3),
+            "calibration_cold_task_s": round(cal_tasks[0], 3),
+            "rows": CALIBRATION_ROWS,
+        }
 
     names = args.queries.split(",") if args.queries else HEADLINE
     timings: dict[str, float] = {}
@@ -332,6 +461,28 @@ def main() -> int:
 
     m = re.search(r"sf([0-9.]+)", args.sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
+
+    # Like-for-like block vs the previous round's artifact (VERDICT
+    # r14 #1): only meaningful for a full-headline run — a --queries
+    # subset would compare apples to a different fruit basket.
+    lfl = None
+    if args.queries is None:
+        prev_path = args.prev or latest_bench_file(
+            os.path.dirname(os.path.abspath(__file__))
+        )
+        prev = None
+        if prev_path:
+            try:
+                with open(prev_path) as f:
+                    prev = parse_prev_bench(json.load(f))
+            except (OSError, ValueError):
+                prev = None
+        lfl = like_for_like(
+            timings,
+            calibration["calibration_s"] if calibration else None,
+            prev,
+            prev_path,
+        )
     # Methodology disclosure (ADVICE r4): `value`/`queries` are
     # best-of-`repeat` (warm steady state); first-run walls and task
     # CPU ship alongside so cross-round comparisons can tell which
@@ -357,6 +508,8 @@ def main() -> int:
                 # by the cold number.
                 "warm_gt_cold": warm_gt_cold,
                 "variance": variance,
+                "calibration": calibration,
+                "normalized_like_for_like": lfl,
                 "sf": sf,
             }
         ),
@@ -395,6 +548,32 @@ def main() -> int:
                 "task_total_s": round(sum(task_times.values()), 3),
                 "warm_gt_cold_count": len(warm_gt_cold),
                 "variance": variance_summary,
+                # host calibration (VERDICT r14 #1): a fixed
+                # data-independent JVM-only query's warm wall — divide
+                # cross-round warm ratios by the calibration ratio to
+                # cancel uniform host drift.
+                "calibration_s": (
+                    calibration["calibration_s"] if calibration else None
+                ),
+                "calibration_cold_task_s": (
+                    calibration["calibration_cold_task_s"]
+                    if calibration
+                    else None
+                ),
+                "normalized_like_for_like": (
+                    None
+                    if lfl is None
+                    else {
+                        k: lfl[k]
+                        for k in (
+                            "prev",
+                            "n_common",
+                            "median_warm_ratio",
+                            "calibration_ratio",
+                            "median_normalized_ratio",
+                        )
+                    }
+                ),
                 "sf": sf,
             }
         ),

@@ -5,6 +5,71 @@ row-preservation guarantee the r14 groupBy shape could not give."""
 import pytest
 
 
+class TestBenchCalibration:
+    """bench.py host-calibration + like-for-like helpers (VERDICT r14
+    #1) — pure functions, no Spark session."""
+
+    def test_parse_prev_bench_prefers_parsed(self):
+        from bench import parse_prev_bench
+
+        rec = {
+            "parsed": {"queries": {"a": 1.0}, "calibration_s": 2.0},
+            "tail": '{"queries": {"b": 9.9}}',
+        }
+        assert parse_prev_bench(rec)["queries"] == {"a": 1.0}
+
+    def test_parse_prev_bench_tail_fallback(self):
+        from bench import parse_prev_bench
+
+        # truncated first line (driver keeps only the END of stdout),
+        # complete final line — the real r14 artifact shape
+        rec = {
+            "parsed": None,
+            "tail": 'zscore": 0.6, "x": 1}}\n'
+            '{"metric": "headline_cold_task_cpu_total", '
+            '"queries": {"q1": 0.4}, "calibration_s": 0.5}\n',
+        }
+        got = parse_prev_bench(rec)
+        assert got["queries"] == {"q1": 0.4}
+        assert parse_prev_bench({"tail": "garbage\nnot json"}) is None
+
+    def test_latest_bench_file_real_repo(self):
+        import re
+
+        from bench import latest_bench_file
+
+        got = latest_bench_file("/root/repo")
+        assert got is not None
+        assert re.search(r"BENCH_r\d+[a-z]?\.json$", got)
+        # r14 is the highest at the time this test was written; any
+        # later round may only move it FORWARD
+        n = int(re.search(r"BENCH_r(\d+)", got).group(1))
+        assert n >= 14
+
+    def test_like_for_like_normalization(self):
+        from bench import like_for_like
+
+        prev = {
+            "queries": {"a": 1.0, "b": 2.0, "c": 4.0},
+            "calibration_s": 0.5,
+        }
+        # uniform 1.2x drift, calibration drifted the same way →
+        # normalized median collapses to 1.0
+        cur = {"a": 1.2, "b": 2.4, "c": 4.8, "new_query": 9.9}
+        got = like_for_like(cur, 0.6, prev, "/x/BENCH_r14.json")
+        assert got["n_common"] == 3
+        assert got["median_warm_ratio"] == 1.2
+        assert got["calibration_ratio"] == 1.2
+        assert got["median_normalized_ratio"] == 1.0
+        assert got["prev"] == "BENCH_r14.json"
+        # prev without a calibration row: raw ratios only
+        got2 = like_for_like(cur, 0.6, {"queries": prev["queries"]}, None)
+        assert got2["calibration_ratio"] is None
+        assert got2["median_normalized_ratio"] is None
+        assert like_for_like(cur, 0.6, None, None) is None
+        assert like_for_like({}, 0.6, prev, None) is None
+
+
 class TestPctNormalize:
     """operators/robots.py::pct_normalize — the Python arm, plus JVM
     twin parity (the two MUST stay bit-identical: patterns are
