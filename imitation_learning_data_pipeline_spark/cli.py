@@ -1611,12 +1611,24 @@ def cmd_cdx_plan(args: argparse.Namespace) -> int:
         # incremental crawl ingestion: drop captures whose URL the
         # corpus already holds — a LeftAnti on url (the index side is
         # tiny next to a 100 TB crawl, but the DOCS side can be huge;
-        # anti-join shuffles only the two url column sets). Normalize
-        # nothing here: the manifest must name exactly the captures to
-        # fetch, and the docs side carries whatever url form its own
-        # ingest wrote.
+        # anti-join shuffles only the two url column sets). The
+        # manifest keeps the RAW capture url either way (the fetcher
+        # needs the exact index coordinates); --normalize-urls only
+        # changes the JOIN KEY: a corpus ingested with ingest-warc
+        # --normalize-urls stores normalized urls, so raw CDX urls
+        # would never match and every already-held capture would be
+        # silently re-planned (ADVICE r14) — pass the SAME flag here
+        # that the corpus ingest used.
+        from .functions.url import url_normalize
+
         have = spark.read.parquet(args.exclude_docs).select("url").distinct()
-        plan = plan.join(have, "url", "left_anti")
+        if args.normalize_urls:
+            key = url_normalize(F.col("url")).alias("__k")
+            plan = plan.withColumn("__k", key).join(
+                have.select(key), "__k", "left_anti"
+            ).drop("__k")
+        else:
+            plan = plan.join(have, "url", "left_anti")
     if args.dedup_digest:
         # the index's content digest (sha1 of the payload) identifies
         # byte-identical captures ACROSS urls — dedup here means those
@@ -3046,6 +3058,14 @@ def build_parser() -> argparse.ArgumentParser:
         "--exclude-docs", default=None,
         help="incremental ingest: drop captures whose url an existing "
         "documents parquet already holds (anti-join)",
+    )
+    cx.add_argument(
+        "--normalize-urls",
+        action="store_true",
+        help="anti-join --exclude-docs on url_normalize() of BOTH "
+        "sides (manifest keeps raw urls) — REQUIRED when the corpus "
+        "was ingested with ingest-warc --normalize-urls, else "
+        "already-held captures are re-planned",
     )
     cx.set_defaults(fn=cmd_cdx_plan)
 

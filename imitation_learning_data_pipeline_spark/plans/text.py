@@ -1354,12 +1354,13 @@ _C4_PUNCT = (".", "!", "?", '"')
 def _c4_line_keep_sql(ln: str) -> str:
     """DuckDB predicate mirroring the Spark lambda in text_c4_line_filter
     (shared so the oracle and the docstring stay in one place):
-    terminal punctuation, >= 3 whitespace words, no 'javascript'."""
+    terminal punctuation, >= 5 whitespace words (the paper's floor —
+    ADVICE r14 caught the prior undocumented 3), no 'javascript'."""
     punct = ", ".join(f"'{p}'" if p != '"' else "'\"'" for p in _C4_PUNCT)
     return (
         f"substring(trim({ln}), -1, 1) IN ({punct})"
         f" AND len(list_filter(string_split(trim({ln}), ' '), x -> x != ''))"
-        f" >= 3"
+        f" >= 5"
         f" AND NOT contains(lower({ln}), 'javascript')"
     )
 
@@ -1406,7 +1407,9 @@ def text_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     English corpus applies between extraction and quality scoring:
 
     - keep lines ending in a terminal punctuation mark (. ! ? ");
-    - keep lines with >= 3 whitespace-delimited words;
+    - keep lines with >= 5 whitespace-delimited words (the paper's
+      "only retained lines that contained at least 5 words" — r14
+      shipped an undocumented 3-word floor, fixed per ADVICE r14);
     - drop lines mentioning 'javascript' (case-insensitive);
     - drop PAGES containing 'lorem ipsum' or a curly brace;
     - drop pages with fewer than 3 kept lines (the paper's
@@ -1448,7 +1451,7 @@ def text_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return (
             last.isin(*_C4_PUNCT)
-            & (n_words >= 3)
+            & (n_words >= 5)
             & ~F.lower(ln).contains("javascript")
         )
 

@@ -70,6 +70,61 @@ class TestBenchCalibration:
         assert like_for_like({}, 0.6, prev, None) is None
 
 
+class TestCdxPlanNormalizedExclude:
+    """ADVICE r14 (medium): --exclude-docs against a corpus ingested
+    with --normalize-urls must anti-join on normalized keys or every
+    already-held capture is silently re-planned and re-fetched."""
+
+    def test_normalized_corpus_matches(self, spark, tmp_path, capsys):
+        import json
+
+        from imitation_learning_data_pipeline_spark.cli import main
+        from tests.test_round14_ops import TestCdxPlan
+
+        line = TestCdxPlan()._line
+        idx = tmp_path / "idx"
+        idx.mkdir()
+        (idx / "p.cdxj").write_text(
+            # raw CDX form: uppercase host, :80, tracking param — the
+            # normalized corpus stores http://a.com/old
+            line("com,a)/old", "20260101000000",
+                 "http://A.COM:80/old?utm_source=x")
+            + "\n"
+            + line("com,a)/new", "20260101000000", "http://a.com/new")
+            + "\n"
+        )
+        docs = str(tmp_path / "docs")
+        spark.createDataFrame(
+            [(1, "http://a.com/old", "already ingested")],
+            "doc_id long, url string, text string",
+        ).write.parquet(docs)
+
+        # WITHOUT the flag the raw url never matches: both captures
+        # planned (the ADVICE failure mode, now an explicit choice)
+        out_raw = str(tmp_path / "plan_raw")
+        assert main([
+            "cdx-plan", "--input", str(idx), "--out", out_raw,
+            "--exclude-docs", docs,
+        ]) == 0
+        assert json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1]
+        )["captures"] == 2
+
+        # WITH --normalize-urls the held capture drops, and the
+        # manifest keeps the RAW url (fetcher needs exact coordinates)
+        out = str(tmp_path / "plan")
+        assert main([
+            "cdx-plan", "--input", str(idx), "--out", out,
+            "--exclude-docs", docs, "--normalize-urls",
+        ]) == 0
+        assert json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1]
+        )["captures"] == 1
+        rows = spark.read.parquet(out).collect()
+        assert [r["url"] for r in rows] == ["http://a.com/new"]
+        assert "__k" not in spark.read.parquet(out).columns
+
+
 class TestPctNormalize:
     """operators/robots.py::pct_normalize — the Python arm, plus JVM
     twin parity (the two MUST stay bit-identical: patterns are

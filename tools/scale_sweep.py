@@ -201,17 +201,31 @@ def main() -> int:
             repo_root = os.path.dirname(
                 os.path.dirname(os.path.abspath(__file__))
             )
+            explicit = args.lib_exclude_from != "auto"
             paths = (
                 sorted(_glob.glob(
                     os.path.join(repo_root, "SCALE_SWEEP_LIB_*.json")
                 ))
-                if args.lib_exclude_from == "auto"
-                else args.lib_exclude_from.split(",")
+                if not explicit
+                # ADVICE r14: resolve relative names against the repo
+                # root (where the sweep artifacts live), and FAIL on an
+                # unreadable explicit path — a typo that silently
+                # disabled the rotation made the sweep re-measure
+                # already-covered rows
+                else [
+                    p if os.path.isabs(p) else os.path.join(repo_root, p)
+                    for p in args.lib_exclude_from.split(",")
+                    if p.strip()
+                ]
             )
             for pth in paths:
                 try:
                     rec = json.load(open(pth))
-                except (OSError, ValueError):
+                except (OSError, ValueError) as e:
+                    if explicit:
+                        raise SystemExit(
+                            f"--lib-exclude-from: cannot read {pth}: {e}"
+                        )
                     continue
                 measured |= {
                     r["query"] for r in rec.get("rows", []) if "query" in r
