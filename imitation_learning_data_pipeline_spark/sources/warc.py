@@ -43,9 +43,16 @@ with :mod:`..operators.html_text` for text extraction.
 
 from __future__ import annotations
 
-from typing import Iterator
+from typing import BinaryIO, Callable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _default_opener(path: str) -> BinaryIO:
+    """Local/POSIX opener for `read_warc_ranges` — the default for the
+    pluggable ``opener`` seam (an object-store deployment passes its
+    own ``path -> binary file-like`` callable instead)."""
+    return open(path, "rb")
 
 WARC_SCHEMA = (
     "warc_file string, record_offset long, warc_type string, "
@@ -308,6 +315,7 @@ def read_warc_ranges(
     offset_col: str = "offset",
     length_col: str = "length",
     base_dir: str | None = None,
+    opener: Callable[[str], BinaryIO] | None = None,
 ) -> DataFrame:
     """Selective WARC fetch (r14): read ONLY the byte ranges a CDX
     fetch manifest names — ``(filename, offset, length)`` per capture,
@@ -326,9 +334,15 @@ def read_warc_ranges(
     member, so ``xxhash64(warc_file, record_offset)`` doc ids stay
     collision-free and stable across whole-file vs ranged reads of the
     same member is NOT guaranteed — ids are read-path-scoped, the url
-    is the cross-path key). Files are opened with plain ``open`` —
-    local/POSIX paths (a ``file:`` prefix is stripped); object-store
-    ranged reads belong to the deployment's fsspec layer.
+    is the cross-path key). Files are opened via ``opener`` (r15,
+    VERDICT r14 #5): any picklable ``path -> binary file-like``
+    callable — the seam where an object-store deployment plugs its
+    fsspec/s3 ranged-read client in as a PARAMETER instead of a
+    patch. Default is builtin ``open`` for local/POSIX paths (a
+    ``file:`` prefix is stripped either way). The task keeps ONE
+    handle per consecutive file run (the manifest arrives
+    filename-partitioned and offset-sorted), so a remote opener pays
+    one connection per file, not per record.
     ``base_dir`` resolves RELATIVE manifest filenames (real Common
     Crawl CDX carries paths relative to the crawl root, e.g.
     ``crawl-data/CC-MAIN-.../....warc.gz``) against a local mirror —
@@ -340,6 +354,7 @@ def read_warc_ranges(
     from pyspark.sql import functions as F
 
     wanted = frozenset(record_types)
+    open_fn = opener if opener is not None else _default_opener
     plan = manifest.select(
         F.col(filename_col).alias("f"),
         F.col(offset_col).cast("long").alias("o"),
@@ -362,7 +377,7 @@ def read_warc_ranges(
                     if fh is None or fh_name != path:
                         if fh is not None:
                             fh.close()
-                        fh = open(path, "rb")
+                        fh = open_fn(path)
                         fh_name = path
                     fh.seek(int(o))
                     blob = fh.read(int(n))

@@ -54,6 +54,7 @@ def run_incremental_cdx_ingest(
     dedup_url: bool = False,
     normalize_urls: bool = False,
     max_files_per_trigger: int = 16,
+    opener=None,
 ) -> None:
     """Drain NEW index shards into ``docs_path`` (one ``ingest_batch=N``
     partition per micro-batch) and return; call again as shards land.
@@ -61,7 +62,9 @@ def run_incremental_cdx_ingest(
     (the selectivity is the whole economy); ``base_dir`` resolves
     relative manifest filenames against the local crawl mirror;
     ``content_type``/``dedup_url``/``normalize_urls`` behave exactly as
-    in `cli ingest-warc`. Runs with Trigger.availableNow and blocks
+    in `cli ingest-warc`; ``opener`` (r15) is `read_warc_ranges`'s
+    pluggable ``path -> binary file-like`` seam for object-store
+    deployments. Runs with Trigger.availableNow and blocks
     until drained."""
     from ..plans.web import ingest_warc_records
     from ..sources.cdx import cdxj_columns
@@ -84,7 +87,7 @@ def run_incremental_cdx_ingest(
             idx = idx.filter(F.lower(F.col("mime")).startswith(mime.lower()))
         records = read_warc_ranges(
             spark, idx.select("filename", "offset", "length"),
-            base_dir=base_dir,
+            base_dir=base_dir, opener=opener,
         )
         docs = ingest_warc_records(
             records,
