@@ -863,14 +863,14 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     # pytest:TestWarcBenchRow/TestWarcToCurationComposition, and its
     # Arrow-batched mapInPandas family is anchored in the contract by
     # multimodal_frame_sample.
-    # round-14: the WET fast-path bench row — same host-I/O posture as
-    # web_ingest_warc (no oracle by design: reads generated .warc.gz
-    # from local disk); WET semantics pytest-pinned (TestWetIngest),
-    # the URL-dedup machinery hash-checked by the ingest siblings, and
-    # the Arrow-batched parse family anchored by multimodal_frame_sample.
+    # round-14: the WET fast-path bench row — host-I/O like
+    # web_ingest_warc, but r15 (VERDICT r14 #9) value-HASH-checked in
+    # --all: WET text passes through verbatim, so the (url, text_chars)
+    # output is arithmetically reconstructable from the documents
+    # table. Stays cap-parked as a bench row.
     "web_ingest_wet": "multimodal_frame_sample (same Arrow-batched "
-    "mapInPandas parse family with a direct row) + pytest TestWetIngest "
-    "+ bench row",
+    "mapInPandas parse family with a direct row) + r15 --all hash row "
+    "+ pytest TestWetIngest + bench row",
     "web_ingest_warc": "multimodal_frame_sample (same Arrow-batched "
     "mapInPandas family) + web_html_extract --all hash row + pytest "
     "end-to-end",
