@@ -214,6 +214,13 @@ CONTRACT_FIRST: list[str] = [
     # by parking graph_pagerank_doclinks (green r9-r11) behind
     # dedup_cluster_components (see CONTRACT_EXCLUDE).
     "window_group_order_suite",
+    # Round-15 rotation (proxy-drift cadence, r14 verdict item 7):
+    # graph_pagerank_doclinks — the longest proxy-only contract
+    # absentee (parked r12) — rotates BACK for a fresh direct row,
+    # funded by parking pipeline_align_events (green r1-r14, fourteen
+    # rounds, no parked dependents; stays a bench headline row — see
+    # CONTRACT_EXCLUDE).
+    "graph_pagerank_doclinks",
     # Round-7 addition #3 (this session): the Gopher quality-rule set —
     # new operators go straight into the contract; funded by parking
     # text_quality_score behind it (same family, strict superset of the
@@ -367,13 +374,22 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     # park; its r5 park entry is removed.)
     # round-12 rotation #2: funds window_group_order_suite's return
     # slot. Green r9-r11; its iterative message-passing machinery is
-    # dedup_cluster_components' retained shape over the same doclinks
-    # pair graph (both: broadcast-rank join per iteration, one
-    # exchange — pytest-pinned exchange count), and the pagerank row
-    # stays hash-checked in check_contract --all.
-    "graph_pagerank_doclinks": "dedup_cluster_components (same "
-    "iterative pair-graph machinery with a direct row) + "
-    "check_contract --all row + pytest exchange-per-iteration pin",
+    # (round-15 rotation: graph_pagerank_doclinks — the longest
+    # proxy-only absentee, parked r12 — rotated BACK into the
+    # contract for a fresh direct row; its slot is funded by parking
+    # pipeline_align_events below.)
+    # round-15: pipeline_align_events — green r1-r14, fourteen rounds,
+    # no parked dependents — parked to fund graph_pagerank_doclinks'
+    # return. Coverage held by window_reindex (the same
+    # pipeline/align.py W4 reindex + projection machinery with a
+    # direct contract row), pipeline_validate_orders (the P4/P5
+    # vector-width + null/NaN predicate family), pytest
+    # test_pipeline_stages, and the row stays a bench HEADLINE entry
+    # measured every round plus hash-checked in check_contract --all.
+    "pipeline_align_events": "window_reindex (same pipeline/align.py "
+    "reindex+projection machinery, direct row) + "
+    "pipeline_validate_orders (P4/P5 predicate family) + bench "
+    "headline row + --all hash row + pytest test_pipeline_stages",
     # round-12: HTML extraction over a synthesized-in-plan page.
     # Library-only (cap): the whole extraction contract (subtree skip,
     # title, link counting, block line-breaking, whitespace
