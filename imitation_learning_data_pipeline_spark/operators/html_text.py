@@ -289,6 +289,14 @@ def link_density_col() -> Column:
 #   active set (CJK, code, an unsupported language) falls back to the
 #   language-independent rules (link density + copyright only) with a
 #   `no_stopword_signal` flag — flagged, never silently emptied.
+#   r15 adds nl/pl/ru (Latin + Cyrillic, space-delimited — stopword
+#   density carries signal). CJK posture is DELIBERATE flag-and-keep:
+#   spaceless scripts have no function-WORD density for this
+#   classifier to measure, so rather than ship a pretend list, CJK
+#   pages get the language-independent rules plus the flag — callers
+#   segment-then-classify downstream if they need block-level CJK
+#   boilerplate removal (a line-length/punctuation-density heuristic
+#   would be a different, weaker classifier and is out of scope here).
 
 JUSTEXT_STOPWORDS: dict[str, frozenset] = {
     "en": frozenset(
@@ -331,6 +339,32 @@ JUSTEXT_STOPWORDS: dict[str, frozenset] = {
         me meu minha muito na não nas nem no nos nós o os ou para pela
         pelo por porque quando que quem se sem ser seu sua são também tem
         ter teu tu um uma você""".split()
+    ),
+    # r15 (VERDICT r14 #6): three more high-volume languages where
+    # function-word density carries signal — nl/pl (Latin script) and
+    # ru (Cyrillic; str.lower() folds Cyrillic case, and char-mass
+    # density behaves exactly as for Latin scripts since Russian is
+    # space-delimited).
+    "nl": frozenset(
+        """aan al als bij dan dat de deze die dit door een en er geen had
+        hebben heeft het hij hoe hun ik in is je kan maar meer met mijn
+        moet na naar niet nog nu of om onder ons ook op over te tot uit
+        van voor want waren was wat we wel werd wie wij worden wordt zal
+        ze zich zij zijn zo zou""".split()
+    ),
+    "pl": frozenset(
+        """a aby ale będzie bardzo bez była było być co czy dla do gdzie
+        go i ich jak jako je jego jej jest jeszcze już kiedy która które
+        który ma mają może my na nad nie niż o od oni oraz po pod ponieważ
+        przez przy się są sobie tak także te tego tej ten to tych tylko
+        tym w we więc wszystko z za że""".split()
+    ),
+    "ru": frozenset(
+        """а бы был была были было быть в вам вас во вот все всё вы где
+        да даже для до его ее её ей ему если есть еще ещё же за и из или
+        им их к как когда кто ли меня мне мы на над надо не него нет ни
+        них но ну о об он она они от по под при с со так также там тебя
+        то того тоже только том ты у уже чем что чтобы это этот я""".split()
     ),
 }
 

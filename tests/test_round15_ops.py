@@ -70,6 +70,69 @@ class TestBenchCalibration:
         assert like_for_like({}, 0.6, prev, None) is None
 
 
+RUSSIAN = (
+    "Комиссия рассмотрела все предложения и решила, что результаты "
+    "должны быть опубликованы, потому что сообщество ждет ответа о "
+    "правилах и о том, как они будут применяться к делам, которые "
+    "открыты с начала года."
+)
+DUTCH = (
+    "De commissie heeft alle voorstellen bekeken en besloten dat de "
+    "resultaten moeten worden gepubliceerd omdat de gemeenschap wacht "
+    "op een antwoord over het beleid en hoe het zal worden toegepast "
+    "op de zaken die sinds het begin van het jaar open zijn."
+)
+POLISH = (
+    "Komisja rozpatrzyła wszystkie wnioski i zdecydowała, że wyniki "
+    "muszą zostać opublikowane, ponieważ społeczność czeka na "
+    "odpowiedź w sprawie polityki i tego, jak będzie ona stosowana do "
+    "spraw, które są otwarte od początku roku."
+)
+
+
+class TestMainContentNewLanguages:
+    """VERDICT r14 #6: nl/pl/ru function-word lists — same per-page
+    pick + retention contract as the r14 six."""
+
+    def _extract(self, paras, **kw):
+        from imitation_learning_data_pipeline_spark.operators.html_text import (
+            extract_main_text,
+        )
+        from tests.test_round14_ops import _page
+
+        return extract_main_text(_page(paras), **kw)
+
+    @pytest.mark.parametrize(
+        "lang,para,opening",
+        [
+            ("ru", RUSSIAN, "Комиссия"),
+            ("nl", DUTCH, "De commissie"),
+            ("pl", POLISH, "Komisja"),
+        ],
+    )
+    def test_prose_retained(self, lang, para, opening):
+        out = self._extract([para, para])
+        assert out["stopword_lang"] == lang
+        assert out["no_stopword_signal"] is False
+        assert out["n_good_blocks"] == 2
+        assert opening in out["main_text"]
+        assert "home" not in out["main_text"]
+        assert "©" not in out["main_text"]
+
+    def test_pinned_russian_applies(self):
+        out = self._extract([RUSSIAN, RUSSIAN], lang="ru")
+        assert out["stopword_lang"] == "ru"
+        assert out["no_stopword_signal"] is False
+
+    def test_earlier_languages_not_shadowed(self):
+        """The new lists share words with the old ones (nl/de overlap
+        heavily) — German prose must still pick 'de'."""
+        from tests.test_round14_ops import GERMAN
+
+        out = self._extract([GERMAN, GERMAN])
+        assert out["stopword_lang"] == "de"
+
+
 class TestCdxPlanNormalizedExclude:
     """ADVICE r14 (medium): --exclude-docs against a corpus ingested
     with --normalize-urls must anti-join on normalized keys or every
