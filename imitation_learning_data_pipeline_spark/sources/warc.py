@@ -86,6 +86,57 @@ def _parse_headers(block: bytes) -> dict[str, str]:
     return headers
 
 
+class _ChunkedLineReader:
+    """Line/range reads over a byte stream in LARGE chunks (r15,
+    VERDICT r14 #2): `parse_warc_stream` issues ~10 readline calls per
+    record, and through `gzip.GzipFile.readline` each one walks a
+    four-frame decompress stack — the profiled hot loop of the ingest
+    bench row. Reading 1 MB at a time and splitting lines with
+    `bytes.find` replaces ~31k stream calls per segment with ~a few
+    dozen, keeping the SAME bounded-memory posture (peak = one chunk
+    or one in-flight record block, whichever is larger — exactly what
+    the parser already held)."""
+
+    __slots__ = ("_stream", "_buf", "_pos", "_eof", "_chunk")
+
+    def __init__(self, stream, chunk: int = 1 << 20) -> None:
+        self._stream = stream
+        self._buf = b""
+        self._pos = 0
+        self._eof = False
+        self._chunk = chunk
+
+    def _refill(self) -> bool:
+        if self._eof:
+            return False
+        data = self._stream.read(self._chunk)
+        if not data:
+            self._eof = True
+            return False
+        self._buf = self._buf[self._pos :] + data
+        self._pos = 0
+        return True
+
+    def readline(self) -> bytes:
+        while True:
+            i = self._buf.find(b"\n", self._pos)
+            if i >= 0:
+                line = self._buf[self._pos : i + 1]
+                self._pos = i + 1
+                return line
+            if not self._refill():
+                line = self._buf[self._pos :]
+                self._pos = len(self._buf)
+                return line
+
+    def read(self, n: int) -> bytes:
+        while len(self._buf) - self._pos < n and self._refill():
+            pass
+        out = self._buf[self._pos : self._pos + n]
+        self._pos += len(out)
+        return out
+
+
 def _dechunk(body: bytes) -> bytes:
     """Decode HTTP/1.1 chunked transfer framing (hex-size CRLF lines).
     Raises ValueError on malformed framing — caller decides posture."""
@@ -168,7 +219,9 @@ def parse_warc_stream(stream, warc_file: str) -> Iterator[dict]:
     """Incremental WARC/1.0 record iterator over a DECOMPRESSED byte
     stream (pass a ``gzip.GzipFile`` for .warc.gz — stdlib gzip
     consumes concatenated members transparently). Yields one dict per
-    record; peak memory is one record."""
+    record; peak memory is one record (plus the 1 MB read-ahead
+    chunk — see `_ChunkedLineReader`, the r15 hot-loop fix)."""
+    stream = _ChunkedLineReader(stream)
     offset = 0
     while True:
         magic = stream.readline()
@@ -182,7 +235,9 @@ def parse_warc_stream(stream, warc_file: str) -> Iterator[dict]:
                 f"{warc_file}: expected WARC/1.x version line at "
                 f"~offset {offset}, got {magic[:40]!r}"
             )
-        header_lines = []
+        # one-pass header parse (r15): the former accumulate → join →
+        # resplit did the line work twice per record
+        headers: dict[str, str] = {}
         consumed = len(magic)
         while True:
             line = stream.readline()
@@ -193,8 +248,11 @@ def parse_warc_stream(stream, warc_file: str) -> Iterator[dict]:
             consumed += len(line)
             if line in (b"\r\n", b"\n"):
                 break
-            header_lines.append(line.rstrip(b"\r\n"))
-        headers = _parse_headers(b"\r\n".join(header_lines))
+            if b":" in line:
+                k, _, v = line.partition(b":")
+                headers[k.strip().lower().decode("latin-1")] = (
+                    v.strip().decode("latin-1", "replace")
+                )
         try:
             length = int(headers["content-length"])
         except (KeyError, ValueError) as exc:
