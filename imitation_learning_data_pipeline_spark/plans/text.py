@@ -833,6 +833,11 @@ def bm25_topk(
         base_cols.append(
             F.size(F.filter("w", _eq(t))).cast("double").alias(f"tf_{i}")
         )
+    # r15 probe: persisting `base` (both the stats and scoring branch
+    # consume it) was MEASURED SLOWER at driver SFs — cache
+    # materialization costs more than recomputing the split+tf
+    # projection (0.92 vs 0.58 CPU-s same-session) — so the recompute
+    # shape is kept deliberately; see SCALING.md r15 #2.
     base = words.select("doc_id", *base_cols)
     aggs = [
         F.count(F.lit(1)).cast("double").alias("n"),
