@@ -1275,6 +1275,41 @@ def cmd_rewrite_dups(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_line_dedup(args: argparse.Namespace) -> int:
+    """CCNet cross-document line dedup (plans/dedup.py::line_dedup):
+    keep one corpus-wide occurrence per normalized line (Wenzek et al.
+    2020), or purge every occurrence of lines shared by >= --min-docs
+    documents (RefinedWeb-style boilerplate removal)."""
+    from pyspark.sql import functions as F
+
+    from .plans.dedup import line_dedup
+
+    spark = _spark("line-dedup")
+    docs = spark.read.parquet(args.input)
+    for c in (args.id_col, args.text_col):
+        if c not in docs.columns:
+            raise SystemExit(f"line-dedup: input must have a '{c}' column")
+    mode = "frequent" if args.min_docs else "keep_first"
+    out = line_dedup(
+        docs.select(
+            F.col(args.id_col).alias("doc_id"),
+            F.col(args.text_col).alias("text"),
+        ),
+        mode=mode,
+        min_docs=args.min_docs,
+    )
+    if args.drop_empty:
+        out = out.filter(F.col("clean_text") != "")
+    out.write.mode("overwrite").parquet(args.out)
+    stats = out.agg(
+        F.count("*").alias("docs_out"),
+        F.sum("n_lines").alias("lines_in"),
+        F.sum("n_kept_lines").alias("lines_kept"),
+    ).collect()[0]
+    print(json.dumps({"out": args.out, "mode": mode, **stats.asDict()}))
+    return 0
+
+
 def cmd_dsir(args: argparse.Namespace) -> int:
     """DSIR importance resampling (plans/dsir.py): select the raw
     documents most like a target domain via hashed-ngram log-ratio
@@ -3181,6 +3216,27 @@ def build_parser() -> argparse.ArgumentParser:
     )
     rd.add_argument("--out", required=True)
     rd.set_defaults(fn=cmd_rewrite_dups)
+
+    ld = sub.add_parser(
+        "line-dedup",
+        help="CCNet cross-document line dedup: keep one corpus-wide "
+        "occurrence per normalized line, or purge boilerplate lines "
+        "shared by >= --min-docs documents",
+    )
+    ld.add_argument("--input", required=True, help="parquet with id + text columns")
+    ld.add_argument("--text-col", default="text")
+    ld.add_argument("--id-col", default="doc_id")
+    ld.add_argument(
+        "--min-docs", type=int, default=None,
+        help="purge mode: drop EVERY occurrence of lines appearing in "
+        "at least this many distinct docs (default: keep-first mode)",
+    )
+    ld.add_argument(
+        "--drop-empty", action="store_true",
+        help="drop documents whose every line was deduplicated away",
+    )
+    ld.add_argument("--out", required=True)
+    ld.set_defaults(fn=cmd_line_dedup)
 
     ds = sub.add_parser(
         "dsir",

@@ -2480,3 +2480,223 @@ def novelty_against_store(
             ).alias("is_novel"),
         )
     )
+
+
+# --- cross-document line/paragraph dedup (round-15) --------------------------
+#
+# The CCNet recipe (Wenzek et al. 2020, "CCNet: Extracting High Quality
+# Monolingual Datasets from Web Crawl Data", §3.1): web pages share
+# enormous amounts of line-level boilerplate (cookie banners,
+# navigation, license footers), so before any document-level dedup the
+# corpus is deduplicated at PARAGRAPH granularity — normalize each
+# line (lowercase, strip digits and punctuation), hash it, and keep
+# one occurrence corpus-wide. RefinedWeb (Penedo et al. 2023) applies
+# the same machinery with a frequency threshold to purge boilerplate
+# outright. Both modes share one census; everything is JVM
+# expressions + two hash exchanges — no Python, no window sort.
+
+_LINE_NORM_RE = "[^a-z \t]"
+
+
+def _line_norm(col):
+    """CCNet line normalization, shared by both engines: lowercase →
+    drop everything but letters/whitespace → collapse runs → trim.
+    (CCNet lowercases and removes digits & punctuation before hashing;
+    keeping only [a-z ] is the ASCII realization of that and matches
+    the synthetic corpus vocabulary. DuckDB twin in the oracle uses
+    the same two regex passes with the 'g' flag.)"""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(col), _LINE_NORM_RE, ""), " +", " "
+        )
+    )
+
+
+def line_dedup(
+    docs: DataFrame,
+    mode: str = "keep_first",
+    min_docs: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level line dedup → (doc_id, clean_text, n_lines,
+    n_kept_lines) with every input row preserved (empty docs keep
+    clean_text='').
+
+    Modes:
+
+    - ``keep_first`` (CCNet): each distinct normalized line survives
+      only at its FIRST corpus position — min (doc_id, pos) over all
+      occurrences; every later occurrence is dropped. Deterministic
+      (no hash-arbitrary winners) and engine-portable.
+    - ``frequent`` (RefinedWeb-style boilerplate purge, requires
+      ``min_docs``): EVERY occurrence of a line appearing in >=
+      min_docs DISTINCT documents is dropped; infrequent lines are
+      untouched. The frequent set is small by construction
+      (boilerplate), so it broadcasts.
+
+    Lines whose normalized form is EMPTY (pure digits/punctuation/
+    whitespace) carry no linguistic identity and are always kept
+    verbatim — CCNet hashes normalized text, and an all-equal ''
+    key would otherwise collapse every divider line in the corpus.
+
+    Scale shape: posexplode → census groupBy on xxhash64(norm) (one
+    exchange over 8-byte keys, never line text), winners join back
+    (keep_first: co-partitioned hash join on the same key;
+    frequent: broadcast anti join), regroup by doc with an
+    array_sort(collect_list(struct(pos, line))) — no window, no
+    Python, no all-pairs anything. At 100 TB this is the same
+    shard-hash-join CCNet runs, expressed as three Catalyst stages.
+    The winner agg plans as a SortAggregate (struct-min has no mutable
+    hash buffer) over narrow (key, id, pos) rows — the per-partition
+    sort keys on the 8-byte hash and the explode exchange dominates;
+    at small SFs AQE broadcasts the winners side of the join back.
+    Hash identity: line equality is xxhash64(norm) equality (the
+    standard large-scale trade; a 64-bit collision merges two lines)."""
+    if mode not in ("keep_first", "frequent"):
+        raise ValueError(f"line_dedup: unknown mode {mode!r}")
+    if mode == "frequent" and not min_docs:
+        raise ValueError("line_dedup: mode='frequent' requires min_docs")
+    d = F.col(id_col)
+    lines = docs.select(
+        d.alias("__id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias(
+            "__pos", "__line"
+        ),
+    )
+    norm = _line_norm(F.col("__line"))
+    keyed = lines.withColumn(
+        "__k", F.when(norm != "", F.xxhash64(norm))
+    )  # NULL key = no linguistic identity, never joins, always kept
+    if mode == "keep_first":
+        winners = (
+            keyed.filter(F.col("__k").isNotNull())
+            .groupBy("__k")
+            .agg(F.min(F.struct("__id", "__pos")).alias("__w"))
+        )
+        kept = keyed.join(winners, "__k", "left").filter(
+            F.col("__w").isNull()
+            | ((F.col("__w.__id") == F.col("__id"))
+               & (F.col("__w.__pos") == F.col("__pos")))
+        )
+    else:
+        frequent = (
+            keyed.filter(F.col("__k").isNotNull())
+            .select("__k", "__id")
+            .distinct()
+            .groupBy("__k")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") >= int(min_docs))
+            .select("__k")
+        )
+        kept = keyed.join(F.broadcast(frequent), "__k", "left_anti")
+    regrouped = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count("*").alias("__n_kept"),
+    )
+    totals = docs.select(
+        d.alias("__id"),
+        F.size(F.split(F.col(text_col), "\n")).alias("__n_lines"),
+    )
+    return (
+        totals.join(regrouped, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.col("__n_lines").cast("int").alias("n_lines"),
+            F.coalesce("__n_kept", F.lit(0)).cast("int").alias(
+                "n_kept_lines"
+            ),
+        )
+    )
+
+
+def _line_dedup_gen_sql() -> str:
+    """The synthesized multi-line pages both engines build: a header
+    shared by EVERY doc, a line shared within each doc_id%7 group, the
+    real document text, a per-doc unique line, and a pure-digit
+    divider (empty normalized form — must always survive)."""
+    return """
+  SELECT doc_id,
+         'Shared boilerplate header.' || chr(10) ||
+         'Group ' || (doc_id % 7) || ' promo line!' || chr(10) ||
+         trim(text) || chr(10) ||
+         '12345' || chr(10) ||
+         'Unique line ' || doc_id || ' ends here.' AS page
+  FROM documents
+"""
+
+
+@register(
+    "dedup_line_ccnet",
+    oracle=f"""
+WITH gen AS ({_line_dedup_gen_sql()}),
+split_ AS (
+  SELECT doc_id, page, string_split(page, chr(10)) AS lines FROM gen
+),
+exploded AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(lines, 1) - 1 AS BIGINT) AS pos,
+         unnest(lines) AS ln
+  FROM split_
+),
+keyed AS (
+  SELECT doc_id, pos, ln,
+         trim(regexp_replace(regexp_replace(lower(ln), '{_LINE_NORM_RE}',
+              '', 'g'), ' +', ' ', 'g')) AS norm
+  FROM exploded
+),
+winners AS (
+  SELECT norm, min(doc_id * 10 + pos) AS w
+  FROM keyed WHERE norm <> '' GROUP BY norm
+),
+kept AS (
+  SELECT k.doc_id, k.pos, k.ln
+  FROM keyed k LEFT JOIN winners w ON k.norm = w.norm
+  WHERE w.norm IS NULL OR k.doc_id * 10 + k.pos = w.w
+)
+SELECT g.doc_id,
+       coalesce(
+         (SELECT string_agg(ln, chr(10) ORDER BY pos)
+          FROM kept WHERE kept.doc_id = g.doc_id), '') AS clean_text,
+       CAST(len(string_split(g.page, chr(10))) AS INT) AS n_lines,
+       CAST(coalesce(
+         (SELECT count(*) FROM kept WHERE kept.doc_id = g.doc_id), 0)
+         AS INT) AS n_kept_lines
+FROM gen g
+""",
+)
+def dedup_line_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet paragraph-dedup contract row, hash-checked end to end:
+    synthesize 5-line pages IN-PLAN (corpus-wide shared header, a
+    doc_id%7 group line, the real text, a pure-digit divider whose
+    normalized form is empty, a unique trailer), run the REAL
+    `line_dedup(mode='keep_first')`, and let the oracle replay the
+    identical normalize → first-winner → regroup pipeline in SQL.
+    A hash match pins: the CCNet normalization (both regex passes),
+    min-(doc_id,pos) winner determinism (the oracle encodes the same
+    order as doc_id*10+pos — pos < 10 here), the empty-norm always-
+    keep rule, per-doc line order restoration, and the left-join
+    row-preservation contract. New operators go straight into the
+    contract (cap: parked behind the exact/remove-spans dedup family
+    — see registry)."""
+    from ..sources.readers import spread
+
+    ensure_utc(spark)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    d = F.col("doc_id")
+    page = F.concat(
+        F.lit("Shared boilerplate header.\n"),
+        F.lit("Group "), d % 7, F.lit(" promo line!\n"),
+        F.trim("text"),
+        F.lit("\n12345\n"),
+        F.lit("Unique line "), d, F.lit(" ends here."),
+    )
+    frames = docs.select("doc_id", page.alias("text"))
+    return line_dedup(frames, mode="keep_first")

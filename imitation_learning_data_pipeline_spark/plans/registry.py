@@ -390,6 +390,16 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     "reindex+projection machinery, direct row) + "
     "pipeline_validate_orders (P4/P5 predicate family) + bench "
     "headline row + --all hash row + pytest test_pipeline_stages",
+    # round-15: CCNet cross-document line dedup. Library-only (cap):
+    # the whole normalize → first-winner → regroup pipeline is
+    # hash-checked in check_contract --all against a same-pipeline
+    # DuckDB oracle; its census-groupBy + join-back machinery is
+    # anchored in the contract by dedup_exact (hash census) and
+    # dedup_remove_spans (rewrite-by-key family), and the operator is
+    # pytest-pinned (TestLineDedup).
+    "dedup_line_ccnet": "dedup_exact (hash-census family) + "
+    "dedup_remove_spans (keyed-rewrite family) + --all hash row + "
+    "pytest TestLineDedup",
     # round-12: HTML extraction over a synthesized-in-plan page.
     # Library-only (cap): the whole extraction contract (subtree skip,
     # title, link counting, block line-breaking, whitespace

@@ -263,6 +263,145 @@ class TestRangedFetchOpener:
         assert all(0 < n <= max_len for n in reads)
 
 
+class TestLineDedup:
+    """plans/dedup.py::line_dedup — CCNet cross-document paragraph
+    dedup (the contract row dedup_line_ccnet hash-checks the bulk
+    pipeline; these pin the operator semantics directly)."""
+
+    def _dd(self, spark, rows, **kw):
+        from imitation_learning_data_pipeline_spark.plans.dedup import (
+            line_dedup,
+        )
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {
+            r["doc_id"]: r for r in line_dedup(df, **kw).collect()
+        }
+
+    def test_keep_first_winner_and_order(self, spark):
+        got = self._dd(
+            spark,
+            [
+                (1, "shared line\nunique to one\nshared line"),
+                (2, "first of two\nshared line"),
+                (3, "unique to three"),
+            ],
+        )
+        # corpus-wide first occurrence is (doc 1, pos 0); the repeat
+        # at (1, 2) and the copy at (2, 1) both drop
+        assert got[1]["clean_text"] == "shared line\nunique to one"
+        assert got[2]["clean_text"] == "first of two"
+        assert got[3]["clean_text"] == "unique to three"
+        assert got[1]["n_lines"] == 3 and got[1]["n_kept_lines"] == 2
+        assert got[2]["n_lines"] == 2 and got[2]["n_kept_lines"] == 1
+
+    def test_normalization_matches_ccnet(self, spark):
+        """Case/digit/punct variants are the SAME line; the kept copy
+        is the raw ORIGINAL text of the first occurrence."""
+        got = self._dd(
+            spark,
+            [
+                (1, "Accept cookies to continue."),
+                (2, "ACCEPT   COOKIES to continue!!! 2026"),
+                (3, "accept cookies to continue"),
+            ],
+        )
+        assert got[1]["clean_text"] == "Accept cookies to continue."
+        assert got[2]["clean_text"] == ""
+        assert got[3]["clean_text"] == ""
+        assert got[2]["n_kept_lines"] == 0
+
+    def test_empty_norm_lines_always_kept(self, spark):
+        """Pure digit/punct/whitespace lines carry no linguistic
+        identity — never deduped, never collapsed together."""
+        got = self._dd(
+            spark,
+            [(1, "123\n---\nreal text here"), (2, "123\n---")],
+        )
+        assert got[1]["clean_text"] == "123\n---\nreal text here"
+        assert got[2]["clean_text"] == "123\n---"
+
+    def test_frequent_mode_purges_everywhere(self, spark):
+        # bodies must differ in LETTERS: digits strip in normalization
+        # (an 'Article {i}' suffix would make all five lines identical
+        # — which is precisely the CCNet point)
+        words = ["alpha", "beta", "gamma", "delta", "epsilon"]
+        rows = [
+            (i, f"Subscribe to our newsletter!\nArticle {words[i]} here.")
+            for i in range(5)
+        ]
+        got = self._dd(spark, rows, mode="frequent", min_docs=3)
+        for i in range(5):
+            # the boilerplate line drops from EVERY doc (not keep-one)
+            assert got[i]["clean_text"] == f"Article {words[i]} here."
+        # below threshold nothing drops
+        got2 = self._dd(spark, rows, mode="frequent", min_docs=6)
+        assert got2[0]["clean_text"].startswith("Subscribe")
+
+    def test_row_preservation_and_validation(self, spark):
+        import pytest as _pytest
+
+        from imitation_learning_data_pipeline_spark.plans.dedup import (
+            line_dedup,
+        )
+
+        got = self._dd(spark, [(1, "a b c"), (2, "")])
+        assert set(got) == {1, 2}
+        assert got[2]["clean_text"] == "" and got[2]["n_kept_lines"] in (0, 1)
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with _pytest.raises(ValueError, match="unknown mode"):
+            line_dedup(df, mode="bogus")
+        with _pytest.raises(ValueError, match="requires min_docs"):
+            line_dedup(df, mode="frequent")
+
+
+class TestLineDedupCli:
+    def test_both_modes(self, spark, tmp_path, capsys):
+        import json
+
+        from imitation_learning_data_pipeline_spark.cli import main
+
+        src = str(tmp_path / "docs")
+        spark.createDataFrame(
+            [
+                (1, "Accept cookies to continue.\nStory alpha text."),
+                (2, "Accept cookies to continue.\nStory beta text."),
+                (3, "Accept cookies to continue.\nStory gamma text."),
+            ],
+            "doc_id long, text string",
+        ).write.parquet(src)
+        out = str(tmp_path / "kept")
+        assert main(["line-dedup", "--input", src, "--out", out]) == 0
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["mode"] == "keep_first"
+        assert summary["lines_in"] == 6 and summary["lines_kept"] == 4
+        rows = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+        assert rows[1]["clean_text"].startswith("Accept cookies")
+        assert rows[2]["clean_text"] == "Story beta text."
+
+        out2 = str(tmp_path / "purged")
+        assert main([
+            "line-dedup", "--input", src, "--out", out2, "--min-docs", "3",
+        ]) == 0
+        summary2 = json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1]
+        )
+        assert summary2["mode"] == "frequent"
+        rows2 = {r["doc_id"]: r for r in spark.read.parquet(out2).collect()}
+        # purge mode drops the banner EVERYWHERE, doc 1 included
+        assert rows2[1]["clean_text"] == "Story alpha text."
+
+    def test_column_guard(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from imitation_learning_data_pipeline_spark.cli import main
+
+        src = str(tmp_path / "bad")
+        spark.createDataFrame([(1,)], "x long").write.parquet(src)
+        with _pytest.raises(SystemExit, match="column"):
+            main(["line-dedup", "--input", src, "--out", str(tmp_path / "o")])
+
+
 class TestPctNormalize:
     """operators/robots.py::pct_normalize — the Python arm, plus JVM
     twin parity (the two MUST stay bit-identical: patterns are

@@ -292,6 +292,15 @@ AUDIT = {
         "forbid": ["CartesianProduct", "SortMergeJoin", "Window",
                    "hashpartitioning(doc_id"],
     },
+    # round-15: CCNet line dedup — census groupBy on the 8-byte line
+    # hash + winners join + per-doc regroup; the line text must never
+    # enter a cartesian/window and the spread() repartition + census +
+    # regroup + totals-join bound the exchanges.
+    "dedup_line_ccnet": {
+        "max_exchanges": 6,
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                   "Window", "MapInPandas"],
+    },
     # round-14: sitemap extraction is a pure projection — from_xml +
     # explode, ZERO exchanges.
     "web_sitemap_urls": {
