@@ -2327,6 +2327,7 @@ def cmd_curate(args: argparse.Namespace) -> int:
         ),
         decontam_fuzzy_mode=args.decontam_fuzzy,
         decontam_threshold=args.decontam_threshold,
+        line_dedup_min_docs=args.line_dedup_min_docs,
     )
     if args.out:
         curated.write.mode("overwrite").parquet(args.out)
@@ -3438,8 +3439,16 @@ def build_parser() -> argparse.ArgumentParser:
         "--stages",
         default="gopher,pii,dedup,sample",
         help="comma-separated subset/order of gopher,blocklist,pii,"
-        "rewrite,decontam,dedup,neardup,classify,sample (blocklist/"
-        "rewrite/decontam/neardup/classify are opt-in)",
+        "rewrite,decontam,dedup,neardup,classify,sample,linededup "
+        "(blocklist/rewrite/decontam/neardup/classify/linededup are "
+        "opt-in; place linededup early, per CCNet)",
+    )
+    cu.add_argument(
+        "--line-dedup-min-docs",
+        type=int,
+        default=None,
+        help="linededup stage: purge lines shared by >= N distinct "
+        "docs instead of keep-first",
     )
     cu.add_argument(
         "--blockwords",

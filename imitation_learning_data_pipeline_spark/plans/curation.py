@@ -227,7 +227,7 @@ _FUNNEL_STAGES = ("gopher", "pii", "dedup", "sample")
 # every runnable stage ("rewrite" is opt-in, not in the default chain)
 _KNOWN_STAGES = (
     "gopher", "blocklist", "pii", "rewrite", "decontam", "dedup", "neardup",
-    "classify", "sample",
+    "classify", "sample", "linededup",
 )
 
 
@@ -241,6 +241,7 @@ def curation_funnel(
     decontam_probe: DataFrame | None = None,
     decontam_fuzzy_mode: bool = False,
     decontam_threshold: float = 0.5,
+    line_dedup_min_docs: int | None = None,
 ) -> tuple[DataFrame, list[dict]]:
     """Chain curation stages over a ``(doc_id, text)`` frame →
     (curated_frame, funnel_report).
@@ -277,6 +278,15 @@ def curation_funnel(
       policy choice, not a correctness trap — but place it BEFORE
       ``rewrite`` if you want contamination judged on the document's
       FULL original content rather than its span-excised remainder.
+    - ``linededup`` (opt-in, r15): CCNet cross-document line dedup
+      (dedup.line_dedup) — rewrite every document to its surviving
+      lines (keep-first corpus-wide, or purge lines shared by >=
+      ``line_dedup_min_docs`` docs) and drop documents whose every
+      line was boilerplate. Place it EARLY (CCNet runs paragraph
+      dedup before any LM/quality filtering) so shared banners and
+      nav lines don't distort downstream quality features; it keeps
+      raw surface text, so ordering vs ``pii``/``gopher`` has no
+      normalization trap.
     - ``dedup``: exact content dedup, keep the lowest doc_id per
       md5(text) (one hash aggregate — no window).
     - ``neardup`` (opt-in): MinHash-LSH near-dup clustering with
@@ -382,6 +392,28 @@ def curation_funnel(
                 else:
                     hit = decontam_overlap(cur, decontam_probe).select("doc_id")
                 cur = cur.join(hit, "doc_id", "left_anti")
+            elif stage == "linededup":
+                from .dedup import line_dedup
+
+                # multi-reference stage (the line census and the
+                # regroup join-back both read cur): pin the upstream
+                # chain once
+                if not report:
+                    cur = cache.pin(cur)
+                cur = (
+                    line_dedup(
+                        cur,
+                        mode=(
+                            "frequent" if line_dedup_min_docs
+                            else "keep_first"
+                        ),
+                        min_docs=line_dedup_min_docs,
+                    )
+                    .filter(F.col("clean_text") != "")
+                    .select(
+                        "doc_id", F.col("clean_text").alias("text")
+                    )
+                )
             elif stage == "dedup":
                 if not report:
                     cur = cache.pin(cur)

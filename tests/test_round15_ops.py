@@ -402,6 +402,78 @@ class TestLineDedupCli:
             main(["line-dedup", "--input", src, "--out", str(tmp_path / "o")])
 
 
+class TestLineDedupFunnelStage:
+    """curation_funnel 'linededup' stage (opt-in, placed early per
+    CCNet) — report and one-plan arms, plus the CLI composition."""
+
+    def _docs(self, spark):
+        rows = [
+            (1, "Accept cookies to continue.\n"
+                "the committee reviewed all of the proposals and decided "
+                "that they would publish the findings for the community"),
+            (2, "Accept cookies to continue.\n"
+                "the council examined every submission and agreed that "
+                "the results should be shared with the public at once"),
+            (3, "Accept cookies to continue."),  # all-boilerplate doc
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_stage_in_funnel(self, spark):
+        from imitation_learning_data_pipeline_spark.plans.curation import (
+            curation_funnel,
+        )
+
+        curated, report = curation_funnel(
+            self._docs(spark), stages=("linededup",), report=True
+        )
+        rows = {r["doc_id"]: r["text"] for r in curated.collect()}
+        # doc 1 keeps the banner (first occurrence); docs 2 loses it;
+        # doc 3 becomes empty and DROPS
+        assert rows[1].startswith("Accept cookies")
+        assert rows[2].startswith("the council")
+        assert 3 not in rows
+        assert report == [
+            {"stage": "linededup", "rows_in": 3, "rows_out": 2}
+        ]
+        # one-plan production arm agrees
+        curated2, rep2 = curation_funnel(
+            self._docs(spark), stages=("linededup", "gopher"), report=False
+        )
+        assert rep2 == []
+        assert {r["doc_id"] for r in curated2.collect()} <= {1, 2}
+
+    def test_cli_stage(self, spark, tmp_path, capsys):
+        import json
+
+        from imitation_learning_data_pipeline_spark.cli import main
+
+        src = str(tmp_path / "docs")
+        self._docs(spark).write.parquet(src)
+        out = str(tmp_path / "curated")
+        assert main([
+            "curate", "--path", src, "--out", out,
+            "--stages", "linededup,pii,dedup",
+            "--line-dedup-min-docs", "3",
+        ]) == 0
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        stages = [f["stage"] for f in summary["funnel"]]
+        assert stages == ["linededup", "pii", "dedup"]
+        # purge mode: the banner drops from EVERY doc, so doc 3 empties
+        assert summary["funnel"][0]["rows_out"] == 2
+        rows = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+        assert not rows[1].startswith("Accept")
+
+    def test_unknown_stage_still_refused(self, spark):
+        import pytest as _pytest
+
+        from imitation_learning_data_pipeline_spark.plans.curation import (
+            curation_funnel,
+        )
+
+        with _pytest.raises(ValueError, match="unknown stages"):
+            curation_funnel(self._docs(spark), stages=("line_dedup",))
+
+
 class TestPctNormalize:
     """operators/robots.py::pct_normalize — the Python arm, plus JVM
     twin parity (the two MUST stay bit-identical: patterns are
