@@ -278,6 +278,7 @@ def ingest_warc_plan(
     main_content: bool = False,
     main_content_lang: str | None = None,
     wet: bool = False,
+    decide_first: bool | None = None,
 ) -> DataFrame:
     """The ingest-warc plan, shared verbatim by `cli ingest-warc` and
     the bench row: WARC responses → status/coding/type filters →
@@ -285,6 +286,15 @@ def ingest_warc_plan(
     → optional URL-level struct-max dedup (one hash exchange, no
     per-URL window sort). Doc ids are xxhash64(file, offset) — pure
     row functions, zero shuffle, reproducible across runs.
+
+    ``decide_first`` (optimization r15, default auto): when URL dedup
+    is on and no extraction-dependent gate is (``max_link_density``
+    needs link density, which only extraction knows), the plan runs in
+    its decide-first form — URL winners chosen on a metadata-only
+    parse, extraction fused into one winner-only Python pass, zero
+    exchanges (see :func:`ingest_warc_decided`). Row-identical output;
+    ``decide_first=False`` forces the staged shape (the equivalence
+    oracle), ``True`` asserts it (raises if the mode can't apply).
     ``normalize_urls`` rewrites the url column through
     `functions/url.py::url_normalize` BEFORE dedup, so trivial variants
     ('HTTP://Example.COM:80/a#x' vs 'http://example.com/a?utm_source=y')
@@ -297,6 +307,15 @@ def ingest_warc_plan(
     HTML-only knobs (max_link_density, main_content) are refused."""
     from ..sources.warc import read_warc
 
+    can_decide = (
+        dedup_url and max_link_density is None and not main_content
+    )
+    if decide_first is True and not can_decide:
+        raise ValueError(
+            "ingest_warc_plan: decide_first needs dedup_url=True and no "
+            "extraction-dependent gate (max_link_density/main_content — "
+            "those decide on columns only extraction produces)"
+        )
     if wet:
         if main_content or max_link_density is not None:
             raise ValueError(
@@ -309,12 +328,30 @@ def ingest_warc_plan(
         # unchanged default follows the mode; explicit overrides
         # (None = keep all, or an exotic type) pass through
         ct = "text/plain" if content_type == "text/html" else content_type
+        # WET stays staged unless decide_first is FORCED: its
+        # "extraction" is a JVM decode, so the metadata pass's second
+        # decompress+parse of every file costs MORE than the text
+        # shuffle it saves (measured at sf0.1: 31.8 vs 18.2 warm
+        # task-s). The HTML path below flips the other way because
+        # per-page extraction dwarfs the parse.
+        if decide_first is True:
+            decided = ingest_warc_decided(
+                spark, input_glob, ct, normalize_urls, wet=True
+            )
+            if decided is not None:
+                return decided
         return ingest_wet_records(
             read_warc(spark, input_glob, record_types=("conversion",)),
             content_type=ct,
             dedup_url=dedup_url,
             normalize_urls=normalize_urls,
         )
+    if can_decide and decide_first is not False:
+        decided = ingest_warc_decided(
+            spark, input_glob, content_type, normalize_urls, wet=False
+        )
+        if decided is not None:
+            return decided
     return ingest_warc_records(
         read_warc(spark, input_glob),
         content_type=content_type,
@@ -491,6 +528,262 @@ def ingest_wet_records(
         # documented (doc_id, url, text, text_chars) order explicitly
         out = out.select("doc_id", "url", "text", "text_chars")
     return out
+
+
+# --- decide-first ingest (optimization r15) ----------------------------------
+#
+# The staged dedup plan moves every page's bytes across the JVM↔Python
+# boundary twice (parse out, extract in) and then shuffles the full
+# extracted text through the URL-dedup aggregate — three traversals of
+# the heavy column to make a decision that depends only on ~40 bytes of
+# metadata per record. Guide §8 shape instead: (A) a METADATA parse
+# (payload never decoded, never crosses to the JVM) feeds the identical
+# filter + URL-dedup winner choice; (B) ONE fused parse+extract pass
+# decodes and extracts ONLY the winners, so page bytes cross the
+# boundary exactly once and the text column is never shuffled at all
+# (the final plan is scan → MapInPandas → project: zero exchanges).
+# Measured at sf0.1: the staged map stage's executorRunTime swung
+# 40-210 s per run (multi-MB Arrow payload batches → G1 humongous-
+# allocation GC storms, 90 s jvmGcTime observed in one run); see
+# OPTIMIZATION_r15.md for before/after evidence.
+#
+# Winner equivalence: the staged keep rule is max(struct(doc_id, ...))
+# per (url, selfkey) group and doc_id = xxhash64(file, offset) is
+# unique per record, so the struct max is decided by its first field —
+# winner == argmax(doc_id), which the metadata pass computes without
+# extraction. (A 2^-64 doc_id collision inside one URL group would
+# fall back to differing tie-breaks — the same negligible-collision
+# trade every hash-keyed plan in plans/dedup.py documents.)
+#
+# The collected winner set is the scale boundary of this shape: it is
+# bounded by the BATCH being ingested (one crawl segment per trigger in
+# the streaming arms, one --input glob here), not the corpus, and
+# `_WINNER_CAP` guards it — past the cap the plan falls back to the
+# staged shuffle form. Index-level selection (cli cdx-plan →
+# read_warc_ranges) remains the answer when even a batch's URL space
+# outgrows memory: there the dedup happens on CDX rows before any WARC
+# byte is read.
+
+_WINNER_CAP = 2_000_000
+
+
+def _winner_offsets(
+    headers: DataFrame,
+    content_type: str | None,
+    normalize_urls: bool,
+    wet: bool,
+) -> dict[str, "object"] | None:
+    """URL-dedup winners from a metadata-pass frame → ``{warc_file:
+    sorted int64 ndarray of record offsets}``, or None when the winner
+    set exceeds `_WINNER_CAP` (caller falls back to the staged plan).
+    Applies the EXACT filter set of the staged plan for the mode, then
+    the `_dedup_by_url` keep rule on metadata only."""
+    import numpy as np
+
+    from ..functions.url import url_normalize
+
+    if wet:
+        recs = headers.filter(
+            (F.col("warc_type") == "conversion")
+            & F.col("undecoded_coding").isNull()
+        )
+    else:
+        recs = headers.filter(
+            (F.col("http_status") == 200)
+            & F.col("undecoded_coding").isNull()
+        )
+    if content_type:
+        recs = recs.filter(
+            F.lower(F.col("content_type")).startswith(content_type.lower())
+        )
+    url_col = (
+        url_normalize(F.col("target_uri"))
+        if normalize_urls
+        else F.col("target_uri")
+    )
+    meta = recs.select(
+        F.xxhash64("warc_file", "record_offset").alias("doc_id"),
+        url_col.alias("url"),
+        "warc_file",
+        "record_offset",
+    )
+    key = F.when(
+        F.col("url").isNull() | (F.col("url") == ""), F.col("doc_id")
+    ).otherwise(F.lit(0))
+    winners = (
+        meta.groupBy("url", key.alias("__selfkey"))
+        .agg(F.max(F.struct("doc_id", "warc_file", "record_offset")).alias("k"))
+        .select(F.col("k.warc_file").alias("f"), F.col("k.record_offset").alias("o"))
+    )
+    rows = winners.limit(_WINNER_CAP + 1).collect()
+    if len(rows) > _WINNER_CAP:
+        return None
+    by_file: dict[str, list[int]] = {}
+    for r in rows:
+        by_file.setdefault(r["f"], []).append(r["o"])
+    return {f: np.sort(np.asarray(o, dtype=np.int64)) for f, o in by_file.items()}
+
+
+def _fused_extract_winners(
+    binary: DataFrame,
+    winners_bc,
+    wet: bool,
+    chunk_bytes: int = 64 * 1024 * 1024,
+) -> DataFrame:
+    """One fused parse+extract pass over the winner records only.
+
+    HTML mode output: (warc_file, record_offset, target_uri, title,
+    text, n_links, link_text_chars, text_chars) — charset decode +
+    extraction happen here, page bytes never reach the JVM. WET mode
+    output: (warc_file, record_offset, target_uri, payload) — the
+    payload crosses for winners only, so the JVM `decode()` downstream
+    stays byte-identical with the staged plan."""
+    import pandas as pd
+
+    from ..operators.html_text import (
+        _charset_from_content_type,
+        decode_html,
+        extract_text,
+    )
+    from ..sources.warc import parse_warc_stream
+
+    if wet:
+        schema = (
+            "warc_file string, record_offset long, target_uri string, "
+            "payload binary"
+        )
+        cols = ["warc_file", "record_offset", "target_uri", "payload"]
+    else:
+        schema = (
+            "warc_file string, record_offset long, target_uri string, "
+            "title string, text string, n_links int, "
+            "link_text_chars int, text_chars int"
+        )
+        cols = [
+            "warc_file", "record_offset", "target_uri", "title", "text",
+            "n_links", "link_text_chars", "text_chars",
+        ]
+    wanted = "conversion" if wet else "response"
+
+    def _run(batches) -> "pd.DataFrame":
+        import gzip
+        import io
+
+        import numpy as np
+
+        winners = winners_bc.value
+        for pdf in batches:
+            rows: list[dict] = []
+            pending = 0
+            for path, content in zip(pdf["path"], pdf["content"]):
+                name = str(path)
+                offs = winners.get(name)
+                if offs is None or len(offs) == 0:
+                    continue
+                raw = io.BytesIO(bytes(content))
+                stream = (
+                    gzip.GzipFile(fileobj=raw)
+                    if name.endswith(".gz")
+                    else raw
+                )
+                for r in parse_warc_stream(stream, name):
+                    if r["warc_type"] != wanted:
+                        continue
+                    off = r["record_offset"]
+                    i = int(np.searchsorted(offs, off))
+                    if i >= len(offs) or int(offs[i]) != off:
+                        continue
+                    if wet:
+                        rows.append(
+                            {
+                                "warc_file": name,
+                                "record_offset": off,
+                                "target_uri": r["target_uri"],
+                                "payload": r["payload"],
+                            }
+                        )
+                        pending += len(r["payload"])
+                    else:
+                        html = decode_html(
+                            r["payload"],
+                            _charset_from_content_type(r["content_type"]),
+                        )
+                        rec = extract_text(html)
+                        rows.append(
+                            {
+                                "warc_file": name,
+                                "record_offset": off,
+                                "target_uri": r["target_uri"],
+                                "title": rec["title"],
+                                "text": rec["text"],
+                                "n_links": rec["n_links"],
+                                "link_text_chars": rec["link_text_chars"],
+                                "text_chars": rec["text_chars"],
+                            }
+                        )
+                        pending += rec["text_chars"]
+                    if pending >= chunk_bytes:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows, pending = [], 0
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    return binary.select("path", "content").mapInPandas(_run, schema)
+
+
+def ingest_warc_decided(
+    spark: SparkSession,
+    input_glob: str,
+    content_type: str | None,
+    normalize_urls: bool,
+    wet: bool,
+) -> DataFrame | None:
+    """Decide-first form of ``ingest_warc_plan(..., dedup_url=True)``
+    (see the section comment above): metadata pass → winner choice →
+    fused winner-only parse+extract → JVM projection. Returns None if
+    the winner set exceeds `_WINNER_CAP` (caller falls back to the
+    staged shuffle plan). Output is row-identical to the staged plan —
+    pytest pins equality on generated corpora for every mode."""
+    from ..functions.url import url_normalize
+    from ..operators.html_text import link_density_col
+    from ..sources.warc import warc_header_records
+
+    binary = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc*")
+        .load(input_glob)
+    )
+    headers = warc_header_records(
+        binary, record_types=("conversion",) if wet else ("response",)
+    )
+    winners = _winner_offsets(headers, content_type, normalize_urls, wet)
+    if winners is None:
+        return None
+    winners_bc = spark.sparkContext.broadcast(winners)
+    fused = _fused_extract_winners(binary, winners_bc, wet=wet)
+    url_col = (
+        url_normalize(F.col("target_uri"))
+        if normalize_urls
+        else F.col("target_uri")
+    )
+    doc_id = F.xxhash64("warc_file", "record_offset").alias("doc_id")
+    if wet:
+        return fused.select(
+            doc_id,
+            url_col.alias("url"),
+            F.decode(F.col("payload"), "UTF-8").alias("text"),
+        ).withColumn("text_chars", F.length("text")).select(
+            "doc_id", "url", "text", "text_chars"
+        )
+    return fused.select(
+        doc_id,
+        url_col.alias("url"),
+        "title",
+        "text",
+        "n_links",
+        link_density_col().alias("link_density"),
+        "text_chars",
+    )
 
 
 @register("web_ingest_warc")

@@ -251,10 +251,17 @@ AUDIT = {
     # immutable-buffer rule — which still partial-aggregates map-side;
     # a window or join-back would sort/shuffle the full page set
     # twice). No join anywhere in the ingest path.
+    # optimization r15: decide-first ingest — URL winners are chosen on
+    # a metadata-only parse during plan BUILD, extraction fuses into one
+    # winner-only MapInPandas, and the final plan is scan → python →
+    # project with ZERO exchanges: the extracted text is never shuffled
+    # (the former struct-max dedup aggregate and its full-text exchange
+    # are gone from the executed plan).
     "web_ingest_warc": {
-        "max_exchanges": 1,
+        "max_exchanges": 0,
         "want": ["MapInPandas", "Scan binaryFile"],
-        "forbid": ["CartesianProduct", "SortMergeJoin", "Window"],
+        "forbid": ["CartesianProduct", "SortMergeJoin", "Window",
+                   "Exchange"],
     },
     # round-14: the WET fast path — same single-exchange ingest shape
     # as web_ingest_warc (parse → JVM decode → URL-dedup agg), and the
