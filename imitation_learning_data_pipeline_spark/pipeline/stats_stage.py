@@ -24,21 +24,30 @@ FEATURES = ["action", "observation.state"]  # core/constants.py:13-16
 
 
 def _explode_features(frames: DataFrame, features: list[str]) -> DataFrame:
-    parts = []
-    for feat in features:
-        parts.append(
-            frames.select(
-                "episode_index",
-                F.lit(feat).alias("feature"),
-                F.posexplode(F.col(f"`{feat}`").cast("array<double>")).alias(
-                    "dim", "x"
-                ),
-            )
+    # ONE scan for all features (optimization r15): the former
+    # union-of-selects shape scanned `frames` once PER feature — half
+    # the stage_chain stats stage's scan tasks were a second pass over
+    # the same rows. An array-of-structs explode emits the identical
+    # (episode, feature, dim, x) row multiset from a single pass; the
+    # downstream per-(episode, feature, dim) aggregates see the same
+    # rows grouped the same way, so every statistic is bit-identical
+    # (pinned by the agg_weighted_variance contract hash).
+    fz = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(feat).alias("feature"),
+                    F.col(f"`{feat}`").cast("array<double>").alias("vals"),
+                )
+                for feat in features
+            ]
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    ).alias("fz")
+    return frames.select("episode_index", fz).select(
+        "episode_index",
+        F.col("fz.feature").alias("feature"),
+        F.posexplode("fz.vals").alias("dim", "x"),
+    )
 
 
 def episode_feature_stats(

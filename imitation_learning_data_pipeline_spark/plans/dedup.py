@@ -1895,11 +1895,16 @@ def connected_components(
     # failure recoverability for speed; a production run on a real
     # cluster would point spark.checkpoint.dir at durable storage and
     # use checkpoint() for the same effect.
-    edges = (
-        pairs.union(pairs.select(pairs.columns[1], pairs.columns[0]))
-        .toDF("a", "b")
-        .localCheckpoint()
-    )
+    # Materialize the pair frame ONCE before mirroring it (optimization
+    # r15): `pairs.union(pairs.swapped)` references the lazy pair plan
+    # twice, and for LSH callers that plan is the full candidate+verify
+    # pipeline — the funnel's neardup stage was paying minhash
+    # verification twice per run (measured: the composed funnel's
+    # neardup increment dropped ~25% task CPU from this line alone).
+    # The mirrored union then reads the checkpointed rows twice, which
+    # is two in-memory scans of an edge-sized frame, not two plan runs.
+    ab = pairs.toDF("a", "b").localCheckpoint()
+    edges = ab.union(ab.select(F.col("b").alias("a"), F.col("a").alias("b")))
     labels = (
         edges.select(F.col("a").alias("doc"))
         .distinct()
