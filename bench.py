@@ -220,6 +220,22 @@ def flag_requeues(
     return flagged[:cap], max(0, len(flagged) - cap)
 
 
+def settle_jvm(spark) -> None:
+    """Collect garbage between timed runs (optimization r15 —
+    measurement hygiene, JMH-style). Per-stage metrics showed one
+    query's heap garbage being collected DURING the next query's
+    python-blocked stages: a G1 pause while 32 task threads wait on
+    Python workers bills the pause to every blocked task's
+    executorRunTime, so `web_ingest_warc`'s cold window measured 90
+    task-s isolated but 460-500 inside the full suite (the curation
+    funnels run right before it), with jvmGcTime up to 89.7 s inside a
+    single map stage. Forcing a collection while the JVM is idle pins
+    each query's GC cost to the query that created the garbage. This
+    runs BETWEEN timed regions only — walls and task times still
+    include every allocation/GC a query itself causes."""
+    spark._jvm.System.gc()
+
+
 class TaskTimeProbe:
     """Total executor task run time (ms) across all completed stages,
     read from the live AppStatusStore (works with the UI disabled)."""
@@ -328,6 +344,7 @@ def main() -> int:
         cal_walls: list[float] = []
         cal_tasks: list[float] = []
         for _ in range(max(args.repeat, 2)):
+            settle_jvm(spark)
             t0 = time.time()
             m0 = probe.total_ms()
             spark.range(
@@ -361,6 +378,7 @@ def main() -> int:
         warm_walls: list[float] = []
         warm_tasks: list[float] = []
         for i in range(args.repeat):
+            settle_jvm(spark)
             t0 = time.time()
             m0 = probe.total_ms()
             fn(spark, args.sf_dir).write.format("noop").mode("overwrite").save()
@@ -411,6 +429,7 @@ def main() -> int:
         pass_b: dict[str, float] = {}
         for name in names:
             fn = QUERIES[name]
+            settle_jvm(spark)
             t0 = time.time()
             fn(spark, args.sf_dir).write.format("noop").mode("overwrite").save()
             pass_b[name] = round(time.time() - t0, 3)
@@ -434,6 +453,7 @@ def main() -> int:
         requeue = {}
         for name in flagged:
             fn = QUERIES[name]
+            settle_jvm(spark)
             t0 = time.time()
             fn(spark, args.sf_dir).write.format("noop").mode("overwrite").save()
             third = round(time.time() - t0, 3)

@@ -31,7 +31,8 @@ def _explode_features(frames: DataFrame, features: list[str]) -> DataFrame:
     # (episode, feature, dim, x) row multiset from a single pass; the
     # downstream per-(episode, feature, dim) aggregates see the same
     # rows grouped the same way, so every statistic is bit-identical
-    # (pinned by the agg_weighted_variance contract hash).
+    # (pinned by tests/test_pipeline_stages's combine-vs-direct identity
+    # and value assertions).
     fz = F.explode(
         F.array(
             *[
