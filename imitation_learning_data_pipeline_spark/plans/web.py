@@ -135,7 +135,13 @@ def build_warc_corpus(
     (r14) also writes ``index.cdxj`` — one CDXJ capture line per
     record with the COMPRESSED member (offset, length), so tests and
     demos can run the full plan-then-fetch loop (`read_cdxj` →
-    `cli cdx-plan` → `read_warc_ranges`) against a generated crawl."""
+    `cli cdx-plan` → `read_warc_ranges`) against a generated crawl.
+    Each index line additionally carries ``rec_offset`` (r16) — the
+    record's DECOMPRESSED stream offset, i.e. exactly the
+    ``record_offset`` a whole-file ``read_warc`` parse assigns — so an
+    index-planned ingest can emit doc ids byte-identical to the
+    whole-file path (``ingest_warc_indexed``; real-crawl CDX has no
+    such field, which is why that plan requires it explicitly)."""
     import gzip
     import json as _json
     import os
@@ -186,6 +192,10 @@ def build_warc_corpus(
         for i in range(n_files)
     ]
     positions = [0] * n_files
+    # decompressed stream position per file — matches the running
+    # `offset` parse_warc_stream computes (each record's bytes include
+    # its trailing CRLFCRLF, consumed as inter-record padding there)
+    rec_positions = [0] * n_files
     index_lines: list[str] = []
     try:
         for doc_id, text in rows:
@@ -250,10 +260,15 @@ def build_warc_corpus(
                             "filename": os.path.join(
                                 out_dir, f"seg{fidx:04d}.warc.gz"
                             ),
+                            # non-standard (generator-only) field: the
+                            # DECOMPRESSED record offset, for doc-id
+                            # parity with whole-file reads (r16)
+                            "rec_offset": str(rec_positions[fidx]),
                         }
                     )
                     index_lines.append(f"{surt} {ts} {payload_js}")
                 positions[fidx] += len(member)
+                rec_positions[fidx] += len(rec)
     finally:
         for fh in handles:
             fh.close()
@@ -295,6 +310,20 @@ def ingest_warc_plan(
     exchanges (see :func:`ingest_warc_decided`). Row-identical output;
     ``decide_first=False`` forces the staged shape (the equivalence
     oracle), ``True`` asserts it (raises if the mode can't apply).
+    When a generator-written capture index covers the glob, auto mode
+    instead builds the fully-lazy INDEX-planned form (r16,
+    :func:`ingest_warc_indexed`: no plan-build jobs, no driver collect,
+    winners fetched by member range — for BOTH html and wet).
+
+    NB (ADVICE r15): the metadata-pass decide-first form runs eager
+    Spark jobs at plan-BUILD time (the full metadata parse plus the
+    winner collect) and freezes the winner set then — merely building
+    or explaining that plan pays a corpus scan, and executing it after
+    files were added/removed under ``input_glob`` can see a DIFFERENT
+    file set in the extraction pass than the decision saw (two-scan
+    TOCTOU; the staged and indexed shapes are single-listing/lazy and
+    have neither property). Callers that need plan text without jobs
+    pass ``decide_first=False``.
     ``normalize_urls`` rewrites the url column through
     `functions/url.py::url_normalize` BEFORE dedup, so trivial variants
     ('HTTP://Example.COM:80/a#x' vs 'http://example.com/a?utm_source=y')
@@ -334,6 +363,12 @@ def ingest_warc_plan(
         # shuffle it saves (measured at sf0.1: 31.8 vs 18.2 warm
         # task-s). The HTML path below flips the other way because
         # per-page extraction dwarfs the parse.
+        if dedup_url and decide_first is not False:
+            indexed = ingest_warc_indexed(
+                spark, input_glob, ct, normalize_urls, wet=True
+            )
+            if indexed is not None:
+                return indexed
         if decide_first is True:
             decided = ingest_warc_decided(
                 spark, input_glob, ct, normalize_urls, wet=True
@@ -347,6 +382,11 @@ def ingest_warc_plan(
             normalize_urls=normalize_urls,
         )
     if can_decide and decide_first is not False:
+        indexed = ingest_warc_indexed(
+            spark, input_glob, content_type, normalize_urls, wet=False
+        )
+        if indexed is not None:
+            return indexed
         decided = ingest_warc_decided(
             spark, input_glob, content_type, normalize_urls, wet=False
         )
@@ -615,13 +655,18 @@ def _winner_offsets(
         .agg(F.max(F.struct("doc_id", "warc_file", "record_offset")).alias("k"))
         .select(F.col("k.warc_file").alias("f"), F.col("k.record_offset").alias("o"))
     )
-    rows = winners.limit(_WINNER_CAP + 1).collect()
-    if len(rows) > _WINNER_CAP:
+    # Collect per-file SORTED offset arrays, not 2M Row objects (ADVICE
+    # r15): the grouping and sort happen executor-side, and the driver
+    # materializes one array row per file — an order of magnitude less
+    # heap than the former flat-Row collect at the same cap.
+    rows = (
+        winners.groupBy("f")
+        .agg(F.sort_array(F.collect_list("o")).alias("offs"))
+        .collect()
+    )
+    if sum(len(r["offs"]) for r in rows) > _WINNER_CAP:
         return None
-    by_file: dict[str, list[int]] = {}
-    for r in rows:
-        by_file.setdefault(r["f"], []).append(r["o"])
-    return {f: np.sort(np.asarray(o, dtype=np.int64)) for f, o in by_file.items()}
+    return {r["f"]: np.asarray(r["offs"], dtype=np.int64) for r in rows}
 
 
 def _fused_extract_winners(
@@ -744,8 +789,6 @@ def ingest_warc_decided(
     the winner set exceeds `_WINNER_CAP` (caller falls back to the
     staged shuffle plan). Output is row-identical to the staged plan —
     pytest pins equality on generated corpora for every mode."""
-    from ..functions.url import url_normalize
-    from ..operators.html_text import link_density_col
     from ..sources.warc import warc_header_records
 
     binary = (
@@ -759,8 +802,33 @@ def ingest_warc_decided(
     winners = _winner_offsets(headers, content_type, normalize_urls, wet)
     if winners is None:
         return None
+    # Bound the session-lifetime broadcast leak (ADVICE r15): a plan
+    # build per bench repeat / CLI run re-broadcasts the winner set and
+    # nothing ever unpersisted the previous copy. The newest plan is
+    # the only one a caller can still execute coherently (the decision
+    # is frozen at build time either way), so evict the prior broadcast
+    # when a new one is made — at most one winner set stays resident.
+    global _LAST_WINNERS_BC
+    if _LAST_WINNERS_BC is not None:
+        try:
+            _LAST_WINNERS_BC.unpersist()
+        except Exception:
+            pass  # SparkContext may have been stopped/replaced
     winners_bc = spark.sparkContext.broadcast(winners)
+    _LAST_WINNERS_BC = winners_bc
     fused = _fused_extract_winners(binary, winners_bc, wet=wet)
+    return _project_ingest_output(fused, normalize_urls, wet)
+
+
+_LAST_WINNERS_BC = None
+
+
+def _project_ingest_output(fused: DataFrame, normalize_urls: bool, wet: bool) -> DataFrame:
+    """Shared JVM tail of the decide-first/indexed ingest shapes:
+    doc_id/url/quality-column projection over a fused-extract frame."""
+    from ..functions.url import url_normalize
+    from ..operators.html_text import link_density_col
+
     url_col = (
         url_normalize(F.col("target_uri"))
         if normalize_urls
@@ -784,6 +852,274 @@ def ingest_warc_decided(
         link_density_col().alias("link_density"),
         "text_chars",
     )
+
+
+# --- index-planned ingest (optimization r16) ----------------------------------
+#
+# The r15 decide-first shape still decompressed every file TWICE (a
+# metadata parse to pick winners, then a full-file pass extracting only
+# winners) and collected the winner set to the driver. With a capture
+# index (CDX — the artifact every real crawl ships) both costs vanish:
+# the DECISION becomes a pure-JVM scan of tiny index lines (no WARC
+# byte touched, no Python), the winner set stays DISTRIBUTED (a
+# metadata-only manifest shuffle — guide §8: shuffle keys and metadata,
+# never payloads), and the fetch pass seeks straight to the winning
+# gzip members, so non-winner page bytes are never read, let alone
+# decompressed. The whole plan is LAZY — no plan-build-time jobs, no
+# broadcast, no driver collect (closes ADVICE r15's TOCTOU/leak notes
+# for this path).
+#
+# doc-id parity: ids are xxhash64(warc_file, record_offset) where
+# record_offset is the DECOMPRESSED stream offset a whole-file parse
+# assigns. Real CDX only knows COMPRESSED member offsets, so this plan
+# requires the generator's extended ``rec_offset`` field and
+# deliberately refuses to engage without it — with it, output rows are
+# byte-identical to the staged plan (pytest-pinned). A real-crawl
+# deployment uses the cdx-plan → read_warc_ranges pair instead, whose
+# read-path-scoped ids are documented in sources/warc.py.
+
+_INDEXED_REQUIRED_FIELD = '"rec_offset"'
+
+
+def _usable_index(input_glob: str) -> str | None:
+    """Path to a generator-written ``index.cdxj`` covering
+    ``input_glob``, or None. Usable = the index sits in the glob's
+    directory AND carries the ``rec_offset`` doc-id-parity field."""
+    import os
+
+    path = input_glob[5:] if input_glob.startswith("file:") else input_glob
+    if any(ch in os.path.basename(path) for ch in "*?[{"):
+        path = os.path.dirname(path)
+    if not os.path.isdir(path):
+        return None
+    idx = os.path.join(path, "index.cdxj")
+    try:
+        with open(idx) as fh:
+            first = fh.readline()
+    except OSError:
+        return None
+    return idx if _INDEXED_REQUIRED_FIELD in first else None
+
+
+def _indexed_winner_manifest(
+    spark: SparkSession,
+    idx_path: str,
+    content_type: str | None,
+    normalize_urls: bool,
+    wet: bool,
+) -> DataFrame:
+    """CDXJ index → URL-dedup winner fetch manifest
+    ``(f, o, n, ro, wf)`` = (local file, member offset, member length,
+    decompressed record offset, binaryFile-style file name). Applies
+    the staged plan's capture-level gates (status, media type) on the
+    index's own columns and the IDENTICAL `_dedup_by_url` keep rule —
+    winner == argmax doc_id per (url, selfkey) group, doc_id computed
+    from the same (file, rec_offset) pair the whole-file parse hashes.
+
+    Trust posture: like `cli cdx-plan` → `read_warc_ranges`, the index
+    is trusted for SELECTION (a stale index can only miss records —
+    the fetch pass re-checks every gate on the parsed record, so wrong
+    rows cannot be emitted). The index's ``mime`` is the bare media
+    type, so ``content_type`` prefixes beyond it (e.g. charset params)
+    would under-select; the auto path only ever passes media types."""
+    from ..functions.url import url_normalize
+
+    lines = spark.read.text(idx_path).filter(F.length(F.trim("value")) > 0)
+    js = F.element_at(F.split(F.col("value"), " ", 3), 3)
+    fname = F.get_json_object(js, "$.filename")
+    idx = lines.select(
+        F.get_json_object(js, "$.url").alias("url"),
+        F.get_json_object(js, "$.mime").alias("mime"),
+        F.get_json_object(js, "$.status").cast("int").alias("status"),
+        F.get_json_object(js, "$.offset").cast("bigint").alias("o"),
+        F.get_json_object(js, "$.length").cast("bigint").alias("n"),
+        fname.alias("f"),
+        F.get_json_object(js, "$.rec_offset").cast("bigint").alias("ro"),
+        # binaryFile names local files "file:<abs path>" — reproduce
+        # that exact string so xxhash64(wf, ro) equals the whole-file
+        # path's doc_id (row-identity pytest pins the format)
+        F.when(
+            fname.startswith("/"), F.concat(F.lit("file:"), fname)
+        ).otherwise(fname).alias("wf"),
+    )
+    if not wet:
+        idx = idx.filter(F.col("status") == 200)
+    if content_type:
+        idx = idx.filter(
+            F.lower(F.col("mime")).startswith(content_type.lower())
+        )
+    url_col = (
+        url_normalize(F.col("url")) if normalize_urls else F.col("url")
+    )
+    doc_id = F.xxhash64("wf", "ro")
+    key = F.when(
+        F.col("url").isNull() | (F.col("url") == ""), doc_id
+    ).otherwise(F.lit(0))
+    winners = (
+        idx.select(
+            url_col.alias("u"), key.alias("__selfkey"),
+            F.struct(doc_id.alias("doc_id"), "f", "o", "n", "ro", "wf").alias("m"),
+        )
+        .groupBy("u", "__selfkey")
+        .agg(F.max("m").alias("k"))
+        .select("k.f", "k.o", "k.n", "k.ro", "k.wf")
+    )
+    # each fetch task reads its files' members in ascending-seek order,
+    # one open per file run — the read_warc_ranges discipline
+    return winners.repartition(F.col("f")).sortWithinPartitions("f", "o")
+
+
+def _fetch_extract_ranges(
+    manifest: DataFrame,
+    wet: bool,
+    content_type: str | None,
+    chunk_bytes: int = 64 * 1024 * 1024,
+) -> DataFrame:
+    """Ranged winner fetch + parse + extract in ONE Python pass: seek
+    to each winning gzip member, decompress just it, parse it with the
+    standard incremental parser, re-check the record-level gates, and
+    (HTML mode) extract text — non-winner bytes are never read. Output
+    schema matches `_fused_extract_winners`; ``record_offset`` is the
+    manifest's decompressed ``ro`` (doc-id parity, see section note)."""
+    import pandas as pd
+
+    from ..operators.html_text import (
+        _charset_from_content_type,
+        decode_html,
+        extract_text,
+    )
+    from ..sources.warc import WarcFormatError, parse_warc_stream
+
+    if wet:
+        schema = (
+            "warc_file string, record_offset long, target_uri string, "
+            "payload binary"
+        )
+        cols = ["warc_file", "record_offset", "target_uri", "payload"]
+    else:
+        schema = (
+            "warc_file string, record_offset long, target_uri string, "
+            "title string, text string, n_links int, "
+            "link_text_chars int, text_chars int"
+        )
+        cols = [
+            "warc_file", "record_offset", "target_uri", "title", "text",
+            "n_links", "link_text_chars", "text_chars",
+        ]
+    wanted = "conversion" if wet else "response"
+    ct = content_type.lower() if content_type else None
+
+    def _run(batches) -> "pd.DataFrame":
+        import gzip
+        import io
+
+        fh = None
+        fh_name = None
+        try:
+            for pdf in batches:
+                rows: list[dict] = []
+                pending = 0
+                for f, o, n, ro, wf in zip(
+                    pdf["f"], pdf["o"], pdf["n"], pdf["ro"], pdf["wf"]
+                ):
+                    name = str(f)
+                    path = name[5:] if name.startswith("file:") else name
+                    if fh is None or fh_name != path:
+                        if fh is not None:
+                            fh.close()
+                        fh = open(path, "rb")
+                        fh_name = path
+                    fh.seek(int(o))
+                    blob = fh.read(int(n))
+                    if len(blob) != int(n):
+                        raise WarcFormatError(
+                            f"{name}: ranged read at {o} wanted {n} "
+                            f"bytes, got {len(blob)} (stale index?)"
+                        )
+                    data = (
+                        gzip.decompress(blob)
+                        if path.endswith(".gz")
+                        else blob
+                    )
+                    for r in parse_warc_stream(io.BytesIO(data), str(wf)):
+                        # identical record-level gate to the staged
+                        # plan, re-checked on the PARSED record: a
+                        # stale/lying index can only MISS rows here,
+                        # never emit a row the staged plan would not
+                        if r["warc_type"] != wanted:
+                            continue
+                        if not wet and r["http_status"] != 200:
+                            continue
+                        if r["undecoded_coding"] is not None:
+                            continue
+                        if ct and not (
+                            (r["content_type"] or "").lower().startswith(ct)
+                        ):
+                            continue
+                        if wet:
+                            rows.append(
+                                {
+                                    "warc_file": str(wf),
+                                    "record_offset": int(ro),
+                                    "target_uri": r["target_uri"],
+                                    "payload": r["payload"],
+                                }
+                            )
+                            pending += len(r["payload"])
+                        else:
+                            html = decode_html(
+                                r["payload"],
+                                _charset_from_content_type(r["content_type"]),
+                            )
+                            rec = extract_text(html)
+                            rows.append(
+                                {
+                                    "warc_file": str(wf),
+                                    "record_offset": int(ro),
+                                    "target_uri": r["target_uri"],
+                                    "title": rec["title"],
+                                    "text": rec["text"],
+                                    "n_links": rec["n_links"],
+                                    "link_text_chars": rec["link_text_chars"],
+                                    "text_chars": rec["text_chars"],
+                                }
+                            )
+                            pending += rec["text_chars"]
+                        if pending >= chunk_bytes:
+                            yield pd.DataFrame(rows, columns=cols)
+                            rows, pending = [], 0
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
+        finally:
+            if fh is not None:
+                fh.close()
+
+    return manifest.mapInPandas(_run, schema)
+
+
+def ingest_warc_indexed(
+    spark: SparkSession,
+    input_glob: str,
+    content_type: str | None,
+    normalize_urls: bool,
+    wet: bool,
+) -> DataFrame | None:
+    """Index-planned form of ``ingest_warc_plan(..., dedup_url=True)``
+    (see the section comment above): CDXJ winner manifest → ranged
+    winner-only fetch+parse+extract → JVM projection, fully lazy, no
+    driver collect, no broadcast, no whole-file decompression. Returns
+    None when no usable index covers ``input_glob`` (caller falls back
+    to the metadata-pass decide-first shape or the staged plan). Output
+    is row-identical to the staged plan — pytest pins equality on
+    generated corpora for both modes."""
+    idx = _usable_index(input_glob)
+    if idx is None:
+        return None
+    manifest = _indexed_winner_manifest(
+        spark, idx, content_type, normalize_urls, wet
+    )
+    fetched = _fetch_extract_ranges(manifest, wet, content_type)
+    return _project_ingest_output(fetched, normalize_urls, wet)
 
 
 @register("web_ingest_warc")
