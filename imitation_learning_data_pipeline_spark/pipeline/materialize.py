@@ -69,12 +69,27 @@ def materialize(
         .partitionBy("split", "chunk")
         .parquet(f"{out_dir}/data")
     )
+    # Index from the WRITTEN dataset, not a second run of the upstream
+    # plan (optimization r16): `assigned` is lazy, so aggregating it
+    # here re-executed the entire upstream chain (align transform +
+    # scan) once for the index write — and a caller aggregating the
+    # returned index paid a THIRD run. Reading back what the write just
+    # materialized is a partition-pruned, column-pruned scan of
+    # episode_index only (per-file metadata-ish at any scale) and makes
+    # the index stronger, not weaker: it now counts the rows actually
+    # on disk. Returning a read of the written index parquet keeps the
+    # returned frame O(episodes) to recompute however often callers
+    # aggregate it.
+    spark = frames.sparkSession
     index = (
-        assigned.groupBy("split", "chunk", "episode_index")
+        spark.read.parquet(f"{out_dir}/data")
+        .groupBy("split", "chunk", "episode_index")
         .agg(F.count("*").alias("rows"))
     )
     index.write.mode("overwrite").parquet(f"{out_dir}/index")
-    return index
+    return spark.read.parquet(f"{out_dir}/index").select(
+        "split", "chunk", "episode_index", "rows"
+    )
 
 
 def link_pairs(index: DataFrame, video_root: str, out_dir: str) -> DataFrame:

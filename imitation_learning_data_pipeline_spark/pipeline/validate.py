@@ -82,17 +82,34 @@ def validate_episodes(
     w = Window.partitionBy("episode_index").orderBy("__pos")
     bt = lambda c: f"`{c}`"  # noqa: E731 — backtick dotted names (P2)
 
-    with_lag = frames.select(
+    # Narrow BEFORE the window exchange (optimization r16, guide §2.3):
+    # the per-row derived values (vector widths, null flag) are pure
+    # row functions, so computing them in a projection BELOW the
+    # episode shuffle moves two ints per row through the exchange and
+    # its sort instead of the two 8-double vectors (~16 bytes vs ~150).
+    # Same expressions over the same rows — every aggregate below sees
+    # identical values (max of per-row sizes == size of each row,
+    # aggregated), so the report is bit-identical.
+    narrowed = frames.select(
         "episode_index",
         "frame_index",
         "timestamp",
-        F.col(bt("observation.state")).alias("obs_state"),
-        "action",
-        F.lag("frame_index").over(w).alias("prev_fi"),
-        F.lag("timestamp").over(w).alias("prev_ts"),
+        "__pos",
+        F.size(F.col(bt("observation.state"))).alias("__state_w"),
+        F.size("action").alias("__action_w"),
         F.greatest(
             *[F.col(bt(c)).isNull().cast("int") for c in REQUIRED_COLS]
         ).alias("any_null_row"),
+    )
+    with_lag = narrowed.select(
+        "episode_index",
+        "frame_index",
+        "timestamp",
+        "__state_w",
+        "__action_w",
+        F.lag("frame_index").over(w).alias("prev_fi"),
+        F.lag("timestamp").over(w).alias("prev_ts"),
+        "any_null_row",
     )
 
     ok_flag = lambda cond: (F.min(F.when(cond, 1).otherwise(0)) == 1)  # noqa: E731
@@ -107,8 +124,8 @@ def validate_episodes(
             F.col("prev_ts").isNull() | (F.col("timestamp") >= F.col("prev_ts"))
         ).alias("timestamp_non_decreasing"),
         (F.max("any_null_row") == 0).alias("no_nulls"),
-        F.max(F.size("action")).alias("action_width_max"),
-        F.max(F.size("obs_state")).alias("state_width_max"),
+        F.max("__action_w").alias("action_width_max"),
+        F.max("__state_w").alias("state_width_max"),
     )
 
     # Named checks → ok flag + nested issues array, mirroring the
