@@ -214,13 +214,14 @@ CONTRACT_FIRST: list[str] = [
     # by parking graph_pagerank_doclinks (green r9-r11) behind
     # dedup_cluster_components (see CONTRACT_EXCLUDE).
     "window_group_order_suite",
-    # Round-15 rotation (proxy-drift cadence, r14 verdict item 7):
-    # graph_pagerank_doclinks — the longest proxy-only contract
-    # absentee (parked r12) — rotates BACK for a fresh direct row,
-    # funded by parking pipeline_align_events (green r1-r14, fourteen
-    # rounds, no parked dependents; stays a bench headline row — see
-    # CONTRACT_EXCLUDE).
-    "graph_pagerank_doclinks",
+    # Round-16 rotation (ordered by the r15 verdict, item 8):
+    # pipeline_align_events returns after its one-round park — the
+    # cadence's purpose for the r15 swap is served (graph_pagerank_
+    # doclinks got its fresh direct row, hash-green in CORRECTNESS_r15)
+    # — funded by re-parking graph_pagerank_doclinks behind its
+    # long-standing proxy dedup_cluster_components (see
+    # CONTRACT_EXCLUDE; same pairing as its r12 park).
+    "pipeline_align_events",
     # Round-7 addition #3 (this session): the Gopher quality-rule set —
     # new operators go straight into the contract; funded by parking
     # text_quality_score behind it (same family, strict superset of the
@@ -372,24 +373,22 @@ CONTRACT_EXCLUDE: dict[str, str] = {
     # (round-12: window_group_order_suite rotated BACK into the
     # contract — proxy-drift cadence, the other never-re-rotated r5
     # park; its r5 park entry is removed.)
-    # round-12 rotation #2: funds window_group_order_suite's return
-    # slot. Green r9-r11; its iterative message-passing machinery is
-    # (round-15 rotation: graph_pagerank_doclinks — the longest
-    # proxy-only absentee, parked r12 — rotated BACK into the
-    # contract for a fresh direct row; its slot is funded by parking
-    # pipeline_align_events below.)
-    # round-15: pipeline_align_events — green r1-r14, fourteen rounds,
-    # no parked dependents — parked to fund graph_pagerank_doclinks'
-    # return. Coverage held by window_reindex (the same
-    # pipeline/align.py W4 reindex + projection machinery with a
-    # direct contract row), pipeline_validate_orders (the P4/P5
-    # vector-width + null/NaN predicate family), pytest
-    # test_pipeline_stages, and the row stays a bench HEADLINE entry
-    # measured every round plus hash-checked in check_contract --all.
-    "pipeline_align_events": "window_reindex (same pipeline/align.py "
-    "reindex+projection machinery, direct row) + "
-    "pipeline_validate_orders (P4/P5 predicate family) + bench "
-    "headline row + --all hash row + pytest test_pipeline_stages",
+    # (round-15 rotation: graph_pagerank_doclinks rotated BACK for a
+    # fresh direct row, funded by parking pipeline_align_events;
+    # round-16 reverses the swap per the r15 verdict item 8 — align
+    # returns below, pagerank re-parks here with its r12 proxy.)
+    # round-16: graph_pagerank_doclinks — fresh direct row taken r15
+    # (hash-green in CORRECTNESS_r15), fifteen green rounds total, no
+    # parked dependents — re-parked to fund pipeline_align_events'
+    # return. Coverage held exactly as during its r12–r14 park: its
+    # iterative message-passing machinery is the same
+    # checkpointed-frontier loop dedup_cluster_components keeps under a
+    # direct contract row, and the row stays hash-checked in
+    # check_contract --all.
+    "graph_pagerank_doclinks": "dedup_cluster_components (same "
+    "iterative checkpointed message-passing/propagation machinery, "
+    "direct row) + check_contract --all hash row (fresh direct row "
+    "taken r15)",
     # round-15: CCNet cross-document line dedup. Library-only (cap):
     # the whole normalize → first-winner → regroup pipeline is
     # hash-checked in check_contract --all against a same-pipeline
