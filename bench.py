@@ -232,7 +232,12 @@ def settle_jvm(spark) -> None:
     single map stage. Forcing a collection while the JVM is idle pins
     each query's GC cost to the query that created the garbage. This
     runs BETWEEN timed regions only — walls and task times still
-    include every allocation/GC a query itself causes."""
+    include every allocation/GC a query itself causes.
+
+    Local-mode assumption (ADVICE r15): System.gc() reaches the ONE
+    JVM that is both driver and executor here; on a real cluster this
+    would collect only the driver heap and do nothing for executor
+    GC attribution — don't reuse it there expecting this effect."""
     spark._jvm.System.gc()
 
 

@@ -64,6 +64,50 @@ def spark():
     yield s
 
 
+class CliResult:
+    """subprocess.CompletedProcess-shaped result for `run_cli`."""
+
+    def __init__(self, returncode: int, stdout: str, stderr: str):
+        self.returncode = returncode
+        self.stdout = stdout
+        self.stderr = stderr
+
+
+def run_cli(args: list[str]) -> CliResult:
+    """Drive `cli.main(argv)` IN-PROCESS on the shared pytest session,
+    mimicking the subprocess contract (captured stdout/stderr text,
+    returncode; an uncaught exception becomes returncode 1 with the
+    traceback on stderr, exactly what a `python -m ... cli` subprocess
+    surfaces). The suite used to spawn a fresh interpreter + JVM per
+    CLI assertion — each one re-paid ~20-25 s of session startup and
+    cold whole-stage-codegen JIT, which is harness cost, not coverage
+    (the arg parsing, command logic and stdout contract are identical
+    in-process). One genuine `python -m` subprocess smoke test remains
+    (TestProfileCli) to cover the module entry point itself."""
+    import contextlib
+    import io
+    import traceback
+
+    from imitation_learning_data_pipeline_spark.cli import main
+
+    out, err = io.StringIO(), io.StringIO()
+    with contextlib.redirect_stdout(out), contextlib.redirect_stderr(err):
+        try:
+            rc = main(args)
+        except SystemExit as e:
+            # mirror CPython: int code passes through (argparse exits
+            # 2), None is 0, any other payload prints to stderr + rc 1
+            if e.code is None or isinstance(e.code, int):
+                rc = e.code or 0
+            else:
+                print(e.code, file=err)
+                rc = 1
+        except BaseException:
+            traceback.print_exc(file=err)
+            rc = 1
+    return CliResult(rc if rc is not None else 0, out.getvalue(), err.getvalue())
+
+
 @pytest.fixture(scope="session")
 def lerobot_fixture(tmp_path_factory):
     """LeRobot-shaped fixture tree (FIXTURES.md §B): per-episode parquet

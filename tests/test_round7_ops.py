@@ -892,16 +892,13 @@ class TestSketchProfileAccuracy:
         assert key(merged) == key(whole)
 
 
-def _cli(args, cwd="/root/repo"):
-    import subprocess
-    import sys
+def _cli(args):
+    # in-process on the shared session (see conftest.run_cli) — a
+    # fresh-interpreter subprocess per assertion re-paid ~20-25 s of
+    # JVM startup + cold JIT without adding coverage
+    from conftest import run_cli
 
-    return subprocess.run(
-        [sys.executable, "-m", "imitation_learning_data_pipeline_spark.cli", *args],
-        capture_output=True,
-        text=True,
-        cwd=cwd,
-    )
+    return run_cli(list(args))
 
 
 class TestDedupCliStoreHardening:

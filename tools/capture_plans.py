@@ -2,10 +2,13 @@
 
 Usage: python tools/capture_plans.py <suffix> [query ...]
 
-Writes plans/r15/<query>_<suffix>.txt for each named query (default:
-the bench HEADLINE list). Uses a small local session — plan shape does
-not depend on core count, and explain() runs no jobs, so this is safe
-to run alongside nothing (keep it sequential with timed runs anyway).
+Writes plans/<round>/<query>_<suffix>.txt for each named query
+(default: the bench HEADLINE list). Uses a small local session — plan
+shape does not depend on core count. NB (ADVICE r15): explain() itself
+runs no jobs, but BUILDING some plans does — web_ingest_warc's
+metadata-pass decide-first form runs its winner-decision jobs at plan
+construction (the indexed form and everything else stays lazy) — so
+keep captures strictly sequential with timed runs.
 """
 
 from __future__ import annotations
@@ -30,7 +33,9 @@ def main() -> int:
         import bench
 
         names = bench.HEADLINE
-    out_dir = os.path.join(REPO, "plans", "r15")
+    out_dir = os.path.join(
+        REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r16")
+    )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("capture_plans")
     for name in names:
