@@ -964,9 +964,25 @@ def _indexed_winner_manifest(
         .agg(F.max("m").alias("k"))
         .select("k.f", "k.o", "k.n", "k.ro", "k.wf")
     )
-    # each fetch task reads its files' members in ascending-seek order,
-    # one open per file run — the read_warc_ranges discipline
-    return winners.repartition(F.col("f")).sortWithinPartitions("f", "o")
+    return _manifest_layout(winners, spark)
+
+
+def _manifest_layout(winners: DataFrame, spark: SparkSession) -> DataFrame:
+    """Fetch-task layout for the winner manifest (guide §2.5/§2.6,
+    measured at sf0.1): a plain repartition("f") exposes two traps —
+    AQE coalesces the few-MB metadata manifest onto one or two tasks
+    (BYTES are a terrible proxy for per-member Python fetch+extract
+    work: wall measured 8-16 s for ~14 task-s of work), and hashing a
+    small file set serializes big files on single tasks. An EXPLICIT
+    range partitioning on (file, offset) is AQE-stable, splits large
+    files across tasks, and keeps each task's reads contiguous and
+    seek-ordered (one open per consecutive file run, the
+    read_warc_ranges discipline). The count scales with the cluster
+    (defaultParallelism — one fetch wave), never a local constant."""
+    n = max(spark.sparkContext.defaultParallelism, 16)
+    return winners.repartitionByRange(n, "f", "o").sortWithinPartitions(
+        "f", "o"
+    )
 
 
 def _fetch_extract_ranges(
@@ -1129,9 +1145,14 @@ def web_ingest_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     generated .warc.gz corpus derived from the documents table.
     Host-I/O path — no DuckDB oracle (rows-only in the library gate);
     the extraction CONTRACT is hash-checked by `web_html_extract`, and
-    the end-to-end row-level semantics by pytest."""
+    the end-to-end row-level semantics by pytest.
+
+    r16: the corpus is generated WITH its capture index (every real
+    crawl ships one), so the plan auto-engages the index-planned form —
+    winner selection on index lines, ranged winner-only fetch; output
+    row-identical (tests/test_opt_r16.py)."""
     ensure_utc(spark)
-    corpus = build_warc_corpus(sf_dir)
+    corpus = build_warc_corpus(sf_dir, index=True)
     return ingest_warc_plan(
         spark, corpus, content_type="text/html", dedup_url=True
     )
@@ -1537,7 +1558,7 @@ def web_ingest_wet(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializing the text column (cross-round note for the bench
     ledger). WET semantics remain pytest-pinned (TestWetIngest)."""
     ensure_utc(spark)
-    corpus = build_warc_corpus(sf_dir, kind="conversion")
+    corpus = build_warc_corpus(sf_dir, kind="conversion", index=True)
     out = ingest_warc_plan(spark, corpus, wet=True, dedup_url=True)
     return out.select("url", "text_chars")
 
