@@ -99,6 +99,64 @@ class TestIndexedIngest:
         # glob forms resolve to the directory
         assert _usable_index(os.path.join(str(d), "*.warc.gz")) is not None
 
+    def test_verify_generator_matches_inline_filter(self, spark):
+        """_verify_jaccard's explode(when(...)) threshold (r16) must be
+        row- and schema-identical to the pre-r15 inline-filter shape —
+        the generator is ONLY a pushdown barrier (one array_intersect
+        per candidate in the executed plan), never a semantics change."""
+        from pyspark.sql import functions as F
+
+        from imitation_learning_data_pipeline_spark.functions.rounding import (
+            quantize,
+        )
+        from imitation_learning_data_pipeline_spark.plans.dedup import (
+            _BUCKET_CAP,
+            _bucket_pairs,
+            _corpus,
+            _minhash_band_rows,
+            _minhash_sig_plan,
+            _verify_jaccard,
+        )
+
+        sigs = _minhash_sig_plan(_corpus(spark, "/root/testdata/sf0.001"))
+        sigs = sigs.persist()
+        try:
+            sets = sigs.select("doc_id", "sh")
+            cand = _bucket_pairs(
+                _minhash_band_rows(sigs), ["band", "bucket"], _BUCKET_CAP
+            )
+            got = _verify_jaccard(cand, sets, 0.5)
+            inter = F.size(
+                F.array_intersect(F.col("x.sh"), F.col("y.sh"))
+            ).cast("double")
+            union = (
+                F.size(F.col("x.sh"))
+                + F.size(F.col("y.sh"))
+                - F.size(F.array_intersect(F.col("x.sh"), F.col("y.sh")))
+            )
+            jac = inter / union
+            want = (
+                cand.join(sets.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
+                .join(sets.alias("y"), F.col("doc_b") == F.col("y.doc_id"))
+                .filter(jac >= 0.5)
+                .select("doc_a", "doc_b", quantize(jac, 4).alias("jaccard"))
+            )
+            assert got.dtypes == want.dtypes
+            a = sorted(map(tuple, got.collect()))
+            b = sorted(map(tuple, want.collect()))
+            assert a == b and len(a) > 0
+            # the barrier property itself: one array_intersect in the
+            # executed plan (the filter shape evaluates it 3-4 times);
+            # AQE's string repeats the plan under "== Initial Plan =="
+            # — count the final section only
+            phys = (
+                got._jdf.queryExecution().executedPlan().toString()
+                .split("== Initial Plan ==")[0]
+            )
+            assert phys.count("array_intersect") == 1
+        finally:
+            sigs.unpersist()
+
     def test_index_plan_is_lazy(self, spark, tmp_path):
         """Building (not executing) the indexed plan must run ZERO
         Spark jobs — the ADVICE r15 build-time-action complaint does
