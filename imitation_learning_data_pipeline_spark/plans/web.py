@@ -883,13 +883,16 @@ _INDEXED_REQUIRED_FIELD = '"rec_offset"'
 
 def _usable_index(input_glob: str) -> str | None:
     """Path to a generator-written ``index.cdxj`` covering
-    ``input_glob``, or None. Usable = the index sits in the glob's
-    directory AND carries the ``rec_offset`` doc-id-parity field."""
+    ``input_glob``, or None. Usable = ``input_glob`` is a BARE
+    directory (the index describes the whole directory, so a narrowing
+    glob like ``dir/seg000*.warc.gz`` must NOT engage it — the indexed
+    plan would ingest records the glob excludes) AND the index carries
+    the ``rec_offset`` doc-id-parity field."""
     import os
 
     path = input_glob[5:] if input_glob.startswith("file:") else input_glob
-    if any(ch in os.path.basename(path) for ch in "*?[{"):
-        path = os.path.dirname(path)
+    if any(ch in path for ch in "*?[{,"):
+        return None
     if not os.path.isdir(path):
         return None
     idx = os.path.join(path, "index.cdxj")

@@ -96,8 +96,10 @@ class TestIndexedIngest:
             f"example,t)/a 20260101000000 {json.dumps(payload)}\n"
         )
         assert _usable_index(str(d)) is not None
-        # glob forms resolve to the directory
-        assert _usable_index(os.path.join(str(d), "*.warc.gz")) is not None
+        # a NARROWING glob must not engage the whole-directory index —
+        # the indexed plan would ingest records the glob excludes
+        assert _usable_index(os.path.join(str(d), "*.warc.gz")) is None
+        assert _usable_index(os.path.join(str(d), "seg000*.warc.gz")) is None
 
     def test_verify_generator_matches_inline_filter(self, spark):
         """_verify_jaccard's explode(when(...)) threshold (r16) must be
